@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import graft.Tables
+import graft.compat.Compat
+import graft.operators.{FieldMap, FieldSpec, Geometry, Joins}
+
+/** Relational surface: scans with pruning/pushdown, projection/rename,
+  * joins (KEEP_COMMON/KEEP_ALL), semi/anti, aggregation, windows, top-k,
+  * set ops, distinct — SURVEY §2.1-§2.5 + the "full relational surface"
+  * the north star requires (SURVEY §2.4 note).
+  */
+object RelationalQueries {
+
+  /** Exact decimal accumulator for a double SUM, surfaced back as double.
+    * Sum order across partitions stops mattering, so Spark's partial aggs and
+    * DuckDB's single-threaded sum produce bit-identical results. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(27, scale))).cast("double")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- A-ops / full agg surface ------------------------------------
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,10))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- S1 scan: pruning + predicate pushdown -----------------------
+    Q("q02_scan_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate")
+        .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("l_quantity") > 45)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- P1/P2 field map: case-insensitive rename-to-requested --------
+    Q("q03_field_map_rename",
+      """SELECT p_partkey AS part_id, p_name AS part_name, p_retailprice AS price
+        |FROM part WHERE p_retailprice > 910.0 ORDER BY part_id""".stripMargin) { (s, dir) =>
+      FieldMap(Tables.load(s, dir, "part"), Seq(
+          FieldSpec("P_PARTKEY", "part_id"),          // case-insensitive source
+          FieldSpec("p_name", "part_name"),
+          FieldSpec("p_retailprice", "price")))
+        .filter(col("price") > 910.0)
+        .orderBy("part_id")
+    },
+
+    // ---- J1 KEEP_COMMON (inner) ---------------------------------------
+    Q("q04_join_keep_common",
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Joins.joinToFeatures(
+          Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
+          "o_custkey", "c_custkey", Joins.KeepCommon)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- J1 KEEP_ALL (left outer) --------------------------------------
+    Q("q05_join_keep_all",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS LAST""".stripMargin) { (s, dir) =>
+      Joins.joinToFeatures(
+          Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
+          "c_custkey", "o_custkey", Joins.KeepAll)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_last)
+    },
+
+    // ---- anti join (NOT EXISTS) ----------------------------------------
+    Q("q06_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders").filter(col("o_totalprice") > 350000),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- semi join (EXISTS) ---------------------------------------------
+    Q("q07_semi_join",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > 9000.0
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000.0)
+        .join(Tables.load(s, dir, "orders"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // ---- A1 row_count ----------------------------------------------------
+    Q("q08_row_count",
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity BETWEEN 1 AND 10") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity").between(1, 10))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- §1.2 sentinel fill (fill_nulls=True) ----------------------------
+    Q("q09_sentinel_fill",
+      """SELECT c_custkey,
+        |  COALESCE(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END, '') AS seg,
+        |  COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, -1.0) AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val withNulls = Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")).as("seg"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+      Compat.fillSentinels(withNulls).orderBy("c_custkey")
+    },
+
+    // ---- §1.2 sentinel unfill ('' / 'nan' / -1 → NULL) --------------------
+    Q("q10_sentinel_unfill",
+      """SELECT p_partkey,
+        |  CASE WHEN brand IN ('nan', '') THEN NULL ELSE brand END AS brand,
+        |  CASE WHEN size_s = -1 THEN NULL ELSE size_s END AS size_s
+        |FROM (SELECT p_partkey,
+        |        CASE WHEN p_partkey % 7 = 0 THEN 'nan' ELSE p_brand END AS brand,
+        |        CASE WHEN p_partkey % 5 = 0 THEN -1 ELSE p_size END AS size_s
+        |      FROM part)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val staged = Tables.load(s, dir, "part").select(
+        col("p_partkey"),
+        when(col("p_partkey") % 7 === 0, lit("nan")).otherwise(col("p_brand")).as("brand"),
+        when(col("p_partkey") % 5 === 0, lit(-1)).otherwise(col("p_size")).as("size_s"))
+      // p_partkey itself is non-negative so the -1 rule can't touch it.
+      Compat.unfillSentinels(staged).orderBy("p_partkey")
+    },
+
+    // ---- §1.2 timestamp clamp (out-of-ns-range → NULL) --------------------
+    Q("q11_date_clamp",
+      """SELECT o_orderkey,
+        |  CASE WHEN shifted BETWEEN TIMESTAMP '1677-09-22 00:00:00' AND TIMESTAMP '2262-04-12 00:00:00'
+        |       THEN shifted ELSE NULL END AS odate
+        |FROM (SELECT o_orderkey,
+        |        o_orderdate + to_days(CAST(CASE o_orderkey % 3 WHEN 1 THEN 160000 WHEN 2 THEN -130000 ELSE 0 END AS INT)) AS shifted
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val shifted = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("timestampadd(DAY, CAST(CASE o_orderkey % 3 WHEN 1 THEN 160000 WHEN 2 THEN -130000 ELSE 0 END AS INT), o_orderdate)").as("odate"))
+      shifted.select(col("o_orderkey"), Compat.clampTimestamp(col("odate")).as("odate"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- window functions --------------------------------------------------
+    Q("q12_window_rownum",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ---- top-k --------------------------------------------------------------
+    Q("q13_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // ---- set ops: UNION / EXCEPT ----------------------------------------------
+    Q("q14_setops",
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val a = cust.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("k"))
+      val b = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("k"))
+      val c = cust.filter(col("c_nationkey") === 5).select(col("c_custkey").as("k"))
+      a.union(b).distinct().except(c).orderBy("k")
+    },
+
+    // ---- distinct ---------------------------------------------------------------
+    Q("q15_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- group-by + having --------------------------------------------------------
+    Q("q16_agg_having",
+      """SELECT o_custkey, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n") >= 3)
+        .orderBy("o_custkey")
+    },
+
+    // ---- §1.2 write-side downcast (int64→int32 | float64; bool→int32) ---------------
+    Q("q17_downcast",
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey,
+        |       CAST(c_custkey + 3000000000 AS DOUBLE) AS big,
+        |       CAST(c_acctbal > 0 AS INTEGER) AS pos
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val staged = Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        (col("c_custkey") + 3000000000L).as("big"),
+        (col("c_acctbal") > 0).as("pos"))
+      Compat.downcastLongs(staged).orderBy("c_custkey")
+    },
+
+    // ---- P5 ap_ratio + A3 centroid + P4 copy_oids over derived geometry --------------
+    Q("q18_geometry_scalars",
+      """SELECT p_partkey, p_partkey AS oid_copy,
+        |  (CAST(p_size AS DOUBLE) + (p_size + p_retailprice / 100.0)) / 2.0 AS cx,
+        |  (0.0 + p_size * 2.0) / 2.0 AS cy,
+        |  (p_size * 4.0) / (2.0 * sqrt(pi() * p_retailprice)) AS ap_ratio
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val p = Geometry.copyOids(Tables.load(s, dir, "part"), "p_partkey", "oid_copy")
+      p.select(
+          col("p_partkey"), col("oid_copy"),
+          Geometry.centroidX(col("p_size").cast("double"),
+                             col("p_size") + col("p_retailprice") / 100.0).as("cx"),
+          Geometry.centroidY(lit(0.0), col("p_size") * 2.0).as("cy"),
+          Geometry.apRatio(col("p_size") * 4.0, col("p_retailprice")).as("ap_ratio"))
+        .orderBy("p_partkey")
+    }
+  )
+}

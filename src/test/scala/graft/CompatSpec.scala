@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.compat.Compat
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Pins the reference's compatibility semantics (SURVEY §1.2) at their
+  * boundary values — the cases the sf fixtures can't reach. */
+class CompatSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sentinel fill: numeric -1, string '', date 1678-01-01") {
+    val df = Seq(
+      (Some(1.5), Some("a"), Some(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))),
+      (None: Option[Double], None: Option[String], None: Option[java.sql.Timestamp])
+    ).toDF("d", "s", "t")
+    val filled = Compat.fillSentinels(df).collect()
+    assert(filled(1).getDouble(0) == -1.0)
+    assert(filled(1).getString(1) == "")
+    assert(filled(1).getTimestamp(2) == java.sql.Timestamp.valueOf("1678-01-01 00:00:00"))
+    assert(filled(0).getDouble(0) == 1.5) // non-nulls untouched
+  }
+
+  test("sentinel unfill: -1/''/'nan'/date-fill back to NULL (arc_utils.py:741-746)") {
+    val df = Seq(
+      (-1.0, "nan", java.sql.Timestamp.valueOf("1678-01-01 00:00:00")),
+      (2.0, "", java.sql.Timestamp.valueOf("2020-06-01 00:00:00")),
+      (3.0, "ok", java.sql.Timestamp.valueOf("2021-06-01 00:00:00"))
+    ).toDF("d", "s", "t")
+    val un = Compat.unfillSentinels(df).collect()
+    assert(un(0).isNullAt(0) && un(0).isNullAt(1) && un(0).isNullAt(2))
+    assert(un(1).getDouble(0) == 2.0 && un(1).isNullAt(1)) // '' also nulls
+    assert(un(2).getString(1) == "ok")
+  }
+
+  test("fill→unfill round-trips nulls") {
+    val df = Seq((Some(7.0), Some("x")), (None: Option[Double], None: Option[String]))
+      .toDF("d", "s")
+    val rt = Compat.unfillSentinels(Compat.fillSentinels(df)).collect()
+    assert(rt(1).isNullAt(0) && rt(1).isNullAt(1))
+  }
+
+  test("timestamp clamp window 1677-09-22..2262-04-12 (arc_utils.py:717-718)") {
+    val df = Seq(
+      java.sql.Timestamp.valueOf("1677-09-21 23:59:59"), // below → null
+      java.sql.Timestamp.valueOf("1677-09-22 00:00:00"), // at lower bound → kept
+      java.sql.Timestamp.valueOf("2000-01-01 00:00:00"), // in range → kept
+      java.sql.Timestamp.valueOf("2262-04-12 00:00:00"), // at upper bound → kept
+      java.sql.Timestamp.valueOf("2262-04-13 00:00:00")  // above → null
+    ).toDF("t")
+    val got = df.select(Compat.clampTimestamp($"t").as("t")).collect().map(r => r.isNullAt(0))
+    assert(got.toSeq == Seq(true, false, false, false, true))
+  }
+
+  test("downcast boundary: |v| <= 2147483647 → int32, beyond → float64, bool → int32") {
+    val fits = Seq(2147483647L, -2147483647L).toDF("v")
+    val over = Seq(2147483648L, 0L).toDF("v")
+    assert(Compat.downcastLongs(fits).schema("v").dataType == IntegerType)
+    assert(Compat.downcastLongs(over).schema("v").dataType == DoubleType)
+    val b = Seq(true, false).toDF("b")
+    val bd = Compat.downcastLongs(b)
+    assert(bd.schema("b").dataType == IntegerType)
+    assert(bd.collect().map(_.getInt(0)).toSeq == Seq(1, 0))
+  }
+
+  test("case-insensitive select, output takes requested case (arc_utils.py:1036-1049)") {
+    val df = Seq((1, "x")).toDF("Zoning_Code", "other")
+    val out = Compat.selectRequestedCase(df, Seq("ZONING_code"))
+    assert(out.columns.toSeq == Seq("ZONING_code"))
+    assertThrows[IllegalArgumentException] {
+      Compat.selectRequestedCase(df, Seq("nope"))
+    }
+  }
+}
