@@ -22,9 +22,21 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   /** Scan one table. Pure `spark.read.parquet` — no eager materialization;
-    * Catalyst handles pruning/pushdown from whatever the caller stacks on. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    * Catalyst handles pruning/pushdown from whatever the caller stacks on.
+    *
+    * Nanosecond-timestamp columns (the `events.ts` parquet is
+    * TIMESTAMP(NANOS), which Spark's reader rejects) are read as raw int64
+    * via `spark.sql.legacy.parquet.nanosAsLong` and converted with integer
+    * ns→µs truncation (`ts div 1000`) — exactly DuckDB's `CAST(ts_ns AS
+    * TIMESTAMP)`, so oracle comparisons stay bit-identical. Integer `div`,
+    * not `/`: epoch-ns exceeds 2^53 and would lose precision as a double. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register every fixture table as a temp view so SQL surface tests can
     * reference them by name (the reference's "workspace" catalog,

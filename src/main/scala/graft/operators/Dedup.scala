@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Deduplication pack — north-star LLM-pipeline operators (BASELINE.json;
+  * SURVEY §7.2 step 9). The reference has no dedup; these are designed
+  * Spark-first for 100 TB:
+  *
+  *  - exact: hash-groupBy on content digest — one shuffle keyed by md5, no
+  *    full-text comparison ever crosses the wire (digest is 32 bytes/row).
+  *  - MinHash+LSH: shingle → K universal hashes → B bands of R → bucket
+  *    join. The only shuffle is keyed by (band, signature); true pair
+  *    candidates are generated without any n² comparison. Hot buckets (skew)
+  *    are handled by AQE skew-join splitting; a signature that collides for a
+  *    large fraction of the corpus indicates degenerate text and should be
+  *    length-capped upstream.
+  *  - SimHash: 16-bit sign-fingerprint via explode + groupBy (one partial-agg
+  *    shuffle; map-side combine applies since the agg is sum/count-shaped).
+  *  - Jaccard verify: exact n-gram Jaccard on the LSH candidate pairs only.
+  *
+  * Everything is built from codegen'd built-ins (no UDFs); oracle SQL for
+  * each op is authored from the same constants in [[graft.functions.Fns]].
+  */
+object Dedup {
+
+  /** Exact dedup: survivor per content digest = min doc id. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Per-row MinHash signature columns m1..mK over word-w-gram shingles. */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+                       k: Int, w: Int): DataFrame = {
+    val hp = Fns.hashP(col("__s"))
+    val withShingles = df
+      .select(col(idCol), explode(Fns.wordShingles(col(textCol), w)).as("__s"))
+      .select(col(idCol), hp.as("__hp"))
+    val aggs = (1 to k).map(i => min(Fns.minhashTerm(i, col("__hp"))).as(s"m$i"))
+    withShingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: B bands of R rows each; docs sharing any band
+    * signature become a candidate pair (idA < idB). */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        bands: Int, rows: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val ms = (1 to rows).map(r => col(s"m${b * rows + r}"))
+      struct(lit(b + 1).as("band"), concat_ws("_", ms: _*).as("sig"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash from word-w-gram shingle hashes: bit j set iff the
+    * (+1/-1) vote sum over shingles at bit j is positive. */
+  def simhash16(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(Fns.wordShingles(col(textCol), w)).as("__s"))
+      .select(col(idCol), Fns.hashP(col("__s")).as("__hp"))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("__hp"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bs$j")
+    }
+    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map { j =>
+      when(col(s"bs$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Exact word-w-gram Jaccard for given candidate pairs. `docs` must carry
+    * (idCol, textCol). Shuffles are keyed by shingle/doc — no n² compare. */
+  def jaccardForPairs(pairs: DataFrame, docs: DataFrame,
+                      textCol: String, idCol: String, w: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("did"), explode(Fns.wordShingles(col(textCol), w)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.as("sa"), col("id_a") === col("sa.did"))
+      .join(sh.as("sb"), col("id_b") === col("sb.did") && col("sa.s") === col("sb.s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.as("za"), col("id_a") === col("za.did"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.did"))
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("za.sz") + col("zb.sz") - coalesce(col("inter"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Similarity search over embedding columns (north-star pack).
+  *
+  * Scale design:
+  *  - `bruteForceTopK`: broadcast the (tiny) query side, scan the corpus
+  *    once, rank with a top-k sort (Spark's `TakeOrderedAndProject` — no full
+  *    sort, no extra shuffle). The exact baseline.
+  *  - sign-LSH (`withSignBuckets`): H random hyperplanes → H sign bits → one
+  *    int bucket. Candidates = same bucket → candidate set shrinks ~2^H ×.
+  *    Hyperplane weights are deterministic pseudo-random ints derived from
+  *    md5 at PLAN BUILD time (driver-side, [[Fns.hash60Local]]) and shipped
+  *    as literal arrays — zero per-row hashing cost, and the oracle SQL can
+  *    reproduce the identical weights.
+  *  - block-join near-dup (`blockedPairsCosine`): IVF-style coarse blocking
+  *    on a partition column, intra-block pairwise cosine. The shuffle is
+  *    keyed by block; n² work is bounded per block instead of global.
+  *
+  * All vector math is left-fold double arithmetic (Fns.dot/cosine) so DuckDB
+  * oracle results are bit-identical.
+  */
+object Similarity {
+
+  /** Hyperplane weight matrix H×dim: w(h,d) = hash60("hp{h}_{d}") % 2001 - 1000,
+    * an integer in [-1000, 1000]. Deterministic, reproducible in SQL. */
+  def hyperplaneWeights(h: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(h, dim)((hi, di) => Fns.hash60Local(s"hp${hi + 1}_${di + 1}") % 2001 - 1000)
+  def hyperplaneWeightSql(hi: Int, di: Int): String =
+    s"(${Fns.hash60Sql(s"'hp${hi + 1}_${di + 1}'")} % 2001 - 1000)"
+
+  /** Sign-LSH bucket id from H hyperplanes (bit h set iff dot(w_h, v) > 0). */
+  def signBucket(vec: Column, weights: Array[Array[Long]]): Column = {
+    val vd = Fns.vecD(vec)
+    val bits = weights.zipWithIndex.map { case (w, h) =>
+      val wCol = array(w.map(x => lit(x.toDouble)): _*)
+      when(Fns.dot(wCol, vd) > 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Oracle-side bucket expression for the same weights (weights inlined as a
+    * list literal — identical values, identical fold order). */
+  def signBucketSql(vecE: String, weights: Array[Array[Long]]): String =
+    weights.zipWithIndex.map { case (w, h) =>
+      val wList = w.map(x => s"${x.toDouble}").mkString("[", ",", "]")
+      s"(CASE WHEN ${Fns.dotSql(wList, Fns.vecDSql(vecE))} > 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Exact top-k by cosine against one broadcast query vector. */
+  def bruteForceTopK(corpus: DataFrame, query: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("__qv")))
+    corpus.crossJoin(q)
+      .select(col(idCol),
+        Fns.cosine(Fns.vecD(col(vecCol)), Fns.vecD(col("__qv"))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Intra-block pairwise cosine (IVF-style coarse blocking). */
+  def blockedPairsCosine(df: DataFrame, vecCol: String, idCol: String,
+                         blockCol: String): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Fns.cosine(Fns.vecD(col("va")), Fns.vecD(col("vb"))).as("cos"))
+  }
+}

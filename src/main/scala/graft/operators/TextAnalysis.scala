@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Text analysis pack (north-star): language ID, quality scoring, token
+  * counting, document fingerprinting. All per-row codegen'd expressions — no
+  * shuffle, no UDF; at 100 TB these run at scan speed inside one stage.
+  * Regex patterns are passed as Column literals (never through the SQL
+  * parser) and restricted to syntax with identical semantics in Java regex
+  * (Spark) and RE2 (DuckDB oracle).
+  */
+object TextAnalysis {
+
+  /** BPE-ish token regex: letter runs | digit runs | other-symbol runs. */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** Regex token count (BPE-ish, group 0). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+
+  // ---- language ID (stopword-hit heuristic) -----------------------------
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
+
+  /** CJK block as literal chars (identical in Java regex and RE2 classes). */
+  val CjkClass: String = s"[${0x4e00.toChar}-${0x9fff.toChar}]"
+
+  /** Words for language scoring: lowercase letter runs. */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  def stopwordHits(ws: Column, stops: Seq[String]): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    size(filter(ws, w => array_contains(stopArr, w)))
+  }
+
+  /** Deterministic argmax language: CJK chars → zh, else highest stopword hit
+    * count with ties broken in [[Stopwords]] order, no hits → "und". */
+  def langId(text: Column): Column = {
+    val cjk = size(regexp_extract_all(text, lit(CjkClass), lit(0)))
+    val ws = words(text)
+    val scores = Stopwords.map { case (lang, stops) => lang -> stopwordHits(ws, stops) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // Built inside-out so earlier Stopwords entries win ties (en first).
+    val pickOrdered = scores.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(cjk > 0, lit("zh")).otherwise(pickOrdered)
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+  /** Quality features: exact int counts turned into double ratios with a
+    * fixed formula shape, bit-reproducible in the oracle. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("double")
+    val upper = length(regexp_replace(t, "[^A-Z]", "")).cast("double")
+    val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double")
+    val wsCol = words(t)
+    val nWords = size(wsCol).cast("double")
+    val stops = stopwordHits(wsCol, Stopwords.head._2).cast("double")
+    df.withColumn("n_chars_m", n)
+      .withColumn("n_words", nWords)
+      .withColumn("upper_ratio", upper / n)
+      .withColumn("digit_ratio", digit / n)
+      .withColumn("punct_ratio", punct / n)
+      .withColumn("stop_ratio", stops / nWords)
+  }
+
+  // ---- fingerprint -------------------------------------------------------
+  val FpMod: Long = 1000000007L
+
+  /** Polynomial rolling fingerprint over word hashes:
+    * fold(0, (acc, h) -> (acc*31 + h) % FpMod). Left fold in both engines
+    * (Spark aggregate with 0 init; DuckDB list_reduce over list_prepend 0). */
+  def fingerprint(text: Column): Column = {
+    val hs = transform(split(trim(text), "\\s+"), w => Fns.hashP(w))
+    aggregate(hs, lit(0L), (acc, h) => (acc * 31 + h) % FpMod)
+  }
+  def fingerprintSql(textE: String): String = {
+    val ws = s"regexp_split_to_array(trim($textE), '\\s+')"
+    val hs = s"list_transform($ws, w -> ${Fns.hashPSql("w")})"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $hs), (acc, h) -> (acc * 31 + h) % $FpMod)"
+  }
+}

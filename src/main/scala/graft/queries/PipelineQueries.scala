@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import graft.Tables
+import graft.functions.Fns
+import graft.operators.{Dedup, Multimodal, Similarity, Tessellation, TextAnalysis}
+import graft.streaming.Streams
+
+/** North-star packs: tessellation (G1-G3), dedup, similarity search, text
+  * analysis, events/streaming-shaped aggregation, multimodal plumbing.
+  *
+  * Every oracle SQL string here is generated from the SAME constants as the
+  * Spark plan (via [[graft.functions.Fns]] SQL builders), so the driver's
+  * exact value-hash comparison holds bit-for-bit.
+  */
+object PipelineQueries {
+
+  // Shared LSH / shingle constants.
+  val ShingleW = 5
+  val MinhashK = 8
+  val Bands = 4
+  val RowsPerBand = 2
+  val AnnH = 6
+  val AnnDim = 64
+  lazy val AnnWeights: Array[Array[Long]] = Similarity.hyperplaneWeights(AnnH, AnnDim)
+
+  // ---- oracle SQL fragments ------------------------------------------------
+  private val shinglesSql = Fns.wordShinglesSql("text", ShingleW)
+  private def mhExprSql(k: Int): String =
+    s"list_min(list_transform(gs, s -> ${Fns.minhashTermSql(k, Fns.hashPSql("s"))})) AS m$k"
+  private val mhCte =
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS gs FROM documents),
+       |mh AS (SELECT doc_id, ${(1 to MinhashK).map(mhExprSql).mkString(",\n  ")} FROM sh),
+       |bands AS (${(0 until Bands).map { b =>
+          s"SELECT doc_id, ${b + 1} AS band, m${b * RowsPerBand + 1}||'_'||m${b * RowsPerBand + 2} AS sig FROM mh"
+        }.mkString("\nUNION ALL ")}),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def cosSql(aE: String, bE: String): String =
+    Fns.cosineSql(Fns.vecDSql(aE), Fns.vecDSql(bE))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- G1-G3 tessellation ----------------------------------------------
+    Q("q20_split_equal_area",
+      """SELECT p_partkey AS orig_fid,
+        |  unnest(generate_series(1, GREATEST(CAST(FLOOR((p_size * (p_retailprice/100.0)) / 100.0) AS BIGINT), 1))) AS split_seq,
+        |  p_brand
+        |FROM part ORDER BY orig_fid, split_seq""".stripMargin) { (s, dir) =>
+      val polys = Tables.load(s, dir, "part").select(
+        col("p_partkey").as("OBJECTID"),
+        struct(lit(0.0).as("xmin"), lit(0.0).as("ymin"),
+               col("p_size").cast("double").as("xmax"),
+               (col("p_retailprice") / lit(100.0)).as("ymax")).as("geom"),
+        (col("p_size").cast("double") * (col("p_retailprice") / lit(100.0))).as("acres"),
+        col("p_brand"))
+      Tessellation.splitEqualArea(polys, maxAcres = 100.0)
+        .select(col("orig_fid"), col("split_seq"), col("p_brand"))
+        .orderBy("orig_fid", "split_seq")
+    },
+
+    // ---- dedup: exact -----------------------------------------------------
+    Q("q30_dedup_exact",
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup: MinHash + LSH candidate pairs ----------------------------
+    Q("q31_dedup_minhash_lsh",
+      s"""$mhCte
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashSignature(
+        Tables.load(s, dir, "documents"), "text", "doc_id", MinhashK, ShingleW)
+      Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- dedup: SimHash ---------------------------------------------------
+    Q("q32_dedup_simhash",
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS gs FROM documents),
+         |e AS (SELECT doc_id, unnest(gs) AS s FROM sh),
+         |h AS (SELECT doc_id, ${Fns.hashPSql("s")} AS hp FROM e)
+         |SELECT doc_id, CAST(${(0 until 16).map { j =>
+            s"(CASE WHEN SUM(CASE WHEN (hp>>$j)&1=1 THEN 1 ELSE -1 END)>0 THEN ${1L << j} ELSE 0 END)"
+          }.mkString(" + ")} AS BIGINT) AS simhash
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhash16(Tables.load(s, dir, "documents"), "text", "doc_id", ShingleW)
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup: exact n-gram Jaccard on LSH candidates -------------------
+    Q("q33_dedup_jaccard_verify",
+      s"""$mhCte,
+         |dsh AS (SELECT DISTINCT did, s FROM (SELECT doc_id AS did, unnest(gs) AS s FROM sh)),
+         |sizes AS (SELECT did, count(*) AS sz FROM dsh GROUP BY did),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_int
+         |  FROM pairs p JOIN dsh a ON p.id_a=a.did JOIN dsh b ON p.id_b=b.did AND a.s=b.s
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT p.id_a AS id_a, p.id_b AS id_b,
+         |  CAST(COALESCE(i.n_int, 0) AS DOUBLE) / CAST(za.sz + zb.sz - COALESCE(i.n_int, 0) AS DOUBLE) AS jaccard
+         |FROM pairs p LEFT JOIN inter i ON p.id_a=i.id_a AND p.id_b=i.id_b
+         |JOIN sizes za ON p.id_a=za.did JOIN sizes zb ON p.id_b=zb.did
+         |ORDER BY p.id_a, p.id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", MinhashK, ShingleW)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand)
+      Dedup.jaccardForPairs(pairs, docs, "text", "doc_id", ShingleW)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- dedup: embedding cosine near-dup (IVF-style label blocking) ------
+    Q("q34_dedup_embedding_cosine",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin) { (s, dir) =>
+      Similarity.blockedPairsCosine(
+          Tables.load(s, dir, "embeddings"), "embedding", "vec_id", "label")
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
+    // ---- similarity: brute-force cosine top-k -----------------------------
+    Q("q40_knn_bruteforce",
+      s"""SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), "embedding", "vec_id", 10)
+    },
+
+    // ---- similarity: sign-LSH bucketed ANN --------------------------------
+    Q("q41_ann_sign_lsh", {
+      val bktSql = Similarity.signBucketSql("embedding", AnnWeights)
+      s"""WITH b AS (SELECT vec_id, embedding, $bktSql AS bkt FROM embeddings),
+         |q AS (SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, ${cosSql("b.embedding", "q.qv")} AS cos
+         |FROM b, q WHERE b.bkt = q.qb
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("bkt", Similarity.signBucket(col("embedding"), AnnWeights))
+      val q = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bkt").as("qb")))
+      emb.crossJoin(q).filter(col("bkt") === col("qb"))
+        .select(col("vec_id"), Fns.cosine(Fns.vecD(col("embedding")), Fns.vecD(col("qv"))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(5)
+    },
+
+    // ---- text: token counting --------------------------------------------
+    Q("q50_token_count",
+      s"""SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS n_tokens,
+         |  length(text) AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_m"))
+        .orderBy("doc_id")
+    },
+
+    // ---- text: language ID ------------------------------------------------
+    Q("q51_lang_id", {
+      def hits(stops: Seq[String]) =
+        s"len(list_filter(ws, w -> list_contains(${stops.map(x => s"'$x'").mkString("[", ",", "]")}, w)))"
+      val scores = TextAnalysis.Stopwords.map { case (l, st) => l -> hits(st) }
+      s"""WITH w AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+         |  len(regexp_extract_all(text, '${TextAnalysis.CjkClass}')) AS cjk FROM documents),
+         |sc AS (SELECT doc_id, lang, cjk, ${scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")} FROM w)
+         |SELECT doc_id,
+         |  CASE WHEN cjk > 0 THEN 'zh'
+         |       ${scores.map { case (l, _) => s"WHEN s_$l = GREATEST(s_en,s_es,s_fr,s_de) AND GREATEST(s_en,s_es,s_fr,s_de) > 0 THEN '$l'" }.mkString("\n       ")}
+         |       ELSE 'und' END AS lang_pred,
+         |  lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- text: quality features ------------------------------------------
+    Q("q52_quality_score",
+      """SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars_m,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE) AS n_words,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS upper_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+        |    / CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_m", "n_words", "upper_ratio", "digit_ratio",
+                "punct_ratio", "stop_ratio")
+        .orderBy("doc_id")
+    },
+
+    // ---- text: document fingerprint --------------------------------------
+    Q("q53_fingerprint",
+      s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- events: tumbling window agg --------------------------------------
+    Q("q60_hourly_window",
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      Streams.hourlyByType(Tables.load(s, dir, "events"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // ---- events: gap sessionization ---------------------------------------
+    Q("q61_sessionization",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s FROM e)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Streams.userSessionStats(Tables.load(s, dir, "events"))
+        .orderBy("user_id")
+    },
+
+    // ---- events: JSON prop extraction -------------------------------------
+    Q("q62_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Streams.withJsonProp(Tables.load(s, dir, "events"), "k", "k")
+        .select("event_id", "k")
+        .orderBy("event_id")
+    },
+
+    // ---- multimodal: binary plumbing + stubbed frame decode ---------------
+    Q("q70_multimodal_frames",
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |  GREATEST(CAST(FLOOR(length(text)/100.0) AS INT), 1) AS nf FROM documents),
+        |f AS (SELECT doc_id, text, nb, nf, unnest(generate_series(0, nf-1)) AS fi FROM m)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  ascii(substr(text, CAST((fi * GREATEST(nb // nf, 1)) % nb AS INT) + 1, 1)) AS sample_byte,
+        |  list_reduce(list_prepend(CAST(fi AS BIGINT),
+        |    [CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) FOR i IN generate_series(1, length(text))]),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      val media = Multimodal.asMedia(Tables.load(s, dir, "documents"), "text", "image")
+      Multimodal.sampleFrames(media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.Fns
+
+/** Unit coverage for the north-star operator packs at semantics level (the
+  * oracle gate covers end-to-end values at sf0.01). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup: identical texts collapse, survivor = min id") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id")
+      .select("doc_id", "n_copies").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash signature: identical docs share all K hashes; candidates found") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7"), (2L, "w1 w2 w3 w4 w5 w6 w7"),
+                 (3L, "q r s t u v x")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "text", "doc_id", 8, 5)
+    val rows = sig.orderBy("doc_id").collect()
+    assert(rows(0).toSeq.drop(1) == rows(1).toSeq.drop(1)) // same text → same sig
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 4, 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: equal text → equal hash; 16-bit range") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "totally different words here now yes"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhash16(df, "text", "doc_id", 5).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == out(1).getLong(1))
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 65536))
+  }
+
+  test("jaccard: identical=1.0, disjoint pairs absent (not candidates)") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "text", "doc_id", 8, 5)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 4, 2)
+    val j = Dedup.jaccardForPairs(pairs, df, "text", "doc_id", 5).collect()
+    assert(j.length == 1 && j(0).getDouble(2) == 1.0)
+  }
+
+  test("cosine: orthogonal=0, identical=1") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 1)
+    val out = Similarity.bruteForceTopK(df, q, "embedding", "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out(0)._2 == 1.0 && out(1)._2 == 1.0) // ids 1 and 3 (colinear)
+    assert(out(2) == (2L, 0.0))
+  }
+
+  test("sign-LSH: identical vectors share a bucket; deterministic weights") {
+    val w1 = Similarity.hyperplaneWeights(6, 4)
+    val w2 = Similarity.hyperplaneWeights(6, 4)
+    assert(w1.map(_.toSeq).toSeq == w2.map(_.toSeq).toSeq)
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val b = df.withColumn("bkt", Similarity.signBucket($"embedding", w1))
+      .select("bkt").collect().map(_.getLong(0))
+    assert(b(0) == b(1))
+  }
+
+  test("langId: stopword votes and CJK short-circuit") {
+    val df = Seq((1L, "the cat and the dog is in a house of cards"),
+                 (2L, "el que de la casa y los gatos"),
+                 (3L, "中文 text here")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text").as("l")).orderBy("id")
+      .collect().map(_.getString(1))
+    assert(out.toSeq == Seq("en", "es", "zh"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal: frame rows = n_frames; decode stub deterministic") {
+    val df = Seq((1L, "x" * 250), (2L, "y" * 50)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "text", "image")
+    val frames = Multimodal.sampleFrames(
+      media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
+    val byDoc = frames.groupBy("doc_id").count().orderBy("doc_id").collect()
+    assert(byDoc.map(_.getLong(1)).toSeq == Seq(2L, 1L)) // floor(250/100)=2, max(floor(50/100),1)=1
+    assert(Multimodal.decodeStub("abc".getBytes, 2) == Multimodal.decodeStub("abc".getBytes, 2))
+  }
+
+  test("hash60 local mirrors the Column expression") {
+    val fromCol = spark.range(1).select(Fns.hash60(lit("hp1_1"))).head().getLong(0)
+    assert(fromCol == Fns.hash60Local("hp1_1"))
+  }
+}

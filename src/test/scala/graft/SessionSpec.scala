@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.8 session/catalog ops: scoped workspace swap, scratch lifecycle
+  * + janitor, uniqueness-checked view resolution, introspection. */
+class SessionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("workspace: scoped swap restores on exit (arc_utils.py:93-118)") {
+    val ws = new Session.Workspace(sf)
+    assert(ws.dir == sf)
+    val inner = ws.withWork("/tmp/elsewhere") { ws.dir }
+    assert(inner == "/tmp/elsewhere" && ws.dir == sf)
+    // restore happens even on exception
+    intercept[RuntimeException] { ws.withWork("/tmp/x") { throw new RuntimeException("boom") } }
+    assert(ws.dir == sf)
+  }
+
+  test("scratch: created, usable, deleted on close; janitor clears leftovers") {
+    val leaked = new Session.Scratch
+    val kept = Session.withScratch { s =>
+      val p = java.nio.file.Paths.get(s.dir, "probe.txt")
+      java.nio.file.Files.writeString(p, "x")
+      assert(java.nio.file.Files.exists(p))
+      s.path
+    }
+    assert(!java.nio.file.Files.exists(kept)) // auto-deleted on exit
+    assert(Session.listScratch().contains(leaked.path))
+    assert(Session.clearScratch() >= 1) // janitor removes the leak
+    assert(!java.nio.file.Files.exists(leaked.path))
+  }
+
+  test("resolveView: unique hit resolves, missing/ambiguous error (pro_utils.py:99-103)") {
+    Tables.load(spark, sf, "region").createOrReplaceTempView("res_probe")
+    assert(Session.resolveView(spark, "RES_PROBE").count() == 5)
+    intercept[IllegalArgumentException] { Session.resolveView(spark, "no_such_view") }
+  }
+
+  test("introspection shims (arc_utils.py:42-84)") {
+    val df = Tables.load(spark, sf, "nation")
+    assert(Session.listFlds(df) == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(Session.listFldTypes(df)("n_name") == "string")
+  }
+}
