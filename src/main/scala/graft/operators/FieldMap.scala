@@ -22,6 +22,13 @@ object FieldMap {
   def rename(pairs: Seq[(String, String)]): Seq[FieldSpec] =
     pairs.map { case (s, o) => FieldSpec(s, o) }
 
+  /** U1 `CalculateField` (`/root/reference/smartpy_arc/arc_utils.py:382-384,
+    * 601-606`): add/overwrite a column from a SQL expression string — the
+    * reference's Python/Arcade expression surface maps to Catalyst `expr`,
+    * which parses into codegen'd native expressions (never an opaque UDF). */
+  def calculateField(df: DataFrame, name: String, expression: String): DataFrame =
+    df.withColumn(name, org.apache.spark.sql.functions.expr(expression))
+
   /** Apply a field map: case-insensitive source resolution, output named by
     * the map, varchar length recorded in column metadata. Pure projection —
     * column pruning reaches the scan. */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.compat.Compat
+
+/** Sink / materialization operators — SURVEY §2.1 S4/S5/S8/S9 + §2.8 C2/C3.
+  *
+  * The reference's write path (`/root/reference/smartpy_arc/arc_utils.py:815-898`
+  * `pandas_to_arc`) applies write-side type coercions (§1.2: int64→int32 when
+  * in range else float64, bool→int32 — `arc_utils.py:792-800`), optionally
+  * derives a point geometry from two scalar columns + a spatial reference id
+  * (`x_col`/`y_col`/`srs`, `arc_utils.py:846-875`), honors an overwrite flag
+  * (`TempOverwrite`, `arc_utils.py:121-135`), and can hand back a readback
+  * cursor (`get_cursor`, `arc_utils.py:883-892`).
+  * `pandas_to_features` (`arc_utils.py:901-953`) composes write + equi-join +
+  * materialize; `polars_to_arc` (`arc_utils.py:1054-1120`) attaches geometry
+  * encoding + CRS WKT as field metadata on the way out.
+  *
+  * Spark design: everything is one lazy plan ending in a parquet
+  * `DataFrameWriter` — the coercion `select`, the point-struct `withColumn`,
+  * and the join all stay inside whole-stage codegen and write directly from
+  * executors (no driver materialization, unlike the reference's
+  * numpy-in-driver round trip). At cluster scale the write parallelism equals
+  * the upstream partitioning; callers repartition by a key column first when
+  * downstream reads want co-location.
+  */
+object Sinks {
+
+  /** Field-metadata keys the Arrow sink attaches (`arc_utils.py:1104-1112`). */
+  val EncodingKey = "esri.encoding"
+  val SrWktKey = "esri.sr_wkt"
+
+  /** S4 XY→point: derive a point-geometry struct from two scalar columns and
+    * a spatial-reference id (`arc_utils.py:846-875`). */
+  def withPointGeom(df: DataFrame, xCol: String, yCol: String, srid: Int,
+                    geomCol: String = "geom"): DataFrame =
+    df.withColumn(geomCol, struct(
+      col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"),
+      lit(srid).cast(IntegerType).as("srid")))
+
+  /** S4 `pandas_to_arc`: coerce (write-side type rules) → optional XY→point →
+    * write parquet. `overwrite=false` reproduces the reference's default
+    * error-on-existing (`arcpy` overwriteOutput, C2 `TempOverwrite`). */
+  def writeTable(df: DataFrame, dir: String, name: String,
+                 overwrite: Boolean = true,
+                 xy: Option[(String, String, Int)] = None,
+                 coerce: Boolean = true): String = {
+    val coerced = if (coerce) Compat.downcastLongs(df) else df
+    val out = xy match {
+      case Some((x, y, srid)) => withPointGeom(coerced, x, y, srid)
+      case None => coerced
+    }
+    val path = s"$dir/$name.parquet"
+    out.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(path)
+    path
+  }
+
+  /** S4 `get_cursor` readback: scan what was just written. */
+  def readBack(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S9 `pandas_to_features`: write the attribute df to scratch, equi-join it
+    * to the feature table, materialize the joined result, read it back. The
+    * reference's scratch-gdb + AddIndex + AddJoin + CopyFeatures pipeline
+    * (`arc_utils.py:923-953`) collapses to one Catalyst plan whose exchange
+    * replaces the scratch round-trip; the through-scratch write is kept so
+    * the on-disk artifact exists like the reference's (and so the join input
+    * is the *written* table — write-side coercions included). */
+  def joinMaterialize(spark: SparkSession,
+                      attrs: DataFrame, features: DataFrame,
+                      attrKey: String, featureKey: String,
+                      keepCommon: Boolean,
+                      scratchDir: String, outName: String): DataFrame = {
+    writeTable(attrs, scratchDir, s"__build_$outName")
+    val build = readBack(spark, scratchDir, s"__build_$outName")
+    val joined = Joins.joinToFeatures(features, build, featureKey, attrKey,
+      if (keepCommon) Joins.KeepCommon else Joins.KeepAll)
+    joined.write.mode(SaveMode.Overwrite).parquet(s"$scratchDir/$outName.parquet")
+    readBack(spark, scratchDir, outName)
+  }
+}

@@ -2,9 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
-import graft.Tables
+import graft.{Session, Tables}
 import graft.compat.Compat
-import graft.operators.{FieldMap, FieldSpec, Geometry, Joins}
+import graft.operators.{FieldMap, FieldSpec, Geometry, Joins, Layers, Sinks}
 
 /** Relational surface: scans with pruning/pushdown, projection/rename,
   * joins (KEEP_COMMON/KEEP_ALL), semi/anti, aggregation, windows, top-k,
@@ -268,6 +268,66 @@ object RelationalQueries {
           Geometry.centroidY(lit(0.0), col("p_size") * 2.0).as("cy"),
           Geometry.apRatio(col("p_size") * 4.0, col("p_retailprice")).as("ap_ratio"))
         .orderBy("p_partkey")
+    },
+
+    // ---- grouping sets: ROLLUP ---------------------------------------------
+    Q("q19_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+    },
+
+    // ---- S8 copy_feats CTAS: rename+filter, materialize, read back ----------
+    Q("q21_ctas_copy",
+      """SELECT p_partkey AS pid, p_brand AS brand, p_size AS psize
+        |FROM part WHERE p_size > 25 ORDER BY pid""".stripMargin) { (s, dir) =>
+      val scratch = new Session.Scratch  // janitor-prefixed; cleared by clearScratch
+      val out = s"${scratch.dir}/ctas_part.parquet"
+      Layers.copyFeats(Tables.load(s, dir, "part"), out,
+        specs = Some(Seq(FieldSpec("P_PARTKEY", "pid"), FieldSpec("p_brand", "brand"),
+                         FieldSpec("p_size", "psize"))),
+        where = Some("psize > 25"))
+      s.read.parquet(out).orderBy("pid")
+    },
+
+    // ---- S4 sink: write-side coercions + XY→point geometry, read back -------
+    Q("q22_xy_point_sink",
+      """SELECT CAST(s_suppkey AS INTEGER) AS s_suppkey, s_name,
+        |  CAST(s_acctbal AS DOUBLE) AS gx, CAST(s_suppkey AS DOUBLE) AS gy, 4326 AS srid
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val scratch = new Session.Scratch
+      Sinks.writeTable(
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal"),
+        scratch.dir, "supplier_pts", xy = Some(("s_acctbal", "s_suppkey", 4326)))
+      Sinks.readBack(s, scratch.dir, "supplier_pts")
+        .select(col("s_suppkey"), col("s_name"),
+          col("geom.x").as("gx"), col("geom.y").as("gy"), col("geom.srid").as("srid"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- S9 pandas_to_features: write + join + materialize + read back -------
+    Q("q23_join_materialize",
+      """SELECT c_custkey, c_name, n_orders,
+        |       CAST(spend AS DOUBLE) AS spend
+        |FROM customer JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey) b ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val scratch = new Session.Scratch
+      val attrs = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      Sinks.joinMaterialize(s, attrs, Tables.load(s, dir, "customer"),
+          "o_custkey", "c_custkey", keepCommon = true,
+          scratch.dir, "cust_spend")
+        .select("c_custkey", "c_name", "n_orders", "spend")
+        .orderBy("c_custkey")
     }
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{FieldMap, Joins, Sinks}
+import graft.sources.Jdbc
+
+/** SURVEY §2.1 sinks (S4/S7/S9) + U1 expression surface. */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("S4 writeTable: write-side coercions + XY→point + overwrite flag (arc_utils.py:815-898)") {
+    Session.withScratch { s =>
+      val df = Tables.load(spark, sf, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"), (col("s_acctbal") > 0).as("pos"))
+      Sinks.writeTable(df, s.dir, "t", xy = Some(("s_acctbal", "s_suppkey", 4326)))
+      val back = Sinks.readBack(spark, s.dir, "t")
+      // int64 in range → int32; bool → int32; point struct present with srid
+      assert(back.schema("s_suppkey").dataType.typeName == "integer")
+      assert(back.schema("pos").dataType.typeName == "integer")
+      val g = back.select("geom.x", "geom.y", "geom.srid").first()
+      assert(g.getInt(2) == 4326)
+      // overwrite=false on existing path must fail (C2 TempOverwrite default)
+      intercept[Exception] { Sinks.writeTable(df, s.dir, "t", overwrite = false) }
+      // overwrite=true succeeds
+      Sinks.writeTable(df, s.dir, "t", overwrite = true)
+    }
+  }
+
+  test("S9 joinMaterialize: KEEP_COMMON row count matches inner join (arc_utils.py:936-947)") {
+    Session.withScratch { s =>
+      val cust = Tables.load(spark, sf, "customer")
+      val attrs = Tables.load(spark, sf, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val out = Sinks.joinMaterialize(spark, attrs, cust,
+        "o_custkey", "c_custkey", keepCommon = true, s.dir, "cm")
+      val expected = cust.join(attrs, cust("c_custkey") === attrs("o_custkey")).count()
+      assert(out.count() == expected)
+      // materialized artifact exists on disk (the reference's CopyFeatures output)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s.dir, "cm.parquet")))
+    }
+  }
+
+  test("S7 JDBC connection builder (arc_utils.py:339-373)") {
+    assert(Jdbc.sqlServerUrl("srv01", "gisdb") ==
+      "jdbc:sqlserver://srv01;databaseName=gisdb;integratedSecurity=true")
+    assert(Jdbc.sqlServerUrl("srv01", "gisdb", integratedSecurity = false) ==
+      "jdbc:sqlserver://srv01;databaseName=gisdb")
+    assert(Jdbc.props().getProperty("graft.version") == "sde.DEFAULT")
+    assert(Jdbc.props("sde.EDIT").getProperty("graft.version") == "sde.EDIT")
+  }
+
+  test("U1 calculateField: SQL expression string → native column (arc_utils.py:601-606)") {
+    val df = FieldMap.calculateField(
+      Tables.load(spark, sf, "part"),
+      "ap_ratio", "p_size * 4.0 / (2.0 * sqrt(pi() * p_retailprice))")
+    val r = df.select("p_size", "p_retailprice", "ap_ratio").first()
+    val expect = r.getInt(0) * 4.0 / (2.0 * math.sqrt(math.Pi * r.getDouble(1)))
+    assert(math.abs(r.getDouble(2) - expect) < 1e-12)
+  }
+
+  test("S5 field metadata rides through the parquet sink (arc_utils.py:1104-1112)") {
+    Session.withScratch { s =>
+      import org.apache.spark.sql.types.MetadataBuilder
+      val md = new MetadataBuilder()
+        .putString(Sinks.EncodingKey, "WKB").putString(Sinks.SrWktKey, "EPSG:4326").build()
+      val df = Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey"), col("n_name").as("n_name", md))
+      df.write.parquet(s"${s.dir}/md.parquet")
+      val back = spark.read.parquet(s"${s.dir}/md.parquet")
+      assert(back.schema("n_name").metadata.getString(Sinks.EncodingKey) == "WKB")
+      assert(back.schema("n_name").metadata.getString(Sinks.SrWktKey) == "EPSG:4326")
+    }
+  }
+}
