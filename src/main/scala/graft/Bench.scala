@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every declared query at the given SF and
+  * prints one JSON line. An untimed warmup first exercises the session —
+  * parquet footer reads, shuffle machinery, codegen compiler — so the first
+  * timed query measures the query, not JVM startup. Per-query codegen still
+  * lands inside each query's own timing (not hidden). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +14,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: one scan per fixture table + one shuffle + one sort.
+    Tables.All.foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey")).count().orderBy(desc("count")).limit(5).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

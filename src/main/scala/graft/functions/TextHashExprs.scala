@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled one-pass text-hashing kernels for the dedup pack.
+  *
+  * The declarative formulation (explode word shingles → md5 hex → conv →
+  * groupBy-min) evaluates higher-order lambdas interpreted and needs a
+  * keyed shuffle just to reassemble per-document signatures. These kernels
+  * compute the ENTIRE MinHash signature / SimHash fingerprint / shingle-hash
+  * set per document in one compiled pass over the text — an embarrassingly
+  * parallel scan with NO shuffle, the shape you want when the corpus is
+  * 100 TB (signature computation cost scales with bytes read, shuffle with
+  * zero bytes instead of |shingles| rows).
+  *
+  * Semantics are IDENTICAL to the declarative path (and to the DuckDB oracle):
+  *  - shingles: `split(trim(text), '\s+')`, windows of w words joined by ' ',
+  *    `max(n-w+1, 1)` windows (a short doc yields one partial shingle) —
+  *    exactly [[Fns.wordShingles]];
+  *  - shingle hash: first 15 hex chars of md5 as int64 (= first 8 digest
+  *    bytes big-endian >>> 4), reduced mod P — exactly [[Fns.hashP]];
+  *  - MinHash term k: (hp·a_k + b_k) mod P with [[Fns.hashA]]/[[Fns.hashB]];
+  *  - SimHash bit j: sign of Σ ±1 votes over shingle-hash bit j.
+  * All arithmetic is exact int64 — no float drift is possible.
+  */
+object TextHashing {
+  private val P = Fns.P
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** hash60 of a string: first 15 hex chars of md5 = first 8 digest bytes as
+    * big-endian int64, shifted right 4 (drops the 16th nibble). */
+  def hash60(s: String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Word-w-gram shingle hashes in [0, P), in document order (duplicates
+    * kept — the declarative path keeps them too). */
+  def shingleHashesP(text: UTF8String, w: Int): Array[Long] = {
+    // UTF8String.trim() trims ASCII space only — same as Spark's trim().
+    val words = text.trim().toString.split("\\s+", -1)
+    val n = math.max(words.length - (w - 1), 1)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      val end = math.min(i + w, words.length)
+      var j = i
+      while (j < end) { if (j > i) sb.append(' '); sb.append(words(j)); j += 1 }
+      out(i) = hash60(sb.toString) % P
+      i += 1
+    }
+    out
+  }
+
+  /** Full K-term MinHash signature in one pass. */
+  def minhashSig(text: UTF8String, w: Int, k: Int): Array[Long] = {
+    val hps = shingleHashesP(text, w)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var j = 0
+    while (j < k) { a(j) = Fns.hashA(j + 1); b(j) = Fns.hashB(j + 1); j += 1 }
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < hps.length) {
+      val hp = hps(i)
+      j = 0
+      while (j < k) {
+        val t = (hp * a(j) + b(j)) % P
+        if (t < out(j)) out(j) = t
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** 16-bit SimHash fingerprint in one pass. */
+  def simhash16(text: UTF8String, w: Int): Long = {
+    val hps = shingleHashesP(text, w)
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < hps.length) {
+      val hp = hps(i)
+      var j = 0
+      while (j < 16) {
+        if (((hp >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  // ---- ArrayData wrappers for codegen call sites -------------------------
+  def minhashSigData(text: UTF8String, w: Int, k: Int): ArrayData =
+    new GenericArrayData(minhashSig(text, w, k))
+  def shingleHashesData(text: UTF8String, w: Int): ArrayData =
+    new GenericArrayData(shingleHashesP(text, w))
+}
+
+/** Base for string→kernel expressions: codegen emits one static call, so the
+  * surrounding whole-stage-codegen span stays unbroken. */
+abstract class TextHashExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  /** Java call on graft.functions.TextHashing for generated code. */
+  protected def staticCall(childRef: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
+}
+
+/** array<long>: full MinHash signature (terms 1..k). */
+case class MinhashSig(child: Expression, w: Int, k: Int) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextHashing.minhashSigData(t.asInstanceOf[UTF8String], w, k)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHashing.minhashSigData($c, $w, $k)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** long: 16-bit SimHash fingerprint. */
+case class SimHash16(child: Expression, w: Int) extends TextHashExpr {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    TextHashing.simhash16(t.asInstanceOf[UTF8String], w)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHashing.simhash16($c, $w)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash16"
+}
+
+/** array<long>: hashP of every shingle, document order, duplicates kept. */
+case class ShingleHashes(child: Expression, w: Int) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextHashing.shingleHashesData(t.asInstanceOf[UTF8String], w)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHashing.shingleHashesData($c, $w)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+object TextHashExprs {
+  def minhashSig(text: Column, w: Int, k: Int): Column =
+    Bridge.column(MinhashSig(Bridge.expression(text), w, k))
+  def simhash16(text: Column, w: Int): Column =
+    Bridge.column(SimHash16(Bridge.expression(text), w))
+  def shingleHashes(text: Column, w: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), w))
+}

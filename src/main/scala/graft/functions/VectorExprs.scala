@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-math hot path (north-star
+  * similarity pack).
+  *
+  * [[Fns.dot]]/[[Fns.cosine]] compose higher-order functions
+  * (`transform`→`zip_with`→`aggregate`), which materialize an intermediate
+  * array per row and evaluate lambdas outside whole-stage codegen. These
+  * expressions fuse cast + dot + both norms into ONE loop over the raw
+  * `ArrayData` with `doGenCode` (zero allocation, stays inside codegen) —
+  * the q34-style intra-block pair scan does |pairs|·dim fused multiply-adds
+  * and nothing else.
+  *
+  * Numeric contract (oracle bit-identity): elements are widened to double and
+  * accumulated LEFT-TO-RIGHT per accumulator, exactly the fold order of
+  * `Fns.dot(vecD(a), vecD(b))` and of the DuckDB oracle's `list_reduce` —
+  * the IEEE op sequence per accumulator is unchanged, so results are
+  * bit-identical to the HOF path.
+  *
+  * Null contract (matches the HOF path): null array → null; mismatched
+  * lengths → null (zip_with pads with null, poisoning the fold); any null
+  * element → null.
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemT(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Combine the three accumulators into the result. */
+  protected def finish(dot: Double, na: Double, nb: Double): Double
+  /** Java source for the same combination (same ops, same order). */
+  protected def finishCode(dot: String, na: String, nb: String): String
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val leftFloat = elemT(left) == FloatType
+    val rightFloat = elemT(right) == FloatType
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    finish(d, na, nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(arr: String, i: String, e: Expression): String =
+      if (elemT(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = ${get(a, i, left)};
+         |    final double $y = ${get(b, i, right)};
+         |    $d += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ${finishCode(d, na, nb)};
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+}
+
+/** Fused dot product: Σ aᵢ·bᵢ, left fold. */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override protected def finish(dot: Double, na: Double, nb: Double): Double = dot
+  override protected def finishCode(dot: String, na: String, nb: String): String = dot
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot"
+}
+
+/** Fused cosine similarity: dot / sqrt(norm2(a)·norm2(b)), one pass. */
+case class CosineSim(left: Expression, right: Expression) extends VectorFold {
+  override protected def finish(dot: Double, na: Double, nb: Double): Double =
+    dot / math.sqrt(na * nb)
+  override protected def finishCode(dot: String, na: String, nb: String): String =
+    s"$dot / java.lang.Math.sqrt($na * $nb)"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
+
+object VectorExprs {
+  /** Column surface: fused dot over raw float/double array columns. */
+  def dotF(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  /** Column surface: fused cosine over raw float/double array columns. */
+  def cosineF(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+}

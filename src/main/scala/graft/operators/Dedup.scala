@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Fns
+import graft.functions.{Fns, TextHashExprs}
 
 /** Deduplication pack — north-star LLM-pipeline operators (BASELINE.json;
   * SURVEY §7.2 step 9). The reference has no dedup; these are designed
@@ -30,15 +30,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Per-row MinHash signature columns m1..mK over word-w-gram shingles. */
+  /** Per-row MinHash signature columns m1..mK over word-w-gram shingles.
+    * One compiled pass per document ([[TextHashExprs.minhashSig]]) — no
+    * explode, no groupBy shuffle; signature cost scales with bytes scanned.
+    * Values are identical to the declarative explode→hashP→groupBy-min
+    * formulation (exact int64 arithmetic, same md5). */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
                        k: Int, w: Int): DataFrame = {
-    val hp = Fns.hashP(col("__s"))
-    val withShingles = df
-      .select(col(idCol), explode(Fns.wordShingles(col(textCol), w)).as("__s"))
-      .select(col(idCol), hp.as("__hp"))
-    val aggs = (1 to k).map(i => min(Fns.minhashTerm(i, col("__hp"))).as(s"m$i"))
-    withShingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = TextHashExprs.minhashSig(col(textCol), w, k)
+    val terms = (1 to k).map(i => element_at(col("__sig"), i).as(s"m$i"))
+    df.select(col(idCol) +: sig.as("__sig") +: Nil: _*)
+      .select(col(idCol) +: terms: _*)
   }
 
   /** LSH candidate pairs: B bands of R rows each; docs sharing any band
@@ -61,27 +63,21 @@ object Dedup {
   }
 
   /** 16-bit SimHash from word-w-gram shingle hashes: bit j set iff the
-    * (+1/-1) vote sum over shingles at bit j is positive. */
-  def simhash16(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(Fns.wordShingles(col(textCol), w)).as("__s"))
-      .select(col(idCol), Fns.hashP(col("__s")).as("__hp"))
-    val bitSums = (0 until 16).map { j =>
-      sum(when(shiftright(col("__hp"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bs$j")
-    }
-    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 16).map { j =>
-      when(col(s"bs$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col(idCol), sim.as("simhash"))
-  }
+    * (+1/-1) vote sum over shingles at bit j is positive. One compiled pass
+    * per document — no explode, no 16-way partial-agg shuffle. */
+  def simhash16(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
+    df.select(col(idCol), TextHashExprs.simhash16(col(textCol), w).as("simhash"))
 
   /** Exact word-w-gram Jaccard for given candidate pairs. `docs` must carry
-    * (idCol, textCol). Shuffles are keyed by shingle/doc — no n² compare. */
+    * (idCol, textCol). Shuffles are keyed by shingle/doc — no n² compare.
+    * Set elements are the int64 shingle HASHES, not the strings: the join and
+    * distinct shuffle 8-byte keys instead of ~5-word strings (the oracle
+    * hashes identically, so any collision affects both engines equally). */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame,
                       textCol: String, idCol: String, w: Int): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("did"), explode(Fns.wordShingles(col(textCol), w)).as("s"))
+      .select(col(idCol).as("did"),
+        explode(TextHashExprs.shingleHashes(col(textCol), w)).as("s"))
       .distinct()
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
     val inter = pairs

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Fns
+import graft.functions.{Fns, VectorExprs}
 
 /** Similarity search over embedding columns (north-star pack).
   *
@@ -32,12 +32,13 @@ object Similarity {
   def hyperplaneWeightSql(hi: Int, di: Int): String =
     s"(${Fns.hash60Sql(s"'hp${hi + 1}_${di + 1}'")} % 2001 - 1000)"
 
-  /** Sign-LSH bucket id from H hyperplanes (bit h set iff dot(w_h, v) > 0). */
+  /** Sign-LSH bucket id from H hyperplanes (bit h set iff dot(w_h, v) > 0).
+    * Dot products run through the fused codegen expression
+    * ([[VectorExprs.dotF]]) — same left-fold order as the HOF path. */
   def signBucket(vec: Column, weights: Array[Array[Long]]): Column = {
-    val vd = Fns.vecD(vec)
     val bits = weights.zipWithIndex.map { case (w, h) =>
       val wCol = array(w.map(x => lit(x.toDouble)): _*)
-      when(Fns.dot(wCol, vd) > 0, lit(1L << h)).otherwise(lit(0L))
+      when(VectorExprs.dotF(wCol, vec) > 0, lit(1L << h)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -56,7 +57,7 @@ object Similarity {
     val q = broadcast(query.select(col(vecCol).as("__qv")))
     corpus.crossJoin(q)
       .select(col(idCol),
-        Fns.cosine(Fns.vecD(col(vecCol)), Fns.vecD(col("__qv"))).as("cos"))
+        VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -68,6 +69,6 @@ object Similarity {
     val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Fns.cosine(Fns.vecD(col("va")), Fns.vecD(col("vb"))).as("cos"))
+        VectorExprs.cosineF(col("va"), col("vb")).as("cos"))
   }
 }

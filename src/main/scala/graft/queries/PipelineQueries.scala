@@ -96,7 +96,8 @@ object PipelineQueries {
     // ---- dedup: exact n-gram Jaccard on LSH candidates -------------------
     Q("q33_dedup_jaccard_verify",
       s"""$mhCte,
-         |dsh AS (SELECT DISTINCT did, s FROM (SELECT doc_id AS did, unnest(gs) AS s FROM sh)),
+         |dsh AS (SELECT DISTINCT did, ${Fns.hashPSql("s")} AS s
+         |        FROM (SELECT doc_id AS did, unnest(gs) AS s FROM sh)),
          |sizes AS (SELECT did, count(*) AS sz FROM dsh GROUP BY did),
          |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_int
          |  FROM pairs p JOIN dsh a ON p.id_a=a.did JOIN dsh b ON p.id_b=b.did AND a.s=b.s
@@ -148,7 +149,7 @@ object PipelineQueries {
       val q = broadcast(emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"), col("bkt").as("qb")))
       emb.crossJoin(q).filter(col("bkt") === col("qb"))
-        .select(col("vec_id"), Fns.cosine(Fns.vecD(col("embedding")), Fns.vecD(col("qv"))).as("cos"))
+        .select(col("vec_id"), graft.functions.VectorExprs.cosineF(col("embedding"), col("qv")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(5)
     },

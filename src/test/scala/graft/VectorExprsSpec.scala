@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fns, VectorExprs}
+
+/** The fused codegen vector expressions must be BIT-identical to the HOF
+  * compositions they replace (the DuckDB oracle reproduces the HOF fold
+  * order, so any drift here breaks the correctness gate). */
+class VectorExprsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("cosineF / dotF bit-identical to HOF fold over real float embeddings") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val a = e.select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("vec_id") % 17 === col("vid_b") % 17 && col("vec_id") < col("vid_b"))
+    val both = pairs.select(
+      VectorExprs.cosineF(col("va"), col("vb")).as("fused_cos"),
+      Fns.cosine(Fns.vecD(col("va")), Fns.vecD(col("vb"))).as("hof_cos"),
+      VectorExprs.dotF(col("va"), col("vb")).as("fused_dot"),
+      Fns.dot(Fns.vecD(col("va")), Fns.vecD(col("vb"))).as("hof_dot"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // exact comparison via raw bits — not a tolerance check
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("null contract matches HOF: null array, null element, length mismatch") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0F, 2.0F), array(3.0F, 4.0F)),
+        |  (CAST(NULL AS ARRAY<FLOAT>), array(3.0F, 4.0F)),
+        |  (array(1.0F, NULL), array(3.0F, 4.0F)),
+        |  (array(1.0F), array(3.0F, 4.0F)) AS t(a, b)""".stripMargin)
+    val out = df.select(
+      VectorExprs.cosineF(col("a"), col("b")).as("fused"),
+      Fns.cosine(Fns.vecD(col("a")), Fns.vecD(col("b"))).as("hof")).collect()
+    out.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1), r.toString) }
+    assert(!out(0).isNullAt(0) && out.drop(1).forall(_.isNullAt(0)))
+  }
+
+  test("interpreted eval path agrees with codegen (mixed double/float sides)") {
+    val w = array(lit(0.5), lit(-1.25), lit(2.0))
+    val df = spark.sql("SELECT array(1.0F, 2.0F, 3.0F) AS v")
+    val r = df.select(
+      VectorExprs.dotF(w, col("v")).as("d"),
+      Fns.dot(w, Fns.vecD(col("v"))).as("h")).first()
+    assert(r.getDouble(0) == 0.5 - 2.5 + 6.0)
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+           java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+  }
+}
