@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface over the `events` schema (SURVEY §2.9).
@@ -44,4 +45,61 @@ object Streams {
   /** JSON prop extraction (the `props` column is a JSON string). */
   def withJsonProp(events: DataFrame, key: String, as: String): DataFrame =
     events.withColumn(as, get_json_object(col("props"), s"$$.$key").cast("long"))
+
+  // ---- custom state: flatMapGroupsWithState sessionization ----------------
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap sessionization with CUSTOM state (`flatMapGroupsWithState`) — the
+    * escape hatch for session semantics `session_window` can't express
+    * (per-session emission on close, arbitrary state payloads). Gap semantics
+    * match `session_window`/q61: events ≤ gap apart merge; strictly > gap
+    * starts a new session. Sessions emit when a later event closes them or
+    * when the event-time watermark passes session_end + gap (state timeout),
+    * so state size is bounded by ACTIVE sessions only — the property that
+    * keeps this runnable on an unbounded 100-TB/day stream.
+    *
+    * Input must carry a watermark on `ts` when streaming. Works identically
+    * on a batch Dataset (all groups fold at once, no timeouts). */
+  def sessionizeWithState(events: Dataset[SessionEvent],
+                          gap: java.time.Duration = java.time.Duration.ofMinutes(30))
+                         : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gap.toMillis
+    val streaming = events.isStreaming // capture the Boolean, not the Dataset
+    def close(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val done = close(user, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  out += close(user, s)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (streaming) state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Physical-plan shape assertions — the 100-TB contract.
+  *
+  * Correctness tests prove WHAT each operator computes; these prove HOW:
+  * predicates reach the parquet scan, projections prune the read schema,
+  * small dimensions broadcast, top-k never global-sorts, and the compiled
+  * signature kernels keep the dedup scan shuffle-free. A regression here is
+  * invisible at sf0.01 and fatal at 100 TB.
+  */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan pushdown: filter reaches parquet, read schema pruned (q02 shape)") {
+    val plan = formatted(SparkEntry.queries("q02_scan_pushdown")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("LessThan(l_shipdate"), plan)
+    // projection pruning: read schema carries ONLY the 5 requested columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.split(",").length == 5, readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("flagship join broadcasts the dimension side (entry)") {
+    val plan = formatted(SparkEntry.entry(spark))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort (q13)") {
+    val plan = formatted(SparkEntry.queries("q13_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregation is partial+final (map-side combine) (q16 shape)") {
+    val plan = formatted(SparkEntry.queries("q16_agg_having")(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("minhash signature is a pure scan — zero exchanges before the signature") {
+    val sig = Dedup.minhashSignature(
+      Tables.load(spark, sf, "documents"), "text", "doc_id", k = 8, w = 5)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan) // no explode either
+  }
+
+  test("whole-stage codegen covers the fused vector kernel path (q34 shape)") {
+    val df = SparkEntry.queries("q34_dedup_embedding_cosine")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cosine"), plan)
+    // the projection computing the fused kernel sits inside a codegen span
+    val cosLine = plan.linesIterator.find(_.contains("graft_cosine")).get
+    assert(cosLine.contains("*("), cosLine)
+  }
+
+  test("layer views stay lazy: filter through a temp view still reaches the scan") {
+    val part = Tables.load(spark, sf, "part")
+    graft.operators.Layers.createLayer(spark, part, "plan_probe_layer",
+      where = Some("p_size > 25"))
+    val plan = formatted(spark.table("plan_probe_layer").select("p_partkey"))
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]"), plan)
+  }
+}

@@ -33,6 +33,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: emit on close + on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[Streams.SessionEvent]
+    val q = Streams.sessionizeWithState(events)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // batch 1: two events 10m apart = one open session for user 1
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // still open, nothing emitted
+      // batch 2: event 2h later closes the session inline (same microbatch path)
+      mem.addData((1L, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+      assert(closed(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+      assert(closed(0).getAs[Long]("n_events") == 2)
+      // batch 3: advance the watermark far past end+gap → timeout path emits
+      mem.addData((2L, ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 18:00:01")))
+      q.processAllAvailable()
+      val after = spark.table("sess_out").as[Streams.SessionOut].collect()
+      assert(after.exists(s => s.user_id == 1L && s.n_events == 1)) // timed-out 12:30 session
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState on a batch Dataset matches session_window counts") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // touch → same session
+      (1L, ts("2024-01-01 11:00:01")), // > gap → new session
+      (2L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "ts").as[Streams.SessionEvent]
+    // batch mode emits only CLOSED sessions (final open ones stay in "state");
+    // user 1's first session closes when the 11:00:01 event arrives
+    val out = Streams.sessionizeWithState(batch).collect()
+    assert(out.length == 1)
+    assert(out(0).user_id == 1L && out(0).n_events == 2 &&
+      out(0).session_end == ts("2024-01-01 10:30:00"))
+  }
+
   test("session window merges on touch, splits strictly after gap (q61 oracle uses >)") {
     import spark.implicits._
     val batch = Seq(
