@@ -57,6 +57,51 @@ object Multimodal {
     }
   }
 
+  /** STUB feature extraction: 16-dim "embedding" = normalized 16-bucket byte
+    * histogram. *** STUB: a real implementation decodes pixels/samples and
+    * runs a feature model here; schema (array<float>) and the
+    * partition-local batch loop are the real plumbing. *** */
+  def featureStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    if (bytes.isEmpty) return hist
+    var i = 0
+    while (i < bytes.length) {
+      hist(java.lang.Byte.toUnsignedInt(bytes(i)) >> 4) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < 16) { hist(j) /= bytes.length; j += 1 }
+    hist
+  }
+
+  /** Feature extraction over media rows: (id, media_bytes) → (id,
+    * features array<float>). Runs per-partition, no shuffle; output feeds the
+    * [[Similarity]] pack directly (same Array[Float] embedding shape). */
+  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bytesIdx = df.schema.fieldIndex("media_bytes")
+    val outSchema = StructType(Seq(
+      df.schema.fields(idIdx),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row(row.get(idIdx), featureStub(row.getAs[Array[Byte]](bytesIdx)).toSeq)
+      }
+    }
+  }
+
+  /** STUB resize: updates width/height metadata and truncates the payload to
+    * the implied byte budget. *** STUB: a real implementation re-encodes
+    * pixels; the metadata/schema contract is the real plumbing. *** */
+  def resize(df: DataFrame, newW: Int, newH: Int): DataFrame =
+    df.withColumn("media_meta", struct(
+        col("media_meta.media_type").as("media_type"),
+        lit(newW).as("width"), lit(newH).as("height"),
+        col("media_meta.n_frames").as("n_frames")))
+      .withColumn("media_bytes",
+        expr(s"substring(media_bytes, 1, greatest($newW * $newH / 256, 1))"))
+
   /** Frame sampling: decode each media row into frame rows (1 → N) with
     * partition-local batching. Output: (id, frame_idx, sample_byte, checksum). */
   def sampleFrames(df: DataFrame, idCol: String, everyN: Int = 1): DataFrame = {

@@ -62,6 +62,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch KNN join: top-k per query vector over the corpus. Queries
+    * broadcast (small side); scoring is one corpus scan; ranking shuffles
+    * once keyed by query id. For huge query sets, pre-bucket both sides with
+    * [[signBucket]] first and run this per bucket. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, qidCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol).asc)
+    corpus.crossJoin(q)
+      .select(col("qid"), col(idCol),
+        VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Intra-block pairwise cosine (IVF-style coarse blocking). */
   def blockedPairsCosine(df: DataFrame, vecCol: String, idCol: String,
                          blockCol: String): DataFrame = {

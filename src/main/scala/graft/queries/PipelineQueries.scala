@@ -154,6 +154,29 @@ object PipelineQueries {
         .limit(5)
     },
 
+    // ---- similarity: batch KNN join (top-k per query vector) --------------
+    Q("q42_knn_batch",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2)),
+         |s AS (SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos FROM embeddings e, q),
+         |r AS (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.knnJoin(emb, emb.filter(col("vec_id").isin(0, 1, 2)),
+          "embedding", "vec_id", "vec_id", k = 3)
+        .orderBy("qid", "rn")
+    },
+
+    // ---- events: exact distinct-count rollup ------------------------------
+    Q("q63_distinct_users",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // ---- text: token counting --------------------------------------------
     Q("q50_token_count",
       s"""SELECT doc_id,

@@ -46,6 +46,15 @@ object Streams {
   def withJsonProp(events: DataFrame, key: String, as: String): DataFrame =
     events.withColumn(as, get_json_object(col("props"), s"$$.$key").cast("long"))
 
+  /** Streaming exact dedup: drop duplicate keys with state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`) — the streaming face of
+    * [[graft.operators.Dedup.exact]]. State holds only keys younger than the
+    * watermark, so an unbounded stream runs in bounded memory. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- custom state: flatMapGroupsWithState sessionization ----------------
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

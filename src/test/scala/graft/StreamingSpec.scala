@@ -81,6 +81,24 @@ class StreamingSpec extends AnyFunSuite {
       out(0).session_end == ts("2024-01-01 10:30:00"))
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "ts")
+    val q = Streams.dedupStream(events, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+                  (2L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 10:03:00")), (3L, ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("session window merges on touch, splits strictly after gap (q61 oracle uses >)") {
     import spark.implicits._
     val batch = Seq(
