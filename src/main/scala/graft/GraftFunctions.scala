@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CosineSim, DotProduct, MinhashSig, ShingleHashes, SimHash16}
+import graft.operators.{PointWkb, WkbCoord}
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Two registration paths, same builders:
+  *  - [[GraftExtensions]] via `spark.sql.extensions=graft.GraftExtensions`
+  *    (cluster-wide, survives session cloning) — the
+  *    `SparkSessionExtensions.injectFunction` route;
+  *  - [[GraftFunctions.register]] on a live session (temp functions).
+  *
+  * After either, SQL users get the same kernels the DataFrame API uses:
+  * {{{
+  *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+  *   SELECT doc_id, graft_simhash16(text, 5) FROM documents
+  *   SELECT explode(graft_shingle_hashes(text, 5)) FROM documents
+  * }}}
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INTEGER literal, got $other")
+  }
+
+  /** (name, builder) for every SQL-exposed native expression. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> { es => CosineSim(es(0), es(1)) },
+    "graft_dot" -> { es => DotProduct(es(0), es(1)) },
+    "graft_minhash_sig" -> { es =>
+      MinhashSig(es(0), intLit(es(1), "graft_minhash_sig", "w"),
+        intLit(es(2), "graft_minhash_sig", "k")) },
+    "graft_simhash16" -> { es =>
+      SimHash16(es(0), intLit(es(1), "graft_simhash16", "w")) },
+    "graft_shingle_hashes" -> { es =>
+      ShingleHashes(es(0), intLit(es(1), "graft_shingle_hashes", "w")) },
+    "graft_point_wkb" -> { es => PointWkb(es(0), es(1)) },
+    "graft_wkb_x" -> { es => WkbCoord(es(0), isX = true) },
+    "graft_wkb_y" -> { es => WkbCoord(es(0), isX = false) })
+
+  /** Register everything as temp functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, b) => Bridge.registerTempFunction(spark, name, b) }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftFunctions", name),
+        builder))
+    }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextHashExprs, VectorExprs}
+
+/** SQL registration of the native kernels: the same expressions reachable
+  * from `spark.sql(...)` as from the Column API, with identical results. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("SQL functions match the Column API bit-for-bit") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, sf, "documents").limit(20).createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash16(text, 5) AS sh,
+        |       graft_minhash_sig(text, 5, 8)[0] AS m1,
+        |       size(graft_shingle_hashes(text, 5)) AS nsh
+        |FROM gf_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = spark.table("gf_docs").select(
+        col("doc_id"),
+        TextHashExprs.simhash16(col("text"), 5).as("sh"),
+        element_at(TextHashExprs.minhashSig(col("text"), 5, 8), 1).as("m1"),
+        size(TextHashExprs.shingleHashes(col("text"), 5)).as("nsh"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("SQL cosine/dot and WKB round-trip") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |       graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_wkb_x(graft_point_wkb(1.5D, -2.25D)) AS x""".stripMargin).first()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0 && r.getDouble(2) == 1.5)
+  }
+
+  test("non-literal w/k arguments are rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash16('a b', CAST(rand()*5 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+  }
+}
