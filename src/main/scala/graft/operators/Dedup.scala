@@ -74,11 +74,20 @@ object Dedup {
     * distinct shuffle 8-byte keys instead of ~5-word strings (the oracle
     * hashes identically, so any collision affects both engines equally). */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame,
-                      textCol: String, idCol: String, w: Int): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("did"),
-        explode(TextHashExprs.shingleHashes(col(textCol), w)).as("s"))
-      .distinct()
+                      textCol: String, idCol: String, w: Int): DataFrame =
+    jaccardOnShingles(pairs,
+      docs.select(col(idCol).as("did"),
+        explode(TextHashExprs.shingleHashes(col(textCol), w)).as("s")))
+
+  /** Char n-gram variant: same pipeline over character shingle hashes. */
+  def charJaccardForPairs(pairs: DataFrame, docs: DataFrame,
+                          textCol: String, idCol: String, n: Int): DataFrame =
+    jaccardOnShingles(pairs,
+      docs.select(col(idCol).as("did"),
+        explode(TextHashExprs.charShingleHashes(col(textCol), n)).as("s")))
+
+  private def jaccardOnShingles(pairs: DataFrame, shingled: DataFrame): DataFrame = {
+    val sh = shingled.distinct()
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.as("sa"), col("id_a") === col("sa.did"))

@@ -42,26 +42,38 @@ object Sinks {
       lit(srid).cast(IntegerType).as("srid")))
 
   /** S4 `pandas_to_arc`: coerce (write-side type rules) → optional XY→point →
-    * write parquet. `overwrite=false` reproduces the reference's default
-    * error-on-existing (`arcpy` overwriteOutput, C2 `TempOverwrite`). */
+    * write. `overwrite=false` reproduces the reference's default
+    * error-on-existing (`arcpy` overwriteOutput, C2 `TempOverwrite`).
+    * `format`: parquet (default; the only one carrying nested structs and
+    * column stats), csv (header written), or json — mirroring the
+    * reference's folder-workspace formats (SURVEY §2.1 note). */
   def writeTable(df: DataFrame, dir: String, name: String,
                  overwrite: Boolean = true,
                  xy: Option[(String, String, Int)] = None,
-                 coerce: Boolean = true): String = {
+                 coerce: Boolean = true,
+                 format: String = "parquet"): String = {
     val coerced = if (coerce) Compat.downcastLongs(df) else df
     val out = xy match {
       case Some((x, y, srid)) => withPointGeom(coerced, x, y, srid)
       case None => coerced
     }
-    val path = s"$dir/$name.parquet"
-    out.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
-      .parquet(path)
+    val path = s"$dir/$name.$format"
+    val w = out.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+    (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
     path
   }
 
-  /** S4 `get_cursor` readback: scan what was just written. */
-  def readBack(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** S4 `get_cursor` readback: scan what was just written. Schema is
+    * self-describing for parquet; pass one for csv/json (schema-on-read
+    * formats infer strings otherwise). */
+  def readBack(spark: SparkSession, dir: String, name: String,
+               format: String = "parquet",
+               schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format(format)
+    val r2 = schema.map(r.schema).getOrElse(r)
+    (if (format == "csv") r2.option("header", "true") else r2)
+      .load(s"$dir/$name.$format")
+  }
 
   /** S9 `pandas_to_features`: write the attribute df to scratch, equi-join it
     * to the feature table, materialize the joined result, read it back. The

@@ -114,6 +114,28 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- dedup: char 3-gram Jaccard on the same LSH candidates ------------
+    Q("q35_char_jaccard",
+      s"""$mhCte,
+         |csh AS (SELECT DISTINCT did, ${Fns.hashPSql("g")} AS s
+         |        FROM (SELECT doc_id AS did, unnest(${Fns.charShinglesSql("text", 3)}) AS g
+         |              FROM documents)),
+         |sizes AS (SELECT did, count(*) AS sz FROM csh GROUP BY did),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_int
+         |  FROM pairs p JOIN csh a ON p.id_a=a.did JOIN csh b ON p.id_b=b.did AND a.s=b.s
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT p.id_a AS id_a, p.id_b AS id_b,
+         |  CAST(COALESCE(i.n_int, 0) AS DOUBLE) / CAST(za.sz + zb.sz - COALESCE(i.n_int, 0) AS DOUBLE) AS jaccard
+         |FROM pairs p LEFT JOIN inter i ON p.id_a=i.id_a AND p.id_b=i.id_b
+         |JOIN sizes za ON p.id_a=za.did JOIN sizes zb ON p.id_b=zb.did
+         |ORDER BY p.id_a, p.id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", MinhashK, ShingleW)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand)
+      Dedup.charJaccardForPairs(pairs, docs, "text", "doc_id", n = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- dedup: embedding cosine near-dup (IVF-style label blocking) ------
     Q("q34_dedup_embedding_cosine",
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

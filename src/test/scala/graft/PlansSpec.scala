@@ -65,6 +65,25 @@ class PlansSpec extends AnyFunSuite {
     assert(cosLine.contains("*("), cosLine)
   }
 
+  test("bucketed join on co-located tables needs no exchange") {
+    import graft.operators.Bucketing
+    Bucketing.writeBucketed(
+      Tables.load(spark, sf, "orders"), "b_orders", "o_custkey", 4)
+    Bucketing.writeBucketed(
+      Tables.load(spark, sf, "customer"), "b_customer", "c_custkey", 4)
+    val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_customer",
+      "o_custkey", "c_custkey")
+    // disable broadcast so the bucket-vs-shuffle choice is what's tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan) // co-located: zero shuffles
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("layer views stay lazy: filter through a temp view still reaches the scan") {
     val part = Tables.load(spark, sf, "part")
     graft.operators.Layers.createLayer(spark, part, "plan_probe_layer",

@@ -60,6 +60,21 @@ class SinksSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - expect) < 1e-12)
   }
 
+  test("CSV and JSON round-trip with explicit schema (folder-workspace formats)") {
+    Session.withScratch { s =>
+      val df = Tables.load(spark, sf, "nation")
+      Sinks.writeTable(df, s.dir, "n_csv", format = "csv", coerce = false)
+      Sinks.writeTable(df, s.dir, "n_json", format = "json", coerce = false)
+      val csv = Sinks.readBack(spark, s.dir, "n_csv", "csv", Some(df.schema))
+      val json = Sinks.readBack(spark, s.dir, "n_json", "json", Some(df.schema))
+      assert(csv.schema == df.schema)
+      assert(csv.orderBy("n_nationkey").collect().toSeq ==
+             df.orderBy("n_nationkey").collect().toSeq)
+      assert(json.orderBy("n_nationkey").collect().toSeq ==
+             df.orderBy("n_nationkey").collect().toSeq)
+    }
+  }
+
   test("S5 field metadata rides through the parquet sink (arc_utils.py:1104-1112)") {
     Session.withScratch { s =>
       import org.apache.spark.sql.types.MetadataBuilder
