@@ -42,6 +42,10 @@ object GraftFunctions {
       SimHash16(es(0), intLit(es(1), "graft_simhash16", "w")) },
     "graft_shingle_hashes" -> { es =>
       ShingleHashes(es(0), intLit(es(1), "graft_shingle_hashes", "w")) },
+    "graft_char_shingle_hashes" -> { es =>
+      graft.functions.CharShingleHashes(es(0),
+        intLit(es(1), "graft_char_shingle_hashes", "n")) },
+    "graft_split_rect" -> { es => graft.operators.SplitRectGenerator(es) },
     "graft_point_wkb" -> { es => PointWkb(es(0), es(1)) },
     "graft_wkb_x" -> { es => WkbCoord(es(0), isX = true) },
     "graft_wkb_y" -> { es => WkbCoord(es(0), isX = false) })

@@ -199,6 +199,17 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- events: HLL++ sketch distinct (approx — engines' sketches differ,
+    // so the driver records the rows-only check; the error bound vs exact is
+    // pinned in PipelineSpec) ------------------------------------------------
+    Q.noOracle("q64_approx_distinct_sketch") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // ---- text: token counting --------------------------------------------
     Q("q50_token_count",
       s"""SELECT doc_id,

@@ -36,6 +36,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0 && r.getDouble(2) == 1.5)
   }
 
+  test("graft_split_rect generator: SQL LATERAL VIEW matches the flatMap operator") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, sf, "part").limit(50).select(
+        col("p_partkey"), lit(0.0).as("xmin"), lit(0.0).as("ymin"),
+        col("p_size").cast("double").as("xmax"),
+        (col("p_retailprice") / 100.0).as("ymax"))
+      .withColumn("acres", (col("xmax") - col("xmin")) * (col("ymax") - col("ymin")))
+      .createOrReplaceTempView("gf_polys")
+    val viaSql = spark.sql(
+      """SELECT p_partkey AS orig_fid, t.split_seq, t.xmin, t.xmax, t.area
+        |FROM gf_polys
+        |LATERAL VIEW graft_split_rect(p_partkey, xmin, ymin, xmax, ymax, acres, 100.0D) t
+        |ORDER BY orig_fid, split_seq""".stripMargin).collect()
+    val viaDf = graft.operators.Tessellation.splitEqualArea(
+        spark.table("gf_polys").select(
+          col("p_partkey").as("OBJECTID"),
+          struct(col("xmin"), col("ymin"), col("xmax"), col("ymax")).as("geom"),
+          col("acres")),
+        maxAcres = 100.0)
+      .select(col("orig_fid"), col("split_seq"),
+        col("geom.xmin"), col("geom.xmax"), col("geom.area"))
+      .orderBy("orig_fid", "split_seq").collect()
+    assert(viaSql.length == viaDf.length && viaSql.nonEmpty)
+    viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("non-literal w/k arguments are rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -90,6 +90,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub("abc".getBytes, 2) == Multimodal.decodeStub("abc".getBytes, 2))
   }
 
+  test("approx_count_distinct sketch lands within its configured error bound") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val rows = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+           countDistinct(col("user_id")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e).toDouble / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("hash60 local mirrors the Column expression") {
     val fromCol = spark.range(1).select(Fns.hash60(lit("hp1_1"))).head().getLong(0)
     assert(fromCol == Fns.hash60Local("hp1_1"))
