@@ -84,6 +84,22 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned layout: partition pruning reaches the scan (PartitionFilters)") {
+    Session.withScratch { s =>
+      Tables.load(spark, sf, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.partitionBy("o_month").parquet(s"${s.dir}/orders_p")
+      val df = spark.read.parquet(s"${s.dir}/orders_p")
+        .filter(col("o_month") === "1995-03")
+        .select("o_orderkey")
+      val plan = formatted(df)
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(pf.contains("o_month"), plan)
+      // the partition predicate must NOT appear as a data filter
+      assert(!plan.contains("PushedFilters: [IsNotNull(o_month)"), plan)
+    }
+  }
+
   test("layer views stay lazy: filter through a temp view still reaches the scan") {
     val part = Tables.load(spark, sf, "part")
     graft.operators.Layers.createLayer(spark, part, "plan_probe_layer",

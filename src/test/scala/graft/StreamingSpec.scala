@@ -81,6 +81,34 @@ class StreamingSpec extends AnyFunSuite {
       out(0).session_end == ts("2024-01-01 10:30:00"))
   }
 
+  test("file-source stream over the real events fixture matches the batch q60 plan") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = Tables.load(spark, sf, "events")
+    val expected = Streams.hourlyByType(batch).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // file stream needs a directory: stage the fixture file, then apply the
+    // same ns→µs conversion and the same plan builder as the batch path
+    Session.withScratch { s =>
+      val dir = java.nio.file.Paths.get(s.dir, "events_stream")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+      val raw = spark.readStream
+        .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+        .parquet(dir.toString)
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val q = Streams.hourlyByTypeStream(raw, "10 years")
+        .writeStream.format("memory").queryName("file_stream_out")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("file_stream_out").collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+        assert(got == expected)
+      } finally q.stop()
+    }
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
