@@ -276,7 +276,7 @@ object PipelineQueries {
     // ---- events: tumbling window agg --------------------------------------
     Q("q60_hourly_window",
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
-        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        |  COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
       Streams.hourlyByType(Tables.load(s, dir, "events"))

@@ -15,19 +15,27 @@ object RelationalQueries {
 
   /** Exact decimal accumulator for a double SUM, surfaced back as double.
     * Sum order across partitions stops mattering, so Spark's partial aggs and
-    * DuckDB's single-threaded sum produce bit-identical results. */
+    * DuckDB's single-threaded sum produce bit-identical results.
+    *
+    * The decimal result goes to double THROUGH A STRING: decimal→text is
+    * exact in both engines and text→double is correctly rounded in both
+    * (Java `parseDouble`, DuckDB fast_float). A direct decimal→double cast
+    * diverges once the unscaled value exceeds 2^53 (DuckDB computes
+    * int128/10^s in floating point — two roundings), and decimal rescaling
+    * can't help (DuckDB truncates where Spark rounds HALF_UP). Oracles carry
+    * the same `CAST(CAST(sum AS VARCHAR) AS DOUBLE)` two-step. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(DecimalType(27, scale))).cast("double")
+    sum(c.cast(DecimalType(27, scale))).cast("string").cast("double")
 
   val all: Seq[Q] = Seq(
 
     // ---- A-ops / full agg surface ------------------------------------
     Q("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,10))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -230,7 +238,7 @@ object RelationalQueries {
     // ---- group-by + having --------------------------------------------------------
     Q("q16_agg_having",
       """SELECT o_custkey, COUNT(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
         |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders")
@@ -273,7 +281,7 @@ object RelationalQueries {
     // ---- grouping sets: ROLLUP ---------------------------------------------
     Q("q19_rollup",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -316,7 +324,7 @@ object RelationalQueries {
         |       CAST(spend AS DOUBLE) AS spend
         |FROM customer JOIN (
         |  SELECT o_custkey, COUNT(*) AS n_orders,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend
+        |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS spend
         |  FROM orders GROUP BY o_custkey) b ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val scratch = new Session.Scratch

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Streams {
 
+  // Exact decimal accumulator surfaced as double via a string cast — exact
+  // text, correctly-rounded parse in both engines (RelationalQueries.dsum).
   private def dsum(c: Column, scale: Int) =
-    sum(c.cast(DecimalType(27, scale))).cast("double")
+    sum(c.cast(DecimalType(27, scale))).cast("string").cast("double")
 
   /** Tumbling-window aggregate per event type. Batch and streaming share this
     * plan shape; on a stream add `withWatermark("ts", ...)` upstream. */
