@@ -78,6 +78,53 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  // ---- IVF (inverted-file) ANN --------------------------------------------
+
+  /** IVF index build: assign every vector to its nearest pivot (argmax
+    * cosine; ties → smallest pivot id). Pivots are a small fixed set (e.g.
+    * the C lowest-id vectors, or sampled) — broadcast; the assignment is ONE
+    * corpus scan computing C fused cosines per row plus a per-row argmax
+    * (window over the row's C candidates). At scale, write the result
+    * partitioned by `centroid_id` so searches prune to probed partitions:
+    * `ivfAssign(...).write.partitionBy("centroid_id")`.
+    *
+    * Pivot-based assignment (no Lloyd iterations) keeps the index
+    * deterministic and oracle-exact; production can refine pivots offline
+    * and re-assign with the same operator. */
+  def ivfAssign(corpus: DataFrame, pivots: DataFrame,
+                vecCol: String, idCol: String, pivotIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = broadcast(pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cid").asc)
+    corpus.crossJoin(p)
+      .select(col(idCol), col(vecCol), col("cid"),
+        VectorExprs.cosineF(col(vecCol), col("__cv")).as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("centroid_id"))
+  }
+
+  /** IVF search: rank pivots for the query, probe the best `nprobe`
+    * inverted lists, exact top-k within the candidates. Scans
+    * |corpus|·nprobe/C of the data instead of all of it — the IVF scale
+    * trade: recall bounded by probe coverage, cost by nprobe. */
+  def ivfSearch(index: DataFrame, pivots: DataFrame, query: DataFrame,
+                vecCol: String, idCol: String, pivotIdCol: String,
+                k: Int, nprobe: Int): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("__qv")))
+    val probes = broadcast(
+      pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv")).crossJoin(q)
+        .select(col("cid"), VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+        .orderBy(col("__pcos").desc, col("cid").asc)
+        .limit(nprobe)
+        .select("cid"))
+    index.join(probes, index("centroid_id") === probes("cid"))
+      .crossJoin(q)
+      .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Intra-block pairwise cosine (IVF-style coarse blocking). */
   def blockedPairsCosine(df: DataFrame, vecCol: String, idCol: String,
                          blockCol: String): DataFrame = {

@@ -199,6 +199,29 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- similarity: IVF index build + probed search ----------------------
+    Q("q43_ivf_search", {
+      val IvfC = 8; val NProbe = 2; val K = 5
+      s"""WITH piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IvfC),
+         |scored AS (SELECT e.vec_id, e.embedding, p.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
+         |  FROM embeddings e, piv p),
+         |asg AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT cid FROM piv, q
+         |  ORDER BY ${cosSql("cv", "qv")} DESC, cid LIMIT $NProbe)
+         |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS cos
+         |FROM asg a JOIN probes pr ON a.cid = pr.cid, q
+         |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < 8)
+      val index = Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id")
+      Similarity.ivfSearch(index, pivots, emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", "vec_id", k = 5, nprobe = 2)
+    },
+
     // ---- events: HLL++ sketch distinct (approx — engines' sketches differ,
     // so the driver records the rows-only check; the error bound vs exact is
     // pinned in PipelineSpec) ------------------------------------------------

@@ -90,6 +90,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub("abc".getBytes, 2) == Multimodal.decodeStub("abc".getBytes, 2))
   }
 
+  test("IVF: every vector assigned to exactly one list; probed search finds the query itself") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pivots = emb.filter(col("vec_id") < 8)
+    val index = Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id")
+    assert(index.count() == emb.count()) // total assignment, no dup/drop
+    assert(index.select("centroid_id").distinct().count() <= 8)
+    // a pivot must be assigned to itself (cos=1 with itself, ties → own id among equals)
+    val self = index.filter(col("vec_id") === 3).select("centroid_id").first().getLong(0)
+    assert(self == 3L)
+    val hits = Similarity.ivfSearch(index, pivots, emb.filter(col("vec_id") === 0),
+      "embedding", "vec_id", "vec_id", k = 3, nprobe = 2).collect()
+    assert(hits.head.getLong(0) == 0L && math.abs(hits.head.getDouble(1) - 1.0) < 1e-12)
+    // probed candidates ⊆ brute force: every probed hit's cosine ≤ brute-force best
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "embedding", "vec_id", 3).collect()
+    assert(hits.head.getDouble(1) <= bf.head.getDouble(1) + 1e-12)
+  }
+
   test("approx_count_distinct sketch lands within its configured error bound") {
     val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
     val rows = ev.groupBy(col("event_type"))
