@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join materializer — the reference's `pandas_to_features` join core
@@ -40,5 +41,43 @@ object Joins {
     // short names of each table); drop the build key if it duplicates a
     // probe-side name, else keep both.
     if (attrKey == featureKey) joined.drop(build(attrKey)) else joined
+  }
+
+  /** AS-OF join (beyond the reference): for every left row, the single right
+    * row with the same key and the greatest right-time ≤ left-time (inclusive
+    * match); left rows with no prior right row keep nulls.
+    *
+    * Implementation is the scalable union-and-carry-forward form: tag both
+    * sides, union, one window per key ordered by (time, tag) carrying the
+    * last non-null right payload forward. Exactly ONE shuffle (by key) and a
+    * per-key sort — no range cross-product, no per-row probe; at 100 TB this
+    * is the only as-of shape that doesn't explode. Right rows must be unique
+    * per (key, time) — pre-aggregate duplicates or the carried row is
+    * nondeterministic.
+    *
+    * Matches DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`
+    * (the oracle for q24).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // right rows sort BEFORE left rows at equal (key, time) → inclusive (≥)
+    val l = left
+      .withColumn("__tag", lit(1))
+      .select(Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), col("__tag")) ++
+        leftCols.map(col) ++ rightCols.map(c => lit(null).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__tag", lit(0))
+      .select(Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), col("__tag")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(Seq(col("__tag")) ++ leftCols.map(col) ++
+        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+    carried.filter(col("__tag") === 1).drop("__tag")
   }
 }

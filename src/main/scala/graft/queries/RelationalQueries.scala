@@ -278,6 +278,26 @@ object RelationalQueries {
         .orderBy("p_partkey")
     },
 
+    // ---- as-of join (beyond the reference; DuckDB ASOF JOIN oracle) --------
+    Q("q24_asof_join",
+      """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey,
+        |             max(o_totalprice) AS max_price_day
+        |           FROM orders GROUP BY o_custkey, o_orderdate),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, r.last_orderkey, r.max_price_day
+        |FROM e ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val events = Tables.load(s, dir, "events").select("event_id", "user_id", "ts")
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"),
+             max(col("o_totalprice")).as("max_price_day"))
+      Joins.asOfJoin(events, daily, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("last_orderkey", "max_price_day"))
+        .select("event_id", "user_id", "last_orderkey", "max_price_day")
+        .orderBy("event_id")
+    },
+
     // ---- grouping sets: ROLLUP ---------------------------------------------
     Q("q19_rollup",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
