@@ -80,4 +80,28 @@ object Joins {
         rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
     carried.filter(col("__tag") === 1).drop("__tag")
   }
+
+  /** Binned RANGE join (beyond the reference): pair every point row with
+    * every interval row whose [lo, hi] contains the point.
+    *
+    * A naive theta-join is a cross product (Spark falls back to
+    * BroadcastNestedLoop/Cartesian — quadratic). The scale-safe shape bins
+    * the value domain: each interval explodes to the bins it covers
+    * (`(hi-lo)/binWidth + 1` rows), each point maps to one bin, the join is
+    * a plain EQUI-join on bin, and the exact `between` filter runs after.
+    * Cost is |intervals|·spanBins + |points| shuffled by bin — linear, AQE
+    * handles hot bins. Pick binWidth ≈ the typical interval span so the
+    * blow-up factor stays ~2×.
+    */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+                       floor(col(hiCol) / binWidth).cast("long"))))
+    val pt = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+    pt.join(iv, Seq("__bin"))
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("__bin")
+  }
 }

@@ -298,6 +298,23 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ---- range join (binned; DuckDB IEJoin oracle) -------------------------
+    Q("q25_range_join",
+      """WITH s AS (SELECT o_orderkey AS skey, o_totalprice - 5000 AS lo, o_totalprice + 5000 AS hi
+        |           FROM orders WHERE o_orderkey % 150 = 0)
+        |SELECT s.skey, o.o_orderkey
+        |FROM s JOIN orders o ON o.o_totalprice BETWEEN s.lo AND s.hi
+        |ORDER BY skey, o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val samples = orders.filter(col("o_orderkey") % 150 === 0)
+        .select(col("o_orderkey").as("skey"),
+          (col("o_totalprice") - 5000).as("lo"), (col("o_totalprice") + 5000).as("hi"))
+      Joins.rangeJoinBinned(orders.select("o_orderkey", "o_totalprice"), "o_totalprice",
+          samples, "lo", "hi", binWidth = 10000.0)
+        .select("skey", "o_orderkey")
+        .orderBy("skey", "o_orderkey")
+    },
+
     // ---- grouping sets: ROLLUP ---------------------------------------------
     Q("q19_rollup",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

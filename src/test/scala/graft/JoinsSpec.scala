@@ -32,6 +32,21 @@ class JoinsSpec extends AnyFunSuite {
     assert(out("e3") == None)
   }
 
+  test("rangeJoinBinned matches a direct theta-join; no cartesian in the plan") {
+    val points = Seq((1, 5.0), (2, 15.0), (3, 25.0), (4, -3.0), (5, 10.0))
+      .toDF("pid", "v")
+    val ivs = Seq((10, 0.0, 10.0), (20, 9.0, 26.0), (30, -5.0, -1.0))
+      .toDF("iid", "lo", "hi")
+    val binned = Joins.rangeJoinBinned(points, "v", ivs, "lo", "hi", binWidth = 7.0)
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val direct = points.join(ivs, col("v").between(col("lo"), col("hi")))
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(binned == direct && direct.nonEmpty)
+    val plan = Joins.rangeJoinBinned(points, "v", ivs, "lo", "hi", 7.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("asOfJoin plan: exactly one exchange (keyed), no cross-product") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "name")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1)).toDF("k", "t", "v")
