@@ -30,6 +30,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Corpus-level exact dedup: returns the FULL surviving rows (lowest id
+    * per content digest) — the `dropDuplicates`-shaped face of [[exact]].
+    * One shuffle keyed by the 16-byte digest; full text never compared. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Per-row MinHash signature columns m1..mK over word-w-gram shingles.
     * One compiled pass per document ([[TextHashExprs.minhashSig]]) — no
     * explode, no groupBy shuffle; signature cost scales with bytes scanned.

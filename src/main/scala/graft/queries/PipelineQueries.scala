@@ -70,6 +70,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- dedup: drop duplicates, keep lowest-id survivor (full rows) ------
+    Q("q36_dedup_drop",
+      """WITH d AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, lang FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dropExactDuplicates(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ---- dedup: MinHash + LSH candidate pairs ----------------------------
     Q("q31_dedup_minhash_lsh",
       s"""$mhCte
@@ -304,6 +315,19 @@ object PipelineQueries {
         |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
       Streams.hourlyByType(Tables.load(s, dir, "events"))
         .orderBy("window_start", "event_type")
+    },
+
+    // ---- events: sliding window agg (1h window, 30m slide → 2 windows/event)
+    Q("q65_sliding_window",
+      """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS tb FROM events),
+        |w AS (SELECT unnest([tb - INTERVAL '30 minutes', tb]) AS window_start FROM e)
+        |SELECT window_start, COUNT(*) AS n FROM w
+        |GROUP BY window_start ORDER BY window_start""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("n"))
+        .orderBy("window_start")
     },
 
     // ---- events: gap sessionization ---------------------------------------
