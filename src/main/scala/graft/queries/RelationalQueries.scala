@@ -327,6 +327,24 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
     },
 
+    // ---- pivot (wide conditional aggregation) -------------------------------
+    Q("q26_pivot",
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_F,
+        |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_O,
+        |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(27,2)) END) AS VARCHAR) AS DOUBLE) AS qty_F,
+        |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(27,2)) END) AS VARCHAR) AS DOUBLE) AS qty_O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      def cnt(v: String) = count(when(col("l_linestatus") === v, 1)).as(s"n_$v")
+      def qty(v: String) =
+        sum(when(col("l_linestatus") === v, col("l_quantity").cast(DecimalType(27, 2))))
+          .cast("string").cast("double").as(s"qty_$v")
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("F"), cnt("O"), qty("F"), qty("O"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- S8 copy_feats CTAS: rename+filter, materialize, read back ----------
     Q("q21_ctas_copy",
       """SELECT p_partkey AS pid, p_brand AS brand, p_size AS psize
