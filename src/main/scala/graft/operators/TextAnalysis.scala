@@ -76,6 +76,23 @@ object TextAnalysis {
       .withColumn("stop_ratio", stops / nWords)
   }
 
+  // ---- corpus term statistics (TF / DF) ----------------------------------
+  /** Per-(doc, term) term frequency joined with corpus document frequency —
+    * the TF-IDF building block, kept in exact integers (a cross-engine `ln`
+    * is not bit-reproducible; downstream applies its own idf formula).
+    *
+    * Scale: two shuffles, both keyed by term-shaped keys — (doc, term)
+    * partial-agg for tf (map-side combine applies), term for df. The join
+    * back broadcasts when the vocabulary is small, shuffles by term when
+    * not. Stop-word-heavy vocabularies skew the df key → salt or filter
+    * stop words first. */
+  def termStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term").select(col(idCol), col("term"), col("tf"), col("df"))
+  }
+
   // ---- fingerprint -------------------------------------------------------
   val FpMod: Long = 1000000007L
 

@@ -307,6 +307,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- text: TF/DF corpus statistics (TF-IDF building block) ------------
+    Q("q54_tf_df",
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rn
+        |      FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df FROM r WHERE rn <= 3 AND doc_id < 50
+        |ORDER BY doc_id, tf DESC, term""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val stats = TextAnalysis.termStats(Tables.load(s, dir, "documents"), "text", "doc_id")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
+      stats.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("doc_id") < 50)
+        .select("doc_id", "term", "tf", "df")
+        .orderBy(col("doc_id"), col("tf").desc, col("term"))
+    },
+
+    // ---- composite pipeline: dedup → quality gate → lang distribution ------
+    Q("q80_pipeline_composite",
+      """WITH surv AS (SELECT doc_id, text, lang,
+        |                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |              FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |          w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+        |          / CAST(GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1) AS DOUBLE) AS stop_ratio
+        |      FROM surv WHERE rn = 1)
+        |SELECT lang, COUNT(*) AS n_docs
+        |FROM q WHERE stop_ratio >= 0.05
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val surv = Dedup.dropExactDuplicates(Tables.load(s, dir, "documents"), "text", "doc_id")
+      val ws = TextAnalysis.words(col("text"))
+      val stopRatio = TextAnalysis.stopwordHits(ws, TextAnalysis.Stopwords.head._2)
+        .cast("double") / greatest(size(ws), lit(1)).cast("double")
+      surv.withColumn("stop_ratio", stopRatio)
+        .filter(col("stop_ratio") >= 0.05)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
     // ---- events: tumbling window agg --------------------------------------
     Q("q60_hourly_window",
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
