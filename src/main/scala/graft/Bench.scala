@@ -31,6 +31,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Session.clearScratch() // C5 janitor: sink queries leave scratch dirs
     spark.stop()
   }
 }

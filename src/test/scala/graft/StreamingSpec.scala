@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
 
@@ -125,6 +126,45 @@ class StreamingSpec extends AnyFunSuite {
       val out = spark.table("dedup_out").collect()
       assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
+  }
+
+  test("stream-static join enriches events with a dimension (broadcast per microbatch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.load(spark, "/root/testdata/sf0.001", "nation") // static side
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "nation_key")
+    val q = stream.join(dim, col("nation_key") === col("n_nationkey"))
+      .select("event_id", "n_name")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData((1L, 0L), (2L, 3L), (3L, 999L)) // 999 has no match → dropped (inner)
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").orderBy("event_id").collect()
+      assert(out.length == 2 && out(0).getString(1).nonEmpty)
+    } finally q.stop()
+  }
+
+  test("foreachBatch routes a stream through the batch sink path (Sinks.writeTable)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Session.withScratch { s =>
+      val mem = MemoryStream[(Long, Double)]
+      val q = mem.toDF().toDF("id", "v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.operators.Sinks.writeTable(batch, s.dir, s"batch_$batchId")
+          ()
+        }
+        .start()
+      try {
+        mem.addData((1L, 1.5), (2L, -2.0))
+        q.processAllAvailable()
+        val back = graft.operators.Sinks.readBack(spark, s.dir, "batch_0")
+        assert(back.count() == 2)
+        // write-side coercion applied on the streaming path too (int64→int32)
+        assert(back.schema("id").dataType.typeName == "integer")
+      } finally q.stop()
+    }
   }
 
   test("session window merges on touch, splits strictly after gap (q61 oracle uses >)") {
