@@ -133,6 +133,24 @@ object Compat {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Index semantics (§1.3, `arc_utils.py:629-632,733-736,770-772`): a
+    * pandas index is any column, sorted, NOT required unique; round-trips as
+    * an ordinary column (`keep_index`). Spark has no index — this is the
+    * explicit mapping: sort by the column and mark it in metadata so a sink
+    * can record which column was "the index". Purely presentational; no
+    * effect on any operator semantics. */
+  val IndexKey = "graft.index"
+  def withIndex(df: DataFrame, indexCol: String): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.name == indexCol) {
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putBoolean(IndexKey, true).build()
+        col(f.name).as(f.name, md)
+      } else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*).orderBy(col(indexCol))
+  }
+
   /** Case-insensitive column resolution where the OUTPUT takes the caller's
     * spelling, not the data's (`arc_utils.py:1036-1049`). Unknown names are an
     * error (the reference raises via polars select). */

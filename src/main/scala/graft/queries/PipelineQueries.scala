@@ -395,6 +395,18 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // ---- multimodal: feature extraction → vector kernel (mapPartitions is
+    // not SQL-expressible → driver records the rows-only check; the feature
+    // values are pinned by SaltingGeomSpec) ----------------------------------
+    Q.noOracle("q71_multimodal_features") { (s, dir) =>
+      val media = Multimodal.asMedia(Tables.load(s, dir, "documents"), "text", "image")
+      val feats = Multimodal.extractFeatures(
+        media.select("doc_id", "media_bytes"), "doc_id")
+      feats.select(col("doc_id"),
+          graft.functions.VectorExprs.dotF(col("features"), col("features")).as("feat_norm2"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal: binary plumbing + stubbed frame decode ---------------
     Q("q70_multimodal_frames",
       """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,

@@ -24,6 +24,14 @@ class CompatSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("withIndex: sorted, non-unique allowed, survives as ordinary column (arc_utils.py:629-632)") {
+    val df = Seq((3, "c"), (1, "a"), (3, "b"), (2, "x")).toDF("idx", "v")
+    val out = Compat.withIndex(df, "idx")
+    assert(out.schema("idx").metadata.getBoolean(Compat.IndexKey))
+    assert(out.select("idx").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 3))
+    assert(out.columns.toSeq == Seq("idx", "v")) // index stays a normal column
+  }
+
   test("sentinel fill: numeric -1, string '', date 1678-01-01") {
     val df = Seq(
       (Some(1.5), Some("a"), Some(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))),
