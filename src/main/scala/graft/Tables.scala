@@ -30,13 +30,22 @@ object Tables {
     * ns→µs truncation (`ts div 1000`) — exactly DuckDB's `CAST(ts_ns AS
     * TIMESTAMP)`, so oracle comparisons stay bit-identical. Integer `div`,
     * not `/`: epoch-ns exceeds 2^53 and would lose precision as a double. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path(dir, name))
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  // Analyzed-plan cache: repeated loads of the same table re-list files and
+  // re-read parquet footers (~50-100 ms each) — across a 50-query bench run
+  // that's seconds of pure metadata overhead. DataFrames are immutable lazy
+  // plans, so caching per (session, dir, name) is safe; this mirrors what a
+  // catalog-backed table (WorkspaceCatalog / metastore) gives for free.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(path(dir, name))
+      if (name == "events")
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
 
   /** Register every fixture table as a temp view so SQL surface tests can
     * reference them by name (the reference's "workspace" catalog,
