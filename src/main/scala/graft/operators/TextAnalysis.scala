@@ -86,11 +86,17 @@ object TextAnalysis {
     * back broadcasts when the vocabulary is small, shuffles by term when
     * not. Stop-word-heavy vocabularies skew the df key → salt or filter
     * stop words first. */
+  def termFreq(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Corpus document frequency from a termFreq table. */
+  def docFreq(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
   def termStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "term").select(col(idCol), col("term"), col("tf"), col("df"))
+    val tf = termFreq(df, textCol, idCol)
+    tf.join(docFreq(tf), "term").select(col(idCol), col("term"), col("tf"), col("df"))
   }
 
   // ---- fingerprint -------------------------------------------------------

@@ -319,10 +319,14 @@ object PipelineQueries {
         |SELECT doc_id, term, tf, df FROM r WHERE rn <= 3 AND doc_id < 50
         |ORDER BY doc_id, tf DESC, term""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val stats = TextAnalysis.termStats(Tables.load(s, dir, "documents"), "text", "doc_id")
+      // rank FIRST (WindowGroupLimit prunes to 3/doc), join df only for
+      // survivors — df itself stays corpus-wide (semantics). Rank ties break
+      // on term alone, so rank-then-join ≡ join-then-rank.
+      val tf = TextAnalysis.termFreq(Tables.load(s, dir, "documents"), "text", "doc_id")
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
-      stats.withColumn("rn", row_number().over(w))
+      tf.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3 && col("doc_id") < 50)
+        .join(TextAnalysis.docFreq(tf), "term")
         .select("doc_id", "term", "tf", "df")
         .orderBy(col("doc_id"), col("tf").desc, col("term"))
     },
