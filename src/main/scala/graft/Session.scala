@@ -87,4 +87,32 @@ object Session {
   def listFlds(df: DataFrame): Seq[String] = df.columns.toSeq
   def listFldTypes(df: DataFrame): Map[String, String] =
     df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+
+  /** C7 `get_oid_fld` (`arc_utils.py:67-72`): the row-id column. Our model:
+    * the column marked as index ([[graft.compat.Compat.IndexKey]]) wins,
+    * else the conventional names; None when absent (the reference raises —
+    * callers decide). */
+  def getOidFld(df: DataFrame): Option[String] = {
+    val byMeta = df.schema.fields.find(f =>
+      f.metadata.contains(graft.compat.Compat.IndexKey))
+    lazy val byName = df.columns.find(c =>
+      c.equalsIgnoreCase("OBJECTID") || c.equalsIgnoreCase("OID") || c.equalsIgnoreCase("FID"))
+    byMeta.map(_.name).orElse(byName)
+  }
+
+  /** C7 `get_shp_fld` (`arc_utils.py:75-84`): the geometry column. Our
+    * model: a struct column with envelope (xmin..) or point (x,y,srid)
+    * fields — SURVEY §1.1. */
+  def getShpFld(df: DataFrame): Option[String] =
+    df.schema.fields.collectFirst {
+      case f @ org.apache.spark.sql.types.StructField(_,
+          st: org.apache.spark.sql.types.StructType, _, _)
+        if st.fieldNames.contains("xmin") ||
+           (st.fieldNames.contains("x") && st.fieldNames.contains("y")) => f.name
+    }
+
+  /** C4 `CheckoutExtension` (`arc_utils.py:155-176`): scoped license
+    * checkout. No Spark analog — a faithful no-op scope kept for API parity
+    * (the reference's callers wrap geoprocessing in it). */
+  def withExtension[T](name: String)(body: => T): T = body
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface over the `events` schema (SURVEY §2.9).
@@ -56,6 +57,33 @@ object Streams {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  // ---- custom state (Spark 4 API): transformWithState ---------------------
+
+  /** Per-user running event count via `transformWithState` — the current
+    * arbitrary-state API (typed `ValueState`, RocksDB-backed, TTL-capable).
+    * Emits (user_id, running_count) every microbatch a user appears in.
+    * State is one long per user; with a `TTLConfig` instead of NONE, idle
+    * users expire without a watermark. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`). */
+  class RunningCountProcessor extends StatefulProcessor[Long, SessionEvent, (Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  def runningCounts(events: Dataset[SessionEvent]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   // ---- custom state: flatMapGroupsWithState sessionization ----------------
 

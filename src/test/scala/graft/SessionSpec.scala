@@ -43,4 +43,17 @@ class SessionSpec extends AnyFunSuite {
     assert(Session.listFlds(df) == Seq("n_nationkey", "n_name", "n_regionkey"))
     assert(Session.listFldTypes(df)("n_name") == "string")
   }
+
+  test("get_oid_fld / get_shp_fld resolution (arc_utils.py:67-84)") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, sf, "supplier")
+    assert(Session.getOidFld(base).isEmpty && Session.getShpFld(base).isEmpty)
+    val withOid = base.withColumnRenamed("s_suppkey", "OBJECTID")
+    assert(Session.getOidFld(withOid).contains("OBJECTID"))
+    val indexed = graft.compat.Compat.withIndex(base, "s_suppkey")
+    assert(Session.getOidFld(indexed).contains("s_suppkey")) // metadata beats names
+    val withGeom = graft.operators.Sinks.withPointGeom(base, "s_acctbal", "s_suppkey", 4326)
+    assert(Session.getShpFld(withGeom).contains("geom"))
+    assert(Session.withExtension("spatial") { 42 } == 42) // C4 no-op scope
+  }
 }

@@ -128,6 +128,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running counts accumulate across microbatches (RocksDB state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val events = mem.toDF().toDF("user_id", "ts").as[Streams.SessionEvent]
+      val q = Streams.runningCounts(events).toDF("user_id", "n")
+        .writeStream.format("memory").queryName("twc_out").outputMode("update").start()
+      try {
+        mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+                    (2L, ts("2024-01-01 10:02:00")))
+        q.processAllAvailable()
+        mem.addData((1L, ts("2024-01-01 10:03:00")))
+        q.processAllAvailable()
+        val byBatch = spark.table("twc_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        // batch 1: user1 → 2, user2 → 1; batch 2: user1 → 3 (state carried)
+        assert(byBatch.contains((1L, 2L)) && byBatch.contains((2L, 1L)))
+        assert(byBatch.contains((1L, 3L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static join enriches events with a dimension (broadcast per microbatch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
