@@ -73,6 +73,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate clustering: connected components over candidate/verified
+    * pairs — every document labeled with the smallest doc id reachable
+    * through the pair graph (the cluster's canonical survivor).
+    *
+    * Min-label propagation: labels start as self; each round every node
+    * takes the min of its own and its neighbors' labels; converged when no
+    * label changes. Rounds needed = graph diameter in the worst case but
+    * O(log n) for the short chains dedup graphs form. Each round is two
+    * keyed shuffles over the EDGE list (tiny — only near-duplicate pairs,
+    * not the corpus); the driver loop is control-flow only, all data stays
+    * distributed (Pregel shape). `maxIters` caps adversarial chains.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+    val nodes = edges.select(col("s").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val neighborMin = edges.join(labels, edges("t") === labels("doc_id"))
+        .groupBy(col("s")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("s"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      updated.cache()
+      changed = updated.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** 16-bit SimHash from word-w-gram shingle hashes: bit j set iff the
     * (+1/-1) vote sum over shingles at bit j is positive. One compiled pass
     * per document — no explode, no 16-way partial-agg shuffle. */

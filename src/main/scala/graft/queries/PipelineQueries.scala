@@ -125,6 +125,25 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- dedup: duplicate clusters (connected components over LSH pairs) --
+    Q("q37_dup_clusters",
+      s"""$mhCte,
+         |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(s, t) AS (
+         |    SELECT s, t FROM e
+         |    UNION
+         |    SELECT r.s, e2.t FROM r JOIN e e2 ON r.t = e2.s)
+         |  SELECT s, t FROM r)
+         |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashSignature(
+        Tables.load(s, dir, "documents"), "text", "doc_id", MinhashK, ShingleW)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand)
+      Dedup.duplicateClusters(pairs).orderBy("doc_id")
+    },
+
     // ---- dedup: char 3-gram Jaccard on the same LSH candidates ------------
     Q("q35_char_jaccard",
       s"""$mhCte,

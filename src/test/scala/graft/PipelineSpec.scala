@@ -90,6 +90,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub("abc".getBytes, 2) == Multimodal.decodeStub("abc".getBytes, 2))
   }
 
+  test("duplicateClusters: transitive chains collapse to the min id (a-b, b-c → one cluster)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)   // chain via 2
+    assert(out(10L) == 10L && out(11L) == 10L)                // separate component
+    assert(Seq(20L, 21L, 22L, 23L).forall(out(_) == 20L))     // longer chain
+  }
+
   test("IVF: every vector assigned to exactly one list; probed search finds the query itself") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val pivots = emb.filter(col("vec_id") < 8)
