@@ -144,6 +144,33 @@ object PipelineQueries {
       Dedup.duplicateClusters(pairs).orderBy("doc_id")
     },
 
+    // ---- dedup: APPLY — the cleaned corpus (cluster survivors only) -------
+    Q("q38_dedup_apply",
+      s"""$mhCte,
+         |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(s, t) AS (
+         |    SELECT s, t FROM e
+         |    UNION
+         |    SELECT r.s, e2.t FROM r JOIN e e2 ON r.t = e2.s)
+         |  SELECT s, t FROM r),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+         |       FROM reach GROUP BY s)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", MinhashK, ShingleW)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand)
+      val clusters = Dedup.duplicateClusters(pairs)
+      docs.join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ---- dedup: char 3-gram Jaccard on the same LSH candidates ------------
     Q("q35_char_jaccard",
       s"""$mhCte,

@@ -226,6 +226,20 @@ object RelationalQueries {
       a.union(b).distinct().except(c).orderBy("k")
     },
 
+    // ---- set ops: INTERSECT -----------------------------------------------------
+    Q("q27_intersect",
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("k"))
+        .intersect(Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") > 200000).select(col("o_custkey").as("k")))
+        .orderBy("k")
+    },
+
     // ---- distinct ---------------------------------------------------------------
     Q("q15_distinct",
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
