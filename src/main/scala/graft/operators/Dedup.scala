@@ -55,16 +55,36 @@ object Dedup {
   }
 
   /** LSH candidate pairs: B bands of R rows each; docs sharing any band
-    * signature become a candidate pair (idA < idB). */
+    * signature become a candidate pair (idA < idB).
+    *
+    * `maxBucketSize` guards against degenerate buckets: a (band, sig) bucket
+    * holding m docs emits m·(m−1)/2 pairs, so one boilerplate family shared
+    * by 1M docs would explode into 5·10¹¹ pairs. Buckets above the cap are
+    * dropped BEFORE the self-join (their members are near-identical
+    * boilerplate — the exact-dedup pass handles them at digest cost, and at
+    * B bands each doc has B−1 more chances to pair normally). The guard is a
+    * count window over the same (band, sig) key the join shuffles on — no
+    * extra shuffle. Default = no cap (exact LSH semantics).
+    */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        bands: Int, rows: Int): DataFrame = {
+                        bands: Int, rows: Int,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bandStructs = (0 until bands).map { b =>
       val ms = (1 to rows).map(r => col(s"m${b * rows + r}"))
       struct(lit(b + 1).as("band"), concat_ws("_", ms: _*).as("sig"))
     }
-    val exploded = sig
+    val exploded0 = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val exploded =
+      if (maxBucketSize == Int.MaxValue) exploded0
+      else {
+        val w = Window.partitionBy(col("band"), col("sig"))
+        exploded0.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucketSize)
+          .drop("__bn")
+      }
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -77,38 +97,84 @@ object Dedup {
     * pairs — every document labeled with the smallest doc id reachable
     * through the pair graph (the cluster's canonical survivor).
     *
-    * Min-label propagation: labels start as self; each round every node
-    * takes the min of its own and its neighbors' labels; converged when no
-    * label changes. Rounds needed = graph diameter in the worst case but
-    * O(log n) for the short chains dedup graphs form. Each round is two
-    * keyed shuffles over the EDGE list (tiny — only near-duplicate pairs,
-    * not the corpus); the driver loop is control-flow only, all data stays
-    * distributed (Pregel shape). `maxIters` caps adversarial chains.
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014): converges in O(log n)
+    * rounds vs O(graph diameter) for plain min-label propagation — chained
+    * boilerplate families at corpus scale make diameter the driver-loop
+    * bottleneck, log n stays ≤ ~40 for any realistic corpus. Each star op is
+    * a window + distinct over the EDGE list only (near-duplicate pairs, not
+    * the corpus); the driver loop is control-flow only.
+    *
+    * Per round exactly one scan of the previous edge set materializes the
+    * next one (`localCheckpoint` — truncates lineage so the plan stays
+    * constant-size across rounds; on a real cluster flip this to a reliable
+    * `checkpoint` dir) plus one trivial in-memory aggregate that decides
+    * convergence: the next set equals the previous iff |next| == |prev| and
+    * every next edge exists in prev — count + containment folded into a
+    * single job, no separate per-round `count()` over recomputed lineage.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // Cache the edge list: every propagation round joins against it, and
-    // without the cache each round re-executes the whole upstream lineage
-    // (e.g. the LSH pipeline that produced the pairs) — observed 3-4× cost.
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
-      .cache()
-    val nodes = edges.select(col("s").as("doc_id")).distinct()
-    var labels = nodes.withColumn("lbl", col("doc_id"))
-    var changed = 1L
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Canonical down-pointing edge set (src > dst), materialized ONCE — the
+    // upstream lineage (e.g. the LSH pipeline) never re-runs after this.
+    val edges0 = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+              least(col("id_a"), col("id_b")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var edges = edges0
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
     var i = 0
-    while (changed > 0 && i < maxIters) {
-      val neighborMin = edges.join(labels, edges("t") === labels("doc_id"))
-        .groupBy(col("s")).agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("s"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      updated.cache()
-      changed = updated.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val stats = next
+        .join(edges.withColumn("__old", lit(1)), Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__old")).as("n_in_old"))
+        .head()
+      val n = stats.getLong(0)
+      converged = n == prevCount && stats.getLong(1) == n
+      edges = next
+      prevCount = n
       i += 1
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    // Fixpoint = star forest: every non-minimum node has exactly one edge to
+    // its component minimum; centers (the minima) have none → label self.
+    val nodes = edges0.select(col("src").as("doc_id"))
+      .union(edges0.select(col("dst").as("doc_id")))
+      .distinct()
+    val stars = edges.groupBy(col("src")).agg(min(col("dst")).as("__lbl"))
+    nodes.join(stars, nodes("doc_id") === stars("src"), "left")
+      .select(col("doc_id"), coalesce(col("__lbl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Large-star: each node connects its LARGER neighbors to the minimum of
+    * its closed neighborhood. Input edges must point down (src > dst); the
+    * symmetric view is built here. Output edges again point down. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val w = Window.partitionBy(col("src"))
+    sym.select(col("src"), col("dst"),
+        least(min(col("dst")).over(w), col("src")).as("__m"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: each node connects its SMALLER neighbors (and itself) to
+    * the minimum of that neighborhood. Preserves the down-pointing
+    * invariant; alternating with [[largeStar]] reaches the min-star forest
+    * fixpoint in O(log n) rounds. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src"))
+    val withM = e.select(col("src"), col("dst"), min(col("dst")).over(w).as("__m"))
+    withM.filter(col("dst") =!= col("__m"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+      .union(withM.select(col("src"), col("__m").as("dst")))
+      .distinct()
   }
 
   /** 16-bit SimHash from word-w-gram shingle hashes: bit j set iff the
@@ -121,19 +187,29 @@ object Dedup {
     * (idCol, textCol). Shuffles are keyed by shingle/doc — no n² compare.
     * Set elements are the int64 shingle HASHES, not the strings: the join and
     * distinct shuffle 8-byte keys instead of ~5-word strings (the oracle
-    * hashes identically, so any collision affects both engines equally). */
+    * hashes identically, so any collision affects both engines equally).
+    * Only docs that actually appear in `pairs` are shingled (left-semi prune
+    * BEFORE the explode): the candidate set is typically orders of magnitude
+    * smaller than the corpus, and exploding the full corpus into |text|-many
+    * shingle rows for it is the classic unpushed filter. */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame,
                       textCol: String, idCol: String, w: Int): DataFrame =
     jaccardOnShingles(pairs,
-      docs.select(col(idCol).as("did"),
+      pairMembers(pairs, docs, idCol).select(col(idCol).as("did"),
         explode(TextHashExprs.shingleHashes(col(textCol), w)).as("s")))
 
   /** Char n-gram variant: same pipeline over character shingle hashes. */
   def charJaccardForPairs(pairs: DataFrame, docs: DataFrame,
                           textCol: String, idCol: String, n: Int): DataFrame =
     jaccardOnShingles(pairs,
-      docs.select(col(idCol).as("did"),
+      pairMembers(pairs, docs, idCol).select(col(idCol).as("did"),
         explode(TextHashExprs.charShingleHashes(col(textCol), n)).as("s")))
+
+  /** Docs restricted to ids that occur in the candidate pairs. */
+  private def pairMembers(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame =
+    docs.join(
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
 
   private def jaccardOnShingles(pairs: DataFrame, shingled: DataFrame): DataFrame = {
     val sh = shingled.distinct()

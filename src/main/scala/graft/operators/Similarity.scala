@@ -63,19 +63,26 @@ object Similarity {
   }
 
   /** Batch KNN join: top-k per query vector over the corpus. Queries
-    * broadcast (small side); scoring is one corpus scan; ranking shuffles
-    * once keyed by query id. For huge query sets, pre-bucket both sides with
-    * [[signBucket]] first and run this per bucket. */
+    * broadcast (small side); scoring is one corpus scan; the ranking is a
+    * bounded top-k aggregate ([[graft.functions.TopKByScore]]) rather than a
+    * `row_number` window: the window shape shuffles ALL |corpus|·|queries|
+    * scored rows and concentrates each query's |corpus| rows on one task,
+    * while the aggregate partial-reduces to ≤k entries per query per map
+    * task before the shuffle (heap-merge on the reduce side). Same ordering
+    * contract (cos desc, id asc), cross-product-sized shuffle → k-sized.
+    * For huge query sets, pre-bucket both sides with [[signBucket]] first
+    * and run this per bucket. */
   def knnJoin(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, qidCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol).asc)
     corpus.crossJoin(q)
       .select(col("qid"), col(idCol),
         VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topKByScore(col("cos"), col(idCol), k).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")))
+      .select(col("qid"), col("col.id").as(idCol), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   // ---- IVF (inverted-file) ANN --------------------------------------------
@@ -93,15 +100,20 @@ object Similarity {
     * and re-assign with the same operator. */
   def ivfAssign(corpus: DataFrame, pivots: DataFrame,
                 vecCol: String, idCol: String, pivotIdCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val p = broadcast(pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cid").asc)
-    corpus.crossJoin(p)
-      .select(col(idCol), col(vecCol), col("cid"),
-        VectorExprs.cosineF(col(vecCol), col("__cv")).as("__cos"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("centroid_id"))
+    // All C pivots packed into ONE broadcast row; the per-row argmax
+    // (max cosine, ties → smallest pivot id, NaN ranks greatest — same
+    // contract as `ORDER BY cos DESC, cid ASC` + rn=1) runs map-side via
+    // array_max over struct(cos, -cid). The old window shape materialized
+    // and SHUFFLED |corpus|·C scored rows just to keep 1-of-C; this keeps
+    // the corpus pipeline shuffle-free end to end.
+    val packed = broadcast(
+      pivots.select(struct(col(pivotIdCol).as("cid"), col(vecCol).as("cv")).as("__p"))
+        .agg(sort_array(collect_list(col("__p"))).as("__pivs")))
+    val best = array_max(transform(col("__pivs"), p =>
+      struct(VectorExprs.cosineF(col(vecCol), p.getField("cv")).as("c"),
+             (-p.getField("cid")).as("nc"))))
+    corpus.crossJoin(packed)
+      .select(col(idCol), col(vecCol), (-best.getField("nc")).as("centroid_id"))
   }
 
   /** IVF search: rank pivots for the query, probe the best `nprobe`

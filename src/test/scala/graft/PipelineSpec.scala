@@ -100,6 +100,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(Seq(20L, 21L, 22L, 23L).forall(out(_) == 20L))     // longer chain
   }
 
+  test("duplicateClusters: 300-node path converges within maxIters (O(log n), not O(diameter))") {
+    // A diameter-299 chain: min-label propagation would need 299 rounds and
+    // silently mislabel under any practical iteration cap; large-star /
+    // small-star collapses it in O(log n) rounds.
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+    assert(out.length == 300)
+    assert(out.forall(_.getLong(1) == 1L), out.filter(_.getLong(1) != 1L).take(5).mkString(","))
+  }
+
+  test("duplicateClusters: random graph matches union-find ground truth") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    val out = Dedup.duplicateClusters(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+  }
+
+  test("lshCandidatePairs: hot-bucket cap drops degenerate buckets instead of emitting m² pairs") {
+    val m = 60
+    val clones = (1 to m).map(i => (i.toLong, "the same boilerplate text repeated verbatim here"))
+    val sig = Dedup.minhashSignature(clones.toDF("doc_id", "text"), "text", "doc_id", 8, 5)
+    // uncapped: all m docs share every band bucket → m(m-1)/2 pairs
+    assert(Dedup.lshCandidatePairs(sig, "doc_id", 4, 2).count() == m.toLong * (m - 1) / 2)
+    // capped: the degenerate buckets are dropped entirely (exact-dedup owns
+    // identical text); no quadratic pair blow-up
+    assert(Dedup.lshCandidatePairs(sig, "doc_id", 4, 2, maxBucketSize = 10).count() == 0L)
+    // cap above the bucket size changes nothing
+    assert(Dedup.lshCandidatePairs(sig, "doc_id", 4, 2, maxBucketSize = m).count() == m.toLong * (m - 1) / 2)
+  }
+
   test("IVF: every vector assigned to exactly one list; probed search finds the query itself") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val pivots = emb.filter(col("vec_id") < 8)

@@ -100,6 +100,42 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard shingling is pruned to candidate-pair members before the explode") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sig = Dedup.minhashSignature(docs, "text", "doc_id", k = 8, w = 5)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rows = 2)
+    val j = Dedup.jaccardForPairs(pairs, docs, "text", "doc_id", w = 5)
+    val plan = formatted(j)
+    // the semi-join that restricts the corpus to pair members must exist…
+    assert(plan.contains("LeftSemi"), plan)
+    // …and sit BELOW the shingle explode: the first Generate (explode) in the
+    // jaccard branch reads the semi-joined relation, not the raw corpus scan
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(semiIdx >= 0 && plan.contains("Generate"), plan)
+  }
+
+  test("batch KNN ranks with a bounded partial top-k aggregate, not a window (q42)") {
+    val df = SparkEntry.queries("q42_knn_batch")(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // map-side partial reduction: the partial aggregate runs BEFORE the
+    // exchange, so the shuffle carries ≤k heap entries per query per task
+    assert(plan.contains("partial_graft_top_k") || plan.contains("graft_top_k"), plan)
+  }
+
+  test("IVF assignment is shuffle-free on the corpus side (no window, no hash repartition)") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val index = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8),
+      "embedding", "vec_id", "vec_id")
+    val plan = formatted(index)
+    assert(!plan.contains("Window"), plan)
+    // the only exchanges allowed are the tiny pivot-side single-partition agg
+    // + broadcast; the corpus is never hash-repartitioned
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("layer views stay lazy: filter through a temp view still reaches the scan") {
     val part = Tables.load(spark, sf, "part")
     graft.operators.Layers.createLayer(spark, part, "plan_probe_layer",
