@@ -29,7 +29,10 @@ object Layers {
       case Some((srcArea, newName)) => out.withColumn(newName, col(srcArea))
       case None => out
     }
-    out = where.map(w => out.filter(expr(w))).getOrElse(out)
+    // where strings arrive in the reference's ArcGIS dialect (arc_utils.py
+    // feeds them verbatim to arcpy) — normalize before the Spark parser sees
+    // them so `[field]` / `"field"` / `#date#` spellings keep their meaning.
+    out = where.map(w => out.filter(expr(WhereDialect.toSparkSql(w)))).getOrElse(out)
     out.createOrReplaceTempView(name)
     out
   }
@@ -42,7 +45,7 @@ object Layers {
                 specs: Option[Seq[FieldSpec]] = None,
                 where: Option[String] = None): Unit = {
     var out = specs.map(FieldMap(df, _)).getOrElse(df)
-    out = where.map(w => out.filter(expr(w))).getOrElse(out)
+    out = where.map(w => out.filter(expr(WhereDialect.toSparkSql(w)))).getOrElse(out)
     out.write.mode("overwrite").parquet(outPath)
   }
 }

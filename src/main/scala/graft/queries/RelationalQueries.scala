@@ -372,6 +372,21 @@ object RelationalQueries {
       s.read.parquet(out).orderBy("pid")
     },
 
+    // ---- P3 ArcGIS where-dialect: bracketed/quoted fields + Access date ----
+    Q("q28_arcgis_where",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'
+        |  AND o_totalprice > 150000.0 AND o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Layers.createLayer(s, Tables.load(s, dir, "orders"), "arcgis_where_layer",
+          where = Some(
+            """[o_orderdate] >= #3/15/1995# AND "o_totalprice" > 150000.0
+              |AND [o_orderstatus] <> 'F'""".stripMargin.replace("\n", " ")))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ---- S4 sink: write-side coercions + XY→point geometry, read back -------
     Q("q22_xy_point_sink",
       """SELECT CAST(s_suppkey AS INTEGER) AS s_suppkey, s_name,

@@ -94,4 +94,44 @@ class CompatSpec extends AnyFunSuite {
       Compat.selectRequestedCase(df, Seq("nope"))
     }
   }
+
+  test("ArcGIS where-dialect translation table (arc_utils.py:471-474,704-708 feed arcpy SQL)") {
+    import graft.operators.WhereDialect.toSparkSql
+    val cases = Seq(
+      // bracketed (personal gdb) and double-quoted (file gdb) field delimiters
+      "[POP2000] > 50000"                  -> "`POP2000` > 50000",
+      "\"COUNTY\" = 'Maricopa'"            -> "`COUNTY` = 'Maricopa'",
+      "[A] = 1 AND \"B\" = 2"              -> "`A` = 1 AND `B` = 2",
+      // Access datetime literals, all spellings, date reordered to ISO
+      "[d] >= #3/15/1995#"                 -> "`d` >= TIMESTAMP '1995-03-15 00:00:00'",
+      "[d] >= #03-15-1995 8:30#"           -> "`d` >= TIMESTAMP '1995-03-15 08:30:00'",
+      "[d] >= #1995-3-5 08:30:15#"         -> "`d` >= TIMESTAMP '1995-03-05 08:30:15'",
+      // GETDATE() SQL-Server-ism
+      "[d] < GETDATE()"                    -> "`d` < current_timestamp()",
+      "[d] < getdate ()"                   -> "`d` < current_timestamp ()",
+      // string literals are never rewritten, including delimiters inside them
+      "name = 'it''s [not] a \"field\"'"   -> "name = 'it''s [not] a \"field\"'",
+      "tag LIKE '%#5%'"                    -> "tag LIKE '%#5%'",
+      // plain Spark SQL and Esri-standard spellings pass through unchanged
+      "p_size > 25 AND p_brand <> 'B'"     -> "p_size > 25 AND p_brand <> 'B'",
+      "d >= TIMESTAMP '1995-03-15 00:00:00'" -> "d >= TIMESTAMP '1995-03-15 00:00:00'",
+      "x BETWEEN 1 AND 10 OR y IS NULL"    -> "x BETWEEN 1 AND 10 OR y IS NULL",
+      "CHAR_LENGTH(s) = 5 AND s LIKE 'a_c%' ESCAPE '$'" ->
+        "CHAR_LENGTH(s) = 5 AND s LIKE 'a_c%' ESCAPE '$'",
+      // unterminated delimiters degrade to raw pass-through (Spark reports)
+      "[unclosed > 1"                      -> "[unclosed > 1")
+    for ((in, expected) <- cases)
+      assert(toSparkSql(in) == expected, s"input: $in")
+  }
+
+  test("dialect where-strings filter correctly through create_layer") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1, "a", "2020-01-01 00:00:00"), (2, "b", "2021-06-15 12:00:00"))
+      .toDF("id", "tag", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = graft.operators.Layers.createLayer(spark, df, "dialect_probe",
+      where = Some("[ts] >= #6/1/2021# AND \"tag\" = 'b'"))
+    assert(out.select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
 }
