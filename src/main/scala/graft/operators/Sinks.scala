@@ -51,8 +51,10 @@ object Sinks {
                  overwrite: Boolean = true,
                  xy: Option[(String, String, Int)] = None,
                  coerce: Boolean = true,
-                 format: String = "parquet"): String = {
-    val coerced = if (coerce) Compat.downcastLongs(df) else df
+                 format: String = "parquet",
+                 varcharMode: String = "truncate"): String = {
+    val sized = enforceVarchar(df, varcharMode)
+    val coerced = if (coerce) Compat.downcastLongs(sized) else sized
     val out = xy match {
       case Some((x, y, srid)) => withPointGeom(coerced, x, y, srid)
       case None => coerced
@@ -61,6 +63,40 @@ object Sinks {
     val w = out.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
     (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
     path
+  }
+
+  /** Enforce `String(n)` lengths declared by [[FieldMap]] varchar metadata at
+    * write time — the semantic of `copy_feats`' `fld_lens` resize
+    * (`arc_utils.py:414-415` sets `outputField.length`; arcpy then truncates
+    * longer values on copy). `mode`: "truncate" (arcpy behavior, default),
+    * "error" (reject the write on the first oversize value — `raise_error`
+    * stays codegen'd and distributed), "ignore" (length stays metadata-only).
+    * Columns without the metadata key pass through untouched, so plain
+    * writes never pay for this. */
+  def enforceVarchar(df: DataFrame, mode: String = "truncate"): DataFrame = {
+    val needsWork = df.schema.fields.exists(f =>
+      f.dataType == org.apache.spark.sql.types.StringType &&
+        f.metadata.contains(FieldMap.VarcharLenKey))
+    if (!needsWork || mode == "ignore") df
+    else {
+      val cols = df.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType &&
+            f.metadata.contains(FieldMap.VarcharLenKey)) {
+          val n = f.metadata.getLong(FieldMap.VarcharLenKey).toInt
+          val c = mode match {
+            case "truncate" => substring(col(f.name), 1, n)
+            case "error" =>
+              when(length(col(f.name)) > n, raise_error(concat(
+                lit(s"value exceeds String($n) for field '${f.name}': "), col(f.name))))
+                .otherwise(col(f.name))
+            case other =>
+              throw new IllegalArgumentException(s"unknown varcharMode '$other'")
+          }
+          c.as(f.name, f.metadata)
+        } else col(f.name)
+      }
+      df.select(cols.toSeq: _*)
+    }
   }
 
   /** S4 `get_cursor` readback: scan what was just written. Schema is

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{FieldMap, Joins, Sinks}
+import graft.operators.{FieldMap, FieldSpec, Joins, Sinks}
 import graft.sources.Jdbc
 
 /** SURVEY §2.1 sinks (S4/S7/S9) + U1 expression surface. */
@@ -72,6 +72,36 @@ class SinksSpec extends AnyFunSuite {
              df.orderBy("n_nationkey").collect().toSeq)
       assert(json.orderBy("n_nationkey").collect().toSeq ==
              df.orderBy("n_nationkey").collect().toSeq)
+    }
+  }
+
+  test("String(n) varchar lengths are enforced on write (fld_lens, arc_utils.py:414-415,477-519)") {
+    import spark.implicits._
+    Session.withScratch { s =>
+      val df = FieldMap(
+        Seq((1L, "short", "x"), (2L, "definitely-longer-than-eight", "y"))
+          .toDF("id", "name", "tag"),
+        Seq(FieldSpec("id", "id"), FieldSpec("name", "name", varcharLen = Some(8)),
+            FieldSpec("tag", "tag")))
+      // truncate (arcpy behavior, default): oversize values cut to n
+      Sinks.writeTable(df, s.dir, "vl")
+      val back = Sinks.readBack(spark, s.dir, "vl")
+      assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+        Seq("short", "definite"))
+      // the length metadata survives the parquet round-trip
+      assert(back.schema("name").metadata.getLong(FieldMap.VarcharLenKey) == 8L)
+      // untouched column untouched
+      assert(back.orderBy("id").collect().map(_.getString(2)).toSeq == Seq("x", "y"))
+      // error mode: the write fails on the first oversize value
+      val ex = intercept[Exception] {
+        Sinks.writeTable(df, s.dir, "vl_err", varcharMode = "error")
+      }
+      assert(ex.getMessage.contains("String(8)") ||
+        Option(ex.getCause).exists(_.getMessage.contains("String(8)")))
+      // ignore mode: value written in full, metadata retained
+      Sinks.writeTable(df, s.dir, "vl_ig", varcharMode = "ignore")
+      assert(Sinks.readBack(spark, s.dir, "vl_ig").orderBy("id").collect()
+        .map(_.getString(1)).toSeq == Seq("short", "definitely-longer-than-eight"))
     }
   }
 
