@@ -34,16 +34,30 @@ object Jdbc {
     p
   }
 
+  /** Single-cursor read against any JDBC URL (small tables / dims). */
+  def readUrl(spark: SparkSession, url: String, table: String,
+              connProps: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, connProps)
+
+  /** Range-partitioned parallel read against any JDBC URL (the 100-TB
+    * path): N executors each issue one range-predicated query. */
+  def partitionedUrl(spark: SparkSession, url: String, table: String,
+                     partitionColumn: String, lowerBound: Long, upperBound: Long,
+                     numPartitions: Int,
+                     connProps: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table,
+      partitionColumn, lowerBound, upperBound, numPartitions, connProps)
+
   /** Single-cursor read (small tables / dims). */
   def read(spark: SparkSession, server: String, database: String,
            table: String, version: String = "sde.DEFAULT"): DataFrame =
-    spark.read.jdbc(sqlServerUrl(server, database), table, props(version))
+    readUrl(spark, sqlServerUrl(server, database), table, props(version))
 
   /** Range-partitioned parallel read (the 100-TB path). */
   def partitioned(spark: SparkSession, server: String, database: String,
                   table: String, partitionColumn: String,
                   lowerBound: Long, upperBound: Long, numPartitions: Int,
                   version: String = "sde.DEFAULT"): DataFrame =
-    spark.read.jdbc(sqlServerUrl(server, database), table,
+    partitionedUrl(spark, sqlServerUrl(server, database), table,
       partitionColumn, lowerBound, upperBound, numPartitions, props(version))
 }
