@@ -61,6 +61,41 @@ object PipelineQueries {
         .orderBy("orig_fid", "split_seq")
     },
 
+    // ---- polygon geometry: shoelace area + centroid over real rings --------
+    // Irregular pentagon built per part row; the DuckDB oracle reproduces the
+    // kernel's exact fold: per-i cross terms, left-fold sums, area = Σ/2,
+    // c = Σ/(6·area) — bit-identical IEEE sequences in both engines.
+    Q("q39_polygon_stats",
+      """WITH g AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS w, p_retailprice/100.0 AS h FROM part),
+        |p AS (SELECT p_partkey, [[0.0,0.0],[w,0.0],[w,h],[w/2.0,h+2.0],[0.0,h]] AS q FROM g),
+        |c AS (SELECT p_partkey, q, len(q) AS n FROM p),
+        |s AS (SELECT p_partkey,
+        |  list_reduce(list_prepend(0.0, [q[i][1]*q[(i % n)+1][2] - q[(i % n)+1][1]*q[i][2]
+        |    FOR i IN generate_series(1, n)]), (a, b) -> a + b) / 2.0 AS area,
+        |  list_reduce(list_prepend(0.0, [(q[i][1] + q[(i % n)+1][1]) *
+        |    (q[i][1]*q[(i % n)+1][2] - q[(i % n)+1][1]*q[i][2])
+        |    FOR i IN generate_series(1, n)]), (a, b) -> a + b) AS cx6,
+        |  list_reduce(list_prepend(0.0, [(q[i][2] + q[(i % n)+1][2]) *
+        |    (q[i][1]*q[(i % n)+1][2] - q[(i % n)+1][1]*q[i][2])
+        |    FOR i IN generate_series(1, n)]), (a, b) -> a + b) AS cy6
+        |FROM c)
+        |SELECT p_partkey, area, cx6 / (6.0 * area) AS cx, cy6 / (6.0 * area) AS cy
+        |FROM s ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      import graft.operators.PolyGeom
+      def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        struct(x.as("x"), y.as("y"))
+      val w = col("p_size").cast("double")
+      val h = col("p_retailprice") / lit(100.0)
+      val rings = array(array(
+        pt(lit(0.0), lit(0.0)), pt(w, lit(0.0)), pt(w, h),
+        pt(w / lit(2.0), h + lit(2.0)), pt(lit(0.0), h)))
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"), PolyGeom.polygonStats(rings).as("s"))
+        .select(col("p_partkey"), col("s.area").as("area"),
+                col("s.cx").as("cx"), col("s.cy").as("cy"))
+        .orderBy("p_partkey")
+    },
+
     // ---- dedup: exact -----------------------------------------------------
     Q("q30_dedup_exact",
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{PolyGeom, Sinks}
+
+/** Polygon ring codecs + measures: WKB round-trip, shoelace area/centroid
+  * laws (hole subtraction, winding invariance, open≡closed), JSON/WKT
+  * encodings, CRS metadata through the sink. DuckDB has no spatial extension
+  * in this environment, so laws stand in for a cross-engine oracle here —
+  * the arithmetic itself IS oracle-checked by q39_polygon_stats. */
+class PolyGeomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ringsDf(polys: Seq[Seq[Seq[(Double, Double)]]]): DataFrame = {
+    val rows = polys.zipWithIndex.map { case (rings, i) =>
+      Row(i.toLong, rings.map(r => r.map { case (x, y) => Row(x, y) }))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rings", PolyGeom.RingsT))))
+  }
+
+  private val square = Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)))
+  private val squareWithHole = Seq(
+    Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),          // CCW outer
+    Seq((4.0, 4.0), (4.0, 6.0), (6.0, 6.0), (6.0, 4.0)))              // CW hole 2×2
+
+  test("WKB round-trip preserves every ring and coordinate (random polygons)") {
+    val rnd = new scala.util.Random(7)
+    val polys = Seq.fill(25) {
+      Seq.fill(1 + rnd.nextInt(3)) {
+        Seq.fill(3 + rnd.nextInt(6))((rnd.nextDouble() * 1000 - 500, rnd.nextDouble() * 1000 - 500))
+      }
+    }
+    val df = ringsDf(polys)
+    val back = df.select(col("id"),
+      PolyGeom.wkbPolygonRings(PolyGeom.polygonWkb(col("rings"))).as("rt"),
+      col("rings"))
+    assert(back.filter(not(col("rt") === col("rings"))).count() == 0)
+  }
+
+  test("WKB header: little-endian, type 3, ring/point counts") {
+    val bytes = ringsDf(squareWithHole +: Nil).select(PolyGeom.polygonWkb(col("rings")))
+      .head().getAs[Array[Byte]](0)
+    assert(bytes(0) == 1.toByte)                       // byte order LE
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.get()
+    assert(bb.getInt() == 3)                           // polygon
+    assert(bb.getInt() == 2)                           // two rings
+    assert(bb.getInt() == 4)                           // 4 pts in outer
+  }
+
+  test("big-endian WKB decodes too") {
+    val bb = java.nio.ByteBuffer.allocate(9 + 4 + 3 * 16) // 1 ring, 3 pts
+    bb.put(0.toByte).putInt(3).putInt(1).putInt(3)
+      .putDouble(0).putDouble(0).putDouble(4).putDouble(0).putDouble(0).putDouble(3)
+    import spark.implicits._
+    val df = Seq(bb.array()).toDF("wkb")
+    val area = df.select(PolyGeom.polygonArea(PolyGeom.wkbPolygonRings(col("wkb"))))
+      .head().getDouble(0)
+    assert(area == 6.0) // right triangle 4×3
+  }
+
+  test("shoelace laws: rectangle area/centroid; hole subtracts; winding-invariant; open≡closed") {
+    val df = ringsDf(Seq(square, squareWithHole))
+    val stats = df.orderBy("id")
+      .select(PolyGeom.polygonStats(col("rings")).as("s"))
+      .select("s.area", "s.cx", "s.cy").collect()
+    assert(stats(0).getDouble(0) == 100.0 && stats(0).getDouble(1) == 5.0 && stats(0).getDouble(2) == 5.0)
+    assert(stats(1).getDouble(0) == 96.0)              // 100 − 4
+    // winding invariance of the absolute area
+    val rev = ringsDf(Seq(square.map(_.reverse)))
+    assert(rev.select(PolyGeom.polygonArea(col("rings"))).head().getDouble(0) == 100.0)
+    // closed spelling (last == first) computes the same stats
+    val closed = ringsDf(Seq(Seq(square.head :+ square.head.head)))
+    val cs = closed.select(PolyGeom.polygonStats(col("rings")).as("s"))
+      .select("s.area", "s.cx", "s.cy").head()
+    assert(cs.getDouble(0) == 100.0 && cs.getDouble(1) == 5.0 && cs.getDouble(2) == 5.0)
+  }
+
+  test("WKT / GeoJSON / EsriJSON renderings") {
+    val tri = ringsDf(Seq(Seq(Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0)))))
+    val out = tri.select(
+      PolyGeom.polygonWkt(col("rings")).as("wkt"),
+      PolyGeom.polygonGeoJson(col("rings")).as("gj"),
+      PolyGeom.polygonEsriJson(col("rings"), wkid = 4326).as("ej")).head()
+    assert(out.getString(0) == "POLYGON ((0.0 0.0, 1.0 0.0, 0.0 1.0))")
+    assert(out.getString(1) == """{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[0.0,1.0]]]}""")
+    assert(out.getString(2) == """{"rings":[[[0.0,0.0],[1.0,0.0],[0.0,1.0]]],"spatialReference":{"wkid":4326}}""")
+    // GeoJSON body parses back via Spark's JSON reader
+    val coords = tri.select(from_json(PolyGeom.polygonGeoJson(col("rings")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("coordinates",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))))).as("j"))
+      .select(element_at(element_at(col("j.coordinates"), 1), 2)).head().getSeq[Double](0)
+    assert(coords == Seq(1.0, 0.0))
+  }
+
+  test("CRS + encoding metadata ride the geometry column through the parquet sink") {
+    Session.withScratch { s =>
+      val df = ringsDf(Seq(square)).select(col("id"),
+        PolyGeom.asGeometry(PolyGeom.polygonWkb(col("rings")), "shape",
+          encoding = "WKB", srWkt = "PROJCS[\"test\"]"))
+      Sinks.writeTable(df, s.dir, "polys", coerce = false)
+      val md = Sinks.readBack(spark, s.dir, "polys").schema("shape").metadata
+      assert(md.getString(Sinks.EncodingKey) == "WKB")
+      assert(md.getString(Sinks.SrWktKey) == "PROJCS[\"test\"]")
+    }
+  }
+}
