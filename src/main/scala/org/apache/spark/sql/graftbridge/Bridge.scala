@@ -19,4 +19,33 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  // ---- Arrow exchange (Dataset.toArrowBatchRdd & friends are private[sql]) --
+
+  private def classicDs(df: org.apache.spark.sql.DataFrame) =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+
+  /** One serialized Arrow record batch per partition — computed on the
+    * executors; nothing is row-materialized on the driver. */
+  def toArrowBatchRdd(df: org.apache.spark.sql.DataFrame): org.apache.spark.rdd.RDD[Array[Byte]] =
+    classicDs(df).toArrowBatchRdd
+
+  /** Stream the whole DataFrame as Arrow IPC (schema header + batches) into
+    * `out`. Partitions are pulled one at a time (`toLocalIterator`), so
+    * driver memory holds a single partition's batch at peak — the same
+    * shape Spark uses for its own Python/R collects. */
+  def writeArrowStream(df: org.apache.spark.sql.DataFrame, out: java.io.OutputStream): Unit = {
+    val ds = classicDs(df)
+    val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val writer = new org.apache.spark.sql.execution.arrow.ArrowBatchStreamWriter(
+      ds.schema, out, tz, true, false)
+    writer.writeBatches(ds.toArrowBatchRdd.toLocalIterator)
+    writer.end()
+  }
+
+  /** Rebuild a DataFrame from serialized Arrow record batches. */
+  def fromArrowBatches(spark: org.apache.spark.sql.SparkSession, schemaJson: String,
+                       batches: Iterator[Array[Byte]]): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.execution.arrow.ArrowConverters.toDataFrame(
+      batches, schemaJson, spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }
