@@ -19,14 +19,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted catalog table. */
+  /** Write `df` as a bucketed+sorted catalog table. `path` makes it an
+    * external table at that location (scratch-friendly); default goes to the
+    * session warehouse. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket keys (exchange-free when
     * bucket specs line up — assert with `.explain`). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
 import graft.{Session, Tables}
 import graft.compat.Compat
-import graft.operators.{FieldMap, FieldSpec, Geometry, Joins, Layers, Sinks}
+import graft.operators.{Bucketing, FieldMap, FieldSpec, Geometry, Joins, Layers, Salting, Sinks}
 
 /** Relational surface: scans with pruning/pushdown, projection/rename,
   * joins (KEEP_COMMON/KEEP_ALL), semi/anti, aggregation, windows, top-k,
@@ -370,6 +370,38 @@ object RelationalQueries {
                          FieldSpec("p_size", "psize"))),
         where = Some("psize > 25"))
       s.read.parquet(out).orderBy("pid")
+    },
+
+    // ---- skew salting: two-phase agg ≡ plain agg (deterministic salts) -----
+    // The salted partial/final phases use exact decimal accumulators, so the
+    // two-phase recombination is bit-identical to the one-phase oracle no
+    // matter how rows scatter over salt buckets.
+    Q("q44_salted_agg",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Salting.saltedAgg(Tables.load(s, dir, "lineitem"), "l_returnflag", buckets = 8,
+          partialAggs = Seq(count(lit(1)).as("__pn"),
+            sum(col("l_quantity").cast(DecimalType(27, 2))).as("__pq")),
+          finalAggs = Seq(sum(col("__pn")).as("n"),
+            sum(col("__pq")).cast("string").cast("double").as("sum_qty")),
+          saltSource = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- bucketed co-located join: same rows as the plain join, no exchange
+    Q("q45_bucketed_join",
+      """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val scratch = new Session.Scratch
+      Bucketing.writeBucketed(Tables.load(s, dir, "customer"), "b45_customer",
+        "c_custkey", 4, path = Some(s"${scratch.dir}/b45_customer"))
+      Bucketing.writeBucketed(Tables.load(s, dir, "orders"), "b45_orders",
+        "o_custkey", 4, path = Some(s"${scratch.dir}/b45_orders"))
+      Bucketing.bucketedJoin(s, "b45_customer", "b45_orders", "c_custkey", "o_custkey")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
     },
 
     // ---- P3 ArcGIS where-dialect: bracketed/quoted fields + Access date ----
