@@ -83,13 +83,15 @@ object Tessellation {
     None // search failed (poly_splitting.py:81-82)
   }
 
-  /** `recursive_split` (poly_splitting.py:85-132). `None` parts propagate to
-    * leaves as null geometry — reproducing the reference, whose failed splits
-    * silently insert nothing useful but still fire the callback at parts<=1. */
-  def recursiveSplit(poly: Option[Rect], numParts: Long, rng: scala.util.Random,
-                     tol: Double)(onDone: Option[Rect] => Unit): Unit = {
+  /** Geometry-generic recursive halving (poly_splitting.py:85-132) — shared
+    * by the Rect path and the real-ring path ([[RingSplit]]); both consume
+    * the RNG in the identical order, so the Rect results (and q20's oracle)
+    * are unchanged. */
+  private[operators] def recursiveSplitG[G](poly: Option[G], numParts: Long,
+      rng: scala.util.Random, area: G => Double,
+      split: (G, Double) => Option[(G, G)])(onDone: Option[G] => Unit): Unit = {
     if (numParts <= 1) { onDone(poly); return }
-    val polyArea = poly.map(_.area).getOrElse(0.0)
+    val polyArea = poly.map(area).getOrElse(0.0)
     val (leftParts, leftArea) =
       if (numParts % 2 == 0) (numParts / 2, polyArea / 2)
       else {
@@ -97,10 +99,18 @@ object Tessellation {
         (lp, lp * (polyArea / numParts))
       }
     val rightParts = numParts - leftParts
-    val split = poly.flatMap(p => splitPoly(p, leftArea, tol))
-    recursiveSplit(split.map(_._1), leftParts, rng, tol)(onDone)
-    recursiveSplit(split.map(_._2), rightParts, rng, tol)(onDone)
+    val sp = poly.flatMap(p => split(p, leftArea))
+    recursiveSplitG(sp.map(_._1), leftParts, rng, area, split)(onDone)
+    recursiveSplitG(sp.map(_._2), rightParts, rng, area, split)(onDone)
   }
+
+  /** `recursive_split` (poly_splitting.py:85-132). `None` parts propagate to
+    * leaves as null geometry — reproducing the reference, whose failed splits
+    * silently insert nothing useful but still fire the callback at parts<=1. */
+  def recursiveSplit(poly: Option[Rect], numParts: Long, rng: scala.util.Random,
+                     tol: Double)(onDone: Option[Rect] => Unit): Unit =
+    recursiveSplitG[Rect](poly, numParts, rng, _.area,
+      (p, t) => splitPoly(p, t, tol))(onDone)
 
   /** Pure per-row tessellation: returns (part, 1-based seq) in callback order
     * (`split_equal_area` loop, poly_splitting.py:176-198). */

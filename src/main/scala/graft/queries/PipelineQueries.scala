@@ -61,6 +61,38 @@ object PipelineQueries {
         .orderBy("orig_fid", "split_seq")
     },
 
+    // ---- G1-G3 over REAL rings: Sutherland–Hodgman tessellation ------------
+    // Part COUNT and provenance are exactly derivable in SQL (num_parts =
+    // floor(shoelace_area / max)), using the same bit-exact shoelace fold as
+    // q39 so the floor boundary agrees; part geometry laws live in
+    // RingSplitSpec (conservation, determinism, holes).
+    Q("q46_split_rings",
+      """WITH g AS (SELECT p_partkey, p_brand, CAST(p_size AS DOUBLE) AS w, p_retailprice/100.0 AS h FROM part),
+        |p AS (SELECT p_partkey, p_brand, [[0.0,0.0],[w,0.0],[w,h],[w/2.0,h+2.0],[0.0,h]] AS q FROM g),
+        |c AS (SELECT p_partkey, p_brand, q, len(q) AS n FROM p),
+        |s AS (SELECT p_partkey, p_brand,
+        |  ABS(list_reduce(list_prepend(0.0, [q[i][1]*q[(i % n)+1][2] - q[(i % n)+1][1]*q[i][2]
+        |    FOR i IN generate_series(1, n)]), (a, b) -> a + b) / 2.0) AS area FROM c)
+        |SELECT p_partkey AS orig_fid,
+        |  unnest(generate_series(1, GREATEST(CAST(FLOOR(area / 100.0) AS BIGINT), 1))) AS split_seq,
+        |  p_brand
+        |FROM s ORDER BY orig_fid, split_seq""".stripMargin) { (s, dir) =>
+      import graft.operators.{PolyGeom, RingSplit}
+      def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        struct(x.as("x"), y.as("y"))
+      val w = col("p_size").cast("double")
+      val h = col("p_retailprice") / lit(100.0)
+      val rings = array(array(
+        pt(lit(0.0), lit(0.0)), pt(w, lit(0.0)), pt(w, h),
+        pt(w / lit(2.0), h + lit(2.0)), pt(lit(0.0), h)))
+      val polys = Tables.load(s, dir, "part").select(
+        col("p_partkey").as("OBJECTID"), rings.as("geom"),
+        PolyGeom.polygonArea(rings).as("acres"), col("p_brand"))
+      RingSplit.splitEqualArea(polys, maxAcres = 100.0)
+        .select(col("orig_fid"), col("split_seq"), col("p_brand"))
+        .orderBy("orig_fid", "split_seq")
+    },
+
     // ---- polygon geometry: shoelace area + centroid over real rings --------
     // Irregular pentagon built per part row; the DuckDB oracle reproduces the
     // kernel's exact fold: per-i cross terms, left-fold sums, area = Σ/2,
