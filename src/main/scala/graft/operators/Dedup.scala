@@ -116,18 +116,17 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // Canonical down-pointing edge set (src > dst), materialized ONCE — the
     // upstream lineage (e.g. the LSH pipeline) never re-runs after this.
-    val edges0 = pairs
+    val edges0 = materialize(pairs
       .filter(col("id_a") =!= col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as("src"),
               least(col("id_a"), col("id_b")).as("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var edges = edges0
     var prevCount = edges.count()
     var converged = prevCount == 0L
     var i = 0
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = materialize(smallStar(largeStar(edges)))
       val stats = next
         .join(edges.withColumn("__old", lit(1)), Seq("src", "dst"), "left")
         .agg(count(lit(1)).as("n"), count(col("__old")).as("n_in_old"))
@@ -147,6 +146,13 @@ object Dedup {
     nodes.join(stars, nodes("doc_id") === stars("src"), "left")
       .select(col("doc_id"), coalesce(col("__lbl"), col("doc_id")).as("cluster_id"))
   }
+
+  /** Materialize + truncate lineage: a RELIABLE checkpoint when the session
+    * has a checkpoint dir configured (the cluster path — survives executor
+    * loss), else a local checkpoint (single-JVM dev/test). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   /** Large-star: each node connects its LARGER neighbors to the minimum of
     * its closed neighborhood. Input edges must point down (src > dst); the

@@ -86,6 +86,36 @@ object PolyGeom {
     new GenericArrayData(rings)
   }
 
+  /** Parse `POLYGON ((x y, …), (…))` WKT (case-insensitive tag, flexible
+    * whitespace, scientific notation) back to rings — the decode half of
+    * [[polygonWkt]]. */
+  def ringsOfWkt(wkt: String): ArrayData = {
+    val t = wkt.trim
+    require(t.regionMatches(true, 0, "POLYGON", 0, 7), s"not a WKT polygon: $t")
+    val open = t.indexOf('(')
+    val close = t.lastIndexOf(')')
+    require(open >= 0 && close > open, s"malformed WKT polygon: $t")
+    val body = t.substring(open + 1, close)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < body.length) {
+      val rOpen = body.indexOf('(', i)
+      if (rOpen < 0) i = body.length
+      else {
+        val rClose = body.indexOf(')', rOpen)
+        require(rClose > rOpen, s"unterminated ring in WKT polygon: $t")
+        val pts = body.substring(rOpen + 1, rClose).split(",").map { pair =>
+          val xy = pair.trim.split("\\s+")
+          require(xy.length == 2, s"bad WKT coordinate '$pair'")
+          InternalRow(xy(0).toDouble, xy(1).toDouble): Any
+        }
+        rings += new GenericArrayData(pts)
+        i = rClose + 1
+      }
+    }
+    new GenericArrayData(rings.toArray)
+  }
+
   /** One-pass signed shoelace area + centroid over all rings:
     * struct(area, cx, cy). Degenerate (zero-area) polygons yield NaN
     * centroids (0/0) rather than a fabricated point. */
@@ -120,6 +150,8 @@ object PolyGeom {
     Bridge.column(PolygonWkb(Bridge.expression(rings)))
   def wkbPolygonRings(wkb: Column): Column =
     Bridge.column(WkbPolygonRings(Bridge.expression(wkb)))
+  def wktPolygonRings(wkt: Column): Column =
+    Bridge.column(WktPolygonRings(Bridge.expression(wkt)))
   def polygonStats(rings: Column): Column =
     Bridge.column(PolygonStats(Bridge.expression(rings)))
   /** Absolute polygon area (holes subtracted), winding-independent. */
@@ -200,6 +232,21 @@ case class WkbPolygonRings(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_wkb_polygon_rings"
+}
+
+/** rings: parse a WKT polygon string. */
+case class WktPolygonRings(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string")
+  override def dataType: DataType = PolyGeom.RingsT
+  override def nullSafeEval(wkt: Any): Any =
+    PolyGeom.ringsOfWkt(wkt.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.PolyGeom.ringsOfWkt($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_wkt_polygon_rings"
 }
 
 /** struct<area,cx,cy>: one-pass signed shoelace area + centroid. */

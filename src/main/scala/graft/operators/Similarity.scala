@@ -75,15 +75,37 @@ object Similarity {
   def knnJoin(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, qidCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv")))
-    corpus.crossJoin(q)
+    rankTopK(corpus.crossJoin(q)
       .select(col("qid"), col(idCol),
-        VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
-      .groupBy(col("qid"))
+        VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos")), idCol, k)
+  }
+
+  /** Batch KNN for HUGE query sets (too big to broadcast): both sides get a
+    * sign-LSH bucket, the join is keyed by bucket (ONE bucket shuffle — no
+    * per-query replication of the corpus), then exact top-k within the
+    * shared bucket. Approximate: recall is bounded by bucket collision, the
+    * same trade [[signBucket]] makes for single-query ANN; use more bands
+    * (union several calls with different weight seeds) to raise recall. */
+  def knnJoinBucketed(corpus: DataFrame, queries: DataFrame,
+                      vecCol: String, idCol: String, qidCol: String, k: Int,
+                      weights: Array[Array[Long]]): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), weights).as("__bkt"))
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), weights).as("__bkt"))
+    rankTopK(c.join(q, "__bkt")
+      .select(col("qid"), col(idCol),
+        VectorExprs.cosineF(col("__cv"), col("__qv")).as("cos")), idCol, k)
+  }
+
+  /** Shared ranking tail: bounded-heap top-k per query (map-side partial),
+    * exploded to (qid, id, cos, rn) rows — `ORDER BY cos DESC, id` rank. */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topKByScore(col("cos"), col(idCol), k).as("__tk"))
       .select(col("qid"), posexplode(col("__tk")))
       .select(col("qid"), col("col.id").as(idCol), col("col.cos").as("cos"),
         (col("pos") + 1).cast("int").as("rn"))
-  }
 
   // ---- IVF (inverted-file) ANN --------------------------------------------
 

