@@ -419,6 +419,19 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // ---- S1 front door: arc_to_pandas composed (scan→where→flds→index) -----
+    Q("q47_arc_to_table",
+      """SELECT o_orderkey AS oid, CAST(o_totalprice AS DOUBLE) AS total, o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00' AND o_totalprice > 100000.0
+        |ORDER BY oid""".stripMargin) { (s, dir) =>
+      graft.Graft.arcToTable(s, dir, "orders",
+        indexFld = Some("oid"),
+        flds = Some(Seq(FieldSpec("O_ORDERKEY", "oid"),
+          FieldSpec("o_totalprice", "total"), FieldSpec("O_ORDERSTATUS", "status"))),
+        where = Some("[o_orderdate] >= #6/1/1995# AND \"o_totalprice\" > 100000.0"))
+    },
+
     // ---- S4 sink: write-side coercions + XY→point geometry, read back -------
     Q("q22_xy_point_sink",
       """SELECT CAST(s_suppkey AS INTEGER) AS s_suppkey, s_name,

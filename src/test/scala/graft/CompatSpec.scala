@@ -124,6 +124,34 @@ class CompatSpec extends AnyFunSuite {
       assert(toSparkSql(in) == expected, s"input: $in")
   }
 
+  test("Graft.arcToTable: the composed arc_to_pandas front door (spatial + fill + index)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    Session.withScratch { s =>
+      Seq(
+        (2L, Some("x"), Some(1.0), 0.0, 0.0, 4.0, 2.0, 8.0, 12.0),
+        (1L, None, None, 1.0, 1.0, 3.0, 5.0, 8.0, 12.0))
+        .toDF("id", "tag", "v", "xmin", "ymin", "xmax", "ymax", "area", "length")
+        .select(col("id"), col("tag"), col("v"),
+          struct(col("xmin"), col("ymin"), col("xmax"), col("ymax"),
+                 col("area"), col("length")).as("geom"))
+        .write.mode("overwrite").parquet(s"${s.dir}/feats.parquet")
+      val out = Graft.arcToTable(spark, s.dir, "feats",
+        indexFld = Some("id"), spatial = true)
+      val rows = out.collect()
+      // index sort applied
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // sentinel fill: string '' and numeric -1 for the injected nulls
+      assert(rows(0).getString(1) == "" && rows(0).getDouble(2) == -1.0)
+      // spatial=true derived scalars present and computed from the struct
+      val r1 = rows(0)
+      assert(out.columns.contains("shape_x") && out.columns.contains("shape_area"))
+      assert(r1.getDouble(out.columns.indexOf("shape_x")) == 2.0) // (1+3)/2
+      assert(r1.getDouble(out.columns.indexOf("shape_area")) == 8.0)
+    }
+  }
+
   test("dialect where-strings filter correctly through create_layer") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
