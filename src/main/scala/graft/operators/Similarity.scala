@@ -159,6 +159,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index partitioned by inverted list, so probed searches
+    * prune at the FILE level — a 4096-list index at 100 TB reads
+    * nprobe/4096 of its files, decided by the driver before any task
+    * launches. */
+  def ivfWriteIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  def ivfOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** IVF search against a PARTITIONED index: the probe ranking runs on the
+    * driver over the C pivot scores (tiny by construction), and the probed
+    * list ids become a LITERAL isin filter — static partition pruning, no
+    * join, no scan of unprobed lists. Same results as [[ivfSearch]]. */
+  def ivfSearchPruned(index: DataFrame, pivots: DataFrame, query: DataFrame,
+                      vecCol: String, idCol: String, pivotIdCol: String,
+                      k: Int, nprobe: Int): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("__qv")))
+    val probeCids = pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .select(col("cid"), VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+      .orderBy(col("__pcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .collect().map(_.get(0))
+    index.filter(col("centroid_id").isin(probeCids: _*))
+      .crossJoin(q)
+      .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Intra-block pairwise cosine (IVF-style coarse blocking). */
   def blockedPairsCosine(df: DataFrame, vecCol: String, idCol: String,
                          blockCol: String): DataFrame = {

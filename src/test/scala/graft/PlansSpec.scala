@@ -136,6 +136,31 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), plan)
   }
 
+  test("partitioned IVF index: probed search prunes to the probed lists at file level") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pivots = emb.filter(col("vec_id") < 8)
+    Session.withScratch { s =>
+      val path = s"${s.dir}/ivf_index"
+      Similarity.ivfWriteIndex(
+        Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id"), path)
+      val index = Similarity.ivfOpenIndex(spark, path)
+      val query = emb.filter(col("vec_id") === 0)
+      val pruned = Similarity.ivfSearchPruned(index, pivots, query,
+        "embedding", "vec_id", "vec_id", k = 5, nprobe = 2)
+      // the probed list ids reach the scan as PARTITION filters, not data filters
+      val plan = formatted(pruned)
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(pf.contains("centroid_id"), plan)
+      // same hits as the join-shaped search over the in-memory index
+      val joined = Similarity.ivfSearch(
+        Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id"),
+        pivots, query, "embedding", "vec_id", "vec_id", k = 5, nprobe = 2)
+      assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        joined.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    }
+  }
+
   test("layer views stay lazy: filter through a temp view still reaches the scan") {
     val part = Tables.load(spark, sf, "part")
     graft.operators.Layers.createLayer(spark, part, "plan_probe_layer",
