@@ -48,7 +48,14 @@ object GraftFunctions {
     "graft_split_rect" -> { es => graft.operators.SplitRectGenerator(es) },
     "graft_point_wkb" -> { es => PointWkb(es(0), es(1)) },
     "graft_wkb_x" -> { es => WkbCoord(es(0), isX = true) },
-    "graft_wkb_y" -> { es => WkbCoord(es(0), isX = false) })
+    "graft_wkb_y" -> { es => WkbCoord(es(0), isX = false) },
+    "graft_polygon_wkb" -> { es => graft.operators.PolygonWkb(es(0)) },
+    "graft_wkb_polygon_rings" -> { es => graft.operators.WkbPolygonRings(es(0)) },
+    "graft_wkt_polygon_rings" -> { es => graft.operators.WktPolygonRings(es(0)) },
+    "graft_polygon_stats" -> { es => graft.operators.PolygonStats(es(0)) },
+    "graft_top_k" -> { es =>
+      graft.functions.TopKByScore(es(0), es(1), intLit(es(2), "graft_top_k", "k"))
+        .toAggregateExpression() })
 
   /** Register everything as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

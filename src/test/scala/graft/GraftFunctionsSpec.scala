@@ -62,6 +62,29 @@ class GraftFunctionsSpec extends AnyFunSuite {
     viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("SQL polygon codecs + top-k aggregate match the Column API") {
+    GraftFunctions.register(spark)
+    // WKT → rings → stats, all in SQL
+    val r = spark.sql(
+      """SELECT graft_polygon_stats(graft_wkt_polygon_rings('POLYGON ((0 0, 10 0, 10 10, 0 10))')) AS s"""
+    ).select("s.area", "s.cx", "s.cy").head()
+    assert(r.getDouble(0) == 100.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0)
+    // WKB round-trip in SQL
+    val n = spark.sql(
+      """SELECT size(graft_wkb_polygon_rings(graft_polygon_wkb(
+        |  graft_wkt_polygon_rings('POLYGON ((0 0, 4 0, 0 3))')))[0]) AS np""".stripMargin)
+      .head().getInt(0)
+    assert(n == 3)
+    // bounded top-k as a SQL aggregate
+    spark.range(0, 100).selectExpr("id % 3 AS g", "CAST(id AS DOUBLE) AS s", "id")
+      .createOrReplaceTempView("tk_probe")
+    val tk = spark.sql(
+      "SELECT g, graft_top_k(s, id, 2) AS t FROM tk_probe GROUP BY g ORDER BY g")
+      .selectExpr("g", "t[0].id AS best", "t[1].id AS second").collect()
+    assert(tk.map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSeq ==
+      Seq((0L, 99L, 96L), (1L, 97L, 94L), (2L, 98L, 95L)))
+  }
+
   test("non-literal w/k arguments are rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
