@@ -58,6 +58,24 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup drop: the streaming face of the MinHash/LSH stack.
+    * Each document gets its K-hash MinHash signature (one compiled pass,
+    * [[graft.functions.TextHashExprs.minhashSig]]) and is dropped if ANY
+    * earlier in-watermark document shared the full signature — i.e. the
+    * single-band LSH collision rule, the streaming analog of
+    * [[graft.operators.Dedup.lshCandidatePairs]] with bands=1. State is the
+    * signature set younger than the watermark (K·8 bytes per doc, bounded);
+    * the text itself is never stored. More bands (higher recall) = union
+    * several of these with per-band signature slices. */
+  def nearDupDropStream(docs: DataFrame, textCol: String, tsCol: String,
+                        k: Int = 8, w: Int = 5,
+                        watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__sig",
+        graft.functions.TextHashExprs.minhashSig(col(textCol), w, k))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
+
   // ---- custom state (Spark 4 API): transformWithState ---------------------
 
   /** Per-user running event count via `transformWithState` — the current

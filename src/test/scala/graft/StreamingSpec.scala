@@ -128,6 +128,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup drop: same-signature docs collapse, distinct texts survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.nearDupDropStream(docs, "text", "ts", k = 8, w = 3, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon zeta", ts("2024-01-01 10:00:00")),
+        (2L, "alpha beta gamma delta epsilon zeta", ts("2024-01-01 10:01:00")), // exact dup
+        (3L, "one two three four five six seven", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      mem.addData(
+        (4L, "alpha beta gamma delta epsilon zeta", ts("2024-01-01 10:03:00")), // dup again
+        (5L, "totally different content here now yes", ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val out = spark.table("neardup_out").collect()
+      assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+      // the signature column does not leak into the output
+      assert(!spark.table("neardup_out").columns.contains("__sig"))
+    } finally q.stop()
+  }
+
   test("transformWithState running counts accumulate across microbatches (RocksDB state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
