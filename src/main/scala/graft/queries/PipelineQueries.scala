@@ -313,6 +313,23 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     },
 
+    // ---- similarity: bucketed batch KNN (huge-query-set path) --------------
+    Q("q48_knn_bucketed", {
+      val bktSql = Similarity.signBucketSql("embedding", AnnWeights)
+      s"""WITH b AS (SELECT vec_id, embedding, $bktSql AS bkt FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bkt AS qb FROM b WHERE vec_id < 3),
+         |s AS (SELECT q.qid, b.vec_id, ${cosSql("b.embedding", "q.qv")} AS cos
+         |      FROM b JOIN q ON b.bkt = q.qb),
+         |r AS (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.knnJoinBucketed(emb, emb.filter(col("vec_id") < 3),
+          "embedding", "vec_id", "vec_id", k = 3, weights = AnnWeights)
+        .orderBy("qid", "rn")
+    },
+
     // ---- events: exact distinct-count rollup ------------------------------
     Q("q63_distinct_users",
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
