@@ -113,7 +113,16 @@ object Dedup {
     * every next edge exists in prev — count + containment folded into a
     * single job, no separate per-round `count()` over recomputed lineage.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  /** Edge-count threshold below which clustering runs as a driver-side
+    * union-find instead of the distributed star loop: 1M edges is ~16 MB on
+    * the driver and resolves in milliseconds, where the loop would pay
+    * ~2·log n tiny-job round-trips. The SAME adaptive instinct as Spark's
+    * broadcast threshold; the distributed path is the 100 TB contract and
+    * stays fully exercised in specs (threshold=0). */
+  val DriverUnionFindMaxEdges: Long = 1L << 20
+
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25,
+                        driverThreshold: Long = DriverUnionFindMaxEdges): DataFrame = {
     // Canonical down-pointing edge set (src > dst), materialized ONCE — the
     // upstream lineage (e.g. the LSH pipeline) never re-runs after this.
     val edges0 = materialize(pairs
@@ -123,6 +132,7 @@ object Dedup {
       .distinct())
     var edges = edges0
     var prevCount = edges.count()
+    if (prevCount <= driverThreshold) return driverUnionFind(edges0, prevCount)
     var converged = prevCount == 0L
     var i = 0
     while (!converged && i < maxIters) {
@@ -145,6 +155,34 @@ object Dedup {
     val stars = edges.groupBy(col("src")).agg(min(col("dst")).as("__lbl"))
     nodes.join(stars, nodes("doc_id") === stars("src"), "left")
       .select(col("doc_id"), coalesce(col("__lbl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Small-graph fast path: collect the (already-tiny, already-distinct)
+    * edge list and run path-compressed union-find on the driver — exact
+    * same labels as the distributed fixpoint, in one job + O(E α(E)) local
+    * work. */
+  private def driverUnionFind(edges: DataFrame, count: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long](math.max(16, (count * 2).toInt))
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (parent.getOrDefault(cur, cur) != cur) {
+        val next = parent.get(cur); parent.put(cur, root); cur = next
+      }
+      root
+    }
+    local.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins → label = min reachable id
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = local.flatMap(e => Seq(e._1, e._2)).distinct
+    import spark.implicits._
+    nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
   }
 
   /** Materialize + truncate lineage: a RELIABLE checkpoint when the session

@@ -93,11 +93,15 @@ class PipelineSpec extends AnyFunSuite {
   test("duplicateClusters: transitive chains collapse to the min id (a-b, b-c → one cluster)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("id_a", "id_b")
-    val out = Dedup.duplicateClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)   // chain via 2
-    assert(out(10L) == 10L && out(11L) == 10L)                // separate component
-    assert(Seq(20L, 21L, 22L, 23L).forall(out(_) == 20L))     // longer chain
+    // both paths: driver union-find (small input) and the distributed
+    // star loop (forced with driverThreshold = 0) must agree
+    for (thr <- Seq(Dedup.DriverUnionFindMaxEdges, 0L)) {
+      val out = Dedup.duplicateClusters(pairs, driverThreshold = thr).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)   // chain via 2
+      assert(out(10L) == 10L && out(11L) == 10L)                // separate component
+      assert(Seq(20L, 21L, 22L, 23L).forall(out(_) == 20L))     // longer chain
+    }
   }
 
   test("duplicateClusters: 300-node path converges within maxIters (O(log n), not O(diameter))") {
@@ -105,7 +109,7 @@ class PipelineSpec extends AnyFunSuite {
     // silently mislabel under any practical iteration cap; large-star /
     // small-star collapses it in O(log n) rounds.
     val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.duplicateClusters(pairs).collect()
+    val out = Dedup.duplicateClusters(pairs, driverThreshold = 0).collect()
     assert(out.length == 300)
     assert(out.forall(_.getLong(1) == 1L), out.filter(_.getLong(1) != 1L).take(5).mkString(","))
   }
@@ -121,9 +125,13 @@ class PipelineSpec extends AnyFunSuite {
     def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
     edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
     val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
-    val out = Dedup.duplicateClusters(edges.toDF("id_a", "id_b")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == expected)
+    // distributed star loop and driver union-find both match ground truth
+    for (thr <- Seq(0L, Dedup.DriverUnionFindMaxEdges)) {
+      val out = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"),
+        driverThreshold = thr).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"thr=$thr")
+    }
   }
 
   test("lshCandidatePairs: hot-bucket cap drops degenerate buckets instead of emitting m² pairs") {
@@ -144,7 +152,7 @@ class PipelineSpec extends AnyFunSuite {
     spark.sparkContext.setCheckpointDir(dir)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-      val out = Dedup.duplicateClusters(pairs).collect()
+      val out = Dedup.duplicateClusters(pairs, driverThreshold = 0).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
       // the reliable checkpoint actually wrote to the configured dir
