@@ -118,6 +118,55 @@ case class CosineSim(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_cosine"
 }
 
+/** long: id of the pivot with the max cosine against `left` (ties → smaller
+  * id, NaN ranks greatest — `ORDER BY cos DESC, cid ASC` semantics). `right`
+  * is the PACKED pivot array `array<struct<cid: long|int, cv: array<float|
+  * double>>>` — typically one broadcast row for the whole corpus, so the
+  * entire IVF assignment is this single codegen'd loop: C fused cosines +
+  * running argmax per row, zero allocation, zero shuffle.
+  * Cosines use the exact [[VectorFold]] fold order, so the argmax agrees
+  * bit-for-bit with ranking the individual [[CosineSim]] scores. */
+case class NearestPivot(left: Expression, right: Expression) extends BinaryExpression {
+  private def arrOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def pivotFields: Option[(DataType, DataType)] = right.dataType match {
+    case ArrayType(StructType(Array(cid, cv)), _) => Some((cid.dataType, cv.dataType))
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = pivotFields match {
+    case Some((cidT, cvT)) if arrOk(left.dataType) && arrOk(cvT) &&
+        (cidT == LongType || cidT == IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<struct<cid: long|int, cv: array<float|double>>>), " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def vecFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def cvFloat =
+    pivotFields.get._2.asInstanceOf[ArrayType].elementType == FloatType
+  private def cidInt = pivotFields.get._1 == IntegerType
+
+  override def nullSafeEval(v: Any, p: Any): Any =
+    VectorExprs.nearestPivotOf(v.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData],
+      vecFloat, cvFloat, cidInt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) => {
+      val out = ctx.freshName("cid")
+      s"""
+         |Object $out = graft.functions.VectorExprs.nearestPivotOf($v, $p, $vecFloat, $cvFloat, $cidInt);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $out).longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_nearest_pivot"
+}
+
 object VectorExprs {
   /** Column surface: fused dot over raw float/double array columns. */
   def dotF(a: Column, b: Column): Column =
@@ -125,4 +174,43 @@ object VectorExprs {
   /** Column surface: fused cosine over raw float/double array columns. */
   def cosineF(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  /** Column surface: argmax-cosine pivot id over a packed pivot array. */
+  def nearestPivotF(vec: Column, pivots: Column): Column =
+    Bridge.column(NearestPivot(Bridge.expression(vec), Bridge.expression(pivots)))
+
+  /** Kernel for [[NearestPivot]] (shared by eval and codegen): C cosines
+    * with the [[VectorFold]] fold order + running argmax. Pivots with
+    * mismatched dimension are skipped (a per-pivot null cosine would be
+    * ignored by the ranking anyway); no valid pivot → null. */
+  def nearestPivotOf(vec: ArrayData, pivots: ArrayData,
+                     vecFloat: Boolean, cvFloat: Boolean, cidInt: Boolean): Any = {
+    val n = vec.numElements()
+    val c = pivots.numElements()
+    var bestCid = 0L
+    var bestCos = 0.0
+    var found = false
+    var j = 0
+    while (j < c) {
+      val p = pivots.getStruct(j, 2)
+      val cid = if (cidInt) p.getInt(0).toLong else p.getLong(0)
+      val cv = p.getArray(1)
+      if (cv.numElements() == n) {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          val y = if (cvFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
+          d += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val cos = d / math.sqrt(na * nb)
+        val cmp = java.lang.Double.compare(cos, bestCos)
+        if (!found || cmp > 0 || (cmp == 0 && cid < bestCid)) {
+          found = true; bestCos = cos; bestCid = cid
+        }
+      }
+      j += 1
+    }
+    if (found) java.lang.Long.valueOf(bestCid) else null
+  }
 }

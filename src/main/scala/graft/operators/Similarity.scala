@@ -124,18 +124,17 @@ object Similarity {
                 vecCol: String, idCol: String, pivotIdCol: String): DataFrame = {
     // All C pivots packed into ONE broadcast row; the per-row argmax
     // (max cosine, ties → smallest pivot id, NaN ranks greatest — same
-    // contract as `ORDER BY cos DESC, cid ASC` + rn=1) runs map-side via
-    // array_max over struct(cos, -cid). The old window shape materialized
-    // and SHUFFLED |corpus|·C scored rows just to keep 1-of-C; this keeps
-    // the corpus pipeline shuffle-free end to end.
+    // contract as `ORDER BY cos DESC, cid ASC` + rn=1) runs map-side in a
+    // single fused codegen kernel ([[VectorExprs.nearestPivotF]]): C
+    // cosines + running argmax, zero allocation. The old window shape
+    // materialized and SHUFFLED |corpus|·C scored rows just to keep 1-of-C;
+    // this keeps the corpus pipeline shuffle-free end to end.
     val packed = broadcast(
       pivots.select(struct(col(pivotIdCol).as("cid"), col(vecCol).as("cv")).as("__p"))
         .agg(sort_array(collect_list(col("__p"))).as("__pivs")))
-    val best = array_max(transform(col("__pivs"), p =>
-      struct(VectorExprs.cosineF(col(vecCol), p.getField("cv")).as("c"),
-             (-p.getField("cid")).as("nc"))))
     corpus.crossJoin(packed)
-      .select(col(idCol), col(vecCol), (-best.getField("nc")).as("centroid_id"))
+      .select(col(idCol), col(vecCol),
+        VectorExprs.nearestPivotF(col(vecCol), col("__pivs")).as("centroid_id"))
   }
 
   /** IVF search: rank pivots for the query, probe the best `nprobe`

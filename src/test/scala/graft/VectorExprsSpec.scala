@@ -46,6 +46,27 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(!out(0).isNullAt(0) && out.drop(1).forall(_.isNullAt(0)))
   }
 
+  test("nearestPivotF ≡ argmax over individual cosineF scores (real embeddings)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pivots = emb.filter(col("vec_id") < 8)
+    val packed = broadcast(
+      pivots.select(struct(col("vec_id").as("cid"), col("embedding").as("cv")).as("p"))
+        .agg(sort_array(collect_list(col("p"))).as("pivs")))
+    val fused = emb.crossJoin(packed)
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.nearestPivotF(col("embedding"), col("pivs")).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: score every (vec, pivot) with the scalar kernel and rank
+    val scored = emb.crossJoin(broadcast(pivots.select(col("vec_id").as("pid"), col("embedding").as("pv"))))
+      .select(col("vec_id"), col("pid"),
+        graft.functions.VectorExprs.cosineF(col("embedding"), col("pv")).as("cos"))
+      .collect().groupBy(_.getLong(0)).map { case (v, rows) =>
+        v -> rows.minBy(r => (-r.getDouble(2), r.getLong(1))).getLong(1)
+      }
+    assert(fused == scored)
+  }
+
   test("interpreted eval path agrees with codegen (mixed double/float sides)") {
     val w = array(lit(0.5), lit(-1.25), lit(2.0))
     val df = spark.sql("SELECT array(1.0F, 2.0F, 3.0F) AS v")
