@@ -53,6 +53,8 @@ object GraftFunctions {
     "graft_wkb_polygon_rings" -> { es => graft.operators.WkbPolygonRings(es(0)) },
     "graft_wkt_polygon_rings" -> { es => graft.operators.WktPolygonRings(es(0)) },
     "graft_polygon_stats" -> { es => graft.operators.PolygonStats(es(0)) },
+    "graft_rings_clip_rect" -> { es =>
+      graft.operators.RingsClipRect(es(0), es(1), es(2), es(3), es(4)) },
     "graft_nearest_pivot" -> { es => graft.functions.NearestPivot(es(0), es(1)) },
     "graft_top_k" -> { es =>
       graft.functions.TopKByScore(es(0), es(1), intLit(es(2), "graft_top_k", "k"))

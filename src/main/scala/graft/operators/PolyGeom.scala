@@ -144,6 +144,28 @@ object PolyGeom {
     InternalRow(area, cx6 / (6.0 * area), cy6 / (6.0 * area))
   }
 
+  /** Clip rings to an axis-aligned rectangle: four Sutherland–Hodgman
+    * half-plane passes ([[RingSplit.Poly.clipHalfPlane]] — the same kernel
+    * the tessellation splitter uses, the reference's `clip(extent)`).
+    * Degenerate result → empty rings array. */
+  def clipRectOf(rings: ArrayData, xmin: Double, ymin: Double,
+                 xmax: Double, ymax: Double): ArrayData = {
+    val nRings = rings.numElements()
+    val in = (0 until nRings).map { r =>
+      val ring = rings.getArray(r)
+      (0 until ring.numElements()).map { i =>
+        val p = ring.getStruct(i, 2); (p.getDouble(0), p.getDouble(1))
+      }
+    }
+    val clipped = RingSplit.Poly(in.toIndexedSeq)
+      .clipHalfPlane(vertical = true, xmax, keepBelow = true)
+      .clipHalfPlane(vertical = true, xmin, keepBelow = false)
+      .clipHalfPlane(vertical = false, ymax, keepBelow = true)
+      .clipHalfPlane(vertical = false, ymin, keepBelow = false)
+    new GenericArrayData(clipped.rings.map(r =>
+      new GenericArrayData(r.map { case (x, y) => InternalRow(x, y): Any }.toArray): Any).toArray)
+  }
+
   // ---- Column surface ------------------------------------------------------
 
   def polygonWkb(rings: Column): Column =
@@ -152,6 +174,10 @@ object PolyGeom {
     Bridge.column(WkbPolygonRings(Bridge.expression(wkb)))
   def wktPolygonRings(wkt: Column): Column =
     Bridge.column(WktPolygonRings(Bridge.expression(wkt)))
+  def clipRect(rings: Column, xmin: Column, ymin: Column,
+               xmax: Column, ymax: Column): Column =
+    Bridge.column(RingsClipRect(Bridge.expression(rings), Bridge.expression(xmin),
+      Bridge.expression(ymin), Bridge.expression(xmax), Bridge.expression(ymax)))
   def polygonStats(rings: Column): Column =
     Bridge.column(PolygonStats(Bridge.expression(rings)))
   /** Absolute polygon area (holes subtracted), winding-independent. */
@@ -247,6 +273,30 @@ case class WktPolygonRings(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_wkt_polygon_rings"
+}
+
+/** rings: clip to an axis-aligned rectangle (Sutherland–Hodgman ×4). */
+case class RingsClipRect(rings: Expression, xmin: Expression, ymin: Expression,
+                         xmax: Expression, ymax: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+  override def children: Seq[Expression] = Seq(rings, xmin, ymin, xmax, ymax)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PolyGeom.isRingsType(rings.dataType) &&
+        Seq(xmin, ymin, xmax, ymax).forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (rings, double, double, double, double)")
+  override def dataType: DataType = PolyGeom.RingsT
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(r: Any, x0: Any, y0: Any, x1: Any, y1: Any): Any =
+    PolyGeom.clipRectOf(r.asInstanceOf[ArrayData], x0.asInstanceOf[Double],
+      y0.asInstanceOf[Double], x1.asInstanceOf[Double], y1.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, x0, y0, x1, y1) =>
+      s"graft.operators.PolyGeom.clipRectOf($r, $x0, $y0, $x1, $y1)")
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(rings = c(0), xmin = c(1), ymin = c(2), xmax = c(3), ymax = c(4))
+  override def prettyName: String = "graft_rings_clip_rect"
 }
 
 /** struct<area,cx,cy>: one-pass signed shoelace area + centroid. */

@@ -76,6 +76,28 @@ object Streams {
       .dropDuplicatesWithinWatermark(Seq("__sig"))
       .drop("__sig")
 
+  /** Stream-stream equi-join with an event-time bound: a right-side row
+    * matches left-side rows whose timestamp is in
+    * `[right.ts − within, right.ts]` (the click-joins-impression pattern).
+    * Watermarks on BOTH inputs + the time-range predicate let Spark bound
+    * the join state: buffered rows older than watermark + bound are evicted,
+    * so an unbounded stream joins in bounded memory. Column names must be
+    * disjoint apart from the key. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       within: String = "1 hour",
+                       watermark: String = "1 hour",
+                       joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"interval $within"),
+      joinType)
+  }
+
   // ---- custom state (Spark 4 API): transformWithState ---------------------
 
   /** Per-user running event count via `transformWithState` — the current

@@ -119,6 +119,27 @@ class PolyGeomSpec extends AnyFunSuite {
     }
   }
 
+  test("clipRect: exact rectangle intersection; empty when disjoint; SQL surface agrees") {
+    val df = ringsDf(Seq(square)) // 10×10 at origin
+    val clipped = df.select(
+      PolyGeom.polygonStats(PolyGeom.clipRect(col("rings"),
+        lit(5.0), lit(5.0), lit(20.0), lit(20.0))).as("s"))
+      .select("s.area", "s.cx", "s.cy").head()
+    assert(clipped.getDouble(0) == 25.0)  // overlap square [5,10]×[5,10]
+    assert(clipped.getDouble(1) == 7.5 && clipped.getDouble(2) == 7.5)
+    // disjoint clip → empty rings
+    assert(df.select(size(PolyGeom.clipRect(col("rings"),
+      lit(50.0), lit(50.0), lit(60.0), lit(60.0)))).head().getInt(0) == 0)
+    // same through SQL
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("clip_probe")
+    val viaSql = spark.sql(
+      """SELECT graft_polygon_stats(
+        |  graft_rings_clip_rect(rings, 5.0D, 5.0D, 20.0D, 20.0D)).area AS a
+        |FROM clip_probe""".stripMargin).head().getDouble(0)
+    assert(viaSql == 25.0)
+  }
+
   test("CRS + encoding metadata ride the geometry column through the parquet sink") {
     Session.withScratch { s =>
       val df = ringsDf(Seq(square)).select(col("id"),

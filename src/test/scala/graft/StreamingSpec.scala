@@ -128,6 +128,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: matches within the time bound, drops outside, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.streamStreamJoin(
+      imps.toDF().toDF("imp_id", "imp_ts"),
+      clicks.toDF().toDF("click_id", "click_ts", "what"),
+      "imp_id", "click_id", "imp_ts", "click_ts",
+      within = "10 minutes", watermark = "10 minutes")
+    val q = joined.select("imp_id", "what")
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00"), "in-window"),     // +5m → joins
+        (2L, ts("2024-01-01 10:30:00"), "too-late"),      // +30m → outside bound
+        (3L, ts("2024-01-01 10:06:00"), "no-impression")) // key never seen
+      q.processAllAvailable()
+      val out = spark.table("ssj_out").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.toSeq == Seq((1L, "in-window")))
+    } finally q.stop()
+  }
+
   test("streaming near-dup drop: same-signature docs collapse, distinct texts survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
