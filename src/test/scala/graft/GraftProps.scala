@@ -73,4 +73,53 @@ object GraftProps extends Properties("graft") {
       val wkb = GeomCodec.pointWkbBytes(x, y)
       GeomCodec.wkbPointXOf(wkb) == x && GeomCodec.wkbPointYOf(wkb) == y
     }
+
+  property("WhereDialect.toSparkSql is idempotent (translated output re-translates to itself)") =
+    forAll(Gen.oneOf(
+      Gen.const("[a_field] > 5 AND \"Other\" = 'x [y]'"),
+      Gen.const("[d] >= #3/15/1995# OR tag LIKE '%#x%'"),
+      Gen.const("plain > 1 AND s = 'it''s'"),
+      genText.map(t => s"name = '${t.replace("'", "''")}'"))) { w =>
+      val once = graft.operators.WhereDialect.toSparkSql(w)
+      graft.operators.WhereDialect.toSparkSql(once) == once
+    }
+
+  property("TopKHeap keeps exactly the k best by (score desc, id asc) — matches full sort") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0L, 50L))),
+           Gen.choose(1, 8)) { (xs0, k) =>
+      val xs = xs0.distinctBy(_._2) // unique ids like real corpus rows
+      val h = new graft.functions.TopKHeap(k)
+      xs.foreach { case (s, i) => h.insert(s, i) }
+      val got = h.q.toArray.sorted(graft.functions.TopKHeap.ByQuality).toSeq
+      val want = xs.sorted(graft.functions.TopKHeap.ByQuality).take(k)
+      got == want
+    }
+
+  // SIMPLE (non-self-intersecting) rings: random points ordered by angle
+  // around their centroid → star-shaped polygon. Area laws below require
+  // simplicity — on a self-intersecting ring |signed area| is not monotone
+  // under clipping (removing a negative lobe grows the abs), which this
+  // property suite itself demonstrated on the naive generator.
+  private val genRing: Gen[IndexedSeq[(Double, Double)]] = for {
+    n <- Gen.choose(3, 9)
+    pts <- Gen.listOfN(n, Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(-100.0, 100.0)))
+  } yield {
+    val cx = pts.map(_._1).sum / pts.length
+    val cy = pts.map(_._2).sum / pts.length
+    pts.distinct.sortBy { case (x, y) => math.atan2(y - cy, x - cx) }.toIndexedSeq
+  }
+
+  property("clipRect never grows area; clipping to the extent is identity-area") =
+    forAll(genRing) { ring =>
+      val poly = graft.operators.RingSplit.Poly(IndexedSeq(ring))
+      val (x0, y0, x1, y1) = poly.extent
+      val clippedToSelf = poly
+        .clipHalfPlane(vertical = true, x1, keepBelow = true)
+        .clipHalfPlane(vertical = true, x0, keepBelow = false)
+        .clipHalfPlane(vertical = false, y1, keepBelow = true)
+        .clipHalfPlane(vertical = false, y0, keepBelow = false)
+      val shrunk = poly.clipHalfPlane(vertical = true, (x0 + x1) / 2, keepBelow = true)
+      math.abs(clippedToSelf.area - poly.area) <= 1e-9 * math.max(poly.area, 1.0) &&
+        shrunk.area <= poly.area + 1e-9
+    }
 }
