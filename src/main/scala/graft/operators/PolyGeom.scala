@@ -63,27 +63,49 @@ object PolyGeom {
     bb.array()
   }
 
-  /** Decode a WKB polygon back to rings (accepts either byte order). */
+  /** Decode a WKB polygon (type 3) OR multipolygon (type 6) back to rings,
+    * either byte order. A multipolygon flattens into the single rings model
+    * — each member polygon's rings concatenate in order, which keeps the
+    * signed-shoelace area/centroid exact (disjoint members all contribute
+    * with their own winding). */
   def ringsOf(wkb: Array[Byte]): ArrayData = {
     val bb = java.nio.ByteBuffer.wrap(wkb)
-    val order =
-      if (bb.get() == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
-      else java.nio.ByteOrder.BIG_ENDIAN
-    bb.order(order)
-    val geomType = bb.getInt()
-    require(geomType == 3, s"not a WKB polygon (type $geomType)")
-    val nRings = bb.getInt()
-    val rings = new Array[Any](nRings)
-    var r = 0
-    while (r < nRings) {
-      val n = bb.getInt()
-      val pts = new Array[Any](n)
-      var i = 0
-      while (i < n) { pts(i) = InternalRow(bb.getDouble(), bb.getDouble()); i += 1 }
-      rings(r) = new GenericArrayData(pts)
-      r += 1
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def readPolygonBody(): Unit = {
+      val nRings = bb.getInt()
+      var r = 0
+      while (r < nRings) {
+        val n = bb.getInt()
+        val pts = new Array[Any](n)
+        var i = 0
+        while (i < n) { pts(i) = InternalRow(bb.getDouble(), bb.getDouble()); i += 1 }
+        rings += new GenericArrayData(pts)
+        r += 1
+      }
     }
-    new GenericArrayData(rings)
+    def readHeader(): Int = {
+      val order =
+        if (bb.get() == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN
+      bb.order(order)
+      bb.getInt()
+    }
+    readHeader() match {
+      case 3 => readPolygonBody()
+      case 6 =>
+        val nPolys = bb.getInt()
+        var p = 0
+        while (p < nPolys) {
+          // each member polygon repeats its own byte-order + type header
+          val t = readHeader()
+          require(t == 3, s"multipolygon member has WKB type $t, expected 3")
+          readPolygonBody()
+          p += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"not a WKB polygon/multipolygon (type $other)")
+    }
+    new GenericArrayData(rings.toArray)
   }
 
   /** Parse `POLYGON ((x y, …), (…))` WKT (case-insensitive tag, flexible

@@ -55,6 +55,24 @@ class PolyGeomSpec extends AnyFunSuite {
     assert(bb.getInt() == 4)                           // 4 pts in outer
   }
 
+  test("MultiPolygon WKB (type 6) flattens to rings; area sums the members") {
+    // two disjoint unit squares, CCW, LE encoding with per-member headers
+    def squareAt(x0: Double): Seq[(Double, Double)] =
+      Seq((x0, 0.0), (x0 + 1, 0.0), (x0 + 1, 1.0), (x0, 1.0))
+    val bb = java.nio.ByteBuffer.allocate(9 + 2 * (9 + 4 + 4 * 16))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(6).putInt(2)
+    Seq(0.0, 5.0).foreach { x0 =>
+      bb.put(1.toByte).putInt(3).putInt(1).putInt(4)
+      squareAt(x0).foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+    }
+    import spark.implicits._
+    val df = Seq(bb.array()).toDF("wkb")
+      .select(PolyGeom.wkbPolygonRings(col("wkb")).as("rings"))
+    assert(df.select(size(col("rings"))).head().getInt(0) == 2)
+    assert(df.select(PolyGeom.polygonArea(col("rings"))).head().getDouble(0) == 2.0)
+  }
+
   test("big-endian WKB decodes too") {
     val bb = java.nio.ByteBuffer.allocate(9 + 4 + 3 * 16) // 1 ring, 3 pts
     bb.put(0.toByte).putInt(3).putInt(1).putInt(3)

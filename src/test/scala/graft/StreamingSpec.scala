@@ -152,6 +152,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched left rows emit null-padded after the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.streamStreamJoin(
+      imps.toDF().toDF("imp_id", "imp_ts"),
+      clicks.toDF().toDF("click_id", "click_ts", "what"),
+      "imp_id", "click_id", "imp_ts", "click_ts",
+      within = "10 minutes", watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.select("imp_id", "what")
+      .writeStream.format("memory").queryName("ssj_outer_out").outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData((1L, ts("2024-01-01 10:05:00"), "clicked"))
+      q.processAllAvailable()
+      // advance BOTH inputs' event time far past the bound so the global
+      // watermark closes imp 2's join window, then run follow-up batches
+      imps.addData((9L, ts("2024-01-01 12:00:00")))
+      clicks.addData((8L, ts("2024-01-01 12:00:00"), "late"))
+      q.processAllAvailable()
+      imps.addData((10L, ts("2024-01-01 12:30:00")))
+      clicks.addData((11L, ts("2024-01-01 12:30:00"), "later"))
+      q.processAllAvailable()
+      val out = spark.table("ssj_outer_out").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(out.contains((1L, Some("clicked"))))
+      assert(out.contains((2L, None))) // unmatched → null-padded once closed
+    } finally q.stop()
+  }
+
   test("streaming near-dup drop: same-signature docs collapse, distinct texts survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
