@@ -235,6 +235,27 @@ object PolyGeom {
       concat_ws(",", transform(rings, ringJson _)),
       lit(s"""],"spatialReference":{"wkid":$wkid}}"""))
 
+  private val geoJsonSchema = StructType(Seq(StructField("coordinates",
+    ArrayType(ArrayType(ArrayType(DoubleType))))))
+  private val esriJsonSchema = StructType(Seq(StructField("rings",
+    ArrayType(ArrayType(ArrayType(DoubleType))))))
+
+  private def nestedToRings(coords: Column): Column =
+    transform(coords, r => transform(r, p =>
+      struct(element_at(p, 1).as("x"), element_at(p, 2).as("y"))))
+
+  /** Parse GeoJSON `{"type":"Polygon","coordinates":[…]}` back to rings —
+    * the decode half of [[polygonGeoJson]]. Declarative (`from_json`), so
+    * it stays inside codegen and malformed input yields null, matching
+    * Spark's JSON semantics. */
+  def geoJsonPolygonRings(json: Column): Column =
+    nestedToRings(from_json(json, geoJsonSchema).getField("coordinates"))
+
+  /** Parse EsriJSON `{"rings":[…], "spatialReference":…}` back to rings —
+    * the decode half of [[polygonEsriJson]]. */
+  def esriJsonPolygonRings(json: Column): Column =
+    nestedToRings(from_json(json, esriJsonSchema).getField("rings"))
+
   /** Attach the reference's geometry field metadata (encoding + CRS WKT,
     * `arc_utils.py:1104-1112`) to a geometry column; survives the parquet
     * sink like every field-metadata key ([[Sinks.EncodingKey]]). */

@@ -120,6 +120,20 @@ class PolyGeomSpec extends AnyFunSuite {
     assert(coords == Seq(1.0, 0.0))
   }
 
+  test("GeoJSON / EsriJSON parse: every text codec round-trips") {
+    val df = ringsDf(Seq(squareWithHole))
+    val gj = df.select(col("rings"),
+      PolyGeom.geoJsonPolygonRings(PolyGeom.polygonGeoJson(col("rings"))).as("rt"))
+    assert(gj.filter(not(col("rt") === col("rings"))).count() == 0)
+    val ej = df.select(col("rings"),
+      PolyGeom.esriJsonPolygonRings(PolyGeom.polygonEsriJson(col("rings"), 4326)).as("rt"))
+    assert(ej.filter(not(col("rt") === col("rings"))).count() == 0)
+    // malformed input → null, Spark JSON semantics
+    import spark.implicits._
+    assert(Seq("not json").toDF("j")
+      .select(PolyGeom.geoJsonPolygonRings(col("j"))).head().isNullAt(0))
+  }
+
   test("WKT parse: round-trips the WKT codec, tolerates case/whitespace, rejects junk") {
     val df = ringsDf(Seq(squareWithHole))
     // encode → parse → identical rings
