@@ -22,17 +22,20 @@ object Bench {
     Tables.All.foreach(t => Tables.load(spark, sfDir, t).count())
     Tables.load(spark, sfDir, "orders")
       .groupBy(col("o_custkey")).count().orderBy(desc("count")).limit(5).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Declared Seq order (NOT Map hash order): iteration order is stable
+    // across JVMs, so per-query timings see the same cache-warmth context
+    // run over run and round-over-round deltas are comparable.
+    val results = SparkEntry.packs.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal rounding keeps the single JSON line short enough to survive
     // the driver's bounded tail capture (full-precision doubles overflowed it).
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Session.clearScratch() // C5 janitor: sink queries leave scratch dirs
     spark.stop()

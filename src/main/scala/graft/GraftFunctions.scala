@@ -46,6 +46,7 @@ object GraftFunctions {
       graft.functions.CharShingleHashes(es(0),
         intLit(es(1), "graft_char_shingle_hashes", "n")) },
     "graft_split_rect" -> { es => graft.operators.SplitRectGenerator(es) },
+    "graft_split_rings" -> { es => graft.operators.SplitRingsGenerator(es) },
     "graft_point_wkb" -> { es => PointWkb(es(0), es(1)) },
     "graft_wkb_x" -> { es => WkbCoord(es(0), isX = true) },
     "graft_wkb_y" -> { es => WkbCoord(es(0), isX = false) },
@@ -55,10 +56,16 @@ object GraftFunctions {
     "graft_polygon_stats" -> { es => graft.operators.PolygonStats(es(0)) },
     "graft_rings_clip_rect" -> { es =>
       graft.operators.RingsClipRect(es(0), es(1), es(2), es(3), es(4)) },
+    "graft_png_encode" -> { es => graft.operators.PngEncode(es(0)) },
+    "graft_png_pixels" -> { es => graft.operators.PngPixels(es(0)) },
+    "graft_png_resize" -> { es => graft.operators.PngResize(es(0), es(1), es(2)) },
+    "graft_gray_hist16" -> { es => graft.operators.GrayHist16(es(0), es(1)) },
     "graft_nearest_pivot" -> { es => graft.functions.NearestPivot(es(0), es(1)) },
     "graft_top_k" -> { es =>
       graft.functions.TopKByScore(es(0), es(1), intLit(es(2), "graft_top_k", "k"))
-        .toAggregateExpression() })
+        .toAggregateExpression() },
+    "graft_vector_mean" -> { es =>
+      graft.functions.VectorMean(es(0)).toAggregateExpression() })
 
   /** Register everything as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -32,13 +32,23 @@ object Dedup {
 
   /** Corpus-level exact dedup: returns the FULL surviving rows (lowest id
     * per content digest) — the `dropDuplicates`-shaped face of [[exact]].
-    * One shuffle keyed by the 16-byte digest; full text never compared. */
+    *
+    * Shape: survivor ids via `groupBy(digest).agg(min(id))` — the exchange
+    * carries only (16-byte digest, id), never the text (PlansSpec asserts
+    * this) — then a left-semi join back on id. The earlier window
+    * formulation (`row_number over partition by md5(text)`) sorted FULL
+    * rows through one exchange: the whole corpus text through a shuffle at
+    * 100 TB. Here the corpus side still streams once through the join, but
+    * Spark can inject a runtime bloom/InSubquery filter on `id`, and with a
+    * bucketed or id-partitioned corpus the join exchange disappears
+    * entirely — the window shape can never avoid it. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val survivors = df
+      .select(md5(col(textCol)).as("__digest"), col(idCol).as("__sid"))
+      .groupBy(col("__digest"))
+      .agg(min(col("__sid")).as("__sid"))
+      .select(col("__sid"))
+    df.join(survivors, df(idCol) === survivors("__sid"), "left_semi")
   }
 
   /** Per-row MinHash signature columns m1..mK over word-w-gram shingles.

@@ -5,20 +5,23 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing (north-star pack).
+/** Multimodal column operators (north-star pack).
   *
   * Media (image/audio/video) are opaque `binary` columns plus a typed
-  * metadata struct. The Spark-side plumbing — schema, batch iteration,
-  * partition-level processing, output shape — is real and tested; the actual
-  * codec step is STUBBED (media libraries are not in this container) behind
-  * [[decodeStub]]: a clearly-marked deterministic fake that derives "features"
-  * from the raw bytes. Swapping in a real decoder means replacing only the
-  * body of the stub; every schema/partitioning decision stays.
+  * metadata struct. The image path is REAL end to end: [[asMedia]] renders
+  * the payload as an actual grayscale PNG ([[MediaCodec.encodePng]], JDK
+  * `javax.imageio`), and every downstream operator — frame sampling, feature
+  * extraction, resize — runs on genuinely decoded pixels
+  * ([[MediaCodec.decodePixels]]). The canonical layout (payload bytes laid
+  * row-major into a ceil-sqrt grid, PNG being lossless) makes decoded pixels
+  * a pure function of the source bytes, which is what lets the DuckDB oracle
+  * check frame samples (q70) and histogram features (q71) bit-exactly.
   *
-  * Scale: decode runs per-partition with batch amortization (mapPartitions),
-  * no shuffle. At 100 TB the binary payloads dominate I/O — partition sizing
-  * comes from `spark.sql.files.maxPartitionBytes`, and decode-heavy stages
-  * should be repartitioned to core count before the map, never after.
+  * Scale: encode/decode/features are per-row codegen'd expressions or
+  * per-partition maps — no shuffle anywhere in the pack. At 100 TB the
+  * binary payloads dominate I/O: partition sizing comes from
+  * `spark.sql.files.maxPartitionBytes`, and decode-heavy stages should be
+  * repartitioned to core count before the map, never after.
   */
 object Multimodal {
 
@@ -26,84 +29,87 @@ object Multimodal {
     StructField("media_type", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("n_frames", IntegerType)))
+    StructField("n_frames", IntegerType),
+    StructField("n_bytes", IntegerType)))
 
-  /** Attach a binary payload + metadata struct from a string column (the
-    * fixture corpus has no real media; text bytes stand in as payload).
+  /** Attach a real PNG payload + metadata struct from a string column (the
+    * fixture corpus has no media files; text bytes are the pixel source).
+    * width/height mirror [[MediaCodec.gridW]]/[[MediaCodec.gridH]] in SQL
+    * (`ceil(sqrt(n))` / `ceil(n/w)` on small ints — exact in double);
+    * MultimodalSpec asserts they equal the decoded image's dimensions.
     * Frame count uses explicit floor() so the oracle's integer semantics
     * match exactly (DuckDB CAST rounds; floor-then-cast truncates in both). */
-  def asMedia(df: DataFrame, srcCol: String, mediaType: String): DataFrame =
-    df.withColumn("media_bytes", encode(col(srcCol), "UTF-8"))
+  def asMedia(df: DataFrame, srcCol: String, mediaType: String): DataFrame = {
+    val raw = encode(col(srcCol), "UTF-8")
+    val nb = length(raw).cast(IntegerType)
+    val w = greatest(ceil(sqrt(nb.cast(DoubleType))).cast(IntegerType), lit(1))
+    val h = greatest(ceil(nb.cast(DoubleType) / w.cast(DoubleType)).cast(IntegerType), lit(1))
+    df.withColumn("media_bytes", MediaExprs.pngEncode(raw))
       .withColumn("media_meta", struct(
         lit(mediaType).as("media_type"),
-        (length(col(srcCol)) % 1024).cast(IntegerType).as("width"),
-        (length(col(srcCol)) % 768).cast(IntegerType).as("height"),
+        w.as("width"), h.as("height"),
         greatest(floor(length(col(srcCol)) / lit(100.0)).cast(IntegerType), lit(1))
-          .as("n_frames")))
+          .as("n_frames"),
+        nb.as("n_bytes")))
+  }
 
-  /** STUB decode: deterministic fake "decoded frame" = (frame index, byte at
-    * a fixed stride, rolling checksum over all bytes seeded by the frame
-    * index). A real implementation would decode `media_bytes` with an
-    * image/audio codec here — *** STUB: the container has no media libs;
-    * everything around it (schema, batching, partitioning) is real. *** */
-  def decodeStub(bytes: Array[Byte], nFrames: Int): Seq[(Int, Int, Long)] = {
-    if (bytes.isEmpty) return Seq((0, 0, 0L))
-    val stride = math.max(bytes.length / math.max(nFrames, 1), 1)
+  /** Frame extraction over DECODED pixels: frame f samples the pixel at a
+    * fixed stride and carries a rolling checksum over the payload pixels
+    * seeded by the frame index (padding pixels beyond `nBytes` excluded —
+    * they are grid fill, not payload). */
+  def decodeFrames(pixels: Array[Byte], nBytes: Int, nFrames: Int): Seq[(Int, Int, Long)] = {
+    if (nBytes <= 0) return Seq((0, 0, 0L))
+    val stride = math.max(nBytes / math.max(nFrames, 1), 1)
     (0 until nFrames).map { f =>
-      val b = java.lang.Byte.toUnsignedInt(bytes((f * stride) % bytes.length))
-      val checksum = bytes.foldLeft(f.toLong)(
-        (acc, x) => (acc * 31 + java.lang.Byte.toUnsignedInt(x)) % 1000000007L)
-      (f, b, checksum)
+      val b = java.lang.Byte.toUnsignedInt(pixels((f * stride) % nBytes))
+      var acc = f.toLong
+      var i = 0
+      while (i < nBytes) {
+        acc = (acc * 31 + java.lang.Byte.toUnsignedInt(pixels(i))) % 1000000007L
+        i += 1
+      }
+      (f, b, acc)
     }
   }
 
-  /** STUB feature extraction: 16-dim "embedding" = normalized 16-bucket byte
-    * histogram. *** STUB: a real implementation decodes pixels/samples and
-    * runs a feature model here; schema (array<float>) and the
-    * partition-local batch loop are the real plumbing. *** */
-  def featureStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
-    if (bytes.isEmpty) return hist
-    var i = 0
-    while (i < bytes.length) {
-      hist(java.lang.Byte.toUnsignedInt(bytes(i)) >> 4) += 1f
-      i += 1
-    }
-    var j = 0
-    while (j < 16) { hist(j) /= bytes.length; j += 1 }
-    hist
-  }
-
-  /** Feature extraction over media rows: (id, media_bytes) → (id,
-    * features array<float>). Runs per-partition, no shuffle; output feeds the
+  /** Feature extraction over media rows: (id, media_bytes, media_meta) →
+    * (id, features array<float>) where features is the normalized 16-bucket
+    * gray histogram of the decoded image. Fully columnar — PNG decode and
+    * histogram are codegen'd expressions ([[MediaExprs]]), so the stage has
+    * no shuffle and stays inside whole-stage codegen. Output feeds the
     * [[Similarity]] pack directly (same Array[Float] embedding shape). */
   def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
-    val bytesIdx = df.schema.fieldIndex("media_bytes")
-    val outSchema = StructType(Seq(
-      df.schema.fields(idIdx),
-      StructField("features", ArrayType(FloatType, containsNull = false))))
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { row =>
-        Row(row.get(idIdx), featureStub(row.getAs[Array[Byte]](bytesIdx)).toSeq)
-      }
-    }
+    val nb = col("media_meta.n_bytes")
+    val hist = MediaExprs.grayHist16(MediaExprs.pngPixels(col("media_bytes")), nb)
+    df.select(col(idCol),
+      transform(hist, c =>
+          (c.cast(DoubleType) / greatest(nb, lit(1)).cast(DoubleType)).cast(FloatType))
+        .as("features"))
   }
 
-  /** STUB resize: updates width/height metadata and truncates the payload to
-    * the implied byte budget. *** STUB: a real implementation re-encodes
-    * pixels; the metadata/schema contract is the real plumbing. *** */
+  /** Exact integer histogram counts (the oracle-checkable face of
+    * [[extractFeatures]]): (id, hist array<long>) over decoded pixels. */
+  def histogram16(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      MediaExprs.grayHist16(MediaExprs.pngPixels(col("media_bytes")),
+        col("media_meta.n_bytes")).as("hist"))
+
+  /** Real resize: nearest-neighbor resample of the decoded image re-encoded
+    * as PNG ([[MediaCodec.resizePng]]), with the metadata struct updated to
+    * the new geometry (payload now fills the whole grid → n_bytes = w·h). */
   def resize(df: DataFrame, newW: Int, newH: Int): DataFrame =
-    df.withColumn("media_meta", struct(
+    df.withColumn("media_bytes",
+        MediaExprs.pngResize(col("media_bytes"), lit(newW), lit(newH)))
+      .withColumn("media_meta", struct(
         col("media_meta.media_type").as("media_type"),
         lit(newW).as("width"), lit(newH).as("height"),
-        col("media_meta.n_frames").as("n_frames")))
-      .withColumn("media_bytes",
-        expr(s"substring(media_bytes, 1, greatest($newW * $newH / 256, 1))"))
+        col("media_meta.n_frames").as("n_frames"),
+        lit(newW * newH).as("n_bytes")))
 
-  /** Frame sampling: decode each media row into frame rows (1 → N) with
-    * partition-local batching. Output: (id, frame_idx, sample_byte, checksum). */
+  /** Frame sampling: decode each media row's PNG into frame rows (1 → N)
+    * with partition-local batching (mapPartitions — the decode is real
+    * `ImageIO` work per row; no shuffle). Output:
+    * (id, frame_idx, sample_byte, checksum). */
   def sampleFrames(df: DataFrame, idCol: String, everyN: Int = 1): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
     val bytesIdx = df.schema.fieldIndex("media_bytes")
@@ -116,9 +122,11 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.flatMap { row =>
-        val bytes = row.getAs[Array[Byte]](bytesIdx)
-        val nFrames = row.getStruct(metaIdx).getInt(3)
-        decodeStub(bytes, nFrames).zipWithIndex.collect {
+        val meta = row.getStruct(metaIdx)
+        val nFrames = meta.getInt(3)
+        val nBytes = meta.getInt(4)
+        val pixels = MediaCodec.decodePixels(row.getAs[Array[Byte]](bytesIdx))
+        decodeFrames(pixels, nBytes, nFrames).zipWithIndex.collect {
           case ((f, b, c), i) if i % everyN == 0 =>
             Row(row.get(idIdx), f, b, c)
         }

@@ -137,6 +137,30 @@ object Similarity {
         VectorExprs.nearestPivotF(col(vecCol), col("__pivs")).as("centroid_id"))
   }
 
+  /** One-or-more Lloyd refinement passes over the pivot set: assign every
+    * corpus vector to its nearest pivot (the same map-side fused argmax as
+    * [[ivfAssign]] — zero corpus shuffle), then recenter each inverted list
+    * on its elementwise mean via [[graft.functions.VectorMean]] (a
+    * TypedImperativeAggregate: partial dim-double buffers map-side, the
+    * exchange carries one buffer per list per task, never the vectors).
+    * Centroid ids keep the id of the pivot whose list they recenter; lists
+    * that end up empty drop out. The deterministic pivot path stays the
+    * default/oracle ([[ivfAssign]] docs) — this is the offline refinement
+    * that doc promises, improving list balance/recall on clustered data
+    * (SimilaritySpec pins the recall improvement on a crafted fixture). */
+  def ivfRefinePivots(corpus: DataFrame, pivots: DataFrame,
+                      vecCol: String, idCol: String, pivotIdCol: String,
+                      iters: Int = 1): DataFrame = {
+    var cur = pivots.select(col(pivotIdCol), col(vecCol))
+    for (_ <- 1 to iters) {
+      cur = ivfAssign(corpus, cur, vecCol, idCol, pivotIdCol)
+        .groupBy(col("centroid_id"))
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col(vecCol)).as(vecCol))
+        .select(col("centroid_id").as(pivotIdCol), col(vecCol))
+    }
+    cur
+  }
+
   /** IVF search: rank pivots for the query, probe the best `nprobe`
     * inverted lists, exact top-k within the candidates. Scans
     * |corpus|·nprobe/C of the data instead of all of it — the IVF scale

@@ -363,14 +363,22 @@ object PipelineQueries {
         "embedding", "vec_id", "vec_id", k = 5, nprobe = 2)
     },
 
-    // ---- events: HLL++ sketch distinct (approx — engines' sketches differ,
-    // so the driver records the rows-only check; the error bound vs exact is
-    // pinned in PipelineSpec) ------------------------------------------------
-    Q.noOracle("q64_approx_distinct_sketch") { (s, dir) =>
+    // ---- events: HLL++ sketch distinct. The two engines' sketches differ,
+    // so the oracle checks the property both agree on: the approximation is
+    // within 3·rsd of the exact count. Spark computes `within_bound`
+    // in-query (approx vs exact side by side); DuckDB emits `true` from the
+    // exact counts — hashes match iff the bound holds everywhere. ------------
+    Q("q64_approx_distinct_sketch",
+      """SELECT event_type, COUNT(*) AS n, true AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("__approx"),
+             countDistinct(col("user_id")).as("__exact"),
              count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          (abs(col("__approx") - col("__exact")).cast("double")
+            / col("__exact").cast("double") <= lit(3 * 0.01)).as("within_bound"))
         .orderBy("event_type")
     },
 
@@ -529,16 +537,23 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
-    // ---- multimodal: feature extraction → vector kernel (mapPartitions is
-    // not SQL-expressible → driver records the rows-only check; the feature
-    // values are pinned by SaltingGeomSpec) ----------------------------------
-    Q.noOracle("q71_multimodal_features") { (s, dir) =>
+    // ---- multimodal: REAL PNG decode → 16-bucket gray histogram. The PNG
+    // round-trip is lossless and the payload pixels are the text bytes, so
+    // DuckDB computes the same counts from the characters — an exact oracle
+    // over genuinely decoded pixels (padding pixels excluded via n_bytes). --
+    Q("q71_multimodal_features",
+      """SELECT d.doc_id, CAST(b.bucket AS INT) AS bucket,
+        |  len(list_filter([ascii(substr(d.text, CAST(i AS INT), 1)) FOR i IN generate_series(1, length(d.text))],
+        |                  c -> c // 16 = b.bucket)) AS cnt
+        |FROM documents d, (SELECT unnest(generate_series(0, 15)) AS bucket) b
+        |ORDER BY doc_id, bucket""".stripMargin) { (s, dir) =>
       val media = Multimodal.asMedia(Tables.load(s, dir, "documents"), "text", "image")
-      val feats = Multimodal.extractFeatures(
-        media.select("doc_id", "media_bytes"), "doc_id")
-      feats.select(col("doc_id"),
-          graft.functions.VectorExprs.dotF(col("features"), col("features")).as("feat_norm2"))
-        .orderBy("doc_id")
+      Multimodal.histogram16(
+          media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
+        .select(col("doc_id"), posexplode(col("hist")))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("bucket"),
+          col("col").as("cnt"))
+        .orderBy("doc_id", "bucket")
     },
 
     // ---- multimodal: binary plumbing + stubbed frame decode ---------------

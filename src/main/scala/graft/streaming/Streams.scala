@@ -82,7 +82,9 @@ object Streams {
     * Watermarks on BOTH inputs + the time-range predicate let Spark bound
     * the join state: buffered rows older than watermark + bound are evicted,
     * so an unbounded stream joins in bounded memory. Column names must be
-    * disjoint apart from the key. */
+    * disjoint apart from the key. `joinType` supports inner, left_outer,
+    * right_outer and full_outer; outer rows null-pad when the watermark
+    * closes their join window (StreamingSpec covers left and full). */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTs: String, rightTs: String,

@@ -62,6 +62,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("graft_split_rings generator: SQL LATERAL VIEW matches the rings flatMap operator") {
+    GraftFunctions.register(spark)
+    import graft.operators.{PolyGeom, RingSplit}
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("x"), y.as("y"))
+    val w = col("p_size").cast("double")
+    val h = col("p_retailprice") / lit(100.0)
+    val rings = array(array(
+      pt(lit(0.0), lit(0.0)), pt(w, lit(0.0)), pt(w, h),
+      pt(w / lit(2.0), h + lit(2.0)), pt(lit(0.0), h)))
+    val polys = Tables.load(spark, sf, "part").limit(50).select(
+      col("p_partkey").as("OBJECTID"), rings.as("geom"),
+      PolyGeom.polygonArea(rings).as("acres"))
+    polys.createOrReplaceTempView("gf_ring_polys")
+    val viaSql = spark.sql(
+      """SELECT OBJECTID AS orig_fid, t.split_seq, t.part_area, t.geom
+        |FROM gf_ring_polys
+        |LATERAL VIEW graft_split_rings(OBJECTID, geom, acres, 100.0D) t
+        |ORDER BY orig_fid, split_seq""".stripMargin).collect()
+    val viaDf = RingSplit.splitEqualArea(polys, maxAcres = 100.0)
+      .select(col("orig_fid"), col("split_seq"), col("part_area"), col("geom"))
+      .orderBy("orig_fid", "split_seq").collect()
+    assert(viaSql.length == viaDf.length && viaSql.nonEmpty)
+    viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("SQL polygon codecs + top-k aggregate match the Column API") {
     GraftFunctions.register(spark)
     // WKT → rings → stats, all in SQL

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{MediaCodec, MediaExprs, Multimodal}
+
+/** Real image codec laws (javax.imageio PNG) + the multimodal operators
+  * built on it. The canonical layout — payload bytes row-major in a
+  * ceil-sqrt grid, lossless gray PNG — makes every downstream value a pure
+  * function of the source bytes; these tests pin that exactly. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("PNG round-trip law: decodePixels(encodePng(b)) == b ++ zero padding") {
+    for (n <- Seq(0, 1, 7, 64, 577)) {
+      val bytes = Array.tabulate[Byte](n)(i => ((i * 37 + 11) % 256).toByte)
+      val png = MediaCodec.encodePng(bytes)
+      // real PNG: magic header present
+      assert(png.length > 8 && (png(0) & 0xff) == 0x89 &&
+        png(1) == 'P'.toByte && png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+      val pixels = MediaCodec.decodePixels(png)
+      val w = MediaCodec.gridW(n); val h = MediaCodec.gridH(n, w)
+      assert(pixels.length == w * h)
+      assert(pixels.take(n).toSeq == bytes.toSeq)
+      assert(pixels.drop(n).forall(_ == 0))
+    }
+  }
+
+  test("asMedia metadata width/height equal the decoded image dimensions") {
+    val media = Multimodal.asMedia(
+      Tables.load(spark, sf, "documents").limit(20), "text", "image")
+    media.select("media_bytes", "media_meta.width", "media_meta.height",
+        "media_meta.n_bytes").collect().foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+      assert(img.getWidth == r.getInt(1) && img.getHeight == r.getInt(2))
+      assert(img.getWidth * img.getHeight >= r.getInt(3)) // grid holds payload
+    }
+  }
+
+  test("histogram16 counts equal source-byte bucket counts, both eval paths") {
+    val df = Seq((1L, "AAAB"), (2L, "zzzz~")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "text", "image")
+    val rows = Multimodal.histogram16(
+        media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
+      .orderBy("doc_id").collect()
+    // 'A' = 65 → bucket 4; 'B' = 66 → bucket 4; 'z' = 122, '~' = 126 → bucket 7
+    assert(rows(0).getSeq[Long](1)(4) == 4L && rows(0).getSeq[Long](1).sum == 4L)
+    assert(rows(1).getSeq[Long](1)(7) == 5L && rows(1).getSeq[Long](1).sum == 5L)
+    // interpreted eval agrees with codegen
+    assert(MediaCodec.hist16("AAAB".getBytes, 4).toLongArray()(4) == 4L)
+  }
+
+  test("padding pixels are excluded from features via n_bytes") {
+    // 5 bytes → 3×2 grid with one padding pixel; bucket 0 must NOT count it.
+    val df = Seq((1L, "MMMMM")).toDF("doc_id", "text") // 'M' = 77 → bucket 4
+    val media = Multimodal.asMedia(df, "text", "image")
+    val hist = Multimodal.histogram16(
+        media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
+      .first().getSeq[Long](1)
+    assert(hist(4) == 5L && hist(0) == 0L)
+  }
+
+  test("resize is a real nearest-neighbor resample of decoded pixels") {
+    // 2×2 source grid from 4 bytes: [10 20 / 30 40]; upscale 2× → each
+    // source pixel becomes a 2×2 block (nearest neighbor, floor mapping).
+    val bytes = Array[Byte](10, 20, 30, 40)
+    val png = MediaCodec.encodePng(bytes)
+    val up = MediaCodec.decodePixels(MediaCodec.resizePng(png, 4, 4))
+    assert(up.toSeq == Seq[Byte](10, 10, 20, 20, 10, 10, 20, 20,
+                                 30, 30, 40, 40, 30, 30, 40, 40))
+    // operator face: metadata tracks the new geometry
+    val df = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val resized = Multimodal.resize(Multimodal.asMedia(df, "text", "image"), 4, 4)
+    val r = resized.select("media_meta.width", "media_meta.height",
+      "media_meta.n_bytes", "media_bytes").first()
+    assert(r.getInt(0) == 4 && r.getInt(1) == 4 && r.getInt(2) == 16)
+    assert(MediaCodec.decodePixels(r.getAs[Array[Byte]](3)).length == 16)
+  }
+
+  test("extractFeatures normalizes the decoded histogram (columnar, no shuffle)") {
+    val df = Seq((1L, "AAAB")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "text", "image")
+    val feats = Multimodal.extractFeatures(media, "doc_id")
+    val v = feats.first().getSeq[Float](1)
+    assert(v.length == 16 && v(4) == 1.0f && v.sum == 1.0f)
+    // single-stage plan: no Exchange anywhere in the feature extraction
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("pngEncode/pngPixels expressions survive codegen on fixture docs") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val n = docs.select(
+        MediaExprs.pngPixels(MediaExprs.pngEncode(encode(col("text"), "UTF-8"))).as("px"),
+        encode(col("text"), "UTF-8").as("raw"))
+      .filter(expr("substring(px, 1, octet_length(raw)) = raw"))
+      .count()
+    assert(n == 50L)
+  }
+}

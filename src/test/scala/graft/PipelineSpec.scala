@@ -80,14 +80,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
-  test("multimodal: frame rows = n_frames; decode stub deterministic") {
+  test("multimodal: frame rows = n_frames; frames computed on real decoded pixels") {
     val df = Seq((1L, "x" * 250), (2L, "y" * 50)).toDF("doc_id", "text")
     val media = Multimodal.asMedia(df, "text", "image")
     val frames = Multimodal.sampleFrames(
       media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
     val byDoc = frames.groupBy("doc_id").count().orderBy("doc_id").collect()
     assert(byDoc.map(_.getLong(1)).toSeq == Seq(2L, 1L)) // floor(250/100)=2, max(floor(50/100),1)=1
-    assert(Multimodal.decodeStub("abc".getBytes, 2) == Multimodal.decodeStub("abc".getBytes, 2))
+    // The payload is a real PNG and frame values come from ImageIO-decoded
+    // pixels — which equal the source bytes (lossless gray PNG). Exact pin:
+    // doc 2 is "y"*50 → sample_byte = 'y' = 121 for its single frame.
+    val f2 = frames.filter($"doc_id" === 2L).collect().head
+    assert(f2.getInt(2) == 'y'.toInt)
   }
 
   test("duplicateClusters: transitive chains collapse to the min id (a-b, b-c → one cluster)") {

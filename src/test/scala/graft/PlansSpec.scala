@@ -55,6 +55,27 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), plan) // no explode either
   }
 
+  test("exact-dedup survivor exchange carries digests, never text (q36/q80 shape)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so the static physical tree is inspectable node by node
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      val surv = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      val plan = surv.queryExecution.executedPlan
+      // no sort-window over full rows anywhere
+      assert(!plan.toString.contains("Window"), plan.toString)
+      // the digest-keyed aggregation exchange must ship (digest, id) only —
+      // the text column never enters any shuffle on the survivor branch
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name)
+      }
+      val digestEx = exchanges.filter(_.exists(_.contains("__digest")))
+      assert(digestEx.nonEmpty, exchanges.toString)
+      digestEx.foreach(cols => assert(!cols.contains("text"), cols.toString))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("whole-stage codegen covers the fused vector kernel path (q34 shape)") {
     val df = SparkEntry.queries("q34_dedup_embedding_cosine")(spark, sf)
     df.collect() // finalize the adaptive plan

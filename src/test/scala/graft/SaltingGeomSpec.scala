@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{GeomCodec, Multimodal, Salting}
 
-/** Skew salting, geometry encodings, multimodal feature/resize stubs. */
+/** Skew salting, geometry encodings, multimodal feature/resize surface. */
 class SaltingGeomSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
@@ -65,7 +65,7 @@ class SaltingGeomSpec extends AnyFunSuite {
       "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0))")
   }
 
-  test("multimodal featureStub: 16-dim normalized histogram feeds similarity") {
+  test("multimodal features: 16-dim normalized decoded-pixel histogram feeds similarity") {
     val media = Multimodal.asMedia(
       Tables.load(spark, sf, "documents").limit(10), "text", "image")
     val feats = Multimodal.extractFeatures(media, "doc_id")

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorMeanAgg
+import graft.operators.Similarity
+
+/** IVF pivot refinement (Lloyd step) + the VectorMean aggregate it rides on. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Two tight clusters on the x/y axes plus pivots chosen badly on purpose:
+  // pivot 0 = (0.5, 1.02) sits between them, pivot 1 = (0, 1) inside B.
+  // Under argmax-cosine the boundary cuts THROUGH cluster B (b > 0.232 goes
+  // to pivot 0), so a nprobe=1 search in the B direction loses 2 of B's 5.
+  private def fixture = {
+    val a = (0 to 4).map(i => (i.toLong, Array(1.0f, i * 0.1f, 0f, 0f)))
+    val b = (0 to 4).map(i => (10L + i, Array(i * 0.1f, 1.0f, 0f, 0f)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val pivots = Seq(
+      (0L, Array(0.5f, 1.02f, 0f, 0f)),
+      (1L, Array(0.0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    (corpus, pivots)
+  }
+
+  test("vectorMean: exact elementwise mean, partial/merge path included") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(3.0f, 1.0f)), (1L, Array(5.0f, 2.0f)),
+      (2L, Array(10.0f, -2.0f))).toDF("g", "v").repartition(4)
+    val out = df.groupBy("g").agg(VectorMeanAgg.vectorMean(col("v")).as("m"))
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Float](1) == Seq(3.0f, 1.0f))
+    assert(out(1).getSeq[Float](1) == Seq(10.0f, -2.0f))
+  }
+
+  test("ivfRefinePivots: one Lloyd pass recenters lists on exact means") {
+    val (corpus, pivots) = fixture
+    val refined = Similarity.ivfRefinePivots(
+        corpus, pivots, "embedding", "vec_id", "vec_id")
+      .orderBy("vec_id").collect()
+    assert(refined.length == 2)
+    // list 1 held B's b ∈ {0, 0.1, 0.2} → mean (0.1, 1.0, 0, 0)
+    val c1 = refined(1).getSeq[Float](1)
+    assert(math.abs(c1(0) - 0.1f) < 1e-6 && math.abs(c1(1) - 1.0f) < 1e-6)
+  }
+
+  test("ivfRefinePivots: nprobe=1 recall improves on the clustered fixture") {
+    val (corpus, pivots) = fixture
+    val query = Seq((99L, Array(0.0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val trueTop = Similarity.bruteForceTopK(corpus, query, "embedding", "vec_id", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(trueTop == Set(10L, 11L, 12L, 13L, 14L)) // all of cluster B
+
+    def hits(pv: org.apache.spark.sql.DataFrame): Set[Long] =
+      Similarity.ivfSearch(
+          Similarity.ivfAssign(corpus, pv, "embedding", "vec_id", "vec_id"),
+          pv, query, "embedding", "vec_id", "vec_id", k = 5, nprobe = 1)
+        .collect().map(_.getLong(0)).toSet
+
+    val before = hits(pivots)
+    val after = hits(Similarity.ivfRefinePivots(
+      corpus, pivots, "embedding", "vec_id", "vec_id"))
+    assert((before & trueTop).size == 3, s"fixture drifted: $before")
+    assert((after & trueTop).size == 5, s"refined recall not full: $after")
+  }
+}

@@ -183,6 +183,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join: both sides null-pad their unmatched rows on watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.streamStreamJoin(
+      imps.toDF().toDF("imp_id", "imp_ts"),
+      clicks.toDF().toDF("click_id", "click_ts", "what"),
+      "imp_id", "click_id", "imp_ts", "click_ts",
+      within = "10 minutes", watermark = "10 minutes", joinType = "full_outer")
+    val q = joined.select("imp_id", "click_id", "what")
+      .writeStream.format("memory").queryName("ssj_full_out").outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00"), "clicked"),       // joins imp 1
+        (3L, ts("2024-01-01 10:06:00"), "no-impression")) // key never seen
+      q.processAllAvailable()
+      // advance BOTH inputs' event time far past the bound so the global
+      // watermark closes the buffered rows, then run follow-up batches
+      imps.addData((9L, ts("2024-01-01 12:00:00")))
+      clicks.addData((8L, ts("2024-01-01 12:00:00"), "late"))
+      q.processAllAvailable()
+      imps.addData((10L, ts("2024-01-01 12:30:00")))
+      clicks.addData((11L, ts("2024-01-01 12:30:00"), "later"))
+      q.processAllAvailable()
+      val out = spark.table("ssj_full_out").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.getString(2)))).toSet
+      assert(out.contains((Some(1L), Some(1L), Some("clicked"))))     // matched
+      assert(out.contains((Some(2L), None, None)))                    // left-unmatched
+      assert(out.contains((None, Some(3L), Some("no-impression"))))   // right-unmatched
+    } finally q.stop()
+  }
+
   test("streaming near-dup drop: same-signature docs collapse, distinct texts survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
