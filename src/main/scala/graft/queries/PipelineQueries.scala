@@ -547,7 +547,12 @@ object PipelineQueries {
         |                  c -> c // 16 = b.bucket)) AS cnt
         |FROM documents d, (SELECT unnest(generate_series(0, 15)) AS bucket) b
         |ORDER BY doc_id, bucket""".stripMargin) { (s, dir) =>
-      val media = Multimodal.asMedia(Tables.load(s, dir, "documents"), "text", "image")
+      // decode-heavy stage: repartition to core count BEFORE the per-row
+      // ImageIO work (SCALE.md) — the fixture is one parquet split, which
+      // would otherwise serialize every encode+decode onto a single core
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.asMedia(docs, "text", "image")
       Multimodal.histogram16(
           media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
         .select(col("doc_id"), posexplode(col("hist")))
@@ -567,7 +572,10 @@ object PipelineQueries {
         |    [CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) FOR i IN generate_series(1, length(text))]),
         |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
-      val media = Multimodal.asMedia(Tables.load(s, dir, "documents"), "text", "image")
+      // repartition before the decode map for the same reason as q71
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.asMedia(docs, "text", "image")
       Multimodal.sampleFrames(media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
         .orderBy("doc_id", "frame_idx")
     }
