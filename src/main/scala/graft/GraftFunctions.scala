@@ -60,6 +60,8 @@ object GraftFunctions {
     "graft_png_pixels" -> { es => graft.operators.PngPixels(es(0)) },
     "graft_png_resize" -> { es => graft.operators.PngResize(es(0), es(1), es(2)) },
     "graft_gray_hist16" -> { es => graft.operators.GrayHist16(es(0), es(1)) },
+    "graft_wav_encode" -> { es => graft.operators.WavEncode(es(0)) },
+    "graft_wav_stats" -> { es => graft.operators.WavStats(es(0)) },
     "graft_nearest_pivot" -> { es => graft.functions.NearestPivot(es(0), es(1)) },
     "graft_top_k" -> { es =>
       graft.functions.TopKByScore(es(0), es(1), intLit(es(2), "graft_top_k", "k"))

@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Real audio codec for the multimodal pack — JDK `javax.sound.sampled`
+  * (public Java SE API; WAV/PCM read-write ships with every JDK, the audio
+  * sibling of [[MediaCodec]]'s `javax.imageio`).
+  *
+  * Canonical layout: 16-bit signed PCM, mono, 8 kHz, little-endian — one
+  * sample per payload byte, `sample = (byte − 128) << 8` (centered,
+  * trivially invertible). PCM in a WAV container is lossless, so
+  * `decodeSamples(encodeWav(b))` recovers exactly the mapped samples — the
+  * law AudioSpec pins and the q72 oracle builds on: every decoded-sample
+  * statistic is a pure function of the source bytes, which DuckDB computes
+  * from the text characters.
+  *
+  * Static, allocation-local entry points called from codegen'd expressions
+  * ([[WavEncode]]/[[WavStats]]) — same pattern as [[MediaCodec]]. All
+  * streams are in-memory (`AudioSystem` has no disk-cache trap).
+  */
+object AudioCodec {
+
+  val SampleRate = 8000f
+
+  private def pcmFormat: AudioFormat =
+    new AudioFormat(SampleRate, 16, 1, true, false) // signed, little-endian
+
+  /** Encode raw payload bytes as a real WAV file (RIFF header + PCM data). */
+  def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    val data = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val s = ((bytes(i) & 0xff) - 128) << 8
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), pcmFormat, bytes.length.toLong)
+    val bos = new ByteArrayOutputStream(data.length + 64)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload to its 16-bit signed samples (real container +
+    * PCM parse via `AudioSystem`, not a byte-offset shortcut). */
+  def decodeSamples(wav: Array[Byte]): Array[Int] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val data = ais.readAllBytes()
+      val out = new Array[Int](data.length / 2)
+      var i = 0
+      while (i < out.length) {
+        // little-endian: low byte unsigned, high byte carries the sign
+        out(i) = (data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** Integer-exact track statistics over the DECODED samples:
+    * (n_samples, max_abs, energy = Σ s², sum_s). Everything is int64
+    * arithmetic — no float drift possible, so the DuckDB oracle reproduces
+    * them from the source characters. */
+  def stats(wav: Array[Byte]): InternalRow = {
+    val samples = decodeSamples(wav)
+    var maxAbs = 0L
+    var energy = 0L
+    var sum = 0L
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toLong
+      val a = math.abs(s)
+      if (a > maxAbs) maxAbs = a
+      energy += s * s
+      sum += s
+      i += 1
+    }
+    InternalRow(samples.length.toLong, maxAbs, energy, sum)
+  }
+}
+
+/** binary → binary: raw payload bytes rendered as a real PCM WAV file. */
+case class WavEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_wav_encode requires a binary input")
+  override def nullSafeEval(b: Any): Any =
+    AudioCodec.encodeWav(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.AudioCodec.encodeWav($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_wav_encode"
+}
+
+/** binary → struct: decoded-sample statistics of a WAV payload. */
+case class WavStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("max_abs", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("sum_s", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_wav_stats requires a binary input")
+  override def nullSafeEval(b: Any): Any =
+    AudioCodec.stats(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.AudioCodec.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_wav_stats"
+}
+
+/** Column-API faces of the audio expressions. */
+object AudioExprs {
+  def wavEncode(raw: Column): Column = Bridge.column(WavEncode(Bridge.expression(raw)))
+  def wavStats(wav: Column): Column = Bridge.column(WavStats(Bridge.expression(wav)))
+}

@@ -53,6 +53,31 @@ object Multimodal {
         nb.as("n_bytes")))
   }
 
+  /** Audio sibling of [[asMedia]]: render the payload as a real PCM WAV
+    * ([[AudioCodec.encodeWav]], JDK `javax.sound.sampled`) — one 16-bit
+    * sample per payload byte at 8 kHz mono. n_frames counts 20 ms windows
+    * (160 samples); width/height are meaningless for audio and set 0. */
+  def asAudio(df: DataFrame, srcCol: String): DataFrame = {
+    val raw = encode(col(srcCol), "UTF-8")
+    val nb = length(raw).cast(IntegerType)
+    df.withColumn("media_bytes", AudioExprs.wavEncode(raw))
+      .withColumn("media_meta", struct(
+        lit("audio").as("media_type"),
+        lit(0).as("width"), lit(0).as("height"),
+        greatest(floor(nb.cast(DoubleType) / lit(160.0)).cast(IntegerType), lit(1))
+          .as("n_frames"),
+        nb.as("n_bytes")))
+  }
+
+  /** Track statistics over DECODED WAV samples (real `AudioSystem` parse):
+    * (id, n_samples, max_abs, energy, sum_s) — integer-exact, so the DuckDB
+    * oracle (q72) checks them bit-for-bit from the source characters. */
+  def audioStats(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), AudioExprs.wavStats(col("media_bytes")).as("__s"))
+      .select(col(idCol), col("__s.n_samples").as("n_samples"),
+        col("__s.max_abs").as("max_abs"), col("__s.energy").as("energy"),
+        col("__s.sum_s").as("sum_s"))
+
   /** Frame extraction over DECODED pixels: frame f samples the pixel at a
     * fixed stride and carries a rolling checksum over the payload pixels
     * seeded by the frame index (padding pixels beyond `nBytes` excluded —

@@ -561,7 +561,26 @@ object PipelineQueries {
         .orderBy("doc_id", "bucket")
     },
 
-    // ---- multimodal: binary plumbing + stubbed frame decode ---------------
+    // ---- multimodal audio: REAL WAV encode (javax.sound.sampled) → decoded
+    // 16-bit PCM sample statistics. sample = (byte − 128)·256, lossless PCM,
+    // all stats int64-exact — DuckDB reproduces them from the characters. --
+    Q("q72_audio_features",
+      """WITH s AS (SELECT doc_id,
+        |  [(ascii(substr(text, CAST(i AS INT), 1)) - 128) * 256 FOR i IN generate_series(1, length(text))] AS sm
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(sm) AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS max_abs,
+        |  CAST(list_sum(list_transform(sm, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+        |  CAST(list_sum(sm) AS BIGINT) AS sum_s
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // repartition before the per-row codec work, same reason as q70/q71
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      Multimodal.audioStats(Multimodal.asAudio(docs, "text"), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal: frame sampling over REAL ImageIO-decoded pixels ------
     Q("q70_multimodal_frames",
       """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
         |  GREATEST(CAST(FLOOR(length(text)/100.0) AS INT), 1) AS nf FROM documents),

@@ -90,6 +90,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("WAV round-trip law: decodeSamples(encodeWav(b)) == (b − 128) << 8") {
+    import graft.operators.AudioCodec
+    for (n <- Seq(1, 7, 160, 577)) {
+      val bytes = Array.tabulate[Byte](n)(i => ((i * 53 + 3) % 256).toByte)
+      val wav = AudioCodec.encodeWav(bytes)
+      // real WAV container: RIFF....WAVE magic
+      assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+      assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+      val samples = AudioCodec.decodeSamples(wav)
+      assert(samples.toSeq == bytes.map(b => ((b & 0xff) - 128) << 8).toSeq)
+    }
+  }
+
+  test("audioStats: integer-exact decoded-sample statistics") {
+    // "Az" → bytes 65, 122 → samples −16128, −1536
+    val df = Seq((1L, "Az")).toDF("doc_id", "text")
+    val r = Multimodal.audioStats(Multimodal.asAudio(df, "text"), "doc_id").first()
+    assert(r.getLong(1) == 2L)                                   // n_samples
+    assert(r.getLong(2) == 16128L)                               // max_abs
+    assert(r.getLong(3) == 16128L * 16128L + 1536L * 1536L)      // energy
+    assert(r.getLong(4) == -16128L - 1536L)                      // sum_s
+    // metadata contract: audio type, 20ms frame count, payload length
+    val m = Multimodal.asAudio(df, "text")
+      .select("media_meta.media_type", "media_meta.n_frames", "media_meta.n_bytes").first()
+    assert(m.getString(0) == "audio" && m.getInt(1) == 1 && m.getInt(2) == 2)
+  }
+
   test("pngEncode/pngPixels expressions survive codegen on fixture docs") {
     val docs = Tables.load(spark, sf, "documents").limit(50)
     val n = docs.select(
