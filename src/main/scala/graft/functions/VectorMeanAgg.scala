@@ -13,13 +13,16 @@ import org.apache.spark.sql.types._
 
 /** Mutable elementwise running sum for [[VectorMean]]: one double per
   * dimension plus a count — the entire per-group state is `dim · 8` bytes
-  * regardless of how many vectors fold into it. */
-final class VecSumBuf(var sums: Array[Double], var n: Long) {
+  * regardless of how many vectors fold into it. Rows whose dimension
+  * disagrees with the group's first-seen dimension are SKIPPED (counted in
+  * `skipped`), not thrown on — one ragged row in a 100 TB corpus must not
+  * fail the job. The dominant (first-seen) dimension wins; `skipped` makes
+  * data-quality triage possible without a second pass. */
+final class VecSumBuf(var sums: Array[Double], var n: Long, var skipped: Long = 0L) {
   def add(v: ArrayData, isFloat: Boolean): Unit = {
     val d = v.numElements()
     if (sums == null) sums = new Array[Double](d)
-    require(sums.length == d,
-      s"vector_mean: inconsistent dimensions ${sums.length} vs $d")
+    if (sums.length != d) { skipped += 1; return }
     var i = 0
     while (i < d) {
       sums(i) += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
@@ -71,11 +74,17 @@ case class VectorMean(
   }
 
   override def merge(b: VecSumBuf, other: VecSumBuf): VecSumBuf = {
+    b.skipped += other.skipped
     if (other.sums != null) {
       if (b.sums == null) { b.sums = other.sums; b.n = other.n }
-      else {
-        require(b.sums.length == other.sums.length,
-          "vector_mean: inconsistent dimensions in merge")
+      else if (b.sums.length != other.sums.length) {
+        // cross-partition dimension disagreement: keep the heavier side
+        // (more rows folded), count the lighter side's rows as skipped —
+        // same skip-don't-throw policy as VecSumBuf.add.
+        if (other.n > b.n) {
+          b.skipped += b.n; b.sums = other.sums; b.n = other.n
+        } else b.skipped += other.n
+      } else {
         var i = 0
         while (i < b.sums.length) { b.sums(i) += other.sums(i); i += 1 }
         b.n += other.n
@@ -95,6 +104,7 @@ case class VectorMean(
     val dim = if (b.sums == null) -1 else b.sums.length
     out.writeInt(dim)
     out.writeLong(b.n)
+    out.writeLong(b.skipped)
     if (dim > 0) b.sums.foreach(out.writeDouble)
     out.flush()
     bos.toByteArray
@@ -104,12 +114,13 @@ case class VectorMean(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val dim = in.readInt()
     val n = in.readLong()
-    if (dim < 0) new VecSumBuf(null, n)
+    val skipped = in.readLong()
+    if (dim < 0) new VecSumBuf(null, n, skipped)
     else {
       val sums = new Array[Double](dim)
       var i = 0
       while (i < dim) { sums(i) = in.readDouble(); i += 1 }
-      new VecSumBuf(sums, n)
+      new VecSumBuf(sums, n, skipped)
     }
   }
 

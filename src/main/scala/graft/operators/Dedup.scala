@@ -41,7 +41,14 @@ object Dedup {
     * 100 TB. Here the corpus side still streams once through the join, but
     * Spark can inject a runtime bloom/InSubquery filter on `id`, and with a
     * bucketed or id-partitioned corpus the join exchange disappears
-    * entirely — the window shape can never avoid it. */
+    * entirely — the window shape can never avoid it.
+    *
+    * CONTRACT: `idCol` must be non-null and unique (it is the survivor key
+    * and the join-back key). A NULL id never matches the null-rejecting
+    * semi-join predicate, so null-id rows are dropped from the output —
+    * unlike a `dropDuplicates`-style window, which would retain one such
+    * row per digest. Pre-assign ids (`monotonically_increasing_id`) if the
+    * corpus lacks them. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val survivors = df
       .select(md5(col(textCol)).as("__digest"), col(idCol).as("__sid"))

@@ -85,15 +85,24 @@ object Multimodal {
   def decodeFrames(pixels: Array[Byte], nBytes: Int, nFrames: Int): Seq[(Int, Int, Long)] = {
     if (nBytes <= 0) return Seq((0, 0, 0L))
     val stride = math.max(nBytes / math.max(nFrames, 1), 1)
+    // One pass over the payload computes the seed-0 checksum C and 31^n mod p;
+    // a rolling hash seeded by f is congruent to f·31^n + C (mod p), so each
+    // frame's checksum derives in O(1) instead of re-folding all nBytes per
+    // frame (O(nFrames·nBytes) → O(nBytes + nFrames) per row). Values are
+    // unchanged — mod distributes over the fold — so the q70 oracle (which
+    // spells out the per-frame fold) still matches bit-for-bit.
+    val P = 1000000007L
+    var c0 = 0L
+    var pow31n = 1L
+    var i = 0
+    while (i < nBytes) {
+      c0 = (c0 * 31 + java.lang.Byte.toUnsignedInt(pixels(i))) % P
+      pow31n = (pow31n * 31) % P
+      i += 1
+    }
     (0 until nFrames).map { f =>
       val b = java.lang.Byte.toUnsignedInt(pixels((f * stride) % nBytes))
-      var acc = f.toLong
-      var i = 0
-      while (i < nBytes) {
-        acc = (acc * 31 + java.lang.Byte.toUnsignedInt(pixels(i))) % 1000000007L
-        i += 1
-      }
-      (f, b, acc)
+      (f, b, (f.toLong % P * pow31n + c0) % P)
     }
   }
 

@@ -377,8 +377,12 @@ object PipelineQueries {
              countDistinct(col("user_id")).as("__exact"),
              count(lit(1)).as("n"))
         .select(col("event_type"), col("n"),
+          // greatest(exact, 1) guards the all-NULL-user group: countDistinct
+          // would be 0 there and 0/0 => NULL within_bound; with the guard the
+          // bound degenerates to approx = 0, matching the oracle's constant
+          // true. When exact > 0 the guard is the identity.
           (abs(col("__approx") - col("__exact")).cast("double")
-            / col("__exact").cast("double") <= lit(3 * 0.01)).as("within_bound"))
+            / greatest(col("__exact"), lit(1L)).cast("double") <= lit(3 * 0.01)).as("within_bound"))
         .orderBy("event_type")
     },
 
@@ -540,7 +544,13 @@ object PipelineQueries {
     // ---- multimodal: REAL PNG decode → 16-bucket gray histogram. The PNG
     // round-trip is lossless and the payload pixels are the text bytes, so
     // DuckDB computes the same counts from the characters — an exact oracle
-    // over genuinely decoded pixels (padding pixels excluded via n_bytes). --
+    // over genuinely decoded pixels (padding pixels excluded via n_bytes).
+    // ASCII-FIXTURE ASSUMPTION (q70/q71/q72): the oracle iterates CHARACTERS
+    // (ascii/substr/length) while the engine operates on UTF-8 BYTES
+    // (n_bytes = octet_length). They agree because the generated documents
+    // fixture is pure ASCII (1 char = 1 byte, codepoints < 128); a non-ASCII
+    // corpus would need a byte-based oracle (iterate encode(text) octets)
+    // — the ENGINE side is byte-correct for any input as-is. --------------
     Q("q71_multimodal_features",
       """SELECT d.doc_id, CAST(b.bucket AS INT) AS bucket,
         |  len(list_filter([ascii(substr(d.text, CAST(i AS INT), 1)) FOR i IN generate_series(1, length(d.text))],
