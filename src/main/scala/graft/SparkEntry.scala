@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All declared query packs. Order is presentational only. */
-  def packs: Seq[Q] = RelationalQueries.all ++ PipelineQueries.all
+  def packs: Seq[Q] = RelationalQueries.all ++ PipelineQueries.all ++ CurationQueries.all
 
   /** Flagship pipeline on sf0.001 (driver smoke-checks rows>0): scan with
     * pushdown → sentinel-fill compat → broadcast dim join → exact-decimal agg. */

@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional dev-only 3rd arg: comma-separated name substrings — restricts
+    // the dump (and oracle_sql.json) to matching queries for fast iteration.
+    // The driver always invokes with 2 args = full dump.
+    val nameFilter: String => Boolean = args.lift(2) match {
+      case Some(pats) => n => pats.split(',').exists(n.contains)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -23,7 +30,7 @@ object Verify {
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      tools.Json.obj(SparkEntry.oracleSql))
+      tools.Json.obj(SparkEntry.oracleSql.filter(q => nameFilter(q._1))))
     Session.clearScratch() // C5 janitor: sink queries leave scratch dirs
     spark.stop()
   }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Training-data curation pack (north-star, beyond the reference's surface):
+  * PII scrubbing, paragraph-level dedup, repetition quality metrics
+  * (Gopher-style), test-set decontamination, and deterministic hash sampling
+  * / source mixing. The reference has no analog (it is an ArcGIS ETL bridge,
+  * `arc_utils.py`); these are the standard corpus-hygiene operations a
+  * 100 TB LLM pipeline runs between ingest and tokenization — published in
+  * C4 (Raffel et al. 2020), Gopher (Rae et al. 2021, appendix A) and
+  * "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+  * 2021); implemented here fresh against the Spark built-in function surface.
+  *
+  * Scale design notes:
+  *  - Every per-document metric is a codegen'd higher-order-function
+  *    expression — zero shuffle, runs at scan speed inside one stage.
+  *  - Cross-document stages (paragraph dedup, decontamination) shuffle only
+  *    8/16-byte hashes, never document text (same rule as
+  *    [[Dedup.dropExactDuplicates]] after the round-5 de-texting).
+  *  - Regex patterns are restricted to syntax with identical semantics in
+  *    Java regex (Spark) and RE2 (DuckDB oracle): no backreferences, no
+  *    lookaround, explicit `[0-9]` classes.
+  */
+object Curation {
+
+  // ---- PII detection / redaction -----------------------------------------
+  // Patterns are intentionally conservative (precision over recall): an
+  // over-eager scrub destroys good training text, while residual rare
+  // formats are caught downstream. All three compile identically under
+  // Java regex and RE2.
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val Ipv4Pattern: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Count matches of one PII pattern (detection face — cheap audit scans
+    * run this before committing to a full rewrite of the corpus). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact all three PII classes. Order matters and is fixed: emails first
+    * (their local part may contain digits a later pattern would nibble at),
+    * then IPv4 (dotted digits), then phones (dashed/dotted digits) — the
+    * replacement tokens contain no digits, so passes cannot cascade. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** DuckDB fragment of [[redactPii]] (RE2, global flag is explicit). */
+  def redactPiiSql(textE: String): String = {
+    val e = s"regexp_replace($textE, '$EmailPattern', '<EMAIL>', 'g')"
+    val i = s"regexp_replace($e, '$Ipv4Pattern', '<IP>', 'g')"
+    s"regexp_replace($i, '$PhonePattern', '<PHONE>', 'g')"
+  }
+
+  // ---- synthetic "lines": fixed-width word chunks ------------------------
+  /** Chunk whitespace words into w-word pseudo-lines. The documents fixture
+    * is single-line word soup, so line/paragraph-shaped operators take their
+    * unit from this chunking; on a real corpus the caller splits on
+    * newline/blank-line instead (the downstream operators only see an array
+    * of strings either way). */
+  def wordChunks(text: Column, w: Int): Column = {
+    val ws = split(trim(text), "\\s+")
+    val n = greatest(ceil(size(ws) / lit(w.toDouble)).cast("int"), lit(1))
+    transform(sequence(lit(1), n), i => concat_ws(" ", slice(ws, (i - lit(1)) * lit(w) + lit(1), lit(w))))
+  }
+  def wordChunksSql(textE: String, w: Int): String = {
+    val ws = s"regexp_split_to_array(trim($textE), '\\s+')"
+    s"[array_to_string(($ws)[((i-1)*$w+1):((i-1)*$w+$w)], ' ') " +
+      s"FOR i IN generate_series(1, GREATEST(CAST(CEIL(len($ws)/$w.0) AS BIGINT), 1))]"
+  }
+
+  // ---- paragraph-level exact dedup ---------------------------------------
+  /** Explode a paragraph array column to (id, para_idx, para). 1-based idx. */
+  def paragraphs(df: DataFrame, parasCol: Column, idCol: String): DataFrame =
+    df.select(col(idCol), posexplode(parasCol).as(Seq("pos", "para")))
+      .select(col(idCol), (col("pos") + 1).as("para_idx"), col("para"))
+
+  /** Paragraph-level exact dedup: a paragraph is kept iff it is the corpus-
+    * wide first occurrence (lowest (id, para_idx)). Returns per-document
+    * (id, n_paras, n_kept).
+    *
+    * Scale: survivors are computed as a min-struct aggregate over the
+    * 16-byte paragraph digest — the exchange carries (digest, id, idx),
+    * never paragraph text (the [[Dedup.dropExactDuplicates]] rule at
+    * paragraph granularity). The join back to the exploded paragraphs is on
+    * (id, idx) — broadcast/bloom-filterable — and the final per-doc rollup
+    * partial-aggregates map-side. */
+  def paragraphDedupStats(df: DataFrame, parasCol: Column, idCol: String): DataFrame = {
+    val paras = paragraphs(df, parasCol, idCol)
+      .select(col(idCol), col("para_idx"), md5(col("para")).as("ph"))
+    val firstOcc = paras
+      .groupBy(col("ph"))
+      .agg(min(struct(col(idCol), col("para_idx"))).as("f"))
+      .select(col("f").getField(idCol).as(idCol), col("f.para_idx").as("para_idx"))
+    paras.select(col(idCol), col("para_idx"))
+      .join(firstOcc.withColumn("kept", lit(1L)), Seq(idCol, "para_idx"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"), sum(coalesce(col("kept"), lit(0L))).as("n_kept"))
+  }
+
+  // ---- repetition metrics (Gopher-style quality signals) -----------------
+  /** Fraction of duplicate lines: (n − n_distinct) / n over a line array.
+    * Exact-integer division → bit-stable across engines. */
+  def dupLineFrac(lines: Column): Column =
+    (size(lines) - size(array_distinct(lines))).cast("double") / size(lines).cast("double")
+
+  /** Occurrence count of the most frequent element of an array — a per-row
+    * O(distinct·n) HOF loop, no shuffle (docs are bounded; at 100 TB this
+    * stays embarrassingly parallel inside the scan stage). */
+  def topElementCount(arr: Column): Column =
+    array_max(transform(array_distinct(arr), g => size(filter(arr, x => x === g))))
+
+  /** Fraction of the text's n-grams occupied by its single most frequent
+    * n-gram (Gopher's "top n-gram fraction" family, n=2 default). */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val gs = Fns.wordShingles(text, n)
+    topElementCount(gs).cast("double") / size(gs).cast("double")
+  }
+
+  /** Fraction of words that are the single most frequent word. */
+  def topWordFrac(text: Column): Column = {
+    val ws = split(trim(text), "\\s+")
+    topElementCount(ws).cast("double") / size(ws).cast("double")
+  }
+
+  def topElementCountSql(arrE: String): String =
+    s"list_max(list_transform(list_distinct($arrE), g -> len(list_filter($arrE, x -> x = g))))"
+
+  // ---- decontamination (test-set n-gram overlap) -------------------------
+  /** Distinct w-gram hashes per document: per-row shingle + per-row distinct
+    * (no shuffle-side dedup of grams within a doc), hashed to 8 bytes before
+    * anything leaves the scan stage. */
+  def gramHashes(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(Fns.wordShingles(col(textCol), w))).as("g"))
+      .select(col(idCol), Fns.hashP(col("g")).as("gh"))
+
+  /** Per-document count of distinct w-grams shared with a held-out test set
+    * — the standard train/test decontamination sweep (n-gram collision
+    * check, as run for GPT-3/PaLM/Llama training sets). Returns
+    * (id, n_hits) for contaminated docs only.
+    *
+    * Scale: both sides reduce to 8-byte gram hashes inside their scan
+    * stages; the equi-join shuffles only those hashes (the test side is
+    * usually small enough that AQE broadcasts it), and the rollup
+    * partial-aggregates. Corpus text never moves. */
+  def decontaminationHits(corpus: DataFrame, testSet: DataFrame,
+                          textCol: String, idCol: String, w: Int): DataFrame = {
+    val testGrams = gramHashes(testSet, textCol, idCol, w).select("gh").distinct()
+    gramHashes(corpus, textCol, idCol, w)
+      .join(testGrams, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Apply face: corpus minus contaminated documents (left-anti on id). */
+  def removeContaminated(corpus: DataFrame, testSet: DataFrame,
+                         textCol: String, idCol: String, w: Int): DataFrame =
+    corpus.join(decontaminationHits(corpus, testSet, textCol, idCol, w),
+      Seq(idCol), "left_anti")
+
+  // ---- deterministic hash sampling / source mixing -----------------------
+  /** Stable per-row bucket in [0, 100): md5-derived, salt-keyed. Unlike
+    * `rand(seed)`, the verdict is a pure function of (salt, id) — immune to
+    * partitioning, task retries, and engine — which is what makes sampled
+    * corpora reproducible across reruns and auditable by other engines. */
+  def hashBucket(id: Column, salt: String): Column =
+    Fns.hash60(concat(lit(salt), id.cast("string"))) % 100
+  def hashBucketSql(idE: String, salt: String): String =
+    s"(${Fns.hash60Sql(s"'$salt'||CAST($idE AS VARCHAR)")} % 100)"
+
+  /** Keep ~pct% of rows, deterministically. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < pct)
+
+  /** Weighted dataset mixing: per-source keep rates (percent), unknown
+    * sources fall back to defaultPct. One scan, zero shuffle — the mixture
+    * is decided row-locally, so a 100 TB multi-source union mixes without
+    * materializing intermediate samples. */
+  def mixSources(df: DataFrame, idCol: String, srcCol: String,
+                 rates: Map[String, Int], defaultPct: Int, salt: String): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
+      when(col(srcCol) === src, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < pct)
+  }
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns
+import graft.operators.{Curation, TextAnalysis}
+
+/** Corpus-curation pack: PII scrub, paragraph dedup, repetition metrics,
+  * decontamination, deterministic sampling/mixing, TF-IDF. Every oracle is
+  * authored from the same constants/SQL builders as the Spark plan
+  * ([[Curation]] / [[Fns]]), so the driver's value-hash compare is exact.
+  *
+  * The documents fixture is single-line ASCII word soup, so queries that
+  * need lines/PII synthesize them deterministically in-query (both engines
+  * build the identical string), exercising the operator on content the
+  * fixture lacks while staying bit-reproducible.
+  */
+object CurationQueries {
+
+  /** Per-source keep rates for the mixing query (src0..src19 exist in the
+    * fixture). Derived, not enumerated, so both engines agree by formula. */
+  val MixRates: Map[String, Int] = (0 until 20).map(i => s"src$i" -> (90 - 4 * i)).toMap
+  val MixDefault = 50
+  val MixSalt = "mix"
+
+  // PII injection suffix both engines append to `text` before scrubbing.
+  private def injectSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-' || " +
+      "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 from 10.0.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.77'"
+  private def injectCol = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com or 555-"),
+    lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-0199 from 10.0."),
+    pmod(col("doc_id"), lit(256)).cast("string"), lit(".77"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- PII detection + redaction ---------------------------------------
+    Q("q55_pii_redact",
+      s"""WITH i AS (SELECT doc_id, $injectSql AS t FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '${Curation.EmailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(t, '${Curation.PhonePattern}')) AS n_phones,
+         |  len(regexp_extract_all(t, '${Curation.Ipv4Pattern}')) AS n_ips,
+         |  ${Curation.redactPiiSql("t")} AS red_text
+         |FROM i ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), injectCol.as("t"))
+        .select(col("doc_id"),
+          Curation.piiCount(col("t"), Curation.EmailPattern).as("n_emails"),
+          Curation.piiCount(col("t"), Curation.PhonePattern).as("n_phones"),
+          Curation.piiCount(col("t"), Curation.Ipv4Pattern).as("n_ips"),
+          Curation.redactPii(col("t")).as("red_text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- paragraph-level exact dedup -------------------------------------
+    // 10-word chunks stand in for paragraphs (fixture is single-line); the
+    // corpus-wide first occurrence of each paragraph digest survives.
+    Q("q56_paragraph_dedup", {
+      val chunks = Curation.wordChunksSql("text", 10)
+      s"""WITH p AS (SELECT doc_id, $chunks AS paras FROM documents),
+         |e AS (SELECT doc_id, unnest(generate_series(1, len(paras))) AS para_idx, paras FROM p),
+         |h AS (SELECT doc_id, para_idx, md5(paras[CAST(para_idx AS INT)]) AS ph FROM e),
+         |r AS (SELECT doc_id, para_idx,
+         |        row_number() OVER (PARTITION BY ph ORDER BY doc_id, para_idx) AS rn FROM h)
+         |SELECT doc_id, COUNT(*) AS n_paras,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val withParas = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Curation.wordChunks(col("text"), 10).as("paras"))
+      Curation.paragraphDedupStats(withParas, col("paras"), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher-style repetition metrics ---------------------------------
+    Q("q57_repetition_metrics", {
+      val lines = Curation.wordChunksSql("text", 5)
+      val bigrams = Fns.wordShinglesSql("text", 2)
+      val ws = "regexp_split_to_array(trim(text), '\\s+')"
+      s"""WITH c AS (SELECT doc_id, $lines AS ls, $bigrams AS gs, $ws AS ws FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS dup_line_frac,
+         |  CAST(${Curation.topElementCountSql("gs")} AS DOUBLE) / CAST(len(gs) AS DOUBLE) AS top_bigram_frac,
+         |  CAST(${Curation.topElementCountSql("ws")} AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS top_word_frac
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          Curation.dupLineFrac(Curation.wordChunks(col("text"), 5)).as("dup_line_frac"),
+          Curation.topNgramFrac(col("text"), 2).as("top_bigram_frac"),
+          Curation.topWordFrac(col("text")).as("top_word_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- test-set decontamination ----------------------------------------
+    // Held-out set = doc_id % 10 = 0; corpus docs sharing any distinct
+    // 3-gram with it are contaminated. Gram distinct-ing happens on the
+    // STRING level in both engines (per-row in Spark, (doc,gram) DISTINCT in
+    // the oracle) so a later hashP collision affects both sides equally.
+    Q("q58_decontaminate", {
+      val shingles = Fns.wordShinglesSql("text", 3)
+      s"""WITH sh AS (SELECT doc_id, $shingles AS gs FROM documents),
+         |d AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)),
+         |dh AS (SELECT doc_id, ${Fns.hashPSql("g")} AS gh FROM d),
+         |tg AS (SELECT DISTINCT gh FROM dh WHERE doc_id % 10 = 0),
+         |cg AS (SELECT doc_id, gh FROM dh WHERE doc_id % 10 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_hits
+         |FROM cg JOIN tg USING (gh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Curation.decontaminationHits(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "text", "doc_id", w = 3)
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic hash sampling + weighted source mixing ------------
+    Q("q59_mix_sample", {
+      val bucket = Curation.hashBucketSql("doc_id", MixSalt)
+      val rateCase = MixRates.toSeq.sortBy(_._1)
+        .map { case (src, p) => s"WHEN '$src' THEN $p" }
+        .mkString("CASE source ", " ", s" ELSE $MixDefault END")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE $bucket < ($rateCase)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Curation.mixSources(Tables.load(s, dir, "documents"),
+          "doc_id", "source", MixRates, MixDefault, MixSalt)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- TF-IDF ----------------------------------------------------------
+    // tf·ln(N/df). A cross-engine `ln` is not bit-reproducible (libm vs
+    // java.lang.Math, ±1 ulp), so the score is emitted as a %.6f-formatted
+    // string: both engines round the exact binary double to 6 decimals, and
+    // a 1-ulp input wobble only flips the output within ~1e-16 of a decimal
+    // boundary — vanishing at this precision. tf/df/N stay exact BIGINTs.
+    Q("q49_tf_idf",
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  printf('%.6f', CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))) AS tfidf
+        |FROM tf JOIN df USING (term), n
+        |WHERE tf.doc_id < 100
+        |ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tf = TextAnalysis.termFreq(docs, "text", "doc_id")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      // df is corpus-wide (semantics), the doc_id<100 cut applies to tf only;
+      // the tiny N aggregate broadcasts.
+      tf.filter(col("doc_id") < 100)
+        .join(TextAnalysis.docFreq(tf), "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          format_string("%.6f",
+            col("tf").cast("double")
+              * log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Semantics-level coverage for the curation pack (the oracle gate covers
+  * end-to-end values at sf0.01; q55-q59/q49 there). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("redactPii replaces emails, phones and IPs; counts see each class") {
+    val t = "mail bob.smith+x@corp.example.org now 555-123-4567 host 192.168.0.1 end"
+    val df = Seq(t).toDF("t").select(
+      Curation.piiCount(col("t"), Curation.EmailPattern).as("e"),
+      Curation.piiCount(col("t"), Curation.PhonePattern).as("p"),
+      Curation.piiCount(col("t"), Curation.Ipv4Pattern).as("i"),
+      Curation.redactPii(col("t")).as("r"))
+    val r = df.collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((1, 1, 1)))
+    assert(r.getString(3) == "mail <EMAIL> now <PHONE> host <IP> end")
+  }
+
+  test("redactPii leaves clean text untouched") {
+    val t = "plain words 12 and dots. nothing else"
+    val out = Seq(t).toDF("t").select(Curation.redactPii(col("t"))).first().getString(0)
+    assert(out == t)
+  }
+
+  test("wordChunks: 23 words at width 10 → chunks of 10/10/3") {
+    val t = (1 to 23).map(i => s"w$i").mkString(" ")
+    val chunks = Seq(t).toDF("t")
+      .select(Curation.wordChunks(col("t"), 10).as("c"))
+      .first().getSeq[String](0)
+    assert(chunks.length == 3)
+    assert(chunks(0).split(" ").length == 10)
+    assert(chunks(2) == "w21 w22 w23")
+  }
+
+  test("paragraphDedupStats: corpus-wide first occurrence survives") {
+    // doc 1: [A, B], doc 2: [A, C], doc 3: [B, B] — survivors: 1/A 1/B 2/C.
+    val df = Seq(
+      (1L, Seq("A", "B")), (2L, Seq("A", "C")), (3L, Seq("B", "B"))
+    ).toDF("doc_id", "paras")
+    val out = Curation.paragraphDedupStats(df, col("paras"), "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+  }
+
+  test("repetition metrics on crafted text") {
+    // 6 words: "x y x y x z" → bigrams [x y, y x, x y, y x, x z]:
+    // top bigram 2/5; top word 3/6; 2-word lines [x y, x y, x z] → dup 1/3.
+    val df = Seq("x y x y x z").toDF("text")
+    val r = df.select(
+      Curation.dupLineFrac(Curation.wordChunks(col("text"), 2)).as("d"),
+      Curation.topNgramFrac(col("text"), 2).as("g"),
+      Curation.topWordFrac(col("text")).as("w")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / 3) < 1e-15)
+    assert(math.abs(r.getDouble(1) - 2.0 / 5) < 1e-15)
+    assert(math.abs(r.getDouble(2) - 3.0 / 6) < 1e-15)
+  }
+
+  test("decontaminationHits finds shared 3-grams; removeContaminated drops the doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with test
+      (2L, "totally clean words here now")
+    ).toDF("doc_id", "text")
+    val testSet = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val hits = Curation.decontaminationHits(corpus, testSet, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((1L, 1L)))
+    val clean = Curation.removeContaminated(corpus, testSet, "text", "doc_id", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("hashSample is deterministic and monotone in pct") {
+    val df = spark.range(0, 1000).toDF("id")
+    val s30 = Curation.hashSample(df, "id", 30, "s").select("id").as[Long].collect().toSet
+    val s30b = Curation.hashSample(df, "id", 30, "s").select("id").as[Long].collect().toSet
+    val s60 = Curation.hashSample(df, "id", 60, "s").select("id").as[Long].collect().toSet
+    assert(s30 == s30b)                  // pure function of (salt, id)
+    assert(s30.subsetOf(s60))            // bucket < 30 ⊆ bucket < 60
+    assert(s30.size > 200 && s30.size < 400) // ~30% ± slack
+    // a different salt draws a different sample
+    val sAlt = Curation.hashSample(df, "id", 30, "t").select("id").as[Long].collect().toSet
+    assert(sAlt != s30)
+  }
+
+  test("mixSources honors per-source rates (0 drops all, 100 keeps all)") {
+    val df = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val out = Curation.mixSources(df, "id", "src", Map("a" -> 100, "b" -> 0), 50, "m")
+      .select("src").as[String].collect()
+    assert(out.toSet == Set("a") && out.length == 50)
+  }
+
+  test("per-document metrics plan shuffle-free (scan-stage only)") {
+    val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = df.select(
+        Curation.dupLineFrac(Curation.wordChunks(col("text"), 5)),
+        Curation.topNgramFrac(col("text"), 2),
+        Curation.redactPii(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
