@@ -178,6 +178,30 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < pct)
 
+  // ---- sequence packing (concat-and-chunk token binning) -----------------
+  /** GPT-style sequence packing: documents are (conceptually) concatenated
+    * in (group, id) order and chunked into fixed token budgets; each doc is
+    * assigned the bin where it starts plus its offset inside that bin.
+    * bin = ⌊cum_before / budget⌋, offset = cum_before mod budget, where
+    * cum_before is the running token total of earlier docs in the group.
+    *
+    * Scale: the running sum is a window per group — groups pack in
+    * parallel, and within-group sequencing is inherent to the semantics
+    * (packing IS an ordered fold). At 100 TB the group key is a composite
+    * shard (e.g. source × hash-bucket of id) so no single window partition
+    * exceeds a task; bins are then keyed (group, bin_id) and never span
+    * shards. A global single-order pack would serialize the corpus — that
+    * formulation is deliberately not offered. */
+  def packSequences(df: DataFrame, idCol: String, groupCol: String,
+                    tokens: Column, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    val cum = sum(tokens).over(w) - tokens
+    df.withColumn("n_tokens", tokens)
+      .withColumn("bin_id", floor(cum / lit(budget.toDouble)).cast("long"))
+      .withColumn("bin_offset", pmod(cum, lit(budget.toLong)))
+  }
+
   /** Weighted dataset mixing: per-source keep rates (percent), unknown
     * sources fall back to defaultPct. One scan, zero shuffle — the mixture
     * is decided row-locally, so a 100 TB multi-source union mixes without

@@ -222,4 +222,52 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         VectorExprs.cosineF(col("va"), col("vb")).as("cos"))
   }
+
+  // ---- int8 scalar quantization ------------------------------------------
+  // Max-abs symmetric quantization: q_i = round(127·x_i / maxabs(x)). Cuts
+  // corpus vector memory 4× (the standard SQ8 trick in FAISS-style ANN
+  // stacks) and turns the scan-side score into pure integer arithmetic.
+  // Similarity ORDER is preserved per query because the per-vector scales
+  // cancel out of the cosine up to rounding noise; the exact re-rank stays
+  // available from the float column. At 100 TB the quantized codes compose
+  // with the IVF index (ivfAssign stores codes instead of floats) so the
+  // probe stage streams 1/4 the bytes.
+  //
+  // Cross-engine determinism: x/maxabs and ·127 are IEEE-exact in both
+  // engines; round() is away-from-zero on ties in Spark (BigDecimal
+  // HALF_UP) and DuckDB alike, and the rounded value is an integral double,
+  // which both engines cast to the same int. Integer dots are exact.
+
+  /** Per-vector max-abs, floored at 1e-30 so a zero vector quantizes to
+    * zeros instead of NaNs (0/tiny → 0). */
+  private def maxAbs(d: Column): Column =
+    greatest(array_max(transform(d, x => abs(x))), lit(1e-30))
+  private def maxAbsSql(dE: String): String =
+    s"GREATEST(list_max(list_transform($dE, x -> abs(x))), 1e-30)"
+
+  /** float array → int8 codes (as array<int>, values in [-127, 127]). */
+  def quantizeInt8(vec: Column): Column = {
+    val d = Fns.vecD(vec)
+    val m = maxAbs(d)
+    transform(d, x => round(x * lit(127.0) / m).cast("int"))
+  }
+  def quantizeInt8Sql(vecE: String): String = {
+    val d = Fns.vecDSql(vecE)
+    s"list_transform($d, x -> CAST(round(x * 127.0 / ${maxAbsSql(d)}) AS INT))"
+  }
+
+  /** Exact integer dot product of two code arrays (≤ 127²·dim, fits long). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+  def intDotSql(aE: String, bE: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(($aE)[i]*($bE)[i] AS BIGINT) " +
+      s"FOR i IN generate_series(1, len($aE))]), (acc, x) -> acc + x)"
+
+  /** Cosine over int8 codes: int dots, one double division at the end. */
+  def quantizedCosine(a: Column, b: Column): Column =
+    intDot(a, b).cast("double") /
+      sqrt(intDot(a, a).cast("double") * intDot(b, b).cast("double"))
+  def quantizedCosineSql(aE: String, bE: String): String =
+    s"(CAST(${intDotSql(aE, bE)} AS DOUBLE) / " +
+      s"sqrt(CAST(${intDotSql(aE, aE)} AS DOUBLE) * CAST(${intDotSql(bE, bE)} AS DOUBLE)))"
 }

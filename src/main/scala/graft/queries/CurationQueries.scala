@@ -68,7 +68,10 @@ object CurationQueries {
          |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // repartition before the chunk+digest stage (single-split fixture —
+      // see q58 note)
       val withParas = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), Curation.wordChunks(col("text"), 10).as("paras"))
       Curation.paragraphDedupStats(withParas, col("paras"), "doc_id")
         .orderBy("doc_id")
@@ -110,7 +113,11 @@ object CurationQueries {
          |FROM cg JOIN tg USING (gh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // repartition before the gram-hash stage: the fixture is one parquet
+      // split, which would otherwise run ~800k md5-derived gram hashes on a
+      // single core (same pattern as the multimodal decode queries)
       val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       Curation.decontaminationHits(
           docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
           docs.filter(pmod(col("doc_id"), lit(10)) === 0),
@@ -131,6 +138,57 @@ object CurationQueries {
       Curation.mixSources(Tables.load(s, dir, "documents"),
           "doc_id", "source", MixRates, MixDefault, MixSalt)
         .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- int8 scalar-quantized KNN ---------------------------------------
+    // SQ8 codes (4× smaller corpus vectors), integer-dot cosine, exact float
+    // cosine alongside for re-rank/recall audit. All score math is exact
+    // cross-engine: int dots are integers, the final division/sqrt are
+    // single IEEE ops.
+    Q("q66_quantized_knn", {
+      def cosSql(aE: String, bE: String) =
+        Fns.cosineSql(Fns.vecDSql(aE), Fns.vecDSql(bE))
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |  ${graft.operators.Similarity.quantizeInt8Sql("embedding")} AS qv FROM embeddings),
+         |q AS (SELECT qv AS qq, embedding AS qe FROM c WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         |  ${graft.operators.Similarity.quantizedCosineSql("c.qv", "q.qq")} AS qcos,
+         |  ${cosSql("c.embedding", "q.qe")} AS cos
+         |FROM c, q ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.Similarity
+      val codes = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.quantizeInt8(col("embedding")).as("qv"))
+      val q = broadcast(codes.filter(col("vec_id") === 0)
+        .select(col("qv").as("qq"), col("embedding").as("qe")))
+      codes.crossJoin(q)
+        .select(col("vec_id"),
+          Similarity.quantizedCosine(col("qv"), col("qq")).as("qcos"),
+          graft.functions.VectorExprs.cosineF(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("qcos").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ---- sequence packing (token binning) --------------------------------
+    // Docs concatenated per source in doc_id order, chunked into 256-token
+    // budgets; each doc reports its bin and intra-bin offset.
+    Q("q67_token_packing",
+      """WITH t AS (SELECT source, doc_id,
+        |             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
+        |      FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(FLOOR(cum / 256.0) AS BIGINT) AS bin_id,
+        |  CAST(cum % 256 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.packSequences(Tables.load(s, dir, "documents"),
+          "doc_id", "source", TextAnalysis.wsTokenCount(col("text")), budget = 256)
+        .select("source", "doc_id", "n_tokens", "bin_id", "bin_offset")
         .orderBy("doc_id")
     },
 

@@ -97,6 +97,42 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSet == Set("a") && out.length == 50)
   }
 
+  test("quantizeInt8: max-abs scaling, away-from-zero ties, zero-vector guard") {
+    import graft.operators.Similarity
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+      .orderBy("id").collect()
+    // maxabs=1: 127·1=127, 127·(−0.5)=−63.5 → −64 (away from zero), 31.75 → 32
+    assert(out(0).getSeq[Int](1) == Seq(127, -64, 32))
+    assert(out(1).getSeq[Int](1) == Seq(0, 0, 0)) // 0/1e-30 → 0, not NaN
+  }
+
+  test("quantizedCosine: self-similarity exactly 1.0, order tracks float cosine") {
+    import graft.operators.Similarity
+    val a = Seq(1.0f, 0.0f, 0.5f)
+    val near = Seq(0.9f, 0.1f, 0.45f)
+    val far = Seq(-1.0f, 0.2f, 0.0f)
+    val df = Seq((0L, a), (1L, near), (2L, far)).toDF("id", "v")
+    val codes = df.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+    val q0 = codes.filter(col("id") === 0).select(col("q").as("qq"))
+    val scored = codes.crossJoin(broadcast(q0))
+      .select(col("id"), Similarity.quantizedCosine(col("q"), col("qq")).as("qcos"))
+      .orderBy(col("qcos").desc).collect()
+    assert(scored(0).getLong(0) == 0L && scored(0).getDouble(1) == 1.0)
+    assert(scored(1).getLong(0) == 1L && scored(2).getLong(0) == 2L)
+  }
+
+  test("packSequences: concat-and-chunk bins and offsets per group") {
+    val df = Seq((1L, "g", 100), (2L, "g", 200), (3L, "g", 100), (4L, "h", 300))
+      .toDF("id", "grp", "tok")
+    val out = Curation.packSequences(df, "id", "grp", col("tok"), budget = 256)
+      .select("id", "bin_id", "bin_offset").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // g: cum_before 0,100,300 → bins 0,0,1, offsets 0,100,44; h restarts at 0
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 100L), (3L, 1L, 44L), (4L, 0L, 0L)))
+  }
+
   test("per-document metrics plan shuffle-free (scan-stage only)") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val plan = df.select(
