@@ -111,6 +111,35 @@ object TextHashing {
     sim
   }
 
+  /** DISTINCT word-w-gram hashes in one compiled pass — the decontamination
+    * hot path. Distinct-ing happens at the STRING level (first-occurrence
+    * order, matching `array_distinct`), and only then are the survivors
+    * hashed — identical to `array_distinct(wordShingles(text,w))` exploded
+    * through `hashP`, including the edge where two distinct grams collide in
+    * hashP (both values are kept, as the declarative path keeps both rows).
+    * This replaces a per-exploded-row md5-hex → conv(…,16,10) string
+    * pipeline with one pass over the document. */
+  def distinctShingleHashesP(text: UTF8String, w: Int): Array[Long] = {
+    val words = text.trim().toString.split("\\s+", -1)
+    val n = math.max(words.length - (w - 1), 1)
+    val seen = new java.util.LinkedHashSet[String](math.min(n * 2, 1 << 16))
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      val end = math.min(i + w, words.length)
+      var j = i
+      while (j < end) { if (j > i) sb.append(' '); sb.append(words(j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = hash60(it.next()) % P; k += 1 }
+    out
+  }
+
   /** Character n-gram shingle hashes in [0, P), string-order, duplicates
     * kept — semantics of [[Fns.charShinglesExpr]] + [[Fns.hashP]]:
     * `max(len-n+1, 1)` windows; a short string yields one partial gram.
@@ -137,6 +166,8 @@ object TextHashing {
     new GenericArrayData(minhashSig(text, w, k))
   def shingleHashesData(text: UTF8String, w: Int): ArrayData =
     new GenericArrayData(shingleHashesP(text, w))
+  def distinctShingleHashesData(text: UTF8String, w: Int): ArrayData =
+    new GenericArrayData(distinctShingleHashesP(text, w))
   def charShingleHashesData(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(charShingleHashesP(text, n))
 }
@@ -189,6 +220,19 @@ case class ShingleHashes(child: Expression, w: Int) extends TextHashExpr {
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** array<long>: hashP of every DISTINCT shingle (string-level distinct,
+  * first-occurrence order — `array_distinct` semantics). */
+case class DistinctShingleHashes(child: Expression, w: Int) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextHashing.distinctShingleHashesData(t.asInstanceOf[UTF8String], w)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHashing.distinctShingleHashesData($c, $w)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_distinct_shingle_hashes"
+}
+
 /** array<long>: hashP of every char n-gram, string order, duplicates kept. */
 case class CharShingleHashes(child: Expression, n: Int) extends TextHashExpr {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -208,6 +252,8 @@ object TextHashExprs {
     Bridge.column(SimHash16(Bridge.expression(text), w))
   def shingleHashes(text: Column, w: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), w))
+  def distinctShingleHashes(text: Column, w: Int): Column =
+    Bridge.column(DistinctShingleHashes(Bridge.expression(text), w))
   def charShingleHashes(text: Column, n: Int): Column =
     Bridge.column(CharShingleHashes(Bridge.expression(text), n))
 }

@@ -118,6 +118,80 @@ case class CosineSim(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_cosine"
 }
 
+/** Exact integer dot product over code arrays (the SQ8 scoring hot path):
+  * Σ aᵢ·bᵢ accumulated in long — int8 codes are ≤127 in magnitude so the sum
+  * is exact for any realistic dim (≤127²·dim ≪ 2⁶³). The declarative
+  * formulation (`aggregate(zip_with(a,b,(x,y)=>(x*y).cast("long")),0L,_+_)`)
+  * evaluates two interpreted lambdas per element and allocates the zipped
+  * array per row; this fuses the whole fold into one codegen loop over the
+  * raw `ArrayData` — the same treatment [[DotProduct]] gives float vectors.
+  *
+  * Null contract matches the HOF path exactly: null array → null; mismatched
+  * lengths → null (`zip_with` pads with null, poisoning the fold); any null
+  * element → null. Values are bit-identical by construction (exact integer
+  * arithmetic — no fold-order sensitivity at all).
+  */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int|bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def elemLong(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val la = elemLong(left); val lb = elemLong(right)
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (la) a.getLong(i) else a.getInt(i).toLong
+      val y = if (lb) b.getLong(i) else b.getInt(i).toLong
+      d += x * y
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(arr: String, i: String, e: Expression): String =
+      if (elemLong(e)) s"$arr.getLong($i)" else s"(long) $arr.getInt($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $d += ${get(a, i, left)} * ${get(b, i, right)};
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $d;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_int_dot"
+}
+
 /** long: id of the pivot with the max cosine against `left` (ties → smaller
   * id, NaN ranks greatest — `ORDER BY cos DESC, cid ASC` semantics). `right`
   * is the PACKED pivot array `array<struct<cid: long|int, cv: array<float|
@@ -177,6 +251,9 @@ object VectorExprs {
   /** Column surface: argmax-cosine pivot id over a packed pivot array. */
   def nearestPivotF(vec: Column, pivots: Column): Column =
     Bridge.column(NearestPivot(Bridge.expression(vec), Bridge.expression(pivots)))
+  /** Column surface: fused exact integer dot over int/long code arrays. */
+  def intDotF(a: Column, b: Column): Column =
+    Bridge.column(IntDotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   /** Kernel for [[NearestPivot]] (shared by eval and codegen): C cosines
     * with the [[VectorFold]] fold order + running argmax. Pivots with

@@ -50,7 +50,10 @@ object Curation {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
-  /** DuckDB fragment of [[redactPii]] (RE2, global flag is explicit). */
+  /** DuckDB fragment of [[redactPii]] (RE2, global flag is explicit).
+    * CONSTANTS-ONLY contract: the spliced patterns are the fixed library
+    * constants above (quote-free by construction) — this builder does not
+    * escape, so caller-supplied pattern strings must not flow in. */
   def redactPiiSql(textE: String): String = {
     val e = s"regexp_replace($textE, '$EmailPattern', '<EMAIL>', 'g')"
     val i = s"regexp_replace($e, '$Ipv4Pattern', '<IP>', 'g')"
@@ -134,11 +137,16 @@ object Curation {
   // ---- decontamination (test-set n-gram overlap) -------------------------
   /** Distinct w-gram hashes per document: per-row shingle + per-row distinct
     * (no shuffle-side dedup of grams within a doc), hashed to 8 bytes before
-    * anything leaves the scan stage. */
+    * anything leaves the scan stage. The shingle→distinct→hash chain runs as
+    * ONE compiled kernel per document
+    * ([[graft.functions.TextHashExprs.distinctShingleHashes]] — the MinHash
+    * kernel family), so the explode emits 8-byte longs instead of feeding
+    * each gram STRING through an interpreted md5-hex → conv pipeline;
+    * semantics (string-level distinct, [[Fns.hashP]] values) are identical
+    * and CurationSpec pins the equivalence. */
   def gramHashes(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
     df.select(col(idCol),
-        explode(array_distinct(Fns.wordShingles(col(textCol), w))).as("g"))
-      .select(col(idCol), Fns.hashP(col("g")).as("gh"))
+      explode(graft.functions.TextHashExprs.distinctShingleHashes(col(textCol), w)).as("gh"))
 
   /** Per-document count of distinct w-grams shared with a held-out test set
     * — the standard train/test decontamination sweep (n-gram collision
@@ -171,8 +179,14 @@ object Curation {
     * corpora reproducible across reruns and auditable by other engines. */
   def hashBucket(id: Column, salt: String): Column =
     Fns.hash60(concat(lit(salt), id.cast("string"))) % 100
-  def hashBucketSql(idE: String, salt: String): String =
-    s"(${Fns.hash60Sql(s"'$salt'||CAST($idE AS VARCHAR)")} % 100)"
+  /** Oracle fragment. The salt is spliced into a single-quoted SQL literal —
+    * quotes are doubled so a salt containing `'` still round-trips; DuckDB
+    * string literals have no backslash escapes by default, so `''` is the
+    * only metacharacter to neutralize. */
+  def hashBucketSql(idE: String, salt: String): String = {
+    val s = salt.replace("'", "''")
+    s"(${Fns.hash60Sql(s"'$s'||CAST($idE AS VARCHAR)")} % 100)"
+  }
 
   /** Keep ~pct% of rows, deterministically. */
   def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String): DataFrame =
@@ -194,8 +208,14 @@ object Curation {
     * formulation is deliberately not offered. */
   def packSequences(df: DataFrame, idCol: String, groupCol: String,
                     tokens: Column, budget: Int): DataFrame = {
+    // Explicit ROWS frame: Spark's default for an ordered window is RANGE,
+    // which would fold PEER rows (duplicate (group,id) keys) into cum_before
+    // — diverging from the documented ordered-fold semantics (and from the
+    // oracle's ROWS frame) whenever the id is not unique within the group.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val cum = sum(tokens).over(w) - tokens
     df.withColumn("n_tokens", tokens)
       .withColumn("bin_id", floor(cum / lit(budget.toDouble)).cast("long"))

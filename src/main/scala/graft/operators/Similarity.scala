@@ -230,8 +230,10 @@ object Similarity {
   // Similarity ORDER is preserved per query because the per-vector scales
   // cancel out of the cosine up to rounding noise; the exact re-rank stays
   // available from the float column. At 100 TB the quantized codes compose
-  // with the IVF index (ivfAssign stores codes instead of floats) so the
-  // probe stage streams 1/4 the bytes.
+  // with the IVF index — [[ivfAssignQuantized]] stores codes (+ their
+  // integer self-dot) instead of floats, and [[ivfSearchQuantized]] scores
+  // probed lists with [[quantizedCosineFromDots]] before an exact float
+  // re-rank of the shortlist — so the probe stage streams 1/4 the bytes.
   //
   // Cross-engine determinism: x/maxabs and ·127 are IEEE-exact in both
   // engines; round() is away-from-zero on ties in Spark (BigDecimal
@@ -256,18 +258,89 @@ object Similarity {
     s"list_transform($d, x -> CAST(round(x * 127.0 / ${maxAbsSql(d)}) AS INT))"
   }
 
-  /** Exact integer dot product of two code arrays (≤ 127²·dim, fits long). */
+  /** Exact integer dot product of two code arrays (≤ 127²·dim, fits long).
+    * Declarative HOF formulation — kept as the semantic reference the spec
+    * pins [[VectorExprs.intDotF]] against; hot paths use the fused kernel. */
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
   def intDotSql(aE: String, bE: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(($aE)[i]*($bE)[i] AS BIGINT) " +
       s"FOR i IN generate_series(1, len($aE))]), (acc, x) -> acc + x)"
 
-  /** Cosine over int8 codes: int dots, one double division at the end. */
+  /** Cosine from precomputed integer dots: the scan-side hot path when the
+    * corpus self-dot is materialized next to the codes (one column, computed
+    * once at quantization time) and the query self-dot is hoisted into the
+    * broadcast row — the per-row cost is then ONE fused dot instead of
+    * three. The 1e-30 denominator floor keeps a zero-code vector (all-zero
+    * input) at 0.0 instead of 0/0 — which Spark folds to NULL but DuckDB
+    * (ieee_floating_point_ops) folds to NaN, a cross-engine divergence. */
+  def quantizedCosineFromDots(ab: Column, aa: Column, bb: Column): Column =
+    ab.cast("double") / greatest(sqrt(aa.cast("double") * bb.cast("double")), lit(1e-30))
+
+  /** Cosine over int8 codes: fused integer dots, one double division. */
   def quantizedCosine(a: Column, b: Column): Column =
-    intDot(a, b).cast("double") /
-      sqrt(intDot(a, a).cast("double") * intDot(b, b).cast("double"))
+    quantizedCosineFromDots(VectorExprs.intDotF(a, b),
+      VectorExprs.intDotF(a, a), VectorExprs.intDotF(b, b))
   def quantizedCosineSql(aE: String, bE: String): String =
     s"(CAST(${intDotSql(aE, bE)} AS DOUBLE) / " +
-      s"sqrt(CAST(${intDotSql(aE, aE)} AS DOUBLE) * CAST(${intDotSql(bE, bE)} AS DOUBLE)))"
+      s"GREATEST(sqrt(CAST(${intDotSql(aE, aE)} AS DOUBLE) * CAST(${intDotSql(bE, bE)} AS DOUBLE)), 1e-30))"
+
+  // ---- SQ8 × IVF composition ---------------------------------------------
+
+  /** IVF index with SQ8 payloads: same nearest-pivot assignment as
+    * [[ivfAssign]], but the stored per-vector payload is the int8 code array
+    * plus its integer self-dot (`code_self_dot`, computed ONCE here so probe
+    * scans never recompute it) — the float column is dropped. The persisted
+    * index streams ~1/4 the bytes per probed row; exact float re-rank
+    * fetches floats for the SHORTLIST only (a k-sized id join back to the
+    * corpus, broadcast by construction). Write with [[ivfWriteIndex]] for
+    * file-level probe pruning, exactly as with the float index. */
+  def ivfAssignQuantized(corpus: DataFrame, pivots: DataFrame,
+                         vecCol: String, idCol: String, pivotIdCol: String): DataFrame =
+    ivfAssign(corpus, pivots, vecCol, idCol, pivotIdCol)
+      .withColumn("codes", quantizeInt8(col(vecCol)))
+      .withColumn("code_self_dot", VectorExprs.intDotF(col("codes"), col("codes")))
+      .select(col(idCol), col("codes"), col("code_self_dot"), col("centroid_id"))
+
+  /** IVF search over a QUANTIZED index ([[ivfAssignQuantized]]): probe
+    * ranking on the driver (literal isin filter → partition pruning, as
+    * [[ivfSearchPruned]]), quantized-cosine scoring of the probed lists (one
+    * fused integer dot per row — self-dots are precomputed on both sides),
+    * then an exact float re-rank of the top-`shortlist` candidates against
+    * `corpus` — the FAISS SQ8 ladder: coarse quantize → cheap scan → exact
+    * re-rank. Recall relative to the float [[ivfSearch]] is governed by
+    * `shortlist` (≥ k; the default 4·k absorbs SQ8 rounding inversions).
+    *
+    * Scale: the probed scan reads codes only (1/4 bytes), the shortlist is
+    * k-sized and broadcast into the corpus for the re-rank, and the corpus
+    * join is id-equi — runtime-filter/DPP friendly. No stage ever shuffles
+    * vectors. */
+  def ivfSearchQuantized(index: DataFrame, pivots: DataFrame, query: DataFrame,
+                         corpus: DataFrame, vecCol: String, idCol: String,
+                         pivotIdCol: String, k: Int, nprobe: Int,
+                         shortlist: Int = -1): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val q = broadcast(query
+      .select(col(vecCol).as("__qv"), quantizeInt8(col(vecCol)).as("__qq"))
+      .withColumn("__qsd", VectorExprs.intDotF(col("__qq"), col("__qq"))))
+    val probeCids = pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .select(col("cid"), VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+      .orderBy(col("__pcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .collect().map(_.get(0))
+    val candidates = index.filter(col("centroid_id").isin(probeCids: _*))
+      .crossJoin(q)
+      .select(col(idCol),
+        quantizedCosineFromDots(VectorExprs.intDotF(col("codes"), col("__qq")),
+          col("code_self_dot"), col("__qsd")).as("__qcos"))
+      .orderBy(col("__qcos").desc, col(idCol).asc)
+      .limit(sl)
+      .select(idCol)
+    corpus.join(broadcast(candidates), idCol)
+      .crossJoin(q)
+      .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

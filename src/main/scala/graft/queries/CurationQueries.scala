@@ -158,15 +158,25 @@ object CurationQueries {
          |FROM c, q ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
     }) { (s, dir) =>
       import graft.operators.Similarity
+      import graft.functions.VectorExprs
+      // repartition before quantization: the fixture is one parquet split,
+      // which would otherwise quantize + score the whole corpus on a single
+      // core (same pattern as q56/q58/q70–q72). Self-dots are computed ONCE
+      // next to the codes — the scan-side score is then a single fused
+      // integer dot per row; the query's self-dot rides the broadcast row.
       val codes = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"),
           Similarity.quantizeInt8(col("embedding")).as("qv"))
+        .withColumn("sd", VectorExprs.intDotF(col("qv"), col("qv")))
       val q = broadcast(codes.filter(col("vec_id") === 0)
-        .select(col("qv").as("qq"), col("embedding").as("qe")))
+        .select(col("qv").as("qq"), col("embedding").as("qe"), col("sd").as("qsd")))
       codes.crossJoin(q)
         .select(col("vec_id"),
-          Similarity.quantizedCosine(col("qv"), col("qq")).as("qcos"),
-          graft.functions.VectorExprs.cosineF(col("embedding"), col("qe")).as("cos"))
+          Similarity.quantizedCosineFromDots(
+            VectorExprs.intDotF(col("qv"), col("qq")),
+            col("sd"), col("qsd")).as("qcos"),
+          VectorExprs.cosineF(col("embedding"), col("qe")).as("cos"))
         .orderBy(col("qcos").desc, col("vec_id"))
         .limit(10)
     },

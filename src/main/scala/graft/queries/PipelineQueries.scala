@@ -532,6 +532,52 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // ---- events: TRUE STREAMING execution, oracle-checked -----------------
+    // q60's batch face verifies plan semantics; THIS query runs the actual
+    // Structured Streaming engine end-to-end: file-source readStream over the
+    // events parquet → watermarked stateful window aggregation → sink
+    // directory (foreachBatch parquet, complete mode) under a one-shot
+    // Trigger.AvailableNow run — then reads the SINK back as the declared
+    // result, so the oracle hash-compares what the STREAMING engine wrote,
+    // not a batch re-derivation. Complete-mode foreachBatch (not the
+    // append-mode file sink) because append only emits windows the watermark
+    // has closed — the stream's final in-flight hour would be dropped and
+    // never match the batch oracle; complete emits full state each batch and
+    // the overwrite leaves exactly the final state. At scale the same
+    // topology runs unbounded with update/append sinks; AvailableNow is the
+    // standard backfill/cron face of that job.
+    Q("q73_streaming_hourly",
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = new graft.Session.Scratch // janitor-prefixed tmp (C5)
+      val sink = s"${scratch.dir}/stream_hourly"
+      val chk = s"${scratch.dir}/chk"
+      // Same nanos-ts handling as Tables.load, on the streaming reader.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(Tables.path(dir, "events")).schema
+      // The file-stream source needs a DIRECTORY to monitor (basePath); the
+      // fixture table is a single file inside the SF dir, so monitor the dir
+      // with a filename glob — the same shape as a production landing folder.
+      val events = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val query = Streams.hourlyByTypeStream(events, watermark = "1 hour")
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(sink)
+        }
+        .start()
+      query.awaitTermination()
+      s.read.parquet(sink).orderBy("window_start", "event_type")
+    },
+
     // ---- events: JSON prop extraction -------------------------------------
     Q("q62_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -133,6 +133,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 100L), (3L, 1L, 44L), (4L, 0L, 0L)))
   }
 
+  test("distinctShingleHashes kernel ≡ array_distinct(wordShingles)→hashP, in order") {
+    import graft.functions.{Fns, TextHashExprs}
+    // real corpus rows + crafted edges: duplicate grams, doc shorter than w
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(50)
+      .union(Seq((9001L, "a b c a b c a b"), (9002L, "only two")).toDF("doc_id", "text"))
+    val kernel = docs
+      .select(col("doc_id"), TextHashExprs.distinctShingleHashes(col("text"), 3).as("ghs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val decl = docs
+      .select(col("doc_id"), explode(array_distinct(Fns.wordShingles(col("text"), 3))).as("g"))
+      .select(col("doc_id"), Fns.hashP(col("g")).as("gh"))
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.toSeq.map(_.getLong(1)) }
+    assert(kernel.keySet == decl.keySet)
+    kernel.foreach { case (id, hs) => assert(hs == decl(id), s"doc $id") }
+  }
+
   test("per-document metrics plan shuffle-free (scan-stage only)") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val plan = df.select(

@@ -64,4 +64,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert((before & trueTop).size == 3, s"fixture drifted: $before")
     assert((after & trueTop).size == 5, s"refined recall not full: $after")
   }
+
+  test("ivfAssignQuantized stores codes + self-dot, no float vectors") {
+    val (corpus, pivots) = fixture
+    val idx = Similarity.ivfAssignQuantized(corpus, pivots, "embedding", "vec_id", "vec_id")
+    assert(idx.columns.toSeq == Seq("vec_id", "codes", "code_self_dot", "centroid_id"))
+    val r = idx.filter(col("vec_id") === 0).first()
+    // vec 0 = (1, 0, 0, 0): codes (127, 0, 0, 0), self-dot 127²
+    assert(r.getSeq[Int](1) == Seq(127, 0, 0, 0))
+    assert(r.getLong(2) == 127L * 127L)
+  }
+
+  test("ivfSearchQuantized: recall parity with float ivfSearch (exact re-rank)") {
+    val (corpus, pivots) = fixture
+    val query = Seq((99L, Array(0.0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val floatIdx = Similarity.ivfAssign(corpus, pivots, "embedding", "vec_id", "vec_id")
+    val quantIdx = Similarity.ivfAssignQuantized(corpus, pivots, "embedding", "vec_id", "vec_id")
+    val floatHits = Similarity.ivfSearch(floatIdx, pivots, query,
+        "embedding", "vec_id", "vec_id", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val quantHits = Similarity.ivfSearchQuantized(quantIdx, pivots, query, corpus,
+        "embedding", "vec_id", "vec_id", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // same probes, shortlist ⊇ k, exact float re-rank → identical (id, cos)
+    // pairs, bit-for-bit (both sides score the final list with cosineF)
+    assert(quantHits.toSeq == floatHits.toSeq)
+  }
+
+  test("ivfSearchQuantized with a tight shortlist still finds the cluster at nprobe=1 (refined pivots)") {
+    val (corpus, pivots) = fixture
+    val query = Seq((99L, Array(0.0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val refined = Similarity.ivfRefinePivots(corpus, pivots, "embedding", "vec_id", "vec_id")
+    val idx = Similarity.ivfAssignQuantized(corpus, refined, "embedding", "vec_id", "vec_id")
+    val hits = Similarity.ivfSearchQuantized(idx, refined, query, corpus,
+        "embedding", "vec_id", "vec_id", k = 5, nprobe = 1, shortlist = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(10L, 11L, 12L, 13L, 14L))
+  }
 }

@@ -67,6 +67,51 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(fused == scored)
   }
 
+  test("intDotF ≡ HOF intDot over quantized real embeddings (exact longs)") {
+    import graft.operators.Similarity
+    val codes = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+    val q = broadcast(codes.filter(col("vec_id") === 0).select(col("q").as("qq")))
+    val rows = codes.crossJoin(q).select(
+      VectorExprs.intDotF(col("q"), col("qq")).as("fused"),
+      Similarity.intDot(col("q"), col("qq")).as("hof"),
+      VectorExprs.intDotF(col("q"), col("q")).as("fused_self"),
+      Similarity.intDot(col("q"), col("q")).as("hof_self")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("intDotF null contract matches HOF: null array, null element, length mismatch") {
+    import graft.operators.Similarity
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1, -2, 3), array(4, 5, 6)),
+        |  (CAST(NULL AS ARRAY<INT>), array(4, 5, 6)),
+        |  (array(1, NULL, 3), array(4, 5, 6)),
+        |  (array(1, 2), array(4, 5, 6)) AS t(a, b)""".stripMargin)
+    val out = df.select(
+      VectorExprs.intDotF(col("a"), col("b")).as("fused"),
+      Similarity.intDot(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1), r.toString) }
+    assert(out(0).getLong(0) == 4 - 10 + 18)
+    assert(out.drop(1).forall(_.isNullAt(0)))
+  }
+
+  test("quantizedCosineFromDots: zero-code vector scores 0.0, not null/NaN") {
+    import graft.operators.Similarity
+    val df = spark.sql("SELECT array(0.0F, 0.0F) AS z, array(1.0F, 2.0F) AS v")
+      .select(Similarity.quantizeInt8(col("z")).as("qz"),
+              Similarity.quantizeInt8(col("v")).as("qv"))
+    val r = df.select(
+      Similarity.quantizedCosine(col("qz"), col("qv")).as("c"),
+      Similarity.quantizedCosine(col("qz"), col("qz")).as("zz")).first()
+    assert(!r.isNullAt(0) && r.getDouble(0) == 0.0)
+    assert(!r.isNullAt(1) && r.getDouble(1) == 0.0)
+  }
+
   test("interpreted eval path agrees with codegen (mixed double/float sides)") {
     val w = array(lit(0.5), lit(-1.25), lit(2.0))
     val df = spark.sql("SELECT array(1.0F, 2.0F, 3.0F) AS v")
