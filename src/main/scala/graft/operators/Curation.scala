@@ -172,6 +172,65 @@ object Curation {
     corpus.join(decontaminationHits(corpus, testSet, textCol, idCol, w),
       Seq(idCol), "left_anti")
 
+  // ---- C4-style boilerplate line removal ---------------------------------
+  // The C4 line rules (Raffel et al. 2020 §2.2): keep a line only if it ends
+  // in a terminal punctuation mark, has at least `minWords` words, and
+  // contains none of the boilerplate markers ("javascript", "cookie",
+  // "lorem ipsum") or code debris ('{'). Per-row HOF filter over a line
+  // array — scan-speed, zero shuffle, composable with [[wordChunks]] on the
+  // fixture or a newline split on a real corpus.
+
+  /** Case-insensitive markers whose presence drops the line. */
+  val BoilerplateMarkers: Seq[String] = Seq("javascript", "cookie", "lorem ipsum")
+  /** Terminal-punctuation rule (shared Java-regex/RE2 syntax). */
+  val TerminalPunct: String = "[.!?\"]$"
+
+  /** Predicate: line survives the C4 rules. Usable standalone or inside a
+    * HOF lambda (all building blocks are plain codegen'd expressions). */
+  def lineKept(line: Column, minWords: Int): Column = {
+    val noMarker = BoilerplateMarkers
+      .map(m => instr(lower(line), m) === 0)
+      .reduce(_ && _)
+    line.rlike(TerminalPunct) &&
+      size(split(trim(line), "\\s+")) >= minWords &&
+      noMarker && instr(line, "{") === 0
+  }
+  def lineKeptSql(lE: String, minWords: Int): String = {
+    val noMarker = BoilerplateMarkers
+      .map(m => s"NOT contains(lower($lE), '$m')").mkString(" AND ")
+    s"""regexp_matches($lE, '$TerminalPunct') AND len(regexp_split_to_array(trim($lE), '\\s+')) >= $minWords AND $noMarker AND NOT contains($lE, '{')"""
+  }
+
+  /** Filter a line-array column down to its C4 survivors. */
+  def removeBoilerplateLines(lines: Column, minWords: Int = 4): Column =
+    filter(lines, l => lineKept(l, minWords))
+  def removeBoilerplateLinesSql(lsE: String, minWords: Int = 4): String =
+    s"list_filter($lsE, l -> ${lineKeptSql("l", minWords)})"
+
+  // ---- URL / domain blocklist filtering ----------------------------------
+  // Standard corpus-hygiene source filter: drop documents whose URL host is
+  // on (or under) a blocked domain. Row-local — at 100 TB the blocklist is a
+  // driver-side literal chain (typical lists are 10³-10⁵ entries; beyond
+  // that, broadcast-join a blocklist table on the extracted suffix instead).
+
+  /** Lower-cased host of a URL (scheme://host[:port]/... — the port is
+    * STRIPPED so a blocked domain blocks every port; bracketed IPv6 hosts
+    * are out of scope for this extractor). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+  def urlHostSql(uE: String): String =
+    s"lower(regexp_extract($uE, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))"
+
+  /** True iff the host equals a blocked domain or is a subdomain of one. */
+  def hostBlocked(host: Column, blocklist: Seq[String]): Column =
+    blocklist.map(b => host === b || host.endsWith(s".$b")).reduce(_ || _)
+  def hostBlockedSql(hE: String, blocklist: Seq[String]): String =
+    blocklist.map(b => s"($hE = '$b' OR ends_with($hE, '.$b'))").mkString("(", " OR ", ")")
+
+  /** Apply face: corpus minus documents from blocked domains. */
+  def filterBlockedUrls(df: DataFrame, urlCol: String, blocklist: Seq[String]): DataFrame =
+    df.filter(!hostBlocked(urlHost(col(urlCol)), blocklist))
+
   // ---- deterministic hash sampling / source mixing -----------------------
   /** Stable per-row bucket in [0, 100): md5-derived, salt-keyed. Unlike
     * `rand(seed)`, the verdict is a pure function of (salt, id) — immune to

@@ -23,6 +23,9 @@ object CurationQueries {
   val MixDefault = 50
   val MixSalt = "mix"
 
+  /** Blocklist for q75 (exact + subdomain matching, case-insensitive). */
+  val UrlBlocklist: Seq[String] = Seq("spam.example.com", "ads.example.net")
+
   // PII injection suffix both engines append to `text` before scrubbing.
   private def injectSql =
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-' || " +
@@ -179,6 +182,67 @@ object CurationQueries {
           VectorExprs.cosineF(col("embedding"), col("qe")).as("cos"))
         .orderBy(col("qcos").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // ---- C4 boilerplate line removal -------------------------------------
+    // Fixture text is punctuation-free word soup, so lines are synthesized
+    // from 6-word chunks decorated deterministically from each chunk's OWN
+    // length (both engines build the identical array): a 'cookie ' marker
+    // prefix when length%5=0, a terminal '.' when length%3=0. The C4 rules
+    // then keep exactly the punctuated, marker-free, ≥4-word lines.
+    Q("q74_boilerplate", {
+      val chunks = Curation.wordChunksSql("text", 6)
+      val deco = "(CASE WHEN length(c) % 5 = 0 THEN 'cookie ' ELSE '' END) || c || " +
+        "(CASE WHEN length(c) % 3 = 0 THEN '.' ELSE '' END)"
+      s"""WITH c AS (SELECT doc_id, $chunks AS cs FROM documents),
+         |l AS (SELECT doc_id, list_transform(cs, c -> $deco) AS ls FROM c),
+         |k AS (SELECT doc_id, ls, ${Curation.removeBoilerplateLinesSql("ls", 4)} AS ks FROM l)
+         |SELECT doc_id, len(ls) AS n_lines, len(ks) AS n_kept,
+         |  length(COALESCE(array_to_string(ks, ' '), '')) AS kept_chars
+         |FROM k ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val lines = transform(Curation.wordChunks(col("text"), 6), c =>
+        concat(when(length(c) % 5 === 0, lit("cookie ")).otherwise(lit("")),
+          c,
+          when(length(c) % 3 === 0, lit(".")).otherwise(lit(""))))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), lines.as("ls"))
+        .select(col("doc_id"), col("ls"),
+          Curation.removeBoilerplateLines(col("ls"), minWords = 4).as("ks"))
+        .select(col("doc_id"),
+          size(col("ls")).as("n_lines"),
+          size(col("ks")).as("n_kept"),
+          length(concat_ws(" ", col("ks"))).as("kept_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- URL / domain blocklist filtering --------------------------------
+    // No url column in the fixture → synthesize one per doc (same CASE in
+    // both engines), covering exact-match, subdomain and case-variant hosts.
+    // Blocked: doc_id%5 ∈ {0 exact, 1 subdomain, 3 case-variant}; kept: {2,4}.
+    Q("q75_url_blocklist", {
+      val hostCase = "CASE CAST(doc_id % 5 AS INT) " +
+        "WHEN 0 THEN 'spam.example.com' WHEN 1 THEN 'tracker.ads.example.net' " +
+        "WHEN 2 THEN 'docs.example.org' WHEN 3 THEN 'Ads.Example.NET' " +
+        "ELSE 'news.example.dev' END"
+      val urlE = s"'https://' || $hostCase || '/p/' || CAST(doc_id AS VARCHAR)"
+      val hostE = Curation.urlHostSql("url")
+      s"""WITH u AS (SELECT doc_id, $urlE AS url FROM documents)
+         |SELECT doc_id, url, $hostE AS host FROM u
+         |WHERE NOT ${Curation.hostBlockedSql(hostE, UrlBlocklist)}
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val host = when(pmod(col("doc_id"), lit(5)) === 0, lit("spam.example.com"))
+        .when(pmod(col("doc_id"), lit(5)) === 1, lit("tracker.ads.example.net"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit("docs.example.org"))
+        .when(pmod(col("doc_id"), lit(5)) === 3, lit("Ads.Example.NET"))
+        .otherwise(lit("news.example.dev"))
+      val urls = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"), host, lit("/p/"), col("doc_id").cast("string")).as("url"))
+      Curation.filterBlockedUrls(urls, "url", UrlBlocklist)
+        .withColumn("host", Curation.urlHost(col("url")))
+        .orderBy("doc_id")
     },
 
     // ---- sequence packing (token binning) --------------------------------

@@ -133,6 +133,40 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 100L), (3L, 1L, 44L), (4L, 0L, 0L)))
   }
 
+  test("removeBoilerplateLines: C4 rules — punct, min words, markers, braces") {
+    val lines = Seq(
+      "This sentence is long enough and ends well.",   // kept
+      "Too short.",                                    // < 4 words
+      "no terminal punctuation in this line",          // no punct
+      "Enable JavaScript to view this content.",       // marker (case-insens)
+      "We use cookie tracking on this site!",          // marker
+      "Lorem ipsum dolor sit amet consectetur.",       // marker
+      "function f() { return 1; }",                    // brace
+      "Does a question mark count as terminal?",       // kept
+      "He said \"quoted endings count too\"")          // kept (quote)
+    val out = Seq(lines).toDF("ls")
+      .select(Curation.removeBoilerplateLines(col("ls"), minWords = 4).as("k"))
+      .first().getSeq[String](0)
+    assert(out == Seq(lines(0), lines(7), lines(8)))
+  }
+
+  test("url blocklist: exact, subdomain, case-variant blocked; others kept") {
+    val df = Seq(
+      (0L, "https://spam.example.com/p/0"),        // exact
+      (1L, "https://tracker.ads.example.net/p/1"), // subdomain
+      (2L, "https://docs.example.org/p/2"),        // kept
+      (3L, "https://Ads.Example.NET/p/3"),         // case-variant
+      (4L, "http://notads.example.net/p/4"),       // kept: not a subdomain
+      (5L, "https://ads.example.net:8080/p/5"))    // blocked: port stripped
+      .toDF("doc_id", "url")
+    val kept = Curation.filterBlockedUrls(df, "url",
+        Seq("spam.example.com", "ads.example.net"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 4L))
+    val hosts = df.select(Curation.urlHost(col("url"))).collect().map(_.getString(0))
+    assert(hosts(3) == "ads.example.net" && hosts(5) == "ads.example.net")
+  }
+
   test("distinctShingleHashes kernel ≡ array_distinct(wordShingles)→hashP, in order") {
     import graft.functions.{Fns, TextHashExprs}
     // real corpus rows + crafted edges: duplicate grams, doc shorter than w
