@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -192,6 +192,69 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "graft_int_dot"
 }
 
+/** binary: int4 nibble-packing of a code array (SQ4 — the next rung of the
+  * FAISS-style quantization ladder under SQ8). Codes must lie in [-7, 7]
+  * (the `round(7·x/maxabs)` range); each byte holds two codes biased by +7
+  * (high nibble first), an odd tail padded with bias-7 = code 0, which
+  * contributes nothing to any dot product. 8× smaller than the float
+  * column, 2× smaller than SQ8. This expression is PURE bit-packing — the
+  * code values come from the same declarative `round` path as SQ8, so the
+  * cross-engine rounding contract stays exactly the one q66 already proves.
+  * Out-of-range codes fail fast (corrupt packing would silently skew every
+  * downstream score). */
+case class Int4Pack(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    VectorExprs.int4PackOf(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("packed")
+      s"""
+         |Object $out = graft.functions.VectorExprs.int4PackOf($a);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (byte[]) $out; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_int4_pack"
+}
+
+/** long: exact integer dot product over two int4-packed binaries — unbias
+  * nibbles, multiply-add in long, one fused loop over the raw bytes. Null
+  * contract: null input → null; mismatched byte length → null (different
+  * dims can't dot). */
+case class Int4Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorExprs.int4DotOf(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val out = ctx.freshName("dot")
+      s"""
+         |Object $out = graft.functions.VectorExprs.int4DotOf($a, $b);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $out).longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_int4_dot"
+}
+
 /** long: id of the pivot with the max cosine against `left` (ties → smaller
   * id, NaN ranks greatest — `ORDER BY cos DESC, cid ASC` semantics). `right`
   * is the PACKED pivot array `array<struct<cid: long|int, cv: array<float|
@@ -254,6 +317,49 @@ object VectorExprs {
   /** Column surface: fused exact integer dot over int/long code arrays. */
   def intDotF(a: Column, b: Column): Column =
     Bridge.column(IntDotProduct(Bridge.expression(a), Bridge.expression(b)))
+  /** Column surface: int4 nibble-pack of a [-7,7] code array → binary. */
+  def int4Pack(codes: Column): Column =
+    Bridge.column(Int4Pack(Bridge.expression(codes)))
+  /** Column surface: fused exact integer dot over int4-packed binaries. */
+  def int4DotF(a: Column, b: Column): Column =
+    Bridge.column(Int4Dot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Kernel for [[Int4Pack]]: two codes per byte, +7 bias, high nibble
+    * first, odd tail padded with the bias (code 0). Null element → null;
+    * out-of-range code → IllegalArgumentException (fail fast — silent
+    * clamping would corrupt every downstream score). */
+  def int4PackOf(codes: ArrayData): Any = {
+    val n = codes.numElements()
+    val out = new Array[Byte]((n + 1) / 2)
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i)) return null
+      val c = codes.getInt(i)
+      if (c < -7 || c > 7)
+        throw new IllegalArgumentException(s"int4 code out of range [-7,7]: $c")
+      val nib = c + 7
+      if ((i & 1) == 0) out(i >> 1) = (nib << 4).toByte
+      else out(i >> 1) = (out(i >> 1) | nib).toByte
+      i += 1
+    }
+    if ((n & 1) == 1) out(n >> 1) = (out(n >> 1) | 7).toByte // pad = code 0
+    out
+  }
+
+  /** Kernel for [[Int4Dot]]: Σ (aᵢ−7)(bᵢ−7) over unbias'd nibbles. The pad
+    * nibble is code 0 on both sides, so odd-dim tails contribute nothing. */
+  def int4DotOf(a: Array[Byte], b: Array[Byte]): Any = {
+    if (a.length != b.length) return null
+    var d = 0L
+    var i = 0
+    while (i < a.length) {
+      val ab = a(i) & 0xff; val bb = b(i) & 0xff
+      d += ((ab >> 4) - 7).toLong * ((bb >> 4) - 7)
+      d += ((ab & 0xf) - 7).toLong * ((bb & 0xf) - 7)
+      i += 1
+    }
+    java.lang.Long.valueOf(d)
+  }
 
   /** Kernel for [[NearestPivot]] (shared by eval and codegen): C cosines
     * with the [[VectorFold]] fold order + running argmax. Pivots with

@@ -285,6 +285,29 @@ object Similarity {
     s"(CAST(${intDotSql(aE, bE)} AS DOUBLE) / " +
       s"GREATEST(sqrt(CAST(${intDotSql(aE, aE)} AS DOUBLE) * CAST(${intDotSql(bE, bE)} AS DOUBLE)), 1e-30))"
 
+  // ---- int4 (SQ4) packed quantization ------------------------------------
+  // The next rung under SQ8: codes in [-7, 7] packed two per byte — 8× less
+  // memory than the float column, 2× less than SQ8, at coarser rounding
+  // (recall governed by the same shortlist + exact-re-rank pattern). Code
+  // VALUES come from the identical round(k·x/maxabs) path as SQ8, so the
+  // cross-engine rounding contract q66 proves carries over unchanged; the
+  // nibble packing is engine-internal bit layout the oracle never sees
+  // (scores are exact integers either way).
+
+  /** float array → int4 codes packed two-per-byte (binary). */
+  def quantizeInt4(vec: Column): Column = {
+    val d = Fns.vecD(vec)
+    val m = maxAbs(d)
+    VectorExprs.int4Pack(transform(d, x => round(x * lit(7.0) / m).cast("int")))
+  }
+  /** Oracle face: the UNPACKED int4 code list — dot products over code
+    * values are definitionally equal to [[VectorExprs.int4DotF]] over the
+    * packed form (VectorExprsSpec pins it). */
+  def quantizeInt4Sql(vecE: String): String = {
+    val d = Fns.vecDSql(vecE)
+    s"list_transform($d, x -> CAST(round(x * 7.0 / ${maxAbsSql(d)}) AS INT))"
+  }
+
   // ---- SQ8 × IVF composition ---------------------------------------------
 
   /** IVF index with SQ8 payloads: same nearest-pivot assignment as

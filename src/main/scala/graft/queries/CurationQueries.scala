@@ -245,6 +245,41 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ---- int4 (SQ4) packed quantized KNN ---------------------------------
+    // Same audit shape as q66 one rung down the ladder: 4-bit codes packed
+    // two-per-byte (8× smaller than floats), fused nibble-dot scoring, exact
+    // float cosine alongside. The oracle scores UNPACKED code lists — dot of
+    // code values ≡ dot of packed nibbles by construction.
+    Q("q76_int4_knn", {
+      def cosSql(aE: String, bE: String) =
+        Fns.cosineSql(Fns.vecDSql(aE), Fns.vecDSql(bE))
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |  ${graft.operators.Similarity.quantizeInt4Sql("embedding")} AS qv FROM embeddings),
+         |q AS (SELECT qv AS qq, embedding AS qe FROM c WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         |  ${graft.operators.Similarity.quantizedCosineSql("c.qv", "q.qq")} AS q4cos,
+         |  ${cosSql("c.embedding", "q.qe")} AS cos
+         |FROM c, q ORDER BY q4cos DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.Similarity
+      import graft.functions.VectorExprs
+      val codes = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.quantizeInt4(col("embedding")).as("qv"))
+        .withColumn("sd", VectorExprs.int4DotF(col("qv"), col("qv")))
+      val q = broadcast(codes.filter(col("vec_id") === 0)
+        .select(col("qv").as("qq"), col("embedding").as("qe"), col("sd").as("qsd")))
+      codes.crossJoin(q)
+        .select(col("vec_id"),
+          Similarity.quantizedCosineFromDots(
+            VectorExprs.int4DotF(col("qv"), col("qq")),
+            col("sd"), col("qsd")).as("q4cos"),
+          VectorExprs.cosineF(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("q4cos").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // ---- sequence packing (token binning) --------------------------------
     // Docs concatenated per source in doc_id order, chunked into 256-token
     // budgets; each doc reports its bin and intra-bin offset.

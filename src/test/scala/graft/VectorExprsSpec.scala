@@ -112,6 +112,41 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(!r.isNullAt(1) && r.getDouble(1) == 0.0)
   }
 
+  test("int4 pack+dot ≡ HOF intDot over the unpacked codes (even and odd dims)") {
+    import graft.operators.Similarity
+    // real embeddings (even dim) quantized to [-7,7] codes
+    val codes4 = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x * lit(7.0) / greatest(array_max(transform(col("embedding"),
+            y => abs(y))), lit(1e-30))).cast("int")).as("c"))
+    val q = broadcast(codes4.filter(col("vec_id") === 0).select(col("c").as("qc")))
+    val rows = codes4.crossJoin(q).select(
+      VectorExprs.int4DotF(VectorExprs.int4Pack(col("c")),
+        VectorExprs.int4Pack(col("qc"))).as("packed"),
+      Similarity.intDot(col("c"), col("qc")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // odd dim: the pad nibble must contribute nothing
+    val odd = spark.sql("SELECT array(7, -7, 3) AS a, array(-1, 2, -7) AS b")
+    val r = odd.select(
+      VectorExprs.int4DotF(VectorExprs.int4Pack(col("a")), VectorExprs.int4Pack(col("b"))).as("p"),
+      Similarity.intDot(col("a"), col("b")).as("h")).first()
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == -7 - 14 - 21)
+  }
+
+  test("int4Pack fails fast on out-of-range codes; int4DotF nulls on length mismatch") {
+    val bad = spark.sql("SELECT array(8) AS a")
+    val e = intercept[Exception] {
+      bad.select(VectorExprs.int4Pack(col("a"))).collect()
+    }
+    assert(e.getMessage != null)
+    val mm = spark.sql("SELECT array(1, 2, 3) AS a, array(1) AS b")
+    val r = mm.select(VectorExprs.int4DotF(
+      VectorExprs.int4Pack(col("a")), VectorExprs.int4Pack(col("b")))).first()
+    assert(r.isNullAt(0))
+  }
+
   test("interpreted eval path agrees with codegen (mixed double/float sides)") {
     val w = array(lit(0.5), lit(-1.25), lit(2.0))
     val df = spark.sql("SELECT array(1.0F, 2.0F, 3.0F) AS v")
