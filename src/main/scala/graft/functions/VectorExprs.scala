@@ -304,6 +304,93 @@ case class NearestPivot(left: Expression, right: Expression) extends BinaryExpre
   override def prettyName: String = "graft_nearest_pivot"
 }
 
+/** array<int>: product-quantization encoding. `left` is the vector, `right`
+  * the codebook — an array of K full-dimension vectors (one broadcast row
+  * for the whole corpus, the [[NearestPivot]] packing trick). The vector is
+  * split into `numSub` equal subspaces; each emits the 0-based index of the
+  * codebook entry whose matching sub-slice is L2-nearest (squared distance,
+  * accumulated left-to-right; ties → the FIRST minimum, i.e. smallest k —
+  * exactly DuckDB's `list_position(dists, list_min(dists))`). One fused loop
+  * per row: K·dim multiply-adds, no intermediate arrays.
+  *
+  * Null contract: null vector/codebook → null; any null element, a dim not
+  * divisible by `numSub`, or a codebook entry of mismatched dim → null
+  * (divergent geometry must not silently encode). */
+case class PqEncode(left: Expression, right: Expression, numSub: Int) extends BinaryExpression {
+  private def arrOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def cbElem: Option[DataType] = right.dataType match {
+    case ArrayType(inner @ ArrayType(_, _), _) if arrOk(inner) => Some(inner.elementType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (arrOk(left.dataType) && cbElem.isDefined && numSub > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<array<float|double>>, numSub > 0), " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString} / $numSub")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def vecFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def cbFloat = cbElem.get == FloatType
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VectorExprs.pqEncodeOf(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      numSub, vecFloat, cbFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val out = ctx.freshName("codes")
+      s"""
+         |Object $out = graft.functions.VectorExprs.pqEncodeOf($v, $c, $numSub, $vecFloat, $cbFloat);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $out; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** double: Σₘ lut[m][codes[m]] — the ADC (asymmetric-distance) scoring hot
+  * path for PQ. `left` is an `array<int>` of 0-based codes, `right` an
+  * `array<array<double>>` lookup table (typically query-side constants on a
+  * broadcast row). Left-to-right fold over m — the same order as the
+  * oracle's `list_reduce` — so results are bit-identical cross-engine. Per
+  * corpus row this is M array reads and M adds: no float math against the
+  * corpus vector at all.
+  *
+  * Null contract: null input → null; codes/lut length mismatch → null. An
+  * out-of-range code fails fast (IllegalArgumentException) — it means the
+  * codes and the LUT disagree about K, and a silent skip would skew every
+  * downstream score. */
+case class LutSum(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<array<double>>), " +
+        s"got ${l.simpleString} / ${r.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(c: Any, l: Any): Any =
+    VectorExprs.lutSumOf(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val out = ctx.freshName("sum")
+      s"""
+         |Object $out = graft.functions.VectorExprs.lutSumOf($c, $l);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $out).doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_lut_sum"
+}
+
 object VectorExprs {
   /** Column surface: fused dot over raw float/double array columns. */
   def dotF(a: Column, b: Column): Column =
@@ -323,6 +410,12 @@ object VectorExprs {
   /** Column surface: fused exact integer dot over int4-packed binaries. */
   def int4DotF(a: Column, b: Column): Column =
     Bridge.column(Int4Dot(Bridge.expression(a), Bridge.expression(b)))
+  /** Column surface: PQ encode — per-subspace nearest-codebook-entry ids. */
+  def pqEncodeF(vec: Column, codebook: Column, numSub: Int): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), Bridge.expression(codebook), numSub))
+  /** Column surface: ADC lookup-table sum over PQ codes. */
+  def lutSumF(codes: Column, lut: Column): Column =
+    Bridge.column(LutSum(Bridge.expression(codes), Bridge.expression(lut)))
 
   /** Kernel for [[Int4Pack]]: two codes per byte, +7 bias, high nibble
     * first, odd tail padded with the bias (code 0). Null element → null;
@@ -395,5 +488,68 @@ object VectorExprs {
       j += 1
     }
     if (found) java.lang.Long.valueOf(bestCid) else null
+  }
+
+  /** Kernel for [[PqEncode]]: per subspace, squared-L2 against every
+    * codebook entry's matching slice (left-to-right accumulation) with
+    * FIRST-minimum selection (strict `<` keeps the earliest k on ties —
+    * `list_position(dists, list_min(dists))` semantics). Null element,
+    * indivisible dim, or a codebook entry of mismatched dim → null. */
+  def pqEncodeOf(vec: ArrayData, cbs: ArrayData, numSub: Int,
+                 vecFloat: Boolean, cbFloat: Boolean): Any = {
+    val n = vec.numElements()
+    val kk = cbs.numElements()
+    if (kk == 0 || numSub <= 0 || n % numSub != 0) return null
+    val d = n / numSub
+    val codes = new Array[Int](numSub)
+    var m = 0
+    while (m < numSub) {
+      var bestK = -1
+      var bestDist = 0.0
+      var k = 0
+      while (k < kk) {
+        if (cbs.isNullAt(k)) return null
+        val cv = cbs.getArray(k)
+        if (cv.numElements() != n) return null
+        var dist = 0.0
+        var i = m * d
+        val end = i + d
+        while (i < end) {
+          if (vec.isNullAt(i) || cv.isNullAt(i)) return null
+          val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          val c = if (cbFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
+          val diff = c - x
+          dist += diff * diff
+          i += 1
+        }
+        if (bestK < 0 || dist < bestDist) { bestK = k; bestDist = dist }
+        k += 1
+      }
+      codes(m) = bestK
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes.map(Int.box))
+  }
+
+  /** Kernel for [[LutSum]]: Σₘ lut[m][codes[m]], left fold over m. Length
+    * mismatch or nulls → null; out-of-range code → IllegalArgumentException
+    * (codes and LUT disagree about K — fail fast). */
+  def lutSumOf(codes: ArrayData, lut: ArrayData): Any = {
+    val n = codes.numElements()
+    if (lut.numElements() != n) return null
+    var acc = 0.0
+    var m = 0
+    while (m < n) {
+      if (codes.isNullAt(m) || lut.isNullAt(m)) return null
+      val inner = lut.getArray(m)
+      val c = codes.getInt(m)
+      if (c < 0 || c >= inner.numElements())
+        throw new IllegalArgumentException(
+          s"PQ code out of LUT range: code=$c, lut k=${inner.numElements()} at subspace $m")
+      if (inner.isNullAt(c)) return null
+      acc += inner.getDouble(c)
+      m += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 }

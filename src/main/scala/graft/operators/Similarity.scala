@@ -308,6 +308,173 @@ object Similarity {
     s"list_transform($d, x -> CAST(round(x * 7.0 / ${maxAbsSql(d)}) AS INT))"
   }
 
+  // ---- product quantization (PQ) -----------------------------------------
+  // The top rung of the quantization ladder (SQ8 → SQ4 → PQ, the FAISS
+  // index family): split the D-dim vector into M equal subspaces and encode
+  // each as the id of its L2-nearest codebook entry — M small ints per
+  // vector (M bytes at K≤256 vs 4·D float bytes: 32× smaller at D=64, M=8).
+  // Scoring is ADC (asymmetric distance computation): the QUERY precomputes
+  // per-subspace lookup tables — dot and self-norm of every codebook
+  // entry's slice against the query slice — and the scan-side score is M
+  // table lookups per corpus row ([[graft.functions.LutSum]]): no float
+  // math against corpus vectors at all. Approximate cosine =
+  // reconDot / sqrt(reconNorm² · queryNorm²), i.e. the cosine of the
+  // RECONSTRUCTED vector — exact re-rank of a shortlist recovers recall,
+  // the same pattern as [[ivfSearchQuantized]].
+  //
+  // Codebook: the K lowest-id corpus vectors (deterministic and
+  // SQL-reproducible, the same trick [[ivfAssign]] uses for pivots);
+  // production swaps in k-means-refined codebooks through the same
+  // operators without touching the encode/score path. Ties in the encode
+  // argmin go to the FIRST minimum (smallest k) in both engines.
+
+  /** Packed PQ codebook as ONE broadcast row (`__cbs`: array of K
+    * double-vectors, ordered by id) — K rows reduced driver-free, the
+    * [[ivfAssign]] packing pattern. */
+  def pqCodebook(corpus: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
+    broadcast(corpus.filter(col(idCol) < k)
+      .select(struct(col(idCol).as("__id"), Fns.vecD(col(vecCol)).as("__v")).as("__e"))
+      .agg(sort_array(collect_list(col("__e"))).as("__cb"))
+      .select(transform(col("__cb"), e => e.getField("__v")).as("__cbs")))
+
+  /** Query-side ADC dot LUT: lut[m][k] = dot(codebook[k]ₘ, queryₘ), built
+    * declaratively (runs ONCE on the broadcast query row — per-row HOF cost
+    * is irrelevant here; the corpus-side hot path is [[graft.functions
+    * .LutSum]]). `qd` must already be a double array ([[Fns.vecD]]). */
+  def pqDotLut(cbs: Column, qd: Column, numSub: Int): Column = {
+    val d = size(qd) / numSub
+    transform(sequence(lit(0), lit(numSub - 1)), m =>
+      transform(cbs, c => Fns.dot(slice(c, m * d + 1, d), slice(qd, m * d + 1, d))))
+  }
+
+  /** Query-side ADC norm LUT: lut[m][k] = norm²(codebook[k]ₘ). */
+  def pqNormLut(cbs: Column, numSub: Int): Column = {
+    val d = size(element_at(cbs, 1)) / numSub
+    transform(sequence(lit(0), lit(numSub - 1)), m =>
+      transform(cbs, c => Fns.dot(slice(c, m * d + 1, d), slice(c, m * d + 1, d))))
+  }
+
+  // Oracle faces (DuckDB SQL mirroring the kernels' exact fold orders; all
+  // comprehension variables are 1-based as DuckDB lists are).
+  private def pqSubSql(vE: String, mE: String, d: Int): String =
+    s"list_slice($vE, ($mE-1)*$d+1, ($mE)*$d)"
+  private def pqL2Sql(aE: String, bE: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [(($aE)[i]-($bE)[i])*(($aE)[i]-($bE)[i]) " +
+      s"FOR i IN generate_series(1, len($aE))]), (acc, x) -> acc + x)"
+
+  /** Oracle face of [[graft.functions.PqEncode]] (0-based codes; first-min
+    * ties via `list_position(dists, list_min(dists))`). */
+  def pqEncodeSql(embE: String, cbsE: String, numSub: Int, d: Int, k: Int): String = {
+    val dists = s"[ ${pqL2Sql(pqSubSql(s"($cbsE)[k]", "m", d), pqSubSql(embE, "m", d))} " +
+      s"FOR k IN generate_series(1, $k) ]"
+    s"[ CAST(list_position($dists, list_min($dists)) AS INT) - 1 FOR m IN generate_series(1, $numSub) ]"
+  }
+  def pqDotLutSql(cbsE: String, qE: String, numSub: Int, d: Int, k: Int): String =
+    s"[ [ ${Fns.dotSql(pqSubSql(s"($cbsE)[k]", "m", d), pqSubSql(qE, "m", d))} " +
+      s"FOR k IN generate_series(1, $k) ] FOR m IN generate_series(1, $numSub) ]"
+  def pqNormLutSql(cbsE: String, numSub: Int, d: Int, k: Int): String =
+    s"[ [ ${Fns.dotSql(pqSubSql(s"($cbsE)[k]", "m", d), pqSubSql(s"($cbsE)[k]", "m", d))} " +
+      s"FOR k IN generate_series(1, $k) ] FOR m IN generate_series(1, $numSub) ]"
+  /** Oracle face of [[graft.functions.LutSum]] (left fold over m). */
+  def pqLutSumSql(lutE: String, codesE: String, numSub: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [ ($lutE)[m][($codesE)[m]+1] " +
+      s"FOR m IN generate_series(1, $numSub) ]), (acc, x) -> acc + x)"
+
+  /** One-or-more k-means refinement passes over a PQ codebook — the PQ
+    * analog of [[ivfRefinePivots]]: encode the corpus (map-side fused
+    * argmin), then recenter every (subspace, code) cell on the elementwise
+    * mean of the sub-slices it attracted ([[graft.functions.VectorMean]]
+    * partial buffers — the exchange carries at most M·K d-dim buffers per
+    * task, never the slices). Cells that attract nothing keep their old
+    * slice. The M·K mean rows are collected to the driver to rebuild the
+    * codebook literal — driver-tiny by construction (a codebook is a
+    * broadcast-scale object, the same class as the probe-id collect).
+    * The deterministic lowest-id codebook stays the oracle face
+    * ([[pqCodebook]]); this is the offline refinement that improves cell
+    * balance/quantization error on clustered data. */
+  def pqRefineCodebook(corpus: DataFrame, codebook: DataFrame, vecCol: String,
+                       numSub: Int, iters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    var entries: Seq[Seq[Double]] = codebook.select(col("__cbs")).first()
+      .getSeq[scala.collection.Seq[Double]](0).map(_.toVector).toVector
+    val dim = entries.head.length
+    require(numSub > 0 && dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val d = dim / numSub
+    for (_ <- 1 to iters) {
+      val cbDf = broadcast(spark.range(1).select(typedlit(entries).as("__cbs")))
+      val subMeans = corpus.crossJoin(cbDf)
+        .select(Fns.vecD(col(vecCol)).as("__v"),
+          graft.functions.VectorExprs.pqEncodeF(col(vecCol), col("__cbs"), numSub).as("__codes"))
+        .select(posexplode(col("__codes")).as(Seq("__m", "__k")), col("__v"))
+        .select(col("__m"), col("__k"),
+          slice(col("__v"), col("__m") * d + 1, lit(d)).as("__sub"))
+        .groupBy(col("__m"), col("__k"))
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("__sub")).as("__mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).map(_.toDouble))
+        .toMap
+      entries = entries.zipWithIndex.map { case (e, k) =>
+        (0 until numSub).flatMap(m =>
+          subMeans.getOrElse((m, k), e.slice(m * d, m * d + d))).toSeq
+      }
+    }
+    broadcast(spark.range(1).select(typedlit(entries).as("__cbs")))
+  }
+
+  // ---- PQ × IVF composition (IVFPQ) --------------------------------------
+
+  /** IVF index with PQ payloads: nearest-pivot assignment as [[ivfAssign]],
+    * per-vector payload = the M PQ codes — floats dropped. At D=64/M=8 the
+    * persisted index streams ~1/32 of the float bytes per probed row; write
+    * with [[ivfWriteIndex]] for file-level probe pruning. */
+  def ivfAssignPq(corpus: DataFrame, pivots: DataFrame, codebook: DataFrame,
+                  vecCol: String, idCol: String, pivotIdCol: String,
+                  numSub: Int): DataFrame =
+    ivfAssign(corpus, pivots, vecCol, idCol, pivotIdCol)
+      .crossJoin(codebook)
+      .select(col(idCol),
+        graft.functions.VectorExprs.pqEncodeF(col(vecCol), col("__cbs"), numSub).as("codes"),
+        col("centroid_id"))
+
+  /** IVF search over a PQ index ([[ivfAssignPq]]): driver probe ranking →
+    * literal isin (partition pruning), ADC scoring of probed lists (M
+    * lookups per row, LUTs riding the broadcast query row), exact float
+    * re-rank of the top-`shortlist` against `corpus`. The FAISS IVFPQ
+    * ladder: coarse quantize → table-lookup scan → exact re-rank. No stage
+    * shuffles vectors; the probed scan reads codes only. */
+  def ivfSearchPq(index: DataFrame, pivots: DataFrame, codebook: DataFrame,
+                  query: DataFrame, corpus: DataFrame, vecCol: String,
+                  idCol: String, pivotIdCol: String, numSub: Int, k: Int,
+                  nprobe: Int, shortlist: Int = -1): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val q = broadcast(query.crossJoin(codebook)
+      .select(col(vecCol).as("__qv"),
+        pqDotLut(col("__cbs"), Fns.vecD(col(vecCol)), numSub).as("__dlut"),
+        pqNormLut(col("__cbs"), numSub).as("__nlut"),
+        graft.functions.VectorExprs.dotF(col(vecCol), col(vecCol)).as("__qn2")))
+    val probeCids = pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .select(col("cid"), graft.functions.VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+      .orderBy(col("__pcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .collect().map(_.get(0))
+    val candidates = index.filter(col("centroid_id").isin(probeCids: _*))
+      .crossJoin(q)
+      .select(col(idCol),
+        quantizedCosineFromDots(
+          graft.functions.VectorExprs.lutSumF(col("codes"), col("__dlut")),
+          graft.functions.VectorExprs.lutSumF(col("codes"), col("__nlut")),
+          col("__qn2")).as("__pqcos"))
+      .orderBy(col("__pqcos").desc, col(idCol).asc)
+      .limit(sl)
+      .select(idCol)
+    corpus.join(broadcast(candidates), idCol)
+      .crossJoin(q)
+      .select(col(idCol), graft.functions.VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---- SQ8 × IVF composition ---------------------------------------------
 
   /** IVF index with SQ8 payloads: same nearest-pivot assignment as

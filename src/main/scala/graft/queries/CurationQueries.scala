@@ -280,6 +280,57 @@ object CurationQueries {
         .limit(10)
     },
 
+    // ---- product-quantized (PQ) KNN --------------------------------------
+    // Top rung of the quantization ladder (q66 SQ8 → q76 SQ4 → PQ): 8
+    // subspaces × 16-entry codebook (the 16 lowest-id vectors) → 8 small
+    // ints per vector (~32× less than floats at dim 64). Scoring is ADC —
+    // per-query lookup tables, M table reads per corpus row, zero float
+    // math against the corpus. Exact float cosine alongside for the
+    // re-rank/recall audit, same shape as q66/q76. All folds (L2 encode,
+    // LUT entries, LUT sum) are left-to-right in both engines → bit-exact.
+    Q("q77_pq_knn", {
+      import graft.operators.Similarity
+      val (m, d, k) = (8, 8, 16)
+      s"""WITH v AS (SELECT vec_id, ${Fns.vecDSql("embedding")} AS emb FROM embeddings),
+         |cb AS (SELECT list(emb ORDER BY vec_id) AS cbs FROM v WHERE vec_id < $k),
+         |enc AS (SELECT vec_id, emb, ${Similarity.pqEncodeSql("emb", "cbs", m, d, k)} AS codes
+         |        FROM v, cb),
+         |q AS (SELECT emb AS qemb FROM v WHERE vec_id = 0),
+         |lut AS (SELECT ${Similarity.pqDotLutSql("cbs", "qemb", m, d, k)} AS dlut,
+         |               ${Similarity.pqNormLutSql("cbs", m, d, k)} AS nlut,
+         |               ${Fns.dotSql("qemb", "qemb")} AS qn2 FROM cb, q)
+         |SELECT e.vec_id,
+         |  (${Similarity.pqLutSumSql("lut.dlut", "e.codes", m)} /
+         |   GREATEST(sqrt(${Similarity.pqLutSumSql("lut.nlut", "e.codes", m)} * lut.qn2), 1e-30)) AS pqcos,
+         |  ${Fns.cosineSql("e.emb", "q.qemb")} AS cos
+         |FROM enc e, lut, q ORDER BY pqcos DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.Similarity
+      import graft.functions.VectorExprs
+      val (m, k) = (8, 16)
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "embedding", "vec_id", k)
+      // repartition before encode: single-split fixture (q66 note)
+      val codes = emb.repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(cb)
+        .select(col("vec_id"), col("embedding"),
+          VectorExprs.pqEncodeF(col("embedding"), col("__cbs"), m).as("codes"))
+      val q = broadcast(emb.filter(col("vec_id") === 0).crossJoin(cb)
+        .select(col("embedding").as("qe"),
+          Similarity.pqDotLut(col("__cbs"), Fns.vecD(col("embedding")), m).as("dlut"),
+          Similarity.pqNormLut(col("__cbs"), m).as("nlut"),
+          VectorExprs.dotF(col("embedding"), col("embedding")).as("qn2")))
+      codes.crossJoin(q)
+        .select(col("vec_id"),
+          Similarity.quantizedCosineFromDots(
+            VectorExprs.lutSumF(col("codes"), col("dlut")),
+            VectorExprs.lutSumF(col("codes"), col("nlut")),
+            col("qn2")).as("pqcos"),
+          VectorExprs.cosineF(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("pqcos").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // ---- sequence packing (token binning) --------------------------------
     // Docs concatenated per source in doc_id order, chunked into 256-token
     // budgets; each doc reports its bin and intra-bin offset.

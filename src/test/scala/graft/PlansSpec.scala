@@ -182,6 +182,19 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFPQ assignment is shuffle-free on the corpus side (codebook rides broadcast)") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cb = Similarity.pqCodebook(emb, "embedding", "vec_id", 16)
+    val idx = Similarity.ivfAssignPq(emb, emb.filter(col("vec_id") < 8), cb,
+      "embedding", "vec_id", "vec_id", numSub = 8)
+    val plan = formatted(idx)
+    // codebook + pivots reduce to single-partition broadcast rows; the
+    // corpus pipeline (encode + assign) never hash-repartitions or windows
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("layer views stay lazy: filter through a temp view still reaches the scan") {
     val part = Tables.load(spark, sf, "part")
     graft.operators.Layers.createLayer(spark, part, "plan_probe_layer",

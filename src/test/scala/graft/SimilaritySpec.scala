@@ -101,4 +101,58 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(hits == Set(10L, 11L, 12L, 13L, 14L))
   }
+
+  test("ivfAssignPq stores M codes + centroid only, no float vectors") {
+    val (corpus, pivots) = fixture
+    val cb = Similarity.pqCodebook(corpus, "embedding", "vec_id", k = 4)
+    val idx = Similarity.ivfAssignPq(corpus, pivots, cb,
+      "embedding", "vec_id", "vec_id", numSub = 2)
+    assert(idx.columns.toSeq == Seq("vec_id", "codes", "centroid_id"))
+    val r = idx.filter(col("vec_id") === 0L).first()
+    assert(r.getSeq[Int](1).length == 2) // M codes per vector
+    // codebook member 0 must self-encode in every subspace
+    assert(r.getSeq[Int](1) == Seq(0, 0))
+  }
+
+  test("pqRefineCodebook: one k-means pass recenters every (subspace, code) cell") {
+    // two clusters per subspace; initial codebook = vectors 0 and 1
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (1L, Array(4.0f, 4.0f, 14.0f, 14.0f)),
+      (2L, Array(1.0f, 1.0f, 11.0f, 11.0f)),
+      (3L, Array(5.0f, 5.0f, 15.0f, 15.0f))).toDF("vec_id", "embedding")
+    val cb0 = Similarity.pqCodebook(corpus, "embedding", "vec_id", k = 2)
+    val refined = Similarity.pqRefineCodebook(corpus, cb0, "embedding", numSub = 2)
+      .first().getSeq[Seq[Double]](0)
+    // cell (m, 0) attracted vecs {0, 2}, cell (m, 1) attracted {1, 3} in
+    // both subspaces → exact means (representable halves)
+    assert(refined == Seq(
+      Seq(0.5, 0.5, 10.5, 10.5),
+      Seq(4.5, 4.5, 14.5, 14.5)))
+    // refined codebook drops straight into the encode path
+    val codes = corpus.crossJoin(Similarity.pqRefineCodebook(corpus, cb0, "embedding", 2))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.pqEncodeF(col("embedding"), col("__cbs"), 2).as("c"))
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(codes.toSeq == Seq(Seq(0, 0), Seq(1, 1), Seq(0, 0), Seq(1, 1)))
+  }
+
+  test("ivfSearchPq: recall parity with float ivfSearch (exact re-rank)") {
+    val (corpus, pivots) = fixture
+    val query = Seq((99L, Array(0.0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(corpus, "embedding", "vec_id", k = 4)
+    val floatIdx = Similarity.ivfAssign(corpus, pivots, "embedding", "vec_id", "vec_id")
+    val pqIdx = Similarity.ivfAssignPq(corpus, pivots, cb,
+      "embedding", "vec_id", "vec_id", numSub = 2)
+    val floatHits = Similarity.ivfSearch(floatIdx, pivots, query,
+        "embedding", "vec_id", "vec_id", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // default shortlist 4·k = 20 ⊇ the 10-vector corpus → the ADC pass
+    // passes everything through and the exact float re-rank decides:
+    // identical (id, cos) pairs, bit-for-bit (both sides use cosineF)
+    val pqHits = Similarity.ivfSearchPq(pqIdx, pivots, cb, query, corpus,
+        "embedding", "vec_id", "vec_id", numSub = 2, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pqHits.toSeq == floatHits.toSeq)
+  }
 }

@@ -147,6 +147,69 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("pqEncodeF ≡ declarative first-min L2 argmin over real embeddings") {
+    import graft.operators.Similarity
+    val (m, d, k) = (8, 8, 16)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cb = Similarity.pqCodebook(emb, "embedding", "vec_id", k)
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val vd = Fns.vecD(col("embedding"))
+    // reference: array_position(dists, array_min(dists)) — first minimum
+    val codesRef = array((0 until m).map { mi =>
+      val dists = transform(col("__cbs"),
+        c => l2(slice(c, mi * d + 1, d), slice(vd, mi * d + 1, d)))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val rows = emb.crossJoin(cb).select(
+      col("vec_id"),
+      VectorExprs.pqEncodeF(col("embedding"), col("__cbs"), m).as("fused"),
+      codesRef.as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2), r.toString))
+    // codebook members must self-encode (dist 0 at their own index)
+    rows.filter(_.getLong(0) < k).foreach { r =>
+      assert(r.getSeq[Int](1).forall(_ == r.getLong(0).toInt), r.toString)
+    }
+  }
+
+  test("lutSumF ≡ HOF fold; null/mismatch contract; out-of-range fails fast") {
+    val df = spark.sql(
+      """SELECT array(1, 0) AS c,
+        |array(array(CAST(0.5 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |      array(CAST(-1.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS lut""".stripMargin)
+    val hof = aggregate(zip_with(col("c"), col("lut"), (ci, l) => element_at(l, ci + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val r = df.select(VectorExprs.lutSumF(col("c"), col("lut")).as("f"), hof.as("h")).first()
+    assert(r.getDouble(0) == 2.0 - 1.0)
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+           java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    // length mismatch → null
+    val mm = spark.sql(
+      "SELECT array(1) AS c, array(array(CAST(1.0 AS DOUBLE)), array(CAST(2.0 AS DOUBLE))) AS lut")
+    assert(mm.select(VectorExprs.lutSumF(col("c"), col("lut"))).first().isNullAt(0))
+    // code beyond the LUT's K → fail fast, not a silent skip
+    val oob = spark.sql("SELECT array(5) AS c, array(array(CAST(1.0 AS DOUBLE))) AS lut")
+    val e = intercept[Exception] {
+      oob.select(VectorExprs.lutSumF(col("c"), col("lut"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("pqEncodeF null contract: indivisible dim and mismatched codebook entry") {
+    val df = spark.sql(
+      """SELECT array(1.0F, 2.0F, 3.0F) AS v,
+        |array(array(1.0F, 2.0F, 3.0F), array(0.0F, 0.0F, 0.0F)) AS cb,
+        |array(array(1.0F, 2.0F)) AS badcb""".stripMargin)
+    // dim 3 not divisible by numSub 2 → null
+    assert(df.select(VectorExprs.pqEncodeF(col("v"), col("cb"), 2)).first().isNullAt(0))
+    // codebook entry dim ≠ vector dim → null
+    assert(df.select(VectorExprs.pqEncodeF(col("v"), col("badcb"), 1)).first().isNullAt(0))
+    // divisible + well-formed → codes
+    assert(df.select(VectorExprs.pqEncodeF(col("v"), col("cb"), 3)).first()
+      .getSeq[Int](0) == Seq(0, 0, 0))
+  }
+
   test("interpreted eval path agrees with codegen (mixed double/float sides)") {
     val w = array(lit(0.5), lit(-1.25), lit(2.0))
     val df = spark.sql("SELECT array(1.0F, 2.0F, 3.0F) AS v")
