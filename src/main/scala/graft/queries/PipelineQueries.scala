@@ -557,6 +557,15 @@ object PipelineQueries {
       val chk = s"${scratch.dir}/chk"
       // Same nanos-ts handling as Tables.load, on the streaming reader.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Complete-mode output is rewritten wholesale every micro-batch, so
+      // the trailing no-data batch (whose only job is watermark-driven
+      // eviction — moot in complete mode) would redo the full agg + sink
+      // write for an identical result. One data batch is the whole run
+      // (~2× less streaming work). Scoped: restored after the run so
+      // append-mode streams elsewhere keep their no-data flush batches.
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val noDataPrev = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "false")
       val schema = s.read.parquet(Tables.path(dir, "events")).schema
       // The file-stream source needs a DIRECTORY to monitor (basePath); the
       // fixture table is a single file inside the SF dir, so monitor the dir
@@ -574,7 +583,11 @@ object PipelineQueries {
           batch.write.mode("overwrite").parquet(sink)
         }
         .start()
-      query.awaitTermination()
+      try query.awaitTermination()
+      finally noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None => s.conf.unset(noDataKey)
+      }
       s.read.parquet(sink).orderBy("window_start", "event_type")
     },
 
