@@ -172,6 +172,40 @@ object Curation {
     corpus.join(decontaminationHits(corpus, testSet, textCol, idCol, w),
       Seq(idCol), "left_anti")
 
+  // ---- cross-document duplicated-span metric -----------------------------
+  /** Per-document duplicated-span statistics: of a document's distinct
+    * w-grams, how many also occur in at least one OTHER document (`gdf > 1`
+    * over the corpus) — the span-level memorization metric behind
+    * substring-dedup pipelines (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": ~50-token repeated spans; here the
+    * span unit is the w-gram and the fraction is the per-doc report). The
+    * filter face drops documents whose fraction exceeds a threshold.
+    *
+    * Scale: same shape as [[decontaminationHits]] — grams become 8-byte
+    * hashes inside the scan stage (one compiled kernel per doc), the
+    * gram-frequency agg partial-aggregates, and the join shuffles hashes
+    * only; corpus text never moves. `dup_frac` is ONE IEEE division of two
+    * exact longs — cross-engine bit-exact. (A hashP collision merges two
+    * distinct gram strings on both sides of the join identically on a
+    * corpus-wide count, so the metric stays engine-consistent.) */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
+    val g = gramHashes(df, textCol, idCol, w)
+    val gdf = g.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    g.join(gdf, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Apply face: corpus minus documents with dup_frac above the threshold. */
+  def removeDupSpanDocs(df: DataFrame, textCol: String, idCol: String, w: Int,
+                        maxDupFrac: Double): DataFrame =
+    df.join(dupSpanStats(df, textCol, idCol, w)
+        .filter(col("dup_frac") > maxDupFrac).select(idCol),
+      Seq(idCol), "left_anti")
+
   // ---- C4-style boilerplate line removal ---------------------------------
   // The C4 line rules (Raffel et al. 2020 §2.2): keep a line only if it ends
   // in a terminal punctuation mark, has at least `minWords` words, and

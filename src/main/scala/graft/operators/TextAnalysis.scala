@@ -114,4 +114,61 @@ object TextAnalysis {
     val hs = s"list_transform($ws, w -> ${Fns.hashPSql("w")})"
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $hs), (acc, h) -> (acc * 31 + h) % $FpMod)"
   }
+
+  // ---- exact per-group length quantiles ----------------------------------
+  /** The default corpus-stats percentile set: (label, numerator,
+    * denominator) fractions — pure integers so the rank computation is
+    * exact in any engine. */
+  val DefaultQuantiles: Seq[(String, Int, Int)] = Seq(
+    ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10), ("p99", 99, 100))
+
+  /** EXACT per-group quantiles of a token-length column — the length
+    * distribution a pipeline reads before choosing packing budgets and
+    * truncation points. Discrete (lower) quantile at rank ⌈p·n⌉ over the
+    * group sorted by (length, id): the rank arithmetic is pure integer
+    * (`(num·n + den − 1) div den` ≡ ⌈num·n/den⌉ — no float quantile
+    * interpolation, whose op order differs between engines), so results
+    * are engine-exact and tie-stable.
+    *
+    * Scale: one window per group (groups = sources, bounded and modest —
+    * the same per-group caveat as [[Curation.packSequences]]; shard the
+    * group key if a single group outgrows a task) plus a broadcast-literal
+    * percentile list. For quantiles over UNGROUPED 100 TB corpora use a
+    * sketch (approx_percentile) instead — this operator is the exact face. */
+  def lengthQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                      tokens: Column,
+                      ps: Seq[(String, Int, Int)] = DefaultQuantiles): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(col(groupCol), col(idCol), tokens.as("tokens"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("tokens"), col(idCol))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val pList = explode(array(ps.map { case (l, nu, de) =>
+      struct(lit(l).as("pl"), lit(nu).as("nu"), lit(de).as("de"))
+    }: _*))
+    // ⌈nu·n/de⌉ via exact integer arithmetic: (a − a mod de) / de with
+    // a = nu·n + de − 1 — no Column-level `div`, and float `floor(a/b)`
+    // could cross an integer boundary on rounding.
+    val a = col("pp.nu") * col("n") + col("pp.de") - 1
+    val ceilRank = ((a - pmod(a, col("pp.de"))) / col("pp.de")).cast("long")
+    ranked.select(col(groupCol), col("tokens"), col("rn"), col("n"), pList.as("pp"))
+      .filter(col("rn") === ceilRank)
+      .select(col(groupCol), col("pp.pl").as("pl"), col("tokens"))
+  }
+
+  /** Oracle face of [[lengthQuantiles]] (same integer rank arithmetic). */
+  def lengthQuantilesSql(tableE: String, groupE: String, idE: String,
+                         tokensE: String,
+                         ps: Seq[(String, Int, Int)] = DefaultQuantiles): String = {
+    val values = ps.map { case (l, nu, de) => s"('$l', $nu, $de)" }.mkString(", ")
+    s"""WITH tq_t AS (SELECT $groupE AS g, $idE AS id, $tokensE AS tokens FROM $tableE),
+       |tq_r AS (SELECT g, tokens,
+       |           row_number() OVER (PARTITION BY g ORDER BY tokens, id) AS rn,
+       |           COUNT(*) OVER (PARTITION BY g) AS n
+       |         FROM tq_t),
+       |tq_p AS (SELECT * FROM (VALUES $values) AS p(pl, nu, de))
+       |SELECT g, pl, tokens FROM tq_r, tq_p
+       |WHERE rn = (nu * n + de - 1) // de""".stripMargin
+  }
 }

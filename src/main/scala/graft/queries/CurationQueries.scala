@@ -331,6 +331,45 @@ object CurationQueries {
         .limit(10)
     },
 
+    // ---- cross-document duplicated-span metric ---------------------------
+    // Per-doc fraction of distinct 3-grams that occur in ≥1 other document
+    // (gdf>1 corpus-wide) — the span-level memorization metric behind
+    // substring-dedup pipelines (Lee et al. 2022). Same gram-hash lineage
+    // as q58; dup_frac is one IEEE division of two exact longs.
+    Q("q78_dup_span_fraction", {
+      val shingles = Fns.wordShinglesSql("text", 3)
+      s"""WITH sh AS (SELECT doc_id, $shingles AS gs FROM documents),
+         |d AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)),
+         |dh AS (SELECT doc_id, ${Fns.hashPSql("g")} AS gh FROM d),
+         |f AS (SELECT gh, COUNT(*) AS gdf FROM dh GROUP BY gh)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN f.gdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  (CAST(SUM(CASE WHEN f.gdf > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) AS dup_frac
+         |FROM dh JOIN f USING (gh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      // repartition before the gram-hash stage (single-split fixture, q58 note)
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      Curation.dupSpanStats(docs, "text", "doc_id", w = 3)
+        .orderBy("doc_id")
+    },
+
+    // ---- exact per-source length quantiles -------------------------------
+    // Discrete quantile at rank ⌈p·n⌉ per source over (tokens, doc_id) —
+    // rank arithmetic is pure integers in both engines (no float quantile
+    // interpolation, whose op order is engine-specific).
+    Q("q79_length_quantiles", {
+      val tokensE = """len(regexp_split_to_array(trim(text), '\s+'))"""
+      val inner = TextAnalysis.lengthQuantilesSql("documents", "source", "doc_id", tokensE)
+      s"""SELECT g AS source, pl, tokens FROM ($inner)
+         |ORDER BY source, pl""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.lengthQuantiles(Tables.load(s, dir, "documents"),
+          "source", "doc_id", TextAnalysis.wsTokenCount(col("text")))
+        .orderBy("source", "pl")
+    },
+
     // ---- sequence packing (token binning) --------------------------------
     // Docs concatenated per source in doc_id order, chunked into 256-token
     // budgets; each doc reports its bin and intra-bin offset.

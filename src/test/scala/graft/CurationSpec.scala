@@ -193,4 +193,39 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("dupSpanStats: shared grams count as duplicated, unique docs score 0") {
+    // docs 1 and 2 share their full text (every 2-gram duplicated); doc 3
+    // is unique (0 duplicated); doc 4 shares one 2-gram with docs 1/2.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"),
+      (4L, "a b q r")).toDF("doc_id", "text")
+    val out = Curation.dupSpanStats(docs, "text", "doc_id", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0), (3L, 3L, 0L, 0.0),
+      (4L, 3L, 1L, 1.0 / 3.0)))
+    // apply face drops the fully-duplicated docs at a 0.5 threshold
+    val kept = Curation.removeDupSpanDocs(docs, "text", "doc_id", 2, maxDupFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("lengthQuantiles: exact ⌈p·n⌉ ranks per group, tie-stable") {
+    import graft.operators.TextAnalysis
+    // group g1: lengths 1..10 (n=10) → p25→rank3, p50→rank5, p75→rank8,
+    // p90→rank9, p99→rank10; group g2: n=1 → every p picks the only row
+    val docs = ((1 to 10).map(i => ("g1", i.toLong, ("w " * i).trim)) :+
+      ("g2", 99L, "a b c")).toDF("source", "doc_id", "text")
+    val out = TextAnalysis.lengthQuantiles(docs, "source", "doc_id",
+        TextAnalysis.wsTokenCount(col("text")))
+      .orderBy("source", "pl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      ("g1", "p25", 3), ("g1", "p50", 5), ("g1", "p75", 8),
+      ("g1", "p90", 9), ("g1", "p99", 10),
+      ("g2", "p25", 3), ("g2", "p50", 3), ("g2", "p75", 3),
+      ("g2", "p90", 3), ("g2", "p99", 3)))
+  }
 }
