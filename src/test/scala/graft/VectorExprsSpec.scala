@@ -196,6 +196,20 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("pqEncodeF ties go to the FIRST minimum (duplicate codebook entries)") {
+    // entries 1 and 2 are identical — equidistant from any vector — so the
+    // winner must be the earlier index (list_position(list_min) semantics);
+    // entry 0 is farther, proving the tie isn't won by accident of order
+    val df = spark.sql(
+      """SELECT array(5.0F, 5.0F) AS v,
+        |array(array(100.0F, 100.0F), array(4.0F, 4.0F), array(4.0F, 4.0F)) AS cb""".stripMargin)
+    assert(df.select(VectorExprs.pqEncodeF(col("v"), col("cb"), 1)).first()
+      .getSeq[Int](0) == Seq(1))
+    // per-subspace independence: numSub=2 picks per-slice winners
+    assert(df.select(VectorExprs.pqEncodeF(col("v"), col("cb"), 2)).first()
+      .getSeq[Int](0) == Seq(1, 1))
+  }
+
   test("pqEncodeF null contract: indivisible dim and mismatched codebook entry") {
     val df = spark.sql(
       """SELECT array(1.0F, 2.0F, 3.0F) AS v,
