@@ -122,4 +122,52 @@ object GraftProps extends Properties("graft") {
       math.abs(clippedToSelf.area - poly.area) <= 1e-9 * math.max(poly.area, 1.0) &&
         shrunk.area <= poly.area + 1e-9
     }
+
+  // ---- PQ kernels (pure-JVM faces of PqEncode / LutSum) -------------------
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import graft.functions.VectorExprs
+
+  // Integer-valued coordinates in a small range force frequent exact ties,
+  // exercising the first-min law (not just the generic argmin).
+  private val genPqCase: Gen[(Int, Int, Array[Double], Array[Array[Double]])] = for {
+    m <- Gen.choose(1, 4)
+    d <- Gen.choose(1, 5)
+    k <- Gen.choose(1, 6)
+    vec <- Gen.listOfN(m * d, Gen.choose(-3, 3).map(_.toDouble))
+    cbs <- Gen.listOfN(k, Gen.listOfN(m * d, Gen.choose(-3, 3).map(_.toDouble)))
+  } yield (m, d, vec.toArray, cbs.map(_.toArray).toArray)
+
+  property("pqEncodeOf = first-min L2 argmin per subspace (tie-heavy cases)") =
+    forAll(genPqCase) { case (m, d, vec, cbs) =>
+      val out = VectorExprs.pqEncodeOf(
+        new GenericArrayData(vec),
+        new GenericArrayData(cbs.map(c => new GenericArrayData(c): Any)),
+        m, false, false).asInstanceOf[GenericArrayData]
+      val codes = (0 until m).map(out.getInt)
+      val ref = (0 until m).map { mi =>
+        val dists = cbs.map { c =>
+          (mi * d until (mi + 1) * d).foldLeft(0.0) { (acc, i) =>
+            val df = c(i) - vec(i); acc + df * df
+          }
+        }
+        dists.indexOf(dists.min) // first index of the minimum
+      }
+      codes == ref
+    }
+
+  property("lutSumOf = left fold of lut[m][codes[m]] (bit-exact)") =
+    forAll(Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.choose(1, 5)
+      vals <- Gen.listOfN(k, Gen.choose(-800, 800).map(_ / 8.0))
+      c <- Gen.choose(0, k - 1)
+    } yield (vals.toArray, c)))) { cells =>
+      val codes = cells.map(_._2).toArray
+      val lut = cells.map(_._1).toArray
+      val out = VectorExprs.lutSumOf(
+        new GenericArrayData(codes),
+        new GenericArrayData(lut.map(l => new GenericArrayData(l): Any)))
+      val ref = codes.indices.foldLeft(0.0)((acc, m) => acc + lut(m)(codes(m)))
+      java.lang.Double.doubleToRawLongBits(out.asInstanceOf[Double]) ==
+        java.lang.Double.doubleToRawLongBits(ref)
+    }
 }
