@@ -404,7 +404,7 @@ object Similarity {
       val cbDf = broadcast(spark.range(1).select(typedlit(entries).as("__cbs")))
       val subMeans = corpus.crossJoin(cbDf)
         .select(Fns.vecD(col(vecCol)).as("__v"),
-          graft.functions.VectorExprs.pqEncodeF(col(vecCol), col("__cbs"), numSub).as("__codes"))
+          VectorExprs.pqEncodeF(col(vecCol), col("__cbs"), numSub).as("__codes"))
         .select(posexplode(col("__codes")).as(Seq("__m", "__k")), col("__v"))
         .select(col("__m"), col("__k"),
           slice(col("__v"), col("__m") * d + 1, lit(d)).as("__sub"))
@@ -433,7 +433,7 @@ object Similarity {
     ivfAssign(corpus, pivots, vecCol, idCol, pivotIdCol)
       .crossJoin(codebook)
       .select(col(idCol),
-        graft.functions.VectorExprs.pqEncodeF(col(vecCol), col("__cbs"), numSub).as("codes"),
+        VectorExprs.pqEncodeF(col(vecCol), col("__cbs"), numSub).as("codes"),
         col("centroid_id"))
 
   /** IVF search over a PQ index ([[ivfAssignPq]]): driver probe ranking →
@@ -451,10 +451,10 @@ object Similarity {
       .select(col(vecCol).as("__qv"),
         pqDotLut(col("__cbs"), Fns.vecD(col(vecCol)), numSub).as("__dlut"),
         pqNormLut(col("__cbs"), numSub).as("__nlut"),
-        graft.functions.VectorExprs.dotF(col(vecCol), col(vecCol)).as("__qn2")))
+        VectorExprs.dotF(col(vecCol), col(vecCol)).as("__qn2")))
     val probeCids = pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv"))
       .crossJoin(q)
-      .select(col("cid"), graft.functions.VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+      .select(col("cid"), VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
       .orderBy(col("__pcos").desc, col("cid").asc)
       .limit(nprobe)
       .collect().map(_.get(0))
@@ -462,15 +462,15 @@ object Similarity {
       .crossJoin(q)
       .select(col(idCol),
         quantizedCosineFromDots(
-          graft.functions.VectorExprs.lutSumF(col("codes"), col("__dlut")),
-          graft.functions.VectorExprs.lutSumF(col("codes"), col("__nlut")),
+          VectorExprs.lutSumF(col("codes"), col("__dlut")),
+          VectorExprs.lutSumF(col("codes"), col("__nlut")),
           col("__qn2")).as("__pqcos"))
       .orderBy(col("__pqcos").desc, col(idCol).asc)
       .limit(sl)
       .select(idCol)
     corpus.join(broadcast(candidates), idCol)
       .crossJoin(q)
-      .select(col(idCol), graft.functions.VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
