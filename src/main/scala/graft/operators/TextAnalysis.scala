@@ -157,6 +157,99 @@ object TextAnalysis {
       .select(col(groupCol), col("pp.pl").as("pl"), col("tokens"))
   }
 
+  // ---- BM25 retrieval scoring --------------------------------------------
+  /** Okapi BM25 per (doc, term) — the retrieval-scoring face of the TF/DF
+    * pack (idf form is Lucene's `ln(1 + (N - df + 0.5)/(df + 0.5))`, always
+    * positive). tf/df/dl/N stay exact BIGINTs; the score is one fixed-shape
+    * double expression whose op order is mirrored verbatim by [[bm25Sql]],
+    * so the only cross-engine wobble is the ±1-ulp `ln` — neutralized by
+    * %.6f formatting downstream (same rule as TF-IDF, q49).
+    *
+    * Scale: tf and df shuffle on term-shaped keys with map-side combine;
+    * dl is a per-row projection (no agg — `size(words)` ≡ Σtf by
+    * construction); the (n_docs, total_tokens) aggregate is one broadcast
+    * row. The df join shuffles by term (or broadcasts when the vocabulary
+    * is small); the dl join co-partitions with tf on the doc id. Stop-word
+    * df keys skew — salt or drop stop words first, as with [[termFreq]]. */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFreq(df, textCol, idCol)
+    val dl = df.select(col(idCol), size(words(col(textCol))).as("dl"))
+    val totals = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words(col(textCol))).cast("long")).as("total_tokens"))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = log((col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val denom = tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
+    tf.join(docFreq(tf), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
+        ((idf * (tfD * (lit(k1) + lit(1.0)))) / denom).as("bm25"))
+  }
+
+  /** Oracle face of [[bm25]] — same literals (rendered from the identical
+    * Scala doubles) and the same parenthesization, so both engines execute
+    * the identical IEEE op sequence around the one `ln`. */
+  def bm25Sql(tableE: String, textE: String, idE: String,
+              k1: Double = 1.2, b: Double = 0.75): String = {
+    val wordsE = s"regexp_extract_all(lower($textE), '[a-z]+')"
+    s"""WITH bm_t AS (SELECT $idE AS id, unnest($wordsE) AS term FROM $tableE),
+       |bm_tf AS (SELECT id, term, COUNT(*) AS tf FROM bm_t GROUP BY id, term),
+       |bm_df AS (SELECT term, COUNT(*) AS df FROM bm_tf GROUP BY term),
+       |bm_dl AS (SELECT $idE AS id, len($wordsE) AS dl FROM $tableE),
+       |bm_n AS (SELECT COUNT(*) AS n_docs,
+       |           CAST(SUM(len($wordsE)) AS BIGINT) AS total_tokens FROM $tableE)
+       |SELECT id, term, tf, df, dl,
+       |  ((ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |    * (CAST(tf AS DOUBLE) * ($k1 + 1.0)))
+       |   / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl AS DOUBLE)
+       |        / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS bm25
+       |FROM bm_tf JOIN bm_df USING (term) JOIN bm_dl USING (id), bm_n""".stripMargin
+  }
+
+  // ---- hashed linear classifier (fastText-style inference) ---------------
+  /** Hashing-trick buckets for [[hashedLinearScore]]. */
+  val ClassifierBuckets: Int = 1024
+
+  /** Deterministic demo weight for bucket b, an exact integer in
+    * [-1e6, 1e6]: a trained model would supply these; the closed form keeps
+    * the oracle expressible. (b+1)·knuth stays < 2^42 — no int64 overflow
+    * in either engine. */
+  def classifierWeight(bucket: Column): Column =
+    (bucket + lit(1L)) * lit(2654435761L) % lit(2000001L) - lit(1000000L)
+
+  /** fastText-style linear scoring over hashed token buckets: each token
+    * hashes into one of [[ClassifierBuckets]] weight slots and the document
+    * score is the exact int64 sum of its tokens' weights (`label` = sign).
+    * This is the standard learned-quality-filter serving shape: weights live
+    * in the plan (literal/broadcast), scoring is a per-row fold inside the
+    * scan stage — zero shuffle, zero lookup join, runs at scan speed on
+    * 100 TB. Integer weights keep the score associativity-free (any fold
+    * order gives the same sum), so the oracle matches bit-exactly with no
+    * float formatting tricks. */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val perToken = transform(ws, w => classifierWeight(Fns.hashP(w) % ClassifierBuckets))
+    val score = aggregate(perToken, lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol), size(ws).as("n_tokens"), score.as("score_raw"),
+      when(score > 0, lit(1)).otherwise(lit(0)).as("label"))
+  }
+
+  /** Oracle face of [[hashedLinearScore]] (same hash, buckets, weights). */
+  def hashedLinearScoreSql(tableE: String, textE: String, idE: String): String = {
+    val wsE = s"regexp_extract_all(lower($textE), '[a-z]+')"
+    val wE = s"(((${Fns.hashPSql("w")} % $ClassifierBuckets) + 1) * 2654435761 % 2000001 - 1000000)"
+    s"""SELECT id, n_tokens, score_raw,
+       |  CASE WHEN score_raw > 0 THEN 1 ELSE 0 END AS label
+       |FROM (SELECT $idE AS id, len($wsE) AS n_tokens,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($wsE, w -> $wE)),
+       |                    (acc, x) -> acc + x) AS score_raw
+       |      FROM $tableE)""".stripMargin
+  }
+
   /** Oracle face of [[lengthQuantiles]] (same integer rank arithmetic). */
   def lengthQuantilesSql(tableE: String, groupE: String, idE: String,
                          tokensE: String,

@@ -421,6 +421,39 @@ object CurationQueries {
             col("tf").cast("double")
               * log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
         .orderBy("doc_id", "term")
+    },
+
+    // ---- BM25 retrieval scoring ------------------------------------------
+    // Okapi BM25 over the corpus TF/DF stats (Lucene idf form). tf/df/dl
+    // stay exact BIGINTs; the score string is %.6f-formatted for the same
+    // reason as q49 (cross-engine ln is ±1 ulp). The doc_id<100 cut applies
+    // to tf only — df/dl/avgdl stay corpus-wide (retrieval semantics).
+    Q("q81_bm25", {
+      val inner = TextAnalysis.bm25Sql("documents", "text", "doc_id")
+      s"""SELECT id AS doc_id, term, tf, df, dl, printf('%.6f', bm25) AS bm25
+         |FROM ($inner)
+         |WHERE id < 100 ORDER BY doc_id, term""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.bm25(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+          format_string("%.6f", col("bm25")).as("bm25"))
+        .orderBy("doc_id", "term")
+    },
+
+    // ---- hashed linear quality classifier --------------------------------
+    // fastText-style inference: token → hash bucket → weight, doc score =
+    // exact int64 weight sum, label = sign. Weights are a closed-form
+    // function of the bucket so the oracle is expressible; a trained model
+    // drops its weight vector into the same plan literal. Zero shuffle —
+    // the whole thing runs inside the scan stage.
+    Q("q83_hash_classifier", {
+      val inner = TextAnalysis.hashedLinearScoreSql("documents", "text", "doc_id")
+      s"""SELECT id AS doc_id, n_tokens, score_raw, label
+         |FROM ($inner) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.hashedLinearScore(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
     }
   )
 }

@@ -591,6 +591,52 @@ object PipelineQueries {
       s.read.parquet(sink).orderBy("window_start", "event_type")
     },
 
+    // ---- documents: TRUE STREAMING exact dedup, oracle-checked ------------
+    // The second real-streaming-engine query (q73's pattern on a different
+    // stateful operator): file-source readStream over the documents parquet
+    // → digest-keyed survivor aggregation (min doc_id per md5, the
+    // Dedup.exact shape — deterministic regardless of micro-batch or
+    // partition arrival order, unlike first-seen dropDuplicates) → complete-
+    // mode foreachBatch sink under Trigger.AvailableNow, then the sink is
+    // read back as the declared result. At scale the same topology ingests
+    // an unbounded landing folder; the bounded-state production face is
+    // Streams.dedupStream (dropDuplicatesWithinWatermark), whose survivor
+    // choice is arrival-ordered and therefore not oracle-able.
+    Q("q82_streaming_dedup",
+      """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY digest ORDER BY digest""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = new graft.Session.Scratch
+      val sink = s"${scratch.dir}/stream_dedup"
+      val chk = s"${scratch.dir}/chk"
+      // Complete mode rewrites the sink wholesale each micro-batch; the
+      // trailing no-data batch would redo the identical write (q73 note).
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val noDataPrev = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "false")
+      val schema = s.read.parquet(Tables.path(dir, "documents")).schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val query = docs
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(sink)
+        }
+        .start()
+      try query.awaitTermination()
+      finally noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None => s.conf.unset(noDataKey)
+      }
+      s.read.parquet(sink).orderBy("digest")
+    },
+
     // ---- events: JSON prop extraction -------------------------------------
     Q("q62_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -192,6 +192,10 @@ class CurationSpec extends AnyFunSuite {
         Curation.redactPii(col("text")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
+    val classifierPlan = graft.operators.TextAnalysis
+      .hashedLinearScore(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!classifierPlan.contains("Exchange"))
   }
 
   test("dupSpanStats: shared grams count as duplicated, unique docs score 0") {

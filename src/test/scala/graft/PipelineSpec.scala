@@ -74,6 +74,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "es", "zh"))
   }
 
+  test("bm25: exact int stats, score matches the closed-form formula") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, "text", "doc_id")
+      .orderBy("doc_id", "term").collect()
+    // (doc, term, tf, df, dl): doc1 {a:2, b:1} dl=3; doc2 {a:1, c:1} dl=2
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSeq ==
+      Seq((1L, "a", 2L, 2L, 3), (1L, "b", 1L, 1L, 3), (2L, "a", 1L, 2L, 2), (2L, "c", 1L, 1L, 2)))
+    // doc1/"a": N=2 docs, 5 total tokens, avgdl=2.5
+    val expected = math.log((2.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0) *
+      (2.0 * (1.2 + 1.0)) / (2.0 + 1.2 * (1.0 - 0.75 + 0.75 * (3.0 / 2.5)))
+    assert(math.abs(out(0).getDouble(5) - expected) < 1e-12)
+  }
+
+  test("hashedLinearScore: fold ≡ explode+sum over the same bucket weights") {
+    val df = Seq((1L, "alpha beta gamma alpha"), (2L, "zz q"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val ref = df.select($"doc_id", explode(TextAnalysis.words($"text")).as("w"))
+      .select($"doc_id",
+        TextAnalysis.classifierWeight(Fns.hashP($"w") % TextAnalysis.ClassifierBuckets).as("wt"))
+      .groupBy("doc_id").agg(sum("wt").as("score_raw"))
+      .orderBy("doc_id").collect()
+    // docs with tokens match the explode+sum face exactly
+    assert(out.take(2).map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      ref.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // empty doc: zero tokens, zero score, negative label
+    assert(out(2).getInt(1) == 0 && out(2).getLong(2) == 0L && out(2).getInt(3) == 0)
+    // label is the sign of score_raw
+    assert(out.forall(r => r.getInt(3) == (if (r.getLong(2) > 0) 1 else 0)))
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
