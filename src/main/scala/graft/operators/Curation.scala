@@ -285,6 +285,41 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < pct)
 
+  /** Fixed-SIZE deterministic stratified sample: exactly min(n, |group|)
+    * rows per group, chosen by salted-hash rank — the "n docs per source"
+    * complement of the rate-based [[hashSample]]/[[mixSources]]. The rank
+    * key (hash60(salt||id), id) is a pure function of (salt, id), so the
+    * chosen sample is immune to partitioning, task retries and engine
+    * swaps, and changing n only grows/shrinks the sample monotonically
+    * (rank-prefix property — the n=100 sample contains the n=50 sample).
+    *
+    * Scale: a rank-≤-n window per group. Spark's WindowGroupLimit rule
+    * pushes a per-partition top-n below the exchange, so the shuffle
+    * carries at most n rows per group per map partition, not the corpus;
+    * groups (sources) are bounded. For a single giant group use the same
+    * composite-shard-key treatment as [[packSequences]]. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       n: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__hk",
+        Fns.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__hk"), col(idCol))))
+      .filter(col("rk") <= n)
+      .drop("__hk")
+  }
+
+  /** Oracle face of [[stratifiedSample]] (same salted hash + rank). */
+  def stratifiedSampleSql(tableE: String, groupE: String, idE: String,
+                          n: Int, salt: String): String = {
+    val s = salt.replace("'", "''")
+    val hk = Fns.hash60Sql(s"'$s'||CAST($idE AS VARCHAR)")
+    s"""SELECT * FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY $groupE ORDER BY $hk, $idE) AS rk
+       |  FROM $tableE)
+       |WHERE rk <= $n""".stripMargin
+  }
+
   // ---- sequence packing (concat-and-chunk token binning) -----------------
   /** GPT-style sequence packing: documents are (conceptually) concatenated
     * in (group, id) order and chunked into fixed token budgets; each doc is

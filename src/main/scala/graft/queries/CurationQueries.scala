@@ -454,6 +454,23 @@ object CurationQueries {
     }) { (s, dir) =>
       TextAnalysis.hashedLinearScore(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // ---- fixed-size stratified sampling ----------------------------------
+    // Exactly min(10, |source|) docs per source by salted-hash rank — the
+    // "n per stratum" complement of q59's rate-based mixing. Deterministic
+    // by construction (rank key is a pure function of salt+id) and
+    // rank-prefix monotone: growing n only adds rows.
+    Q("q84_stratified_sample", {
+      val inner = Curation.stratifiedSampleSql("documents", "source", "doc_id",
+        n = 10, salt = "s84")
+      s"""SELECT source, doc_id, rk FROM ($inner)
+         |ORDER BY source, rk""".stripMargin
+    }) { (s, dir) =>
+      Curation.stratifiedSample(Tables.load(s, dir, "documents"),
+          "source", "doc_id", n = 10, salt = "s84")
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
     }
   )
 }

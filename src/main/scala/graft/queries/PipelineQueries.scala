@@ -386,6 +386,35 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- documents: mergeable quantile sketch with error-bound audit ------
+    // The 100-TB face of q79's exact quantiles: percentile_approx is a
+    // mergeable sketch (constant memory per group, partial-agg-friendly).
+    // The oracle is the q64 pattern — the declared result asserts the
+    // sketch's own rank-error contract (±n/accuracy around p·n) in-query,
+    // so the driver hash-checks the audit's verdict plus exact group sizes.
+    // Tie-robust: the returned value v is checked via its rank INTERVAL
+    // [#{t<v}+1, #{t≤v}] intersecting the allowed band, not a point rank.
+    Q("q85_approx_quantile_sketch",
+      """SELECT source, COUNT(*) AS n, true AS within_bound
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val acc = 100
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("t"))
+      val ap = toks.groupBy("source")
+        .agg(percentile_approx(col("t"), lit(0.5), lit(acc)).as("__ap"))
+      val nD = col("n").cast("double")
+      val band = nD / acc + lit(1.0)
+      toks.join(broadcast(ap), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("t") < col("__ap"), 1L).otherwise(0L)).as("__lo"),
+          sum(when(col("t") <= col("__ap"), 1L).otherwise(0L)).as("__hi"))
+        .select(col("source"), col("n"),
+          ((col("__lo").cast("double") + lit(1.0) <= nD * 0.5 + band)
+            && (col("__hi").cast("double") >= nD * 0.5 - band)).as("within_bound"))
+        .orderBy("source")
+    },
+
     // ---- text: token counting --------------------------------------------
     Q("q50_token_count",
       s"""SELECT doc_id,

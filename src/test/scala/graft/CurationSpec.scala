@@ -198,6 +198,28 @@ class CurationSpec extends AnyFunSuite {
     assert(!classifierPlan.contains("Exchange"))
   }
 
+  test("stratifiedSample: exact size, rank-prefix monotone, partition-immune") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def keys(n: Int, d: org.apache.spark.sql.DataFrame) =
+      Curation.stratifiedSample(d, "source", "doc_id", n, "salt")
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val s10 = keys(10, df)
+    assert(s10.size == 20 && s10.count(_._1 == "a") == 10)
+    // the n=5 sample is a prefix of the n=10 sample (rank-prefix property)
+    assert(keys(5, df).subsetOf(s10))
+    // partitioning cannot change the chosen sample
+    assert(keys(10, df.repartition(7)) == s10)
+    // n above the group size returns the whole group
+    assert(keys(1000, df).size == 100)
+    // the rank-≤-n filter must compile to a WindowGroupLimit (per-partition
+    // top-n below the exchange) — the property the SCALE claim rests on
+    val plan = Curation.stratifiedSample(df, "source", "doc_id", 10, "salt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("dupSpanStats: shared grams count as duplicated, unique docs score 0") {
     // docs 1 and 2 share their full text (every 2-gram duplicated); doc 3
     // is unique (0 duplicated); doc 4 shares one 2-gram with docs 1/2.
