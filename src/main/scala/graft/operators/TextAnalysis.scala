@@ -157,6 +157,86 @@ object TextAnalysis {
       .select(col(groupCol), col("pp.pl").as("pl"), col("tokens"))
   }
 
+  // ---- extended word statistics (Gopher-style signals) -------------------
+  /** Per-document word-shape statistics over whitespace tokens — the
+    * Gopher-rule signals not already covered by [[qualityFeatures]]/q57:
+    * mean token length, alphabetic-token fraction, digit-bearing-token
+    * fraction. Counts are exact int64 (per-row HOF folds, scan-stage only);
+    * each ratio is ONE IEEE division of two exact longs, so the oracle
+    * matches without float formatting. */
+  def gopherWordStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nAlpha = size(filter(toks, t => t.rlike("^[A-Za-z]+$")))
+    val nDigit = size(filter(toks, t => t.rlike("[0-9]")))
+    df.select(col(idCol), n.as("n_tokens"), sumLen.as("sum_len"),
+        nAlpha.cast("long").as("n_alpha"), nDigit.cast("long").as("n_digit"))
+      .withColumn("mean_len", col("sum_len").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("alpha_frac", col("n_alpha").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("digit_frac", col("n_digit").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Oracle face of [[gopherWordStats]]. `regexp_full_match` ≡ the anchored
+    * Java regex; the character classes are Java≡RE2-safe. */
+  def gopherWordStatsSql(tableE: String, textE: String, idE: String): String = {
+    val toksE = s"regexp_split_to_array(trim($textE), '\\s+')"
+    s"""SELECT id, n_tokens, sum_len, n_alpha, n_digit,
+       |  (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS mean_len,
+       |  (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS alpha_frac,
+       |  (CAST(n_digit AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS digit_frac
+       |FROM (SELECT $idE AS id, len($toksE) AS n_tokens,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform($toksE, t -> CAST(length(t) AS BIGINT))),
+       |          (acc, x) -> acc + x) AS sum_len,
+       |        CAST(len(list_filter($toksE, t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS n_alpha,
+       |        CAST(len(list_filter($toksE, t -> regexp_matches(t, '[0-9]'))) AS BIGINT) AS n_digit
+       |      FROM $tableE)""".stripMargin
+  }
+
+  // ---- unigram LM log-probability scoring --------------------------------
+  /** Unigram language-model score per document — the KenLM-shaped quality
+    * filter: build corpus unigram stats, then score each document by
+    * Σ_tokens ln p(w) with p(w) = ctf(w)/total. The per-TERM log is
+    * quantized to exact integer micro-nats (`floor(ln(p)·1e6)`), so the
+    * per-DOC sum is an int64 sum — order-independent by construction, where
+    * a raw double Σln would hash-diverge on partial-agg ordering. The
+    * remaining cross-engine surface is one `ln` per distinct TERM whose
+    * ±1-ulp wobble only flips the floor within ~1e-10 of a boundary —
+    * vanishing over a vocabulary, same risk class as the %.6f rule (q49).
+    *
+    * Scale: the tf/ctf aggs partial-aggregate on term-shaped keys; the
+    * total is one broadcast row; the score join shuffles by term (or
+    * broadcasts a small vocabulary). Per-doc rollup shuffles (id, two
+    * longs). OOV smoothing is out of scope here — every scored token is by
+    * construction in the corpus vocabulary (self-scoring); scoring against
+    * a FOREIGN LM table needs a left join + a floor-probability literal. */
+  def unigramLogProbMicro(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = termFreq(df, textCol, idCol)
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("total"))
+    val lpMicro = floor(log(col("ctf").cast("double") / col("total").cast("double")) * lit(1e6))
+    tf.join(ctf, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * lpMicro).as("lp_micro"))
+  }
+
+  /** Oracle face of [[unigramLogProbMicro]] (same quantization). */
+  def unigramLogProbMicroSql(tableE: String, textE: String, idE: String): String = {
+    val wordsE = s"regexp_extract_all(lower($textE), '[a-z]+')"
+    s"""WITH lp_t AS (SELECT $idE AS id, unnest($wordsE) AS term FROM $tableE),
+       |lp_tf AS (SELECT id, term, COUNT(*) AS tf FROM lp_t GROUP BY id, term),
+       |lp_ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM lp_tf GROUP BY term),
+       |lp_n AS (SELECT CAST(SUM(ctf) AS BIGINT) AS total FROM lp_ctf)
+       |SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(tf * CAST(FLOOR(ln(CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS lp_micro
+       |FROM lp_tf JOIN lp_ctf USING (term), lp_n
+       |GROUP BY id""".stripMargin
+  }
+
   // ---- BM25 retrieval scoring --------------------------------------------
   /** Okapi BM25 per (doc, term) — the retrieval-scoring face of the TF/DF
     * pack (idf form is Lucene's `ln(1 + (N - df + 0.5)/(df + 0.5))`, always

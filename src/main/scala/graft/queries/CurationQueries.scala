@@ -471,6 +471,20 @@ object CurationQueries {
           "source", "doc_id", n = 10, salt = "s84")
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
+    },
+
+    // ---- unigram LM log-probability scoring -------------------------------
+    // KenLM-shaped quality filter: corpus unigram stats → per-doc
+    // Σ tf·⌊ln(ctf/total)·1e6⌋. The per-term log is quantized to exact
+    // integer micro-nats, so the per-doc sum is order-independent (a raw
+    // double Σln would hash-diverge on partial-agg ordering).
+    Q("q87_unigram_logprob", {
+      val inner = TextAnalysis.unigramLogProbMicroSql("documents", "text", "doc_id")
+      s"""SELECT id AS doc_id, n_tokens, lp_micro
+         |FROM ($inner) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.unigramLogProbMicro(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
     }
   )
 }

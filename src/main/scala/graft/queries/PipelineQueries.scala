@@ -430,6 +430,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- text: extended word-shape statistics (Gopher signals) ------------
+    // Mean token length + alphabetic/digit token fractions — exact int64
+    // counts (per-row HOF folds, scan-stage), each ratio one IEEE division
+    // of two exact longs; no float formatting needed.
+    Q("q86_word_stats", {
+      val inner = TextAnalysis.gopherWordStatsSql("documents", "text", "doc_id")
+      s"""SELECT id AS doc_id, n_tokens, sum_len, n_alpha, n_digit,
+         |  mean_len, alpha_frac, digit_frac
+         |FROM ($inner) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.gopherWordStats(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- text: language ID ------------------------------------------------
     Q("q51_lang_id", {
       def hits(stops: Seq[String]) =

@@ -106,6 +106,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(3) == (if (r.getLong(2) > 0) 1 else 0)))
   }
 
+  test("gopherWordStats: exact counts, ratios are single divisions") {
+    val df = Seq((1L, "ab c12 ! Def"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherWordStats(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // doc1 tokens [ab, c12, !, Def]: n=4, sum_len=9, alpha {ab, Def}=2, digit {c12}=1
+    assert((out(0).getInt(1), out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) ==
+      ((4, 9L, 2L, 1L)))
+    assert(out(0).getDouble(5) == 9.0 / 4.0 && out(0).getDouble(6) == 2.0 / 4.0
+      && out(0).getDouble(7) == 1.0 / 4.0)
+    assert((out(1).getInt(1), out(1).getLong(3), out(1).getDouble(6)) == ((1, 1L, 1.0)))
+  }
+
+  test("unigramLogProbMicro: hand-computed micro-nat sums") {
+    val df = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProbMicro(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // ctf: a→3, b→1, total=4
+    val lpA = math.floor(math.log(3.0 / 4.0) * 1e6).toLong
+    val lpB = math.floor(math.log(1.0 / 4.0) * 1e6).toLong
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 2 * lpA + lpB), (2L, 1L, lpA)))
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
