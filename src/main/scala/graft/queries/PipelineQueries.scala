@@ -363,6 +363,46 @@ object PipelineQueries {
         "embedding", "vec_id", "vec_id", k = 5, nprobe = 2)
     },
 
+    // ---- similarity: ANN recall audit (IVF vs brute-force ground truth) ---
+    // recall@k of the q43 IVF search against the exact top-k — the
+    // quality-contract number an ANN rollout is judged by. Both engines
+    // compute both paths (the oracle replicates the full IVF probe in SQL,
+    // as q43 does), so n_hit/recall are exact values, not a weak
+    // constant-true check. At scale this audit runs on a sampled query set
+    // against the same index — same plan, sampled query side.
+    Q("q88_ann_recall", {
+      val IvfC = 8; val NProbe = 2; val K = 5
+      s"""WITH piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IvfC),
+         |scored AS (SELECT e.vec_id, e.embedding, p.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
+         |  FROM embeddings e, piv p),
+         |asg AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT cid FROM piv, q
+         |  ORDER BY ${cosSql("cv", "qv")} DESC, cid LIMIT $NProbe),
+         |ivf AS (SELECT a.vec_id FROM asg a JOIN probes pr ON a.cid = pr.cid, q
+         |  ORDER BY ${cosSql("a.embedding", "q.qv")} DESC, vec_id LIMIT $K),
+         |bf AS (SELECT e.vec_id FROM embeddings e, q
+         |  ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, vec_id LIMIT $K)
+         |SELECT $K AS k, COUNT(*) AS n_hit,
+         |  (CAST(COUNT(*) AS DOUBLE) / CAST($K AS DOUBLE)) AS recall
+         |FROM ivf JOIN bf USING (vec_id)""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < 8)
+      val index = Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id")
+      val qv = emb.filter(col("vec_id") === 0)
+      val ivf = Similarity.ivfSearch(index, pivots, qv,
+        "embedding", "vec_id", "vec_id", k = 5, nprobe = 2).select("vec_id")
+      val bf = Similarity.bruteForceTopK(emb, qv, "embedding", "vec_id", 5)
+        .select("vec_id")
+      ivf.join(bf, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(5).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5).cast("double")).as("recall"))
+    },
+
     // ---- events: HLL++ sketch distinct. The two engines' sketches differ,
     // so the oracle checks the property both agree on: the approximation is
     // within 3·rsd of the exact count. Spark computes `within_bound`
