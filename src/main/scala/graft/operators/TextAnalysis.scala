@@ -224,6 +224,52 @@ object TextAnalysis {
         sum(col("tf") * lpMicro).as("lp_micro"))
   }
 
+  /** [[unigramLogProbMicro]] against a FOREIGN language model — the
+    * CCNet-shaped filter (Wenzek et al. 2020: score a web corpus against a
+    * clean-reference LM and keep the low-perplexity head): `lm` is any
+    * (term, ctf) table; its total is recomputed on a broadcast row; tokens
+    * missing from the LM vocabulary score the OOV floor
+    * `⌊ln(1/(total+1))·1e6⌋` — below every in-vocabulary term by
+    * construction. Same micro-nat quantization as the self-scored face, so
+    * the per-doc sum stays an order-independent int64.
+    *
+    * Scale: the LM table is the small side (a curated reference corpus's
+    * vocabulary) — the term join broadcasts; everything else matches
+    * [[unigramLogProbMicro]]. */
+  def unigramLogProbAgainst(docs: DataFrame, lm: DataFrame,
+                            textCol: String, idCol: String): DataFrame = {
+    val total = lm.agg(sum(col("ctf")).as("total"))
+    val lpMicro = floor(log(col("ctf").cast("double") / col("total").cast("double")) * lit(1e6))
+    val oovMicro = floor(log(lit(1.0) / (col("total").cast("double") + lit(1.0))) * lit(1e6))
+    termFreq(docs, textCol, idCol)
+      .join(broadcast(lm), Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * when(col("ctf").isNotNull, lpMicro).otherwise(oovMicro))
+          .as("lp_micro"),
+        sum(when(col("ctf").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
+  }
+
+  /** Oracle face of [[unigramLogProbAgainst]]: `lmE` must select
+    * (term, ctf) — the same shape the Spark face consumes. */
+  def unigramLogProbAgainstSql(tableE: String, textE: String, idE: String,
+                               lmE: String): String = {
+    val wordsE = s"regexp_extract_all(lower($textE), '[a-z]+')"
+    s"""WITH fl_t AS (SELECT $idE AS id, unnest($wordsE) AS term FROM $tableE),
+       |fl_tf AS (SELECT id, term, COUNT(*) AS tf FROM fl_t GROUP BY id, term),
+       |fl_lm AS ($lmE),
+       |fl_n AS (SELECT CAST(SUM(ctf) AS BIGINT) AS total FROM fl_lm)
+       |SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(tf * CASE WHEN ctf IS NOT NULL
+       |    THEN CAST(FLOOR(ln(CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    ELSE CAST(FLOOR(ln(1.0 / (CAST(total AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT)
+       |    END) AS BIGINT) AS lp_micro,
+       |  CAST(SUM(CASE WHEN ctf IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+       |FROM fl_tf LEFT JOIN fl_lm USING (term), fl_n
+       |GROUP BY id""".stripMargin
+  }
+
   /** Oracle face of [[unigramLogProbMicro]] (same quantization). */
   def unigramLogProbMicroSql(tableE: String, textE: String, idE: String): String = {
     val wordsE = s"regexp_extract_all(lower($textE), '[a-z]+')"

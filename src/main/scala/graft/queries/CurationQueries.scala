@@ -485,6 +485,28 @@ object CurationQueries {
     }) { (s, dir) =>
       TextAnalysis.unigramLogProbMicro(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // ---- foreign-LM scoring (CCNet-shaped reference filter) ---------------
+    // Score EVERY document against a unigram LM built from the src0 slice
+    // only — the clean-reference-corpus filter; OOV tokens floor at
+    // ⌊ln(1/(total+1))·1e6⌋, below every in-vocabulary term. n_oov doubles
+    // as a vocabulary-coverage signal.
+    Q("q89_lm_score_foreign", {
+      val lmSql = """SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf
+                    |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                    |      FROM documents WHERE source = 'src0')
+                    |GROUP BY term""".stripMargin
+      val inner = TextAnalysis.unigramLogProbAgainstSql("documents", "text", "doc_id", lmSql)
+      s"""SELECT id AS doc_id, n_tokens, lp_micro, n_oov
+         |FROM ($inner) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val lm = docs.filter(col("source") === "src0")
+        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("ctf"))
+      TextAnalysis.unigramLogProbAgainst(docs, lm, "text", "doc_id")
+        .orderBy("doc_id")
     }
   )
 }

@@ -129,6 +129,19 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, 3L, 2 * lpA + lpB), (2L, 1L, lpA)))
   }
 
+  test("unigramLogProbAgainst: foreign LM with OOV floor") {
+    val docs = Seq((1L, "a b zz"), (2L, "a a")).toDF("doc_id", "text")
+    val lm = Seq(("a", 3L), ("b", 1L)).toDF("term", "ctf") // total = 4
+    val out = TextAnalysis.unigramLogProbAgainst(docs, lm, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val lpA = math.floor(math.log(3.0 / 4.0) * 1e6).toLong
+    val lpB = math.floor(math.log(1.0 / 4.0) * 1e6).toLong
+    val oov = math.floor(math.log(1.0 / 5.0) * 1e6).toLong
+    // (doc_id, n_tokens, lp_micro, n_oov); doc1 has one OOV token "zz"
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 3L, lpA + lpB + oov, 1L), (2L, 2L, 2 * lpA, 0L)))
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
