@@ -142,6 +142,47 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, 3L, lpA + lpB + oov, 1L), (2L, 2L, 2 * lpA, 0L)))
   }
 
+  test("unigramLogProbMicro ≡ Scala reference on random corpora (seeded)") {
+    val rnd = new scala.util.Random(881)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    (1 to 3).foreach { _ =>
+      val docs = (1L to 20L).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // reference: same md5-free path — plain token counts + JVM Math.log,
+      // which is the exact function Spark's `log` evaluates
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val ctf = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val total = ctf.values.sum.toDouble
+      val lp = ctf.map { case (w, c) => w -> math.floor(math.log(c / total) * 1e6).toLong }
+      val expected = toks.map { case (id, ws) =>
+        (id, ws.size.toLong, ws.map(lp).sum)
+      }.sortBy(_._1)
+      val out = TextAnalysis.unigramLogProbMicro(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(out == expected)
+    }
+  }
+
+  test("stratifiedSample: randomized size + prefix laws (seeded)") {
+    val rnd = new scala.util.Random(882)
+    val rows = (1L to 120L).map(i => (i, s"g${rnd.nextInt(5)}"))
+    val df = rows.toDF("doc_id", "source")
+    val sizes = rows.groupBy(_._2).map { case (g, xs) => g -> xs.size }
+    def sample(n: Int) = graft.operators.Curation
+      .stratifiedSample(df, "source", "doc_id", n, "law")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val s3 = sample(3); val s7 = sample(7)
+    // per-group size = min(n, |group|)
+    assert(s3.groupBy(_._1).view.mapValues(_.length).toMap ==
+      sizes.map { case (g, c) => g -> math.min(3, c) })
+    assert(s7.groupBy(_._1).view.mapValues(_.length).toMap ==
+      sizes.map { case (g, c) => g -> math.min(7, c) })
+    // prefix property across arbitrary n
+    assert(s3.toSet.subsetOf(s7.toSet))
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
