@@ -507,6 +507,44 @@ object CurationQueries {
         .groupBy("term").agg(count(lit(1)).as("ctf"))
       TextAnalysis.unigramLogProbAgainst(docs, lm, "text", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // ---- composite: the round-8 ops chained end-to-end --------------------
+    // Learned-filter gate (hashed classifier, label=1) → fixed-size
+    // stratified sample (20/source) → sequence packing (256-token bins) →
+    // per-source packing report. The q80 composability demonstration for
+    // the newer pack: every stage is the SAME operator the standalone
+    // queries declare, so the oracle is the same SQL builders composed.
+    Q("q90_curate_pack_pipeline", {
+      val hc = TextAnalysis.hashedLinearScoreSql("documents", "text", "doc_id")
+      val samp = Curation.stratifiedSampleSql("k", "source", "doc_id", n = 20, salt = "s90")
+      s"""WITH hc AS ($hc),
+         |kept AS (SELECT id AS doc_id FROM hc WHERE label = 1),
+         |k AS (SELECT d.source, d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+         |samp AS ($samp),
+         |t AS (SELECT source, doc_id,
+         |        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens FROM samp),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
+         |      FROM t)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  MAX(CAST(FLOOR(cum / 256.0) AS BIGINT)) + 1 AS n_bins,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val kept = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+        .filter(col("label") === 1).select("doc_id")
+      val sampled = Curation.stratifiedSample(
+        docs.join(kept, "doc_id"), "source", "doc_id", n = 20, salt = "s90")
+      Curation.packSequences(sampled, "doc_id", "source",
+          TextAnalysis.wsTokenCount(col("text")), budget = 256)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("bin_id")) + 1).as("n_bins"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy("source")
     }
   )
 }
