@@ -163,7 +163,12 @@ object TextAnalysis {
     * mean token length, alphabetic-token fraction, digit-bearing-token
     * fraction. Counts are exact int64 (per-row HOF folds, scan-stage only);
     * each ratio is ONE IEEE division of two exact longs, so the oracle
-    * matches without float formatting. */
+    * matches without float formatting.
+    *
+    * CONTRACT: empty/whitespace-only text counts as ONE empty token
+    * (n_tokens=1, sum_len=0) — the repo-wide whitespace-split convention
+    * ([[wsTokenCount]], q50/q67/q79 use the same); filter empty documents
+    * upstream if they must not appear as 1-token rows. */
   def gopherWordStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     val n = size(toks)
@@ -235,7 +240,12 @@ object TextAnalysis {
     *
     * Scale: the LM table is the small side (a curated reference corpus's
     * vocabulary) — the term join broadcasts; everything else matches
-    * [[unigramLogProbMicro]]. */
+    * [[unigramLogProbMicro]].
+    *
+    * CONTRACT: `lm.term` must be unique (one row per term) — a duplicate
+    * term fans out the left join and double-counts n_tokens/lp_micro/n_oov
+    * for its documents. Re-aggregate first (`lm.groupBy("term")
+    * .agg(sum("ctf"))`) when composing shard-level LM tables. */
   def unigramLogProbAgainst(docs: DataFrame, lm: DataFrame,
                             textCol: String, idCol: String): DataFrame = {
     val total = lm.agg(sum(col("ctf")).as("total"))
@@ -308,12 +318,17 @@ object TextAnalysis {
     val dfD = col("df").cast("double")
     val idf = log((col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
     val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
-    val denom = tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
+    // literal-literal arithmetic is done HERE in Scala doubles (k1+1, 1-b):
+    // splicing the folded values into the SQL keeps both engines converting
+    // ONE literal each — DuckDB types bare decimal literals as DECIMAL, so
+    // an in-SQL (1.0 - b) would be exact-decimal math, not the IEEE
+    // subtraction Spark folds, and the two could differ in the last ulp.
+    val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))
     tf.join(docFreq(tf), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(totals))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
-        ((idf * (tfD * (lit(k1) + lit(1.0)))) / denom).as("bm25"))
+        ((idf * (tfD * lit(k1 + 1.0))) / denom).as("bm25"))
   }
 
   /** Oracle face of [[bm25]] — same literals (rendered from the identical
@@ -322,6 +337,11 @@ object TextAnalysis {
   def bm25Sql(tableE: String, textE: String, idE: String,
               k1: Double = 1.2, b: Double = 0.75): String = {
     val wordsE = s"regexp_extract_all(lower($textE), '[a-z]+')"
+    // fold the literal-literal terms in Scala (see the bm25 comment): each
+    // spliced literal then undergoes one decimal→double conversion, the
+    // exact value Spark's constant-folding produced.
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
     s"""WITH bm_t AS (SELECT $idE AS id, unnest($wordsE) AS term FROM $tableE),
        |bm_tf AS (SELECT id, term, COUNT(*) AS tf FROM bm_t GROUP BY id, term),
        |bm_df AS (SELECT term, COUNT(*) AS df FROM bm_tf GROUP BY term),
@@ -330,8 +350,8 @@ object TextAnalysis {
        |           CAST(SUM(len($wordsE)) AS BIGINT) AS total_tokens FROM $tableE)
        |SELECT id, term, tf, df, dl,
        |  ((ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-       |    * (CAST(tf AS DOUBLE) * ($k1 + 1.0)))
-       |   / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl AS DOUBLE)
+       |    * (CAST(tf AS DOUBLE) * $k1p1))
+       |   / (CAST(tf AS DOUBLE) + $k1 * ($oneMinusB + $b * (CAST(dl AS DOUBLE)
        |        / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS bm25
        |FROM bm_tf JOIN bm_df USING (term) JOIN bm_dl USING (id), bm_n""".stripMargin
   }

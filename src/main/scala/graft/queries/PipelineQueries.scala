@@ -41,6 +41,21 @@ object PipelineQueries {
   private def cosSql(aE: String, bE: String): String =
     Fns.cosineSql(Fns.vecDSql(aE), Fns.vecDSql(bE))
 
+  /** Shared IVF CTE chain (piv/scored/asg/q/probes) — the SQL replica of
+    * `Similarity.ivfAssign` + probe ranking. ONE source of truth for q43
+    * (probed search) and q88 (recall audit): an IVF-contract change edits
+    * this builder and both oracles follow. */
+  private def ivfSqlCtes(ivfC: Int, nprobe: Int): String =
+    s"""piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $ivfC),
+       |scored AS (SELECT e.vec_id, e.embedding, p.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
+       |  FROM embeddings e, piv p),
+       |asg AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probes AS (SELECT cid FROM piv, q
+       |  ORDER BY ${cosSql("cv", "qv")} DESC, cid LIMIT $nprobe)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- G1-G3 tessellation ----------------------------------------------
@@ -342,16 +357,8 @@ object PipelineQueries {
 
     // ---- similarity: IVF index build + probed search ----------------------
     Q("q43_ivf_search", {
-      val IvfC = 8; val NProbe = 2; val K = 5
-      s"""WITH piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IvfC),
-         |scored AS (SELECT e.vec_id, e.embedding, p.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
-         |  FROM embeddings e, piv p),
-         |asg AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |probes AS (SELECT cid FROM piv, q
-         |  ORDER BY ${cosSql("cv", "qv")} DESC, cid LIMIT $NProbe)
+      val K = 5
+      s"""WITH ${ivfSqlCtes(ivfC = 8, nprobe = 2)}
          |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS cos
          |FROM asg a JOIN probes pr ON a.cid = pr.cid, q
          |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
@@ -371,16 +378,8 @@ object PipelineQueries {
     // constant-true check. At scale this audit runs on a sampled query set
     // against the same index — same plan, sampled query side.
     Q("q88_ann_recall", {
-      val IvfC = 8; val NProbe = 2; val K = 5
-      s"""WITH piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IvfC),
-         |scored AS (SELECT e.vec_id, e.embedding, p.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
-         |  FROM embeddings e, piv p),
-         |asg AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |probes AS (SELECT cid FROM piv, q
-         |  ORDER BY ${cosSql("cv", "qv")} DESC, cid LIMIT $NProbe),
+      val K = 5
+      s"""WITH ${ivfSqlCtes(ivfC = 8, nprobe = 2)},
          |ivf AS (SELECT a.vec_id FROM asg a JOIN probes pr ON a.cid = pr.cid, q
          |  ORDER BY ${cosSql("a.embedding", "q.qv")} DESC, vec_id LIMIT $K),
          |bf AS (SELECT e.vec_id FROM embeddings e, q
@@ -644,30 +643,32 @@ object PipelineQueries {
       // the trailing no-data batch (whose only job is watermark-driven
       // eviction — moot in complete mode) would redo the full agg + sink
       // write for an identical result. One data batch is the whole run
-      // (~2× less streaming work). Scoped: restored after the run so
-      // append-mode streams elsewhere keep their no-data flush batches.
+      // (~2× less streaming work). Scoped: the try covers EVERYTHING after
+      // the set (build, start, await), so no failure path can leak the
+      // disabled flag into append-mode streams elsewhere in the session.
       val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val noDataPrev = s.conf.getOption(noDataKey)
       s.conf.set(noDataKey, "false")
-      val schema = s.read.parquet(Tables.path(dir, "events")).schema
-      // The file-stream source needs a DIRECTORY to monitor (basePath); the
-      // fixture table is a single file inside the SF dir, so monitor the dir
-      // with a filename glob — the same shape as a production landing folder.
-      val events = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val query = Streams.hourlyByTypeStream(events, watermark = "1 hour")
-        .writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("overwrite").parquet(sink)
-        }
-        .start()
-      try query.awaitTermination()
-      finally noDataPrev match {
+      try {
+        val schema = s.read.parquet(Tables.path(dir, "events")).schema
+        // The file-stream source needs a DIRECTORY to monitor (basePath); the
+        // fixture table is a single file inside the SF dir, so monitor the dir
+        // with a filename glob — the same shape as a production landing folder.
+        val events = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val query = Streams.hourlyByTypeStream(events, watermark = "1 hour")
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(sink)
+          }
+          .start()
+        query.awaitTermination()
+      } finally noDataPrev match {
         case Some(v) => s.conf.set(noDataKey, v)
         case None => s.conf.unset(noDataKey)
       }
@@ -694,26 +695,29 @@ object PipelineQueries {
       val chk = s"${scratch.dir}/chk"
       // Complete mode rewrites the sink wholesale each micro-batch; the
       // trailing no-data batch would redo the identical write (q73 note).
+      // The try covers everything after the set so no failure path leaks
+      // the disabled flag (q73 pattern).
       val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val noDataPrev = s.conf.getOption(noDataKey)
       s.conf.set(noDataKey, "false")
-      val schema = s.read.parquet(Tables.path(dir, "documents")).schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val query = docs
-        .groupBy(md5(col("text")).as("digest"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("overwrite").parquet(sink)
-        }
-        .start()
-      try query.awaitTermination()
-      finally noDataPrev match {
+      try {
+        val schema = s.read.parquet(Tables.path(dir, "documents")).schema
+        val docs = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val query = docs
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(sink)
+          }
+          .start()
+        query.awaitTermination()
+      } finally noDataPrev match {
         case Some(v) => s.conf.set(noDataKey, v)
         case None => s.conf.unset(noDataKey)
       }
