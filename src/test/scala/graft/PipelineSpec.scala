@@ -85,6 +85,13 @@ class PipelineSpec extends AnyFunSuite {
     val expected = math.log((2.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0) *
       (2.0 * (1.2 + 1.0)) / (2.0 + 1.2 * (1.0 - 0.75 + 0.75 * (3.0 / 2.5)))
     assert(math.abs(out(0).getDouble(5) - expected) < 1e-12)
+    // non-default (k1, b) — guards the folded-literal refactor: (1 - 0.9)
+    // must be the IEEE subtraction, not an exact-decimal 0.1
+    val out2 = TextAnalysis.bm25(df, "text", "doc_id", k1 = 0.5, b = 0.9)
+      .orderBy("doc_id", "term").collect()
+    val expected2 = math.log((2.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0) *
+      (2.0 * (0.5 + 1.0)) / (2.0 + 0.5 * ((1.0 - 0.9) + 0.9 * (3.0 / 2.5)))
+    assert(out2(0).getDouble(5) == expected2)
   }
 
   test("hashedLinearScore: fold ≡ explode+sum over the same bucket weights") {
