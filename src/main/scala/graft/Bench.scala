@@ -6,7 +6,15 @@ import org.apache.spark.sql.functions._
   * prints one JSON line. An untimed warmup first exercises the session —
   * parquet footer reads, shuffle machinery, codegen compiler — so the first
   * timed query measures the query, not JVM startup. Per-query codegen still
-  * lands inside each query's own timing (not hidden). */
+  * lands inside each query's own timing (not hidden).
+  *
+  * Each query is materialized through the NOOP SINK, not `count()`: under a
+  * count, Catalyst prunes every column the row count doesn't need — scalar
+  * projections (metrics, scores, redacted strings) vanish from the measured
+  * plan and the timing understates the query, sometimes by orders of
+  * magnitude (q57's interpreted HOF metrics cost minutes at sf0.1 while its
+  * `count()` read 0.1 s). The noop sink consumes every column of every row
+  * — the same work `Verify`'s parquet write does, minus the I/O. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,7 +35,8 @@ object Bench {
     // run over run and round-over-round deltas are comparable.
     val results = SparkEntry.packs.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal rounding keeps the single JSON line short enough to survive

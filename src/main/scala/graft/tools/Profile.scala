@@ -27,7 +27,9 @@ object Profile {
       if (explain) fn(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink, not count(): count lets Catalyst prune every column the
+        // row count doesn't need, hiding scalar-projection cost (Bench note).
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"PROFILE $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
