@@ -35,8 +35,20 @@ object Session {
     * leftovers by prefix (`arc_utils.py:179-330`). */
   val ScratchPrefix = "__graft_scratch__"
 
+  /** Owner-liveness marker: each scratch dir records the PID that created
+    * it, and the janitor SKIPS dirs whose owner is still running. This is
+    * the Spark-world form of the reference janitor's lock tolerance
+    * (`arc_utils.py:268-284` skips gdbs it cannot lock): without it, a
+    * `clearScratch` in one JVM (a test suite, a second gate run) deletes a
+    * concurrently-running JVM's live scratch — which killed a streaming
+    * query mid-batch by removing its checkpoint dir (round-8 notes). The
+    * dot-prefixed marker file is invisible to Spark's file index. */
+  private val OwnerMarker = ".owner_pid"
+
   final class Scratch extends AutoCloseable {
     val path: Path = Files.createTempDirectory(ScratchPrefix)
+    Files.writeString(path.resolve(OwnerMarker),
+      ProcessHandle.current().pid().toString)
     def dir: String = path.toString
     override def close(): Unit = deleteRecursively(path)
   }
@@ -48,7 +60,9 @@ object Session {
 
   /** `list_gdbs`/`clear_gdbs` janitor (`arc_utils.py:303-330`): enumerate /
     * delete scratch dirs left behind by crashed sessions. Lock-tolerant: a
-    * dir that refuses deletion is skipped, not fatal (`arc_utils.py:268-284`). */
+    * dir owned by a LIVE other process is skipped (see [[OwnerMarker]]),
+    * and a dir that refuses deletion is skipped, not fatal
+    * (`arc_utils.py:268-284`). */
   def listScratch(): Seq[Path] = {
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val s = Files.list(tmp)
@@ -56,9 +70,25 @@ object Session {
       .toArray.toSeq.map(_.asInstanceOf[Path])
     finally s.close()
   }
+
+  /** True iff the dir belongs to this process, or its owner is dead or
+    * unknown (crashed-session leftovers — the janitor's actual targets). */
+  private def reclaimable(p: Path): Boolean = {
+    val self = ProcessHandle.current().pid()
+    try {
+      val marker = p.resolve(OwnerMarker)
+      if (!Files.exists(marker)) true // pre-marker leftover
+      else {
+        val pid = Files.readString(marker).trim.toLong
+        val oh = ProcessHandle.of(pid)
+        pid == self || !(oh.isPresent && oh.get().isAlive)
+      }
+    } catch { case _: Exception => true }
+  }
+
   def clearScratch(): Int = {
     var n = 0
-    listScratch().foreach { p =>
+    listScratch().filter(reclaimable).foreach { p =>
       try { deleteRecursively(p); n += 1 } catch { case _: Exception => }
     }
     n

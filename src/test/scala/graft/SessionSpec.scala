@@ -32,6 +32,23 @@ class SessionSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(leaked.path))
   }
 
+  test("janitor skips scratch dirs owned by a LIVE other process, reclaims dead owners") {
+    import java.nio.file.{Files, Paths}
+    // foreign + alive (pid 1 always runs in this container) → must survive
+    val foreign = new Session.Scratch
+    Files.writeString(foreign.path.resolve(".owner_pid"), "1")
+    // dead/unknown owner (pid far beyond pid_max) → reclaimable leftovers
+    val orphan = new Session.Scratch
+    Files.writeString(orphan.path.resolve(".owner_pid"), "999999999")
+    Session.clearScratch()
+    assert(Files.exists(foreign.path),
+      "janitor must not delete a live other process's scratch (it would kill " +
+        "that JVM's streaming checkpoints mid-batch)")
+    assert(!Files.exists(orphan.path))
+    foreign.close() // explicit close still works for the owner
+    assert(!Files.exists(foreign.path))
+  }
+
   test("resolveView: unique hit resolves, missing/ambiguous error (pro_utils.py:99-103)") {
     Tables.load(spark, sf, "region").createOrReplaceTempView("res_probe")
     assert(Session.resolveView(spark, "RES_PROBE").count() == 5)
