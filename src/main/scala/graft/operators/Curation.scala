@@ -131,8 +131,103 @@ object Curation {
     topElementCount(ws).cast("double") / size(ws).cast("double")
   }
 
+  /** All three repetition metrics as a DataFrame operator over the COMPILED
+    * one-pass kernels ([[graft.functions.TextMetricExprs]]).
+    *
+    * Why kernels, not the scalar HOF builders above: higher-order functions
+    * don't participate in whole-stage codegen — `transform(array_distinct(
+    * arr), g -> size(filter(arr, _ === g)))` runs O(distinct·n) interpreted
+    * lambda evaluations per row (and with the array INLINED rather than
+    * projected, re-builds the whole shingle array per distinct element).
+    * At sf0.1 the declarative form cost ~50 ms/row — minutes per query —
+    * a cost `count()`-based timing never saw because the metric columns got
+    * pruned (Bench scaladoc). The kernels compute every count in one
+    * compiled pass (split once, hash-count once, ~µs/row); only the exact
+    * int64 counts leave the kernel, and the fractions stay declarative —
+    * value-identical to the scalar builders and the oracle SQL (CurationSpec
+    * pins kernel ≡ HOF equivalence). */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.TextMetricExprs
+    val d = (i: Int, c: String) => element_at(col(c), i).cast("double")
+    df.select(col(idCol),
+        TextMetricExprs.wordStats(col(textCol)).as("__wst"),
+        TextMetricExprs.chunkGramStats(col(textCol), 5, 2).as("__cgs"))
+      .select(col(idCol),
+        ((d(1, "__cgs") - d(2, "__cgs")) / d(1, "__cgs")).as("dup_line_frac"),
+        (d(4, "__cgs") / d(3, "__cgs")).as("top_bigram_frac"),
+        (d(3, "__wst") / d(1, "__wst")).as("top_word_frac"))
+  }
+
   def topElementCountSql(arrE: String): String =
     s"list_max(list_transform(list_distinct($arrE), g -> len(list_filter($arrE, x -> x = g))))"
+
+  // ---- Gopher rule filter (keep/drop with reasons) ------------------------
+  /** Rule-based document filter in the Gopher style (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): token-count band, mean-word-length band,
+    * top-word-fraction ceiling — each violated rule sets a bit in `reasons`
+    * (bit0 too-short, bit1 too-long, bit2 mean-length out of band, bit3
+    * top-word fraction over ceiling); `keep` = no bit set. The reasons
+    * bitmask is what production pipelines log per drop so filter drift is
+    * attributable.
+    *
+    * EVERY rule evaluates in exact int64 arithmetic — thresholds are
+    * rationals (num, den) and `mean_len < num/den` is tested as
+    * `den·sum_len < num·n_tokens` — so verdicts are engine-exact with no
+    * float-comparison boundary risk; the reported mean_len/top_word_frac
+    * doubles are informational single divisions.
+    *
+    * Scale: per-row HOF folds inside the scan stage (the q57/q86 family) —
+    * zero shuffle; thresholds ride the plan as literals. */
+  def gopherFilter(df: DataFrame, textCol: String, idCol: String,
+                   minTokens: Int, maxTokens: Int,
+                   meanLenMin: (Int, Int), meanLenMax: (Int, Int),
+                   topWordMax: (Int, Int)): DataFrame = {
+    // counts from the compiled one-pass kernel (repetitionMetrics note)
+    val n = element_at(col("__wst"), 1)
+    val sumLen = element_at(col("__wst"), 2)
+    val topc = element_at(col("__wst"), 3)
+    val bShort = when(n < minTokens, lit(1)).otherwise(lit(0))
+    val bLong = when(n > maxTokens, lit(2)).otherwise(lit(0))
+    val bMean = when(
+      sumLen * meanLenMin._2 < lit(meanLenMin._1.toLong) * n ||
+      sumLen * meanLenMax._2 > lit(meanLenMax._1.toLong) * n, lit(4)).otherwise(lit(0))
+    val bTop = when(topc * topWordMax._2 > lit(topWordMax._1.toLong) * n, lit(8))
+      .otherwise(lit(0))
+    df.select(col(idCol),
+        graft.functions.TextMetricExprs.wordStats(col(textCol)).as("__wst"))
+      .select(col(idCol), n.as("n_tokens"), sumLen.as("__sl"), topc.as("__tc"),
+        (bShort + bLong + bMean + bTop).as("reasons"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sl").cast("double") / col("n_tokens").cast("double")).as("mean_len"),
+        (col("__tc").cast("double") / col("n_tokens").cast("double")).as("top_word_frac"),
+        col("reasons"),
+        when(col("reasons") === 0, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
+  /** Oracle face of [[gopherFilter]] — same exact-int rule arithmetic. */
+  def gopherFilterSql(tableE: String, textE: String, idE: String,
+                      minTokens: Int, maxTokens: Int,
+                      meanLenMin: (Int, Int), meanLenMax: (Int, Int),
+                      topWordMax: (Int, Int)): String = {
+    val toksE = s"regexp_split_to_array(trim($textE), '\\s+')"
+    s"""WITH gf_m AS (SELECT $idE AS id, CAST(len($toksE) AS BIGINT) AS n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($toksE, t -> CAST(length(t) AS BIGINT))), (acc, x) -> acc + x) AS sl,
+       |    CAST(${topElementCountSql(toksE)} AS BIGINT) AS tc
+       |  FROM $tableE),
+       |gf_r AS (SELECT id, n, sl, tc,
+       |    ((CASE WHEN n < $minTokens THEN 1 ELSE 0 END)
+       |     + (CASE WHEN n > $maxTokens THEN 2 ELSE 0 END)
+       |     + (CASE WHEN sl * ${meanLenMin._2} < ${meanLenMin._1} * n
+       |             OR sl * ${meanLenMax._2} > ${meanLenMax._1} * n THEN 4 ELSE 0 END)
+       |     + (CASE WHEN tc * ${topWordMax._2} > ${topWordMax._1} * n THEN 8 ELSE 0 END)) AS reasons
+       |  FROM gf_m)
+       |SELECT id, n AS n_tokens,
+       |  (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_len,
+       |  (CAST(tc AS DOUBLE) / CAST(n AS DOUBLE)) AS top_word_frac,
+       |  reasons, CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS keep
+       |FROM gf_r""".stripMargin
+  }
 
   // ---- decontamination (test-set n-gram overlap) -------------------------
   /** Distinct w-gram hashes per document: per-row shingle + per-row distinct
@@ -264,6 +359,53 @@ object Curation {
   /** Apply face: corpus minus documents from blocked domains. */
   def filterBlockedUrls(df: DataFrame, urlCol: String, blocklist: Seq[String]): DataFrame =
     df.filter(!hostBlocked(urlHost(col(urlCol)), blocklist))
+
+  /** URL canonicalization for web-corpus dedup keys — the normalization
+    * crawl pipelines apply BEFORE url-level dedup so trivially-variant URLs
+    * (case, default port, fragment, tracking params, trailing slash)
+    * collapse to one key. Fixed-order rewrite chain, every step a
+    * Java-regex≡RE2-safe `regexp_replace` (no lookarounds — optional
+    * trailing capture groups instead; an unmatched group substitutes the
+    * empty string in BOTH engines):
+    *   1. lower-case the scheme and host (path/query case is preserved);
+    *   2. strip a default port (`:80` for http, `:443` for https);
+    *   3. drop the `#fragment`;
+    *   4. drop `utm_*` tracking query params, then repair the delimiter
+    *      debris (`&&+`→`&`, `?&+`→`?`, trailing `?`/`&` stripped);
+    *   5. strip one trailing `/` from a non-root, query-free path.
+    * Scale: per-row, shuffle-free — runs inside the scan stage beside
+    * [[urlHost]]/[[hostBlocked]]; the canonical key then feeds the exact-
+    * dedup digest pack ([[Dedup]]). */
+  def canonicalizeUrl(url: Column): Column = {
+    // 1. lower(scheme://host[:port]) — rebuilt from anchored captures.
+    val prefixLowered = concat(
+      lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(prefixLowered, "^(http://[^/?#]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/?#]*):443([/?#].*)?$", "$1$2")
+    val noFrag = regexp_replace(noPort, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "([?&])utm_[^&#]*", "$1")
+    val repaired = regexp_replace(
+      regexp_replace(regexp_replace(noUtm, "&&+", "&"), "\\?&+", "?"),
+      "[?&]+$", "")
+    regexp_replace(repaired, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/.+?)/$", "$1")
+  }
+
+  /** Oracle face of [[canonicalizeUrl]] (same fixed-order chain; DuckDB
+    * replacements use `\1` refs and the explicit global flag). */
+  def canonicalizeUrlSql(uE: String): String = {
+    val prefixLowered = s"(lower(regexp_extract($uE, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) || " +
+      s"regexp_replace($uE, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g'))"
+    val noPort = s"regexp_replace(regexp_replace($prefixLowered, " +
+      s"'^(http://[^/?#]*):80([/?#].*)?$$', '\\1\\2', 'g'), " +
+      s"'^(https://[^/?#]*):443([/?#].*)?$$', '\\1\\2', 'g')"
+    val noFrag = s"regexp_replace($noPort, '#.*$$', '', 'g')"
+    val noUtm = s"regexp_replace($noFrag, '([?&])utm_[^&#]*', '\\1', 'g')"
+    val repaired = s"regexp_replace(regexp_replace(regexp_replace($noUtm, " +
+      s"'&&+', '&', 'g'), '\\?&+', '?', 'g'), '[?&]+$$', '', 'g')"
+    s"regexp_replace($repaired, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+/.+?)/$$', '\\1', 'g')"
+  }
 
   // ---- deterministic hash sampling / source mixing -----------------------
   /** Stable per-row bucket in [0, 100): md5-derived, salt-keyed. Unlike

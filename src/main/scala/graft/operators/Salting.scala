@@ -46,6 +46,50 @@ object Salting {
       .drop("__salt")
   }
 
+  /** Key-skew diagnosis report: the top-N heaviest values of a prospective
+    * join/aggregation key, with each key's share and the cumulative share of
+    * the head — the measurement that decides WHETHER to reach for
+    * [[saltedJoin]]/[[saltedAgg]]/AQE-skew-join before a 100 TB shuffle
+    * (a top key holding >1/tasks of the rows will pin a straggler task).
+    *
+    * Scale: one partial-aggregated count per key (map-side combine), a
+    * bounded top-N via TakeOrderedAndProject (no full sort), and the
+    * rank/cumulative window runs over the N surviving rows only — the
+    * single-partition window is N-bounded by construction, never
+    * corpus-sized. The total is one broadcast row. All counts are exact
+    * int64; each share is one IEEE division.
+    *
+    * Output: (rank, keyCol, cnt, frac, cum_frac), rank 1 = heaviest, ties
+    * broken by key ascending. */
+  def keySkewReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col(keyCol).asc)
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol).asc).limit(topN)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("__cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__total").cast("double")).as("frac"),
+        (col("__cum").cast("double") / col("__total").cast("double")).as("cum_frac"))
+  }
+
+  /** Oracle face of [[keySkewReport]] (same total order, same divisions). */
+  def keySkewReportSql(tableE: String, keyE: String, topN: Int): String =
+    s"""WITH sk_c AS (SELECT $keyE AS key, COUNT(*) AS cnt FROM $tableE GROUP BY key),
+       |sk_t AS (SELECT COUNT(*) AS total FROM $tableE),
+       |sk_top AS (SELECT key, cnt FROM sk_c ORDER BY cnt DESC, key LIMIT $topN),
+       |sk_w AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank,
+       |    key, cnt,
+       |    SUM(cnt) OVER (ORDER BY cnt DESC, key
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sk_top)
+       |SELECT rank, key, cnt,
+       |  (CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS frac,
+       |  (CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)) AS cum_frac
+       |FROM sk_w, sk_t""".stripMargin
+
   /** Salted two-phase aggregation: `partialAggs` run per (key, salt),
     * `finalAggs` recombine per key. Caller supplies both phases because the
     * recombination depends on the aggregate (sum→sum, count→sum, min→min). */

@@ -51,6 +51,29 @@ object Similarity {
       s"(CASE WHEN ${Fns.dotSql(wList, Fns.vecDSql(vecE))} > 0 THEN ${1L << h} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Johnson–Lindenstrauss random projection D→d: d deterministic
+    * ±-integer hyperplanes ([[hyperplaneWeights]] — md5-derived at plan
+    * build, shipped as literals, zero per-row weight hashing), each output
+    * component one fused dot ([[VectorExprs.dotF]]). Pairwise angles/
+    * distances are approximately preserved (JL lemma), so the projected
+    * sketch is the cheap pre-filter for ANN: score d-dim sketches in the
+    * scan, exact-re-rank the shortlist from the float column — the same
+    * shortlist+re-rank pattern as [[ivfSearchQuantized]], at dim/d the
+    * scan bytes. [[signBucket]] is this projection's 1-bit-per-plane
+    * extreme; this keeps the magnitudes. */
+  def randomProjection(vec: Column, weights: Array[Array[Long]]): Column =
+    array(weights.map { w =>
+      VectorExprs.dotF(array(w.map(x => lit(x.toDouble)): _*), vec)
+    }: _*)
+
+  /** Oracle face of [[randomProjection]] (identical literal weights,
+    * identical left-fold dot order). */
+  def randomProjectionSql(vecE: String, weights: Array[Array[Long]]): String =
+    weights.map { w =>
+      val wList = w.map(x => s"${x.toDouble}").mkString("[", ",", "]")
+      Fns.dotSql(wList, Fns.vecDSql(vecE))
+    }.mkString("[", ", ", "]")
+
   /** Exact top-k by cosine against one broadcast query vector. */
   def bruteForceTopK(corpus: DataFrame, query: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
@@ -222,6 +245,88 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         VectorExprs.cosineF(col("va"), col("vb")).as("cos"))
   }
+
+  // ---- semantic dedup (SemDeDup) -----------------------------------------
+
+  /** Semantic-dedup verdicts (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the IVF assigner
+    * ([[ivfAssign]] — map-side fused argmax, zero corpus shuffle), then
+    * within every cluster compare each vector to its LOWER-ID cluster-mates
+    * and report the max cosine; `is_dup` = that max clears `tau` — the
+    * keep-lowest-id survivor rule the exact-dedup pack uses
+    * ([[Dedup]]), applied to SEMANTIC duplicates.
+    *
+    * Scale: this is the SemDeDup design point — clustering first caps the
+    * quadratic term at Σ|cluster|² instead of n² (C grows with the corpus so
+    * |cluster| stays bounded); the pairwise stage shuffles on `centroid_id`
+    * only (the [[blockedPairsCosine]] shape) and the per-id max-cos
+    * aggregation partial-reduces to ONE double per id before its exchange.
+    * The assignment lineage is read three times here — at scale, materialize
+    * it once with [[ivfWriteIndex]] and feed the persisted index in as
+    * `corpus` + precomputed `centroid_id`.
+    *
+    * Output: (idCol, cid, max_cos, is_dup); max_cos is NULL for each
+    * cluster's lowest id (no lower-id mate — never a dup by construction). */
+  def semDedupStats(corpus: DataFrame, pivots: DataFrame,
+                    vecCol: String, idCol: String, pivotIdCol: String,
+                    tau: Double): DataFrame = {
+    val asg = ivfAssign(corpus, pivots, vecCol, idCol, pivotIdCol)
+    val a = asg.select(col("centroid_id").as("__cid"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"))
+    val b = asg.select(col("centroid_id").as("__cid"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"))
+    val maxCos = a.join(b, Seq("__cid")).filter(col("__ida") < col("__idb"))
+      .select(col("__idb").as("__id"),
+        VectorExprs.cosineF(col("__va"), col("__vb")).as("__cos"))
+      .groupBy(col("__id")).agg(max(col("__cos")).as("max_cos"))
+    asg.select(col(idCol), col("centroid_id").as("cid"))
+      .join(maxCos, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("cid"), col("max_cos"),
+        when(col("max_cos") >= tau, lit(1)).otherwise(lit(0)).as("is_dup"))
+  }
+
+  /** Apply face of [[semDedupStats]]: the surviving rows of `corpus` (docs
+    * NOT semantically duplicated by a lower-id cluster-mate). Left-semi on
+    * ids — the exchange carries ids only, runtime-filter friendly. */
+  def semDedup(corpus: DataFrame, pivots: DataFrame,
+               vecCol: String, idCol: String, pivotIdCol: String,
+               tau: Double): DataFrame =
+    corpus.join(
+      semDedupStats(corpus, pivots, vecCol, idCol, pivotIdCol, tau)
+        .filter(col("is_dup") === 0).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  // ---- exact per-group centroids -----------------------------------------
+
+  /** Per-group embedding centroids over MICRO-QUANTIZED components — the
+    * auditable face of [[graft.functions.VectorMeanAgg]]: posexplode the
+    * vector, quantize each component to an exact integer micro-unit
+    * (`round(x·1e6)` — the same cross-engine rounding contract
+    * [[quantizeInt8]] proves), sum int64 per (group, dimension) cell
+    * (order-independent by construction), and divide by the group count.
+    * One row per (group, dimension) — re-pack with
+    * `sort_array(collect_list)` when a vector column is needed downstream.
+    *
+    * Why quantize instead of a DECIMAL accumulator (the repo-wide dsum
+    * rule): dsum is exact only when inputs are exact multiples of 10^-s —
+    * DuckDB's double→DECIMAL cast routes through `x·10^s` in DOUBLE
+    * arithmetic, so at the scale arbitrary floats would need (s≥16) the
+    * conversion itself is lossy and engine-divergent. Integer
+    * micro-quantization makes the contract explicit and exact.
+    *
+    * Scale: the explode shuffles dim× (group, pos, int64) rows — the price
+    * of the auditable exact face. The production face for 100 TB is
+    * [[graft.functions.VectorMeanAgg]] (partial dim-double buffers, ONE
+    * buffer per group per task on the exchange, no explode) — float means
+    * whose partial-order nondeterminism is harmless when the consumer is a
+    * pivot/codebook refinement ([[ivfRefinePivots]], [[pqRefineCodebook]]). */
+  def groupCentroidsMicro(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(Fns.vecD(col(vecCol))).as(Seq("pos", "__x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__x") * lit(1e6)).cast("long")).as("sum_micro"))
+      .withColumn("mean_micro",
+        col("sum_micro").cast("double") / col("n").cast("double"))
 
   // ---- int8 scalar quantization ------------------------------------------
   // Max-abs symmetric quantization: q_i = round(127·x_i / maxabs(x)). Cuts

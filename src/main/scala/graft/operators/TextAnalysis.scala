@@ -24,11 +24,8 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
 
   // ---- language ID (stopword-hit heuristic) -----------------------------
-  val Stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "es" -> Seq("el", "la", "de", "y", "que", "los", "en"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"))
+  /** Source of truth lives beside the compiled kernel that consumes it. */
+  val Stopwords: Seq[(String, Seq[String])] = graft.functions.TextMetrics.Stopwords
 
   /** CJK block as literal chars (identical in Java regex and RE2 classes). */
   val CjkClass: String = s"[${0x4e00.toChar}-${0x9fff.toChar}]"
@@ -43,11 +40,21 @@ object TextAnalysis {
   }
 
   /** Deterministic argmax language: CJK chars → zh, else highest stopword hit
-    * count with ties broken in [[Stopwords]] order, no hits → "und". */
+    * count with ties broken in [[Stopwords]] order, no hits → "und".
+    *
+    * All counts come from ONE compiled pass ([[graft.functions
+    * .TextMetricExprs.langStats]]); the pick logic is cheap scalar whens
+    * over the count array. The previous all-declarative form inlined the
+    * `words()` regex into every per-language stopword filter and the tie
+    * chain referenced every score twice — the expression tree blew up
+    * combinatorially (hundreds of seconds of codegen + interpreted HOF eval
+    * at sf0.1; invisible to `count()` timing — Bench scaladoc). */
   def langId(text: Column): Column = {
-    val cjk = size(regexp_extract_all(text, lit(CjkClass), lit(0)))
-    val ws = words(text)
-    val scores = Stopwords.map { case (lang, stops) => lang -> stopwordHits(ws, stops) }
+    val st = graft.functions.TextMetricExprs.langStats(text)
+    val cjk = element_at(st, 2)
+    val scores = Stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(st, 3 + i)
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // Built inside-out so earlier Stopwords entries win ties (en first).
     val pickOrdered = scores.reverse.foldLeft(lit("und"): Column) {
@@ -58,16 +65,18 @@ object TextAnalysis {
 
   // ---- quality scoring ---------------------------------------------------
   /** Quality features: exact int counts turned into double ratios with a
-    * fixed formula shape, bit-reproducible in the oracle. */
+    * fixed formula shape, bit-reproducible in the oracle. Word/stopword
+    * counts come from the compiled one-pass kernel (langId note); the
+    * char-class counts stay as codegen'd regexp_replace built-ins. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val n = length(t).cast("double")
     val upper = length(regexp_replace(t, "[^A-Z]", "")).cast("double")
     val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double")
     val punct = length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double")
-    val wsCol = words(t)
-    val nWords = size(wsCol).cast("double")
-    val stops = stopwordHits(wsCol, Stopwords.head._2).cast("double")
+    val st = graft.functions.TextMetricExprs.langStats(t)
+    val nWords = element_at(st, 1).cast("double")
+    val stops = element_at(st, 3).cast("double")
     df.withColumn("n_chars_m", n)
       .withColumn("n_words", nWords)
       .withColumn("upper_ratio", upper / n)
@@ -170,14 +179,16 @@ object TextAnalysis {
     * ([[wsTokenCount]], q50/q67/q79 use the same); filter empty documents
     * upstream if they must not appear as 1-token rows. */
   def gopherWordStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    val n = size(toks)
-    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val nAlpha = size(filter(toks, t => t.rlike("^[A-Za-z]+$")))
-    val nDigit = size(filter(toks, t => t.rlike("[0-9]")))
-    df.select(col(idCol), n.as("n_tokens"), sumLen.as("sum_len"),
-        nAlpha.cast("long").as("n_alpha"), nDigit.cast("long").as("n_digit"))
+    // every count from the compiled one-pass kernel (langId note): the
+    // anchored-alpha / any-digit token classes are exact char-loop
+    // equivalents of the previous per-token rlike lambdas
+    df.select(col(idCol),
+        graft.functions.TextMetricExprs.wordStats(col(textCol)).as("__wst"))
+      .select(col(idCol),
+        element_at(col("__wst"), 1).cast("int").as("n_tokens"),
+        element_at(col("__wst"), 2).as("sum_len"),
+        element_at(col("__wst"), 4).as("n_alpha"),
+        element_at(col("__wst"), 5).as("n_digit"))
       .withColumn("mean_len", col("sum_len").cast("double") / col("n_tokens").cast("double"))
       .withColumn("alpha_frac", col("n_alpha").cast("double") / col("n_tokens").cast("double"))
       .withColumn("digit_frac", col("n_digit").cast("double") / col("n_tokens").cast("double"))
@@ -394,6 +405,121 @@ object TextAnalysis {
        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($wsE, w -> $wE)),
        |                    (acc, x) -> acc + x) AS score_raw
        |      FROM $tableE)""".stripMargin
+  }
+
+  // ---- sparse cosine retrieval (inverted-index top-k) ---------------------
+  /** Top-k sparse-cosine retrieval over term-frequency vectors via a
+    * posting-list (inverted-index) join — the SPARSE counterpart to the
+    * dense-embedding KNN family ([[graft.operators.Similarity]]): docs are
+    * tf vectors over the vocabulary, dot(q,d) = Σ_term tf_q·tf_d computed by
+    * joining the two tf tables on term, cosine = dot/√(‖q‖²·‖d‖²). All
+    * counts and dots are exact int64; the cosine is one IEEE division after
+    * one sqrt of an exactly-representable product — engine-exact with no
+    * float formatting. Self-pairs (qid = doc id) are excluded.
+    *
+    * Scale: the classic sparse-retrieval shape — tf/norms partial-aggregate
+    * map-side; the posting join is keyed by term (queries side broadcast
+    * when small, term-shuffle when not); candidate volume is bounded by
+    * Σ_term df(term)·qdf(term), NOT |corpus|·|queries| — docs sharing no
+    * term never meet. Stop-word terms blow that bound up AND skew the term
+    * key: drop terms with df above a ceiling (they contribute near-zero idf
+    * anyway) or salt ([[graft.operators.Salting]]). The final ranking is the
+    * bounded-heap top-k aggregate ([[graft.functions.TopKAgg]]) — ≤k
+    * entries per query per task on the exchange, never the full score
+    * matrix (the [[Similarity.knnJoin]] rationale). */
+  def sparseCosineTopK(corpus: DataFrame, queries: DataFrame,
+                       textCol: String, idCol: String, k: Int): DataFrame = {
+    val ctf = termFreq(corpus, textCol, idCol)
+    val qtf = termFreq(queries, textCol, idCol)
+      .withColumnRenamed(idCol, "qid").withColumnRenamed("tf", "qtf")
+    val cn = ctf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("__n2"))
+    val qn = qtf.groupBy(col("qid")).agg(sum(col("qtf") * col("qtf")).as("__qn2"))
+    val dot = ctf.join(broadcast(qtf), "term")
+      .filter(col("qid") =!= col(idCol))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("tf") * col("qtf")).as("__dot"))
+    val scored = dot.join(cn, idCol).join(broadcast(qn), "qid")
+      .select(col("qid"), col(idCol),
+        (col("__dot").cast("double")
+          / sqrt((col("__n2") * col("__qn2")).cast("double"))).as("cos"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topKByScore(col("cos"), col(idCol), k).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")))
+      .select(col("qid"), col("col.id").as(idCol), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** Oracle face of [[sparseCosineTopK]]: same exact-integer dot/norms, same
+    * one-division cosine, row_number ranking with the identical
+    * (cos DESC, id) contract the bounded heap sorts by. `queryPredE` is the
+    * SQL predicate over `$idE` selecting the query docs. */
+  def sparseCosineTopKSql(tableE: String, textE: String, idE: String,
+                          queryPredE: String, k: Int): String = {
+    val wordsE = s"regexp_extract_all(lower($textE), '[a-z]+')"
+    s"""WITH sc_t AS (SELECT $idE AS id, unnest($wordsE) AS term FROM $tableE),
+       |sc_tf AS (SELECT id, term, COUNT(*) AS tf FROM sc_t GROUP BY id, term),
+       |sc_q AS (SELECT id AS qid, term, tf AS qtf FROM sc_tf WHERE $queryPredE),
+       |sc_n AS (SELECT id, SUM(tf * tf) AS n2 FROM sc_tf GROUP BY id),
+       |sc_qn AS (SELECT qid, SUM(qtf * qtf) AS qn2 FROM sc_q GROUP BY qid),
+       |sc_dot AS (SELECT qid, id, SUM(tf * qtf) AS dot
+       |  FROM sc_tf JOIN sc_q USING (term) WHERE id <> qid GROUP BY qid, id),
+       |sc_s AS (SELECT qid, id,
+       |    (CAST(dot AS DOUBLE) / sqrt(CAST(n2 * qn2 AS DOUBLE))) AS cos
+       |  FROM sc_dot JOIN sc_n USING (id) JOIN sc_qn USING (qid)),
+       |sc_r AS (SELECT qid, id, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS INT) AS rn
+       |  FROM sc_s)
+       |SELECT qid, id, cos, rn FROM sc_r WHERE rn <= $k""".stripMargin
+  }
+
+  // ---- bigram LM scoring ---------------------------------------------------
+  /** Bigram language-model score per document in exact integer micro-nats —
+    * the conditional-probability rung above [[unigramLogProbMicro]]:
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·) with c(w₁·) = Σ_w c(w₁w), scored as
+    * Σ_bigrams tf·⌊ln(p)·1e6⌋. The context marginal is derived FROM the
+    * bigram table (not raw unigram counts), so probabilities per context sum
+    * to exactly 1 and the conditional is well-defined at document edges.
+    * Same micro-nat quantization contract as the unigram face: the per-doc
+    * sum is an order-independent int64; the one `ln` per distinct BIGRAM has
+    * the q49/q87 boundary-risk class.
+    *
+    * Scale: bigram tf partial-aggregates on (doc, bigram); the corpus bigram
+    * table aggregates on bigram and its context marginal on w₁ — all
+    * term-shaped keys with map-side combine; the score join shuffles by
+    * bigram (or broadcasts a small vocabulary²). Documents shorter than the
+    * gram window contribute their single truncated shingle (the repo-wide
+    * [[Fns.wordShingles]] n<w convention), identically in both engines. */
+  def bigramLogProbMicro(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val b = df.select(col(idCol), explode(Fns.wordShingles(col(textCol), 2)).as("bg"))
+    val tf2 = b.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+    val c1 = c2.groupBy(col("__w1")).agg(sum(col("cbg")).as("cw1"))
+    val lp = c2.join(c1, "__w1")
+      .select(col("bg"),
+        floor(log(col("cbg").cast("double") / col("cw1").cast("double")) * lit(1e6))
+          .as("lpm"))
+    tf2.join(lp, "bg")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("lpm")).as("lp_micro"))
+  }
+
+  /** Oracle face of [[bigramLogProbMicro]] (same shingles, same marginal
+    * derivation, same micro-nat floor). */
+  def bigramLogProbMicroSql(tableE: String, textE: String, idE: String): String = {
+    val shE = Fns.wordShinglesSql(textE, 2)
+    s"""WITH bg_b AS (SELECT $idE AS id, unnest($shE) AS bg FROM $tableE),
+       |bg_tf AS (SELECT id, bg, COUNT(*) AS tf FROM bg_b GROUP BY id, bg),
+       |bg_c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cbg,
+       |    split_part(bg, ' ', 1) AS w1 FROM bg_tf GROUP BY bg),
+       |bg_c1 AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cw1 FROM bg_c2 GROUP BY w1),
+       |bg_lp AS (SELECT bg,
+       |    CAST(FLOOR(ln(CAST(cbg AS DOUBLE) / CAST(cw1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lpm
+       |  FROM bg_c2 JOIN bg_c1 USING (w1))
+       |SELECT id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(tf * lpm) AS BIGINT) AS lp_micro
+       |FROM bg_tf JOIN bg_lp USING (bg) GROUP BY id""".stripMargin
   }
 
   /** Oracle face of [[lengthQuantiles]] (same integer rank arithmetic). */

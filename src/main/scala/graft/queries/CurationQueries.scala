@@ -92,11 +92,14 @@ object CurationQueries {
          |  CAST(${Curation.topElementCountSql("ws")} AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS top_word_frac
          |FROM c ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      Tables.load(s, dir, "documents").select(
-          col("doc_id"),
-          Curation.dupLineFrac(Curation.wordChunks(col("text"), 5)).as("dup_line_frac"),
-          Curation.topNgramFrac(col("text"), 2).as("top_bigram_frac"),
-          Curation.topWordFrac(col("text")).as("top_word_frac"))
+      // repartition + the projection-boundary operator: single-split fixture
+      // AND interpreted HOF metrics (see Curation.repetitionMetrics — the
+      // inlined form re-built the shingle array per distinct element,
+      // ~50 ms/row at sf0.1)
+      Curation.repetitionMetrics(
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "text", "doc_id")
         .orderBy("doc_id")
     },
 
@@ -439,6 +442,92 @@ object CurationQueries {
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
           format_string("%.6f", col("bm25")).as("bm25"))
         .orderBy("doc_id", "term")
+    },
+
+    // ---- sparse-cosine retrieval (inverted-index top-k) -------------------
+    // Top-5 nearest docs per query doc (doc_id < 10) by tf-vector cosine via
+    // a posting-list join — the sparse counterpart to the dense KNN family
+    // (q40/q42): dot and norms are exact int64, the cosine one IEEE
+    // division, the ranking the bounded-heap top-k aggregate with the
+    // (cos DESC, id) contract mirrored by the oracle's row_number.
+    Q("q92_sparse_retrieval", {
+      val inner = TextAnalysis.sparseCosineTopKSql("documents", "text", "doc_id",
+        queryPredE = "id < 10", k = 5)
+      s"""SELECT qid, id AS doc_id, cos, rn FROM ($inner)
+         |ORDER BY qid, rn""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.sparseCosineTopK(docs, docs.filter(col("doc_id") < 10),
+          "text", "doc_id", k = 5)
+        .orderBy("qid", "rn")
+    },
+
+    // ---- bigram LM scoring ------------------------------------------------
+    // Conditional-probability rung above q87: per-doc Σ tf·⌊ln(c(w1w2)/c(w1·))·1e6⌋
+    // with the context marginal derived from the bigram table. Micro-nat
+    // integer quantization keeps the per-doc sum order-independent.
+    Q("q95_bigram_lm", {
+      val inner = TextAnalysis.bigramLogProbMicroSql("documents", "text", "doc_id")
+      s"""SELECT id AS doc_id, n_bigrams, lp_micro
+         |FROM ($inner) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.bigramLogProbMicro(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher rule filter (keep/drop with reasons) ----------------------
+    // Token-count band [30,90], mean word length in [3.9,5.0], top-word
+    // fraction ≤ 0.11 — thresholds chosen to split the fixture both ways.
+    // Verdicts evaluate in EXACT int64 rational arithmetic (den·sum < num·n),
+    // so the reasons bitmask has no float-boundary risk; the reported
+    // ratios are informational single divisions.
+    Q("q98_gopher_filter", {
+      val inner = Curation.gopherFilterSql("documents", "text", "doc_id",
+        minTokens = 30, maxTokens = 90,
+        meanLenMin = (39, 10), meanLenMax = (50, 10), topWordMax = (11, 100))
+      s"""SELECT id AS doc_id, n_tokens, mean_len, top_word_frac, reasons, keep
+         |FROM ($inner) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Curation.gopherFilter(Tables.load(s, dir, "documents"), "text", "doc_id",
+          minTokens = 30, maxTokens = 90,
+          meanLenMin = (39, 10), meanLenMax = (50, 10), topWordMax = (11, 100))
+        .orderBy("doc_id")
+    },
+
+    // ---- URL canonicalization --------------------------------------------
+    // No url column in the fixture → synthesize one per doc (same CASE in
+    // both engines) covering every rewrite rule: scheme/host case, default
+    // vs non-default ports, fragments, utm params (lone, leading, multiple),
+    // trailing slash on non-root vs root paths.
+    Q("q99_url_canonicalize", {
+      val id = "CAST(doc_id AS VARCHAR)"
+      val urlE = "CASE CAST(doc_id % 6 AS INT) " +
+        s"WHEN 0 THEN 'HTTP://Example.COM:80/a' || $id || '/b/' " +
+        s"WHEN 1 THEN 'https://x.example.org:443/p?utm_source=feed&id=' || $id " +
+        s"WHEN 2 THEN 'https://news.example.dev/a?id=' || $id || '&utm_campaign=x#frag' " +
+        s"WHEN 3 THEN 'http://example.com/a' || $id || '?utm_a=1&utm_b=2' " +
+        s"WHEN 4 THEN 'https://Example.net:8080/Keep' || $id || '/Case/' " +
+        s"ELSE 'http://example' || $id || '.com/' END"
+      s"""WITH u AS (SELECT doc_id, $urlE AS url FROM documents)
+         |SELECT doc_id, url, ${Curation.canonicalizeUrlSql("url")} AS canon
+         |FROM u ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val url = when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(lit("HTTP://Example.COM:80/a"), id, lit("/b/")))
+        .when(pmod(col("doc_id"), lit(6)) === 1,
+          concat(lit("https://x.example.org:443/p?utm_source=feed&id="), id))
+        .when(pmod(col("doc_id"), lit(6)) === 2,
+          concat(lit("https://news.example.dev/a?id="), id, lit("&utm_campaign=x#frag")))
+        .when(pmod(col("doc_id"), lit(6)) === 3,
+          concat(lit("http://example.com/a"), id, lit("?utm_a=1&utm_b=2")))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          concat(lit("https://Example.net:8080/Keep"), id, lit("/Case/")))
+        .otherwise(concat(lit("http://example"), id, lit(".com/")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon", Curation.canonicalizeUrl(col("url")))
+        .orderBy("doc_id")
     },
 
     // ---- hashed linear quality classifier --------------------------------

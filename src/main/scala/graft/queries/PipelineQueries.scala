@@ -402,6 +402,82 @@ object PipelineQueries {
           (col("n_hit").cast("double") / lit(5).cast("double")).as("recall"))
     },
 
+    // ---- similarity: Johnson–Lindenstrauss random projection --------------
+    // D=64 → d=8 through deterministic ±-integer hyperplanes (the sign-LSH
+    // weight machinery, magnitudes kept). Declared result: top-20 by
+    // PROJECTED cosine with the exact cosine alongside — the same
+    // sketch-vs-exact audit shape as the quantization ladder (q66/q76/q77).
+    // Every fold (8 projection dots per side, the 8-dim cosine) is
+    // left-to-right in both engines → bit-exact.
+    Q("q97_random_projection", {
+      val w = Similarity.hyperplaneWeights(8, AnnDim)
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |p AS (SELECT c.vec_id, ${Similarity.randomProjectionSql("c.embedding", w)} AS proj,
+         |        ${cosSql("c.embedding", "q.qe")} AS cos
+         |      FROM embeddings c, q),
+         |qp AS (SELECT ${Similarity.randomProjectionSql("qe", w)} AS qproj FROM q)
+         |SELECT p.vec_id, ${Fns.cosineSql("p.proj", "qp.qproj")} AS proj_cos, p.cos
+         |FROM p, qp ORDER BY proj_cos DESC, vec_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.VectorExprs
+      val w = Similarity.hyperplaneWeights(8, AnnDim)
+      val emb = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val proj = emb.select(col("vec_id"), col("embedding"),
+        Similarity.randomProjection(col("embedding"), w).as("proj"))
+      val q = broadcast(proj.filter(col("vec_id") === 0)
+        .select(col("proj").as("qproj"), col("embedding").as("qe")))
+      proj.crossJoin(q)
+        .select(col("vec_id"),
+          VectorExprs.cosineF(col("proj"), col("qproj")).as("proj_cos"),
+          VectorExprs.cosineF(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("proj_cos").desc, col("vec_id"))
+        .limit(20)
+    },
+
+    // ---- similarity: semantic dedup (SemDeDup) ----------------------------
+    // Cluster embeddings with the IVF assigner, then within every cluster
+    // flag each vector whose max cosine to a LOWER-ID cluster-mate clears
+    // tau — the keep-lowest-id survivor rule on SEMANTIC duplicates (Abbas
+    // et al. 2023). The oracle replicates the full chain: the shared IVF
+    // assignment CTEs + a per-id MAX over bit-exact pairwise cosines.
+    // max_cos is NULL for each cluster's lowest id (never a dup).
+    Q("q91_semdedup", {
+      s"""WITH ${ivfSqlCtes(ivfC = 8, nprobe = 1)},
+         |sd_mc AS (SELECT b.vec_id AS id, MAX(${cosSql("a.embedding", "b.embedding")}) AS max_cos
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  GROUP BY b.vec_id)
+         |SELECT g.vec_id, g.cid, sd_mc.max_cos,
+         |  CASE WHEN sd_mc.max_cos >= 0.25 THEN 1 ELSE 0 END AS is_dup
+         |FROM asg g LEFT JOIN sd_mc ON sd_mc.id = g.vec_id
+         |ORDER BY g.vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.semDedupStats(emb, emb.filter(col("vec_id") < 8),
+          "embedding", "vec_id", "vec_id", tau = 0.25)
+        .orderBy("vec_id")
+    },
+
+    // ---- similarity: exact per-label centroids ----------------------------
+    // The auditable face of VectorMean: posexplode + int64 cell sums of
+    // micro-quantized components (round(x·1e6) — the SQ8 rounding contract),
+    // one IEEE division per cell. NOT a decimal dsum: DuckDB's
+    // double→DECIMAL cast is itself double-arithmetic (lossy at scale ≥16),
+    // so arbitrary floats need the explicit integer quantization. One row
+    // per (label, dimension); the production face at 100 TB is the
+    // VectorMean buffer aggregate (no explode) feeding pivot refinement.
+    Q("q96_label_centroids",
+      """WITH lc AS (SELECT label, CAST(i - 1 AS INT) AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xm
+        |  FROM embeddings, generate_series(1, 64) AS g(i))
+        |SELECT label, pos, COUNT(*) AS n, CAST(SUM(xm) AS BIGINT) AS sum_micro,
+        |  (CAST(SUM(xm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS mean_micro
+        |FROM lc GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      Similarity.groupCentroidsMicro(Tables.load(s, dir, "embeddings"),
+          "embedding", "label")
+        .orderBy("label", "pos")
+    },
+
     // ---- events: HLL++ sketch distinct. The two engines' sketches differ,
     // so the oracle checks the property both agree on: the approximation is
     // within 3·rsd of the exact count. Spark computes `within_bound`
@@ -722,6 +798,65 @@ object PipelineQueries {
         case None => s.conf.unset(noDataKey)
       }
       s.read.parquet(sink).orderBy("digest")
+    },
+
+    // ---- events: TRUE STREAMING sessionization, oracle-checked ------------
+    // The third real-streaming-engine query (q73/q82's harness on Spark's
+    // native stateful SESSION operator): file-source readStream over events
+    // → session_window(30 min gap) per user → per-session rows → complete-
+    // mode foreachBatch sink under Trigger.AvailableNow, sink read back as
+    // the declared result. The oracle derives the same sessions with the
+    // lag-based gap rule (q61's convention: new session iff gap > 30 min)
+    // and checks user, session start, last event ts and event count — so
+    // the hash covers the streaming session-state machinery end-to-end.
+    // Complete mode because append would hold back sessions the watermark
+    // hasn't closed (q73 note); at scale the same topology runs unbounded
+    // with a watermark + append sink emitting sessions as they close.
+    Q("q93_streaming_sessions",
+      """WITH se AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |sd AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s FROM se),
+        |ss AS (SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM sd)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts, COUNT(*) AS n_events
+        |FROM ss GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = new graft.Session.Scratch
+      val sink = s"${scratch.dir}/stream_sessions"
+      val chk = s"${scratch.dir}/chk"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Complete mode rewrites the sink wholesale each micro-batch; the
+      // trailing no-data batch would redo the identical write (q73 note).
+      // The try covers everything after the set so no failure path leaks
+      // the disabled flag (q73 pattern).
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val noDataPrev = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "false")
+      try {
+        val schema = s.read.parquet(Tables.path(dir, "events")).schema
+        val events = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val query = Streams.sessionStats(events, gap = "30 minutes")
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(sink)
+          }
+          .start()
+        query.awaitTermination()
+      } finally noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None => s.conf.unset(noDataKey)
+      }
+      s.read.parquet(sink).orderBy("user_id", "session_start")
     },
 
     // ---- events: JSON prop extraction -------------------------------------

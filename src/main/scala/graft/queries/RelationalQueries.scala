@@ -389,6 +389,23 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- key-skew diagnosis report ----------------------------------------
+    // Top-20 heaviest l_suppkey values with per-key and cumulative head
+    // share — the measurement that decides whether a prospective shuffle
+    // needs q44's salting or AQE skew handling. Counts exact int64; shares
+    // one IEEE division each; cumulative share from the exact integer
+    // running sum.
+    Q("q94_skew_report", {
+      val inner = graft.operators.Salting.keySkewReportSql("lineitem", "l_suppkey", topN = 20)
+      s"""SELECT rank, key, cnt, frac, cum_frac FROM ($inner)
+         |ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      Salting.keySkewReport(
+          Tables.load(s, dir, "lineitem").select(col("l_suppkey").as("key")),
+          "key", topN = 20)
+        .orderBy("rank")
+    },
+
     // ---- bucketed co-located join: same rows as the plain join, no exchange
     Q("q45_bucketed_join",
       """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice

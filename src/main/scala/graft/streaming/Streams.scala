@@ -41,6 +41,20 @@ object Streams {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
 
+  /** Per-SESSION rows (user, session start, last event ts, event count) —
+    * the row-level face of [[userSessionStats]], shared by batch and
+    * streaming: on a stream, session_window is Spark's native stateful
+    * session operator (state = open sessions; complete mode needs no
+    * watermark, append mode takes one upstream to bound state and emit
+    * closed sessions). `last_ts` is the max event ts, not the window end
+    * (which is last_ts + gap by construction). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("last_ts"), col("n_events"))
+
   /** Streaming variant with watermark — used by the streaming spec. */
   def hourlyByTypeStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     hourlyByType(events.withWatermark("ts", watermark))

@@ -254,4 +254,50 @@ class CurationSpec extends AnyFunSuite {
       ("g2", "p25", 3), ("g2", "p50", 3), ("g2", "p75", 3),
       ("g2", "p90", 3), ("g2", "p99", 3)))
   }
+
+  test("canonicalizeUrl: every rewrite rule plus the non-rules") {
+    val cases = Seq(
+      // scheme/host case + default port + trailing slash
+      "HTTP://Example.COM:80/a/b/" -> "http://example.com/a/b",
+      "https://X.Example.ORG:443/p" -> "https://x.example.org/p",
+      // non-default port, path case, trailing slash
+      "https://Example.net:8080/Keep/Case/" -> "https://example.net:8080/Keep/Case",
+      // fragment
+      "https://h.example/a?id=5#frag" -> "https://h.example/a?id=5",
+      // utm: leading, middle, trailing, lone, multiple
+      "https://h.example/p?utm_source=f&id=5" -> "https://h.example/p?id=5",
+      "https://h.example/p?id=5&utm_a=1&utm_b=2" -> "https://h.example/p?id=5",
+      "https://h.example/p?utm_a=1" -> "https://h.example/p",
+      "https://h.example/p?a=1&utm_x=2&b=3" -> "https://h.example/p?a=1&b=3",
+      // root slash kept; clean URL untouched; port-like path segment kept
+      "http://example.com/" -> "http://example.com/",
+      "https://ok.example/x?a=1&b=2" -> "https://ok.example/x?a=1&b=2",
+      "http://h.example/80/x" -> "http://h.example/80/x")
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("gopherFilter: each rule sets its reason bit; exact rational boundaries") {
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd"),                       // n=4 in [3,5]; ml=4; top=1/4 ≤ 1/2 → keep
+      (2L, "aaa bbbb"),                                  // too short only (bit0; mean 3.5 in band)
+      (3L, "aaaa bbbb cccc dddd eeee ffff"),             // too long (bit1)
+      (4L, "aaaaaaaa bbbbbbbb cccccccc dddddddd"),       // mean_len 8 > 5 (bit2)
+      (5L, "aaaa aaaa aaaa dddd"),                       // top 3/4 > 1/2 (bit3)
+      (6L, "a a a a")                                    // mean 1 < 3 AND top 4/4 (bits 2+3)
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs, "text", "doc_id",
+        minTokens = 3, maxTokens = 5,
+        meanLenMin = (3, 1), meanLenMax = (5, 1), topWordMax = (1, 2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getInt(5)))
+    assert(out.toSeq == Seq((1L, 0, 1), (2L, 1, 0), (3L, 2, 0),
+      (4L, 4, 0), (5L, 8, 0), (6L, 12, 0)))
+    // boundary is EXACT: mean_len == max (5.0) and top == max (1/2) both pass
+    val edge = Seq((7L, "aaaaa bbbbb aaaaa ccccc")).toDF("doc_id", "text")
+    val e = Curation.gopherFilter(edge, "text", "doc_id", 3, 5, (3, 1), (5, 1), (1, 2))
+      .collect()(0)
+    assert(e.getInt(4) == 0 && e.getInt(5) == 1)
+  }
 }

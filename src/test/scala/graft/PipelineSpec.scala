@@ -334,4 +334,44 @@ class PipelineSpec extends AnyFunSuite {
     val fromCol = spark.range(1).select(Fns.hash60(lit("hp1_1"))).head().getLong(0)
     assert(fromCol == Fns.hash60Local("hp1_1"))
   }
+
+  test("sparseCosineTopK ≡ dense tf-vector cosine reference (seeded corpora)") {
+    val rng = new scala.util.Random(96)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 30L).map { id =>
+      (id, Seq.fill(3 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").repartition(4)
+    val out = TextAnalysis.sparseCosineTopK(df, df.filter(col("doc_id") < 3),
+        "text", "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // Scala reference: same exact-int dot/norms, same one-division cosine
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    }.toMap
+    val n2: Map[Long, Long] = tf.map { case (id, m) => id -> m.values.map(v => v * v).sum }
+    val expected = (0L until 3L).flatMap { qid =>
+      val scored = docs.map(_._1).filter(_ != qid).flatMap { did =>
+        val dot = tf(qid).keysIterator
+          .map(w => tf(qid)(w) * tf(did).getOrElse(w, 0L)).sum
+        if (dot == 0) None
+        else Some((did, dot.toDouble / math.sqrt((n2(qid) * n2(did)).toDouble)))
+      }
+      scored.sortBy { case (did, cos) => (-cos, did) }.take(4).zipWithIndex
+        .map { case ((did, cos), i) => (qid, did, cos, i + 1) }
+    }
+    assert(out.sortBy(r => (r._1, r._4)).toSeq == expected)
+  }
+
+  test("bigramLogProbMicro: hand-computed conditional micro-nat sums") {
+    val df = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbMicro(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // c2: "a b"=2, "b a"=1, "a c"=1; marginals: a·=3, b·=1
+    val lpAB = math.floor(math.log(2.0 / 3.0) * 1e6).toLong
+    val lpBA = math.floor(math.log(1.0 / 1.0) * 1e6).toLong
+    val lpAC = math.floor(math.log(1.0 / 3.0) * 1e6).toLong
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, lpAB + lpBA + lpAC), (2L, 1L, lpAB)))
+  }
 }

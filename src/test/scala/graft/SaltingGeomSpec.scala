@@ -82,4 +82,15 @@ class SaltingGeomSpec extends AnyFunSuite {
     val m = resized.select("media_meta.width", "media_meta.height").first()
     assert(m.getInt(0) == 64 && m.getInt(1) == 32)
   }
+
+  test("keySkewReport: exact counts, shares and cumulative head share; ties by key") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("key").repartition(4)
+    val out = Salting.keySkewReport(df, "key", topN = 3).orderBy("rank").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "a", 5L), (2, "b", 3L), (3, "c", 1L))) // c before d on the tie
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.5, 0.3, 0.1))
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.5, 0.8, 0.9))
+  }
 }

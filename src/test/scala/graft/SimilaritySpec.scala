@@ -155,4 +155,65 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(pqHits.toSeq == floatHits.toSeq)
   }
+
+  test("semDedup: near-dup flagged by lower-id cluster-mate; cluster minima never dup") {
+    // pivots on the axes; a near-dup pair in each cluster plus one distinct vec
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0f, 0f)),
+      (1L, Array(1.0f, 0.001f, 0f, 0f)),  // ≈0, same cluster → dup
+      (2L, Array(0.6f, 0.4f, 0f, 0f)),    // cluster 0, cos < τ → kept
+      (10L, Array(0.0f, 1.0f, 0f, 0f)),
+      (11L, Array(0.001f, 1.0f, 0f, 0f))  // ≈10, same cluster → dup
+    ).toDF("vec_id", "embedding")
+    val pivots = Seq(
+      (0L, Array(1.0f, 0.0f, 0f, 0f)),
+      (1L, Array(0.0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val stats = Similarity.semDedupStats(corpus, pivots,
+        "embedding", "vec_id", "vec_id", tau = 0.9)
+      .orderBy("vec_id").collect()
+    assert(stats.map(r => (r.getLong(0), r.getInt(3))).toSeq ==
+      Seq((0L, 0), (1L, 1), (2L, 0), (10L, 0), (11L, 1)))
+    // cluster-lowest ids have no lower-id mate → NULL max_cos
+    assert(stats(0).isNullAt(2) && stats(3).isNullAt(2))
+    // near-dup pair's max_cos is its pairwise cosine (> τ); kept vec's is < τ
+    assert(stats(1).getDouble(2) > 0.9 && stats(2).getDouble(2) < 0.9)
+    // apply face = exactly the non-dup rows of the corpus
+    val survivors = Similarity.semDedup(corpus, pivots,
+        "embedding", "vec_id", "vec_id", tau = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 2L, 10L))
+  }
+
+  test("randomProjection: bit-exact vs scalar left-fold reference; angle structure preserved") {
+    val w = Similarity.hyperplaneWeights(4, 6)
+    val vecs = Seq(
+      (0L, Array(0.25f, -1.5f, 2.0f, 0.125f, -0.75f, 3.0f)),
+      (1L, Array(1.0f, 0.5f, -0.25f, 2.0f, 0.0f, -1.0f)))
+    val out = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.randomProjection(col("embedding"), w).as("p"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val expected = vecs.map { case (_, x) =>
+      w.toSeq.map(row => row.zip(x).foldLeft(0.0) { case (acc, (wi, xi)) =>
+        acc + wi.toDouble * xi.toDouble })
+    }
+    assert(out.map(_.toSeq).toSeq == expected)
+    // identical vectors project identically → projected cosine 1 for (v, v)
+    val v = vecs.head._2
+    val self = Seq((0L, v), (1L, v)).toDF("vec_id", "embedding")
+      .select(Similarity.randomProjection(col("embedding"), w).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    assert(self(0) == self(1))
+  }
+
+  test("groupCentroidsMicro: exact int64 cell sums of micro-quantized components") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f)), (1L, Array(2.0f, 0.25f)),
+      (2L, Array(-1.0f, 0.0f))).toDF("label", "embedding").repartition(3)
+    val out = Similarity.groupCentroidsMicro(df, "embedding", "label")
+      .orderBy("label", "pos").collect()
+    // (label, pos, n, sum_micro, mean_micro)
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq ==
+      Seq((1L, 0, 2L, 3000000L, 1500000.0), (1L, 1, 2L, -250000L, -125000.0),
+          (2L, 0, 1L, -1000000L, -1000000.0), (2L, 1, 1L, 0L, 0.0)))
+  }
 }

@@ -318,4 +318,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_sessions") == 2 && out(0).getAs[Long]("n_events") == 4)
     assert(out(1).getAs[Long]("n_sessions") == 1)
   }
+
+  test("sessionStats on a stream (native session_window state) matches the batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // exactly gap → same session (merge at the boundary)
+      (1L, ts("2024-01-01 11:00:01")), // > gap → new session
+      (2L, ts("2024-01-01 00:00:00")))
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Streams.sessionStats(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete").start()
+    try {
+      // two batches so session state must merge across micro-batches
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val stream = spark.table("sess_out")
+        .orderBy("user_id", "session_start").collect()
+      val batch = Streams.sessionStats(rows.toDF("user_id", "ts"))
+        .orderBy("user_id", "session_start").collect()
+      assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+      assert(stream.length == 3) // user 1 × 2 sessions + user 2 × 1
+      assert(stream(0).getAs[Long]("n_events") == 2 &&
+        stream(0).getAs[Timestamp]("last_ts") == ts("2024-01-01 10:30:00"))
+    } finally q.stop()
+  }
 }

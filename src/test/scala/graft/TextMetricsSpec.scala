@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fns, TextMetricExprs}
+import graft.operators.{Curation, TextAnalysis}
+
+/** The compiled text-metric kernels must be value-identical to the
+  * declarative HOF formulations they replaced (which remain the semantic
+  * reference and the oracle-SQL shape). Seeded random corpora + the edge
+  * cases that exercised the short-text windowing rules. */
+class TextMetricsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = {
+    val rng = new scala.util.Random(57)
+    val vocab = Vector("aa", "Bb", "c3", "ddd", "e!", "ff", "ggggg", "h", "999", "k-k")
+    val rand = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(40))(vocab(rng.nextInt(vocab.size))).mkString(" ")))
+    val edges = Seq(
+      (101L, ""), (102L, "   "), (103L, "one"), (104L, "a a a a a"),
+      (105L, "x y"), (106L, "The the THE of zzz"), (107L, "中文 test 中"),
+      (108L, "tab\tand  doublespace"))
+    (rand ++ edges).toDF("doc_id", "text")
+  }
+
+  test("wordStats kernel ≡ declarative split/fold/topElement/rlike counts") {
+    val df = fixture
+    val toks = split(trim(col("text")), "\\s+")
+    val out = df.select(col("doc_id"),
+        TextMetricExprs.wordStats(col("text")).as("k"),
+        size(toks).cast("long").as("n"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("sl"),
+        Curation.topElementCount(toks).cast("long").as("tc"),
+        size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("long").as("na"),
+        size(filter(toks, t => t.rlike("[0-9]"))).cast("long").as("nd"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getSeq[Long](1)
+      assert(k == Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)),
+        s"wordStats mismatch for doc ${r.getLong(0)}: $k")
+    }
+  }
+
+  test("chunkGramStats kernel ≡ wordChunks/wordShingles declarative counts") {
+    val df = fixture
+    val chunks = Curation.wordChunks(col("text"), 5)
+    val grams = Fns.wordShingles(col("text"), 2)
+    val out = df.select(col("doc_id"),
+        TextMetricExprs.chunkGramStats(col("text"), 5, 2).as("k"),
+        size(chunks).cast("long").as("nc"),
+        size(array_distinct(chunks)).cast("long").as("ndc"),
+        size(grams).cast("long").as("ng"),
+        Curation.topElementCount(grams).cast("long").as("tg"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getSeq[Long](1)
+      assert(k == Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+        s"chunkGramStats mismatch for doc ${r.getLong(0)}: $k")
+    }
+  }
+
+  test("langStats kernel ≡ words()/stopwordHits/CJK regex counts") {
+    val df = fixture.union(Seq(
+      (201L, "the of and is in to a"), (202L, "el la de y que los en"),
+      (203L, "le et les des un"), (204L, "der die das und ist ein zu"),
+      (205L, "中文中文")).toDF("doc_id", "text"))
+    val ws = TextAnalysis.words(col("text"))
+    val cjk = size(regexp_extract_all(col("text"), lit(TextAnalysis.CjkClass), lit(0)))
+    val cols = Seq(size(ws).cast("long").as("nw"), cjk.cast("long").as("cj")) ++
+      TextAnalysis.Stopwords.zipWithIndex.map { case ((_, stops), i) =>
+        TextAnalysis.stopwordHits(ws, stops).cast("long").as(s"h$i")
+      }
+    val out = df.select(col("doc_id") +: TextMetricExprs.langStats(col("text")).as("k") +: cols: _*)
+      .collect()
+    out.foreach { r =>
+      val k = r.getSeq[Long](1)
+      val expected = (0 until 6).map(i => r.getLong(2 + i))
+      assert(k == expected, s"langStats mismatch for doc ${r.getLong(0)}: $k vs $expected")
+    }
+  }
+}
