@@ -522,6 +522,44 @@ object TextAnalysis {
        |FROM bg_tf JOIN bg_lp USING (bg) GROUP BY id""".stripMargin
   }
 
+  // ---- reciprocal-rank fusion (hybrid retrieval) -------------------------
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two rankings — the
+    * standard way to combine a lexical ([[bm25]]) and a dense (cosine KNN)
+    * retrieval list into one hybrid ranking: each list contributes
+    * `1/(kRrf + rank)` for the ids it ranked, absent ids contribute 0.
+    *
+    * Inputs are (idCol, rankCol) frames that the CALLER has already cut to
+    * its top-K (rank 1 = best); the fusion is then a full-outer join of two
+    * K-row sets — broadcastable, never corpus-sized. Output ranks are
+    * coalesced to 0 as the "absent from this list" marker.
+    *
+    * Cross-engine exactness: ranks are exact int64; each contribution is
+    * one IEEE division of 1.0 by an exactly-representable integer, and the
+    * final score is ONE addition in fixed (a, b) order — both engines run
+    * the identical op sequence, so the double is bit-identical (format it
+    * `%.6f` downstream anyway, per the repo rule for surfaced doubles). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+              kRrf: Int = 60): DataFrame = {
+    val l = a.select(col(idCol).as("__id"), col(rankCol).as("__ra"))
+    val r = b.select(col(idCol).as("__id"), col(rankCol).as("__rb"))
+    val contrib = (c: Column) => lit(1.0) / (lit(kRrf.toLong) + c).cast("double")
+    l.join(r, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("__ra"), lit(0L)).as("rank_a"),
+        coalesce(col("__rb"), lit(0L)).as("rank_b"),
+        (coalesce(contrib(col("__ra")), lit(0.0))
+          + coalesce(contrib(col("__rb")), lit(0.0))).as("rrf"))
+  }
+
+  /** Oracle face of [[rrfFuse]]: `aSql`/`bSql` are subqueries producing
+    * (id, rank); same coalesce-to-0 markers, same fixed-order addition. */
+  def rrfFuseSql(aSql: String, bSql: String, kRrf: Int = 60): String =
+    s"""SELECT COALESCE(l.id, r.id) AS id,
+       |  COALESCE(l.rank, 0) AS rank_a, COALESCE(r.rank, 0) AS rank_b,
+       |  (COALESCE(1.0 / CAST(($kRrf + l.rank) AS DOUBLE), 0.0)
+       |    + COALESCE(1.0 / CAST(($kRrf + r.rank) AS DOUBLE), 0.0)) AS rrf
+       |FROM ($aSql) l FULL OUTER JOIN ($bSql) r ON l.id = r.id""".stripMargin
+
   /** Oracle face of [[lengthQuantiles]] (same integer rank arithmetic). */
   def lengthQuantilesSql(tableE: String, groupE: String, idE: String,
                          tokensE: String,

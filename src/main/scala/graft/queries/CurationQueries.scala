@@ -634,6 +634,122 @@ object CurationQueries {
           (max(col("bin_id")) + 1).as("n_bins"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))
         .orderBy("source")
+    },
+
+    // ---- per-host crawl report --------------------------------------------
+    // The domain-level corpus breakdown every crawl pipeline runs before
+    // filtering decisions: host (via the urlHost operator on a synthesized
+    // URL — the fixture has no url column), doc count, distinct sources,
+    // exact token totals. All counts int64; one shuffle on the host key
+    // with map-side combine — at 100 TB the host cardinality (~1e7) is tiny
+    // against the corpus, so the agg output is negligible.
+    Q("q101_host_report", {
+      val hostCase = "CASE CAST(doc_id % 5 AS INT) " +
+        "WHEN 0 THEN 'spam.example.com' WHEN 1 THEN 'tracker.ads.example.net' " +
+        "WHEN 2 THEN 'docs.example.org' WHEN 3 THEN 'Ads.Example.NET' " +
+        "ELSE 'news.example.dev' END"
+      val urlE = s"'https://' || $hostCase || '/p/' || CAST(doc_id AS VARCHAR)"
+      s"""WITH hr_u AS (SELECT doc_id, source,
+         |    len(regexp_extract_all(lower(text), '[a-z]+')) AS toks, $urlE AS url
+         |  FROM documents)
+         |SELECT ${Curation.urlHostSql("url")} AS host,
+         |  COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens
+         |FROM hr_u GROUP BY host ORDER BY host""".stripMargin
+    }) { (s, dir) =>
+      val hostLit = when(pmod(col("doc_id"), lit(5)) === 0, lit("spam.example.com"))
+        .when(pmod(col("doc_id"), lit(5)) === 1, lit("tracker.ads.example.net"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit("docs.example.org"))
+        .when(pmod(col("doc_id"), lit(5)) === 3, lit("Ads.Example.NET"))
+        .otherwise(lit("news.example.dev"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("toks"),
+          concat(lit("https://"), hostLit, lit("/p/"),
+            col("doc_id").cast("string")).as("url"))
+        .groupBy(Curation.urlHost(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("toks")).cast("long").as("total_tokens"))
+        .orderBy("host")
+    },
+
+    // ---- per-source unigram entropy ---------------------------------------
+    // Shannon entropy of each source's term distribution — the diversity
+    // signal behind mixture-weight tuning (a low-entropy source is
+    // boilerplate-heavy). Per-term surprisal is micro-nat-quantized to
+    // int64 (q87's trick) so the per-source sum is order-independent and
+    // engine-exact; the reported entropy is that exact sum through two
+    // IEEE divisions. Scale: term-shaped shuffles with map-side combine
+    // only; nothing corpus-sized crosses the wire.
+    Q("q104_source_entropy", {
+      val wordsE = "regexp_extract_all(lower(text), '[a-z]+')"
+      s"""WITH se_t AS (SELECT source, unnest($wordsE) AS term FROM documents),
+         |se_ctf AS (SELECT source, term, COUNT(*) AS ctf FROM se_t GROUP BY source, term),
+         |se_tot AS (SELECT source, CAST(SUM(ctf) AS BIGINT) AS total,
+         |    COUNT(*) AS n_terms FROM se_ctf GROUP BY source),
+         |se_e AS (SELECT c.source,
+         |    CAST(-SUM(ctf * CAST(FLOOR(ln(CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS ent_sum_micro
+         |  FROM se_ctf c JOIN se_tot t ON c.source = t.source GROUP BY c.source)
+         |SELECT source, n_terms, total AS n_tokens, ent_sum_micro,
+         |  printf('%.6f', CAST(ent_sum_micro AS DOUBLE) / CAST(total AS DOUBLE) / 1000000.0) AS entropy_nats
+         |FROM se_e JOIN se_tot USING (source) ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val ctf = docs
+        .select(col("source"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("ctf"))
+      val tot = ctf.groupBy("source").agg(
+        sum(col("ctf")).cast("long").as("total"), count(lit(1)).as("n_terms"))
+      val ent = ctf.join(tot, "source")
+        .groupBy(col("source"))
+        .agg((-sum(col("ctf") *
+            floor(log(col("ctf").cast("double") / col("total").cast("double"))
+              * lit(1000000.0)).cast("long"))).as("ent_sum_micro"))
+      ent.join(tot, "source")
+        .select(col("source"), col("n_terms"), col("total").as("n_tokens"),
+          col("ent_sum_micro"),
+          format_string("%.6f", col("ent_sum_micro").cast("double")
+            / col("total").cast("double") / lit(1000000.0)).as("entropy_nats"))
+        .orderBy("source")
+    },
+
+    // ---- TRUE STREAMING stateless curation (PII redact) -------------------
+    // Fourth real-streaming-engine execution, and the first STATELESS one:
+    // q73/q82/q93 prove watermarked aggregation, dedup state, and session
+    // windows through the actual engine; this proves the per-row curation
+    // pack (here [[Curation.redactPii]], the q55 op on the q55 injection)
+    // composes with readStream unchanged — file-source stream → per-row
+    // redact → append-mode foreachBatch sink under Trigger.AvailableNow,
+    // sink read back as the declared result. No state, no watermark: at
+    // scale this is the unbounded landing-folder scrub job, embarrassingly
+    // parallel, whose output is batch-bit-identical by construction — which
+    // is exactly what the oracle checks.
+    Q("q105_streaming_redact",
+      s"""WITH i AS (SELECT doc_id, $injectSql AS t FROM documents)
+         |SELECT doc_id, ${Curation.redactPiiSql("t")} AS red_text
+         |FROM i ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = new graft.Session.Scratch // janitor-prefixed tmp (C5)
+      val sink = s"${scratch.dir}/stream_redact"
+      val chk = s"${scratch.dir}/chk"
+      val schema = s.read.parquet(Tables.path(dir, "documents")).schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val query = docs
+        .select(col("doc_id"), injectCol.as("t"))
+        .select(col("doc_id"), Curation.redactPii(col("t")).as("red_text"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(sink)
+        }
+        .start()
+      query.awaitTermination()
+      s.read.parquet(sink).orderBy("doc_id")
     }
   )
 }

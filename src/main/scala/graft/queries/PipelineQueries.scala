@@ -934,6 +934,123 @@ object PipelineQueries {
       val media = Multimodal.asMedia(docs, "text", "image")
       Multimodal.sampleFrames(media.select("doc_id", "media_bytes", "media_meta"), "doc_id")
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- hybrid retrieval: BM25 ⊕ dense-cosine via reciprocal-rank fusion -
+    // The standard RAG retrieval composite: a lexical top-20 (BM25 summed
+    // over the query-doc's terms, micro-quantized to exact int64 so the
+    // ranking has no float-sum order dependence) fused with a dense top-20
+    // (cosine to the query embedding, q40's machinery) by RRF k=60.
+    // doc_id ≡ vec_id by fixture construction. Scale: both rankings are
+    // K-bounded before the fusion join (TakeOrderedAndProject / bounded
+    // windows over K rows); the fusion is a 2K-row full-outer join — the
+    // corpus is touched exactly twice (one text scan, one vector scan).
+    Q("q100_hybrid_rrf", {
+      val bmInner = TextAnalysis.bm25Sql("documents", "text", "doc_id")
+      val lexSql =
+        s"""WITH bm AS ($bmInner),
+           |hq0 AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+           |        FROM documents WHERE doc_id = 0),
+           |hls AS (SELECT id, CAST(SUM(CAST(FLOOR(bm25 * 1000000.0) AS BIGINT)) AS BIGINT) AS lsc
+           |        FROM bm JOIN hq0 USING (term) GROUP BY id),
+           |hlt AS (SELECT id, lsc FROM hls ORDER BY lsc DESC, id LIMIT 20)
+           |SELECT id, CAST(row_number() OVER (ORDER BY lsc DESC, id) AS BIGINT) AS rank
+           |FROM hlt""".stripMargin
+      val denseSql =
+        s"""WITH hdt AS (SELECT e.vec_id AS id, ${cosSql("e.embedding", "q.qv")} AS cos
+           |  FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+           |  ORDER BY cos DESC, e.vec_id LIMIT 20)
+           |SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS rank
+           |FROM hdt""".stripMargin
+      val fused = TextAnalysis.rrfFuseSql(lexSql, denseSql)
+      s"""SELECT id AS doc_id, rank_a AS lex_rank, rank_b AS dense_rank,
+         |  printf('%.6f', rrf) AS rrf
+         |FROM ($fused) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val qTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(TextAnalysis.words(col("text"))).as("term")).distinct()
+      val lexTop = TextAnalysis.bm25(docs, "text", "doc_id")
+        .join(broadcast(qTerms), "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(floor(col("bm25") * lit(1000000.0)).cast("long")).as("lsc"))
+        .orderBy(col("lsc").desc, col("doc_id")).limit(20)
+        .select(col("doc_id").as("id"),
+          row_number().over(Window.orderBy(col("lsc").desc, col("doc_id")))
+            .cast("long").as("rank"))
+      val denseTop = Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), "embedding", "vec_id", 20)
+        .select(col("vec_id").as("id"),
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+            .cast("long").as("rank"))
+      TextAnalysis.rrfFuse(lexTop, denseTop, "id", "rank")
+        .select(col("id").as("doc_id"), col("rank_a").as("lex_rank"),
+          col("rank_b").as("dense_rank"),
+          format_string("%.6f", col("rrf")).as("rrf"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup: cluster-size histogram ------------------------------------
+    // Distribution of duplicate-cluster sizes over the q37 connected
+    // components — the shape report that tells a curation run whether its
+    // duplication is long-tail (many pairs) or pathological (one giant
+    // cluster, the thing that melts a naive grouped dedup). Two count aggs
+    // over the (doc_id, cluster_id) assignment; the histogram is
+    // cluster-count-sized, trivially collectable at any scale.
+    Q("q102_dup_cluster_sizes",
+      s"""$mhCte,
+         |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(s, t) AS (
+         |    SELECT s, t FROM e
+         |    UNION
+         |    SELECT r.s, e2.t FROM r JOIN e e2 ON r.t = e2.s)
+         |  SELECT s, t FROM r),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+         |       FROM reach GROUP BY s),
+         |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY cluster_id)
+         |SELECT cluster_size, COUNT(*) AS n_clusters
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashSignature(
+        Tables.load(s, dir, "documents"), "text", "doc_id", MinhashK, ShingleW)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand)
+      Dedup.duplicateClusters(pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
+    // ---- similarity: IVF index-balance report -----------------------------
+    // Cell-occupancy audit of the q43 IVF assignment: vectors per cell and
+    // each cell's load factor vs the uniform ideal — the index-health check
+    // that decides whether pivots need re-seeding (an overloaded cell makes
+    // its probes scan-heavy; an empty one wastes a probe). Counts are
+    // exact; the load factor is the one surfaced double, %.6f-formatted.
+    // The occupancy agg is map-side-combined on C keys; output is C rows.
+    Q("q103_ivf_balance", {
+      s"""WITH ${ivfSqlCtes(ivfC = 8, nprobe = 2)},
+         |occ AS (SELECT cid, COUNT(*) AS n_vecs FROM asg GROUP BY cid),
+         |ivt AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total, COUNT(*) AS n_cells FROM occ)
+         |SELECT cid, n_vecs,
+         |  printf('%.6f', CAST(n_vecs AS DOUBLE)
+         |    / (CAST(total AS DOUBLE) / CAST(n_cells AS DOUBLE))) AS load_factor
+         |FROM occ, ivt ORDER BY cid""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < 8)
+      val occ = Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id")
+        .groupBy(col("centroid_id").as("cid")).agg(count(lit(1)).as("n_vecs"))
+      val tot = broadcast(occ.agg(sum(col("n_vecs")).cast("long").as("total"),
+        count(lit(1)).as("n_cells")))
+      occ.crossJoin(tot)
+        .select(col("cid"), col("n_vecs"),
+          format_string("%.6f", col("n_vecs").cast("double")
+            / (col("total").cast("double") / col("n_cells").cast("double")))
+            .as("load_factor"))
+        .orderBy("cid")
     }
   )
 }

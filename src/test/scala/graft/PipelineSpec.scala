@@ -374,4 +374,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 3L, lpAB + lpBA + lpAC), (2L, 1L, lpAB)))
   }
+
+  test("rrfFuse: full-outer coverage, 0 markers for absent ids, exact scores") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = TextAnalysis.rrfFuse(a, b, "id", "rank", kRrf = 60)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // score is 1/(60+ra) + 1/(60+rb), absent list contributes 0 and marks 0
+    assert(out.toSeq == Seq(
+      (10L, 1L, 0L, 1.0 / 61),
+      (20L, 2L, 1L, 1.0 / 62 + 1.0 / 61),
+      (30L, 3L, 0L, 1.0 / 63),
+      (40L, 0L, 2L, 1.0 / 62)))
+  }
 }
