@@ -301,6 +301,79 @@ object Curation {
         .filter(col("dup_frac") > maxDupFrac).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** SPAN-level dedup apply (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): instead of dropping whole documents,
+    * remove the duplicated SPANS — every token covered by a w-gram that
+    * occurs in more than one document is dropped from all but the gram's
+    * first-occurrence document (min id keeps its copy; the distributed
+    * w-gram form of the paper's suffix-array substring dedup).
+    *
+    * Output: (idCol, n_tokens, n_kept, text_clean) — text_clean is the
+    * surviving tokens re-joined by single spaces.
+    *
+    * Scale: grams leave the scan stage as (id, pos, 8-byte hash) — text
+    * never shuffles; the gdf agg partial-aggregates on hash keys and only
+    * gdf>1 survivors join back (a small fraction of the gram table, and
+    * the join itself is hash-keyed); drop-starts collect per document
+    * (bounded by document length, the same bound the text column itself
+    * already puts on a row); the final token filter is a per-row HOF in
+    * the scan stage of the second corpus pass. A hashP collision merges
+    * two gram strings identically in both engines, so the result stays
+    * engine-consistent (the dupSpanStats caveat). */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    // gram start positions are the shingle-array indices (0-based here,
+    // 1-based in the SQL face — only the emitted columns must agree)
+    val g = df.select(col(idCol), posexplode(Fns.wordShingles(col(textCol), w)))
+      .select(col(idCol), col("pos"), Fns.hashP(col("col")).as("gh"))
+    val dup = g.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("gdf"), min(col(idCol)).as("first_id"))
+      .filter(col("gdf") > 1)
+    val dropStarts = g.join(dup, "gh")
+      .filter(col(idCol) > col("first_id"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    df.join(dropStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        {
+          val starts = coalesce(col("__starts"), array().cast("array<int>"))
+          val kept = filter(toks, (t, i) =>
+            !exists(starts, j => j <= i && i < j + lit(w)))
+          struct(size(kept).cast("long").as("n_kept"),
+            array_join(kept, " ").as("text_clean")).as("__k")
+        })
+      .select(col(idCol), col("n_tokens"),
+        col("__k.n_kept").as("n_kept"), col("__k.text_clean").as("text_clean"))
+  }
+
+  /** Oracle face of [[removeDupSpans]] (1-based positions; coverage via an
+    * exploded position anti-join instead of index lambdas, then `list(...
+    * ORDER BY pos)` reassembly — same surviving-token set). */
+  def removeDupSpansSql(tableE: String, textE: String, idE: String, w: Int): String = {
+    val shE = Fns.wordShinglesSql(textE, w)
+    val toksE = s"regexp_split_to_array(trim($textE), '\\s+')"
+    s"""WITH rs_g0 AS (SELECT id, gs, unnest(generate_series(1, len(gs))) AS pos
+       |  FROM (SELECT $idE AS id, $shE AS gs FROM $tableE)),
+       |rs_g AS (SELECT id, pos, ${Fns.hashPSql(s"gs[CAST(pos AS INT)]")} AS gh FROM rs_g0),
+       |rs_dup AS (SELECT gh, MIN(id) AS first_id FROM rs_g
+       |           GROUP BY gh HAVING COUNT(DISTINCT id) > 1),
+       |rs_cov AS (SELECT DISTINCT g.id, g.pos + o.o AS cpos
+       |  FROM rs_g g JOIN rs_dup d USING (gh),
+       |       (SELECT unnest(generate_series(0, ${w - 1})) AS o) o
+       |  WHERE g.id > d.first_id),
+       |rs_t AS (SELECT $idE AS id, $toksE AS toks FROM $tableE),
+       |rs_tp0 AS (SELECT id, toks, unnest(generate_series(1, len(toks))) AS pos FROM rs_t),
+       |rs_tp AS (SELECT id, pos, toks[CAST(pos AS INT)] AS tok FROM rs_tp0),
+       |rs_kept AS (SELECT tp.id, list(tp.tok ORDER BY tp.pos) AS kept
+       |  FROM rs_tp tp LEFT JOIN rs_cov c ON tp.id = c.id AND tp.pos = c.cpos
+       |  WHERE c.cpos IS NULL GROUP BY tp.id)
+       |SELECT t.id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(len(k.kept), 0) AS BIGINT) AS n_kept,
+       |  COALESCE(array_to_string(k.kept, ' '), '') AS text_clean
+       |FROM rs_t t LEFT JOIN rs_kept k ON t.id = k.id""".stripMargin
+  }
+
   // ---- C4-style boilerplate line removal ---------------------------------
   // The C4 line rules (Raffel et al. 2020 §2.2): keep a line only if it ends
   // in a terminal punctuation mark, has at least `minWords` words, and

@@ -750,6 +750,21 @@ object CurationQueries {
         .start()
       query.awaitTermination()
       s.read.parquet(sink).orderBy("doc_id")
+    },
+
+    // ---- span-level dedup APPLY (Lee et al. 2022) -------------------------
+    // The substring form of dedup: q78 measures per-doc duplicated-span
+    // fractions and drops whole documents; THIS query rewrites the corpus —
+    // every token covered by a cross-document 3-gram is removed from all
+    // but the gram's first-occurrence doc. Output carries the cleaned text
+    // itself, so the oracle hash-checks the rewritten corpus byte-for-byte.
+    Q("q106_dup_span_removal", {
+      s"""SELECT id AS doc_id, n_tokens, n_kept, text_clean
+         |FROM (${Curation.removeDupSpansSql("documents", "text", "doc_id", 3)})
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Curation.removeDupSpans(Tables.load(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("doc_id")
     }
   )
 }

@@ -1051,6 +1051,34 @@ object PipelineQueries {
             / (col("total").cast("double") / col("n_cells").cast("double")))
             .as("load_factor"))
         .orderBy("cid")
+    },
+
+    // ---- dedup: cross-source duplication matrix ---------------------------
+    // Which sources duplicate into which: LSH candidate pairs joined to each
+    // side's source, counted per unordered source pair. The contamination
+    // report that tells a mixture designer whether e.g. a crawl source is
+    // re-serving a curated source's content. Pair volume is LSH-bounded
+    // (never all-pairs); the source lookups are id-keyed joins against an
+    // (id, source) projection; output is ≤ |sources|² rows.
+    Q("q107_source_dup_matrix",
+      s"""$mhCte,
+         |sm_s AS (SELECT doc_id, source FROM documents)
+         |SELECT LEAST(a.source, b.source) AS source_a,
+         |  GREATEST(a.source, b.source) AS source_b, COUNT(*) AS n_pairs
+         |FROM pairs p JOIN sm_s a ON p.id_a = a.doc_id
+         |             JOIN sm_s b ON p.id_b = b.doc_id
+         |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", MinhashK, ShingleW)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id_a", "sa"), "id_a")
+        .join(src.toDF("id_b", "sb"), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
     }
   )
 }

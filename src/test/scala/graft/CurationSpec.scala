@@ -300,4 +300,29 @@ class CurationSpec extends AnyFunSuite {
       .collect()(0)
     assert(e.getInt(4) == 0 && e.getInt(5) == 1)
   }
+
+  test("removeDupSpans: covered tokens drop everywhere but the first doc") {
+    // docs 1 and 2 share the 2-gram "b c" (and only that); doc 3 is unique.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "x b c y"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val out = Curation.removeDupSpans(docs, "text", "doc_id", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 is the first occurrence → keeps everything; doc 2 loses tokens
+    // at the shared gram's span (positions of "b c"); doc 3 untouched.
+    assert(out.toSeq == Seq(
+      (1L, 4L, 4L, "a b c d"),
+      (2L, 4L, 2L, "x y"),
+      (3L, 4L, 4L, "p q r s")))
+  }
+
+  test("removeDupSpans: identical docs — first keeps all, second empties") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.removeDupSpans(docs, "text", "doc_id", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 3L, 3L, "a b c"), (2L, 3L, 0L, "")))
+  }
 }
