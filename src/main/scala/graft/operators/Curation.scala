@@ -323,9 +323,12 @@ object Curation {
   def removeDupSpans(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     // gram start positions are the shingle-array indices (0-based here,
-    // 1-based in the SQL face — only the emitted columns must agree)
-    val g = df.select(col(idCol), posexplode(Fns.wordShingles(col(textCol), w)))
-      .select(col(idCol), col("pos"), Fns.hashP(col("col")).as("gh"))
+    // 1-based in the SQL face — only the emitted columns must agree).
+    // Compiled kernel: one MD5 pass per gram, no gram strings in the plan
+    // (wordShingles' slice-per-element form is O(tokens²) per doc).
+    val g = df.select(col(idCol),
+        posexplode(graft.functions.TextHashExprs.shingleHashes(col(textCol), w)))
+      .select(col(idCol), col("pos"), col("col").as("gh"))
     val dup = g.groupBy(col("gh"))
       .agg(countDistinct(col(idCol)).as("gdf"), min(col(idCol)).as("first_id"))
       .filter(col("gdf") > 1)
