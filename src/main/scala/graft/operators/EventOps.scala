@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators: CDC changelog compaction (upsert/delete replay) and
+  * ordered conversion funnels.
+  *
+  * The reference engine has no event-log surface; these fill the §2.9-adjacent
+  * gap a training-data platform hits the moment its corpus is fed by a
+  * changelog (crawl revisits, takedown tombstones) rather than immutable
+  * snapshots.
+  */
+object EventOps {
+
+  /** Last-writer-wins snapshot of a CDC changelog: for each `keyCol` keep the
+    * newest row by (`tsCol`, `tieCol`) descending, then drop keys whose final
+    * operation is the `tombstone` (a delete wins over every older upsert).
+    * Output schema = input schema.
+    *
+    * Scale: one shuffle on the key. The rank-1 filter compiles to
+    * `WindowGroupLimit` (CurationSpec-asserted), so each map task forwards at
+    * most one row per key it sees — the shuffle carries a per-task-deduped
+    * changelog, not the full history; the tombstone filter runs after the
+    * winner is chosen (it must: an older upsert must NOT resurrect a deleted
+    * key). This is the compaction a MERGE INTO sink performs, expressed as a
+    * pure query. */
+  def latestSnapshot(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                     opCol: String, tombstone: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .filter(col(opCol) =!= tombstone)
+      .drop("__rn")
+  }
+
+  /** Oracle face of [[latestSnapshot]]. `tsCastE` must pre-cast to the same
+    * µs granularity Spark reads (`CAST(ts AS TIMESTAMP)` for ns parquet). */
+  def latestSnapshotSql(tableE: String, keyE: String, tsE: String, tieE: String,
+                        opE: String, tombstone: String): String =
+    s"""SELECT * EXCLUDE (__rn) FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY $keyE ORDER BY $tsE DESC, $tieE DESC) AS __rn
+       |  FROM $tableE)
+       |WHERE __rn = 1 AND $opE <> '$tombstone'""".stripMargin
+
+  /** Ordered conversion funnel: stage 1 users have any `stages(0)` event;
+    * stage i users additionally have a `stages(i)` event STRICTLY AFTER their
+    * earliest qualifying stage-(i-1) time (the classic ordered-funnel
+    * semantics — out-of-order events don't count). Output: one row per stage,
+    * (stage, event_type, n_users), stage 1-based.
+    *
+    * Scale: stage 1 is a key-keyed partial agg; each later stage is one
+    * equi-join on the user key (the `ts > t_prev` residual rides the hash
+    * join) followed by a key-keyed min agg — the reached-set only shrinks, so
+    * every join's left side is monotonically smaller. No window over the full
+    * log, no per-user event collection. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(typeCol).as("__et"))
+    var wide = e.filter(col("__et") === stages.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("t0"))
+    for (i <- 1 until stages.length) {
+      val si = e.filter(col("__et") === stages(i))
+        .select(col("__u").as("__u2"), col("__ts"))
+      val carried = (0 until i).map(j => col(s"t$j"))
+      wide = wide.join(si,
+          wide("__u") === si("__u2") && si("__ts") > wide(s"t${i - 1}"), "left")
+        .groupBy((col("__u") +: carried): _*)
+        .agg(min(col("__ts")).as(s"t$i"))
+    }
+    val k = stages.length
+    val counts = wide.agg(
+      count(col("t0")).as("c0"),
+      (1 until k).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    counts.select(explode(array((0 until k).map(i =>
+        struct(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
+          col(s"c$i").as("n_users"))): _*)).as("__s"))
+      .select(col("__s.stage").as("stage"), col("__s.event_type").as("event_type"),
+        col("__s.n_users").as("n_users"))
+  }
+
+  /** Oracle face of [[funnel]] — the same stage chain as left-join CTEs.
+    * `tsE` should be the µs-cast timestamp expression (see
+    * [[latestSnapshotSql]]); stage names are dev-authored constants
+    * (single-quote-safe). */
+  def funnelSql(tableE: String, userE: String, tsE: String, typeE: String,
+                stages: Seq[String]): String = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val f0 = s"f0 AS (SELECT e.$userE AS u, MIN($tsE) AS t0 FROM $tableE e " +
+      s"WHERE e.$typeE = '${stages.head}' GROUP BY 1)"
+    val rest = (1 until stages.length).map { i =>
+      val carried = (0 until i).map(j => s"p.t$j").mkString(", ")
+      s"""f$i AS (SELECT p.u, $carried, MIN($tsE) AS t$i
+         |  FROM f${i - 1} p LEFT JOIN $tableE e
+         |    ON e.$userE = p.u AND e.$typeE = '${stages(i)}' AND $tsE > p.t${i - 1}
+         |  GROUP BY ${(1 to i + 1).mkString(", ")})""".stripMargin
+    }
+    val last = s"f${stages.length - 1}"
+    val arms = stages.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1} AS stage, '$st' AS event_type, COUNT(t$i) AS n_users FROM $last"
+    }
+    s"""WITH ${(f0 +: rest).mkString(",\n")}
+       |SELECT * FROM (${arms.mkString("\nUNION ALL ")})""".stripMargin
+  }
+}

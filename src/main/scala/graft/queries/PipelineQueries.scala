@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
 import graft.Tables
 import graft.functions.Fns
-import graft.operators.{Dedup, Multimodal, Similarity, Tessellation, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Sketches, Tessellation, TextAnalysis}
 import graft.streaming.Streams
 
 /** North-star packs: tessellation (G1-G3), dedup, similarity search, text
@@ -18,6 +18,11 @@ object PipelineQueries {
 
   // Shared LSH / shingle constants.
   val ShingleW = 5
+  // q109 ordered-funnel stages (dev-authored constants; see funnelSql contract)
+  val FunnelStages = Seq("signup", "click", "purchase")
+  // q110 count-min sketch shape: ε ≈ e/width ≈ 0.13%, δ ≈ e^-4 ≈ 1.8%
+  val CmsDepth = 4
+  val CmsWidth = 2048
   val MinhashK = 8
   val Bands = 4
   val RowsPerBand = 2
@@ -1079,6 +1084,78 @@ object PipelineQueries {
           greatest(col("sa"), col("sb")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_a", "source_b")
+    },
+
+    // ---- events: CDC changelog → last-writer-wins snapshot ----------------
+    // Replay an upsert/delete changelog into its compacted snapshot: newest
+    // row per user_id by (ts, event_id) wins; keys whose winner is the
+    // 'error' tombstone disappear (a delete beats every older upsert — the
+    // takedown-compliance semantics a corpus changelog needs). The rank-1
+    // filter compiles to WindowGroupLimit (EventOpsSpec-asserted), so the
+    // key shuffle carries one row per key per map task, not the history.
+    Q("q108_cdc_upsert", {
+      val base = "(SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, value FROM events)"
+      val snap = EventOps.latestSnapshotSql(base, "user_id", "ts", "event_id",
+        "event_type", "error")
+      s"""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+         |  event_type AS last_type, value AS last_value
+         |FROM ($snap) ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      EventOps.latestSnapshot(
+          Tables.load(s, dir, "events")
+            .select("user_id", "event_id", "ts", "event_type", "value"),
+          "user_id", "ts", "event_id", "event_type", "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // ---- events: ordered conversion funnel --------------------------------
+    // signup → click → purchase, each stage strictly after the user's
+    // earliest qualifying previous-stage time. Stage joins are user-keyed
+    // equi-joins with the ts residual riding the hash join; the reached set
+    // only shrinks stage over stage.
+    Q("q109_funnel", {
+      val f = EventOps.funnelSql("events", "user_id", "CAST(e.ts AS TIMESTAMP)",
+        "event_type", FunnelStages)
+      s"$f ORDER BY stage"
+    }) { (s, dir) =>
+      EventOps.funnel(Tables.load(s, dir, "events"), "user_id", "ts",
+          "event_type", FunnelStages)
+        .orderBy("stage")
+    },
+
+    // ---- text: deterministic count-min-sketch heavy hitters ---------------
+    // CMS term counts from the repo's own hash60, so BOTH engines compute
+    // the SAME sketch and the estimates hash-match exactly (stronger than
+    // the q64/q85 bound-audit pattern, which can only check engine-private
+    // sketches through their error contracts). Output: top-20 exact heavy
+    // hitters with their CMS estimates — est ≥ exact always; the gap is the
+    // collision noise a mixture designer budgets for. The sketch is
+    // depth·width rows whatever the corpus size; estimate lookups ride a
+    // broadcast join.
+    Q("q110_cms_heavy_hitters", {
+      val toksSql = "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents"
+      val cmsCtes = Sketches.cmsEstimateSql(toksSql, "SELECT term FROM cand", CmsDepth, CmsWidth)
+      s"""WITH toks AS ($toksSql),
+         |exact AS (SELECT term, COUNT(*) AS exact_n FROM toks GROUP BY 1),
+         |cand AS (SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term LIMIT 20),
+         |$cmsCtes
+         |SELECT c.term, c.exact_n, e.cms_est
+         |FROM cand c JOIN cms_est e USING (term)
+         |ORDER BY exact_n DESC, term""".stripMargin
+    }) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+      val cand = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term")).limit(20)
+      val cms = Sketches.cmsCounts(toks, "term", CmsDepth, CmsWidth)
+      cand.join(Sketches.cmsEstimate(cms, cand.select("term"), "term", CmsDepth, CmsWidth),
+          "term")
+        .select(col("term"), col("exact_n"), col("cms_est"))
+        .orderBy(col("exact_n").desc, col("term"))
     }
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventOps
+
+/** Semantics for the event-log pack (q108/q109 cover end-to-end values). */
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("latestSnapshot: newest wins, tie broken by tieCol, tombstone deletes") {
+    val log = Seq(
+      (1L, 10L, ts(100), "upsert", 1.0), // superseded
+      (1L, 11L, ts(200), "upsert", 2.0), // winner for key 1
+      (2L, 20L, ts(100), "upsert", 3.0),
+      (2L, 21L, ts(300), "error", 0.0),  // delete wins → key 2 gone
+      (3L, 30L, ts(100), "upsert", 4.0),
+      (3L, 31L, ts(100), "upsert", 5.0), // same ts → higher event_id wins
+      (4L, 40L, ts(100), "error", 0.0),
+      (4L, 41L, ts(200), "upsert", 6.0)  // upsert AFTER delete resurrects
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = EventOps.latestSnapshot(log, "user_id", "ts", "event_id",
+        "event_type", "error")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 11L, 2.0), (3L, 31L, 5.0), (4L, 41L, 6.0)))
+  }
+
+  test("latestSnapshot: rank-1 filter compiles to WindowGroupLimit") {
+    // ≥2 rows: InferWindowGroupLimit skips when child.maxRows can't exceed
+    // the limit (a 1-row LocalRelation makes the rule a no-op).
+    val log = Seq((1L, 10L, ts(1), "u", 0.0), (1L, 11L, ts(2), "u", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val plan = EventOps.latestSnapshot(log, "user_id", "ts", "event_id",
+      "event_type", "error").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("funnel: strict ordering — out-of-order conversions don't count") {
+    val log = Seq(
+      // user 1 completes a→b→c in order
+      (1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(30), "c"),
+      // user 2: b BEFORE a → stalls at stage 1
+      (2L, ts(10), "b"), (2L, ts(20), "a"),
+      // user 3: a then b, no c → stage 2
+      (3L, ts(10), "a"), (3L, ts(15), "b"),
+      // user 4: never does a → counted nowhere
+      (4L, ts(10), "b"), (4L, ts(20), "c"),
+      // user 5: a at 10, b at 10 (NOT strictly after) → stage 1 only
+      (5L, ts(10), "a"), (5L, ts(10), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.funnel(log, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "a", 4L), (2, "b", 2L), (3, "c", 1L)))
+  }
+
+  test("funnel: later stage uses earliest prior time, not any prior event") {
+    // a at 10 and 30; b only at 20 → b is after the EARLIEST a → converts
+    val log = Seq((1L, ts(10), "a"), (1L, ts(30), "a"), (1L, ts(20), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventOps.funnel(log, "user_id", "ts", "event_type", Seq("a", "b"))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 1L)))
+  }
+}
