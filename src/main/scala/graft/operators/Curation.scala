@@ -579,4 +579,109 @@ object Curation {
     }
     df.filter(hashBucket(col(idCol), salt) < pct)
   }
+
+  // ---- temperature mixture weights ----------------------------------------
+  /** Temperature-scaled sampling weights (the multilingual-LM mixture rule,
+    * Conneau & Lample 2019 §3.1 / Raffel et al. 2020 §3.4.3 at α = 1/2):
+    * source s gets weight n_s^α / Σ n_t^α — α < 1 up-weights small sources
+    * against the head. α is fixed at 1/2 because `sqrt` is CORRECTLY ROUNDED
+    * under IEEE-754 in both engines (a general `pow` is not, and a 1-ulp
+    * disagreement would flip the ⌊·1e6⌋ quantization at the boundary). The
+    * quantized numerators are summed as exact int64, so both engines reach
+    * each weight through one identical IEEE division.
+    *
+    * Output per source: n_tokens (exact), w_prop (proportional weight),
+    * w_temp (α=1/2 weight), eff_epochs (passes over the source when
+    * `budgetTokens` are drawn at w_temp).
+    *
+    * Scale: one map-side-combined agg to |sources| rows, then a broadcast of
+    * the 1-row totals — the corpus is scanned once, nothing else moves. */
+  def mixtureWeights(df: DataFrame, textCol: String, srcCol: String,
+                     budgetTokens: Long): DataFrame = {
+    val n = df.groupBy(col(srcCol))
+      .agg(sum(TextAnalysis.wsTokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("__sm",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)).cast("long"))
+    val tot = n.agg(sum(col("n_tokens")).as("__tn"), sum(col("__sm")).as("__ts"))
+    n.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__tn").cast("double")).as("w_prop"),
+        (col("__sm").cast("double") / col("__ts").cast("double")).as("w_temp"),
+        (col("__sm").cast("double") / col("__ts").cast("double")
+          * lit(budgetTokens.toDouble) / col("n_tokens").cast("double"))
+          .as("eff_epochs"))
+  }
+
+  /** Greedy token-budget sampler driven by [[mixtureWeights]]: source s gets
+    * a token budget ⌊w_temp·totalBudget⌋; its documents are taken in salted-
+    * hash order (the [[stratifiedSample]] ordering — deterministic,
+    * partition-invariant) until the running token count reaches the budget.
+    * The document straddling the boundary is INCLUDED (cum-before < budget),
+    * so every non-empty budget takes at least one document. Returns the kept
+    * rows as (idCol, srcCol, n_tokens, budget_tokens).
+    *
+    * Scale: two corpus scans (one for the per-source totals — a
+    * map-side-combined agg to |sources| rows — one for the rows), a
+    * broadcast of the |sources|-row budget table, and ONE key shuffle for
+    * the per-source cumulative window. The explicit ROWS frame is the
+    * packSequences lesson: the default RANGE frame would fold peer rows on
+    * duplicate sort keys. */
+  def budgetSample(df: DataFrame, textCol: String, idCol: String, srcCol: String,
+                   totalBudget: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = mixtureWeights(df, textCol, srcCol, totalBudget)
+      .select(col(srcCol),
+        floor(col("w_temp") * lit(totalBudget.toDouble)).cast("long").as("budget_tokens"))
+    val win = Window.partitionBy(col(srcCol)).orderBy(col("__hk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(srcCol),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__hk", Fns.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .join(broadcast(budgets), srcCol)
+      .withColumn("__cum_before", sum(col("n_tokens")).over(win) - col("n_tokens"))
+      .filter(col("__cum_before") < col("budget_tokens"))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("budget_tokens"))
+  }
+
+  /** Oracle face of [[budgetSample]] (same salted-hash order and greedy
+    * boundary rule). */
+  def budgetSampleSql(tableE: String, textE: String, idE: String, srcE: String,
+                      totalBudget: Long, salt: String): String = {
+    val s = salt.replace("'", "''")
+    val mw = mixtureWeightsSql(tableE, textE, srcE, totalBudget)
+    val hk = Fns.hash60Sql(s"'$s'||CAST($idE AS VARCHAR)")
+    s"""WITH bs_w AS (SELECT source,
+       |    CAST(floor(w_temp * ${totalBudget.toDouble}) AS BIGINT) AS budget_tokens
+       |  FROM ($mw)),
+       |bs_d AS (SELECT $idE AS id, $srcE AS source,
+       |    CAST(len(regexp_split_to_array(trim($textE), '\\s+')) AS BIGINT) AS n_tokens,
+       |    $hk AS hk
+       |  FROM $tableE),
+       |bs_r AS (SELECT d.id, d.source, d.n_tokens, w.budget_tokens,
+       |    CAST(SUM(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.hk, d.id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - d.n_tokens AS cum_before
+       |  FROM bs_d d JOIN bs_w w USING (source))
+       |SELECT id, source, n_tokens, budget_tokens
+       |FROM bs_r WHERE cum_before < budget_tokens""".stripMargin
+  }
+
+  /** Oracle face of [[mixtureWeights]] — identical expression chains so every
+    * IEEE step matches. */
+  def mixtureWeightsSql(tableE: String, textE: String, srcE: String,
+                        budgetTokens: Long): String =
+    s"""WITH mw_n AS (SELECT $srcE AS source,
+       |    CAST(SUM(len(regexp_split_to_array(trim($textE), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM $tableE GROUP BY 1),
+       |mw_q AS (SELECT source, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS sm
+       |  FROM mw_n),
+       |mw_t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
+       |         CAST(SUM(sm) AS BIGINT) AS ts FROM mw_q)
+       |SELECT source, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE) AS w_prop,
+       |  CAST(sm AS DOUBLE) / CAST(ts AS DOUBLE) AS w_temp,
+       |  CAST(sm AS DOUBLE) / CAST(ts AS DOUBLE)
+       |    * ${budgetTokens.toDouble} / CAST(n_tokens AS DOUBLE) AS eff_epochs
+       |FROM mw_q, mw_t""".stripMargin
 }

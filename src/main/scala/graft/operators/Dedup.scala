@@ -83,17 +83,24 @@ object Dedup {
     * count window over the same (band, sig) key the join shuffles on — no
     * extra shuffle. Default = no cap (exact LSH semantics).
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        bands: Int, rows: Int,
-                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (id, band, sig) banded signatures from [[minhashSignature]] columns —
+    * the LSH bucketing key, shared by [[lshCandidatePairs]] (intra-corpus
+    * pairs) and [[incrementalDedup]] (batch-vs-corpus membership). */
+  def bandedSignatures(sig: DataFrame, idCol: String,
+                       bands: Int, rows: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val ms = (1 to rows).map(r => col(s"m${b * rows + r}"))
       struct(lit(b + 1).as("band"), concat_ws("_", ms: _*).as("sig"))
     }
-    val exploded0 = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        bands: Int, rows: Int,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded0 = bandedSignatures(sig, idCol, bands, rows)
     val exploded =
       if (maxBucketSize == Int.MaxValue) exploded0
       else {
@@ -108,6 +115,37 @@ object Dedup {
               col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Incremental (batch-vs-corpus) dedup — the crawl-ingest path: drop rows
+    * of `newDf` that exact-duplicate (same md5 digest) or near-duplicate
+    * (any shared LSH band signature) a document already in `oldDf`, WITHOUT
+    * re-clustering the existing corpus. Returns the surviving `newDf` rows.
+    *
+    * Scale: this is the operation that keeps ingest O(batch), not O(corpus).
+    * The corpus side collapses to its distinct digests and distinct
+    * (band, sig) keys — both tiny relative to the text, both precomputable
+    * and storable as the corpus's standing "dedup index". The two rejection
+    * passes are a digest-keyed anti-join and a (band,sig)-keyed semi-join →
+    * anti-join, all runtime-filter friendly; batch text never shuffles (the
+    * digest and signature are computed in the scan stage). Intra-batch
+    * duplicates are NOT removed here — run [[dropExactDuplicates]] /
+    * [[lshCandidatePairs]] within the batch for that. */
+  def incrementalDedup(newDf: DataFrame, oldDf: DataFrame, textCol: String,
+                       idCol: String, k: Int, w: Int,
+                       bands: Int, rows: Int): DataFrame = {
+    val oldDigests = oldDf.select(md5(col(textCol)).as("__digest")).distinct()
+    val s1 = newDf.withColumn("__digest", md5(col(textCol)))
+      .join(oldDigests, Seq("__digest"), "left_anti")
+      .drop("__digest")
+    val oldBands = bandedSignatures(
+        minhashSignature(oldDf, textCol, idCol, k, w), idCol, bands, rows)
+      .select(col("band"), col("sig")).distinct()
+    val hitIds = bandedSignatures(
+        minhashSignature(s1, textCol, idCol, k, w), idCol, bands, rows)
+      .join(oldBands, Seq("band", "sig"), "left_semi")
+      .select(col(idCol)).distinct()
+    s1.join(hitIds, Seq(idCol), "left_anti")
   }
 
   /** Duplicate clustering: connected components over candidate/verified

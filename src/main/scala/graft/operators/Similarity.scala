@@ -638,4 +638,82 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---- margin-based bitext mining ------------------------------------------
+
+  /** Margin scoring over a candidate pair table (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining"; the CCMatrix/LASER alignment
+    * criterion): a pair's raw cosine is normalized by the average similarity
+    * of each side's k nearest neighbors, demoting hub vectors that are close
+    * to everything. `pairs` must carry (a_id, b_id, c_micro) where c_micro =
+    * ⌊cos·1e6⌋ — the integer quantization keeps every sum below exact and
+    * both engines' margins bit-identical (the q87 trick applied to cosines).
+    *
+    * margin(a,b) = cos(a,b) / ((avgₖ(a) + avgₖ(b)) / 2), computed as
+    * 2·c·ka·kb / (sa·kb + sb·ka) with one final IEEE division. Output: per
+    * a_id its best b_id by (margin, b_id) — (a_id, b_id, c_micro, margin).
+    *
+    * Scale: both top-k passes are rank-≤-k filters that compile to
+    * WindowGroupLimit (per-task truncation before the key shuffle); the
+    * margin join is two id-keyed equi-joins against k-bounded aggregates.
+    * The pair table itself is the pluggable stage: brute-force here at test
+    * scale ([[bitextMargin]]), LSH/IVF candidates at 100 TB — the scoring
+    * math is identical. */
+  def marginFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def topSum(keyCol: String, tieCol: String, sumName: String, cntName: String) = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("c_micro").desc, col(tieCol))
+      pairs.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+        .groupBy(col(keyCol))
+        .agg(sum(col("c_micro")).as(sumName), count(lit(1)).as(cntName))
+    }
+    val sa = topSum("a_id", "b_id", "__sa", "__ka")
+    val sb = topSum("b_id", "a_id", "__sb", "__kb")
+    val scored = pairs.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"), col("c_micro"),
+        ((lit(2L) * col("c_micro") * col("__ka") * col("__kb")).cast("double")
+          / (col("__sa") * col("__kb") + col("__sb") * col("__ka")).cast("double"))
+          .as("margin"))
+    val wBest = Window.partitionBy(col("a_id")).orderBy(col("margin").desc, col("b_id"))
+    scored.withColumn("__rk", row_number().over(wBest)).filter(col("__rk") === 1)
+      .select(col("a_id"), col("b_id"), col("c_micro"), col("margin"))
+  }
+
+  /** Brute-force face of [[marginFromPairs]]: all a×b cosines via the fused
+    * codegen kernel, b broadcast (test-scale; swap the pair stage for ANN
+    * candidates at scale). */
+  def bitextMargin(a: DataFrame, b: DataFrame, vecCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    val pairs = pa.crossJoin(broadcast(pb))
+      .select(col("a_id"), col("b_id"),
+        floor(VectorExprs.cosineF(col("__va"), col("__vb")) * lit(1e6))
+          .cast("long").as("c_micro"))
+    marginFromPairs(pairs, k)
+  }
+
+  /** Oracle face of [[bitextMargin]]: `aCte`/`bCte` expose (id, v); emits
+    * CTEs ending in `bm_best` = (a_id, b_id, c_micro, margin, rk) with rk=1
+    * rows matching the operator's output. */
+  def bitextMarginSql(aCte: String, bCte: String, k: Int): String = {
+    val cos = Fns.cosineSql(Fns.vecDSql("a.v"), Fns.vecDSql("b.v"))
+    s"""bm_p AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(floor($cos * 1e6) AS BIGINT) AS c_micro
+       |  FROM ($aCte) a, ($bCte) b),
+       |bm_sa AS (SELECT a_id, SUM(c_micro) AS sa, COUNT(*) AS ka FROM (
+       |    SELECT a_id, c_micro, row_number() OVER (
+       |      PARTITION BY a_id ORDER BY c_micro DESC, b_id) AS rk FROM bm_p)
+       |  WHERE rk <= $k GROUP BY 1),
+       |bm_sb AS (SELECT b_id, SUM(c_micro) AS sb, COUNT(*) AS kb FROM (
+       |    SELECT b_id, c_micro, row_number() OVER (
+       |      PARTITION BY b_id ORDER BY c_micro DESC, a_id) AS rk FROM bm_p)
+       |  WHERE rk <= $k GROUP BY 1),
+       |bm_m AS (SELECT p.a_id, p.b_id, p.c_micro,
+       |    CAST(2 * p.c_micro * sa.ka * sb.kb AS DOUBLE)
+       |      / CAST(sa.sa * sb.kb + sb.sb * sa.ka AS DOUBLE) AS margin
+       |  FROM bm_p p JOIN bm_sa sa USING (a_id) JOIN bm_sb sb USING (b_id)),
+       |bm_best AS (SELECT a_id, b_id, c_micro, margin, row_number() OVER (
+       |    PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk FROM bm_m)""".stripMargin
+  }
 }

@@ -22,6 +22,11 @@ object CurationQueries {
   val MixRates: Map[String, Int] = (0 until 20).map(i => s"src$i" -> (90 - 4 * i)).toMap
   val MixDefault = 50
   val MixSalt = "mix"
+  // q112 token budget the eff_epochs column is quoted against (1B tokens)
+  val MixBudget = 1000000000L
+  // q113 sampler budget: binds at both gate SFs (sf0.01 ≈ 25k corpus tokens)
+  val SampleBudget = 20000L
+  val BudgetSalt = "bs113"
 
   /** Blocklist for q75 (exact + subdomain matching, case-insensitive). */
   val UrlBlocklist: Seq[String] = Seq("spam.example.com", "ads.example.net")
@@ -765,6 +770,41 @@ object CurationQueries {
     }) { (s, dir) =>
       Curation.removeDupSpans(Tables.load(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy("doc_id")
+    },
+
+    // ---- temperature mixture weights (α = 1/2) ----------------------------
+    // The multilingual-LM mixture rule: w_s ∝ n_s^α up-weights small sources.
+    // α is pinned to 1/2 because sqrt is correctly rounded in both engines
+    // (pow is not); numerators are ⌊·1e6⌋-quantized and summed as exact
+    // int64, so every weight is one identical IEEE division in both engines.
+    Q("q112_mixture_weights", {
+      val mw = Curation.mixtureWeightsSql("documents", "text", "source", MixBudget)
+      s"SELECT * FROM ($mw) ORDER BY source"
+    }) { (s, dir) =>
+      Curation.mixtureWeights(Tables.load(s, dir, "documents"), "text", "source",
+          MixBudget)
+        .orderBy("source")
+    },
+
+    // ---- greedy token-budget sampler (q112's weights driving a sampler) ---
+    // Each source gets ⌊w_temp·budget⌋ tokens; docs are taken in salted-hash
+    // order until the running count reaches it (boundary doc included). The
+    // summary reports kept docs/tokens against each budget — kept_tokens
+    // tracks budget_tokens to within one document's length.
+    Q("q113_budget_sample", {
+      val bs = Curation.budgetSampleSql("documents", "text", "doc_id", "source",
+        SampleBudget, BudgetSalt)
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+         |  MIN(budget_tokens) AS budget_tokens
+         |FROM ($bs) GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      Curation.budgetSample(Tables.load(s, dir, "documents"), "text", "doc_id",
+          "source", SampleBudget, BudgetSalt)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"),
+          min("budget_tokens").as("budget_tokens"))
+        .orderBy("source")
     }
   )
 }

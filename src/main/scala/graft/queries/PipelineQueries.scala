@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
 import graft.Tables
 import graft.functions.Fns
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Sketches, Tessellation, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Sketches, TableStats, Tessellation, TextAnalysis}
 import graft.streaming.Streams
 
 /** North-star packs: tessellation (G1-G3), dedup, similarity search, text
@@ -23,6 +23,11 @@ object PipelineQueries {
   // q110 count-min sketch shape: ε ≈ e/width ≈ 0.13%, δ ≈ e^-4 ≈ 1.8%
   val CmsDepth = 4
   val CmsWidth = 2048
+  // q111 margin normalization neighborhood
+  val BitextK = 4
+  // q115 profiled columns (int/string only — doubles need a DECIMAL cast
+  // first; raw double→string formatting is not cross-engine stable)
+  val ProfileCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
   val MinhashK = 8
   val Bands = 4
   val RowsPerBand = 2
@@ -42,6 +47,16 @@ object PipelineQueries {
         }.mkString("\nUNION ALL ")}),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band=b.band AND a.sig=b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Banded-minhash CTE chain over an arbitrary (doc_id, text) CTE —
+    * the parameterized form of [[mhCte]]'s sh/mh/bands stages; emits
+    * `${p}sh`/`${p}mh`/`${p}bands`. */
+  private def bandsCtesSql(p: String, fromCte: String): String =
+    s"""${p}sh AS (SELECT doc_id, $shinglesSql AS gs FROM $fromCte),
+       |${p}mh AS (SELECT doc_id, ${(1 to MinhashK).map(mhExprSql).mkString(",\n  ")} FROM ${p}sh),
+       |${p}bands AS (${(0 until Bands).map { b =>
+          s"SELECT doc_id, ${b + 1} AS band, m${b * RowsPerBand + 1}||'_'||m${b * RowsPerBand + 2} AS sig FROM ${p}mh"
+        }.mkString("\nUNION ALL ")})""".stripMargin
 
   private def cosSql(aE: String, bE: String): String =
     Fns.cosineSql(Fns.vecDSql(aE), Fns.vecDSql(bE))
@@ -1156,6 +1171,69 @@ object PipelineQueries {
           "term")
         .select(col("term"), col("exact_n"), col("cms_est"))
         .orderBy(col("exact_n").desc, col("term"))
+    },
+
+    // ---- similarity: margin-based bitext mining ---------------------------
+    // The CCMatrix/LASER parallel-pair criterion: cosine normalized by each
+    // side's k-NN average demotes hub vectors. Cosines are ⌊·1e6⌋-quantized
+    // (q87 trick) so the k-NN sums are exact integers and the single final
+    // IEEE division makes both engines' margins bit-identical. Even/odd
+    // vec_id halves stand in for the two languages; the pair stage is
+    // brute-force here, ANN candidates at scale (marginFromPairs is the
+    // shared scoring math; its rank filters compile to WindowGroupLimit).
+    Q("q111_bitext_margin", {
+      val aCte = "SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0"
+      val bCte = "SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 1"
+      s"""WITH ${Similarity.bitextMarginSql(aCte, bCte, BitextK)}
+         |SELECT a_id, b_id, c_micro, margin FROM bm_best WHERE rk = 1
+         |ORDER BY margin DESC, a_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bitextMargin(
+          emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+          "embedding", "vec_id", BitextK)
+        .orderBy(col("margin").desc, col("a_id")).limit(20)
+    },
+
+    // ---- dedup: incremental batch-vs-corpus (the crawl-ingest path) -------
+    // Drop new-batch docs (source <> src0) that exact-duplicate (md5) or
+    // near-duplicate (shared LSH band) the existing corpus (src0), WITHOUT
+    // re-clustering the corpus: the corpus collapses to its distinct digests
+    // and (band,sig) keys — the standing "dedup index" that keeps ingest
+    // O(batch), not O(corpus).
+    Q("q114_incremental_dedup", {
+      s"""WITH idd_old AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |idd_new AS (SELECT doc_id, text, source FROM documents WHERE source <> 'src0'),
+         |idd_s1 AS (SELECT n.doc_id, n.text, n.source FROM idd_new n
+         |  WHERE NOT EXISTS (SELECT 1 FROM idd_old o WHERE md5(o.text) = md5(n.text))),
+         |${bandsCtesSql("idd_o_", "idd_old")},
+         |${bandsCtesSql("idd_n_", "idd_s1")},
+         |idd_hits AS (SELECT DISTINCT n.doc_id FROM idd_n_bands n
+         |  JOIN idd_o_bands o ON n.band = o.band AND n.sig = o.sig)
+         |SELECT doc_id, source FROM idd_s1 s
+         |WHERE NOT EXISTS (SELECT 1 FROM idd_hits h WHERE h.doc_id = s.doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+          "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // ---- ANALYZE-style column profile -------------------------------------
+    // The statistics pass over a new data drop: per-column rows/nulls/exact
+    // distincts and lexicographic min/max, ONE scan for all columns (the
+    // exact COUNT(DISTINCT)s ride Spark's Expand; swap to
+    // approx_count_distinct at 100 TB for HLL partials with the same output
+    // shape). String-cast min/max keeps the report engine-portable across
+    // int/string columns.
+    Q("q115_profile_stats",
+      s"""SELECT * FROM (
+         |${TableStats.profileSql("customer", ProfileCols)})
+         |ORDER BY column_name""".stripMargin) { (s, dir) =>
+      TableStats.profile(Tables.load(s, dir, "customer"), ProfileCols)
+        .orderBy("column_name")
     }
   )
 }

@@ -325,4 +325,44 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(out.toSeq == Seq((1L, 3L, 3L, "a b c"), (2L, 3L, 0L, "")))
   }
+
+  test("mixtureWeights: sqrt temperature up-weights the small source") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i", "big"),   // 9 tokens
+      (2L, "x", "small")                  // 1 token
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.mixtureWeights(docs, "text", "source", budgetTokens = 100L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // sqrt(9):sqrt(1) = 3:1 -> w_temp 0.75/0.25 (vs w_prop 0.9/0.1);
+    // eff_epochs = w_temp * 100 / n_tokens
+    assert(out.toSeq == Seq(
+      ("big", 9L, 0.9, 0.75, 0.75 * 100 / 9),
+      ("small", 1L, 0.1, 0.25, 25.0)))
+  }
+
+  test("budgetSample: greedy prefix respects the boundary rule and partitioning") {
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(10)("w").mkString(" "), if (i <= 20) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    // equal sources -> w_temp = 0.5 each -> 100-token budget per source
+    val out = Curation.budgetSample(docs, "text", "doc_id", "source", 200L, "s")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.keySet == Set("a", "b"))
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.forall(_._4 == 100L))
+      val kept = rows.map(_._3).sum
+      // greedy: kept reaches the budget, overshooting by less than one doc
+      assert(kept >= 100L && kept - 10L < 100L)
+    }
+    // partition-invariant selection
+    val ids = out.map(_._2).toSet
+    val ids7 = Curation.budgetSample(docs.repartition(7), "text", "doc_id",
+      "source", 200L, "s").collect().map(_.getLong(0)).toSet
+    assert(ids == ids7)
+    // a budget covering everything keeps everything
+    assert(Curation.budgetSample(docs, "text", "doc_id", "source", 100000L, "s")
+      .count() == 40L)
+  }
 }

@@ -388,4 +388,21 @@ class PipelineSpec extends AnyFunSuite {
       (30L, 3L, 0L, 1.0 / 63),
       (40L, 0L, 2L, 1.0 / 62)))
   }
+
+  test("incrementalDedup: digest kills copies, LSH kills near-dups, fresh survives") {
+    import graft.operators.Dedup
+    val old = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact copy
+      (11L, "alpha  beta gamma delta epsilon zeta eta  theta"), // ws-perturbed:
+      // different md5, IDENTICAL shingle set (split on \\s+) -> every LSH
+      // band matches -> caught by the near-dup pass, not the digest pass
+      (12L, "one two three four five six seven eight")          // fresh
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(nw, old, "text", "doc_id",
+        k = 8, w = 2, bands = 4, rows = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+  }
 }

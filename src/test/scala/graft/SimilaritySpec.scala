@@ -216,4 +216,27 @@ class SimilaritySpec extends AnyFunSuite {
       Seq((1L, 0, 2L, 3000000L, 1500000.0), (1L, 1, 2L, -250000L, -125000.0),
           (2L, 0, 1L, -1000000L, -1000000.0), (2L, 1, 1L, 0L, 0.0)))
   }
+
+  test("marginFromPairs: hub neighbors are demoted below exclusive matches") {
+    // b1 is a hub (high cosine to every a); b2 matches only a1. Raw cosine
+    // prefers b1 for a1 (90 > 89); the margin criterion flips to b2.
+    val pairs = Seq(
+      (1L, 10L, 90L), (1L, 20L, 89L),
+      (2L, 10L, 95L), (2L, 20L, 10L),
+      (3L, 10L, 96L), (3L, 20L, 11L)).toDF("a_id", "b_id", "c_micro")
+    val best = Similarity.marginFromPairs(pairs, k = 2)
+      .orderBy("a_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(best.head == ((1L, 20L)))
+    // hub-free sides keep their raw-cosine winner
+    assert(best.toSeq.drop(1) == Seq((2L, 10L), (3L, 10L)))
+  }
+
+  test("marginFromPairs: rank filters compile to WindowGroupLimit") {
+    val pairs = Seq((1L, 10L, 90L), (1L, 20L, 80L), (2L, 10L, 70L))
+      .toDF("a_id", "b_id", "c_micro")
+    val plan = Similarity.marginFromPairs(pairs, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
 }
