@@ -148,6 +148,79 @@ object Dedup {
     s1.join(hitIds, Seq(idCol), "left_anti")
   }
 
+  /** PageRank over the undirected duplicate-pair graph (pairs as produced by
+    * [[lshCandidatePairs]]: (id_a, id_b), id_a < id_b) — node centrality in
+    * the duplication graph ranks the template/boilerplate hubs that
+    * connected components ([[duplicateClusters]]) lumps into one label.
+    *
+    * Every iteration is micro-quantized so partial-agg ordering cannot
+    * drift: contributions are ⌊pr_micro/deg⌋ (one IEEE division each), the
+    * neighbor sum is exact int64, and the damped update is base +
+    * ⌊d·sum⌋ (one multiply). Both engines run the identical chain, so ranks
+    * hash-match exactly after any number of rounds. Quantization floor-loss
+    * (≤1 micro-unit per hop) is far below any ranking-relevant signal.
+    *
+    * Scale: the classic edges-only iteration — each round shuffles
+    * (dst, int64) contributions keyed by node, partial-aggregated map-side;
+    * node state is (id, deg, pr_micro). Degrees and the node count are
+    * computed once; the |V|-row count rides a broadcast. `iters` is a fixed
+    * small constant (rank separation, not convergence, is the goal). */
+  def pageRankMicro(pairs: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    // Fold (1-d)*1e6 HERE and splice the folded literal into both faces —
+    // in-SQL folding would be DuckDB DECIMAL math, not this IEEE product
+    // (the BM25 lesson).
+    val baseNum = (1.0 - damping) * 1000000.0
+    var pr = nodes.crossJoin(nRow)
+      .select(col("id"), col("deg"),
+        floor(lit(1000000.0) / col("__n").cast("double")).cast("long").as("pr_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = pr
+        .select(col("id").as("__cid"),
+          floor(col("pr_micro").cast("double") / col("deg").cast("double"))
+            .cast("long").as("__c"))
+        .join(edges, col("__cid") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__s"))
+        .select(col("dst").as("id"), col("__s"))
+      pr = nodes.join(contrib, Seq("id"), "left").crossJoin(nRow)
+        .select(col("id"), col("deg"),
+          (floor(lit(baseNum) / col("__n").cast("double")).cast("long")
+            + floor(lit(damping) * coalesce(col("__s"), lit(0L)).cast("double"))
+                .cast("long")).as("pr_micro"))
+    }
+    pr.select(col("id"), col("pr_micro"))
+  }
+
+  /** Oracle face of [[pageRankMicro]]: unrolled CTE chain over a `pairsCte`
+    * exposing (id_a, id_b); ends in `prr$iters` = (id, deg, pr). */
+  def pageRankMicroSql(pairsCte: String, iters: Int, damping: Double = 0.85): String = {
+    val dE = s"CAST(${damping} AS DOUBLE)"
+    val baseE = s"CAST(${(1.0 - damping) * 1000000.0} AS DOUBLE)"
+    val head =
+      s"""pr_e AS (SELECT id_a AS src, id_b AS dst FROM $pairsCte
+         |         UNION ALL SELECT id_b, id_a FROM $pairsCte),
+         |pr_d AS (SELECT src AS id, COUNT(*) AS deg FROM pr_e GROUP BY 1),
+         |pr_n AS (SELECT COUNT(*) AS n FROM pr_d),
+         |prr0 AS (SELECT id, deg,
+         |    CAST(floor(CAST(1000000.0 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS pr
+         |  FROM pr_d, pr_n)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""prc$i AS (SELECT e.dst AS id,
+         |    CAST(SUM(CAST(floor(CAST(p.pr AS DOUBLE) / CAST(p.deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+         |  FROM prr${i - 1} p JOIN pr_e e ON p.id = e.src GROUP BY 1),
+         |prr$i AS (SELECT d.id, d.deg,
+         |    CAST(floor($baseE / CAST(n AS DOUBLE)) AS BIGINT)
+         |      + CAST(floor($dE * CAST(COALESCE(c.s, 0) AS DOUBLE)) AS BIGINT) AS pr
+         |  FROM pr_d d LEFT JOIN prc$i c USING (id), pr_n)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** Duplicate clustering: connected components over candidate/verified
     * pairs — every document labeled with the smallest doc id reachable
     * through the pair graph (the cluster's canonical survivor).

@@ -28,6 +28,8 @@ object PipelineQueries {
   // q115 profiled columns (int/string only — doubles need a DECIMAL cast
   // first; raw double→string formatting is not cross-engine stable)
   val ProfileCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+  // q117 PageRank rounds (rank separation, not convergence, is the goal)
+  val PrIters = 3
   val MinhashK = 8
   val Bands = 4
   val RowsPerBand = 2
@@ -1221,6 +1223,85 @@ object PipelineQueries {
         .select("doc_id", "source").orderBy("doc_id")
     },
 
+    // ---- events: TRUE STREAMING CDC snapshot, oracle-checked --------------
+    // The fifth real-streaming-engine query: q108's changelog compaction run
+    // by Structured Streaming — file-source readStream over events →
+    // per-key max(struct(ts, event_id, ...)) (last-writer-wins as a plain
+    // streaming-supported agg: the struct's (ts, event_id) prefix is the
+    // write-order key, so max IS the newest row — no window needed in
+    // streaming) → tombstone filter AFTER the winner is chosen (an older
+    // upsert must not resurrect a deleted key) → complete-mode foreachBatch
+    // sink under AvailableNow, sink read back as the declared result. The
+    // oracle is q108's snapshot builder — the streaming run must land on the
+    // batch-identical snapshot. At scale the same topology tails the
+    // changelog unbounded in update mode; state is one struct per live key.
+    Q("q116_streaming_cdc", {
+      val base = "(SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, value FROM events)"
+      val snap = EventOps.latestSnapshotSql(base, "user_id", "ts", "event_id",
+        "event_type", "error")
+      s"""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+         |  event_type AS last_type, value AS last_value
+         |FROM ($snap) ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = new graft.Session.Scratch
+      val sink = s"${scratch.dir}/stream_cdc"
+      val chk = s"${scratch.dir}/chk"
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val noDataPrev = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "false")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(Tables.path(dir, "events")).schema
+        val events = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val query = events
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("__w"))
+          .select(col("user_id"), col("__w.event_id").as("last_event_id"),
+            col("__w.ts").as("last_ts"), col("__w.event_type").as("last_type"),
+            col("__w.value").as("last_value"))
+          .filter(col("last_type") =!= "error")
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(sink)
+          }
+          .start()
+        query.awaitTermination()
+      } finally noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None => s.conf.unset(noDataKey)
+      }
+      s.read.parquet(sink).orderBy("user_id")
+    },
+
+    // ---- dedup: PageRank centrality over the duplicate-pair graph ---------
+    // Ranks the template/boilerplate hubs that connected components (q37)
+    // lumps into one label: a doc near-duplicating many others outranks a
+    // leaf of the same cluster. Three damped rounds, each micro-quantized
+    // (⌊pr/deg⌋ contributions, exact int64 neighbor sums, base + ⌊d·sum⌋)
+    // so both engines' ranks match bit-for-bit.
+    Q("q117_dup_pagerank", {
+      s"""$mhCte,
+         |${Dedup.pageRankMicroSql("pairs", PrIters)}
+         |SELECT id AS doc_id, pr AS pr_micro FROM prr$PrIters
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", MinhashK, ShingleW)
+      Dedup.pageRankMicro(Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand),
+          PrIters)
+        .select(col("id").as("doc_id"), col("pr_micro"))
+        .orderBy("doc_id")
+    },
+
     // ---- ANALYZE-style column profile -------------------------------------
     // The statistics pass over a new data drop: per-column rows/nulls/exact
     // distincts and lexicographic min/max, ONE scan for all columns (the
@@ -1234,6 +1315,27 @@ object PipelineQueries {
          |ORDER BY column_name""".stripMargin) { (s, dir) =>
       TableStats.profile(Tables.load(s, dir, "customer"), ProfileCols)
         .orderBy("column_name")
+    },
+
+    // ---- sources: JSONL round trip ----------------------------------------
+    // LLM corpora live on JSON-lines: write the documents table out as
+    // JSONL (splittable per line — each task reads its byte range to the
+    // next newline, so a 100 TB landing folder parallelizes like parquet;
+    // use zstd per-file at rest, never one giant gzip member) and read it
+    // back with an EXPLICIT schema (inference is a second full scan and
+    // type-drifts on empty partitions). The oracle is the original parquet
+    // table — the declared result must survive the text round trip
+    // byte-for-byte, escapes and all.
+    Q("q118_jsonl_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val path = s"${scratch.dir}/docs_jsonl"
+      val docs = Tables.load(s, dir, "documents")
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }
   )
 }

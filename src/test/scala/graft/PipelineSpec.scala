@@ -405,4 +405,21 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(12L))
   }
+
+  test("pageRankMicro: hand-computed one-round values on a path graph") {
+    import graft.operators.Dedup
+    // path 1-2-3: deg = (1,2,1), N = 3, pr0 = 333333
+    // contribs: s(1)=s(3)=floor(333333/2)=166666, s(2)=333333+333333
+    // base = floor(((1-0.85)*1e6)/3) = 50000
+    // pr1(1) = pr1(3) = 50000 + floor(0.85*166666) = 50000+141666 = 191666
+    // pr1(2) = 50000 + floor(0.85*666666) = 50000+566666 = 616666
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.pageRankMicro(pairs, iters = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 191666L), (2L, 616666L), (3L, 191666L)))
+    // more rounds keep the symmetry and the hub on top
+    val r3 = Dedup.pageRankMicro(pairs, iters = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r3(0)._2 == r3(2)._2 && r3(1)._2 > r3(0)._2)
+  }
 }
