@@ -580,6 +580,49 @@ object Curation {
     df.filter(hashBucket(col(idCol), salt) < pct)
   }
 
+  // ---- sliding-window chunking --------------------------------------------
+  /** Overlapping fixed-window chunking (the embedding-model context-window
+    * cut, stride < chunk ⇒ overlap): chunk i of a document covers tokens
+    * [i·stride, i·stride + chunkTokens), starts at every multiple of stride
+    * below the token count (tail chunks may be short; every document emits
+    * ≥ 1 chunk). Output: (idCol, chunk_idx, start_tok, n_chunk_tokens,
+    * chunk_text).
+    *
+    * Scale: a per-row Generate in the scan stage — no shuffle, no state; the
+    * 1→⌈n/stride⌉ fan-out is the output's size, not an intermediate. */
+  def chunkSliding(df: DataFrame, textCol: String, idCol: String,
+                   chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens > 0)
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("__t"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), ((size(col("__t")) - 1) / lit(stride)).cast("int")),
+        i => {
+          val c = slice(col("__t"), i * stride + 1, lit(chunkTokens))
+          struct((i * stride).as("start_tok"),
+            size(c).cast("long").as("n_chunk_tokens"),
+            array_join(c, " ").as("chunk_text"))
+        })))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col.start_tok").cast("long").as("start_tok"),
+        col("col.n_chunk_tokens").as("n_chunk_tokens"),
+        col("col.chunk_text").as("chunk_text"))
+  }
+
+  /** Oracle face of [[chunkSliding]] (1-based slice, same start grid). */
+  def chunkSlidingSql(tableE: String, textE: String, idE: String,
+                      chunkTokens: Int, stride: Int): String =
+    s"""WITH cs_t AS (SELECT $idE AS id,
+       |    regexp_split_to_array(trim($textE), '\\s+') AS t FROM $tableE),
+       |cs_i AS (SELECT id, t, unnest(generate_series(0,
+       |    CAST(floor((CAST(len(t) AS DOUBLE) - 1.0) / $stride) AS INT))) AS i
+       |  FROM cs_t)
+       |SELECT id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(i * $stride AS BIGINT) AS start_tok,
+       |  CAST(len(t[i * $stride + 1 : i * $stride + $chunkTokens]) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(t[i * $stride + 1 : i * $stride + $chunkTokens], ' ') AS chunk_text
+       |FROM cs_i""".stripMargin
+
   // ---- temperature mixture weights ----------------------------------------
   /** Temperature-scaled sampling weights (the multilingual-LM mixture rule,
     * Conneau & Lample 2019 §3.1 / Raffel et al. 2020 §3.4.3 at α = 1/2):

@@ -27,6 +27,9 @@ object CurationQueries {
   // q113 sampler budget: binds at both gate SFs (sf0.01 ≈ 25k corpus tokens)
   val SampleBudget = 20000L
   val BudgetSalt = "bs113"
+  // q119 chunk grid: 64-token windows every 32 tokens (50% overlap)
+  val ChunkTokens = 64
+  val ChunkStride = 32
 
   /** Blocklist for q75 (exact + subdomain matching, case-insensitive). */
   val UrlBlocklist: Seq[String] = Seq("spam.example.com", "ads.example.net")
@@ -804,6 +807,73 @@ object CurationQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"),
           min("budget_tokens").as("budget_tokens"))
+        .orderBy("source")
+    },
+
+    // ---- sliding-window chunking (embedding-model context cut) ------------
+    // 64-token chunks every 32 tokens (50% overlap); chunk text re-emitted
+    // so the oracle hash-checks the cut corpus byte-for-byte. Pure per-row
+    // Generate in the scan stage — no shuffle, no state.
+    Q("q119_chunk_overlap", {
+      val cs = Curation.chunkSlidingSql("documents", "text", "doc_id",
+        ChunkTokens, ChunkStride)
+      s"""SELECT id AS doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text
+         |FROM ($cs) ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, dir) =>
+      Curation.chunkSliding(Tables.load(s, dir, "documents"), "text", "doc_id",
+          ChunkTokens, ChunkStride)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- per-source KL divergence vs the corpus distribution --------------
+    // KL(p_source ‖ p_corpus) over unigram term distributions — the
+    // mixture-design drift signal q104's entropy doesn't give (entropy says
+    // "diverse", KL says "diverse AND different from the pool"). Per-term
+    // contributions are ⌊·1e9⌋-quantized nano-nats (ratios formed from
+    // exact int64 products, ONE ln + two IEEE multiplies per term), so the
+    // per-source sum is order-independent and hash-exact. p_source is
+    // absolutely continuous wrt p_corpus by construction (every source term
+    // is a corpus term), so no term needs smoothing. NO pretty '%.6f'
+    // column: nano÷1e9 lands EXACTLY on 6-decimal midpoints whenever the
+    // int ends in 500, and Java %.6f (shortest-repr HALF_UP) then rounds up
+    // while C printf (exact binary expansion) rounds down — found as a 1-ulp
+    // sf0.1 hash miss. q104 survives its printf because it divides by a
+    // non-power-of-10 total first; dividing an integer by a pure 10^k is
+    // the midpoint-prone case.
+    Q("q120_source_kl", {
+      val wordsE = "regexp_extract_all(lower(text), '[a-z]+')"
+      s"""WITH kl_t AS (SELECT source, unnest($wordsE) AS term FROM documents),
+         |kl_s AS (SELECT source, term, COUNT(*) AS tf FROM kl_t GROUP BY source, term),
+         |kl_ns AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS ns,
+         |    COUNT(*) AS n_terms FROM kl_s GROUP BY source),
+         |kl_c AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM kl_s GROUP BY term),
+         |kl_nc AS (SELECT CAST(SUM(ns) AS BIGINT) AS nc FROM kl_ns),
+         |kl_x AS (SELECT s.source,
+         |    CAST(FLOOR(ln(CAST(s.tf * nc AS DOUBLE) / CAST(c.cf * n.ns AS DOUBLE))
+         |      * (CAST(s.tf AS DOUBLE) / CAST(n.ns AS DOUBLE)) * 1e9) AS BIGINT) AS c_nano
+         |  FROM kl_s s JOIN kl_c c USING (term) JOIN kl_ns n USING (source), kl_nc),
+         |kl_sum AS (SELECT source, CAST(SUM(c_nano) AS BIGINT) AS kl_sum_nano
+         |  FROM kl_x GROUP BY source)
+         |SELECT source, n_terms, ns AS n_tokens, kl_sum_nano
+         |FROM kl_sum JOIN kl_ns USING (source) ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val ns = tf.groupBy("source")
+        .agg(sum(col("tf")).cast("long").as("ns"), count(lit(1)).as("n_terms"))
+      val cf = tf.groupBy("term").agg(sum(col("tf")).cast("long").as("cf"))
+      val nc = broadcast(ns.agg(sum(col("ns")).cast("long").as("nc")))
+      val contrib = tf.join(cf, "term").join(ns, "source").crossJoin(nc)
+        .select(col("source"),
+          floor(log((col("tf") * col("nc")).cast("double")
+              / (col("cf") * col("ns")).cast("double"))
+            * (col("tf").cast("double") / col("ns").cast("double")) * lit(1e9))
+            .cast("long").as("c_nano"))
+      contrib.groupBy("source").agg(sum(col("c_nano")).as("kl_sum_nano"))
+        .join(ns, "source")
+        .select(col("source"), col("n_terms"), col("ns").as("n_tokens"),
+          col("kl_sum_nano"))
         .orderBy("source")
     }
   )

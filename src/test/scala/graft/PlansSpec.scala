@@ -202,4 +202,21 @@ class PlansSpec extends AnyFunSuite {
     val plan = formatted(spark.table("plan_probe_layer").select("p_partkey"))
     assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]"), plan)
   }
+
+  test("incremental dedup: no exchange ever carries the batch text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      val kept = Dedup.incrementalDedup(
+        docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+        "text", "doc_id", k = 8, w = 5, bands = 4, rows = 2)
+      val plan = kept.queryExecution.executedPlan
+      // rejection keys (digests, band sigs, ids) may shuffle; text never does
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name)
+      }
+      exchanges.foreach(cols => assert(!cols.contains("text"), exchanges.toString))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }
