@@ -503,6 +503,45 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < pct)
 
+  // ---- deterministic epoch shuffle ----------------------------------------
+  /** Deterministic training-epoch shuffle: each row gets a shard
+    * (hash60(salt||id) mod `nShards`) and a dense 0-based position within its
+    * shard (rank by (hash, id) — a total order). The layout is a pure
+    * function of (salt, id): partitioning/retry-immune, auditable in the
+    * oracle, and a new salt is a fresh epoch permutation — the
+    * "globally shuffled corpus" a trainer streams, without ever sorting the
+    * corpus globally.
+    *
+    * Scale: shard assignment is a per-row scalar; the position rank is a
+    * PARTITIONED window (one shuffle keyed by shard, each shard sorted
+    * independently — no global order). The natural consumer is
+    * `.repartition(shard).sortWithinPartitions(pos)` + a partitioned write:
+    * shards are the write granularity, so nShards scales with the cluster,
+    * not the corpus. */
+  def epochShuffle(df: DataFrame, idCol: String, salt: String,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0)
+    import org.apache.spark.sql.expressions.Window
+    val hk = Fns.hash60(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__hk"), col(idCol))
+    df.select(col(idCol), hk.as("__hk"))
+      .withColumn("shard", (col("__hk") % nShards).cast("long"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Oracle face of [[epochShuffle]] (same hash, same rank order). */
+  def epochShuffleSql(tableE: String, idE: String, salt: String,
+                      nShards: Int): String = {
+    val s = salt.replace("'", "''")
+    val hk = Fns.hash60Sql(s"'$s'||CAST($idE AS VARCHAR)")
+    s"""WITH es_d AS (SELECT $idE AS id, $hk AS hk FROM $tableE)
+       |SELECT id, CAST(hk % $nShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY hk % $nShards ORDER BY hk, id) - 1
+       |    AS BIGINT) AS pos
+       |FROM es_d""".stripMargin
+  }
+
   /** Fixed-SIZE deterministic stratified sample: exactly min(n, |group|)
     * rows per group, chosen by salted-hash rank — the "n docs per source"
     * complement of the rate-based [[hashSample]]/[[mixSources]]. The rank
@@ -653,6 +692,60 @@ object Curation {
         (col("__sm").cast("double") / col("__ts").cast("double")
           * lit(budgetTokens.toDouble) / col("n_tokens").cast("double"))
           .as("eff_epochs"))
+  }
+
+  /** Materialize a [[mixtureWeights]] mixture as an ACTUAL repeated corpus:
+    * every document of source s is emitted ⌊e_s⌋ times plus one more with
+    * probability frac(e_s), decided by a deterministic per-doc Bernoulli
+    * (hash60(salt||id) mod 1e6 < ⌊frac·1e6⌋) — so sources with e_s ≥ 1 are
+    * up-sampled by repetition and e_s < 1 sources are subsampled, exactly
+    * the epochs-per-source semantics trainers consume. Output: one row per
+    * copy, (idCol, srcCol, copy_idx) with copy_idx 1-based.
+    *
+    * e_s doubles come from the identical IEEE chain in both engines (the
+    * q112 contract), so ⌊e⌋ and the 1e6-quantized fraction threshold are
+    * engine-exact; the Bernoulli is a pure function of (salt, id) —
+    * retry/partitioning-immune.
+    *
+    * Scale: weights are a |sources|-row broadcast; the fan-out is the
+    * output's size (explode of a ≤⌈e⌉-long sequence per row, in the scan
+    * stage). Guard: Spark's `sequence(1, 0)` DESCENDS rather than emptying,
+    * so zero-copy docs must drop via the `copies >= 1` branch, not the
+    * sequence itself. */
+  def materializeEpochs(df: DataFrame, textCol: String, idCol: String,
+                        srcCol: String, budgetTokens: Long,
+                        salt: String): DataFrame = {
+    val eff = mixtureWeights(df, textCol, srcCol, budgetTokens)
+      .select(col(srcCol), col("eff_epochs"))
+    val whole = floor(col("eff_epochs")).cast("long")
+    val fracT = floor((col("eff_epochs") - floor(col("eff_epochs"))) * lit(1e6))
+      .cast("long")
+    val bern = Fns.hash60(concat(lit(salt), col(idCol).cast("string"))) % lit(1000000L)
+    df.select(col(idCol), col(srcCol))
+      .join(broadcast(eff), srcCol)
+      .withColumn("__copies", whole + when(bern < fracT, 1L).otherwise(0L))
+      .filter(col("__copies") >= 1L)
+      .select(col(idCol), col(srcCol),
+        explode(sequence(lit(1L), col("__copies"))).as("copy_idx"))
+  }
+
+  /** Oracle face of [[materializeEpochs]] (same IEEE chain, same Bernoulli). */
+  def materializeEpochsSql(tableE: String, textE: String, idE: String,
+                           srcE: String, budgetTokens: Long,
+                           salt: String): String = {
+    val s = salt.replace("'", "''")
+    val mw = mixtureWeightsSql(tableE, textE, srcE, budgetTokens)
+    val bern = s"(${Fns.hash60Sql(s"'$s'||CAST($idE AS VARCHAR)")} % 1000000)"
+    s"""WITH me_w AS (SELECT source, eff_epochs FROM ($mw)),
+       |me_d AS (SELECT $idE AS id, $srcE AS source, $bern AS bern FROM $tableE),
+       |me_c AS (SELECT d.id, d.source,
+       |    CAST(floor(w.eff_epochs) AS BIGINT)
+       |      + CASE WHEN d.bern < CAST(floor((w.eff_epochs - floor(w.eff_epochs)) * 1e6) AS BIGINT)
+       |             THEN 1 ELSE 0 END AS copies
+       |  FROM me_d d JOIN me_w w USING (source)),
+       |me_x AS (SELECT id, source, unnest(generate_series(1, copies)) AS o
+       |         FROM me_c WHERE copies >= 1)
+       |SELECT id, source, CAST(o AS BIGINT) AS copy_idx FROM me_x""".stripMargin
   }
 
   /** Greedy token-budget sampler driven by [[mixtureWeights]]: source s gets

@@ -285,6 +285,32 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Quality-aware dedup APPLY: keep, per duplicate cluster, the row that
+    * maximizes `metricCol` (ties → smallest `idCol`), plus every unclustered
+    * row — "keep the best copy", vs [[duplicateClusters]]' min-id survivor
+    * rule that can discard a full document in favor of its truncated twin.
+    * `clusters` is (`idCol`, cluster_id) from [[duplicateClusters]]. Output
+    * = the surviving `docs` rows (original schema).
+    *
+    * Scale: the winner election is `max_by` over a struct — a partial-agg
+    * whose shuffle carries (cluster_id, metric, id) triples only, never the
+    * row payload; survivors come back via a left-semi join on the id.
+    * `metricCol` must be totally ordered and engine-portable (ints; NOT raw
+    * doubles, whose oracle-side agg order could differ). */
+  def keepBestSurvivors(docs: DataFrame, clusters: DataFrame, idCol: String,
+                        metricCol: String): DataFrame = {
+    val mapped = docs.select(col(idCol), col(metricCol))
+      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+    // max_by key struct(metric, -id): max metric, then min id — total since
+    // ids are unique, so the election is deterministic (no max_by tie risk).
+    val winners = mapped.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id")
+      .agg(max_by(col(idCol), struct(col(metricCol), negate(col(idCol)))).as(idCol))
+      .select(col(idCol))
+    val loners = mapped.filter(col("cluster_id").isNull).select(col(idCol))
+    docs.join(winners.union(loners), Seq(idCol), "left_semi")
+  }
+
   /** Small-graph fast path: collect the (already-tiny, already-distinct)
     * edge list and run path-compressed union-find on the driver — exact
     * same labels as the distributed fixpoint, in one job + O(E α(E)) local

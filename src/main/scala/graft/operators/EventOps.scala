@@ -105,4 +105,80 @@ object EventOps {
     s"""WITH ${(f0 +: rest).mkString(",\n")}
        |SELECT * FROM (${arms.mkString("\nUNION ALL ")})""".stripMargin
   }
+
+  // ---- cohort retention ----------------------------------------------------
+  /** Weekly cohort retention: each user's cohort is the epoch-week (⌊epoch
+    * seconds / 604800⌋ — a pure integer bucket, no calendar/timezone
+    * semantics to diverge cross-engine) of their first event; the matrix
+    * counts, per (cohort_week, week_offset), the distinct users from that
+    * cohort active `week_offset` weeks later. Offset 0 rows equal cohort
+    * sizes by construction.
+    *
+    * Scale: one key-keyed partial agg for first-seen, one co-keyed shuffle
+    * join on the user key (both sides hash-partition by user — no broadcast
+    * needed, the user dim at 100 TB is itself large), then a distinct +
+    * count over (cohort, offset, user) — partial-agg friendly, and the
+    * distinct's key space is bounded by users × active-weeks, never raw
+    * events. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val week = floor(unix_timestamp(col(tsCol)).cast("double") / lit(604800.0))
+      .cast("long")
+    val ew = events.select(col(userCol).as("__u"), week.as("__w"))
+    val cohort = ew.groupBy("__u").agg(min(col("__w")).as("cohort_week"))
+    ew.join(cohort, "__u")
+      .select(col("cohort_week"), (col("__w") - col("cohort_week")).as("week_offset"),
+        col("__u"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Oracle face of [[retentionCohorts]]. `tsE` must pre-cast ns parquet
+    * timestamps (`CAST(ts AS TIMESTAMP)`); epoch() keeps sub-second
+    * fractions, which cannot move an integer-second value across a 604800
+    * multiple, so both engines land in the same week bucket. */
+  def retentionCohortsSql(tableE: String, userE: String, tsE: String): String =
+    s"""WITH rc_e AS (SELECT $userE AS u,
+       |    CAST(floor(epoch($tsE) / 604800) AS BIGINT) AS w FROM $tableE),
+       |rc_c AS (SELECT u, MIN(w) AS cohort_week FROM rc_e GROUP BY u),
+       |rc_d AS (SELECT DISTINCT cohort_week, w - cohort_week AS week_offset, u
+       |         FROM rc_e JOIN rc_c USING (u))
+       |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+       |FROM rc_d GROUP BY cohort_week, week_offset""".stripMargin
+
+  // ---- rolling active users -----------------------------------------------
+  /** DAU + trailing-7-day WAU per active epoch-day (⌊s/86400⌋ integer
+    * buckets). WAU is computed by fanning each distinct (day, user) out to
+    * the 7 report days it supports and re-distinct-ing — sliding-window
+    * DISTINCT as two bounded aggs, no per-day range self-join. Rows are
+    * emitted for ACTIVE days (DAU > 0); a silent day inside another day's
+    * trailing window is not reported.
+    *
+    * Scale: the event log collapses to distinct user-days first (the only
+    * corpus-sized agg); the 7× fan-out runs on user-days, not events, and
+    * both distincts are partial-agg friendly. */
+  def rollingActives(events: DataFrame, userCol: String,
+                     tsCol: String): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)).cast("double") / lit(86400.0))
+      .cast("long")
+    val du = events.select(day.as("day"), col(userCol).as("__u")).distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("__u"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day").select(col("day"), col("dau"), col("wau"))
+  }
+
+  /** Oracle face of [[rollingActives]] (same fan-out shape). */
+  def rollingActivesSql(tableE: String, userE: String, tsE: String): String =
+    s"""WITH ra_e AS (SELECT DISTINCT
+       |    CAST(floor(epoch($tsE) / 86400) AS BIGINT) AS day, $userE AS u
+       |  FROM $tableE),
+       |ra_d AS (SELECT day, COUNT(*) AS dau FROM ra_e GROUP BY day),
+       |ra_w AS (SELECT day, COUNT(*) AS wau FROM (
+       |    SELECT DISTINCT e.day + t.o AS day, e.u
+       |    FROM ra_e e CROSS JOIN range(0, 7) t(o)) GROUP BY day)
+       |SELECT day, dau, wau FROM ra_d JOIN ra_w USING (day)""".stripMargin
 }

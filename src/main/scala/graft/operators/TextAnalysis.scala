@@ -574,4 +574,131 @@ object TextAnalysis {
        |SELECT g, pl, tokens FROM tq_r, tq_p
        |WHERE rn = (nu * n + de - 1) // de""".stripMargin
   }
+
+  // ---- vocabulary coverage ------------------------------------------------
+  /** Top-V vocabulary coverage (the tokenizer-design question "how big must
+    * the vocab be before source X stops drowning in OOV"): build the corpus
+    * top-`v` term vocabulary by total frequency (ties broken lexicographically
+    * so the cut is total-ordered), then report per-group token counts, OOV
+    * token counts, and distinct OOV terms. All-integer output.
+    *
+    * Scale: the vocabulary is a global top-V — `orderBy.limit(v)` compiles to
+    * `TakeOrderedAndProject` (each task keeps ≤ v rows, the driver merges
+    * B·v, never a full sort) — and is broadcast to the coverage join, so the
+    * token stream is never shuffled by term; the only full shuffle is the
+    * per-group partial agg. */
+  def vocabCoverage(df: DataFrame, textCol: String, groupCol: String,
+                    v: Int): DataFrame = {
+    val tok = df.select(col(groupCol), explode(words(col(textCol))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(v)
+      .select(col("term"), lit(1).as("__in_v"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"),
+        countDistinct(when(col("__in_v").isNull, col("term"))).as("n_oov_terms"))
+  }
+
+  /** Oracle face of [[vocabCoverage]] (same tie-broken top-V cut). */
+  def vocabCoverageSql(tableE: String, textE: String, groupE: String,
+                       v: Int): String =
+    s"""WITH vc_t AS (SELECT $groupE AS g,
+       |    unnest(regexp_extract_all(lower($textE), '[a-z]+')) AS term FROM $tableE),
+       |vc_v AS (SELECT term FROM (
+       |    SELECT term, COUNT(*) AS tf FROM vc_t GROUP BY term
+       |    ORDER BY tf DESC, term LIMIT $v))
+       |SELECT g, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  COUNT(DISTINCT CASE WHEN v.term IS NULL THEN t.term END) AS n_oov_terms
+       |FROM vc_t t LEFT JOIN vc_v v ON t.term = v.term
+       |GROUP BY g""".stripMargin
+
+  // ---- tokenizer fertility ------------------------------------------------
+  /** Tokenizer fertility report: per group, exact int64 sums of BPE-ish
+    * regex tokens ([[TokenPattern]]), whitespace tokens, and characters, plus
+    * `fertility` = regex-tokens per whitespace-token and `chars_per_token` —
+    * each ONE correctly-rounded IEEE division of identical exact integers,
+    * so the doubles are bit-identical cross-engine. The go/no-go number for
+    * a tokenizer on a new source (fertility ≫ 1 ⇒ the source fragments).
+    *
+    * Scale: both counts are per-row scalars in the scan stage; the shuffle
+    * carries one partial-agg row per (task, group). */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+                         groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(sum(tokenCount(col(textCol))).cast("long").as("n_bpe_tokens"),
+        sum(wsTokenCount(col(textCol))).cast("long").as("n_ws_tokens"),
+        sum(length(col(textCol))).cast("long").as("n_chars"))
+      .select(col(groupCol), col("n_bpe_tokens"), col("n_ws_tokens"), col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+
+  // ---- PMI collocations ---------------------------------------------------
+  /** Document-level PMI collocation mining (the word2vec-phrases signal):
+    * for every within-document distinct term pair (a < b) seen in ≥ `minSup`
+    * documents, PMI = ln(n_ab·N / (n_a·n_b)) over document frequencies,
+    * reported in ⌊·1e6⌋ micro-nats — the ratio is formed from exact int64
+    * products, so there is exactly ONE ln + one multiply per pair and the
+    * quantized value hash-matches cross-engine (the q120 shape).
+    *
+    * Scale: the corpus collapses to distinct (doc, term) postings first; the
+    * pair generation is a self-join keyed on doc_id, so its cost is
+    * Σ m_d² over per-doc DISTINCT terms — bounded by vocabulary discipline
+    * (cap m_d upstream for degenerate docs), never corpus-length-squared.
+    * Term doc-frequencies join back by term key; N rides a broadcast row. */
+  def pmiPairs(df: DataFrame, textCol: String, idCol: String,
+               minSup: Long): DataFrame = {
+    val dt = df.select(col(idCol).as("__d"),
+      explode(array_distinct(words(col(textCol)))).as("term"))
+    val nT = dt.groupBy("term").agg(count(lit(1)).as("n_t"))
+    val nDocs = broadcast(df.agg(count(lit(1)).as("n_docs")))
+    val pairs = dt.as("x")
+      .join(dt.withColumnRenamed("term", "term_b").as("y"), "__d")
+      .filter(col("term") < col("term_b"))
+      .groupBy(col("term").as("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSup)
+    pairs
+      .join(nT.select(col("term").as("term_a"), col("n_t").as("n_a")), "term_a")
+      .join(nT.select(col("term").as("term_b"), col("n_t").as("n_b")), "term_b")
+      .crossJoin(nDocs)
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"), col("n_b"),
+        floor(log((col("n_ab") * col("n_docs")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double")) * lit(1e6))
+          .cast("long").as("pmi_micro"))
+  }
+
+  /** Oracle face of [[pmiPairs]] (same distinct-posting pair counts, same
+    * single-ln quantization). */
+  def pmiPairsSql(tableE: String, textE: String, idE: String,
+                  minSup: Long): String =
+    s"""WITH pm_t AS (SELECT DISTINCT $idE AS d,
+       |    unnest(regexp_extract_all(lower($textE), '[a-z]+')) AS term
+       |  FROM $tableE),
+       |pm_f AS (SELECT term, COUNT(*) AS n_t FROM pm_t GROUP BY term),
+       |pm_n AS (SELECT COUNT(*) AS n_docs FROM $tableE),
+       |pm_p AS (SELECT x.term AS term_a, y.term AS term_b, COUNT(*) AS n_ab
+       |  FROM pm_t x JOIN pm_t y ON x.d = y.d AND x.term < y.term
+       |  GROUP BY x.term, y.term HAVING COUNT(*) >= $minSup)
+       |SELECT term_a, term_b, n_ab, a.n_t AS n_a, b.n_t AS n_b,
+       |  CAST(FLOOR(ln(CAST(n_ab * n_docs AS DOUBLE)
+       |    / CAST(a.n_t * b.n_t AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro
+       |FROM pm_p JOIN pm_f a ON pm_p.term_a = a.term
+       |JOIN pm_f b ON pm_p.term_b = b.term, pm_n""".stripMargin
+
+  /** Oracle face of [[tokenizerFertility]] (same regex, same divisions). */
+  def tokenizerFertilitySql(tableE: String, textE: String,
+                            groupE: String): String =
+    s"""WITH tf_s AS (SELECT $groupE AS g,
+       |    CAST(SUM(len(regexp_extract_all($textE, '$TokenPattern'))) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(SUM(len(regexp_split_to_array(trim($textE), '\\s+'))) AS BIGINT) AS n_ws_tokens,
+       |    CAST(SUM(length($textE)) AS BIGINT) AS n_chars
+       |  FROM $tableE GROUP BY g)
+       |SELECT g, n_bpe_tokens, n_ws_tokens, n_chars,
+       |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE) AS fertility,
+       |  CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
+       |FROM tf_s""".stripMargin
 }

@@ -30,6 +30,19 @@ object CurationQueries {
   // q119 chunk grid: 64-token windows every 32 tokens (50% overlap)
   val ChunkTokens = 64
   val ChunkStride = 32
+  // q121 vocabulary cut: the fixture corpus has 31 distinct [a-z]+ terms, so
+  // a top-16 vocabulary leaves a real OOV tail at every gate SF
+  val VocabV = 16
+  // q125 epoch shuffle: shard count scales with the cluster, not the corpus
+  val EpochSalt = "ep0"
+  val EpochShards = 8
+  // q129 collocation support floor
+  val PmiMinSup = 2L
+  // q130 mixture-materialization budget: ≈2 epochs/source at sf0.01 (25k
+  // corpus tokens) and ≈0.2 at sf0.1 — exercises BOTH the repeat (e≥1) and
+  // the subsample (e<1) branch across the gate SFs
+  val EpochMatBudget = 50000L
+  val EpochMatSalt = "em130"
 
   /** Blocklist for q75 (exact + subdomain matching, case-insensitive). */
   val UrlBlocklist: Seq[String] = Seq("spam.example.com", "ads.example.net")
@@ -875,6 +888,116 @@ object CurationQueries {
         .select(col("source"), col("n_terms"), col("ns").as("n_tokens"),
           col("kl_sum_nano"))
         .orderBy("source")
+    },
+
+    // ---- top-V vocabulary coverage ----------------------------------------
+    // The tokenizer-design report: corpus top-16 term vocabulary (tf-desc,
+    // lexicographic tiebreak — a total-ordered cut), then per-source token /
+    // OOV-token / distinct-OOV-term counts. Vocabulary is a global top-V
+    // (TakeOrderedAndProject) broadcast into the coverage join; all-integer
+    // output.
+    Q("q121_vocab_coverage", {
+      val vc = TextAnalysis.vocabCoverageSql("documents", "text", "source", VocabV)
+      s"""SELECT g AS source, n_tokens, n_oov, n_oov_terms FROM ($vc)
+         |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"), "text",
+          "source", VocabV)
+        .orderBy("source")
+    },
+
+    // ---- tokenizer fertility ----------------------------------------------
+    // BPE-ish regex tokens vs whitespace tokens vs chars per source; the
+    // fertility / chars-per-token doubles are each ONE IEEE division of
+    // identical exact int64 sums, so they hash bit-for-bit cross-engine.
+    Q("q124_tokenizer_fertility", {
+      val tf = TextAnalysis.tokenizerFertilitySql("documents", "text", "source")
+      s"""SELECT g AS source, n_bpe_tokens, n_ws_tokens, n_chars,
+         |  fertility, chars_per_token FROM ($tf)
+         |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.load(s, dir, "documents"), "text",
+          "source")
+        .orderBy("source")
+    },
+
+    // ---- deterministic epoch shuffle --------------------------------------
+    // The training-epoch corpus permutation: shard + dense in-shard position,
+    // both pure functions of (salt, doc_id) — retry/partitioning-immune and
+    // fully auditable; a new salt is a fresh epoch. Partitioned window only,
+    // never a global sort.
+    Q("q125_epoch_shuffle", {
+      val es = Curation.epochShuffleSql("documents", "doc_id", EpochSalt, EpochShards)
+      s"""SELECT id AS doc_id, shard, pos FROM ($es)
+         |ORDER BY shard, pos""".stripMargin
+    }) { (s, dir) =>
+      Curation.epochShuffle(Tables.load(s, dir, "documents"), "doc_id",
+          EpochSalt, EpochShards)
+        .orderBy("shard", "pos")
+    },
+
+    // ---- classifier-score quality quartiles -------------------------------
+    // The curriculum/threshold-picking report: per-source quartiles of the
+    // q83 hashed-classifier score (exact int64, so the ntile order
+    // (score, doc_id) is total and cross-engine identical), with per-bin
+    // doc counts, score range, and token mass. Partitioned window — each
+    // source ranks independently; no global sort.
+    Q("q126_quality_quartiles", {
+      val hs = TextAnalysis.hashedLinearScoreSql("documents", "text", "doc_id")
+      s"""WITH qq_d AS (SELECT d.source, s.id, s.score_raw, s.n_tokens,
+         |    CAST(ntile(4) OVER (PARTITION BY d.source
+         |      ORDER BY s.score_raw, s.id) AS BIGINT) AS quartile
+         |  FROM ($hs) s JOIN documents d ON d.doc_id = s.id)
+         |SELECT source, quartile, COUNT(*) AS n_docs,
+         |  MIN(score_raw) AS min_score, MAX(score_raw) AS max_score,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM qq_d GROUP BY source, quartile
+         |ORDER BY source, quartile""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val hs = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score_raw"), col("doc_id"))
+      docs.select(col("doc_id"), col("source")).join(hs, "doc_id")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("source", "quartile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score_raw")).as("min_score"),
+          max(col("score_raw")).as("max_score"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+        .orderBy("source", "quartile")
+    },
+
+    // ---- PMI collocations -------------------------------------------------
+    // Document-level pointwise mutual information over within-doc distinct
+    // term pairs (the word2vec-phrases signal): exact int64 doc-frequency
+    // products, ONE ln per pair, ⌊·1e6⌋ micro-nats (q120 shape).
+    Q("q129_pmi_pairs", {
+      val pm = TextAnalysis.pmiPairsSql("documents", "text", "doc_id", PmiMinSup)
+      s"""SELECT term_a, term_b, n_ab, n_a, n_b, pmi_micro FROM ($pm)
+         |ORDER BY term_a, term_b""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.pmiPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+          PmiMinSup)
+        .orderBy("term_a", "term_b")
+    },
+
+    // ---- mixture materialization (epochs → actual repeated corpus) --------
+    // q112 computes epochs-per-source; THIS emits the repeated corpus a
+    // trainer streams: ⌊e⌋ copies per doc plus a deterministic per-doc
+    // Bernoulli top-up on frac(e) — up-sampling small sources by repetition,
+    // subsampling when e < 1. Copy counts derive from the q112 IEEE chain +
+    // a (salt,id) hash: retry/partitioning-immune, engine-exact.
+    Q("q130_materialize_epochs", {
+      val me = Curation.materializeEpochsSql("documents", "text", "doc_id",
+        "source", EpochMatBudget, EpochMatSalt)
+      s"""SELECT id AS doc_id, source, copy_idx FROM ($me)
+         |ORDER BY doc_id, copy_idx""".stripMargin
+    }) { (s, dir) =>
+      Curation.materializeEpochs(Tables.load(s, dir, "documents"), "text",
+          "doc_id", "source", EpochMatBudget, EpochMatSalt)
+        .orderBy("doc_id", "copy_idx")
     }
   )
 }

@@ -1336,6 +1336,136 @@ object PipelineQueries {
       s.read.schema(docs.schema).json(path)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // ---- dedup: quality-aware APPLY (keep the BEST copy, not the min id) --
+    // q38 keeps each cluster's min doc_id — which can keep a truncated copy
+    // and drop the full document. This keeps the copy maximizing n_chars
+    // (tie → min id): the winner election is a max_by partial agg whose
+    // shuffle carries (cluster_id, n_chars, id) triples, survivors return
+    // via a left-semi join — the text column never moves.
+    Q("q122_dedup_keep_best",
+      s"""$mhCte,
+         |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(s, t) AS (
+         |    SELECT s, t FROM e
+         |    UNION
+         |    SELECT r.s, e2.t FROM r JOIN e e2 ON r.t = e2.s)
+         |  SELECT s, t FROM r),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+         |       FROM reach GROUP BY s),
+         |j AS (SELECT d.doc_id, d.n_chars, cl.cluster_id
+         |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |win AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM j WHERE cluster_id IS NOT NULL) WHERE rn = 1)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |JOIN (SELECT doc_id FROM win
+         |      UNION ALL SELECT doc_id FROM j WHERE cluster_id IS NULL) k
+         |  USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", MinhashK, ShingleW)
+      val clusters =
+        Dedup.duplicateClusters(Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand))
+      Dedup.keepBestSurvivors(docs, clusters, "doc_id", "n_chars")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- sinks: hive-partitioned parquet round trip -----------------------
+    // The standard lake layout for a sharded corpus: write partitioned by
+    // source (one directory per partition value — partition pruning turns a
+    // source predicate into a directory listing, no data read; asserted in
+    // PlansSpec), read it back, and hash-match the original table
+    // byte-for-byte. The partition column leaves the files and returns from
+    // the directory names.
+    Q("q127_partitioned_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val path = s"${scratch.dir}/docs_by_source"
+      Tables.load(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("source").parquet(path)
+      s.read.parquet(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- events: weekly cohort retention ----------------------------------
+    // The activation/churn matrix over the event log: cohort = first-event
+    // epoch-week (pure ⌊s/604800⌋ integer buckets — no calendar or timezone
+    // semantics to diverge cross-engine), cells = distinct returning users.
+    Q("q123_retention_cohorts",
+      EventOps.retentionCohortsSql("events", "user_id", "CAST(ts AS TIMESTAMP)")
+        + "\nORDER BY cohort_week, week_offset") { (s, dir) =>
+      EventOps.retentionCohorts(Tables.load(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // ---- events: DAU + trailing-7-day WAU ---------------------------------
+    // Sliding-window DISTINCT without a range self-join: the log collapses
+    // to distinct user-days, each fans out to the 7 report days it supports,
+    // and a second distinct+count lands WAU — both aggs partial-agg
+    // friendly, fan-out on user-days not events.
+    Q("q128_rolling_actives",
+      EventOps.rollingActivesSql("events", "user_id", "CAST(ts AS TIMESTAMP)")
+        + "\nORDER BY day") { (s, dir) =>
+      EventOps.rollingActives(Tables.load(s, dir, "events"), "user_id", "ts")
+        .orderBy("day")
+    },
+
+    // ---- events: TRUE STREAMING stream-stream join, oracle-checked --------
+    // SIXTH real-streaming-engine execution and the first oracle-checked
+    // streaming JOIN: two file-source streams over the same landing dir
+    // (clicks, purchases), watermarked interval join (purchase within 1 h
+    // AFTER the click — the click-attribution pattern), append-mode
+    // foreachBatch sink under AvailableNow, sink read back as the declared
+    // result. Inner join emits matches eagerly; the watermark + time bound
+    // let Spark evict buffered rows, so the unbounded face runs in bounded
+    // state (StreamingSpec covers the outer-join null padding).
+    Q("q131_streaming_join",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = new graft.Session.Scratch // janitor-prefixed tmp (C5)
+      val sink = s"${scratch.dir}/stream_join"
+      val chk = s"${scratch.dir}/chk"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(Tables.path(dir, "events")).schema
+      def side(tpe: String) = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === tpe)
+      val clicks = side("click")
+        .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("click_id"))
+      val purchases = side("purchase")
+        .select(col("user_id").as("p_u"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val joined = Streams.streamStreamJoin(clicks, purchases,
+        "user_id", "p_u", "l_ts", "p_ts", within = "1 hour",
+        watermark = "1 hour", joinType = "inner")
+      val query = joined
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(sink)
+        }
+        .start()
+      query.awaitTermination()
+      s.read.parquet(sink).orderBy("click_id", "purchase_id")
     }
   )
 }

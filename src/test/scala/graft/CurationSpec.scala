@@ -365,4 +365,44 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.budgetSample(docs, "text", "doc_id", "source", 100000L, "s")
       .count() == 40L)
   }
+
+  test("epochShuffle: dense in-shard positions, partition/salt behavior") {
+    val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Curation.epochShuffle(docs, "doc_id", "e1", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 200 && out.map(_._1).toSet.size == 200)
+    // positions are dense 0..n-1 within every shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // pure function of (salt, id): repartitioning the input changes nothing
+    val out7 = Curation.epochShuffle(docs.repartition(7), "doc_id", "e1", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == out7.sortBy(_._1).toSeq)
+    // a different salt is a different permutation
+    val out2 = Curation.epochShuffle(docs, "doc_id", "e2", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq != out2.sortBy(_._1).toSeq)
+  }
+
+  test("materializeEpochs: copies in {floor(e), floor(e)+1}, dense copy_idx") {
+    // two equal sources, 10 docs × 10 tokens each → w_temp = 1/2 per source;
+    // budget 300 → eff_epochs = 150/100 = 1.5 exactly
+    val docs = (0L until 20L)
+      .map(i => (i, if (i < 10) "a" else "b", Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.materializeEpochs(docs, "text", "doc_id", "source", 300L, "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // every doc keeps >= floor(1.5)=1 copy; Bernoulli tops up to 2
+    assert(byDoc.values.forall(c => c.length == 1 || c.length == 2))
+    assert(byDoc.values.forall(c => c.map(_._3).sorted.toSeq == (1L to c.length)))
+    // frac=0.5: with 20 docs some get 1 and some get 2 (hash-dependent but
+    // deterministic — pinned by the equality below)
+    assert(byDoc.values.exists(_.length == 1) && byDoc.values.exists(_.length == 2))
+    // pure function of (salt, id): partitioning-immune
+    val out7 = Curation.materializeEpochs(docs.repartition(7), "text", "doc_id",
+      "source", 300L, "s").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(r => (r._1, r._3)).toSeq == out7.sortBy(r => (r._1, r._3)).toSeq)
+  }
 }

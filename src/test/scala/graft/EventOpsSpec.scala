@@ -67,4 +67,36 @@ class EventOpsSpec extends AnyFunSuite {
       .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
     assert(out.toSeq == Seq((1, 1L), (2, 1L)))
   }
+
+  test("retentionCohorts: first-week cohorts, distinct users per offset") {
+    val wk = 604800L
+    val log = Seq(
+      (1L, ts(10)), (1L, ts(20)),          // A: cohort 0, twice in week 0
+      (1L, ts(2 * wk + 5)),                // A returns in week 2
+      (2L, ts(100)),                       // B: cohort 0 only
+      (3L, ts(wk + 1)), (3L, ts(2 * wk))   // C: cohort 1, returns week 2
+    ).toDF("user_id", "ts")
+    val out = EventOps.retentionCohorts(log, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L), (0L, 2L, 1L),          // cohort 0: A+B at offset 0, A at 2
+      (1L, 0L, 1L), (1L, 1L, 1L)))         // cohort 1: C at offsets 0 and 1
+  }
+
+  test("rollingActives: DAU distinct per day, WAU spans trailing 7 days") {
+    val day = 86400L
+    val log = Seq(
+      (1L, ts(10)), (1L, ts(20)),       // A twice on day 0 → DAU counts once
+      (2L, ts(30)),                     // B on day 0
+      (1L, ts(3 * day + 5)),            // A again on day 3
+      (3L, ts(8 * day + 1))             // C on day 8 — day 0 outside its window
+    ).toDF("user_id", "ts")
+    val out = EventOps.rollingActives(log, "user_id", "ts")
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // day 0: dau {A,B}; wau window [-6,0] → {A,B}
+    // day 3: dau {A}; wau [−3,3] → {A,B}
+    // day 8: dau {C}; wau [2,8] → {A (day 3), C}
+    assert(out.toSeq == Seq((0L, 2L, 2L), (3L, 1L, 2L), (8L, 1L, 2L)))
+  }
 }

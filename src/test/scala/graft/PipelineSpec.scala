@@ -422,4 +422,53 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(r3(0)._2 == r3(2)._2 && r3(1)._2 > r3(0)._2)
   }
+
+  test("keepBestSurvivors: max metric wins, ties -> min id, loners pass") {
+    val docs = Seq((1L, 5L, "t1"), (2L, 9L, "t2"), (3L, 9L, "t3"), (4L, 1L, "t4"))
+      .toDF("doc_id", "n_chars", "text")
+    // one cluster {1,2,3}: metric max 9 hit by 2 and 3 → min id 2 survives
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.keepBestSurvivors(docs, clusters, "doc_id", "n_chars")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(2L, 4L))
+  }
+
+  test("vocabCoverage: tf-desc lexicographic cut, OOV counts per group") {
+    val df = Seq(("g1", "a a b c"), ("g2", "b b d")).toDF("source", "text")
+    // tf: b=3, a=2, c=1, d=1
+    val v2 = TextAnalysis.vocabCoverage(df, "text", "source", 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(v2.toSeq == Seq(("g1", 4L, 1L, 1L), ("g2", 3L, 1L, 1L)))
+    // V=3: c beats d on the lexicographic tiebreak at tf=1
+    val v3 = TextAnalysis.vocabCoverage(df, "text", "source", 3)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(v3.toSeq == Seq(("g1", 4L, 0L, 0L), ("g2", 3L, 1L, 1L)))
+  }
+
+  test("pmiPairs: doc-frequency counts and micro-nat PMI, minSup floor") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d d a b"))
+      .toDF("doc_id", "text")
+    // N=4; df: a=4, b=3, c=1, d=1; pairs: (a,b)=3, (a,c)=1, (a,d)=1, (b,d)=1
+    val out = TextAnalysis.pmiPairs(df, "text", "doc_id", minSup = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 1)
+    val (a, b, nab, na, nb, pmi) = out(0)
+    assert((a, b, nab, na, nb) == (("a", "b", 3L, 4L, 3L)))
+    assert(pmi == math.floor(math.log(3.0 * 4.0 / (4.0 * 3.0)) * 1e6).toLong) // = 0
+    // duplicate terms inside a doc count once (d d → one posting)
+    val all = TextAnalysis.pmiPairs(df, "text", "doc_id", minSup = 1L).collect()
+    assert(all.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("a", "b", 3L), ("a", "c", 1L), ("a", "d", 1L), ("b", "d", 1L)))
+  }
+
+  test("tokenizerFertility: hand-computed counts and exact divisions") {
+    val df = Seq(("s1", "ab 12 c.d!")).toDF("source", "text")
+    val r = TextAnalysis.tokenizerFertility(df, "text", "source").collect()(0)
+    // regex tokens: ab | 12 | c | . | d | ! = 6; ws tokens 3; chars 10
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 3L, 10L)))
+    assert(r.getDouble(4) == 6.0 / 3.0 && r.getDouble(5) == 10.0 / 6.0)
+  }
 }

@@ -203,6 +203,17 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]"), plan)
   }
 
+  test("partitioned parquet: source predicate prunes to PartitionFilters") {
+    val scratch = new graft.Session.Scratch
+    val path = s"${scratch.dir}/plans_docs_part"
+    Tables.load(spark, sf, "documents")
+      .write.mode("overwrite").partitionBy("source").parquet(path)
+    val plan = formatted(
+      spark.read.parquet(path).filter(col("source") === "src5").select("doc_id"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("(source = src5)") || plan.contains("isnotnull(source"), plan)
+  }
+
   test("incremental dedup: no exchange ever carries the batch text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
