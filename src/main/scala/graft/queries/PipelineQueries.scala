@@ -1440,31 +1440,55 @@ object PipelineQueries {
       val sink = s"${scratch.dir}/stream_join"
       val chk = s"${scratch.dir}/chk"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(Tables.path(dir, "events")).schema
-      def side(tpe: String) = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .filter(col("event_type") === tpe)
-      val clicks = side("click")
-        .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("click_id"))
-      val purchases = side("purchase")
-        .select(col("user_id").as("p_u"), col("ts").as("p_ts"),
-          col("event_id").as("purchase_id"))
-      val joined = Streams.streamStreamJoin(clicks, purchases,
-        "user_id", "p_u", "l_ts", "p_ts", within = "1 hour",
-        watermark = "1 hour", joinType = "inner")
-      val query = joined
-        .select(col("user_id"), col("click_id"), col("purchase_id"))
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").parquet(sink)
+      // A stream-stream join materializes FOUR state stores (keys + indexed
+      // rows per side) per shuffle partition per micro-batch; at the default
+      // 32 partitions the checkpoint I/O dwarfs the 33-row join. 8 state
+      // partitions cut that 4×; the trailing no-data batch (state eviction
+      // only — nothing left to emit after the single AvailableNow data
+      // batch of an inner join) is skipped, q73's pattern. Both are scoped
+      // and restored in the finally.
+      val partsKey = "spark.sql.shuffle.partitions"
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val partsPrev = s.conf.getOption(partsKey)
+      val noDataPrev = s.conf.getOption(noDataKey)
+      s.conf.set(partsKey, "8")
+      s.conf.set(noDataKey, "false")
+      try {
+        val schema = s.read.parquet(Tables.path(dir, "events")).schema
+        def side(tpe: String) = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .filter(col("event_type") === tpe)
+        val clicks = side("click")
+          .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("click_id"))
+        val purchases = side("purchase")
+          .select(col("user_id").as("p_u"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        val joined = Streams.streamStreamJoin(clicks, purchases,
+          "user_id", "p_u", "l_ts", "p_ts", within = "1 hour",
+          watermark = "1 hour", joinType = "inner")
+        val query = joined
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(sink)
+          }
+          .start()
+        query.awaitTermination()
+      } finally {
+        partsPrev match {
+          case Some(v) => s.conf.set(partsKey, v)
+          case None => s.conf.unset(partsKey)
         }
-        .start()
-      query.awaitTermination()
+        noDataPrev match {
+          case Some(v) => s.conf.set(noDataKey, v)
+          case None => s.conf.unset(noDataKey)
+        }
+      }
       s.read.parquet(sink).orderBy("click_id", "purchase_id")
     }
   )
