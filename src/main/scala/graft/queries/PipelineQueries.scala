@@ -1418,6 +1418,100 @@ object PipelineQueries {
         .orderBy("day")
     },
 
+    // ---- events: CUBE report ----------------------------------------------
+    // Full two-dimension CUBE over (event_type, epoch-day) — every subtotal
+    // plane in one pass (q19 covers ROLLUP; this is the remaining grouping-
+    // set face). Exact integer counts; explicit NULLS LAST on the subtotal
+    // rows per the Q determinism rules.
+    Q("q132_cube_report",
+      """SELECT event_type, day, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM (SELECT event_type, user_id,
+        |        CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+        |      FROM events)
+        |GROUP BY CUBE (event_type, day)
+        |ORDER BY event_type NULLS LAST, day NULLS LAST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")).cast("double") / lit(86400.0))
+            .cast("long").as("day"),
+          col("user_id"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type").asc_nulls_last, col("day").asc_nulls_last)
+    },
+
+    // ---- events: per-(type, day) volume anomaly z-scores ------------------
+    // The ingest-monitoring face: daily event counts per type scored against
+    // the type's own mean/σ (population) — all moments from exact int64
+    // sums (Σn, Σn², D), then a FIXED mirrored IEEE chain (each step
+    // correctly rounded, so z hashes bit-for-bit cross-engine; the q112
+    // chained-ops contract). σ = 0 guards to z = 0.
+    Q("q134_event_anomaly",
+      """WITH ea_d AS (SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |ea_m AS (SELECT event_type, COUNT(*) AS d,
+        |    CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(n * n) AS BIGINT) AS sn2
+        |  FROM ea_d GROUP BY event_type),
+        |ea_z AS (SELECT ea_d.event_type, day, n,
+        |    CAST(sn AS DOUBLE) / CAST(d AS DOUBLE) AS mu,
+        |    sqrt((CAST(sn2 AS DOUBLE)
+        |      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(d AS DOUBLE))
+        |      / CAST(d AS DOUBLE)) AS sigma
+        |  FROM ea_d JOIN ea_m ON ea_d.event_type = ea_m.event_type)
+        |SELECT event_type, day, n,
+        |  CASE WHEN sigma = 0 THEN 0.0
+        |       ELSE (CAST(n AS DOUBLE) - mu) / sigma END AS z
+        |FROM ea_z ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")).cast("double") / lit(86400.0))
+            .cast("long").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val m = d.groupBy("event_type")
+        .agg(count(lit(1)).as("d"), sum(col("n")).cast("long").as("sn"),
+          sum(col("n") * col("n")).cast("long").as("sn2"))
+      val mu = col("sn").cast("double") / col("d").cast("double")
+      val sigma = sqrt((col("sn2").cast("double")
+        - col("sn").cast("double") * col("sn").cast("double") / col("d").cast("double"))
+        / col("d").cast("double"))
+      d.join(m, "event_type")
+        .select(col("event_type"), col("day"), col("n"), mu.as("mu"), sigma.as("sigma"))
+        .select(col("event_type"), col("day"), col("n"),
+          when(col("sigma") === 0, lit(0.0))
+            .otherwise((col("n").cast("double") - col("mu")) / col("sigma")).as("z"))
+        .orderBy("event_type", "day")
+    },
+
+    // ---- sources: CSV round trip (quote/escape semantics) -----------------
+    // The third landing format after parquet/JSONL: text is salted with a
+    // deterministic comma+quote suffix so the writer MUST quote and double
+    // embedded quotes (RFC 4180, explicit quote/escape options on both
+    // sides), then the read-back must match the injected table
+    // byte-for-byte. Header on, explicit schema — inference is a second
+    // scan and type-drifts.
+    Q("q133_csv_roundtrip",
+      """SELECT doc_id, text || ', "csv=' || CAST(doc_id AS VARCHAR) || '"' AS text_csv,
+        |  source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val path = s"${scratch.dir}/docs_csv"
+      val injected = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(", \"csv="), col("doc_id").cast("string"),
+            lit("\"")).as("text_csv"),
+          col("source"), col("n_chars"))
+      injected.write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(path)
+      s.read.schema(injected.schema)
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(path)
+        .orderBy("doc_id")
+    },
+
     // ---- events: TRUE STREAMING stream-stream join, oracle-checked --------
     // SIXTH real-streaming-engine execution and the first oracle-checked
     // streaming JOIN: two file-source streams over the same landing dir
