@@ -24,12 +24,8 @@ object Tables {
   /** Scan one table. Pure `spark.read.parquet` — no eager materialization;
     * Catalyst handles pruning/pushdown from whatever the caller stacks on.
     *
-    * Nanosecond-timestamp columns (the `events.ts` parquet is
-    * TIMESTAMP(NANOS), which Spark's reader rejects) are read as raw int64
-    * via `spark.sql.legacy.parquet.nanosAsLong` and converted with integer
-    * ns→µs truncation (`ts div 1000`) — exactly DuckDB's `CAST(ts_ns AS
-    * TIMESTAMP)`, so oracle comparisons stay bit-identical. Integer `div`,
-    * not `/`: epoch-ns exceeds 2^53 and would lose precision as a double. */
+    * The `events.ts` column is normalized to session-timezone TIMESTAMP
+    * whatever the fixture generation wrote — see [[normalizeEventTs]]. */
   // Analyzed-plan cache: repeated loads of the same table re-list files and
   // re-read parquet footers (~50-100 ms each) — across a 50-query bench run
   // that's seconds of pure metadata overhead. DataFrames are immutable lazy
@@ -42,10 +38,32 @@ object Tables {
     cache.getOrElseUpdate((spark, dir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(path(dir, name))
-      if (name == "events")
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
+      if (name == "events") normalizeEventTs(df) else df
     })
+
+  /** Normalize the events `ts` column to session-timezone TIMESTAMP across
+    * the fixture encodings the driver has generated over the rounds:
+    *
+    *  - TIMESTAMP(NANOS) parquet, which Spark's reader only accepts as raw
+    *    int64 (`spark.sql.legacy.parquet.nanosAsLong`): integer ns→µs
+    *    truncation (`ts div 1000`) — exactly DuckDB's `CAST(ts_ns AS
+    *    TIMESTAMP)`. Integer `div`, not `/`: epoch-ns exceeds 2^53 and
+    *    would lose precision as a double.
+    *  - TIMESTAMP(MICROS) parquet (read as TIMESTAMP_NTZ): cast to
+    *    TIMESTAMP — an exact wall-clock identity under the UTC session
+    *    timezone, matching DuckDB's tz-less TIMESTAMP semantics.
+    *
+    * Works on batch AND streaming DataFrames (schema-dispatched, no action
+    * triggered), so the file-stream readers share it. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
   /** Register every fixture table as a temp view so SQL surface tests can
     * reference them by name (the reference's "workspace" catalog,

@@ -755,7 +755,7 @@ object PipelineQueries {
         val events = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(Tables.normalizeEventTs)
         val query = Streams.hourlyByTypeStream(events, watermark = "1 hour")
           .writeStream
           .outputMode("complete")
@@ -863,7 +863,7 @@ object PipelineQueries {
         val events = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(Tables.normalizeEventTs)
         val query = Streams.sessionStats(events, gap = "30 minutes")
           .writeStream
           .outputMode("complete")
@@ -1257,7 +1257,7 @@ object PipelineQueries {
         val events = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(Tables.normalizeEventTs)
         val query = events
           .groupBy(col("user_id"))
           .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
@@ -1552,7 +1552,7 @@ object PipelineQueries {
         def side(tpe: String) = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(Tables.normalizeEventTs)
           .filter(col("event_type") === tpe)
         val clicks = side("click")
           .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("click_id"))

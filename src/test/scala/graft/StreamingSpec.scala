@@ -88,7 +88,7 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Streams.hourlyByType(batch).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     // file stream needs a directory: stage the fixture file, then apply the
-    // same ns→µs conversion and the same plan builder as the batch path
+    // same ts normalization and the same plan builder as the batch path
     Session.withScratch { s =>
       val dir = java.nio.file.Paths.get(s.dir, "events_stream")
       java.nio.file.Files.createDirectories(dir)
@@ -97,7 +97,7 @@ class StreamingSpec extends AnyFunSuite {
       val raw = spark.readStream
         .schema(spark.read.parquet(s"$sf/events.parquet").schema)
         .parquet(dir.toString)
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeEventTs)
       val q = Streams.hourlyByTypeStream(raw, "10 years")
         .writeStream.format("memory").queryName("file_stream_out")
         .outputMode("complete").start()
