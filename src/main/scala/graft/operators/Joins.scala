@@ -104,4 +104,38 @@ object Joins {
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop("__bin")
   }
+
+  /** Blocked fuzzy self-match (record linkage / fuzzy dedup): all unordered
+    * pairs sharing a blocking key whose strings sit within `maxDist`
+    * Levenshtein edits. Output: (block, id_a, id_b, dist), id_a < id_b.
+    *
+    * The blocking key is the classic linkage trade: the quadratic term is
+    * capped at Σ|block|² instead of n² (the [[Similarity.blockedPairsCosine]]
+    * shape for strings), and the join is a plain equi-shuffle on the block —
+    * no all-pairs comparison ever materializes. Pick blocks so true matches
+    * rarely straddle them (sort-key prefix, phonetic code, length band —
+    * possibly several passes unioned, each a cheap equi-join).
+    *
+    * `levenshtein` is the classic full-DP edit distance in both engines —
+    * exact integer, no cross-engine drift. Spark evaluates it codegen'd;
+    * cost is O(|a|·|b|) per candidate pair, so keep blocked strings short
+    * (a prefix/key field, not document bodies). */
+  def blockedLevenshtein(df: DataFrame, idCol: String, strCol: String,
+                         blockCol: String, maxDist: Int): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(strCol).as("__sa"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(strCol).as("__sb"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Oracle face of [[blockedLevenshtein]] over a (block, id, s) CTE. */
+  def blockedLevenshteinSql(fromCte: String, maxDist: Int): String =
+    s"""SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+       |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+       |FROM $fromCte a JOIN $fromCte b ON a.block = b.block AND a.id < b.id
+       |WHERE levenshtein(a.s, b.s) <= $maxDist""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style table profiling: per-column row/null/distinct counts and
@@ -54,4 +54,56 @@ object TableStats {
          |  MIN(CAST($c AS VARCHAR)) AS min_str, MAX(CAST($c AS VARCHAR)) AS max_str
          |FROM $tableE""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** Deequ-style data-quality constraint audit: every check is a
+    * (name, violation-predicate) pair evaluated row-wise, plus optional
+    * key-uniqueness checks (`dup_<col>` = rows beyond the first per
+    * non-null value). Emits one report row per check:
+    * (check_name, n_total, n_viol, pass) — pass = 1 iff n_viol = 0.
+    *
+    * Referential checks ride the same face: left-join the dimension on and
+    * pass `dim_key IS NULL` as the predicate (the join keeps fact
+    * cardinality when the dimension key is unique — caller's contract).
+    *
+    * Scale: ONE scan computes every predicate count in a single wide
+    * partial-aggregated row (the [[profile]] pattern); the uniqueness
+    * checks add COUNT(DISTINCT) Expand arms — swap for
+    * `approx_count_distinct` at 100 TB if an exact dup count isn't needed.
+    * The per-check explode happens on one driver-sized row. */
+  def constraintAudit(df: DataFrame, checks: Seq[(String, Column)],
+                      uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueCols.nonEmpty, "audit needs at least one check")
+    val names = checks.map(_._1) ++ uniqueCols.map(c => s"dup_$c")
+    require(names.distinct.size == names.size, s"duplicate check names in $names")
+    val aggs = checks.map { case (n, pred) =>
+      count(when(pred, lit(1))).as(s"__v_$n")
+    } ++ uniqueCols.map { c =>
+      (count(col(c)) - countDistinct(col(c))).as(s"__v_dup_$c")
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(names.map(n =>
+          struct(lit(n).as("check_name"), col("__n").as("n_total"),
+            col(s"__v_$n").as("n_viol"))): _*)).as("__s"))
+      .select(col("__s.check_name").as("check_name"), col("__s.n_total").as("n_total"),
+        col("__s.n_viol").as("n_viol"),
+        when(col("__s.n_viol") === 0, lit(1)).otherwise(lit(0)).as("pass"))
+  }
+
+  /** Oracle face of [[constraintAudit]]: one UNION ALL arm per check over
+    * the same FROM expression (same counts, different plan shape). Check
+    * names/predicates are dev-authored constants (the repo-wide SQL-builder
+    * contract). */
+  def constraintAuditSql(fromE: String, checks: Seq[(String, String)],
+                         uniqueCols: Seq[String] = Nil): String = {
+    val arms = checks.map { case (n, predE) =>
+      s"""SELECT '$n' AS check_name, COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN $predE THEN 1 END) AS n_viol FROM $fromE""".stripMargin
+    } ++ uniqueCols.map { c =>
+      s"""SELECT 'dup_$c' AS check_name, COUNT(*) AS n_total,
+         |  COUNT($c) - COUNT(DISTINCT $c) AS n_viol FROM $fromE""".stripMargin
+    }
+    s"""SELECT check_name, n_total, n_viol,
+       |  CAST(CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS INT) AS pass
+       |FROM (${arms.mkString("\nUNION ALL\n")})""".stripMargin
+  }
 }

@@ -701,4 +701,78 @@ object TextAnalysis {
        |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE) AS fertility,
        |  CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
        |FROM tf_s""".stripMargin
+
+  // ---- Zipf rank-frequency fit ---------------------------------------------
+
+  /** OLS fit of the corpus rank-frequency curve in log-log space — the Zipf
+    * law diagnostic (natural text fits slope ≈ −1; template/boilerplate-heavy
+    * or synthetic mixtures flatten or steepen it, making the slope a cheap
+    * corpus-drift check next to the q104-style source entropy).
+    *
+    * Determinism: ranks 1..topR come from a TOTAL order (tf DESC, term);
+    * x = ⌊ln(rank)·1e6⌋ and y = ⌊ln(tf)·1e6⌋ are exact integer micro-nats
+    * (the q87 quantization); Σx, Σy, Σxy, Σx² are exact int64 sums; the OLS
+    * numerator/denominator n·Σxy − Σx·Σy and n·Σx² − (Σx)² EXCEED int64, so
+    * they combine in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact
+    * integer arithmetic — and reach DOUBLE via the repo's exact
+    * decimal-via-VARCHAR cast (the dsum rule: direct decimal→double
+    * double-rounds in DuckDB past 2^53). slope is then ONE IEEE division;
+    * intercept = (Σy − slope·Σx)/n is a fixed mirrored chain over
+    * exactly-representable operands. Output: one row
+    * (n_terms, slope, intercept) with slope/intercept in micro-nat units
+    * (divide by nothing — both axes carry the same 1e6 factor, which cancels
+    * in the slope; the intercept stays in micro-nats by design).
+    *
+    * Scale: corpus rows collapse to the vocabulary with a partial-agg'd tf;
+    * the rank window orders ONE partition of vocab-sized input — bounded for
+    * real vocabularies (pre-filter tf ≥ minTf at web scale); the regression
+    * is a single tiny aggregate. */
+  def zipfFit(df: DataFrame, textCol: String, topR: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = "decimal(38,0)"
+    val tf = df.select(explode(words(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val ranked = tf
+      .withColumn("r", row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+      .filter(col("r") <= topR)
+      .select(floor(log(col("r").cast("double")) * lit(1e6)).cast("long").as("x"),
+        floor(log(col("tf").cast("double")) * lit(1e6)).cast("long").as("y"))
+    val s = ranked.agg(count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    s.withColumn("slope",
+        (col("n_terms").cast(dec38) * col("sxy").cast(dec38)
+          - col("sx").cast(dec38) * col("sy").cast(dec38))
+          .cast("string").cast("double")
+        / (col("n_terms").cast(dec38) * col("sxx").cast(dec38)
+          - col("sx").cast(dec38) * col("sx").cast(dec38))
+          .cast("string").cast("double"))
+      .select(col("n_terms"),
+        col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n_terms").cast("double")).as("intercept"))
+  }
+
+  /** Oracle face of [[zipfFit]]: same total rank order, same micro-nat
+    * quantization, HUGEINT (exact int128) for the OLS combination and the
+    * same VARCHAR-mediated exact cast to DOUBLE. */
+  def zipfFitSql(tableE: String, textE: String, topR: Int): String =
+    s"""WITH zf_t AS (SELECT unnest(regexp_extract_all(lower($textE), '[a-z]+')) AS term FROM $tableE),
+       |zf_tf AS (SELECT term, COUNT(*) AS tf FROM zf_t GROUP BY term),
+       |zf_r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS r FROM zf_tf),
+       |zf_xy AS (SELECT
+       |    CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+       |    CAST(FLOOR(ln(CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+       |  FROM zf_r WHERE r <= $topR),
+       |zf_s AS (SELECT COUNT(*) AS n_terms,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM zf_xy),
+       |zf_f AS (SELECT n_terms, sx, sy,
+       |    CAST(CAST(CAST(n_terms AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS slope
+       |  FROM zf_s)
+       |SELECT n_terms, slope,
+       |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE) AS intercept
+       |FROM zf_f""".stripMargin
 }

@@ -30,6 +30,17 @@ object PipelineQueries {
   val ProfileCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
   // q117 PageRank rounds (rank separation, not convergence, is the goal)
   val PrIters = 3
+  // q135 constraint-audit checks (dev-authored constants; the Spark Column
+  // predicates in the query body mirror these in the same declared order)
+  val ConstraintChecksSql: Seq[(String, String)] = Seq(
+    "null_custkey" -> "o_custkey IS NULL",
+    "nonpos_total" -> "NOT (o_totalprice > 0)",
+    "bad_status" -> "o_orderstatus NOT IN ('O', 'F', 'P')",
+    "orphan_custkey" -> "c_custkey IS NULL")
+  // q137 fuzzy-linkage edit-distance cap
+  val FuzzyMaxDist = 2
+  // q139 Zipf fit: rank cut (the head of the rank-frequency curve)
+  val ZipfTopR = 1024
   val MinhashK = 8
   val Bands = 4
   val RowsPerBand = 2
@@ -1510,6 +1521,132 @@ object PipelineQueries {
         .option("header", "true").option("quote", "\"").option("escape", "\"")
         .csv(path)
         .orderBy("doc_id")
+    },
+
+    // ---- data-quality: Deequ-style constraint audit -----------------------
+    // The pre-ingest gate a pipeline runs before accepting a drop: row-level
+    // compliance predicates + key uniqueness + referential integrity, ONE
+    // scan (every predicate count partial-aggregates into a single wide
+    // row). The referential check rides a broadcast left join against the
+    // (unique-keyed) customer dimension, which keeps fact cardinality.
+    // All counts exact integers; pass flags derived — nothing to format.
+    Q("q135_constraint_audit",
+      TableStats.constraintAuditSql(
+        "(SELECT * FROM orders LEFT JOIN customer ON o_custkey = c_custkey)",
+        ConstraintChecksSql, uniqueCols = Seq("o_orderkey"))
+        + "\nORDER BY check_name") { (s, dir) =>
+      val joined = Tables.load(s, dir, "orders")
+        .join(broadcast(Tables.load(s, dir, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")
+      TableStats.constraintAudit(joined,
+        Seq("null_custkey" -> col("o_custkey").isNull,
+          "nonpos_total" -> !(col("o_totalprice") > 0),
+          "bad_status" -> !col("o_orderstatus").isin("O", "F", "P"),
+          "orphan_custkey" -> col("c_custkey").isNull),
+        uniqueCols = Seq("o_orderkey"))
+        .orderBy("check_name")
+    },
+
+    // ---- sources: schema evolution via mergeSchema ------------------------
+    // A corpus landing zone accretes batches whose schemas drift (columns
+    // added/retired). Two parquet writes with DIFFERENT schemas land in one
+    // directory; the mergeSchema read must union the schemas and null-fill
+    // the gaps — the oracle states that contract directly over the source
+    // table. (Schema merging is a footer-level union: per-file reads still
+    // prune to each file's own columns.)
+    Q("q136_schema_evolution",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id < 100 THEN text END AS text,
+        |  source,
+        |  CASE WHEN doc_id >= 100 THEN n_chars END AS n_chars,
+        |  CASE WHEN doc_id >= 100 THEN lang END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val path = s"${scratch.dir}/docs_evolving"
+      val docs = Tables.load(s, dir, "documents")
+      docs.filter(col("doc_id") < 100).select("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(path)
+      docs.filter(col("doc_id") >= 100).select("doc_id", "source", "n_chars", "lang")
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select("doc_id", "text", "source", "n_chars", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ---- sources: ORC round trip ------------------------------------------
+    // The fourth landing format (parquet q127, JSONL q118, CSV q133): write
+    // the documents table as ORC, read it back, hash-match byte-for-byte.
+    // ORC is the other columnar format Spark ships a vectorized reader for;
+    // predicate pushdown/column pruning apply as with parquet.
+    Q("q138_orc_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val path = s"${scratch.dir}/docs_orc"
+      Tables.load(s, dir, "documents")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- linkage: blocked Levenshtein fuzzy self-match --------------------
+    // Record-linkage / fuzzy-dedup candidate pairs: customers blocked by
+    // nation, pairs within 2 edits on the name key. The block cap keeps the
+    // quadratic term at Sum(|block|^2) — never an all-pairs join; the
+    // TPC-H-ish name keys ('Customer#000000017') make near-collisions
+    // (digit substitutions) real at every SF. Exact integer distances.
+    Q("q137_fuzzy_match",
+      Joins.blockedLevenshteinSql(
+        "(SELECT c_nationkey AS block, c_custkey AS id, c_name AS s FROM customer)",
+        FuzzyMaxDist) + "\nORDER BY block, id_a, id_b") { (s, dir) =>
+      Joins.blockedLevenshtein(Tables.load(s, dir, "customer"),
+          idCol = "c_custkey", strCol = "c_name", blockCol = "c_nationkey",
+          maxDist = FuzzyMaxDist)
+        .orderBy("block", "id_a", "id_b")
+    },
+
+    // ---- corpus: Zipf rank-frequency fit ----------------------------------
+    // OLS slope/intercept of the log-log rank-frequency curve over the
+    // top-1024 terms — the classic natural-text diagnostic (slope ≈ −1 for
+    // Zipfian text; template-heavy mixtures drift). Exact micro-nat integer
+    // sums; the OLS combination runs in DECIMAL(38,0)/HUGEINT and reaches
+    // DOUBLE via the exact VARCHAR cast (dsum rule) — one IEEE division per
+    // output. See TextAnalysis.zipfFit.
+    Q("q139_zipf_fit",
+      TextAnalysis.zipfFitSql("documents", "text", ZipfTopR)) { (s, dir) =>
+      TextAnalysis.zipfFit(Tables.load(s, dir, "documents"), "text", ZipfTopR)
+    },
+
+    // ---- events: analytic window-function suite ---------------------------
+    // The remaining SQL-window surface in one declared face: lag/lead
+    // neighbors, percent_rank/cume_dist rank fractions, first_value — all
+    // over the per-user event timeline with a TOTAL order (ts, event_id).
+    // percent_rank = (rank−1)/(n−1) and cume_dist = k/n are single IEEE
+    // divisions of exact ints (n=1 → percent_rank 0 in both engines);
+    // lag/lead/first_value move strings — nothing to format. Scale: one
+    // shuffle by user_id, per-partition sort, WindowExec streams each
+    // user's frame; no global sort except the output ORDER BY contract.
+    Q("q140_window_suite",
+      """SELECT user_id, event_id, event_type,
+        |  lag(event_type) OVER w AS prev_type,
+        |  lead(event_type) OVER w AS next_type,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(event_type) OVER w AS first_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("event_type")).over(w).as("first_type"))
+        .orderBy("user_id", "event_id")
     },
 
     // ---- events: TRUE STREAMING stream-stream join, oracle-checked --------
