@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
 import graft.Tables
 import graft.functions.Fns
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Sketches, TableStats, Tessellation, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Joins, Multimodal, Similarity, Sketches, TableStats, Tessellation, TextAnalysis}
 import graft.streaming.Streams
 
 /** North-star packs: tessellation (G1-G3), dedup, similarity search, text
