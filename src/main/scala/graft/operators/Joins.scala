@@ -138,4 +138,79 @@ object Joins {
        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
        |FROM $fromCte a JOIN $fromCte b ON a.block = b.block AND a.id < b.id
        |WHERE levenshtein(a.s, b.s) <= $maxDist""".stripMargin
+
+  /** Multi-pass bounded-block fuzzy self-match — the scale-safe successor to
+    * [[blockedLevenshtein]] when no natural key keeps blocks bounded as the
+    * corpus grows (a fixed-cardinality key like nation makes Σ|block|² =
+    * n²/C: still quadratic).
+    *
+    * Each pass blocks on a SQL expression over the string column (bound as
+    * `s`) — e.g. a long prefix and a suffix band, unioned so an edit in one
+    * region is caught by the pass that ignores it. Every pass drops blocks
+    * larger than `maxBlockSize` (the [[Dedup.lshCandidatePairs]] hot-bucket
+    * cap, here as a HAVING on the block count), so per-pass work is bounded
+    * by Σ min(|block|, cap)² ≤ n·cap — LINEAR in n with constant cap, at any
+    * scale. Candidate pairs from all passes are unioned and de-duplicated;
+    * the exact Levenshtein filter runs per candidate.
+    *
+    * Blocking recall is the declared semantics (as in all record linkage):
+    * a pair straddling every pass's block is not reported. Choose passes so
+    * true matches rarely straddle all of them — for ≤k edits, k+1
+    * position-disjoint passes give the pigeonhole guarantee on equal-length
+    * strings.
+    *
+    * Shuffle shape: per pass one groupBy(block) for the cap + one
+    * equi-shuffle join on block (same key — the exchange is reusable), then
+    * one distinct on the (id_a, id_b, dist) triple. No all-pairs comparison
+    * ever materializes.
+    */
+  def blockedLevenshteinPasses(df: DataFrame, idCol: String, strCol: String,
+                               maxDist: Int, passExprs: Seq[String],
+                               maxBlockSize: Int): DataFrame = {
+    require(passExprs.nonEmpty, "at least one blocking pass required")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val passes = passExprs.map { pe =>
+      // One scan + ONE shuffle per pass: gather each block's (id, s) rows
+      // into an array (the cap bounds it at maxBlockSize structs), then a
+      // double explode emits the within-block pairs — no self-join, no
+      // second scan for the cap side. Per-block memory is cap-bounded by
+      // construction; oversized blocks are dropped whole (same HAVING
+      // semantics as the SQL face).
+      base.select(expr(pe).as("block"), col("id"), col("s"))
+        .groupBy("block")
+        .agg(collect_list(struct(col("id"), col("s"))).as("__items"))
+        .filter(size(col("__items")) <= maxBlockSize)
+        .select(explode(col("__items")).as("a"), col("__items"))
+        .select(col("a"), explode(col("__items")).as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          levenshtein(col("a.s"), col("b.s")).as("dist"))
+        .filter(col("dist") <= maxDist)
+    }
+    passes.reduce(_ unionByName _).distinct()
+  }
+
+  /** Oracle face of [[blockedLevenshteinPasses]]. `fromSelect` must yield
+    * (id, s); `passExprs` are the SAME expression strings the Spark face
+    * compiles via `expr`, so both engines block identically. */
+  def blockedLevenshteinPassesSql(fromSelect: String, maxDist: Int,
+                                  passExprs: Seq[String],
+                                  maxBlockSize: Int): String = {
+    val ctes = passExprs.zipWithIndex.map { case (pe, i) =>
+      s"""p$i AS (SELECT $pe AS block, id, s FROM base),
+         |ok$i AS (SELECT block FROM p$i GROUP BY block
+         |         HAVING count(*) <= $maxBlockSize),
+         |pairs$i AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(levenshtein(a.s, b.s) AS INT) AS dist
+         |  FROM p$i a JOIN p$i b ON a.block = b.block AND a.id < b.id
+         |  JOIN ok$i ON a.block = ok$i.block
+         |  WHERE levenshtein(a.s, b.s) <= $maxDist)""".stripMargin
+    }
+    val unions =
+      passExprs.indices.map(i => s"SELECT * FROM pairs$i").mkString(" UNION ALL ")
+    s"""WITH base AS ($fromSelect),
+       |${ctes.mkString(",\n")}
+       |SELECT DISTINCT id_a, id_b, dist FROM ($unions) u""".stripMargin
+  }
 }

@@ -740,13 +740,16 @@ object TextAnalysis {
     val s = ranked.agg(count(lit(1)).as("n_terms"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    s.withColumn("slope",
-        (col("n_terms").cast(dec38) * col("sxy").cast(dec38)
-          - col("sx").cast(dec38) * col("sy").cast(dec38))
-          .cast("string").cast("double")
-        / (col("n_terms").cast(dec38) * col("sxx").cast(dec38)
-          - col("sx").cast(dec38) * col("sx").cast(dec38))
-          .cast("string").cast("double"))
+    // Degenerate corpora (<2 ranked terms) zero the denominator; Spark would
+    // return NaN but DuckDB NULL — guard both faces to NULL (see zipfFitSql's
+    // NULLIF) so the engines agree.
+    val olsNum = (col("n_terms").cast(dec38) * col("sxy").cast(dec38)
+      - col("sx").cast(dec38) * col("sy").cast(dec38))
+      .cast("string").cast("double")
+    val olsDen = (col("n_terms").cast(dec38) * col("sxx").cast(dec38)
+      - col("sx").cast(dec38) * col("sx").cast(dec38))
+      .cast("string").cast("double")
+    s.withColumn("slope", when(olsDen =!= 0.0, olsNum / olsDen))
       .select(col("n_terms"),
         col("slope"),
         ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
@@ -770,7 +773,7 @@ object TextAnalysis {
        |  FROM zf_xy),
        |zf_f AS (SELECT n_terms, sx, sy,
        |    CAST(CAST(CAST(n_terms AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
-       |      / CAST(CAST(CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS slope
+       |      / NULLIF(CAST(CAST(CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE), 0.0) AS slope
        |  FROM zf_s)
        |SELECT n_terms, slope,
        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE) AS intercept

@@ -37,8 +37,12 @@ object PipelineQueries {
     "nonpos_total" -> "NOT (o_totalprice > 0)",
     "bad_status" -> "o_orderstatus NOT IN ('O', 'F', 'P')",
     "orphan_custkey" -> "c_custkey IS NULL")
-  // q137 fuzzy-linkage edit-distance cap
+  // q137 fuzzy-linkage edit-distance cap + bounded blocking passes: a long
+  // prefix pass catches suffix edits, a suffix pass catches prefix edits;
+  // both expressions are portable Spark/DuckDB SQL over the bound column `s`.
   val FuzzyMaxDist = 2
+  val FuzzyPassExprs = Seq("substr(s, 1, 17)", "right(s, 8)")
+  val FuzzyMaxBlock = 1024
   // q139 Zipf fit: rank cut (the head of the rank-frequency curve)
   val ZipfTopR = 1024
   val MinhashK = 8
@@ -1591,19 +1595,23 @@ object PipelineQueries {
     },
 
     // ---- linkage: blocked Levenshtein fuzzy self-match --------------------
-    // Record-linkage / fuzzy-dedup candidate pairs: customers blocked by
-    // nation, pairs within 2 edits on the name key. The block cap keeps the
-    // quadratic term at Sum(|block|^2) — never an all-pairs join; the
-    // TPC-H-ish name keys ('Customer#000000017') make near-collisions
-    // (digit substitutions) real at every SF. Exact integer distances.
+    // Record-linkage / fuzzy-dedup candidate pairs: customers within 2 edits
+    // on the name key, found by a UNION of bounded blocking passes (17-char
+    // prefix; 8-char suffix) with a hot-block cap — Σ|block|² ≤ n·cap stays
+    // LINEAR in corpus size (the r8 nation-key version was n²/25: quadratic;
+    // see VERDICT r8). TPC-H-ish name keys ('Customer#000000017') make
+    // near-collisions (digit substitutions) real at every SF; an edit in the
+    // suffix is caught by the prefix pass and vice versa. Exact integer
+    // distances; pair set de-duplicated across passes.
     Q("q137_fuzzy_match",
-      Joins.blockedLevenshteinSql(
-        "(SELECT c_nationkey AS block, c_custkey AS id, c_name AS s FROM customer)",
-        FuzzyMaxDist) + "\nORDER BY block, id_a, id_b") { (s, dir) =>
-      Joins.blockedLevenshtein(Tables.load(s, dir, "customer"),
-          idCol = "c_custkey", strCol = "c_name", blockCol = "c_nationkey",
-          maxDist = FuzzyMaxDist)
-        .orderBy("block", "id_a", "id_b")
+      Joins.blockedLevenshteinPassesSql(
+        "SELECT c_custkey AS id, c_name AS s FROM customer",
+        FuzzyMaxDist, FuzzyPassExprs, FuzzyMaxBlock) +
+        "\nORDER BY id_a, id_b") { (s, dir) =>
+      Joins.blockedLevenshteinPasses(Tables.load(s, dir, "customer"),
+          idCol = "c_custkey", strCol = "c_name", maxDist = FuzzyMaxDist,
+          passExprs = FuzzyPassExprs, maxBlockSize = FuzzyMaxBlock)
+        .orderBy("id_a", "id_b")
     },
 
     // ---- corpus: Zipf rank-frequency fit ----------------------------------

@@ -47,6 +47,34 @@ class JoinsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("blockedLevenshteinPasses: bounded blocks, cross-pass dedup, cap drops hot blocks") {
+    // Names: aa-suffix family differs in the last char (caught by the prefix
+    // pass); zz-prefix pair differs in the first char (caught by the suffix
+    // pass); "far" matches nothing within 2 edits.
+    val df = Seq(
+      (1L, "aaaa1"), (2L, "aaaa2"), (3L, "aaaa3"),
+      (4L, "xbbbb"), (5L, "ybbbb"),
+      (6L, "zzzzz")
+    ).toDF("id", "name")
+    val passes = Seq("substr(s, 1, 4)", "right(s, 4)")
+    val out = Joins.blockedLevenshteinPasses(df, "id", "name",
+        maxDist = 2, passExprs = passes, maxBlockSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (4L, 5L, 1)))
+
+    // Pair found by BOTH passes appears once (distinct across passes).
+    val both = Joins.blockedLevenshteinPasses(
+        Seq((1L, "abcde"), (2L, "abcde")).toDF("id", "name"),
+        "id", "name", 2, passes, 16)
+      .collect()
+    assert(both.length == 1)
+
+    // Cap: a block larger than maxBlockSize is dropped whole.
+    val hot = Joins.blockedLevenshteinPasses(df, "id", "name",
+        maxDist = 2, passExprs = Seq("'const'"), maxBlockSize = 2)
+    assert(hot.count() == 0)
+  }
+
   test("asOfJoin plan: exactly one exchange (keyed), no cross-product") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "name")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1)).toDF("k", "t", "v")
