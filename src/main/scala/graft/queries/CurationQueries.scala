@@ -750,27 +750,17 @@ object CurationQueries {
       s"""WITH i AS (SELECT doc_id, $injectSql AS t FROM documents)
          |SELECT doc_id, ${Curation.redactPiiSql("t")} AS red_text
          |FROM i ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       val scratch = new graft.Session.Scratch // janitor-prefixed tmp (C5)
       val sink = s"${scratch.dir}/stream_redact"
       val chk = s"${scratch.dir}/chk"
-      val schema = s.read.parquet(Tables.path(dir, "documents")).schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val query = docs
-        .select(col("doc_id"), injectCol.as("t"))
-        .select(col("doc_id"), Curation.redactPii(col("t")).as("red_text"))
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").parquet(sink)
-        }
-        .start()
-      query.awaitTermination()
-      s.read.parquet(sink).orderBy("doc_id")
+      graft.streaming.Streams.runAvailableNow(s, sink, chk, outputMode = "append") {
+        val schema = s.read.parquet(Tables.path(dir, "documents")).schema
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .select(col("doc_id"), injectCol.as("t"))
+          .select(col("doc_id"), Curation.redactPii(col("t")).as("red_text"))
+      }.orderBy("doc_id")
     },
 
     // ---- span-level dedup APPLY (Lee et al. 2022) -------------------------

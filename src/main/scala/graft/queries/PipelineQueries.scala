@@ -752,17 +752,9 @@ object PipelineQueries {
       val chk = s"${scratch.dir}/chk"
       // Same nanos-ts handling as Tables.load, on the streaming reader.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Complete-mode output is rewritten wholesale every micro-batch, so
-      // the trailing no-data batch (whose only job is watermark-driven
-      // eviction — moot in complete mode) would redo the full agg + sink
-      // write for an identical result. One data batch is the whole run
-      // (~2× less streaming work). Scoped: the try covers EVERYTHING after
-      // the set (build, start, await), so no failure path can leak the
-      // disabled flag into append-mode streams elsewhere in the session.
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val noDataPrev = s.conf.getOption(noDataKey)
-      s.conf.set(noDataKey, "false")
-      try {
+      // Scoped low-overhead run (8 state partitions, no trailing no-data
+      // batch — moot in complete mode): Streams.runAvailableNow scaladoc.
+      Streams.runAvailableNow(s, sink, chk) {
         val schema = s.read.parquet(Tables.path(dir, "events")).schema
         // The file-stream source needs a DIRECTORY to monitor (basePath); the
         // fixture table is a single file inside the SF dir, so monitor the dir
@@ -771,21 +763,8 @@ object PipelineQueries {
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
           .transform(Tables.normalizeEventTs)
-        val query = Streams.hourlyByTypeStream(events, watermark = "1 hour")
-          .writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", chk)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode("overwrite").parquet(sink)
-          }
-          .start()
-        query.awaitTermination()
-      } finally noDataPrev match {
-        case Some(v) => s.conf.set(noDataKey, v)
-        case None => s.conf.unset(noDataKey)
-      }
-      s.read.parquet(sink).orderBy("window_start", "event_type")
+        Streams.hourlyByTypeStream(events, watermark = "1 hour")
+      }.orderBy("window_start", "event_type")
     },
 
     // ---- documents: TRUE STREAMING exact dedup, oracle-checked ------------
@@ -806,35 +785,14 @@ object PipelineQueries {
       val scratch = new graft.Session.Scratch
       val sink = s"${scratch.dir}/stream_dedup"
       val chk = s"${scratch.dir}/chk"
-      // Complete mode rewrites the sink wholesale each micro-batch; the
-      // trailing no-data batch would redo the identical write (q73 note).
-      // The try covers everything after the set so no failure path leaks
-      // the disabled flag (q73 pattern).
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val noDataPrev = s.conf.getOption(noDataKey)
-      s.conf.set(noDataKey, "false")
-      try {
+      Streams.runAvailableNow(s, sink, chk) {
         val schema = s.read.parquet(Tables.path(dir, "documents")).schema
-        val docs = s.readStream.schema(schema)
+        s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(dir)
-        val query = docs
           .groupBy(md5(col("text")).as("digest"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-          .writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", chk)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode("overwrite").parquet(sink)
-          }
-          .start()
-        query.awaitTermination()
-      } finally noDataPrev match {
-        case Some(v) => s.conf.set(noDataKey, v)
-        case None => s.conf.unset(noDataKey)
-      }
-      s.read.parquet(sink).orderBy("digest")
+      }.orderBy("digest")
     },
 
     // ---- events: TRUE STREAMING sessionization, oracle-checked ------------
@@ -866,34 +824,14 @@ object PipelineQueries {
       val sink = s"${scratch.dir}/stream_sessions"
       val chk = s"${scratch.dir}/chk"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Complete mode rewrites the sink wholesale each micro-batch; the
-      // trailing no-data batch would redo the identical write (q73 note).
-      // The try covers everything after the set so no failure path leaks
-      // the disabled flag (q73 pattern).
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val noDataPrev = s.conf.getOption(noDataKey)
-      s.conf.set(noDataKey, "false")
-      try {
+      Streams.runAvailableNow(s, sink, chk) {
         val schema = s.read.parquet(Tables.path(dir, "events")).schema
         val events = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
           .transform(Tables.normalizeEventTs)
-        val query = Streams.sessionStats(events, gap = "30 minutes")
-          .writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", chk)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode("overwrite").parquet(sink)
-          }
-          .start()
-        query.awaitTermination()
-      } finally noDataPrev match {
-        case Some(v) => s.conf.set(noDataKey, v)
-        case None => s.conf.unset(noDataKey)
-      }
-      s.read.parquet(sink).orderBy("user_id", "session_start")
+        Streams.sessionStats(events, gap = "30 minutes")
+      }.orderBy("user_id", "session_start")
     },
 
     // ---- events: JSON prop extraction -------------------------------------
@@ -1259,21 +1197,16 @@ object PipelineQueries {
          |  event_type AS last_type, value AS last_value
          |FROM ($snap) ORDER BY user_id""".stripMargin
     }) { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       val scratch = new graft.Session.Scratch
       val sink = s"${scratch.dir}/stream_cdc"
       val chk = s"${scratch.dir}/chk"
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val noDataPrev = s.conf.getOption(noDataKey)
-      s.conf.set(noDataKey, "false")
-      try {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Streams.runAvailableNow(s, sink, chk) {
         val schema = s.read.parquet(Tables.path(dir, "events")).schema
-        val events = s.readStream.schema(schema)
+        s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
           .transform(Tables.normalizeEventTs)
-        val query = events
           .groupBy(col("user_id"))
           .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
             col("value"))).as("__w"))
@@ -1281,20 +1214,7 @@ object PipelineQueries {
             col("__w.ts").as("last_ts"), col("__w.event_type").as("last_type"),
             col("__w.value").as("last_value"))
           .filter(col("last_type") =!= "error")
-          .writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", chk)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode("overwrite").parquet(sink)
-          }
-          .start()
-        query.awaitTermination()
-      } finally noDataPrev match {
-        case Some(v) => s.conf.set(noDataKey, v)
-        case None => s.conf.unset(noDataKey)
-      }
-      s.read.parquet(sink).orderBy("user_id")
+      }.orderBy("user_id")
     },
 
     // ---- dedup: PageRank centrality over the duplicate-pair graph ---------
@@ -1680,19 +1600,12 @@ object PipelineQueries {
       val chk = s"${scratch.dir}/chk"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // A stream-stream join materializes FOUR state stores (keys + indexed
-      // rows per side) per shuffle partition per micro-batch; at the default
-      // 32 partitions the checkpoint I/O dwarfs the 33-row join. 8 state
-      // partitions cut that 4×; the trailing no-data batch (state eviction
-      // only — nothing left to emit after the single AvailableNow data
-      // batch of an inner join) is skipped, q73's pattern. Both are scoped
-      // and restored in the finally.
-      val partsKey = "spark.sql.shuffle.partitions"
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val partsPrev = s.conf.getOption(partsKey)
-      val noDataPrev = s.conf.getOption(noDataKey)
-      s.conf.set(partsKey, "8")
-      s.conf.set(noDataKey, "false")
-      try {
+      // rows per side) per shuffle partition per micro-batch; the helper's
+      // 8 state partitions cut that machinery 4× vs the batch default, and
+      // the trailing no-data batch (state eviction only — nothing left to
+      // emit after the single AvailableNow data batch of an inner join) is
+      // skipped. Both scoped, restored in the helper's finally.
+      Streams.runAvailableNow(s, sink, chk, outputMode = "append") {
         val schema = s.read.parquet(Tables.path(dir, "events")).schema
         def side(tpe: String) = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
@@ -1704,31 +1617,11 @@ object PipelineQueries {
         val purchases = side("purchase")
           .select(col("user_id").as("p_u"), col("ts").as("p_ts"),
             col("event_id").as("purchase_id"))
-        val joined = Streams.streamStreamJoin(clicks, purchases,
-          "user_id", "p_u", "l_ts", "p_ts", within = "1 hour",
-          watermark = "1 hour", joinType = "inner")
-        val query = joined
+        Streams.streamStreamJoin(clicks, purchases,
+            "user_id", "p_u", "l_ts", "p_ts", within = "1 hour",
+            watermark = "1 hour", joinType = "inner")
           .select(col("user_id"), col("click_id"), col("purchase_id"))
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", chk)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode("append").parquet(sink)
-          }
-          .start()
-        query.awaitTermination()
-      } finally {
-        partsPrev match {
-          case Some(v) => s.conf.set(partsKey, v)
-          case None => s.conf.unset(partsKey)
-        }
-        noDataPrev match {
-          case Some(v) => s.conf.set(noDataKey, v)
-          case None => s.conf.unset(noDataKey)
-        }
-      }
-      s.read.parquet(sink).orderBy("click_id", "purchase_id")
+      }.orderBy("click_id", "purchase_id")
     }
   )
 }

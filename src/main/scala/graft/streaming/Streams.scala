@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface over the `events` schema (SURVEY §2.9).
@@ -20,6 +20,64 @@ object Streams {
   // text, correctly-rounded parse in both engines (RelationalQueries.dsum).
   private def dsum(c: Column, scale: Int) =
     sum(c.cast(DecimalType(27, scale))).cast("string").cast("double")
+
+  /** Run a bounded streaming topology under `Trigger.AvailableNow`, write
+    * each micro-batch to a parquet sink via foreachBatch, and read the sink
+    * back as the result — the shared skeleton of every streaming query.
+    *
+    * Two overhead knobs, both SCOPED (restored in a finally, so no failure
+    * path leaks them into later batch/streaming work in the session):
+    *
+    *  - `statePartitions`: streaming state costs checkpoint I/O per SHUFFLE
+    *    PARTITION per micro-batch (a stream-stream join keeps FOUR stores
+    *    per partition); a bounded run at the batch default of 32 partitions
+    *    drowns the actual data in that fixed machinery (scoping q131 to 8
+    *    cut it 3.7×). Production unbounded topologies size this to
+    *    throughput instead — it is a knob, not a constant.
+    *  - `noDataBatch`: the trailing no-data micro-batch exists only for
+    *    watermark-driven eviction/emission. Complete mode reruns the full
+    *    agg + sink write for an identical result, and a bounded inner join
+    *    has nothing left to emit — skip it (~2× less streaming work). Leave
+    *    it ON for append-mode watermarked aggregations whose final emission
+    *    happens in that batch.
+    *
+    * Complete mode overwrites the sink every micro-batch (the output IS the
+    * whole result); any other mode appends. `build` is evaluated inside the
+    * scoped-conf window so the topology plans under the scoped values. */
+  def runAvailableNow(s: SparkSession, sink: String, chk: String,
+                      outputMode: String = "complete",
+                      statePartitions: Int = 8,
+                      noDataBatch: Boolean = false)
+                     (build: => DataFrame): DataFrame = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val partsPrev = s.conf.getOption(partsKey)
+    val noDataPrev = s.conf.getOption(noDataKey)
+    s.conf.set(partsKey, statePartitions.toString)
+    s.conf.set(noDataKey, noDataBatch.toString)
+    try {
+      val sinkMode = if (outputMode == "complete") "overwrite" else "append"
+      val query = build.writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode(sinkMode).parquet(sink)
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      partsPrev match {
+        case Some(v) => s.conf.set(partsKey, v)
+        case None => s.conf.unset(partsKey)
+      }
+      noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None => s.conf.unset(noDataKey)
+      }
+    }
+    s.read.parquet(sink)
+  }
 
   /** Tumbling-window aggregate per event type. Batch and streaming share this
     * plan shape; on a stream add `withWatermark("ts", ...)` upstream. */
