@@ -1534,6 +1534,43 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- sources: declared-target schema conformance ----------------------
+    // q136 proved raw mergeSchema; this proves the reusable read face
+    // (SchemaEvolution.readConformed): three schema GENERATIONS of the
+    // documents table land in one folder (split by doc_id % 3, so every
+    // generation is non-empty at every SF — the q136 ADVICE note), then one
+    // conformed read against a DECLARED target must (a) null-fill columns
+    // missing from older files AND a `rev` column no file carries, (b) drop
+    // the on-disk `source` column the target doesn't declare, and (c) cast
+    // gen2's INT n_chars back to the target's BIGINT — the reference's
+    // silent field-map tolerance (arc_utils.py:685-689) made explicit.
+    Q("q141_schema_conform",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN text END AS text,
+        |  CASE WHEN doc_id % 3 IN (1, 2) THEN lang END AS lang,
+        |  CASE WHEN doc_id % 3 = 2 THEN n_chars END AS n_chars,
+        |  CAST(NULL AS INT) AS rev
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val scratch = new graft.Session.Scratch
+      val path = s"${scratch.dir}/docs_generations"
+      val docs = Tables.load(s, dir, "documents")
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(path)
+      docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text", "lang", "source")
+        .write.mode("append").parquet(path)
+      docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("int").as("n_chars"), col("source"))
+        .write.mode("append").parquet(path)
+      val target = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType),
+        StructField("rev", IntegerType)))
+      graft.sources.SchemaEvolution.readConformed(s, path, target)
+        .orderBy("doc_id")
+    },
+
     // ---- corpus: Zipf rank-frequency fit ----------------------------------
     // OLS slope/intercept of the log-log rank-frequency curve over the
     // top-1024 terms — the classic natural-text diagnostic (slope ≈ −1 for
