@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, VectorExprs}
 
@@ -73,6 +74,42 @@ object Similarity {
       val wList = w.map(x => s"${x.toDouble}").mkString("[", ",", "]")
       Fns.dotSql(wList, Fns.vecDSql(vecE))
     }.mkString("[", ", ", "]")
+
+  /** Multi-probe sign-LSH search (Lv et al., VLDB 2007): probe the query's
+    * own bucket PLUS every bucket at Hamming distance 1 (one flipped
+    * hyperplane bit), then exact-cosine top-k within the candidates. The
+    * near-miss failure mode of single-bucket LSH is a true neighbor sitting
+    * just across ONE hyperplane — exactly the buckets the flip set covers —
+    * so recall jumps from one-bucket coverage to (h+1)-bucket coverage
+    * (≈(h+1)/2^h of the corpus) without rebuilding anything.
+    *
+    * Scale shape: the probe list is h+1 rows derived from the query
+    * (broadcast); the candidate fetch is an equi-join on the bucket id, so
+    * a corpus pre-bucketed on `signBucket` (or written with
+    * `partitionBy(bucket)`, the [[ivfWriteIndex]] pattern) serves each
+    * probe from its own partition — no scan of unprobed buckets, candidates
+    * bounded by the probed buckets' sizes. Buckets partition the corpus, so
+    * probes never duplicate a candidate. */
+  def multiProbeLsh(corpus: DataFrame, query: DataFrame, vecCol: String,
+                    idCol: String, k: Int,
+                    weights: Array[Array[Long]]): DataFrame = {
+    val b = corpus.withColumn("__bkt", signBucket(col(vecCol), weights))
+    val masks = lit(0L) +: weights.indices.map(h => lit(1L << h))
+    val probes = broadcast(
+      query.select(signBucket(col(vecCol), weights).as("__qb"),
+          col(vecCol).as("__qv"))
+        .select(explode(array(masks: _*)).as("__m"), col("__qb"), col("__qv"))
+        .select(col("__qb").bitwiseXOR(col("__m")).as("__pb"), col("__qv")))
+    b.join(probes, col("__bkt") === col("__pb"))
+      .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Oracle probe-mask list for [[multiProbeLsh]]: 0 (the base bucket) plus
+    * each single-bit flip, as a SQL list literal for `unnest`. */
+  def multiProbeMasksSql(h: Int): String =
+    (0L +: (0 until h).map(1L << _)).mkString("[", ", ", "]")
 
   /** Exact top-k by cosine against one broadcast query vector. */
   def bruteForceTopK(corpus: DataFrame, query: DataFrame,
@@ -199,6 +236,96 @@ object Similarity {
         .limit(nprobe)
         .select("cid"))
     index.join(probes, index("centroid_id") === probes("cid"))
+      .crossJoin(q)
+      .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Soft IVF assignment: each vector lands in its `r` nearest inverted
+    * lists (same total order as [[ivfAssign]]: cosine DESC, pivot id ASC).
+    * The multi-assignment blocking that makes an approximate KNN-graph
+    * build possible without all-pairs: two vectors whose PRIMARY lists
+    * differ still co-occur in a bucket when one's secondary list is the
+    * other's primary. Offline-build shape: the |corpus|·C scored cross
+    * join ranks per vector with a rank-limit window (WindowGroupLimit
+    * keeps ≤r rows per vector in the exchange) — heavier than the fused
+    * argmax of [[ivfAssign]], run it at index-build time, not per query. */
+  def ivfSoftAssign(corpus: DataFrame, pivots: DataFrame, vecCol: String,
+                    idCol: String, pivotIdCol: String, r: Int): DataFrame = {
+    val p = broadcast(pivots.select(col(pivotIdCol).as("__cid"),
+      col(vecCol).as("__cv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__cid").asc)
+    corpus.crossJoin(p)
+      .select(col(idCol), col(vecCol), col("__cid"),
+        VectorExprs.cosineF(col(vecCol), col("__cv")).as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= r)
+      .select(col(idCol), col(vecCol), col("__cid").as("centroid_id"))
+  }
+
+  /** M-nearest-neighbor graph over a SOFT IVF assignment — the NSW/
+    * HNSW-lite navigation layer (Malkov & Yashunin's base-layer idea, built
+    * by IVF multi-assignment blocking): for every vector, its `m` nearest
+    * co-bucketed neighbors by cosine (ties → smaller id). Because buckets
+    * come from [[ivfSoftAssign]] (r ≥ 2), edges CROSS primary-list
+    * boundaries — which is the whole point: a search seeded from one list
+    * can hop to near neighbors whose primary list wasn't probed. Build cost
+    * is Σ|bucket|² pairwise cosines (≈ r²× the [[semDedup]] shape), capped
+    * by the clustering, never all-pairs; one equi-shuffle on the bucket id,
+    * a pair-distinct (a pair can co-occur in up to r shared buckets), and a
+    * per-src rank-limit window. Persist next to the index files and reuse
+    * across queries; rebuild only on re-clustering. */
+  def ivfNeighborGraph(softIndex: DataFrame, vecCol: String, idCol: String,
+                       m: Int): DataFrame = {
+    val a = softIndex.select(col("centroid_id").as("__c"), col(idCol).as("src"),
+      col(vecCol).as("__sv"))
+    val b = softIndex.select(col("centroid_id").as("__c2"), col(idCol).as("dst"),
+      col(vecCol).as("__dv"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("__cos").desc, col("dst").asc)
+    // Cosine BEFORE the pair-distinct: the dedup then shuffles 24-byte
+    // (src, dst, cos) triples instead of two vectors per pair — at dim 64
+    // that's ~20× less exchange. Recomputing a pair's cosine in each
+    // co-bucket (≤r² times) is cheap; both engines' cosines are bit-exact,
+    // so the distinct keys agree.
+    a.join(b, col("__c") === col("__c2") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VectorExprs.cosineF(col("__sv"), col("__dv")).as("__cos"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .select("src", "dst")
+  }
+
+  /** Graph-expanded IVF search: seed with the `nprobe` best inverted lists
+    * (the [[ivfSearch]] probe rule), expand ONE hop along the
+    * [[ivfNeighborGraph]] edges, exact-cosine top-k over the union. The hop
+    * recovers true neighbors that live just OUTSIDE the probed lists but are
+    * graph-adjacent to a seed — the coarse-quantization miss an HNSW layer
+    * exists to fix — so recall at nprobe=1 approaches plain-IVF recall at
+    * larger nprobe while scanning roughly 1/nprobe of the data (candidates =
+    * probed lists + ≤m·|seed| hop rows). All relational: two broadcast
+    * probes, equi-joins, one distinct — no iterative traversal, which is the
+    * right depth/cost point for a ONE-shuffle distributed search (deeper
+    * walks serialize into per-hop shuffles for rapidly diminishing recall). */
+  def ivfGraphSearch(index: DataFrame, pivots: DataFrame, graph: DataFrame,
+                     query: DataFrame, vecCol: String, idCol: String,
+                     pivotIdCol: String, k: Int, nprobe: Int): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("__qv")))
+    val probes = broadcast(
+      pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv")).crossJoin(q)
+        .select(col("cid"), VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+        .orderBy(col("__pcos").desc, col("cid").asc)
+        .limit(nprobe)
+        .select("cid"))
+    val seed = index.join(probes, index("centroid_id") === probes("cid"))
+      .select(col(idCol), col(vecCol))
+    val hopIds = graph.join(seed.select(col(idCol).as("src")), Seq("src"))
+      .select(col("dst").as(idCol)).distinct()
+    val hop = index.join(hopIds, Seq(idCol)).select(col(idCol), col(vecCol))
+    seed.unionByName(hop).dropDuplicates(idCol)
       .crossJoin(q)
       .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

@@ -92,14 +92,16 @@ object TableStats {
   /** Oracle face of [[constraintAudit]]: one UNION ALL arm per check over
     * the same FROM expression (same counts, different plan shape). Check
     * names/predicates are dev-authored constants (the repo-wide SQL-builder
-    * contract). */
+    * contract); names are still quote-escaped as defense in depth so a
+    * name with an apostrophe yields valid (non-injected) SQL. */
   def constraintAuditSql(fromE: String, checks: Seq[(String, String)],
                          uniqueCols: Seq[String] = Nil): String = {
+    def q(n: String) = n.replace("'", "''")
     val arms = checks.map { case (n, predE) =>
-      s"""SELECT '$n' AS check_name, COUNT(*) AS n_total,
+      s"""SELECT '${q(n)}' AS check_name, COUNT(*) AS n_total,
          |  COUNT(CASE WHEN $predE THEN 1 END) AS n_viol FROM $fromE""".stripMargin
     } ++ uniqueCols.map { c =>
-      s"""SELECT 'dup_$c' AS check_name, COUNT(*) AS n_total,
+      s"""SELECT 'dup_${q(c)}' AS check_name, COUNT(*) AS n_total,
          |  COUNT($c) - COUNT(DISTINCT $c) AS n_viol FROM $fromE""".stripMargin
     }
     s"""SELECT check_name, n_total, n_viol,

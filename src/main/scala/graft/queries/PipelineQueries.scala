@@ -49,6 +49,9 @@ object PipelineQueries {
   val Bands = 4
   val RowsPerBand = 2
   val AnnH = 6
+  // q143 HNSW-lite: neighbor-graph out-degree (M=3: recall 1.0 at ~29%
+  // scanned on the fixture; M=2 kept recall at 0.9 for ~24%)
+  val GraphM = 3
   val AnnDim = 64
   lazy val AnnWeights: Array[Array[Long]] = Similarity.hyperplaneWeights(AnnH, AnnDim)
 
@@ -1532,6 +1535,96 @@ object PipelineQueries {
           idCol = "c_custkey", strCol = "c_name", maxDist = FuzzyMaxDist,
           passExprs = FuzzyPassExprs, maxBlockSize = FuzzyMaxBlock)
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity: multi-probe LSH, recall-audited ----------------------
+    // Multi-probe sign-LSH (Lv et al. VLDB'07): probe the query's bucket
+    // plus all Hamming-distance-1 buckets (one flipped hyperplane bit),
+    // exact cosine over the candidates, then the q88 audit shape scores
+    // recall@10 against brute-force ground truth — both engines replicate
+    // BOTH paths, so recall is an exact checked value. On THIS fixture the
+    // audit reports recall 0.1: the embeddings are near-isotropic (top-10
+    // cosines ≈0.3), so data-INDEPENDENT hashing scatters true neighbors
+    // ~2.3 expected bit-flips away — which is precisely the failure an
+    // audit exists to catch before a rollout. The query-ADAPTIVE rung that
+    // does clear the bar on the same data is q143's IVF+graph search.
+    Q("q142_multiprobe_lsh", {
+      val K = 10
+      val bktSql = Similarity.signBucketSql("embedding", AnnWeights)
+      s"""WITH b AS (SELECT vec_id, embedding, $bktSql AS bkt FROM embeddings),
+         |q AS (SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = 0),
+         |pm AS (SELECT qv, xor(qb, unnest(${Similarity.multiProbeMasksSql(AnnH)})) AS pb FROM q),
+         |mp AS (SELECT b.vec_id FROM b JOIN pm ON b.bkt = pm.pb
+         |  ORDER BY ${cosSql("b.embedding", "pm.qv")} DESC, vec_id LIMIT $K),
+         |bf AS (SELECT e.vec_id FROM embeddings e, q
+         |  ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, vec_id LIMIT $K)
+         |SELECT $K AS k, COUNT(*) AS n_hit,
+         |  (CAST(COUNT(*) AS DOUBLE) / CAST($K AS DOUBLE)) AS recall
+         |FROM mp JOIN bf USING (vec_id)""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+      val mp = Similarity.multiProbeLsh(emb, qv,
+        "embedding", "vec_id", k = 10, weights = AnnWeights).select("vec_id")
+      val bf = Similarity.bruteForceTopK(emb, qv, "embedding", "vec_id", 10)
+        .select("vec_id")
+      mp.join(bf, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(10).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(10).cast("double")).as("recall"))
+    },
+
+    // ---- similarity: HNSW-lite graph-expanded IVF, recall-audited ---------
+    // The graph ANN rung (VERDICT r8 stretch): an NSW-style M-NN graph
+    // built by IVF MULTI-ASSIGNMENT blocking (each vector in its 2 nearest
+    // lists — Similarity.ivfSoftAssign — so edges cross primary-list
+    // boundaries; build stays Σ|bucket|²-bounded, never all-pairs), then
+    // search seeds the SINGLE best inverted list and expands one hop along
+    // graph edges (Similarity.ivfGraphSearch), exact top-10 over the union,
+    // scored by the q88 recall audit. Both engines replicate the full
+    // chain — soft assignment (rank ≤ 2 per vector), pair-distinct graph
+    // (rank ≤ M per src), probe, hop, candidate union, both top-10s — so
+    // recall is an exact checked value: 1.0 here at nprobe=1 + hop (~29%
+    // scanned) vs seed-only 0.9 (~11%) and q88's nprobe=2 1.0 (~24%) —
+    // the hop buys back the coarse-quantization misses.
+    Q("q143_graph_ann_recall", {
+      val K = 10
+      s"""WITH ${ivfSqlCtes(ivfC = 8, nprobe = 1)},
+         |asg2 AS (SELECT vec_id, embedding, cid FROM scored WHERE rn <= 2),
+         |gp AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS c
+         |  FROM asg2 a JOIN asg2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |g AS (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+         |  FROM gp),
+         |seed AS (SELECT a.vec_id, a.embedding FROM asg a JOIN probes p ON a.cid = p.cid),
+         |hop AS (SELECT e.vec_id, e.embedding FROM g JOIN seed s ON g.src = s.vec_id
+         |  JOIN asg e ON e.vec_id = g.dst WHERE g.rn <= $GraphM),
+         |cand AS (SELECT vec_id, embedding FROM seed UNION
+         |         SELECT vec_id, embedding FROM hop),
+         |gs AS (SELECT c.vec_id FROM cand c, q
+         |  ORDER BY ${cosSql("c.embedding", "q.qv")} DESC, vec_id LIMIT $K),
+         |bf AS (SELECT e.vec_id FROM embeddings e, q
+         |  ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, vec_id LIMIT $K)
+         |SELECT $K AS k, COUNT(*) AS n_hit,
+         |  (CAST(COUNT(*) AS DOUBLE) / CAST($K AS DOUBLE)) AS recall
+         |FROM gs JOIN bf USING (vec_id)""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < 8)
+      val index = Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id")
+      val soft = Similarity.ivfSoftAssign(emb, pivots, "embedding", "vec_id",
+        "vec_id", r = 2)
+      val graph = Similarity.ivfNeighborGraph(soft, "embedding", "vec_id", GraphM)
+      val qv = emb.filter(col("vec_id") === 0)
+      val gs = Similarity.ivfGraphSearch(index, pivots, graph, qv,
+        "embedding", "vec_id", "vec_id", k = 10, nprobe = 1).select("vec_id")
+      val bf = Similarity.bruteForceTopK(emb, qv, "embedding", "vec_id", 10)
+        .select("vec_id")
+      gs.join(bf, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(10).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(10).cast("double")).as("recall"))
     },
 
     // ---- sources: declared-target schema conformance ----------------------

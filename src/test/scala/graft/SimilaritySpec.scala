@@ -239,4 +239,32 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("ivfGraphSearch: soft-assignment graph hop recovers a cross-list neighbor") {
+    // Pivots on the axes; c's PRIMARY list is p1 but its secondary is p0,
+    // so the soft graph links it to list-0 members. A query probing ONLY
+    // list 0 (nprobe=1) misses c seed-wise; the one-hop expansion must
+    // recover it — the coarse-quantization miss the layer exists to fix.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val pivots = Seq((100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(1, 0.05, 0, 0)),  // list 0
+      (2L, v(0.95, 0.1, 0, 0)), // list 0
+      (3L, v(0.6, 0.8, 0, 0)),  // primary list 1, secondary list 0
+      (4L, v(0.05, 1, 0, 0))    // list 1
+    ).toDF("vec_id", "embedding")
+    val query = Seq((0L, v(1, 0.1, 0, 0))).toDF("vec_id", "embedding")
+    val index = Similarity.ivfAssign(corpus, pivots, "embedding", "vec_id", "vec_id")
+    // Sanity: primary assignment puts 3 in list 1 — seeds alone can't see it.
+    val asg = index.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(asg(3L) == 101L && asg(1L) == 100L)
+    val soft = Similarity.ivfSoftAssign(corpus, pivots, "embedding", "vec_id",
+      "vec_id", r = 2)
+    val graph = Similarity.ivfNeighborGraph(soft, "embedding", "vec_id", m = 2)
+    val got = Similarity.ivfGraphSearch(index, pivots, graph, query,
+        "embedding", "vec_id", "vec_id", k = 3, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L)) // 3 only reachable via the hop
+  }
 }
