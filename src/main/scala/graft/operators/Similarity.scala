@@ -820,15 +820,11 @@ object Similarity {
     marginFromPairs(pairs, k)
   }
 
-  /** Oracle face of [[bitextMargin]]: `aCte`/`bCte` expose (id, v); emits
-    * CTEs ending in `bm_best` = (a_id, b_id, c_micro, margin, rk) with rk=1
-    * rows matching the operator's output. */
-  def bitextMarginSql(aCte: String, bCte: String, k: Int): String = {
-    val cos = Fns.cosineSql(Fns.vecDSql("a.v"), Fns.vecDSql("b.v"))
-    s"""bm_p AS (SELECT a.id AS a_id, b.id AS b_id,
-       |    CAST(floor($cos * 1e6) AS BIGINT) AS c_micro
-       |  FROM ($aCte) a, ($bCte) b),
-       |bm_sa AS (SELECT a_id, SUM(c_micro) AS sa, COUNT(*) AS ka FROM (
+  /** Shared margin-scoring CTE tail over a `bm_p` (a_id, b_id, c_micro)
+    * candidate table: bm_sa/bm_sb (k-NN integer sums) → bm_m (margin) →
+    * bm_best (rk=1 per a_id). */
+  private def marginCtesSql(k: Int): String =
+    s"""bm_sa AS (SELECT a_id, SUM(c_micro) AS sa, COUNT(*) AS ka FROM (
        |    SELECT a_id, c_micro, row_number() OVER (
        |      PARTITION BY a_id ORDER BY c_micro DESC, b_id) AS rk FROM bm_p)
        |  WHERE rk <= $k GROUP BY 1),
@@ -842,5 +838,62 @@ object Similarity {
        |  FROM bm_p p JOIN bm_sa sa USING (a_id) JOIN bm_sb sb USING (b_id)),
        |bm_best AS (SELECT a_id, b_id, c_micro, margin, row_number() OVER (
        |    PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk FROM bm_m)""".stripMargin
+
+  /** Oracle face of [[bitextMargin]]: `aCte`/`bCte` expose (id, v); emits
+    * CTEs ending in `bm_best` = (a_id, b_id, c_micro, margin, rk) with rk=1
+    * rows matching the operator's output. */
+  def bitextMarginSql(aCte: String, bCte: String, k: Int): String = {
+    val cos = Fns.cosineSql(Fns.vecDSql("a.v"), Fns.vecDSql("b.v"))
+    s"""bm_p AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(floor($cos * 1e6) AS BIGINT) AS c_micro
+       |  FROM ($aCte) a, ($bCte) b),
+       |${marginCtesSql(k)}""".stripMargin
+  }
+
+  /** Scale-safe candidate stage for [[marginFromPairs]]: soft-IVF-blocked
+    * pairs instead of the brute a×b cross. Both sides soft-assign to their
+    * `r` nearest pivots ([[ivfSoftAssign]]); candidates are co-bucketed
+    * (a, b) pairs, de-duplicated on the pre-computed c_micro triple (the
+    * [[ivfNeighborGraph]] shuffle trick). With a pivot count that grows
+    * with the corpus (C ≈ n/targetList, the FAISS √n̄-style rule — see
+    * q111), bucket sizes stay ≈ r·targetList CONSTANT as n grows, so
+    * candidate work is Σ|bucket_a|·|bucket_b| = Θ(n) — linear, vs the
+    * brute stage's Θ(n²) (the r9 sf1 soak measured exactly that blow-up).
+    * Blocking recall (pairs straddling all shared buckets are unseen) is
+    * the declared semantics, as in every ANN candidate stage. */
+  def bitextMarginBlocked(a: DataFrame, b: DataFrame, pivots: DataFrame,
+                          vecCol: String, idCol: String, pivotIdCol: String,
+                          k: Int, r: Int): DataFrame = {
+    def side(df: DataFrame, as: String, vas: String) =
+      ivfSoftAssign(df, pivots, vecCol, idCol, pivotIdCol, r)
+        .select(col("centroid_id").as(s"__c_$as"), col(idCol).as(as),
+          col(vecCol).as(vas))
+    val sa = side(a, "a_id", "__va")
+    val sb = side(b, "b_id", "__vb")
+    val pairs = sa.join(sb, col("__c_a_id") === col("__c_b_id"))
+      .select(col("a_id"), col("b_id"),
+        floor(VectorExprs.cosineF(col("__va"), col("__vb")) * lit(1e6))
+          .cast("long").as("c_micro"))
+      .distinct()
+    marginFromPairs(pairs, k)
+  }
+
+  /** Oracle face of [[bitextMarginBlocked]]: `aCte`/`bCte` expose (id, v),
+    * `pivCte` exposes (cid, pv). */
+  def bitextMarginBlockedSql(aCte: String, bCte: String, pivCte: String,
+                             k: Int, r: Int): String = {
+    val pcos = Fns.cosineSql(Fns.vecDSql("s.v"), Fns.vecDSql("p.pv"))
+    val cos = Fns.cosineSql(Fns.vecDSql("sa.v"), Fns.vecDSql("sb.v"))
+    def soft(name: String, cte: String) =
+      s"""$name AS (SELECT id, v, cid FROM (
+         |    SELECT s.id, s.v, p.cid, row_number() OVER (PARTITION BY s.id
+         |      ORDER BY $pcos DESC, p.cid) AS rn
+         |    FROM ($cte) s, ($pivCte) p) t WHERE rn <= $r)""".stripMargin
+    s"""${soft("bmb_sa", aCte)},
+       |${soft("bmb_sb", bCte)},
+       |bm_p AS (SELECT DISTINCT sa.id AS a_id, sb.id AS b_id,
+       |    CAST(floor($cos * 1e6) AS BIGINT) AS c_micro
+       |  FROM bmb_sa sa JOIN bmb_sb sb ON sa.cid = sb.cid),
+       |${marginCtesSql(k)}""".stripMargin
   }
 }

@@ -25,6 +25,10 @@ object PipelineQueries {
   val CmsWidth = 2048
   // q111 margin normalization neighborhood
   val BitextK = 4
+  // q111 soft-IVF candidate blocking: assignments per vector and the
+  // target inverted-list size that scales the pivot count (C ≈ n/target)
+  val BitextR = 2
+  val BitextTargetList = 250
   // q115 profiled columns (int/string only — doubles need a DECIMAL cast
   // first; raw double→string formatting is not cross-engine stable)
   val ProfileCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
@@ -1136,20 +1140,29 @@ object PipelineQueries {
     // side's k-NN average demotes hub vectors. Cosines are ⌊·1e6⌋-quantized
     // (q87 trick) so the k-NN sums are exact integers and the single final
     // IEEE division makes both engines' margins bit-identical. Even/odd
-    // vec_id halves stand in for the two languages; the pair stage is
-    // brute-force here, ANN candidates at scale (marginFromPairs is the
-    // shared scoring math; its rank filters compile to WindowGroupLimit).
+    // vec_id halves stand in for the two languages. The pair stage is
+    // soft-IVF-blocked (Similarity.bitextMarginBlocked) with a pivot count
+    // that GROWS with the corpus — C = max(8, ⌈n/250⌉), the FAISS-style
+    // rule — so bucket sizes stay ~constant and candidate work is Θ(n):
+    // the r9 sf1 soak measured the old brute a×b stage at 191 s (×70 for
+    // ×10 data — quadratic); this declared face is the scale path itself.
+    // The n used for C is ONE driver-side count (the Compat min/max-row
+    // pattern); blocking recall is the declared semantics.
     Q("q111_bitext_margin", {
       val aCte = "SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0"
       val bCte = "SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 1"
-      s"""WITH ${Similarity.bitextMarginSql(aCte, bCte, BitextK)}
+      val pivCte = "SELECT vec_id AS cid, embedding AS pv FROM embeddings " +
+        s"WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / $BitextTargetList.0) AS BIGINT)) FROM embeddings)"
+      s"""WITH ${Similarity.bitextMarginBlockedSql(aCte, bCte, pivCte, BitextK, BitextR)}
          |SELECT a_id, b_id, c_micro, margin FROM bm_best WHERE rk = 1
          |ORDER BY margin DESC, a_id LIMIT 20""".stripMargin
     }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.bitextMargin(
+      val c = math.max(8L, math.ceil(emb.count() / BitextTargetList.toDouble).toLong)
+      Similarity.bitextMarginBlocked(
           emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
-          "embedding", "vec_id", BitextK)
+          emb.filter(col("vec_id") < c),
+          "embedding", "vec_id", "vec_id", BitextK, BitextR)
         .orderBy(col("margin").desc, col("a_id")).limit(20)
     },
 
