@@ -214,6 +214,41 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("(source = src5)") || plan.contains("isnotnull(source"), plan)
   }
 
+  test("fuzzy linkage (q137): no cartesian, candidate gen is one shuffle per pass") {
+    val plan = formatted(SparkEntry.queries("q137_fuzzy_match")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // pair generation rides collect_list + explode, not a self-join
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("blocked bitext mining (q111): no unblocked cross join in the pair stage") {
+    // The brute face was a deliberate CartesianProduct (a×b); the blocked
+    // face must pair only co-bucketed rows via an equi-join on the bucket.
+    val plan = formatted(SparkEntry.queries("q111_bitext_margin")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // rank <= k filters compile to per-task truncation
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("neighbor-graph build: rank limit compiles to WindowGroupLimit; dedup shuffles scalars") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pivots = emb.filter(col("vec_id") < 8)
+    val soft = Similarity.ivfSoftAssign(emb, pivots, "embedding", "vec_id", "vec_id", r = 2)
+    val g = Similarity.ivfNeighborGraph(soft, "embedding", "vec_id", m = 3)
+    val plan = g.queryExecution.executedPlan
+    assert(plan.toString.contains("WindowGroupLimit"), plan.toString)
+    // the pair-distinct exchange carries (src, dst, cos) — never embeddings
+    val exchanges = plan.collect {
+      case e: ShuffleExchangeExec => e.child.output.map(_.name)
+    }
+    exchanges.foreach(cols => assert(!cols.exists(_.contains("embedding")) &&
+      !cols.exists(_.contains("__sv")) && !cols.exists(_.contains("__dv")),
+      exchanges.toString))
+  }
+
   test("incremental dedup: no exchange ever carries the batch text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
