@@ -75,30 +75,50 @@ object Similarity {
       Fns.dotSql(wList, Fns.vecDSql(vecE))
     }.mkString("[", ", ", "]")
 
-  /** Multi-probe sign-LSH search (Lv et al., VLDB 2007): probe the query's
-    * own bucket PLUS every bucket at Hamming distance 1 (one flipped
-    * hyperplane bit), then exact-cosine top-k within the candidates. The
-    * near-miss failure mode of single-bucket LSH is a true neighbor sitting
-    * just across ONE hyperplane — exactly the buckets the flip set covers —
-    * so recall jumps from one-bucket coverage to (h+1)-bucket coverage
-    * (≈(h+1)/2^h of the corpus) without rebuilding anything.
+  /** Query-adaptive multi-probe sign-LSH search (Lv et al., VLDB 2007): a
+    * true neighbor that misses the query's bucket sits across the
+    * hyperplanes the QUERY is closest to — so the probing sequence ranks
+    * every flip mask by the summed |margin| of its flipped planes (the
+    * paper's perturbation-set score with |dot| as the boundary distance)
+    * and probes the `t` cheapest buckets (mask 0 = the base bucket always
+    * ranks first). Exact-cosine top-k within the candidates. This is the
+    * query-adaptive probing the paper is about — flat Hamming-radius
+    * probing is the degenerate equal-margin case.
     *
-    * Scale shape: the probe list is h+1 rows derived from the query
-    * (broadcast); the candidate fetch is an equi-join on the bucket id, so
-    * a corpus pre-bucketed on `signBucket` (or written with
-    * `partitionBy(bucket)`, the [[ivfWriteIndex]] pattern) serves each
+    * Scale shape: mask ranking is 2^h rows derived from ONE query row
+    * (driver-trivial, broadcast); the candidate fetch is an equi-join on
+    * the bucket id, so a corpus pre-bucketed on `signBucket` (or written
+    * with `partitionBy(bucket)`, the [[ivfWriteIndex]] pattern) serves each
     * probe from its own partition — no scan of unprobed buckets, candidates
     * bounded by the probed buckets' sizes. Buckets partition the corpus, so
     * probes never duplicate a candidate. */
   def multiProbeLsh(corpus: DataFrame, query: DataFrame, vecCol: String,
-                    idCol: String, k: Int,
-                    weights: Array[Array[Long]]): DataFrame = {
+                    idCol: String, k: Int, weights: Array[Array[Long]],
+                    t: Int): DataFrame = {
+    val h = weights.length
+    require(t >= 1 && t <= (1 << h), s"t must be in [1, ${1 << h}]")
     val b = corpus.withColumn("__bkt", signBucket(col(vecCol), weights))
-    val masks = lit(0L) +: weights.indices.map(h => lit(1L << h))
+    val dots = weights.zipWithIndex.map { case (w, i) =>
+      VectorExprs.dotF(array(w.map(x => lit(x.toDouble)): _*), col(vecCol))
+        .as(s"__d$i")
+    }
+    val qd = query.select(signBucket(col(vecCol), weights).as("__qb")
+      +: col(vecCol).as("__qv") +: dots: _*)
+    val masks = array((0 until (1 << h)).map(m => lit(m.toLong)): _*)
+    // Perturbation cost: Σ over set bits of |dot_i|, summed in fixed index
+    // order (i = 0..h-1) so both engines' IEEE chains agree bit-for-bit.
+    val cost = (0 until h).map(i =>
+        when(col("__m").bitwiseAND(lit(1L << i)) > 0, abs(col(s"__d$i")))
+          .otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val wRank = Window.orderBy(col("__cost").asc, col("__m").asc)
+    val expCols = Seq(col("__qb"), col("__qv")) ++
+      (0 until h).map(i => col(s"__d$i")) :+ explode(masks).as("__m")
     val probes = broadcast(
-      query.select(signBucket(col(vecCol), weights).as("__qb"),
-          col(vecCol).as("__qv"))
-        .select(explode(array(masks: _*)).as("__m"), col("__qb"), col("__qv"))
+      qd.select(expCols: _*)
+        .withColumn("__cost", cost)
+        .withColumn("__rn", row_number().over(wRank))
+        .filter(col("__rn") <= t)
         .select(col("__qb").bitwiseXOR(col("__m")).as("__pb"), col("__qv")))
     b.join(probes, col("__bkt") === col("__pb"))
       .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
@@ -106,10 +126,19 @@ object Similarity {
       .limit(k)
   }
 
-  /** Oracle probe-mask list for [[multiProbeLsh]]: 0 (the base bucket) plus
-    * each single-bit flip, as a SQL list literal for `unnest`. */
-  def multiProbeMasksSql(h: Int): String =
-    (0L +: (0 until h).map(1L << _)).mkString("[", ", ", "]")
+  /** Oracle faces of [[multiProbeLsh]]: per-hyperplane dot exprs over a
+    * vector expr, and the fixed-order perturbation-cost CASE chain over
+    * the d0..d(h-1) aliases those dots are SELECTed as. */
+  def hyperplaneDotsSql(vecE: String, weights: Array[Array[Long]]): String =
+    weights.zipWithIndex.map { case (w, i) =>
+      val wList = w.map(x => s"${x.toDouble}").mkString("[", ",", "]")
+      s"${Fns.dotSql(wList, Fns.vecDSql(vecE))} AS d$i"
+    }.mkString(",\n    ")
+
+  def multiProbeCostSql(h: Int): String =
+    (0 until h).map(i =>
+      s"CASE WHEN (m & ${1L << i}) > 0 THEN abs(d$i) ELSE 0.0 END")
+      .mkString("(", "\n      + ", ")")
 
   /** Exact top-k by cosine against one broadcast query vector. */
   def bruteForceTopK(corpus: DataFrame, query: DataFrame,

@@ -53,6 +53,8 @@ object PipelineQueries {
   val Bands = 4
   val RowsPerBand = 2
   val AnnH = 6
+  // q142 adaptive multi-probe: probes per query (T of 2^AnnH buckets)
+  val ProbeT = 16
   // q143 HNSW-lite: neighbor-graph out-degree (M=3: recall 1.0 at ~29%
   // scanned on the fixture; M=2 kept recall at 0.9 for ~24%)
   val GraphM = 3
@@ -1550,25 +1552,36 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // ---- similarity: multi-probe LSH, recall-audited ----------------------
-    // Multi-probe sign-LSH (Lv et al. VLDB'07): probe the query's bucket
-    // plus all Hamming-distance-1 buckets (one flipped hyperplane bit),
+    // ---- similarity: query-adaptive multi-probe LSH, recall-audited -------
+    // Multi-probe sign-LSH with the TRUE Lv et al. (VLDB'07) probing
+    // sequence: every flip mask scored by the summed |margin| of its
+    // flipped hyperplanes (a neighbor that misses the bucket crossed the
+    // planes the query is CLOSEST to), the T cheapest buckets probed,
     // exact cosine over the candidates, then the q88 audit shape scores
     // recall@10 against brute-force ground truth — both engines replicate
-    // BOTH paths, so recall is an exact checked value. On THIS fixture the
-    // audit reports recall 0.1: the embeddings are near-isotropic (top-10
-    // cosines ≈0.3), so data-INDEPENDENT hashing scatters true neighbors
-    // ~2.3 expected bit-flips away — which is precisely the failure an
-    // audit exists to catch before a rollout. The query-ADAPTIVE rung that
-    // does clear the bar on the same data is q143's IVF+graph search.
+    // BOTH paths (dots, fixed-order cost chain, mask rank, probe join), so
+    // recall is an exact checked value. On THIS fixture the audit reports
+    // recall 0.4 at T=16 of 64 buckets (~25% scanned): the embeddings are
+    // near-isotropic (top-10 cosines ≈0.3), so even adaptive
+    // data-INDEPENDENT hashing underperforms — precisely the failure an
+    // audit exists to catch before a rollout (naive radius-1 probing reads
+    // 0.1 on the same data). The query-adaptive rung that does clear the
+    // bar here is q143's IVF+graph search.
     Q("q142_multiprobe_lsh", {
       val K = 10
       val bktSql = Similarity.signBucketSql("embedding", AnnWeights)
       s"""WITH b AS (SELECT vec_id, embedding, $bktSql AS bkt FROM embeddings),
-         |q AS (SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = 0),
-         |pm AS (SELECT qv, xor(qb, unnest(${Similarity.multiProbeMasksSql(AnnH)})) AS pb FROM q),
-         |mp AS (SELECT b.vec_id FROM b JOIN pm ON b.bkt = pm.pb
-         |  ORDER BY ${cosSql("b.embedding", "pm.qv")} DESC, vec_id LIMIT $K),
+         |q AS (SELECT embedding AS qv, bkt AS qb,
+         |    ${Similarity.hyperplaneDotsSql("embedding", AnnWeights)}
+         |  FROM b WHERE vec_id = 0),
+         |pm AS (SELECT qb, qv, m,
+         |    ${Similarity.multiProbeCostSql(AnnH)} AS cost
+         |  FROM q, (SELECT unnest(range(0, ${1 << AnnH})) AS m) ms),
+         |pr AS (SELECT xor(qb, m) AS pb, qv FROM (
+         |    SELECT qb, qv, m, row_number() OVER (ORDER BY cost, m) AS rn
+         |    FROM pm) t WHERE rn <= $ProbeT),
+         |mp AS (SELECT b.vec_id FROM b JOIN pr ON b.bkt = pr.pb
+         |  ORDER BY ${cosSql("b.embedding", "pr.qv")} DESC, vec_id LIMIT $K),
          |bf AS (SELECT e.vec_id FROM embeddings e, q
          |  ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, vec_id LIMIT $K)
          |SELECT $K AS k, COUNT(*) AS n_hit,
@@ -1578,7 +1591,8 @@ object PipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0)
       val mp = Similarity.multiProbeLsh(emb, qv,
-        "embedding", "vec_id", k = 10, weights = AnnWeights).select("vec_id")
+          "embedding", "vec_id", k = 10, weights = AnnWeights, t = ProbeT)
+        .select("vec_id")
       val bf = Similarity.bruteForceTopK(emb, qv, "embedding", "vec_id", 10)
         .select("vec_id")
       mp.join(bf, "vec_id")
