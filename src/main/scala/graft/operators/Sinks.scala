@@ -73,6 +73,24 @@ object Sinks {
     * stays codegen'd and distributed), "ignore" (length stays metadata-only).
     * Columns without the metadata key pass through untouched, so plain
     * writes never pay for this. */
+  /** Compacted parquet write — the small-files defense. A 1000-executor
+    * job that writes one file per task leaves thousands of KB-sized files
+    * per day; every later scan then pays a footer read and a scheduler
+    * round per file (the classic small-files collapse). This sizes the
+    * file count from the data: ceil(rows / targetRows) round-robin
+    * partitions (even ±1 row spread, so every file lands within one row of
+    * target), belt-and-braces capped by `maxRecordsPerFile`. The row count
+    * is one driver-side scalar (the Compat min/max pattern); production
+    * variants can size from SizeEstimator bytes or table statistics
+    * instead. Returns the file count written. */
+  def writeCompacted(df: DataFrame, path: String, targetRows: Long): Int = {
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    df.repartition(files).write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows).parquet(path)
+    files
+  }
+
   def enforceVarchar(df: DataFrame, mode: String = "truncate"): DataFrame = {
     val needsWork = df.schema.fields.exists(f =>
       f.dataType == org.apache.spark.sql.types.StringType &&

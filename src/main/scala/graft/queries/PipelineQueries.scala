@@ -1515,6 +1515,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- sinks: compacted write round trip --------------------------------
+    // The small-files defense as a declared face: documents written through
+    // Sinks.writeCompacted (file count sized from the data — ceil(n/target)
+    // round-robin partitions, maxRecordsPerFile cap) must read back
+    // byte-identical. The oracle is the identity — what the round trip
+    // proves is that compaction reshapes FILES, never rows; SinksSpec pins
+    // the file-count math itself.
+    Q("q144_compacted_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val path = s"${scratch.dir}/docs_compacted"
+      graft.operators.Sinks.writeCompacted(
+        Tables.load(s, dir, "documents"), path, targetRows = 200L)
+      s.read.parquet(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ---- sources: ORC round trip ------------------------------------------
     // The fourth landing format (parquet q127, JSONL q118, CSV q133): write
     // the documents table as ORC, read it back, hash-match byte-for-byte.

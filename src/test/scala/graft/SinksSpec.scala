@@ -118,4 +118,23 @@ class SinksSpec extends AnyFunSuite {
       assert(back.schema("n_name").metadata.getString(Sinks.SrWktKey) == "EPSG:4326")
     }
   }
+
+  test("writeCompacted: ceil(n/target) files, each within target, rows intact") {
+    val s = new graft.Session.Scratch
+    val df = Tables.load(spark, sf, "customer") // 150 rows at sf0.001
+    val n = df.count()
+    val target = 40L
+    val path = s"${s.dir}/compacted"
+    val declared = Sinks.writeCompacted(df, path, target)
+    assert(declared == ((n + target - 1) / target).toInt)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length == declared, files.map(_.getName).mkString(","))
+    // round-robin even spread: no file exceeds the target cap
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath).count()
+      assert(rows <= target && rows > 0, s"${f.getName}: $rows")
+    }
+    assert(spark.read.parquet(path).count() == n)
+  }
 }
