@@ -1515,6 +1515,54 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- sources: JDBC round trip (S7, embedded Derby) --------------------
+    // The S7 get_db_conn surface through a REAL database end-to-end in the
+    // gate (JdbcSpec proves partitioning/pushdown; this proves values):
+    // nation written via Spark's JDBC writer into an embedded in-memory
+    // Derby (ships in Spark's jars), read back with the RANGE-PARTITIONED
+    // reader (4 range-predicated cursors — the 100 TB JDBC path; a single
+    // cursor never parallelizes). Identity oracle: the round trip must not
+    // bend a value. Derby maps strings to CLOB; the explicit VARCHAR DDL
+    // keeps the readback type a plain string.
+    Q("q145_jdbc_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val url = "jdbc:derby:memory:graftq145;create=true"
+      Tables.load(s, dir, "nation")
+        .write.mode("overwrite")
+        .option("createTableColumnTypes",
+          "n_nationkey INT, n_name VARCHAR(32), n_regionkey INT")
+        .jdbc(url, "nation_rt", new java.util.Properties())
+      graft.sources.Jdbc.partitionedUrl(s, url, "nation_rt", "n_nationkey",
+          lowerBound = 0L, upperBound = 25L, numPartitions = 4)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
+    // ---- session: workspace swap + catalog resolve (C1/C6/S10) ------------
+    // The reference's scoped current-workspace swap (TempWork,
+    // arc_utils.py:93-118) and uniqueness-checked name resolution
+    // (pro_utils.py:99-103) through the gate: a filtered customer copy
+    // lands in a scratch workspace, Session.Workspace.withWork swaps the
+    // ambient workspace for the body (restored after), the swapped table
+    // is registered as a MIXED-case temp view and re-resolved
+    // case-insensitively (Session.resolveView). Oracle recomputes the
+    // filter from the source table — proving the swap read the copy, not
+    // the original.
+    Q("q146_workspace_resolve",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 5000.0 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      Tables.load(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
+        .write.mode("overwrite").parquet(s"${scratch.dir}/customer.parquet")
+      val ws = new graft.Session.Workspace(dir)
+      val swapped = ws.withWork(scratch.dir) { ws.table(s, "customer") }
+      swapped.createOrReplaceTempView("Q146_RichCustomers")
+      graft.Session.resolveView(s, "q146_richcustomers")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
     // ---- sinks: compacted write round trip --------------------------------
     // The small-files defense as a declared face: documents written through
     // Sinks.writeCompacted (file count sized from the data — ceil(n/target)
