@@ -213,4 +213,39 @@ object Joins {
        |${ctes.mkString(",\n")}
        |SELECT DISTINCT id_a, id_b, dist FROM ($unions) u""".stripMargin
   }
+
+  /** Runtime bloom-filter semi-join reduction — the 100 TB fact⋈dim shape.
+    *
+    * When a shuffle join's build side carries a selective predicate,
+    * Catalyst's `InjectRuntimeFilter` can plant a
+    * `might_contain(bloom_filter_agg(build keys), probe key)` filter UNDER
+    * the probe-side scan: the 100 TB fact table is row-filtered against a
+    * megabyte-sized bloom of the surviving dim keys BEFORE it is shuffled,
+    * so the exchange moves only rows that can possibly match (false-positive
+    * rate bounded by the filter's NDV sizing; correctness is unaffected —
+    * the join still applies the exact predicate after). On a 1000-executor
+    * cluster this is routinely a 10-100× shuffle-volume cut for selective
+    * dims; it is the optimizer-owned form of the manual semi-join-reduction
+    * rewrite.
+    *
+    * Spark gates the rule on production-scale thresholds (probe scan ≥ 10 GB
+    * by default) that a local fixture never meets, so this helper scopes the
+    * thresholds down (and pins a shuffle join — a broadcast join already
+    * prunes at the probe) for the duration of `body`, restoring previous
+    * values in `finally`. Confs bind at OPTIMIZATION time: run the action
+    * (write/collect) INSIDE `body`, not on the returned lazy plan.
+    * PlansSpec asserts the `might_contain` injection actually fires. */
+  def withRuntimeBloom[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
 import graft.Tables
 import graft.functions.Fns
-import graft.operators.{Dedup, EventOps, Joins, Multimodal, Similarity, Sketches, TableStats, Tessellation, TextAnalysis}
+import graft.operators.{Bucketing, Dedup, EventOps, GeomCodec, Joins, Multimodal, PolyGeom, Similarity, Sinks, Sketches, TableStats, Tessellation, TextAnalysis}
 import graft.streaming.Streams
 
 /** North-star packs: tessellation (G1-G3), dedup, similarity search, text
@@ -1846,6 +1846,137 @@ object PipelineQueries {
             watermark = "1 hour", joinType = "inner")
           .select(col("user_id"), col("click_id"), col("purchase_id"))
       }.orderBy("click_id", "purchase_id")
+    },
+
+    // ---- sinks: field-metadata geometry round trip (S5) -------------------
+    // polars_to_arc's contract (arc_utils.py:1054-1120): the geometry column
+    // travels with its encoding + CRS WKT as FIELD METADATA, and both must
+    // survive the sink. Nation gets a WKB point (compiled 21-byte LE kernel)
+    // tagged via PolyGeom.asGeometry, goes through the full writeTable path
+    // (varchar enforcement + write coercions included), and is read back
+    // cold. The declared result DECODES the geometry (wkbPointX/Y) and
+    // re-emits the metadata read from the READ-BACK schema as value columns
+    // — if parquet dropped or bent either key, the literal columns
+    // hash-mismatch the oracle's constants; if the WKB bytes bent, the
+    // decoded coordinates mismatch. Metadata is schema-resident (zero
+    // per-row cost at any scale).
+    Q("q147_metadata_sink",
+      """SELECT n_nationkey, n_name,
+        |  CAST(n_regionkey AS DOUBLE) AS gx, CAST(n_nationkey AS DOUBLE) AS gy,
+        |  'WKB' AS encoding, 'GEOGCS["GCS_WGS_1984"]' AS sr_wkt
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val srWkt = "GEOGCS[\"GCS_WGS_1984\"]"
+      val geo = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          PolyGeom.asGeometry(
+            GeomCodec.pointWkb(col("n_regionkey").cast("double"),
+              col("n_nationkey").cast("double")),
+            "shape", "WKB", srWkt))
+      Sinks.writeTable(geo, scratch.dir, "nation_geo")
+      val back = Sinks.readBack(s, scratch.dir, "nation_geo")
+      val md = back.schema("shape").metadata
+      back.select(col("n_nationkey"), col("n_name"),
+          GeomCodec.wkbPointX(col("shape")).as("gx"),
+          GeomCodec.wkbPointY(col("shape")).as("gy"),
+          lit(md.getString(Sinks.EncodingKey)).as("encoding"),
+          lit(md.getString(Sinks.SrWktKey)).as("sr_wkt"))
+        .orderBy("n_nationkey")
+    },
+
+    // ---- session: schema introspection face (C7) --------------------------
+    // The reference's Describe/ListFields shims (arc_utils.py:42-84:
+    // list_flds / fld_types / get_oid_fld / get_shp_fld) as one declared
+    // result: the documents table with its row-id column marked as index
+    // (Compat.IndexKey metadata — how arc_to_pandas records the OID) and a
+    // derived point-geometry column, introspected into one row per field
+    // (position, name, Spark type string, is-the-OID, is-the-shape).
+    // Introspection is schema-only — a driver-side walk over StructType, no
+    // job at any scale. The oracle pins the exact expected catalog as
+    // constants, so a type drift in the fixtures or in the introspection
+    // surface fails the gate.
+    Q("q148_introspection",
+      """SELECT * FROM (VALUES
+        |  (1, 'doc_id',  'bigint', TRUE,  FALSE),
+        |  (2, 'text',    'string', FALSE, FALSE),
+        |  (3, 'lang',    'string', FALSE, FALSE),
+        |  (4, 'source',  'string', FALSE, FALSE),
+        |  (5, 'n_chars', 'bigint', FALSE, FALSE),
+        |  (6, 'shape', 'struct<x:double,y:double,srid:int>', FALSE, TRUE)
+        |) AS t(pos, fld, dtype, is_oid, is_shp) ORDER BY pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val df = Sinks.withPointGeom(
+        graft.compat.Compat.withIndex(Tables.load(s, dir, "documents"), "doc_id"),
+        "n_chars", "doc_id", 4326, "shape")
+      val oid = graft.Session.getOidFld(df)
+      val shp = graft.Session.getShpFld(df)
+      val types = graft.Session.listFldTypes(df)
+      graft.Session.listFlds(df).zipWithIndex.map { case (f, i) =>
+          (i + 1, f, types(f), oid.contains(f), shp.contains(f))
+        }.toDF("pos", "fld", "dtype", "is_oid", "is_shp")
+        .orderBy("pos")
+    },
+
+    // ---- joins: runtime bloom-filter semi-join reduction ------------------
+    // The 100 TB fact⋈dim shape: lineitem joined to the URGENT slice of
+    // orders under Joins.withRuntimeBloom, which lets Catalyst's
+    // InjectRuntimeFilter plant might_contain(bloom_filter_agg(surviving
+    // o_orderkey), l_orderkey) UNDER the fact scan — the fact side is
+    // row-filtered against a megabyte-sized bloom BEFORE its shuffle, so the
+    // exchange moves only can-possibly-match rows (a 10-100× shuffle-volume
+    // cut for selective dims on a real cluster; bloom false positives only
+    // re-admit rows the exact join drops, so results are unaffected — the
+    // oracle is the plain join). The action runs INSIDE the scope (confs
+    // bind at optimization time); PlansSpec asserts the injection fires.
+    Q("q149_bloom_join",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val out = s"${scratch.dir}/bloom_join"
+      Joins.withRuntimeBloom(s) {
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(27, 2)))
+              .cast("string").cast("double").as("qty"))
+          .write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy("o_orderstatus")
+    },
+
+    // ---- sinks: Z-order-clustered layout round trip -----------------------
+    // Multi-dimensional data skipping (the Delta OPTIMIZE ZORDER / Iceberg
+    // z-rewrite lever): orders rewritten clustered by the Morton interleave
+    // of quantized (o_custkey, o_orderdate) — Bucketing.writeZOrdered, one
+    // range exchange + per-file sort — then read back through a predicate on
+    // BOTH dimensions. A linear sort serves one column and spreads the
+    // other across every file; the z-curve keeps BOTH columns' per-file
+    // min/max ranges narrow, so parquet stats prune files/row-groups for
+    // either predicate (SinksSpec asserts the pruning: the matching rows
+    // land in a strict subset of the z-ordered files). Values are
+    // layout-independent — the oracle re-filters the source table.
+    Q("q150_zorder_cluster",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 60
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val path = s"${scratch.dir}/orders_z"
+      Bucketing.writeZOrdered(Tables.load(s, dir, "orders"),
+        "o_custkey", "o_orderdate", path, numFiles = 16)
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(10, 60) &&
+          col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
     }
   )
 }

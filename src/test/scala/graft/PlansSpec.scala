@@ -265,4 +265,48 @@ class PlansSpec extends AnyFunSuite {
       exchanges.foreach(cols => assert(!cols.contains("text"), exchanges.toString))
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("runtime bloom reduction (q149): might_contain injected under the fact scan") {
+    import graft.operators.Joins
+    Joins.withRuntimeBloom(spark) {
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      // the fact side is pre-filtered by a bloom of the surviving dim keys
+      assert(opt.contains("might_contain"), opt.take(2000))
+      assert(opt.contains("bloom_filter_agg"), opt.take(2000))
+    }
+  }
+
+  test("z-order interleave: known bit patterns") {
+    import graft.operators.Bucketing
+    val r = spark.range(1).select(
+      Bucketing.zOrder2(lit(0xFFFFL), lit(0L)).as("a_only"),
+      Bucketing.zOrder2(lit(0L), lit(0xFFFFL)).as("b_only"),
+      Bucketing.zOrder2(lit(3L), lit(1L)).as("mixed")).head()
+    assert(r.getLong(0) == 0x55555555L) // a bits land on even positions
+    assert(r.getLong(1) == 0xAAAAAAAAL.toLong) // b bits on odd positions
+    assert(r.getLong(2) == 7L) // 3=0b11 -> 0b101; 1 -> 0b10
+  }
+
+  test("z-order clustering (q150): 2-D predicate lands in a strict file subset") {
+    import graft.operators.Bucketing
+    val scratch = new Session.Scratch
+    val path = s"${scratch.dir}/orders_z"
+    Bucketing.writeZOrdered(Tables.load(spark, sf, "orders"),
+      "o_custkey", "o_orderdate", path, numFiles = 16)
+    val back = spark.read.parquet(path)
+    val total = back.select(input_file_name()).distinct().count()
+    val hit = back.filter(col("o_custkey").between(10, 60) &&
+        col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(input_file_name()).distinct().count()
+    assert(total == 16, s"total=$total")
+    // a ~5% 2-D box must not touch most z-ordered files (a linear layout
+    // spreads the second dimension across every file)
+    assert(hit <= total / 2, s"hit=$hit of $total")
+  }
 }
