@@ -802,6 +802,56 @@ object Curation {
        |FROM bs_r WHERE cum_before < budget_tokens""".stripMargin
   }
 
+  // ---- deterministic reservoir sample --------------------------------------
+  /** Exact-k uniform sample via deterministic priorities: every row's
+    * priority is hashP(salt||id) and the k SMALLEST win. Spark compiles
+    * orderBy+limit to TakeOrderedAndProject — a bounded k-row heap per
+    * partition, then a k·partitions merge on the driver: a 100 TB scan emits
+    * k rows per task and never globally sorts (the distributed form of
+    * reservoir sampling, made retry/rerun-reproducible by the hash
+    * priority — same salt, same sample, auditable by any engine). A new
+    * salt is a fresh independent draw. Ties (hash collisions) break on id,
+    * so the sample is a pure function of (salt, k, id-set). */
+  def reservoirSample(df: DataFrame, idCol: String, k: Int, salt: String): DataFrame =
+    df.orderBy(Fns.hashP(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+      .limit(k)
+  /** Oracle face of [[reservoirSample]] (same priority hash, same tiebreak). */
+  def reservoirSampleSql(tableE: String, idE: String, k: Int, salt: String): String = {
+    val s = salt.replace("'", "''")
+    s"""SELECT * FROM $tableE
+       |ORDER BY ${Fns.hashPSql(s"'$s'||CAST($idE AS VARCHAR)")}, $idE LIMIT $k""".stripMargin
+  }
+
+  // ---- deterministic MLM-style token masking -------------------------------
+  /** Span-corruption preprocessing (BERT/T5-style): token w masks when
+    * hashP(salt||w) % den == 0 (≈1/den of the vocabulary by occurrence,
+    * position-independent so the corruption is a pure word function —
+    * reproducible across reruns/partitionings and replicable in the oracle).
+    * Pure per-row array expressions: zero shuffle, stays in codegen at any
+    * corpus size. */
+  def maskTokens(text: Column, salt: String, den: Int,
+                 mask: String = "<mask>"): Column =
+    array_join(transform(split(trim(text), "\\s+"), w =>
+      when(Fns.hashP(concat(lit(salt), w)) % den === 0, lit(mask)).otherwise(w)), " ")
+
+  /** Count of tokens [[maskTokens]] masks for the same (salt, den). */
+  def maskedTokenCount(text: Column, salt: String, den: Int): Column =
+    size(filter(split(trim(text), "\\s+"), w =>
+      Fns.hashP(concat(lit(salt), w)) % den === 0))
+
+  /** Oracle faces of [[maskTokens]]/[[maskedTokenCount]]. */
+  def maskTokensSql(textE: String, salt: String, den: Int,
+                    mask: String = "<mask>"): String = {
+    val s = salt.replace("'", "''")
+    s"array_to_string(list_transform(regexp_split_to_array(trim($textE), '\\s+'), " +
+      s"w -> CASE WHEN ${Fns.hashPSql(s"'$s'||w")} % $den = 0 THEN '$mask' ELSE w END), ' ')"
+  }
+  def maskedTokenCountSql(textE: String, salt: String, den: Int): String = {
+    val s = salt.replace("'", "''")
+    s"len(list_filter(regexp_split_to_array(trim($textE), '\\s+'), " +
+      s"w -> ${Fns.hashPSql(s"'$s'||w")} % $den = 0))"
+  }
+
   /** Oracle face of [[mixtureWeights]] — identical expression chains so every
     * IEEE step matches. */
   def mixtureWeightsSql(tableE: String, textE: String, srcE: String,

@@ -988,6 +988,50 @@ object CurationQueries {
       Curation.materializeEpochs(Tables.load(s, dir, "documents"), "text",
           "doc_id", "source", EpochMatBudget, EpochMatSalt)
         .orderBy("doc_id", "copy_idx")
+    },
+
+    // ---- deterministic reservoir sample -----------------------------------
+    // Exact-k uniform draw without a global sort: priority = hashP(salt||id),
+    // k smallest win — Spark compiles orderBy+limit to TakeOrderedAndProject
+    // (bounded k-row heap per task, k·tasks driver merge; a 100 TB scan
+    // never shuffles its data). Complements hashSample (≈pct%, no exact
+    // count) and budgetSample (token-budget greedy): this is the "give me
+    // exactly k documents, reproducibly" face. Same salt → same sample on
+    // any partitioning/retry; the oracle replays the identical priorities.
+    Q("q151_reservoir_sample", {
+      val rs = Curation.reservoirSampleSql("documents", "doc_id", 64, "q151")
+      s"""SELECT doc_id, lang, source, n_chars FROM ($rs) t
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Curation.reservoirSample(Tables.load(s, dir, "documents"),
+          "doc_id", k = 64, salt = "q151")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic MLM-style token masking ----------------------------
+    // BERT/T5-style corruption as a corpus rewrite: token w masks when
+    // hashP(salt||w) % 13 == 0 (≈7.7% of occurrences, position-independent
+    // → a pure word function, reproducible across reruns and replicable in
+    // the oracle; both engines rewrite + count from the same hash). Pure
+    // per-row array expressions — zero shuffle, whole-stage codegen, scales
+    // with the scan. Result carries the rewritten text, the mask count, and
+    // the token count (mask_frac is derivable; counts keep the hash exact).
+    Q("q152_token_mask", {
+      val masked = Curation.maskTokensSql("text", "q152", 13)
+      val nMask = Curation.maskedTokenCountSql("text", "q152", 13)
+      s"""SELECT doc_id,
+         |  $masked AS masked,
+         |  CAST($nMask AS INT) AS n_masked,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Curation.maskTokens(col("text"), "q152", 13).as("masked"),
+          Curation.maskedTokenCount(col("text"), "q152", 13).as("n_masked"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .orderBy("doc_id")
     }
   )
 }

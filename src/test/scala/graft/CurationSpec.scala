@@ -405,4 +405,35 @@ class CurationSpec extends AnyFunSuite {
       "source", 300L, "s").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sortBy(r => (r._1, r._3)).toSeq == out7.sortBy(r => (r._1, r._3)).toSeq)
   }
+
+  test("reservoirSample: exact k, partitioning-immune, salt varies the draw") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Curation.reservoirSample(docs, "doc_id", 10, "sA")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.length == 10 && a.distinct.length == 10)
+    val a7 = Curation.reservoirSample(docs.repartition(7), "doc_id", 10, "sA")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == a7) // pure function of (salt, k, id-set)
+    val b = Curation.reservoirSample(docs, "doc_id", 10, "sB")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a != b) // fresh salt = fresh draw
+    // the plan is a bounded top-k, not a global sort
+    val plan = Curation.reservoirSample(docs, "doc_id", 10, "sA")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("maskTokens: rewrite and count agree; masking is a pure word function") {
+    val df = Seq((1L, "aa bb cc aa dd ee ff gg hh"), (2L, "aa aa aa")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        Curation.maskTokens(col("text"), "t", 3).as("m"),
+        Curation.maskedTokenCount(col("text"), "t", 3).as("n"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2)))
+    rows.foreach { case (_, m, n) =>
+      assert(m.split(" ").count(_ == "<mask>") == n) // rewrite matches count
+    }
+    // position-independence: every occurrence of a word shares one fate
+    val (_, m1, n1) = rows.find(_._1 == 2L).get
+    assert(n1 == 0 || n1 == 3, s"aa must mask all-or-nothing, got $m1")
+  }
 }
