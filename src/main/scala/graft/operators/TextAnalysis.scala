@@ -490,36 +490,50 @@ object TextAnalysis {
     * gram window contribute their single truncated shingle (the repo-wide
     * [[Fns.wordShingles]] n<w convention), identically in both engines. */
   def bigramLogProbMicro(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val b = df.select(col(idCol), explode(Fns.wordShingles(col(textCol), 2)).as("bg"))
-    val tf2 = b.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
-    val c2 = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
-      .withColumn("__w1", substring_index(col("bg"), " ", 1))
-    val c1 = c2.groupBy(col("__w1")).agg(sum(col("cbg")).as("cw1"))
-    val lp = c2.join(c1, "__w1")
-      .select(col("bg"),
+    import graft.functions.TextHashExprs
+    // Compiled one-pass kernels hash each bigram and its first word to
+    // [0, P) longs at the SCAN (the interpreted-HOF string-shingle explode
+    // was the old hot spot), so every downstream exchange carries 8-byte
+    // keys, never gram strings. Grouping by hash is engine-exact: the
+    // oracle applies the same md5-based hashP to the same strings, so any
+    // collision (p ≈ m²/2⁶⁰) merges identically on both sides.
+    val hbs = TextHashExprs.shingleHashes(col(textCol), 2)
+    val hws = TextHashExprs.shingleHashes(col(textCol), 1)
+    val b = df.select(col(idCol),
+        explode(arrays_zip(hbs.as("hb"), slice(hws, lit(1), size(hbs)).as("h1"))).as("p"))
+      .select(col(idCol), col("p.hb").as("hb"), col("p.h1").as("h1"))
+    val tf2 = b.groupBy(col(idCol), col("hb"))
+      .agg(count(lit(1)).as("tf"), max(col("h1")).as("h1"))
+    val c2 = tf2.groupBy(col("hb")).agg(sum(col("tf")).as("cbg"), max(col("h1")).as("h1"))
+    val c1 = c2.groupBy(col("h1")).agg(sum(col("cbg")).as("cw1"))
+    val lp = c2.join(c1, "h1")
+      .select(col("hb"),
         floor(log(col("cbg").cast("double") / col("cw1").cast("double")) * lit(1e6))
           .as("lpm"))
-    tf2.join(lp, "bg")
+    tf2.join(lp, "hb")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * col("lpm")).as("lp_micro"))
   }
 
-  /** Oracle face of [[bigramLogProbMicro]] (same shingles, same marginal
-    * derivation, same micro-nat floor). */
+  /** Oracle face of [[bigramLogProbMicro]] (same shingles, same hashP keys,
+    * same marginal derivation, same micro-nat floor). */
   def bigramLogProbMicroSql(tableE: String, textE: String, idE: String): String = {
     val shE = Fns.wordShinglesSql(textE, 2)
-    s"""WITH bg_b AS (SELECT $idE AS id, unnest($shE) AS bg FROM $tableE),
-       |bg_tf AS (SELECT id, bg, COUNT(*) AS tf FROM bg_b GROUP BY id, bg),
-       |bg_c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cbg,
-       |    split_part(bg, ' ', 1) AS w1 FROM bg_tf GROUP BY bg),
-       |bg_c1 AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cw1 FROM bg_c2 GROUP BY w1),
-       |bg_lp AS (SELECT bg,
+    s"""WITH bg_raw AS (SELECT $idE AS id, unnest($shE) AS bg FROM $tableE),
+       |bg_b AS (SELECT id, ${Fns.hashPSql("bg")} AS hb,
+       |    ${Fns.hashPSql("split_part(bg, ' ', 1)")} AS h1 FROM bg_raw),
+       |bg_tf AS (SELECT id, hb, COUNT(*) AS tf, MAX(h1) AS h1
+       |  FROM bg_b GROUP BY id, hb),
+       |bg_c2 AS (SELECT hb, CAST(SUM(tf) AS BIGINT) AS cbg, MAX(h1) AS h1
+       |  FROM bg_tf GROUP BY hb),
+       |bg_c1 AS (SELECT h1, CAST(SUM(cbg) AS BIGINT) AS cw1 FROM bg_c2 GROUP BY h1),
+       |bg_lp AS (SELECT hb,
        |    CAST(FLOOR(ln(CAST(cbg AS DOUBLE) / CAST(cw1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lpm
-       |  FROM bg_c2 JOIN bg_c1 USING (w1))
+       |  FROM bg_c2 JOIN bg_c1 USING (h1))
        |SELECT id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
        |  CAST(SUM(tf * lpm) AS BIGINT) AS lp_micro
-       |FROM bg_tf JOIN bg_lp USING (bg) GROUP BY id""".stripMargin
+       |FROM bg_tf JOIN bg_lp USING (hb) GROUP BY id""".stripMargin
   }
 
   // ---- reciprocal-rank fusion (hybrid retrieval) -------------------------
