@@ -161,6 +161,27 @@ object TextHashing {
     out
   }
 
+  /** One-pass MLM-style masking: token w masks when
+    * hash60(salt||w) % P % den == 0 — exactly [[Fns.hashP]] of the same
+    * concatenation, so the declarative/DuckDB faces agree bit-for-bit.
+    * Returns (masked text rejoined by single spaces, mask count) — one md5
+    * per token, shared by the rewrite and the count. */
+  def maskTokensRow(text: UTF8String, salt: String, den: Int,
+                    mask: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.trim().toString.split("\\s+", -1)
+    val sb = new java.lang.StringBuilder(text.numBytes() + 16)
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      if (i > 0) sb.append(' ')
+      if (hash60(salt + words(i)) % P % den == 0) { sb.append(mask); n += 1 }
+      else sb.append(words(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), n))
+  }
+
   // ---- ArrayData wrappers for codegen call sites -------------------------
   def minhashSigData(text: UTF8String, w: Int, k: Int): ArrayData =
     new GenericArrayData(minhashSig(text, w, k))
@@ -245,6 +266,28 @@ case class CharShingleHashes(child: Expression, n: Int) extends TextHashExpr {
   override def prettyName: String = "graft_char_shingle_hashes"
 }
 
+/** struct<masked:string, n_masked:int>: one-pass deterministic token
+  * masking (rewrite + count share one hash per token). */
+case class MaskTokensK(child: Expression, salt: String, den: Int, mask: String)
+  extends TextHashExpr {
+  override def dataType: DataType = StructType(Seq(
+    StructField("masked", StringType, nullable = false),
+    StructField("n_masked", IntegerType, nullable = false)))
+  override def nullSafeEval(t: Any): Any =
+    TextHashing.maskTokensRow(t.asInstanceOf[UTF8String], salt, den, mask)
+  override protected def staticCall(c: String): String =
+    throw new UnsupportedOperationException("uses custom doGenCode")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
+    val maskRef = ctx.addReferenceObj("mask", mask, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.maskTokensRow($c, $saltRef, $den, $maskRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_mask_tokens"
+}
+
 object TextHashExprs {
   def minhashSig(text: Column, w: Int, k: Int): Column =
     Bridge.column(MinhashSig(Bridge.expression(text), w, k))
@@ -256,4 +299,6 @@ object TextHashExprs {
     Bridge.column(DistinctShingleHashes(Bridge.expression(text), w))
   def charShingleHashes(text: Column, n: Int): Column =
     Bridge.column(CharShingleHashes(Bridge.expression(text), n))
+  def maskTokens(text: Column, salt: String, den: Int, mask: String): Column =
+    Bridge.column(MaskTokensK(Bridge.expression(text), salt, den, mask))
 }

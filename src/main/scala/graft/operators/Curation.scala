@@ -827,17 +827,20 @@ object Curation {
     * hashP(salt||w) % den == 0 (≈1/den of the vocabulary by occurrence,
     * position-independent so the corruption is a pure word function —
     * reproducible across reruns/partitionings and replicable in the oracle).
-    * Pure per-row array expressions: zero shuffle, stays in codegen at any
-    * corpus size. */
+    * Compiled one-pass kernel ([[graft.functions.TextHashing.maskTokensRow]]
+    * — the interpreted-HOF + per-token-md5 form cost ~2× and broke codegen):
+    * zero shuffle, one hash per token shared by rewrite and count, scales
+    * with the scan. */
   def maskTokens(text: Column, salt: String, den: Int,
                  mask: String = "<mask>"): Column =
-    array_join(transform(split(trim(text), "\\s+"), w =>
-      when(Fns.hashP(concat(lit(salt), w)) % den === 0, lit(mask)).otherwise(w)), " ")
+    graft.functions.TextHashExprs.maskTokens(text, salt, den, mask)
+      .getField("masked")
 
   /** Count of tokens [[maskTokens]] masks for the same (salt, den). */
-  def maskedTokenCount(text: Column, salt: String, den: Int): Column =
-    size(filter(split(trim(text), "\\s+"), w =>
-      Fns.hashP(concat(lit(salt), w)) % den === 0))
+  def maskedTokenCount(text: Column, salt: String, den: Int,
+                       mask: String = "<mask>"): Column =
+    graft.functions.TextHashExprs.maskTokens(text, salt, den, mask)
+      .getField("n_masked")
 
   /** Oracle faces of [[maskTokens]]/[[maskedTokenCount]]. */
   def maskTokensSql(textE: String, salt: String, den: Int,

@@ -181,4 +181,52 @@ object EventOps {
        |    SELECT DISTINCT e.day + t.o AS day, e.u
        |    FROM ra_e e CROSS JOIN range(0, 7) t(o)) GROUP BY day)
        |SELECT day, dau, wau FROM ra_d JOIN ra_w USING (day)""".stripMargin
+
+  // ---- time-series resample + gap fill ------------------------------------
+  /** Per-key daily resample with gap fill — the time-series densification
+    * every monitoring/feature pipeline needs: one row per (key, calendar
+    * day) from that key's first to last active day, `n` = events that day
+    * (0 on gap days), `last_type` = the key's latest event type as of that
+    * day (forward-filled across gaps; within a day the max-event-id event
+    * wins — a total order, so the fill is deterministic).
+    *
+    * Scale: one shuffle keys the daily rollup; the calendar is a per-key
+    * `sequence` + explode (a generator off a 2-timestamp row — never a
+    * cross join against a calendar table); the forward fill is a running
+    * `last(ignoreNulls)` window per key. Everything is per-key — span ×
+    * keys rows out, no global structure. A key dormant for years explodes
+    * its own span only; cap spans upstream if keys can be immortal. */
+  def resampleDailyFill(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, idCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(userCol), date_trunc("DAY", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"), max_by(col(typeCol), col(idCol)).as("lt"))
+    val cal = daily.groupBy(col(userCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col(userCol),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq(userCol, "day"), "left")
+      .select(col(userCol), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("lt"), ignoreNulls = true).over(w).as("last_type"))
+  }
+
+  /** Oracle face of [[resampleDailyFill]] (same rollup, same per-key
+    * calendar, same deterministic arg-max and forward fill). */
+  def resampleDailyFillSql(tableE: String, userE: String, tsE: String,
+                           typeE: String, idE: String): String =
+    s"""WITH rf_d AS (SELECT $userE AS u,
+       |    date_trunc('day', CAST($tsE AS TIMESTAMP)) AS day,
+       |    COUNT(*) AS n, arg_max($typeE, $idE) AS lt
+       |  FROM $tableE GROUP BY 1, 2),
+       |rf_cal AS (SELECT u, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |  FROM (SELECT u, MIN(day) AS d0, MAX(day) AS d1 FROM rf_d GROUP BY u) t),
+       |rf_j AS (SELECT rf_cal.u, rf_cal.day, COALESCE(rf_d.n, 0) AS n, rf_d.lt
+       |  FROM rf_cal LEFT JOIN rf_d ON rf_cal.u = rf_d.u AND rf_cal.day = rf_d.day)
+       |SELECT u, day, n,
+       |  last_value(lt IGNORE NULLS) OVER (PARTITION BY u ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+       |FROM rf_j""".stripMargin
 }

@@ -1977,6 +1977,55 @@ object PipelineQueries {
           col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .orderBy("o_orderkey")
+    },
+
+    // ---- events: unpivot / melt (wide → long) -----------------------------
+    // The schema-reshape half of pivot (q26/q27 are long → wide): a wide
+    // per-event-type metric row (count, distinct users, distinct days)
+    // melts into (event_type, metric, value) via Spark's native unpivot
+    // (Catalyst Expand — one pass, no self-union, no shuffle beyond the
+    // upstream agg). The oracle is the portable UNION ALL spelling; both
+    // engines cast all measures to one value type, as unpivot requires.
+    Q("q153_unpivot_metrics",
+      """WITH w AS (SELECT event_type, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_users,
+        |    COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS n_days
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, metric, value FROM (
+        |  SELECT event_type, 'n_events' AS metric, CAST(n_events AS BIGINT) AS value FROM w
+        |  UNION ALL SELECT event_type, 'n_users', CAST(n_users AS BIGINT) FROM w
+        |  UNION ALL SELECT event_type, 'n_days', CAST(n_days AS BIGINT) FROM w) u
+        |ORDER BY event_type, metric""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(date_trunc("DAY", col("ts"))).as("n_days"))
+        .unpivot(Array(col("event_type")),
+          Array(col("n_events"), col("n_users"), col("n_days")),
+          "metric", "value")
+        .orderBy("event_type", "metric")
+    },
+
+    // ---- events: daily resample + forward fill ----------------------------
+    // Time-series densification (EventOps.resampleDailyFill): one row per
+    // (user, calendar day) across each user's active span — gap days get
+    // n=0 and carry the user's latest event type forward (within-day winner
+    // = max event_id: a total order, so the fill is deterministic and
+    // engine-exact). Calendar days come from a per-user sequence+explode
+    // generator (never a calendar cross join); the fill is one running
+    // window per user. user_id < 50 bounds the declared face at every SF.
+    Q("q154_resample_fill", {
+      val rf = EventOps.resampleDailyFillSql(
+        "(SELECT * FROM events WHERE user_id < 50)", "user_id", "ts",
+        "event_type", "event_id")
+      s"""SELECT u AS user_id, day, n, last_type FROM ($rf)
+         |ORDER BY user_id, day""".stripMargin
+    }) { (s, dir) =>
+      EventOps.resampleDailyFill(
+          Tables.load(s, dir, "events").filter(col("user_id") < 50),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("user_id", "day")
     }
   )
 }

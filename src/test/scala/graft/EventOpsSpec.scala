@@ -99,4 +99,24 @@ class EventOpsSpec extends AnyFunSuite {
     // day 8: dau {C}; wau [2,8] → {A (day 3), C}
     assert(out.toSeq == Seq((0L, 2L, 2L), (3L, 1L, 2L), (8L, 1L, 2L)))
   }
+
+  test("resampleDailyFill: gap days get n=0 and carry last_type forward") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, "signup"),
+      (2L, ts("2024-01-01 10:00:00"), 7L, "click"),   // same day, higher id wins
+      (3L, ts("2024-01-04 08:00:00"), 7L, "purchase"),
+      (4L, ts("2024-01-02 12:00:00"), 9L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.resampleDailyFill(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10),
+        r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (7L, "2024-01-01", 2L, "click"),    // within-day winner = max event_id
+      (7L, "2024-01-02", 0L, "click"),    // gap: zero count, type carried
+      (7L, "2024-01-03", 0L, "click"),
+      (7L, "2024-01-04", 1L, "purchase"),
+      (9L, "2024-01-02", 1L, "view")))    // single-day span: no padding
+  }
 }
