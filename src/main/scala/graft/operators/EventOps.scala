@@ -213,6 +213,45 @@ object EventOps {
         last(col("lt"), ignoreNulls = true).over(w).as("last_type"))
   }
 
+  // ---- first-order transition matrix --------------------------------------
+  /** Per-key event-type transition matrix — the behavioral bigram LM:
+    * consecutive (prev → cur) event pairs along each key's (ts, id)-ordered
+    * timeline, counted globally, with the conditional probability
+    * P(cur | prev) = n / Σ_cur n. The id tiebreak makes the sequence a
+    * total order, so counts are deterministic; the probability is ONE IEEE
+    * division of exact int64s (bit-identical cross-engine).
+    *
+    * Scale: one shuffle keys the per-key sort (lag window), the pair count
+    * aggregates map-side, and the marginal join is |event types|² rows —
+    * broadcast-sized forever. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("cur"),
+        lag(col(typeCol), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n"))
+    val marg = pairs.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(marg), "prev")
+      .select(col("prev"), col("cur"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
+  /** Oracle face of [[transitionMatrix]]. */
+  def transitionMatrixSql(tableE: String, userE: String, tsE: String,
+                          typeE: String, idE: String): String =
+    s"""WITH tm_t AS (SELECT $typeE AS cur,
+       |    lag($typeE) OVER (PARTITION BY $userE
+       |      ORDER BY CAST($tsE AS TIMESTAMP), $idE) AS prev
+       |  FROM $tableE),
+       |tm_c AS (SELECT prev, cur, COUNT(*) AS n FROM tm_t
+       |  WHERE prev IS NOT NULL GROUP BY prev, cur),
+       |tm_m AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM tm_c GROUP BY prev)
+       |SELECT prev, cur, CAST(n AS BIGINT) AS n,
+       |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+       |FROM tm_c JOIN tm_m USING (prev)""".stripMargin
+
   /** Oracle face of [[resampleDailyFill]] (same rollup, same per-key
     * calendar, same deterministic arg-max and forward fill). */
   def resampleDailyFillSql(tableE: String, userE: String, tsE: String,

@@ -108,4 +108,72 @@ object TableStats {
        |  CAST(CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS INT) AS pass
        |FROM (${arms.mkString("\nUNION ALL\n")})""".stripMargin
   }
+
+  // ---- exact-sum Pearson correlation ---------------------------------------
+  /** Pairwise Pearson correlation over fixed-point-quantized columns — the
+    * `df.stat.corr` surface made engine-exact and multi-pair-in-one-pass.
+    *
+    * Each column quantizes per row to round(x·factor) int64 (the q96 SQ8
+    * rounding contract — exact for data with ≤ log10(factor) decimals); all
+    * moment sums (Σx, Σxy, Σx²) accumulate in DECIMAL(38,0)/HUGEINT, so they
+    * are order-independent exact integers. The correlation
+    * (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) then runs as a fixed
+    * chain over exact-via-VARCHAR doubles (the dsum rule): one sqrt each
+    * (correctly rounded IEEE) and one division — bit-identical cross-engine.
+    * A constant column zeroes its variance → NULL (both engines, NULLIF).
+    *
+    * Scale: ONE scan computes every pair's moments as one partial-agg'd
+    * row — 3+2k+… sums wide, map-side combined; the quantization factor
+    * cancels in the correlation, so it only needs to make the data integral.
+    * Output: one row per pair (col_a, col_b, n, corr). */
+  def pearsonMicro(df: DataFrame, pairs: Seq[(String, String)],
+                   factor: Double): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    def qz(c: String) = round(col(c).cast("double") * lit(factor)).cast("long")
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(qz(c).cast(dec38)).as(s"s_$c"),
+        sum((qz(c) * qz(c)).cast(dec38)).as(s"ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum((qz(a) * qz(b)).cast(dec38)).as(s"sp_${a}_$b") }
+    val agg = df.agg(sums.head, sums.tail: _*)
+    def vd(c: Column) = c.cast("string").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val n = col("n").cast(dec38)
+      val num = vd(n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+      val va = vd(n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+      val vb = vd(n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+      val den = sqrt(va) * sqrt(vb)
+      agg.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(den =!= 0.0, num / den).as("corr"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /** Oracle face of [[pearsonMicro]] — same quantization, HUGEINT moments,
+    * same exact-cast + sqrt/divide chain. */
+  def pearsonMicroSql(tableE: String, pairs: Seq[(String, String)],
+                      factor: Double): String = {
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    def qz(c: String) = s"CAST(round(CAST($c AS DOUBLE) * $factor) AS BIGINT)"
+    val sums =
+      Seq("COUNT(*) AS n") ++
+      cols.flatMap(c => Seq(
+        s"SUM(CAST(${qz(c)} AS HUGEINT)) AS s_$c",
+        s"SUM(CAST(${qz(c)} * ${qz(c)} AS HUGEINT)) AS ss_$c")) ++
+      pairs.map { case (a, b) =>
+        s"SUM(CAST(${qz(a)} * ${qz(b)} AS HUGEINT)) AS sp_${a}_$b" }
+    def vd(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val arms = pairs.map { case (a, b) =>
+      val num = vd(s"CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b")
+      val va = vd(s"CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a")
+      val vb = vd(s"CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b")
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  $num / NULLIF(sqrt($va) * sqrt($vb), 0.0) AS corr FROM pm_s""".stripMargin
+    }
+    s"""WITH pm_s AS (SELECT ${sums.mkString(",\n  ")} FROM $tableE)
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }

@@ -49,6 +49,12 @@ object PipelineQueries {
   val FuzzyMaxBlock = 1024
   // q139 Zipf fit: rank cut (the head of the rank-frequency curve)
   val ZipfTopR = 1024
+  // q156 correlation pairs + fixed-point factor (fixture data is 2-decimal)
+  val CorrPairs = Seq(
+    "l_quantity" -> "l_extendedprice",
+    "l_quantity" -> "l_discount",
+    "l_extendedprice" -> "l_discount")
+  val CorrFactor = 100.0
   val MinhashK = 8
   val Bands = 4
   val RowsPerBand = 2
@@ -2026,6 +2032,39 @@ object PipelineQueries {
           Tables.load(s, dir, "events").filter(col("user_id") < 50),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("user_id", "day")
+    },
+
+    // ---- lineitem: exact-sum Pearson correlation matrix -------------------
+    // The df.stat.corr surface made engine-exact and one-pass-multi-pair
+    // (TableStats.pearsonMicro): columns quantize to round(x·100) int64
+    // (exact for the fixture's 2-decimal data), every moment accumulates in
+    // DECIMAL(38,0)/HUGEINT (order-independent), and the correlation is a
+    // fixed sqrt/divide chain over exact-via-VARCHAR doubles — bit-identical
+    // cross-engine. ONE scan computes all three pairs' moments as one
+    // partial-agg'd row; the 3-row output is driver-sized forever.
+    Q("q156_correlation", {
+      val pm = TableStats.pearsonMicroSql("lineitem", CorrPairs, CorrFactor)
+      s"""SELECT col_a, col_b, n, corr FROM ($pm) ORDER BY col_a, col_b""".stripMargin
+    }) { (s, dir) =>
+      TableStats.pearsonMicro(Tables.load(s, dir, "lineitem"),
+          CorrPairs, CorrFactor)
+        .orderBy("col_a", "col_b")
+    },
+
+    // ---- events: first-order transition matrix ----------------------------
+    // The behavioral bigram LM (EventOps.transitionMatrix): consecutive
+    // (prev → cur) event-type pairs along each user's total-ordered
+    // timeline, counted globally, with P(cur|prev) as one IEEE division of
+    // exact int64s. One lag-window shuffle + map-side pair counts; the
+    // marginal join is |types|² rows — broadcast-sized at any corpus size.
+    Q("q155_transition_matrix", {
+      val tm = EventOps.transitionMatrixSql("events", "user_id", "ts",
+        "event_type", "event_id")
+      s"""SELECT prev, cur, n, p FROM ($tm) ORDER BY prev, cur""".stripMargin
+    }) { (s, dir) =>
+      EventOps.transitionMatrix(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("prev", "cur")
     }
   )
 }
