@@ -226,6 +226,20 @@ object Similarity {
         VectorExprs.nearestPivotF(col(vecCol), col("__pivs")).as("centroid_id"))
   }
 
+  /** [[ivfAssign]] keeping EVERY corpus column — metadata (labels, langs,
+    * quality scores) travels with the list assignment, which is what a
+    * filtered search needs resident in the index ([[ivfSearchFiltered]]).
+    * Same fused map-side argmax, zero corpus shuffle. */
+  def ivfAssignAll(corpus: DataFrame, pivots: DataFrame,
+                   vecCol: String, pivotIdCol: String): DataFrame = {
+    val packed = broadcast(
+      pivots.select(struct(col(pivotIdCol).as("cid"), col(vecCol).as("cv")).as("__p"))
+        .agg(sort_array(collect_list(col("__p"))).as("__pivs")))
+    val keep = corpus.columns.map(col)
+    corpus.crossJoin(packed)
+      .select(keep :+ VectorExprs.nearestPivotF(col(vecCol), col("__pivs")).as("centroid_id"): _*)
+  }
+
   /** One-or-more Lloyd refinement passes over the pivot set: assign every
     * corpus vector to its nearest pivot (the same map-side fused argmax as
     * [[ivfAssign]] — zero corpus shuffle), then recenter each inverted list
@@ -386,6 +400,52 @@ object Similarity {
       .limit(nprobe)
       .collect().map(_.get(0))
     index.filter(col("centroid_id").isin(probeCids: _*))
+      .crossJoin(q)
+      .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Filtered ANN: top-k under a metadata predicate, with probe depth
+    * ADAPTED to the filter's per-list survivor counts — the production
+    * "vector search WHERE ..." shape. A fixed `nprobe` breaks under
+    * filtering: a selective predicate can empty the best-ranked inverted
+    * lists, silently starving the candidate pool. Here the probe set is
+    * chosen by coverage: rank lists by query·pivot cosine (as [[ivfSearch]])
+    * and keep taking lists while the running total of FILTERED survivors in
+    * the already-taken lists is still below `minCandidates`.
+    *
+    * Scale shape: the survivor counts are one counts-only aggregation over
+    * the filtered index (partial map-side, C rows out); the coverage prefix
+    * sum is a window over those C rows (single-partition by construction —
+    * C is the pivot count, driver-bounded); the candidate scan then touches
+    * only the chosen lists WITH the predicate applied before any cosine —
+    * on a [[ivfWriteIndex]]-partitioned index that is partition pruning +
+    * a pushed parquet filter, so cost tracks the filtered probe volume,
+    * not the corpus. Deterministic: the probe rule is a pure function of
+    * bit-exact (pcos, cid) order and exact counts, so an SQL oracle
+    * replicates it verbatim ([[ivfSearchFilteredCtesSql]]). */
+  def ivfSearchFiltered(index: DataFrame, pivots: DataFrame, query: DataFrame,
+                        pred: Column, vecCol: String, idCol: String,
+                        pivotIdCol: String, k: Int, minCandidates: Int): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("__qv")))
+    val survivors = index.filter(pred)
+    val cnt = survivors.groupBy(col("centroid_id").as("cid"))
+      .agg(count(lit(1)).as("__nf"))
+    val ranked = pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .select(col("cid"), VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+      .join(cnt, Seq("cid"), "left")
+      .select(col("cid"), col("__pcos"), coalesce(col("__nf"), lit(0L)).as("__nf"))
+    // C-row global window: survivors in all better-ranked lists
+    val w = Window.orderBy(col("__pcos").desc, col("cid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val probes = ranked
+      .withColumn("__before", coalesce(sum(col("__nf")).over(w), lit(0L)))
+      .filter(col("__before") < minCandidates)
+      .select(col("cid").as("__probe_cid"))
+    survivors
+      .join(broadcast(probes), col("centroid_id") === col("__probe_cid"))
       .crossJoin(q)
       .select(col(idCol), VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

@@ -64,6 +64,12 @@ object PipelineQueries {
   // q143 HNSW-lite: neighbor-graph out-degree (M=3: recall 1.0 at ~29%
   // scanned on the fixture; M=2 kept recall at 0.9 for ~24%)
   val GraphM = 3
+  // q157 filtered ANN: list count, corpus-side predicate label, result k,
+  // and the adaptive-probe coverage target (survivors, not raw list sizes)
+  val FiltAnnC = 8
+  val FiltAnnLabel = 7
+  val FiltAnnK = 5
+  val FiltAnnMinCand = 20
   val AnnDim = 64
   lazy val AnnWeights: Array[Array[Long]] = Similarity.hyperplaneWeights(AnnH, AnnDim)
 
@@ -2065,6 +2071,43 @@ object PipelineQueries {
       EventOps.transitionMatrix(Tables.load(s, dir, "events"),
           "user_id", "ts", "event_type", "event_id")
         .orderBy("prev", "cur")
+    },
+
+    // ---- similarity: filtered ANN (predicate + adaptive probe depth) ------
+    // Production "vector search WHERE label = …": a fixed nprobe breaks
+    // under filtering (a selective predicate can empty the best lists), so
+    // Similarity.ivfSearchFiltered takes probe-ranked lists until the
+    // running count of FILTERED survivors covers minCandidates, then runs
+    // the exact top-k over the filtered probes only. The oracle replicates
+    // the whole chain — assignment with metadata resident (ivfAssignAll),
+    // survivor counts, coverage prefix-sum probe rule, filtered scan.
+    Q("q157_filtered_ann", {
+      s"""WITH piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $FiltAnnC),
+         |scored AS (SELECT e.vec_id, e.embedding, e.label, p.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
+         |  FROM embeddings e, piv p),
+         |asg AS (SELECT vec_id, embedding, label, cid FROM scored WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |surv AS (SELECT * FROM asg WHERE label = $FiltAnnLabel),
+         |cnt AS (SELECT cid, COUNT(*) AS nf FROM surv GROUP BY cid),
+         |pl AS (SELECT p.cid, ${cosSql("p.cv", "q.qv")} AS pcos, COALESCE(c.nf, 0) AS nf
+         |  FROM piv p LEFT JOIN cnt c ON p.cid = c.cid, q),
+         |probes AS (SELECT cid FROM (
+         |    SELECT cid, COALESCE(SUM(nf) OVER (ORDER BY pcos DESC, cid
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pl) t
+         |  WHERE bef < $FiltAnnMinCand)
+         |SELECT s.vec_id, ${cosSql("s.embedding", "q.qv")} AS cos
+         |FROM surv s JOIN probes pr ON s.cid = pr.cid, q
+         |ORDER BY cos DESC, vec_id LIMIT $FiltAnnK""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < FiltAnnC)
+      val index = Similarity.ivfAssignAll(emb, pivots, "embedding", "vec_id")
+      Similarity.ivfSearchFiltered(index, pivots,
+        emb.filter(col("vec_id") === 0), col("label") === FiltAnnLabel,
+        "embedding", "vec_id", "vec_id", k = FiltAnnK,
+        minCandidates = FiltAnnMinCand)
     }
   )
 }

@@ -267,4 +267,50 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 3L)) // 3 only reachable via the hop
   }
+
+  test("ivfAssignAll: every corpus column rides along with the assignment") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val pivots = Seq((100L, v(1, 0)), (101L, v(0, 1))).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, v(1, 0.1), 7, "en"), (2L, v(0.1, 1), 3, "fr"))
+      .toDF("vec_id", "embedding", "label", "lang")
+    val idx = Similarity.ivfAssignAll(corpus, pivots, "embedding", "vec_id")
+    assert(idx.columns.toSeq ==
+      Seq("vec_id", "embedding", "label", "lang", "centroid_id"))
+    val rows = idx.orderBy("vec_id").collect()
+    assert(rows(0).getAs[Long]("centroid_id") == 100L &&
+      rows(0).getAs[String]("lang") == "en")
+    assert(rows(1).getAs[Long]("centroid_id") == 101L &&
+      rows(1).getAs[Int]("label") == 3)
+  }
+
+  test("ivfSearchFiltered: adaptive probing survives a filter-emptied best list") {
+    // Query points at cluster B (list 101), but the predicate keeps ONLY
+    // cluster A members — the best-ranked list has ZERO survivors. A fixed
+    // nprobe=1 search over the filtered index returns nothing; the
+    // coverage-driven probe rule must extend into list 100 and reproduce
+    // the filtered brute-force exactly.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val pivots = Seq((100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(1, 0.0, 0, 0), 1), (2L, v(1, 0.2, 0, 0), 1),
+      (3L, v(1, 0.4, 0, 0), 1),                        // cluster A, label 1
+      (11L, v(0.0, 1, 0, 0), 0), (12L, v(0.2, 1, 0, 0), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val query = Seq((0L, v(0.1, 1, 0, 0))).toDF("vec_id", "embedding")
+    val index = Similarity.ivfAssignAll(corpus, pivots, "embedding", "vec_id")
+    // sanity: the best-ranked list for this query is 101, all label 0
+    val fixedNprobe1 = Similarity.ivfSearch(
+      index.filter(col("label") === 1).select("vec_id", "embedding", "centroid_id"),
+      pivots, query, "embedding", "vec_id", "vec_id", k = 2, nprobe = 1)
+    assert(fixedNprobe1.count() == 0)
+    val got = Similarity.ivfSearchFiltered(index, pivots, query,
+        col("label") === 1, "embedding", "vec_id", "vec_id",
+        k = 2, minCandidates = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val want = Similarity.bruteForceTopK(
+        corpus.filter(col("label") === 1), query, "embedding", "vec_id", 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
