@@ -2108,6 +2108,32 @@ object PipelineQueries {
         emb.filter(col("vec_id") === 0), col("label") === FiltAnnLabel,
         "embedding", "vec_id", "vec_id", k = FiltAnnK,
         minCandidates = FiltAnnMinCand)
+    },
+
+    // ---- sinks: versioned snapshot round trip (atomic publish + time travel)
+    // Sinks.writeSnapshot lands each version as an immutable v=N parquet
+    // folder and commits via an atomically-renamed _latest pointer — the
+    // minimal Iceberg-style publish protocol (readers never see a partial
+    // write; training runs pin exact snapshots). The face writes v1 (a
+    // subset) and v2 (the full table), reads v1 back by PIN (time travel)
+    // and v2 via the pointer; the oracle is the two source-side selections.
+    // SinksSpec pins the protocol itself (pointer-only reads, crash-orphan
+    // invisibility, version allocation past orphans).
+    Q("q158_snapshot_roundtrip",
+      """SELECT 1 AS v, doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 300
+        |UNION ALL SELECT 2, doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY v, doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val table = s"${scratch.dir}/docs_versioned"
+      val docs = Tables.load(s, dir, "documents")
+      Sinks.writeSnapshot(docs.filter(col("doc_id") < 300), table)
+      Sinks.writeSnapshot(docs, table)
+      val v1 = Sinks.readSnapshot(s, table, Some(1)).withColumn("v", lit(1))
+      val latest = Sinks.readSnapshot(s, table).withColumn("v", lit(2))
+      v1.unionByName(latest)
+        .select(col("v"), col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("v", "doc_id")
     }
   )
 }

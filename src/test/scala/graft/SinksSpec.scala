@@ -137,4 +137,31 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(path).count() == n)
   }
+
+  test("snapshot sink: atomic publish, pointer-only reads, time travel, crash orphans") {
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/versioned"
+    val df1 = Tables.load(spark, sf, "region")           // 5 rows
+    val df2 = Tables.load(spark, sf, "nation")           // 25 rows
+    // nothing committed yet
+    assert(Sinks.snapshotCommitted(spark, table).isEmpty)
+    intercept[IllegalStateException](Sinks.readSnapshot(spark, table))
+    // two publishes: versions 1, 2; unpinned read serves the pointer
+    assert(Sinks.writeSnapshot(df1, table) == 1)
+    assert(Sinks.writeSnapshot(df2, table) == 2)
+    assert(Sinks.snapshotVersions(spark, table) == Seq(1, 2))
+    assert(Sinks.snapshotCommitted(spark, table).contains(2))
+    assert(Sinks.readSnapshot(spark, table).count() == 25)
+    // time travel: explicit pin reaches the immutable older folder
+    assert(Sinks.readSnapshot(spark, table, Some(1)).count() == 5)
+    // crash simulation: a data folder lands but the pointer swap never ran —
+    // unpinned readers must keep seeing v2, and the orphaned number must
+    // not be reused by the next successful publish
+    df1.write.parquet(s"$table/v=3")
+    assert(Sinks.snapshotCommitted(spark, table).contains(2))
+    assert(Sinks.readSnapshot(spark, table).count() == 25)
+    assert(Sinks.writeSnapshot(df2, table) == 4)
+    assert(Sinks.snapshotCommitted(spark, table).contains(4))
+    assert(Sinks.readSnapshot(spark, table).count() == 25)
+  }
 }
