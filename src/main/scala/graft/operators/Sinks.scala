@@ -220,4 +220,37 @@ object Sinks {
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
     spark.read.parquet(s"$tableDir/v=$v")
   }
+
+  /** Change feed between two snapshot versions — CDC DERIVED from
+    * immutable snapshots (the complement of applying CDC, q108/q116):
+    * keyed full-outer join of the two folders, each row classified
+    * `added` / `removed` / `changed` (any non-key column differs,
+    * null-safe). Emits only the delta — what an incremental downstream
+    * (index refresh, re-embedding, cache invalidation) consumes instead
+    * of re-reading the full table.
+    *
+    * Scale: ONE join keyed on `keyCols` — both sides shuffle once; with
+    * both versions written bucketed on the key the exchange disappears
+    * entirely. Non-key columns ride packed in a single struct so the
+    * comparison is one codegen'd null-safe struct equality, not N column
+    * comparisons with N null branches. Delta output is |changes|-sized. */
+  def snapshotDiff(spark: SparkSession, tableDir: String,
+                   fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame =
+    diffTables(readSnapshot(spark, tableDir, Some(fromV)),
+      readSnapshot(spark, tableDir, Some(toV)), keyCols)
+
+  /** [[snapshotDiff]]'s engine over any two same-schema tables. */
+  def diffTables(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    val av = a.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as("__a"): _*)
+    val bv = b.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as("__b"): _*)
+    av.join(bv, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__a").isNull, lit("added"))
+          .when(col("__b").isNull, lit("removed"))
+          .when(!(col("__a") <=> col("__b")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
 }

@@ -2134,6 +2134,40 @@ object PipelineQueries {
         .select(col("v"), col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))
         .orderBy("v", "doc_id")
+    },
+
+    // ---- sinks: snapshot change feed (CDC derived from versions) ----------
+    // Sinks.snapshotDiff: keyed full-outer join of two immutable snapshot
+    // versions, rows classified added/removed/changed (null-safe struct
+    // equality over the packed non-key columns) — the delta an incremental
+    // consumer (index refresh, re-embedding) reads instead of the full
+    // table. v1 = doc_id<300; v2 = doc_id>=100 with n_chars bumped on
+    // doc_id%7=0 — so the feed has all three classes at every SF.
+    Q("q159_snapshot_diff",
+      """WITH v1 AS (SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 300),
+        |v2 AS (SELECT doc_id, text, lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id >= 100),
+        |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN (a.text IS DISTINCT FROM b.text) OR (a.lang IS DISTINCT FROM b.lang)
+        |           OR (a.source IS DISTINCT FROM b.source) OR (a.n_chars IS DISTINCT FROM b.n_chars)
+        |           THEN 'changed' ELSE 'unchanged' END AS change
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, change FROM d WHERE change <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val table = s"${scratch.dir}/docs_cdc"
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      Sinks.writeSnapshot(docs.filter(col("doc_id") < 300), table)
+      Sinks.writeSnapshot(
+        docs.filter(col("doc_id") >= 100)
+          .withColumn("n_chars", when(col("doc_id") % 7 === 0,
+            col("n_chars") + 1).otherwise(col("n_chars"))), table)
+      Sinks.snapshotDiff(s, table, fromV = 1, toV = 2, keyCols = Seq("doc_id"))
+        .orderBy("doc_id")
     }
   )
 }

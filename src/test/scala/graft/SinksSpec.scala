@@ -164,4 +164,20 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.snapshotCommitted(spark, table).contains(4))
     assert(Sinks.readSnapshot(spark, table).count() == 25)
   }
+
+  test("diffTables: null-safe change classification on every class") {
+    import spark.implicits._
+    val a = Seq((1L, Some("x"), 10), (2L, None: Option[String], 20),
+      (3L, Some("z"), 30), (4L, Some("w"), 40))
+      .toDF("id", "s", "n")
+    val b = Seq((2L, None: Option[String], 20),       // null==null → unchanged
+      (3L, None: Option[String], 30),                 // z→null → changed
+      (4L, Some("w"), 41),                            // n bump → changed
+      (5L, Some("v"), 50))                            // new → added
+      .toDF("id", "s", "n")
+    val got = Sinks.diffTables(a, b, Seq("id"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "removed", 3L -> "changed", 4L -> "changed",
+      5L -> "added"))
+  }
 }
