@@ -239,6 +239,66 @@ object Sinks {
     diffTables(readSnapshot(spark, tableDir, Some(fromV)),
       readSnapshot(spark, tableDir, Some(toV)), keyCols)
 
+  /** [[writeSnapshot]] + an Iceberg-style FILE MANIFEST: per-file min/max
+    * of `statsCols`, computed in one grouped pass over the written files
+    * (`input_file_name` groupBy — at production scale this piggybacks on
+    * write-task accumulators instead) and committed as
+    * `_manifest/v=N.parquet` BEFORE the pointer swap, so manifest and data
+    * are one atomic unit. What it buys at 100 TB: [[readSnapshotPruned]]
+    * prunes candidate files on the DRIVER from the (tiny) manifest — zero
+    * parquet footer round-trips across a 100k-file table, the difference
+    * between a sub-second and a minutes-long planning phase on an object
+    * store. */
+  def writeSnapshotWithManifest(df: DataFrame, tableDir: String,
+                                statsCols: Seq[String]): Int = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val next = snapshotVersions(spark, tableDir).lastOption.getOrElse(0) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
+    val written = spark.read.parquet(s"$tableDir/v=$next")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    written.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/_manifest/v=$next")
+    val fc = FileContext.getFileContext(new Path(tableDir).toUri, conf)
+    val tmp = new Path(tableDir, s"_latest.tmp.$next")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    fc.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
+    next
+  }
+
+  /** Manifest-pruned snapshot read: keep only files whose [min,max] range
+    * on `statCol` intersects [lo,hi] (closed interval; a file with a NULL
+    * min/max — all-null column chunk — is conservatively kept), hand Spark
+    * the surviving file list directly, and re-apply the exact predicate.
+    * Pruning correctness never depends on the manifest: it only SKIPS
+    * files the range test proves empty for the predicate. Returns the
+    * pruned DataFrame plus (files kept, files total) for audits. */
+  def readSnapshotPruned(spark: SparkSession, tableDir: String,
+                         statCol: String, lo: Long, hi: Long,
+                         version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.orElse(snapshotCommitted(spark, tableDir)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val manifest = spark.read.parquet(s"$tableDir/_manifest/v=$v")
+      .select(col("file"), col(s"min_$statCol").cast("long").as("lo"),
+        col(s"max_$statCol").cast("long").as("hi"))
+      .collect()
+    val total = manifest.length
+    val kept = manifest.filter { r =>
+      r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getLong(1) <= hi && r.getLong(2) >= lo)
+    }.map(_.getString(0))
+    val df = spark.read.parquet(kept.toIndexedSeq: _*)
+      .filter(col(statCol).between(lo, hi))
+    (df, kept.length, total)
+  }
+
   /** [[snapshotDiff]]'s engine over any two same-schema tables. */
   def diffTables(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
     val valCols = a.columns.filterNot(keyCols.contains).toSeq

@@ -2168,6 +2168,28 @@ object PipelineQueries {
             col("n_chars") + 1).otherwise(col("n_chars"))), table)
       Sinks.snapshotDiff(s, table, fromV = 1, toV = 2, keyCols = Seq("doc_id"))
         .orderBy("doc_id")
+    },
+
+    // ---- sinks: manifest-pruned snapshot read (driver-side data skipping)
+    // writeSnapshotWithManifest commits per-file min/max stats atomically
+    // with the data; readSnapshotPruned prunes candidate files from that
+    // tiny manifest on the driver — zero parquet footer round-trips, the
+    // planning-phase killer on 100k-file object-store tables. Files land
+    // range-partitioned on doc_id so ranges are narrow; the exact
+    // predicate re-applies after pruning (skipping is an optimization,
+    // never the correctness path). SinksSpec asserts files are actually
+    // skipped; the oracle is the plain filter.
+    Q("q160_manifest_prune",
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN 200 AND 250 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val table = s"${scratch.dir}/docs_manifest"
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      Sinks.writeSnapshotWithManifest(
+        docs.repartitionByRange(8, col("doc_id")), table, Seq("doc_id"))
+      val (pruned, _, _) = Sinks.readSnapshotPruned(s, table, "doc_id", 200L, 250L)
+      pruned.orderBy("doc_id")
     }
   )
 }

@@ -165,6 +165,20 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readSnapshot(spark, table).count() == 25)
   }
 
+  test("manifest pruning: files are skipped by range, results stay exact") {
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/manifested"
+    val df = Tables.load(spark, sf, "customer").select("c_custkey", "c_name")
+    Sinks.writeSnapshotWithManifest(
+      df.repartitionByRange(6, col("c_custkey")), table, Seq("c_custkey"))
+    val (pruned, kept, total) =
+      Sinks.readSnapshotPruned(spark, table, "c_custkey", 10L, 30L)
+    assert(total == 6 && kept < total, s"kept=$kept total=$total")
+    val want = df.filter(col("c_custkey").between(10, 30))
+      .orderBy("c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(pruned.orderBy("c_custkey").collect().map(_.getLong(0)).toSeq == want)
+  }
+
   test("diffTables: null-safe change classification on every class") {
     import spark.implicits._
     val a = Seq((1L, Some("x"), 10), (2L, None: Option[String], 20),
