@@ -452,6 +452,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental IVF maintenance from a change feed ([[Sinks.diffTables]]
+    * shape: `(key, change)` with added/removed/changed): drop the
+    * removed+changed ids from the standing index, assign the added+changed
+    * rows against the FIXED pivot set (the same map-side fused argmax as
+    * [[ivfAssignAll]] — zero corpus shuffle), union. Per-row assignment is
+    * independent given fixed pivots, so the result is EXACTLY what a full
+    * rebuild over the new corpus produces (q161's oracle is that rebuild)
+    * — at delta cost, not corpus cost: the anti/semi joins broadcast the
+    * |delta|-sized key sets, the standing index streams through untouched.
+    * Pivot drift under sustained churn is the one thing this cannot fix —
+    * monitor list balance (q103's audit) and re-pivot offline when it
+    * degrades. */
+  def ivfApplyDelta(index: DataFrame, changes: DataFrame, newCorpus: DataFrame,
+                    keyCol: String, pivots: DataFrame, vecCol: String,
+                    pivotIdCol: String): DataFrame = {
+    val dropKeys = changes.filter(col("change").isin("removed", "changed"))
+      .select(col(keyCol))
+    val addKeys = changes.filter(col("change").isin("added", "changed"))
+      .select(col(keyCol))
+    val kept = index.join(broadcast(dropKeys), Seq(keyCol), "left_anti")
+    val assigned = ivfAssignAll(
+      newCorpus.join(broadcast(addKeys), Seq(keyCol), "left_semi"),
+      pivots, vecCol, pivotIdCol)
+    kept.unionByName(assigned)
+  }
+
   /** Intra-block pairwise cosine (IVF-style coarse blocking). */
   def blockedPairsCosine(df: DataFrame, vecCol: String, idCol: String,
                          blockCol: String): DataFrame = {

@@ -2190,6 +2190,42 @@ object PipelineQueries {
         docs.repartitionByRange(8, col("doc_id")), table, Seq("doc_id"))
       val (pruned, _, _) = Sinks.readSnapshotPruned(s, table, "doc_id", 200L, 250L)
       pruned.orderBy("doc_id")
+    },
+
+    // ---- similarity: incremental IVF maintenance from a change feed -------
+    // The q159→index composition: corpus v1→v2 has adds (vec_id%5==0
+    // returns), removes (%13==0 leaves) and changes (%11==0 negates its
+    // embedding — IEEE negation is exact in both engines, and flips the
+    // nearest pivot, so re-assignment is REAL). ivfApplyDelta drops
+    // removed+changed ids, map-side-assigns added+changed rows against the
+    // fixed pivots, unions — delta cost, not corpus cost. The ORACLE IS A
+    // FULL REBUILD over v2: the declared equivalence is "incremental ==
+    // rebuild", per-id, at every SF.
+    Q("q161_incremental_index", {
+      s"""WITH piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |v2 AS (SELECT vec_id, CASE WHEN vec_id % 11 = 0
+         |      THEN list_transform(embedding, x -> CAST(-x AS FLOAT)) ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 13 <> 0),
+         |scored AS (SELECT e.vec_id, p.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
+         |  FROM v2 e, piv p)
+         |SELECT vec_id, cid AS centroid_id FROM scored WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val pivots = emb.filter(col("vec_id") < 8)
+      val negated = transform(col("embedding"), x => -x)
+      val v1 = emb.filter(col("vec_id") % 5 =!= 0)
+      val v2 = emb.filter(col("vec_id") % 13 =!= 0)
+        .withColumn("embedding",
+          when(col("vec_id") % 11 === 0, negated).otherwise(col("embedding")))
+      val index1 = Similarity.ivfAssignAll(v1, pivots, "embedding", "vec_id")
+      val delta = Sinks.diffTables(v1, v2, Seq("vec_id"))
+      Similarity.ivfApplyDelta(index1, delta, v2, "vec_id",
+          pivots, "embedding", "vec_id")
+        .select("vec_id", "centroid_id")
+        .orderBy("vec_id")
     }
   )
 }

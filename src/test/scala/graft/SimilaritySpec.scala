@@ -313,4 +313,30 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("ivfApplyDelta: incremental maintenance equals a full rebuild") {
+    import graft.operators.Sinks
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val pivots = Seq((100L, v(1, 0)), (101L, v(0, 1))).toDF("vec_id", "embedding")
+    val v1 = Seq(
+      (1L, v(1, 0.1)), (2L, v(0.9, 0.2)),   // list 100
+      (3L, v(0.1, 1))                        // list 101
+    ).toDF("vec_id", "embedding")
+    val v2 = Seq(
+      (1L, v(1, 0.1)),                       // unchanged
+      (3L, v(1, 0.05)),                      // CHANGED: moves 101 → 100
+      (4L, v(0.2, 1))                        // added (list 101); 2 removed
+    ).toDF("vec_id", "embedding")
+    val index1 = Similarity.ivfAssignAll(v1, pivots, "embedding", "vec_id")
+    val delta = Sinks.diffTables(v1, v2, Seq("vec_id"))
+    val got = Similarity.ivfApplyDelta(index1, delta, v2, "vec_id",
+        pivots, "embedding", "vec_id")
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val want = Similarity.ivfAssignAll(v2, pivots, "embedding", "vec_id")
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == want)
+    assert(got == Set(1L -> 100L, 3L -> 100L, 4L -> 101L))
+  }
 }
