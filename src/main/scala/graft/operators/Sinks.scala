@@ -183,6 +183,29 @@ object Sinks {
     next
   }
 
+  /** [[writeSnapshot]] at a CALLER-CHOSEN version — the exactly-once hook
+    * for streaming publishes: derive `version` deterministically from the
+    * micro-batch id and a replayed batch (restart after a crash anywhere
+    * between sink write and checkpoint commit) rewrites the SAME immutable
+    * folder and re-swaps the pointer to the SAME value — idempotent by
+    * construction, no side ledger. The pointer only ever moves forward
+    * (a replay of an old batch can't demote a newer commit). */
+  def writeSnapshotAs(df: DataFrame, tableDir: String, version: Int): Int = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$version")
+    if (snapshotCommitted(df.sparkSession, tableDir).forall(_ < version)) {
+      val fc = FileContext.getFileContext(new Path(tableDir).toUri, conf)
+      val tmp = new Path(tableDir, s"_latest.tmp.$version")
+      val out = fc.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      out.write(version.toString.getBytes("UTF-8")); out.close()
+      fc.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
+    }
+    version
+  }
+
   /** Version folders present on disk (committed or orphaned), ascending.
     * Folder presence drives version-number allocation; ONLY the `_latest`
     * pointer decides what an unpinned read serves. */

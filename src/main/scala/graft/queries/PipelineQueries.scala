@@ -2226,6 +2226,34 @@ object PipelineQueries {
           pivots, "embedding", "vec_id")
         .select("vec_id", "centroid_id")
         .orderBy("vec_id")
+    },
+
+    // ---- streaming: exactly-once snapshot publish -------------------------
+    // The SEVENTH true streaming execution: a complete-mode running
+    // aggregate whose every micro-batch lands as an ATOMIC snapshot version
+    // (Streams.runSnapshotPublish → Sinks.writeSnapshotAs, version =
+    // batchId+1 — replay-idempotent with no side ledger, pointer moves
+    // forward only). The source is split into three files read one per
+    // trigger, so one contiguous version commits per micro-batch (Spark
+    // may admit an extra empty batch) and earlier versions remain
+    // time-travelable mid-stream states; the declared result is the final
+    // committed snapshot, oracle = the batch aggregate over all events.
+    Q("q162_streaming_snapshot",
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/events_split"
+      val table = s"${scratch.dir}/snap_counts"
+      val chk = s"${scratch.dir}/chk162"
+      Tables.load(s, dir, "events").select("event_id", "event_type")
+        .repartition(3).write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      Streams.runSnapshotPublish(s, table, chk) {
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+      }.orderBy("event_type")
     }
   )
 }

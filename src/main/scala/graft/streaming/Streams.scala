@@ -79,6 +79,50 @@ object Streams {
     s.read.parquet(sink)
   }
 
+  /** [[runAvailableNow]]'s skeleton publishing every micro-batch as an
+    * ATOMIC SNAPSHOT VERSION ([[graft.operators.Sinks.writeSnapshotAs]],
+    * version = batchId + 1): exactly-once end to end with no side ledger —
+    * a replayed batch rewrites the same immutable folder and re-swaps the
+    * pointer to the same value, and the pointer only moves forward. On top
+    * of plain foreachBatch-overwrite this buys (a) readers NEVER observing
+    * a half-written sink (the pointer swap is atomic) and (b) time travel
+    * across stream progress: v=1 is the state after batch 1, etc. Returns
+    * the committed latest. Complete-mode topologies only (each batch's
+    * output must BE the whole result for a version to be a snapshot). */
+  def runSnapshotPublish(s: SparkSession, tableDir: String, chk: String,
+                         statePartitions: Int = 8,
+                         noDataBatch: Boolean = false)
+                        (build: => DataFrame): DataFrame = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val partsPrev = s.conf.getOption(partsKey)
+    val noDataPrev = s.conf.getOption(noDataKey)
+    s.conf.set(partsKey, statePartitions.toString)
+    s.conf.set(noDataKey, noDataBatch.toString)
+    try {
+      val query = build.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          graft.operators.Sinks.writeSnapshotAs(batch, tableDir,
+            (batchId + 1).toInt): Unit
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      partsPrev match {
+        case Some(v) => s.conf.set(partsKey, v)
+        case None => s.conf.unset(partsKey)
+      }
+      noDataPrev match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None => s.conf.unset(noDataKey)
+      }
+    }
+    graft.operators.Sinks.readSnapshot(s, tableDir)
+  }
+
   /** Tumbling-window aggregate per event type. Batch and streaming share this
     * plan shape; on a stream add `withWatermark("ts", ...)` upstream. */
   def hourlyByType(events: DataFrame): DataFrame =

@@ -179,6 +179,22 @@ class SinksSpec extends AnyFunSuite {
     assert(pruned.orderBy("c_custkey").collect().map(_.getLong(0)).toSeq == want)
   }
 
+  test("writeSnapshotAs: replay-idempotent, pointer only moves forward") {
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/replayed"
+    val df1 = Tables.load(spark, sf, "region")   // 5 rows
+    val df2 = Tables.load(spark, sf, "nation")   // 25 rows
+    Sinks.writeSnapshotAs(df1, table, 1)
+    Sinks.writeSnapshotAs(df2, table, 2)
+    assert(Sinks.snapshotCommitted(spark, table).contains(2))
+    // replay of batch 1 (crash-restart semantics): same folder rewritten,
+    // the newer commit is NOT demoted
+    Sinks.writeSnapshotAs(df1, table, 1)
+    assert(Sinks.snapshotCommitted(spark, table).contains(2))
+    assert(Sinks.readSnapshot(spark, table).count() == 25)
+    assert(Sinks.readSnapshot(spark, table, Some(1)).count() == 5)
+  }
+
   test("diffTables: null-safe change classification on every class") {
     import spark.implicits._
     val a = Seq((1L, Some("x"), 10), (2L, None: Option[String], 20),

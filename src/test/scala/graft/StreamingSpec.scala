@@ -319,6 +319,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_sessions") == 1)
   }
 
+  test("runSnapshotPublish: one atomic version per micro-batch, mid-stream states travelable") {
+    import graft.operators.Sinks
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val src = s"${s.dir}/src162"
+    val table = s"${s.dir}/pub162"
+    val chk = s"${s.dir}/chk162"
+    // two files → two micro-batches under maxFilesPerTrigger=1
+    Seq((1L, "a"), (2L, "a")).toDF("id", "k").write.parquet(s"$src/f1")
+    Seq((3L, "b")).toDF("id", "k").write.parquet(s"$src/f2")
+    val schema = spark.read.parquet(src + "/*").schema
+    val fin = Streams.runSnapshotPublish(spark, table, chk) {
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+        .groupBy(col("k"))
+        .agg(org.apache.spark.sql.functions.count(col("id")).as("n"))
+    }
+    // one contiguous version per micro-batch (Spark may admit an extra
+    // empty/terminal batch — the PROTOCOL claim is contiguity + pointer on
+    // the newest, not Spark's admission count)
+    val vs = Sinks.snapshotVersions(spark, table)
+    val committed = Sinks.snapshotCommitted(spark, table).get
+    assert(vs.size >= 2 && vs == (1 to vs.max) && committed == vs.max, s"$vs/$committed")
+    // final state covers both keys; some earlier version is a genuine
+    // mid-stream snapshot with strictly fewer groups
+    assert(fin.count() == 2)
+    val midCounts = vs.init.map(v => Sinks.readSnapshot(spark, table, Some(v)).count())
+    assert(midCounts.exists(_ < 2), midCounts.toString)
+  }
+
   test("sessionStats on a stream (native session_window state) matches the batch face") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
