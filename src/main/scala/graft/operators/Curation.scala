@@ -566,6 +566,62 @@ object Curation {
       .drop("__hk")
   }
 
+  /** Pseudonymization vault: assign every distinct identifier a DENSE
+    * surrogate 0..n-1 — the PII-tokenization step of a privacy-preserving
+    * pipeline (drop the vault and the surrogates are irreversible; keep it
+    * escrowed and re-identification is one join). Surrogate order is a
+    * salted hash, so it leaks nothing about identifier order, yet the
+    * assignment is a pure function of (salt, id set): stable across runs,
+    * partitioning and engines.
+    *
+    * Scale — this is distributed dense-ID assignment (zipWithIndex in
+    * DataFrame algebra), NO global window: shard distinct ids by hash,
+    * rank within shard (keyed window), cumulate shard counts into
+    * exclusive offsets (a `shards`-row single-partition window BY
+    * CONSTRUCTION — bounded), broadcast the offsets back. pseud =
+    * offset(shard) + rank - 1. */
+  def denseSurrogates(df: DataFrame, idCol: String, salt: String,
+                      shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol)).distinct()
+      .withColumn("__hk", Fns.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("__shard", (col("__hk") % shards).cast("int"))
+    val ranked = ids.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("__shard")).orderBy(col("__hk"), col(idCol))))
+    val offsets = ranked.groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    ranked.join(broadcast(offsets), "__shard")
+      .select(col(idCol), (col("__off") + col("__rk") - 1).as("pseud"))
+  }
+
+  /** Oracle face of [[denseSurrogates]] (same shard/rank/offset chain). */
+  def denseSurrogatesSql(tableE: String, idE: String, salt: String,
+                         shards: Int): String = {
+    val s = salt.replace("'", "''")
+    val hk = Fns.hash60Sql(s"'$s'||CAST($idE AS VARCHAR)")
+    s"""SELECT $idE, __off + __rk - 1 AS pseud FROM (
+       |  SELECT $idE, CAST($hk % $shards AS INT) AS __shard,
+       |    row_number() OVER (PARTITION BY CAST($hk % $shards AS INT)
+       |      ORDER BY $hk, $idE) AS __rk
+       |  FROM (SELECT DISTINCT $idE FROM $tableE)) r
+       |JOIN (
+       |  SELECT __shard, COALESCE(SUM(__n) OVER (ORDER BY __shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off
+       |  FROM (SELECT CAST($hk % $shards AS INT) AS __shard, COUNT(*) AS __n
+       |        FROM (SELECT DISTINCT $idE FROM $tableE) GROUP BY 1)) o
+       |USING (__shard)""".stripMargin
+  }
+
+  /** Swap the identifier column for its surrogate via the vault — the
+    * "apply" half of [[denseSurrogates]]; broadcast when the vault fits. */
+  def applyPseudonyms(df: DataFrame, vault: DataFrame, idCol: String): DataFrame =
+    df.join(vault, Seq(idCol))
+      .drop(idCol)
+      .withColumnRenamed("pseud", idCol)
+
   /** Oracle face of [[stratifiedSample]] (same salted hash + rank). */
   def stratifiedSampleSql(tableE: String, groupE: String, idE: String,
                           n: Int, salt: String): String = {

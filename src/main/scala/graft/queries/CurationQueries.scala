@@ -1032,6 +1032,22 @@ object CurationQueries {
           Curation.maskedTokenCount(col("text"), "q152", 13).as("n_masked"),
           size(split(trim(col("text")), "\\s+")).as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // ---- PII pseudonymization: dense surrogate vault ----------------------
+    // Curation.denseSurrogates assigns every distinct user a surrogate
+    // 0..n-1 in salted-hash order (order-leak-free, run/engine-stable) with
+    // NO global window: shard-by-hash rank + cumulated shard offsets — the
+    // distributed dense-ID assignment a tokenization vault needs at 100 TB.
+    // The declared result is the vault itself; CurationSpec pins denseness
+    // (exact 0..n-1 bijection) and the applyPseudonyms round trip.
+    Q("q163_pseudonymize", {
+      val v = Curation.denseSurrogatesSql("events", "user_id", "s163", 64)
+      s"""SELECT user_id, pseud FROM ($v) t ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      Curation.denseSurrogates(Tables.load(s, dir, "events"),
+          "user_id", "s163", 64)
+        .orderBy("user_id")
     }
   )
 }

@@ -436,4 +436,25 @@ class CurationSpec extends AnyFunSuite {
     val (_, m1, n1) = rows.find(_._1 == 2L).get
     assert(n1 == 0 || n1 == 3, s"aa must mask all-or-nothing, got $m1")
   }
+
+  test("denseSurrogates: exact 0..n-1 bijection, partition-immune, round trip") {
+    val ids = (1L to 97L).map(i => (i * 13 % 101, s"e$i"))  // dup + gappy ids
+    val df = ids.toDF("uid", "payload")
+    val vault = Curation.denseSurrogates(df, "uid", "salty", shards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = df.select("uid").distinct().count()
+    // dense bijection over distinct ids
+    assert(vault.size == n && vault.values.toSeq.sorted == (0L until n))
+    // stable under different partitioning
+    val vault2 = Curation.denseSurrogates(df.repartition(7), "uid", "salty", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vault2 == vault)
+    // surrogate order is hash order, not id order (no order leak)
+    assert(vault.toSeq.sortBy(_._1).map(_._2) != (0L until n).toSeq)
+    // apply + re-identify round trip preserves every row
+    val vaultDf = Curation.denseSurrogates(df, "uid", "salty", 8)
+    val applied = Curation.applyPseudonyms(df, vaultDf, "uid")
+    assert(applied.count() == df.count())
+    assert(applied.select("uid").distinct().count() == n)
+  }
 }
