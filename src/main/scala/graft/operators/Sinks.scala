@@ -322,6 +322,28 @@ object Sinks {
     (df, kept.length, total)
   }
 
+  /** Retention janitor: delete all but the newest `keep` committed-or-older
+    * version folders (and their manifests). The committed version itself
+    * and anything NEWER than it (an in-flight writer's folder) are never
+    * touched, so the janitor is safe to run concurrently with readers
+    * pinned to the retained window and with an active writer. Returns the
+    * versions dropped. Time travel obviously shortens to the retained
+    * window — pin + copy before expiring if a snapshot must outlive it. */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+                      keep: Int): Seq[Int] = {
+    require(keep >= 1, "keep at least the committed version")
+    val committed = snapshotCommitted(spark, tableDir).getOrElse(return Seq.empty)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val toDrop = snapshotVersions(spark, tableDir)
+      .filter(_ <= committed).dropRight(keep)
+    toDrop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$v"), true)
+    }
+    toDrop
+  }
+
   /** [[snapshotDiff]]'s engine over any two same-schema tables. */
   def diffTables(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
     val valCols = a.columns.filterNot(keyCols.contains).toSeq

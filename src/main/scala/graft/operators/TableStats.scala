@@ -176,4 +176,49 @@ object TableStats {
     s"""WITH pm_s AS (SELECT ${sums.mkString(",\n  ")} FROM $tableE)
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** Population Stability Index between two populations of a numeric
+    * column — THE model-ops drift gate (PSI < 0.1 stable / > 0.25 drifted)
+    * — over FIXED-width bins capped at `maxBin` (data-independent binning:
+    * quantile bins would make the bin edges themselves engine-divergent).
+    * Per-bin contribution (pa−pb)·ln(pa/pb) floors to exact nano-nats so
+    * the cross-engine hash compare is exact (the q120 KL discipline);
+    * callers sum `psi_nano` for the scalar. Bins present in only one
+    * population are omitted (epsilon-free; the inner join IS the declared
+    * domain) — report them separately if coverage matters.
+    *
+    * Scale: two scans (one per population) reduce to ≤maxBin+1 counts each
+    * map-side; everything after the two tiny aggregates is
+    * broadcast-sized. */
+  def psiMicro(a: DataFrame, b: DataFrame, valueCol: String,
+               binWidth: Double, maxBin: Int): DataFrame = {
+    def binned(df: DataFrame, n: String) =
+      df.select(least(floor(col(valueCol).cast("double") / binWidth)
+          .cast("int"), lit(maxBin)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+    val ca = binned(a, "na")
+    val cb = binned(b, "nb")
+    val tot = broadcast(ca.agg(sum(col("na")).cast("long").as("ta"))
+      .crossJoin(cb.agg(sum(col("nb")).cast("long").as("tb"))))
+    val pa = col("na").cast("double") / col("ta").cast("double")
+    val pb = col("nb").cast("double") / col("tb").cast("double")
+    ca.join(cb, "bin").crossJoin(tot)
+      .select(col("bin"), col("na"), col("nb"),
+        floor(((pa - pb) * log(pa / pb)) * lit(1e9)).cast("long").as("psi_nano"))
+  }
+
+  /** Oracle face of [[psiMicro]] — identical binning, fold order, floor. */
+  def psiMicroSql(aE: String, bE: String, valueE: String,
+                  binWidth: Double, maxBin: Int): String = {
+    def binE = s"LEAST(CAST(FLOOR(CAST($valueE AS DOUBLE) / $binWidth) AS INT), $maxBin)"
+    val pa = "CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)"
+    val pb = "CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)"
+    s"""WITH psi_a AS (SELECT $binE AS bin, COUNT(*) AS na FROM $aE GROUP BY 1),
+       |psi_b AS (SELECT $binE AS bin, COUNT(*) AS nb FROM $bE GROUP BY 1),
+       |psi_t AS (SELECT (SELECT CAST(SUM(na) AS BIGINT) FROM psi_a) AS ta,
+       |                 (SELECT CAST(SUM(nb) AS BIGINT) FROM psi_b) AS tb)
+       |SELECT bin, na, nb,
+       |  CAST(FLOOR((($pa - $pb) * ln(($pa) / ($pb))) * 1e9) AS BIGINT) AS psi_nano
+       |FROM psi_a JOIN psi_b USING (bin), psi_t""".stripMargin
+  }
 }

@@ -2254,6 +2254,29 @@ object PipelineQueries {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
       }.orderBy("event_type")
+    },
+
+    // ---- stats: PSI drift gate between two corpus slices ------------------
+    // TableStats.psiMicro: the model-ops drift scalar (Σ(pa−pb)·ln(pa/pb))
+    // over fixed-width n_chars bins, per-bin contributions floored to
+    // exact nano-nats (the q120 KL discipline) so both engines hash-match.
+    // Here: src0 vs the rest of the corpus — the "did the new drop shift
+    // the length distribution" gate a 100 TB ingest runs before accepting
+    // a source. Two scans reduce map-side to ≤20 counts each; everything
+    // downstream is broadcast-sized.
+    Q("q164_drift_psi", {
+      val psi = TableStats.psiMicroSql(
+        "(SELECT n_chars FROM documents WHERE source = 'src0')",
+        "(SELECT n_chars FROM documents WHERE source <> 'src0')",
+        "n_chars", 50.0, 19)
+      s"""SELECT bin, na, nb, psi_nano FROM ($psi) t ORDER BY bin""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TableStats.psiMicro(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "n_chars", 50.0, 19)
+        .orderBy("bin")
     }
   )
 }

@@ -471,4 +471,17 @@ class PipelineSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 3L, 10L)))
     assert(r.getDouble(4) == 6.0 / 3.0 && r.getDouble(5) == 10.0 / 6.0)
   }
+
+  test("psiMicro: identical populations score 0; a shift scores positive") {
+    import graft.operators.TableStats
+    val a = (1 to 100).map(i => i * 7 % 400).toDF("v")
+    // identical distribution → every bin contributes exactly 0 nano-nats
+    val same = TableStats.psiMicro(a, a, "v", 50.0, 9).collect()
+    assert(same.nonEmpty && same.forall(_.getLong(3) == 0L))
+    // shifted distribution → strictly positive total on the shared bins
+    val b = (1 to 100).map(i => (i * 7 % 400) / 2 + 10).toDF("v")
+    val drift = TableStats.psiMicro(a, b, "v", 50.0, 9)
+      .agg(sum(col("psi_nano"))).collect()(0).getLong(0)
+    assert(drift > 0L, s"psi=$drift")
+  }
 }

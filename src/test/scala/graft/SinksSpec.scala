@@ -195,6 +195,20 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readSnapshot(spark, table, Some(1)).count() == 5)
   }
 
+  test("expireSnapshots: drops the old tail, never the committed or newer") {
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/expired"
+    val df = Tables.load(spark, sf, "region")
+    (1 to 4).foreach(_ => Sinks.writeSnapshot(df, table))
+    // an in-flight (uncommitted, newer) folder must survive the janitor
+    df.write.parquet(s"$table/v=9")
+    assert(Sinks.expireSnapshots(spark, table, keep = 2) == Seq(1, 2))
+    assert(Sinks.snapshotVersions(spark, table) == Seq(3, 4, 9))
+    assert(Sinks.snapshotCommitted(spark, table).contains(4))
+    assert(Sinks.readSnapshot(spark, table).count() == 5)
+    assert(Sinks.readSnapshot(spark, table, Some(3)).count() == 5)
+  }
+
   test("diffTables: null-safe change classification on every class") {
     import spark.implicits._
     val a = Seq((1L, Some("x"), 10), (2L, None: Option[String], 20),
