@@ -169,17 +169,40 @@ object Sinks {
     *  - time travel = reading an explicit older version.
     * Returns the committed version number. */
   def writeSnapshot(df: DataFrame, tableDir: String): Int = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path}
-    val conf = df.sparkSession.sessionState.newHadoopConf()
     val next = snapshotVersions(df.sparkSession, tableDir).lastOption.getOrElse(0) + 1
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
-    val fc = FileContext.getFileContext(new Path(tableDir).toUri, conf)
-    val tmp = new Path(tableDir, s"_latest.tmp.$next")
+    commitPointer(df.sparkSession, tableDir, next)
+    next
+  }
+
+  /** The atomic commit primitive every snapshot writer shares: write the
+    * pointer to a temp file, then ONE `FileContext.rename(OVERWRITE)` —
+    * atomic on HDFS; substitute a conditional PUT on object stores. */
+  private def commitPointer(spark: SparkSession, tableDir: String,
+                            version: Int): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val fc = FileContext.getFileContext(new Path(tableDir).toUri,
+      spark.sessionState.newHadoopConf())
+    val tmp = new Path(tableDir, s"_latest.tmp.$version")
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    out.write(next.toString.getBytes("UTF-8")); out.close()
+    out.write(version.toString.getBytes("UTF-8")); out.close()
     fc.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
+  }
+
+  /** OPTIMIZE for the snapshot sink: rewrite the committed version's ROWS
+    * unchanged through [[writeCompacted]] (file count sized from the data)
+    * into a NEW version and commit it — readers mid-compaction keep the
+    * old version, the swap is the usual atomic pointer move, and the
+    * small-files debt of many incremental publishes is paid without a
+    * write outage. Returns the committed compacted version. */
+  def compactSnapshot(spark: SparkSession, tableDir: String,
+                      targetRows: Long): Int = {
+    val cur = readSnapshot(spark, tableDir)
+    val next = snapshotVersions(spark, tableDir).last + 1
+    writeCompacted(cur, s"$tableDir/v=$next", targetRows)
+    commitPointer(spark, tableDir, next)
     next
   }
 
@@ -191,18 +214,9 @@ object Sinks {
     * construction, no side ledger. The pointer only ever moves forward
     * (a replay of an old batch can't demote a newer commit). */
   def writeSnapshotAs(df: DataFrame, tableDir: String, version: Int): Int = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path}
-    val conf = df.sparkSession.sessionState.newHadoopConf()
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$version")
-    if (snapshotCommitted(df.sparkSession, tableDir).forall(_ < version)) {
-      val fc = FileContext.getFileContext(new Path(tableDir).toUri, conf)
-      val tmp = new Path(tableDir, s"_latest.tmp.$version")
-      val out = fc.create(tmp,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-      out.write(version.toString.getBytes("UTF-8")); out.close()
-      fc.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
-    }
+    if (snapshotCommitted(df.sparkSession, tableDir).forall(_ < version))
+      commitPointer(df.sparkSession, tableDir, version)
     version
   }
 
@@ -274,9 +288,7 @@ object Sinks {
     * store. */
   def writeSnapshotWithManifest(df: DataFrame, tableDir: String,
                                 statsCols: Seq[String]): Int = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path}
     val spark = df.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
     val next = snapshotVersions(spark, tableDir).lastOption.getOrElse(0) + 1
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
     val written = spark.read.parquet(s"$tableDir/v=$next")
@@ -286,13 +298,7 @@ object Sinks {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/_manifest/v=$next")
-    val fc = FileContext.getFileContext(new Path(tableDir).toUri, conf)
-    val tmp = new Path(tableDir, s"_latest.tmp.$next")
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    out.write(next.toString.getBytes("UTF-8")); out.close()
-    fc.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
+    commitPointer(spark, tableDir, next)
     next
   }
 

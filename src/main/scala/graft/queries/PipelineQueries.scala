@@ -2277,6 +2277,28 @@ object PipelineQueries {
           docs.filter(col("source") =!= "src0"),
           "n_chars", 50.0, 19)
         .orderBy("bin")
+    },
+
+    // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
+    // Sinks.compactSnapshot pays the small-files debt of incremental
+    // publishes without a write outage: the committed rows rewrite through
+    // writeCompacted into a NEW version and the pointer swaps atomically —
+    // readers mid-compaction keep the old version. The face publishes a
+    // deliberately fragmented version (12 shuffled files), compacts, and
+    // declares the read-back; the oracle is the identity (compaction
+    // reshapes FILES, never rows). SinksSpec pins the file-count math and
+    // old-version immutability.
+    Q("q165_snapshot_compact",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val table = s"${scratch.dir}/docs_optimize"
+      Sinks.writeSnapshot(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .repartition(12), table)
+      Sinks.compactSnapshot(s, table, targetRows = 400L)
+      Sinks.readSnapshot(s, table).orderBy("doc_id")
     }
   )
 }

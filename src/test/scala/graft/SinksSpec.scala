@@ -209,6 +209,23 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readSnapshot(spark, table, Some(3)).count() == 5)
   }
 
+  test("compactSnapshot: fewer files, identical rows, old version untouched") {
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/optimize"
+    val df = Tables.load(spark, sf, "customer")  // 150 rows
+    Sinks.writeSnapshot(df.repartition(10), table)
+    def files(v: Int) = new java.io.File(s"$table/v=$v").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(1) == 10)
+    val v2 = Sinks.compactSnapshot(spark, table, targetRows = 100L)
+    assert(v2 == 2 && Sinks.snapshotCommitted(spark, table).contains(2))
+    assert(files(2) == 2 && files(1) == 10) // ceil(150/100); v1 immutable
+    val got = Sinks.readSnapshot(spark, table)
+      .orderBy("c_custkey").collect().map(_.getLong(0)).toSeq
+    val want = df.orderBy("c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("diffTables: null-safe change classification on every class") {
     import spark.implicits._
     val a = Seq((1L, Some("x"), 10), (2L, None: Option[String], 20),
