@@ -309,4 +309,37 @@ class PlansSpec extends AnyFunSuite {
     // spreads the second dimension across every file)
     assert(hit <= total / 2, s"hit=$hit of $total")
   }
+
+  test("filtered ANN (q157): no cartesian over the corpus, k-bounded tail") {
+    val plan = formatted(SparkEntry.queries("q157_filtered_ann")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the final top-k is a bounded heap, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the metadata predicate filters BEFORE the probe join's cosine scoring
+    assert(plan.contains("label"), plan)
+  }
+
+  test("snapshot diff (q159): one full-outer join, packed-struct compare") {
+    val plan = formatted(SparkEntry.queries("q159_snapshot_diff")(spark, sf))
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one join NODE (formatted explain lists the tree and a detail
+    // section — count detail entries): the N-column compare is one struct
+    // equality, not N per-column join branches
+    val joins = plan.linesIterator.count(l =>
+      l.trim.startsWith("(") &&
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")))
+    assert(joins == 1, s"$joins joins\n$plan")
+  }
+
+  test("dense surrogates (q163): every id-bearing window is shard-keyed") {
+    val df = graft.operators.Curation.denseSurrogates(
+      Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)
+    val plan = formatted(df)
+    // the rank window must carry a partition spec (shard-keyed, parallel);
+    // the only permissible single-partition window is the 64-row offset
+    // cumulation, which operates AFTER the ids reduce to shard counts
+    val windows = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__shard")), plan)
+  }
 }
