@@ -304,6 +304,56 @@ case class NearestPivot(left: Expression, right: Expression) extends BinaryExpre
   override def prettyName: String = "graft_nearest_pivot"
 }
 
+/** array<long>: ids of the `r` best pivots by cosine against `left`, in
+  * rank order — the multi-assignment generalization of [[NearestPivot]]
+  * (identical total order: cos DESC, cid ASC, NaN ranks greatest), same
+  * packed-pivot broadcast encoding. Replaces the |corpus|·C scored cross
+  * join + rank window a soft IVF assignment otherwise needs: one codegen'd
+  * loop per row (C fused cosines + an r-slot insertion), zero shuffle.
+  * Emits fewer than `r` entries only when fewer valid pivots exist. */
+case class NearestPivots(left: Expression, right: Expression, r: Int)
+    extends BinaryExpression {
+  private def arrOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def pivotFields: Option[(DataType, DataType)] = right.dataType match {
+    case ArrayType(StructType(Array(cid, cv)), _) => Some((cid.dataType, cv.dataType))
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = pivotFields match {
+    case Some((cidT, cvT)) if arrOk(left.dataType) && arrOk(cvT) &&
+        (cidT == LongType || cidT == IntegerType) && r > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<struct<cid: long|int, cv: array<float|double>>>, r > 0), " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString} / $r")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def vecFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def cvFloat =
+    pivotFields.get._2.asInstanceOf[ArrayType].elementType == FloatType
+  private def cidInt = pivotFields.get._1 == IntegerType
+
+  override def nullSafeEval(v: Any, p: Any): Any =
+    VectorExprs.nearestPivotsOf(v.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData],
+      r, vecFloat, cvFloat, cidInt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) => {
+      val out = ctx.freshName("cids")
+      s"""
+         |Object $out = graft.functions.VectorExprs.nearestPivotsOf($v, $p, $r, $vecFloat, $cvFloat, $cidInt);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $out; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_nearest_pivots"
+}
+
 /** array<int>: product-quantization encoding. `left` is the vector, `right`
   * the codebook — an array of K full-dimension vectors (one broadcast row
   * for the whole corpus, the [[NearestPivot]] packing trick). The vector is
@@ -401,6 +451,9 @@ object VectorExprs {
   /** Column surface: argmax-cosine pivot id over a packed pivot array. */
   def nearestPivotF(vec: Column, pivots: Column): Column =
     Bridge.column(NearestPivot(Bridge.expression(vec), Bridge.expression(pivots)))
+  /** Column surface: ids of the r best pivots, rank-ordered. */
+  def nearestPivotsF(vec: Column, pivots: Column, r: Int): Column =
+    Bridge.column(NearestPivots(Bridge.expression(vec), Bridge.expression(pivots), r))
   /** Column surface: fused exact integer dot over int/long code arrays. */
   def intDotF(a: Column, b: Column): Column =
     Bridge.column(IntDotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -488,6 +541,56 @@ object VectorExprs {
       j += 1
     }
     if (found) java.lang.Long.valueOf(bestCid) else null
+  }
+
+  /** Kernel for [[NearestPivots]]: r-slot insertion ranking with the exact
+    * [[NearestPivot]] total order (cos DESC, cid ASC via Double.compare —
+    * NaN greatest). Same fused cosine loop; allocation is two r-length
+    * locals per row (r is 2-3 in practice). */
+  def nearestPivotsOf(vec: ArrayData, pivots: ArrayData, r: Int,
+                      vecFloat: Boolean, cvFloat: Boolean, cidInt: Boolean): Any = {
+    val n = vec.numElements()
+    val c = pivots.numElements()
+    val topCos = new Array[Double](r)
+    val topCid = new Array[Long](r)
+    var m = 0
+    var j = 0
+    while (j < c) {
+      val p = pivots.getStruct(j, 2)
+      val cid = if (cidInt) p.getInt(0).toLong else p.getLong(0)
+      val cv = p.getArray(1)
+      if (cv.numElements() == n) {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          val y = if (cvFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
+          d += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val cos = d / math.sqrt(na * nb)
+        // insertion position: strictly better than slot k ⇔ cos greater,
+        // or equal cos with smaller cid (Double.compare: NaN greatest)
+        var k = m
+        while (k > 0 && {
+          val cmp = java.lang.Double.compare(cos, topCos(k - 1))
+          cmp > 0 || (cmp == 0 && cid < topCid(k - 1))
+        }) k -= 1
+        if (k < r) {
+          var s = math.min(m, r - 1)
+          while (s > k) {
+            topCos(s) = topCos(s - 1); topCid(s) = topCid(s - 1)
+            s -= 1
+          }
+          topCos(k) = cos; topCid(k) = cid
+          if (m < r) m += 1
+        }
+      }
+      j += 1
+    }
+    if (m == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topCid, m))
   }
 
   /** Kernel for [[PqEncode]]: per subspace, squared-L2 against every

@@ -290,22 +290,20 @@ object Similarity {
     * The multi-assignment blocking that makes an approximate KNN-graph
     * build possible without all-pairs: two vectors whose PRIMARY lists
     * differ still co-occur in a bucket when one's secondary list is the
-    * other's primary. Offline-build shape: the |corpus|·C scored cross
-    * join ranks per vector with a rank-limit window (WindowGroupLimit
-    * keeps ≤r rows per vector in the exchange) — heavier than the fused
-    * argmax of [[ivfAssign]], run it at index-build time, not per query. */
+    * other's primary. Runs as ONE fused codegen kernel per row
+    * ([[VectorExprs.nearestPivotsF]]: C cosines + an r-slot insertion) +
+    * a Generate — map-side, zero corpus shuffle, exactly like the hard
+    * assignment. (The previous shape shuffled |corpus|·C scored rows
+    * through a rank window; the kernel removed q143's dominant exchange.) */
   def ivfSoftAssign(corpus: DataFrame, pivots: DataFrame, vecCol: String,
                     idCol: String, pivotIdCol: String, r: Int): DataFrame = {
-    val p = broadcast(pivots.select(col(pivotIdCol).as("__cid"),
-      col(vecCol).as("__cv")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cos").desc, col("__cid").asc)
-    corpus.crossJoin(p)
-      .select(col(idCol), col(vecCol), col("__cid"),
-        VectorExprs.cosineF(col(vecCol), col("__cv")).as("__cos"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= r)
-      .select(col(idCol), col(vecCol), col("__cid").as("centroid_id"))
+    val packed = broadcast(
+      pivots.select(struct(col(pivotIdCol).as("cid"), col(vecCol).as("cv")).as("__p"))
+        .agg(sort_array(collect_list(col("__p"))).as("__pivs")))
+    corpus.crossJoin(packed)
+      .select(col(idCol), col(vecCol),
+        explode(VectorExprs.nearestPivotsF(col(vecCol), col("__pivs"), r))
+          .as("centroid_id"))
   }
 
   /** M-nearest-neighbor graph over a SOFT IVF assignment — the NSW/

@@ -104,7 +104,18 @@ object PipelineQueries {
     * (probed search) and q88 (recall audit): an IVF-contract change edits
     * this builder and both oracles follow. */
   private def ivfSqlCtes(ivfC: Int, nprobe: Int): String =
-    s"""piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $ivfC),
+    ivfSqlCtesC(ivfC.toString, nprobe)
+
+  /** q111's FAISS-style data-scaled pivot bound — C = max(8, ⌈n/250⌉) —
+    * as a SQL scalar subquery, for the Σ|cluster|²-shaped faces (q91,
+    * q143) whose bucket sizes must stay ~constant as the corpus grows. */
+  private val ScaledCSql =
+    "(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS BIGINT)) FROM embeddings)"
+  private def scaledC(n: Long): Long = math.max(8L, math.ceil(n / 250.0).toLong)
+
+  /** [[ivfSqlCtes]] with the pivot bound as an arbitrary SQL expression. */
+  private def ivfSqlCtesC(ivfCExpr: String, nprobe: Int): String =
+    s"""piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $ivfCExpr),
        |scored AS (SELECT e.vec_id, e.embedding, p.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
@@ -501,7 +512,7 @@ object PipelineQueries {
     // assignment CTEs + a per-id MAX over bit-exact pairwise cosines.
     // max_cos is NULL for each cluster's lowest id (never a dup).
     Q("q91_semdedup", {
-      s"""WITH ${ivfSqlCtes(ivfC = 8, nprobe = 1)},
+      s"""WITH ${ivfSqlCtesC(ScaledCSql, nprobe = 1)},
          |sd_mc AS (SELECT b.vec_id AS id, MAX(${cosSql("a.embedding", "b.embedding")}) AS max_cos
          |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |  GROUP BY b.vec_id)
@@ -511,7 +522,10 @@ object PipelineQueries {
          |ORDER BY g.vec_id""".stripMargin
     }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.semDedupStats(emb, emb.filter(col("vec_id") < 8),
+      // C = max(8, ⌈n/250⌉): SemDeDup's own design point — cluster count
+      // grows with the corpus so Σ|cluster|² stays linear (the scaladoc's
+      // promise, now true of the declared instance too).
+      Similarity.semDedupStats(emb, emb.filter(col("vec_id") < scaledC(emb.count())),
           "embedding", "vec_id", "vec_id", tau = 0.25)
         .orderBy("vec_id")
     },
@@ -1695,7 +1709,7 @@ object PipelineQueries {
     // the hop buys back the coarse-quantization misses.
     Q("q143_graph_ann_recall", {
       val K = 10
-      s"""WITH ${ivfSqlCtes(ivfC = 8, nprobe = 1)},
+      s"""WITH ${ivfSqlCtesC(ScaledCSql, nprobe = 1)},
          |asg2 AS (SELECT vec_id, embedding, cid FROM scored WHERE rn <= 2),
          |gp AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
          |    ${cosSql("a.embedding", "b.embedding")} AS c
@@ -1717,7 +1731,10 @@ object PipelineQueries {
          |FROM gs JOIN bf USING (vec_id)""".stripMargin
     }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      val pivots = emb.filter(col("vec_id") < 8)
+      // pivot count grows with the corpus (C = max(8, ⌈n/250⌉), the q111
+      // rule) so graph-build bucket sizes stay ~constant — fixed C made the
+      // sf1 build quadratic (102 s; scaled: linear). One driver-side count.
+      val pivots = emb.filter(col("vec_id") < scaledC(emb.count()))
       val index = Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id")
       val soft = Similarity.ivfSoftAssign(emb, pivots, "embedding", "vec_id",
         "vec_id", r = 2)

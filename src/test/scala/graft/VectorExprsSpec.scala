@@ -67,6 +67,38 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(fused == scored)
   }
 
+  test("nearestPivotsF ≡ rank-window top-r over individual cosines (real embeddings)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pivots = emb.filter(col("vec_id") < 8)
+    val packed = broadcast(
+      pivots.select(struct(col("vec_id").as("cid"), col("embedding").as("cv")).as("p"))
+        .agg(sort_array(collect_list(col("p"))).as("pivs")))
+    for (r <- Seq(1, 2, 3)) {
+      val fused = emb.crossJoin(packed)
+        .select(col("vec_id"),
+          graft.functions.VectorExprs.nearestPivotsF(col("embedding"), col("pivs"), r).as("cids"))
+        .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+      val ref = emb.crossJoin(broadcast(
+          pivots.select(col("vec_id").as("pid"), col("embedding").as("pv"))))
+        .select(col("vec_id"), col("pid"),
+          graft.functions.VectorExprs.cosineF(col("embedding"), col("pv")).as("cos"))
+        .collect().groupBy(_.getLong(0)).map { case (v, rows) =>
+          v -> rows.sortBy(x => (-x.getDouble(2), x.getLong(1))).take(r)
+            .map(_.getLong(1)).toSeq
+        }
+      assert(fused == ref, s"r=$r")
+      // rank 1 must agree with the hard-assignment kernel
+      if (r == 1) {
+        val hard = emb.crossJoin(packed)
+          .select(col("vec_id"),
+            graft.functions.VectorExprs.nearestPivotF(col("embedding"), col("pivs")).as("cid"))
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        assert(fused.view.mapValues(_.head).toMap == hard)
+      }
+    }
+  }
+
   test("intDotF ≡ HOF intDot over quantized real embeddings (exact longs)") {
     import graft.operators.Similarity
     val codes = Tables.load(spark, sf, "embeddings")
