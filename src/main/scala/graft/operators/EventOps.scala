@@ -254,6 +254,45 @@ object EventOps {
 
   /** Oracle face of [[resampleDailyFill]] (same rollup, same per-key
     * calendar, same deterministic arg-max and forward fill). */
+  /** Sweep-line interval union per key: merge overlapping/touching
+    * [start,end] intervals into maximal blocks — the classic "total time
+    * covered" op SQL lacks a primitive for (uptime/engagement coverage,
+    * interval consolidation before an interval join). A row opens a new
+    * block iff its start exceeds the running max end of every EARLIER
+    * interval (ties broken by the total order (start, end, tie)); block id
+    * = running count of opens; blocks then reduce to (start, max end).
+    *
+    * Scale: two windows + one aggregation, ALL keyed by `keyCol` — one
+    * shuffle total, per-key sequential as the semantics inherently are,
+    * keys in parallel. Starts/ends are int64 (epoch seconds) so the
+    * sweep is exact. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String, tieCol: String): DataFrame = {
+    val order = Seq(col(startCol).asc, col(endCol).asc, col(tieCol).asc)
+    val before = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__pmax", max(col(endCol)).over(before))
+      .withColumn("__open",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("block", sum(col("__open")).over(upTo))
+      .groupBy(col(keyCol), col("block"))
+      .agg(min(col(startCol)).as("block_start"), max(col(endCol)).as("block_end"))
+  }
+
+  /** Oracle face of [[mergeIntervals]] over `(key, s, e, tie)` rows. */
+  def mergeIntervalsSql(tableE: String): String =
+    s"""SELECT key, block, MIN(s) AS block_start, MAX(e) AS block_end FROM (
+       |  SELECT key, s, e, SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY key ORDER BY s, e, tie
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block
+       |  FROM (SELECT key, s, e, tie, MAX(e) OVER (PARTITION BY key ORDER BY s, e, tie
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |    FROM $tableE) t1) t2
+       |GROUP BY key, block""".stripMargin
+
   def resampleDailyFillSql(tableE: String, userE: String, tsE: String,
                            typeE: String, idE: String): String =
     s"""WITH rf_d AS (SELECT $userE AS u,

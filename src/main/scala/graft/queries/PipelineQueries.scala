@@ -2296,6 +2296,35 @@ object PipelineQueries {
         .orderBy("bin")
     },
 
+    // ---- events: sweep-line interval union (coverage per user) ------------
+    // EventOps.mergeIntervals: each event opens a 30-minute activity
+    // interval; overlapping/touching intervals merge into maximal blocks
+    // (running-max sweep, exact int64 microseconds), then per-user
+    // engagement coverage = Σ block lengths — the "total time covered" op
+    // SQL lacks a primitive for. Two key-partitioned windows + one agg:
+    // ONE shuffle, keys in parallel.
+    Q("q166_interval_coverage", {
+      val mi = EventOps.mergeIntervalsSql(
+        """(SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e, event_id AS tie
+          | FROM events)""".stripMargin)
+      s"""SELECT key AS user_id, COUNT(*) AS n_blocks,
+         |  CAST(SUM(block_end - block_start) AS BIGINT) AS coverage_us
+         |FROM ($mi) t GROUP BY key ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      val iv = Tables.load(s, dir, "events").select(
+        col("user_id").as("key"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lit(1800000000L)).as("e"),
+        col("event_id").as("tie"))
+      EventOps.mergeIntervals(iv, "key", "s", "e", "tie")
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("block_end") - col("block_start")).as("coverage_us"))
+        .select(col("key").as("user_id"), col("n_blocks"), col("coverage_us"))
+        .orderBy("user_id")
+    },
+
     // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
     // Sinks.compactSnapshot pays the small-files debt of incremental
     // publishes without a write outage: the committed rows rewrite through

@@ -313,14 +313,21 @@ object RelationalQueries {
     },
 
     // ---- range join (binned; DuckDB IEJoin oracle) -------------------------
+    // The probe-interval count is BOUNDED (~100: step = max(150, ⌈n/100⌉),
+    // one driver-side count, same scalar subquery in the oracle). A fixed
+    // 1-in-150 sampling made the sf1 sweep read 270 s: intervals ∝ n and
+    // matches-per-interval ∝ n ⇒ O(n²) OUTPUT — the query instance, not
+    // the binned operator, was the quadratic. Bounded probes ⇒ linear.
     Q("q25_range_join",
-      """WITH s AS (SELECT o_orderkey AS skey, o_totalprice - 5000 AS lo, o_totalprice + 5000 AS hi
-        |           FROM orders WHERE o_orderkey % 150 = 0)
+      """WITH st AS (SELECT GREATEST(150, CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS step FROM orders),
+        |s AS (SELECT o_orderkey AS skey, o_totalprice - 5000 AS lo, o_totalprice + 5000 AS hi
+        |      FROM orders, st WHERE o_orderkey % st.step = 0)
         |SELECT s.skey, o.o_orderkey
         |FROM s JOIN orders o ON o.o_totalprice BETWEEN s.lo AND s.hi
         |ORDER BY skey, o_orderkey""".stripMargin) { (s, dir) =>
       val orders = Tables.load(s, dir, "orders")
-      val samples = orders.filter(col("o_orderkey") % 150 === 0)
+      val step = math.max(150L, math.ceil(orders.count() / 100.0).toLong)
+      val samples = orders.filter(col("o_orderkey") % step === 0)
         .select(col("o_orderkey").as("skey"),
           (col("o_totalprice") - 5000).as("lo"), (col("o_totalprice") + 5000).as("hi"))
       Joins.rangeJoinBinned(orders.select("o_orderkey", "o_totalprice"), "o_totalprice",

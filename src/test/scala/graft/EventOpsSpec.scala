@@ -119,4 +119,20 @@ class EventOpsSpec extends AnyFunSuite {
       (7L, "2024-01-04", 1L, "purchase"),
       (9L, "2024-01-02", 1L, "view")))    // single-day span: no padding
   }
+
+  test("mergeIntervals: overlap/touch merge, gaps split, exact block bounds") {
+    import spark.implicits._
+    val iv = Seq(
+      // key 1: [0,10] ∪ [5,20] overlap-merge; [20,30] touches (start 20 is
+      // NOT > running max 20) → merges too; [40,50] opens a new block
+      (1L, 0L, 10L, 1L), (1L, 5L, 20L, 2L), (1L, 20L, 30L, 3L),
+      (1L, 40L, 50L, 4L),
+      // key 2: containment — [0,100] swallows [10,20]
+      (2L, 0L, 100L, 5L), (2L, 10L, 20L, 6L)
+    ).toDF("key", "s", "e", "tie")
+    val got = graft.operators.EventOps.mergeIntervals(iv, "key", "s", "e", "tie")
+      .orderBy("key", "block")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 0L, 30L), (1L, 40L, 50L), (2L, 0L, 100L)))
+  }
 }
