@@ -336,6 +336,72 @@ object RelationalQueries {
         .orderBy("skey", "o_orderkey")
     },
 
+    // ---- TPC-H Q3 shape: 3-table join + agg + top-k ------------------------
+    // The classic multi-join planning exercise: customer (filtered on
+    // segment — broadcast-sized after the filter) ⋈ orders (date-filtered,
+    // pushed to the scan) ⋈ lineitem, exact-decimal revenue, top-10 via
+    // TakeOrderedAndProject. Catalyst picks broadcast-hash for the dim
+    // side and AQE re-plans on runtime stats — the demonstration that the
+    // engine's multi-join path is the optimizer's, not hand-scheduled.
+    Q("q167_shipping_priority",
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val cut = to_timestamp(lit("1997-06-01 00:00:00"))
+      Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cut)
+        .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > cut)
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10).as("revenue"))
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- TPC-H Q5 shape: 6-table snowflake join ----------------------------
+    // Local-supplier volume: the deepest join chain in the suite
+    // (region → nation → {customer, supplier} → orders → lineitem, plus
+    // the c_nationkey = s_nationkey co-nation constraint). region/nation
+    // broadcast; the customer⋈orders⋈lineitem spine shuffles on its keys;
+    // AQE handles the rest — one declarative plan, zero hand-scheduling.
+    Q("q168_local_volume",
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // ---- grouping sets: ROLLUP ---------------------------------------------
     Q("q19_rollup",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -332,6 +332,15 @@ class PlansSpec extends AnyFunSuite {
     assert(joins == 1, s"$joins joins\n$plan")
   }
 
+  test("snowflake join (q168): dims broadcast, no cartesian, agg partials") {
+    val plan = formatted(SparkEntry.queries("q168_local_volume")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // region/nation (and the filtered supplier side) ride broadcast joins
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the revenue agg partial-aggregates before its exchange
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
+  }
+
   test("dense surrogates (q163): every id-bearing window is shard-keyed") {
     val df = graft.operators.Curation.denseSurrogates(
       Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)
