@@ -2325,6 +2325,24 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // ---- dedup: triangle census of the duplicate graph --------------------
+    // Dedup.triangleCount via degree-ordered orientation (Suri &
+    // Vassilvitskii): out-degree is O(√m) after orienting small→large
+    // (degree, id), so wedge work is O(m^1.5) — never the hub Σdeg²
+    // blow-up. Triangle density separates template cliques (every pair
+    // collides) from chain-shaped accidental LSH collisions — the graph
+    // diagnostic next to components (q37) and PageRank (q117).
+    Q("q169_triangle_count", {
+      s"""$mhCte,
+         |${Dedup.triangleCountSql("pairs")}
+         |SELECT n_nodes, n_edges, n_triangles FROM tc_out""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id", MinhashK, ShingleW)
+      Dedup.triangleCount(
+        Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand))
+    },
+
     // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
     // Sinks.compactSnapshot pays the small-files debt of incremental
     // publishes without a write outage: the committed rows rewrite through

@@ -472,6 +472,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 6.0 / 3.0 && r.getDouble(5) == 10.0 / 6.0)
   }
 
+  test("triangleCount: clique C(4,3)=4, chains contribute none") {
+    // 4-clique {1,2,3,4} (4 triangles) + chain 5-6-7 (0) + lone edge 8-9
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (8L, 9L)).toDF("id_a", "id_b")
+    val r = Dedup.triangleCount(pairs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((9L, 9L, 4L)))
+  }
+
   test("psiMicro: identical populations score 0; a shift scores positive") {
     import graft.operators.TableStats
     val a = (1 to 100).map(i => i * 7 % 400).toDF("v")
