@@ -109,6 +109,36 @@ object MediaCodec {
     writePng(out)
   }
 
+  /** 64-bit average-hash (aHash) over the first `nBytes` decoded pixels,
+    * returned as [hi32, lo32] non-negative int64s (a single int64 would
+    * need the sign bit; two halves keep every engine's integer semantics
+    * trivially exact). Block b of 64 covers payload bytes
+    * [⌊b·n/64⌋, ⌊(b+1)·n/64⌋); bit b = 1 iff the block mean ≥ the global
+    * mean, compared in exact integers (sum_b·n ≥ total·len_b); empty
+    * blocks (n < 64) yield 0. A pure function of the payload bytes, so
+    * the DuckDB oracle reproduces it from the source characters. */
+  def aHash64(pixels: Array[Byte], nBytes: Int): ArrayData = {
+    val n = math.min(math.max(nBytes, 0), pixels.length)
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (pixels(i) & 0xff); i += 1 }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 64) {
+      val start = (b.toLong * n / 64).toInt
+      val end = ((b + 1).toLong * n / 64).toInt
+      var s = 0L
+      var j = start
+      while (j < end) { s += (pixels(j) & 0xff); j += 1 }
+      if (end > start && s * n >= total * (end - start)) {
+        if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
+      }
+      b += 1
+    }
+    new GenericArrayData(Array(hi, lo))
+  }
+
   /** 16-bucket histogram (bucket = pixel >> 4) over the first `nBytes`
     * pixels — padding pixels beyond the payload are excluded, so counts are
     * a pure function of the original bytes (what the DuckDB oracle computes
@@ -194,9 +224,29 @@ case class GrayHist16(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "graft_gray_hist16"
 }
 
+/** (binary pixels, int nBytes) → array<long> [hi32, lo32]: 64-bit aHash. */
+case class AHash64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_ahash64(pixels binary, n_bytes int)")
+  override def nullSafeEval(p: Any, n: Any): Any =
+    MediaCodec.aHash64(p.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, n) => s"graft.operators.MediaCodec.aHash64($p, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_ahash64"
+}
+
 /** Column-API faces of the media expressions. */
 object MediaExprs {
   def pngEncode(raw: Column): Column = Bridge.column(PngEncode(Bridge.expression(raw)))
+  def aHash64(pixels: Column, nBytes: Column): Column =
+    Bridge.column(AHash64(Bridge.expression(pixels), Bridge.expression(nBytes)))
   def pngPixels(png: Column): Column = Bridge.column(PngPixels(Bridge.expression(png)))
   def pngResize(png: Column, w: Column, h: Column): Column =
     Bridge.column(PngResize(Bridge.expression(png), Bridge.expression(w), Bridge.expression(h)))

@@ -128,6 +128,43 @@ object Multimodal {
       MediaExprs.grayHist16(MediaExprs.pngPixels(col("media_bytes")),
         col("media_meta.n_bytes")).as("hist"))
 
+  /** Image near-dup candidates by PERCEPTUAL hash: 64-bit aHash over the
+    * decoded pixels ([[MediaExprs.aHash64]], codegen'd — block-mean bits,
+    * robust to re-encoding), then 4×16-bit BANDED Hamming blocking (any
+    * shared band → candidate; a pair within Hamming distance d survives
+    * banding with certainty when d < 4 by pigeonhole) and an exact
+    * `bit_count(xor)` verify ≤ `maxDist`. The image twin of the MinHash
+    * LSH text path: candidates come from equi-joins on (band, sig), never
+    * an all-pairs scan; the hash is 16 bytes per image, so the join state
+    * is tiny regardless of image payload size. */
+  def phashPairs(media: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val h = media.select(col(idCol),
+        MediaExprs.aHash64(MediaExprs.pngPixels(col("media_bytes")),
+          col("media_meta.n_bytes")).as("__h"))
+      .select(col(idCol).as("id"), col("__h")(0).as("hi"), col("__h")(1).as("lo"))
+    val bands = h.select(col("id"), col("hi"), col("lo"),
+        explode(array(
+          struct(lit(1).as("band"),
+            shiftright(col("hi"), 16).bitwiseAND(lit(65535L)).as("sig")),
+          struct(lit(2).as("band"), col("hi").bitwiseAND(lit(65535L)).as("sig")),
+          struct(lit(3).as("band"),
+            shiftright(col("lo"), 16).bitwiseAND(lit(65535L)).as("sig")),
+          struct(lit(4).as("band"), col("lo").bitwiseAND(lit(65535L)).as("sig"))))
+          .as("__b"))
+      .select(col("id"), col("hi"), col("lo"),
+        col("__b.band").as("band"), col("__b.sig").as("sig"))
+    val a = bands.select(col("band"), col("sig"), col("id").as("id_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = bands.select(col("band"), col("sig"), col("id").as("id_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Real resize: nearest-neighbor resample of the decoded image re-encoded
     * as PNG ([[MediaCodec.resizePng]]), with the metadata struct updated to
     * the new geometry (payload now fills the whole grid → n_bytes = w·h). */

@@ -2343,6 +2343,49 @@ object PipelineQueries {
         Dedup.lshCandidatePairs(sig, "doc_id", Bands, RowsPerBand))
     },
 
+    // ---- multimodal: perceptual-hash image near-dup candidates ------------
+    // The image twin of the MinHash text path (q31): REAL PNG decode →
+    // 64-bit aHash (block-mean bits, 16 bytes/image however large the
+    // payload) → 4×16-bit banded Hamming blocking → exact bit_count(xor)
+    // verify ≤ 3 (d < 4 survives banding with certainty by pigeonhole).
+    // The oracle rebuilds the hash bit-for-bit from the source characters
+    // (ASCII-fixture assumption, q70-q72) and replays the banding.
+    Q("q170_image_phash", {
+      def bitSql(shiftBase: Int) = {
+        val lo = "(CAST(b AS BIGINT) * n) // 64"
+        val hi = "(CAST(b + 1 AS BIGINT) * n) // 64"
+        s"""CASE WHEN ($hi) > ($lo) AND
+           |    COALESCE(list_sum(cs[CAST(($lo) + 1 AS INT):CAST($hi AS INT)]), 0) * n
+           |      >= total * (($hi) - ($lo))
+           |  THEN (CAST(1 AS BIGINT) << ($shiftBase - b)) ELSE 0 END""".stripMargin
+      }
+      s"""WITH ph_c AS (SELECT doc_id,
+         |    [ascii(substr(text, CAST(i AS INT), 1)) FOR i IN generate_series(1, length(text))] AS cs,
+         |    length(text) AS n FROM documents),
+         |ph_t AS (SELECT doc_id, cs, n, COALESCE(list_sum(cs), 0) AS total FROM ph_c),
+         |ph_h AS (SELECT doc_id,
+         |    COALESCE(list_sum([${bitSql(31)} FOR b IN generate_series(0, 31)]), 0) AS hi,
+         |    COALESCE(list_sum([${bitSql(63)} FOR b IN generate_series(32, 63)]), 0) AS lo
+         |  FROM ph_t),
+         |ph_bands AS (
+         |  SELECT doc_id, hi, lo, 1 AS band, (hi >> 16) & 65535 AS sig FROM ph_h
+         |  UNION ALL SELECT doc_id, hi, lo, 2, hi & 65535 FROM ph_h
+         |  UNION ALL SELECT doc_id, hi, lo, 3, (lo >> 16) & 65535 FROM ph_h
+         |  UNION ALL SELECT doc_id, hi, lo, 4, lo & 65535 FROM ph_h),
+         |ph_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+         |  FROM ph_bands a JOIN ph_bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM ph_pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.asMedia(docs, "text", "image")
+      Multimodal.phashPairs(media, "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
     // Sinks.compactSnapshot pays the small-files debt of incremental
     // publishes without a write outage: the committed rows rewrite through

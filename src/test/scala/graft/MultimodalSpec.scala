@@ -117,6 +117,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.getString(0) == "audio" && m.getInt(1) == 1 && m.getInt(2) == 2)
   }
 
+  test("phashPairs: one-byte twin pairs at hamming 0, structural opposite excluded") {
+    // strong block variation (8-byte a/z runs) puts every block mean far
+    // from the global mean, so a single-byte edit cannot flip any bit;
+    // the run-swapped doc is the bitwise opposite — never a candidate
+    val base = ("a" * 8 + "z" * 8) * 16
+    val twin = "b" + base.substring(1)
+    val opposite = ("z" * 8 + "a" * 8) * 16
+    val docs = Seq((1L, base), (2L, twin), (3L, opposite)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "text", "image")
+    val pairs = Multimodal.phashPairs(media, "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)), pairs.toString)
+  }
+
+  test("aHash64: pure function of payload bytes, halves non-negative") {
+    val docs = Seq((1L, "hello world, a modestly varied payload 0123456789"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "text", "image")
+    val h = media.select(MediaExprs.aHash64(
+        MediaExprs.pngPixels(col("media_bytes")), col("media_meta.n_bytes")))
+      .collect()(0).getSeq[Long](0)
+    assert(h.size == 2 && h.forall(x => x >= 0L && x <= 0xffffffffL))
+    // reference: recompute from raw bytes with the documented block rule
+    val bytes = docs.collect()(0).getString(1).getBytes("UTF-8")
+    val n = bytes.length
+    val total = bytes.map(b => (b & 0xff).toLong).sum
+    var hi = 0L; var lo = 0L
+    for (b <- 0 until 64) {
+      val st = (b.toLong * n / 64).toInt; val en = ((b + 1).toLong * n / 64).toInt
+      val s = (st until en).map(i => (bytes(i) & 0xff).toLong).sum
+      if (en > st && s * n >= total * (en - st)) {
+        if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
+      }
+    }
+    assert(h == Seq(hi, lo))
+  }
+
   test("pngEncode/pngPixels expressions survive codegen on fixture docs") {
     val docs = Tables.load(spark, sf, "documents").limit(50)
     val n = docs.select(
