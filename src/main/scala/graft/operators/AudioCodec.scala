@@ -127,8 +127,26 @@ case class WavStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_wav_stats"
 }
 
+/** binary → array<int>: the decoded 16-bit PCM samples themselves. */
+case class WavSamples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_wav_samples requires a binary input")
+  override def nullSafeEval(b: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      AudioCodec.decodeSamples(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.operators.AudioCodec.decodeSamples($c))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_wav_samples"
+}
+
 /** Column-API faces of the audio expressions. */
 object AudioExprs {
   def wavEncode(raw: Column): Column = Bridge.column(WavEncode(Bridge.expression(raw)))
   def wavStats(wav: Column): Column = Bridge.column(WavStats(Bridge.expression(wav)))
+  def wavSamples(wav: Column): Column = Bridge.column(WavSamples(Bridge.expression(wav)))
 }

@@ -2386,6 +2386,47 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- multimodal audio: activity segmentation (VAD-style) --------------
+    // REAL WAV decode (AudioSystem) → per-sample activity threshold
+    // (|s| ≥ 16384) → EventOps.mergeIntervals fuses consecutive active
+    // samples into segments → per-track segment census. The audio twin of
+    // q166's sweep-line: decode + threshold are per-row codegen'd (zero
+    // shuffle), the merge is one doc-keyed shuffle. The oracle reproduces
+    // sample values from source characters (s = (c−128)·256 — lossless
+    // PCM, the q72 contract) and replays the identical sweep.
+    Q("q171_audio_segments", {
+      val mi = EventOps.mergeIntervalsSql("au_iv")
+      s"""WITH au_ch AS (SELECT doc_id, text,
+         |    unnest(generate_series(1, CAST(length(text) AS INT))) AS i FROM documents),
+         |au_a AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p FROM au_ch
+         |  WHERE abs(ascii(substr(text, CAST(i AS INT), 1)) - 128) >= 64),
+         |au_iv AS (SELECT doc_id AS key, p AS s, p + 1 AS e, p AS tie FROM au_a),
+         |au_m AS ($mi)
+         |SELECT key AS doc_id, COUNT(*) AS n_segments,
+         |  CAST(SUM(block_end - block_start) AS BIGINT) AS n_active,
+         |  MAX(block_end - block_start) AS longest
+         |FROM au_m GROUP BY key ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.AudioExprs
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.asAudio(docs, "text")
+      val active = media
+        .select(col("doc_id"),
+          posexplode(AudioExprs.wavSamples(col("media_bytes"))))
+        .filter(abs(col("col")) >= 16384)
+        .select(col("doc_id").as("key"), col("pos").cast("long").as("s"),
+          (col("pos") + 1).cast("long").as("e"), col("pos").cast("long").as("tie"))
+      EventOps.mergeIntervals(active, "key", "s", "e", "tie")
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("block_end") - col("block_start")).as("n_active"),
+          max(col("block_end") - col("block_start")).as("longest"))
+        .select(col("key").as("doc_id"), col("n_segments"), col("n_active"),
+          col("longest"))
+        .orderBy("doc_id")
+    },
+
     // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
     // Sinks.compactSnapshot pays the small-files debt of incremental
     // publishes without a write outage: the committed rows rewrite through
