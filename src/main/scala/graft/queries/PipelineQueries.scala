@@ -2387,13 +2387,15 @@ object PipelineQueries {
     },
 
     // ---- multimodal audio: activity segmentation (VAD-style) --------------
-    // REAL WAV decode (AudioSystem) → per-sample activity threshold
-    // (|s| ≥ 16384) → EventOps.mergeIntervals fuses consecutive active
-    // samples into segments → per-track segment census. The audio twin of
-    // q166's sweep-line: decode + threshold are per-row codegen'd (zero
-    // shuffle), the merge is one doc-keyed shuffle. The oracle reproduces
-    // sample values from source characters (s = (c−128)·256 — lossless
-    // PCM, the q72 contract) and replays the identical sweep.
+    // REAL WAV decode (AudioSystem) → run-length census of |s| ≥ 16384 in
+    // ONE fused kernel per row (AudioExprs.wavSegments) — per-track
+    // segmentation is a pure row function, so the whole face is
+    // zero-shuffle; steady-state cost equals the raw WAV codec itself
+    // (the q72 class — the first cut additionally exploded 25M samples
+    // through an exchange + window for the same values). The oracle
+    // reproduces sample values from source characters (s = (c−128)·256 —
+    // lossless PCM, the q72 contract) and replays the identical sweep
+    // with the q166 interval-merge SQL.
     Q("q171_audio_segments", {
       val mi = EventOps.mergeIntervalsSql("au_iv")
       s"""WITH au_ch AS (SELECT doc_id, text,
@@ -2401,29 +2403,28 @@ object PipelineQueries {
          |au_a AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p FROM au_ch
          |  WHERE abs(ascii(substr(text, CAST(i AS INT), 1)) - 128) >= 64),
          |au_iv AS (SELECT doc_id AS key, p AS s, p + 1 AS e, p AS tie FROM au_a),
-         |au_m AS ($mi)
-         |SELECT key AS doc_id, COUNT(*) AS n_segments,
-         |  CAST(SUM(block_end - block_start) AS BIGINT) AS n_active,
-         |  MAX(block_end - block_start) AS longest
-         |FROM au_m GROUP BY key ORDER BY doc_id""".stripMargin
+         |au_m AS ($mi),
+         |au_g AS (SELECT key AS doc_id, COUNT(*) AS n_segments,
+         |    CAST(SUM(block_end - block_start) AS BIGINT) AS n_active,
+         |    MAX(block_end - block_start) AS longest
+         |  FROM au_m GROUP BY key)
+         |SELECT d.doc_id, COALESCE(g.n_segments, 0) AS n_segments,
+         |  COALESCE(g.n_active, 0) AS n_active, COALESCE(g.longest, 0) AS longest
+         |FROM documents d LEFT JOIN au_g g ON d.doc_id = g.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     }) { (s, dir) =>
       import graft.operators.AudioExprs
       val docs = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      val media = Multimodal.asAudio(docs, "text")
-      val active = media
+      // NOTE: no filter on the kernel outputs — a predicate over a struct
+      // field would push down and re-evaluate the whole encode+decode per
+      // row (2× codec cost, measured); silent tracks emit (0,0,0) rows
+      // and the oracle's LEFT JOIN mirrors that.
+      Multimodal.asAudio(docs, "text")
         .select(col("doc_id"),
-          posexplode(AudioExprs.wavSamples(col("media_bytes"))))
-        .filter(abs(col("col")) >= 16384)
-        .select(col("doc_id").as("key"), col("pos").cast("long").as("s"),
-          (col("pos") + 1).cast("long").as("e"), col("pos").cast("long").as("tie"))
-      EventOps.mergeIntervals(active, "key", "s", "e", "tie")
-        .groupBy(col("key"))
-        .agg(count(lit(1)).as("n_segments"),
-          sum(col("block_end") - col("block_start")).as("n_active"),
-          max(col("block_end") - col("block_start")).as("longest"))
-        .select(col("key").as("doc_id"), col("n_segments"), col("n_active"),
-          col("longest"))
+          AudioExprs.wavSegments(col("media_bytes"), lit(16384)).as("__s"))
+        .select(col("doc_id"), col("__s.n_segments").as("n_segments"),
+          col("__s.n_active").as("n_active"), col("__s.longest").as("longest"))
         .orderBy("doc_id")
     },
 
