@@ -25,7 +25,11 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("queries that should produce rows do") {
-    val mustHaveRows = SparkEntry.queries.keySet -- Set() // all, currently
+    // q170 is a true-negative at tiny SFs: the fixture has no duplicate
+    // texts below sf0.1, so the phash near-dup pair set is legitimately
+    // empty (its positive path is pinned by MultimodalSpec + the sf0.1
+    // oracle, which finds exactly the 8 real pairs).
+    val mustHaveRows = SparkEntry.queries.keySet -- Set("q170_image_phash")
     mustHaveRows.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sf).count()
       withClue(s"$name:") { assert(n > 0) }
