@@ -2428,6 +2428,47 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- corpus data card: per-source release manifest --------------------
+    // The one-page summary a dataset release ships with, consolidated in
+    // ONE corpus scan + a |sources×langs| top-lang window: volume (docs/
+    // chars/tokens), language spread (distinct + modal language), and
+    // exact-dup burden per source. Every number is integer-exact; at
+    // 100 TB this is the same plan with approx_count_distinct swapped in
+    // (the q115 rule).
+    Q("q172_datacard", {
+      s"""WITH dc_lc AS (SELECT source, lang, COUNT(*) AS cnt
+         |  FROM documents GROUP BY source, lang),
+         |dc_top AS (SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang, row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, lang) AS rn FROM dc_lc) t WHERE rn = 1),
+         |dc_base AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
+         |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source)
+         |SELECT b.source, n_docs, total_chars, n_tokens, n_langs, top_lang, n_exact_dups
+         |FROM dc_base b JOIN dc_top t ON b.source = t.source
+         |ORDER BY b.source""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val lc = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+      val top = lc.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))))
+        .filter(col("rn") === 1).select(col("source"), col("lang").as("top_lang"))
+      val base = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+        sum(size(TextAnalysis.words(col("text")))).as("n_tokens"))
+      base.join(top, "source")
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("n_tokens"), col("n_langs"), col("top_lang"), col("n_exact_dups"))
+        .orderBy("source")
+    },
+
     // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
     // Sinks.compactSnapshot pays the small-files debt of incremental
     // publishes without a write outage: the committed rows rewrite through
