@@ -177,6 +177,41 @@ object TableStats {
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Referential-integrity audit for ONE foreign-key relationship — the
+    * cross-table complement of [[constraintAudit]]'s per-row checks:
+    * child row count, orphan count (child keys with no parent — the
+    * integrity violation), parent count, and unreferenced-parent count
+    * (dead dimension rows — a hygiene signal, not a violation). NULL
+    * child keys count as orphans in both engines (a null never matches).
+    *
+    * Scale: two LEFT ANTI joins, each a plain keyed shuffle (broadcast
+    * when one side is dim-sized — Catalyst decides), plus two counts;
+    * output is ONE row per relationship forever. */
+  def fkAudit(rel: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child.join(parent, child(childKey) === parent(parentKey),
+      "left_anti")
+    val unreferenced = parent.join(child, parent(parentKey) === child(childKey),
+      "left_anti")
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .crossJoin(parent.agg(count(lit(1)).as("n_parent")))
+      .crossJoin(unreferenced.agg(count(lit(1)).as("n_unreferenced")))
+      .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"),
+        col("n_parent"), col("n_unreferenced"))
+  }
+
+  /** Oracle face of [[fkAudit]] (scalar subqueries; same null semantics). */
+  def fkAuditSql(rel: String, childT: String, childKey: String,
+                 parentT: String, parentKey: String): String =
+    s"""SELECT '$rel' AS rel,
+       |  (SELECT COUNT(*) FROM $childT) AS n_child,
+       |  (SELECT COUNT(*) FROM $childT ch WHERE NOT EXISTS
+       |     (SELECT 1 FROM $parentT pa WHERE pa.$parentKey = ch.$childKey)) AS n_orphans,
+       |  (SELECT COUNT(*) FROM $parentT) AS n_parent,
+       |  (SELECT COUNT(*) FROM $parentT pa WHERE NOT EXISTS
+       |     (SELECT 1 FROM $childT ch WHERE ch.$childKey = pa.$parentKey)) AS n_unreferenced""".stripMargin
+
   /** Population Stability Index between two populations of a numeric
     * column — THE model-ops drift gate (PSI < 0.1 stable / > 0.25 drifted)
     * — over FIXED-width bins capped at `maxBin` (data-independent binning:

@@ -64,6 +64,14 @@ object PipelineQueries {
   // q143 HNSW-lite: neighbor-graph out-degree (M=3: recall 1.0 at ~29%
   // scanned on the fixture; M=2 kept recall at 0.9 for ~24%)
   val GraphM = 3
+  // q173 declared FK relationships of the star schema (dev-authored
+  // constants; (rel, child, childKey, parent, parentKey))
+  val FkRels: Seq[(String, String, String, String, String)] = Seq(
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
   // q157 filtered ANN: list count, corpus-side predicate label, result k,
   // and the adaptive-probe coverage target (survivors, not raw list sizes)
   val FiltAnnC = 8
@@ -2467,6 +2475,26 @@ object PipelineQueries {
         .select(col("source"), col("n_docs"), col("total_chars"),
           col("n_tokens"), col("n_langs"), col("top_lang"), col("n_exact_dups"))
         .orderBy("source")
+    },
+
+    // ---- stats: referential-integrity audit across the star schema --------
+    // TableStats.fkAudit per declared FK (dev-authored constants, the q135
+    // contract): orphans = integrity violations (anti join child→parent),
+    // unreferenced parents = dead dimension rows. Two keyed anti joins +
+    // counts per relationship, one output row each forever. The fixture is
+    // FK-consistent, so orphans must read 0 — the audit PROVING a clean
+    // drop is as load-bearing as one catching a broken one.
+    Q("q173_fk_audit", {
+      FkRels.map { case (rel, ct, ck, pt, pk) =>
+        s"(${TableStats.fkAuditSql(rel, ct, ck, pt, pk)})"
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL ", ") t ORDER BY rel")
+    }) { (s, dir) =>
+      FkRels.map { case (rel, ct, ck, pt, pk) =>
+          TableStats.fkAudit(rel, Tables.load(s, dir, ct), ck,
+            Tables.load(s, dir, pt), pk)
+        }
+        .reduce(_.unionByName(_))
+        .orderBy("rel")
     },
 
     // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
