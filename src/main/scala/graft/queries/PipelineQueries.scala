@@ -2497,6 +2497,60 @@ object PipelineQueries {
         .orderBy("rel")
     },
 
+    // ---- streaming: watermark-TTL dedup (dropDuplicatesWithinWatermark) ---
+    // The EIGHTH true streaming execution, and the unbounded-stream dedup
+    // form q82's complete-mode agg can't be: per-key state carries a TTL
+    // from the event-time watermark, so an endless stream dedups replays
+    // within the watermark window in BOUNDED state (q82's global agg state
+    // grows forever). The face feeds every event TWICE from two files read
+    // one per trigger — the replay lands in a LATER micro-batch and the
+    // batch-1 state (alive within the 1 h watermark) must drop it. Append
+    // mode; sink rows aggregate batch-side; oracle = each event once.
+    Q("q174_streaming_ttl_dedup",
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/events_replayed"
+      val sink = s"${scratch.dir}/ttl_dedup"
+      val chk = s"${scratch.dir}/chk174"
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "ts")
+      ev.coalesce(1).write.parquet(s"$src/copy1")
+      ev.coalesce(1).write.parquet(s"$src/copy2")
+      val schema = s.read.parquet(s"$src/copy1").schema
+      Streams.runAvailableNow(s, sink, chk, outputMode = "append") {
+          s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(s"$src/copy*")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+        }
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    },
+
+    // ---- stats: join-explosion preflight ----------------------------------
+    // The guard a pipeline runs BEFORE a suspicious join: per shared key,
+    // the output-row product |a_k|·|b_k|; hot keys ranked. Counts-only
+    // exchanges (two keyed partial aggs + a count-sized equi-join), so the
+    // preflight costs ~nothing next to the join it vets — and a top key
+    // with a 10⁶× product is the fan-out that melts a 100 TB shuffle.
+    Q("q175_join_preflight",
+      """WITH a AS (SELECT user_id AS k, COUNT(*) AS ca FROM events GROUP BY 1),
+        |b AS (SELECT o_custkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
+        |j AS (SELECT a.k AS k, ca, cb, ca * cb AS pairs FROM a JOIN b ON a.k = b.k)
+        |SELECT k, ca, cb, pairs FROM j
+        |ORDER BY pairs DESC, k LIMIT 10""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "events")
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ca"))
+      val b = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cb"))
+      a.join(b, "k")
+        .select(col("k"), col("ca"), col("cb"), (col("ca") * col("cb")).as("pairs"))
+        .orderBy(col("pairs").desc, col("k"))
+        .limit(10)
+    },
+
     // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
     // Sinks.compactSnapshot pays the small-files debt of incremental
     // publishes without a write outage: the committed rows rewrite through
