@@ -177,6 +177,45 @@ object TableStats {
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** χ²-of-independence contingency audit between two categorical
+    * columns — [[psiMicro]]'s categorical sibling (are event types
+    * independent of priority? did a new drop skew the joint
+    * distribution?). Per cell: observed n_ij, expected e_ij = r_i·c_j/N
+    * (one exact-int product divided once), contribution
+    * (n_ij−e_ij)²/e_ij floored to micro-units so the cross-engine hash
+    * is exact; sum `chi2_micro` for the statistic, df = (R−1)(C−1).
+    *
+    * Scale: ONE scan reduces to the |A×B| cell counts map-side; margins
+    * and N derive from the (tiny) cell table; everything after the first
+    * aggregation is broadcast-sized. */
+  def chiSquareMicro(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy("a").agg(sum(col("n")).cast("long").as("ra"))
+    val cb = cells.groupBy("b").agg(sum(col("n")).cast("long").as("cb"))
+    val tot = broadcast(cells.agg(sum(col("n")).cast("long").as("nn")))
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("nn").cast("double")
+    val d = col("n").cast("double") - e
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b").crossJoin(tot)
+      .select(col("a"), col("b"), col("n"),
+        floor(d * d / e * lit(1e6)).cast("long").as("chi2_micro"))
+  }
+
+  /** Oracle face of [[chiSquareMicro]] — identical fold order and floor. */
+  def chiSquareMicroSql(tableE: String, aE: String, bE: String): String = {
+    val e = "CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE)"
+    val d = s"CAST(n AS DOUBLE) - ($e)"
+    s"""WITH x2_c AS (SELECT $aE AS a, $bE AS b, COUNT(*) AS n
+       |  FROM $tableE GROUP BY 1, 2),
+       |x2_r AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM x2_c GROUP BY a),
+       |x2_b AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb FROM x2_c GROUP BY b),
+       |x2_t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM x2_c)
+       |SELECT a, b, n,
+       |  CAST(FLOOR(($d) * ($d) / ($e) * 1e6) AS BIGINT) AS chi2_micro
+       |FROM x2_c JOIN x2_r USING (a) JOIN x2_b USING (b), x2_t""".stripMargin
+  }
+
   /** Referential-integrity audit for ONE foreign-key relationship — the
     * cross-table complement of [[constraintAudit]]'s per-row checks:
     * child row count, orphan count (child keys with no parent — the

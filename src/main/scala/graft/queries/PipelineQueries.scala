@@ -2551,6 +2551,26 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // ---- stats: χ² contingency audit (categorical independence) -----------
+    // TableStats.chiSquareMicro — the PSI gate's categorical sibling: per
+    // (status × priority) cell, observed count, and the χ² contribution
+    // (n−e)²/e in exact-floored micro-units (e from one exact-int product
+    // and one division — identical fold order both engines). Σ chi2_micro
+    // is the statistic; df = (R−1)(C−1). One scan → |cells| counts
+    // map-side; everything downstream broadcast-sized.
+    Q("q176_chi2_contingency", {
+      val x2 = TableStats.chiSquareMicroSql("orders",
+        "o_orderstatus", "o_orderpriority")
+      s"""SELECT a AS status, b AS priority, n, chi2_micro FROM ($x2) t
+         |ORDER BY status, priority""".stripMargin
+    }) { (s, dir) =>
+      TableStats.chiSquareMicro(Tables.load(s, dir, "orders"),
+          "o_orderstatus", "o_orderpriority")
+        .select(col("a").as("status"), col("b").as("priority"),
+          col("n"), col("chi2_micro"))
+        .orderBy("status", "priority")
+    },
+
     // ---- sinks: snapshot OPTIMIZE (compaction as a new version) -----------
     // Sinks.compactSnapshot pays the small-files debt of incremental
     // publishes without a write outage: the committed rows rewrite through
