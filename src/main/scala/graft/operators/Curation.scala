@@ -602,7 +602,7 @@ object Curation {
                          shards: Int): String = {
     val s = salt.replace("'", "''")
     val hk = Fns.hash60Sql(s"'$s'||CAST($idE AS VARCHAR)")
-    s"""SELECT $idE, __off + __rk - 1 AS pseud FROM (
+    s"""SELECT $idE, CAST(__off + __rk - 1 AS BIGINT) AS pseud FROM (
        |  SELECT $idE, CAST($hk % $shards AS INT) AS __shard,
        |    row_number() OVER (PARTITION BY CAST($hk % $shards AS INT)
        |      ORDER BY $hk, $idE) AS __rk
@@ -628,7 +628,7 @@ object Curation {
     val s = salt.replace("'", "''")
     val hk = Fns.hash60Sql(s"'$s'||CAST($idE AS VARCHAR)")
     s"""SELECT * FROM (SELECT *,
-       |  row_number() OVER (PARTITION BY $groupE ORDER BY $hk, $idE) AS rk
+       |  CAST(row_number() OVER (PARTITION BY $groupE ORDER BY $hk, $idE) AS INT) AS rk
        |  FROM $tableE)
        |WHERE rk <= $n""".stripMargin
   }

@@ -284,7 +284,7 @@ object TableStats {
   /** Oracle face of [[psiMicro]] — identical binning, fold order, floor. */
   def psiMicroSql(aE: String, bE: String, valueE: String,
                   binWidth: Double, maxBin: Int): String = {
-    def binE = s"LEAST(CAST(FLOOR(CAST($valueE AS DOUBLE) / $binWidth) AS INT), $maxBin)"
+    def binE = s"CAST(LEAST(CAST(FLOOR(CAST($valueE AS DOUBLE) / $binWidth) AS INT), $maxBin) AS INT)"
     val pa = "CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)"
     val pb = "CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)"
     s"""WITH psi_a AS (SELECT $binE AS bin, COUNT(*) AS na FROM $aE GROUP BY 1),

@@ -202,7 +202,7 @@ object TextAnalysis {
        |  (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS mean_len,
        |  (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS alpha_frac,
        |  (CAST(n_digit AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS digit_frac
-       |FROM (SELECT $idE AS id, len($toksE) AS n_tokens,
+       |FROM (SELECT $idE AS id, CAST(len($toksE) AS INT) AS n_tokens,
        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
        |          list_transform($toksE, t -> CAST(length(t) AS BIGINT))),
        |          (acc, x) -> acc + x) AS sum_len,
@@ -356,7 +356,7 @@ object TextAnalysis {
     s"""WITH bm_t AS (SELECT $idE AS id, unnest($wordsE) AS term FROM $tableE),
        |bm_tf AS (SELECT id, term, COUNT(*) AS tf FROM bm_t GROUP BY id, term),
        |bm_df AS (SELECT term, COUNT(*) AS df FROM bm_tf GROUP BY term),
-       |bm_dl AS (SELECT $idE AS id, len($wordsE) AS dl FROM $tableE),
+       |bm_dl AS (SELECT $idE AS id, CAST(len($wordsE) AS INT) AS dl FROM $tableE),
        |bm_n AS (SELECT COUNT(*) AS n_docs,
        |           CAST(SUM(len($wordsE)) AS BIGINT) AS total_tokens FROM $tableE)
        |SELECT id, term, tf, df, dl,
@@ -401,7 +401,7 @@ object TextAnalysis {
     val wE = s"(((${Fns.hashPSql("w")} % $ClassifierBuckets) + 1) * 2654435761 % 2000001 - 1000000)"
     s"""SELECT id, n_tokens, score_raw,
        |  CASE WHEN score_raw > 0 THEN 1 ELSE 0 END AS label
-       |FROM (SELECT $idE AS id, len($wsE) AS n_tokens,
+       |FROM (SELECT $idE AS id, CAST(len($wsE) AS INT) AS n_tokens,
        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($wsE, w -> $wE)),
        |                    (acc, x) -> acc + x) AS score_raw
        |      FROM $tableE)""".stripMargin

@@ -63,9 +63,9 @@ object CurationQueries {
     Q("q55_pii_redact",
       s"""WITH i AS (SELECT doc_id, $injectSql AS t FROM documents)
          |SELECT doc_id,
-         |  len(regexp_extract_all(t, '${Curation.EmailPattern}')) AS n_emails,
-         |  len(regexp_extract_all(t, '${Curation.PhonePattern}')) AS n_phones,
-         |  len(regexp_extract_all(t, '${Curation.Ipv4Pattern}')) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '${Curation.EmailPattern}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${Curation.PhonePattern}')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${Curation.Ipv4Pattern}')) AS INT) AS n_ips,
          |  ${Curation.redactPiiSql("t")} AS red_text
          |FROM i ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
@@ -221,8 +221,8 @@ object CurationQueries {
       s"""WITH c AS (SELECT doc_id, $chunks AS cs FROM documents),
          |l AS (SELECT doc_id, list_transform(cs, c -> $deco) AS ls FROM c),
          |k AS (SELECT doc_id, ls, ${Curation.removeBoilerplateLinesSql("ls", 4)} AS ks FROM l)
-         |SELECT doc_id, len(ls) AS n_lines, len(ks) AS n_kept,
-         |  length(COALESCE(array_to_string(ks, ' '), '')) AS kept_chars
+         |SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, CAST(len(ks) AS INT) AS n_kept,
+         |  CAST(length(COALESCE(array_to_string(ks, ' '), '')) AS INT) AS kept_chars
          |FROM k ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val lines = transform(Curation.wordChunks(col("text"), 6), c =>
@@ -384,7 +384,7 @@ object CurationQueries {
     // rank arithmetic is pure integers in both engines (no float quantile
     // interpolation, whose op order is engine-specific).
     Q("q79_length_quantiles", {
-      val tokensE = """len(regexp_split_to_array(trim(text), '\s+'))"""
+      val tokensE = """CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)"""
       val inner = TextAnalysis.lengthQuantilesSql("documents", "source", "doc_id", tokensE)
       s"""SELECT g AS source, pl, tokens FROM ($inner)
          |ORDER BY source, pl""".stripMargin
@@ -399,7 +399,7 @@ object CurationQueries {
     // budgets; each doc reports its bin and intra-bin offset.
     Q("q67_token_packing",
       """WITH t AS (SELECT source, doc_id,
-        |             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
         |           FROM documents),
         |c AS (SELECT source, doc_id, n_tokens,
         |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

@@ -398,7 +398,7 @@ object PipelineQueries {
          |s AS (SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos FROM embeddings e, q),
          |r AS (SELECT qid, vec_id, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s)
-         |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+         |SELECT qid, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.knnJoin(emb, emb.filter(col("vec_id").isin(0, 1, 2)),
           "embedding", "vec_id", "vec_id", k = 3)
@@ -414,7 +414,7 @@ object PipelineQueries {
          |      FROM b JOIN q ON b.bkt = q.qb),
          |r AS (SELECT qid, vec_id, cos,
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s)
-         |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+         |SELECT qid, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
     }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.knnJoinBucketed(emb, emb.filter(col("vec_id") < 3),
@@ -613,9 +613,9 @@ object PipelineQueries {
     // ---- text: token counting --------------------------------------------
     Q("q50_token_count",
       s"""SELECT doc_id,
-         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
-         |  len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS n_tokens,
-         |  length(text) AS n_chars_m
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT) AS n_tokens,
+         |  CAST(length(text) AS INT) AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents").select(
           col("doc_id"),
@@ -2381,7 +2381,7 @@ object PipelineQueries {
          |  UNION ALL SELECT doc_id, hi, lo, 3, (lo >> 16) & 65535 FROM ph_h
          |  UNION ALL SELECT doc_id, hi, lo, 4, lo & 65535 FROM ph_h),
          |ph_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
          |  FROM ph_bands a JOIN ph_bands b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hamming FROM ph_pairs WHERE hamming <= 3

@@ -188,7 +188,7 @@ object RelationalQueries {
     Q("q12_window_rownum",
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
-        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -542,7 +542,7 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, n_orders,
         |       CAST(spend AS DOUBLE) AS spend
         |FROM customer JOIN (
-        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |  SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_orders,
         |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS spend
         |  FROM orders GROUP BY o_custkey) b ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
