@@ -117,6 +117,14 @@ object MediaCodec {
     * mean, compared in exact integers (sum_b·n ≥ total·len_b); empty
     * blocks (n < 64) yield 0. A pure function of the payload bytes, so
     * the DuckDB oracle reproduces it from the source characters. */
+  /** a·b >= c·d over non-negative longs, exact at 128 bits (no overflow). */
+  private def geUnsigned128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) >= 0
+  }
+
   def aHash64(pixels: Array[Byte], nBytes: Int): ArrayData = {
     val n = math.min(math.max(nBytes, 0), pixels.length)
     var total = 0L
@@ -131,7 +139,10 @@ object MediaCodec {
       var s = 0L
       var j = start
       while (j < end) { s += (pixels(j) & 0xff); j += 1 }
-      if (end > start && s * n >= total * (end - start)) {
+      // 128-bit exact compare of s·n vs total·len: both products approach
+      // 255·n²/64 and overflow a signed long beyond ~1.5 GB payloads, so
+      // compare (high, low) halves via multiplyHigh instead of s*n directly
+      if (end > start && geUnsigned128(s, n, total, (end - start).toLong)) {
         if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
       }
       b += 1

@@ -138,10 +138,16 @@ object Multimodal {
     * an all-pairs scan; the hash is 16 bytes per image, so the join state
     * is tiny regardless of image payload size. */
   def phashPairs(media: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    // localCheckpoint: the self-join below reads the hash table TWICE, and
+    // without materialization each side would re-run the PNG decode + aHash
+    // pipeline per image (the q171 re-evaluation trap). The checkpoint holds
+    // 16 bytes + id per image — negligible at any corpus size — and the
+    // codec runs exactly once.
     val h = media.select(col(idCol),
         MediaExprs.aHash64(MediaExprs.pngPixels(col("media_bytes")),
           col("media_meta.n_bytes")).as("__h"))
       .select(col(idCol).as("id"), col("__h")(0).as("hi"), col("__h")(1).as("lo"))
+      .localCheckpoint()
     val bands = h.select(col("id"), col("hi"), col("lo"),
         explode(array(
           struct(lit(1).as("band"),

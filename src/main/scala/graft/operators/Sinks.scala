@@ -212,11 +212,28 @@ object Sinks {
     * between sink write and checkpoint commit) rewrites the SAME immutable
     * folder and re-swaps the pointer to the SAME value — idempotent by
     * construction, no side ledger. The pointer only ever moves forward
-    * (a replay of an old batch can't demote a newer commit). */
+    * (a replay of an old batch can't demote a newer commit).
+    *
+    * Concurrency contract: the forward-only guarantee is enforced by a
+    * read-check-rename with a verify-and-retry, NOT a true compare-and-swap
+    * (HDFS rename can't express one). With a SINGLE live writer — the
+    * streaming-sink topology this hook exists for, where replays are
+    * re-executions of the same writer, never concurrent with it — the
+    * re-read after rename closes the window: if an interleaving left an
+    * older version in `_latest`, the newer writer detects the demotion and
+    * re-swaps. Genuinely concurrent independent writers need an external
+    * lock or a log-structured commit protocol (out of scope here). */
   def writeSnapshotAs(df: DataFrame, tableDir: String, version: Int): Int = {
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$version")
-    if (snapshotCommitted(df.sparkSession, tableDir).forall(_ < version))
-      commitPointer(df.sparkSession, tableDir, version)
+    val spark = df.sparkSession
+    var attempts = 0
+    while (snapshotCommitted(spark, tableDir).forall(_ < version) &&
+           attempts < 3) {
+      commitPointer(spark, tableDir, version)
+      attempts += 1
+      // verify: loop exits when the pointer reads >= version (normally one
+      // pass; a lost race with a replay re-swaps at most twice more)
+    }
     version
   }
 
@@ -230,7 +247,8 @@ object Sinks {
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+      .collect { case s if s.startsWith("v=") &&
+        s.drop(2).nonEmpty && s.drop(2).forall(_.isDigit) => s.drop(2).toInt }
       .sorted
   }
 
@@ -323,8 +341,14 @@ object Sinks {
       r.isNullAt(1) || r.isNullAt(2) ||
         (r.getLong(1) <= hi && r.getLong(2) >= lo)
     }.map(_.getString(0))
-    val df = spark.read.parquet(kept.toIndexedSeq: _*)
-      .filter(col(statCol).between(lo, hi))
+    // all files pruned (valid predicate range matching no data): parquet
+    // can't infer a schema from zero paths, so serve an empty DataFrame
+    // with the snapshot's schema instead
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(s"$tableDir/v=$v").where(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+        .filter(col(statCol).between(lo, hi))
     (df, kept.length, total)
   }
 

@@ -177,6 +177,15 @@ class SinksSpec extends AnyFunSuite {
     val want = df.filter(col("c_custkey").between(10, 30))
       .orderBy("c_custkey").collect().map(_.getLong(0)).toSeq
     assert(pruned.orderBy("c_custkey").collect().map(_.getLong(0)).toSeq == want)
+    // all-files-pruned range: empty result with the snapshot schema, no crash
+    val (none, k0, t0) =
+      Sinks.readSnapshotPruned(spark, table, "c_custkey", -500L, -400L)
+    assert(k0 == 0 && t0 == 6 && none.count() == 0)
+    assert(none.schema == pruned.schema)
+    // a stray non-numeric v= directory must not brick version allocation
+    new java.io.File(s"$table/v=3.bak").mkdirs()
+    assert(!Sinks.snapshotVersions(spark, table).contains(3))
+    assert(Sinks.snapshotVersions(spark, table).nonEmpty)
   }
 
   test("writeSnapshotAs: replay-idempotent, pointer only moves forward") {
