@@ -2591,6 +2591,38 @@ object PipelineQueries {
           .repartition(12), table)
       Sinks.compactSnapshot(s, table, targetRows = 400L)
       Sinks.readSnapshot(s, table).orderBy("doc_id")
+    },
+
+    // ---- catalog write path: SQL CTAS + DML into the workspace ------------
+    // The reference's workspace is read-write (`arc_utils.py:815-898` lands
+    // tables in the current workspace; `:121-135` is the overwrite flag).
+    // This face drives the same semantics through the SQL front door:
+    // CREATE TABLE graft_rw.x AS SELECT (catalog places the directory,
+    // Spark's own DSv2 parquet writer lands the data), INSERT INTO appends,
+    // and the read-back resolves through the catalog — proving a SQL user
+    // can create, extend, and query workspace tables with no Scala API.
+    // The catalog is registered once per session against a scratch
+    // workspace and the face is rerun-safe (DROP IF EXISTS first).
+    Q("q176_catalog_ctas",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 8000.0 OR c_acctbal BETWEEN 5000.0 AND 6000.0
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        val scratch = new graft.Session.Scratch
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.WorkspaceCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
+      }
+      s.sql(s"DROP TABLE IF EXISTS $cat.rich_customers")
+      s.sql(s"""CREATE TABLE $cat.rich_customers AS
+               |SELECT c_custkey, c_name, c_acctbal
+               |FROM parquet.`$dir/customer.parquet`
+               |WHERE c_acctbal > 8000.0""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.rich_customers
+               |SELECT c_custkey, c_name, c_acctbal
+               |FROM parquet.`$dir/customer.parquet`
+               |WHERE c_acctbal BETWEEN 5000.0 AND 6000.0""".stripMargin)
+      s.table(s"$cat.rich_customers").orderBy("c_custkey")
     }
   )
 }

@@ -71,16 +71,64 @@ class WorkspaceCatalog extends TableCatalog {
       classOf[ParquetFileFormat])
   }
 
-  // Read-only catalog: the write path goes through Sinks (S4/S8/S9), which
-  // target a workspace directory directly.
+  // ---- write path (round 10) ----------------------------------------------
+  // The reference's workspace is READ-WRITE: `pandas_to_arc` lands a table
+  // in the current workspace (`arc_utils.py:815-898`) honoring the overwrite
+  // flag (`arc_utils.py:121-135`). The Spark-catalog face of that is SQL DDL
+  // + DML against `graft.<name>`: CREATE TABLE AS SELECT, INSERT INTO,
+  // INSERT OVERWRITE, DROP TABLE, ALTER TABLE RENAME. Spark's non-atomic
+  // DSv2 exec nodes (CreateTableAsSelectExec etc.) drive exactly these
+  // hooks; the returned `ParquetTable` is a `SupportsWrite` FileTable, so
+  // appends/truncates go through Spark's own vectorized parquet writer with
+  // full executor-side parallelism — the catalog only places the directory.
+
+  private def tablePath(name: String) = new java.io.File(s"$workspace/$name.parquet")
+
+  /** CREATE TABLE: place `<workspace>/<name>.parquet` and seed it with an
+    * empty parquet file carrying the declared schema, so the table survives
+    * a session restart (schema lives in the parquet footer, not in catalog
+    * memory) and an immediate read returns zero rows rather than a
+    * schema-inference failure. CTAS appends its query result right after. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("read-only workspace catalog; use Sinks.writeTable")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("read-only workspace catalog")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "workspace tables are unpartitioned (a table is one directory, like the reference's)")
+    if (dirEntries().exists(_.equalsIgnoreCase(ident.name())))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace() :+ ident.name())
+    val spark = SparkSession.active
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(tablePath(ident.name()).getPath)
+    loadTable(ident)
+  }
+
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("read-only workspace catalog")
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only workspace catalog")
+    dirEntries().find(_.equalsIgnoreCase(ident.name())) match {
+      case None => false
+      case Some(actual) => deleteRecursively(tablePath(actual)); true
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val actual = dirEntries().find(_.equalsIgnoreCase(oldIdent.name()))
+      .getOrElse(throw new NoSuchTableException(oldIdent.namespace() :+ oldIdent.name()))
+    if (dirEntries().exists(_.equalsIgnoreCase(newIdent.name())))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        newIdent.namespace() :+ newIdent.name())
+    if (!tablePath(actual).renameTo(tablePath(newIdent.name())))
+      throw new IllegalStateException(
+        s"rename ${oldIdent.name()} -> ${newIdent.name()} failed")
+  }
+
+  // Parquet-backed tables don't do in-place schema evolution; the
+  // reference's model is the same (drop + rewrite).
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "workspace tables don't support ALTER; rewrite via CREATE OR REPLACE TABLE ... AS")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }
