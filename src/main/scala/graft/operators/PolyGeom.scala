@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -166,6 +166,64 @@ object PolyGeom {
     InternalRow(area, cx6 / (6.0 * area), cy6 / (6.0 * area))
   }
 
+  /** Even-odd ray cast: is (px,py) inside the polygon? One horizontal ray
+    * to +∞; parity of edge crossings over ALL rings, so holes (any winding)
+    * exclude naturally. The crossing test for edge (cur → nxt) is
+    * `(cur.y > py) != (nxt.y > py) && px < (nxt.x-cur.x)·(py-cur.y)/(nxt.y-cur.y) + cur.x`
+    * — one IEEE division per crossing candidate, the EXACT op sequence the
+    * DuckDB oracle spells with a list comprehension (edge orientation
+    * cur→nxt matters: the reversed edge rounds differently at the ulp).
+    * Boundary points follow the crossing rule's tie-breaking (consistent
+    * across engines, not a documented in/out guarantee). */
+  def containsOf(rings: ArrayData, px: Double, py: Double): Boolean = {
+    var inside = false
+    val nRings = rings.numElements()
+    var r = 0
+    while (r < nRings) {
+      val ring = rings.getArray(r)
+      val n = ring.numElements()
+      var i = 0
+      while (i < n) {
+        val cur = ring.getStruct(i, 2)
+        val nxt = ring.getStruct((i + 1) % n, 2)
+        val cy = cur.getDouble(1); val ny = nxt.getDouble(1)
+        if ((cy > py) != (ny > py) &&
+            px < (nxt.getDouble(0) - cur.getDouble(0)) * (py - cy) / (ny - cy)
+              + cur.getDouble(0)) {
+          inside = !inside
+        }
+        i += 1
+      }
+      r += 1
+    }
+    inside
+  }
+
+  /** One-pass minimum bounding rectangle: struct(xmin, ymin, xmax, ymax).
+    * Empty rings yield a NULL-free all-NaN MBR (no vertices to bound). */
+  def mbrOf(rings: ArrayData): InternalRow = {
+    var xmin = Double.NaN; var ymin = Double.NaN
+    var xmax = Double.NaN; var ymax = Double.NaN
+    val nRings = rings.numElements()
+    var r = 0
+    while (r < nRings) {
+      val ring = rings.getArray(r)
+      val n = ring.numElements()
+      var i = 0
+      while (i < n) {
+        val p = ring.getStruct(i, 2)
+        val x = p.getDouble(0); val y = p.getDouble(1)
+        if (xmin.isNaN || x < xmin) xmin = x
+        if (xmax.isNaN || x > xmax) xmax = x
+        if (ymin.isNaN || y < ymin) ymin = y
+        if (ymax.isNaN || y > ymax) ymax = y
+        i += 1
+      }
+      r += 1
+    }
+    InternalRow(xmin, ymin, xmax, ymax)
+  }
+
   /** Clip rings to an axis-aligned rectangle: four Sutherland–Hodgman
     * half-plane passes ([[RingSplit.Poly.clipHalfPlane]] — the same kernel
     * the tessellation splitter uses, the reference's `clip(extent)`).
@@ -202,6 +260,11 @@ object PolyGeom {
       Bridge.expression(ymin), Bridge.expression(xmax), Bridge.expression(ymax)))
   def polygonStats(rings: Column): Column =
     Bridge.column(PolygonStats(Bridge.expression(rings)))
+  def pointInPolygon(rings: Column, px: Column, py: Column): Column =
+    Bridge.column(PointInPolygon(Bridge.expression(rings),
+      Bridge.expression(px), Bridge.expression(py)))
+  def polygonMbr(rings: Column): Column =
+    Bridge.column(PolygonMbr(Bridge.expression(rings)))
   /** Absolute polygon area (holes subtracted), winding-independent. */
   def polygonArea(rings: Column): Column = abs(polygonStats(rings).getField("area"))
 
@@ -340,6 +403,49 @@ case class RingsClipRect(rings: Expression, xmin: Expression, ymin: Expression,
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(rings = c(0), xmin = c(1), ymin = c(2), xmax = c(3), ymax = c(4))
   override def prettyName: String = "graft_rings_clip_rect"
+}
+
+/** boolean: even-odd ray-cast point-in-polygon test. */
+case class PointInPolygon(rings: Expression, px: Expression, py: Expression)
+    extends TernaryExpression {
+  override def first: Expression = rings
+  override def second: Expression = px
+  override def third: Expression = py
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PolyGeom.isRingsType(rings.dataType) &&
+        px.dataType == DoubleType && py.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (rings, double, double)")
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(r: Any, x: Any, y: Any): Any =
+    PolyGeom.containsOf(r.asInstanceOf[ArrayData],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, x, y) =>
+      s"graft.operators.PolyGeom.containsOf($r, $x, $y)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(rings = f, px = s, py = t)
+  override def prettyName: String = "graft_point_in_polygon"
+}
+
+/** struct<xmin,ymin,xmax,ymax>: one-pass minimum bounding rectangle. */
+case class PolygonMbr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PolyGeom.isRingsType(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<array<struct<x:double,y:double>>>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("xmin", DoubleType), StructField("ymin", DoubleType),
+    StructField("xmax", DoubleType), StructField("ymax", DoubleType)))
+  override def nullSafeEval(rings: Any): Any =
+    PolyGeom.mbrOf(rings.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.PolyGeom.mbrOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_polygon_mbr"
 }
 
 /** struct<area,cx,cy>: one-pass signed shoelace area + centroid. */

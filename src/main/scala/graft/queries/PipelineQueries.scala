@@ -2623,6 +2623,64 @@ object PipelineQueries {
                |FROM parquet.`$dir/customer.parquet`
                |WHERE c_acctbal BETWEEN 5000.0 AND 6000.0""".stripMargin)
       s.table(s"$cat.rich_customers").orderBy("c_custkey")
+    },
+
+    // ---- spatial join: point-in-polygon by grid binning -------------------
+    // Joins.spatialJoinGrid: polygons (q46's pentagon per part row, placed
+    // on a 50×40-cell plane by partkey) MBR-replicate to 40-unit grid
+    // cells; customer points (salted-hash coordinates, +0.5 to sit off the
+    // integer edge lattice) land in ONE cell each; equi-join on cell, exact
+    // even-odd ray-cast verify. The oracle replicates bins AND ray-cast —
+    // same edge orientation (cur→nxt), same single IEEE division per
+    // crossing — the q46 bit-exactness discipline. PlansSpec asserts
+    // no-cartesian.
+    Q("q177_spatial_join", {
+      val hx = Fns.hash60Sql("'x'||CAST(c_custkey AS VARCHAR)")
+      val hy = Fns.hash60Sql("'y'||CAST(c_custkey AS VARCHAR)")
+      s"""WITH sp_g AS (SELECT p_partkey AS poly_id, p_brand,
+         |    CAST(p_partkey % 50 AS DOUBLE) * 40.0 AS ox,
+         |    CAST((p_partkey // 50) % 40 AS DOUBLE) * 40.0 AS oy,
+         |    CAST(p_size AS DOUBLE) AS w, p_retailprice/100.0 AS h FROM part),
+         |sp_q AS (SELECT poly_id, p_brand, ox, oy, w, h,
+         |    [[ox,oy],[ox+w,oy],[ox+w,oy+h],[ox+w/2.0,oy+h+2.0],[ox,oy+h]] AS q FROM sp_g),
+         |sp_cx AS (SELECT *, unnest(generate_series(CAST(FLOOR(ox/40.0) AS BIGINT),
+         |    CAST(FLOOR((ox+w)/40.0) AS BIGINT))) AS cx FROM sp_q),
+         |sp_cells AS (SELECT *, unnest(generate_series(CAST(FLOOR(oy/40.0) AS BIGINT),
+         |    CAST(FLOOR((oy+h+2.0)/40.0) AS BIGINT))) AS cy FROM sp_cx),
+         |sp_pt AS (SELECT c_custkey AS pt_id,
+         |    CAST($hx % 2000 AS DOUBLE) + 0.5 AS px,
+         |    CAST($hy % 1600 AS DOUBLE) + 0.5 AS py
+         |  FROM customer)
+         |SELECT pt_id, poly_id, p_brand
+         |FROM sp_pt p JOIN sp_cells c
+         |  ON CAST(FLOOR(p.px/40.0) AS BIGINT) = c.cx
+         | AND CAST(FLOOR(p.py/40.0) AS BIGINT) = c.cy
+         |WHERE (len([i FOR i IN generate_series(1,5) IF
+         |    ((q[i][2] > py) <> (q[(i % 5)+1][2] > py)) AND
+         |    (px < (q[(i % 5)+1][1] - q[i][1]) * (py - q[i][2])
+         |      / (q[(i % 5)+1][2] - q[i][2]) + q[i][1])]) % 2) = 1
+         |ORDER BY pt_id, poly_id""".stripMargin
+    }) { (s, dir) =>
+      def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        struct(x.as("x"), y.as("y"))
+      val ox = pmod(col("p_partkey"), lit(50)).cast("double") * lit(40.0)
+      val oy = pmod(expr("p_partkey div 50"), lit(40)).cast("double") * lit(40.0)
+      val w = col("p_size").cast("double")
+      val h = col("p_retailprice") / lit(100.0)
+      val rings = array(array(
+        pt(ox, oy), pt(ox + w, oy), pt(ox + w, oy + h),
+        pt(ox + w / lit(2.0), oy + h + lit(2.0)), pt(ox, oy + h)))
+      val polys = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("poly_id"), col("p_brand"), rings.as("geom"))
+      val points = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("pt_id"),
+        ((Fns.hash60(concat(lit("x"), col("c_custkey").cast("string"))) % 2000)
+          .cast("double") + lit(0.5)).as("px"),
+        ((Fns.hash60(concat(lit("y"), col("c_custkey").cast("string"))) % 1600)
+          .cast("double") + lit(0.5)).as("py"))
+      Joins.spatialJoinGrid(points, "px", "py", polys, "geom", cellSize = 40.0)
+        .select("pt_id", "poly_id", "p_brand")
+        .orderBy("pt_id", "poly_id")
     }
   )
 }

@@ -341,6 +341,18 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
   }
 
+  test("spatial join (q177): grid-binned equi-join, never a cartesian") {
+    val plan = formatted(SparkEntry.queries("q177_spatial_join")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate generation is a cell-keyed equi-join (either shuffle or
+    // broadcast shape), with the MBR cell replication as a Generate
+    assert(plan.contains("Generate"), plan)
+    // the exact ray-cast verify runs as a codegen'd post-join filter
+    assert(plan.contains("graft_point_in_polygon") ||
+      plan.contains("PointInPolygon"), plan)
+  }
+
   test("dense surrogates (q163): every id-bearing window is shard-keyed") {
     val df = graft.operators.Curation.denseSurrogates(
       Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)

@@ -172,6 +172,36 @@ class PolyGeomSpec extends AnyFunSuite {
     assert(viaSql == 25.0)
   }
 
+  test("pointInPolygon: inside/outside/hole; MBR bounds; spatialJoinGrid agrees with brute force") {
+    val df = ringsDf(Seq(squareWithHole))
+    def in(px: Double, py: Double): Boolean =
+      df.select(PolyGeom.pointInPolygon(col("rings"), lit(px), lit(py)).as("b"))
+        .first().getBoolean(0)
+    assert(in(1.0, 1.0))            // inside outer
+    assert(!in(5.0, 5.0))           // inside the hole → outside the polygon
+    assert(!in(11.0, 5.0))          // right of the square
+    assert(!in(-0.5, 5.0))          // left of the square
+    assert(in(9.9, 9.9))            // corner-adjacent interior
+    val mbr = df.select(PolyGeom.polygonMbr(col("rings")).as("m")).select("m.*").first()
+    assert(mbr.getDouble(0) == 0.0 && mbr.getDouble(1) == 0.0 &&
+      mbr.getDouble(2) == 10.0 && mbr.getDouble(3) == 10.0)
+
+    // grid join ≡ brute-force cross join + exact test, regardless of cell size
+    val polys = ringsDf(Seq(square.map(_.map { case (x, y) => (x + 20.0, y) }),
+      squareWithHole))
+    val pts = spark.range(0, 200).selectExpr("id AS pt_id",
+      "CAST(id % 40 AS DOUBLE) - 2.5 AS px", "CAST(id % 17 AS DOUBLE) - 1.5 AS py")
+    def pairs(d: DataFrame) =
+      d.select("pt_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(pts.crossJoin(polys)
+      .filter(PolyGeom.pointInPolygon(col("rings"), col("px"), col("py"))))
+    for (cell <- Seq(3.0, 10.0, 50.0)) {
+      val grid = pairs(graft.operators.Joins.spatialJoinGrid(
+        pts, "px", "py", polys, "rings", cell))
+      assert(grid == brute, s"cell=$cell grid=${grid.size} brute=${brute.size}")
+    }
+  }
+
   test("CRS + encoding metadata ride the geometry column through the parquet sink") {
     Session.withScratch { s =>
       val df = ringsDf(Seq(square)).select(col("id"),
