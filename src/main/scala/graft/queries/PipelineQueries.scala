@@ -2681,6 +2681,65 @@ object PipelineQueries {
       Joins.spatialJoinGrid(points, "px", "py", polys, "geom", cellSize = 40.0)
         .select("pt_id", "poly_id", "p_brand")
         .orderBy("pt_id", "poly_id")
+    },
+
+    // ---- streaming: update-mode windowed agg, late data dropped -----------
+    // The ninth true streaming execution, and the first UNBOUNDED-SHAPED
+    // one: update-mode hourly aggregation across THREE separate
+    // AvailableNow runs against ONE checkpoint — land a file, run, land the
+    // next, run again — i.e. restart-and-catch-up semantics, with the
+    // watermark carried across restarts by the checkpoint's commit log.
+    // Batch 2 advances the watermark 6 hours; batch 3 replays events 5.5+
+    // hours below it — every row of batch 3 is dropped by the watermark
+    // (the oracle counts only batches 1–2) and the evicted window state
+    // never resurrects. Event times are synthesized from event_id so the
+    // construction is fixture-span-independent; the sink keeps every
+    // update tagged __batch and the face reduces to final state (last
+    // emission per window×type). StreamingSpec pins the stateOperators
+    // metrics (numRowsDroppedByWatermark > 0, rows evicted) on this exact
+    // topology.
+    Q("q178_streaming_late_drop",
+      """WITH le AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 3 = 0
+        |      THEN TIMESTAMP '2026-01-01 00:00:00' + (event_id % 180) * INTERVAL 1 MINUTE
+        |      ELSE TIMESTAMP '2026-01-01 06:00:00' + (event_id % 60) * INTERVAL 1 MINUTE
+        |    END AS ts
+        |  FROM events WHERE event_id % 3 < 2)
+        |SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM le GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/late_src"
+      val sink = s"${scratch.dir}/late_sink"
+      val chk = s"${scratch.dir}/chk178"
+      val ev = Tables.load(s, dir, "events").select("event_id", "event_type")
+      def tsExpr(shiftH: Int, modMin: Int) = expr(
+        s"TIMESTAMP '2026-01-01 0$shiftH:00:00' + " +
+          s"make_interval(0, 0, 0, 0, 0, CAST(event_id % $modMin AS INT), 0)")
+      val batches = Seq(
+        ("b1", ev.filter(pmod(col("event_id"), lit(3)) === 0).withColumn("ts", tsExpr(0, 180))),
+        ("b2", ev.filter(pmod(col("event_id"), lit(3)) === 1).withColumn("ts", tsExpr(6, 60))),
+        ("b3", ev.filter(pmod(col("event_id"), lit(3)) === 2).withColumn("ts", tsExpr(0, 180))))
+      var sinkDf: org.apache.spark.sql.DataFrame = null
+      batches.foreach { case (name, df) =>
+        Streams.landFile(df, src, name)
+        val schema = s.read.parquet(src).schema
+        sinkDf = Streams.runUpdateTagged(s, sink, chk) {
+          s.readStream.schema(schema).parquet(src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+            .select(col("w.start").as("w_start"), col("event_type"),
+              col("n"), col("sum_id"))
+        }._1
+      }
+      val wspec = Window.partitionBy("w_start", "event_type")
+        .orderBy(col("__batch").desc)
+      sinkDf.withColumn("__rn", row_number().over(wspec))
+        .filter(col("__rn") === 1)
+        .select("w_start", "event_type", "n", "sum_id")
+        .orderBy("w_start", "event_type")
     }
   )
 }

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+  StatefulProcessor, StreamingQueryProgress, TimeMode, TimerValues, Trigger,
+  TTLConfig, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface over the `events` schema (SURVEY §2.9).
@@ -77,6 +78,62 @@ object Streams {
       }
     }
     s.read.parquet(sink)
+  }
+
+  /** [[runAvailableNow]] in UPDATE mode with per-batch provenance: every
+    * micro-batch's emitted (changed) rows land in the sink tagged with
+    * `__batch`, so the caller can reduce to final state (last emission per
+    * key) AND audit the emission history. Returns the sink read plus the
+    * query's progress objects — the `stateOperators` metrics surface
+    * (`numRowsDroppedByWatermark`, `numRowsRemoved`) that PROVES late rows
+    * were dropped by the watermark and window state was evicted, rather
+    * than inferring it from the final answer. `noDataMicroBatches` stays ON
+    * here: the trailing batch is what advances the watermark past the last
+    * file and drives the final eviction the metrics pin. */
+  def runUpdateTagged(s: SparkSession, sink: String, chk: String,
+                      statePartitions: Int = 8)
+                     (build: => DataFrame): (DataFrame, Seq[StreamingQueryProgress]) = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.getOption(partsKey)
+    s.conf.set(partsKey, statePartitions.toString)
+    val progress =
+      try {
+        val query = build.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            batch.withColumn("__batch", lit(batchId))
+              .write.mode("append").parquet(sink)
+          }
+          .start()
+        query.awaitTermination()
+        query.recentProgress.toSeq
+      } finally {
+        partsPrev match {
+          case Some(v) => s.conf.set(partsKey, v)
+          case None => s.conf.unset(partsKey)
+        }
+      }
+    (s.read.parquet(sink), progress)
+  }
+
+  /** Land `df` as a single named parquet file inside the directory a file
+    * stream is watching. Written to a side dir first, then MOVED in — the
+    * source never observes a half-written file, and landing between two
+    * [[runUpdateTagged]] runs on the same checkpoint pins micro-batch order
+    * deterministically (a multi-file initial listing is discovered in
+    * filesystem order, which is NOT deterministic across subdirs). */
+  def landFile(df: DataFrame, watchDir: String, name: String): Unit = {
+    val watch = java.nio.file.Paths.get(watchDir).toAbsolutePath.normalize()
+    val tmp = watch.getParent.resolve(s"__stage_$name").toString
+    df.coalesce(1).write.parquet(tmp)
+    val part = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .find(f => f.isFile && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watchDir))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$watchDir/$name.parquet")): Unit
   }
 
   /** [[runAvailableNow]]'s skeleton publishing every micro-batch as an

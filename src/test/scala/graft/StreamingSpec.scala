@@ -349,6 +349,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(midCounts.exists(_ < 2), midCounts.toString)
   }
 
+  test("update-mode late-drop across checkpointed restarts: watermark metrics prove the drop") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val scratch = new Session.Scratch
+    val src = s"${scratch.dir}/wm_src"
+    val sink = s"${scratch.dir}/wm_sink"
+    val chk = s"${scratch.dir}/wm_chk"
+    def mk(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      rows.toDF("event_id", "event_type")
+        .withColumn("ts", expr(
+          "TIMESTAMP '2026-01-01 00:00:00' + make_interval(0,0,0,0,0, CAST(event_id AS INT), 0)"))
+    }
+    def run(df: org.apache.spark.sql.DataFrame, name: String) = {
+      Streams.landFile(df, src, name)
+      val schema = s.read.parquet(src).schema
+      Streams.runUpdateTagged(s, sink, chk) {
+        s.readStream.schema(schema).parquet(src)
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      }
+    }
+    // run 1: on-time events in windows 00 and 01
+    run(mk(Seq((5L, "a"), (10L, "a"), (70L, "b"))), "b1")
+    // run 2 (restart from checkpoint): +6 h advances the watermark past 01
+    val (_, p2) = run(mk(Seq((360L, "a"), (370L, "b"))), "b2")
+    // run 3 (restart again): replays below the watermark — must be dropped
+    val (out3, p3) = run(mk(Seq((6L, "a"), (71L, "b"), (72L, "b"))), "b3")
+    // the metric counts rows REACHING the state store, i.e. post-partial-agg
+    // groups: (6,a) is one group, (71,b)+(72,b) map-side combine into one —
+    // 2 dropped groups carry all 3 late input rows
+    val dropped3 = p3.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    assert(dropped3 == 2, s"expected both late groups dropped, got $dropped3")
+    // eviction actually happened once the watermark passed the old windows
+    val removed = (p2 ++ p3).flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed > 0, "expected watermark-driven state eviction")
+    // final state = last emission per key; late rows changed nothing
+    import org.apache.spark.sql.expressions.Window
+    val wspec = Window.partitionBy("w_start", "event_type").orderBy(col("__batch").desc)
+    val fin = out3.withColumn("rn", row_number().over(wspec)).filter(col("rn") === 1)
+      .select("w_start", "event_type", "n")
+      .orderBy("w_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(fin.toSeq == Seq(
+      ("2026-01-01 00:00:00.0", "a", 2L),
+      ("2026-01-01 01:00:00.0", "b", 1L),
+      ("2026-01-01 06:00:00.0", "a", 1L),
+      ("2026-01-01 06:00:00.0", "b", 1L)), fin.mkString(", "))
+  }
+
   test("sessionStats on a stream (native session_window state) matches the batch face") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
