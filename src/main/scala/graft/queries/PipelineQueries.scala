@@ -133,6 +133,16 @@ object PipelineQueries {
        |probes AS (SELECT cid FROM piv, q
        |  ORDER BY ${cosSql("cv", "qv")} DESC, cid LIMIT $nprobe)""".stripMargin
 
+  // q179: per-(session, sfDir) persisted IVF index — built once, then every
+  // run (bench/profile reps included) opens the PERSISTED index, so the
+  // profiled cost is the search, with the build amortized out.
+  private val IvfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Test hook: the persisted q179 index path for a fixture dir. */
+  def ivfIndexPathForTest(dir: String): String = IvfIndexCache.get(dir)
+  val IdxSearchC = 16
+  val IdxSearchNprobe = 3
+  val IdxSearchK = 10
+
   val all: Seq[Q] = Seq(
 
     // ---- G1-G3 tessellation ----------------------------------------------
@@ -2740,6 +2750,36 @@ object PipelineQueries {
         .filter(col("__rn") === 1)
         .select("w_start", "event_type", "n", "sum_id")
         .orderBy("w_start", "event_type")
+    },
+
+    // ---- similarity: search from a PERSISTED IVF index --------------------
+    // q43 benches build+search fused; production serves queries against an
+    // index built OFFLINE. This face opens the ivfWriteIndex-partitioned
+    // index (built once per session, cached) and runs ivfSearchPruned: the
+    // probe ranking collapses to a driver-side literal isin over
+    // centroid_id, which the partitioned layout turns into STATIC PARTITION
+    // PRUNING — nprobe/C of the index files are read, decided before any
+    // task launches (nprobe=3 of C=16 lists here). PlansSpec asserts the
+    // PartitionFilters + scan fraction; the oracle replicates assignment +
+    // probe ranking + search via the shared IVF CTE chain.
+    Q("q179_ivf_index_search", {
+      s"""WITH ${ivfSqlCtes(ivfC = IdxSearchC, nprobe = IdxSearchNprobe)}
+         |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS cos
+         |FROM asg a JOIN probes pr ON a.cid = pr.cid, q
+         |ORDER BY cos DESC, vec_id LIMIT $IdxSearchK""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < IdxSearchC)
+      val path = IvfIndexCache.computeIfAbsent(dir, _ => {
+        val scratch = new graft.Session.Scratch
+        val p = s"${scratch.dir}/ivf_index"
+        Similarity.ivfWriteIndex(
+          Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id"), p)
+        p
+      })
+      Similarity.ivfSearchPruned(Similarity.ivfOpenIndex(s, path), pivots,
+        emb.filter(col("vec_id") === 0), "embedding", "vec_id", "vec_id",
+        k = IdxSearchK, nprobe = IdxSearchNprobe)
     }
   )
 }

@@ -353,6 +353,29 @@ class PlansSpec extends AnyFunSuite {
       plan.contains("PointInPolygon"), plan)
   }
 
+  test("IVF index search (q179): static partition pruning, bounded scan fraction") {
+    import graft.queries.PipelineQueries.{IdxSearchC, IdxSearchNprobe}
+    val df = SparkEntry.queries("q179_ivf_index_search")(spark, sf)
+    val plan = formatted(df)
+    // the probed list ids are driver-side literals over the partition
+    // column — the scan prunes partitions statically, no join to decide
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"), plan)
+    // the single query row rides a broadcast; a CartesianProduct would mean
+    // the index side got replicated instead
+    assert(!plan.contains("CartesianProduct"), plan)
+    // semantic scan fraction: rows in probed lists / index rows — at most
+    // nprobe/C with slack for list imbalance on the tiny fixture
+    df.collect()
+    val idx = graft.operators.Similarity.ivfOpenIndex(spark,
+      graft.queries.PipelineQueries.ivfIndexPathForTest(sf))
+    val byList = idx.groupBy("centroid_id").count().collect()
+      .map(r => r.getAs[Number]("centroid_id").longValue() -> r.getLong(1)).toMap
+    val total = byList.values.sum.toDouble
+    val worst = byList.values.toSeq.sorted.reverse.take(IdxSearchNprobe).sum / total
+    assert(worst <= 3.0 * IdxSearchNprobe.toDouble / IdxSearchC,
+      s"worst-case probed fraction $worst too high for $IdxSearchNprobe/$IdxSearchC lists")
+  }
+
   test("dense surrogates (q163): every id-bearing window is shard-keyed") {
     val df = graft.operators.Curation.denseSurrogates(
       Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)
