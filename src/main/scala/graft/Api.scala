@@ -43,4 +43,44 @@ object Graft {
     df = indexFld.map(Compat.withIndex(df, _)).getOrElse(df)
     df
   }
+
+  /** `pandas_to_arc` (`arc_utils.py:815-898`) as ONE call over the tested
+    * pieces, in the reference's argument order and defaults: optional index
+    * drop (`keep_index=False` drops the [[Compat.IndexKey]]-marked column) →
+    * optional field subset/rename + `String(n)` declaration (`cols`) →
+    * write-side coercions (int64→int32 when in range else float64 — lossy,
+    * reproduced deliberately — bool→int32, `arc_utils.py:792-800`) →
+    * optional XY→point geometry (`x_col`/`y_col`/`srs`, `:846-875`) →
+    * overwrite flag (C2 `TempOverwrite`, `:121-135`; default ERRORS on an
+    * existing table like the reference) → optional readback cursor
+    * (`get_cursor`, `:883-892`).
+    *
+    * Returns the readback DataFrame when `getCursor`, else None. The write
+    * itself is one lazy plan executed from the executors (coercion select,
+    * varchar enforcement, and point struct all inside whole-stage codegen);
+    * only the downcast min/max probe materializes anything driver-side, and
+    * that is one scalar row. */
+  def tableToArc(df: DataFrame, workspace: String, outputTable: String,
+                 keepIndex: Boolean = true,
+                 cols: Option[Seq[FieldSpec]] = None,
+                 getCursor: Boolean = false,
+                 overwrite: Boolean = false,
+                 xCol: Option[String] = None,
+                 yCol: Option[String] = None,
+                 srs: Option[Int] = None,
+                 varcharMode: String = "truncate"): Option[DataFrame] = {
+    var d = df
+    if (!keepIndex) {
+      val idxCols = d.schema.fields
+        .filter(_.metadata.contains(Compat.IndexKey)).map(_.name)
+      if (idxCols.nonEmpty) d = d.drop(idxCols.toIndexedSeq: _*)
+    }
+    d = cols.map(FieldMap(d, _)).getOrElse(d)
+    val xy = for { x <- xCol; y <- yCol; s <- srs } yield (x, y, s)
+    operators.Sinks.writeTable(d, workspace, outputTable,
+      overwrite = overwrite, xy = xy, coerce = true, varcharMode = varcharMode)
+    if (getCursor)
+      Some(operators.Sinks.readBack(df.sparkSession, workspace, outputTable))
+    else None
+  }
 }

@@ -2780,6 +2780,46 @@ object PipelineQueries {
       Similarity.ivfSearchPruned(Similarity.ivfOpenIndex(s, path), pivots,
         emb.filter(col("vec_id") === 0), "embedding", "vec_id", "vec_id",
         k = IdxSearchK, nprobe = IdxSearchNprobe)
+    },
+
+    // ---- compat: both front doors composed (tableToArc ∘ arcToTable) -----
+    // The reference's two flagship entry points as one round trip:
+    // Graft.tableToArc (S4/S6/C2 composed — String(8) declaration +
+    // truncation, int64→int32 in-range downcast, int64→float64 LOSSY
+    // fallback, bool→int32, overwrite of a decoy table) then
+    // Graft.arcToTable (S1 composed — scan + sentinel fill: null strings →
+    // '', null doubles → -1.0). The oracle replicates every coercion and
+    // fill in SQL. The lossy float64 fallback is deliberate reference
+    // behavior (arc_utils.py:796): both engines convert the same int64 to
+    // the same IEEE double, so the face stays bit-exact even past 2^53.
+    Q("q180_table_to_arc",
+      """SELECT CAST(c_custkey AS INT) AS c_custkey,
+        |  CAST(c_custkey * 10000000000 AS DOUBLE) AS big_id,
+        |  CAST(c_custkey % 2 = 0 AS INT) AS flag,
+        |  CASE WHEN c_custkey % 5 = 0 THEN '' ELSE substr(c_name, 1, 8) END AS cname,
+        |  CASE WHEN c_custkey % 7 = 0 THEN -1.0 ELSE c_acctbal END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import graft.operators.FieldSpec
+      val scratch = new graft.Session.Scratch
+      val src = Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        (col("c_custkey") * lit(10000000000L)).as("big_id"),
+        (pmod(col("c_custkey"), lit(2)) === 0).as("flag"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("cname"),
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      // C2 overwrite face: land a decoy first, then overwrite with the data
+      graft.Graft.tableToArc(src.limit(1), scratch.dir, "cust_out",
+        overwrite = true)
+      graft.Graft.tableToArc(src, scratch.dir, "cust_out",
+        cols = Some(Seq(FieldSpec("c_custkey", "c_custkey"),
+          FieldSpec("big_id", "big_id"), FieldSpec("flag", "flag"),
+          FieldSpec("cname", "cname", varcharLen = Some(8)),
+          FieldSpec("bal", "bal"))),
+        overwrite = true)
+      graft.Graft.arcToTable(s, scratch.dir, "cust_out")
+        .orderBy("c_custkey")
     }
   )
 }

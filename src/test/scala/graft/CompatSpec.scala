@@ -152,6 +152,30 @@ class CompatSpec extends AnyFunSuite {
     }
   }
 
+  test("Graft.tableToArc: the composed pandas_to_arc front door (index drop + cursor + overwrite default)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    Session.withScratch { s =>
+      val df = Compat.withIndex(
+        Seq((3L, "aa", 1.5), (1L, "bb", 2.5), (2L, "cc", 3.5))
+          .toDF("id", "tag", "v"), "id")
+      // keepIndex=false drops the IndexKey-marked column; getCursor reads back
+      val cur = Graft.tableToArc(df, s.dir, "t1", keepIndex = false,
+        getCursor = true).get
+      assert(!cur.columns.contains("id") && cur.count() == 3)
+      // keepIndex=true (default) keeps it, downcast to int32 on the way out
+      val cur2 = Graft.tableToArc(df, s.dir, "t2", getCursor = true,
+        xCol = Some("v"), yCol = Some("v"), srs = Some(4326)).get
+      assert(cur2.columns.contains("id"))
+      assert(cur2.schema("id").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(cur2.columns.contains("geom")) // XY→point derived
+      // reference default overwrite=False: second write to the same name errors
+      intercept[Exception] { Graft.tableToArc(df, s.dir, "t1") }
+    }
+  }
+
   test("dialect where-strings filter correctly through create_layer") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
