@@ -2613,7 +2613,7 @@ object PipelineQueries {
     // can create, extend, and query workspace tables with no Scala API.
     // The catalog is registered once per session against a scratch
     // workspace and the face is rerun-safe (DROP IF EXISTS first).
-    Q("q176_catalog_ctas",
+    Q("q181_catalog_ctas",
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 8000.0 OR c_acctbal BETWEEN 5000.0 AND 6000.0
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
