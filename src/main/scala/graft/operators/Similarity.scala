@@ -383,6 +383,38 @@ object Similarity {
   def ivfOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Batch IVF search: MANY queries against one (persisted) index in ONE
+    * plan — the production serving shape where [[ivfSearchPruned]]'s
+    * driver-literal pruning can't apply (each query probes different
+    * lists). Per-query probe ranking is a window over |Q|·C pivot scores —
+    * pivot-bounded, nothing corpus-sized (the "no Window in KNN" rule
+    * forbids windows over CORPUS-sized score sets, not this). Candidates
+    * come from an EQUI-join of the index on `centroid_id` against the
+    * Q·nprobe probe set (broadcast when the probe set is small, list-id
+    * shuffle when not) — candidate volume is Σ_q probed-list sizes, never
+    * |corpus|·|Q|. Query vectors rejoin broadcast by qid; the final
+    * ranking is the bounded-heap top-k aggregate (k-sized exchanges).
+    * Output: (qid, id, cos, rn). */
+  def ivfBatchSearch(index: DataFrame, pivots: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, pivotIdCol: String,
+                     qidCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv")))
+    val probeW = Window.partitionBy("qid").orderBy(col("__pcos").desc, col("cid").asc)
+    val probes = pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .select(col("qid"), col("cid"),
+        VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+      .withColumn("__prn", row_number().over(probeW))
+      .filter(col("__prn") <= nprobe)
+      .select(col("qid"), col("cid").as("centroid_id"))
+    val cands = index.join(broadcast(probes), Seq("centroid_id"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col(idCol),
+        VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))
+    rankTopK(cands, idCol, k)
+  }
+
   /** IVF search against a PARTITIONED index: the probe ranking runs on the
     * driver over the C pivot scores (tiny by construction), and the probed
     * list ids become a LITERAL isin filter — static partition pruning, no

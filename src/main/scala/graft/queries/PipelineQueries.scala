@@ -121,14 +121,19 @@ object PipelineQueries {
     "(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS BIGINT)) FROM embeddings)"
   private def scaledC(n: Long): Long = math.max(8L, math.ceil(n / 250.0).toLong)
 
-  /** [[ivfSqlCtes]] with the pivot bound as an arbitrary SQL expression. */
-  private def ivfSqlCtesC(ivfCExpr: String, nprobe: Int): String =
+  /** The assignment half of the IVF CTE chain (piv/scored/asg) — shared by
+    * the single-query chain below and the batch-query face (q182). */
+  private def ivfAsgSqlCtes(ivfCExpr: String): String =
     s"""piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $ivfCExpr),
        |scored AS (SELECT e.vec_id, e.embedding, p.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.embedding", "p.cv")} DESC, p.cid) AS rn
        |  FROM embeddings e, piv p),
-       |asg AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+       |asg AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1)""".stripMargin
+
+  /** [[ivfSqlCtes]] with the pivot bound as an arbitrary SQL expression. */
+  private def ivfSqlCtesC(ivfCExpr: String, nprobe: Int): String =
+    s"""${ivfAsgSqlCtes(ivfCExpr)},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |probes AS (SELECT cid FROM piv, q
        |  ORDER BY ${cosSql("cv", "qv")} DESC, cid LIMIT $nprobe)""".stripMargin
@@ -137,11 +142,22 @@ object PipelineQueries {
   // run (bench/profile reps included) opens the PERSISTED index, so the
   // profiled cost is the search, with the build amortized out.
   private val IvfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** Test hook: the persisted q179 index path for a fixture dir. */
+  /** Test hook: the persisted q179/q182 index path for a fixture dir. */
   def ivfIndexPathForTest(dir: String): String = IvfIndexCache.get(dir)
+  private def persistedIvfIndex(dir: String, emb: org.apache.spark.sql.DataFrame,
+                                pivots: org.apache.spark.sql.DataFrame): String =
+    IvfIndexCache.computeIfAbsent(dir, _ => {
+      val scratch = new graft.Session.Scratch
+      val p = s"${scratch.dir}/ivf_index"
+      Similarity.ivfWriteIndex(
+        Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id"), p)
+      p
+    })
   val IdxSearchC = 16
   val IdxSearchNprobe = 3
   val IdxSearchK = 10
+  val IdxBatchQ = 4
+  val IdxBatchK = 5
 
   val all: Seq[Q] = Seq(
 
@@ -2770,13 +2786,7 @@ object PipelineQueries {
     }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val pivots = emb.filter(col("vec_id") < IdxSearchC)
-      val path = IvfIndexCache.computeIfAbsent(dir, _ => {
-        val scratch = new graft.Session.Scratch
-        val p = s"${scratch.dir}/ivf_index"
-        Similarity.ivfWriteIndex(
-          Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id"), p)
-        p
-      })
+      val path = persistedIvfIndex(dir, emb, pivots)
       Similarity.ivfSearchPruned(Similarity.ivfOpenIndex(s, path), pivots,
         emb.filter(col("vec_id") === 0), "embedding", "vec_id", "vec_id",
         k = IdxSearchK, nprobe = IdxSearchNprobe)
@@ -2820,6 +2830,39 @@ object PipelineQueries {
         overwrite = true)
       graft.Graft.arcToTable(s, scratch.dir, "cust_out")
         .orderBy("c_custkey")
+    },
+
+    // ---- similarity: BATCH search against the persisted IVF index ---------
+    // The many-queries serving shape: q179's driver-literal partition
+    // pruning can't apply when every query probes different lists, so the
+    // probed (qid, list) pairs come from a pivot-bounded window (|Q|·C
+    // rows) and candidates from an equi-join of the index on centroid_id —
+    // candidate volume Σ_q probed-list sizes, never |corpus|·|Q|. Same
+    // persisted index as q179 (one offline build serves both workloads);
+    // ranking is the bounded-heap top-k (k-sized exchanges, no
+    // corpus-sized window). Oracle: the shared assignment CTEs + per-query
+    // probe ranking + candidate join, rn-capped.
+    Q("q182_ivf_batch_search", {
+      s"""WITH ${ivfAsgSqlCtes(IdxSearchC.toString)},
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $IdxBatchQ),
+         |pr AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, p.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("p.cv", "q.qv")} DESC, p.cid) AS prn
+         |    FROM piv p, qs q) t WHERE prn <= $IdxSearchNprobe),
+         |cand AS (SELECT q.qid, a.vec_id, ${cosSql("a.embedding", "q.qv")} AS cos
+         |  FROM asg a JOIN pr ON a.cid = pr.cid JOIN qs q ON pr.qid = q.qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM cand)
+         |SELECT qid, vec_id, cos, CAST(rn AS INT) AS rn FROM r
+         |WHERE rn <= $IdxBatchK ORDER BY qid, rn""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < IdxSearchC)
+      val path = persistedIvfIndex(dir, emb, pivots)
+      Similarity.ivfBatchSearch(Similarity.ivfOpenIndex(s, path), pivots,
+          emb.filter(col("vec_id") < IdxBatchQ), "embedding", "vec_id",
+          "vec_id", "vec_id", k = IdxBatchK, nprobe = IdxSearchNprobe)
+        .orderBy("qid", "rn")
     }
   )
 }

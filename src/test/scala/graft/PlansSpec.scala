@@ -376,6 +376,19 @@ class PlansSpec extends AnyFunSuite {
       s"worst-case probed fraction $worst too high for $IdxSearchNprobe/$IdxSearchC lists")
   }
 
+  test("IVF batch search (q182): equi-join candidates, probe window stays pivot-bounded") {
+    val plan = formatted(SparkEntry.queries("q182_ivf_batch_search")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // candidates come from an equi-join on centroid_id, not an all-pairs scan
+    assert(plan.contains("centroid_id"), plan)
+    // the final ranking is the bounded-heap aggregate; the only Window in
+    // the plan ranks |Q|·C pivot scores (WindowGroupLimit-pushed), never a
+    // corpus-sized score set
+    assert(plan.contains("topkbyscore") || plan.contains("TopKByScore") ||
+      plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("dense surrogates (q163): every id-bearing window is shard-keyed") {
     val df = graft.operators.Curation.denseSurrogates(
       Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)
