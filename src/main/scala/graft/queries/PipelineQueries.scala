@@ -2653,19 +2653,26 @@ object PipelineQueries {
 
     // ---- spatial join: point-in-polygon by grid binning -------------------
     // Joins.spatialJoinGrid: polygons (q46's pentagon per part row, placed
-    // on a 50×40-cell plane by partkey) MBR-replicate to 40-unit grid
-    // cells; customer points (salted-hash coordinates, +0.5 to sit off the
-    // integer edge lattice) land in ONE cell each; equi-join on cell, exact
-    // even-odd ray-cast verify. The oracle replicates bins AND ray-cast —
-    // same edge orientation (cur→nxt), same single IEEE division per
-    // crossing — the q46 bit-exactness discipline. PlansSpec asserts
-    // no-cartesian.
+    // on a 50-column plane whose ROW COUNT grows with the data —
+    // ceil(max partkey / 50), computed identically by a driver scalar and
+    // an oracle subquery, the q91/q143 data-scaled-constant discipline)
+    // MBR-replicate to 40-unit grid cells; customer points (salted-hash
+    // coordinates spanning the grown plane, +0.5 to sit off the integer
+    // edge lattice) land in ONE cell each; equi-join on cell, exact
+    // even-odd ray-cast verify. Because the plane AREA scales with the
+    // corpus, per-cell density — and so candidates per point — stays
+    // CONSTANT as data grows (the r10 sf1 sweep caught the earlier
+    // fixed-plane form densifying 15.8×). The oracle replicates bins AND
+    // ray-cast — same edge orientation (cur→nxt), same single IEEE
+    // division per crossing — the q46 bit-exactness discipline. PlansSpec
+    // asserts no-cartesian.
     Q("q177_spatial_join", {
       val hx = Fns.hash60Sql("'x'||CAST(c_custkey AS VARCHAR)")
       val hy = Fns.hash60Sql("'y'||CAST(c_custkey AS VARCHAR)")
-      s"""WITH sp_g AS (SELECT p_partkey AS poly_id, p_brand,
+      s"""WITH spr AS (SELECT (MAX(p_partkey) + 50) // 50 AS nrows FROM part),
+         |sp_g AS (SELECT p_partkey AS poly_id, p_brand,
          |    CAST(p_partkey % 50 AS DOUBLE) * 40.0 AS ox,
-         |    CAST((p_partkey // 50) % 40 AS DOUBLE) * 40.0 AS oy,
+         |    CAST(p_partkey // 50 AS DOUBLE) * 40.0 AS oy,
          |    CAST(p_size AS DOUBLE) AS w, p_retailprice/100.0 AS h FROM part),
          |sp_q AS (SELECT poly_id, p_brand, ox, oy, w, h,
          |    [[ox,oy],[ox+w,oy],[ox+w,oy+h],[ox+w/2.0,oy+h+2.0],[ox,oy+h]] AS q FROM sp_g),
@@ -2675,8 +2682,8 @@ object PipelineQueries {
          |    CAST(FLOOR((oy+h+2.0)/40.0) AS BIGINT))) AS cy FROM sp_cx),
          |sp_pt AS (SELECT c_custkey AS pt_id,
          |    CAST($hx % 2000 AS DOUBLE) + 0.5 AS px,
-         |    CAST($hy % 1600 AS DOUBLE) + 0.5 AS py
-         |  FROM customer)
+         |    CAST($hy % (nrows * 40) AS DOUBLE) + 0.5 AS py
+         |  FROM customer, spr)
          |SELECT pt_id, poly_id, p_brand
          |FROM sp_pt p JOIN sp_cells c
          |  ON CAST(FLOOR(p.px/40.0) AS BIGINT) = c.cx
@@ -2689,8 +2696,11 @@ object PipelineQueries {
     }) { (s, dir) =>
       def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         struct(x.as("x"), y.as("y"))
+      val maxPk = Tables.load(s, dir, "part")
+        .agg(max(col("p_partkey")).cast("long")).first().getLong(0)
+      val nrows = (maxPk + 50L) / 50L
       val ox = pmod(col("p_partkey"), lit(50)).cast("double") * lit(40.0)
-      val oy = pmod(expr("p_partkey div 50"), lit(40)).cast("double") * lit(40.0)
+      val oy = expr("p_partkey div 50").cast("double") * lit(40.0)
       val w = col("p_size").cast("double")
       val h = col("p_retailprice") / lit(100.0)
       val rings = array(array(
@@ -2702,7 +2712,7 @@ object PipelineQueries {
         col("c_custkey").as("pt_id"),
         ((Fns.hash60(concat(lit("x"), col("c_custkey").cast("string"))) % 2000)
           .cast("double") + lit(0.5)).as("px"),
-        ((Fns.hash60(concat(lit("y"), col("c_custkey").cast("string"))) % 1600)
+        ((Fns.hash60(concat(lit("y"), col("c_custkey").cast("string"))) % lit(nrows * 40L))
           .cast("double") + lit(0.5)).as("py"))
       Joins.spatialJoinGrid(points, "px", "py", polys, "geom", cellSize = 40.0)
         .select("pt_id", "poly_id", "p_brand")
