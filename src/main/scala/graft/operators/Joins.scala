@@ -143,6 +143,54 @@ object Joins {
       .drop("__cx", "__cy")
   }
 
+  /** Polygon-polygon MBR overlap self-join with REFERENCE-POINT dedup —
+    * the other half of the spatial-join pack ([[spatialJoinGrid]] is
+    * point-in-polygon): all unordered pairs whose bounding rectangles
+    * strictly overlap, with the exact intersection area.
+    *
+    * Both MBRs replicate to every grid cell they touch, so a pair sharing
+    * k cells would surface k times. The classic fix — `distinct()` — is a
+    * full extra shuffle of the pair set. The reference-point trick needs
+    * NO dedup pass: only the cell containing the intersection rectangle's
+    * lower-left corner claims the pair (that corner lies in exactly one
+    * cell, and any cell where the pair meets contains part of the
+    * intersection, so the claiming cell always sees the pair). Each pair
+    * emits exactly once, straight out of the equi-join — zero extra
+    * shuffles, the plan has no aggregate at all (PlansSpec asserts).
+    *
+    * Scale: |polys|·cellsPerMbr replicated rows, equi-shuffled by cell;
+    * pair volume is Σ_cell |cell|² — the blocked-pairs bound, kept ~|output|
+    * by a cell size ≈ the typical MBR side. Output: (id_a, id_b, area),
+    * id_a < id_b. */
+  def mbrOverlapJoin(polys: DataFrame, idCol: String, ringsCol: String,
+                     cellSize: Double): DataFrame = {
+    val m = polys
+      .withColumn("__mbr", PolyGeom.polygonMbr(col(ringsCol)))
+      .select(col(idCol), col("__mbr.xmin").as("x0"), col("__mbr.ymin").as("y0"),
+        col("__mbr.xmax").as("x1"), col("__mbr.ymax").as("y1"))
+    val cells = m
+      .withColumn("__cx", explode(sequence(
+        floor(col("x0") / cellSize).cast("long"),
+        floor(col("x1") / cellSize).cast("long"))))
+      .withColumn("__cy", explode(sequence(
+        floor(col("y0") / cellSize).cast("long"),
+        floor(col("y1") / cellSize).cast("long"))))
+    def side(tag: String) = cells.select(col("__cx"), col("__cy"),
+      col(idCol).as(s"id_$tag"), col("x0").as(s"${tag}x0"), col("y0").as(s"${tag}y0"),
+      col("x1").as(s"${tag}x1"), col("y1").as(s"${tag}y1"))
+    side("a").join(side("b"), Seq("__cx", "__cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__ix0", greatest(col("ax0"), col("bx0")))
+      .withColumn("__iy0", greatest(col("ay0"), col("by0")))
+      .withColumn("__ix1", least(col("ax1"), col("bx1")))
+      .withColumn("__iy1", least(col("ay1"), col("by1")))
+      .filter(col("__ix0") < col("__ix1") && col("__iy0") < col("__iy1"))
+      .filter(floor(col("__ix0") / cellSize).cast("long") === col("__cx") &&
+        floor(col("__iy0") / cellSize).cast("long") === col("__cy"))
+      .select(col("id_a"), col("id_b"),
+        ((col("__ix1") - col("__ix0")) * (col("__iy1") - col("__iy0"))).as("area"))
+  }
+
   /** Blocked fuzzy self-match (record linkage / fuzzy dedup): all unordered
     * pairs sharing a blocking key whose strings sit within `maxDist`
     * Levenshtein edits. Output: (block, id_a, id_b, dist), id_a < id_b.

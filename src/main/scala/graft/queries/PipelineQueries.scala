@@ -2873,6 +2873,55 @@ object PipelineQueries {
           emb.filter(col("vec_id") < IdxBatchQ), "embedding", "vec_id",
           "vec_id", "vec_id", k = IdxBatchK, nprobe = IdxSearchNprobe)
         .orderBy("qid", "rn")
+    },
+
+    // ---- spatial: MBR overlap self-join with reference-point dedup --------
+    // Joins.mbrOverlapJoin on q177's scale-invariant plane: every polygon
+    // pair whose bounding rectangles strictly overlap, exact intersection
+    // area, id_a < id_b. The load-bearing technique is the REFERENCE-POINT
+    // dedup: a pair sharing k grid cells surfaces k times from the
+    // cell-replicated join, and instead of a distinct() (a full extra
+    // shuffle of the pair set) only the cell holding the intersection's
+    // lower-left corner claims the pair — exactly-once emission straight
+    // out of the equi-join; the plan contains NO aggregate (PlansSpec).
+    // The oracle replicates cells, pairing, the claim rule, and the area
+    // arithmetic (GREATEST/LEAST + one subtract/multiply chain — identical
+    // IEEE sequences).
+    Q("q183_mbr_overlap_join", {
+      s"""WITH spr AS (SELECT (MAX(p_partkey) + 50) // 50 AS nrows FROM part),
+         |mb_g AS (SELECT p_partkey AS poly_id,
+         |    CAST(p_partkey % 50 AS DOUBLE) * 40.0 AS ox,
+         |    CAST(p_partkey // 50 AS DOUBLE) * 40.0 AS oy,
+         |    CAST(p_size AS DOUBLE) AS w, p_retailprice/100.0 AS h FROM part),
+         |mb_m AS (SELECT poly_id, ox AS x0, oy AS y0, ox+w AS x1, oy+h+2.0 AS y1 FROM mb_g),
+         |mb_cx AS (SELECT *, unnest(generate_series(CAST(FLOOR(x0/40.0) AS BIGINT),
+         |    CAST(FLOOR(x1/40.0) AS BIGINT))) AS cx FROM mb_m),
+         |mb_c AS (SELECT *, unnest(generate_series(CAST(FLOOR(y0/40.0) AS BIGINT),
+         |    CAST(FLOOR(y1/40.0) AS BIGINT))) AS cy FROM mb_cx),
+         |mb_p AS (SELECT a.poly_id AS id_a, b.poly_id AS id_b, a.cx AS cx, a.cy AS cy,
+         |    GREATEST(a.x0, b.x0) AS ix0, GREATEST(a.y0, b.y0) AS iy0,
+         |    LEAST(a.x1, b.x1) AS ix1, LEAST(a.y1, b.y1) AS iy1
+         |  FROM mb_c a JOIN mb_c b ON a.cx = b.cx AND a.cy = b.cy
+         |    AND a.poly_id < b.poly_id)
+         |SELECT id_a, id_b, (ix1 - ix0) * (iy1 - iy0) AS area FROM mb_p
+         |WHERE ix0 < ix1 AND iy0 < iy1
+         |  AND CAST(FLOOR(ix0/40.0) AS BIGINT) = cx
+         |  AND CAST(FLOOR(iy0/40.0) AS BIGINT) = cy
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        struct(x.as("x"), y.as("y"))
+      val ox = pmod(col("p_partkey"), lit(50)).cast("double") * lit(40.0)
+      val oy = expr("p_partkey div 50").cast("double") * lit(40.0)
+      val w = col("p_size").cast("double")
+      val h = col("p_retailprice") / lit(100.0)
+      val rings = array(array(
+        pt(ox, oy), pt(ox + w, oy), pt(ox + w, oy + h),
+        pt(ox + w / lit(2.0), oy + h + lit(2.0)), pt(ox, oy + h)))
+      val polys = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("poly_id"), rings.as("geom"))
+      Joins.mbrOverlapJoin(polys, "poly_id", "geom", cellSize = 40.0)
+        .orderBy("id_a", "id_b")
     }
   )
 }

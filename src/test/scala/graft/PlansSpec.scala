@@ -389,6 +389,15 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("MBR overlap join (q183): reference-point dedup — no aggregate, no distinct") {
+    val plan = formatted(SparkEntry.queries("q183_mbr_overlap_join")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly-once emission comes from the claim-cell filter, not a dedup
+    // pass: the whole plan carries ZERO aggregates
+    assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate") &&
+      !plan.contains("SortAggregate"), plan)
+  }
+
   test("dense surrogates (q163): every id-bearing window is shard-keyed") {
     val df = graft.operators.Curation.denseSurrogates(
       Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)

@@ -202,6 +202,31 @@ class PolyGeomSpec extends AnyFunSuite {
     }
   }
 
+  test("mbrOverlapJoin: equals brute force and emits each pair exactly once at any cell size") {
+    import graft.operators.{Joins, PolyGeom}
+    // overlapping squares at varied offsets; several pairs straddle many cells
+    val polys = ringsDf((0 until 12).map { i =>
+      val o = i * 4.0
+      Seq(Seq((o, o), (o + 10.0, o), (o + 10.0, o + 10.0), (o, o + 10.0)))
+    })
+    val mbrs = polys.select(col("id"), PolyGeom.polygonMbr(col("rings")).as("m"))
+      .select(col("id"), col("m.xmin"), col("m.ymin"), col("m.xmax"), col("m.ymax"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val brute = (for {
+      a <- mbrs.keys; b <- mbrs.keys if a < b
+      (ax0, ay0, ax1, ay1) = mbrs(a); (bx0, by0, bx1, by1) = mbrs(b)
+      if math.max(ax0, bx0) < math.min(ax1, bx1) &&
+        math.max(ay0, by0) < math.min(ay1, by1)
+    } yield (a, b)).toSet
+    for (cell <- Seq(3.0, 10.0, 100.0)) {
+      val rows = Joins.mbrOverlapJoin(polys, "id", "rings", cell)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.distinct.length, s"cell=$cell: duplicate pairs emitted")
+      assert(rows.toSet == brute, s"cell=$cell got=${rows.length} want=${brute.size}")
+    }
+  }
+
   test("CRS + encoding metadata ride the geometry column through the parquet sink") {
     Session.withScratch { s =>
       val df = ringsDf(Seq(square)).select(col("id"),
