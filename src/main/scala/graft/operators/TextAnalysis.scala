@@ -792,4 +792,99 @@ object TextAnalysis {
        |SELECT n_terms, slope,
        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE) AS intercept
        |FROM zf_f""".stripMargin
+
+  // ---- BPE merge learning (tokenizer training) ----------------------------
+  /** Separator for the wrapped-symbol string encoding. Words are lowercase
+    * letter runs, so U+001F never collides with symbol content. */
+  val BpeSep = "\u001f"
+
+  /** Wrapped-symbol encoding of a word's current segmentation: every symbol
+    * is individually wrapped, `␟sym₁␟␟sym₂␟…` — so the merge of pair (l,r)
+    * is ONE literal string replace of `␟l␟␟r␟` with `␟lr␟`, and `replace`'s
+    * left-to-right non-overlapping scan IS BPE's greedy merge order, in
+    * both engines, with no fold and no false match across symbol
+    * boundaries (a pattern's leading `␟l␟` can't match the tail of a
+    * longer symbol — the char before would be part of that symbol, not a
+    * wrap separator). */
+  private def bpeInitSymbols(word: Column): Column =
+    concat(lit(BpeSep),
+      rtrim(regexp_replace(word, "(.)", s"$$1$BpeSep$BpeSep"), BpeSep),
+      lit(BpeSep))
+
+  /** Sennrich-style BPE merge learning: the `k` highest-count adjacent
+    * symbol pairs over the corpus, learned iteratively (each merge applies
+    * before the next count). Output: (rank, lhs, rhs, weight) — weight is
+    * the pair's corpus frequency at the time it was chosen; ties break
+    * (weight DESC, lhs, rhs), total order.
+    *
+    * Scale — the classic tokenizer-training shape: the CORPUS is scanned
+    * once, into the word-TYPE table (groupBy word, vocabulary-bounded
+    * regardless of corpus size); every iteration then touches only the
+    * vocabulary — pair counts partial-aggregate map-side, the top-1 is a
+    * TakeOrdered (never a full sort), the merge application is one
+    * codegen'd literal `replace` in the scan stage; the driver holds k
+    * (pair, count) rows and nothing else. k is small (a production vocab
+    * build runs ~30k merges of a few million word types — still vocab-,
+    * not corpus-, scaled). */
+  def bpeTopMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    var vocab = df
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), bpeInitSymbols(col("w")).as("s"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to k) {
+      val syms = split(trim(col("s"), BpeSep), BpeSep + BpeSep)
+      val top = vocab
+        .select(col("freq"), syms.as("__syms"))
+        .select(col("freq"), explode(
+          when(size(col("__syms")) >= 2,
+            transform(sequence(lit(1), size(col("__syms")) - 1), i =>
+              struct(element_at(col("__syms"), i).as("l"),
+                element_at(col("__syms"), i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, cnt))
+        vocab = vocab.withColumn("s", replace(col("s"),
+          lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep), lit(BpeSep + l + r + BpeSep)))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "weight")
+      .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"), col("weight"))
+  }
+
+  /** Oracle face of [[bpeTopMerges]] — the same iteration chain as nested
+    * CTEs (b0 → p1/t1 → b1 → p2/t2 → …), one pair of CTEs per merge. */
+  def bpeTopMergesSql(tableE: String, textE: String, k: Int): String = {
+    val S = BpeSep
+    def pairCtes(i: Int): String =
+      s"""bpe_p$i AS (SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, string_split(trim(s, '$S'), '$S$S') AS syms,
+         |      unnest(generate_series(1, len(string_split(trim(s, '$S'), '$S$S')) - 1)) AS j
+         |    FROM bpe_b${i - 1}) t GROUP BY 1, 2),
+         |bpe_t$i AS (SELECT l, r, cnt FROM bpe_p$i ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    def applyCte(i: Int): String =
+      s"""bpe_b$i AS (SELECT w, freq,
+         |  replace(s, (SELECT '$S'||l||'$S$S'||r||'$S' FROM bpe_t$i),
+         |             (SELECT '$S'||l||r||'$S' FROM bpe_t$i)) AS s FROM bpe_b${i - 1})""".stripMargin
+    val iters = (1 to k).map { i =>
+      if (i < k) s"${pairCtes(i)},\n${applyCte(i)}" else pairCtes(i)
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS rank, l AS lhs, r AS rhs, cnt AS weight FROM bpe_t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH bpe_w AS (SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower($textE), '[a-z]+')) AS w FROM $tableE) GROUP BY w),
+       |bpe_b0 AS (SELECT w, freq,
+       |    '$S' || rtrim(regexp_replace(w, '(.)', '\\1$S$S', 'g'), '$S') || '$S' AS s
+       |  FROM bpe_w),
+       |$iters
+       |$out""".stripMargin
+  }
 }

@@ -2922,6 +2922,23 @@ object PipelineQueries {
         .select(col("p_partkey").as("poly_id"), rings.as("geom"))
       Joins.mbrOverlapJoin(polys, "poly_id", "geom", cellSize = 40.0)
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- text: BPE merge learning (tokenizer training) --------------------
+    // TextAnalysis.bpeTopMerges — Sennrich-style: the corpus is scanned
+    // ONCE into the word-TYPE table (vocabulary-bounded regardless of
+    // corpus size); each of the k iterations counts adjacent symbol pairs
+    // over the vocab (map-side partial agg), takes the top pair
+    // (TakeOrdered, ties weight DESC then lexicographic), and applies the
+    // merge as ONE literal string replace over the wrapped-symbol encoding
+    // — replace's left-to-right non-overlapping scan IS BPE's greedy merge
+    // order, identical in both engines, no fold and no cross-boundary
+    // false matches. The oracle chains the same iterations as CTEs.
+    Q("q184_bpe_merges",
+      TextAnalysis.bpeTopMergesSql("documents", "text", k = 5) +
+        "\nORDER BY rank") { (s, dir) =>
+      TextAnalysis.bpeTopMerges(Tables.load(s, dir, "documents"), "text", k = 5)
+        .orderBy("rank")
     }
   )
 }

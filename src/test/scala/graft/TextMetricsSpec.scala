@@ -81,4 +81,25 @@ class TextMetricsSpec extends AnyFunSuite {
       assert(k == expected, s"langStats mismatch for doc ${r.getLong(0)}: $k vs $expected")
     }
   }
+
+  test("bpeTopMerges: hand-computed greedy merges, ties and overlaps included") {
+    // corpus: aaab ×2, ab ×1
+    //  it1: (a,a)=4  (aa in aaab counts twice per word), (a,b)=3 → merge (a,a)
+    //       aaab → [aa,a,b] (greedy left-to-right: the FIRST aa fuses), ab → [a,b]
+    //  it2: (aa,a)=2, (a,b)=2+1=3 → merge (a,b)
+    //  it3: [aa,ab] ×2, [ab] → (aa,ab)=2
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTopMerges(docs, "text", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)), got)
+    // cross-boundary guard: pair (b,a) must NOT match inside symbol "ab"
+    val docs2 = Seq((1L, "abab abab abab cc")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpeTopMerges(docs2, "text", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // it1: (a,b)=6, (b,a)=3, (c,c)=1 → merge (a,b); abab → [ab,ab]
+    // it2: (ab,ab)=3 beats (c,c)=1 — and (b,a) has vanished entirely
+    assert(got2 == Seq(("a", "b", 6L), ("ab", "ab", 3L)), got2)
+  }
 }
