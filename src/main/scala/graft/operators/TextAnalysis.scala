@@ -859,9 +859,55 @@ object TextAnalysis {
       .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"), col("weight"))
   }
 
-  /** Oracle face of [[bpeTopMerges]] — the same iteration chain as nested
-    * CTEs (b0 → p1/t1 → b1 → p2/t2 → …), one pair of CTEs per merge. */
-  def bpeTopMergesSql(tableE: String, textE: String, k: Int): String = {
+  /** Apply a learned merge list: per document, the BPE token count after
+    * the `merges` apply in order — the "encode" half of the tokenizer
+    * ([[bpeTopMerges]] is "train"). Each word wraps into the symbol
+    * encoding, the merges chain as k literal replaces (greedy
+    * left-to-right, the same order training used), and the token count is
+    * the surviving segment count summed over the document's words.
+    *
+    * Scale: a pure per-row scalar pipeline — regexp + k replaces + split
+    * inside one codegen stage, zero shuffle; the merge list is k driver
+    * literals (a production vocab is ~30k merges — at that size ship the
+    * merge ranks as a broadcast map and segment with a compiled kernel;
+    * the k-literal form here is the oracle-exact reference). */
+  def bpeSegmentCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val ws = words(text)
+    val counted = transform(ws, w => {
+      val segmented = merges.foldLeft(bpeInitSymbols(w)) { case (s, (l, r)) =>
+        replace(s, lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep))
+      }
+      size(split(trim(segmented, BpeSep), BpeSep + BpeSep))
+    })
+    aggregate(counted, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Oracle face of [[bpeSegmentCount]] over a merge chain learned by
+    * [[bpeTopMergesSql]]'s CTEs: the k (l, r) pairs ride in as columns of a
+    * one-row cross-joined CTE so the per-word lambda can reference them. */
+  def bpeSegmentCountSql(tableE: String, textE: String, idE: String,
+                         k: Int): String = {
+    val S = BpeSep
+    val mergeCols = (1 to k).map(i =>
+      s"(SELECT l FROM bpe_t$i) AS l$i, (SELECT r FROM bpe_t$i) AS r$i").mkString(", ")
+    val wrapped = s"'$S' || rtrim(regexp_replace(w, '(.)', '\\1$S$S', 'g'), '$S') || '$S'"
+    val chain = (1 to k).foldLeft(wrapped) { (acc, i) =>
+      s"replace($acc, '$S'||l$i||'$S$S'||r$i||'$S', '$S'||l$i||r$i||'$S')"
+    }
+    s"""bpe_m AS (SELECT $mergeCols),
+       |bpe_out AS (SELECT $idE AS id,
+       |    CAST(COALESCE(list_sum(list_transform(
+       |      regexp_extract_all(lower($textE), '[a-z]+'),
+       |      w -> len(string_split(trim($chain, '$S'), '$S$S')))), 0) AS BIGINT) AS n_bpe
+       |  FROM $tableE, bpe_m)""".stripMargin
+  }
+
+  /** The merge-learning CTE chain shared by [[bpeTopMergesSql]] and
+    * [[bpeSegmentCountSql]]: bpe_w (word types) → bpe_b0 (initial symbol
+    * encodings) → per-iteration bpe_p$i (pair counts) / bpe_t$i (top pair)
+    * / bpe_b$i (merge applied). */
+  def bpeMergeCtes(tableE: String, textE: String, k: Int): String = {
     val S = BpeSep
     def pairCtes(i: Int): String =
       s"""bpe_p$i AS (SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -876,15 +922,21 @@ object TextAnalysis {
     val iters = (1 to k).map { i =>
       if (i < k) s"${pairCtes(i)},\n${applyCte(i)}" else pairCtes(i)
     }.mkString(",\n")
-    val out = (1 to k).map(i =>
-      s"SELECT $i AS rank, l AS lhs, r AS rhs, cnt AS weight FROM bpe_t$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH bpe_w AS (SELECT w, COUNT(*) AS freq FROM (
+    s"""bpe_w AS (SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower($textE), '[a-z]+')) AS w FROM $tableE) GROUP BY w),
        |bpe_b0 AS (SELECT w, freq,
        |    '$S' || rtrim(regexp_replace(w, '(.)', '\\1$S$S', 'g'), '$S') || '$S' AS s
        |  FROM bpe_w),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  /** Oracle face of [[bpeTopMerges]] — the same iteration chain as nested
+    * CTEs (b0 → p1/t1 → b1 → p2/t2 → …), one pair of CTEs per merge. */
+  def bpeTopMergesSql(tableE: String, textE: String, k: Int): String = {
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS rank, l AS lhs, r AS rhs, cnt AS weight FROM bpe_t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeMergeCtes(tableE, textE, k)}
        |$out""".stripMargin
   }
 }

@@ -2939,6 +2939,28 @@ object PipelineQueries {
         "\nORDER BY rank") { (s, dir) =>
       TextAnalysis.bpeTopMerges(Tables.load(s, dir, "documents"), "text", k = 5)
         .orderBy("rank")
+    },
+
+    // ---- text: BPE tokenize with the learned merges -----------------------
+    // The "encode" half (q184 is "train"): per document, the BPE token
+    // count after the 5 learned merges apply in order — k literal replaces
+    // over the wrapped-symbol encoding, a pure scan-stage scalar pipeline
+    // with the merge list as driver literals. The oracle re-learns the
+    // merges with the shared CTE chain and applies the same replace chain
+    // inside a per-word lambda (the one-row bpe_m cross join carries the
+    // pairs into lambda scope).
+    Q("q185_bpe_tokenize", {
+      s"""WITH ${TextAnalysis.bpeMergeCtes("documents", "text", 5)},
+         |${TextAnalysis.bpeSegmentCountSql("documents", "text", "doc_id", 5)}
+         |SELECT id AS doc_id, n_bpe FROM bpe_out ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val merges = TextAnalysis.bpeTopMerges(docs, "text", k = 5)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("doc_id"),
+          TextAnalysis.bpeSegmentCount(col("text"), merges).as("n_bpe"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -101,5 +101,14 @@ class TextMetricsSpec extends AnyFunSuite {
     // it1: (a,b)=6, (b,a)=3, (c,c)=1 → merge (a,b); abab → [ab,ab]
     // it2: (ab,ab)=3 beats (c,c)=1 — and (b,a) has vanished entirely
     assert(got2 == Seq(("a", "b", 6L), ("ab", "ab", 3L)), got2)
+    // encode half: zero merges = letter count; each merge monotonically
+    // shrinks the segment count; the hand example lands exactly
+    val df3 = Seq((1L, "aaab ab")).toDF("doc_id", "text")
+    def segs(ms: Seq[(String, String)]): Long =
+      df3.select(TextAnalysis.bpeSegmentCount(col("text"), ms).as("n"))
+        .first().getLong(0)
+    assert(segs(Nil) == 6L)                           // a,a,a,b + a,b
+    assert(segs(Seq(("a", "a"))) == 5L)               // aa,a,b + a,b
+    assert(segs(Seq(("a", "a"), ("a", "b"))) == 3L)   // aa,ab + ab
   }
 }
