@@ -2961,6 +2961,56 @@ object PipelineQueries {
       docs.select(col("doc_id"),
           TextAnalysis.bpeSegmentCount(col("text"), merges).as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // ---- streaming: transformWithState running counts (RocksDB) -----------
+    // The tenth true streaming execution makes the CURRENT arbitrary-state
+    // API (transformWithState: typed ValueState, RocksDB-backed) oracle-
+    // checked end to end: per-user running event counts across TWO
+    // AvailableNow runs on one checkpoint (the q178 restart-and-catch-up
+    // shape), so the per-user ValueState provably survives a process
+    // restart — the second run's emissions include the first run's counts.
+    // The update-mode sink keeps every emission tagged __batch; the face
+    // reduces to each user's LAST running count, which the oracle equates
+    // to the plain batch COUNT(*).
+    Q("q186_streaming_running_count",
+      """SELECT user_id, COUNT(*) AS n FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/rc_src"
+      val sink = s"${scratch.dir}/rc_sink"
+      val chk = s"${scratch.dir}/chk186"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        var sinkDf: org.apache.spark.sql.DataFrame = null
+        Seq(("b1", ev.filter(pmod(col("event_id"), lit(2)) === 0)),
+            ("b2", ev.filter(pmod(col("event_id"), lit(2)) === 1))).foreach {
+          case (name, d) =>
+            Streams.landFile(d.drop("event_id"), src, name)
+            val schema = s.read.parquet(src).schema
+            sinkDf = Streams.runUpdateTagged(s, sink, chk) {
+              Streams.runningCounts(
+                s.readStream.schema(schema).parquet(src)
+                  .select(col("user_id"), col("ts")).as[Streams.SessionEvent])
+                .toDF("user_id", "n")
+            }._1
+        }
+        val w = Window.partitionBy("user_id").orderBy(col("__batch").desc)
+        sinkDf.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select("user_id", "n")
+          .orderBy("user_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 }
