@@ -3011,6 +3011,38 @@ object PipelineQueries {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // ---- lakehouse: SQL time travel through the snapshot catalog ----------
+    // sources/SnapshotCatalog: the versioned snapshot store as a Spark
+    // TableCatalog — `VERSION AS OF` maps to DSv2 loadTable(ident, version)
+    // over the immutable v=N folders, and an unpinned SQL read resolves
+    // ONLY through the atomically-swapped _latest pointer (the q158
+    // crash-orphan rule, now holding for SQL readers too). q158 proved the
+    // protocol via the Scala API; this face proves a SQL user gets the
+    // same guarantees with plain `SELECT ... VERSION AS OF 1`. Re-runs
+    // append new versions — v=1 stays immutable and the pointer tracks the
+    // newest full write, so the face is rerun-safe by the protocol itself.
+    Q("q187_sql_time_travel",
+      """SELECT 1 AS v, doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 300
+        |UNION ALL SELECT 2, doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY v, doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        val scratch = new graft.Session.Scratch
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
+      }
+      val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      Sinks.writeSnapshot(docs.filter(col("doc_id") < 300), s"$ws/docsnap")
+      Sinks.writeSnapshot(docs, s"$ws/docsnap")
+      s.sql(s"""SELECT 1 AS v, doc_id, text, lang, source, n_chars
+               |FROM $cat.docsnap VERSION AS OF 1
+               |UNION ALL
+               |SELECT 2, doc_id, text, lang, source, n_chars FROM $cat.docsnap
+               |ORDER BY v, doc_id""".stripMargin)
     }
   )
 }

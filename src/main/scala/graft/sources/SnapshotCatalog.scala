@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The versioned snapshot store ([[graft.operators.Sinks.writeSnapshot]]
+  * protocol: immutable `v=N` folders + an atomically-renamed `_latest`
+  * pointer) surfaced as a Spark `TableCatalog` with SQL TIME TRAVEL:
+  *
+  * {{{
+  *   spark.sql.catalog.snap           = graft.sources.SnapshotCatalog
+  *   spark.sql.catalog.snap.workspace = /data/snapshots
+  *
+  *   SELECT * FROM snap.docs                   -- the committed pointer
+  *   SELECT * FROM snap.docs VERSION AS OF 3   -- pinned version
+  * }}}
+  *
+  * `VERSION AS OF` maps to DSv2's `loadTable(ident, version)`; an unpinned
+  * read resolves ONLY through the `_latest` pointer (never folder listings
+  * — the [[graft.operators.Sinks.readSnapshot]] crash-orphan rule), so a
+  * concurrent or crashed writer is invisible to SQL readers too. Each
+  * resolved version is served as Spark's own `ParquetTable`, so pushdown /
+  * pruning / vectorization apply unchanged.
+  *
+  * Read-only by design: snapshot WRITES go through the publish protocol
+  * (`writeSnapshot`/`writeSnapshotAs` — version allocation + atomic pointer
+  * swap), which a plain SQL INSERT cannot express. `TIMESTAMP AS OF` is
+  * rejected with guidance: the protocol records versions, not commit
+  * timestamps — pin by version (the reproducible handle a training run
+  * should store anyway).
+  */
+class SnapshotCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var workspace: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    workspace = options.get("workspace")
+    require(workspace != null,
+      s"spark.sql.catalog.$name.workspace must point to a directory of snapshot tables")
+  }
+  override def name(): String = catalogName
+
+  private def dirEntries(): Seq[String] = {
+    val d = new java.io.File(workspace)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && new java.io.File(f, "_latest").exists())
+      .map(_.getName)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    dirEntries().map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
+  private def resolve(ident: Identifier): String =
+    dirEntries().find(_.equalsIgnoreCase(ident.name()))
+      .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
+
+  private def serve(tableDir: String, version: Int): Table = {
+    val vDir = s"$workspace/$tableDir/v=$version"
+    if (!new java.io.File(vDir).isDirectory)
+      throw new IllegalArgumentException(
+        s"snapshot version $version does not exist under $tableDir")
+    ParquetTable(s"$tableDir@v$version", SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(vDir), None,
+      classOf[ParquetFileFormat])
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = resolve(ident)
+    val committed = graft.operators.Sinks
+      .snapshotCommitted(SparkSession.active, s"$workspace/$t")
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot for $t"))
+    serve(t, committed)
+  }
+
+  /** SQL `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.nonEmpty && version.forall(_.isDigit),
+      s"snapshot versions are integers, got '$version'")
+    serve(resolve(ident), version.toInt)
+  }
+
+  /** SQL `TIMESTAMP AS OF` — not supported: the publish protocol records
+    * versions, not commit timestamps. Pin by version instead. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    throw new UnsupportedOperationException(
+      "snapshot tables pin by VERSION AS OF <n>; the publish protocol does not record commit timestamps")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "snapshot tables are written via Sinks.writeSnapshot (atomic publish protocol), not SQL DDL")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("read-only snapshot catalog")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "retire snapshots via Sinks.expireSnapshots (retention janitor), not SQL DROP")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("read-only snapshot catalog")
+}

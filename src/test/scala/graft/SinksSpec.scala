@@ -188,6 +188,34 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.snapshotVersions(spark, table).nonEmpty)
   }
 
+  test("SnapshotCatalog: SQL time travel, pointer-only unpinned reads, orphan invisibility") {
+    val s = new graft.Session.Scratch
+    spark.conf.set("spark.sql.catalog.snaptest", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.snaptest.workspace", s.dir)
+    val df1 = Tables.load(spark, sf, "region")   // 5 rows
+    val df2 = Tables.load(spark, sf, "nation")   // 25 rows
+    Sinks.writeSnapshot(df1.select(col("r_regionkey").as("k")), s"${s.dir}/t")
+    Sinks.writeSnapshot(df2.select(col("n_nationkey").as("k")), s"${s.dir}/t")
+    // unpinned SQL read = the committed pointer (v2)
+    assert(spark.sql("SELECT count(*) AS n FROM snaptest.t").first().getLong(0) == 25)
+    // VERSION AS OF pins the immutable v1
+    assert(spark.sql("SELECT count(*) AS n FROM snaptest.t VERSION AS OF 1")
+      .first().getLong(0) == 5)
+    // a crashed writer's orphan folder (v3, no pointer swap) stays invisible
+    df1.select(col("r_regionkey").as("k")).write.parquet(s"${s.dir}/t/v=3")
+    assert(spark.sql("SELECT count(*) AS n FROM snaptest.t").first().getLong(0) == 25)
+    // ... but an explicit pin can still inspect it
+    assert(spark.sql("SELECT count(*) AS n FROM snaptest.t VERSION AS OF 3")
+      .first().getLong(0) == 5)
+    // TIMESTAMP AS OF is rejected with guidance; a non-snapshot dir is not a table
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snaptest.t TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(e.getMessage.contains("VERSION AS OF"), e.getMessage)
+    new java.io.File(s"${s.dir}/plain").mkdirs()
+    intercept[Exception] { spark.sql("SELECT * FROM snaptest.plain").collect() }
+  }
+
   test("writeSnapshotAs: replay-idempotent, pointer only moves forward") {
     val s = new graft.Session.Scratch
     val table = s"${s.dir}/replayed"
