@@ -76,7 +76,10 @@ object Graft {
       if (idxCols.nonEmpty) d = d.drop(idxCols.toIndexedSeq: _*)
     }
     d = cols.map(FieldMap(d, _)).getOrElse(d)
-    val xy = for { x <- xCol; y <- yCol; s <- srs } yield (x, y, s)
+    // The reference derives geometry whenever BOTH x_col and y_col are given
+    // (`arc_utils.py:877-881`); srs is passed through and may be absent —
+    // srid 0 is the standard "unknown spatial reference" encoding.
+    val xy = for { x <- xCol; y <- yCol } yield (x, y, srs.getOrElse(0))
     operators.Sinks.writeTable(d, workspace, outputTable,
       overwrite = overwrite, xy = xy, coerce = true, varcharMode = varcharMode)
     if (getCursor)

@@ -117,14 +117,6 @@ object MediaCodec {
     * mean, compared in exact integers (sum_b·n ≥ total·len_b); empty
     * blocks (n < 64) yield 0. A pure function of the payload bytes, so
     * the DuckDB oracle reproduces it from the source characters. */
-  /** a·b >= c·d over non-negative longs, exact at 128 bits (no overflow). */
-  private def geUnsigned128(a: Long, b: Long, c: Long, d: Long): Boolean = {
-    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
-    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
-    if (hi1 != hi2) hi1 > hi2
-    else java.lang.Long.compareUnsigned(lo1, lo2) >= 0
-  }
-
   def aHash64(pixels: Array[Byte], nBytes: Int): ArrayData = {
     val n = math.min(math.max(nBytes, 0), pixels.length)
     var total = 0L
@@ -148,6 +140,14 @@ object MediaCodec {
       b += 1
     }
     new GenericArrayData(Array(hi, lo))
+  }
+
+  /** a·b >= c·d over non-negative longs, exact at 128 bits (no overflow). */
+  private def geUnsigned128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) >= 0
   }
 
   /** 16-bucket histogram (bucket = pixel >> 4) over the first `nBytes`

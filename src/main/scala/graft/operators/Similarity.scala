@@ -390,16 +390,24 @@ object Similarity {
     * pivot-bounded, nothing corpus-sized (the "no Window in KNN" rule
     * forbids windows over CORPUS-sized score sets, not this). Candidates
     * come from an EQUI-join of the index on `centroid_id` against the
-    * Q·nprobe probe set (broadcast when the probe set is small, list-id
-    * shuffle when not) — candidate volume is Σ_q probed-list sizes, never
-    * |corpus|·|Q|. Query vectors rejoin broadcast by qid; the final
-    * ranking is the bounded-heap top-k aggregate (k-sized exchanges).
-    * Output: (qid, id, cos, rn). */
+    * Q·nprobe probe set — candidate volume is Σ_q probed-list sizes, never
+    * |corpus|·|Q|. Query vectors rejoin by qid; the final ranking is the
+    * bounded-heap top-k aggregate (k-sized exchanges).
+    * Output: (qid, id, cos, rn).
+    *
+    * `hintBroadcast` (default true) pins the query/probe sides as
+    * broadcasts — right for the serving shape this models, where a batch
+    * is a bounded request (hundreds to low millions of rows). For BULK
+    * query sets that outgrow broadcast (tens of millions), pass false so
+    * the planner/AQE picks a centroid_id/qid shuffle join instead — a
+    * pinned broadcast there means driver OOM, not a slow plan. */
   def ivfBatchSearch(index: DataFrame, pivots: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, pivotIdCol: String,
-                     qidCol: String, k: Int, nprobe: Int): DataFrame = {
+                     qidCol: String, k: Int, nprobe: Int,
+                     hintBroadcast: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv")))
+    def hinted(df: DataFrame) = if (hintBroadcast) broadcast(df) else df
+    val q = hinted(queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv")))
     val probeW = Window.partitionBy("qid").orderBy(col("__pcos").desc, col("cid").asc)
     val probes = pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("__cv"))
       .crossJoin(q)
@@ -408,7 +416,7 @@ object Similarity {
       .withColumn("__prn", row_number().over(probeW))
       .filter(col("__prn") <= nprobe)
       .select(col("qid"), col("cid").as("centroid_id"))
-    val cands = index.join(broadcast(probes), Seq("centroid_id"))
+    val cands = index.join(hinted(probes), Seq("centroid_id"))
       .join(q, Seq("qid"))
       .select(col("qid"), col(idCol),
         VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"))

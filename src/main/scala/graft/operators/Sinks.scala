@@ -214,26 +214,19 @@ object Sinks {
     * construction, no side ledger. The pointer only ever moves forward
     * (a replay of an old batch can't demote a newer commit).
     *
-    * Concurrency contract: the forward-only guarantee is enforced by a
-    * read-check-rename with a verify-and-retry, NOT a true compare-and-swap
-    * (HDFS rename can't express one). With a SINGLE live writer — the
-    * streaming-sink topology this hook exists for, where replays are
-    * re-executions of the same writer, never concurrent with it — the
-    * re-read after rename closes the window: if an interleaving left an
-    * older version in `_latest`, the newer writer detects the demotion and
-    * re-swaps. Genuinely concurrent independent writers need an external
-    * lock or a log-structured commit protocol (out of scope here). */
+    * Concurrency contract: the forward-only guarantee is a read-check-rename,
+    * NOT a compare-and-swap (HDFS rename can't express one), so it holds
+    * under SERIALIZED writers — exactly the streaming-sink model this hook
+    * exists for, where a replay is a re-execution of the same (single)
+    * writer, never concurrent with a newer batch. Genuinely concurrent
+    * independent writers can interleave read-then-rename and demote the
+    * pointer; they need an external lock or a log-structured commit
+    * protocol (out of scope here — no retry loop can close that window
+    * without one). */
   def writeSnapshotAs(df: DataFrame, tableDir: String, version: Int): Int = {
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$version")
-    val spark = df.sparkSession
-    var attempts = 0
-    while (snapshotCommitted(spark, tableDir).forall(_ < version) &&
-           attempts < 3) {
-      commitPointer(spark, tableDir, version)
-      attempts += 1
-      // verify: loop exits when the pointer reads >= version (normally one
-      // pass; a lost race with a replay re-swaps at most twice more)
-    }
+    if (snapshotCommitted(df.sparkSession, tableDir).forall(_ < version))
+      commitPointer(df.sparkSession, tableDir, version)
     version
   }
 

@@ -828,10 +828,17 @@ object TextAnalysis {
     * not corpus-, scaled). */
   def bpeTopMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
+    // localCheckpoint after the corpus aggregation: WITHOUT it, every
+    // iteration's collect() re-runs the corpus scan + explode + groupBy
+    // (the phashPairs re-evaluation trap) — the "scanned ONCE" contract
+    // only holds if the vocab is materialized. Re-checkpoint after each
+    // merge application so the replace chain doesn't deepen the lineage
+    // (k can be tens of thousands in a production vocab build).
     var vocab = df
       .select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), bpeInitSymbols(col("w")).as("s"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (rank <- 1 to k) {
       val syms = split(trim(col("s"), BpeSep), BpeSep + BpeSep)
@@ -852,6 +859,7 @@ object TextAnalysis {
         merges += ((rank, l, r, cnt))
         vocab = vocab.withColumn("s", replace(col("s"),
           lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep), lit(BpeSep + l + r + BpeSep)))
+          .localCheckpoint()
       }
     }
     import spark.implicits._
@@ -892,8 +900,17 @@ object TextAnalysis {
     val mergeCols = (1 to k).map(i =>
       s"(SELECT l FROM bpe_t$i) AS l$i, (SELECT r FROM bpe_t$i) AS r$i").mkString(", ")
     val wrapped = s"'$S' || rtrim(regexp_replace(w, '(.)', '\\1$S$S', 'g'), '$S') || '$S'"
+    // guard each step: if fewer than k merges were learnable, bpe_t$i is
+    // empty and l$i/r$i are NULL — an unguarded replace(s, NULL, NULL)
+    // would NULL every segmentation and COALESCE would mask it as 0. The
+    // guard COALESCEs the SEARCH to three consecutive separators, which a
+    // wrapped encoding can never contain (symbols are non-empty, so
+    // boundaries are exactly '$S$S' with single '$S' ends) — a no-op
+    // replace, keeping the chained expression linear in k (a CASE that
+    // repeats the accumulator would double the text per level).
     val chain = (1 to k).foldLeft(wrapped) { (acc, i) =>
-      s"replace($acc, '$S'||l$i||'$S$S'||r$i||'$S', '$S'||l$i||r$i||'$S')"
+      s"replace($acc, COALESCE('$S'||l$i||'$S$S'||r$i||'$S', '$S$S$S'), " +
+        s"COALESCE('$S'||l$i||r$i||'$S', ''))"
     }
     s"""bpe_m AS (SELECT $mergeCols),
        |bpe_out AS (SELECT $idE AS id,

@@ -48,11 +48,20 @@ class SnapshotCatalog extends TableCatalog {
   }
   override def name(): String = catalogName
 
+  // All path probing goes through the Hadoop FileSystem API — the snapshot
+  // protocol targets hdfs:// / s3a:// workspaces, which java.io.File can't
+  // see (Sinks.commitPointer's atomicity claim is specifically about HDFS).
+  private def fs(path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
   private def dirEntries(): Seq[String] = {
-    val d = new java.io.File(workspace)
-    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && new java.io.File(f, "_latest").exists())
-      .map(_.getName)
+    val root = new org.apache.hadoop.fs.Path(workspace)
+    val f = fs(root)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_latest")))
+      .map(_.getPath.getName)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -66,7 +75,8 @@ class SnapshotCatalog extends TableCatalog {
 
   private def serve(tableDir: String, version: Int): Table = {
     val vDir = s"$workspace/$tableDir/v=$version"
-    if (!new java.io.File(vDir).isDirectory)
+    val vPath = new org.apache.hadoop.fs.Path(vDir)
+    if (!fs(vPath).exists(vPath) || !fs(vPath).getFileStatus(vPath).isDirectory)
       throw new IllegalArgumentException(
         s"snapshot version $version does not exist under $tableDir")
     ParquetTable(s"$tableDir@v$version", SparkSession.active,

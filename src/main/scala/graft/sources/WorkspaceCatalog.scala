@@ -47,9 +47,16 @@ class WorkspaceCatalog extends TableCatalog {
   }
   override def name(): String = catalogName
 
+  // Path probing via the Hadoop FileSystem API, not java.io.File — a
+  // workspace may live on hdfs://, s3a://, or any configured filesystem.
+  private def fs(path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
   private def dirEntries(): Seq[String] = {
-    val d = new java.io.File(workspace)
-    Option(d.list()).map(_.toSeq).getOrElse(Nil)
+    val root = new org.apache.hadoop.fs.Path(workspace)
+    val f = fs(root)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
   }
 
@@ -82,7 +89,8 @@ class WorkspaceCatalog extends TableCatalog {
   // appends/truncates go through Spark's own vectorized parquet writer with
   // full executor-side parallelism — the catalog only places the directory.
 
-  private def tablePath(name: String) = new java.io.File(s"$workspace/$name.parquet")
+  private def tablePath(name: String) =
+    new org.apache.hadoop.fs.Path(s"$workspace/$name.parquet")
 
   /** CREATE TABLE: place `<workspace>/<name>.parquet` and seed it with an
     * empty parquet file carrying the declared schema, so the table survives
@@ -99,14 +107,20 @@ class WorkspaceCatalog extends TableCatalog {
         ident.namespace() :+ ident.name())
     val spark = SparkSession.active
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.mode("overwrite").parquet(tablePath(ident.name()).getPath)
+      .write.mode("overwrite").parquet(tablePath(ident.name()).toString)
     loadTable(ident)
   }
 
+  /** DROP: reports honestly — a deletion the filesystem refuses (held
+    * locks, permissions) throws rather than returning a false success. */
   override def dropTable(ident: Identifier): Boolean =
     dirEntries().find(_.equalsIgnoreCase(ident.name())) match {
       case None => false
-      case Some(actual) => deleteRecursively(tablePath(actual)); true
+      case Some(actual) =>
+        val p = tablePath(actual)
+        if (!fs(p).delete(p, true))
+          throw new IllegalStateException(s"DROP failed: could not delete $p")
+        true
     }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -115,7 +129,8 @@ class WorkspaceCatalog extends TableCatalog {
     if (dirEntries().exists(_.equalsIgnoreCase(newIdent.name())))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         newIdent.namespace() :+ newIdent.name())
-    if (!tablePath(actual).renameTo(tablePath(newIdent.name())))
+    val (from, to) = (tablePath(actual), tablePath(newIdent.name()))
+    if (!fs(from).rename(from, to))
       throw new IllegalStateException(
         s"rename ${oldIdent.name()} -> ${newIdent.name()} failed")
   }
@@ -125,10 +140,4 @@ class WorkspaceCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "workspace tables don't support ALTER; rewrite via CREATE OR REPLACE TABLE ... AS")
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-      .foreach(deleteRecursively)
-    f.delete(): Unit
-  }
 }

@@ -134,6 +134,11 @@ object Streams {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watchDir))
     java.nio.file.Files.move(part.toPath,
       java.nio.file.Paths.get(s"$watchDir/$name.parquet")): Unit
+    // drop the staging dir (_SUCCESS/.crc leftovers) — repeated landings
+    // must not accumulate junk next to the watched source
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.delete(): Unit)
+    new java.io.File(tmp).delete(): Unit
   }
 
   /** [[runAvailableNow]]'s skeleton publishing every micro-batch as an

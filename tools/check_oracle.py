@@ -79,6 +79,12 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        unknown = only - set(oracle)
+        if unknown:
+            # a typo'd filter must not read as a green gate
+            print(f"ERROR: no such oracle queries: {sorted(unknown)}")
+            sys.exit(2)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only: continue
