@@ -153,6 +153,14 @@ object PipelineQueries {
         Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id"), p)
       p
     })
+  /** q187/q192: snapshot-catalog table name keyed by fixture dir — the
+    * catalog workspace registers once per JVM, so per-dir names are what
+    * keep a later run against a different sfDir from reading the first
+    * dir's immutable v=1 (see the Q(q187) scaladoc). */
+  private[queries] def snapTableFor(dir: String): String =
+    "docsnap_" + java.lang.Long.toHexString(
+      new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL)
+
   val IdxSearchC = 16
   val IdxSearchNprobe = 3
   val IdxSearchK = 10
@@ -3023,6 +3031,10 @@ object PipelineQueries {
     // same guarantees with plain `SELECT ... VERSION AS OF 1`. Re-runs
     // append new versions — v=1 stays immutable and the pointer tracks the
     // newest full write, so the face is rerun-safe by the protocol itself.
+    // The TABLE NAME is keyed by fixture dir (the persistedIvfIndex
+    // pattern): the catalog workspace registers once per JVM, so a
+    // dir-agnostic name would pin v=1 to whichever fixture ran first and
+    // silently mismatch when the same session later verifies another dir.
     Q("q187_sql_time_travel",
       """SELECT 1 AS v, doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 300
         |UNION ALL SELECT 2, doc_id, text, lang, source, n_chars FROM documents
@@ -3034,15 +3046,52 @@ object PipelineQueries {
         s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
       }
       val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val tbl = snapTableFor(dir)
       val docs = Tables.load(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
-      Sinks.writeSnapshot(docs.filter(col("doc_id") < 300), s"$ws/docsnap")
-      Sinks.writeSnapshot(docs, s"$ws/docsnap")
+      Sinks.writeSnapshot(docs.filter(col("doc_id") < 300), s"$ws/$tbl")
+      Sinks.writeSnapshot(docs, s"$ws/$tbl")
       s.sql(s"""SELECT 1 AS v, doc_id, text, lang, source, n_chars
-               |FROM $cat.docsnap VERSION AS OF 1
+               |FROM $cat.$tbl VERSION AS OF 1
                |UNION ALL
-               |SELECT 2, doc_id, text, lang, source, n_chars FROM $cat.docsnap
+               |SELECT 2, doc_id, text, lang, source, n_chars FROM $cat.$tbl
                |ORDER BY v, doc_id""".stripMargin)
+    },
+
+    // ---- catalog schema evolution: ALTER TABLE ADD COLUMN -----------------
+    // WorkspaceCatalog.alterTable: add-column is METADATA-ONLY — the new
+    // column lands in the schema sidecar, no data file is rewritten (at
+    // 100 TB a rewriting add-column would be a full-corpus write for a
+    // nullable default). Pre-ALTER files reconcile the missing column to
+    // null under the declared read schema (standard parquet semantics, the
+    // same mechanism SchemaEvolution.readConformed drives read-side); the
+    // INSERT after the ALTER carries it physically. The oracle replicates
+    // the composition: old half null-filled, new half computed — the one
+    // IEEE division appears identically on both sides. Rerun-safe: DROP +
+    // CREATE rebuilds from the fixture each invocation (so unlike q187
+    // there is no cross-fixture pinning to key around).
+    Q("q190_catalog_add_column",
+      """SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, CAST(n_chars AS DOUBLE) / 1000.0
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        val scratch = new graft.Session.Scratch
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.WorkspaceCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
+      }
+      s.sql(s"DROP TABLE IF EXISTS $cat.evolving_docs")
+      s.sql(s"""CREATE TABLE $cat.evolving_docs AS
+               |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.evolving_docs ADD COLUMN quality DOUBLE")
+      s.sql(s"""INSERT INTO $cat.evolving_docs
+               |SELECT doc_id, lang, n_chars, CAST(n_chars AS DOUBLE) / 1000.0
+               |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 1""".stripMargin)
+      s.table(s"$cat.evolving_docs").orderBy("doc_id")
     }
   )
 }

@@ -92,11 +92,14 @@ class SnapshotCatalog extends TableCatalog {
     serve(t, committed)
   }
 
-  /** SQL `VERSION AS OF <v>`. */
+  /** SQL `VERSION AS OF <v>`. `toIntOption`, not digits-then-`toInt`: an
+    * all-digit string past Int.MaxValue must get the same guided error,
+    * not a raw NumberFormatException. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    require(version.nonEmpty && version.forall(_.isDigit),
-      s"snapshot versions are integers, got '$version'")
-    serve(resolve(ident), version.toInt)
+    val v = version.toIntOption.filter(_ >= 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot versions are non-negative integers, got '$version'"))
+    serve(resolve(ident), v)
   }
 
   /** SQL `TIMESTAMP AS OF` — not supported: the publish protocol records

@@ -60,21 +60,76 @@ class WorkspaceCatalog extends TableCatalog {
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
   }
 
+  // ---- schema sidecars ------------------------------------------------------
+  // Catalog-created tables record their schema at
+  // `<workspace>/_graft_schema/<name>.json`, OUTSIDE the table directory:
+  // INSERT OVERWRITE's truncate (V1 InsertIntoHadoopFsRelation fallback)
+  // deletes the table dir wholesale, so anything inside it — including the
+  // empty seed parquet — does not survive a zero-row overwrite. The sidecar
+  // does, and it is what makes (a) a zero-row table readable (no footers
+  // needed) and (b) ALTER TABLE ADD COLUMN metadata-only (old footers
+  // reconcile missing columns to null under the declared read schema).
+  // Fixture workspaces never get sidecars — the catalog only writes them on
+  // DDL, which a read-only fixture workspace never receives.
+  private def sidecarPath(name: String) =
+    new org.apache.hadoop.fs.Path(s"$workspace/_graft_schema/$name.json")
+
+  private def sidecarEntries(): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(s"$workspace/_graft_schema")
+    val f = fs(d)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+  }
+
+  private def readSidecar(name: String): Option[StructType] = {
+    val p = sidecarPath(name)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(org.apache.spark.sql.types.DataType.fromJson(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
+  private def writeSidecar(name: String, schema: StructType): Unit = {
+    val p = sidecarPath(name)
+    val f = fs(p)
+    val out = f.create(p, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def allNames(): Seq[String] = (dirEntries() ++ sidecarEntries()).distinct
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    dirEntries().map(n => Identifier.of(Array.empty, n)).toArray
+    allNames().map(n => Identifier.of(Array.empty, n)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
-    // case-insensitive resolve, on-disk spelling wins (SURVEY §1.2)
-    val actual = dirEntries().find(_.equalsIgnoreCase(ident.name()))
+    // case-insensitive resolve, on-disk spelling wins (SURVEY §1.2);
+    // sidecar-only entries (zero-row-overwritten tables whose dir the
+    // truncate removed) still resolve
+    val actual = allNames().find(_.equalsIgnoreCase(ident.name()))
       .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
+    val declared = readSidecar(actual)
+    val dir = tablePath(actual)
+    // a truncate may have left no directory at all — the scan's file index
+    // requires the root path to exist, so re-place the (empty) directory
+    if (declared.isDefined && !fs(dir).exists(dir)) fs(dir).mkdirs(dir): Unit
     ParquetTable(
       actual,
       SparkSession.active,
       CaseInsensitiveStringMap.empty(),
-      Seq(s"$workspace/$actual.parquet"),
-      None,
+      Seq(dir.toString),
+      declared,
       classOf[ParquetFileFormat])
   }
 
@@ -102,42 +157,84 @@ class WorkspaceCatalog extends TableCatalog {
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "workspace tables are unpartitioned (a table is one directory, like the reference's)")
-    if (dirEntries().exists(_.equalsIgnoreCase(ident.name())))
+    if (allNames().exists(_.equalsIgnoreCase(ident.name())))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace() :+ ident.name())
     val spark = SparkSession.active
+    // seed an empty schema-bearing parquet (plain spark.read.parquet on the
+    // dir works before the first INSERT) AND the sidecar (survives the
+    // truncate that removes every file in the dir — see sidecar scaladoc)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .write.mode("overwrite").parquet(tablePath(ident.name()).toString)
+    writeSidecar(ident.name(), schema)
     loadTable(ident)
   }
 
   /** DROP: reports honestly — a deletion the filesystem refuses (held
     * locks, permissions) throws rather than returning a false success. */
   override def dropTable(ident: Identifier): Boolean =
-    dirEntries().find(_.equalsIgnoreCase(ident.name())) match {
+    allNames().find(_.equalsIgnoreCase(ident.name())) match {
       case None => false
       case Some(actual) =>
         val p = tablePath(actual)
-        if (!fs(p).delete(p, true))
+        if (fs(p).exists(p) && !fs(p).delete(p, true))
           throw new IllegalStateException(s"DROP failed: could not delete $p")
+        val sc = sidecarPath(actual)
+        if (fs(sc).exists(sc) && !fs(sc).delete(sc, false))
+          throw new IllegalStateException(s"DROP failed: could not delete $sc")
         true
     }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val actual = dirEntries().find(_.equalsIgnoreCase(oldIdent.name()))
+    val actual = allNames().find(_.equalsIgnoreCase(oldIdent.name()))
       .getOrElse(throw new NoSuchTableException(oldIdent.namespace() :+ oldIdent.name()))
-    if (dirEntries().exists(_.equalsIgnoreCase(newIdent.name())))
+    if (allNames().exists(_.equalsIgnoreCase(newIdent.name())))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         newIdent.namespace() :+ newIdent.name())
     val (from, to) = (tablePath(actual), tablePath(newIdent.name()))
-    if (!fs(from).rename(from, to))
+    if (fs(from).exists(from) && !fs(from).rename(from, to))
       throw new IllegalStateException(
         s"rename ${oldIdent.name()} -> ${newIdent.name()} failed")
+    val (scFrom, scTo) = (sidecarPath(actual), sidecarPath(newIdent.name()))
+    if (fs(scFrom).exists(scFrom) && !fs(scFrom).rename(scFrom, scTo))
+      throw new IllegalStateException(
+        s"rename sidecar ${oldIdent.name()} -> ${newIdent.name()} failed")
   }
 
-  // Parquet-backed tables don't do in-place schema evolution; the
-  // reference's model is the same (drop + rewrite).
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "workspace tables don't support ALTER; rewrite via CREATE OR REPLACE TABLE ... AS")
+  /** `ALTER TABLE ADD COLUMN(S)`: METADATA-ONLY — the one DDL a landing
+    * workspace eventually needs (append-only evolution). The new column is
+    * appended to the declared read schema in the sidecar; no data file is
+    * rewritten. Old footers reconcile the missing column to null under the
+    * declared schema (standard parquet missing-column semantics — the same
+    * mechanism `SchemaEvolution.readConformed` drives read-side), and new
+    * INSERTs carry it physically. At 100 TB this is the only acceptable
+    * shape: an add-column that rewrote the table would be a full-corpus
+    * write for a nullable default. Other ALTERs (drop/rename/retype) would
+    * change the meaning of bytes already on disk — still rejected. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val actual = allNames().find(_.equalsIgnoreCase(ident.name()))
+      .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
+    val current = readSidecar(actual).getOrElse {
+      // pre-existing (non-DDL-created) table: adopt its footer schema as
+      // the declared schema, then evolve that
+      SparkSession.active.read.parquet(tablePath(actual).toString).schema
+    }
+    val evolved = changes.foldLeft(current) {
+      case (schema, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "workspace tables are flat; nested ADD COLUMN is not supported")
+        require(add.isNullable,
+          "added columns must be nullable (existing rows have no value for them)")
+        val name = add.fieldNames()(0)
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(s"column $name already exists in ${ident.name()}")
+        schema.add(org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"workspace tables support ALTER TABLE ADD COLUMN only (got ${other.getClass.getSimpleName}); " +
+            "drop/rename/retype would reinterpret bytes already on disk — rewrite via CREATE TABLE ... AS")
+    }
+    writeSidecar(actual, evolved)
+    loadTable(ident)
+  }
 }

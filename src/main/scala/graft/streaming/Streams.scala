@@ -125,20 +125,27 @@ object Streams {
     * deterministically (a multi-file initial listing is discovered in
     * filesystem order, which is NOT deterministic across subdirs). */
   def landFile(df: DataFrame, watchDir: String, name: String): Unit = {
-    val watch = java.nio.file.Paths.get(watchDir).toAbsolutePath.normalize()
-    val tmp = watch.getParent.resolve(s"__stage_$name").toString
-    df.coalesce(1).write.parquet(tmp)
-    val part = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-      .find(f => f.isFile && f.getName.endsWith(".parquet"))
+    // Hadoop FileSystem throughout — a watched dir may live on hdfs:// or
+    // s3a://, which java.nio/java.io local-path staging cannot reach (the
+    // same migration the catalogs made in r10).
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val watch = new org.apache.hadoop.fs.Path(watchDir)
+    val fs = watch.getFileSystem(hconf)
+    // stage beside the watch dir; at a filesystem root (no parent) stage
+    // INSIDE it — the `__`-prefixed dir is invisible to the file source
+    val stageBase = Option(watch.getParent).getOrElse(watch)
+    val tmp = new org.apache.hadoop.fs.Path(stageBase, s"__stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).toSeq
+      .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watchDir))
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(s"$watchDir/$name.parquet")): Unit
+    fs.mkdirs(watch)
+    val dest = new org.apache.hadoop.fs.Path(watch, s"$name.parquet")
+    if (!fs.rename(part.getPath, dest))
+      throw new IllegalStateException(s"landFile: rename ${part.getPath} -> $dest failed")
     // drop the staging dir (_SUCCESS/.crc leftovers) — repeated landings
     // must not accumulate junk next to the watched source
-    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-      .foreach(f => f.delete(): Unit)
-    new java.io.File(tmp).delete(): Unit
+    fs.delete(tmp, true): Unit
   }
 
   /** [[runAvailableNow]]'s skeleton publishing every micro-batch as an

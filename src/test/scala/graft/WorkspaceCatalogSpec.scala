@@ -79,6 +79,52 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
     assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
   }
 
+  test("zero-row INSERT OVERWRITE leaves a readable empty table (sidecar survives truncate)") {
+    val scratch = new Session.Scratch
+    spark.conf.set("spark.sql.catalog.graftrw3", "graft.sources.WorkspaceCatalog")
+    spark.conf.set("spark.sql.catalog.graftrw3.workspace", scratch.dir)
+    spark.sql(s"CREATE TABLE graftrw3.zr AS " +
+      s"SELECT n_nationkey, n_name FROM parquet.`$sf/nation.parquet`")
+    assert(spark.sql("SELECT count(*) AS n FROM graftrw3.zr").first().getLong(0) == 25)
+    // an overwrite whose query yields ZERO rows removes every data file
+    // (and possibly the directory) — the table must stay readable with its
+    // declared schema, not fail schema inference
+    spark.sql(s"INSERT OVERWRITE graftrw3.zr " +
+      s"SELECT n_nationkey, n_name FROM parquet.`$sf/nation.parquet` WHERE n_nationkey < 0")
+    val df = spark.table("graftrw3.zr")
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"))
+    // and it comes back to life on the next insert
+    spark.sql(s"INSERT INTO graftrw3.zr " +
+      s"SELECT n_nationkey, n_name FROM parquet.`$sf/nation.parquet` WHERE n_nationkey < 5")
+    assert(spark.sql("SELECT count(*) AS n FROM graftrw3.zr").first().getLong(0) == 5)
+  }
+
+  test("ALTER TABLE ADD COLUMN is metadata-only: old rows read null, new inserts carry it") {
+    val scratch = new Session.Scratch
+    spark.conf.set("spark.sql.catalog.graftalt", "graft.sources.WorkspaceCatalog")
+    spark.conf.set("spark.sql.catalog.graftalt.workspace", scratch.dir)
+    spark.sql(s"CREATE TABLE graftalt.evo AS " +
+      s"SELECT n_nationkey, n_name FROM parquet.`$sf/nation.parquet` WHERE n_nationkey < 3")
+    val filesBefore = Option(new java.io.File(s"${scratch.dir}/evo.parquet").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    spark.sql("ALTER TABLE graftalt.evo ADD COLUMN score DOUBLE")
+    // metadata-only: no data file rewritten
+    val filesAfter = Option(new java.io.File(s"${scratch.dir}/evo.parquet").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(filesAfter == filesBefore, "ADD COLUMN must not rewrite data files")
+    // old rows conform with null; new-schema inserts carry the value
+    spark.sql("INSERT INTO graftalt.evo VALUES (99, 'NEWLAND', 0.5)")
+    val rows = spark.sql(
+      "SELECT n_nationkey, score FROM graftalt.evo ORDER BY n_nationkey").collect()
+    assert(rows.length == 4)
+    assert(rows.take(3).forall(_.isNullAt(1)), "pre-ALTER rows must read null")
+    assert(rows.last.getDouble(1) == 0.5)
+    // only nullable top-level adds; other ALTERs still rejected with guidance
+    intercept[Exception] { spark.sql("ALTER TABLE graftalt.evo DROP COLUMN score") }
+    intercept[Exception] { spark.sql("ALTER TABLE graftalt.evo ADD COLUMN score STRING") }
+  }
+
   test("listTables enumerates the workspace") {
     enable()
     import scala.jdk.CollectionConverters._
