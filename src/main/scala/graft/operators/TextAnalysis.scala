@@ -867,6 +867,77 @@ object TextAnalysis {
       .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"), col("weight"))
   }
 
+  /** [[bpeTopMerges]] with the k-iteration loop run on the DRIVER over the
+    * collected word-TYPE table: the corpus is still scanned exactly once,
+    * distributed (explode → groupBy word), but the per-iteration pair
+    * count / top-1 / merge-apply — which touch only the vocabulary — run
+    * in memory instead of as k Spark jobs. Identical output by
+    * construction (same pair counting incl. within-word duplicates, same
+    * (cnt DESC, l, r) tie-break, same full left-to-right non-overlapping
+    * merge pass); TextMetricsSpec pins the equality against the
+    * distributed form. Use THIS when the vocabulary fits the driver (tens
+    * of millions of word types — true even at 100 TB for natural-language
+    * corpora); use [[bpeTopMerges]] when it does not. */
+  def bpeTrainLocal(df: DataFrame, textCol: String, k: Int): Seq[(Int, String, String, Long)] = {
+    val types = df
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // mutable (symbols, freq) per word type
+    val syms = types.map { case (w, _) => w.toCharArray.map(String.valueOf) }
+    val freqs = types.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      var t = 0
+      while (t < syms.length) {
+        val s = syms(t); val f = freqs(t)
+        var i = 0
+        while (i < s.length - 1) {
+          counts.merge((s(i), s(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+        t += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bl: String = null; var br: String = null; var bc = -1L
+        counts.forEach { (p, c) =>
+          if (c > bc || (c == bc &&
+              (p._1 < bl || (p._1 == bl && p._2 < br)))) {
+            bl = p._1; br = p._2; bc = c
+          }
+        }
+        merges += ((rank, bl, br, bc))
+        val lr = bl + br
+        t = 0
+        while (t < syms.length) {
+          val s = syms(t)
+          var has = false
+          var i = 0
+          while (i < s.length - 1 && !has) {
+            if (s(i) == bl && s(i + 1) == br) has = true; i += 1
+          }
+          if (has) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == bl && s(i + 1) == br) {
+                out += lr; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            syms(t) = out.toArray
+          }
+          t += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Apply a learned merge list: per document, the BPE token count after
     * the `merges` apply in order — the "encode" half of the tokenizer
     * ([[bpeTopMerges]] is "train"). Each word wraps into the symbol
@@ -920,28 +991,59 @@ object TextAnalysis {
        |  FROM $tableE, bpe_m)""".stripMargin
   }
 
+  /** Oracle face of [[graft.functions.BpeKernel.encodeDoc]] over a merge
+    * chain learned by [[bpeMergeCtes]]: per document the FULL token stream
+    * (each word's surviving symbols space-joined, words space-joined) —
+    * strictly stronger than the token count, which derives from it. Same
+    * one-row bpe_m cross join + guarded replace chain as
+    * [[bpeSegmentCountSql]]; the per-word segmentation string is the
+    * chain's wrapped encoding with boundaries (`SS`) respaced and the
+    * outer wraps trimmed. Emits CTE `bpe_enc(id, bpe_seg)`. */
+  def bpeEncodeSegSql(tableE: String, textE: String, idE: String,
+                      k: Int): String = {
+    val S = BpeSep
+    val mergeCols = (1 to k).map(i =>
+      s"(SELECT l FROM bpe_t$i) AS l$i, (SELECT r FROM bpe_t$i) AS r$i").mkString(", ")
+    val wrapped = s"'$S' || rtrim(regexp_replace(w, '(.)', '\\1$S$S', 'g'), '$S') || '$S'"
+    val chain = (1 to k).foldLeft(wrapped) { (acc, i) =>
+      s"replace($acc, COALESCE('$S'||l$i||'$S$S'||r$i||'$S', '$S$S$S'), " +
+        s"COALESCE('$S'||l$i||r$i||'$S', ''))"
+    }
+    s"""bpe_m AS (SELECT $mergeCols),
+       |bpe_enc AS (SELECT $idE AS id,
+       |    array_to_string(list_transform(
+       |      regexp_extract_all(lower($textE), '[a-z]+'),
+       |      w -> replace(trim($chain, '$S'), '$S$S', ' ')), ' ') AS bpe_seg
+       |  FROM $tableE, bpe_m)""".stripMargin
+  }
+
   /** The merge-learning CTE chain shared by [[bpeTopMergesSql]] and
     * [[bpeSegmentCountSql]]: bpe_w (word types) → bpe_b0 (initial symbol
     * encodings) → per-iteration bpe_p$i (pair counts) / bpe_t$i (top pair)
     * / bpe_b$i (merge applied). */
   def bpeMergeCtes(tableE: String, textE: String, k: Int): String = {
     val S = BpeSep
+    // MATERIALIZED throughout: each bpe_b$i is referenced more than once
+    // (pair counting reads it twice, the next apply once) — an inlining
+    // planner re-expands the whole chain per reference, which is
+    // exponential in k (at k=64 the un-materialized form exhausted file
+    // handles re-opening the corpus ~2^64 times; k=5 merely tolerated it).
     def pairCtes(i: Int): String =
-      s"""bpe_p$i AS (SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      s"""bpe_p$i AS MATERIALIZED (SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, string_split(trim(s, '$S'), '$S$S') AS syms,
          |      unnest(generate_series(1, len(string_split(trim(s, '$S'), '$S$S')) - 1)) AS j
          |    FROM bpe_b${i - 1}) t GROUP BY 1, 2),
-         |bpe_t$i AS (SELECT l, r, cnt FROM bpe_p$i ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+         |bpe_t$i AS MATERIALIZED (SELECT l, r, cnt FROM bpe_p$i ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
     def applyCte(i: Int): String =
-      s"""bpe_b$i AS (SELECT w, freq,
+      s"""bpe_b$i AS MATERIALIZED (SELECT w, freq,
          |  replace(s, (SELECT '$S'||l||'$S$S'||r||'$S' FROM bpe_t$i),
          |             (SELECT '$S'||l||r||'$S' FROM bpe_t$i)) AS s FROM bpe_b${i - 1})""".stripMargin
     val iters = (1 to k).map { i =>
       if (i < k) s"${pairCtes(i)},\n${applyCte(i)}" else pairCtes(i)
     }.mkString(",\n")
-    s"""bpe_w AS (SELECT w, COUNT(*) AS freq FROM (
+    s"""bpe_w AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower($textE), '[a-z]+')) AS w FROM $tableE) GROUP BY w),
-       |bpe_b0 AS (SELECT w, freq,
+       |bpe_b0 AS MATERIALIZED (SELECT w, freq,
        |    '$S' || rtrim(regexp_replace(w, '(.)', '\\1$S$S', 'g'), '$S') || '$S' AS s
        |  FROM bpe_w),
        |$iters""".stripMargin

@@ -161,6 +161,21 @@ object PipelineQueries {
     "docsnap_" + java.lang.Long.toHexString(
       new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL)
 
+  /** q188: per-(session, fixture) learned-and-broadcast BPE merge table.
+    * Training (vocab-bounded) happens once; every rep of the face measures
+    * the ENCODE kernel — the q179 serving-path discipline. */
+  val BpeVocabK = 64
+  private val BpeVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.broadcast.Broadcast[graft.functions.BpeKernel.MergeRanks]]()
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession, dir: String) =
+    BpeVocabCache.computeIfAbsent(new java.io.File(dir).getAbsolutePath, _ => {
+      val merges = TextAnalysis
+        .bpeTrainLocal(Tables.load(s, dir, "documents"), "text", BpeVocabK)
+        .map(m => (m._2, m._3))
+      s.sparkContext.broadcast(graft.functions.BpeKernel.mergeRanks(merges))
+    })
+
   val IdxSearchC = 16
   val IdxSearchNprobe = 3
   val IdxSearchK = 10
@@ -3092,6 +3107,39 @@ object PipelineQueries {
                |SELECT doc_id, lang, n_chars, CAST(n_chars AS DOUBLE) / 1000.0
                |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 1""".stripMargin)
       s.table(s"$cat.evolving_docs").orderBy("doc_id")
+    },
+
+    // ---- text: production BPE encode (broadcast vocab, compiled kernel) ---
+    // functions/BpeKernel: q185's k-literal replace chain is oracle-exact
+    // but builds a k-deep expression tree — it cannot carry a ~30k-merge
+    // production vocab. This face runs the production form at k=64: the
+    // learned merge table rides a Spark BROADCAST (one copy per executor,
+    // never per task), and each document encodes in ONE compiled scan-stage
+    // pass whose per-word cost is independent of k (min-rank-repeat — ≡
+    // the literal chain for any trained merge list, see BpeKernel scaladoc;
+    // TextMetricsSpec pins the equivalence at k=5 and k=64). The face
+    // emits the FULL token stream, not just the count — any divergence in
+    // any merge or any word's segmentation breaks the hash. The oracle
+    // re-learns the 64 merges via the shared MATERIALIZED CTE chain and
+    // segments through the 64-deep guarded replace chain. Training is
+    // cached per (session, fixture) — bpeTrainLocal, vocab-bounded — so
+    // reps measure the ENCODE path (the q179 serving discipline).
+    Q("q188_bpe_kernel_encode", {
+      s"""WITH ${TextAnalysis.bpeMergeCtes("documents", "text", BpeVocabK)},
+         |${TextAnalysis.bpeEncodeSegSql("documents", "text", "doc_id", BpeVocabK)}
+         |SELECT id AS doc_id, bpe_seg,
+         |  CASE WHEN bpe_seg = '' THEN 0
+         |       ELSE CAST(len(string_split(bpe_seg, ' ')) AS INT) END AS n_bpe
+         |FROM bpe_enc ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val bc = bpeVocab(s, dir)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.BpeExprs.bpeEncode(col("text"), bc).as("bpe_seg"))
+        .withColumn("n_bpe",
+          when(col("bpe_seg") === "", lit(0))
+            .otherwise(size(split(col("bpe_seg"), " "))))
+        .orderBy("doc_id")
     }
   )
 }

@@ -398,6 +398,22 @@ class PlansSpec extends AnyFunSuite {
       !plan.contains("SortAggregate"), plan)
   }
 
+  test("BPE kernel encode (q188): kernel evaluates ONCE, scan-stage, no shuffle before sort") {
+    val plan = formatted(SparkEntry.queries("q188_bpe_kernel_encode")(spark, sf))
+    // the n_bpe derivation references bpe_seg twice (empty-guard + split);
+    // CollapseProject must NOT inline the kernel into both uses — that
+    // would run the segmentation 3× per row (the q171 re-evaluation trap)
+    val evals = "graft_bpe_encode".r.findAllIn(plan).length
+    assert(evals == 1, s"kernel evaluated $evals times in plan:\n$plan")
+    // pure scalar pipeline: the only exchange is the final orderBy's range
+    // partitioning — no aggregate, no join (codegen friendliness is pinned
+    // by the interpreted≡codegen test in TextMetricsSpec; formatted AQE
+    // explain does not print codegen spans)
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Arguments: rangepartitioning"))
+    assert(exchanges == 1 && !plan.contains("hashpartitioning"), plan)
+  }
+
   test("dense surrogates (q163): every id-bearing window is shard-keyed") {
     val df = graft.operators.Curation.denseSurrogates(
       Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)

@@ -111,4 +111,49 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(segs(Seq(("a", "a"))) == 5L)               // aa,a,b + a,b
     assert(segs(Seq(("a", "a"), ("a", "b"))) == 3L)   // aa,ab + ab
   }
+
+  test("bpeTrainLocal ≡ bpeTopMerges (driver loop vs distributed, k=5 on real docs)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dist = TextAnalysis.bpeTopMerges(docs, "text", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = TextAnalysis.bpeTrainLocal(docs, "text", k = 5)
+    assert(local == dist, s"driver trainer diverged: $local vs $dist")
+  }
+
+  test("BpeKernel ≡ literal replace chain on learned merges (k=5 and k=64)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (k <- Seq(5, 64)) {
+      val merges = TextAnalysis.bpeTrainLocal(docs, "text", k).map(m => (m._2, m._3))
+      assert(merges.length == k, s"expected $k learnable merges, got ${merges.length}")
+      val bc = spark.sparkContext.broadcast(graft.functions.BpeKernel.mergeRanks(merges))
+      val diff = docs
+        .select(col("doc_id"),
+          TextAnalysis.bpeSegmentCount(col("text"), merges).as("n_chain"),
+          graft.functions.BpeExprs.bpeEncode(col("text"), bc).as("seg"))
+        .withColumn("n_kernel",
+          when(col("seg") === "", lit(0L))
+            .otherwise(size(split(col("seg"), " ")).cast("long")))
+        .filter(col("n_chain") =!= col("n_kernel"))
+      assert(diff.isEmpty, s"k=$k: kernel/chain token counts diverge: " +
+        diff.limit(3).collect().mkString("; "))
+    }
+  }
+
+  test("BpeKernel edges: empty doc, no-letter doc, interpreted ≡ codegen") {
+    val m = graft.functions.BpeKernel.mergeRanks(Seq(("a", "b"), ("ab", "c")))
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.BpeKernel.encodeDoc(UTF8String.fromString(""), m).toString == "")
+    assert(graft.functions.BpeKernel.encodeDoc(UTF8String.fromString("123 !?"), m).toString == "")
+    // casing folds through lower(); non-letters split words
+    assert(graft.functions.BpeKernel.encodeDoc(
+      UTF8String.fromString("ABCab,cabc"), m).toString == "abc ab c abc")
+    // interpreted eval path (nullSafeEval) agrees with the codegen'd column
+    val bc = spark.sparkContext.broadcast(m)
+    val viaCol = Seq(("abcab cabc")).toDF("text")
+      .select(graft.functions.BpeExprs.bpeEncode(col("text"), bc)).first().getString(0)
+    val viaEval = graft.functions.BpeKernel.encodeDoc(
+      UTF8String.fromString("abcab cabc"), m).toString
+    assert(viaCol == viaEval && viaCol == "abc ab c abc")
+  }
 }
