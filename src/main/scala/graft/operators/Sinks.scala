@@ -168,27 +168,90 @@ object Sinks {
     *    snapshot it consumed (reproducibility);
     *  - time travel = reading an explicit older version.
     * Returns the committed version number. */
-  def writeSnapshot(df: DataFrame, tableDir: String): Int = {
+  def writeSnapshot(df: DataFrame, tableDir: String): Int =
+    writeSnapshot(df, tableDir, commitTsMicros = None)
+
+  /** [[writeSnapshot]] with an INJECTED commit timestamp (micros since
+    * epoch) — `None` records wall-clock. Injection exists so deterministic
+    * pipelines (and the repo's own oracle faces) can pin `TIMESTAMP AS OF`
+    * resolution without reading the system clock. */
+  def writeSnapshot(df: DataFrame, tableDir: String,
+                    commitTsMicros: Option[Long]): Int = {
     val next = snapshotVersions(df.sparkSession, tableDir).lastOption.getOrElse(0) + 1
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
-    commitPointer(df.sparkSession, tableDir, next)
+    commitPointer(df.sparkSession, tableDir, next, commitTsMicros)
     next
   }
 
-  /** The atomic commit primitive every snapshot writer shares: write the
-    * pointer to a temp file, then ONE `FileContext.rename(OVERWRITE)` —
-    * atomic on HDFS; substitute a conditional PUT on object stores. */
+  /** The atomic commit primitive every snapshot writer shares: record the
+    * commit timestamp (`_commits/v=N`, the `TIMESTAMP AS OF` resolution
+    * metadata), then write the pointer to a temp file and ONE
+    * `FileContext.rename(OVERWRITE)` — atomic on HDFS; substitute a
+    * conditional PUT on object stores. The timestamp record lands BEFORE
+    * the swap so a commit is never visible without its time; the converse
+    * window (crash between record and swap) leaves a timestamped orphan,
+    * which stays invisible because resolution only considers versions at
+    * or below the committed pointer. */
   private def commitPointer(spark: SparkSession, tableDir: String,
-                            version: Int): Unit = {
+                            version: Int,
+                            tsMicros: Option[Long] = None): Unit = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
-    val fc = FileContext.getFileContext(new Path(tableDir).toUri,
-      spark.sessionState.newHadoopConf())
+    val hconf = spark.sessionState.newHadoopConf()
+    val ts = tsMicros.getOrElse(System.currentTimeMillis() * 1000L)
+    val cp = new Path(s"$tableDir/_commits/v=$version")
+    val cfs = cp.getFileSystem(hconf)
+    val out0 = cfs.create(cp, true)
+    try out0.write(ts.toString.getBytes("UTF-8")) finally out0.close()
+    val fc = FileContext.getFileContext(new Path(tableDir).toUri, hconf)
     val tmp = new Path(tableDir, s"_latest.tmp.$version")
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     out.write(version.toString.getBytes("UTF-8")); out.close()
     fc.rename(tmp, new Path(tableDir, "_latest"), Options.Rename.OVERWRITE)
+  }
+
+  /** Commit timestamps (micros) per version from the `_commits/` records,
+    * restricted to versions AT OR BELOW the committed pointer (a
+    * timestamped orphan — writer crashed between record and swap — must
+    * not resolve). Tables published before timestamp records exist return
+    * an empty map. */
+  def snapshotCommitTimes(spark: SparkSession, tableDir: String): Map[Int, Long] = {
+    val committed = snapshotCommitted(spark, tableDir).getOrElse(return Map.empty)
+    val dir = new org.apache.hadoop.fs.Path(s"$tableDir/_commits")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .collect { case p if p.getName.startsWith("v=") &&
+          p.getName.drop(2).forall(_.isDigit) && p.getName.drop(2).nonEmpty =>
+        val v = p.getName.drop(2).toInt
+        val in = fs.open(p)
+        val ts = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong
+        finally in.close()
+        v -> ts
+      }
+      .filter(_._1 <= committed)
+      .toMap
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest committed version whose
+    * commit time is ≤ `tsMicros`. Guided errors for pre-history timestamps
+    * and for tables without commit records (pin by version there). */
+  def snapshotVersionAt(spark: SparkSession, tableDir: String,
+                        tsMicros: Long): Int = {
+    val times = snapshotCommitTimes(spark, tableDir)
+    if (times.isEmpty)
+      throw new IllegalArgumentException(
+        s"$tableDir has no commit-timestamp records (published before they existed, " +
+          "or never committed); pin by VERSION AS OF <n> instead")
+    val at = times.filter(_._2 <= tsMicros)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestamp ${tsMicros}us predates the first commit of $tableDir " +
+          s"(earliest ${times.values.min}us); no snapshot existed then")
+    at.keys.max
   }
 
   /** OPTIMIZE for the snapshot sink: rewrite the committed version's ROWS
@@ -363,6 +426,7 @@ object Sinks {
     toDrop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_commits/v=$v"), false)
     }
     toDrop
   }

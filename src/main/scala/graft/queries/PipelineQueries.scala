@@ -3109,6 +3109,49 @@ object PipelineQueries {
       s.table(s"$cat.evolving_docs").orderBy("doc_id")
     },
 
+    // ---- lakehouse: SQL TIMESTAMP AS OF through the snapshot catalog ------
+    // The other half of q187: commit WALL-TIME resolution. Each publish
+    // records `_commits/v=N` (micros) just before the atomic pointer swap
+    // (Sinks.commitPointer); `TIMESTAMP AS OF <ts>` maps to DSv2
+    // loadTable(ident, timestampMicros) → the newest version committed
+    // ≤ ts (Sinks.snapshotVersionAt) — never an orphan (resolution is
+    // bounded by the committed pointer). Deterministic by INJECTION: the
+    // face pins commit times to base + version·1day (no system clock), so
+    // a mid-gap timestamp always lands on the run's own first leg, and
+    // reruns (later versions, later injected times) stay consistent
+    // because resolution takes the NEWEST version under the pin. Table
+    // name keyed per fixture dir (the q187 lesson).
+    Q("q189_sql_timestamp_travel",
+      """SELECT 1 AS leg, doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 300
+        |UNION ALL SELECT 2, doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY leg, doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        val scratch = new graft.Session.Scratch
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
+      }
+      val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val tbl = "t" + snapTableFor(dir)
+      val table = s"$ws/$tbl"
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli * 1000L
+      val day = 86_400_000_000L
+      val v1 = Sinks.snapshotVersions(s, table).lastOption.getOrElse(0) + 1
+      Sinks.writeSnapshot(docs.filter(col("doc_id") < 300), table, Some(base + v1 * day))
+      val v2 = Sinks.writeSnapshot(docs, table, Some(base + (v1 + 1) * day))
+      def pin(v: Int): String = java.time.LocalDateTime
+        .ofEpochSecond((base / 1000000L) + v * 86400L + 43200L, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      s.sql(s"""SELECT 1 AS leg, doc_id, text, lang, source, n_chars
+               |FROM $cat.$tbl TIMESTAMP AS OF '${pin(v1)}'
+               |UNION ALL
+               |SELECT 2, doc_id, text, lang, source, n_chars
+               |FROM $cat.$tbl TIMESTAMP AS OF '${pin(v2)}'
+               |ORDER BY leg, doc_id""".stripMargin)
+    },
+
     // ---- text: production BPE encode (broadcast vocab, compiled kernel) ---
     // functions/BpeKernel: q185's k-literal replace chain is oracle-exact
     // but builds a k-deep expression tree — it cannot carry a ~30k-merge

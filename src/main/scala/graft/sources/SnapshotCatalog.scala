@@ -31,10 +31,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Read-only by design: snapshot WRITES go through the publish protocol
   * (`writeSnapshot`/`writeSnapshotAs` — version allocation + atomic pointer
-  * swap), which a plain SQL INSERT cannot express. `TIMESTAMP AS OF` is
-  * rejected with guidance: the protocol records versions, not commit
-  * timestamps — pin by version (the reproducible handle a training run
-  * should store anyway).
+  * swap), which a plain SQL INSERT cannot express. `TIMESTAMP AS OF`
+  * resolves through the per-version `_commits/` records the protocol
+  * writes just before each pointer swap (newest version committed ≤ ts;
+  * versions remain the reproducible handle a training run should store).
   */
 class SnapshotCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -102,11 +102,17 @@ class SnapshotCatalog extends TableCatalog {
     serve(resolve(ident), v)
   }
 
-  /** SQL `TIMESTAMP AS OF` — not supported: the publish protocol records
-    * versions, not commit timestamps. Pin by version instead. */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
-    throw new UnsupportedOperationException(
-      "snapshot tables pin by VERSION AS OF <n>; the publish protocol does not record commit timestamps")
+  /** SQL `TIMESTAMP AS OF <ts>`: resolve to the newest version committed
+    * at or before `ts` via the `_commits/` records the publish protocol
+    * writes just before each pointer swap. Orphans (folders above the
+    * committed pointer) never resolve; pre-history timestamps and tables
+    * published before commit records existed get guided errors
+    * ([[graft.operators.Sinks.snapshotVersionAt]]). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = resolve(ident)
+    serve(t, graft.operators.Sinks.snapshotVersionAt(
+      SparkSession.active, s"$workspace/$t", timestampMicros))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

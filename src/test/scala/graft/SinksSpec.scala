@@ -207,13 +207,60 @@ class SinksSpec extends AnyFunSuite {
     // ... but an explicit pin can still inspect it
     assert(spark.sql("SELECT count(*) AS n FROM snaptest.t VERSION AS OF 3")
       .first().getLong(0) == 5)
-    // TIMESTAMP AS OF is rejected with guidance; a non-snapshot dir is not a table
+    // a pre-history TIMESTAMP AS OF gets the guided rejection (these
+    // commits recorded wall-clock times, all after 2020)
     val e = intercept[Exception] {
-      spark.sql("SELECT * FROM snaptest.t TIMESTAMP AS OF '2026-01-01'").collect()
+      spark.sql("SELECT * FROM snaptest.t TIMESTAMP AS OF '2020-01-01'").collect()
     }
-    assert(e.getMessage.contains("VERSION AS OF"), e.getMessage)
+    assert(e.getMessage.contains("predates the first commit"), e.getMessage)
     new java.io.File(s"${s.dir}/plain").mkdirs()
     intercept[Exception] { spark.sql("SELECT * FROM snaptest.plain").collect() }
+  }
+
+  test("TIMESTAMP AS OF: injected commit times resolve newest-≤, orphans and gaps guided") {
+    val s = new graft.Session.Scratch
+    spark.conf.set("spark.sql.catalog.snapts", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.snapts.workspace", s.dir)
+    val table = s"${s.dir}/tt"
+    val base = java.time.Instant.parse("2026-03-01T00:00:00Z").toEpochMilli * 1000L
+    val day = 86_400_000_000L
+    val df1 = Tables.load(spark, sf, "region")   // 5 rows
+    val df2 = Tables.load(spark, sf, "nation")   // 25 rows
+    Sinks.writeSnapshot(df1.select(col("r_regionkey").as("k")), table, Some(base + 1 * day))
+    Sinks.writeSnapshot(df2.select(col("n_nationkey").as("k")), table, Some(base + 2 * day))
+    // mid-gap pins v1; exactly-at pins that version; after-last pins v2
+    assert(spark.sql("SELECT count(*) AS n FROM snapts.tt TIMESTAMP AS OF '2026-03-02 12:00:00'")
+      .first().getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) AS n FROM snapts.tt TIMESTAMP AS OF '2026-03-02 00:00:00'")
+      .first().getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) AS n FROM snapts.tt TIMESTAMP AS OF '2026-03-09 00:00:00'")
+      .first().getLong(0) == 25)
+    // a timestamped ORPHAN (commit record written, pointer never swapped —
+    // the crash window) must NOT resolve: v3's record exists, folder
+    // exists, but the pointer still says v2
+    df1.select(col("r_regionkey").as("k")).write.parquet(s"$table/v=3")
+    val rec = new java.io.File(s"$table/_commits"); rec.mkdirs()
+    val w = new java.io.PrintWriter(s"$table/_commits/v=3")
+    w.print((base + 3 * day).toString); w.close()
+    assert(spark.sql("SELECT count(*) AS n FROM snapts.tt TIMESTAMP AS OF '2026-03-09 00:00:00'")
+      .first().getLong(0) == 25)
+    assert(Sinks.snapshotVersionAt(spark, table, base + 9 * day) == 2)
+    // pre-history and record-less tables get guided errors
+    val pre = intercept[Exception] {
+      spark.sql("SELECT * FROM snapts.tt TIMESTAMP AS OF '2026-02-01'").collect()
+    }
+    assert(pre.getMessage.contains("predates the first commit"), pre.getMessage)
+    val bare = s"${s.dir}/bare"
+    df1.select(col("r_regionkey").as("k")).write.parquet(s"$bare/v=1")
+    val w2 = new java.io.PrintWriter(s"$bare/_latest"); w2.print("1"); w2.close()
+    val none = intercept[Exception] { Sinks.snapshotVersionAt(spark, bare, base) }
+    assert(none.getMessage.contains("VERSION AS OF"), none.getMessage)
+    // the retention janitor prunes commit records with their versions
+    // (version allocation skips the orphan folder: next publishes are 4..6)
+    (3 to 5).foreach(v =>
+      Sinks.writeSnapshot(df1.select(col("r_regionkey").as("k")), table, Some(base + v * day)))
+    Sinks.expireSnapshots(spark, table, keep = 2)
+    assert(Sinks.snapshotCommitTimes(spark, table).keySet == Set(5, 6))
   }
 
   test("writeSnapshotAs: replay-idempotent, pointer only moves forward") {
