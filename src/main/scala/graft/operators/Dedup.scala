@@ -468,6 +468,86 @@ object Dedup {
       pairs.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct(),
       Seq(idCol), "left_semi")
 
+  /** LSH quality-contract audit — the q88/q142 discipline for MinHash: an
+    * audit that can say a bad (bands, rows) choice is bad, from the data
+    * alone.
+    *
+    * Ground truth is LSH-independent: EVERY pair sharing ≥1 distinct
+    * w-gram (inverted shingle index self-join), with its exact Jaccard.
+    * Any pair with Jaccard > 0 shares a gram, so the index finds the
+    * complete ground truth above any positive threshold — no sampling, no
+    * LSH in the loop. Pairs bucket at the S-curve's exact rational
+    * thresholds (j ≥ 1/2, the (1/B)^(1/R) midpoint for B=4/R=2, via
+    * integer cross-multiplication: 3·∩ ≥ |A|+|B|; j ≥ 1/4 via 5·∩) and
+    * each bucket reports measured catches vs the S-curve expectation
+    * Σ 1−(1−j^R)^B — evaluated as a fixed left-associated multiply chain
+    * (engine-identical IEEE ops, no pow), micro-floored, and summed
+    * exactly in int64 (sum-order-free). One verdict row: the audit PASSes
+    * when high-band catches reach ≥70% of their own S-curve expectation
+    * AND sub-threshold pairs don't over-fire past 3× theirs.
+    *
+    * Scale: the inverted-index self-join is the classic all-true-pairs
+    * bound — at 100 TB run it on a deterministic-hash document sample, or
+    * cap shingle document-frequency (a gram in >F docs is boilerplate; its
+    * pairs belong to the exact-dedup pass) — the audit's verdict is a
+    * property of the (bands, rows) choice, not of corpus completeness. */
+  def lshQualityAudit(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int, w: Int, bands: Int, rows: Int): DataFrame = {
+    val lsh = lshCandidatePairs(
+      minhashSignature(docs, textCol, idCol, k, w), idCol, bands, rows)
+    val dsh = docs.select(col(idCol).as("did"),
+      explode(TextHashExprs.distinctShingleHashes(col(textCol), w)).as("s"))
+      .distinct()
+    val sizes = dsh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
+    val inter = dsh.as("ia").join(dsh.as("ib"),
+        col("ia.s") === col("ib.s") && col("ia.did") < col("ib.did"))
+      .groupBy(col("ia.did").as("id_a"), col("ib.did").as("id_b"))
+      .agg(count(lit(1)).as("n_int"))
+    val shared = inter
+      .join(sizes.select(col("did").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("did").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(lsh.withColumn("__c", lit(1L)), Seq("id_a", "id_b"), "left")
+      .withColumn("caught", coalesce(col("__c"), lit(0L)))
+    val union = (col("sz_a") + col("sz_b") - col("n_int")).cast("double")
+    val j = col("n_int").cast("double") / union
+    val jR = (2 to rows).foldLeft(j)((acc, _) => acc * j)         // j^R, left-assoc
+    val miss1 = lit(1.0) - jR
+    val missB = (2 to bands).foldLeft(miss1)((acc, _) => acc * miss1) // (1-j^R)^B
+    val detMicro = floor((lit(1.0) - missB) * lit(1000000.0))
+    val hi = (lit(3L) * col("n_int")) >= (col("sz_a") + col("sz_b"))   // j ≥ 1/2
+    val mid = !hi && (lit(5L) * col("n_int")) >= (col("sz_a") + col("sz_b")) // 1/4 ≤ j < 1/2
+    val b = when(hi, "hi").when(mid, "mid").otherwise("lo")
+    val agg = shared.select(b.as("bucket"), col("caught"), detMicro.as("det_micro"))
+      .groupBy()
+      .agg(
+        sum(when(col("bucket") === "hi", 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("bucket") === "hi", col("caught")).otherwise(0L)).as("hit_hi"),
+        sum(when(col("bucket") === "hi", col("det_micro")).otherwise(0L)).as("exp_hi_micro"),
+        sum(when(col("bucket") === "mid", 1L).otherwise(0L)).as("n_mid"),
+        sum(when(col("bucket") === "mid", col("caught")).otherwise(0L)).as("hit_mid"),
+        sum(when(col("bucket") === "mid", col("det_micro")).otherwise(0L)).as("exp_mid_micro"),
+        sum(when(col("bucket") === "lo", 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("bucket") === "lo", col("caught")).otherwise(0L)).as("hit_lo"),
+        sum(when(col("bucket") === "lo", col("det_micro")).otherwise(0L)).as("exp_lo_micro"))
+    val nLsh = lsh.groupBy().agg(count(lit(1)).as("n_lsh"))
+    agg.crossJoin(nLsh)
+      .select(
+        lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+        col("n_lsh"),
+        col("n_hi"), col("hit_hi"), col("exp_hi_micro"),
+        col("n_mid"), col("hit_mid"), col("exp_mid_micro"),
+        col("n_lo"), col("hit_lo"), col("exp_lo_micro"),
+        (col("hit_hi").cast("double") /
+          when(col("n_hi") === 0L, lit(1L)).otherwise(col("n_hi")).cast("double"))
+          .as("recall_hi"),
+        (col("hit_hi").cast("double") /
+          when(col("n_lsh") === 0L, lit(1L)).otherwise(col("n_lsh")).cast("double"))
+          .as("precision_hi"),
+        when((col("hit_hi") * lit(10000000L)) >= (col("exp_hi_micro") * lit(7L)) &&
+             (col("hit_lo") * lit(1000000L)) <= (col("exp_lo_micro") * lit(3L)),
+          lit("PASS")).otherwise(lit("WEAK")).as("verdict"))
+  }
+
   private def jaccardOnShingles(pairs: DataFrame, shingled: DataFrame): DataFrame = {
     val sh = shingled.distinct()
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("sz"))

@@ -3109,6 +3109,61 @@ object PipelineQueries {
       s.table(s"$cat.evolving_docs").orderBy("doc_id")
     },
 
+    // ---- dedup: LSH quality-contract audit (the q88 pattern for MinHash) --
+    // Dedup.lshQualityAudit: q31 emits candidate pairs; this face MEASURES
+    // them. Ground truth is LSH-independent (inverted shingle index — every
+    // pair sharing ≥1 distinct 5-gram, exact Jaccard); pairs bucket at the
+    // S-curve's exact rational thresholds (B=4,R=2 ⇒ midpoint (1/B)^(1/R)
+    // = 1/2, compared by integer cross-multiplication) and measured catches
+    // stand against the S-curve expectation Σ 1−(1−j²)⁴ — a fixed
+    // left-associated multiply chain (no pow), micro-floored, int64-summed
+    // (order-free). PASS ⇔ hi-band catches ≥70% of their own expectation
+    // and lo-band pairs don't over-fire past 3× theirs — an audit that
+    // says a bad (bands, rows) choice is bad, in-query.
+    Q("q191_lsh_quality_audit",
+      s"""$mhCte,
+         |dsh AS (SELECT DISTINCT did, ${Fns.hashPSql("s")} AS s
+         |        FROM (SELECT doc_id AS did, unnest(gs) AS s FROM sh)),
+         |sizes AS (SELECT did, count(*) AS sz FROM dsh GROUP BY did),
+         |inter AS (SELECT a.did AS id_a, b.did AS id_b, count(*) AS n_int
+         |  FROM dsh a JOIN dsh b ON a.s=b.s AND a.did < b.did GROUP BY 1, 2),
+         |marked AS (SELECT i.id_a, i.id_b, i.n_int, za.sz AS sz_a, zb.sz AS sz_b,
+         |    CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS caught
+         |  FROM inter i JOIN sizes za ON i.id_a = za.did JOIN sizes zb ON i.id_b = zb.did
+         |  LEFT JOIN pairs p ON i.id_a = p.id_a AND i.id_b = p.id_b),
+         |jd AS (SELECT *, CAST(n_int AS DOUBLE) / CAST(sz_a + sz_b - n_int AS DOUBLE) AS j
+         |  FROM marked),
+         |md AS (SELECT *, 1.0 - j * j AS m FROM jd),
+         |det AS (SELECT *,
+         |    CASE WHEN 3 * n_int >= sz_a + sz_b THEN 'hi'
+         |         WHEN 5 * n_int >= sz_a + sz_b THEN 'mid' ELSE 'lo' END AS bucket,
+         |    CAST(FLOOR((1.0 - m * m * m * m) * 1000000.0) AS BIGINT) AS det_micro
+         |  FROM md),
+         |agg AS (SELECT
+         |    CAST(SUM(CASE WHEN bucket = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         |    CAST(SUM(CASE WHEN bucket = 'hi' THEN caught ELSE 0 END) AS BIGINT) AS hit_hi,
+         |    CAST(SUM(CASE WHEN bucket = 'hi' THEN det_micro ELSE 0 END) AS BIGINT) AS exp_hi_micro,
+         |    CAST(SUM(CASE WHEN bucket = 'mid' THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+         |    CAST(SUM(CASE WHEN bucket = 'mid' THEN caught ELSE 0 END) AS BIGINT) AS hit_mid,
+         |    CAST(SUM(CASE WHEN bucket = 'mid' THEN det_micro ELSE 0 END) AS BIGINT) AS exp_mid_micro,
+         |    CAST(SUM(CASE WHEN bucket = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         |    CAST(SUM(CASE WHEN bucket = 'lo' THEN caught ELSE 0 END) AS BIGINT) AS hit_lo,
+         |    CAST(SUM(CASE WHEN bucket = 'lo' THEN det_micro ELSE 0 END) AS BIGINT) AS exp_lo_micro
+         |  FROM det),
+         |nl AS (SELECT count(*) AS n_lsh FROM pairs)
+         |SELECT $Bands AS bands, $RowsPerBand AS rows_per_band, n_lsh,
+         |  n_hi, hit_hi, exp_hi_micro, n_mid, hit_mid, exp_mid_micro,
+         |  n_lo, hit_lo, exp_lo_micro,
+         |  CAST(hit_hi AS DOUBLE) / CAST(CASE WHEN n_hi = 0 THEN 1 ELSE n_hi END AS DOUBLE) AS recall_hi,
+         |  CAST(hit_hi AS DOUBLE) / CAST(CASE WHEN n_lsh = 0 THEN 1 ELSE n_lsh END AS DOUBLE) AS precision_hi,
+         |  CASE WHEN hit_hi * 10000000 >= exp_hi_micro * 7
+         |        AND hit_lo * 1000000 <= exp_lo_micro * 3
+         |       THEN 'PASS' ELSE 'WEAK' END AS verdict
+         |FROM agg, nl""".stripMargin) { (s, dir) =>
+      Dedup.lshQualityAudit(Tables.load(s, dir, "documents"),
+        "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand)
+    },
+
     // ---- lakehouse: SQL TIMESTAMP AS OF through the snapshot catalog ------
     // The other half of q187: commit WALL-TIME resolution. Each publish
     // records `_commits/v=N` (micros) just before the atomic pointer swap

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.Fns
+import graft.queries.PipelineQueries
 
 /** Unit coverage for the north-star operator packs at semantics level (the
   * oracle gate covers end-to-end values at sf0.01). */
@@ -26,6 +27,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(0).toSeq.drop(1) == rows(1).toSeq.drop(1)) // same text → same sig
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 4, 2).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("lshQualityAudit: PASSes the tuned config, flags a recall-starved one") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val good = Dedup.lshQualityAudit(docs, "text", "doc_id",
+      PipelineQueries.MinhashK, PipelineQueries.ShingleW, bands = 4, rows = 2).first()
+    assert(good.getAs[String]("verdict") == "PASS", good)
+    assert(good.getAs[Long]("hit_hi") == good.getAs[Long]("n_hi"),
+      s"tuned config should catch every hi-band pair on the planted fixture: $good")
+    // ground truth is LSH-independent: the same buckets reappear under any
+    // (bands, rows); only the catches move
+    val bad = Dedup.lshQualityAudit(docs, "text", "doc_id",
+      PipelineQueries.MinhashK, PipelineQueries.ShingleW, bands = 1, rows = 8).first()
+    assert(bad.getAs[Long]("n_hi") == good.getAs[Long]("n_hi"))
+    assert(bad.getAs[Long]("n_lo") == good.getAs[Long]("n_lo"))
+    // one band of all 8 rows = AND over the full signature — near-exact
+    // matching. The audit must SAY so: catches fall below the (now much
+    // lower) S-curve expectation only if pairs are imperfect; at minimum
+    // the expectation itself collapses and recall drops for any hi pair
+    // that is not byte-identical
+    assert(bad.getAs[Long]("exp_hi_micro") < good.getAs[Long]("exp_hi_micro"),
+      s"S-curve expectation must collapse for (1,8): $bad vs $good")
+    assert(bad.getAs[Long]("hit_hi") <= good.getAs[Long]("hit_hi"))
   }
 
   test("simhash: equal text → equal hash; 16-bit range") {
