@@ -161,6 +161,11 @@ object PipelineQueries {
     "docsnap_" + java.lang.Long.toHexString(
       new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL)
 
+  /** q192: invocation ordinal for the streaming-publish table name — a
+    * fresh checkpoint restarts batchIds at 0, so a rerun must publish into
+    * a fresh table, not append versions 1..3 onto an older run's. */
+  private val PubCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** q188: per-(session, fixture) learned-and-broadcast BPE merge table.
     * Training (vocab-bounded) happens once; every rep of the face measures
     * the ENCODE kernel — the q179 serving-path discipline. */
@@ -3205,6 +3210,73 @@ object PipelineQueries {
                |SELECT 2, doc_id, text, lang, source, n_chars
                |FROM $cat.$tbl TIMESTAMP AS OF '${pin(v2)}'
                |ORDER BY leg, doc_id""".stripMargin)
+    },
+
+    // ---- streaming × lakehouse: mid-stream SQL time travel ----------------
+    // The ELEVENTH true streaming execution composes q162 (exactly-once
+    // streaming snapshot publish) with q187/q189 (SQL time travel): WHILE
+    // the stream is computing version N+1 — driver-side in its foreachBatch,
+    // before that batch publishes — a SQL reader pins VERSION AS OF N and
+    // the pointer provably still says N (require() fails the face
+    // otherwise, so in-flight visibility can't slip through as a value
+    // diff). Those MID-STREAM reads ARE the declared result rows for
+    // v=1..2; v=3 is the post-stream pinned read — so the oracle's prefix
+    // aggregates simultaneously verify (a) the mid-stream reads returned
+    // exactly the immutable version contents, batch-bit-identical, and
+    // (b) the final version. Deterministic batch order by the r10
+    // discipline: one landed file per AvailableNow run on ONE checkpoint
+    // (complete-mode agg state carries across restarts); deterministic
+    // splits by event_id mod 3, so version v = prefix aggregate over
+    // residues < v. Table name keyed per (fixture, invocation) — fresh
+    // checkpoint ⇒ batchIds restart at 0, so reruns must not see an older
+    // run's versions.
+    Q("q192_streaming_time_travel",
+      """SELECT v, event_type, n, sum_id FROM (
+        |  SELECT 1 AS v, event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 2, event_type, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |  FROM events WHERE event_id % 3 <= 1 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 3, event_type, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |  FROM events GROUP BY event_type) t
+        |ORDER BY v, event_type""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        val scratch = new graft.Session.Scratch
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
+      }
+      val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val tbl = s"pub${PubCounter.incrementAndGet()}_${snapTableFor(dir)}"
+      val table = s"$ws/$tbl"
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/pub_src"
+      val chk = s"${scratch.dir}/chk192"
+      val ev = Tables.load(s, dir, "events").select("event_id", "event_type")
+      val probed = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+      for (i <- 1 to 3) {
+        Streams.landFile(ev.filter(pmod(col("event_id"), lit(3)) === i - 1), src, s"b$i")
+        val schema = s.read.parquet(src).schema
+        Streams.runSnapshotPublish(s, table, chk, probe = { b =>
+          val committed = graft.operators.Sinks.snapshotCommitted(s, table)
+          require(committed == (if (b == 0L) None else Some(b.toInt)),
+            s"mid-stream pointer saw $committed while version ${b + 1} was in flight")
+          if (b >= 1L) {
+            s.sql(s"SELECT event_type, n, sum_id FROM $cat.$tbl VERSION AS OF $b")
+              .collect()
+              .foreach(r => probed += ((b.toInt, r.getString(0), r.getLong(1), r.getLong(2))))
+          }
+        }) {
+          s.readStream.schema(schema).parquet(src)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        }: Unit
+      }
+      import s.implicits._
+      val mid = probed.toSeq.toDF("v", "event_type", "n", "sum_id")
+      val fin = s.sql(s"SELECT 3 AS v, event_type, n, sum_id FROM $cat.$tbl VERSION AS OF 3")
+      mid.unionByName(fin).orderBy("v", "event_type")
     },
 
     // ---- text: production BPE encode (broadcast vocab, compiled kernel) ---

@@ -160,7 +160,8 @@ object Streams {
     * output must BE the whole result for a version to be a snapshot). */
   def runSnapshotPublish(s: SparkSession, tableDir: String, chk: String,
                          statePartitions: Int = 8,
-                         noDataBatch: Boolean = false)
+                         noDataBatch: Boolean = false,
+                         probe: Long => Unit = _ => ())
                         (build: => DataFrame): DataFrame = {
     val partsKey = "spark.sql.shuffle.partitions"
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -174,6 +175,11 @@ object Streams {
         .option("checkpointLocation", chk)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          // the probe runs DRIVER-SIDE while this micro-batch's version is
+          // in flight (its folder not yet written, pointer on batchId) —
+          // the hook q192 uses to prove mid-stream readers only ever see
+          // committed versions
+          probe(batchId)
           graft.operators.Sinks.writeSnapshotAs(batch, tableDir,
             (batchId + 1).toInt): Unit
         }

@@ -349,6 +349,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(midCounts.exists(_ < 2), midCounts.toString)
   }
 
+  test("q192 composition: mid-stream pins ≡ immutable versions; rerun-isolated; probe guards in-flight") {
+    val sf = "/root/testdata/sf0.001"
+    // two invocations must agree exactly (fresh per-invocation table +
+    // checkpoint — a rerun appending onto an old table would shift
+    // batchIds vs versions and the in-face require() would throw)
+    val r1 = SparkEntry.queries("q192_streaming_time_travel")(spark, sf)
+      .collect().map(_.toSeq)
+    val r2 = SparkEntry.queries("q192_streaming_time_travel")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.map(_.head.asInstanceOf[Int]).distinct.sorted.toSeq == Seq(1, 2, 3))
+    // v-prefixes nest: each version's total n is strictly increasing
+    val totals = r1.groupBy(_.head.asInstanceOf[Int]).toSeq.sortBy(_._1)
+      .map(_._2.map(_(2).asInstanceOf[Long]).sum)
+    assert(totals == totals.sorted && totals.distinct == totals, totals.toString)
+    // the probe hook fires before the publish: a probe that throws must
+    // fail the stream (no silent swallow of an in-flight-visibility bug)
+    val s = new graft.Session.Scratch
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "k").write.parquet(s"${s.dir}/psrc/f1")
+    val schema = spark.read.parquet(s"${s.dir}/psrc/f1").schema
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.runSnapshotPublish(spark, s"${s.dir}/ptab", s"${s.dir}/pchk",
+        probe = _ => throw new IllegalStateException("probe saw in-flight state")) {
+        spark.readStream.schema(schema).parquet(s"${s.dir}/psrc/*")
+          .groupBy(col("k")).agg(org.apache.spark.sql.functions.count(col("id")).as("n"))
+      }
+    }
+    assert(boom.getMessage.contains("probe saw in-flight state") ||
+      Option(boom.getCause).exists(_.getMessage.contains("probe saw in-flight state")))
+    // ...and nothing was published
+    assert(graft.operators.Sinks.snapshotCommitted(spark, s"${s.dir}/ptab").isEmpty)
+  }
+
   test("update-mode late-drop across checkpointed restarts: watermark metrics prove the drop") {
     import org.apache.spark.sql.functions._
     val s = spark
