@@ -264,6 +264,67 @@ object Similarity {
     cur
   }
 
+  /** Balance-aware IVF re-seeding — the automated answer to a RED
+    * [[graft.operators.TableStats]]/q103 balance report. Lloyd refinement
+    * ([[ivfRefinePivots]]) minimizes variance, NOT balance: a tight
+    * half-mass cluster (post-drift ingest) keeps exactly one centroid and
+    * its cell's ~C/2 load forever. This loop does what an index operator
+    * actually does: per iteration, SPLIT the heaviest cell (two new pivots
+    * at the cell's residual quartiles — members ranked by cosine to a
+    * fixed reference, seeds at ranks ⌈n/4⌉ and ⌈3n/4⌉, both inside a dense
+    * cluster and spread along its residual variation) and RETIRE the
+    * lightest cell's pivot (C stays constant; its members reassign on the
+    * next pass). Everything is deterministic — rank ties break by id, no
+    * float accumulation anywhere — so the oracle replays it as unrolled
+    * CTEs.
+    *
+    * Returns (assignment, pivots) for iterations 0..iters; assignment
+    * carries (idCol, centroid_id, vecCol).
+    *
+    * Scale: each iteration is one map-side fused reassignment scan
+    * ([[ivfAssign]] — zero corpus shuffle) plus C-row driver metadata
+    * (heavy/light cells, two seed vectors — the q179 bounded-collect
+    * discipline). Seed selection ranks ONE cell's members; at 100 TB use
+    * an approximate quantile sketch over that cell instead of the exact
+    * rank window (same contract, sketch-bounded). */
+  def ivfSplitRebalance(corpus: DataFrame, pivots: DataFrame, vecCol: String,
+                        idCol: String, pivotIdCol: String, ref: DataFrame,
+                        iters: Int): Seq[(DataFrame, DataFrame)] = {
+    val refB = broadcast(ref.select(col(vecCol).as("__rv")))
+    var piv = pivots.select(col(pivotIdCol).as("cid"), col(vecCol).as("cv"))
+      .localCheckpoint()
+    // ivfAssign reads the pivot frame through (pivotIdCol, vecCol); the
+    // loop state uses (cid, cv) internally — re-alias per pass
+    def assignCorpus(p: DataFrame): DataFrame =
+      ivfAssign(corpus, p.select(col("cid").as(pivotIdCol), col("cv").as(vecCol)),
+        vecCol, idCol, pivotIdCol)
+    var asg = assignCorpus(piv).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer((asg, piv))
+    for (_ <- 1 to iters) {
+      val occ = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      val heavyCid = occ.orderBy(col("n").desc, col("centroid_id"))
+        .first().getLong(0)
+      val lightCid = occ.orderBy(col("n").asc, col("centroid_id"))
+        .first().getLong(0)
+      val members = asg.filter(col("centroid_id") === heavyCid)
+        .crossJoin(refB)
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(VectorExprs.cosineF(col(vecCol), col("__rv")).desc,
+            col(idCol))))
+      val cn = members.count()
+      val k1 = math.max(cn / 4, 1L)
+      val k2 = math.max(3L * cn / 4, 2L)
+      val seeds = members.filter(col("__rk") === k1 || col("__rk") === k2)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      piv = piv.filter(col("cid") =!= heavyCid && col("cid") =!= lightCid)
+        .unionByName(seeds)
+        .localCheckpoint()
+      asg = assignCorpus(piv).localCheckpoint()
+      out += ((asg, piv))
+    }
+    out.toSeq
+  }
+
   /** IVF search: rank pivots for the query, probe the best `nprobe`
     * inverted lists, exact top-k within the candidates. Scans
     * |corpus|·nprobe/C of the data instead of all of it — the IVF scale

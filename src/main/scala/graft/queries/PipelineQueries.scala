@@ -3212,6 +3212,114 @@ object PipelineQueries {
                |ORDER BY leg, doc_id""".stripMargin)
     },
 
+    // ---- similarity: automated IVF re-pivot decision ----------------------
+    // q103 produces the balance report; this face WIRES it to action.
+    // Scenario: the standing index (pivots = vec_id<8, balanced on the
+    // original corpus — load ~1.1-1.2) receives a drift batch clustered
+    // near v0 (0.9·v0 + 0.1·x — exact IEEE mixing, both engines); one cell
+    // jumps to ~4.4× load, the decision rule (>1.5×) fires, and
+    // Similarity.ivfSplitRebalance runs 3 deterministic split-heaviest /
+    // retire-lightest iterations (seeds at the heavy cell's residual
+    // quartiles — Lloyd can't fix this: a tight half-mass cluster keeps
+    // one centroid at any iteration count, measured 4.45→4.43 after 4
+    // passes). Output: the per-iteration balance trajectory + cumulative
+    // moved-vector churn (the pay-for-reindex contract), plus the
+    // patched-index ≡ fresh-assignment check (only moved ids' lists need
+    // rewriting; n_patch_mismatch must be 0). Oracle unrolls the loop as
+    // CTEs — heavy/light/quartile-seed rank ties all break by id, no float
+    // accumulation anywhere, so the trajectory hash-matches exactly.
+    Q("q193_ivf_auto_repivot", {
+      def cosE(a: String, b: String) = Fns.cosineSql(a, b)
+      def splitIter(i: Int): String =
+        s"""occ$i AS MATERIALIZED (SELECT cid, COUNT(*) AS n FROM asg${i - 1} GROUP BY cid),
+           |heavy$i AS (SELECT cid FROM occ$i ORDER BY n DESC, cid LIMIT 1),
+           |light$i AS (SELECT cid FROM occ$i ORDER BY n ASC, cid LIMIT 1),
+           |mem$i AS MATERIALIZED (SELECT a.vec_id, a.embedding,
+           |    row_number() OVER (ORDER BY ${cosE("a.embedding", "v.q")} DESC, a.vec_id) AS rk,
+           |    COUNT(*) OVER () AS cn
+           |  FROM asg${i - 1} a, v0 v WHERE a.cid = (SELECT cid FROM heavy$i)),
+           |seeds$i AS (SELECT vec_id, embedding FROM mem$i
+           |  WHERE rk = GREATEST(cn // 4, 1) OR rk = GREATEST(3 * cn // 4, 2)),
+           |piv$i AS MATERIALIZED (SELECT cid, cv FROM piv${i - 1}
+           |    WHERE cid NOT IN ((SELECT cid FROM heavy$i), (SELECT cid FROM light$i))
+           |  UNION ALL SELECT vec_id AS cid, embedding AS cv FROM seeds$i),
+           |scored$i AS MATERIALIZED (SELECT c.vec_id, p.cid, c.embedding,
+           |    row_number() OVER (PARTITION BY c.vec_id
+           |      ORDER BY ${cosE("c.embedding", "p.cv")} DESC, p.cid) AS rn
+           |  FROM corpus c, piv$i p),
+           |asg$i AS MATERIALIZED (SELECT vec_id, cid, embedding FROM scored$i WHERE rn = 1)""".stripMargin
+      def balRow(i: Int): String =
+        s"""SELECT $i AS it, CAST(MAX(n) * COUNT(*) * 1000000 // SUM(n) AS BIGINT) AS max_load_micro,
+           |  COUNT(*) AS n_cells,
+           |  (SELECT ${if (i == 0) "CAST(0 AS BIGINT)"
+                        else s"COUNT(*) FROM asg0 a JOIN asg$i b ON a.vec_id = b.vec_id AND a.cid <> b.cid"}) AS n_moved
+           |FROM (SELECT cid, COUNT(*) AS n FROM asg$i GROUP BY cid)""".stripMargin
+      s"""WITH v0 AS (SELECT ${Fns.vecDSql("embedding")} AS q FROM embeddings WHERE vec_id = 0),
+         |drift AS MATERIALIZED (SELECT vec_id + 1000000000 AS vec_id,
+         |    list_transform(list_zip(embedding, v.q),
+         |      p -> CAST(0.9 * CAST(p[2] AS DOUBLE) + 0.1 * CAST(p[1] AS DOUBLE) AS DOUBLE)) AS embedding
+         |  FROM embeddings, v0 v),
+         |corpus AS MATERIALIZED (SELECT vec_id, ${Fns.vecDSql("embedding")} AS embedding FROM embeddings
+         |           UNION ALL SELECT vec_id, embedding FROM drift),
+         |piv0 AS MATERIALIZED (SELECT vec_id AS cid, ${Fns.vecDSql("embedding")} AS cv FROM embeddings WHERE vec_id < 8),
+         |scored0 AS MATERIALIZED (SELECT c.vec_id, p.cid, c.embedding,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${cosE("c.embedding", "p.cv")} DESC, p.cid) AS rn
+         |  FROM corpus c, piv0 p),
+         |asg0 AS MATERIALIZED (SELECT vec_id, cid, embedding FROM scored0 WHERE rn = 1),
+         |${(1 to 3).map(splitIter).mkString(",\n")},
+         |movedf AS MATERIALIZED (SELECT a.vec_id FROM asg0 a JOIN asg3 b ON a.vec_id = b.vec_id AND a.cid <> b.cid),
+         |patched AS MATERIALIZED (SELECT a.vec_id, a.cid FROM asg0 a
+         |    WHERE a.vec_id NOT IN (SELECT vec_id FROM movedf)
+         |  UNION ALL SELECT b.vec_id, b.cid FROM asg3 b
+         |    WHERE b.vec_id IN (SELECT vec_id FROM movedf)),
+         |mm AS (SELECT COUNT(*) AS m FROM (
+         |    (SELECT vec_id, cid FROM patched EXCEPT ALL SELECT vec_id, cid FROM asg3)
+         |    UNION ALL
+         |    (SELECT vec_id, cid FROM asg3 EXCEPT ALL SELECT vec_id, cid FROM patched))),
+         |bal AS (${(0 to 3).map(balRow).mkString("\nUNION ALL ")})
+         |SELECT it, max_load_micro, n_cells, n_moved,
+         |  (SELECT CAST(m AS BIGINT) FROM mm) AS n_patch_mismatch,
+         |  CASE WHEN max_load_micro > 1500000 THEN 'REPIVOT' ELSE 'KEEP' END AS decision
+         |FROM bal ORDER BY it""".stripMargin
+    }) { (s, dir) =>
+      val embD = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val v0 = embD.filter(col("vec_id") === 0)
+      val drifted = embD.crossJoin(broadcast(v0.select(col("embedding").as("qv"))))
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          zip_with(col("embedding"), col("qv"),
+            (x, q) => lit(0.9) * q + lit(0.1) * x).as("embedding"))
+      val corpus = embD.unionByName(drifted)
+      val pivots = embD.filter(col("vec_id") < 8)
+      val states = Similarity.ivfSplitRebalance(
+        corpus, pivots, "embedding", "vec_id", "vec_id", v0, iters = 3)
+      val asg0 = states.head._1.select(col("vec_id"), col("centroid_id"))
+      val fin = states.last._1.select(col("vec_id"), col("centroid_id"))
+      val movedIds = asg0.toDF("vec_id", "c0")
+        .join(fin.toDF("vec_id", "ck"), "vec_id")
+        .filter(col("c0") =!= col("ck")).select("vec_id")
+      val patched = asg0.join(movedIds, Seq("vec_id"), "left_anti")
+        .unionByName(fin.join(movedIds, Seq("vec_id"), "left_semi"))
+      val mismatch = patched.exceptAll(fin).count() + fin.exceptAll(patched).count()
+      val rows = states.zipWithIndex.map { case ((asg, _), it) =>
+        val m = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"), count(lit(1)).as("c"))
+          .first()
+        val (mx, tot, c) = (m.getLong(0), m.getLong(1), m.getLong(2))
+        val moved = if (it == 0) 0L
+          else asg0.toDF("vec_id", "c0")
+            .join(asg.select(col("vec_id"), col("centroid_id").as("ck")), "vec_id")
+            .filter(col("c0") =!= col("ck")).count()
+        (it, mx * c * 1000000L / tot, c, moved, mismatch,
+          if (mx * c * 1000000L / tot > 1500000L) "REPIVOT" else "KEEP")
+      }
+      import s.implicits._
+      rows.toDF("it", "max_load_micro", "n_cells", "n_moved",
+          "n_patch_mismatch", "decision")
+        .orderBy("it")
+    },
+
     // ---- streaming × lakehouse: mid-stream SQL time travel ----------------
     // The ELEVENTH true streaming execution composes q162 (exactly-once
     // streaming snapshot publish) with q187/q189 (SQL time travel): WHILE

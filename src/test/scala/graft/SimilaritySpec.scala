@@ -339,4 +339,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want)
     assert(got == Set(1L -> 100L, 3L -> 100L, 4L -> 101L))
   }
+
+  test("ivfSplitRebalance: drift fires the decision, splits rebalance, pre-drift stays KEEP") {
+    import org.apache.spark.sql.functions._
+    val embD = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pivots = embD.filter(col("vec_id") < 8)
+    val v0 = embD.filter(col("vec_id") === 0)
+    def maxLoadMicro(asg: org.apache.spark.sql.DataFrame): Long = {
+      val m = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")), sum(col("n")), count(lit(1))).first()
+      m.getLong(0) * m.getLong(2) * 1000000L / m.getLong(1)
+    }
+    // pre-drift: the standing index is balanced — the decision rule says KEEP
+    val pre = Similarity.ivfSplitRebalance(embD, pivots, "embedding", "vec_id", "vec_id", v0, iters = 0)
+    assert(maxLoadMicro(pre.head._1) <= 1500000L, maxLoadMicro(pre.head._1).toString)
+    // post-drift: one cell overloads ~4.4×; three split iterations bring it
+    // back under threshold with C constant and monotone improvement
+    val drifted = embD.crossJoin(broadcast(v0.select(col("embedding").as("qv"))))
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        zip_with(col("embedding"), col("qv"), (x, q) => lit(0.9) * q + lit(0.1) * x).as("embedding"))
+    val states = Similarity.ivfSplitRebalance(
+      embD.unionByName(drifted), pivots, "embedding", "vec_id", "vec_id", v0, iters = 3)
+    val loads = states.map(s => maxLoadMicro(s._1))
+    assert(loads.head > 1500000L, loads.toString)
+    assert(loads.last <= 1500000L, loads.toString)
+    assert(loads == loads.sorted.reverse, s"trajectory must be non-increasing: $loads")
+    assert(states.forall(_._2.count() == 8), "C must stay constant")
+  }
 }
