@@ -3212,6 +3212,113 @@ object PipelineQueries {
                |ORDER BY leg, doc_id""".stripMargin)
     },
 
+    // ---- geometry: WKB end-to-end spatial composition ---------------------
+    // Closes the last untested geometry composition: geometry ARRIVES as
+    // WKB MULTIPOLYGON bytes (type 6, two parts, the first with a HOLE —
+    // built by concatenating the codec's type-3 polygons under a
+    // multipolygon header), PolyGeom.wkbPolygonRings flattens it into the
+    // even-odd rings model, and Joins.spatialJoinGrid runs the grid-binned
+    // point-in-polygon join on the DECODED rings. The oracle builds the
+    // SAME WKB HEX in SQL from scratch — every coordinate is a dyadic
+    // rational (multiple of 0.5), so its IEEE-754 little-endian bytes are
+    // computable with exact integer arithmetic (bin-length exponent,
+    // shifted mantissa, per-byte reversal) — and replicates the join with
+    // the q177 ray-cast (same cur→nxt edge orientation, one IEEE division
+    // per crossing, parity summed across all three rings so the hole
+    // excludes). Output carries the hex, so one flipped byte anywhere in
+    // the encode OR a wrong decode/ray-cast anywhere breaks the hash.
+    // Plane grows with max(p_partkey) (q177 scale discipline).
+    Q("q194_wkb_spatial_join", {
+      val hx = Fns.hash60Sql("'x'||CAST(c_custkey AS VARCHAR)")
+      val hy = Fns.hash60Sql("'y'||CAST(c_custkey AS VARCHAR)")
+      // dyadic double → little-endian IEEE-754 hex via exact integer ops;
+      // emits `<p>r` (big-endian printf) and `<p>` (byte-reversed) as
+      // lateral aliases in the same SELECT
+      def d2h(v: String, p: String): String =
+        s"""CASE WHEN $v = 0 THEN '0000000000000000' ELSE printf('%016X',
+           |  ((1021 + length(bin(CAST(($v)*2 AS BIGINT)))) << 52)
+           |  + ((CAST(($v)*2 AS BIGINT) - (1::BIGINT << (length(bin(CAST(($v)*2 AS BIGINT))) - 1)))
+           |     << (53 - length(bin(CAST(($v)*2 AS BIGINT)))))) END AS ${p}r,
+           |CASE WHEN $v = 0 THEN '0000000000000000' ELSE
+           |  concat(substr(${p}r,15,2),substr(${p}r,13,2),substr(${p}r,11,2),substr(${p}r,9,2),
+           |         substr(${p}r,7,2),substr(${p}r,5,2),substr(${p}r,3,2),substr(${p}r,1,2)) END AS $p""".stripMargin
+      val coords = Seq("ox" -> "h_ox", "xa" -> "h_xa", "xb" -> "h_xb", "xc" -> "h_xc",
+        "xd" -> "h_xd", "xe" -> "h_xe", "oy" -> "h_oy", "ya" -> "h_ya",
+        "yb" -> "h_yb", "yc" -> "h_yc")
+      def cross(q: String): String =
+        s"""len([i FOR i IN generate_series(1,4) IF
+           |    (($q[i][2] > py) <> ($q[(i % 4)+1][2] > py)) AND
+           |    (px < ($q[(i % 4)+1][1] - $q[i][1]) * (py - $q[i][2])
+           |      / ($q[(i % 4)+1][2] - $q[i][2]) + $q[i][1])])""".stripMargin
+      s"""WITH spr AS (SELECT (MAX(p_partkey) + 50) // 50 AS nrows FROM part),
+         |wg AS (SELECT p_partkey AS poly_id,
+         |    CAST(p_partkey % 50 AS DOUBLE) * 40.0 AS ox,
+         |    CAST(p_partkey // 50 AS DOUBLE) * 40.0 AS oy FROM part),
+         |wc AS (SELECT poly_id, ox, oy, ox+10.0 AS xa, ox+2.5 AS xb, ox+7.5 AS xc,
+         |    ox+20.0 AS xd, ox+30.0 AS xe, oy+10.0 AS ya, oy+2.5 AS yb, oy+7.5 AS yc FROM wg),
+         |wh AS (SELECT *,
+         |    ${coords.map { case (v, p) => d2h(v, p) }.mkString(",\n")}
+         |  FROM wc),
+         |wkbh AS (SELECT *,
+         |    '010600000002000000' ||
+         |    '010300000002000000' ||
+         |    '04000000' || h_ox||h_oy || h_xa||h_oy || h_xa||h_ya || h_ox||h_ya ||
+         |    '04000000' || h_xb||h_yb || h_xc||h_yb || h_xc||h_yc || h_xb||h_yc ||
+         |    '010300000001000000' ||
+         |    '04000000' || h_xd||h_oy || h_xe||h_oy || h_xe||h_ya || h_xd||h_ya AS wkb_hex,
+         |    [[ox,oy],[xa,oy],[xa,ya],[ox,ya]] AS q1,
+         |    [[xb,yb],[xc,yb],[xc,yc],[xb,yc]] AS q2,
+         |    [[xd,oy],[xe,oy],[xe,ya],[xd,ya]] AS q3
+         |  FROM wh),
+         |wcx AS (SELECT *, unnest(generate_series(CAST(FLOOR(ox/40.0) AS BIGINT),
+         |    CAST(FLOOR((ox+30.0)/40.0) AS BIGINT))) AS cx FROM wkbh),
+         |wcells AS (SELECT *, unnest(generate_series(CAST(FLOOR(oy/40.0) AS BIGINT),
+         |    CAST(FLOOR((oy+10.0)/40.0) AS BIGINT))) AS cy FROM wcx),
+         |wpt AS (SELECT c_custkey AS pt_id,
+         |    CAST($hx % 2000 AS DOUBLE) + 0.5 AS px,
+         |    CAST($hy % (nrows * 40) AS DOUBLE) + 0.5 AS py
+         |  FROM customer, spr)
+         |SELECT pt_id, poly_id, wkb_hex
+         |FROM wpt p JOIN wcells c
+         |  ON CAST(FLOOR(p.px/40.0) AS BIGINT) = c.cx
+         | AND CAST(FLOOR(p.py/40.0) AS BIGINT) = c.cy
+         |WHERE ((${cross("q1")} + ${cross("q2")} + ${cross("q3")}) % 2) = 1
+         |ORDER BY pt_id, poly_id""".stripMargin
+    }) { (s, dir) =>
+      def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        struct(x.as("x"), y.as("y"))
+      def sq(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+             x1: org.apache.spark.sql.Column, y1: org.apache.spark.sql.Column) =
+        array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1))
+      val maxPk = Tables.load(s, dir, "part")
+        .agg(max(col("p_partkey")).cast("long")).first().getLong(0)
+      val nrows = (maxPk + 50L) / 50L
+      val ox = pmod(col("p_partkey"), lit(50)).cast("double") * lit(40.0)
+      val oy = expr("p_partkey div 50").cast("double") * lit(40.0)
+      val wkb = concat(
+        lit(Array[Byte](1, 6, 0, 0, 0, 2, 0, 0, 0)),
+        PolyGeom.polygonWkb(array(
+          sq(ox, oy, ox + lit(10.0), oy + lit(10.0)),
+          sq(ox + lit(2.5), oy + lit(2.5), ox + lit(7.5), oy + lit(7.5)))),
+        PolyGeom.polygonWkb(array(
+          sq(ox + lit(20.0), oy, ox + lit(30.0), oy + lit(10.0)))))
+      // the binary IS the handoff: downstream sees only (poly_id, wkb)
+      val polys = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("poly_id"), wkb.as("wkb"))
+        .select(col("poly_id"),
+          PolyGeom.wkbPolygonRings(col("wkb")).as("geom"),
+          hex(col("wkb")).as("wkb_hex"))
+      val points = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("pt_id"),
+        ((Fns.hash60(concat(lit("x"), col("c_custkey").cast("string"))) % 2000)
+          .cast("double") + lit(0.5)).as("px"),
+        ((Fns.hash60(concat(lit("y"), col("c_custkey").cast("string"))) % lit(nrows * 40L))
+          .cast("double") + lit(0.5)).as("py"))
+      Joins.spatialJoinGrid(points, "px", "py", polys, "geom", cellSize = 40.0)
+        .select("pt_id", "poly_id", "wkb_hex")
+        .orderBy("pt_id", "poly_id")
+    },
+
     // ---- similarity: automated IVF re-pivot decision ----------------------
     // q103 produces the balance report; this face WIRES it to action.
     // Scenario: the standing index (pivots = vec_id<8, balanced on the

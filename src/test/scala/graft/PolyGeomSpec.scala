@@ -227,6 +227,35 @@ class PolyGeomSpec extends AnyFunSuite {
     }
   }
 
+  test("multipolygon WKB (type 6, hole): decode → spatialJoinGrid excludes hole, finds both parts") {
+    import graft.operators.Joins
+    import spark.implicits._
+    // part 1 = unit-10 square with a centered hole; part 2 = disjoint square
+    val multi = Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+      Seq((2.5, 2.5), (7.5, 2.5), (7.5, 7.5), (2.5, 7.5)),
+      Seq((20.0, 0.0), (30.0, 0.0), (30.0, 10.0), (20.0, 10.0)))
+    val polys = ringsDf(Seq(multi)).select(col("id"),
+      concat(lit(Array[Byte](1, 6, 0, 0, 0, 2, 0, 0, 0)),
+        PolyGeom.polygonWkb(slice(col("rings"), 1, 2)),
+        PolyGeom.polygonWkb(slice(col("rings"), 3, 1))).as("wkb"))
+    // bytes really are a 2-part type-6 multipolygon; decode flattens back
+    val first = polys.select(hex(col("wkb"))).first().getString(0)
+    assert(first.startsWith("01060000000200000001030000000200000004000000"), first)
+    val decoded = polys.select(col("id"), PolyGeom.wkbPolygonRings(col("wkb")).as("rings"))
+    assert(decoded.select(size(col("rings"))).first().getInt(0) == 3)
+    val points = Seq(
+      (1L, 1.0, 1.0),    // in part 1's ring (outside hole) → match
+      (2L, 5.0, 5.0),    // inside the hole → NO match
+      (3L, 25.0, 5.0),   // in part 2 → match
+      (4L, 15.0, 5.0),   // between parts → NO match
+      (5L, 3.0, 8.5)     // above the hole, inside part 1 → match
+    ).toDF("pt_id", "px", "py")
+    val got = Joins.spatialJoinGrid(points, "px", "py", decoded, "rings", cellSize = 8.0)
+      .select("pt_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 5L), got.toString)
+  }
+
   test("CRS + encoding metadata ride the geometry column through the parquet sink") {
     Session.withScratch { s =>
       val df = ringsDf(Seq(square)).select(col("id"),
