@@ -166,20 +166,24 @@ object PipelineQueries {
     * a fresh table, not append versions 1..3 onto an older run's. */
   private val PubCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** q188: per-(session, fixture) learned-and-broadcast BPE merge table.
-    * Training (vocab-bounded) happens once; every rep of the face measures
-    * the ENCODE kernel — the q179 serving-path discipline. */
+  /** q188/q195: per-(session, fixture) learned BPE merge list and its
+    * broadcast rank table. Training (vocab-bounded) happens once; every
+    * rep of the faces measures the ENCODE/publish path — the q179
+    * serving-path discipline. */
   val BpeVocabK = 64
+  private val BpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  private def bpeLearnedMerges(s: org.apache.spark.sql.SparkSession,
+                               dir: String): Seq[(Int, String, String, Long)] =
+    BpeMergesCache.computeIfAbsent(new java.io.File(dir).getAbsolutePath, _ =>
+      TextAnalysis.bpeTrainLocal(Tables.load(s, dir, "documents"), "text", BpeVocabK))
   private val BpeVocabCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.broadcast.Broadcast[graft.functions.BpeKernel.MergeRanks]]()
   private def bpeVocab(s: org.apache.spark.sql.SparkSession, dir: String) =
-    BpeVocabCache.computeIfAbsent(new java.io.File(dir).getAbsolutePath, _ => {
-      val merges = TextAnalysis
-        .bpeTrainLocal(Tables.load(s, dir, "documents"), "text", BpeVocabK)
-        .map(m => (m._2, m._3))
-      s.sparkContext.broadcast(graft.functions.BpeKernel.mergeRanks(merges))
-    })
+    BpeVocabCache.computeIfAbsent(new java.io.File(dir).getAbsolutePath, _ =>
+      s.sparkContext.broadcast(graft.functions.BpeKernel.mergeRanks(
+        bpeLearnedMerges(s, dir).map(m => (m._2, m._3)))))
 
   val IdxSearchC = 16
   val IdxSearchNprobe = 3
@@ -3210,6 +3214,64 @@ object PipelineQueries {
                |SELECT 2, doc_id, text, lang, source, n_chars
                |FROM $cat.$tbl TIMESTAMP AS OF '${pin(v2)}'
                |ORDER BY leg, doc_id""".stripMargin)
+    },
+
+    // ---- tokenizer artifact lifecycle: vocab as a versioned snapshot ------
+    // What a training pipeline actually does with a tokenizer: TRAIN the
+    // vocab, PUBLISH it as a versioned artifact (the snapshot store —
+    // immutable v=1, atomic pointer), then every encode job PINS the vocab
+    // VERSION (SQL `VERSION AS OF 1` through the catalog), loads the k
+    // merge rows (driver-side, k-bounded), broadcasts, and kernel-encodes.
+    // The oracle re-learns the merges via the shared CTE chain and encodes
+    // with them — so the face's hash simultaneously proves (a) the
+    // persisted artifact round-tripped bit-exact (vocab_md5 is computed
+    // from the LOADED rows on the Spark side, from the re-learned rows on
+    // the oracle side) and (b) the encode-from-artifact equals the
+    // encode-from-training. Re-runs republish the same content as higher
+    // versions; v=1 is immutable, the pin keeps the face constant.
+    Q("q195_tokenizer_artifact", {
+      s"""WITH ${TextAnalysis.bpeMergeCtes("documents", "text", BpeVocabK)},
+         |${TextAnalysis.bpeEncodeSegSql("documents", "text", "doc_id", BpeVocabK)},
+         |vmd AS (SELECT md5(string_agg(l || ' ' || r, chr(10) ORDER BY rank)) AS vocab_md5
+         |  FROM (${(1 to BpeVocabK).map(i =>
+             s"SELECT $i AS rank, l, r FROM bpe_t$i").mkString(" UNION ALL ")}))
+         |SELECT id AS doc_id,
+         |  CASE WHEN bpe_seg = '' THEN 0
+         |       ELSE CAST(len(string_split(bpe_seg, ' ')) AS INT) END AS n_bpe,
+         |  1 AS vocab_v, vocab_md5
+         |FROM bpe_enc, vmd ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        val scratch = new graft.Session.Scratch
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
+      }
+      val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val tbl = "vocab_" + snapTableFor(dir)
+      import s.implicits._
+      // publish the trained vocab as an immutable versioned artifact
+      Sinks.writeSnapshot(
+        bpeLearnedMerges(s, dir).toDF("rank", "lhs", "rhs", "weight"),
+        s"$ws/$tbl"): Unit
+      // encode jobs pin the artifact VERSION and load the k merge rows
+      val loaded = s.sql(s"SELECT rank, lhs, rhs FROM $cat.$tbl VERSION AS OF 1")
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val md = java.security.MessageDigest.getInstance("MD5").digest(
+        loaded.map { case (l, r) => s"$l $r" }.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val vocabMd5 = md.map("%02x".format(_)).mkString
+      val bc = s.sparkContext.broadcast(
+        graft.functions.BpeKernel.mergeRanks(loaded.toSeq))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.BpeExprs.bpeEncode(col("text"), bc).as("__seg"))
+        .select(col("doc_id"),
+          when(col("__seg") === "", lit(0))
+            .otherwise(size(split(col("__seg"), " "))).as("n_bpe"),
+          lit(1).as("vocab_v"), lit(vocabMd5).as("vocab_md5"))
+        .orderBy("doc_id")
     },
 
     // ---- geometry: WKB end-to-end spatial composition ---------------------

@@ -125,6 +125,26 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("ALTER TABLE graftalt.evo ADD COLUMN score STRING") }
   }
 
+  test("pushdown and pruning survive the declared-schema (post-ALTER) read path") {
+    val scratch = new Session.Scratch
+    spark.conf.set("spark.sql.catalog.graftpd", "graft.sources.WorkspaceCatalog")
+    spark.conf.set("spark.sql.catalog.graftpd.workspace", scratch.dir)
+    spark.sql(s"CREATE TABLE graftpd.pd AS " +
+      s"SELECT l_orderkey, l_quantity, l_extendedprice FROM parquet.`$sf/lineitem.parquet`")
+    spark.sql("ALTER TABLE graftpd.pd ADD COLUMN note STRING")
+    // the table now serves through a user-specified schema (the sidecar);
+    // filters must still reach the parquet scan and the read schema must
+    // still prune to the requested columns
+    val df = spark.sql("SELECT l_orderkey FROM graftpd.pd WHERE l_quantity > 45")
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("note"), readSchema)
+    assert(df.count() > 0)
+  }
+
   test("listTables enumerates the workspace") {
     enable()
     import scala.jdk.CollectionConverters._
