@@ -493,11 +493,18 @@ object Dedup {
     * property of the (bands, rows) choice, not of corpus completeness. */
   def lshQualityAudit(docs: DataFrame, textCol: String, idCol: String,
                       k: Int, w: Int, bands: Int, rows: Int): DataFrame = {
+    // localCheckpoint both shared inputs: the candidate set feeds the
+    // caught-join AND the n_lsh count, the shingle index feeds sizes AND
+    // both sides of the inverted-index self-join — without materialization
+    // the MinHash pipeline runs twice and the shingle scan three times in
+    // the one audit action (the bpeTopMerges re-evaluation lesson)
     val lsh = lshCandidatePairs(
       minhashSignature(docs, textCol, idCol, k, w), idCol, bands, rows)
+      .localCheckpoint()
     val dsh = docs.select(col(idCol).as("did"),
       explode(TextHashExprs.distinctShingleHashes(col(textCol), w)).as("s"))
       .distinct()
+      .localCheckpoint()
     val sizes = dsh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
     val inter = dsh.as("ia").join(dsh.as("ib"),
         col("ia.s") === col("ib.s") && col("ia.did") < col("ib.did"))

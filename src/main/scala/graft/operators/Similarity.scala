@@ -273,10 +273,15 @@ object Similarity {
     * at the cell's residual quartiles — members ranked by cosine to a
     * fixed reference, seeds at ranks ⌈n/4⌉ and ⌈3n/4⌉, both inside a dense
     * cluster and spread along its residual variation) and RETIRE the
-    * lightest cell's pivot (C stays constant; its members reassign on the
-    * next pass). Everything is deterministic — rank ties break by id, no
-    * float accumulation anywhere — so the oracle replays it as unrolled
-    * CTEs.
+    * lightest OTHER cell's pivot — lightest-other, not lightest, so a
+    * fully balanced index (heaviest == lightest) cannot grow C; EMPTY
+    * cells count at load 0 and retire first (never appearing in the
+    * assignment must not make a dead pivot immortal). C stays constant;
+    * retired members reassign on the next pass. A 1-member-or-empty
+    * heaviest cell cannot split — the loop stops early (the index is as
+    * balanced as splitting can make it). Everything is deterministic —
+    * rank ties break by id, no float accumulation anywhere — so the
+    * oracle replays it as unrolled CTEs.
     *
     * Returns (assignment, pivots) for iterations 0..iters; assignment
     * carries (idCol, centroid_id, vecCol).
@@ -300,27 +305,44 @@ object Similarity {
         vecCol, idCol, pivotIdCol)
     var asg = assignCorpus(piv).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer((asg, piv))
-    for (_ <- 1 to iters) {
-      val occ = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
-      val heavyCid = occ.orderBy(col("n").desc, col("centroid_id"))
-        .first().getLong(0)
-      val lightCid = occ.orderBy(col("n").asc, col("centroid_id"))
-        .first().getLong(0)
-      val members = asg.filter(col("centroid_id") === heavyCid)
-        .crossJoin(refB)
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(VectorExprs.cosineF(col(vecCol), col("__rv")).desc,
-            col(idCol))))
-      val cn = members.count()
-      val k1 = math.max(cn / 4, 1L)
-      val k2 = math.max(3L * cn / 4, 2L)
-      val seeds = members.filter(col("__rk") === k1 || col("__rk") === k2)
-        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
-      piv = piv.filter(col("cid") =!= heavyCid && col("cid") =!= lightCid)
-        .unionByName(seeds)
-        .localCheckpoint()
-      asg = assignCorpus(piv).localCheckpoint()
-      out += ((asg, piv))
+    var stopped = false
+    for (_ <- 1 to iters if !stopped) {
+      // ONE driver collect of the C-row occupancy (per-pivot, EMPTY cells
+      // included at load 0 — an empty cell is the first retirement
+      // candidate, and never appearing in the assignment must not make it
+      // immortal); heavy comes from the same collect
+      val occAll = piv.select(col("cid"))
+        .join(asg.groupBy(col("centroid_id").as("cid")).agg(count(lit(1)).as("n")),
+          Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val heavyCid = occAll.maxBy { case (cid, n) => (n, -cid) }._1
+      val heavyN = occAll.find(_._1 == heavyCid).get._2
+      // retire the lightest OTHER cell — when the index is already
+      // balanced the heaviest may also be the lightest, and removing it
+      // while seeding two would grow C (the contract is C CONSTANT)
+      val lightCid = occAll.filter(_._1 != heavyCid)
+        .minBy { case (cid, n) => (n, cid) }._1
+      if (heavyN < 2) {
+        // a 1-member (or empty) heaviest cell cannot split — the index is
+        // as balanced as this loop can make it
+        stopped = true
+      } else {
+        val members = asg.filter(col("centroid_id") === heavyCid)
+          .crossJoin(refB)
+          .withColumn("__rk", row_number().over(
+            Window.orderBy(VectorExprs.cosineF(col(vecCol), col("__rv")).desc,
+              col(idCol))))
+        val k1 = math.max(heavyN / 4, 1L)
+        val k2 = math.max(3L * heavyN / 4, 2L)
+        val seeds = members.filter(col("__rk") === k1 || col("__rk") === k2)
+          .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+        piv = piv.filter(col("cid") =!= heavyCid && col("cid") =!= lightCid)
+          .unionByName(seeds)
+          .localCheckpoint()
+        asg = assignCorpus(piv).localCheckpoint()
+        out += ((asg, piv))
+      }
     }
     out.toSeq
   }

@@ -161,6 +161,19 @@ object PipelineQueries {
     "docsnap_" + java.lang.Long.toHexString(
       new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL)
 
+  /** Register a session-level catalog over a fresh scratch workspace ONCE
+    * per JVM session (faces share the catalog; tables inside it are keyed
+    * per fixture/invocation as needed). Returns the workspace dir. */
+  private def ensureCatalog(s: org.apache.spark.sql.SparkSession, cat: String,
+                            impl: String): String = {
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      val scratch = new graft.Session.Scratch
+      s.conf.set(s"spark.sql.catalog.$cat", impl)
+      s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
+    }
+    s.conf.get(s"spark.sql.catalog.$cat.workspace")
+  }
+
   /** q192: invocation ordinal for the streaming-publish table name — a
     * fresh checkpoint restarts batchIds at 0, so a rerun must publish into
     * a fresh table, not append versions 1..3 onto an older run's. */
@@ -181,9 +194,14 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.broadcast.Broadcast[graft.functions.BpeKernel.MergeRanks]]()
   private def bpeVocab(s: org.apache.spark.sql.SparkSession, dir: String) =
-    BpeVocabCache.computeIfAbsent(new java.io.File(dir).getAbsolutePath, _ =>
-      s.sparkContext.broadcast(graft.functions.BpeKernel.mergeRanks(
-        bpeLearnedMerges(s, dir).map(m => (m._2, m._3)))))
+    // keyed by (application, dir): a Broadcast is bound to the SparkContext
+    // that created it — a later session in the same JVM must rebroadcast,
+    // not reuse a handle into a stopped context (the merges themselves are
+    // plain data and stay cached per dir)
+    BpeVocabCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + new java.io.File(dir).getAbsolutePath, _ =>
+        s.sparkContext.broadcast(graft.functions.BpeKernel.mergeRanks(
+          bpeLearnedMerges(s, dir).map(m => (m._2, m._3)))))
 
   val IdxSearchC = 16
   val IdxSearchNprobe = 3
@@ -2666,11 +2684,7 @@ object PipelineQueries {
         |WHERE c_acctbal > 8000.0 OR c_acctbal BETWEEN 5000.0 AND 6000.0
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val cat = "graft_rw"
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        val scratch = new graft.Session.Scratch
-        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.WorkspaceCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
-      }
+      ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog"): Unit
       s.sql(s"DROP TABLE IF EXISTS $cat.rich_customers")
       s.sql(s"""CREATE TABLE $cat.rich_customers AS
                |SELECT c_custkey, c_name, c_acctbal
@@ -3064,12 +3078,7 @@ object PipelineQueries {
         |UNION ALL SELECT 2, doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY v, doc_id""".stripMargin) { (s, dir) =>
       val cat = "graft_snap"
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        val scratch = new graft.Session.Scratch
-        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
-      }
-      val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
       val tbl = snapTableFor(dir)
       val docs = Tables.load(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -3102,11 +3111,7 @@ object PipelineQueries {
         |FROM documents WHERE doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val cat = "graft_rw"
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        val scratch = new graft.Session.Scratch
-        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.WorkspaceCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
-      }
+      ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog"): Unit
       s.sql(s"DROP TABLE IF EXISTS $cat.evolving_docs")
       s.sql(s"""CREATE TABLE $cat.evolving_docs AS
                |SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`
@@ -3190,12 +3195,7 @@ object PipelineQueries {
         |UNION ALL SELECT 2, doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY leg, doc_id""".stripMargin) { (s, dir) =>
       val cat = "graft_snap"
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        val scratch = new graft.Session.Scratch
-        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
-      }
-      val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
       val tbl = "t" + snapTableFor(dir)
       val table = s"$ws/$tbl"
       val docs = Tables.load(s, dir, "documents")
@@ -3205,8 +3205,13 @@ object PipelineQueries {
       val v1 = Sinks.snapshotVersions(s, table).lastOption.getOrElse(0) + 1
       Sinks.writeSnapshot(docs.filter(col("doc_id") < 300), table, Some(base + v1 * day))
       val v2 = Sinks.writeSnapshot(docs, table, Some(base + (v1 + 1) * day))
-      def pin(v: Int): String = java.time.LocalDateTime
-        .ofEpochSecond((base / 1000000L) + v * 86400L + 43200L, 0, java.time.ZoneOffset.UTC)
+      // render the pin in the SESSION time zone — Spark parses the
+      // `TIMESTAMP AS OF` string in spark.sql.session.timeZone, and the
+      // 12h mid-gap margin is exactly one tz-offset wide
+      val sessionZone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+      def pin(v: Int): String = java.time.Instant
+        .ofEpochSecond((base / 1000000L) + v * 86400L + 43200L)
+        .atZone(sessionZone)
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
       s.sql(s"""SELECT 1 AS leg, doc_id, text, lang, source, n_chars
                |FROM $cat.$tbl TIMESTAMP AS OF '${pin(v1)}'
@@ -3242,12 +3247,7 @@ object PipelineQueries {
          |FROM bpe_enc, vmd ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val cat = "graft_snap"
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        val scratch = new graft.Session.Scratch
-        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
-      }
-      val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
       val tbl = "vocab_" + snapTableFor(dir)
       import s.implicits._
       // publish the trained vocab as an immutable versioned artifact
@@ -3402,7 +3402,9 @@ object PipelineQueries {
       def splitIter(i: Int): String =
         s"""occ$i AS MATERIALIZED (SELECT cid, COUNT(*) AS n FROM asg${i - 1} GROUP BY cid),
            |heavy$i AS (SELECT cid FROM occ$i ORDER BY n DESC, cid LIMIT 1),
-           |light$i AS (SELECT cid FROM occ$i ORDER BY n ASC, cid LIMIT 1),
+           |light$i AS (SELECT p.cid FROM piv${i - 1} p LEFT JOIN occ$i o ON p.cid = o.cid
+           |  WHERE p.cid <> (SELECT cid FROM heavy$i)
+           |  ORDER BY COALESCE(o.n, 0) ASC, p.cid LIMIT 1),
            |mem$i AS MATERIALIZED (SELECT a.vec_id, a.embedding,
            |    row_number() OVER (ORDER BY ${cosE("a.embedding", "v.q")} DESC, a.vec_id) AS rk,
            |    COUNT(*) OVER () AS cn
@@ -3519,12 +3521,7 @@ object PipelineQueries {
         |  FROM events GROUP BY event_type) t
         |ORDER BY v, event_type""".stripMargin) { (s, dir) =>
       val cat = "graft_snap"
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        val scratch = new graft.Session.Scratch
-        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
-      }
-      val ws = s.conf.get(s"spark.sql.catalog.$cat.workspace")
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
       val tbl = s"pub${PubCounter.incrementAndGet()}_${snapTableFor(dir)}"
       val table = s"$ws/$tbl"
       val scratch = new graft.Session.Scratch

@@ -185,6 +185,14 @@ class WorkspaceCatalog extends TableCatalog {
         true
     }
 
+  /** RENAME is two filesystem renames (data dir, then sidecar) and hence
+    * NOT atomic: a sidecar-rename FAILURE is compensated by renaming the
+    * data dir back (the table stays whole under the old name); a CRASH
+    * between the two renames can still leave the sidecar under the old
+    * name — the declared (post-ALTER) schema falls back to footer
+    * inference until the sidecar is moved by hand. Single-writer DDL is
+    * the contract, as with the snapshot publish protocol — no retry loop
+    * can close a crash window the filesystem cannot express atomically. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val actual = allNames().find(_.equalsIgnoreCase(oldIdent.name()))
       .getOrElse(throw new NoSuchTableException(oldIdent.namespace() :+ oldIdent.name()))
@@ -192,13 +200,16 @@ class WorkspaceCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         newIdent.namespace() :+ newIdent.name())
     val (from, to) = (tablePath(actual), tablePath(newIdent.name()))
-    if (fs(from).exists(from) && !fs(from).rename(from, to))
+    val movedData = fs(from).exists(from)
+    if (movedData && !fs(from).rename(from, to))
       throw new IllegalStateException(
         s"rename ${oldIdent.name()} -> ${newIdent.name()} failed")
     val (scFrom, scTo) = (sidecarPath(actual), sidecarPath(newIdent.name()))
-    if (fs(scFrom).exists(scFrom) && !fs(scFrom).rename(scFrom, scTo))
+    if (fs(scFrom).exists(scFrom) && !fs(scFrom).rename(scFrom, scTo)) {
+      if (movedData) fs(to).rename(to, from): Unit // compensate: keep old name whole
       throw new IllegalStateException(
-        s"rename sidecar ${oldIdent.name()} -> ${newIdent.name()} failed")
+        s"rename sidecar ${oldIdent.name()} -> ${newIdent.name()} failed; table left at ${oldIdent.name()}")
+    }
   }
 
   /** `ALTER TABLE ADD COLUMN(S)`: METADATA-ONLY — the one DDL a landing

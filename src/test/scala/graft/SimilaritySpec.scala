@@ -366,5 +366,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(loads.last <= 1500000L, loads.toString)
     assert(loads == loads.sorted.reverse, s"trajectory must be non-increasing: $loads")
     assert(states.forall(_._2.count() == 8), "C must stay constant")
+    // an ALREADY-BALANCED index must not grow C either (heaviest can tie
+    // lightest — the retire step must pick the lightest OTHER cell)
+    val balanced = Similarity.ivfSplitRebalance(
+      embD, pivots, "embedding", "vec_id", "vec_id", v0, iters = 2)
+    assert(balanced.forall(_._2.count() == 8),
+      s"balanced index grew C: ${balanced.map(_._2.count())}")
+    // degenerate corpus (|corpus| == C): every cell holds ≤1 member — the
+    // loop stops instead of shrinking C below the pivot count
+    val tiny = embD.filter(col("vec_id") < 8)
+    val degen = Similarity.ivfSplitRebalance(
+      tiny, pivots, "embedding", "vec_id", "vec_id", v0, iters = 3)
+    assert(degen.map(_._2.count()).forall(_ == 8), s"degenerate case changed C")
+    assert(degen.length == 1, "1-member cells cannot split; loop must stop")
   }
 }
