@@ -466,6 +466,62 @@ object Similarity {
   def ivfOpenIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Patch a persisted [[ivfWriteIndex]] layout after an assignment change
+    * (re-pivot, delta ingest): rewrite ONLY the lists whose membership
+    * changed and delete retired lists — never touch the rest. This is the
+    * pay-for-reindex contract q193's n_moved reports, made physical: at
+    * 100 TB a rebalance that re-wrote every list would be a full-index
+    * write for a partial membership change.
+    *
+    *  - changed rows = ids whose centroid differs between `oldAsg` and
+    *    `newAsg` (inner join on `idCol`);
+    *  - lists to REWRITE = centroids of changed rows (old ∪ new) that
+    *    still exist in the new assignment — their full new contents land
+    *    via DYNAMIC partition overwrite (only partitions present in the
+    *    written data are replaced; untouched list files are not opened);
+    *  - lists to DELETE = centroids with rows in `oldAsg` but none in
+    *    `newAsg` (a retired pivot's partition would otherwise survive as
+    *    a stale orphan — dynamic overwrite never visits it).
+    *
+    * Centroid id sets are C-bounded driver metadata (the q179 collect
+    * discipline). Returns (listsRewritten, listsDeleted). */
+  def ivfPatchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    oldAsg: DataFrame, newAsg: DataFrame,
+                    idCol: String): (Long, Long) = {
+    val changed = oldAsg.select(col(idCol), col("centroid_id").as("__c0"))
+      .join(newAsg.select(col(idCol), col("centroid_id").as("__c1")), idCol)
+      .filter(col("__c0") =!= col("__c1"))
+    val movedCids = changed.select(col("__c0").as("cid"))
+      .unionByName(changed.select(col("__c1").as("cid")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val newCids = newAsg.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val oldCids = oldAsg.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val rewrite = (movedCids & newCids).toSeq.sorted
+    val retired = (oldCids -- newCids).toSeq.sorted
+    if (rewrite.nonEmpty) {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try newAsg.filter(col("centroid_id").isin(rewrite: _*))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("centroid_id").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    retired.foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(root, s"centroid_id=$c")
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new IllegalStateException(s"could not delete retired list $p")
+    }
+    (rewrite.length.toLong, retired.length.toLong)
+  }
+
   /** Batch IVF search: MANY queries against one (persisted) index in ONE
     * plan — the production serving shape where [[ivfSearchPruned]]'s
     * driver-literal pruning can't apply (each query probes different

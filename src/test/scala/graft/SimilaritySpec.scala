@@ -380,4 +380,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(degen.map(_._2.count()).forall(_ == 8), s"degenerate case changed C")
     assert(degen.length == 1, "1-member cells cannot split; loop must stop")
   }
+
+  test("ivfPatchIndex: untouched lists keep their exact files, retired vanish, patched ≡ fresh") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val path = s"${s.dir}/patch_idx"
+    // old layout: lists 1,2,3,9; new: 2 moves to (new) 4, 3's members fold
+    // into 2 (3 retired), 9 untouched
+    val oldAsg = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L), (6L, 3L),
+      (7L, 9L), (8L, 9L)).toDF("vec_id", "centroid_id")
+    val newAsg = Seq((1L, 1L), (2L, 4L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L),
+      (7L, 9L), (8L, 9L)).toDF("vec_id", "centroid_id")
+    Similarity.ivfWriteIndex(oldAsg, path)
+    def files(c: Long) = Option(new java.io.File(s"$path/centroid_id=$c").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val untouchedBefore = files(9L)
+    assert(untouchedBefore.nonEmpty)
+    val (nRw, nDel) = Similarity.ivfPatchIndex(spark, path, oldAsg, newAsg, "vec_id")
+    // moved rows: 2(1→4), 3(2→1), 5,6(3→2) → cids {1,4,2,3}; 3 retired
+    assert((nRw, nDel) == (3L, 1L), s"($nRw, $nDel)")
+    assert(files(9L) == untouchedBefore, "untouched partition was rewritten")
+    assert(!new java.io.File(s"$path/centroid_id=3").exists(), "retired list survived")
+    val patched = Similarity.ivfOpenIndex(spark, path)
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(patched == newAsg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
