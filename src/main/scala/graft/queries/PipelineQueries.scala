@@ -3548,6 +3548,102 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- tokenizer: cross-domain fertility (vocab/domain mismatch) --------
+    // The report a pipeline runs before reusing a tokenizer on new data:
+    // train the vocab on ONE source (src0), kernel-encode the WHOLE
+    // corpus, and report per-source fertility (BPE tokens per word,
+    // micro-units by integer division — exact). The vocab's own domain
+    // should read lowest; a high-fertility source is the "this tokenizer
+    // doesn't fit that data" signal. Oracle: the merge-learning CTEs run
+    // over the src0 SUBQUERY while the encode CTE runs over the full
+    // table — same learned chain, same per-word replace semantics.
+    Q("q198_tokenizer_fertility", {
+      s"""WITH ${TextAnalysis.bpeMergeCtes(
+             "(SELECT * FROM documents WHERE source = 'src0')", "text", BpeVocabK)},
+         |${TextAnalysis.bpeEncodeSegSql("documents", "text", "doc_id", BpeVocabK)},
+         |ft AS (SELECT d.source,
+         |    CAST(len(regexp_extract_all(lower(d.text), '[a-z]+')) AS BIGINT) AS nw,
+         |    CASE WHEN e.bpe_seg = '' THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(len(string_split(e.bpe_seg, ' ')) AS BIGINT) END AS nb
+         |  FROM documents d JOIN bpe_enc e ON d.doc_id = e.id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nw) AS BIGINT) AS total_words,
+         |  CAST(SUM(nb) AS BIGINT) AS total_bpe,
+         |  CAST(SUM(nb) * 1000000 // GREATEST(SUM(nw), 1) AS BIGINT) AS fertility_micro
+         |FROM ft GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      // plain-data cache (no broadcast inside) — dir-keyed like q188's
+      val key = new java.io.File(dir).getAbsolutePath + "#src0"
+      val merges = BpeMergesCache.computeIfAbsent(key, _ =>
+        TextAnalysis.bpeTrainLocal(
+          Tables.load(s, dir, "documents").filter(col("source") === "src0"),
+          "text", BpeVocabK))
+      val bc = s.sparkContext.broadcast(
+        graft.functions.BpeKernel.mergeRanks(merges.map(m => (m._2, m._3))))
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("nw"),
+          graft.functions.BpeExprs.bpeEncode(col("text"), bc).as("__seg"))
+        .select(col("source"), col("nw"),
+          when(col("__seg") === "", lit(0L))
+            .otherwise(size(split(col("__seg"), " ")).cast("long")).as("nb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("total_words"),
+          sum(col("nb")).as("total_bpe"))
+        .withColumn("fertility_micro",
+          expr("total_bpe * 1000000 div greatest(total_words, 1)"))
+        .orderBy("source")
+    },
+
+    // ---- streaming: tokenize-on-ingest (kernel + broadcast in a stream) ---
+    // The TWELFTH true streaming execution: the q188 BPE kernel runs
+    // INSIDE a Structured Streaming plan — the broadcast vocab and the
+    // codegen'd expression ride the streaming micro-batch execution, and
+    // the per-source running token totals are stateful ACROSS a
+    // checkpointed restart (two landed files, two AvailableNow runs, the
+    // r10 ordering discipline; update-mode emissions tagged __batch, the
+    // face reduces to each source's last emission). The oracle equates the
+    // final running totals to the batch aggregate over all documents —
+    // the ingest-time tokenize-and-meter shape of a training pipeline.
+    Q("q199_streaming_tokenize", {
+      s"""WITH ${TextAnalysis.bpeMergeCtes("documents", "text", BpeVocabK)},
+         |${TextAnalysis.bpeEncodeSegSql("documents", "text", "doc_id", BpeVocabK)}
+         |SELECT d.source,
+         |  CAST(SUM(CASE WHEN e.bpe_seg = '' THEN 0
+         |               ELSE len(string_split(e.bpe_seg, ' ')) END) AS BIGINT) AS total_bpe
+         |FROM documents d JOIN bpe_enc e ON d.doc_id = e.id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bc = bpeVocab(s, dir)
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/tok_src"
+      val sink = s"${scratch.dir}/tok_sink"
+      val chk = s"${scratch.dir}/chk199"
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+      var sinkDf: org.apache.spark.sql.DataFrame = null
+      for (i <- 1 to 2) {
+        Streams.landFile(docs.filter(pmod(col("doc_id"), lit(2)) === i - 1), src, s"b$i")
+        val schema = s.read.parquet(src).schema
+        sinkDf = Streams.runUpdateTagged(s, sink, chk) {
+          s.readStream.schema(schema).parquet(src)
+            .select(col("source"),
+              graft.functions.BpeExprs.bpeEncode(col("text"), bc).as("__seg"))
+            .select(col("source"),
+              when(col("__seg") === "", lit(0L))
+                .otherwise(size(split(col("__seg"), " ")).cast("long")).as("nb"))
+            .groupBy(col("source"))
+            .agg(sum(col("nb")).as("total_bpe"))
+        }._1
+      }
+      val w = Window.partitionBy("source").orderBy(col("__batch").desc)
+      sinkDf.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("source", "total_bpe")
+        .orderBy("source")
+    },
+
     // ---- similarity: persisted-index PARTITION PATCH after re-pivot -------
     // q193 reports the churn; this face makes it PHYSICAL. The pre-drift
     // index is persisted in the ivfWriteIndex layout (partitioned by
