@@ -170,4 +170,79 @@ object GraftProps extends Properties("graft") {
       java.lang.Double.doubleToRawLongBits(out.asInstanceOf[Double]) ==
         java.lang.Double.doubleToRawLongBits(ref)
     }
+
+  // ---- BPE kernel ≡ literal replace chain ---------------------------------
+  // Independent reference implementations (the wrapped-symbol replace chain
+  // and a from-the-spec trainer), so the law is checked against text-level
+  // string semantics, not against the kernel's own code paths.
+  private val BpeS = ""
+  private def chainSegment(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    var s = word.toCharArray.map(c => BpeS + c + BpeS).mkString
+    merges.foreach { case (l, r) =>
+      s = s.replace(BpeS + l + BpeS + BpeS + r + BpeS, BpeS + l + r + BpeS)
+    }
+    s.stripPrefix(BpeS).stripSuffix(BpeS).split(BpeS + BpeS, -1).toSeq
+  }
+  private def trainRef(corpus: Seq[String], k: Int): Seq[(String, String)] = {
+    var types = corpus.filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, ws) => (w.toCharArray.map(_.toString).toSeq, ws.length.toLong) }
+      .toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // max count, ties → LEXICOGRAPHICALLY SMALLEST (l, r) — the
+        // bpeTopMerges ORDER BY cnt DESC, l, r contract
+        val cMax = counts.values.max
+        val (l, r) = counts.filter(_._2 == cMax).keys.minBy(identity)
+        out += ((l, r))
+        types = types.map { case (syms, f) =>
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.toSeq, f)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+  private val genBpeWord: Gen[String] = Gen.choose(0, 7)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  private val genBpeCorpus: Gen[Seq[String]] =
+    Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, genBpeWord))
+
+  property("BpeKernel.segmentWord ≡ literal replace chain for ANY trained merge list (incl. unseen words)") =
+    forAll(genBpeCorpus, Gen.choose(0, 12), genBpeCorpus) { (corpus, k, probes) =>
+      val merges = trainRef(corpus, k)
+      val m = graft.functions.BpeKernel.mergeRanks(merges)
+      (corpus ++ probes).filter(_.nonEmpty).forall { w =>
+        graft.functions.BpeKernel.segmentWord(w, m).toSeq == chainSegment(w, merges)
+      }
+    }
+
+  property("BpeKernel.encodeDoc = space-joined per-word segmentations of [a-z]+ runs") =
+    forAll(genBpeCorpus, Gen.choose(0, 6)) { (corpus, k) =>
+      val merges = trainRef(corpus, k)
+      val m = graft.functions.BpeKernel.mergeRanks(merges)
+      val doc = corpus.mkString(", ").toUpperCase + " 42!"
+      val got = graft.functions.BpeKernel
+        .encodeDoc(UTF8String.fromString(doc), m).toString
+      val want = corpus.filter(_.nonEmpty)
+        .flatMap(w => chainSegment(w, merges)).mkString(" ")
+      got == want
+    }
 }
