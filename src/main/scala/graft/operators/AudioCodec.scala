@@ -5,6 +5,7 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -86,6 +87,40 @@ object AudioCodec {
       i += 1
     }
     InternalRow(nSeg, nAct, longest)
+  }
+
+  /** 64-bit acoustic fingerprint over the DECODED samples — the audio
+    * analog of [[MediaCodec.aHash64]]: block b of 64 covers samples
+    * [⌊b·n/64⌋, ⌊(b+1)·n/64⌋); bit b = 1 iff the block's mean |s| ≥ the
+    * track's mean |s|, compared in exact integers (sum_b·n ≥ total·len_b
+    * — Σ|s| ≤ 2¹⁵·n, so both products stay far below 2⁶³ for any
+    * realistic track). Returned as [hi32, lo32] non-negative int64s with
+    * bit b at position 31−b / 63−b (the aHash layout, so the banded
+    * Hamming machinery applies unchanged). The energy ENVELOPE shape,
+    * robust to re-encoding/amplitude-preserving edits; a pure function of
+    * the samples, so the DuckDB oracle reproduces it from the source
+    * characters. */
+  def aHash64(wav: Array[Byte]): ArrayData = {
+    val s = decodeSamples(wav)
+    val n = s.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += math.abs(s(i)); i += 1 }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 64) {
+      val start = (b.toLong * n / 64).toInt
+      val end = ((b + 1).toLong * n / 64).toInt
+      var bs = 0L
+      var j = start
+      while (j < end) { bs += math.abs(s(j)); j += 1 }
+      if (end > start && bs * n >= total * (end - start)) {
+        if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
+      }
+      b += 1
+    }
+    new GenericArrayData(Array(hi, lo))
   }
 
   /** Integer-exact track statistics over the DECODED samples:
@@ -185,9 +220,25 @@ case class WavSegments(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "graft_wav_segments"
 }
 
+/** binary → array<long>: 64-bit acoustic fingerprint [hi32, lo32]. */
+case class WavAHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_wav_ahash64 requires a binary input")
+  override def nullSafeEval(b: Any): Any =
+    AudioCodec.aHash64(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.AudioCodec.aHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_wav_ahash64"
+}
+
 /** Column-API faces of the audio expressions. */
 object AudioExprs {
   def wavEncode(raw: Column): Column = Bridge.column(WavEncode(Bridge.expression(raw)))
+  def wavAHash64(wav: Column): Column = Bridge.column(WavAHash64(Bridge.expression(wav)))
   def wavStats(wav: Column): Column = Bridge.column(WavStats(Bridge.expression(wav)))
   def wavSamples(wav: Column): Column = Bridge.column(WavSamples(Bridge.expression(wav)))
   def wavSegments(wav: Column, threshold: Column): Column =

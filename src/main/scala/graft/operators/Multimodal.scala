@@ -148,6 +148,30 @@ object Multimodal {
           col("media_meta.n_bytes")).as("__h"))
       .select(col(idCol).as("id"), col("__h")(0).as("hi"), col("__h")(1).as("lo"))
       .localCheckpoint()
+    hamming64Pairs(h, maxDist)
+  }
+
+  /** Audio near-dup candidates by ACOUSTIC fingerprint — the audio member
+    * of the perceptual-dedup family (q170's image aHash, q31's text
+    * MinHash): real WAV decode → 64-bit energy-envelope hash
+    * ([[AudioExprs.wavAHash64]], block-mean bits over |s|) → the same
+    * banded-Hamming blocking + exact verify. 16 bytes per track however
+    * long the audio; candidates from (band, sig) equi-joins, never
+    * all-pairs. */
+  def audioFingerprintPairs(media: DataFrame, idCol: String,
+                            maxDist: Int): DataFrame = {
+    val h = media.select(col(idCol),
+        AudioExprs.wavAHash64(col("media_bytes")).as("__h"))
+      .select(col(idCol).as("id"), col("__h")(0).as("hi"), col("__h")(1).as("lo"))
+      .localCheckpoint() // decode once — the phashPairs discipline
+    hamming64Pairs(h, maxDist)
+  }
+
+  /** Shared tail of the perceptual-dedup family: (id, hi, lo) 64-bit
+    * hashes → 4×16-bit banded blocking (any shared band → candidate; d < 4
+    * survives with certainty by pigeonhole) → exact bit_count(xor) verify
+    * ≤ maxDist. */
+  private def hamming64Pairs(h: DataFrame, maxDist: Int): DataFrame = {
     val bands = h.select(col("id"), col("hi"), col("lo"),
         explode(array(
           struct(lit(1).as("band"),

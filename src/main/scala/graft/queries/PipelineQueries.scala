@@ -2533,6 +2533,52 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- multimodal audio: acoustic-fingerprint near-dup candidates -------
+    // Completes the perceptual-dedup family across modalities (text q31,
+    // image q170, audio HERE): REAL WAV decode → 64-bit energy-envelope
+    // fingerprint (block-mean |s| bits vs the track mean, exact integer
+    // cross-multiplication) → the SAME 4×16-bit banded Hamming blocking +
+    // exact bit_count(xor) verify. The oracle rebuilds the fingerprint
+    // from source characters (|s| = |(c−128)·256| — lossless PCM, the q72
+    // contract) and replays the banding. Like q170, the planted near-dup
+    // pairs only exist at sf0.1+ — smaller fixtures yield a legitimately
+    // empty (and oracle-matched) candidate set.
+    Q("q200_audio_fingerprint", {
+      def bitSql(shiftBase: Int) = {
+        val lo = "(CAST(b AS BIGINT) * n) // 64"
+        val hi = "(CAST(b + 1 AS BIGINT) * n) // 64"
+        s"""CASE WHEN ($hi) > ($lo) AND
+           |    COALESCE(list_sum(av[CAST(($lo) + 1 AS INT):CAST($hi AS INT)]), 0) * n
+           |      >= total * (($hi) - ($lo))
+           |  THEN (CAST(1 AS BIGINT) << ($shiftBase - b)) ELSE 0 END""".stripMargin
+      }
+      s"""WITH af_c AS (SELECT doc_id,
+         |    [abs((ascii(substr(text, CAST(i AS INT), 1)) - 128) * 256) FOR i IN generate_series(1, length(text))] AS av,
+         |    length(text) AS n FROM documents),
+         |af_t AS (SELECT doc_id, av, n, COALESCE(list_sum(av), 0) AS total FROM af_c),
+         |af_h AS (SELECT doc_id,
+         |    COALESCE(list_sum([${bitSql(31)} FOR b IN generate_series(0, 31)]), 0) AS hi,
+         |    COALESCE(list_sum([${bitSql(63)} FOR b IN generate_series(32, 63)]), 0) AS lo
+         |  FROM af_t),
+         |af_bands AS (
+         |  SELECT doc_id, hi, lo, 1 AS band, (hi >> 16) & 65535 AS sig FROM af_h
+         |  UNION ALL SELECT doc_id, hi, lo, 2, hi & 65535 FROM af_h
+         |  UNION ALL SELECT doc_id, hi, lo, 3, (lo >> 16) & 65535 FROM af_h
+         |  UNION ALL SELECT doc_id, hi, lo, 4, lo & 65535 FROM af_h),
+         |af_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         |  FROM af_bands a JOIN af_bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM af_pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      Multimodal.audioFingerprintPairs(
+          Multimodal.asAudio(docs, "text"), "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- multimodal audio: activity segmentation (VAD-style) --------------
     // REAL WAV decode (AudioSystem) → run-length census of |s| ≥ 16384 in
     // ONE fused kernel per row (AudioExprs.wavSegments) — per-track

@@ -25,11 +25,12 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("queries that should produce rows do") {
-    // q170 is a true-negative at tiny SFs: the fixture has no duplicate
-    // texts below sf0.1, so the phash near-dup pair set is legitimately
-    // empty (its positive path is pinned by MultimodalSpec + the sf0.1
-    // oracle, which finds exactly the 8 real pairs).
-    val mustHaveRows = SparkEntry.queries.keySet -- Set("q170_image_phash")
+    // q170/q200 are true-negatives at tiny SFs: the fixture has no
+    // duplicate texts below sf0.1, so the perceptual near-dup pair sets
+    // are legitimately empty (positive paths pinned by MultimodalSpec +
+    // the sf0.1 oracle: 8 image pairs, 9 audio pairs).
+    val mustHaveRows = SparkEntry.queries.keySet --
+      Set("q170_image_phash", "q200_audio_fingerprint")
     mustHaveRows.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sf).count()
       withClue(s"$name:") { assert(n > 0) }

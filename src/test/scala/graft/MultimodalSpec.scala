@@ -154,6 +154,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h == Seq(hi, lo))
   }
 
+  test("audioFingerprintPairs: exact twin at distance 0, envelope edit within banding, unrelated absent") {
+    import spark.implicits._
+    val base = "loud LOUD loud quiet.... LOUD loud noise here and more sound after that okay"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                          // exact twin → hamming 0
+      (3L, base.replace("that", "THAT")),   // small envelope edit (d=3) → caught
+      (4L, "zzz. aaa. zzz. aaa. zzz. aaa. zzz. aaa. completely different rhythm pattern x")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.audioFingerprintPairs(
+        graft.operators.Multimodal.asAudio(docs, "text"), "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0), pairs.toString)
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 3), pairs.toString)
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L), pairs.toString)
+    // kernel reference: recompute the fingerprint from the abs-sample rule
+    val h = docs.filter($"doc_id" === 1).select(
+        graft.operators.AudioExprs.wavAHash64(
+          graft.operators.AudioExprs.wavEncode(encode(col("text"), "UTF-8"))))
+      .first().getSeq[Long](0)
+    val abs = base.getBytes("UTF-8").map(b => math.abs(((b & 0xff) - 128) * 256).toLong)
+    val n = abs.length; val total = abs.sum
+    var hi = 0L; var lo = 0L
+    for (b <- 0 until 64) {
+      val st = (b.toLong * n / 64).toInt; val en = ((b + 1).toLong * n / 64).toInt
+      val s = (st until en).map(abs).sum
+      if (en > st && s * n >= total * (en - st)) {
+        if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
+      }
+    }
+    assert(h == Seq(hi, lo))
+  }
+
   test("pngEncode/pngPixels expressions survive codegen on fixture docs") {
     val docs = Tables.load(spark, sf, "documents").limit(50)
     val n = docs.select(
