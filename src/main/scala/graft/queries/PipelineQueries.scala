@@ -3690,6 +3690,67 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---- the full training-batch assembly line ----------------------------
+    // The END-TO-END composition a training run executes, SIX operators in
+    // ONE declared plan: exact dedup (min-id survivors) → quality gate
+    // (length + word floor) → weighted source mixture (deterministic hash
+    // buckets, q59's rates) → REAL tokenizer counts (q188 kernel,
+    // broadcast vocab) → fixed-budget sequence packing (q196) → a
+    // deterministic epoch-shuffle KEY per bin (pure hash60 — consumers
+    // sort by it; no global window anywhere). Every stage is individually
+    // oracle-proven elsewhere; this face proves they COMPOSE — the hash
+    // covers survivor selection, gate boundaries, mixture membership,
+    // token counts, bin arithmetic, and the shuffle keys simultaneously.
+    // Plan: scan-stage filters/kernel + ONE md5 groupBy + ONE source
+    // window — nothing corpus-quadratic, nothing globally ordered.
+    Q("q201_training_assembly", {
+      val bucket = graft.operators.Curation.hashBucketSql("doc_id", CurationQueries.MixSalt)
+      val rateCase = CurationQueries.MixRates.toSeq.sortBy(_._1)
+        .map { case (src, p) => s"WHEN '$src' THEN $p" }
+        .mkString("CASE source ", " ", s" ELSE ${CurationQueries.MixDefault} END")
+      s"""WITH ${TextAnalysis.bpeMergeCtes("documents", "text", BpeVocabK)},
+         |${TextAnalysis.bpeEncodeSegSql("documents", "text", "doc_id", BpeVocabK)},
+         |asm_r AS (SELECT doc_id, source, text, n_chars,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |asm_q AS (SELECT doc_id, source, text FROM asm_r WHERE rn = 1
+         |    AND n_chars >= 100
+         |    AND len(regexp_extract_all(lower(text), '[a-z]+')) >= 20),
+         |asm_m AS (SELECT doc_id, source FROM asm_q WHERE $bucket < ($rateCase)),
+         |asm_t AS (SELECT m.source, m.doc_id,
+         |    CASE WHEN e.bpe_seg = '' THEN 0
+         |         ELSE CAST(len(string_split(e.bpe_seg, ' ')) AS INT) END AS n_bpe
+         |  FROM asm_m m JOIN bpe_enc e ON m.doc_id = e.id),
+         |asm_c AS (SELECT source, doc_id, n_bpe,
+         |    SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe AS cum
+         |  FROM asm_t)
+         |SELECT source, doc_id, n_bpe,
+         |  CAST(FLOOR(cum / 256.0) AS BIGINT) AS bin_id,
+         |  CAST(cum % 256 AS BIGINT) AS bin_offset,
+         |  ${Fns.hash60Sql("'asm1|'||source||'|'||CAST(CAST(FLOOR(cum / 256.0) AS BIGINT) AS VARCHAR)")} AS shuffle_key
+         |FROM asm_c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val bc = bpeVocab(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+      val survivors = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      val gated = survivors.filter(col("n_chars") >= 100 &&
+        size(TextAnalysis.words(col("text"))) >= 20)
+      val mixed = graft.operators.Curation.mixSources(gated, "doc_id", "source",
+        CurationQueries.MixRates, CurationQueries.MixDefault, CurationQueries.MixSalt)
+      val counted = mixed.select(col("source"), col("doc_id"),
+          graft.functions.BpeExprs.bpeEncode(col("text"), bc).as("__seg"))
+        .select(col("source"), col("doc_id"),
+          when(col("__seg") === "", lit(0))
+            .otherwise(size(split(col("__seg"), " "))).as("n_bpe"))
+      graft.operators.Curation
+        .packSequences(counted, "doc_id", "source", col("n_bpe"), budget = 256)
+        .select(col("source"), col("doc_id"), col("n_bpe"), col("bin_id"), col("bin_offset"),
+          Fns.hash60(concat(lit("asm1|"), col("source"), lit("|"),
+            col("bin_id").cast("string"))).as("shuffle_key"))
+        .orderBy("doc_id")
+    },
+
     // ---- similarity: persisted-index PARTITION PATCH after re-pivot -------
     // q193 reports the churn; this face makes it PHYSICAL. The pre-drift
     // index is persisted in the ivfWriteIndex layout (partitioned by
