@@ -562,6 +562,48 @@ object Similarity {
     rankTopK(cands, idCol, k)
   }
 
+  /** STREAMING-safe batch ANN serving: [[ivfBatchSearch]] semantics with the
+    * per-query probe ranking as a PER-ROW fused kernel
+    * ([[VectorExprs.nearestPivotsF]] over a driver-literal packed pivot
+    * array) instead of a window — streaming plans cannot carry window
+    * functions, and the kernel is the better shape at any scale anyway: the
+    * |Q|·C scored exchange disappears and probes are decided in the scan
+    * stage. `queries` may be a streaming DataFrame; the plan is stateless up
+    * to exactly ONE [[graft.functions.TopKByScore]] aggregate (update-mode
+    * compatible — the heap buffer serializes into the state store, so a
+    * query's top-k survives checkpointed restarts).
+    *
+    * The probed (qid, centroid_id, qv) rows carry a broadcast hint so the
+    * static index side is never shuffled — per micro-batch the equi-join
+    * touches Σ_q probed-list sizes, never |corpus|·|Q|. At 100 TB serving
+    * scale the same plan reads an [[ivfWriteIndex]]-partitioned index; the
+    * micro-batch's probe set prunes list files exactly as q179's literal
+    * isin does (dynamic partition pruning from the broadcast side).
+    *
+    * Returns (qid, __tk) with the heap UNEXPLODED so callers can tag and
+    * last-emission-reduce sink rows before ranking (see q202): exploding
+    * after the reduction keeps every sink row one query's final state. */
+  def ivfStreamSearch(index: DataFrame, pivots: DataFrame, queries: DataFrame,
+                      vecCol: String, idCol: String, pivotIdCol: String,
+                      qidCol: String, k: Int, nprobe: Int): DataFrame = {
+    val pivRows = pivots
+      .select(col(pivotIdCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy("cid").collect()
+    require(pivRows.nonEmpty, "ivfStreamSearch requires a non-empty pivot set")
+    val pivLit = array(pivRows.map { r =>
+      struct(lit(r.getLong(0)).as("cid"), typedLit(r.getSeq[Float](1)).as("cv"))
+    }: _*)
+    val probed = broadcast(queries
+      .select(col(qidCol).as("qid"), col(vecCol).as("__qv"),
+        VectorExprs.nearestPivotsF(col(vecCol), pivLit, nprobe).as("__cids"))
+      .select(col("qid"), col("__qv"), explode(col("__cids")).as("centroid_id")))
+    index.join(probed, Seq("centroid_id"))
+      .select(col("qid"),
+        VectorExprs.cosineF(col(vecCol), col("__qv")).as("cos"), col(idCol))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topKByScore(col("cos"), col(idCol), k).as("__tk"))
+  }
+
   /** IVF search against a PARTITIONED index: the probe ranking runs on the
     * driver over the C pivot scores (tiny by construction), and the probed
     * list ids become a LITERAL isin filter — static partition pruning, no

@@ -3751,6 +3751,66 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- similarity: STREAMING ANN serving from the persisted index -------
+    // Thirteenth true streaming execution, and the online form of q182:
+    // query vectors ARRIVE as a stream, probe ranking runs as the per-row
+    // fused kernel (nearestPivotsF over a driver-literal pivot pack — a
+    // window is both illegal in a streaming plan and the wrong shape), the
+    // micro-batch stream-static-joins the SAME persisted index q179/q182
+    // serve from, and per-query top-k accumulates in ONE update-mode
+    // TopKByScore aggregate whose heap state survives the checkpointed
+    // restart between the two AvailableNow runs. The oracle is VERBATIM
+    // q182's batch-serving SQL — streaming serving must produce bit-exact
+    // batch results, heap state, restart and all.
+    Q("q202_streaming_ann", {
+      s"""WITH ${ivfAsgSqlCtes(IdxSearchC.toString)},
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $IdxBatchQ),
+         |pr AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, p.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("p.cv", "q.qv")} DESC, p.cid) AS prn
+         |    FROM piv p, qs q) t WHERE prn <= $IdxSearchNprobe),
+         |cand AS (SELECT q.qid, a.vec_id, ${cosSql("a.embedding", "q.qv")} AS cos
+         |  FROM asg a JOIN pr ON a.cid = pr.cid JOIN qs q ON pr.qid = q.qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM cand)
+         |SELECT qid, vec_id, cos, CAST(rn AS INT) AS rn FROM r
+         |WHERE rn <= $IdxBatchK ORDER BY qid, rn""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < IdxSearchC)
+      val index = Similarity.ivfOpenIndex(s, persistedIvfIndex(dir, emb, pivots))
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/ann_src"
+      val sink = s"${scratch.dir}/ann_sink"
+      val chk = s"${scratch.dir}/chk202"
+      val queries = emb.filter(col("vec_id") < IdxBatchQ)
+        .select("vec_id", "embedding")
+      var sinkDf: org.apache.spark.sql.DataFrame = null
+      // Two AvailableNow runs on ONE checkpoint, one landed file each
+      // (even qids, then odd) — the second run proves the agg state store
+      // reloads: update mode emits only keys the batch touched, so each
+      // qid's single sink row is its final heap, post-restart.
+      for (i <- 1 to 2) {
+        Streams.landFile(queries.filter(pmod(col("vec_id"), lit(2)) === i - 1),
+          src, s"b$i")
+        val schema = s.read.parquet(src).schema
+        sinkDf = Streams.runUpdateTagged(s, sink, chk) {
+          Similarity.ivfStreamSearch(index, pivots,
+            s.readStream.schema(schema).parquet(src),
+            "embedding", "vec_id", "vec_id", "vec_id", k = IdxBatchK,
+            nprobe = IdxSearchNprobe)
+        }._1
+      }
+      val w = Window.partitionBy("qid").orderBy(col("__batch").desc)
+      sinkDf.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("qid"), posexplode(col("__tk")))
+        .select(col("qid"), col("col.id").as("vec_id"), col("col.cos").as("cos"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("qid", "rn")
+    },
+
     // ---- similarity: persisted-index PARTITION PATCH after re-pivot -------
     // q193 reports the churn; this face makes it PHYSICAL. The pre-drift
     // index is persisted in the ivfWriteIndex layout (partitioned by

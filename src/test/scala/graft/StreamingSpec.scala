@@ -462,4 +462,64 @@ class StreamingSpec extends AnyFunSuite {
         stream(0).getAs[Timestamp]("last_ts") == ts("2024-01-01 10:30:00"))
     } finally q.stop()
   }
+
+  test("streaming ANN serving: heap state isolates per query across restarts, equals batch search") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Similarity
+    val s = spark
+    val scratch = new Session.Scratch
+    // tiny deterministic corpus: 20 vectors dim 4, pivots = ids < 4
+    val corpus = (0L until 20L).map { i =>
+      (i, Array((i % 5 + 1).toFloat, (i % 3).toFloat, (i % 7).toFloat, 1f))
+    }.toDF("vec_id", "embedding")
+    val pivots = corpus.filter(col("vec_id") < 4)
+    val idxPath = s"${scratch.dir}/ann_idx"
+    Similarity.ivfWriteIndex(
+      Similarity.ivfAssign(corpus, pivots, "embedding", "vec_id", "vec_id"), idxPath)
+    val index = Similarity.ivfOpenIndex(s, idxPath)
+    val queries = Seq(
+      (100L, Array(2f, 1f, 3f, 1f)), (101L, Array(5f, 0f, 6f, 1f)),
+      (102L, Array(1f, 2f, 0f, 1f)), (103L, Array(3f, 2f, 5f, 1f))
+    ).toDF("vec_id", "embedding")
+    val src = s"${scratch.dir}/ann_src"
+    val sink = s"${scratch.dir}/ann_sink"
+    val chk = s"${scratch.dir}/ann_chk"
+    var out: org.apache.spark.sql.DataFrame = null
+    var progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    for (i <- 1 to 2) {
+      Streams.landFile(queries.filter(pmod(col("vec_id"), lit(2)) === i - 1), src, s"b$i")
+      val schema = s.read.parquet(src).schema
+      val (o, p) = Streams.runUpdateTagged(s, sink, chk) {
+        Similarity.ivfStreamSearch(index, pivots,
+          s.readStream.schema(schema).parquet(src),
+          "embedding", "vec_id", "vec_id", "vec_id", k = 3, nprobe = 2)
+      }
+      out = o; progress ++= p
+    }
+    // a real streaming-engine execution with stateful aggregation ran twice
+    assert(progress.flatMap(_.stateOperators.toSeq).nonEmpty, "no stateful op in progress")
+    // both micro-batches (one per restart) emitted into the sink
+    val batches = out.select("__batch").distinct().as[Long].collect().sorted
+    assert(batches.toSeq == Seq(0L, 1L), s"expected batch ids 0,1 got ${batches.toSeq}")
+    // update mode + per-qid state: each query's heap emitted EXACTLY once —
+    // the second run touched only its own keys (state isolation on restart)
+    val perQid = out.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(perQid.keySet == Set(100L, 101L, 102L, 103L), perQid.toString)
+    assert(perQid.values.forall(_ == 1L), s"re-emitted heaps: $perQid")
+    // even qids landed first → batch 0; odd → batch 1
+    val qidBatch = out.select("qid", "__batch").as[(Long, Long)].collect().toMap
+    assert(qidBatch(100L) == 0L && qidBatch(102L) == 0L &&
+      qidBatch(101L) == 1L && qidBatch(103L) == 1L, qidBatch.toString)
+    // streaming serving ≡ batch serving, rank for rank, bit for bit
+    val streamed = out
+      .select(col("qid"), posexplode(col("__tk")))
+      .select(col("qid"), col("col.id").as("vec_id"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("qid", "rn").collect().map(_.toSeq)
+    val batch = Similarity.ivfBatchSearch(index, pivots, queries,
+        "embedding", "vec_id", "vec_id", "vec_id", k = 3, nprobe = 2)
+      .orderBy("qid", "rn").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
