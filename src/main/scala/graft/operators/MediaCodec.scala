@@ -7,6 +7,7 @@ import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutput
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
   TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -142,12 +143,103 @@ object MediaCodec {
     new GenericArrayData(Array(hi, lo))
   }
 
+  /** 64-bit GRADIENT hash (dHash) over the first `nBytes` decoded pixels,
+    * returned as [hi32, lo32] like [[aHash64]] so the banded-Hamming
+    * machinery applies unchanged. Block b of 64 covers payload bytes
+    * [⌊b·n/64⌋, ⌊(b+1)·n/64⌋); bit b = 1 iff mean(block b) is STRICTLY
+    * greater than mean(block (b+1) mod 64) — the circular
+    * difference-of-neighbors signature, compared in exact 128-bit integers
+    * (sum_b·len_b2 > sum_b2·len_b). Empty blocks (n < 64) yield 0. Where
+    * [[aHash64]] captures the LEVEL envelope (mean vs global), dHash
+    * captures the temporal GRADIENT — invariant under global
+    * brightness/volume shifts, which level hashes are not. A pure function
+    * of the payload, so the DuckDB oracle replays it (q204). */
+  def dHash64(pixels: Array[Byte], nBytes: Int): ArrayData = {
+    val n = math.min(math.max(nBytes, 0), pixels.length)
+    val sums = new Array[Long](64)
+    val lens = new Array[Long](64)
+    var b = 0
+    while (b < 64) {
+      val start = (b.toLong * n / 64).toInt
+      val end = ((b + 1).toLong * n / 64).toInt
+      var s = 0L
+      var j = start
+      while (j < end) { s += (pixels(j) & 0xff); j += 1 }
+      sums(b) = s; lens(b) = (end - start).toLong
+      b += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    b = 0
+    while (b < 64) {
+      val b2 = (b + 1) & 63
+      // strict a/l_a > c/l_c  ⇔  !(c·l_a ≥ a·l_c)
+      if (lens(b) > 0 && lens(b2) > 0 &&
+          !geUnsigned128(sums(b2), lens(b), sums(b), lens(b2))) {
+        if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
+      }
+      b += 1
+    }
+    new GenericArrayData(Array(hi, lo))
+  }
+
   /** a·b >= c·d over non-negative longs, exact at 128 bits (no overflow). */
   private def geUnsigned128(a: Long, b: Long, c: Long, d: Long): Boolean = {
     val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
     val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
     if (hi1 != hi2) hi1 > hi2
     else java.lang.Long.compareUnsigned(lo1, lo2) >= 0
+  }
+
+  /** Shot-boundary census over the DECODED pixel stream treated as a video
+    * frame sequence: frame f of F covers payload pixels
+    * [⌊f·n/F⌋, ⌊(f+1)·n/F⌋) (the aHash block rule, so frames tile the
+    * payload exactly). A boundary fires between consecutive NON-EMPTY
+    * frames whose means differ by ≥ `thresh` gray levels, compared in
+    * exact integers: |sum_f·L_{f−1} − sum_{f−1}·L_f| ≥ thresh·L_f·L_{f−1}
+    * (products ≤ 255·n² — exact in int64 for payloads < ~190 MB, far past
+    * any per-row video chunk this census would see). Shots are the
+    * boundary-delimited frame runs. Returns
+    * (n_frames, n_shots, longest_shot [frames; ties → earliest],
+    * key_frame = ⌊(start+end)/2⌋ of the longest shot, key_byte = that
+    * frame's first payload pixel) — a pure function of the payload, so the
+    * DuckDB oracle replays it from the source characters (q203). */
+  def videoShots(png: Array[Byte], nBytes: Int, nFrames: Int, thresh: Int): InternalRow = {
+    val pixels = decodePixels(png)
+    val n = math.min(math.max(nBytes, 0), pixels.length)
+    val f = math.max(nFrames, 1)
+    if (n <= 0) return InternalRow(0L, 0L, 0L, 0L, 0L)
+    val sums = new Array[Long](f)
+    val lens = new Array[Long](f)
+    var fi = 0
+    while (fi < f) {
+      val s = (fi.toLong * n / f).toInt
+      val e = ((fi + 1).toLong * n / f).toInt
+      var acc = 0L
+      var j = s
+      while (j < e) { acc += (pixels(j) & 0xff); j += 1 }
+      sums(fi) = acc; lens(fi) = (e - s).toLong
+      fi += 1
+    }
+    var nShots = 1L
+    var runStart = 0
+    var bestLen = 0L; var bestStart = 0; var bestEnd = 0
+    def closeRun(endExcl: Int): Unit = {
+      val len = (endExcl - runStart).toLong
+      if (len > bestLen) { bestLen = len; bestStart = runStart; bestEnd = endExcl - 1 }
+    }
+    var i = 1
+    while (i < f) {
+      val boundary = lens(i) > 0 && lens(i - 1) > 0 &&
+        math.abs(sums(i) * lens(i - 1) - sums(i - 1) * lens(i)) >=
+          thresh.toLong * lens(i) * lens(i - 1)
+      if (boundary) { closeRun(i); nShots += 1L; runStart = i }
+      i += 1
+    }
+    closeRun(f)
+    val keyFrame = (bestStart + bestEnd) / 2
+    val keyByte = (pixels((keyFrame.toLong * n / f).toInt) & 0xff).toLong
+    InternalRow(f.toLong, nShots, bestLen, keyFrame.toLong, keyByte)
   }
 
   /** 16-bucket histogram (bucket = pixel >> 4) over the first `nBytes`
@@ -254,6 +346,55 @@ case class AHash64(left: Expression, right: Expression) extends BinaryExpression
 }
 
 /** Column-API faces of the media expressions. */
+/** (pixels binary, n_bytes int) → array<long>: 64-bit temporal-gradient
+  * hash [hi32, lo32] ([[MediaCodec.dHash64]]). */
+case class DHash64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_dhash64(pixels binary, n_bytes int)")
+  override def nullSafeEval(p: Any, n: Any): Any =
+    MediaCodec.dHash64(p.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, n) => s"graft.operators.MediaCodec.dHash64($p, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dhash64"
+}
+
+/** (png binary, n_bytes int, n_frames int) → struct: shot-boundary census
+  * ([[MediaCodec.videoShots]]); the boundary threshold is a literal plan
+  * parameter. One fused pass per row — decode, frame sums, run walk. */
+case class VideoShots(first: Expression, second: Expression, third: Expression,
+                      thresh: Int) extends TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_shots", LongType, nullable = false),
+    StructField("longest_shot", LongType, nullable = false),
+    StructField("key_frame", LongType, nullable = false),
+    StructField("key_byte", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType && thresh >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_video_shots(png binary, n_bytes int, n_frames int) with thresh >= 0")
+  override def nullSafeEval(p: Any, n: Any, f: Any): Any =
+    MediaCodec.videoShots(p.asInstanceOf[Array[Byte]], n.asInstanceOf[Int],
+      f.asInstanceOf[Int], thresh)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, n, f) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.operators.MediaCodec.videoShots($p, $n, $f, $thresh);""")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "graft_video_shots"
+}
+
 object MediaExprs {
   def pngEncode(raw: Column): Column = Bridge.column(PngEncode(Bridge.expression(raw)))
   def aHash64(pixels: Column, nBytes: Column): Column =
@@ -263,4 +404,9 @@ object MediaExprs {
     Bridge.column(PngResize(Bridge.expression(png), Bridge.expression(w), Bridge.expression(h)))
   def grayHist16(pixels: Column, nBytes: Column): Column =
     Bridge.column(GrayHist16(Bridge.expression(pixels), Bridge.expression(nBytes)))
+  def dHash64(pixels: Column, nBytes: Column): Column =
+    Bridge.column(DHash64(Bridge.expression(pixels), Bridge.expression(nBytes)))
+  def videoShots(png: Column, nBytes: Column, nFrames: Column, thresh: Int): Column =
+    Bridge.column(VideoShots(Bridge.expression(png), Bridge.expression(nBytes),
+      Bridge.expression(nFrames), thresh))
 }

@@ -167,6 +167,23 @@ object Multimodal {
     hamming64Pairs(h, maxDist)
   }
 
+  /** Video near-dup candidates by TEMPORAL-GRADIENT fingerprint — the
+    * video member of the perceptual-dedup family (text MinHash q31, image
+    * aHash q170, audio envelope q200): the payload's decoded pixel stream
+    * as a fixed-rate temporal signal → 64-bit circular difference hash
+    * ([[MediaExprs.dHash64]], bit b = block-b mean strictly above its
+    * successor's — invariant under global brightness shifts, which the
+    * LEVEL hashes of q170/q200 are not) → the same banded-Hamming blocking
+    * + exact verify. 16 bytes per video however long the stream. */
+  def videoDhashPairs(media: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val h = media.select(col(idCol),
+        MediaExprs.dHash64(MediaExprs.pngPixels(col("media_bytes")),
+          col("media_meta.n_bytes")).as("__h"))
+      .select(col(idCol).as("id"), col("__h")(0).as("hi"), col("__h")(1).as("lo"))
+      .localCheckpoint() // decode once — the phashPairs discipline
+    hamming64Pairs(h, maxDist)
+  }
+
   /** Shared tail of the perceptual-dedup family: (id, hi, lo) 64-bit
     * hashes → 4×16-bit banded blocking (any shared band → candidate; d < 4
     * survives with certainty by pigeonhole) → exact bit_count(xor) verify

@@ -3811,6 +3811,121 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     },
 
+    // ---- multimodal video: shot-boundary detection + keyframe census ------
+    // The video-analysis member of the media pack (frames q70, features
+    // q71, audio q72/q171/q200, image q170): the payload's decoded pixel
+    // stream is a frame sequence (frame f of F tiles payload pixels
+    // [f·n/F, (f+1)·n/F) — the aHash block rule); a shot boundary fires
+    // where consecutive frame MEANS differ by ≥ 3 gray levels, compared by
+    // exact integer cross-multiplication; shots are the boundary runs, and
+    // each doc reports its longest shot + keyframe (run midpoint) + that
+    // keyframe's first decoded pixel. ONE fused kernel per row
+    // (MediaExprs.videoShots — decode, frame sums, run walk), zero
+    // shuffle. The oracle replays frame sums, boundary flags, shot-id
+    // prefix sums, and the run census from the source characters
+    // (ASCII-fixture assumption, q70-q72).
+    Q("q203_video_shots", {
+      s"""WITH vsh_c AS (SELECT doc_id,
+         |    [ascii(substr(text, CAST(i AS INT), 1)) FOR i IN generate_series(1, length(text))] AS cs,
+         |    length(text) AS n, GREATEST(length(text) // 100, 1) AS F FROM documents),
+         |vsh_s AS (SELECT doc_id, n, F,
+         |    [COALESCE(list_sum(cs[CAST((f*n)//F + 1 AS INT):CAST(((f+1)*n)//F AS INT)]), 0)
+         |      FOR f IN generate_series(0, F - 1)] AS fsums,
+         |    [((f+1)*n)//F - (f*n)//F FOR f IN generate_series(0, F - 1)] AS flens
+         |  FROM vsh_c),
+         |vsh_b AS (SELECT doc_id, n, F,
+         |    [CASE WHEN flens[CAST(f+1 AS INT)] > 0 AND flens[CAST(f AS INT)] > 0 AND
+         |          abs(fsums[CAST(f+1 AS INT)]*flens[CAST(f AS INT)]
+         |            - fsums[CAST(f AS INT)]*flens[CAST(f+1 AS INT)])
+         |            >= 3*flens[CAST(f+1 AS INT)]*flens[CAST(f AS INT)]
+         |     THEN 1 ELSE 0 END FOR f IN generate_series(1, F - 1)] AS bflags
+         |  FROM vsh_s),
+         |vsh_g AS (SELECT doc_id, n, F,
+         |    unnest(generate_series(0, F - 1)) AS g, bflags FROM vsh_b),
+         |vsh_sid AS (SELECT doc_id, n, F, g,
+         |    CASE WHEN g = 0 THEN 0
+         |         ELSE COALESCE(list_sum(bflags[1:CAST(g AS INT)]), 0) END AS sid
+         |  FROM vsh_g),
+         |vsh_r AS (SELECT doc_id, n, F, sid, COUNT(*) AS slen,
+         |    MIN(g) AS s0, MAX(g) AS s1
+         |  FROM vsh_sid GROUP BY doc_id, n, F, sid),
+         |vsh_top AS (SELECT *, COUNT(*) OVER (PARTITION BY doc_id) AS n_shots,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY slen DESC, sid ASC) AS rn
+         |  FROM vsh_r)
+         |SELECT t.doc_id, CAST(t.F AS BIGINT) AS n_frames,
+         |  CAST(t.n_shots AS BIGINT) AS n_shots,
+         |  CAST(t.slen AS BIGINT) AS longest_shot,
+         |  CAST((t.s0 + t.s1) // 2 AS BIGINT) AS key_frame,
+         |  CAST(c.cs[CAST((((t.s0 + t.s1) // 2) * t.n) // t.F + 1 AS INT)] AS BIGINT) AS key_byte
+         |FROM vsh_top t JOIN vsh_c c USING (doc_id) WHERE t.rn = 1
+         |ORDER BY t.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      Multimodal.asMedia(docs, "text", "video")
+        .select(col("doc_id"),
+          graft.operators.MediaExprs.videoShots(col("media_bytes"), col("media_meta.n_bytes"),
+            col("media_meta.n_frames"), thresh = 3).as("__v"))
+        .select(col("doc_id"), col("__v.n_frames").as("n_frames"),
+          col("__v.n_shots").as("n_shots"),
+          col("__v.longest_shot").as("longest_shot"),
+          col("__v.key_frame").as("key_frame"),
+          col("__v.key_byte").as("key_byte"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal video: temporal-gradient near-dup candidates ----------
+    // The VIDEO member of the perceptual-dedup family — with this the set
+    // is closed across modalities (text MinHash q31, image aHash q170,
+    // audio envelope q200, video gradient HERE): decoded pixel stream as a
+    // fixed-rate temporal signal → 64-bit circular difference hash (bit b
+    // = block-b mean STRICTLY above its successor's, exact integer
+    // cross-multiplication — the gradient signature is invariant under
+    // global brightness shifts, which the level hashes are not) → the
+    // shared 4×16-bit banded Hamming blocking + exact bit_count(xor)
+    // verify ≤ 3. The oracle rebuilds the hash bit-for-bit from source
+    // characters and replays the banding. Like q170/q200, planted pairs
+    // only exist at sf0.1+ — smaller fixtures yield a legitimately empty
+    // (and oracle-matched) candidate set.
+    Q("q204_video_dhash", {
+      def bitSql(shiftBase: Int) = {
+        val cur = "CAST(b + 1 AS INT)"
+        val nxt = "CAST((b + 1) % 64 + 1 AS INT)"
+        s"""CASE WHEN bl[$cur] > 0 AND bl[$nxt] > 0 AND
+           |    bs[$cur] * bl[$nxt] > bs[$nxt] * bl[$cur]
+           |  THEN (CAST(1 AS BIGINT) << ($shiftBase - b)) ELSE 0 END""".stripMargin
+      }
+      s"""WITH vdh_c AS (SELECT doc_id,
+         |    [ascii(substr(text, CAST(i AS INT), 1)) FOR i IN generate_series(1, length(text))] AS cs,
+         |    length(text) AS n FROM documents),
+         |vdh_s AS (SELECT doc_id,
+         |    [COALESCE(list_sum(cs[CAST((b*n)//64 + 1 AS INT):CAST(((b+1)*n)//64 AS INT)]), 0)
+         |      FOR b IN generate_series(0, 63)] AS bs,
+         |    [((b+1)*n)//64 - (b*n)//64 FOR b IN generate_series(0, 63)] AS bl
+         |  FROM vdh_c),
+         |vdh_h AS (SELECT doc_id,
+         |    COALESCE(list_sum([${bitSql(31)} FOR b IN generate_series(0, 31)]), 0) AS hi,
+         |    COALESCE(list_sum([${bitSql(63)} FOR b IN generate_series(32, 63)]), 0) AS lo
+         |  FROM vdh_s),
+         |vdh_bands AS (
+         |  SELECT doc_id, hi, lo, 1 AS band, (hi >> 16) & 65535 AS sig FROM vdh_h
+         |  UNION ALL SELECT doc_id, hi, lo, 2, hi & 65535 FROM vdh_h
+         |  UNION ALL SELECT doc_id, hi, lo, 3, (lo >> 16) & 65535 FROM vdh_h
+         |  UNION ALL SELECT doc_id, hi, lo, 4, lo & 65535 FROM vdh_h),
+         |vdh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         |  FROM vdh_bands a JOIN vdh_bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM vdh_pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      Multimodal.videoDhashPairs(
+          Multimodal.asMedia(docs, "text", "video"), "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- similarity: persisted-index PARTITION PATCH after re-pivot -------
     // q193 reports the churn; this face makes it PHYSICAL. The pre-drift
     // index is persisted in the ivfWriteIndex layout (partitioned by

@@ -196,4 +196,58 @@ class MultimodalSpec extends AnyFunSuite {
       .count()
     assert(n == 50L)
   }
+
+  test("dHash64: gradient bits, brightness-shift invariance (vs aHash), empty-block zeros") {
+    def hashOf(bytes: Array[Byte]): (Long, Long) = {
+      val h = MediaCodec.dHash64(bytes, bytes.length)
+      (h.getLong(0), h.getLong(1))
+    }
+    val base = Array.tabulate[Byte](256)(i => ((i * 53 + 7) % 100).toByte)
+    val (hi, lo) = hashOf(base)
+    assert(hi >= 0L && lo >= 0L)
+    // the differentiator vs aHash: a GLOBAL brightness shift leaves every
+    // block-mean difference unchanged, so the gradient hash is identical
+    val shifted = base.map(b => (b + 50).toByte)
+    assert(hashOf(shifted) == (hi, lo), "dHash must be brightness-shift invariant")
+    // ...while the level hash (mean vs global mean) is also invariant under
+    // a uniform shift — so ALSO check a non-uniform, gradient-preserving
+    // distortion: scaling changes levels but here we just pin that two
+    // different payloads do produce different gradients (non-degenerate)
+    val other = Array.tabulate[Byte](256)(i => (((i / 64) * 30) % 100).toByte)
+    assert(hashOf(other) != (hi, lo))
+    // n < 64: blocks beyond the payload are empty -> their bits are 0;
+    // a strictly increasing 3-byte payload has NO bit set from empty pairs
+    // and the wrap bit (63 -> 0) set iff last block mean > first
+    val tiny = Array[Byte](10, 20, 30)
+    val (thi, tlo) = hashOf(tiny)
+    assert(thi >= 0L && tlo >= 0L)
+    // deterministic: same payload, same hash
+    assert(hashOf(tiny) == (thi, tlo))
+  }
+
+  test("videoShots: boundary rule, run census, keyframe midpoint and tie-earliest") {
+    def shots(text: String, nFrames: Int, thresh: Int = 3): (Long, Long, Long, Long, Long) = {
+      val raw = text.getBytes("UTF-8")
+      val r = MediaCodec.videoShots(MediaCodec.encodePng(raw), raw.length, nFrames, thresh)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    // one boundary: means 97,97,122 — shots [0,1],[2]; keyframe of the
+    // longest = midpoint frame 0; key_byte = frame 0's first pixel 'a'
+    assert(shots("a" * 100 + "a" * 100 + "z" * 100, 3) == (3L, 2L, 2L, 0L, 97L))
+    // all-boundary alternation: four 1-frame shots, tie -> EARLIEST shot
+    assert(shots("a" * 100 + "z" * 100 + "a" * 100 + "z" * 100, 4) == (4L, 4L, 1L, 0L, 97L))
+    // mean diff 2 < thresh 3: no boundary fires ('a'=97 vs 'c'=99)
+    assert(shots("a" * 100 + "c" * 100, 2) == (2L, 1L, 2L, 0L, 97L))
+    // mean diff exactly thresh: boundary fires ('a'=97 vs 'd'=100)
+    assert(shots("a" * 100 + "d" * 100, 2) == (2L, 2L, 1L, 0L, 97L))
+    // single frame: one shot of one frame
+    assert(shots("qrs", 1) == (1L, 1L, 1L, 0L, 'q'.toLong))
+    // uneven tiling (aHash block rule): 7 pixels over 3 frames = 2|2|3;
+    // frames 'aa','zz','zzz' -> boundary only at frame 1; longest run is
+    // frames [1,2], keyframe = 1, key_byte = frame 1's first pixel 'z'
+    assert(shots("aazzzzz", 3) == (3L, 2L, 2L, 1L, 122L))
+    // keyframe midpoint inside a longest run of 3: frames 0..2 identical,
+    // boundary at 3 -> longest [0,2], keyframe (0+2)/2 = 1
+    assert(shots("a" * 300 + "z" * 100, 4) == (4L, 2L, 3L, 1L, 97L))
+  }
 }
