@@ -414,6 +414,42 @@ class PlansSpec extends AnyFunSuite {
     assert(exchanges == 1 && !plan.contains("hashpartitioning"), plan)
   }
 
+  test("video shot census (q203): kernel evaluates once, no join/agg, scan-stage") {
+    val plan = formatted(SparkEntry.queries("q203_video_shots")(spark, sf))
+    // five struct-field extractions must NOT re-inline the codec kernel
+    // (the q171/q188 CollapseProject re-evaluation trap)
+    val evals = "graft_video_shots".r.findAllIn(plan).length
+    assert(evals == 1, s"kernel evaluated $evals times in plan:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"), plan)
+  }
+
+  test("video dhash near-dup (q204): banded equi-join, no cartesian, hash-only exchange") {
+    val plan = formatted(SparkEntry.queries("q204_video_dhash")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the pair join must be keyed on (band, sig) — and no exchange may
+    // carry the media payload (hashes only: 16 bytes however big the video)
+    assert(plan.contains("band"), plan)
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("media_bytes"), plan)
+  }
+
+  test("streaming ANN probe shape (q202's kernel): per-row probes, no window, index not shuffled") {
+    // batch-mode snapshot of the ivfStreamSearch plan (the streaming plan
+    // is identical modulo the source): probe ranking must be the fused
+    // kernel, never a |Q|·C window, and the index side must join via the
+    // broadcast probe rows without repartitioning
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pivots = emb.filter(col("vec_id") < 4)
+    val idx = Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id")
+    val plan = formatted(Similarity.ivfStreamSearch(idx, pivots,
+      emb.filter(col("vec_id") < 2), "embedding", "vec_id", "vec_id", "vec_id",
+      k = 3, nprobe = 2))
+    assert(plan.contains("graft_nearest_pivots"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("dense surrogates (q163): every id-bearing window is shard-keyed") {
     val df = graft.operators.Curation.denseSurrogates(
       Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)
