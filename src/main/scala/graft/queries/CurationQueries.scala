@@ -1048,6 +1048,107 @@ object CurationQueries {
       Curation.denseSurrogates(Tables.load(s, dir, "events"),
           "user_id", "s163", 64)
         .orderBy("user_id")
+    },
+
+    // ---- release gate: per-source ship/no-ship verdict --------------------
+    // The audit a dataset release runs LAST, composed from individually
+    // proven operators into one thresholded verdict (the q191 in-query
+    // verdict discipline): duplicate burden (md5 window — q30's rule),
+    // quality-gate failure among survivors (q201's gate), PII exposure
+    // before and RESIDUE after redaction (q55's patterns + scrub; PII is
+    // injected into every 5th doc so the gate has something to catch),
+    // and language concentration (q172's top-lang rule). ONE corpus scan
+    // with per-row flags + one per-source agg + one |sources×langs| lang
+    // agg — the q205 two-shuffle funnel shape with a verdict on top. All
+    // ratios are exact integer permille (floor division), so the verdict
+    // string itself is oracle-hashed: a broken scrub or a drifted
+    // threshold breaks the face, not just a number.
+    Q("q206_release_gate", {
+      s"""WITH rg_i AS (SELECT doc_id, source, lang, n_chars, text,
+         |    CASE WHEN doc_id % 5 = 0 THEN $injectSql ELSE text END AS t
+         |  FROM documents),
+         |rg_r AS (SELECT *, CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+         |    THEN 1 ELSE 0 END AS surv FROM rg_i),
+         |rg_f AS (SELECT source, surv,
+         |    CASE WHEN surv = 1 AND n_chars >= 100
+         |      AND len(regexp_extract_all(lower(text), '[a-z]+')) >= 20
+         |      THEN 1 ELSE 0 END AS gate,
+         |    CASE WHEN len(regexp_extract_all(t, '${Curation.EmailPattern}'))
+         |        + len(regexp_extract_all(t, '${Curation.PhonePattern}'))
+         |        + len(regexp_extract_all(t, '${Curation.Ipv4Pattern}')) > 0
+         |      THEN 1 ELSE 0 END AS pii,
+         |    len(regexp_extract_all(${Curation.redactPiiSql("t")}, '${Curation.EmailPattern}'))
+         |      + len(regexp_extract_all(${Curation.redactPiiSql("t")}, '${Curation.PhonePattern}'))
+         |      + len(regexp_extract_all(${Curation.redactPiiSql("t")}, '${Curation.Ipv4Pattern}')) AS res
+         |  FROM rg_r),
+         |rg_a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |    CAST(SUM(surv) AS BIGINT) AS n_dedup, CAST(SUM(gate) AS BIGINT) AS n_gate,
+         |    CAST(SUM(pii) AS BIGINT) AS pii_docs, CAST(SUM(res) AS BIGINT) AS pii_residue
+         |  FROM rg_f GROUP BY source),
+         |rg_l AS (SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang),
+         |rg_t AS (SELECT source, lang AS top_lang, cnt FROM (
+         |    SELECT source, lang, cnt, row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, lang) AS rn FROM rg_l) x WHERE rn = 1),
+         |rg_v AS (SELECT a.source, a.n_raw,
+         |    (1000 * (a.n_raw - a.n_dedup)) // a.n_raw AS dup_permille,
+         |    CASE WHEN a.n_dedup = 0 THEN 0
+         |      ELSE (1000 * (a.n_dedup - a.n_gate)) // a.n_dedup END AS gatefail_permille,
+         |    a.pii_docs, a.pii_residue, t.top_lang,
+         |    (1000 * t.cnt) // a.n_raw AS top_share_permille
+         |  FROM rg_a a JOIN rg_t t ON a.source = t.source)
+         |SELECT source, n_raw, dup_permille, gatefail_permille, pii_docs,
+         |  pii_residue, top_lang, top_share_permille,
+         |  CASE WHEN dup_permille > 100 THEN 'BLOCK:dup'
+         |       WHEN gatefail_permille > 120 THEN 'BLOCK:quality'
+         |       WHEN pii_residue > 0 THEN 'BLOCK:pii'
+         |       ELSE 'PASS' END AS verdict
+         |FROM rg_v ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val t = when(pmod(col("doc_id"), lit(5)) === 0, injectCol)
+        .otherwise(col("text"))
+      val red = Curation.redactPii(col("__t"))
+      val w = Window.partitionBy(md5(col("text")))
+      val flags = docs.withColumn("__t", t)
+        .withColumn("__surv",
+          (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+        .select(col("source"), col("__surv"),
+          (col("__surv") === 1 && col("n_chars") >= 100 &&
+            size(TextAnalysis.words(col("text"))) >= 20).cast("int").as("__gate"),
+          (Curation.piiCount(col("__t"), Curation.EmailPattern) +
+            Curation.piiCount(col("__t"), Curation.PhonePattern) +
+            Curation.piiCount(col("__t"), Curation.Ipv4Pattern) > 0)
+            .cast("int").as("__pii"),
+          (Curation.piiCount(red, Curation.EmailPattern) +
+            Curation.piiCount(red, Curation.PhonePattern) +
+            Curation.piiCount(red, Curation.Ipv4Pattern)).as("__res"))
+      val agg = flags.groupBy("source").agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("__surv")).cast("long").as("n_dedup"),
+        sum(col("__gate")).cast("long").as("n_gate"),
+        sum(col("__pii")).cast("long").as("pii_docs"),
+        sum(col("__res")).cast("long").as("pii_residue"))
+      val top = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("cnt").desc, col("lang"))))
+        .filter(col("__rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("cnt"))
+      agg.join(broadcast(top), Seq("source"))
+        .select(col("source"), col("n_raw"),
+          expr("(1000 * (n_raw - n_dedup)) div n_raw").as("dup_permille"),
+          when(col("n_dedup") === 0, lit(0L))
+            .otherwise(expr("(1000 * (n_dedup - n_gate)) div n_dedup"))
+            .as("gatefail_permille"),
+          col("pii_docs"), col("pii_residue"), col("top_lang"),
+          expr("(1000 * cnt) div n_raw").as("top_share_permille"))
+        .withColumn("verdict",
+          when(col("dup_permille") > 100, lit("BLOCK:dup"))
+            .when(col("gatefail_permille") > 120, lit("BLOCK:quality"))
+            .when(col("pii_residue") > 0, lit("BLOCK:pii"))
+            .otherwise(lit("PASS")))
+        .orderBy("source")
     }
   )
 }

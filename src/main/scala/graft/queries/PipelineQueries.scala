@@ -3926,6 +3926,84 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- curation yield funnel: per-source stage survival, ONE scan -------
+    // The data-factory dashboard: how many docs/chars/tokens survive each
+    // stage of the q201 assembly line (raw → exact-dedup → quality gate →
+    // mixture → BPE tokens), per source, as ONE wide row each. The
+    // 100 TB-load-bearing choice: stages are FLAGS on a single corpus
+    // scan (survivorship = one md5-keyed window min; gate/mixture are
+    // scalar predicates; the BPE kernel runs CONDITIONALLY on final
+    // survivors only via a lazily-evaluated CASE) and the funnel is one
+    // partial-aggregated groupBy — two shuffles total, vs the naive
+    // four-scans-four-aggs shape. The oracle replays every stage rule
+    // (q201's exact predicates) and the kernel counts via the shared CTEs.
+    Q("q205_curation_funnel", {
+      val bucket = graft.operators.Curation.hashBucketSql("doc_id", CurationQueries.MixSalt)
+      val rateCase = CurationQueries.MixRates.toSeq.sortBy(_._1)
+        .map { case (src, p) => s"WHEN '$src' THEN $p" }
+        .mkString("CASE source ", " ", s" ELSE ${CurationQueries.MixDefault} END")
+      s"""WITH ${TextAnalysis.bpeMergeCtes("documents", "text", BpeVocabK)},
+         |${TextAnalysis.bpeEncodeSegSql("documents", "text", "doc_id", BpeVocabK)},
+         |cf_r AS (SELECT doc_id, source, text, n_chars,
+         |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+         |      THEN 1 ELSE 0 END AS surv
+         |  FROM documents),
+         |cf_f AS (SELECT doc_id, source, n_chars, surv,
+         |    CASE WHEN surv = 1 AND n_chars >= 100
+         |      AND len(regexp_extract_all(lower(text), '[a-z]+')) >= 20
+         |      THEN 1 ELSE 0 END AS gate
+         |  FROM cf_r),
+         |cf_m AS (SELECT *, CASE WHEN gate = 1 AND $bucket < ($rateCase)
+         |      THEN 1 ELSE 0 END AS mix
+         |  FROM cf_f),
+         |cf_t AS (SELECT m.source, m.n_chars, m.surv, m.gate, m.mix,
+         |    CASE WHEN m.mix = 1 AND e.bpe_seg <> ''
+         |      THEN CAST(len(string_split(e.bpe_seg, ' ')) AS BIGINT)
+         |      ELSE 0 END AS nbpe
+         |  FROM cf_m m JOIN bpe_enc e ON m.doc_id = e.id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_raw,
+         |  CAST(SUM(surv) AS BIGINT) AS n_dedup,
+         |  CAST(SUM(gate) AS BIGINT) AS n_gate,
+         |  CAST(SUM(mix) AS BIGINT) AS n_mix,
+         |  CAST(SUM(CASE WHEN mix = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_mix,
+         |  CAST(SUM(nbpe) AS BIGINT) AS bpe_mix
+         |FROM cf_t GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bc = bpeVocab(s, dir)
+      val pct = CurationQueries.MixRates.foldLeft(lit(CurationQueries.MixDefault)) {
+        case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
+      }
+      val w = Window.partitionBy(md5(col("text")))
+      Tables.load(s, dir, "documents")
+        .withColumn("__surv",
+          (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+        .withColumn("__gate", (col("__surv") === 1 && col("n_chars") >= 100 &&
+          size(TextAnalysis.words(col("text"))) >= 20).cast("int"))
+        .withColumn("__mix", (col("__gate") === 1 &&
+          graft.operators.Curation.hashBucket(col("doc_id"),
+            CurationQueries.MixSalt) < pct).cast("int"))
+        // two-projection derivation so the kernel is never inlined twice
+        // (the q188 CollapseProject guard) and only runs on mix rows
+        .withColumn("__seg", when(col("__mix") === 1,
+          graft.functions.BpeExprs.bpeEncode(col("text"), bc)).otherwise(lit("")))
+        .select(col("source"), col("n_chars"), col("__surv"), col("__gate"),
+          col("__mix"),
+          when(col("__seg") =!= "", size(split(col("__seg"), " ")).cast("long"))
+            .otherwise(lit(0L)).as("__nbpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(col("n_chars")).cast("long").as("chars_raw"),
+          sum(col("__surv")).cast("long").as("n_dedup"),
+          sum(col("__gate")).cast("long").as("n_gate"),
+          sum(col("__mix")).cast("long").as("n_mix"),
+          sum(when(col("__mix") === 1, col("n_chars")).otherwise(lit(0)))
+            .cast("long").as("chars_mix"),
+          sum(col("__nbpe")).cast("long").as("bpe_mix"))
+        .orderBy("source")
+    },
+
     // ---- similarity: persisted-index PARTITION PATCH after re-pivot -------
     // q193 reports the churn; this face makes it PHYSICAL. The pre-drift
     // index is persisted in the ivfWriteIndex layout (partitioned by
