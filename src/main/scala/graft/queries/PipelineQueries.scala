@@ -4004,6 +4004,195 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---- embedding-space drift gate: PSI over IVF cells -------------------
+    // The vector-side sibling of q164's scalar PSI gate: has a candidate
+    // population moved in EMBEDDING space relative to a reference? Both
+    // populations assign to the SAME pivot set (ivfAssignAll — one map-side
+    // fused argmax each), cell occupancy distributions feed the exact
+    // nano-nat PSI machinery (cells ARE the bins: binWidth 1), and the
+    // ship/no-ship verdict rides the output at the standard 0.1/0.25 PSI
+    // thresholds in exact integer nanos. Populations: label-0 vs the rest —
+    // the fixture's labels correlate with embedding regions, so the gate
+    // shows REAL drift signal, not a vacuous zero. Scale: two corpus scans
+    // (or one materialized assignment read twice), then everything is
+    // C-row-sized; the PSI join + total window run on ≤C rows.
+    Q("q207_embedding_drift", {
+      val psi = TableStats.psiMicroSql(
+        "(SELECT cid FROM asgl WHERE label = 0)",
+        "(SELECT cid FROM asgl WHERE label <> 0)", "cid", 1.0, IdxSearchC)
+      s"""WITH piv AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IdxSearchC),
+         |scored AS (SELECT e.vec_id, e.label, piv.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "piv.cv")} DESC, piv.cid) AS rn
+         |  FROM embeddings e, piv),
+         |asgl AS (SELECT vec_id, label, cid FROM scored WHERE rn = 1)
+         |SELECT bin, na, nb, psi_nano,
+         |  CAST(SUM(psi_nano) OVER () AS BIGINT) AS psi_total_nano,
+         |  CASE WHEN SUM(psi_nano) OVER () >= 250000000 THEN 'drifted'
+         |       WHEN SUM(psi_nano) OVER () >= 100000000 THEN 'watch'
+         |       ELSE 'stable' END AS verdict
+         |FROM ($psi) p ORDER BY bin""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < IdxSearchC)
+      val asg = Similarity.ivfAssignAll(emb, pivots, "embedding", "vec_id")
+      val psi = TableStats.psiMicro(
+        asg.filter(col("label") === 0),
+        asg.filter(col("label") =!= 0), "centroid_id", 1.0, IdxSearchC)
+      val w = Window.partitionBy()
+      psi.withColumn("psi_total_nano", sum(col("psi_nano")).over(w).cast("long"))
+        .withColumn("verdict",
+          when(col("psi_total_nano") >= 250000000L, lit("drifted"))
+            .when(col("psi_total_nano") >= 100000000L, lit("watch"))
+            .otherwise(lit("stable")))
+        .orderBy("bin")
+    },
+
+    // ---- serving-quality contract: exact recall-vs-nprobe curve -----------
+    // "How deep must production probe?" answered EXACTLY in one plan, no
+    // repeated searches: ground truth is the bounded-heap batch KNN (the
+    // no-window path), every true neighbor maps to its inverted list's
+    // PROBE RANK for its query (assignment = map-side fused argmax; probe
+    // ranking = |Q|·C pivot-bounded window), and recall(nprobe) is a
+    // prefix sum over the C-row-per-query rank histogram — the curve for
+    // ALL nprobe values costs one corpus scan + one tiny window, where
+    // the naive form runs C searches. The q88/q142 audit discipline:
+    // exact integers end to end, so a bad index yields a provably bad
+    // curve. Composes with q193/q103: the curve is the evidence that a
+    // rebalance actually bought serving quality.
+    Q("q208_recall_curve", {
+      s"""WITH ${ivfAsgSqlCtes(IdxSearchC.toString)},
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 100 AND vec_id < ${100 + IdxBatchQ}),
+         |rc_gt AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+         |    FROM embeddings e, qs q) t WHERE rn <= $IdxBatchK),
+         |rc_pr AS (SELECT q.qid, piv.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("piv.cv", "q.qv")} DESC, piv.cid) AS prank
+         |  FROM piv, qs q),
+         |rc_h AS (SELECT g.qid, p.prank, COUNT(*) AS h
+         |  FROM rc_gt g JOIN asg a ON g.vec_id = a.vec_id
+         |  JOIN rc_pr p ON p.qid = g.qid AND p.cid = a.cid
+         |  GROUP BY g.qid, p.prank),
+         |rc_grid AS (SELECT qid, unnest(generate_series(1, $IdxSearchC)) AS nprobe FROM qs),
+         |rc_c AS (SELECT gr.qid, gr.nprobe, COALESCE(h.h, 0) AS h
+         |  FROM rc_grid gr LEFT JOIN rc_h h ON h.qid = gr.qid AND h.prank = gr.nprobe)
+         |SELECT qid, CAST(nprobe AS INT) AS nprobe,
+         |  CAST(SUM(h) OVER (PARTITION BY qid ORDER BY nprobe
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hits,
+         |  CAST((1000 * SUM(h) OVER (PARTITION BY qid ORDER BY nprobe
+         |    ROWS UNBOUNDED PRECEDING)) // $IdxBatchK AS BIGINT) AS recall_permille
+         |FROM rc_c ORDER BY qid, nprobe""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val pivots = emb.filter(col("vec_id") < IdxSearchC)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + IdxBatchQ)
+      val truth = Similarity.knnJoin(emb, queries, "embedding", "vec_id",
+          "vec_id", IdxBatchK)
+        .select(col("qid"), col("vec_id"))
+      val asg = Similarity.ivfAssign(emb, pivots, "embedding", "vec_id", "vec_id")
+        .select(col("vec_id"), col("centroid_id"))
+      val pw = Window.partitionBy("qid").orderBy(col("__pcos").desc, col("cid").asc)
+      val pranks = pivots.select(col("vec_id").as("cid"), col("embedding").as("__cv"))
+        .crossJoin(broadcast(queries.select(col("vec_id").as("qid"),
+          col("embedding").as("__qv"))))
+        .select(col("qid"), col("cid"),
+          graft.functions.VectorExprs.cosineF(col("__cv"), col("__qv")).as("__pcos"))
+        .withColumn("prank", row_number().over(pw))
+        .select(col("qid"), col("cid"), col("prank"))
+      val hits = truth.join(asg, "vec_id")
+        .join(pranks.withColumnRenamed("qid", "__pq"),
+          col("qid") === col("__pq") && col("centroid_id") === col("cid"))
+        .groupBy(col("qid"), col("prank")).agg(count(lit(1)).as("h"))
+      val grid = queries.select(col("vec_id").as("qid"))
+        .withColumn("nprobe", explode(sequence(lit(1), lit(IdxSearchC))))
+      val cw = Window.partitionBy("qid").orderBy("nprobe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hits.withColumnRenamed("qid", "__hq"),
+          col("qid") === col("__hq") && col("prank") === col("nprobe"), "left")
+        .select(col("qid"), col("nprobe"), coalesce(col("h"), lit(0L)).as("__h"))
+        .withColumn("cum_hits", sum(col("__h")).over(cw).cast("long"))
+        .withColumn("recall_permille",
+          expr(s"(1000 * cum_hits) div $IdxBatchK"))
+        .select("qid", "nprobe", "cum_hits", "recall_permille")
+        .orderBy("qid", "nprobe")
+    },
+
+    // ---- token-budget mixture solver ---------------------------------------
+    // "Fit the mixture to the budget": given a total training-token budget,
+    // derive per-source sampling rates from REAL tokenizer counts (q188
+    // kernel) and materialize the sample accounting in the same plan —
+    // rate(src) = min(100%, equal-share-target ÷ source tokens), sampling
+    // by the deterministic hash bucket (q59's rule), fill ratio in exact
+    // integer permille. The kernel runs ONCE (per-doc counts
+    // localCheckpoint'd — 3 scalars/doc — before the totals and sampled
+    // branches read them; the q170 materialize-before-reuse discipline).
+    // Everything after the per-doc scan is |sources|-sized and broadcast.
+    Q("q209_token_budget", {
+      val bucket = graft.operators.Curation.hashBucketSql("d.doc_id", "tb209")
+      s"""WITH ${TextAnalysis.bpeMergeCtes("documents", "text", BpeVocabK)},
+         |${TextAnalysis.bpeEncodeSegSql("documents", "text", "doc_id", BpeVocabK)},
+         |tb_d AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN e.bpe_seg = '' THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(len(string_split(e.bpe_seg, ' ')) AS BIGINT) END AS nb
+         |  FROM documents d JOIN bpe_enc e ON d.doc_id = e.id),
+         |tb_t AS (SELECT source, CAST(SUM(nb) AS BIGINT) AS tokens_raw
+         |  FROM tb_d GROUP BY source),
+         |tb_r AS (SELECT source, tokens_raw,
+         |    CAST(40000 // (COUNT(*) OVER ()) AS BIGINT) AS target_tokens,
+         |    CAST(LEAST(100, CASE WHEN tokens_raw = 0 THEN 0
+         |      ELSE (100 * (40000 // (COUNT(*) OVER ()))) // tokens_raw END) AS BIGINT) AS rate_pct
+         |  FROM tb_t),
+         |tb_s AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         |    CAST(SUM(d.nb) AS BIGINT) AS tokens_sampled
+         |  FROM tb_d d JOIN tb_r r ON d.source = r.source
+         |  WHERE $bucket < r.rate_pct GROUP BY d.source)
+         |SELECT r.source, r.tokens_raw, r.target_tokens, r.rate_pct,
+         |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+         |  CAST(COALESCE(s.tokens_sampled, 0) AS BIGINT) AS tokens_sampled,
+         |  CAST(CASE WHEN r.target_tokens = 0 THEN 0
+         |    ELSE (1000 * COALESCE(s.tokens_sampled, 0)) // r.target_tokens END AS BIGINT)
+         |    AS fill_permille
+         |FROM tb_r r LEFT JOIN tb_s s ON r.source = s.source
+         |ORDER BY r.source""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bc = bpeVocab(s, dir)
+      val perdoc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.BpeExprs.bpeEncode(col("text"), bc).as("__seg"))
+        .select(col("doc_id"), col("source"),
+          when(col("__seg") === "", lit(0L))
+            .otherwise(size(split(col("__seg"), " ")).cast("long")).as("nb"))
+        .localCheckpoint()
+      val w = Window.partitionBy()
+      val rates = perdoc.groupBy("source")
+        .agg(sum(col("nb")).cast("long").as("tokens_raw"))
+        .withColumn("__nsrc", count(lit(1)).over(w))
+        .withColumn("target_tokens", expr("CAST(40000 AS BIGINT) div __nsrc"))
+        .withColumn("rate_pct", least(lit(100L),
+          when(col("tokens_raw") === 0, lit(0L))
+            .otherwise(expr("(100 * target_tokens) div tokens_raw"))))
+        .select("source", "tokens_raw", "target_tokens", "rate_pct")
+      val sampled = perdoc
+        .join(broadcast(rates.select(col("source"), col("rate_pct"))), "source")
+        .filter(graft.operators.Curation.hashBucket(col("doc_id"), "tb209")
+          < col("rate_pct"))
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"),
+          sum(col("nb")).cast("long").as("tokens_sampled"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("tokens_raw"), col("target_tokens"),
+          col("rate_pct"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("tokens_sampled"), lit(0L)).as("tokens_sampled"))
+        .withColumn("fill_permille",
+          when(col("target_tokens") === 0, lit(0L))
+            .otherwise(expr("(1000 * tokens_sampled) div target_tokens")))
+        .orderBy("source")
+    },
+
     // ---- similarity: persisted-index PARTITION PATCH after re-pivot -------
     // q193 reports the churn; this face makes it PHYSICAL. The pre-drift
     // index is persisted in the ivfWriteIndex layout (partitioned by
