@@ -4193,6 +4193,100 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // ---- did the rebalance BUY anything? recall curve before vs after -----
+    // q193 proves the re-pivot restores balance; this face proves it buys
+    // SERVING QUALITY: the q208 exact recall-vs-nprobe curve computed for
+    // the drifted queries under the pre-drift pivots (iter 0) and the
+    // rebalanced pivots (iter 3), same drift corpus, same ground truth —
+    // the pay-for-reindex decision closed with the metric that actually
+    // matters. States come from the shared session-cached rebalance
+    // trajectory (q193/q197's), ground truth from the bounded-heap KNN.
+    Q("q210_rebalance_recall", {
+      def cosE(a: String, b: String) = Fns.cosineSql(a, b)
+      def crv(i: Int) =
+        s"""pr$i AS (SELECT q.qid, p.cid, row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY ${cosE("p.cv", "q.qv")} DESC, p.cid) AS prank
+           |  FROM piv$i p, rr_qs q),
+           |ro$i AS (SELECT cid, COUNT(*) AS listn FROM asg$i GROUP BY cid),
+           |h$i AS (SELECT g.qid, p.prank, COUNT(*) AS h
+           |  FROM rr_gt g JOIN asg$i a ON g.vec_id = a.vec_id
+           |  JOIN pr$i p ON p.qid = g.qid AND p.cid = a.cid
+           |  GROUP BY g.qid, p.prank),
+           |c$i AS (SELECT $i AS iter, gr.qid, gr.nprobe, COALESCE(h.h, 0) AS h,
+           |    COALESCE(o.listn, 0) AS ln
+           |  FROM rr_grid gr
+           |  LEFT JOIN h$i h ON h.qid = gr.qid AND h.prank = gr.nprobe
+           |  LEFT JOIN pr$i p2 ON p2.qid = gr.qid AND p2.prank = gr.nprobe
+           |  LEFT JOIN ro$i o ON o.cid = p2.cid)""".stripMargin
+      s"""WITH $rebalanceSqlCtes,
+         |rr_qs AS (SELECT vec_id AS qid, embedding AS qv FROM corpus
+         |  WHERE vec_id >= 1000000100 AND vec_id < 1000000104),
+         |rr_gt AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, c.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosE("c.embedding", "q.qv")} DESC, c.vec_id) AS rn
+         |    FROM corpus c, rr_qs q) t WHERE rn <= 5),
+         |rr_grid AS (SELECT qid, unnest(generate_series(1, 8)) AS nprobe FROM rr_qs),
+         |${crv(0)},
+         |${crv(3)}
+         |SELECT iter, qid, CAST(nprobe AS INT) AS nprobe,
+         |  CAST(SUM(h) OVER (PARTITION BY iter, qid ORDER BY nprobe
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hits,
+         |  CAST((1000 * SUM(h) OVER (PARTITION BY iter, qid ORDER BY nprobe
+         |    ROWS UNBOUNDED PRECEDING)) // 5 AS BIGINT) AS recall_permille,
+         |  CAST(SUM(ln) OVER (PARTITION BY iter, qid ORDER BY nprobe
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cands
+         |FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c3) u
+         |ORDER BY iter, qid, nprobe""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val states = driftRebalance(s, dir)
+      val (asg0, piv0) = states.head
+      val (asg3, piv3) = states.last
+      val corpus = asg0.select(col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") >= 1000000100L &&
+        col("vec_id") < 1000000104L)
+      val truth = Similarity.knnJoin(corpus, queries, "embedding", "vec_id",
+          "vec_id", 5)
+        .select(col("qid"), col("vec_id"))
+      val grid = queries.select(col("vec_id").as("qid"))
+        .withColumn("nprobe", explode(sequence(lit(1), lit(8))))
+      val cw = Window.partitionBy("qid").orderBy("nprobe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def curve(iter: Int, asg: org.apache.spark.sql.DataFrame,
+                piv: org.apache.spark.sql.DataFrame) = {
+        val pw = Window.partitionBy("qid").orderBy(col("__pcos").desc, col("cid").asc)
+        val pranks = piv.select(col("cid"), col("cv"))
+          .crossJoin(broadcast(queries.select(col("vec_id").as("qid"),
+            col("embedding").as("__qv"))))
+          .select(col("qid"), col("cid"),
+            graft.functions.VectorExprs.cosineF(col("cv"), col("__qv")).as("__pcos"))
+          .withColumn("prank", row_number().over(pw))
+          .select(col("qid"), col("cid"), col("prank"))
+        val hits = truth.join(asg.select(col("vec_id"), col("centroid_id")), "vec_id")
+          .join(pranks.withColumnRenamed("qid", "__pq"),
+            col("qid") === col("__pq") && col("centroid_id") === col("cid"))
+          .groupBy(col("qid"), col("prank")).agg(count(lit(1)).as("h"))
+        val occ = asg.groupBy(col("centroid_id").as("__ocid"))
+          .agg(count(lit(1)).as("listn"))
+        val ranked = pranks.join(occ, col("cid") === col("__ocid"), "left")
+          .select(col("qid").as("__rq"), col("prank").as("__rp"),
+            coalesce(col("listn"), lit(0L)).as("listn"))
+        grid.join(hits.withColumnRenamed("qid", "__hq"),
+            col("qid") === col("__hq") && col("prank") === col("nprobe"), "left")
+          .select(col("qid"), col("nprobe"), coalesce(col("h"), lit(0L)).as("__h"))
+          .join(ranked, col("qid") === col("__rq") && col("__rp") === col("nprobe"), "left")
+          .select(col("qid"), col("nprobe"), col("__h"),
+            coalesce(col("listn"), lit(0L)).as("__ln"))
+          .withColumn("cum_hits", sum(col("__h")).over(cw).cast("long"))
+          .withColumn("recall_permille", expr("(1000 * cum_hits) div 5"))
+          .withColumn("cum_cands", sum(col("__ln")).over(cw).cast("long"))
+          .withColumn("iter", lit(iter))
+          .select("iter", "qid", "nprobe", "cum_hits", "recall_permille", "cum_cands")
+      }
+      curve(0, asg0, piv0).unionByName(curve(3, asg3, piv3))
+        .orderBy("iter", "qid", "nprobe")
+    },
+
     // ---- similarity: persisted-index PARTITION PATCH after re-pivot -------
     // q193 reports the churn; this face makes it PHYSICAL. The pre-drift
     // index is persisted in the ivfWriteIndex layout (partitioned by

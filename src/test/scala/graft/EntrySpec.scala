@@ -25,12 +25,12 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("queries that should produce rows do") {
-    // q170/q200 are true-negatives at tiny SFs: the fixture has no
+    // q170/q200/q204 are true-negatives at tiny SFs: the fixture has no
     // duplicate texts below sf0.1, so the perceptual near-dup pair sets
     // are legitimately empty (positive paths pinned by MultimodalSpec +
-    // the sf0.1 oracle: 8 image pairs, 9 audio pairs).
+    // the sf0.1 oracle: 8 image pairs, 9 audio pairs, 8 video pairs).
     val mustHaveRows = SparkEntry.queries.keySet --
-      Set("q170_image_phash", "q200_audio_fingerprint")
+      Set("q170_image_phash", "q200_audio_fingerprint", "q204_video_dhash")
     mustHaveRows.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sf).count()
       withClue(s"$name:") { assert(n > 0) }

@@ -234,6 +234,34 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  private val genPayload: Gen[Array[Byte]] =
+    Gen.choose(1, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 180)).map(_.map(_.toByte).toArray))
+
+  property("dHash64: brightness-shift invariant; pure function; halves non-negative") =
+    forAll(genPayload, Gen.choose(1, 70)) { (bytes, shift) =>
+      val h = graft.operators.MediaCodec.dHash64(bytes, bytes.length)
+      val hs = graft.operators.MediaCodec.dHash64(
+        bytes.map(b => (b + shift).toByte), bytes.length)
+      val h2 = graft.operators.MediaCodec.dHash64(bytes, bytes.length)
+      h.getLong(0) >= 0 && h.getLong(1) >= 0 &&
+        hs.getLong(0) == h.getLong(0) && hs.getLong(1) == h.getLong(1) &&
+        h2.getLong(0) == h.getLong(0) && h2.getLong(1) == h.getLong(1)
+    }
+
+  property("videoShots invariants: 1 <= n_shots <= F, longest in [ceil(F/n_shots), F], keyframe < F") =
+    forAll(genPayload, Gen.choose(1, 20), Gen.choose(0, 30)) { (bytes, f, thresh) =>
+      val png = graft.operators.MediaCodec.encodePng(bytes)
+      val r = graft.operators.MediaCodec.videoShots(png, bytes.length, f, thresh)
+      val (nf, ns, longest, kf) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      nf == f.toLong && ns >= 1 && ns <= nf &&
+        longest >= (nf + ns - 1) / ns && longest <= nf - (ns - 1) &&
+        kf >= 0 && kf < nf &&
+        // thresh 0, >1 frame, no EMPTY frames (f <= n — empty frames never
+        // fire a boundary, merging runs): every gap is a boundary
+        (thresh > 0 || f == 1 || f > bytes.length || ns == nf)
+    }
+
   property("BpeKernel.encodeDoc = space-joined per-word segmentations of [a-z]+ runs") =
     forAll(genBpeCorpus, Gen.choose(0, 6)) { (corpus, k) =>
       val merges = trainRef(corpus, k)
