@@ -450,6 +450,18 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("curation funnel (q205): the five-stage funnel reads the corpus EXACTLY once") {
+    val plan = formatted(SparkEntry.queries("q205_curation_funnel")(spark, sf))
+    // the formatted tree names scans "(n) Scan parquet" with the location
+    // in the details section — counting the numbered nodes counts sources
+    val scans = plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    // survivorship is the only corpus-keyed window; the BPE kernel must
+    // not be re-inlined by CollapseProject (evaluates once per row)
+    val evals = "graft_bpe_encode".r.findAllIn(plan).length
+    assert(evals == 1, s"kernel evaluated $evals times in plan:\n$plan")
+  }
+
   test("dense surrogates (q163): every id-bearing window is shard-keyed") {
     val df = graft.operators.Curation.denseSurrogates(
       Tables.load(spark, sf, "events"), "user_id", "plansalt", 64)
