@@ -92,9 +92,12 @@ object AudioCodec {
   /** 64-bit acoustic fingerprint over the DECODED samples — the audio
     * analog of [[MediaCodec.aHash64]]: block b of 64 covers samples
     * [⌊b·n/64⌋, ⌊(b+1)·n/64⌋); bit b = 1 iff the block's mean |s| ≥ the
-    * track's mean |s|, compared in exact integers (sum_b·n ≥ total·len_b
-    * — Σ|s| ≤ 2¹⁵·n, so both products stay far below 2⁶³ for any
-    * realistic track). Returned as [hi32, lo32] non-negative int64s with
+    * track's mean |s|, compared in exact integers (sum_b·n ≥ total·len_b,
+    * evaluated at 128 bits via [[MediaCodec.geUnsigned128]] — Σ|s| ≤ 2¹⁵·n
+    * makes the products ~2⁹·n², which overflows int64 past ~1.3e8 samples
+    * (≈50 min of mono 44.1 kHz: podcasts, DJ sets), so 64-bit products
+    * would silently flip envelope bits on long-form audio; the 128-bit
+    * compare is exact for any n). Returned as [hi32, lo32] non-negative int64s with
     * bit b at position 31−b / 63−b (the aHash layout, so the banded
     * Hamming machinery applies unchanged). The energy ENVELOPE shape,
     * robust to re-encoding/amplitude-preserving edits; a pure function of
@@ -115,7 +118,8 @@ object AudioCodec {
       var bs = 0L
       var j = start
       while (j < end) { bs += math.abs(s(j)); j += 1 }
-      if (end > start && bs * n >= total * (end - start)) {
+      if (end > start &&
+          MediaCodec.geUnsigned128(bs, n.toLong, total, (end - start).toLong)) {
         if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
       }
       b += 1

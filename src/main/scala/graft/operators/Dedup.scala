@@ -520,7 +520,7 @@ object Dedup {
     val jR = (2 to rows).foldLeft(j)((acc, _) => acc * j)         // j^R, left-assoc
     val miss1 = lit(1.0) - jR
     val missB = (2 to bands).foldLeft(miss1)((acc, _) => acc * miss1) // (1-j^R)^B
-    val detMicro = floor((lit(1.0) - missB) * lit(1000000.0))
+    val detMicro = floor((lit(1.0) - missB) * lit(1000000.0)).cast("long")
     val hi = (lit(3L) * col("n_int")) >= (col("sz_a") + col("sz_b"))   // j ≥ 1/2
     val mid = !hi && (lit(5L) * col("n_int")) >= (col("sz_a") + col("sz_b")) // 1/4 ≤ j < 1/2
     val b = when(hi, "hi").when(mid, "mid").otherwise("lo")

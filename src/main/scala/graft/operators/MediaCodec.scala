@@ -183,8 +183,10 @@ object MediaCodec {
     new GenericArrayData(Array(hi, lo))
   }
 
-  /** a·b >= c·d over non-negative longs, exact at 128 bits (no overflow). */
-  private def geUnsigned128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+  /** a·b >= c·d over non-negative longs, exact at 128 bits (no overflow).
+    * Shared with [[AudioCodec.aHash64]], whose Σ|s|·n products overflow
+    * int64 past ~50 min of mono 44.1 kHz audio. */
+  private[operators] def geUnsigned128(a: Long, b: Long, c: Long, d: Long): Boolean = {
     val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
     val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
     if (hi1 != hi2) hi1 > hi2

@@ -289,9 +289,50 @@ object Similarity {
     * Scale: each iteration is one map-side fused reassignment scan
     * ([[ivfAssign]] — zero corpus shuffle) plus C-row driver metadata
     * (heavy/light cells, two seed vectors — the q179 bounded-collect
-    * discipline). Seed selection ranks ONE cell's members; at 100 TB use
-    * an approximate quantile sketch over that cell instead of the exact
-    * rank window (same contract, sketch-bounded). */
+    * discipline). Seed selection is a DISTRIBUTED exact order statistic —
+    * the heavy cell is by definition the drifted one (it can hold half the
+    * corpus), so no single task may ever sort its full membership: members
+    * leave the scan as vector-free (id, cos) rows, range-partition on
+    * (cos desc, id), rank WITHIN each range shard (keyed window), and the
+    * shard-count prefix sums (≤ shards rows, driver metadata) turn local
+    * ranks into exact global ranks. The two quartile rows filter out and
+    * re-join the assignment by id (2-row broadcast) to fetch their
+    * vectors. No unpartitioned window anywhere; every exchange carries
+    * ids/scalars, never vectors. Candidates whose id collides with a
+    * surviving pivot's cid are excluded before ranking, so a seed can
+    * never duplicate a live centroid id. */
+  /** Exact global ranks 1..N over `scored` (idCol, __cos) under
+    * (__cos DESC, idCol ASC) with NO unpartitioned window — the
+    * distributed order-statistic kernel behind [[ivfSplitRebalance]]'s
+    * seed selection. Range-shard on the rank order (each shard sorts only
+    * its slice), rank WITHIN each shard (keyed window), then add the
+    * exclusive shard-count prefix sums — ≤ `shards` rows of driver
+    * metadata, folded back in as a literal map — so local ranks become
+    * exact global ranks. Deterministic for unique (cos, id) keys
+    * regardless of where the range sampler places shard boundaries.
+    * Returns (ranked frame with __rk, total row count); the frame is
+    * localCheckpointed so the shard ids the counts were collected from are
+    * the shard ids the rank pass sees. */
+  private[graft] def rangedGlobalRank(scored: DataFrame, idCol: String,
+                                      shards: Int): (DataFrame, Long) = {
+    val cand = scored
+      .repartitionByRange(shards, col("__cos").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val cnts = cand.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs: Map[Int, Long] =
+      cnts.zip(cnts.scanLeft(0L)(_ + _._2)).map {
+        case ((pid, _), off) => pid -> off
+      }.toMap
+    val ranked = cand.withColumn("__lrk", row_number().over(
+        Window.partitionBy(col("__pid"))
+          .orderBy(col("__cos").desc, col(idCol))))
+      .withColumn("__rk",
+        col("__lrk").cast("long") + element_at(typedLit(offs), col("__pid")))
+    (ranked, cnts.map(_._2).sum)
+  }
+
   def ivfSplitRebalance(corpus: DataFrame, pivots: DataFrame, vecCol: String,
                         idCol: String, pivotIdCol: String, ref: DataFrame,
                         iters: Int): Seq[(DataFrame, DataFrame)] = {
@@ -318,30 +359,47 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val heavyCid = occAll.maxBy { case (cid, n) => (n, -cid) }._1
       val heavyN = occAll.find(_._1 == heavyCid).get._2
-      // retire the lightest OTHER cell — when the index is already
-      // balanced the heaviest may also be the lightest, and removing it
-      // while seeding two would grow C (the contract is C CONSTANT)
-      val lightCid = occAll.filter(_._1 != heavyCid)
-        .minBy { case (cid, n) => (n, cid) }._1
-      if (heavyN < 2) {
-        // a 1-member (or empty) heaviest cell cannot split — the index is
+      if (occAll.length < 2 || heavyN < 2) {
+        // C=1 cannot retire-and-split while keeping C constant, and a
+        // 1-member (or empty) heaviest cell cannot split — the index is
         // as balanced as this loop can make it
         stopped = true
       } else {
-        val members = asg.filter(col("centroid_id") === heavyCid)
+        // retire the lightest OTHER cell — when the index is already
+        // balanced the heaviest may also be the lightest, and removing it
+        // while seeding two would grow C (the contract is C CONSTANT)
+        val lightCid = occAll.filter(_._1 != heavyCid)
+          .minBy { case (cid, n) => (n, cid) }._1
+        // a seed's cid is its member id — a member whose id equals a
+        // SURVIVING pivot's cid (possible under duplicate vectors) would
+        // mint a duplicate centroid id; exclude those ids up front
+        val survivors = occAll.map(_._1)
+          .filter(c => c != heavyCid && c != lightCid).toSeq
+        // distributed exact quartile ranks: vector-free (id, cos) rows
+        // through [[rangedGlobalRank]] — no unpartitioned window
+        val scored = asg.filter(col("centroid_id") === heavyCid)
+          .filter(if (survivors.isEmpty) lit(true)
+                  else !col(idCol).cast("long").isin(survivors: _*))
           .crossJoin(refB)
-          .withColumn("__rk", row_number().over(
-            Window.orderBy(VectorExprs.cosineF(col(vecCol), col("__rv")).desc,
-              col(idCol))))
-        val k1 = math.max(heavyN / 4, 1L)
-        val k2 = math.max(3L * heavyN / 4, 2L)
-        val seeds = members.filter(col("__rk") === k1 || col("__rk") === k2)
-          .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
-        piv = piv.filter(col("cid") =!= heavyCid && col("cid") =!= lightCid)
-          .unionByName(seeds)
-          .localCheckpoint()
-        asg = assignCorpus(piv).localCheckpoint()
-        out += ((asg, piv))
+          .select(col(idCol),
+            VectorExprs.cosineF(col(vecCol), col("__rv")).as("__cos"))
+        val (ranked, candN) = rangedGlobalRank(scored, idCol, shards = 32)
+        if (candN < 2) {
+          stopped = true
+        } else {
+          val k1 = math.max(candN / 4, 1L)
+          val k2 = math.max(3L * candN / 4, 2L)
+          val seedIds = ranked
+            .filter(col("__rk") === k1 || col("__rk") === k2)
+            .select(col(idCol))
+          val seeds = asg.join(broadcast(seedIds), Seq(idCol))
+            .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+          piv = piv.filter(col("cid") =!= heavyCid && col("cid") =!= lightCid)
+            .unionByName(seeds)
+            .localCheckpoint()
+          asg = assignCorpus(piv).localCheckpoint()
+          out += ((asg, piv))
+        }
       }
     }
     out.toSeq
@@ -473,8 +531,12 @@ object Similarity {
     * 100 TB a rebalance that re-wrote every list would be a full-index
     * write for a partial membership change.
     *
-    *  - changed rows = ids whose centroid differs between `oldAsg` and
-    *    `newAsg` (inner join on `idCol`);
+    *  - changed rows = a FULL OUTER join of `oldAsg` and `newAsg` on
+    *    `idCol`: moved ids (centroid differs), INSERTED ids (new side
+    *    only — their target lists must be rewritten to include them) and
+    *    DELETED ids (old side only — their former lists must be rewritten
+    *    to drop the stale rows), so delta ingest and takedown deletes are
+    *    covered, not just same-id-set re-pivots;
     *  - lists to REWRITE = centroids of changed rows (old ∪ new) that
     *    still exist in the new assignment — their full new contents land
     *    via DYNAMIC partition overwrite (only partitions present in the
@@ -483,21 +545,28 @@ object Similarity {
     *    `newAsg` (a retired pivot's partition would otherwise survive as
     *    a stale orphan — dynamic overwrite never visits it).
     *
-    * Centroid id sets are C-bounded driver metadata (the q179 collect
+    * All three centroid sets come off ONE distinct (old,new) pair
+    * aggregate — a single corpus pass whose collect is bounded by the
+    * distinct pair count (≤ C + moved pairs, the q179 collect
     * discipline). Returns (listsRewritten, listsDeleted). */
   def ivfPatchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     oldAsg: DataFrame, newAsg: DataFrame,
                     idCol: String): (Long, Long) = {
-    val changed = oldAsg.select(col(idCol), col("centroid_id").as("__c0"))
-      .join(newAsg.select(col(idCol), col("centroid_id").as("__c1")), idCol)
-      .filter(col("__c0") =!= col("__c1"))
-    val movedCids = changed.select(col("__c0").as("cid"))
-      .unionByName(changed.select(col("__c1").as("cid")))
-      .distinct().collect().map(_.getLong(0)).toSet
-    val newCids = newAsg.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val oldCids = oldAsg.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val pairs = oldAsg.select(col(idCol), col("centroid_id").as("__c0"))
+      .join(newAsg.select(col(idCol), col("centroid_id").as("__c1")),
+        Seq(idCol), "full_outer")
+      .select(col("__c0"), col("__c1")).distinct()
+      .collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      }
+    val oldCids = pairs.flatMap(_._1).toSet
+    val newCids = pairs.flatMap(_._2).toSet
+    // moved, inserted (None old side) and deleted (None new side) ids all
+    // mark their non-null centroids for rewrite
+    val movedCids = pairs.collect {
+      case (c0, c1) if c0 != c1 => c0.toSeq ++ c1.toSeq
+    }.flatten.toSet
     val rewrite = (movedCids & newCids).toSeq.sorted
     val retired = (oldCids -- newCids).toSeq.sorted
     if (rewrite.nonEmpty) {

@@ -200,8 +200,13 @@ object Sinks {
     val ts = tsMicros.getOrElse(System.currentTimeMillis() * 1000L)
     val cp = new Path(s"$tableDir/_commits/v=$version")
     val cfs = cp.getFileSystem(hconf)
-    val out0 = cfs.create(cp, true)
-    try out0.write(ts.toString.getBytes("UTF-8")) finally out0.close()
+    // create-if-absent: a [[writeSnapshotAs]] REPLAY (crash recovery)
+    // re-commits an already-committed version; overwriting its record
+    // would move the wall-clock a prior TIMESTAMP AS OF resolved against
+    if (!cfs.exists(cp)) {
+      val out0 = cfs.create(cp, false)
+      try out0.write(ts.toString.getBytes("UTF-8")) finally out0.close()
+    }
     val fc = FileContext.getFileContext(new Path(tableDir).toUri, hconf)
     val tmp = new Path(tableDir, s"_latest.tmp.$version")
     val out = fc.create(tmp,

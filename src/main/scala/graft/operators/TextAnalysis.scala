@@ -738,17 +738,19 @@ object TextAnalysis {
     * in the slope; the intercept stays in micro-nats by design).
     *
     * Scale: corpus rows collapse to the vocabulary with a partial-agg'd tf;
-    * the rank window orders ONE partition of vocab-sized input — bounded for
-    * real vocabularies (pre-filter tf ≥ minTf at web scale); the regression
-    * is a single tiny aggregate. */
+    * the top-R cut is an EXPLICIT distributed TakeOrdered (per-partition
+    * top-R, R-sized merge — the keySkewReport idiom) BEFORE the rank
+    * window, so the window only ever orders ≤ topR rows regardless of
+    * vocabulary size — no bet on the optimizer's rank-limit rewrite; the
+    * regression is a single tiny aggregate. */
   def zipfFit(df: DataFrame, textCol: String, topR: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec38 = "decimal(38,0)"
     val tf = df.select(explode(words(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
     val ranked = tf
+      .orderBy(col("tf").desc, col("term")).limit(topR)
       .withColumn("r", row_number().over(Window.orderBy(col("tf").desc, col("term"))))
-      .filter(col("r") <= topR)
       .select(floor(log(col("r").cast("double")) * lit(1e6)).cast("long").as("x"),
         floor(log(col("tf").cast("double")) * lit(1e6)).cast("long").as("y"))
     val s = ranked.agg(count(lit(1)).as("n_terms"),

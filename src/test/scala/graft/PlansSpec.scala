@@ -266,6 +266,46 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("rebalance seed ranking (q193): no unpartitioned window, exchanges vector-free") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Similarity
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the same vector-free (id, cos) shape ivfSplitRebalance feeds in —
+      // the heavy cell can hold half the corpus, so a global window here
+      // is a single-task sort at exactly the scale the operator exists for
+      val scored = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), (col("vec_id") % 97).cast("double").as("__cos"))
+      val (ranked, n) = Similarity.rangedGlobalRank(scored, "vec_id", shards = 8)
+      assert(n > 0)
+      val plan = ranked.queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, plan.toString)
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        "unpartitioned window in rebalance seed ranking:\n" + plan.toString))
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name)
+      }
+      exchanges.foreach(cols =>
+        assert(!cols.exists(_.contains("embedding")), exchanges.toString))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("zipf fit (q139): explicit distributed TakeOrdered bounds the rank window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q139_zipf_fit")(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the one window ranks the ≤ topR surviving rows, never the full vocab:
+    // every WindowExec must sit above the TakeOrdered in the tree
+    val exec = df.queryExecution.executedPlan
+    exec.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.toString.contains("TakeOrderedAndProject"),
+        "rank window not bounded by TakeOrdered:\n" + exec.toString)
+    }
+  }
+
   test("runtime bloom reduction (q149): might_contain injected under the fact scan") {
     import graft.operators.Joins
     Joins.withRuntimeBloom(spark) {

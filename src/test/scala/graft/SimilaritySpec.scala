@@ -381,6 +381,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(degen.length == 1, "1-member cells cannot split; loop must stop")
   }
 
+  test("rangedGlobalRank ≡ global row_number, C=1 stops cleanly, seeds never collide with live cids") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val embD = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // synthetic (id, cos) with heavy ties in cos — id must break them
+    val scored = embD.select(col("vec_id"),
+      (col("vec_id") % 7).cast("double").as("__cos"))
+    val (ranked, n) = Similarity.rangedGlobalRank(scored, "vec_id", shards = 8)
+    assert(n == scored.count())
+    val got = ranked.select(col("vec_id"), col("__rk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = scored.withColumn("__rk", row_number().over(
+        Window.orderBy(col("__cos").desc, col("vec_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    // ranks are a permutation of 1..n
+    assert(got.values.toSeq.sorted == (1L to n).toSeq)
+    // ADVICE guard: a single-pivot index (C=1) cannot retire-and-split with
+    // C constant — the loop must stop, not throw on an empty lightest set
+    val pivots1 = embD.filter(col("vec_id") === 0)
+    val v0 = embD.filter(col("vec_id") === 0)
+    val one = Similarity.ivfSplitRebalance(
+      embD, pivots1, "embedding", "vec_id", "vec_id", v0, iters = 2)
+    assert(one.length == 1, "C=1 must stop after the initial assignment")
+    assert(one.head._2.count() == 1)
+    // duplicate vectors force a surviving pivot's cid-id row into the heavy
+    // cell; the seed exclusion must keep centroid ids unique anyway
+    val dup = embD.limit(40).crossJoin(
+        broadcast(embD.filter(col("vec_id") === 3).select(col("embedding").as("__dv"))))
+      .select(col("vec_id"), col("__dv").as("embedding"))
+    val pivots3 = embD.filter(col("vec_id") < 3)
+    val st = Similarity.ivfSplitRebalance(
+      dup, pivots3, "embedding", "vec_id", "vec_id", v0, iters = 2)
+    st.foreach { case (_, piv) =>
+      val cids = piv.select("cid").collect().map(_.getLong(0))
+      assert(cids.distinct.length == cids.length, s"duplicate cids: ${cids.toSeq}")
+    }
+  }
+
+  test("ivfPatchIndex covers delta ingest: inserts land, deletes purge stale rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val path = s"${s.dir}/patch_delta"
+    // old: ids 1..6 over lists 10,20; new: id 2 DELETED, id 7 INSERTED
+    // into 20, id 5 moves 20→10; list 30 exists untouched via id 9
+    val oldAsg = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+        (6L, 20L), (9L, 30L))
+      .toDF("vec_id", "centroid_id")
+    val newAsg = Seq((1L, 10L), (3L, 10L), (5L, 10L), (4L, 20L), (6L, 20L),
+        (7L, 20L), (9L, 30L))
+      .toDF("vec_id", "centroid_id")
+    Similarity.ivfWriteIndex(oldAsg, path)
+    val (rw, del) = Similarity.ivfPatchIndex(spark, path, oldAsg, newAsg, "vec_id")
+    assert(rw == 2L && del == 0L, s"($rw, $del)") // lists 10 and 20 rewritten
+    val got = Similarity.ivfOpenIndex(spark, path)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val want = newAsg.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == want, s"patched index diverges: $got vs $want")
+    s.close()
+  }
+
   test("ivfPatchIndex: untouched lists keep their exact files, retired vanish, patched ≡ fresh") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
