@@ -124,13 +124,10 @@ class WorkspaceCatalog extends TableCatalog {
     // a truncate may have left no directory at all — the scan's file index
     // requires the root path to exist, so re-place the (empty) directory
     if (declared.isDefined && !fs(dir).exists(dir)) fs(dir).mkdirs(dir): Unit
-    ParquetTable(
-      actual,
-      SparkSession.active,
-      CaseInsensitiveStringMap.empty(),
-      Seq(dir.toString),
-      declared,
-      classOf[ParquetFileFormat])
+    // GraftWorkspaceTable IS a ParquetTable (every DSv2 read/write
+    // optimization unchanged, V1 insert fallback included) plus the
+    // row-level DML hooks — DELETE/UPDATE/MERGE via [[WorkspaceDml]]
+    new GraftWorkspaceTable(actual, SparkSession.active, dir.toString, declared)
   }
 
   // ---- write path (round 10) ----------------------------------------------

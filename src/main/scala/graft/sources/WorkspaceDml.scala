@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRowLevelOperations}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Row-level SQL DML for [[WorkspaceCatalog]] tables — `DELETE FROM`,
+  * `UPDATE`, and `MERGE INTO graft.<t>` land through Spark's own DSv2
+  * row-level machinery (the reference's workspace is read-write,
+  * `arc_utils.py:815-898`; row deletion is the takedown-compliance shape a
+  * landing workspace needs at the SQL surface — the operator pack answers
+  * it semantically via `EventOps.latestSnapshot`/`Sinks.snapshotDiff`, this
+  * answers it for a user typing SQL).
+  *
+  * A workspace table is ONE flat, unpartitioned parquet directory (a table
+  * is `<dir>/<name>.parquet`, like the reference's folder workspace), so
+  * the only physically possible row-level strategy is group-based
+  * COPY-ON-WRITE with the whole table as the single group: the rewrite
+  * query computes the table's full post-DML contents, every task writes
+  * into a STAGING directory, and the job-level commit swaps staging into
+  * place (rename-rename; the crash window between the two renames is
+  * documented exactly like [[WorkspaceCatalog.renameTable]]'s — no retry
+  * loop can close what the filesystem cannot express atomically). At
+  * 100 TB, point deletes against a FLAT table are the wrong layout no
+  * matter the engine — route hot-delete tables to the partitioned/snapshot
+  * catalogs; this surface exists so the SQL works and is honest about
+  * rewriting one table directory.
+  *
+  * Two paths, both Spark-planned:
+  *  - [[SupportsDelete.deleteWhere]]: `DELETE FROM t WHERE <p>` whose
+  *    predicates all translate to V1 filters arrives here directly
+  *    (Spark's `OptimizeMetadataOnlyDeleteFromTable` picks this over the
+  *    full rewrite) — one filtered scan, COW swap.
+  *  - [[SupportsRowLevelOperations]]: everything else (UPDATE, MERGE,
+  *    non-translatable DELETE) goes through the group-based `ReplaceData`
+  *    rewrite. The operation's scan builder DELIBERATELY refuses filter
+  *    pushdown: parquet pushdown is row-group-level and INEXACT (a
+  *    skipped row group's rows would vanish from the rewritten table,
+  *    since the write replaces the whole directory) — the replacement
+  *    query must see every surviving row, so the scan reads the full
+  *    table by construction.
+  */
+private[sources] object WorkspaceDml {
+
+  /** V1 `sources.Filter` → `Column`; None marks a filter this table cannot
+    * evaluate (Spark then falls back to the row-level rewrite). */
+  def toColumn(f: sources.Filter): Option[Column] = {
+    def c(attr: String): Column = col(s"`${attr.replace("`", "``")}`")
+    f match {
+      case sources.EqualTo(a, v) => Some(c(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(c(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(c(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case sources.In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(c(a).isNull)
+      case sources.IsNotNull(a) => Some(c(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(c(a).contains(v))
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case sources.Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case sources.Not(x) => toColumn(x).map(!_)
+      case _ => None
+    }
+  }
+}
+
+/** The [[WorkspaceCatalog]] table: Spark's own `ParquetTable` (every DSv2
+  * read/write optimization unchanged) plus the row-level DML hooks. */
+private[sources] class GraftWorkspaceTable(
+    tableName: String,
+    spark: SparkSession,
+    dir: String,
+    declared: Option[StructType])
+  extends ParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(),
+    Seq(dir), declared, classOf[ParquetFileFormat])
+  with SupportsDelete with SupportsRowLevelOperations {
+
+  private def fsOf(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Fresh staging directory INSIDE the workspace (same filesystem, so the
+    * commit swap is two renames, never a copy). The name is dot-prefixed
+    * and suffixed past `.parquet`, so `listTables` never surfaces it. */
+  private[sources] def stagingPath(): Path = {
+    val real = new Path(dir)
+    new Path(real.getParent,
+      s".${real.getName}.__cow_${java.util.UUID.randomUUID().toString.take(8)}")
+  }
+
+  /** Commit: staging replaces the live directory. rename(live→trash),
+    * rename(staging→live), delete(trash). A failed second rename
+    * compensates by restoring the live dir; a CRASH between the renames
+    * leaves the table readable from the trash name by hand — single-writer
+    * DML is the contract (see class scaladoc). */
+  private[sources] def swapIn(staging: Path): Unit = {
+    val real = new Path(dir)
+    val f = fsOf(real)
+    val trash = new Path(real.getParent,
+      s".${real.getName}.__replaced_${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadLive = f.exists(real)
+    if (hadLive && !f.rename(real, trash))
+      throw new IllegalStateException(s"DML commit: could not retire $real")
+    if (!f.rename(staging, real)) {
+      if (hadLive) f.rename(trash, real): Unit // compensate
+      throw new IllegalStateException(s"DML commit: could not publish $staging")
+    }
+    if (hadLive) f.delete(trash, true): Unit
+    spark.catalog.refreshByPath(dir)
+  }
+
+  private[sources] def dropStaging(staging: Path): Unit = {
+    val f = fsOf(staging)
+    if (f.exists(staging)) f.delete(staging, true): Unit
+  }
+
+  // ---- metadata-translatable DELETE (OptimizeMetadataOnlyDeleteFromTable) --
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(WorkspaceDml.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    // DELETE removes rows where the condition is TRUE; NULL keeps the row —
+    // the kept set is NOT(coalesce(cond, false))
+    val cond = filters.flatMap(WorkspaceDml.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val remaining = declared.map(s => spark.read.schema(s)).getOrElse(spark.read)
+      .parquet(dir).filter(!coalesce(cond, lit(false)))
+    val staging = stagingPath()
+    try {
+      remaining.write.parquet(staging.toString)
+      swapIn(staging)
+    } catch { case t: Throwable => dropStaging(staging); throw t }
+  }
+
+  // ---- group-based COW (UPDATE / MERGE / non-translatable DELETE) ---------
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new WorkspaceCowOperation(GraftWorkspaceTable.this, info.command())
+    }
+}
+
+/** Whole-table group-based copy-on-write operation (see [[WorkspaceDml]]). */
+private[sources] class WorkspaceCowOperation(
+    table: GraftWorkspaceTable, cmd: Command) extends RowLevelOperation {
+
+  override def command(): Command = cmd
+  override def description(): String = s"graft workspace COW $cmd"
+
+  /** FULL-table scan: a bare builder that implements NO pushdown trait, so
+    * Spark keeps every predicate in the plan and the replacement query
+    * sees every surviving row (inexact parquet row-group pruning under the
+    * pushed command condition would DROP rows of skipped groups — the
+    * whole-directory replace makes any scan-side pruning a data-loss bug,
+    * not an optimization). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        table.newScanBuilder(options).build()
+    }
+
+  /** Write = parquet batch write into a staging dir (Spark's own
+    * vectorized writer, full task parallelism), job-commit = swap. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String = s"graft workspace COW $cmd write"
+        override def toBatch: BatchWrite = {
+          val staging = table.stagingPath()
+          val stagingTable = ParquetTable(
+            table.name + "__cow", SparkSession.active,
+            CaseInsensitiveStringMap.empty(), Seq(staging.toString),
+            Some(info.schema()), classOf[ParquetFileFormat])
+          val inner = stagingTable.newWriteBuilder(info).build().toBatch
+          new BatchWrite {
+            override def createBatchWriterFactory(
+                p: PhysicalWriteInfo): DataWriterFactory =
+              new OpStrippingWriterFactory(
+                inner.createBatchWriterFactory(p), info.schema())
+            override def useCommitCoordinator(): Boolean =
+              inner.useCommitCoordinator()
+            override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+              inner.commit(msgs)
+              table.swapIn(staging)
+            }
+            override def abort(msgs: Array[WriterCommitMessage]): Unit =
+              try inner.abort(msgs) finally table.dropStaging(staging)
+          }
+        }
+      }
+    }
+}
+
+/** Group-based `ReplaceData` rows arrive tagged: the rewrite prepends a
+  * `__row_operation` INT (RowDeltaUtils.OPERATION_COLUMN) to every row, and
+  * Spark's write exec only strips it when the operation requires METADATA
+  * attributes (DataAndMetadataWritingSparkTask applies the row projection;
+  * the metadata-less path hands the tagged row straight to the writer).
+  * This table needs no metadata — the whole directory is the one group —
+  * so the factory strips the tag itself: rows with exactly one extra
+  * leading field project to the declared write schema via Spark's own
+  * [[ProjectingInternalRow]] (ordinals 1..n, the rewrite's documented
+  * layout `operation ++ dataAttrs`); rows already at the write schema pass
+  * through untouched. Anything else is a loud error, never silent
+  * misalignment. */
+private class OpStrippingWriterFactory(
+    inner: DataWriterFactory, writeSchema: StructType)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val n = writeSchema.length
+      private lazy val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        writeSchema, (1 to n).toIndexedSeq)
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == n) w.write(row)
+        else {
+          require(row.numFields == n + 1,
+            s"COW write expected $n or ${n + 1} fields, got ${row.numFields}")
+          proj.project(row)
+          w.write(proj)
+        }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+      override def currentMetricsValues():
+          Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        w.currentMetricsValues()
+    }
+  }
+}

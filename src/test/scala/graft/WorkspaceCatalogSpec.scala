@@ -153,4 +153,92 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
     val names = cat.listTables(Array.empty).map(_.name()).toSet
     assert(Tables.All.toSet.subsetOf(names))
   }
+
+  private def dmlWorkspace(): (Session.Scratch, String) = {
+    val scratch = new Session.Scratch
+    val cat = "graftdml_" + java.lang.Long.toHexString(System.nanoTime() & 0xffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.WorkspaceCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.workspace", scratch.dir)
+    (scratch, cat)
+  }
+
+  test("SQL DELETE: translatable predicate takes the deleteWhere path; NULL condition keeps rows") {
+    val (_, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT CAST(n_nationkey AS BIGINT) AS k, " +
+      s"CASE WHEN n_nationkey % 5 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(n_regionkey AS BIGINT) END AS r " +
+      s"FROM parquet.`$sf/nation.parquet`")
+    spark.sql(s"DELETE FROM $cat.t WHERE r = 2")
+    // rows with r IS NULL must SURVIVE a `r = 2` delete (three-valued logic)
+    val left = spark.sql(s"SELECT k, r FROM $cat.t").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(left.count(_._2 == -1L) == 5, left.toString)
+    assert(!left.exists(_._2 == 2L), left.toString)
+    assert(left.size == 25 - 5, left.toString) // 5 nations in region 2, none NULL-keyed
+    // key-list takedown shape
+    spark.sql(s"DELETE FROM $cat.t WHERE k IN (1, 3, 5)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").first().getLong(0) == 17)
+  }
+
+  test("SQL DELETE with a non-translatable predicate goes through the COW rewrite") {
+    val (_, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT n_nationkey AS k, n_name AS name " +
+      s"FROM parquet.`$sf/nation.parquet`")
+    // length(name) % 2 is not a V1 source filter — forces ReplaceData COW
+    spark.sql(s"DELETE FROM $cat.t WHERE length(name) % 2 = 0")
+    val want = spark.read.parquet(s"$sf/nation.parquet")
+      .filter("length(n_name) % 2 <> 0").count()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").first().getLong(0) == want)
+  }
+
+  test("SQL UPDATE rewrites matched rows, leaves the rest byte-identical in value") {
+    val (_, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(n_regionkey AS BIGINT) AS r, n_name AS name " +
+      s"FROM parquet.`$sf/nation.parquet`")
+    spark.sql(s"UPDATE $cat.t SET name = concat(name, '!'), r = r + 100 WHERE k < 5")
+    val got = spark.sql(s"SELECT k, r, name FROM $cat.t ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(got.length == 25)
+    got.foreach { case (k, r, name) =>
+      if (k < 5) { assert(r >= 100 && name.endsWith("!"), (k, r, name).toString) }
+      else { assert(r < 100 && !name.endsWith("!"), (k, r, name).toString) }
+    }
+  }
+
+  test("SQL MERGE INTO: matched-update, matched-delete, not-matched-insert in one statement") {
+    val (_, cat) = dmlWorkspace()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.state AS SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(n_regionkey AS BIGINT) AS v " +
+      s"FROM parquet.`$sf/nation.parquet` WHERE n_nationkey < 10")
+    Seq((3L, 77L, "upsert"), (5L, 0L, "del"), (40L, 88L, "upsert"), (9L, 99L, "upsert"))
+      .toDF("k", "v", "op").createOrReplaceTempView("updates")
+    spark.sql(
+      s"""MERGE INTO $cat.state t USING updates s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED AND s.op = 'upsert' THEN INSERT (k, v) VALUES (s.k, s.v)
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $cat.state ORDER BY k").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(!got.contains(5L), got.toString)           // matched-delete
+    assert(got(3L) == 77L && got(9L) == 99L, got.toString) // matched-update
+    assert(got(40L) == 88L, got.toString)             // not-matched-insert
+    assert(got.size == 10, got.toString)              // 10 - 1 deleted + 1 inserted
+    // untouched rows keep their original values
+    assert(got(0L) == spark.read.parquet(s"$sf/nation.parquet")
+      .filter("n_nationkey = 0").first().getInt(2).toLong)
+  }
+
+  test("DML leaves no staging debris and the sidecar-declared schema survives a DELETE") {
+    val (scratch, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT n_nationkey AS k FROM parquet.`$sf/nation.parquet`")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN note STRING")
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 20")
+    // declared (post-ALTER) schema still drives the read after the COW swap
+    val df = spark.sql(s"SELECT * FROM $cat.t")
+    assert(df.schema.fieldNames.toSeq == Seq("k", "note"), df.schema.treeString)
+    assert(df.count() == 20)
+    val debris = new java.io.File(scratch.dir).listFiles()
+      .map(_.getName).filter(n => n.contains("__cow_") || n.contains("__replaced_"))
+    assert(debris.isEmpty, debris.mkString(","))
+  }
 }
