@@ -4442,6 +4442,131 @@ object PipelineQueries {
           when(col("bpe_seg") === "", lit(0))
             .otherwise(size(split(col("bpe_seg"), " "))))
         .orderBy("doc_id")
+    },
+
+    // ---- lakehouse: SQL DELETE takedown with an audited removal set --------
+    // Row-level SQL DML on the workspace catalog (GraftWorkspaceTable /
+    // WorkspaceDml). Two DELETE statements, one per execution path: the
+    // key-list predicate (doc_id % 97 = 3) is NOT V1-translatable, so Spark
+    // rewrites it into the group-based copy-on-write ReplaceData plan; the
+    // source predicate (source = 'src0') IS, so it takes the deleteWhere
+    // metadata route. The face then AUDITS compliance: every fixture row is
+    // classified K/D against the live table, and any row whose presence
+    // disagrees with the takedown predicates counts as a mismatch — the
+    // oracle pins n_mismatch = 0 per source, so a DELETE that removes too
+    // little (stale rows) or too much (over-deletion) breaks the hash, not
+    // just a count. Output: per-source retention ledger.
+    Q("q211_sql_takedown_delete",
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN doc_id % 97 = 3 OR source = 'src0'
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN doc_id % 97 = 3 OR source = 'src0'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog"): Unit
+      s.sql(s"DROP TABLE IF EXISTS $cat.takedown_docs")
+      s.sql(s"""CREATE TABLE $cat.takedown_docs AS
+               |SELECT doc_id, source, n_chars
+               |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+      // COW path (predicate not expressible as a V1 source filter)
+      s.sql(s"DELETE FROM $cat.takedown_docs WHERE doc_id % 97 = 3")
+      // deleteWhere path (plain equality filter)
+      s.sql(s"DELETE FROM $cat.takedown_docs WHERE source = 'src0'")
+      val live = s.table(s"$cat.takedown_docs")
+        .select(col("doc_id"), lit(1).as("__live"))
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(live, Seq("doc_id"), "left")
+        .withColumn("__should_del",
+          (col("doc_id") % 97 === 3) || (col("source") === "src0"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(!col("__should_del"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__should_del"), 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("__should_del") === col("__live").isNotNull, 1L)
+            .otherwise(0L)).as("n_mismatch"))
+        .orderBy("source")
+    },
+
+    // ---- lakehouse: SQL MERGE upsert ≡ full CDC recompute ------------------
+    // q108's last-writer-wins compaction through literal `MERGE INTO`: the
+    // target is the compacted first half of the event log (tombstones
+    // RETAINED as state rows — a newer-but-older-ts delta must lose to
+    // them), the source is the compacted second half, and one MERGE with a
+    // newer-wins residual on the match lands the incremental state. The
+    // oracle is q108's full-log snapshot builder — incremental MERGE and
+    // batch recompute must agree row for row, the exactly-once contract a
+    // CDC consumer needs. Spark plans the MERGE through the group-based
+    // ReplaceData rewrite (WorkspaceDml COW; full outer join of target vs
+    // source under the hood).
+    Q("q212_sql_merge_upsert", {
+      val base = "(SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, value FROM events)"
+      val snap = EventOps.latestSnapshotSql(base, "user_id", "ts", "event_id",
+        "event_type", "error")
+      s"""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+         |  event_type AS last_type, value AS last_value
+         |FROM ($snap) ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog"): Unit
+      s.sql(s"DROP TABLE IF EXISTS $cat.merge_state")
+      val ev = s"parquet.`$dir/events.parquet`"
+      def half(cmp: String) =
+        s"""SELECT user_id, event_id, ts, event_type, value FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts DESC, event_id DESC) AS __rn
+           |  FROM $ev WHERE event_id $cmp (SELECT MAX(event_id) / 2 FROM $ev))
+           |WHERE __rn = 1""".stripMargin
+      s.sql(s"CREATE TABLE $cat.merge_state AS ${half("<=")}")
+      s.sql(s"SELECT * FROM (${half(">")})").createOrReplaceTempView("merge_delta")
+      s.sql(
+        s"""MERGE INTO $cat.merge_state t USING merge_delta s ON t.user_id = s.user_id
+           |WHEN MATCHED AND (s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id))
+           |  THEN UPDATE SET event_id = s.event_id, ts = s.ts,
+           |    event_type = s.event_type, value = s.value
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      s.table(s"$cat.merge_state")
+        .filter(col("event_type") =!= "error") // tombstoned keys stay hidden
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // ---- lakehouse: SQL UPDATE in-place redaction ---------------------------
+    // The PII-scrub shape at the SQL surface: one UPDATE rewrites the text of
+    // a compromised source to a deterministic redaction marker (length
+    // preserved in the marker so audits can still size the loss) and zeroes
+    // the payload length. UPDATE always takes the group-based COW rewrite —
+    // the whole flat table is the one replace group (WorkspaceDml scaladoc:
+    // at 100 TB route hot-update tables to partitioned layouts; this face
+    // proves the SQL surface and its exact semantics). Oracle recomputes the
+    // post-UPDATE table relationally.
+    Q("q213_sql_update_redact",
+      """SELECT doc_id,
+        |  CASE WHEN source = 'src1'
+        |       THEN '[REDACTED:' || CAST(n_chars AS VARCHAR) || ']'
+        |       ELSE text END AS text,
+        |  CASE WHEN source = 'src1' THEN 0 ELSE n_chars END AS n_chars,
+        |  source
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog"): Unit
+      s.sql(s"DROP TABLE IF EXISTS $cat.redact_docs")
+      s.sql(s"""CREATE TABLE $cat.redact_docs AS
+               |SELECT doc_id, text, n_chars, source
+               |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(s"""UPDATE $cat.redact_docs
+               |SET text = concat('[REDACTED:', CAST(n_chars AS STRING), ']'),
+               |    n_chars = 0
+               |WHERE source = 'src1'""".stripMargin)
+      s.table(s"$cat.redact_docs")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+        .orderBy("doc_id")
     }
   )
 }
