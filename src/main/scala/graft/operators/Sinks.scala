@@ -195,20 +195,45 @@ object Sinks {
   private def commitPointer(spark: SparkSession, tableDir: String,
                             version: Int,
                             tsMicros: Option[Long] = None): Unit = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path}
-    val hconf = spark.sessionState.newHadoopConf()
+    writeCommitRecord(spark, tableDir, version, tsMicros)
+    swapPointer(spark, tableDir, version)
+  }
+
+  /** The `_commits/v=N` timestamp record, CREATE-IF-ABSENT: a
+    * [[writeSnapshotAs]] REPLAY (crash recovery) re-commits an
+    * already-committed version; overwriting its record would move the
+    * wall-clock a prior TIMESTAMP AS OF resolved against. */
+  private def writeCommitRecord(spark: SparkSession, tableDir: String,
+                                version: Int, tsMicros: Option[Long]): Unit = {
     val ts = tsMicros.getOrElse(System.currentTimeMillis() * 1000L)
-    val cp = new Path(s"$tableDir/_commits/v=$version")
-    val cfs = cp.getFileSystem(hconf)
-    // create-if-absent: a [[writeSnapshotAs]] REPLAY (crash recovery)
-    // re-commits an already-committed version; overwriting its record
-    // would move the wall-clock a prior TIMESTAMP AS OF resolved against
+    val cp = new org.apache.hadoop.fs.Path(s"$tableDir/_commits/v=$version")
+    val cfs = cp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!cfs.exists(cp)) {
       val out0 = cfs.create(cp, false)
       try out0.write(ts.toString.getBytes("UTF-8")) finally out0.close()
     }
-    val fc = FileContext.getFileContext(new Path(tableDir).toUri, hconf)
-    val tmp = new Path(tableDir, s"_latest.tmp.$version")
+  }
+
+  /** Same-JVM swap serialization: `FileContext.rename(OVERWRITE)` is
+    * namenode-atomic on HDFS, but the LOCAL filesystem implements overwrite
+    * as check-delete-rename — two in-process writers can interleave and one
+    * throws. One process-wide lock removes the local race (Spark local mode,
+    * the spec's thread race); cross-process local-FS writers remain
+    * best-effort, which the repair loop's retry absorbs. */
+  private val PointerSwapLock = new Object
+
+  /** Atomic pointer swap: temp write + ONE `FileContext.rename(OVERWRITE)`
+    * (atomic on HDFS; substitute a conditional PUT on object stores). */
+  private def swapPointer(spark: SparkSession, tableDir: String,
+                          version: Int): Unit = PointerSwapLock.synchronized {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val fc = FileContext.getFileContext(new Path(tableDir).toUri,
+      spark.sessionState.newHadoopConf())
+    // tmp name is unique PER ATTEMPT: two repair loops converging on the
+    // same target must not share a tmp file (the loser's rename would find
+    // its source already consumed)
+    val tmp = new Path(tableDir,
+      s"_latest.tmp.$version.${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
@@ -287,15 +312,129 @@ object Sinks {
     * under SERIALIZED writers — exactly the streaming-sink model this hook
     * exists for, where a replay is a re-execution of the same (single)
     * writer, never concurrent with a newer batch. Genuinely concurrent
-    * independent writers can interleave read-then-rename and demote the
-    * pointer; they need an external lock or a log-structured commit
-    * protocol (out of scope here — no retry loop can close that window
-    * without one). */
+    * independent writers need [[writeSnapshotConcurrent]], whose claim
+    * files serialize version allocation and whose repair loop converges
+    * the pointer. */
   def writeSnapshotAs(df: DataFrame, tableDir: String, version: Int): Int = {
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$version")
     if (snapshotCommitted(df.sparkSession, tableDir).forall(_ < version))
       commitPointer(df.sparkSession, tableDir, version)
     version
+  }
+
+  // ---- optimistic multi-writer commits -------------------------------------
+
+  /** Versions already CLAIMED by some writer (data may not exist yet). */
+  private def claimedVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tableDir/_claims")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") &&
+        s.drop(2).nonEmpty && s.drop(2).forall(_.isDigit) => s.drop(2).toInt }
+  }
+
+  /** Atomic EXCLUSIVE claim of a version number — the compare-and-swap
+    * that makes concurrent writers safe. The primitive is create-if-absent
+    * where absence is checked by the STORE, not the client: O_CREAT|O_EXCL
+    * via NIO on local filesystems (kernel-atomic; Hadoop's
+    * RawLocalFileSystem create is check-then-create and can race), the
+    * namenode-atomic `create(overwrite=false)` on HDFS, a conditional PUT
+    * on object stores. Returns false — claim lost — when the file already
+    * exists. */
+  private def claimVersion(spark: SparkSession, tableDir: String,
+                           version: Int): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tableDir/_claims")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir): Unit
+    val p = new org.apache.hadoop.fs.Path(dir, s"v=$version")
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath)): Unit
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** Every version with a commit RECORD, pointer-independent (unlike
+    * [[snapshotCommitTimes]], which is the read-side view). */
+  private def recordedCommits(spark: SparkSession, tableDir: String): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tableDir/_commits")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") &&
+        s.drop(2).nonEmpty && s.drop(2).forall(_.isDigit) => s.drop(2).toInt }
+  }
+
+  /** [[writeSnapshot]] for GENUINELY CONCURRENT independent writers —
+    * optimistic concurrency in two moves:
+    *
+    *  1. ALLOCATION is a compare-and-swap loop: compute
+    *     next = max(folders, claims, pointer) + 1 and try to claim it via
+    *     [[claimVersion]]'s atomic exclusive create. A lost race means
+    *     another writer owns that number — its claim file is now visible,
+    *     so the retry allocates past it. Claimed versions are exclusively
+    *     owned: no two writers ever write the same `v=N` folder, and the
+    *     committed sequence stays contiguous.
+    *  2. COMMIT is a REPAIR LOOP, not a blind swap: record `_commits/v=N`
+    *     (create-if-absent, after the data lands), then loop —
+    *     read the pointer, target = max(recorded commits), swap to the
+    *     target if the pointer is behind, re-check. The rename is
+    *     last-writer-wins, so a slower writer can transiently demote the
+    *     pointer; the re-check sees the regression (the newer writer's
+    *     record is durable) and repairs it. Every writer exits only when
+    *     pointer ≥ max(recorded), so the pointer CONVERGES to the newest
+    *     recorded commit no matter the interleaving.
+    *
+    * Consequences: a writer that crashes between record and swap leaves a
+    * complete, recorded version that the NEXT successful commit promotes
+    * (its data landed before its record — readers never see partial data);
+    * a crash before the record leaves an unrecorded orphan folder that
+    * never resolves, exactly like [[writeSnapshot]]. Don't mix this with
+    * single-writer [[writeSnapshot]] on one table: the single-writer path
+    * neither claims nor repairs.
+    *
+    * Scale note: the claim/commit files are empty markers — per commit this
+    * is O(1) tiny-file round-trips against the store, amortized over a
+    * full-parallelism snapshot write; the loop retries only under actual
+    * contention on the SAME table. */
+  def writeSnapshotConcurrent(df: DataFrame, tableDir: String,
+                              commitTsMicros: Option[Long] = None): Int = {
+    val spark = df.sparkSession
+    var v = 0
+    while (v == 0) {
+      val next = (snapshotVersions(spark, tableDir) ++
+        claimedVersions(spark, tableDir) ++
+        snapshotCommitted(spark, tableDir).toSeq).foldLeft(0)(math.max) + 1
+      if (claimVersion(spark, tableDir, next)) v = next
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$v")
+    commitPointerCas(spark, tableDir, v, commitTsMicros)
+    v
+  }
+
+  /** The repair-loop commit of [[writeSnapshotConcurrent]] (move 2). */
+  private def commitPointerCas(spark: SparkSession, tableDir: String,
+                               version: Int, tsMicros: Option[Long]): Unit = {
+    writeCommitRecord(spark, tableDir, version, tsMicros)
+    var done = false
+    while (!done) {
+      val cur = snapshotCommitted(spark, tableDir).getOrElse(0)
+      val target = recordedCommits(spark, tableDir).foldLeft(version)(math.max)
+      if (cur >= target) done = true
+      else
+        // a concurrent swap can make this attempt fail (local-FS rename is
+        // not atomic cross-process); the loop's re-check IS the retry —
+        // convergence only needs SOME writer's swap to land
+        try swapPointer(spark, tableDir, target)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Version folders present on disk (committed or orphaned), ascending.

@@ -325,4 +325,77 @@ class SinksSpec extends AnyFunSuite {
     assert(got == Seq(1L -> "removed", 3L -> "changed", 4L -> "changed",
       5L -> "added"))
   }
+
+  test("writeSnapshotConcurrent: racing writers get distinct contiguous versions, pointer converges") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/cas_tbl"
+    val writers = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val results = new Array[Int](writers)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = (0 until writers).map { i =>
+      new Thread(() => {
+        try {
+          val df = Seq.tabulate(10)(j => (i.toLong, j.toLong)).toDF("writer", "n")
+          barrier.await()
+          results(i) = Sinks.writeSnapshotConcurrent(df, dir, Some(1000L * (i + 1)))
+        } catch { case t: Throwable => errors.add(t): Unit }
+      })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errors.isEmpty, errors.toString)
+    // every writer won a DISTINCT version and the sequence is contiguous —
+    // the claim CAS serialized allocation (losers retried cleanly)
+    assert(results.sorted.toSeq == (1 to writers).toSeq, results.toSeq.toString)
+    // the pointer converged to the newest recorded commit, no demotion
+    assert(Sinks.snapshotCommitted(spark, dir).contains(writers))
+    // each version holds exactly ONE writer's rows — no folder was shared
+    (1 to writers).foreach { v =>
+      val w = Sinks.readSnapshot(spark, dir, Some(v))
+        .select("writer").distinct().collect().map(_.getLong(0))
+      assert(w.length == 1, s"v=$v holds writers ${w.toSeq}")
+      assert(results(w.head.toInt) == v)
+      assert(Sinks.readSnapshot(spark, dir, Some(v)).count() == 10)
+    }
+    // unpinned read serves the pointer's version
+    assert(Sinks.readSnapshot(spark, dir, None).count() == 10)
+    // commit records exist for every version (TIMESTAMP AS OF stays whole)
+    assert(Sinks.snapshotCommitTimes(spark, dir).keySet == (1 to writers).toSet)
+    // a later sequential write continues the contiguous sequence
+    val v5 = Sinks.writeSnapshotConcurrent(
+      Seq((9L, 9L)).toDF("writer", "n"), dir, Some(99000L))
+    assert(v5 == writers + 1)
+    assert(Sinks.snapshotCommitted(spark, dir).contains(writers + 1))
+    s.close()
+  }
+
+  test("writeSnapshotConcurrent repair: a stalled older writer cannot demote a newer commit") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/cas_repair"
+    // writer A claims+records v=1 but "stalls" before any pointer movement:
+    // simulate by landing data + record through the private path pieces —
+    // here simply commit v=1 fully, then hand-demote the pointer to mimic
+    // the lost-update interleaving (rename is last-writer-wins), and prove
+    // the next concurrent commit repairs past it
+    assert(Sinks.writeSnapshotConcurrent(
+      Seq((1L, 1L)).toDF("writer", "n"), dir, Some(1000L)) == 1)
+    assert(Sinks.writeSnapshotConcurrent(
+      Seq((2L, 2L)).toDF("writer", "n"), dir, Some(2000L)) == 2)
+    // demote the pointer by hand (the transient state a slow writer's
+    // blind rename would leave) — through the Hadoop FS API so the
+    // checksum sidecar stays consistent
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_latest"), true)
+    out.write("1".getBytes("UTF-8")); out.close()
+    assert(Sinks.snapshotCommitted(spark, dir).contains(1))
+    // the next commit's repair loop must land the pointer at the MAX
+    // recorded commit, not merely its own version
+    assert(Sinks.writeSnapshotConcurrent(
+      Seq((3L, 3L)).toDF("writer", "n"), dir, Some(3000L)) == 3)
+    assert(Sinks.snapshotCommitted(spark, dir).contains(3))
+    s.close()
+  }
 }
