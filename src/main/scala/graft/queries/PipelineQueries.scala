@@ -4567,6 +4567,42 @@ object PipelineQueries {
       s.table(s"$cat.redact_docs")
         .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
         .orderBy("doc_id")
+    },
+
+    // ---- catalog schema evolution: ALTER TABLE RENAME COLUMN ---------------
+    // The other metadata-only DDL (q190 is ADD COLUMN): catalog-created
+    // tables stamp `parquet.field.id` on every column at CREATE, so RENAME
+    // COLUMN only rewrites the schema sidecar — Spark's parquet reader
+    // matches columns BY ID when the requested schema carries ids, which
+    // makes files written under the OLD name resolve under the new one
+    // while post-rename INSERTs carry it physically (same id, new name).
+    // At 100 TB this is the only acceptable rename: a rewriting one is a
+    // full-corpus write for a label change. The oracle replays the
+    // composition (old half under the renamed label, new half computed);
+    // a read path that null-filled the renamed column instead of
+    // id-resolving would zero `body_chars` and break the hash.
+    Q("q214_catalog_rename_column",
+      """SELECT doc_id, lang, n_chars AS body_chars, 0 AS post_rename
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000000, 1
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog"): Unit
+      s.sql(s"DROP TABLE IF EXISTS $cat.renaming_docs")
+      s.sql(s"""CREATE TABLE $cat.renaming_docs AS
+               |SELECT doc_id, lang, n_chars, 0 AS post_rename
+               |FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.renaming_docs RENAME COLUMN n_chars TO body_chars")
+      s.sql(s"""INSERT INTO $cat.renaming_docs
+               |SELECT doc_id, lang, n_chars + 1000000 AS body_chars, 1
+               |FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 2 = 1""".stripMargin)
+      s.table(s"$cat.renaming_docs")
+        .select(col("doc_id"), col("lang"), col("body_chars"), col("post_rename"))
+        .orderBy("doc_id")
     }
   )
 }

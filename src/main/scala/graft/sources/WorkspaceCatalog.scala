@@ -144,11 +144,30 @@ class WorkspaceCatalog extends TableCatalog {
   private def tablePath(name: String) =
     new org.apache.hadoop.fs.Path(s"$workspace/$name.parquet")
 
+  /** Assign `parquet.field.id` 1..n when the declared schema carries none —
+    * the Iceberg-style identity that makes RENAME COLUMN metadata-only:
+    * Spark's parquet reader matches columns by ID when the requested schema
+    * has them, so files written under an old name keep resolving. Stamped
+    * at CREATE so EVERY data file of a catalog-created table carries ids
+    * (the write side honors field-id metadata by default); schemas that
+    * already carry ids are left untouched. */
+  private def stampFieldIds(schema: StructType): StructType =
+    if (schema.fields.exists(_.metadata.contains("parquet.field.id"))) schema
+    else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", i + 1L).build())
+    })
+
+  private def isIdStamped(schema: StructType): Boolean =
+    schema.fields.nonEmpty &&
+      schema.fields.forall(_.metadata.contains("parquet.field.id"))
+
   /** CREATE TABLE: place `<workspace>/<name>.parquet` and seed it with an
     * empty parquet file carrying the declared schema, so the table survives
     * a session restart (schema lives in the parquet footer, not in catalog
     * memory) and an immediate read returns zero rows rather than a
-    * schema-inference failure. CTAS appends its query result right after. */
+    * schema-inference failure. CTAS appends its query result right after.
+    * The declared schema is field-id-stamped (see [[stampFieldIds]]). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -158,12 +177,17 @@ class WorkspaceCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace() :+ ident.name())
     val spark = SparkSession.active
+    val stamped = stampFieldIds(schema)
     // seed an empty schema-bearing parquet (plain spark.read.parquet on the
     // dir works before the first INSERT) AND the sidecar (survives the
-    // truncate that removes every file in the dir — see sidecar scaladoc)
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.mode("overwrite").parquet(tablePath(ident.name()).toString)
-    writeSidecar(ident.name(), schema)
+    // truncate that removes every file in the dir — see sidecar scaladoc).
+    // The write option pins id-writing on even if the session disabled it —
+    // an id-stamped table with id-less files would fail id-reads loudly.
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stamped)
+      .write.mode("overwrite")
+      .option("spark.sql.parquet.fieldId.write.enabled", "true")
+      .parquet(tablePath(ident.name()).toString)
+    writeSidecar(ident.name(), stamped)
     loadTable(ident)
   }
 
@@ -236,11 +260,44 @@ class WorkspaceCatalog extends TableCatalog {
         val name = add.fieldNames()(0)
         if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(s"column $name already exists in ${ident.name()}")
-        schema.add(org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true))
+        val meta =
+          if (!isIdStamped(schema)) org.apache.spark.sql.types.Metadata.empty
+          else {
+            // keep the id sequence whole: new column = max(id) + 1, never a
+            // reused id (a reused id would resolve OLD bytes as the new column)
+            val next = schema.fields
+              .map(_.metadata.getLong("parquet.field.id")).max + 1L
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", next).build()
+          }
+        schema.add(org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true, meta))
+      case (schema, ren: TableChange.RenameColumn) =>
+        // METADATA-ONLY rename, safe under parquet field ids: the reader
+        // matches columns by id, so files written under the old name keep
+        // resolving and files written after carry the new name — no byte
+        // on disk is reinterpreted. Requires an id-stamped table (anything
+        // this catalog created); id-less tables get the CTAS guidance.
+        require(ren.fieldNames().length == 1,
+          "workspace tables are flat; nested RENAME COLUMN is not supported")
+        if (!isIdStamped(schema))
+          throw new UnsupportedOperationException(
+            s"RENAME COLUMN needs parquet field ids on ${ident.name()} " +
+              "(tables created by this catalog carry them); rewrite via CREATE TABLE ... AS")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        if (!schema.fieldNames.exists(_.equalsIgnoreCase(from)))
+          throw new IllegalArgumentException(s"no column $from in ${ident.name()}")
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(to)))
+          throw new IllegalArgumentException(s"column $to already exists in ${ident.name()}")
+        StructType(schema.fields.map { f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f
+        })
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"workspace tables support ALTER TABLE ADD COLUMN only (got ${other.getClass.getSimpleName}); " +
-            "drop/rename/retype would reinterpret bytes already on disk — rewrite via CREATE TABLE ... AS")
+          s"workspace tables support ALTER TABLE ADD COLUMN and RENAME COLUMN only " +
+            s"(got ${other.getClass.getSimpleName}); " +
+            "drop/retype would reinterpret bytes already on disk — rewrite via CREATE TABLE ... AS")
     }
     writeSidecar(actual, evolved)
     loadTable(ident)

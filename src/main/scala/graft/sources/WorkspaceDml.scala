@@ -76,6 +76,40 @@ private[sources] object WorkspaceDml {
       case _ => None
     }
   }
+
+  /** Copy `parquet.field.id` metadata from the DECLARED schema onto the
+    * write schema (matched by case-insensitive name). V2 writes (CTAS
+    * append, the COW ReplaceData write) carry the QUERY's attributes, whose
+    * metadata is whatever the query produced — usually nothing — while an
+    * id-stamped table needs EVERY data file to carry ids (an id-less file
+    * under an id-requesting read schema fails loudly by design). */
+  def mergeFieldIds(query: StructType, declared: Option[StructType]): StructType =
+    declared match {
+      case Some(d) if d.fields.exists(_.metadata.contains("parquet.field.id")) =>
+        val byName = d.fields.map(f => f.name.toLowerCase -> f).toMap
+        StructType(query.fields.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(df) if df.metadata.contains("parquet.field.id") &&
+                !f.metadata.contains("parquet.field.id") =>
+              f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("parquet.field.id",
+                  df.metadata.getLong("parquet.field.id")).build())
+            case _ => f
+          }
+        })
+      case _ => query
+    }
+
+  /** [[LogicalWriteInfo]] with a substituted schema (see [[mergeFieldIds]]). */
+  def withSchema(info: LogicalWriteInfo, s: StructType): LogicalWriteInfo =
+    new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = info.options()
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = s
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+    }
 }
 
 /** The [[WorkspaceCatalog]] table: Spark's own `ParquetTable` (every DSv2
@@ -91,6 +125,29 @@ private[sources] class GraftWorkspaceTable(
 
   private def fsOf(p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private[sources] def declaredSchema: Option[StructType] = declared
+
+  /** Field-id reads ride EVERY scan of a workspace table: catalog-created
+    * tables are id-stamped (WorkspaceCatalog.stampFieldIds), which makes
+    * RENAME COLUMN metadata-only — the parquet reader matches columns by id
+    * when the requested schema carries ids, so files written under an old
+    * name still resolve. The option merges into the scan's hadoop conf
+    * (never the session); id-less tables (fixtures) are untouched because
+    * id-matching only engages when the requested schema has ids. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap):
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.put("spark.sql.parquet.fieldId.read.enabled", "true"): Unit
+    super.newScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+
+  /** V2 writes (the CTAS append) carry the query's metadata-less schema —
+    * re-stamp the declared field ids so every file of an id-stamped table
+    * carries them (see [[WorkspaceDml.mergeFieldIds]]). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    super.newWriteBuilder(WorkspaceDml.withSchema(info,
+      WorkspaceDml.mergeFieldIds(info.schema(), declared)))
 
   /** Fresh staging directory INSIDE the workspace (same filesystem, so the
     * commit swap is two renames, never a copy). The name is dot-prefixed
@@ -140,10 +197,22 @@ private[sources] class GraftWorkspaceTable(
     val remaining = declared.map(s => spark.read.schema(s)).getOrElse(spark.read)
       .parquet(dir).filter(!coalesce(cond, lit(false)))
     val staging = stagingPath()
+    // field-id reads for renamed columns: DataFrameReader OPTIONS are
+    // case-insensitively lowercased and never match this SQLConf key, so
+    // scope the session conf around the job instead (it is read at
+    // execution time) — the V2 scan path injects it per-scan, but this
+    // read is the V1 DataFrameReader
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
     try {
       remaining.write.parquet(staging.toString)
       swapIn(staging)
     } catch { case t: Throwable => dropStaging(staging); throw t }
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   // ---- group-based COW (UPDATE / MERGE / non-translatable DELETE) ---------
@@ -183,11 +252,15 @@ private[sources] class WorkspaceCowOperation(
         override def description(): String = s"graft workspace COW $cmd write"
         override def toBatch: BatchWrite = {
           val staging = table.stagingPath()
+          // re-stamp declared field ids: the COW rewrite's row schema comes
+          // from the query plan and may have shed the id metadata
+          val stamped = WorkspaceDml.mergeFieldIds(info.schema(), table.declaredSchema)
           val stagingTable = ParquetTable(
             table.name + "__cow", SparkSession.active,
             CaseInsensitiveStringMap.empty(), Seq(staging.toString),
-            Some(info.schema()), classOf[ParquetFileFormat])
-          val inner = stagingTable.newWriteBuilder(info).build().toBatch
+            Some(stamped), classOf[ParquetFileFormat])
+          val inner = stagingTable
+            .newWriteBuilder(WorkspaceDml.withSchema(info, stamped)).build().toBatch
           new BatchWrite {
             override def createBatchWriterFactory(
                 p: PhysicalWriteInfo): DataWriterFactory =

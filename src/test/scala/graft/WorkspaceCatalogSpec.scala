@@ -228,6 +228,48 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
       .filter("n_nationkey = 0").first().getInt(2).toLong)
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only via parquet field ids, old files resolve") {
+    val (scratch, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.rn AS SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name " +
+      s"FROM parquet.`$sf/nation.parquet` WHERE n_nationkey < 5")
+    def files() = Option(new java.io.File(s"${scratch.dir}/rn.parquet").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val before = files()
+    spark.sql(s"ALTER TABLE $cat.rn RENAME COLUMN name TO nation_name")
+    assert(files() == before, "RENAME COLUMN must not rewrite data files")
+    // files written under the OLD name resolve by field id under the new one
+    val got = spark.sql(s"SELECT k, nation_name FROM $cat.rn ORDER BY k").collect()
+    assert(got.length == 5)
+    assert(got.forall(r => !r.isNullAt(1)), "old-footer columns must resolve, not null-fill")
+    assert(got.head.getString(1) == spark.read.parquet(s"$sf/nation.parquet")
+      .filter("n_nationkey = 0").first().getString(1))
+    // inserts under the new name land physically with the same field id
+    spark.sql(s"INSERT INTO $cat.rn VALUES (99, 'NEWLAND')")
+    val all = spark.sql(s"SELECT k, nation_name FROM $cat.rn ORDER BY k").collect()
+    assert(all.length == 6 && all.last.getString(1) == "NEWLAND")
+    // row-level DML keeps resolving mixed-name files after the rename
+    spark.sql(s"DELETE FROM $cat.rn WHERE k = 0")
+    spark.sql(s"UPDATE $cat.rn SET nation_name = concat(nation_name, '?') WHERE k = 1")
+    val after = spark.sql(s"SELECT k, nation_name FROM $cat.rn ORDER BY k").collect()
+    assert(after.length == 5 && after.head.getLong(0) == 1L)
+    assert(after.head.getString(1).endsWith("?"))
+    assert(!after(1).getString(1).endsWith("?"))
+    assert(after.forall(r => !r.isNullAt(1)))
+    // a second evolution round: ADD COLUMN takes max(id)+1, then renames too
+    spark.sql(s"ALTER TABLE $cat.rn ADD COLUMN extra STRING")
+    spark.sql(s"ALTER TABLE $cat.rn RENAME COLUMN extra TO note")
+    assert(spark.table(s"$cat.rn").schema.fieldNames.toSeq ==
+      Seq("k", "nation_name", "note"))
+    // guardrails
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.rn RENAME COLUMN note TO nation_name")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.rn RENAME COLUMN missing TO x")
+    }
+  }
+
   test("DML leaves no staging debris and the sidecar-declared schema survives a DELETE") {
     val (scratch, cat) = dmlWorkspace()
     spark.sql(s"CREATE TABLE $cat.t AS SELECT n_nationkey AS k FROM parquet.`$sf/nation.parquet`")
