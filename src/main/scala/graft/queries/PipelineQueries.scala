@@ -4603,6 +4603,86 @@ object PipelineQueries {
       s.table(s"$cat.renaming_docs")
         .select(col("doc_id"), col("lang"), col("body_chars"), col("post_rename"))
         .orderBy("doc_id")
+    },
+
+    // ---- streaming: CDC upsert sink through SQL MERGE ----------------------
+    // The FOURTEENTH true streaming execution, and the one every lakehouse
+    // runs in production: a changelog stream lands via foreachBatch, each
+    // micro-batch compacts to its newest row per key and MERGEs into the
+    // catalog table with a newer-wins residual (Streams.runMergeSink —
+    // replay-idempotent by construction: a re-merged duplicate fails the
+    // strict residual). Two AvailableNow runs against ONE checkpoint with a
+    // file landed between them prove the state table carries across a
+    // restart and that batch order is pinned (the q199 landing discipline).
+    // Tombstones ride as state rows and hide at read time. The oracle is
+    // q108's full-log snapshot — streaming incremental MERGE must equal the
+    // batch recompute row for row.
+    Q("q215_streaming_merge_sink", {
+      val base = "(SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, value FROM events)"
+      val snap = EventOps.latestSnapshotSql(base, "user_id", "ts", "event_id",
+        "event_type", "error")
+      s"""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+         |  event_type AS last_type, value AS last_value
+         |FROM ($snap) ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog"): Unit
+      s.sql(s"DROP TABLE IF EXISTS $cat.stream_state")
+      s.sql(s"""CREATE TABLE $cat.stream_state
+               |(user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
+               | event_type STRING, value DOUBLE)""".stripMargin)
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/merge_src"
+      val chk = s"${scratch.dir}/chk215"
+      val ev = Tables.load(s, dir, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+      val mid = ev.agg(max(col("event_id"))).first().getLong(0) / 2
+      for (i <- 1 to 2) {
+        Streams.landFile(
+          if (i == 1) ev.filter(col("event_id") <= mid)
+          else ev.filter(col("event_id") > mid), src, s"b$i")
+        val schema = s.read.parquet(src).schema
+        Streams.runMergeSink(s, chk, s"$cat.stream_state",
+          "user_id", "ts", "event_id") {
+          s.readStream.schema(schema).parquet(src)
+        }
+      }
+      s.table(s"$cat.stream_state")
+        .filter(col("event_type") =!= "error") // tombstoned keys stay hidden
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // ---- lakehouse: SQL MERGE mirror sync (NOT MATCHED BY SOURCE) ----------
+    // The full-sync shape a reference-data mirror needs: ONE MERGE makes the
+    // target exactly equal the source — matched rows update, new rows
+    // insert, and rows the source no longer has are DELETED by the
+    // `WHEN NOT MATCHED BY SOURCE` clause (the third merge direction q212
+    // doesn't exercise). The oracle IS the desired state, so any
+    // non-convergence — a stale survivor, a lost update, an over-delete —
+    // breaks the hash.
+    Q("q216_sql_mirror_sync",
+      """SELECT doc_id, n_chars + 1 AS n FROM documents
+        |WHERE doc_id % 3 <> 2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog"): Unit
+      s.sql(s"DROP TABLE IF EXISTS $cat.mirror_docs")
+      s.sql(s"""CREATE TABLE $cat.mirror_docs AS
+               |SELECT doc_id, n_chars AS n
+               |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 = 0""".stripMargin)
+      s.sql(s"""SELECT doc_id, n_chars + 1 AS n
+               |FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 <> 2""".stripMargin)
+        .createOrReplaceTempView("mirror_desired")
+      s.sql(
+        s"""MERGE INTO $cat.mirror_docs t USING mirror_desired s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET n = s.n
+           |WHEN NOT MATCHED THEN INSERT (doc_id, n) VALUES (s.doc_id, s.n)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE
+           |""".stripMargin)
+      s.table(s"$cat.mirror_docs").select(col("doc_id"), col("n")).orderBy("doc_id")
     }
   )
 }

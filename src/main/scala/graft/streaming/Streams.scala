@@ -118,6 +118,59 @@ object Streams {
     (s.read.parquet(sink), progress)
   }
 
+  /** Streaming CDC upsert through SQL MERGE — the foreachBatch sink pattern
+    * every lakehouse uses: each micro-batch first COMPACTS to its newest
+    * row per key (one keyed window over batch-sized input — the batch is
+    * the bounded thing here, never the table), then ONE `MERGE INTO`
+    * lands it with a newer-wins residual on the match, so a replayed
+    * micro-batch (crash between sink write and checkpoint commit) merges
+    * idempotently: re-merging rows the table already holds matches
+    * `s.ts = t.ts AND s.tie = t.tie`, which the strict residual rejects.
+    * Tombstone rows are RETAINED as state (a newer-but-older-ts update
+    * must lose to them); readers filter them out.
+    *
+    * The target here is a flat workspace table, so each MERGE is a
+    * whole-table copy-on-write ([[graft.sources.WorkspaceDml]] scaladoc) —
+    * right for a compacted state table that FITS its directory; a 100 TB
+    * hot-upsert sink wants a partitioned/log-structured target under the
+    * SAME foreachBatch+compact+MERGE pattern. */
+  def runMergeSink(s: SparkSession, chk: String, target: String,
+                   keyCol: String, tsCol: String, tieCol: String,
+                   statePartitions: Int = 8)(build: => DataFrame): Unit = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.getOption(partsKey)
+    s.conf.set(partsKey, statePartitions.toString)
+    try {
+      val query = build.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          import org.apache.spark.sql.expressions.Window
+          val compact = batch.withColumn("__rn", row_number().over(
+              Window.partitionBy(col(keyCol))
+                .orderBy(col(tsCol).desc, col(tieCol).desc)))
+            .filter(col("__rn") === 1).drop("__rn")
+          val view = s"__graft_merge_batch_$batchId"
+          compact.createOrReplaceTempView(view)
+          val setClause = compact.columns.filter(_ != keyCol)
+            .map(c => s"$c = s.$c").mkString(", ")
+          batch.sparkSession.sql(
+            s"""MERGE INTO $target t USING $view s ON t.$keyCol = s.$keyCol
+               |WHEN MATCHED AND (s.$tsCol > t.$tsCol
+               |  OR (s.$tsCol = t.$tsCol AND s.$tieCol > t.$tieCol))
+               |  THEN UPDATE SET $setClause
+               |WHEN NOT MATCHED THEN INSERT *
+               |""".stripMargin): Unit
+        }
+        .start()
+      query.awaitTermination()
+    } finally partsPrev match {
+      case Some(v) => s.conf.set(partsKey, v)
+      case None => s.conf.unset(partsKey)
+    }
+  }
+
   /** Land `df` as a single named parquet file inside the directory a file
     * stream is watching. Written to a side dir first, then MOVED in — the
     * source never observes a half-written file, and landing between two

@@ -228,6 +228,71 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
       .filter("n_nationkey = 0").first().getInt(2).toLong)
   }
 
+  test("SQL MERGE mirror-sync: NOT MATCHED BY SOURCE DELETE converges target to source") {
+    val (_, cat) = dmlWorkspace()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.mirror AS SELECT CAST(n_nationkey AS BIGINT) AS k, " +
+      s"CAST(n_regionkey AS BIGINT) AS v FROM parquet.`$sf/nation.parquet` WHERE n_nationkey < 15")
+    // desired state: keys 5..19, values shifted — target must converge exactly
+    spark.read.parquet(s"$sf/nation.parquet")
+      .filter("n_nationkey >= 5 AND n_nationkey < 20")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "CAST(n_regionkey + 50 AS BIGINT) AS v")
+      .createOrReplaceTempView("mirror_src")
+    spark.sql(
+      s"""MERGE INTO $cat.mirror t USING mirror_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $cat.mirror ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val want = spark.table("mirror_src").orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == want, s"target did not converge:\n got=$got\nwant=$want")
+  }
+
+  test("COW rewrite scan refuses pushdown: replaced-table query reads every surviving row") {
+    // THE data-loss guard: the whole-directory replace write makes any
+    // scan-side pruning under the pushed command condition a correctness
+    // bug (a skipped row group's rows would vanish), so the row-level
+    // operation's scan must show an EMPTY PushedFilters even for a
+    // trivially translatable predicate
+    val (_, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.guard AS SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name " +
+      s"FROM parquet.`$sf/nation.parquet`")
+    // the DML plans through the group-based rewrite (not a pushed delete)
+    val plan = spark.sql(
+      s"EXPLAIN FORMATTED UPDATE $cat.guard SET name = 'x' WHERE k = 3")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("ReplaceData"), plan)
+    plan.linesIterator.filter(_.contains("PushedFilters")).foreach(l =>
+      assert(l.contains("PushedFilters: []"),
+        s"COW scan pushed a filter — data-loss hazard:\n$l"))
+    // structural guard: the operation's scan builder must implement NO
+    // pushdown trait (filters, v2 predicates, column pruning, runtime
+    // filtering) and must read the FULL table schema — any of those under
+    // a whole-directory replace silently drops rows
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRowLevelOperations, TableCatalog}
+    import org.apache.spark.sql.connector.read.{SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsRuntimeV2Filtering}
+    import org.apache.spark.sql.connector.write.{RowLevelOperation, RowLevelOperationInfo}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val tbl = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array.empty, "guard"))
+      .asInstanceOf[SupportsRowLevelOperations]
+    val op = tbl.newRowLevelOperationBuilder(new RowLevelOperationInfo {
+      override def options(): CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+      override def command(): RowLevelOperation.Command = RowLevelOperation.Command.UPDATE
+    }).build()
+    val sb = op.newScanBuilder(CaseInsensitiveStringMap.empty())
+    assert(!sb.isInstanceOf[SupportsPushDownFilters], "COW scan accepts V1 filter pushdown")
+    assert(!sb.isInstanceOf[SupportsPushDownV2Filters], "COW scan accepts V2 filter pushdown")
+    assert(!sb.isInstanceOf[SupportsPushDownRequiredColumns], "COW scan accepts column pruning")
+    assert(!sb.isInstanceOf[SupportsRuntimeV2Filtering], "COW scan accepts runtime filtering")
+    assert(sb.build().readSchema().fieldNames.toSeq == Seq("k", "name"),
+      "COW scan must read the full table schema")
+  }
+
   test("ALTER TABLE RENAME COLUMN: metadata-only via parquet field ids, old files resolve") {
     val (scratch, cat) = dmlWorkspace()
     spark.sql(s"CREATE TABLE $cat.rn AS SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name " +
