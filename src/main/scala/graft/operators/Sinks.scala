@@ -419,6 +419,32 @@ object Sinks {
     v
   }
 
+  /** Publish an ALREADY-STAGED data folder as the next snapshot version —
+    * the commit half of [[writeSnapshotConcurrent]] for callers that stage
+    * rows first (the snapshot catalog's SQL DML lands its copy-on-write
+    * output in a staging dir, then publishes): claim the next version
+    * (same CAS), ONE same-filesystem rename of the staged folder into
+    * `v=N`, then the repair-loop pointer commit. A crash after the rename
+    * but before the record leaves an unrecorded orphan that never
+    * resolves — identical to a [[writeSnapshot]] crash. */
+  def publishStagedSnapshot(spark: SparkSession, tableDir: String,
+                            staged: org.apache.hadoop.fs.Path,
+                            tsMicros: Option[Long] = None): Int = {
+    var v = 0
+    while (v == 0) {
+      val next = (snapshotVersions(spark, tableDir) ++
+        claimedVersions(spark, tableDir) ++
+        snapshotCommitted(spark, tableDir).toSeq).foldLeft(0)(math.max) + 1
+      if (claimVersion(spark, tableDir, next)) v = next
+    }
+    val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
+    val f = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.rename(staged, dest))
+      throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
+    commitPointerCas(spark, tableDir, v, tsMicros)
+    v
+  }
+
   /** The repair-loop commit of [[writeSnapshotConcurrent]] (move 2). */
   private def commitPointerCas(spark: SparkSession, tableDir: String,
                                version: Int, tsMicros: Option[Long]): Unit = {

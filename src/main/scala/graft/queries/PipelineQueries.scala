@@ -157,6 +157,7 @@ object PipelineQueries {
     * catalog workspace registers once per JVM, so per-dir names are what
     * keep a later run against a different sfDir from reading the first
     * dir's immutable v=1 (see the Q(q187) scaladoc). */
+  private val TakedownSeq = new java.util.concurrent.atomic.AtomicLong()
   private[queries] def snapTableFor(dir: String): String =
     "docsnap_" + java.lang.Long.toHexString(
       new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL)
@@ -4683,6 +4684,43 @@ object PipelineQueries {
            |WHEN NOT MATCHED BY SOURCE THEN DELETE
            |""".stripMargin)
       s.table(s"$cat.mirror_docs").select(col("doc_id"), col("n")).orderBy("doc_id")
+    },
+
+    // ---- lakehouse: versioned takedown with a pinned audit trail -----------
+    // The full compliance composition the r11 verdict asked for: DELETE runs
+    // against the SNAPSHOT catalog, where DML never touches the version
+    // being read — the COW output publishes as a NEW immutable version
+    // (SnapshotDmlTable → Sinks.publishStagedSnapshot: claim CAS + rename +
+    // repair-loop pointer commit). The audit is then a fact, not a log
+    // line: snapshotDiff(v1, v2) IS exactly the removal set (over- or
+    // under-deletion breaks the hash), and v1 re-read AFTER the delete
+    // (`VERSION AS OF 1`, the n_v1 column) proves history stayed pinned —
+    // the reproducibility handle a training run stores keeps meaning what
+    // it meant. Table name is per-(fixture, invocation): the snapshot store
+    // is append-only, so rerun-safety means a fresh lineage each run.
+    Q("q217_versioned_takedown",
+      """SELECT d.doc_id, 'removed' AS change, d.source,
+        |  (SELECT COUNT(*) FROM documents) AS n_v1,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 1) AS n_v2
+        |FROM documents d WHERE d.doc_id % 7 = 1 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "takedown_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Sinks.writeSnapshot(docs, s"$ws/$tbl")
+      // % is not a V1 source filter — the DELETE takes the COW rewrite and
+      // publishes v=2; v=1 is never opened for write
+      s.sql(s"DELETE FROM $cat.$tbl WHERE doc_id % 7 = 1")
+      val nV1 = s.sql(s"SELECT COUNT(*) AS n FROM $cat.$tbl VERSION AS OF 1")
+        .first().getLong(0)
+      val nV2 = s.sql(s"SELECT COUNT(*) AS n FROM $cat.$tbl").first().getLong(0)
+      Sinks.snapshotDiff(s, s"$ws/$tbl", 1, 2, Seq("doc_id"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("change"), col("source"),
+          lit(nV1).as("n_v1"), lit(nV2).as("n_v2"))
+        .orderBy("doc_id")
     }
   )
 }

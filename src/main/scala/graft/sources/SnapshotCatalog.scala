@@ -89,7 +89,17 @@ class SnapshotCatalog extends TableCatalog {
     val committed = graft.operators.Sinks
       .snapshotCommitted(SparkSession.active, s"$workspace/$t")
       .getOrElse(throw new IllegalStateException(s"no committed snapshot for $t"))
-    serve(t, committed)
+    // the UNPINNED table is DML-capable: DELETE/UPDATE/MERGE publish a NEW
+    // immutable version through the claim-CAS protocol — the version being
+    // read is never touched (see [[SnapshotDmlTable]]). Pinned reads
+    // (VERSION/TIMESTAMP AS OF via serve()) stay read-only.
+    val vDir = s"$workspace/$t/v=$committed"
+    val vPath = new org.apache.hadoop.fs.Path(vDir)
+    if (!fs(vPath).exists(vPath))
+      throw new IllegalStateException(
+        s"committed snapshot v=$committed missing under $t")
+    new SnapshotDmlTable(s"$t@v$committed", SparkSession.active,
+      s"$workspace/$t", vDir)
   }
 
   /** SQL `VERSION AS OF <v>`. `toIntOption`, not digits-then-`toInt`: an

@@ -220,43 +220,55 @@ private[sources] class GraftWorkspaceTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
-        new WorkspaceCowOperation(GraftWorkspaceTable.this, info.command())
+      override def build(): RowLevelOperation = new CowOperation(
+        opts => GraftWorkspaceTable.this.newScanBuilder(opts),
+        declared, info.command(), s"${tableName}__cow",
+        () => stagingPath(), swapIn, dropStaging)
     }
 }
 
-/** Whole-table group-based copy-on-write operation (see [[WorkspaceDml]]). */
-private[sources] class WorkspaceCowOperation(
-    table: GraftWorkspaceTable, cmd: Command) extends RowLevelOperation {
+/** Whole-group copy-on-write operation (see [[WorkspaceDml]]), shared by
+  * the workspace catalog (the one group = the table directory, publish =
+  * directory swap) and the snapshot catalog (publish = NEW immutable
+  * version + pointer commit — old versions stay readable). Parametrized by
+  * the full scan, the staging allocator, and the publish/discard moves. */
+private[sources] class CowOperation(
+    scanOf: CaseInsensitiveStringMap => ScanBuilder,
+    declared: Option[StructType],
+    cmd: Command,
+    label: String,
+    stage: () => Path,
+    publish: Path => Unit,
+    discard: Path => Unit) extends RowLevelOperation {
 
   override def command(): Command = cmd
-  override def description(): String = s"graft workspace COW $cmd"
+  override def description(): String = s"graft COW $cmd ($label)"
 
   /** FULL-table scan: a bare builder that implements NO pushdown trait, so
     * Spark keeps every predicate in the plan and the replacement query
     * sees every surviving row (inexact parquet row-group pruning under the
     * pushed command condition would DROP rows of skipped groups — the
-    * whole-directory replace makes any scan-side pruning a data-loss bug,
+    * whole-group replace makes any scan-side pruning a data-loss bug,
     * not an optimization). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        table.newScanBuilder(options).build()
+        scanOf(options).build()
     }
 
   /** Write = parquet batch write into a staging dir (Spark's own
-    * vectorized writer, full task parallelism), job-commit = swap. */
+    * vectorized writer, full task parallelism), job-commit = publish. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def description(): String = s"graft workspace COW $cmd write"
+        override def description(): String = s"graft COW $cmd write ($label)"
         override def toBatch: BatchWrite = {
-          val staging = table.stagingPath()
+          val staging = stage()
           // re-stamp declared field ids: the COW rewrite's row schema comes
           // from the query plan and may have shed the id metadata
-          val stamped = WorkspaceDml.mergeFieldIds(info.schema(), table.declaredSchema)
+          val stamped = WorkspaceDml.mergeFieldIds(info.schema(), declared)
           val stagingTable = ParquetTable(
-            table.name + "__cow", SparkSession.active,
+            label, SparkSession.active,
             CaseInsensitiveStringMap.empty(), Seq(staging.toString),
             Some(stamped), classOf[ParquetFileFormat])
           val inner = stagingTable
@@ -270,13 +282,69 @@ private[sources] class WorkspaceCowOperation(
               inner.useCommitCoordinator()
             override def commit(msgs: Array[WriterCommitMessage]): Unit = {
               inner.commit(msgs)
-              table.swapIn(staging)
+              publish(staging)
             }
             override def abort(msgs: Array[WriterCommitMessage]): Unit =
-              try inner.abort(msgs) finally table.dropStaging(staging)
+              try inner.abort(msgs) finally discard(staging)
           }
         }
       }
+    }
+}
+
+/** The snapshot catalog's DML-capable table: the COMMITTED version served
+  * as a plain `ParquetTable`, plus row-level DML that publishes a NEW
+  * immutable version instead of touching the one being read —
+  * `DELETE FROM snap.t` / `UPDATE snap.t` / `MERGE INTO snap.t` each land
+  * their copy-on-write output in a staging folder and commit it through
+  * [[graft.operators.Sinks.publishStagedSnapshot]] (claim CAS + rename +
+  * repair-loop pointer commit). Consequences a takedown pipeline needs:
+  * the pre-DML version stays pinned-readable (`VERSION AS OF`), the diff
+  * between versions IS the audited change set, a crash mid-DML leaves an
+  * invisible orphan, and concurrent writers serialize on version claims.
+  * PINNED reads (`VERSION AS OF` / `TIMESTAMP AS OF`) stay read-only —
+  * rewriting history is not a thing. */
+private[sources] class SnapshotDmlTable(
+    tableName: String,
+    spark: SparkSession,
+    tableDir: String,
+    committedDir: String)
+  extends ParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(),
+    Seq(committedDir), None, classOf[ParquetFileFormat])
+  with SupportsDelete with SupportsRowLevelOperations {
+
+  private def stagingPath(): Path =
+    new Path(tableDir,
+      s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  private def discard(p: Path): Unit = {
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (f.exists(p)) f.delete(p, true): Unit
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(WorkspaceDml.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val cond = filters.flatMap(WorkspaceDml.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val remaining = spark.read.parquet(committedDir)
+      .filter(!coalesce(cond, lit(false)))
+    // one filtered scan straight into the publish protocol — the new
+    // version is data-complete before any pointer moves
+    graft.operators.Sinks.writeSnapshotConcurrent(remaining, tableDir): Unit
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new CowOperation(
+        opts => SnapshotDmlTable.this.newScanBuilder(opts),
+        None, info.command(), s"${tableName}__vdml",
+        () => stagingPath(),
+        staged => { graft.operators.Sinks
+          .publishStagedSnapshot(spark, tableDir, staged): Unit },
+        discard)
     }
 }
 

@@ -326,6 +326,50 @@ class SinksSpec extends AnyFunSuite {
       5L -> "added"))
   }
 
+  test("snapshot catalog DML: DELETE/UPDATE/MERGE publish new versions, history stays pinned") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    spark.conf.set("spark.sql.catalog.snapdml", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.snapdml.workspace", s.dir)
+    val dir = s"${s.dir}/vt"
+    Sinks.writeSnapshot(
+      Seq.tabulate(10)(i => (i.toLong, s"r$i", i.toLong * 10)).toDF("k", "name", "v"), dir)
+    // DELETE → v=2 (new version), v=1 untouched
+    spark.sql("DELETE FROM snapdml.vt WHERE k >= 7")
+    assert(Sinks.snapshotCommitted(spark, dir).contains(2))
+    assert(spark.sql("SELECT count(*) AS n FROM snapdml.vt").first().getLong(0) == 7)
+    assert(spark.sql("SELECT count(*) AS n FROM snapdml.vt VERSION AS OF 1")
+      .first().getLong(0) == 10, "pre-DML version must stay readable")
+    // UPDATE → v=3 via the COW rewrite
+    spark.sql("UPDATE snapdml.vt SET v = v + 1 WHERE k = 0")
+    assert(Sinks.snapshotCommitted(spark, dir).contains(3))
+    assert(spark.sql("SELECT v FROM snapdml.vt WHERE k = 0").first().getLong(0) == 1L)
+    assert(spark.sql("SELECT v FROM snapdml.vt VERSION AS OF 2 WHERE k = 0")
+      .first().getLong(0) == 0L)
+    // MERGE → v=4; the snapshot diff between v=3 and v=4 IS the change audit
+    Seq((0L, "r0", 99L), (50L, "new", 500L)).toDF("k", "name", "v")
+      .createOrReplaceTempView("vt_delta")
+    spark.sql(
+      """MERGE INTO snapdml.vt t USING vt_delta s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, name, v) VALUES (s.k, s.name, s.v)
+        |""".stripMargin)
+    assert(Sinks.snapshotCommitted(spark, dir).contains(4))
+    val diff = Sinks.snapshotDiff(spark, dir, 3, 4, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(diff == Set(0L -> "changed", 50L -> "added"), diff.toString)
+    // versions stayed contiguous, no DML left staging debris
+    assert(Sinks.snapshotVersions(spark, dir) == Seq(1, 2, 3, 4))
+    val debris = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".dml_staging_"))
+    assert(debris.isEmpty, debris.mkString(","))
+    // pinned tables are read-only: DML against VERSION AS OF has no path
+    intercept[Exception] {
+      spark.sql("DELETE FROM snapdml.vt VERSION AS OF 2 WHERE k = 0")
+    }
+    s.close()
+  }
+
   test("writeSnapshotConcurrent: racing writers get distinct contiguous versions, pointer converges") {
     import spark.implicits._
     val s = new graft.Session.Scratch
