@@ -597,6 +597,10 @@ object Sinks {
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_commits/v=$v"), false)
+      // concurrent writers' claim markers expire with their versions —
+      // re-allocation stays impossible (allocation maxes over folders,
+      // claims AND the pointer, and newer versions survive by contract)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"), false)
     }
     toDrop
   }

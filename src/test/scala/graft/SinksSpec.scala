@@ -411,6 +411,11 @@ class SinksSpec extends AnyFunSuite {
       Seq((9L, 9L)).toDF("writer", "n"), dir, Some(99000L))
     assert(v5 == writers + 1)
     assert(Sinks.snapshotCommitted(spark, dir).contains(writers + 1))
+    // expiry drops claim markers with their versions (no unbounded marker
+    // accumulation); surviving versions keep theirs
+    assert(Sinks.expireSnapshots(spark, dir, keep = 2) == (1 to writers - 1))
+    val claims = new java.io.File(s"$dir/_claims").listFiles().map(_.getName).toSet
+    assert(claims == Set(s"v=$writers", s"v=${writers + 1}"), claims.toString)
     s.close()
   }
 
