@@ -451,7 +451,16 @@ object Sinks {
     writeCommitRecord(spark, tableDir, version, tsMicros)
     var done = false
     while (!done) {
-      val cur = snapshotCommitted(spark, tableDir).getOrElse(0)
+      // the pointer READ shares the swap lock: on the local checksum
+      // filesystem a concurrent swap renames the data file and its .crc
+      // sidecar as TWO moves, and an unserialized read in that window
+      // throws ChecksumException (HDFS renames atomically — the lock only
+      // matters in-JVM). A torn read from a cross-process writer still
+      // surfaces as an exception → treated as "behind, retry".
+      val cur = PointerSwapLock.synchronized {
+        try snapshotCommitted(spark, tableDir).getOrElse(0)
+        catch { case scala.util.control.NonFatal(_) => -1 }
+      }
       val target = recordedCommits(spark, tableDir).foldLeft(version)(math.max)
       if (cur >= target) done = true
       else
@@ -603,6 +612,36 @@ object Sinks {
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"), false)
     }
     toDrop
+  }
+
+  /** Janitor for crashed-writer debris: version FOLDERS without a commit
+    * record never resolve (readers go through the pointer; TIMESTAMP AS OF
+    * through the records) but hold disk forever. An unrecorded folder is
+    * dropped only when OLDER than `graceMs` (folder modification time) —
+    * position relative to the pointer proves nothing about liveness: a
+    * slow concurrent writer can sit mid-write on a claimed version BELOW a
+    * faster writer's committed pointer, and deleting under it would let
+    * its later record resolve to missing data. The age discipline is the
+    * same one every object-store janitor needs; size `graceMs` well past
+    * the longest plausible write. Returns the dropped version numbers. */
+  def vacuumOrphans(spark: SparkSession, tableDir: String,
+                    graceMs: Long = 24L * 3600 * 1000): Seq[Int] = {
+    val recorded = recordedCommits(spark, tableDir).toSet
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val dropped = snapshotVersions(spark, tableDir)
+      .filterNot(recorded)
+      .filter { v =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"))
+        now - st.getModificationTime > graceMs
+      }
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"), false)
+    }
+    dropped
   }
 
   /** [[snapshotDiff]]'s engine over any two same-schema tables. */

@@ -419,6 +419,23 @@ class SinksSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("vacuumOrphans: aged unrecorded folders drop, recorded and fresh ones survive") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/vac"
+    assert(Sinks.writeSnapshot(Seq((1L, 1L)).toDF("a", "b"), dir) == 1)
+    // crashed writer: data landed (v=2 exists), record/swap never happened
+    Seq((2L, 2L)).toDF("a", "b").write.parquet(s"$dir/v=2")
+    assert(Sinks.snapshotVersions(spark, dir) == Seq(1, 2))
+    // fresh orphan survives any reasonable grace
+    assert(Sinks.vacuumOrphans(spark, dir, graceMs = 60000L).isEmpty)
+    // aged orphan drops; the recorded v=1 survives at ANY grace
+    assert(Sinks.vacuumOrphans(spark, dir, graceMs = -1L) == Seq(2))
+    assert(Sinks.snapshotVersions(spark, dir) == Seq(1))
+    assert(Sinks.readSnapshot(spark, dir, None).count() == 1)
+    s.close()
+  }
+
   test("writeSnapshotConcurrent repair: a stalled older writer cannot demote a newer commit") {
     import spark.implicits._
     val s = new graft.Session.Scratch
