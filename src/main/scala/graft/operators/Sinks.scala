@@ -508,7 +508,83 @@ object Sinks {
                    version: Option[Int] = None): DataFrame = {
     val v = version.orElse(snapshotCommitted(spark, tableDir)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    spark.read.parquet(s"$tableDir/v=$v")
+    resolveVersion(spark, tableDir, v, depth = 0)
+  }
+
+  // ---- merge-on-read deletes (thin versions) -------------------------------
+
+  /** The (base, keyCols) marker of a THIN delete version, None for a
+    * materialized one. */
+  def thinBase(spark: SparkSession, tableDir: String,
+               version: Int): Option[(Int, Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$version/_base.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      // fixed two-line format: "<base>\n<keyCol,keyCol,...>" — no JSON
+      // parser dependency needed for two fields
+      val lines = txt.trim.split('\n')
+      Some((lines(0).trim.toInt, lines(1).trim.split(',').toSeq))
+    }
+  }
+
+  private def resolveVersion(spark: SparkSession, tableDir: String,
+                             v: Int, depth: Int): DataFrame = {
+    require(depth <= 64,
+      s"merge-on-read chain deeper than 64 at $tableDir v=$v — compact it")
+    thinBase(spark, tableDir, v) match {
+      case None => spark.read.parquet(s"$tableDir/v=$v")
+      case Some((base, keyCols)) =>
+        val dels = spark.read.parquet(s"$tableDir/v=$v/_deletes")
+        resolveVersion(spark, tableDir, base, depth + 1)
+          .join(dels, keyCols, "left_anti")
+    }
+  }
+
+  /** TAKEDOWN AT 100 TB: publish the next version as a THIN merge-on-read
+    * delete — only the removal KEYS are written (a `_deletes/` parquet and
+    * a two-line `_base` marker inside the new version folder; zero data
+    * files), and [[readSnapshot]] resolves the chain base-first with one
+    * LEFT ANTI join per thin hop. The copy-on-write alternative (q217's
+    * SQL DELETE) rewrites the whole table per takedown — right for tables
+    * that fit a rewrite, wrong at 100 TB where a daily key-list removal
+    * must cost O(keys), not O(corpus). The trade is the classic MOR one:
+    * reads pay an anti-join per uncompacted hop (the resolver hard-stops
+    * at 64), so [[compactSnapshot]] — which reads through the same
+    * resolver — materializes the chain back to a full version on the
+    * operator's schedule. Version semantics are unchanged: thin versions
+    * commit through the same claim-CAS publish, pinned bases stay
+    * immutable and readable, [[snapshotDiff]] diffs resolved content, and
+    * [[expireSnapshots]] refuses to drop a base a surviving thin version
+    * still needs. NULL keys never match an anti join — a null-keyed delete
+    * row removes nothing, by SQL semantics. SQL catalog serving requires
+    * materialized versions (the reader is COW-aware; compact first — the
+    * same contract Iceberg puts on non-MOR-aware readers). */
+  def deleteSnapshotKeys(spark: SparkSession, tableDir: String,
+                         keys: DataFrame, keyCols: Seq[String],
+                         commitTsMicros: Option[Long] = None): Int = {
+    require(keyCols.nonEmpty, "deleteSnapshotKeys needs at least one key column")
+    snapshotCommitted(spark, tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot at $tableDir — nothing to delete from"))
+    val staged = new org.apache.hadoop.fs.Path(tableDir,
+      s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+      .write.parquet(new org.apache.hadoop.fs.Path(staged, "_deletes").toString)
+    // base binds at COMMIT time (the claim serializes concurrent deleters:
+    // each one chains on whatever the pointer said when ITS claim landed —
+    // re-read under the publish to keep the window minimal)
+    val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = snapshotCommitted(spark, tableDir).get
+    val mp = new org.apache.hadoop.fs.Path(staged, "_base.json")
+    val out = fs.create(mp, false)
+    try out.write(s"$base\n${keyCols.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+    publishStagedSnapshot(spark, tableDir, staged, commitTsMicros)
   }
 
   /** Change feed between two snapshot versions — CDC DERIVED from
@@ -600,8 +676,18 @@ object Sinks {
     val committed = snapshotCommitted(spark, tableDir).getOrElse(return Seq.empty)
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val toDrop = snapshotVersions(spark, tableDir)
-      .filter(_ <= committed).dropRight(keep)
+    val all = snapshotVersions(spark, tableDir)
+    val toDrop0 = all.filter(_ <= committed).dropRight(keep)
+    // a surviving THIN version resolves through its base chain — dropping
+    // a needed base would orphan readable history; protect transitively
+    val survivors = all.toSet -- toDrop0
+    val needed = survivors.flatMap { v =>
+      Iterator.iterate(thinBase(spark, tableDir, v).map(_._1)) {
+        case Some(b) => thinBase(spark, tableDir, b).map(_._1)
+        case None => None
+      }.takeWhile(_.isDefined).flatten.toSeq
+    }
+    val toDrop = toDrop0.filterNot(needed)
     toDrop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$v"), true)

@@ -4721,6 +4721,50 @@ object PipelineQueries {
         .select(col("doc_id"), col("change"), col("source"),
           lit(nV1).as("n_v1"), lit(nV2).as("n_v2"))
         .orderBy("doc_id")
+    },
+
+    // ---- lakehouse: merge-on-read takedown (thin deletes + compaction) -----
+    // q217's takedown at the cost model 100 TB demands: each removal
+    // publishes a THIN version — only the key list is written
+    // (Sinks.deleteSnapshotKeys; the SinksSpec pins the O(keys) bytes) —
+    // and reads resolve the base chain with one anti join per hop. Two
+    // chained thin deletes (a key-list takedown, then a whole-source
+    // purge), the RESOLVED read of the thin head, then compaction
+    // materializes v=4 and SQL catalog serving resumes (the reader is
+    // COW-aware by contract; the face exercises the guided boundary from
+    // both sides). n_resolved (thin-chain read) and n_compacted (SQL read
+    // of the compacted version) must both equal the oracle's expected
+    // survivors — a resolver bug and a compaction bug break the hash
+    // independently.
+    Q("q218_mor_takedown",
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_v1,
+        |  CAST(SUM(CASE WHEN doc_id % 11 = 5 OR source = 'src3'
+        |               THEN 0 ELSE 1 END) AS BIGINT) AS n_resolved,
+        |  CAST(SUM(CASE WHEN doc_id % 11 = 5 OR source = 'src3'
+        |               THEN 0 ELSE 1 END) AS BIGINT) AS n_compacted
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "mor_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Sinks.writeSnapshot(docs, s"$ws/$tbl")
+      Sinks.deleteSnapshotKeys(s, s"$ws/$tbl",
+        docs.filter(col("doc_id") % 11 === 5).select("doc_id"), Seq("doc_id"))
+      Sinks.deleteSnapshotKeys(s, s"$ws/$tbl",
+        docs.filter(col("source") === "src3").select("doc_id"), Seq("doc_id"))
+      val resolved = Sinks.readSnapshot(s, s"$ws/$tbl", Some(3))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_resolved"))
+      Sinks.compactSnapshot(s, s"$ws/$tbl", targetRows = 1000000)
+      val compacted = s.sql(
+        s"SELECT source, COUNT(*) AS n_compacted FROM $cat.$tbl GROUP BY source")
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_v1"))
+        .join(resolved, Seq("source"), "left")
+        .join(compacted, Seq("source"), "left")
+        .na.fill(0L, Seq("n_resolved", "n_compacted"))
+        .orderBy("source")
     }
   )
 }

@@ -73,12 +73,26 @@ class SnapshotCatalog extends TableCatalog {
     dirEntries().find(_.equalsIgnoreCase(ident.name()))
       .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
 
+  /** SQL serving requires a MATERIALIZED version: a thin merge-on-read
+    * delete (Sinks.deleteSnapshotKeys) is a base chain the relational
+    * resolver (Sinks.readSnapshot) follows with anti joins, which a DSv2
+    * file scan cannot express — the same contract Iceberg puts on
+    * non-MOR-aware readers. Compact to serve. */
+  private def requireMaterialized(tableDir: String, version: Int): Unit =
+    if (graft.operators.Sinks.thinBase(SparkSession.active,
+        s"$workspace/$tableDir", version).isDefined)
+      throw new UnsupportedOperationException(
+        s"$tableDir v=$version is a merge-on-read delete chain; SQL serving " +
+          "needs materialized versions — Sinks.readSnapshot resolves it, " +
+          "Sinks.compactSnapshot materializes it")
+
   private def serve(tableDir: String, version: Int): Table = {
     val vDir = s"$workspace/$tableDir/v=$version"
     val vPath = new org.apache.hadoop.fs.Path(vDir)
     if (!fs(vPath).exists(vPath) || !fs(vPath).getFileStatus(vPath).isDirectory)
       throw new IllegalArgumentException(
         s"snapshot version $version does not exist under $tableDir")
+    requireMaterialized(tableDir, version)
     ParquetTable(s"$tableDir@v$version", SparkSession.active,
       CaseInsensitiveStringMap.empty(), Seq(vDir), None,
       classOf[ParquetFileFormat])
@@ -98,6 +112,7 @@ class SnapshotCatalog extends TableCatalog {
     if (!fs(vPath).exists(vPath))
       throw new IllegalStateException(
         s"committed snapshot v=$committed missing under $t")
+    requireMaterialized(t, committed)
     new SnapshotDmlTable(s"$t@v$committed", SparkSession.active,
       s"$workspace/$t", vDir)
   }

@@ -419,6 +419,61 @@ class SinksSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("merge-on-read deletes: thin versions cost O(keys), chains resolve, compaction materializes") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/mor"
+    spark.conf.set("spark.sql.catalog.snapmor", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.snapmor.workspace", s.dir)
+    val rows = Seq.tabulate(1000)(i => (i.toLong, s"payload_$i" * 20, i.toLong % 7))
+    Sinks.writeSnapshot(rows.toDF("k", "body", "g"), dir)
+    // thin delete #1: 10 keys — the version folder must carry NO data files
+    val v2 = Sinks.deleteSnapshotKeys(spark, dir,
+      (0L until 10L).toDF("k"), Seq("k"))
+    assert(v2 == 2)
+    def dirBytes(v: Int): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length
+      walk(new java.io.File(s"$dir/v=$v"))
+    }
+    assert(dirBytes(2) * 10 < dirBytes(1),
+      s"thin delete wrote ${dirBytes(2)}B vs table ${dirBytes(1)}B — not O(keys)")
+    assert(!new java.io.File(s"$dir/v=2").listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "thin version must hold no data files at top level")
+    // thin delete #2 chains on the first
+    val v3 = Sinks.deleteSnapshotKeys(spark, dir,
+      Seq(500L, 501L, 0L).toDF("k"), Seq("k")) // 0 already gone — idempotent
+    assert(v3 == 3)
+    val got = Sinks.readSnapshot(spark, dir, None).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 1000L).toSet -- (0L until 10L) - 500L - 501L)
+    // intermediate thin version reads correctly too
+    assert(Sinks.readSnapshot(spark, dir, Some(2)).count() == 990)
+    // the diff machinery sees resolved content: v2 -> v3 removed exactly 2
+    val diff = Sinks.snapshotDiff(spark, dir, 2, 3, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(diff == Set(500L -> "removed", 501L -> "removed"), diff.toString)
+    // SQL serving of a thin version gets the guided error...
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM snapmor.mor").collect()
+    }
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    // ...until compaction materializes the chain
+    val v4 = Sinks.compactSnapshot(spark, dir, targetRows = 100000)
+    assert(v4 == 4)
+    assert(spark.sql("SELECT count(*) AS n FROM snapmor.mor").first().getLong(0) == 988)
+    // expiry never drops a base a surviving thin version still needs:
+    // keep=3 would normally drop v=1, but thin v=2/v=3 resolve through it
+    assert(Sinks.expireSnapshots(spark, dir, keep = 3).isEmpty,
+      "v=1 is the base of surviving thin v=2/v=3 — must not drop")
+    assert(Sinks.readSnapshot(spark, dir, Some(3)).count() == 988)
+    // once the survivors are materialized-only, the whole thin tail can go
+    assert(Sinks.expireSnapshots(spark, dir, keep = 1) == Seq(1, 2, 3))
+    assert(Sinks.readSnapshot(spark, dir, None).count() == 988)
+    s.close()
+  }
+
   test("vacuumOrphans: aged unrecorded folders drop, recorded and fresh ones survive") {
     import spark.implicits._
     val s = new graft.Session.Scratch
