@@ -539,9 +539,23 @@ object Sinks {
     thinBase(spark, tableDir, v) match {
       case None => spark.read.parquet(s"$tableDir/v=$v")
       case Some((base, keyCols)) =>
-        val dels = spark.read.parquet(s"$tableDir/v=$v/_deletes")
-        resolveVersion(spark, tableDir, base, depth + 1)
-          .join(dels, keyCols, "left_anti")
+        val baseDf = resolveVersion(spark, tableDir, base, depth + 1)
+        val hconf = spark.sessionState.newHadoopConf()
+        def part(name: String): Option[DataFrame] = {
+          val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/$name")
+          if (p.getFileSystem(hconf).exists(p))
+            Some(spark.read.parquet(p.toString))
+          else None
+        }
+        val kc = keyCols.map(org.apache.spark.sql.functions.col)
+        // keys leaving the base: explicit deletes ∪ keys being replaced
+        val ups = part("_upserts")
+        val gone = (part("_deletes").toSeq ++ ups.map(_.select(kc: _*)).toSeq)
+          .reduceOption(_ unionByName _)
+        val kept = gone.fold(baseDf)(g =>
+          baseDf.join(g.distinct(), keyCols, "left_anti"))
+        ups.fold(kept)(u => kept.unionByName(u.select(
+          baseDf.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
     }
   }
 
@@ -566,18 +580,44 @@ object Sinks {
     * same contract Iceberg puts on non-MOR-aware readers). */
   def deleteSnapshotKeys(spark: SparkSession, tableDir: String,
                          keys: DataFrame, keyCols: Seq[String],
-                         commitTsMicros: Option[Long] = None): Int = {
-    require(keyCols.nonEmpty, "deleteSnapshotKeys needs at least one key column")
+                         commitTsMicros: Option[Long] = None): Int =
+    publishThin(spark, tableDir, keyCols, commitTsMicros,
+      deletes = Some(keys), upserts = None)
+
+  /** The UPSERT half of the thin-version story — CDC INGEST at O(batch)
+    * per commit: publish the next version as base minus the touched keys
+    * plus the new rows (`_upserts/` parquet; optional tombstones ride the
+    * same version's `_deletes/`). The upsert is LAST-WRITER-WINS against
+    * the base — callers enforcing an ordering residual (q108's (ts, tie))
+    * compute the EFFECTIVE delta against the current resolved state first,
+    * which is the standard CDC ingest shape anyway. Everything else is
+    * [[deleteSnapshotKeys]]'s contract: claim-CAS commit, chain resolution,
+    * diff over resolved content, compaction, base protection. */
+  def upsertSnapshotRows(spark: SparkSession, tableDir: String,
+                         rows: DataFrame, keyCols: Seq[String],
+                         deletes: Option[DataFrame] = None,
+                         commitTsMicros: Option[Long] = None): Int =
+    publishThin(spark, tableDir, keyCols, commitTsMicros,
+      deletes = deletes, upserts = Some(rows))
+
+  private def publishThin(spark: SparkSession, tableDir: String,
+                          keyCols: Seq[String], commitTsMicros: Option[Long],
+                          deletes: Option[DataFrame],
+                          upserts: Option[DataFrame]): Int = {
+    require(keyCols.nonEmpty, "thin versions need at least one key column")
     snapshotCommitted(spark, tableDir).getOrElse(
       throw new IllegalStateException(
-        s"no committed snapshot at $tableDir — nothing to delete from"))
+        s"no committed snapshot at $tableDir — nothing to derive from"))
     val staged = new org.apache.hadoop.fs.Path(tableDir,
       s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-      .write.parquet(new org.apache.hadoop.fs.Path(staged, "_deletes").toString)
-    // base binds at COMMIT time (the claim serializes concurrent deleters:
-    // each one chains on whatever the pointer said when ITS claim landed —
-    // re-read under the publish to keep the window minimal)
+    deletes.foreach(
+      _.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+        .write.parquet(new org.apache.hadoop.fs.Path(staged, "_deletes").toString))
+    upserts.foreach(
+      _.write.parquet(new org.apache.hadoop.fs.Path(staged, "_upserts").toString))
+    // base binds at COMMIT time (the claim serializes concurrent thin
+    // writers: each one chains on whatever the pointer said when ITS claim
+    // landed — re-read under the publish to keep the window minimal)
     val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
     val base = snapshotCommitted(spark, tableDir).get
     val mp = new org.apache.hadoop.fs.Path(staged, "_base.json")

@@ -4765,6 +4765,66 @@ object PipelineQueries {
         .join(compacted, Seq("source"), "left")
         .na.fill(0L, Seq("n_resolved", "n_compacted"))
         .orderBy("source")
+    },
+
+    // ---- lakehouse: merge-on-read CDC ingest (thin upsert chain) -----------
+    // The write-side completion of q218: a changelog ingests as a chain of
+    // THIN UPSERT versions — each commit writes O(batch) (the batch's
+    // effective delta + tombstone keys), never the state table, and every
+    // intermediate state stays a pinned, time-travelable version (q215's
+    // streaming MERGE rewrites the whole state per batch — right when
+    // state fits a rewrite; this is the 100 TB ingest path). The effective
+    // delta carries q108's ordering: batch winners are kept only when
+    // strictly newer ((ts, event_id)) than the CURRENT resolved state, so
+    // blind last-writer-wins thin upserts compose into exactly the batch
+    // recompute — the oracle is q108's full-log snapshot once more. The
+    // split is by event_id thirds while the order residual is (ts,
+    // event_id) — correctness must not depend on how the log is batched.
+    Q("q219_mor_cdc_ingest", {
+      val base = "(SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, value FROM events)"
+      val snap = EventOps.latestSnapshotSql(base, "user_id", "ts", "event_id",
+        "event_type", "error")
+      s"""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+         |  event_type AS last_type, value AS last_value
+         |FROM ($snap) ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "cdc_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+      val maxId = ev.agg(max(col("event_id"))).first().getLong(0)
+      def winners(batch: org.apache.spark.sql.DataFrame) =
+        batch.withColumn("__rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+      // v1: the first third's compacted state (tombstones retained as rows)
+      Sinks.writeSnapshot(winners(ev.filter(col("event_id") <= maxId / 3)), tdir)
+      // two thin upsert commits, each the batch's EFFECTIVE delta
+      for (b <- 2 to 3) {
+        val lo = maxId * (b - 1) / 3
+        val hi = if (b == 3) maxId else maxId * b / 3
+        val bw = winners(ev.filter(col("event_id") > lo && col("event_id") <= hi))
+        val cur = Sinks.readSnapshot(s, tdir)
+          .select(col("user_id"), col("ts").as("__cts"), col("event_id").as("__cid"))
+        val eff = bw.join(cur, Seq("user_id"), "left")
+          .filter(col("__cts").isNull || col("ts") > col("__cts") ||
+            (col("ts") === col("__cts") && col("event_id") > col("__cid")))
+          .drop("__cts", "__cid")
+        Sinks.upsertSnapshotRows(s, tdir, eff, Seq("user_id")): Unit
+      }
+      Sinks.readSnapshot(s, tdir)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
     }
   )
 }

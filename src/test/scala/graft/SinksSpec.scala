@@ -474,6 +474,39 @@ class SinksSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("thin upserts: last-writer-wins vs base, tombstones ride along, chains compose") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/morup"
+    Sinks.writeSnapshot(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "name", "v"), dir)
+    // one thin version: update k=2, insert k=4, tombstone k=3
+    val v2 = Sinks.upsertSnapshotRows(spark, dir,
+      Seq((2L, "b2", 21L), (4L, "d", 40L)).toDF("k", "name", "v"), Seq("k"),
+      deletes = Some(Seq(3L).toDF("k")))
+    assert(v2 == 2)
+    val got2 = Sinks.readSnapshot(spark, dir, None)
+    assert(got2.columns.toSeq == Seq("k", "name", "v"), "column order must survive")
+    assert(got2.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L)))
+    // a second thin upsert chains on the first
+    val v3 = Sinks.upsertSnapshotRows(spark, dir,
+      Seq((4L, "d", 41L)).toDF("k", "name", "v"), Seq("k"))
+    assert(v3 == 3)
+    assert(Sinks.readSnapshot(spark, dir, None)
+      .filter("k = 4").first().getLong(2) == 41L)
+    assert(Sinks.readSnapshot(spark, dir, Some(2))
+      .filter("k = 4").first().getLong(2) == 40L, "pinned thin version drifted")
+    // the diff machinery classifies the thin hop correctly
+    val diff = Sinks.snapshotDiff(spark, dir, 1, 2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(diff == Set(2L -> "changed", 3L -> "removed", 4L -> "added"), diff.toString)
+    // compaction materializes the whole upsert chain
+    Sinks.compactSnapshot(spark, dir, targetRows = 100000)
+    assert(Sinks.readSnapshot(spark, dir, None).count() == 3)
+    s.close()
+  }
+
   test("vacuumOrphans: aged unrecorded folders drop, recorded and fresh ones survive") {
     import spark.implicits._
     val s = new graft.Session.Scratch
