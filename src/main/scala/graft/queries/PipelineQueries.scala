@@ -4825,6 +4825,61 @@ object PipelineQueries {
           col("ts").as("last_ts"), col("event_type").as("last_type"),
           col("value").as("last_value"))
         .orderBy("user_id")
+    },
+
+    // ---- streaming: thin-upsert ingest sink --------------------------------
+    // The FIFTEENTH true streaming execution: q219's thin-upsert CDC ingest
+    // driven by the streaming engine (Streams.runThinUpsertSink) — each
+    // micro-batch's EFFECTIVE delta publishes a thin version; a replayed
+    // batch's delta is empty, so nothing publishes (exactly-once without a
+    // ledger, deterministic version history). Two AvailableNow runs on one
+    // checkpoint with a file landed between them: restart survival AND a
+    // pinned version per micro-batch boundary, at O(batch) write cost.
+    // Versions: v1 empty seed, v2 after batch 1, v3 after batch 2; the
+    // mid-stream version count lands in the output (n_versions = 3, oracle
+    // pins it), and the final resolved state equals q108's batch CDC
+    // snapshot once more.
+    Q("q220_streaming_thin_ingest", {
+      val base = "(SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, value FROM events)"
+      val snap = EventOps.latestSnapshotSql(base, "user_id", "ts", "event_id",
+        "event_type", "error")
+      s"""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+         |  event_type AS last_type, value AS last_value,
+         |  CAST(3 AS BIGINT) AS n_versions
+         |FROM ($snap) ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "sthin_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/thin_src"
+      val chk = s"${scratch.dir}/chk220"
+      val ev = Tables.load(s, dir, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+      // v1: an empty seed state with the changelog schema
+      Sinks.writeSnapshot(ev.filter(lit(false)), tdir)
+      val mid = ev.agg(max(col("event_id"))).first().getLong(0) / 2
+      for (i <- 1 to 2) {
+        Streams.landFile(
+          if (i == 1) ev.filter(col("event_id") <= mid)
+          else ev.filter(col("event_id") > mid), src, s"b$i")
+        val schema = s.read.parquet(src).schema
+        Streams.runThinUpsertSink(s, chk, tdir, "user_id", "ts", "event_id") {
+          s.readStream.schema(schema).parquet(src)
+        }
+      }
+      val nVersions = Sinks.snapshotVersions(s, tdir).length.toLong
+      Sinks.readSnapshot(s, tdir)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .withColumn("n_versions", lit(nVersions))
+        .orderBy("user_id")
     }
   )
 }

@@ -171,6 +171,54 @@ object Streams {
     }
   }
 
+  /** [[runMergeSink]] at the 100 TB ingest cost model: each micro-batch
+    * publishes a THIN upsert version ([[graft.operators.Sinks.upsertSnapshotRows]])
+    * instead of rewriting the state table — per commit the store gains
+    * O(batch) bytes (the batch's EFFECTIVE delta: winners strictly newer by
+    * (tsCol, tieCol) than the current resolved state), and every
+    * micro-batch boundary becomes a pinned, time-travelable version. A
+    * replayed micro-batch's winners are already ≤ the current state, so
+    * its effective delta is EMPTY and no version is published —
+    * exactly-once without a ledger, version history deterministic under
+    * replay. Compaction stays the table operator's job
+    * ([[graft.operators.Sinks.compactSnapshot]] reads through the chain). */
+  def runThinUpsertSink(s: SparkSession, chk: String, tableDir: String,
+                        keyCol: String, tsCol: String, tieCol: String,
+                        statePartitions: Int = 8)(build: => DataFrame): Unit = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsPrev = s.conf.getOption(partsKey)
+    s.conf.set(partsKey, statePartitions.toString)
+    try {
+      val query = build.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          import org.apache.spark.sql.expressions.Window
+          val bw = batch.withColumn("__rn", row_number().over(
+              Window.partitionBy(col(keyCol))
+                .orderBy(col(tsCol).desc, col(tieCol).desc)))
+            .filter(col("__rn") === 1).drop("__rn")
+          val cur = graft.operators.Sinks
+            .readSnapshot(batch.sparkSession, tableDir)
+            .select(col(keyCol), col(tsCol).as("__cts"), col(tieCol).as("__cid"))
+          val eff = bw.join(cur, Seq(keyCol), "left")
+            .filter(col("__cts").isNull || col(tsCol) > col("__cts") ||
+              (col(tsCol) === col("__cts") && col(tieCol) > col("__cid")))
+            .drop("__cts", "__cid")
+            .localCheckpoint() // evaluated twice: emptiness probe + publish
+          if (!eff.isEmpty)
+            graft.operators.Sinks.upsertSnapshotRows(
+              batch.sparkSession, tableDir, eff, Seq(keyCol)): Unit
+        }
+        .start()
+      query.awaitTermination()
+    } finally partsPrev match {
+      case Some(v) => s.conf.set(partsKey, v)
+      case None => s.conf.unset(partsKey)
+    }
+  }
+
   /** Land `df` as a single named parquet file inside the directory a file
     * stream is watching. Written to a side dir first, then MOVED in — the
     * source never observes a half-written file, and landing between two

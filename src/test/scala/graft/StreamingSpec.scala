@@ -522,4 +522,39 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("qid", "rn").collect().map(_.toSeq)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("thin-upsert sink: re-delivered data publishes NO version (effective delta empty)") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val scratch = new Session.Scratch
+    val src = s"${scratch.dir}/redeliver_src"
+    val chk = s"${scratch.dir}/chk_redeliver"
+    val tdir = s"${scratch.dir}/thin_tbl"
+    val batch1 = Seq((1L, 10L, "u", 1.0), (2L, 11L, "u", 2.0))
+      .toDF("k", "seq", "op", "v")
+    Sinks.writeSnapshot(batch1.filter(org.apache.spark.sql.functions.lit(false)), tdir) // empty seed = v1
+    Streams.landFile(batch1, src, "b1")
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = Streams.runThinUpsertSink(
+      spark, chk, tdir, "k", "seq", "seq") {
+      spark.readStream.schema(schema).parquet(src)
+    }
+    run()
+    assert(Sinks.snapshotVersions(spark, tdir) == Seq(1, 2))
+    // at-least-once delivery: the SAME rows arrive again as a new file —
+    // the effective delta is empty, so no version may publish
+    Streams.landFile(batch1, src, "b1_redelivered")
+    run()
+    assert(Sinks.snapshotVersions(spark, tdir) == Seq(1, 2),
+      "re-delivered batch published a version")
+    // genuinely newer rows still publish
+    Streams.landFile(Seq((1L, 12L, "u", 9.0)).toDF("k", "seq", "op", "v"),
+      src, "b2")
+    run()
+    assert(Sinks.snapshotVersions(spark, tdir) == Seq(1, 2, 3))
+    val fin = Sinks.readSnapshot(spark, tdir, None).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(fin.toSeq == Seq((1L, 12L, 9.0), (2L, 11L, 2.0)))
+    scratch.close()
+  }
 }
