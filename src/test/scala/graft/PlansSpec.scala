@@ -306,6 +306,33 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-on-read resolution: thin delete keys broadcast into the anti join") {
+    import graft.operators.Sinks
+    val s = new Session.Scratch
+    val dir = s"${s.dir}/mor_plan"
+    // a real table-sized base vs a key-sized delete list — the 100 TB read
+    // cost model only holds if the keys ride a broadcast, never a shuffle
+    // of the base
+    Sinks.writeSnapshot(Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars"), dir)
+    Sinks.deleteSnapshotKeys(spark, dir,
+      Tables.load(spark, sf, "documents").filter(col("doc_id") % 50 === 0)
+        .select("doc_id"), Seq("doc_id"))
+    val resolved = Sinks.readSnapshot(spark, dir, None)
+    // AQE wraps the tree (collect can't descend into AdaptiveSparkPlan's
+    // lazily-planned inner plan) — assert on the rendered plan instead
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "thin-delete anti join did not broadcast:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // and the resolved content is still a plain declarative plan a filter
+    // pushes through: pruning reaches the BASE scan
+    val pruned = formatted(resolved.filter(col("n_chars") > 100).select("doc_id"))
+    assert(pruned.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      pruned)
+    s.close()
+  }
+
   test("runtime bloom reduction (q149): might_contain injected under the fact scan") {
     import graft.operators.Joins
     Joins.withRuntimeBloom(spark) {
