@@ -605,6 +605,21 @@ object Sinks {
                           deletes: Option[DataFrame],
                           upserts: Option[DataFrame]): Int = {
     require(keyCols.nonEmpty, "thin versions need at least one key column")
+    require(keyCols.forall(!_.contains(",")),
+      "thin-version key column names must not contain ',' (marker format)")
+    // a duplicate key inside ONE upsert batch would materialize as
+    // duplicate rows in every resolved read downstream — reject the
+    // corrupt commit up front (one batch-sized grouped count; the cost of
+    // an integrity gate, not of the corpus)
+    upserts.foreach { u =>
+      val kc = keyCols.map(org.apache.spark.sql.functions.col)
+      val dup = u.groupBy(kc: _*)
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      if (!dup.isEmpty)
+        throw new IllegalArgumentException(
+          "upsert batch carries duplicate keys (first: " +
+            dup.head().toString + ") — compact the batch per key first")
+    }
     snapshotCommitted(spark, tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot at $tableDir — nothing to derive from"))

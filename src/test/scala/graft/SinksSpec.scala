@@ -504,6 +504,15 @@ class SinksSpec extends AnyFunSuite {
     // compaction materializes the whole upsert chain
     Sinks.compactSnapshot(spark, dir, targetRows = 100000)
     assert(Sinks.readSnapshot(spark, dir, None).count() == 3)
+    // integrity gate: a duplicate key inside one upsert batch would
+    // materialize as duplicate rows in every resolved read — rejected
+    val before = Sinks.snapshotVersions(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertSnapshotRows(spark, dir,
+        Seq((7L, "x", 1L), (7L, "y", 2L)).toDF("k", "name", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    assert(Sinks.snapshotVersions(spark, dir) == before, "rejected commit left debris")
     s.close()
   }
 
