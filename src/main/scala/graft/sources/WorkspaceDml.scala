@@ -313,6 +313,11 @@ private[sources] class SnapshotDmlTable(
     Seq(committedDir), None, classOf[ParquetFileFormat])
   with SupportsDelete with SupportsRowLevelOperations {
 
+  /** The version this handle's DML derives from (the committed pointer at
+    * loadTable time). */
+  private val boundVersion: Int =
+    committedDir.split("v=").last.toInt
+
   private def stagingPath(): Path =
     new Path(tableDir,
       s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -320,6 +325,25 @@ private[sources] class SnapshotDmlTable(
   private def discard(p: Path): Unit = {
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (f.exists(p)) f.delete(p, true): Unit
+  }
+
+  /** OPTIMISTIC CONFLICT DETECTION: this handle's DML output derives from
+    * [[boundVersion]] — publishing it after another writer committed a
+    * newer version would silently DISCARD that writer's changes (the
+    * classic lost update). Check-before-publish narrows the window to the
+    * publish race itself (claims still serialize version numbers; a
+    * serializable multi-writer DML needs a transaction log — out of scope,
+    * stated honestly). A conflicted statement aborts with its staging
+    * discarded; the caller re-reads and retries. */
+  private def publishIfUnconflicted(staged: Path): Unit = {
+    val cur = graft.operators.Sinks.snapshotCommitted(spark, tableDir)
+    if (!cur.contains(boundVersion)) {
+      discard(staged)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableName: table moved from v=$boundVersion to v=${cur.getOrElse(0)} " +
+          "during DML — re-read and retry the statement")
+    }
+    graft.operators.Sinks.publishStagedSnapshot(spark, tableDir, staged): Unit
   }
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
@@ -330,9 +354,13 @@ private[sources] class SnapshotDmlTable(
       .reduceOption(_ && _).getOrElse(lit(true))
     val remaining = spark.read.parquet(committedDir)
       .filter(!coalesce(cond, lit(false)))
-    // one filtered scan straight into the publish protocol — the new
-    // version is data-complete before any pointer moves
-    graft.operators.Sinks.writeSnapshotConcurrent(remaining, tableDir): Unit
+    // stage the new version's full contents, then the conditional publish —
+    // data-complete before any pointer moves, conflicts detected
+    val staged = stagingPath()
+    try {
+      remaining.write.parquet(staged.toString)
+      publishIfUnconflicted(staged)
+    } catch { case t: Throwable => discard(staged); throw t }
   }
 
   override def newRowLevelOperationBuilder(
@@ -342,8 +370,7 @@ private[sources] class SnapshotDmlTable(
         opts => SnapshotDmlTable.this.newScanBuilder(opts),
         None, info.command(), s"${tableName}__vdml",
         () => stagingPath(),
-        staged => { graft.operators.Sinks
-          .publishStagedSnapshot(spark, tableDir, staged): Unit },
+        publishIfUnconflicted,
         discard)
     }
 }

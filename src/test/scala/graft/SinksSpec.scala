@@ -367,6 +367,26 @@ class SinksSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("DELETE FROM snapdml.vt VERSION AS OF 2 WHERE k = 0")
     }
+    // optimistic conflict detection: a handle bound to v=4 must ABORT its
+    // DML once another writer commits v=5 — publishing would silently
+    // discard that writer's changes (the lost update)
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, TableCatalog}
+    val stale = spark.sessionState.catalogManager.catalog("snapdml")
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array.empty, "vt"))
+      .asInstanceOf[SupportsDelete]
+    Sinks.writeSnapshot(Seq((99L, "z", 0L)).toDF("k", "name", "v"), dir) // v=5
+    intercept[java.util.ConcurrentModificationException] {
+      stale.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("k", 1L)))
+    }
+    assert(Sinks.snapshotCommitted(spark, dir).contains(5),
+      "conflicted DML must not move the pointer")
+    assert(Sinks.readSnapshot(spark, dir, None).count() == 1,
+      "conflicted DML must not alter the newer commit")
+    // a FRESH statement re-resolves and succeeds
+    spark.sql("DELETE FROM snapdml.vt WHERE k = 99")
+    assert(Sinks.readSnapshot(spark, dir, None).count() == 0)
     s.close()
   }
 
