@@ -407,13 +407,7 @@ object Sinks {
   def writeSnapshotConcurrent(df: DataFrame, tableDir: String,
                               commitTsMicros: Option[Long] = None): Int = {
     val spark = df.sparkSession
-    var v = 0
-    while (v == 0) {
-      val next = (snapshotVersions(spark, tableDir) ++
-        claimedVersions(spark, tableDir) ++
-        snapshotCommitted(spark, tableDir).toSeq).foldLeft(0)(math.max) + 1
-      if (claimVersion(spark, tableDir, next)) v = next
-    }
+    val v = claimNextVersion(spark, tableDir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$v")
     commitPointerCas(spark, tableDir, v, commitTsMicros)
     v
@@ -430,6 +424,19 @@ object Sinks {
   def publishStagedSnapshot(spark: SparkSession, tableDir: String,
                             staged: org.apache.hadoop.fs.Path,
                             tsMicros: Option[Long] = None): Int = {
+    val v = claimNextVersion(spark, tableDir)
+    val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
+    val f = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.rename(staged, dest))
+      throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
+    commitPointerCas(spark, tableDir, v, tsMicros)
+    v
+  }
+
+  /** The CAS allocation loop (move 1), shared by both concurrent
+    * publishers: max over folders, claims and the pointer, then try to
+    * claim — a lost race re-reads past the winner's now-visible claim. */
+  private def claimNextVersion(spark: SparkSession, tableDir: String): Int = {
     var v = 0
     while (v == 0) {
       val next = (snapshotVersions(spark, tableDir) ++
@@ -437,11 +444,6 @@ object Sinks {
         snapshotCommitted(spark, tableDir).toSeq).foldLeft(0)(math.max) + 1
       if (claimVersion(spark, tableDir, next)) v = next
     }
-    val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
-    val f = dest.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.rename(staged, dest))
-      throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
-    commitPointerCas(spark, tableDir, v, tsMicros)
     v
   }
 
