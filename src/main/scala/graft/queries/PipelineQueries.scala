@@ -4880,6 +4880,69 @@ object PipelineQueries {
           col("value").as("last_value"))
         .withColumn("n_versions", lit(nVersions))
         .orderBy("user_id")
+    },
+
+    // ---- pipeline: curated corpus ingest (dedup-at-the-door + thin versions)
+    // The end-to-end ingest shape a training corpus actually runs: each
+    // arriving batch dedups AGAINST THE CURRENT CORPUS STATE (q114's
+    // exact-digest + MinHash-LSH batch-vs-corpus machinery — O(batch)
+    // signatures for the batch, the corpus side reusable/incremental at
+    // scale) and only the survivors land, as a THIN upsert version — so
+    // admission stays O(batch) end to end and every ingest round is a
+    // pinned, diffable corpus version. Two sequential batches, the second
+    // deduping against corpus ∪ batch-1 survivors: ORDER MATTERS, and the
+    // oracle replays the full two-round recursion (four banded-signature
+    // chains) — a survivor leaking past round 1 corrupts round 2's corpus
+    // and the hash.
+    Q("q221_curated_ingest", {
+      val c0Src = "('src0','src1','src2','src3','src4')"
+      val b1Src = "('src5','src6','src7','src8','src9')"
+      s"""WITH ci_c0 AS (SELECT doc_id, text, source FROM documents WHERE source IN $c0Src),
+         |ci_b1 AS (SELECT doc_id, text, source FROM documents WHERE source IN $b1Src),
+         |ci_b1x AS (SELECT * FROM ci_b1 n
+         |  WHERE NOT EXISTS (SELECT 1 FROM ci_c0 o WHERE md5(o.text) = md5(n.text))),
+         |${bandsCtesSql("cio0_", "ci_c0")},
+         |${bandsCtesSql("cin1_", "ci_b1x")},
+         |ci_h1 AS (SELECT DISTINCT n.doc_id FROM cin1_bands n
+         |  JOIN cio0_bands o ON n.band = o.band AND n.sig = o.sig),
+         |ci_k1 AS (SELECT * FROM ci_b1x s
+         |  WHERE NOT EXISTS (SELECT 1 FROM ci_h1 h WHERE h.doc_id = s.doc_id)),
+         |ci_c1 AS (SELECT * FROM ci_c0 UNION ALL SELECT * FROM ci_k1),
+         |ci_b2 AS (SELECT doc_id, text, source FROM documents
+         |  WHERE source NOT IN $c0Src AND source NOT IN $b1Src),
+         |ci_b2x AS (SELECT * FROM ci_b2 n
+         |  WHERE NOT EXISTS (SELECT 1 FROM ci_c1 o WHERE md5(o.text) = md5(n.text))),
+         |${bandsCtesSql("cio1_", "ci_c1")},
+         |${bandsCtesSql("cin2_", "ci_b2x")},
+         |ci_h2 AS (SELECT DISTINCT n.doc_id FROM cin2_bands n
+         |  JOIN cio1_bands o ON n.band = o.band AND n.sig = o.sig),
+         |ci_k2 AS (SELECT * FROM ci_b2x s
+         |  WHERE NOT EXISTS (SELECT 1 FROM ci_h2 h WHERE h.doc_id = s.doc_id))
+         |SELECT doc_id, source FROM (
+         |  SELECT doc_id, source FROM ci_c1
+         |  UNION ALL SELECT doc_id, source FROM ci_k2)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "ingest_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text", "source")
+      val c0 = Seq("src0", "src1", "src2", "src3", "src4")
+      val b1 = Seq("src5", "src6", "src7", "src8", "src9")
+      Sinks.writeSnapshot(docs.filter(col("source").isin(c0: _*)), tdir)
+      val batches = Seq(
+        docs.filter(col("source").isin(b1: _*)),
+        docs.filter(!col("source").isin(c0 ++ b1: _*)))
+      batches.foreach { batch =>
+        val cur = Sinks.readSnapshot(s, tdir)
+        val kept = Dedup.incrementalDedup(batch, cur, "text", "doc_id",
+          MinhashK, ShingleW, Bands, RowsPerBand)
+        Sinks.upsertSnapshotRows(s, tdir, kept, Seq("doc_id")): Unit
+      }
+      Sinks.readSnapshot(s, tdir).select("doc_id", "source").orderBy("doc_id")
     }
   )
 }
