@@ -4943,6 +4943,56 @@ object PipelineQueries {
         Sinks.upsertSnapshotRows(s, tdir, kept, Seq("doc_id")): Unit
       }
       Sinks.readSnapshot(s, tdir).select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // ---- lakehouse: TIMESTAMP AS OF across a merge-on-read chain -----------
+    // Commit-time resolution composes with thin versions: each thin publish
+    // records its commit time exactly like a full one (the shared
+    // commitPointerCas), so `snapshotVersionAt` pins any wall-clock instant
+    // to a version and `readSnapshot` RESOLVES it — including the re-insert
+    // subtlety (the v=3 upsert set intersects the v=2 delete set: deleted
+    // keys come back with the new payload, which only a correct
+    // base-minus-gone-plus-upserts resolver reproduces). Three probes
+    // (mid-gap timestamps), each a (version, n, sum) row the oracle
+    // computes from the predicates alone.
+    Q("q222_mor_timetravel",
+      """SELECT * FROM (
+        |  SELECT CAST(1500 AS BIGINT) AS probe_ts, 1 AS version,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 2500, 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT 3500, 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(
+        |      CASE WHEN doc_id % 4 = 2 THEN n_chars + 1000000 ELSE n_chars END
+        |    ) AS BIGINT)
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND (doc_id % 10 <> 0 OR doc_id % 4 = 2))
+        |ORDER BY probe_ts""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "mortt_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
+      Sinks.writeSnapshot(docs, tdir, commitTsMicros = Some(1000L))
+      Sinks.deleteSnapshotKeys(s, tdir,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"), Seq("doc_id"),
+        commitTsMicros = Some(2000L)): Unit
+      Sinks.upsertSnapshotRows(s, tdir,
+        docs.filter(col("doc_id") % 4 === 2)
+          .select(col("doc_id"), (col("n_chars") + 1000000L).as("n_chars")),
+        Seq("doc_id"), commitTsMicros = Some(3000L)): Unit
+      Seq(1500L, 2500L, 3500L).map { probe =>
+        val v = Sinks.snapshotVersionAt(s, tdir, probe)
+        Sinks.readSnapshot(s, tdir, Some(v))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit(probe).as("probe_ts"), lit(v).as("version"),
+            col("n"), col("sum_chars"))
+      }.reduce(_ unionByName _).orderBy("probe_ts")
     }
   )
 }

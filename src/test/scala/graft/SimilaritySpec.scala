@@ -420,6 +420,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rangedGlobalRank: randomized equivalence across sizes, shard counts, tie densities") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val n = 1 + rnd.nextInt(400)
+      val shards = 1 + rnd.nextInt(40)       // incl. shards > n and shards = 1
+      val mod = 1 + rnd.nextInt(8)           // heavy-tie regimes
+      val scored = (0 until n).map(i => (i.toLong, rnd.nextInt(mod).toDouble))
+        .toDF("vec_id", "__cos")
+      val (ranked, total) = Similarity.rangedGlobalRank(scored, "vec_id", shards)
+      assert(total == n)
+      val got = ranked.select("vec_id", "__rk").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = scored.withColumn("__rk", row_number().over(
+          Window.orderBy(col("__cos").desc, col("vec_id"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"n=$n shards=$shards mod=$mod")
+    }
+  }
+
   test("ivfPatchIndex covers delta ingest: inserts land, deletes purge stale rows") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
