@@ -148,6 +148,51 @@ object Dedup {
     s1.join(hitIds, Seq(idCol), "left_anti")
   }
 
+  /** The corpus's STANDING dedup index — the precomputed state
+    * [[incrementalDedup]]'s scaladoc promises, made first-class: the
+    * corpus's distinct content digests and distinct LSH (band, sig) keys.
+    * Both are tiny relative to the text and both maintain by APPENDING an
+    * admitted batch's own keys, so steady-state admission never touches
+    * corpus text again — O(Δ) per round instead of the O(corpus)
+    * signature recompute the self-contained form pays. */
+  final case class DedupIndex(digests: DataFrame, bandSigs: DataFrame)
+
+  def buildDedupIndex(corpus: DataFrame, textCol: String, idCol: String,
+                      k: Int, w: Int, bands: Int, rows: Int): DedupIndex =
+    DedupIndex(
+      corpus.select(md5(col(textCol)).as("__digest")).distinct(),
+      bandedSignatures(minhashSignature(corpus, textCol, idCol, k, w),
+        idCol, bands, rows).select(col("band"), col("sig")).distinct())
+
+  /** Admit `batch` against a PRECOMPUTED [[DedupIndex]]: returns
+    * (survivors, updated index). Row-for-row ≡
+    * [[incrementalDedup]](batch, corpus) — spec-pinned — but the corpus
+    * side is two key-frames, never text: the batch's signatures compute
+    * ONCE and serve both the rejection join and the index update (the
+    * admitted rows' keys union in). Persist the returned index frames
+    * (or localCheckpoint between rounds) so the lineage doesn't re-chain. */
+  def incrementalDedupIndexed(batch: DataFrame, index: DedupIndex,
+                              textCol: String, idCol: String, k: Int, w: Int,
+                              bands: Int, rows: Int): (DataFrame, DedupIndex) = {
+    val withDigest = batch.withColumn("__digest", md5(col(textCol)))
+    val s1 = withDigest.join(index.digests, Seq("__digest"), "left_anti")
+    // batch-sized intermediates consumed TWICE (rejection + index update) —
+    // materialize so the admission joins run once, not per consumer
+    val s1Bands = bandedSignatures(
+      minhashSignature(s1, textCol, idCol, k, w), idCol, bands, rows)
+      .localCheckpoint()
+    val hitIds = s1Bands.join(index.bandSigs, Seq("band", "sig"), "left_semi")
+      .select(col(idCol)).distinct()
+    val kept = s1.join(hitIds, Seq(idCol), "left_anti").localCheckpoint()
+    val updated = DedupIndex(
+      index.digests.unionByName(kept.select(col("__digest"))).distinct(),
+      index.bandSigs.unionByName(
+          s1Bands.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+            .select(col("band"), col("sig")))
+        .distinct())
+    (kept.drop("__digest"), updated)
+  }
+
   /** PageRank over the undirected duplicate-pair graph (pairs as produced by
     * [[lshCandidatePairs]]: (id_a, id_b), id_a < id_b) — node centrality in
     * the duplication graph ranks the template/boilerplate hubs that

@@ -430,6 +430,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(12L))
   }
 
+  test("incrementalDedupIndexed ≡ self-contained form over sequential rounds") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text", "source")
+    val c0 = docs.filter(col("source").isin("src0", "src1", "src2"))
+    val b1 = docs.filter(col("source").isin("src3", "src4"))
+    val b2 = docs.filter(col("source").isin("src5", "src6"))
+    // reference: recompute the corpus side each round
+    val k1Ref = Dedup.incrementalDedup(b1, c0, "text", "doc_id", 8, 5, 4, 2)
+    val c1Ref = c0.unionByName(k1Ref)
+    val k2Ref = Dedup.incrementalDedup(b2, c1Ref, "text", "doc_id", 8, 5, 4, 2)
+    // indexed: corpus text touched exactly once, at index build
+    val idx0 = Dedup.buildDedupIndex(c0, "text", "doc_id", 8, 5, 4, 2)
+    val (k1, idx1) = Dedup.incrementalDedupIndexed(b1, idx0, "text", "doc_id", 8, 5, 4, 2)
+    val (k2, _) = Dedup.incrementalDedupIndexed(b2, idx1, "text", "doc_id", 8, 5, 4, 2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(k1) == ids(k1Ref))
+    assert(ids(k2) == ids(k2Ref), "round-2 admission must see round-1 survivors' keys")
+    assert(k1.columns.toSeq == b1.columns.toSeq, "survivors keep the batch schema")
+  }
+
   test("pageRankMicro: hand-computed one-round values on a path graph") {
     import graft.operators.Dedup
     // path 1-2-3: deg = (1,2,1), N = 3, pr0 = 333333
