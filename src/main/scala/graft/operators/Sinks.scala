@@ -209,8 +209,18 @@ object Sinks {
     val cp = new org.apache.hadoop.fs.Path(s"$tableDir/_commits/v=$version")
     val cfs = cp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!cfs.exists(cp)) {
-      val out0 = cfs.create(cp, false)
-      try out0.write(ts.toString.getBytes("UTF-8")) finally out0.close()
+      // exists-then-create is not atomic: a replay racing the repair loop
+      // can pass the exists check twice — the loser's "already exists" IS
+      // the success outcome (the record is present), never a throw out of
+      // an idempotent commit
+      try {
+        val out0 = cfs.create(cp, false)
+        try out0.write(ts.toString.getBytes("UTF-8")) finally out0.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.io.IOException if cfs.exists(cp) => ()
+      }
     }
   }
 
@@ -433,6 +443,47 @@ object Sinks {
     v
   }
 
+  /** [[publishStagedSnapshot]] with a COMPLETE lost-update fence for
+    * writers whose staged output DERIVES from a specific base version
+    * (thin merge-on-read deltas, copy-on-write DML): claim the next
+    * version, then require the claim to be the IMMEDIATE successor of
+    * `expectedBase`. Claims serialize allocation (atomic exclusive
+    * create), so `v == expectedBase + 1` proves no other writer even
+    * CLAIMED — let alone committed — since the caller bound its base;
+    * any intervening claim forces `v > expectedBase + 1` and the publish
+    * aborts (claim released, staging deleted,
+    * `ConcurrentModificationException`) instead of silently chaining past
+    * the other writer's changes. This closes the window a committed-
+    * pointer re-read leaves open (two writers can both pass a pointer
+    * check before either swaps; they cannot both claim `base + 1`).
+    *
+    * Liveness trade: a CRASHED claimed writer holds `base + 1` and fails
+    * every fenced publish until [[vacuumOrphans]] ages its claim out —
+    * the standard optimistic-concurrency deadline, not a correctness
+    * hole. */
+  def publishStagedSnapshotFenced(spark: SparkSession, tableDir: String,
+                                  staged: org.apache.hadoop.fs.Path,
+                                  expectedBase: Int,
+                                  tsMicros: Option[Long] = None): Int = {
+    val v = claimNextVersion(spark, tableDir)
+    val f = staged.getFileSystem(spark.sessionState.newHadoopConf())
+    if (v != expectedBase + 1) {
+      // release OUR claim (exclusively owned — nobody else can hold it)
+      // so retries after the conflicting writer commits can re-fence
+      f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"), false)
+      f.delete(staged, true)
+      throw new java.util.ConcurrentModificationException(
+        s"fenced publish at $tableDir: staged output derives from " +
+          s"v=$expectedBase but the claim landed at v=$v — another writer " +
+          "claimed in between; re-read and retry")
+    }
+    val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
+    if (!f.rename(staged, dest))
+      throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
+    commitPointerCas(spark, tableDir, v, tsMicros)
+    v
+  }
+
   /** The CAS allocation loop (move 1), shared by both concurrent
     * publishers: max over folders, claims and the pointer, then try to
     * claim — a lost race re-reads past the winner's now-visible claim. */
@@ -622,7 +673,14 @@ object Sinks {
           "upsert batch carries duplicate keys (first: " +
             dup.head().toString + ") — compact the batch per key first")
     }
-    snapshotCommitted(spark, tableDir).getOrElse(
+    // base binds ONCE, up front: the delta the caller computed (effective
+    // upserts, takedown keys) was derived against this version, so this
+    // version is what the chain must reference. The FENCED publish proves
+    // at claim time that no other writer got in between — two concurrent
+    // thin writers can both bind the same base, but only one can claim
+    // base+1; the loser aborts with its staging discarded instead of
+    // silently dropping the winner's delta (the lost update).
+    val base = snapshotCommitted(spark, tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot at $tableDir — nothing to derive from"))
     val staged = new org.apache.hadoop.fs.Path(tableDir,
@@ -632,16 +690,12 @@ object Sinks {
         .write.parquet(new org.apache.hadoop.fs.Path(staged, "_deletes").toString))
     upserts.foreach(
       _.write.parquet(new org.apache.hadoop.fs.Path(staged, "_upserts").toString))
-    // base binds at COMMIT time (the claim serializes concurrent thin
-    // writers: each one chains on whatever the pointer said when ITS claim
-    // landed — re-read under the publish to keep the window minimal)
     val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
-    val base = snapshotCommitted(spark, tableDir).get
     val mp = new org.apache.hadoop.fs.Path(staged, "_base.json")
     val out = fs.create(mp, false)
     try out.write(s"$base\n${keyCols.mkString(",")}".getBytes("UTF-8"))
     finally out.close()
-    publishStagedSnapshot(spark, tableDir, staged, commitTsMicros)
+    publishStagedSnapshotFenced(spark, tableDir, staged, base, commitTsMicros)
   }
 
   /** Change feed between two snapshot versions — CDC DERIVED from
@@ -784,7 +838,38 @@ object Sinks {
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"), false)
     }
+    // crashed writers that never reached publish leave `.dml_staging_*`
+    // folders (publish renames staging into v=N; a JVM crash mid-stage
+    // orphans it) — same age discipline, same grace window
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".dml_staging_") &&
+        now - s.getModificationTime > graceMs)
+      .foreach(s => fs.delete(s.getPath, true))
     dropped
+  }
+
+  /** Workspace-side staging janitor: COW DML on workspace tables stages
+    * as `.{table}.__cow_*` siblings of the table directory (rename-swapped
+    * in on commit, discarded on failure) — a JVM CRASH mid-write orphans
+    * the staging folder with neither path taken. Age-out with the same
+    * grace discipline as [[vacuumOrphans]]: modification time, never
+    * position (a slow writer can legitimately sit mid-stage for the length
+    * of its longest job). Returns the deleted paths. */
+  def vacuumWorkspaceStaging(spark: SparkSession, workspaceDir: String,
+                             graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(workspaceDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val debris = fs.listStatus(root).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && n.startsWith(".") &&
+        (n.contains(".__cow_") || n.startsWith(".dml_staging_")) &&
+        now - s.getModificationTime > graceMs
+    }
+    debris.foreach(s => fs.delete(s.getPath, true))
+    debris.map(_.getPath.toString)
   }
 
   /** [[snapshotDiff]]'s engine over any two same-schema tables. */

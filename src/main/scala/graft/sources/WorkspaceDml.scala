@@ -51,6 +51,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 private[sources] object WorkspaceDml {
 
+  /** A session whose runtime conf is a private COPY of `spark`'s (same
+    * SparkContext, shared catalog state) plus the given overrides — the
+    * scoped alternative to set/restore on the shared session conf, which
+    * every concurrent query on the session would observe (and which an
+    * exception in another thread interleaves badly with). Static confs
+    * that refuse runtime set are skipped: they are identical across
+    * sessions by definition. */
+  def isolatedSession(spark: SparkSession,
+                      overrides: (String, String)*): SparkSession = {
+    val iso = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try iso.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    overrides.foreach { case (k, v) => iso.conf.set(k, v) }
+    iso
+  }
+
   /** V1 `sources.Filter` → `Column`; None marks a filter this table cannot
     * evaluate (Spark then falls back to the row-level rewrite). */
   def toColumn(f: sources.Filter): Option[Column] = {
@@ -194,25 +212,21 @@ private[sources] class GraftWorkspaceTable(
     // the kept set is NOT(coalesce(cond, false))
     val cond = filters.flatMap(WorkspaceDml.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val remaining = declared.map(s => spark.read.schema(s)).getOrElse(spark.read)
+    // field-id reads for renamed columns: DataFrameReader OPTIONS are
+    // case-insensitively lowercased and never match this SQLConf key, and
+    // mutating the SHARED session conf around the job would leak the
+    // altered value to every concurrent query on the session — so run the
+    // read+write on an ISOLATED session (same SparkContext and catalog,
+    // cloned runtime conf) with the key set only there
+    val iso = WorkspaceDml.isolatedSession(spark,
+      "spark.sql.parquet.fieldId.read.enabled" -> "true")
+    val remaining = declared.map(s => iso.read.schema(s)).getOrElse(iso.read)
       .parquet(dir).filter(!coalesce(cond, lit(false)))
     val staging = stagingPath()
-    // field-id reads for renamed columns: DataFrameReader OPTIONS are
-    // case-insensitively lowercased and never match this SQLConf key, so
-    // scope the session conf around the job instead (it is read at
-    // execution time) — the V2 scan path injects it per-scan, but this
-    // read is the V1 DataFrameReader
-    val key = "spark.sql.parquet.fieldId.read.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
     try {
       remaining.write.parquet(staging.toString)
       swapIn(staging)
     } catch { case t: Throwable => dropStaging(staging); throw t }
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 
   // ---- group-based COW (UPDATE / MERGE / non-translatable DELETE) ---------
@@ -330,11 +344,14 @@ private[sources] class SnapshotDmlTable(
   /** OPTIMISTIC CONFLICT DETECTION: this handle's DML output derives from
     * [[boundVersion]] — publishing it after another writer committed a
     * newer version would silently DISCARD that writer's changes (the
-    * classic lost update). Check-before-publish narrows the window to the
-    * publish race itself (claims still serialize version numbers; a
-    * serializable multi-writer DML needs a transaction log — out of scope,
-    * stated honestly). A conflicted statement aborts with its staging
-    * discarded; the caller re-reads and retries. */
+    * classic lost update). The cheap pointer pre-check catches a conflict
+    * that already committed (fast, friendly error); the FENCED publish
+    * ([[graft.operators.Sinks.publishStagedSnapshotFenced]]) closes the
+    * remaining window completely — claims serialize allocation, so the
+    * publish only lands if its claim is `boundVersion + 1`, i.e. no other
+    * writer even claimed since this handle was bound. A conflicted
+    * statement aborts with its staging discarded; the caller re-reads and
+    * retries. */
   private def publishIfUnconflicted(staged: Path): Unit = {
     val cur = graft.operators.Sinks.snapshotCommitted(spark, tableDir)
     if (!cur.contains(boundVersion)) {
@@ -343,7 +360,8 @@ private[sources] class SnapshotDmlTable(
         s"$tableName: table moved from v=$boundVersion to v=${cur.getOrElse(0)} " +
           "during DML — re-read and retry the statement")
     }
-    graft.operators.Sinks.publishStagedSnapshot(spark, tableDir, staged): Unit
+    graft.operators.Sinks.publishStagedSnapshotFenced(
+      spark, tableDir, staged, boundVersion): Unit
   }
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =

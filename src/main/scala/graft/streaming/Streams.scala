@@ -134,41 +134,44 @@ object Streams {
     * right for a compacted state table that FITS its directory; a 100 TB
     * hot-upsert sink wants a partitioned/log-structured target under the
     * SAME foreachBatch+compact+MERGE pattern. */
+  /** Backtick-quote an identifier for interpolation into generated SQL —
+    * a column named with spaces, dots or a reserved word must parse as
+    * itself, never break the statement or resolve elsewhere. */
+  private def q(ident: String): String = "`" + ident.replace("`", "``") + "`"
+
   def runMergeSink(s: SparkSession, chk: String, target: String,
                    keyCol: String, tsCol: String, tieCol: String,
                    statePartitions: Int = 8)(build: => DataFrame): Unit = {
-    val partsKey = "spark.sql.shuffle.partitions"
-    val partsPrev = s.conf.getOption(partsKey)
-    s.conf.set(partsKey, statePartitions.toString)
-    try {
-      val query = build.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          import org.apache.spark.sql.expressions.Window
-          val compact = batch.withColumn("__rn", row_number().over(
-              Window.partitionBy(col(keyCol))
-                .orderBy(col(tsCol).desc, col(tieCol).desc)))
-            .filter(col("__rn") === 1).drop("__rn")
-          val view = s"__graft_merge_batch_$batchId"
-          compact.createOrReplaceTempView(view)
-          val setClause = compact.columns.filter(_ != keyCol)
-            .map(c => s"$c = s.$c").mkString(", ")
-          batch.sparkSession.sql(
-            s"""MERGE INTO $target t USING $view s ON t.$keyCol = s.$keyCol
-               |WHEN MATCHED AND (s.$tsCol > t.$tsCol
-               |  OR (s.$tsCol = t.$tsCol AND s.$tieCol > t.$tieCol))
-               |  THEN UPDATE SET $setClause
-               |WHEN NOT MATCHED THEN INSERT *
-               |""".stripMargin): Unit
-        }
-        .start()
-      query.awaitTermination()
-    } finally partsPrev match {
-      case Some(v) => s.conf.set(partsKey, v)
-      case None => s.conf.unset(partsKey)
-    }
+    val query = build.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        // batch.sparkSession is the stream's OWN cloned session — sizing
+        // the state shuffle there never leaks to concurrent queries on
+        // the caller's session (set/restore on the shared conf did)
+        batch.sparkSession.conf
+          .set("spark.sql.shuffle.partitions", statePartitions.toString)
+        val compact = batch.withColumn("__rn", row_number().over(
+            Window.partitionBy(col(keyCol))
+              .orderBy(col(tsCol).desc, col(tieCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val view = s"__graft_merge_batch_$batchId"
+        compact.createOrReplaceTempView(view)
+        val setClause = compact.columns.filter(_ != keyCol)
+          .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+        batch.sparkSession.sql(
+          s"""MERGE INTO $target t USING ${q(view)} s
+             |ON t.${q(keyCol)} = s.${q(keyCol)}
+             |WHEN MATCHED AND (s.${q(tsCol)} > t.${q(tsCol)}
+             |  OR (s.${q(tsCol)} = t.${q(tsCol)} AND s.${q(tieCol)} > t.${q(tieCol)}))
+             |  THEN UPDATE SET $setClause
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin): Unit
+      }
+      .start()
+    query.awaitTermination()
   }
 
   /** [[runMergeSink]] at the 100 TB ingest cost model: each micro-batch
@@ -185,38 +188,33 @@ object Streams {
   def runThinUpsertSink(s: SparkSession, chk: String, tableDir: String,
                         keyCol: String, tsCol: String, tieCol: String,
                         statePartitions: Int = 8)(build: => DataFrame): Unit = {
-    val partsKey = "spark.sql.shuffle.partitions"
-    val partsPrev = s.conf.getOption(partsKey)
-    s.conf.set(partsKey, statePartitions.toString)
-    try {
-      val query = build.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          import org.apache.spark.sql.expressions.Window
-          val bw = batch.withColumn("__rn", row_number().over(
-              Window.partitionBy(col(keyCol))
-                .orderBy(col(tsCol).desc, col(tieCol).desc)))
-            .filter(col("__rn") === 1).drop("__rn")
-          val cur = graft.operators.Sinks
-            .readSnapshot(batch.sparkSession, tableDir)
-            .select(col(keyCol), col(tsCol).as("__cts"), col(tieCol).as("__cid"))
-          val eff = bw.join(cur, Seq(keyCol), "left")
-            .filter(col("__cts").isNull || col(tsCol) > col("__cts") ||
-              (col(tsCol) === col("__cts") && col(tieCol) > col("__cid")))
-            .drop("__cts", "__cid")
-            .localCheckpoint() // evaluated twice: emptiness probe + publish
-          if (!eff.isEmpty)
-            graft.operators.Sinks.upsertSnapshotRows(
-              batch.sparkSession, tableDir, eff, Seq(keyCol)): Unit
-        }
-        .start()
-      query.awaitTermination()
-    } finally partsPrev match {
-      case Some(v) => s.conf.set(partsKey, v)
-      case None => s.conf.unset(partsKey)
-    }
+    val query = build.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        // scoped to the stream's cloned session (see runMergeSink)
+        batch.sparkSession.conf
+          .set("spark.sql.shuffle.partitions", statePartitions.toString)
+        val bw = batch.withColumn("__rn", row_number().over(
+            Window.partitionBy(col(keyCol))
+              .orderBy(col(tsCol).desc, col(tieCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val cur = graft.operators.Sinks
+          .readSnapshot(batch.sparkSession, tableDir)
+          .select(col(keyCol), col(tsCol).as("__cts"), col(tieCol).as("__cid"))
+        val eff = bw.join(cur, Seq(keyCol), "left")
+          .filter(col("__cts").isNull || col(tsCol) > col("__cts") ||
+            (col(tsCol) === col("__cts") && col(tieCol) > col("__cid")))
+          .drop("__cts", "__cid")
+          .localCheckpoint() // evaluated twice: emptiness probe + publish
+        if (!eff.isEmpty)
+          graft.operators.Sinks.upsertSnapshotRows(
+            batch.sparkSession, tableDir, eff, Seq(keyCol)): Unit
+      }
+      .start()
+    query.awaitTermination()
   }
 
   /** Land `df` as a single named parquet file inside the directory a file

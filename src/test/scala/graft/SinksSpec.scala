@@ -553,6 +553,89 @@ class SinksSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("fenced publish: stale base aborts with staging discarded and claim released") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/fence"
+    assert(Sinks.writeSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir) == 1)
+    assert(Sinks.writeSnapshot(Seq((1L, "a"), (3L, "c")).toDF("k", "v"), dir) == 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a writer whose output derives from v=1 must NOT publish over v=2
+    val staleStaged = new org.apache.hadoop.fs.Path(dir, ".dml_staging_stale")
+    Seq((9L, "x")).toDF("k", "v").write.parquet(staleStaged.toString)
+    intercept[java.util.ConcurrentModificationException] {
+      Sinks.publishStagedSnapshotFenced(spark, dir, staleStaged, expectedBase = 1)
+    }
+    assert(!fs.exists(staleStaged), "conflicted staging must be discarded")
+    // the aborted claim must be RELEASED: a correctly-based publish right
+    // after lands at v=3 (not v=4), proving no dead claim blocks the slot
+    val okStaged = new org.apache.hadoop.fs.Path(dir, ".dml_staging_ok")
+    Seq((9L, "x")).toDF("k", "v").write.parquet(okStaged.toString)
+    assert(Sinks.publishStagedSnapshotFenced(spark, dir, okStaged, expectedBase = 2) == 3)
+    assert(Sinks.snapshotCommitted(spark, dir).contains(3))
+    s.close()
+  }
+
+  test("concurrent thin writers: the fence turns a lost update into an abort, retry chains correctly") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/thinrace"
+    assert(Sinks.writeSnapshot(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), dir) == 1)
+    // two deltas both DERIVED from v=1, racing: under the old bind-at-
+    // commit scheme the second publish silently chained on v=1 and dropped
+    // the first delta; under the fence exactly one wins and the loser
+    // throws. Run them on two threads, retry the loser (re-deriving) once.
+    val keysA = Seq(Tuple1(1L)).toDF("k")
+    val keysB = Seq(Tuple1(2L)).toDF("k")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def attempt(keys: org.apache.spark.sql.DataFrame): Runnable = () =>
+      try Sinks.deleteSnapshotKeys(spark, dir, keys, Seq("k")): Unit
+      catch { case t: Throwable => errs.add(t): Unit }
+    val ts = Seq(new Thread(attempt(keysA)), new Thread(attempt(keysB)))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    // any loser is a ConcurrentModificationException, never a silent drop
+    errs.forEach(t => assert(
+      t.isInstanceOf[java.util.ConcurrentModificationException], t.toString))
+    if (!errs.isEmpty) { // retry the aborted delta against the new base
+      errs.clear()
+      Sinks.deleteSnapshotKeys(spark, dir,
+        if (Sinks.readSnapshot(spark, dir).filter(col("k") === 1L).count() > 0)
+          keysA else keysB, Seq("k")): Unit
+    }
+    val kept = Sinks.readSnapshot(spark, dir)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(kept == (3L to 10L).toSeq,
+      s"both deltas must survive, got ${kept.mkString(",")}")
+    s.close()
+  }
+
+  test("janitors: aged staging debris drops (snapshot + workspace), fresh survives") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/debris"
+    assert(Sinks.writeSnapshot(Seq((1L, 1L)).toDF("a", "b"), dir) == 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, ".dml_staging_crashed"))
+    assert(Sinks.vacuumOrphans(spark, dir, graceMs = 60000L).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, ".dml_staging_crashed")),
+      "fresh staging must survive the grace window")
+    Sinks.vacuumOrphans(spark, dir, graceMs = -1L): Unit
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".dml_staging_crashed")))
+    // workspace-side: .{table}.__cow_* siblings
+    val ws = s"${s.dir}/ws_debris"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ws, ".t.__cow_deadbeef"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ws, "t"))
+    assert(Sinks.vacuumWorkspaceStaging(spark, ws, graceMs = 60000L).isEmpty)
+    val gone = Sinks.vacuumWorkspaceStaging(spark, ws, graceMs = -1L)
+    assert(gone.size == 1 && gone.head.endsWith(".t.__cow_deadbeef"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ws, "t")),
+      "real table dirs are never janitor targets")
+    s.close()
+  }
+
   test("writeSnapshotConcurrent repair: a stalled older writer cannot demote a newer commit") {
     import spark.implicits._
     val s = new graft.Session.Scratch
