@@ -74,13 +74,17 @@ object GraftFunctions {
     all.foreach { case (name, b) => Bridge.registerTempFunction(spark, name, b) }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the native SQL functions plus the
+  * MOR-aware resolution rule that serves thin snapshot chains through the
+  * SQL catalog ([[graft.sources.ResolveThinSnapshots]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftFunctions", name),
         builder))
     }
+    ext.injectResolutionRule(graft.sources.ResolveThinSnapshots(_))
+  }
 }

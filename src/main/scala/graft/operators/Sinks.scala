@@ -566,6 +566,40 @@ object Sinks {
 
   // ---- merge-on-read deletes (thin versions) -------------------------------
 
+  /** Declare the snapshot table's ROW-IDENTITY columns (Iceberg's
+    * "identifier fields"): once declared, the SQL catalog's DELETE takes
+    * the THIN merge-on-read path — the matched rows' keys are published as
+    * an O(keys) delta instead of a whole-table copy-on-write rewrite.
+    * Declaring keys ASSERTS uniqueness: a thin delete removes every row
+    * sharing a matched key, which equals predicate-delete exactly when the
+    * key identifies one row (the same contract thin upserts already
+    * enforce batch-side). Stored as a one-line `_keycols` file; idempotent
+    * re-declaration overwrites. */
+  def declareSnapshotKeys(spark: SparkSession, tableDir: String,
+                          keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty && keyCols.forall(!_.contains(",")),
+      "key columns must be non-empty and ','-free (marker format)")
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_keycols")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(keyCols.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The declared row-identity columns, None if never declared. */
+  def snapshotDeclaredKeys(spark: SparkSession,
+                           tableDir: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_keycols")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      Some(txt.trim.split(',').toSeq)
+    }
+  }
+
   /** The (base, keyCols) marker of a THIN delete version, None for a
     * materialized one. */
   def thinBase(spark: SparkSession, tableDir: String,
@@ -633,9 +667,10 @@ object Sinks {
     * same contract Iceberg puts on non-MOR-aware readers). */
   def deleteSnapshotKeys(spark: SparkSession, tableDir: String,
                          keys: DataFrame, keyCols: Seq[String],
-                         commitTsMicros: Option[Long] = None): Int =
+                         commitTsMicros: Option[Long] = None,
+                         expectedBase: Option[Int] = None): Int =
     publishThin(spark, tableDir, keyCols, commitTsMicros,
-      deletes = Some(keys), upserts = None)
+      deletes = Some(keys), upserts = None, expectedBase = expectedBase)
 
   /** The UPSERT half of the thin-version story — CDC INGEST at O(batch)
     * per commit: publish the next version as base minus the touched keys
@@ -649,14 +684,16 @@ object Sinks {
   def upsertSnapshotRows(spark: SparkSession, tableDir: String,
                          rows: DataFrame, keyCols: Seq[String],
                          deletes: Option[DataFrame] = None,
-                         commitTsMicros: Option[Long] = None): Int =
+                         commitTsMicros: Option[Long] = None,
+                         expectedBase: Option[Int] = None): Int =
     publishThin(spark, tableDir, keyCols, commitTsMicros,
-      deletes = deletes, upserts = Some(rows))
+      deletes = deletes, upserts = Some(rows), expectedBase = expectedBase)
 
   private def publishThin(spark: SparkSession, tableDir: String,
                           keyCols: Seq[String], commitTsMicros: Option[Long],
                           deletes: Option[DataFrame],
-                          upserts: Option[DataFrame]): Int = {
+                          upserts: Option[DataFrame],
+                          expectedBase: Option[Int] = None): Int = {
     require(keyCols.nonEmpty, "thin versions need at least one key column")
     require(keyCols.forall(!_.contains(",")),
       "thin-version key column names must not contain ',' (marker format)")
@@ -675,13 +712,15 @@ object Sinks {
     }
     // base binds ONCE, up front: the delta the caller computed (effective
     // upserts, takedown keys) was derived against this version, so this
-    // version is what the chain must reference. The FENCED publish proves
-    // at claim time that no other writer got in between — two concurrent
-    // thin writers can both bind the same base, but only one can claim
-    // base+1; the loser aborts with its staging discarded instead of
-    // silently dropping the winner's delta (the lost update).
-    val base = snapshotCommitted(spark, tableDir).getOrElse(
-      throw new IllegalStateException(
+    // version is what the chain must reference. Callers that derived their
+    // delta against an EARLIER read (SQL DML handles) pass that version as
+    // `expectedBase` to extend the fence back to their read. The FENCED
+    // publish proves at claim time that no other writer got in between —
+    // two concurrent thin writers can both bind the same base, but only
+    // one can claim base+1; the loser aborts with its staging discarded
+    // instead of silently dropping the winner's delta (the lost update).
+    val base = expectedBase.orElse(snapshotCommitted(spark, tableDir))
+      .getOrElse(throw new IllegalStateException(
         s"no committed snapshot at $tableDir — nothing to derive from"))
     val staged = new org.apache.hadoop.fs.Path(tableDir,
       s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")

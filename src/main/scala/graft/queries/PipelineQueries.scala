@@ -5001,6 +5001,83 @@ object PipelineQueries {
           .select(lit(probe).as("probe_ts"), lit(v).as("version"),
             col("n"), col("sum_chars"))
       }.reduce(_ unionByName _).orderBy("probe_ts")
+    },
+
+    // ---- lakehouse: thin merge-on-read chains served through SQL -----------
+    // The r12 verdict's top item: the scale-safe MOR path is now REACHABLE
+    // FROM THE SQL SURFACE. A thin takedown (v=2, key list only) is read
+    // by SQL immediately — unpinned AND pinned (`VERSION AS OF 2`) — via
+    // the ResolveThinSnapshots rule: the marker relation expands at
+    // analysis into the chain resolver's plan (base scan + broadcast anti
+    // join), so Catalyst pushdown/codegen apply (PlansSpec pins the shape).
+    // Then DELETE FROM runs ON the thin head: SupportsDelete publishes
+    // ANOTHER thin hop (O(keys) bytes — SnapshotSqlSpec pins the folder
+    // contents), fenced on the handle's bound version. Three SQL reads,
+    // three version states, one hash: over- or under-deletion at either
+    // hop, a resolver bug, or a pinned read leaking the head all break it.
+    Q("q223_mor_sql_serving",
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_v1,
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 4 THEN 0 ELSE 1 END) AS BIGINT) AS n_v2,
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 4 OR source = 'src2'
+        |               THEN 0 ELSE 1 END) AS BIGINT) AS n_final
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "morsql_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Sinks.writeSnapshot(docs, tdir)
+      Sinks.deleteSnapshotKeys(s, tdir,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"), Seq("doc_id")): Unit
+      // SQL DELETE on the THIN head: the marker table's SupportsDelete
+      // publishes thin v=3 (source = 'src2' translates to a V1 filter)
+      s.sql(s"DELETE FROM $cat.$tbl WHERE source = 'src2'")
+      val v1 = s.sql(s"SELECT source, COUNT(*) AS n_v1 FROM $cat.$tbl " +
+        "VERSION AS OF 1 GROUP BY source")
+      val v2 = s.sql(s"SELECT source, COUNT(*) AS n_v2 FROM $cat.$tbl " +
+        "VERSION AS OF 2 GROUP BY source")
+      val fin = s.sql(s"SELECT source, COUNT(*) AS n_final FROM $cat.$tbl " +
+        "GROUP BY source")
+      v1.join(v2, Seq("source"), "left").join(fin, Seq("source"), "left")
+        .na.fill(0L, Seq("n_v2", "n_final"))
+        .orderBy("source")
+    },
+
+    // ---- lakehouse: declared row identity ⇒ thin SQL DELETE ---------------
+    // The takedown cost model reached from plain SQL on a MATERIALIZED
+    // table: declaring the table's row-identity columns (Iceberg's
+    // identifier fields) flips `DELETE FROM` from whole-table copy-on-write
+    // to a THIN merge-on-read publish — one filtered scan of the bound
+    // version emits the matched keys (predicate pushdown reaches the
+    // parquet scan), and the new version costs O(keys) bytes. The
+    // `thin_version` column rides the hash: it is 1 only if v=2 carries a
+    // `_base` marker AND zero parquet data files, so a silent fallback to
+    // the COW rewrite — right result, wrong cost model — breaks the face.
+    Q("q224_thin_sql_delete",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after, 1 AS thin_version
+        |FROM documents WHERE n_chars >= 300
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "thindel_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Sinks.writeSnapshot(docs, tdir)
+      Sinks.declareSnapshotKeys(s, tdir, Seq("doc_id"))
+      s.sql(s"DELETE FROM $cat.$tbl WHERE n_chars < 300")
+      val fs = new org.apache.hadoop.fs.Path(tdir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val isThin = Sinks.thinBase(s, tdir, 2).map(_._1).contains(1) &&
+        !fs.listStatus(new org.apache.hadoop.fs.Path(s"$tdir/v=2"))
+          .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      s.sql(s"SELECT source, COUNT(*) AS n_after FROM $cat.$tbl GROUP BY source")
+        .withColumn("thin_version", lit(if (isThin) 1 else 0))
+        .orderBy("source")
     }
   )
 }

@@ -73,18 +73,31 @@ class SnapshotCatalog extends TableCatalog {
     dirEntries().find(_.equalsIgnoreCase(ident.name()))
       .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
 
-  /** SQL serving requires a MATERIALIZED version: a thin merge-on-read
-    * delete (Sinks.deleteSnapshotKeys) is a base chain the relational
-    * resolver (Sinks.readSnapshot) follows with anti joins, which a DSv2
-    * file scan cannot express — the same contract Iceberg puts on
-    * non-MOR-aware readers. Compact to serve. */
-  private def requireMaterialized(tableDir: String, version: Int): Unit =
-    if (graft.operators.Sinks.thinBase(SparkSession.active,
-        s"$workspace/$tableDir", version).isDefined)
+  /** Is this session MOR-aware? Thin chains are served through a marker
+    * table that [[ResolveThinSnapshots]] expands at analysis time — the
+    * rule rides `spark.sql.extensions=graft.GraftExtensions`. A session
+    * without it gets the r12 guided error instead of an unscannable
+    * marker. */
+  private def morAware: Boolean =
+    SparkSession.active.sessionState.analyzer.extendedResolutionRules
+      .exists(_.isInstanceOf[ResolveThinSnapshots])
+
+  /** Serving a thin merge-on-read version needs the MOR-aware resolution
+    * rule (the chain resolver cannot be expressed as a DSv2 file scan —
+    * the same contract Iceberg puts on non-MOR-aware readers): with the
+    * graft extensions active a marker table expands into the resolver's
+    * plan; without them, compact to serve. */
+  private def thinTable(tableDir: String, version: Int,
+                        deletable: Boolean): Table = {
+    if (!morAware)
       throw new UnsupportedOperationException(
-        s"$tableDir v=$version is a merge-on-read delete chain; SQL serving " +
-          "needs materialized versions — Sinks.readSnapshot resolves it, " +
-          "Sinks.compactSnapshot materializes it")
+        s"$tableDir v=$version is a merge-on-read chain; this session lacks " +
+          "the MOR-aware resolution rule — set spark.sql.extensions=" +
+          "graft.GraftExtensions to serve it, or materialize it first " +
+          "(Sinks.compactSnapshot; Sinks.readSnapshot resolves it directly)")
+    new ThinSnapshotTable(s"$tableDir@v$version", SparkSession.active,
+      s"$workspace/$tableDir", version, deletable)
+  }
 
   private def serve(tableDir: String, version: Int): Table = {
     val vDir = s"$workspace/$tableDir/v=$version"
@@ -92,10 +105,13 @@ class SnapshotCatalog extends TableCatalog {
     if (!fs(vPath).exists(vPath) || !fs(vPath).getFileStatus(vPath).isDirectory)
       throw new IllegalArgumentException(
         s"snapshot version $version does not exist under $tableDir")
-    requireMaterialized(tableDir, version)
-    ParquetTable(s"$tableDir@v$version", SparkSession.active,
-      CaseInsensitiveStringMap.empty(), Seq(vDir), None,
-      classOf[ParquetFileFormat])
+    if (graft.operators.Sinks.thinBase(SparkSession.active,
+        s"$workspace/$tableDir", version).isDefined)
+      thinTable(tableDir, version, deletable = false)
+    else
+      ParquetTable(s"$tableDir@v$version", SparkSession.active,
+        CaseInsensitiveStringMap.empty(), Seq(vDir), None,
+        classOf[ParquetFileFormat])
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -106,15 +122,20 @@ class SnapshotCatalog extends TableCatalog {
     // the UNPINNED table is DML-capable: DELETE/UPDATE/MERGE publish a NEW
     // immutable version through the claim-CAS protocol — the version being
     // read is never touched (see [[SnapshotDmlTable]]). Pinned reads
-    // (VERSION/TIMESTAMP AS OF via serve()) stay read-only.
+    // (VERSION/TIMESTAMP AS OF via serve()) stay read-only. A thin HEAD is
+    // served through the MOR marker (readable + thin-DELETE-capable);
+    // UPDATE/MERGE on it fail Spark's capability check — compact first.
     val vDir = s"$workspace/$t/v=$committed"
     val vPath = new org.apache.hadoop.fs.Path(vDir)
     if (!fs(vPath).exists(vPath))
       throw new IllegalStateException(
         s"committed snapshot v=$committed missing under $t")
-    requireMaterialized(t, committed)
-    new SnapshotDmlTable(s"$t@v$committed", SparkSession.active,
-      s"$workspace/$t", vDir)
+    if (graft.operators.Sinks.thinBase(SparkSession.active,
+        s"$workspace/$t", committed).isDefined)
+      thinTable(t, committed, deletable = true)
+    else
+      new SnapshotDmlTable(s"$t@v$committed", SparkSession.active,
+        s"$workspace/$t", vDir)
   }
 
   /** SQL `VERSION AS OF <v>`. `toIntOption`, not digits-then-`toInt`: an

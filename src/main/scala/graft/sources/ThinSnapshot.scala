@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{coalesce, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A THIN merge-on-read snapshot version served through the SQL catalog —
+  * the Iceberg MOR-reader contract the r12 catalog deferred behind a
+  * guided error. The table itself is a lightweight MARKER: it carries the
+  * (tableDir, version) handle and the resolved schema, and
+  * [[ResolveThinSnapshots]] (injected by `graft.GraftExtensions`) expands
+  * its relation during ANALYSIS into the chain resolver's logical plan —
+  * base parquet scan, one LEFT ANTI join per thin hop, upsert unions
+  * ([[graft.operators.Sinks.readSnapshot]]). Expanding at analysis time
+  * (not a custom Scan) is what keeps the 100 TB plan shape: the full
+  * optimizer runs over the expanded tree, so predicates push THROUGH the
+  * anti joins into the base file scan, key lists broadcast, and
+  * whole-stage codegen spans the joins — none of which a row-resolving
+  * DSv2 reader could offer.
+  *
+  * The UNPINNED thin head is also DELETE-capable ([[SupportsDelete]]):
+  * `DELETE FROM snap.t WHERE p` publishes ANOTHER thin version whose cost
+  * is O(matched keys) — the matched keys come from one filtered read of
+  * the resolved chain (pushdown applies), and the publish is fenced on
+  * this handle's bound version, so a concurrent writer aborts the
+  * statement instead of losing its delta. Key columns are the head's own
+  * `_base` marker keys (a thin chain always knows its row identity).
+  * UPDATE/MERGE on a thin head are rejected by Spark's own capability
+  * check (no row-level-operations support) — compact first, by contract.
+  */
+private[graft] class ThinSnapshotTable(
+    tableName: String,
+    spark: SparkSession,
+    val tableDir: String,
+    val pinnedVersion: Int,
+    deletable: Boolean)
+  extends Table with SupportsRead with SupportsDelete {
+
+  /** The resolved chain as an ANALYZED logical plan — what the resolution
+    * rule splices in place of this table's relation. Recomputed per call:
+    * a plan is single-use (its expression IDs must be fresh per splice). */
+  def resolvedPlan(): LogicalPlan =
+    graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
+      .queryExecution.analyzed
+
+  private lazy val resolvedSchema: StructType =
+    graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion)).schema
+
+  /** Row-identity columns: the thin head's own `_base` marker. */
+  private def keyCols: Seq[String] =
+    graft.operators.Sinks.thinBase(spark, tableDir, pinnedVersion)
+      .map(_._2)
+      .getOrElse(throw new IllegalStateException(
+        s"$tableName: v=$pinnedVersion is not a thin version"))
+
+  override def name(): String = tableName
+  override def schema(): StructType = resolvedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  /** Builder and scan must be HARMLESS to PLAN: the optimizer's pushdown
+    * pass builds a scan for every V2 relation eagerly — including the
+    * target of a `DELETE FROM`, whose scan never executes (the metadata-
+    * only delete calls [[deleteWhere]] instead). Only EXECUTING the scan
+    * means a genuine read reached the marker un-expanded — a session
+    * without the extensions — and that gets the guided error. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = resolvedSchema
+      override def description(): String =
+        s"$tableName (merge-on-read marker; expanded by ResolveThinSnapshots)"
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        throw new UnsupportedOperationException(
+          s"$tableName is a merge-on-read chain: serving it through SQL " +
+            "needs the graft extensions (spark.sql.extensions=" +
+            "graft.GraftExtensions, which injects ResolveThinSnapshots) — " +
+            "or materialize it first with Sinks.compactSnapshot")
+    }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    deletable && filters.forall(WorkspaceDml.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val cond = filters.flatMap(WorkspaceDml.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    // one filtered read of the resolved chain (predicates reach the base
+    // scan through the anti joins) emits only the MATCHED KEYS; the thin
+    // publish is O(keys) and fenced on this handle's bound version
+    val keys = graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
+      .filter(coalesce(cond, lit(false)))
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    graft.operators.Sinks.deleteSnapshotKeys(
+      spark, tableDir, keys, keyCols, expectedBase = Some(pinnedVersion)): Unit
+  }
+}
+
+/** Analysis rule (injected via `graft.GraftExtensions`): expand every
+  * READ of a [[ThinSnapshotTable]] relation into the chain resolver's
+  * logical plan, aliased back onto the relation's output attribute IDs so
+  * every reference above stays bound. DML targets are deliberately left
+  * intact — `DELETE FROM` needs the relation to survive to the
+  * `SupportsDelete` path (the thin O(keys) delete), and UPDATE/MERGE on a
+  * thin head must fail Spark's capability check, not silently rewrite a
+  * projection. */
+case class ResolveThinSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!containsThin(plan)) plan else rewrite(plan)
+
+  private def containsThin(p: LogicalPlan): Boolean =
+    p.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[ThinSnapshotTable]
+      case other => other.subqueries.exists(containsThin)
+    }
+
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+    // DML targets keep their V2 relation; only their sources/conditions
+    // may read thin chains
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    case m: MergeIntoTable =>
+      val src = rewrite(m.sourceTable)
+      if (src eq m.sourceTable) m else m.copy(sourceTable = src)
+    case r: DataSourceV2Relation if r.table.isInstanceOf[ThinSnapshotTable] =>
+      val resolved = r.table.asInstanceOf[ThinSnapshotTable].resolvedPlan()
+      // positional alias onto the relation's attribute IDs (the resolver
+      // preserves base column order; the marker schema IS the resolved
+      // schema, so names/types line up by construction)
+      Project(r.output.zip(resolved.output).map { case (out, in) =>
+        Alias(in, out.name)(exprId = out.exprId, qualifier = out.qualifier)
+      }, resolved)
+    case other =>
+      val kids = other.children.map(rewrite)
+      val withKids =
+        if (kids.zip(other.children).forall { case (a, b) => a eq b }) other
+        else other.withNewChildren(kids)
+      withKids.transformExpressions {
+        case se: SubqueryExpression if containsThin(se.plan) =>
+          se.withNewPlan(rewrite(se.plan))
+      }
+  }
+}

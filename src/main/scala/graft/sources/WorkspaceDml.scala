@@ -370,15 +370,31 @@ private[sources] class SnapshotDmlTable(
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val cond = filters.flatMap(WorkspaceDml.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val remaining = spark.read.parquet(committedDir)
-      .filter(!coalesce(cond, lit(false)))
-    // stage the new version's full contents, then the conditional publish —
-    // data-complete before any pointer moves, conflicts detected
-    val staged = stagingPath()
-    try {
-      remaining.write.parquet(staged.toString)
-      publishIfUnconflicted(staged)
-    } catch { case t: Throwable => discard(staged); throw t }
+    graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir) match {
+      case Some(keyCols) =>
+        // declared row identity ⇒ THIN merge-on-read delete: one filtered
+        // scan of the bound version emits the MATCHED KEYS (predicate
+        // pushdown reaches the parquet scan), and the published version
+        // costs O(keys) bytes instead of a whole-table rewrite — the
+        // takedown cost model a 100 TB table demands. Fenced on this
+        // handle's bound version, same as the COW path.
+        val keys = spark.read.parquet(committedDir)
+          .filter(coalesce(cond, lit(false)))
+          .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        graft.operators.Sinks.deleteSnapshotKeys(spark, tableDir, keys,
+          keyCols, expectedBase = Some(boundVersion)): Unit
+      case None =>
+        val remaining = spark.read.parquet(committedDir)
+          .filter(!coalesce(cond, lit(false)))
+        // stage the new version's full contents, then the conditional
+        // publish — data-complete before any pointer moves, conflicts
+        // detected
+        val staged = stagingPath()
+        try {
+          remaining.write.parquet(staged.toString)
+          publishIfUnconflicted(staged)
+        } catch { case t: Throwable => discard(staged); throw t }
+    }
   }
 
   override def newRowLevelOperationBuilder(

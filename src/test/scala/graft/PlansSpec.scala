@@ -333,6 +333,31 @@ class PlansSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("thin chain through SQL: marker expands, pushdown reaches base scan, keys broadcast") {
+    import graft.operators.Sinks
+    val s = new Session.Scratch
+    val cat = "plansnap_" + java.lang.Long.toHexString(System.nanoTime() & 0xffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.workspace", s.dir)
+    Sinks.writeSnapshot(Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars"), s"${s.dir}/t")
+    Sinks.deleteSnapshotKeys(spark, s"${s.dir}/t",
+      Tables.load(spark, sf, "documents").filter(col("doc_id") % 50 === 0)
+        .select("doc_id"), Seq("doc_id"))
+    // the SQL route must produce the SAME plan shape as the direct
+    // resolver: ResolveThinSnapshots expanded the marker during analysis,
+    // so this is a declarative join tree Catalyst fully optimizes
+    val df = spark.sql(s"SELECT doc_id FROM $cat.t WHERE n_chars > 100")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "SQL-served thin chain lost the broadcast anti join:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val fmt = formatted(df)
+    assert(fmt.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      "predicate did not reach the base scan through the expanded chain:\n" + fmt)
+    s.close()
+  }
+
   test("runtime bloom reduction (q149): might_contain injected under the fact scan") {
     import graft.operators.Joins
     Joins.withRuntimeBloom(spark) {

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sinks
+
+/** Thin merge-on-read versions served through the SQL snapshot catalog
+  * (ResolveThinSnapshots + ThinSnapshotTable) and the thin SQL DELETE
+  * paths — the r12 verdict's top two next-round items. */
+class SnapshotSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshCatalog(): (String, String) = {
+    val s = new graft.Session.Scratch
+    val cat = "snapsql_" + java.lang.Long.toHexString(
+      System.nanoTime() & 0xffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.workspace", s.dir)
+    (cat, s.dir)
+  }
+
+  private def seed(ws: String, tbl: String): Unit = {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"doc$i", i % 7)).toDF("id", "txt", "grp")
+    assert(Sinks.writeSnapshot(df, s"$ws/$tbl") == 1)
+  }
+
+  test("thin head: unpinned and pinned SQL reads resolve the chain") {
+    val (cat, ws) = freshCatalog()
+    seed(ws, "t1")
+    import spark.implicits._
+    Sinks.deleteSnapshotKeys(spark, s"$ws/t1",
+      Seq(1L, 2L, 3L).toDF("id"), Seq("id")): Unit
+    // unpinned read resolves the thin head (v=2)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t1").first().getLong(0) == 97)
+    // pinned thin read and pinned base read both work
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t1 VERSION AS OF 2")
+      .first().getLong(0) == 97)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t1 VERSION AS OF 1")
+      .first().getLong(0) == 100)
+    // content, not just counts: the deleted keys are gone, others intact
+    val ids = spark.sql(s"SELECT id FROM $cat.t1 WHERE id <= 5 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(4L, 5L))
+  }
+
+  test("thin head SQL DELETE publishes an O(keys) thin version, fenced") {
+    val (cat, ws) = freshCatalog()
+    seed(ws, "t2")
+    import spark.implicits._
+    Sinks.deleteSnapshotKeys(spark, s"$ws/t2",
+      Seq(Tuple1(50L)).toDF("id"), Seq("id")): Unit
+    // SQL DELETE on the thin head takes SupportsDelete → another thin hop
+    spark.sql(s"DELETE FROM $cat.t2 WHERE grp = 3")
+    assert(Sinks.snapshotCommitted(spark, s"$ws/t2").contains(3))
+    // the published version is THIN: _deletes + _base only, no data files
+    val fs = new org.apache.hadoop.fs.Path(ws)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(s"$ws/t2/v=3"))
+      .map(_.getPath.getName).toSet
+    assert(entries.forall(n => n.startsWith("_") || n.startsWith(".")),
+      s"thin version must hold only markers/deltas, got $entries")
+    val expect = (1L to 100L).filterNot(_ == 50L).filterNot(_ % 7 == 3)
+    val got = spark.sql(s"SELECT id FROM $cat.t2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
+
+  test("declared keys: SQL DELETE on a materialized head goes thin") {
+    val (cat, ws) = freshCatalog()
+    seed(ws, "t3")
+    Sinks.declareSnapshotKeys(spark, s"$ws/t3", Seq("id"))
+    spark.sql(s"DELETE FROM $cat.t3 WHERE id <= 10")
+    assert(Sinks.snapshotCommitted(spark, s"$ws/t3").contains(2))
+    assert(Sinks.thinBase(spark, s"$ws/t3", 2).map(_._1).contains(1),
+      "declared-keys DELETE must publish a thin version, not a COW rewrite")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t3").first().getLong(0) == 90)
+    // and the thin version is byte-thin: no parquet data files
+    val fs = new org.apache.hadoop.fs.Path(ws)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$ws/t3/v=2"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles.isEmpty)
+  }
+
+  test("UPDATE/MERGE on a thin head are rejected; reads in joins/subqueries expand") {
+    val (cat, ws) = freshCatalog()
+    seed(ws, "t4")
+    import spark.implicits._
+    Sinks.deleteSnapshotKeys(spark, s"$ws/t4",
+      Seq(Tuple1(1L)).toDF("id"), Seq("id")): Unit
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.t4 SET txt = 'x' WHERE id = 2")
+    }
+    assert(e.getMessage != null)
+    // thin relation as a JOIN side and inside a subquery both expand
+    assert(spark.sql(
+      s"""SELECT COUNT(*) FROM $cat.t4 a JOIN $cat.t4 b ON a.id = b.id"""
+    ).first().getLong(0) == 99)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.t4 WHERE id IN (SELECT id FROM $cat.t4 WHERE grp = 0)"
+    ).first().getLong(0) == 14)
+  }
+
+  test("thin SQL read plan: predicate pushdown reaches the base scan, keys ride broadcast") {
+    val (cat, ws) = freshCatalog()
+    seed(ws, "t5")
+    import spark.implicits._
+    Sinks.deleteSnapshotKeys(spark, s"$ws/t5",
+      Seq(1L, 2L).toDF("id"), Seq("id")): Unit
+    val df = spark.sql(s"SELECT id, txt FROM $cat.t5 WHERE grp = 2")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("LeftAnti"), physical.take(800))
+    assert(physical.contains("Broadcast"),
+      "delete-key side must broadcast:\n" + physical.take(800))
+    // AQE wraps the tree, so assert on the plan string (FileScan lines
+    // carry their PushedFilters inline)
+    assert(raw"PushedFilters: \[[^\]]*grp".r.findFirstIn(physical).isDefined,
+      "grp predicate must reach the base parquet scan:\n" + physical.take(1200))
+  }
+}
