@@ -5078,6 +5078,52 @@ object PipelineQueries {
       s.sql(s"SELECT source, COUNT(*) AS n_after FROM $cat.$tbl GROUP BY source")
         .withColumn("thin_version", lit(if (isThin) 1 else 0))
         .orderBy("source")
+    },
+
+    // ---- workspace: partitioned tables with partition-grained SQL DML ------
+    // The flat workspace's honest limitation ("point DML against a flat
+    // table rewrites the directory") gets its 100 TB answer: CREATE TABLE
+    // ... PARTITIONED BY lays the table out hive-style, reads partition-
+    // prune for free, and row-level DML is PARTITION-GRAINED — the COW
+    // scan exposes the partition column for Spark's own runtime group
+    // filtering, so `UPDATE ... WHERE source='src2'` reads, rewrites and
+    // republishes ONE directory. The `untouched_intact` column rides the
+    // hash: it is 1 only if an untouched partition's files kept their
+    // EXACT (path, mtime) set across both DML statements — a silent
+    // fall-back to whole-table rewrite breaks the face, not just a spec.
+    Q("q225_partitioned_dml",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN source = 'src2' THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  1 AS untouched_intact
+        |FROM documents
+        |WHERE NOT (source = 'src5' AND n_chars < 300)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.part_docs")
+      s.sql(s"""CREATE TABLE $cat.part_docs
+               |(doc_id BIGINT, n_chars BIGINT, source STRING)
+               |PARTITIONED BY (source)""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.part_docs
+               |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+               |FROM parquet.`$dir/documents.parquet`""".stripMargin)
+      def mtimes(part: String): Map[String, Long] = {
+        val p = new org.apache.hadoop.fs.Path(s"$ws/part_docs.parquet/$part")
+        val f = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (!f.exists(p)) Map.empty
+        else f.listStatus(p).filter(_.isFile)
+          .map(st => st.getPath.toString -> st.getModificationTime).toMap
+      }
+      val before = mtimes("source=src0")
+      s.sql(s"UPDATE $cat.part_docs SET n_chars = n_chars + 1000 WHERE source = 'src2'")
+      s.sql(s"DELETE FROM $cat.part_docs WHERE source = 'src5' AND n_chars < 300")
+      val intact = before.nonEmpty && mtimes("source=src0") == before
+      s.table(s"$cat.part_docs")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("untouched_intact", lit(if (intact) 1 else 0))
+        .orderBy("source")
     }
   )
 }

@@ -108,6 +108,26 @@ class WorkspaceCatalog extends TableCatalog {
 
   private def allNames(): Seq[String] = (dirEntries() ++ sidecarEntries()).distinct
 
+  // ---- partitioned tables ---------------------------------------------------
+  // A `_graft_schema/<name>.part` marker holds the partition column name;
+  // its presence routes loadTable to [[PartitionedWorkspaceTable]] (hive
+  // layout, partition-grained DML). Written only by CREATE TABLE ...
+  // PARTITIONED BY — fixture tables stay flat.
+  private def partMarkerPath(name: String) =
+    new org.apache.hadoop.fs.Path(s"$workspace/_graft_schema/$name.part")
+
+  private def readPartCol(name: String): Option[String] = {
+    val p = partMarkerPath(name)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     allNames().map(n => Identifier.of(Array.empty, n)).toArray
@@ -124,10 +144,17 @@ class WorkspaceCatalog extends TableCatalog {
     // a truncate may have left no directory at all — the scan's file index
     // requires the root path to exist, so re-place the (empty) directory
     if (declared.isDefined && !fs(dir).exists(dir)) fs(dir).mkdirs(dir): Unit
-    // GraftWorkspaceTable IS a ParquetTable (every DSv2 read/write
-    // optimization unchanged, V1 insert fallback included) plus the
-    // row-level DML hooks — DELETE/UPDATE/MERGE via [[WorkspaceDml]]
-    new GraftWorkspaceTable(actual, SparkSession.active, dir.toString, declared)
+    readPartCol(actual) match {
+      case Some(pc) =>
+        new PartitionedWorkspaceTable(actual, SparkSession.active, dir.toString,
+          declared.getOrElse(throw new IllegalStateException(
+            s"partitioned table $actual lost its schema sidecar")), pc)
+      case None =>
+        // GraftWorkspaceTable IS a ParquetTable (every DSv2 read/write
+        // optimization unchanged, V1 insert fallback included) plus the
+        // row-level DML hooks — DELETE/UPDATE/MERGE via [[WorkspaceDml]]
+        new GraftWorkspaceTable(actual, SparkSession.active, dir.toString, declared)
+    }
   }
 
   // ---- write path (round 10) ----------------------------------------------
@@ -171,11 +198,10 @@ class WorkspaceCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "workspace tables are unpartitioned (a table is one directory, like the reference's)")
     if (allNames().exists(_.equalsIgnoreCase(ident.name())))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace() :+ ident.name())
+    if (partitions.nonEmpty) return createPartitioned(ident, schema, partitions)
     val spark = SparkSession.active
     val stamped = stampFieldIds(schema)
     // seed an empty schema-bearing parquet (plain spark.read.parquet on the
@@ -191,6 +217,42 @@ class WorkspaceCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** `CREATE TABLE ... PARTITIONED BY (col)`: hive layout under the table
+    * directory, ONE top-level identity partition column (string/int/long —
+    * the layouts a landing workspace actually shards by: source, tenant,
+    * day number). The declared schema is canonicalized with the partition
+    * column LAST (the order the file index serves and the write path
+    * produces), field-id-stamped like flat tables, and recorded in the
+    * sidecar plus a `.part` marker. No seed file: hive layout has no
+    * root-level files, and the sidecar makes the empty table readable. */
+  private def createPartitioned(ident: Identifier, schema: StructType,
+                                partitions: Array[Transform]): Table = {
+    require(partitions.length == 1,
+      "workspace tables support exactly one partition column")
+    val t = partitions(0)
+    require(t.name() == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+      s"only identity partitioning on a top-level column is supported, got $t")
+    val pc = t.references()(0).fieldNames()(0)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
+      throw new IllegalArgumentException(s"partition column $pc not in schema"))
+    require(Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(f.dataType),
+      s"partition column must be string/int/long, got ${f.dataType}")
+    val canonical = StructType(
+      schema.fields.filterNot(_.name.equalsIgnoreCase(pc)) :+ f)
+    val stamped = stampFieldIds(canonical)
+    val dir = tablePath(ident.name())
+    fs(dir).mkdirs(dir): Unit
+    writeSidecar(ident.name(), stamped)
+    val mp = partMarkerPath(ident.name())
+    val out = fs(mp).create(mp, true)
+    try out.write(f.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    loadTable(ident)
+  }
+
   /** DROP: reports honestly — a deletion the filesystem refuses (held
     * locks, permissions) throws rather than returning a false success. */
   override def dropTable(ident: Identifier): Boolean =
@@ -203,6 +265,9 @@ class WorkspaceCatalog extends TableCatalog {
         val sc = sidecarPath(actual)
         if (fs(sc).exists(sc) && !fs(sc).delete(sc, false))
           throw new IllegalStateException(s"DROP failed: could not delete $sc")
+        val pm = partMarkerPath(actual)
+        if (fs(pm).exists(pm) && !fs(pm).delete(pm, false))
+          throw new IllegalStateException(s"DROP failed: could not delete $pm")
         true
     }
 
@@ -231,6 +296,8 @@ class WorkspaceCatalog extends TableCatalog {
       throw new IllegalStateException(
         s"rename sidecar ${oldIdent.name()} -> ${newIdent.name()} failed; table left at ${oldIdent.name()}")
     }
+    val (pmFrom, pmTo) = (partMarkerPath(actual), partMarkerPath(newIdent.name()))
+    if (fs(pmFrom).exists(pmFrom)) fs(pmFrom).rename(pmFrom, pmTo): Unit
   }
 
   /** `ALTER TABLE ADD COLUMN(S)`: METADATA-ONLY — the one DDL a landing
@@ -246,6 +313,11 @@ class WorkspaceCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val actual = allNames().find(_.equalsIgnoreCase(ident.name()))
       .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
+    if (readPartCol(actual).isDefined)
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE on partitioned workspace table ${ident.name()} is not " +
+          "supported (the declared schema keeps the partition column last; " +
+          "evolve via CREATE TABLE ... AS)")
     val current = readSidecar(actual).getOrElse {
       // pre-existing (non-DDL-created) table: adopt its footer schema as
       // the declared schema, then evolve that

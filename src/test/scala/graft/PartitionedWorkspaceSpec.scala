@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioned workspace tables: hive layout, partition-pruned reads,
+  * partition-grained SQL DML (untouched partitions keep their mtimes —
+  * the q197 dynamic-overwrite discipline applied to DML). */
+class PartitionedWorkspaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshCatalog(): (String, String) = {
+    val s = new graft.Session.Scratch
+    val cat = "pws_" + java.lang.Long.toHexString(System.nanoTime() & 0xffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.WorkspaceCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.workspace", s.dir)
+    (cat, s.dir)
+  }
+
+  private def fs(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** (path → mtime) of every data file under the partition dir. */
+  private def fileTimes(ws: String, tbl: String, part: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$ws/$tbl.parquet/$part")
+    val f = fs(ws)
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p).filter(_.isFile)
+      .map(st => st.getPath.toString -> st.getModificationTime).toMap
+  }
+
+  private def seed(cat: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.pt")
+    spark.sql(
+      s"CREATE TABLE $cat.pt (id BIGINT, v STRING, src STRING) PARTITIONED BY (src)")
+    spark.sql(
+      s"""INSERT INTO $cat.pt
+         |SELECT id, CONCAT('v', id) AS v, CONCAT('s', id % 3) AS src
+         |FROM RANGE(30)""".stripMargin)
+  }
+
+  test("create + insert: hive layout, partition column last, pruned reads") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val f = fs(ws)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$ws/pt.parquet"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs.toSeq == Seq("src=s0", "src=s1", "src=s2"))
+    assert(spark.table(s"$cat.pt").count() == 30)
+    assert(spark.table(s"$cat.pt").columns.toSeq == Seq("id", "v", "src"))
+    // partition pruning reaches the scan
+    val df = spark.sql(s"SELECT id FROM $cat.pt WHERE src = 's1'")
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(600))
+    // data files do NOT contain the partition column
+    val aFile = f.listStatus(new org.apache.hadoop.fs.Path(s"$ws/pt.parquet/src=s0"))
+      .filter(_.isFile).head.getPath.toString
+    assert(!spark.read.parquet(aFile).columns.contains("src"))
+  }
+
+  test("UPDATE WHERE src='s1' rewrites ONE partition; others keep file mtimes") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val before0 = fileTimes(ws, "pt", "src=s0")
+    val before2 = fileTimes(ws, "pt", "src=s2")
+    Thread.sleep(1100) // local-fs mtime granularity can be 1s
+    spark.sql(s"UPDATE $cat.pt SET v = 'patched' WHERE src = 's1'")
+    assert(fileTimes(ws, "pt", "src=s0") == before0,
+      "untouched partition s0 was rewritten")
+    assert(fileTimes(ws, "pt", "src=s2") == before2,
+      "untouched partition s2 was rewritten")
+    val rows = spark.table(s"$cat.pt")
+      .groupBy("src").agg(count(when(col("v") === "patched", 1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("s0" -> 0L, "s1" -> 10L, "s2" -> 0L))
+  }
+
+  test("non-partition-key UPDATE is still group-filtered to matched partitions") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val before0 = fileTimes(ws, "pt", "src=s0")
+    Thread.sleep(1100)
+    // ids 1,4,..,28 ≡ 1 (mod 3) live ONLY in src=s1 (id%3 drives src) —
+    // the runtime group filter discovers that from the DATA, not the
+    // predicate (no src constraint in the statement)
+    spark.sql(s"UPDATE $cat.pt SET v = 'm' WHERE id % 3 = 1")
+    assert(fileTimes(ws, "pt", "src=s0") == before0,
+      "group filter failed: unmatched partition was rewritten")
+    assert(spark.table(s"$cat.pt").filter(col("v") === "m").count() == 10)
+  }
+
+  test("UPDATE moving rows ACROSS partitions keeps both sides exact") {
+    val (cat, _) = freshCatalog()
+    seed(cat)
+    spark.sql(s"UPDATE $cat.pt SET src = 's9' WHERE src = 's2' AND id < 10")
+    val bySrc = spark.table(s"$cat.pt").groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // s2 holds ids ≡ 2 (mod 3): 2,5,8 move (< 10), 7 stay
+    assert(bySrc == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 7L, "s9" -> 3L), bySrc)
+    assert(spark.table(s"$cat.pt").count() == 30)
+  }
+
+  test("translatable DELETE: per-partition rewrite, untouched mtimes survive") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val before0 = fileTimes(ws, "pt", "src=s0")
+    Thread.sleep(1100)
+    spark.sql(s"DELETE FROM $cat.pt WHERE src = 's1' AND id <= 13")
+    assert(fileTimes(ws, "pt", "src=s0") == before0)
+    assert(spark.table(s"$cat.pt").filter(col("src") === "s1").count() == 5)
+    // full-partition delete drops the directory
+    spark.sql(s"DELETE FROM $cat.pt WHERE src = 's2'")
+    assert(!fs(ws).exists(
+      new org.apache.hadoop.fs.Path(s"$ws/pt.parquet/src=s2")))
+    assert(spark.table(s"$cat.pt").count() == 15)
+  }
+
+  test("MERGE INTO partitioned target: matched update + not-matched insert") {
+    val (cat, _) = freshCatalog()
+    seed(cat)
+    spark.range(0, 40, 5).selectExpr("id", "'merged' AS v",
+      "CONCAT('s', id % 3) AS src").createOrReplaceTempView("pt_updates")
+    spark.sql(
+      s"""MERGE INTO $cat.pt t USING pt_updates s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table(s"$cat.pt")
+    assert(out.count() == 32) // 30 + ids 30,35
+    assert(out.filter(col("v") === "merged").count() == 8)
+    assert(out.filter(col("id") === 35).select("src").first().getString(0) == "s2")
+  }
+
+  test("guardrails: ALTER rejected, bad partition specs rejected") {
+    val (cat, _) = freshCatalog()
+    seed(cat)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.pt ADD COLUMN extra INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.pt2 (a INT, b DOUBLE) PARTITIONED BY (b)")
+    }
+    intercept[Exception] {
+      spark.sql(
+        s"CREATE TABLE $cat.pt3 (a INT, b STRING, c STRING) PARTITIONED BY (b, c)")
+    }
+  }
+}
