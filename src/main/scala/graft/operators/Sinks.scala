@@ -600,6 +600,113 @@ object Sinks {
     }
   }
 
+  // ---- change data feed -----------------------------------------------------
+
+  /** Opt a snapshot table into a CHANGE DATA FEED: every subsequent thin
+    * commit ([[deleteSnapshotKeys]]/[[upsertSnapshotRows]]) also lands ONE
+    * parquet file of its change rows into the table's visible `cdf/`
+    * directory — schema = base columns + `__change` ('delete'|'upsert') +
+    * `__version`. Spark's own FILE STREAMING SOURCE over `cdf/` is then
+    * the change stream: exactly-once via the stream's file log, atomic
+    * per-commit visibility via the single-file rename, zero extra reads of
+    * the table. This is the Delta/Iceberg CDF trade stated plainly: the
+    * writer pays O(delta) once so every downstream incremental consumer
+    * (index refresh, cache invalidation, re-embedding) avoids re-diffing
+    * 100 TB. Thin commits ONLY — a materialized rewrite is a snapshot, not
+    * a change set; diff those with [[snapshotDiff]]. A crash between the
+    * version commit and the feed landing drops that version's feed file;
+    * [[repairChangeFeed]] re-derives it from the version's own
+    * `_deletes`/`_upserts` (idempotent by file name). */
+  def enableChangeFeed(spark: SparkSession, tableDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_cdf_enabled")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tableDir, "cdf")): Unit
+    if (!fs.exists(p)) { fs.create(p, false).close() }
+  }
+
+  def changeFeedEnabled(spark: SparkSession, tableDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_cdf_enabled")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The feed's read schema for a table (base columns + change metadata) —
+    * what a `readStream.schema(...)` consumer passes. */
+  def changeFeedSchema(spark: SparkSession, tableDir: String):
+      org.apache.spark.sql.types.StructType = {
+    val base = readSnapshot(spark, tableDir,
+      snapshotCommitted(spark, tableDir)).schema
+    base.add("__change", org.apache.spark.sql.types.StringType)
+      .add("__version", org.apache.spark.sql.types.IntegerType)
+  }
+
+  /** Change rows of one thin commit, in base column order. */
+  private def changeRows(baseDf: DataFrame, keyCols: Seq[String], v: Int,
+                         deletes: Option[DataFrame],
+                         upserts: Option[DataFrame]): DataFrame = {
+    val cols = baseDf.columns.toSeq
+    def conform(df: DataFrame, change: String): DataFrame =
+      df.select(cols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(baseDf.schema(c).dataType).as(c)): _*)
+        .withColumn("__change", lit(change))
+        .withColumn("__version", lit(v))
+    val parts =
+      deletes.map(d => conform(d.select(keyCols.map(col): _*).distinct(),
+        "delete")).toSeq ++
+        upserts.map(conform(_, "upsert")).toSeq
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Land one committed thin version's change rows as `cdf/v{N}.parquet`
+    * (single file per commit — the commit's delta IS the grain): write to
+    * a staging dir, ONE rename in. Idempotent: an existing feed file for
+    * the version is left untouched. */
+  private def landChangeFeed(spark: SparkSession, tableDir: String, v: Int,
+                             rows: DataFrame): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(s"$tableDir/cdf/v$v.parquet")
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dest)) return
+    val tmp = new org.apache.hadoop.fs.Path(tableDir,
+      s".cdf_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).toSeq
+        .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+      fs.mkdirs(dest.getParent): Unit
+      if (!fs.rename(part.getPath, dest) && !fs.exists(dest))
+        throw new IllegalStateException(s"change feed: rename to $dest failed")
+    } finally { if (fs.exists(tmp)) fs.delete(tmp, true): Unit }
+  }
+
+  /** Re-derive and land any committed THIN version whose feed file is
+    * missing (writer crashed between the version commit and the landing).
+    * Returns the versions repaired. */
+  def repairChangeFeed(spark: SparkSession, tableDir: String): Seq[Int] = {
+    if (!changeFeedEnabled(spark, tableDir)) return Seq.empty
+    val committed = snapshotCommitted(spark, tableDir).getOrElse(return Seq.empty)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hconf = spark.sessionState.newHadoopConf()
+    (1 to committed).flatMap { v =>
+      thinBase(spark, tableDir, v) match {
+        case Some((base, keyCols)) if !fs.exists(
+            new org.apache.hadoop.fs.Path(s"$tableDir/cdf/v$v.parquet")) =>
+          def part(name: String): Option[DataFrame] = {
+            val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/$name")
+            if (p.getFileSystem(hconf).exists(p))
+              Some(spark.read.parquet(p.toString))
+            else None
+          }
+          val baseDf = readSnapshot(spark, tableDir, Some(base))
+          landChangeFeed(spark, tableDir, v,
+            changeRows(baseDf, keyCols, v, part("_deletes"), part("_upserts")))
+          Some(v)
+        case _ => None
+      }
+    }
+  }
+
   /** The (base, keyCols) marker of a THIN delete version, None for a
     * materialized one. */
   def thinBase(spark: SparkSession, tableDir: String,
@@ -734,7 +841,18 @@ object Sinks {
     val out = fs.create(mp, false)
     try out.write(s"$base\n${keyCols.mkString(",")}".getBytes("UTF-8"))
     finally out.close()
-    publishStagedSnapshotFenced(spark, tableDir, staged, base, commitTsMicros)
+    val v = publishStagedSnapshotFenced(spark, tableDir, staged, base, commitTsMicros)
+    // change data feed (opt-in): land this commit's change rows post-commit
+    // — a crash in between is repaired from the version's own delta files
+    // (repairChangeFeed), never from a second source of truth
+    if (changeFeedEnabled(spark, tableDir))
+      landChangeFeed(spark, tableDir, v,
+        changeRows(readSnapshot(spark, tableDir, Some(base)), keyCols, v,
+          // re-read the published delta (the input frames may hold
+          // now-consumed staging paths); v=N is immutable from here on
+          deletes.map(_ => spark.read.parquet(s"$tableDir/v=$v/_deletes")),
+          upserts.map(_ => spark.read.parquet(s"$tableDir/v=$v/_upserts"))))
+    v
   }
 
   /** Change feed between two snapshot versions — CDC DERIVED from

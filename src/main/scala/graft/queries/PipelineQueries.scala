@@ -5124,6 +5124,52 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .withColumn("untouched_intact", lit(if (intact) 1 else 0))
         .orderBy("source")
+    },
+
+    // ---- streaming: change data feed from the MOR log ----------------------
+    // The SIXTEENTH true streaming execution closes the loop between the
+    // merge-on-read commit log and downstream incremental consumers: each
+    // thin commit lands its change rows as ONE feed file (writer pays
+    // O(delta) once), and the feed is consumed with Spark's own file
+    // stream — exactly-once discovery through the stream's checkpoint. Two
+    // AvailableNow runs on ONE checkpoint with a commit landing in
+    // between: run 1 sees exactly v2's deletes, run 2 exactly v3's upserts
+    // (the `run` column rides the hash, so a re-emitted or missed version
+    // breaks the face — incremental discovery is the asserted property,
+    // not just final content).
+    Q("q226_change_feed",
+      """SELECT * FROM (
+        |  SELECT 1 AS run, 2 AS version, 'delete' AS change,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |  FROM documents WHERE doc_id % 9 = 4
+        |  UNION ALL
+        |  SELECT 2, 3, 'upsert', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "cdf_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val scratch = new graft.Session.Scratch
+      val chk = s"${scratch.dir}/chk226"
+      val out = s"${scratch.dir}/feed226"
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Sinks.writeSnapshot(docs, tdir)
+      Sinks.enableChangeFeed(s, tdir)
+      Sinks.deleteSnapshotKeys(s, tdir,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"), Seq("doc_id")): Unit
+      graft.streaming.Streams.runChangeFeedCollect(s, chk, tdir, out, run = 1)
+      Sinks.upsertSnapshotRows(s, tdir,
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 500), Seq("doc_id")): Unit
+      graft.streaming.Streams.runChangeFeedCollect(s, chk, tdir, out, run = 2)
+      s.read.parquet(out)
+        .groupBy(col("run"), col("__version").as("version"),
+          col("__change").as("change"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("version")
     }
   )
 }

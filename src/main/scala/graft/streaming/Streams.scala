@@ -217,6 +217,29 @@ object Streams {
     query.awaitTermination()
   }
 
+  /** One AvailableNow pass over a snapshot table's CHANGE DATA FEED
+    * ([[graft.operators.Sinks.enableChangeFeed]]): the feed directory is a
+    * plain parquet FILE STREAM — Spark's own source provides exactly-once
+    * discovery through its file log, so re-running on the same checkpoint
+    * after new commits reads ONLY the new versions' feed files. Each
+    * discovered change row is appended to `outDir` tagged with `run` (the
+    * caller's restart counter — the tag makes incremental discovery
+    * assertable). */
+  def runChangeFeedCollect(s: SparkSession, chk: String, tableDir: String,
+                           outDir: String, run: Int): Unit = {
+    val schema = graft.operators.Sinks.changeFeedSchema(s, tableDir)
+    val query = s.readStream.schema(schema).parquet(s"$tableDir/cdf")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.withColumn("run", lit(run))
+          .write.mode("append").parquet(outDir): Unit
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Land `df` as a single named parquet file inside the directory a file
     * stream is watching. Written to a side dir first, then MOVED in — the
     * source never observes a half-written file, and landing between two

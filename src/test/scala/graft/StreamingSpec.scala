@@ -557,4 +557,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.toSeq == Seq((1L, 12L, 9.0), (2L, 11L, 2.0)))
     scratch.close()
   }
+
+  test("change data feed: per-commit feed files, incremental file-stream reads, crash repair") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val scratch = new graft.Session.Scratch
+    val tdir = s"${scratch.dir}/cdf_t"
+    val chk = s"${scratch.dir}/cdf_chk"
+    val out = s"${scratch.dir}/cdf_out"
+    val base = (1L to 40L).map(i => (i, s"v$i", i % 5)).toDF("id", "v", "g")
+    Sinks.writeSnapshot(base, tdir)
+    Sinks.enableChangeFeed(spark, tdir)
+    Sinks.deleteSnapshotKeys(spark, tdir,
+      Seq(1L, 2L).toDF("id"), Seq("id")): Unit
+    Streams.runChangeFeedCollect(spark, chk, tdir, out, run = 1)
+    Sinks.upsertSnapshotRows(spark, tdir,
+      Seq((3L, "patched", 3L)).toDF("id", "v", "g"), Seq("id")): Unit
+    Streams.runChangeFeedCollect(spark, chk, tdir, out, run = 2)
+    val feed = spark.read.parquet(out)
+    // run 1 saw ONLY v2's deletes; run 2 ONLY v3's upsert (exactly-once
+    // discovery across restarts on one checkpoint)
+    assert(feed.filter(col("run") === 1).select("__version").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(feed.filter(col("run") === 2).select("__version").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    // delete rows carry keys with null payload; upsert rows carry the row
+    val del = feed.filter(col("__change") === "delete")
+      .select("id", "v").collect()
+    assert(del.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L) &&
+      del.forall(_.isNullAt(1)))
+    assert(feed.filter(col("__change") === "upsert").select("v")
+      .head().getString(0) == "patched")
+    // crash window: feed file lost after commit -> repair re-derives it
+    val fs = new org.apache.hadoop.fs.Path(tdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$tdir/cdf/v2.parquet"), false))
+    assert(Sinks.repairChangeFeed(spark, tdir) == Seq(2))
+    assert(spark.read.parquet(s"$tdir/cdf/v2.parquet").count() == 2)
+    // idempotent: nothing left to repair
+    assert(Sinks.repairChangeFeed(spark, tdir).isEmpty)
+    scratch.close()
+  }
 }
