@@ -193,6 +193,37 @@ object Dedup {
     (kept.drop("__digest"), updated)
   }
 
+  /** Persist a [[DedupIndex]] as ONE versioned snapshot artifact — the
+    * q195 artifact discipline applied to the standing dedup state: both
+    * key-frames ride a single union-schema table (`kind` discriminates
+    * digest rows from (band, sig) rows), so a publish is ONE atomic
+    * pointer swap (two separate tables could commit torn), every admission
+    * round's index is a pinned, time-travelable version, and a FRESH
+    * session (a restarted ingest job) loads the index from disk instead of
+    * rebuilding it from corpus text — the whole point of the standing
+    * index at 100 TB. Returns the committed version. */
+  def publishDedupIndex(index: DedupIndex, tableDir: String): Int = {
+    import org.apache.spark.sql.types.IntegerType
+    val rows = index.digests
+      .select(lit("digest").as("kind"), col("__digest").as("digest"),
+        lit(null).cast(IntegerType).as("band"),
+        lit(null).cast("string").as("sig"))
+      .unionByName(index.bandSigs
+        .select(lit("band").as("kind"), lit(null).cast("string").as("digest"),
+          col("band"), col("sig")))
+    graft.operators.Sinks.writeSnapshot(rows, tableDir)
+  }
+
+  /** Load a published index (the committed version, or a pinned one). */
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                     tableDir: String,
+                     version: Option[Int] = None): DedupIndex = {
+    val t = graft.operators.Sinks.readSnapshot(spark, tableDir, version)
+    DedupIndex(
+      t.filter(col("kind") === "digest").select(col("digest").as("__digest")),
+      t.filter(col("kind") === "band").select(col("band"), col("sig")))
+  }
+
   /** PageRank over the undirected duplicate-pair graph (pairs as produced by
     * [[lshCandidatePairs]]: (id_a, id_b), id_a < id_b) — node centrality in
     * the duplication graph ranks the template/boilerplate hubs that

@@ -5170,6 +5170,66 @@ object PipelineQueries {
           col("__change").as("change"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("version")
+    },
+
+    // ---- curation: the standing dedup index as a versioned artifact --------
+    // q221's standing index lived in session memory (localCheckpoint) — a
+    // restarted ingest job had to rebuild it from corpus text, the exact
+    // O(corpus) cost the index exists to avoid. Now the index publishes as
+    // ONE versioned snapshot artifact (union schema, single atomic pointer
+    // swap — two tables could commit torn) and a FRESH SESSION loads it
+    // from disk and admits a batch without ever touching corpus text. The
+    // face runs BOTH admissions in the fresh session — from the loaded
+    // index and from a rebuilt one — and `roundtrip_exact` (1 only if the
+    // two admitted sets are identical, both directions) rides the oracle
+    // hash; the admitted set itself is oracle-recomputed q221-style.
+    Q("q227_dedup_index_artifact", {
+      val c0Src = "('src0','src1','src2','src3','src4')"
+      s"""WITH di_c0 AS (SELECT doc_id, text, source FROM documents WHERE source IN $c0Src),
+         |di_b AS (SELECT doc_id, text, source FROM documents WHERE source NOT IN $c0Src),
+         |di_bx AS (SELECT * FROM di_b n
+         |  WHERE NOT EXISTS (SELECT 1 FROM di_c0 o WHERE md5(o.text) = md5(n.text))),
+         |${bandsCtesSql("dio_", "di_c0")},
+         |${bandsCtesSql("din_", "di_bx")},
+         |di_h AS (SELECT DISTINCT n.doc_id FROM din_bands n
+         |  JOIN dio_bands o ON n.band = o.band AND n.sig = o.sig),
+         |di_k AS (SELECT * FROM di_bx s
+         |  WHERE NOT EXISTS (SELECT 1 FROM di_h h WHERE h.doc_id = s.doc_id))
+         |SELECT doc_id, source, 1 AS roundtrip_exact FROM di_k
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "dedupidx_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val idxDir = s"$ws/$tbl"
+      val c0 = Seq("src0", "src1", "src2", "src3", "src4")
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text", "source")
+      // session 1: build the index from the corpus, publish v1
+      Dedup.publishDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(col("source").isin(c0: _*)),
+          "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand),
+        idxDir): Unit
+      // FRESH session (the restarted ingest job): load the artifact and
+      // admit the batch — corpus text is never read here on the loaded path
+      val s2 = s.newSession()
+      val docs2 = Tables.load(s2, dir, "documents").select("doc_id", "text", "source")
+      val batch = docs2.filter(!col("source").isin(c0: _*))
+      val loaded = Dedup.loadDedupIndex(s2, idxDir)
+      val (keptLoaded, nidx) = Dedup.incrementalDedupIndexed(batch, loaded,
+        "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand)
+      val (keptBuilt, _) = Dedup.incrementalDedupIndexed(batch,
+        Dedup.buildDedupIndex(docs2.filter(col("source").isin(c0: _*)),
+          "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand),
+        "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand)
+      val same = keptLoaded.select("doc_id").except(keptBuilt.select("doc_id")).isEmpty &&
+        keptBuilt.select("doc_id").except(keptLoaded.select("doc_id")).isEmpty
+      // the maintained index is itself the NEXT version of the artifact
+      Dedup.publishDedupIndex(nidx, idxDir): Unit
+      keptLoaded.select(col("doc_id"), col("source"))
+        .withColumn("roundtrip_exact", lit(if (same) 1 else 0))
+        .orderBy("doc_id")
     }
   )
 }

@@ -457,4 +457,32 @@ class CurationSpec extends AnyFunSuite {
     assert(applied.count() == df.count())
     assert(applied.select("uid").distinct().count() == n)
   }
+
+  test("dedup index artifact: publish/load round-trips, versions pin history") {
+    import graft.operators.{Dedup, Sinks}
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/didx"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("id", "text")
+    val idx = Dedup.buildDedupIndex(corpus, "text", "id", 8, 3, 4, 2)
+    assert(Dedup.publishDedupIndex(idx, dir) == 1)
+    val loaded = Dedup.loadDedupIndex(spark, dir)
+    // loaded key-frames ≡ built key-frames, both directions
+    assert(loaded.digests.except(idx.digests).isEmpty &&
+      idx.digests.except(loaded.digests).isEmpty)
+    assert(loaded.bandSigs.except(idx.bandSigs).isEmpty &&
+      idx.bandSigs.except(loaded.bandSigs).isEmpty)
+    // admit a batch with the loaded index, publish the maintained index
+    val batch = Seq((3L, "alpha beta gamma delta epsilon zeta"), // exact dup
+      (4L, "seven eight nine ten eleven twelve")).toDF("id", "text")
+    val (kept, nidx) = Dedup.incrementalDedupIndexed(batch, loaded,
+      "text", "id", 8, 3, 4, 2)
+    assert(kept.select("id").as[Long].collect().toSeq == Seq(4L))
+    assert(Dedup.publishDedupIndex(nidx, dir) == 2)
+    // pinned v1 still serves the PRE-admission index (history intact)
+    val v1 = Dedup.loadDedupIndex(spark, dir, Some(1))
+    assert(v1.digests.count() == 2 &&
+      Dedup.loadDedupIndex(spark, dir).digests.count() == 3)
+    s.close()
+  }
 }
