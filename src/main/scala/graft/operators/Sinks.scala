@@ -600,6 +600,61 @@ object Sinks {
     }
   }
 
+  /** Publish a TASK-STAGED thin delta (the `SupportsDelta` SQL DML path:
+    * executors already wrote `_deletes`/`_upserts` parquet parts into
+    * `staged` — the delta is written exactly once). Same contract as
+    * [[deleteSnapshotKeys]]/[[upsertSnapshotRows]]: duplicate-upsert-key
+    * integrity gate, `_base` marker, FENCED claim publish (abort on a
+    * concurrent writer), change-data-feed landing. An empty delta (the
+    * statement matched nothing) publishes NO version and returns the
+    * bound base — replayed no-op statements leave history untouched. */
+  private[graft] def publishThinStagedDelta(spark: SparkSession,
+                                            tableDir: String,
+                                            keyCols: Seq[String],
+                                            expectedBase: Int,
+                                            staged: org.apache.hadoop.fs.Path): Int = {
+    val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
+    def deltaDir(name: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(staged, name)
+      if (!fs.exists(p)) None
+      else if (!fs.listStatus(p).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))) {
+        // a zero-row part set: the dir must go, or the resolver would try
+        // to infer a schema from an empty folder
+        fs.delete(p, true): Unit
+        None
+      } else Some(p.toString)
+    }
+    val ups = deltaDir("_upserts")
+    val dels = deltaDir("_deletes")
+    if (ups.isEmpty && dels.isEmpty) {
+      fs.delete(staged, true): Unit
+      return expectedBase
+    }
+    ups.foreach { u =>
+      val kc = keyCols.map(col)
+      val dup = spark.read.parquet(u).groupBy(kc: _*)
+        .count().filter(col("count") > 1)
+      if (!dup.isEmpty) {
+        fs.delete(staged, true): Unit
+        throw new IllegalArgumentException(
+          "delta carries duplicate upsert keys (first: " + dup.head().toString +
+            ") — a MERGE source must be unique per key")
+      }
+    }
+    val mp = new org.apache.hadoop.fs.Path(staged, "_base.json")
+    val out = fs.create(mp, false)
+    try out.write(s"$expectedBase\n${keyCols.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+    val v = publishStagedSnapshotFenced(spark, tableDir, staged, expectedBase)
+    if (changeFeedEnabled(spark, tableDir))
+      landChangeFeed(spark, tableDir, v,
+        changeRows(readSnapshot(spark, tableDir, Some(expectedBase)), keyCols, v,
+          dels.map(_ => spark.read.parquet(s"$tableDir/v=$v/_deletes")),
+          ups.map(_ => spark.read.parquet(s"$tableDir/v=$v/_upserts"))))
+    v
+  }
+
   // ---- change data feed -----------------------------------------------------
 
   /** Opt a snapshot table into a CHANGE DATA FEED: every subsequent thin

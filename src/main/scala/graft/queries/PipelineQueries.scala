@@ -5230,6 +5230,65 @@ object PipelineQueries {
       keptLoaded.select(col("doc_id"), col("source"))
         .withColumn("roundtrip_exact", lit(if (same) 1 else 0))
         .orderBy("doc_id")
+    },
+
+    // ---- lakehouse: SQL MERGE as an O(delta) thin commit --------------------
+    // The CDC ingest cost model reached from plain SQL: with declared row
+    // identity, MERGE INTO goes through Spark's DELTA rewrite
+    // (SupportsDelta) instead of the whole-table copy-on-write — the scan
+    // reads only the touched rows (pushdown is safe for deltas), executors
+    // write `_deletes`/`_upserts` parquet directly (the delta is written
+    // once), and the commit is the same fenced thin publish every MOR
+    // writer uses. One MERGE exercises all three clause directions
+    // (matched-conditional DELETE, matched UPDATE, NOT MATCHED INSERT);
+    // `thin_version` rides the hash (a silent COW fallback breaks the
+    // oracle compare), and the post-MERGE read is served through the thin
+    // SQL chain (q223 machinery) — write path and read path proven
+    // together.
+    Q("q228_sql_merge_thin",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, 1 AS thin_version
+        |FROM (
+        |  SELECT source, CASE WHEN doc_id % 6 = 1 THEN n_chars + 10000
+        |                      ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 6 <> 2
+        |  UNION ALL
+        |  SELECT 'synthetic' AS source, doc_id AS n_chars
+        |  FROM documents WHERE doc_id % 6 = 3)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "mergethin_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      Sinks.writeSnapshot(docs, tdir)
+      Sinks.declareSnapshotKeys(s, tdir, Seq("doc_id"))
+      // source rows: %6∈{1,2} match existing keys (1→update, 2→delete);
+      // %6=3 arrives keyed PAST the existing id range (insert)
+      val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+      docs.filter(col("doc_id") % 6 === 1 || col("doc_id") % 6 === 2)
+        .select(col("doc_id"), col("source"), (col("n_chars") + 10000L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 6 === 3)
+          .select((col("doc_id") + maxId + 1000L).as("doc_id"),
+            lit("synthetic").as("source"), col("doc_id").cast("long").as("n_chars")))
+        .createOrReplaceTempView("merge_thin_src")
+      s.sql(
+        s"""MERGE INTO $cat.$tbl t USING merge_thin_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND t.doc_id % 6 = 2 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val fs = new org.apache.hadoop.fs.Path(tdir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val isThin = Sinks.thinBase(s, tdir, 2).map(_._1).contains(1) &&
+        !fs.listStatus(new org.apache.hadoop.fs.Path(s"$tdir/v=2"))
+          .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      s.sql(s"SELECT source, COUNT(*) AS n, SUM(n_chars) AS sum_chars " +
+          s"FROM $cat.$tbl GROUP BY source")
+        .withColumn("thin_version", lit(if (isThin) 1 else 0))
+        .orderBy("source")
     }
   )
 }

@@ -44,7 +44,8 @@ private[graft] class ThinSnapshotTable(
     val tableDir: String,
     val pinnedVersion: Int,
     deletable: Boolean)
-  extends Table with SupportsRead with SupportsDelete {
+  extends Table with SupportsRead with SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   /** The resolved chain as an ANALYZED logical plan — what the resolution
     * rule splices in place of this table's relation. Recomputed per call:
@@ -53,8 +54,18 @@ private[graft] class ThinSnapshotTable(
     graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
       .queryExecution.analyzed
 
-  private lazy val resolvedSchema: StructType =
-    graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion)).schema
+  /** Resolved-chain schema with the chain's key columns NON-NULLABLE —
+    * thin versions exist by row identity, and Spark's delta rewrite
+    * refuses nullable row IDs. */
+  private lazy val resolvedSchema: StructType = {
+    val base = graft.operators.Sinks
+      .readSnapshot(spark, tableDir, Some(pinnedVersion)).schema
+    val keys = graft.operators.Sinks.thinBase(spark, tableDir, pinnedVersion)
+      .map(_._2).getOrElse(Nil)
+    StructType(base.map(f =>
+      if (keys.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
+      else f))
+  }
 
   /** Row-identity columns: the thin head's own `_base` marker. */
   private def keyCols: Seq[String] =
@@ -87,6 +98,27 @@ private[graft] class ThinSnapshotTable(
             "or materialize it first with Sinks.compactSnapshot")
     }
 
+  /** UPDATE/MERGE/non-translatable DELETE on the thin HEAD: another thin
+    * hop through Spark's delta rewrite ([[ThinDeltaOperation]]). The
+    * rewrite's READ side is this marker's relation wrapped in Spark's
+    * `RowLevelOperationTable` — [[ResolveThinSnapshots]] expands that too,
+    * so the touched rows come off the RESOLVED chain (filters push through
+    * the anti joins); the WRITE side publishes `_deletes`/`_upserts`
+    * fenced on this handle's bound version. Row identity = the chain's own
+    * `_base` marker keys. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (!deletable)
+      throw new UnsupportedOperationException(
+        s"$tableName: DML on a pinned version is not a thing — history is immutable")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new ThinDeltaOperation(spark, tableDir, pinnedVersion, keyCols,
+          info.command(), opts => ThinSnapshotTable.this.newScanBuilder(opts))
+    }
+  }
+
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     deletable && filters.forall(WorkspaceDml.toColumn(_).isDefined)
 
@@ -117,22 +149,36 @@ case class ResolveThinSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!containsThin(plan)) plan else rewrite(plan)
 
+  /** The thin marker behind a relation's table, if any: bare, or wrapped
+    * in Spark's `RowLevelOperationTable` (the row-level rewrites' READ
+    * side — expanding it is what makes UPDATE/MERGE on a thin head read
+    * the resolved chain; the WRITE side keeps the wrapped table, which is
+    * a non-child field of the write command and is never expanded). */
+  private def thinOf(r: DataSourceV2Relation): Option[ThinSnapshotTable] =
+    r.table match {
+      case t: ThinSnapshotTable => Some(t)
+      case w => org.apache.spark.sql.graftbridge.Bridge.unwrapRowLevelTable(w)
+        .collect { case t: ThinSnapshotTable => t }
+    }
+
   private def containsThin(p: LogicalPlan): Boolean =
     p.exists {
-      case r: DataSourceV2Relation => r.table.isInstanceOf[ThinSnapshotTable]
+      case r: DataSourceV2Relation => thinOf(r).isDefined
       case other => other.subqueries.exists(containsThin)
     }
 
   private def rewrite(p: LogicalPlan): LogicalPlan = p match {
-    // DML targets keep their V2 relation; only their sources/conditions
-    // may read thin chains
+    // un-rewritten DML commands keep their target relation (DELETE needs
+    // SupportsDelete on it; UPDATE/MERGE are rewritten by Spark into
+    // WriteDelta/ReplaceData in the same fixpoint, whose QUERY side this
+    // rule then expands); only their sources/conditions rewrite here
     case d: DeleteFromTable => d
     case u: UpdateTable => u
     case m: MergeIntoTable =>
       val src = rewrite(m.sourceTable)
       if (src eq m.sourceTable) m else m.copy(sourceTable = src)
-    case r: DataSourceV2Relation if r.table.isInstanceOf[ThinSnapshotTable] =>
-      val resolved = r.table.asInstanceOf[ThinSnapshotTable].resolvedPlan()
+    case r: DataSourceV2Relation if thinOf(r).isDefined =>
+      val resolved = thinOf(r).get.resolvedPlan()
       // positional alias onto the relation's attribute IDs (the resolver
       // preserves base column order; the marker schema IS the resolved
       // schema, so names/types line up by construction)

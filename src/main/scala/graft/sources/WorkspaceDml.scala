@@ -332,6 +332,21 @@ private[sources] class SnapshotDmlTable(
   private val boundVersion: Int =
     committedDir.split("v=").last.toInt
 
+  /** Declared row-identity columns surface NON-NULLABLE: declaring keys
+    * asserts identity (nulls would be meaningless), and Spark's delta
+    * rewrite refuses nullable row IDs outright. */
+  override lazy val schema: StructType = {
+    // can't select `super.schema` past a lazy val — re-derive the footer
+    // schema of the (flat) committed version directly
+    val base = spark.read.parquet(committedDir).schema
+    graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir) match {
+      case Some(keys) => StructType(base.map(f =>
+        if (keys.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
+        else f))
+      case None => base
+    }
+  }
+
   private def stagingPath(): Path =
     new Path(tableDir,
       s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -397,15 +412,28 @@ private[sources] class SnapshotDmlTable(
     }
   }
 
+  /** Row-level UPDATE/MERGE/non-translatable DELETE: with DECLARED row
+    * identity the statement publishes an O(delta) THIN version through
+    * Spark's delta rewrite ([[ThinDeltaOperation]] — pruned scan of the
+    * touched rows, per-task delta files, fenced publish); without declared
+    * keys it stays the whole-table copy-on-write version publish. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new CowOperation(
-        opts => SnapshotDmlTable.this.newScanBuilder(opts),
-        None, info.command(), s"${tableName}__vdml",
-        () => stagingPath(),
-        publishIfUnconflicted,
-        discard)
+      override def build(): RowLevelOperation =
+        graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir) match {
+          case Some(keyCols) =>
+            new ThinDeltaOperation(spark, tableDir, boundVersion,
+              keyCols, info.command(),
+              opts => SnapshotDmlTable.this.newScanBuilder(opts))
+          case None =>
+            new CowOperation(
+              opts => SnapshotDmlTable.this.newScanBuilder(opts),
+              None, info.command(), s"${tableName}__vdml",
+              () => stagingPath(),
+              publishIfUnconflicted,
+              discard)
+        }
     }
 }
 

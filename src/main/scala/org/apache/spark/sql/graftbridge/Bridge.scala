@@ -20,6 +20,17 @@ object Bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Unwrap Spark's `RowLevelOperationTable` (the row-level rewrites'
+    * read-side table wrapper, `private[sql]`) back to the wrapped table —
+    * lets an external resolution rule recognize its own table behind the
+    * wrapper. */
+  def unwrapRowLevelTable(t: org.apache.spark.sql.connector.catalog.Table):
+      Option[org.apache.spark.sql.connector.catalog.Table] = t match {
+    case r: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      Some(r.table)
+    case _ => None
+  }
+
   // ---- Arrow exchange (Dataset.toArrowBatchRdd & friends are private[sql]) --
 
   private def classicDs(df: org.apache.spark.sql.DataFrame) =

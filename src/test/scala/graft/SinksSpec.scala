@@ -474,12 +474,11 @@ class SinksSpec extends AnyFunSuite {
     val diff = Sinks.snapshotDiff(spark, dir, 2, 3, Seq("k"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
     assert(diff == Set(500L -> "removed", 501L -> "removed"), diff.toString)
-    // SQL serving of a thin version gets the guided error...
-    val e = intercept[Exception] {
-      spark.sql("SELECT count(*) FROM snapmor.mor").collect()
-    }
-    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
-    // ...until compaction materializes the chain
+    // SQL serving of the THIN head resolves the chain (r13: the MOR-aware
+    // marker + ResolveThinSnapshots — no guided error, no compaction needed)
+    assert(spark.sql("SELECT count(*) AS n FROM snapmor.mor")
+      .first().getLong(0) == 988)
+    // compaction still materializes the chain for plain file readers
     val v4 = Sinks.compactSnapshot(spark, dir, targetRows = 100000)
     assert(v4 == 4)
     assert(spark.sql("SELECT count(*) AS n FROM snapmor.mor").first().getLong(0) == 988)

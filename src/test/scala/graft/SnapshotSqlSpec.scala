@@ -83,16 +83,74 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(dataFiles.isEmpty)
   }
 
-  test("UPDATE/MERGE on a thin head are rejected; reads in joins/subqueries expand") {
+  test("declared keys: UPDATE publishes an O(delta) thin version via the delta rewrite") {
+    val (cat, ws) = freshCatalog()
+    seed(ws, "t7")
+    Sinks.declareSnapshotKeys(spark, s"$ws/t7", Seq("id"))
+    spark.sql(s"UPDATE $cat.t7 SET txt = 'patched' WHERE grp = 3")
+    assert(Sinks.snapshotCommitted(spark, s"$ws/t7").contains(2))
+    assert(Sinks.thinBase(spark, s"$ws/t7", 2).map(_._1).contains(1),
+      "declared-keys UPDATE must publish a thin version, not a COW rewrite")
+    val fs = new org.apache.hadoop.fs.Path(ws)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the delta is O(matched): _deletes + _upserts subfolders, zero
+    // root-level data files
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$ws/t7/v=2"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+    val up = spark.read.parquet(s"$ws/t7/v=2/_upserts")
+    assert(up.count() == 14 && up.columns.toSeq == Seq("id", "txt", "grp"))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.t7 WHERE txt = 'patched'").first().getLong(0) == 14)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t7").first().getLong(0) == 100)
+    // a statement matching NOTHING publishes NO version (replay-safe no-op)
+    spark.sql(s"UPDATE $cat.t7 SET txt = 'x' WHERE id < 0")
+    assert(Sinks.snapshotCommitted(spark, s"$ws/t7").contains(2),
+      "an empty delta must not publish a version")
+  }
+
+  test("declared keys: MERGE publishes one thin version (update+insert+delete)") {
+    val (cat, ws) = freshCatalog()
+    seed(ws, "t8")
+    Sinks.declareSnapshotKeys(spark, s"$ws/t8", Seq("id"))
+    import spark.implicits._
+    // updates ids 1-5, deletes ids 96-100, inserts ids 101-103
+    ((1L to 5L) ++ (96L to 103L)).map(i => (i, s"m$i", i % 7))
+      .toDF("id", "txt", "grp").createOrReplaceTempView("t8_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t8 t USING t8_src s ON t.id = s.id
+         |WHEN MATCHED AND s.id > 90 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET txt = s.txt
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Sinks.snapshotCommitted(spark, s"$ws/t8").contains(2))
+    assert(Sinks.thinBase(spark, s"$ws/t8", 2).isDefined,
+      "declared-keys MERGE must publish a thin version")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t8").first().getLong(0) == 98)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t8 WHERE txt LIKE 'm%'")
+      .first().getLong(0) == 8) // 5 updates + 3 inserts
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t8 WHERE id > 95 AND id <= 100")
+      .first().getLong(0) == 0)
+    // an UPDATE that mutates the KEY itself: delete(old) + insert(new)
+    spark.sql(s"UPDATE $cat.t8 SET id = 1000 WHERE id = 1")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t8 WHERE id = 1").first().getLong(0) == 0)
+    assert(spark.sql(s"SELECT txt FROM $cat.t8 WHERE id = 1000").first().getString(0) == "m1")
+    // v1 history stays pinned through it all
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t8 VERSION AS OF 1")
+      .first().getLong(0) == 100)
+  }
+
+  test("thin head: UPDATE chains another thin hop; reads in joins/subqueries expand") {
     val (cat, ws) = freshCatalog()
     seed(ws, "t4")
     import spark.implicits._
     Sinks.deleteSnapshotKeys(spark, s"$ws/t4",
       Seq(Tuple1(1L)).toDF("id"), Seq("id")): Unit
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.t4 SET txt = 'x' WHERE id = 2")
-    }
-    assert(e.getMessage != null)
+    // UPDATE on the thin head reads the RESOLVED chain and publishes v=3
+    // as a thin delta (row identity = the chain's own marker keys)
+    spark.sql(s"UPDATE $cat.t4 SET txt = 'x' WHERE id = 2")
+    assert(Sinks.snapshotCommitted(spark, s"$ws/t4").contains(3))
+    assert(Sinks.thinBase(spark, s"$ws/t4", 3).map(_._1).contains(2))
+    assert(spark.sql(s"SELECT txt FROM $cat.t4 WHERE id = 2")
+      .first().getString(0) == "x")
     // thin relation as a JOIN side and inside a subquery both expand
     assert(spark.sql(
       s"""SELECT COUNT(*) FROM $cat.t4 a JOIN $cat.t4 b ON a.id = b.id"""
