@@ -775,9 +775,13 @@ object Sinks {
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
       // fixed two-line format: "<base>\n<keyCol,keyCol,...>" — no JSON
-      // parser dependency needed for two fields
+      // parser dependency needed for two fields. An EMPTY second line is a
+      // keyless APPEND version (base ∪ upserts, no identity semantics).
       val lines = txt.trim.split('\n')
-      Some((lines(0).trim.toInt, lines(1).trim.split(',').toSeq))
+      val keys =
+        if (lines.length < 2 || lines(1).trim.isEmpty) Seq.empty[String]
+        else lines(1).trim.split(',').toSeq
+      Some((lines(0).trim.toInt, keys))
     }
   }
 
@@ -797,10 +801,12 @@ object Sinks {
           else None
         }
         val kc = keyCols.map(org.apache.spark.sql.functions.col)
-        // keys leaving the base: explicit deletes ∪ keys being replaced
         val ups = part("_upserts")
-        val gone = (part("_deletes").toSeq ++ ups.map(_.select(kc: _*)).toSeq)
-          .reduceOption(_ unionByName _)
+        // keyless APPEND version: nothing ever leaves the base
+        val gone =
+          if (keyCols.isEmpty) None
+          else (part("_deletes").toSeq ++ ups.map(_.select(kc: _*)).toSeq)
+            .reduceOption(_ unionByName _)
         val kept = gone.fold(baseDf)(g =>
           baseDf.join(g.distinct(), keyCols, "left_anti"))
         ups.fold(kept)(u => kept.unionByName(u.select(
@@ -851,19 +857,33 @@ object Sinks {
     publishThin(spark, tableDir, keyCols, commitTsMicros,
       deletes = deletes, upserts = Some(rows), expectedBase = expectedBase)
 
+  /** `INSERT INTO` at the MOR cost model: publish the next version as a
+    * KEYLESS thin APPEND — only the new rows are written (`_upserts/` +
+    * an empty-keys `_base` marker; zero base bytes move), and the resolver
+    * serves base ∪ appended with no anti join (nothing ever leaves the
+    * base). No identity semantics: duplicates are the caller's to mean. */
+  def appendSnapshotRows(spark: SparkSession, tableDir: String,
+                         rows: DataFrame,
+                         commitTsMicros: Option[Long] = None,
+                         expectedBase: Option[Int] = None): Int =
+    publishThin(spark, tableDir, Seq.empty, commitTsMicros,
+      deletes = None, upserts = Some(rows), expectedBase = expectedBase)
+
   private def publishThin(spark: SparkSession, tableDir: String,
                           keyCols: Seq[String], commitTsMicros: Option[Long],
                           deletes: Option[DataFrame],
                           upserts: Option[DataFrame],
                           expectedBase: Option[Int] = None): Int = {
-    require(keyCols.nonEmpty, "thin versions need at least one key column")
+    require(keyCols.nonEmpty || (deletes.isEmpty && upserts.nonEmpty),
+      "keyless thin versions are APPENDs: upserts only, no deletes")
     require(keyCols.forall(!_.contains(",")),
       "thin-version key column names must not contain ',' (marker format)")
     // a duplicate key inside ONE upsert batch would materialize as
     // duplicate rows in every resolved read downstream — reject the
     // corrupt commit up front (one batch-sized grouped count; the cost of
-    // an integrity gate, not of the corpus)
-    upserts.foreach { u =>
+    // an integrity gate, not of the corpus). Keyless appends have no
+    // identity to gate.
+    if (keyCols.nonEmpty) upserts.foreach { u =>
       val kc = keyCols.map(org.apache.spark.sql.functions.col)
       val dup = u.groupBy(kc: _*)
         .count().filter(org.apache.spark.sql.functions.col("count") > 1)

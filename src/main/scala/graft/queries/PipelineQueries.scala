@@ -5289,6 +5289,58 @@ object PipelineQueries {
           s"FROM $cat.$tbl GROUP BY source")
         .withColumn("thin_version", lit(if (isThin) 1 else 0))
         .orderBy("source")
+    },
+
+    // ---- lakehouse: SQL-native snapshot table lifecycle ---------------------
+    // The whole snapshot lifecycle from plain SQL: CTAS publishes v1
+    // (empty schema seed) + v2 (the query result as a KEYLESS thin append
+    // — O(batch) bytes, the base is never reopened), each INSERT INTO
+    // chains another append version, INSERT OVERWRITE publishes a new
+    // MATERIALIZED version — and every intermediate state stays a pinned
+    // `VERSION AS OF`. The probe matrix rides ONE hash: per-version row
+    // count AND thin-ness (is_thin distinguishes the append hops from the
+    // overwrite), so mutating history in place (the r13 FileTable-fallback
+    // bug this machinery replaced: INSERT used to write INTO the committed
+    // folder) breaks the face, not just a spec.
+    Q("q229_snapshot_sql_lifecycle",
+      """SELECT * FROM (
+        |  SELECT 2 AS version, CAST((SELECT COUNT(*) FROM documents
+        |    WHERE source = 'src0') AS BIGINT) AS n, 1 AS is_thin
+        |  UNION ALL
+        |  SELECT 3, CAST((SELECT COUNT(*) FROM documents
+        |    WHERE source IN ('src0','src1')) AS BIGINT), 1
+        |  UNION ALL
+        |  SELECT 4, CAST((SELECT COUNT(*) FROM documents
+        |    WHERE source IN ('src0','src1','src2')) AS BIGINT), 1
+        |  UNION ALL
+        |  SELECT 5, CAST((SELECT COUNT(*) FROM documents
+        |    WHERE source = 'src3') AS BIGINT), 0)
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "lifecycle_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      s.sql(s"""CREATE TABLE $cat.$tbl AS
+               |SELECT doc_id, source, n_chars
+               |FROM parquet.`$dir/documents.parquet` WHERE source = 'src0'""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.$tbl
+               |SELECT doc_id, source, n_chars
+               |FROM parquet.`$dir/documents.parquet` WHERE source = 'src1'""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.$tbl
+               |SELECT doc_id, source, n_chars
+               |FROM parquet.`$dir/documents.parquet` WHERE source = 'src2'""".stripMargin)
+      s.sql(s"""INSERT OVERWRITE $cat.$tbl
+               |SELECT doc_id, source, n_chars
+               |FROM parquet.`$dir/documents.parquet` WHERE source = 'src3'""".stripMargin)
+      val probes = (2 to 5).map { v =>
+        val n = s.sql(s"SELECT COUNT(*) AS n FROM $cat.$tbl VERSION AS OF $v")
+          .first().getLong(0)
+        val thin = Sinks.thinBase(s, s"$ws/$tbl", v).isDefined
+        (v, n, if (thin) 1 else 0)
+      }
+      import s.implicits._
+      probes.toDF("version", "n", "is_thin").orderBy("version")
     }
   )
 }

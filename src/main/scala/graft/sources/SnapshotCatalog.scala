@@ -160,16 +160,45 @@ class SnapshotCatalog extends TableCatalog {
       SparkSession.active, s"$workspace/$t", timestampMicros))
   }
 
+  /** SQL-native table lifecycle (r13): `CREATE TABLE` publishes v=1 as an
+    * empty schema-bearing snapshot (the atomic publish protocol — never a
+    * bare directory), so CTAS composes as CREATE + the V1 append write
+    * (v=2 = the query result as a keyless thin append) and every later
+    * `INSERT INTO`/`OVERWRITE` is one more immutable version. Partitioning
+    * is rejected: a snapshot version is one immutable folder by design. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "snapshot tables are written via Sinks.writeSnapshot (atomic publish protocol), not SQL DDL")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "snapshot tables are unpartitioned (a version is one immutable folder)")
+    if (dirEntries().exists(_.equalsIgnoreCase(ident.name())))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace() :+ ident.name())
+    val spark = SparkSession.active
+    graft.operators.Sinks.writeSnapshot(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      s"$workspace/${ident.name()}"): Unit
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("read-only snapshot catalog")
-  override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
-      "retire snapshots via Sinks.expireSnapshots (retention janitor), not SQL DROP")
+      "snapshot tables evolve by publishing new versions, not by ALTER")
+
+  /** DROP removes the whole version store — the table's entire history.
+    * For retention within a live table use `Sinks.expireSnapshots`. */
+  override def dropTable(ident: Identifier): Boolean =
+    dirEntries().find(_.equalsIgnoreCase(ident.name())) match {
+      case None => false
+      case Some(actual) =>
+        val p = new org.apache.hadoop.fs.Path(s"$workspace/$actual")
+        if (!fs(p).delete(p, true))
+          throw new IllegalStateException(s"DROP failed: could not delete $p")
+        true
+    }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only snapshot catalog")
+    throw new UnsupportedOperationException(
+      "snapshot table renames would break pinned references; copy via CTAS")
 }

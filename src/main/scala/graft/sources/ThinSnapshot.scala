@@ -45,6 +45,7 @@ private[graft] class ThinSnapshotTable(
     val pinnedVersion: Int,
     deletable: Boolean)
   extends Table with SupportsRead with SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   /** The resolved chain as an ANALYZED logical plan — what the resolution
@@ -54,30 +55,71 @@ private[graft] class ThinSnapshotTable(
     graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
       .queryExecution.analyzed
 
+  /** Row-identity columns: the table's declared keys if any, else the
+    * thin head's own `_base` marker keys. Empty for a KEYLESS append
+    * chain with no declaration — such a table has no row identity, so
+    * row-level DML is refused with guidance. */
+  private def keyCols: Seq[String] =
+    graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir)
+      .orElse(graft.operators.Sinks.thinBase(spark, tableDir, pinnedVersion)
+        .map(_._2).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
   /** Resolved-chain schema with the chain's key columns NON-NULLABLE —
     * thin versions exist by row identity, and Spark's delta rewrite
     * refuses nullable row IDs. */
   private lazy val resolvedSchema: StructType = {
     val base = graft.operators.Sinks
       .readSnapshot(spark, tableDir, Some(pinnedVersion)).schema
-    val keys = graft.operators.Sinks.thinBase(spark, tableDir, pinnedVersion)
-      .map(_._2).getOrElse(Nil)
+    val keys = keyCols
     StructType(base.map(f =>
       if (keys.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
       else f))
   }
 
-  /** Row-identity columns: the thin head's own `_base` marker. */
-  private def keyCols: Seq[String] =
-    graft.operators.Sinks.thinBase(spark, tableDir, pinnedVersion)
-      .map(_._2)
-      .getOrElse(throw new IllegalStateException(
-        s"$tableName: v=$pinnedVersion is not a thin version"))
-
   override def name(): String = tableName
   override def schema(): StructType = resolvedSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    if (deletable)
+      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
+    else Set(TableCapability.BATCH_READ).asJava
+
+  /** INSERT on a thin head keeps the version discipline: `INSERT INTO`
+    * chains another keyless thin APPEND; `INSERT OVERWRITE` publishes a
+    * new MATERIALIZED version. Identical contract to the materialized
+    * head's ([[SnapshotDmlTable.newWriteBuilder]]). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var overwriteAll = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteAll = true; this
+      }
+      override def overwrite(filters: Array[sources.Filter]):
+          org.apache.spark.sql.connector.write.WriteBuilder = {
+        require(filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
+          "snapshot tables support full INSERT OVERWRITE only (a new " +
+            "materialized version); use DML for partial rewrites")
+        overwriteAll = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: sources.InsertableRelation =
+            new sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                if (overwrite || overwriteAll)
+                  graft.operators.Sinks.writeSnapshotConcurrent(data, tableDir): Unit
+                else
+                  graft.operators.Sinks.appendSnapshotRows(spark, tableDir, data,
+                    expectedBase = Some(pinnedVersion)): Unit
+              }
+            }
+        }
+    }
 
   /** Builder and scan must be HARMLESS to PLAN: the optimizer's pushdown
     * pass builds a scan for every V2 relation eagerly — including the
@@ -112,6 +154,10 @@ private[graft] class ThinSnapshotTable(
     if (!deletable)
       throw new UnsupportedOperationException(
         s"$tableName: DML on a pinned version is not a thing — history is immutable")
+    if (keyCols.isEmpty)
+      throw new UnsupportedOperationException(
+        s"$tableName: a keyless append chain has no row identity — declare " +
+          "keys (Sinks.declareSnapshotKeys) or compact before row-level DML")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
         new ThinDeltaOperation(spark, tableDir, pinnedVersion, keyCols,
@@ -120,7 +166,8 @@ private[graft] class ThinSnapshotTable(
   }
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    deletable && filters.forall(WorkspaceDml.toColumn(_).isDefined)
+    deletable && keyCols.nonEmpty &&
+      filters.forall(WorkspaceDml.toColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val cond = filters.flatMap(WorkspaceDml.toColumn)

@@ -323,8 +323,9 @@ private[sources] class SnapshotDmlTable(
     spark: SparkSession,
     tableDir: String,
     committedDir: String)
-  extends ParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(),
-    Seq(committedDir), None, classOf[ParquetFileFormat])
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
   with SupportsDelete with SupportsRowLevelOperations {
 
   /** The version this handle's DML derives from (the committed pointer at
@@ -332,12 +333,12 @@ private[sources] class SnapshotDmlTable(
   private val boundVersion: Int =
     committedDir.split("v=").last.toInt
 
+  override def name(): String = tableName
+
   /** Declared row-identity columns surface NON-NULLABLE: declaring keys
     * asserts identity (nulls would be meaningless), and Spark's delta
     * rewrite refuses nullable row IDs outright. */
   override lazy val schema: StructType = {
-    // can't select `super.schema` past a lazy val — re-derive the footer
-    // schema of the (flat) committed version directly
     val base = spark.read.parquet(committedDir).schema
     graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir) match {
       case Some(keys) => StructType(base.map(f =>
@@ -346,6 +347,52 @@ private[sources] class SnapshotDmlTable(
       case None => base
     }
   }
+
+  /** COMPOSITION, not FileTable inheritance, deliberately (r13 bugfix):
+    * Spark's `FallBackFileSourceV2` rewrites INSERT on any `FileTable`
+    * into a V1 insert that writes INTO the committed version folder —
+    * silently MUTATING pinned history. As a plain `Table`, INSERT stays on
+    * the V2 path where [[newWriteBuilder]] publishes a NEW version; reads
+    * still delegate to a genuine `ParquetTable` scan builder. */
+  override def capabilities():
+      java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Set.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+      org.apache.spark.sql.connector.catalog.TableCapability.V1_BATCH_WRITE,
+      org.apache.spark.sql.connector.catalog.TableCapability.OVERWRITE_BY_FILTER,
+      org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+
+  def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(tableName, spark, options, Seq(committedDir), Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  /** SQL INSERT publishes a VERSION, never touches v=N in place:
+    * `INSERT INTO` = a keyless thin APPEND (O(batch) bytes, fenced on this
+    * handle's bound version); `INSERT OVERWRITE` = a new MATERIALIZED
+    * version holding exactly the query result (history stays pinned). */
+  def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+        require(filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
+          "snapshot tables support full INSERT OVERWRITE only (a new " +
+            "materialized version); use DML for partial rewrites")
+        overwriteAll = true; this
+      }
+      override def build(): Write = new org.apache.spark.sql.connector.write.V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          new sources.InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite || overwriteAll)
+                graft.operators.Sinks.writeSnapshotConcurrent(data, tableDir): Unit
+              else
+                graft.operators.Sinks.appendSnapshotRows(spark, tableDir, data,
+                  expectedBase = Some(boundVersion)): Unit
+            }
+          }
+      }
+    }
 
   private def stagingPath(): Path =
     new Path(tableDir,

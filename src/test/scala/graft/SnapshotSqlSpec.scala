@@ -160,6 +160,44 @@ class SnapshotSqlSpec extends AnyFunSuite {
     ).first().getLong(0) == 14)
   }
 
+  test("SQL lifecycle: CREATE/CTAS, INSERT appends thin versions, OVERWRITE materializes, DROP") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.life (id BIGINT, v STRING)")
+    assert(Sinks.snapshotCommitted(spark, s"$ws/life").contains(1))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.life").first().getLong(0) == 0)
+    // INSERT INTO = keyless thin APPEND version: O(batch) bytes, base
+    // never reopened, pinned history per insert
+    spark.sql(s"INSERT INTO $cat.life VALUES (1, 'a'), (2, 'b')")
+    assert(Sinks.snapshotCommitted(spark, s"$ws/life").contains(2))
+    assert(Sinks.thinBase(spark, s"$ws/life", 2).exists(_._2.isEmpty),
+      "INSERT INTO must publish a KEYLESS thin append, not rewrite")
+    val fs = new org.apache.hadoop.fs.Path(ws)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$ws/life/v=2"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+    spark.sql(s"INSERT INTO $cat.life VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.life").first().getLong(0) == 3)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.life VERSION AS OF 2")
+      .first().getLong(0) == 2)
+    // v=1 (pre-insert) is still exactly empty — the r13 bugfix: the old
+    // FileTable fallback wrote INTO the committed folder, mutating history
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.life VERSION AS OF 1")
+      .first().getLong(0) == 0)
+    // INSERT OVERWRITE = a new MATERIALIZED version, history intact
+    spark.sql(s"INSERT OVERWRITE $cat.life VALUES (9, 'z')")
+    assert(Sinks.snapshotCommitted(spark, s"$ws/life").contains(4))
+    assert(Sinks.thinBase(spark, s"$ws/life", 4).isEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.life").first().getLong(0) == 1)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.life VERSION AS OF 3")
+      .first().getLong(0) == 3)
+    // CTAS composes CREATE + append; DROP removes the version store
+    spark.sql(s"CREATE TABLE $cat.life2 AS SELECT * FROM $cat.life")
+    assert(spark.sql(s"SELECT v FROM $cat.life2").first().getString(0) == "z")
+    spark.sql(s"DROP TABLE $cat.life2")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ws/life2")))
+    intercept[Exception] { spark.table(s"$cat.life2").count() }
+  }
+
   test("thin SQL read plan: predicate pushdown reaches the base scan, keys ride broadcast") {
     val (cat, ws) = freshCatalog()
     seed(ws, "t5")
