@@ -313,11 +313,16 @@ class WorkspaceCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val actual = allNames().find(_.equalsIgnoreCase(ident.name()))
       .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
-    if (readPartCol(actual).isDefined)
+    val partCol = readPartCol(actual)
+    // partitioned tables: metadata-only ADD COLUMN is safe (the evolved
+    // sidecar null-fills old files; the canonical partition-column-last
+    // order is restored below); RENAME is rejected — the partitioned DML
+    // paths read through the V1 reader, which has no per-scan field-id
+    // injection, so a renamed column would stop resolving there
+    if (partCol.isDefined && !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
       throw new UnsupportedOperationException(
-        s"ALTER TABLE on partitioned workspace table ${ident.name()} is not " +
-          "supported (the declared schema keeps the partition column last; " +
-          "evolve via CREATE TABLE ... AS)")
+        s"partitioned workspace table ${ident.name()} supports ALTER TABLE " +
+          "ADD COLUMN only; rewrite via CREATE TABLE ... AS for anything else")
     val current = readSidecar(actual).getOrElse {
       // pre-existing (non-DDL-created) table: adopt its footer schema as
       // the declared schema, then evolve that
@@ -371,7 +376,14 @@ class WorkspaceCatalog extends TableCatalog {
             s"(got ${other.getClass.getSimpleName}); " +
             "drop/retype would reinterpret bytes already on disk — rewrite via CREATE TABLE ... AS")
     }
-    writeSidecar(actual, evolved)
+    // restore canonical hive order: the partition column stays LAST
+    val canonical = partCol match {
+      case Some(pc) => StructType(
+        evolved.fields.filterNot(_.name.equalsIgnoreCase(pc)) ++
+          evolved.fields.filter(_.name.equalsIgnoreCase(pc)))
+      case None => evolved
+    }
+    writeSidecar(actual, canonical)
     loadTable(ident)
   }
 }

@@ -131,12 +131,32 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     assert(out.filter(col("id") === 35).select("src").first().getString(0) == "s2")
   }
 
-  test("guardrails: ALTER rejected, bad partition specs rejected") {
+  test("ALTER ADD COLUMN is metadata-only and keeps the partition column last") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val before = (0 to 2).map(i => fileTimes(ws, "pt", s"src=s$i"))
+    spark.sql(s"ALTER TABLE $cat.pt ADD COLUMN extra INT")
+    // zero data files rewritten — the evolution is a sidecar edit
+    assert((0 to 2).forall(i => fileTimes(ws, "pt", s"src=s$i") == before(i)))
+    val t = spark.table(s"$cat.pt")
+    assert(t.columns.toSeq == Seq("id", "v", "extra", "src"),
+      "new columns insert BEFORE the partition column (canonical hive order)")
+    assert(t.filter(col("extra").isNotNull).count() == 0)
+    spark.sql(s"INSERT INTO $cat.pt VALUES (100, 'n', 7, 's1')")
+    assert(spark.table(s"$cat.pt").filter(col("extra") === 7).count() == 1)
+    // partition-grained DML still works on the evolved schema
+    spark.sql(s"UPDATE $cat.pt SET extra = 1 WHERE src = 's0'")
+    assert(spark.table(s"$cat.pt").filter(col("extra") === 1).count() == 10)
+    // RENAME stays rejected on partitioned tables (V1 DML reads lack the
+    // per-scan field-id injection)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.pt RENAME COLUMN v TO w")
+    }
+  }
+
+  test("guardrails: bad partition specs rejected") {
     val (cat, _) = freshCatalog()
     seed(cat)
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.pt ADD COLUMN extra INT")
-    }
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.pt2 (a INT, b DOUBLE) PARTITIONED BY (b)")
     }
