@@ -1039,6 +1039,9 @@ object Sinks {
       // re-allocation stays impossible (allocation maxes over folders,
       // claims AND the pointer, and newer versions survive by contract)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"), false)
+      // an expired version's change-feed file retires with it (consumers
+      // past it have their offsets in the stream checkpoint, not here)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/cdf/v$v.parquet"), false)
     }
     toDrop
   }
