@@ -790,7 +790,12 @@ object Sinks {
     require(depth <= 64,
       s"merge-on-read chain deeper than 64 at $tableDir v=$v — compact it")
     thinBase(spark, tableDir, v) match {
-      case None => spark.read.parquet(s"$tableDir/v=$v")
+      case None =>
+        val df = spark.read.parquet(s"$tableDir/v=$v")
+        // bucketed versions carry a synthetic __bucket layout column —
+        // physical, not logical
+        if (bucketedLayout(spark, tableDir, v).isDefined) df.drop("__bucket")
+        else df
       case Some((base, keyCols)) =>
         val baseDf = resolveVersion(spark, tableDir, base, depth + 1)
         val hconf = spark.sessionState.newHadoopConf()
@@ -947,6 +952,53 @@ object Sinks {
                    fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame =
     diffTables(readSnapshot(spark, tableDir, Some(fromV)),
       readSnapshot(spark, tableDir, Some(toV)), keyCols)
+
+  /** [[writeSnapshot]] BUCKETED for storage-partitioned joins: rows land
+    * in `__bucket=i` subfolders of the version by `pmod(key, n)` (integral
+    * keys — the canonical co-location layout two fact/dim tables share),
+    * and the version carries a `_buckets` marker (`keyCol\nn`). The
+    * bucketed SQL read ([[graft.sources.BucketedSnapshotTable]]) reports
+    * `KeyGroupedPartitioning(graft_bucket(n, key))`, so a join of two
+    * tables bucketed the SAME way runs with ZERO exchange on either side
+    * (Spark's storage-partitioned join; enable
+    * `spark.sql.sources.v2.bucketing.enabled`). At 100 TB this is the
+    * difference between a co-located merge and shuffling both corpora. */
+  def writeSnapshotBucketed(df: DataFrame, tableDir: String,
+                            keyCol: String, buckets: Int): Int = {
+    require(buckets > 0, "buckets must be positive")
+    val kt = df.schema(keyCol).dataType
+    require(Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(kt),
+      s"bucketed snapshots need an integral key, got $kt")
+    val spark = df.sparkSession
+    val next = snapshotVersions(spark, tableDir).lastOption.getOrElse(0) + 1
+    val vDir = s"$tableDir/v=$next"
+    df.withColumn("__bucket",
+        pmod(col(keyCol).cast("long"), lit(buckets.toLong)).cast("int"))
+      .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(vDir)
+    val mp = new org.apache.hadoop.fs.Path(vDir, "_buckets")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(s"$keyCol\n$buckets".getBytes("UTF-8")) finally out.close()
+    commitPointer(spark, tableDir, next)
+    next
+  }
+
+  /** The (keyCol, buckets) marker of a bucketed version, None otherwise. */
+  def bucketedLayout(spark: SparkSession, tableDir: String,
+                     version: Int): Option[(String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$version/_buckets")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      val lines = txt.trim.split('\n')
+      Some((lines(0).trim, lines(1).trim.toInt))
+    }
+  }
 
   /** [[writeSnapshot]] + an Iceberg-style FILE MANIFEST: per-file min/max
     * of `statsCols`, computed in one grouped pass over the written files

@@ -5341,6 +5341,62 @@ object PipelineQueries {
       }
       import s.implicits._
       probes.toDF("version", "n", "is_thin").orderBy("version")
+    },
+
+    // ---- lakehouse: storage-partitioned join (zero-exchange co-location) ----
+    // The biggest single shuffle eliminator a 100 TB join has: fact and
+    // dim land BUCKETED (`Sinks.writeSnapshotBucketed` — pmod(key, n) into
+    // `__bucket=i` subfolders), their scans report
+    // KeyGroupedPartitioning(bucket(n, key)) resolved through the
+    // catalog's own V2 bucket function, and Spark's storage-partitioned
+    // join machinery plans the equi-join with NO Exchange on either side —
+    // at scale, the difference between a co-located merge and shuffling
+    // two corpora. `no_exchange` is computed FROM THE PHYSICAL PLAN of the
+    // join and rides the oracle hash: if the layout ever stops being
+    // honored (a transform mismatch, a conf regression, a scan that stops
+    // reporting), the face fails on correctness, not on a benchmark
+    // eyeball. Join RESULTS are oracle-recomputed from the raw table.
+    Q("q230_bucketed_join",
+      """WITH dim AS (SELECT user_id, MIN(event_id) AS first_event
+        |            FROM events GROUP BY user_id)
+        |SELECT e.user_id, d.first_event,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(e.event_id) AS BIGINT) AS sum_ids,
+        |  1 AS no_exchange
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.user_id, d.first_event
+        |ORDER BY e.user_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tag = java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val ev = Tables.load(s, dir, "events").select("user_id", "event_id")
+      val dim = ev.groupBy("user_id").agg(min(col("event_id")).as("first_event"))
+      Sinks.writeSnapshotBucketed(ev, s"$ws/spjf_$tag", "user_id", 8): Unit
+      Sinks.writeSnapshotBucketed(dim, s"$ws/spjd_$tag", "user_id", 8): Unit
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true"); s.conf.set(keys(1), "-1")
+      try {
+        val joined = s.sql(
+          s"""SELECT f.user_id, f.event_id, d.first_event
+             |FROM $cat.spjf_$tag f JOIN $cat.spjd_$tag d
+             |ON f.user_id = d.user_id""".stripMargin)
+        val noExchange =
+          !joined.queryExecution.executedPlan.toString.contains("Exchange")
+        // materialize the join result UNDER the SPJ confs (localCheckpoint
+        // executes the zero-exchange plan); aggregate after
+        joined.localCheckpoint()
+          .groupBy(col("user_id"), col("first_event"))
+          .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+          .withColumn("no_exchange", lit(if (noExchange) 1 else 0))
+          .orderBy("user_id")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   )
 }

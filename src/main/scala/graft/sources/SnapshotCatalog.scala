@@ -36,9 +36,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * writes just before each pointer swap (newest version committed ≤ ts;
   * versions remain the reproducible handle a training run should store).
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var workspace: String = _
+
+  // ---- FunctionCatalog: the bucket transform behind storage-partitioned
+  // joins. Spark resolves a scan-reported KeyGroupedPartitioning's
+  // transform through the TABLE'S catalog — serving `bucket` here is
+  // what lets the planner match two bucketed tables' layouts and join them
+  // with zero exchange.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array.empty, "bucket"))
+  }
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -108,10 +125,16 @@ class SnapshotCatalog extends TableCatalog {
     if (graft.operators.Sinks.thinBase(SparkSession.active,
         s"$workspace/$tableDir", version).isDefined)
       thinTable(tableDir, version, deletable = false)
-    else
-      ParquetTable(s"$tableDir@v$version", SparkSession.active,
-        CaseInsensitiveStringMap.empty(), Seq(vDir), None,
-        classOf[ParquetFileFormat])
+    else graft.operators.Sinks.bucketedLayout(SparkSession.active,
+        s"$workspace/$tableDir", version) match {
+      case Some((keyCol, n)) =>
+        new BucketedSnapshotTable(s"$tableDir@v$version", SparkSession.active,
+          s"$workspace/$tableDir", version, keyCol, n)
+      case None =>
+        ParquetTable(s"$tableDir@v$version", SparkSession.active,
+          CaseInsensitiveStringMap.empty(), Seq(vDir), None,
+          classOf[ParquetFileFormat])
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -133,9 +156,17 @@ class SnapshotCatalog extends TableCatalog {
     if (graft.operators.Sinks.thinBase(SparkSession.active,
         s"$workspace/$t", committed).isDefined)
       thinTable(t, committed, deletable = true)
-    else
-      new SnapshotDmlTable(s"$t@v$committed", SparkSession.active,
-        s"$workspace/$t", vDir)
+    else graft.operators.Sinks.bucketedLayout(SparkSession.active,
+        s"$workspace/$t", committed) match {
+      case Some((keyCol, n)) =>
+        // bucketed versions are read-only LAYOUT artifacts (the point is
+        // the reported partitioning); republish to change them
+        new BucketedSnapshotTable(s"$t@v$committed", SparkSession.active,
+          s"$workspace/$t", committed, keyCol, n)
+      case None =>
+        new SnapshotDmlTable(s"$t@v$committed", SparkSession.active,
+          s"$workspace/$t", vDir)
+    }
   }
 
   /** SQL `VERSION AS OF <v>`. `toIntOption`, not digits-then-`toInt`: an
