@@ -835,9 +835,11 @@ object Sinks {
     * immutable and readable, [[snapshotDiff]] diffs resolved content, and
     * [[expireSnapshots]] refuses to drop a base a surviving thin version
     * still needs. NULL keys never match an anti join — a null-keyed delete
-    * row removes nothing, by SQL semantics. SQL catalog serving requires
-    * materialized versions (the reader is COW-aware; compact first — the
-    * same contract Iceberg puts on non-MOR-aware readers). */
+    * row removes nothing, by SQL semantics. SQL catalog serving of thin
+    * chains is native since r13 ([[graft.sources.ResolveThinSnapshots]]
+    * expands the marker relation at analysis); sessions without the graft
+    * extensions still need materialized versions — compact first, the
+    * contract Iceberg puts on non-MOR-aware readers. */
   def deleteSnapshotKeys(spark: SparkSession, tableDir: String,
                          keys: DataFrame, keyCols: Seq[String],
                          commitTsMicros: Option[Long] = None,

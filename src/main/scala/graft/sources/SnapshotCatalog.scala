@@ -29,12 +29,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * resolved version is served as Spark's own `ParquetTable`, so pushdown /
   * pruning / vectorization apply unchanged.
   *
-  * Read-only by design: snapshot WRITES go through the publish protocol
-  * (`writeSnapshot`/`writeSnapshotAs` — version allocation + atomic pointer
-  * swap), which a plain SQL INSERT cannot express. `TIMESTAMP AS OF`
-  * resolves through the per-version `_commits/` records the protocol
-  * writes just before each pointer swap (newest version committed ≤ ts;
-  * versions remain the reproducible handle a training run should store).
+  * Every WRITE is a VERSION (r13): `CREATE TABLE`/CTAS publish v=1 through
+  * the atomic protocol, `INSERT INTO` publishes a keyless thin APPEND,
+  * `INSERT OVERWRITE` a new materialized version, and DML
+  * (DELETE/UPDATE/MERGE) publishes copy-on-write or O(delta) thin
+  * versions ([[SnapshotDmlTable]]/[[ThinDeltaOperation]]) — nothing ever
+  * reopens a committed `v=N` folder. `TIMESTAMP AS OF` resolves through
+  * the per-version `_commits/` records the protocol writes just before
+  * each pointer swap (newest version committed ≤ ts; versions remain the
+  * reproducible handle a training run should store). Bucketed versions
+  * ([[graft.operators.Sinks.writeSnapshotBucketed]]) serve with reported
+  * key-grouped partitioning for storage-partitioned joins.
   */
 class SnapshotCatalog extends TableCatalog
   with org.apache.spark.sql.connector.catalog.FunctionCatalog {
@@ -146,8 +151,8 @@ class SnapshotCatalog extends TableCatalog
     // immutable version through the claim-CAS protocol — the version being
     // read is never touched (see [[SnapshotDmlTable]]). Pinned reads
     // (VERSION/TIMESTAMP AS OF via serve()) stay read-only. A thin HEAD is
-    // served through the MOR marker (readable + thin-DELETE-capable);
-    // UPDATE/MERGE on it fail Spark's capability check — compact first.
+    // served through the MOR marker — readable, INSERT-capable, and
+    // row-level-DML-capable (each statement chains another thin hop).
     val vDir = s"$workspace/$t/v=$committed"
     val vPath = new org.apache.hadoop.fs.Path(vDir)
     if (!fs(vPath).exists(vPath))

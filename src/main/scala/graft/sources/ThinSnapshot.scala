@@ -33,10 +33,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * is O(matched keys) — the matched keys come from one filtered read of
   * the resolved chain (pushdown applies), and the publish is fenced on
   * this handle's bound version, so a concurrent writer aborts the
-  * statement instead of losing its delta. Key columns are the head's own
-  * `_base` marker keys (a thin chain always knows its row identity).
-  * UPDATE/MERGE on a thin head are rejected by Spark's own capability
-  * check (no row-level-operations support) — compact first, by contract.
+  * statement instead of losing its delta. Key columns are the table's
+  * declared keys, else the head's own `_base` marker keys. UPDATE/MERGE
+  * on a thin head chain ANOTHER thin hop through the delta rewrite
+  * ([[ThinDeltaOperation]]; the rule expands the row-level read relation
+  * too), and INSERT INTO/OVERWRITE publish append/materialized versions —
+  * only a KEYLESS chain with no declared identity refuses row-level DML
+  * (declare keys or compact).
   */
 private[graft] class ThinSnapshotTable(
     tableName: String,
