@@ -635,6 +635,66 @@ class SinksSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("randomized MOR chains: resolved content ≡ key-value model under arbitrary op sequences") {
+    import spark.implicits._
+    // seeded, reproducible: arbitrary interleavings of materialize / thin
+    // delete / thin upsert(+tombstones) / keyless append / compact must
+    // keep the RESOLVED read equal to a plain key-value model, and every
+    // pinned version must keep meaning what it meant
+    val rnd = new scala.util.Random(20260815L)
+    val s = new graft.Session.Scratch
+    val dir = s"${s.dir}/morprop"
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    var nextFresh = 1000L
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "v")
+    def resolvedNow(): Map[Long, Long] =
+      Sinks.readSnapshot(spark, dir).as[(Long, Long)].collect().toMap
+    // v1: a materialized base
+    (1L to 40L).foreach(k => model(k) = k * 10)
+    Sinks.writeSnapshot(df(model.toSeq), dir): Unit
+    val history = scala.collection.mutable.Map(1 -> model.toMap)
+    var v = 1
+    (1 to 12).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 => // thin delete of a mix of present and absent keys
+          val keys = Seq.fill(rnd.nextInt(5) + 1)(rnd.nextLong(60) + 1)
+          v = Sinks.deleteSnapshotKeys(spark, dir, keys.map(Tuple1(_)).toDF("k"), Seq("k"))
+          keys.foreach(model.remove)
+        case 1 => // thin upsert: updates + inserts, optional tombstones
+          val ups = Seq.fill(rnd.nextInt(5) + 1)(rnd.nextLong(60) + 1)
+            .distinct.map(k => k -> rnd.nextLong(1000))
+          val dels =
+            if (rnd.nextBoolean()) Some(Seq.fill(rnd.nextInt(3) + 1)(
+              rnd.nextLong(60) + 1).map(Tuple1(_)).toDF("k"))
+            else None
+          v = Sinks.upsertSnapshotRows(spark, dir, df(ups), Seq("k"), deletes = dels)
+          dels.foreach(_.as[Long].collect().foreach(model.remove))
+          ups.foreach { case (k, value) => model(k) = value }
+        case 2 => // keyless append of FRESH keys (appends carry no identity)
+          val rows = Seq.fill(rnd.nextInt(4) + 1) {
+            nextFresh += 1; nextFresh -> rnd.nextLong(1000)
+          }
+          v = Sinks.appendSnapshotRows(spark, dir, df(rows))
+          rows.foreach { case (k, value) => model(k) = value }
+        case 3 => // re-materialize the full state (writer-side compaction)
+          v = Sinks.writeSnapshotConcurrent(df(model.toSeq), dir)
+        case 4 => // operator-side compaction reads through the resolver
+          v = Sinks.compactSnapshot(spark, dir, targetRows = 1000000)
+      }
+      assert(resolvedNow() == model.toMap, s"divergence at v=$v")
+      history(v) = model.toMap
+    }
+    // pinned history: three random committed versions still serve exactly
+    // the state they served when committed
+    val vs = history.keys.toSeq.sorted
+    Seq(vs.head, vs(vs.size / 2), vs.last).foreach { pv =>
+      val got = Sinks.readSnapshot(spark, dir, Some(pv)).as[(Long, Long)]
+        .collect().toMap
+      assert(got == history(pv), s"pinned v=$pv drifted")
+    }
+    s.close()
+  }
+
   test("writeSnapshotConcurrent repair: a stalled older writer cannot demote a newer commit") {
     import spark.implicits._
     val s = new graft.Session.Scratch
