@@ -676,12 +676,33 @@ object Sinks {
     val p = new org.apache.hadoop.fs.Path(tableDir, "_cdf_enabled")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(new org.apache.hadoop.fs.Path(tableDir, "cdf")): Unit
-    if (!fs.exists(p)) { fs.create(p, false).close() }
+    if (!fs.exists(p)) {
+      // record the ENABLE POINT (the committed version at enable time):
+      // the feed starts here — repair must never fabricate feed files for
+      // older commits, which live consumers would replay OUT OF ORDER
+      val out = fs.create(p, false)
+      try out.write(snapshotCommitted(spark, tableDir).getOrElse(0)
+        .toString.getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   def changeFeedEnabled(spark: SparkSession, tableDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tableDir, "_cdf_enabled")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The version the feed was enabled AT — commits at or below it never
+    * feed (an empty/legacy marker reads as 0: everything feeds). */
+  private def changeFeedSince(spark: SparkSession, tableDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_cdf_enabled")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Int.MaxValue
+    val in = fs.open(p)
+    val txt = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+    finally in.close()
+    txt.toIntOption.getOrElse(0)
   }
 
   /** The feed's read schema for a table (base columns + change metadata) —
@@ -743,7 +764,10 @@ object Sinks {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val hconf = spark.sessionState.newHadoopConf()
-    (1 to committed).flatMap { v =>
+    // only commits AFTER the enable point: fabricating feed files for
+    // pre-enable history would replay ancient changes into live consumers
+    val since = changeFeedSince(spark, tableDir)
+    ((since + 1) to committed).flatMap { v =>
       thinBase(spark, tableDir, v) match {
         case Some((base, keyCols)) if !fs.exists(
             new org.apache.hadoop.fs.Path(s"$tableDir/cdf/v$v.parquet")) =>
@@ -975,8 +999,14 @@ object Sinks {
     val spark = df.sparkSession
     val next = snapshotVersions(spark, tableDir).lastOption.getOrElse(0) + 1
     val vDir = s"$tableDir/v=$next"
+    // NULL keys are rejected IN the write pass (no extra job): pmod(null)
+    // would land rows in __bucket=__HIVE_DEFAULT_PARTITION__ and poison
+    // every subsequent bucketed read
     df.withColumn("__bucket",
-        pmod(col(keyCol).cast("long"), lit(buckets.toLong)).cast("int"))
+        when(col(keyCol).isNull, raise_error(lit(
+          s"writeSnapshotBucketed: NULL in bucket key $keyCol — bucketed " +
+            "layouts require non-null keys")).cast("int"))
+          .otherwise(pmod(col(keyCol).cast("long"), lit(buckets.toLong)).cast("int")))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(vDir)
     val mp = new org.apache.hadoop.fs.Path(vDir, "_buckets")
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1129,10 +1159,12 @@ object Sinks {
     }
     // crashed writers that never reached publish leave `.dml_staging_*`
     // folders (publish renames staging into v=N; a JVM crash mid-stage
-    // orphans it) — same age discipline, same grace window
+    // orphans it), and a crash inside the change-feed landing leaves
+    // `.cdf_staging_*` — same age discipline, same grace window
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(".dml_staging_") &&
+        (s.getPath.getName.startsWith(".dml_staging_") ||
+          s.getPath.getName.startsWith(".cdf_staging_")) &&
         now - s.getModificationTime > graceMs)
       .foreach(s => fs.delete(s.getPath, true))
     dropped

@@ -76,8 +76,13 @@ private[graft] class BucketedSnapshotTable(
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
-      .map(st => st.getPath.getName.stripPrefix("__bucket=").toInt ->
-        st.getPath.toString)
+      .map { st =>
+        val frag = st.getPath.getName.stripPrefix("__bucket=")
+        frag.toIntOption.getOrElse(throw new IllegalStateException(
+          s"$tableName: non-numeric bucket directory '$frag' under $vDir — " +
+            "the bucketed layout is corrupt (was the version written by " +
+            "Sinks.writeSnapshotBucketed?)")) -> st.getPath.toString
+      }
       .sortBy(_._1)
   }
 

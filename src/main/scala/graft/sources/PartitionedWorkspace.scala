@@ -238,9 +238,20 @@ private[sources] class PartitionedWorkspaceTable(
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               // declared order (partCol last) with declared field-id
-              // metadata re-stamped onto every written file
-              val cols = declaredFull.fields.map(fd =>
-                col(fd.name).as(fd.name, fd.metadata))
+              // metadata re-stamped onto every written file. NULL partition
+              // values are rejected IN the write pass: Spark would land
+              // them in a __HIVE_DEFAULT_PARTITION__ dir that the DML
+              // paths can neither match nor rewrite.
+              val cols = declaredFull.fields.map { fd =>
+                val c =
+                  if (fd.name == partCol)
+                    when(col(fd.name).isNull, raise_error(lit(
+                      s"INSERT into partitioned table: NULL in partition " +
+                        s"column $partCol")).cast(fd.dataType))
+                      .otherwise(col(fd.name))
+                  else col(fd.name)
+                c.as(fd.name, fd.metadata)
+              }
               val mode = if (overwrite || overwriteAll) "overwrite" else "append"
               data.select(cols.toIndexedSeq: _*)
                 .write.partitionBy(partCol).mode(mode).parquet(dir)
@@ -469,8 +480,17 @@ private class PartitionedCowWriterFactory(
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_.close()); PartitionedCowCommit
       }
+
+      /** A failed attempt must leave NOTHING in the shared staging dir:
+        * Spark retries failed/speculative tasks, and the retry writes its
+        * own attempt-unique files — orphaned files from this attempt would
+        * be published alongside them (silent duplicate rows). */
       override def abort(): Unit = writers.values.foreach { w =>
         try w.close() catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          val p = new org.apache.hadoop.fs.Path(w.path())
+          p.getFileSystem(conf.value).delete(p, false): Unit
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
       override def close(): Unit = ()
     }

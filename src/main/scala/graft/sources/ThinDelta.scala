@@ -163,12 +163,22 @@ private class ThinDeltaWriterFactory(
         if (delWriter != null) delWriter.close()
         ThinDeltaCommit
       }
-      override def abort(): Unit = {
-        try { if (upWriter != null) upWriter.close() }
-        catch { case scala.util.control.NonFatal(_) => () }
-        try { if (delWriter != null) delWriter.close() }
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+
+      /** A failed attempt must leave NOTHING in the shared staging dir: a
+        * task retry writes its own attempt-unique files, and this
+        * attempt's orphans would either trip the duplicate-upsert-key gate
+        * (failing the statement for a transient task failure) or publish
+        * duplicate delete keys silently. */
+      override def abort(): Unit =
+        Seq(upWriter -> upConf, delWriter -> delConf).foreach { case (w, c) =>
+          if (w != null) {
+            try w.close() catch { case scala.util.control.NonFatal(_) => () }
+            try {
+              val p = new org.apache.hadoop.fs.Path(w.path())
+              p.getFileSystem(c.value).delete(p, false): Unit
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
       override def close(): Unit = ()
     }
 }

@@ -297,7 +297,16 @@ class WorkspaceCatalog extends TableCatalog {
         s"rename sidecar ${oldIdent.name()} -> ${newIdent.name()} failed; table left at ${oldIdent.name()}")
     }
     val (pmFrom, pmTo) = (partMarkerPath(actual), partMarkerPath(newIdent.name()))
-    if (fs(pmFrom).exists(pmFrom)) fs(pmFrom).rename(pmFrom, pmTo): Unit
+    if (fs(pmFrom).exists(pmFrom) && !fs(pmFrom).rename(pmFrom, pmTo)) {
+      // a lost partition marker would silently degrade the table to FLAT
+      // (hive layout served as a flat dir, COW DML corrupting it) —
+      // compensate BOTH moves and fail loudly
+      fs(scTo).rename(scTo, scFrom): Unit
+      if (movedData) fs(to).rename(to, from): Unit
+      throw new IllegalStateException(
+        s"rename partition marker ${oldIdent.name()} -> ${newIdent.name()} " +
+          s"failed; table left whole at ${oldIdent.name()}")
+    }
   }
 
   /** `ALTER TABLE ADD COLUMN(S)`: METADATA-ONLY — the one DDL a landing
