@@ -648,10 +648,11 @@ object Sinks {
     finally out.close()
     val v = publishStagedSnapshotFenced(spark, tableDir, staged, expectedBase)
     if (changeFeedEnabled(spark, tableDir))
-      landChangeFeed(spark, tableDir, v,
+      landChangeFeedSafe(spark, tableDir, v,
         changeRows(readSnapshot(spark, tableDir, Some(expectedBase)), keyCols, v,
           dels.map(_ => spark.read.parquet(s"$tableDir/v=$v/_deletes")),
           ups.map(_ => spark.read.parquet(s"$tableDir/v=$v/_upserts"))))
+    autoCompactIfDeep(spark, tableDir, v)
     v
   }
 
@@ -753,6 +754,63 @@ object Sinks {
       if (!fs.rename(part.getPath, dest) && !fs.exists(dest))
         throw new IllegalStateException(s"change feed: rename to $dest failed")
     } finally { if (fs.exists(tmp)) fs.delete(tmp, true): Unit }
+  }
+
+  /** [[landChangeFeed]] for the POST-COMMIT call sites: by the time the
+    * feed lands, `v=N` is already committed, so a thrown filesystem error
+    * here would misreport an applied statement as failed — a SQL caller's
+    * retry would then double-apply the delta. A failed landing is exactly
+    * the crash window [[repairChangeFeed]] already closes (it re-derives
+    * the feed file from the version's own `_deletes`/`_upserts`), so the
+    * failure is logged and left to repair, never propagated. */
+  private def landChangeFeedSafe(spark: SparkSession, tableDir: String,
+                                 v: Int, rows: => DataFrame): Unit =
+    try landChangeFeed(spark, tableDir, v, rows)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(Sinks.getClass).warn(
+          s"change-feed landing for $tableDir v=$v failed AFTER the commit; " +
+            s"the version is live — run Sinks.repairChangeFeed to land the " +
+            s"feed file", e)
+    }
+
+  /** Thin-hop count from `v` back to its nearest materialized ancestor
+    * (0 = `v` itself is materialized). Cost: one marker-file read per hop,
+    * bounded by the resolver's own 64-hop stop. */
+  def chainDepth(spark: SparkSession, tableDir: String, v: Int): Int = {
+    var d = 0
+    var cur = thinBase(spark, tableDir, v)
+    while (cur.isDefined && d <= 64) { d += 1; cur = thinBase(spark, tableDir, cur.get._1) }
+    d
+  }
+
+  /** Rows per file for an auto-compaction — sized so a compacted 100 TB
+    * version lands in parquet files big enough to scan efficiently without
+    * any single partition outgrowing executor memory. */
+  private val AutoCompactTargetRows = 5000000L
+
+  /** The resolver hard-stops at 64 thin hops, so without a backstop ~64
+    * consecutive `INSERT INTO` statements (each a keyless thin append)
+    * would make EVERY read of the table throw until someone manually runs
+    * [[compactSnapshot]] — a correctness cliff reachable from plain SQL.
+    * Once a commit pushes the chain to the threshold
+    * (`graft.snapshot.autoCompactDepth`, default 48; <= 0 disables), the
+    * chain auto-materializes into a new full version. Post-commit and
+    * NON-FATAL by design: the statement's own version is already live, a
+    * compaction failure only defers the debt to the next commit. */
+  private def autoCompactIfDeep(spark: SparkSession, tableDir: String,
+                                v: Int): Unit = {
+    val threshold = spark.conf
+      .get("graft.snapshot.autoCompactDepth", "48").trim.toInt
+    if (threshold <= 0 || chainDepth(spark, tableDir, v) < threshold) return
+    try compactSnapshot(spark, tableDir, AutoCompactTargetRows): Unit
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(Sinks.getClass).warn(
+          s"auto-compaction of $tableDir (chain depth >= $threshold) failed; " +
+            s"v=$v is committed and readable, but compact before the chain " +
+            s"reaches the 64-hop resolver stop", e)
+    }
   }
 
   /** Re-derive and land any committed THIN version whose feed file is
@@ -952,12 +1010,13 @@ object Sinks {
     // — a crash in between is repaired from the version's own delta files
     // (repairChangeFeed), never from a second source of truth
     if (changeFeedEnabled(spark, tableDir))
-      landChangeFeed(spark, tableDir, v,
+      landChangeFeedSafe(spark, tableDir, v,
         changeRows(readSnapshot(spark, tableDir, Some(base)), keyCols, v,
           // re-read the published delta (the input frames may hold
           // now-consumed staging paths); v=N is immutable from here on
           deletes.map(_ => spark.read.parquet(s"$tableDir/v=$v/_deletes")),
           upserts.map(_ => spark.read.parquet(s"$tableDir/v=$v/_upserts"))))
+    autoCompactIfDeep(spark, tableDir, v)
     v
   }
 

@@ -188,35 +188,90 @@ private[sources] class PartitionedWorkspaceTable(
       .map(_.getPath)
   }
 
+  /** Retired-partition parking spot: a DOT-PREFIXED sibling (invisible to
+    * Spark's file index) tagged so [[repairRetiredPartitions]] can map it
+    * back to its original directory after a crash. */
+  private def retiredPath(pdir: Path, tag: String): Path =
+    new Path(pdir.getParent, s".${pdir.getName}.__retired_$tag")
+
+  /** Crash recovery for the rename-based publish: a `.<part>.__retired_*`
+    * sibling whose original directory is MISSING marks a crash between
+    * retire and publish — rename it back (the table reads its
+    * pre-statement content again). One whose original EXISTS marks a crash
+    * after the staged replacement moved in — the retired copy is the only
+    * leftover step, delete it. Idempotent; invoked on catalog load and at
+    * the head of every publish. */
+  private[sources] def repairRetiredPartitions(): Unit = {
+    val root = new Path(dir)
+    val f = fsOf(root)
+    if (!f.exists(root)) return
+    f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.contains(".__retired_"))
+      .foreach { st =>
+        val nm = st.getPath.getName
+        val orig = nm.substring(1, nm.lastIndexOf(".__retired_"))
+        val dest = new Path(dir, orig)
+        if (f.exists(dest)) f.delete(st.getPath, true): Unit
+        else if (!f.rename(st.getPath, dest))
+          throw new IllegalStateException(
+            s"partition repair: could not restore $nm to $orig")
+      }
+  }
+
   /** Partition-grained publish: retire the partitions the operation READ
     * (its groups), then move every staged partition directory in — a
     * staged dir for an unread partition (MERGE INSERT rows, an UPDATE
     * moving rows across partitions) APPENDS its files instead (file names
     * are task-unique). Untouched partitions are never listed, never
-    * opened, never re-stamped. */
+    * opened, never re-stamped.
+    *
+    * Crash-safe by construction: retirement is a RENAME aside (never a
+    * delete), the staged replacements move in, and the retired copies
+    * delete LAST — at no instant does only one copy of a partition's rows
+    * exist in a destroyable place. Any failure past the first retire
+    * leaves BOTH the staging directory and the retired copies on disk;
+    * [[repairRetiredPartitions]] restores the pre-statement table on the
+    * next load. `readVals == Some(Nil)` (the runtime group filter matched
+    * NO partitions) retires nothing — staged directories, if any, are
+    * MERGE INSERT rows for a zero-match target and still append. */
   private[sources] def publishPartitioned(staging: Path,
                                           readVals: Option[Seq[String]]): Unit = {
     val f = fsOf(staging)
-    val retired = readVals match {
+    repairRetiredPartitions()
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val toRetire = (readVals match {
       case Some(vs) => vs.map(v =>
         new Path(dir, PartitionedWorkspace.partDirName(partCol, v)))
       case None => partitionDirs()
+    }).filter(f.exists)
+    val retired = toRetire.map { p =>
+      val aside = retiredPath(p, tag)
+      if (!f.rename(p, aside))
+        throw new IllegalStateException(
+          s"partitioned DML commit: could not retire $p (table intact; " +
+            s"staging left at $staging)")
+      aside
     }
-    retired.foreach(p => if (f.exists(p) && !f.delete(p, true))
-      throw new IllegalStateException(s"partitioned DML commit: could not retire $p"))
     if (f.exists(staging)) f.listStatus(staging).toSeq
       .filter(_.isDirectory).foreach { st =>
         val dest = new Path(dir, st.getPath.getName)
         if (!f.exists(dest)) {
           if (!f.rename(st.getPath, dest))
             throw new IllegalStateException(
-              s"partitioned DML commit: could not publish ${st.getPath}")
+              s"partitioned DML commit: could not publish ${st.getPath} — " +
+                s"staging and retired copies left for recovery")
         } else f.listStatus(st.getPath).foreach { file =>
           if (!f.rename(file.getPath, new Path(dest, file.getPath.getName)))
             throw new IllegalStateException(
-              s"partitioned DML commit: could not move ${file.getPath}")
+              s"partitioned DML commit: could not move ${file.getPath} — " +
+                s"staging and retired copies left for recovery")
         }
       }
+    // point of no return passed: every staged partition is live — retired
+    // copies and staging scaffolding delete last (a failure here leaves
+    // only ignorable debris that repair/janitors clear)
+    retired.foreach(p => f.delete(p, true): Unit)
     f.delete(staging, true): Unit
     spark.catalog.refreshByPath(dir)
   }
@@ -267,6 +322,7 @@ private[sources] class PartitionedWorkspaceTable(
     filters.forall(WorkspaceDml.toColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    repairRetiredPartitions()
     val cond = filters.flatMap(WorkspaceDml.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val full = readFull()
@@ -284,19 +340,34 @@ private[sources] class PartitionedWorkspaceTable(
         .select(fileCols: _*)
       val staging = stagingPath()
       val f = fsOf(pdir)
-      try {
-        if (keep.isEmpty) {
-          // partition fully deleted — drop its directory, write nothing
-          if (f.exists(pdir) && !f.delete(pdir, true))
-            throw new IllegalStateException(s"DELETE: could not drop $pdir")
-        } else {
-          keep.write.parquet(staging.toString)
-          if (f.exists(pdir) && !f.delete(pdir, true))
+      val aside = retiredPath(pdir,
+        java.util.UUID.randomUUID().toString.take(8))
+      // survivor copy FIRST, retire by RENAME second, replacement third,
+      // retired delete LAST — a failure at any step leaves at least one
+      // complete copy of the partition's surviving rows on disk. Staging
+      // is dropped ONLY for failures before the retire; past it, staging
+      // and the retired copy both stay for recovery
+      // ([[repairRetiredPartitions]] restores pre-statement content).
+      if (keep.isEmpty) {
+        // partition fully deleted — retire, then drop the retired copy
+        if (f.exists(pdir)) {
+          if (!f.rename(pdir, aside))
             throw new IllegalStateException(s"DELETE: could not retire $pdir")
-          if (!f.rename(staging, pdir))
-            throw new IllegalStateException(s"DELETE: could not publish $staging")
+          f.delete(aside, true): Unit
         }
-      } finally dropStaging(staging)
+      } else {
+        try keep.write.parquet(staging.toString)
+        catch { case e: Throwable => dropStaging(staging); throw e }
+        if (f.exists(pdir) && !f.rename(pdir, aside)) {
+          dropStaging(staging)
+          throw new IllegalStateException(s"DELETE: could not retire $pdir")
+        }
+        if (!f.rename(staging, pdir))
+          throw new IllegalStateException(
+            s"DELETE: could not publish $staging — staging and retired " +
+              s"copy $aside left for recovery")
+        f.delete(aside, true): Unit
+      }
     }
     spark.catalog.refreshByPath(dir)
   }
@@ -384,8 +455,38 @@ private class PartitionScopedScan(table: PartitionedWorkspaceTable,
           PartitionedWorkspace.partDirName(table.partCol, v)))
         .filter(p => p.getFileSystem(hconf).exists(p))
         .map(_.toString)
-      current = innerScan(existing)
+      // an EMPTY pinned set (the command's condition matched no partition,
+      // or every pinned directory is already gone) must plan ZERO input —
+      // innerScan's paths.isEmpty fallback reads the WHOLE table, and a
+      // zero-match UPDATE/MERGE would then restage every row as a "copy"
+      // that publishPartitioned APPENDS next to the originals (readVals
+      // retires nothing), silently duplicating the table
+      current =
+        if (existing.isEmpty) new EmptyPartitionScan(table)
+        else innerScan(existing)
     }
+}
+
+/** The zero-group scan: the runtime group filter pinned NO partitions, so
+  * the rewrite's copy side reads nothing at all (MERGE INSERT rows still
+  * flow — they come from the source side, not this scan). */
+private class EmptyPartitionScan(table: PartitionedWorkspaceTable) extends Scan {
+  override def readSchema(): StructType = table.declaredSchemaFull
+  override def description(): String =
+    s"${table.name} partition-scoped COW scan (zero matched partitions)"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions():
+        Array[org.apache.spark.sql.connector.read.InputPartition] = Array.empty
+    override def createReaderFactory():
+        org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+        override def createReader(
+            p: org.apache.spark.sql.connector.read.InputPartition):
+            org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+          throw new IllegalStateException(
+            "zero-partition scan planned no input; nothing to read")
+      }
+  }
 }
 
 private case object PartitionedCowCommit extends WriterCommitMessage

@@ -146,9 +146,15 @@ class WorkspaceCatalog extends TableCatalog {
     if (declared.isDefined && !fs(dir).exists(dir)) fs(dir).mkdirs(dir): Unit
     readPartCol(actual) match {
       case Some(pc) =>
-        new PartitionedWorkspaceTable(actual, SparkSession.active, dir.toString,
+        val t = new PartitionedWorkspaceTable(actual, SparkSession.active,
+          dir.toString,
           declared.getOrElse(throw new IllegalStateException(
             s"partitioned table $actual lost its schema sidecar")), pc)
+        // journal recovery on open: a crash mid-publish leaves renamed-aside
+        // partition copies; restoring them here is what makes the rename
+        // publish protocol crash-safe for readers (pre-statement content)
+        t.repairRetiredPartitions()
+        t
       case None =>
         // GraftWorkspaceTable IS a ParquetTable (every DSv2 read/write
         // optimization unchanged, V1 insert fallback included) plus the

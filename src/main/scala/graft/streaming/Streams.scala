@@ -118,6 +118,11 @@ object Streams {
     (s.read.parquet(sink), progress)
   }
 
+  /** Backtick-quote an identifier for interpolation into generated SQL —
+    * a column named with spaces, dots or a reserved word must parse as
+    * itself, never break the statement or resolve elsewhere. */
+  private def q(ident: String): String = "`" + ident.replace("`", "``") + "`"
+
   /** Streaming CDC upsert through SQL MERGE — the foreachBatch sink pattern
     * every lakehouse uses: each micro-batch first COMPACTS to its newest
     * row per key (one keyed window over batch-sized input — the batch is
@@ -134,11 +139,6 @@ object Streams {
     * right for a compacted state table that FITS its directory; a 100 TB
     * hot-upsert sink wants a partitioned/log-structured target under the
     * SAME foreachBatch+compact+MERGE pattern. */
-  /** Backtick-quote an identifier for interpolation into generated SQL —
-    * a column named with spaces, dots or a reserved word must parse as
-    * itself, never break the statement or resolve elsewhere. */
-  private def q(ident: String): String = "`" + ident.replace("`", "``") + "`"
-
   def runMergeSink(s: SparkSession, chk: String, target: String,
                    keyCol: String, tsCol: String, tieCol: String,
                    statePartitions: Int = 8)(build: => DataFrame): Unit = {

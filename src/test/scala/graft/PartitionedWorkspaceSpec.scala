@@ -154,6 +154,69 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-match UPDATE is a NO-OP: no duplication, no rewrite") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val before = (0 to 2).map(i => fileTimes(ws, "pt", s"src=s$i"))
+    Thread.sleep(1100)
+    // matches NOTHING: the runtime group filter pins an EMPTY partition
+    // set — before the fix the scan fell back to the whole table and the
+    // publish APPENDED a full copy of every row (30 → 60)
+    spark.sql(s"UPDATE $cat.pt SET v = 'never' WHERE v = 'no_such_value'")
+    assert(spark.table(s"$cat.pt").count() == 30, "zero-match UPDATE duplicated rows")
+    assert(spark.table(s"$cat.pt").select("id").distinct().count() == 30)
+    assert((0 to 2).forall(i => fileTimes(ws, "pt", s"src=s$i") == before(i)),
+      "zero-match UPDATE rewrote partitions")
+  }
+
+  test("zero-match MERGE still lands NOT MATCHED inserts, without duplication") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val before0 = fileTimes(ws, "pt", "src=s0")
+    Thread.sleep(1100)
+    // source matches NO target row — the group filter pins zero partitions,
+    // but the NOT MATCHED inserts come from the SOURCE side and must land
+    spark.range(100, 102).selectExpr("id", "'ins' AS v",
+      "CONCAT('s', id % 3) AS src").createOrReplaceTempView("pt_nomatch")
+    spark.sql(
+      s"""MERGE INTO $cat.pt t USING pt_nomatch s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table(s"$cat.pt")
+    assert(out.count() == 32, "inserts lost or rows duplicated")
+    assert(out.select("id").distinct().count() == 32)
+    assert(out.filter(col("v") === "ins").count() == 2)
+    // s0 received no insert (100%3=1 → s1, 101%3=2 → s2) and was not read:
+    // its files must be byte-identical
+    assert(fileTimes(ws, "pt", "src=s0") == before0)
+  }
+
+  test("crash between retire and publish: repair restores pre-statement content") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val f = fs(ws)
+    val pdir = new org.apache.hadoop.fs.Path(s"$ws/pt.parquet/src=s1")
+    // simulate a writer killed AFTER the retire rename, BEFORE the staged
+    // replacement moved in: the partition sits aside under the dot-prefixed
+    // retired name, its staging (the would-be replacement) abandoned
+    val aside = new org.apache.hadoop.fs.Path(
+      s"$ws/pt.parquet/.src=s1.__retired_deadbeef")
+    assert(f.rename(pdir, aside))
+    spark.catalog.refreshByPath(s"$ws/pt.parquet")
+    // next catalog load runs journal recovery: the partition is restored
+    // and the table reads its full pre-statement content
+    assert(spark.table(s"$cat.pt").count() == 30)
+    assert(f.exists(pdir) && !f.exists(aside))
+    assert(spark.table(s"$cat.pt").filter(col("src") === "s1").count() == 10)
+    // the other crash side: replacement already live, retired copy left —
+    // recovery must DELETE the stale copy, never resurrect it
+    val aside2 = new org.apache.hadoop.fs.Path(
+      s"$ws/pt.parquet/.src=s2.__retired_cafe0123")
+    f.mkdirs(aside2): Unit
+    assert(spark.table(s"$cat.pt").count() == 30)
+    assert(!f.exists(aside2), "stale retired copy must be cleared, not restored")
+  }
+
   test("guardrails: bad partition specs rejected") {
     val (cat, _) = freshCatalog()
     seed(cat)

@@ -310,6 +310,28 @@ class SinksSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("deep thin chains auto-compact on the append path (SQL INSERT cliff guard)") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/autocompact"
+    Sinks.writeSnapshot(Seq((1L, "a")).toDF("id", "v"), table)
+    spark.conf.set("graft.snapshot.autoCompactDepth", "3")
+    try {
+      // without the backstop, every INSERT INTO chains one more keyless hop
+      // and hop 65 makes ALL reads throw; with it the chain materializes at
+      // the threshold and keeps growing shallowly
+      (2 to 6).foreach { i =>
+        Sinks.appendSnapshotRows(spark, table,
+          Seq((i.toLong, "a")).toDF("id", "v")): Unit
+      }
+      val head = Sinks.snapshotCommitted(spark, table).get
+      assert(Sinks.chainDepth(spark, table, head) < 3,
+        s"chain did not auto-compact (depth ${Sinks.chainDepth(spark, table, head)})")
+      assert(Sinks.readSnapshot(spark, table).count() == 6)
+      assert(Sinks.readSnapshot(spark, table).select("id").distinct().count() == 6)
+    } finally spark.conf.unset("graft.snapshot.autoCompactDepth")
+  }
+
   test("diffTables: null-safe change classification on every class") {
     import spark.implicits._
     val a = Seq((1L, Some("x"), 10), (2L, None: Option[String], 20),
