@@ -1102,10 +1102,13 @@ object Sinks {
     * between a sub-second and a minutes-long planning phase on an object
     * store. */
   def writeSnapshotWithManifest(df: DataFrame, tableDir: String,
-                                statsCols: Seq[String]): Int = {
+                                statsCols: Seq[String],
+                                maxRecordsPerFile: Long = 0L): Int = {
     val spark = df.sparkSession
     val next = snapshotVersions(spark, tableDir).lastOption.getOrElse(0) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(s"$tableDir/v=$next")
     val written = spark.read.parquet(s"$tableDir/v=$next")
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))

@@ -5397,6 +5397,58 @@ object PipelineQueries {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
+    },
+
+    // ---- lakehouse: manifest file skipping reaches SQL serving (r14) --------
+    // writeSnapshotWithManifest commits per-file min/max stats atomically
+    // with the data; since r14 the SQL catalog CONSULTS them — the scan
+    // builder prunes the version's file list on the driver from the tiny
+    // manifest (ManifestPrune via ManifestPrunedScanBuilder) and hands
+    // Spark's own parquet scan only the survivors, with the exact
+    // predicate re-applied. At 100 TB / 100k files that is planning from
+    // ONE manifest read instead of 100k footer round-trips. The fixture
+    // shapes 8 files of consecutive doc_id ranges (one sorted write task +
+    // maxRecordsPerFile = ceil(n/8)), the predicate spans exactly files 2
+    // and 3 at EVERY SF (range bounds scale with the chunk), and the
+    // files-kept/files-total counts are read off the PHYSICAL PLAN's
+    // planned file set — so a silent pruning regression (scan stops
+    // consulting the manifest, or skips too much) breaks the oracle hash,
+    // not a benchmark eyeball.
+    Q("q231_manifest_sql_prune",
+      """WITH c AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS chunk
+        |           FROM documents)
+        |SELECT d.doc_id, d.lang, d.n_chars, 2 AS files_kept, 8 AS files_total
+        |FROM documents d, c
+        |WHERE d.doc_id BETWEEN 2 * c.chunk + 3 AND 3 * c.chunk + 5
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "manifested_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      val n = docs.count()
+      val chunk = (n + 7) / 8
+      Sinks.writeSnapshotWithManifest(
+        docs.coalesce(1).sortWithinPartitions("doc_id"),
+        s"$ws/$tbl", Seq("doc_id"), maxRecordsPerFile = chunk): Unit
+      val (lo, hi) = (2 * chunk + 3, 3 * chunk + 5)
+      val q = s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.$tbl " +
+        s"WHERE doc_id BETWEEN $lo AND $hi")
+      // planned FILE set off the physical plan (pre-AQE tree carries the
+      // BatchScan): distinct data files the pruned scan will open
+      val planned = q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }.distinct.size
+      val total = s.read.parquet(s"$ws/$tbl/_manifest/v=1").count().toInt
+      q.withColumn("files_kept", lit(planned))
+        .withColumn("files_total", lit(total))
+        .orderBy("doc_id")
     }
   )
 }

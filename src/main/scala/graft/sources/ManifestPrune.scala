@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources
+
+/** Driver-side file skipping from a snapshot version's `_manifest/v=N`
+  * ([[graft.operators.Sinks.writeSnapshotWithManifest]] commits per-file
+  * min/max stats atomically with the data). This is the planning half of
+  * the Iceberg contract: at 100 TB / 100k files the manifest — a single
+  * tiny parquet — decides which files a predicate can possibly touch with
+  * ZERO data-file footer round-trips; the surviving list is handed to
+  * Spark's own parquet scan, and the exact predicate always re-applies
+  * after the skip (pruning is an optimization, never the correctness
+  * path: a file is dropped only when its [min,max] range PROVES the
+  * pushed conjunction false for every row it holds).
+  *
+  * Unknown filters, non-numeric literals, columns without stats, and
+  * NULL min/max (all-null chunks) all evaluate to KEEP — conservative by
+  * construction, exactly like parquet row-group skipping one level up. */
+object ManifestPrune {
+
+  def manifestDir(tableDir: String, version: Int): String =
+    s"$tableDir/_manifest/v=$version"
+
+  def exists(spark: SparkSession, tableDir: String, version: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(tableDir, version))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Numeric view of a stats/literal value; None = not comparable (keep). */
+  private def num(v: Any): Option[BigDecimal] = v match {
+    case null => None
+    case b: java.lang.Byte => Some(BigDecimal(b.longValue))
+    case s: java.lang.Short => Some(BigDecimal(s.longValue))
+    case i: java.lang.Integer => Some(BigDecimal(i.longValue))
+    case l: java.lang.Long => Some(BigDecimal(l.longValue))
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.doubleValue))
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d.doubleValue))
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: BigDecimal => Some(d)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case _ => None
+  }
+
+  /** Can any value in [mn, mx] (per the file's stats) satisfy `f`?
+    * `stats` maps a lower-cased column name to its (min, max). */
+  private def mayMatch(f: sources.Filter,
+                       stats: Map[String, (Any, Any)]): Boolean = {
+    def range(c: String): Option[(BigDecimal, BigDecimal)] =
+      stats.get(c.toLowerCase).flatMap { case (mn, mx) =>
+        for (a <- num(mn); b <- num(mx)) yield (a, b)
+      }
+    def test(c: String, v: Any)(p: (BigDecimal, BigDecimal, BigDecimal) => Boolean) =
+      (range(c), num(v)) match {
+        case (Some((mn, mx)), Some(x)) => p(mn, mx, x)
+        case _ => true
+      }
+    f match {
+      case sources.And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
+      case sources.Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+      case sources.EqualTo(c, v) => test(c, v)((mn, mx, x) => mn <= x && x <= mx)
+      case sources.GreaterThan(c, v) => test(c, v)((_, mx, x) => mx > x)
+      case sources.GreaterThanOrEqual(c, v) => test(c, v)((_, mx, x) => mx >= x)
+      case sources.LessThan(c, v) => test(c, v)((mn, _, x) => mn < x)
+      case sources.LessThanOrEqual(c, v) => test(c, v)((mn, _, x) => mn <= x)
+      case sources.In(c, vs) =>
+        range(c) match {
+          case Some((mn, mx)) =>
+            vs.isEmpty || vs.exists(v => num(v) match {
+              case Some(x) => mn <= x && x <= mx
+              case None => true
+            })
+          case None => true
+        }
+      // min/max stats carry no null-count — null-ness is undecidable here
+      case _ => true
+    }
+  }
+
+  /** The version's file list after the skip: (kept file paths, total
+    * files). One driver read of the (tiny) manifest per scan build; every
+    * pushed conjunct must be possibly-satisfiable for a file to survive. */
+  def keptFiles(spark: SparkSession, tableDir: String, version: Int,
+                pushed: Seq[sources.Filter]): (Seq[String], Int) = {
+    val mdf = spark.read.parquet(manifestDir(tableDir, version))
+    val statCols = mdf.columns.filter(_.startsWith("min_")).map(_.drop(4))
+      .filter(c => mdf.columns.contains(s"max_$c"))
+    val rows = mdf.collect()
+    val total = rows.length
+    val kept = rows.filter { r =>
+      val stats = statCols.map(c => c.toLowerCase ->
+        (r.get(r.fieldIndex(s"min_$c")), r.get(r.fieldIndex(s"max_$c")))).toMap
+      pushed.forall(mayMatch(_, stats))
+    }.map(_.getString(mdf.columns.indexOf("file"))).toSeq
+    (kept, total)
+  }
+}
+
+/** A PINNED manifest-bearing snapshot version served through SQL
+  * (`VERSION/TIMESTAMP AS OF`): read-only by contract (history is
+  * immutable), reads go through [[ManifestPrune]]-backed file skipping
+  * via the bridge scan builder. Plain `Table` by composition — the r13
+  * FileTable-fallback lesson. */
+private[sources] class ManifestSnapshotTable(
+    tableName: String,
+    spark: SparkSession,
+    tableDir: String,
+    version: Int)
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = tableName
+  override lazy val schema: org.apache.spark.sql.types.StructType =
+    spark.read.parquet(s"$tableDir/v=$version").schema
+  override def capabilities():
+      java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Set.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap):
+      org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.graftbridge.ManifestPrunedScanBuilder(
+      tableName, spark, tableDir, version, schema, options)
+}

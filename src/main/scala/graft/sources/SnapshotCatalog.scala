@@ -135,6 +135,13 @@ class SnapshotCatalog extends TableCatalog
       case Some((keyCol, n)) =>
         new BucketedSnapshotTable(s"$tableDir@v$version", SparkSession.active,
           s"$workspace/$tableDir", version, keyCol, n)
+      case None if ManifestPrune.exists(SparkSession.active,
+          s"$workspace/$tableDir", version) =>
+        // manifest-bearing version: file skipping from the driver-side
+        // stats manifest reaches SQL readers (the r13 gap — the manifest
+        // existed but only Sinks.readSnapshotPruned consulted it)
+        new ManifestSnapshotTable(s"$tableDir@v$version", SparkSession.active,
+          s"$workspace/$tableDir", version)
       case None =>
         ParquetTable(s"$tableDir@v$version", SparkSession.active,
           CaseInsensitiveStringMap.empty(), Seq(vDir), None,

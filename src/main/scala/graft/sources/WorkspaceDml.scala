@@ -363,8 +363,16 @@ private[sources] class SnapshotDmlTable(
       org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
 
   def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetTable(tableName, spark, options, Seq(committedDir), Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
+    // a manifest-bearing committed version serves with driver-side file
+    // skipping; the COW DML scan rides the same builder, which is safe by
+    // the skip contract (a file drops only when the pushed predicate is
+    // provably false for every row it holds)
+    if (ManifestPrune.exists(spark, tableDir, boundVersion))
+      new org.apache.spark.sql.graftbridge.ManifestPrunedScanBuilder(
+        tableName, spark, tableDir, boundVersion, schema, options)
+    else
+      ParquetTable(tableName, spark, options, Seq(committedDir), Some(schema),
+        classOf[ParquetFileFormat]).newScanBuilder(options)
 
   /** SQL INSERT publishes a VERSION, never touches v=N in place:
     * `INSERT INTO` = a keyless thin APPEND (O(batch) bytes, fenced on this

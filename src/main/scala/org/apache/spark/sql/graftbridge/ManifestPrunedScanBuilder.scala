@@ -1,0 +1,76 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Manifest-consulting scan builder for snapshot SQL serving: the pushed
+  * predicates first prune the version's FILE LIST against the driver-side
+  * `_manifest/v=N` stats ([[graft.sources.ManifestPrune]]), then a genuine
+  * `ParquetScanBuilder` is constructed over only the surviving files and
+  * the SAME catalyst filters replay into it — so row-group pushdown,
+  * column pruning, vectorization and the `PushedFilters` plan surface are
+  * all Spark's own, and every predicate re-applies post-scan exactly as
+  * with an unpruned parquet scan (file skipping can only REMOVE provably
+  * empty files, never rows).
+  *
+  * Lives in this bridge package because the catalyst-filter pushdown
+  * surface of file sources (`SupportsPushDownCatalystFilters`,
+  * `FileScanBuilder.pushFilters`) is `private[sql]` — the same
+  * re-exporting escape hatch [[Bridge]] documents; no Spark internals are
+  * modified.
+  *
+  * Ordering contract (matches `V2ScanRelationPushDown`): `pushFilters`
+  * runs before `pruneColumns` before `build()`. The inner builder is
+  * created on FIRST use so a filter-less scan (no `pushFilters` call, or
+  * an empty one) still serves every file. */
+class ManifestPrunedScanBuilder(
+    tableName: String,
+    spark: SparkSession,
+    tableDir: String,
+    version: Int,
+    declared: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  /** (kept, total) of the LAST build — surfaced for audits/faces. */
+  @volatile var lastPruning: Option[(Int, Int)] = None
+
+  private var inner: FileScanBuilder = _
+
+  private def ensureInner(filters: Seq[Expression]): FileScanBuilder = {
+    if (inner == null) {
+      val v1 = filters.flatMap(e =>
+        DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+      val (kept, total) =
+        graft.sources.ManifestPrune.keptFiles(spark, tableDir, version, v1)
+      lastPruning = Some((kept.length, total))
+      // zero survivors still build a real scan: the declared schema makes
+      // an empty path list plannable (no footer inference), and the scan
+      // plans zero input partitions
+      inner = ParquetTable(tableName, spark, options, kept, Some(declared),
+        classOf[ParquetFileFormat]).newScanBuilder(options)
+    }
+    inner
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    ensureInner(filters).pushFilters(filters)
+
+  override def pushedFilters: Array[Predicate] =
+    ensureInner(Nil).pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    ensureInner(Nil).pruneColumns(requiredSchema)
+
+  override def build(): Scan = ensureInner(Nil).build()
+}

@@ -198,6 +198,58 @@ class SnapshotSqlSpec extends AnyFunSuite {
     intercept[Exception] { spark.table(s"$cat.life2").count() }
   }
 
+  test("manifest-bearing snapshot: SQL scans plan ONLY surviving files") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, s"d$i")).toDF("id", "txt")
+    // one sorted write task + maxRecordsPerFile=50 → 8 files of 50
+    // CONSECUTIVE ids each: file k spans exactly [50k, 50k+49]
+    Sinks.writeSnapshotWithManifest(
+      df.coalesce(1).sortWithinPartitions("id"), s"$ws/mt", Seq("id"),
+      maxRecordsPerFile = 50L): Unit
+
+    def plannedFiles(sql: String): Seq[String] = {
+      val plan = spark.sql(sql).queryExecution.sparkPlan
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty, s"no BatchScanExec in:\n$plan")
+      scans.flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }.distinct
+    }
+
+    // range hits exactly files [100,149] and [150,199]
+    val q = s"SELECT id, txt FROM $cat.mt WHERE id BETWEEN 120 AND 170"
+    assert(plannedFiles(q).size == 2,
+      s"expected 2 surviving files, planned: ${plannedFiles(q)}")
+    // results stay EXACT (the predicate re-applies after the skip)
+    val got = spark.sql(q).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == (120L to 170L).toSeq)
+    // unfiltered scan keeps every file
+    assert(plannedFiles(s"SELECT id FROM $cat.mt").size == 8)
+    // zero-survivor predicate plans NO files and returns no rows
+    val none = s"SELECT id FROM $cat.mt WHERE id > 100000"
+    assert(plannedFiles(none).isEmpty)
+    assert(spark.sql(none).count() == 0)
+    // the pinned path (VERSION AS OF) prunes the same way
+    val pinned = s"SELECT id FROM $cat.mt VERSION AS OF 1 WHERE id < 40"
+    assert(plannedFiles(pinned).size == 1)
+    assert(spark.sql(pinned).count() == 40)
+    // row-group pushdown still rides the inner parquet scan
+    val physical = spark.sql(q).queryExecution.executedPlan.toString
+    assert(raw"PushedFilters: \[[^\]]*id".r.findFirstIn(physical).isDefined,
+      physical.take(1200))
+    // DML keeps working on a manifest-bearing committed version (the COW
+    // scan rides the pruned builder; skipping is provably-empty-only)
+    spark.sql(s"UPDATE $cat.mt SET txt = 'u' WHERE id BETWEEN 0 AND 49")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.mt").first().getLong(0) == 400)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.mt WHERE txt = 'u'")
+      .first().getLong(0) == 50)
+  }
+
   test("thin SQL read plan: predicate pushdown reaches the base scan, keys ride broadcast") {
     val (cat, ws) = freshCatalog()
     seed(ws, "t5")
