@@ -34,19 +34,38 @@ object Bench {
     // Declared Seq order (NOT Map hash order): iteration order is stable
     // across JVMs, so per-query timings see the same cache-warmth context
     // run over run and round-over-round deltas are comparable.
-    val results = SparkEntry.packs.map { q =>
+    //
+    // Session-aging flush every BLOCK queries (the r13 lesson: seven tail
+    // queries measured 1.5-4.9x slow purely from harness state): hundreds
+    // of faces localCheckpoint intermediates, and once their references
+    // drop those blocks sit PINNED in the BlockManager until a driver GC
+    // lets the ContextCleaner reap them — by the tail of a 227-query run
+    // the accumulated blocks/broadcasts/shuffles crowd the unified memory
+    // region and tail queries pay in evictions. The flush (SQL-cache
+    // clear + an explicit GC to trigger the cleaner) runs OUTSIDE any
+    // query's timing and restores steady-state conditions per block.
+    val Block = 20
+    val results = SparkEntry.packs.zipWithIndex.map { case (q, i) =>
+      if (i > 0 && i % Block == 0) {
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        System.gc()
+      }
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal rounding keeps the single JSON line short enough to survive
-    // the driver's bounded tail capture (full-precision doubles overflowed it).
+    // the driver's bounded tail capture (full-precision doubles overflowed
+    // it). The aggregate fields ride AFTER the per-query map: the driver
+    // keeps the LAST ~2k chars of the line, so trailing placement is what
+    // makes the total/sf visible when the query map overflows the capture.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":${r3(total)},"n_queries":${results.length},"sf":"$sfDir"}""")
     Session.clearScratch() // C5 janitor: sink queries leave scratch dirs
     spark.stop()
   }

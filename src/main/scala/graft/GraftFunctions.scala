@@ -25,7 +25,7 @@ import graft.operators.{PointWkb, WkbCoord}
   */
 object GraftFunctions {
 
-  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+  private[graft] def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an INTEGER literal, got $other")
@@ -74,10 +74,51 @@ object GraftFunctions {
     all.foreach { case (name, b) => Bridge.registerTempFunction(spark, name, b) }
 }
 
-/** `spark.sql.extensions` entry point: the native SQL functions plus the
+/** `spark.sql.extensions` entry point: the native SQL functions, the
   * MOR-aware resolution rule that serves thin snapshot chains through the
-  * SQL catalog ([[graft.sources.ResolveThinSnapshots]]). */
+  * SQL catalog ([[graft.sources.ResolveThinSnapshots]]), and the
+  * `table_changes` table-valued function over the change data feed. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** `table_changes('<catalog>.<table>' | '<tableDir>', fromV [, toV])`:
+    * the change rows of thin commits in the version range, straight off
+    * the landed `cdf/` files ([[graft.operators.Sinks.tableChanges]]).
+    * A `catalog.table` first argument resolves through the catalog's
+    * registered workspace directory on the ACTIVE session; `toV` defaults
+    * to the committed head. */
+  private def tableChangesPlan(es: Seq[Expression]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def str(e: Expression, arg: String): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $arg must be a STRING literal, got $other")
+    }
+    require(es.length == 2 || es.length == 3,
+      "table_changes(table, fromVersion [, toVersion])")
+    val spark = SparkSession.active
+    val ref = str(es.head, "table")
+    val dir =
+      if (ref.contains("/")) ref
+      else ref.split('.') match {
+        case Array(cat, tbl) =>
+          val ws = spark.conf.getOption(s"spark.sql.catalog.$cat.workspace")
+            .getOrElse(throw new IllegalArgumentException(
+              s"table_changes: no catalog '$cat' with a workspace on this session"))
+          s"$ws/$tbl"
+        case _ => throw new IllegalArgumentException(
+          s"table_changes: table must be 'catalog.table' or a directory path, got '$ref'")
+      }
+    val fromV = GraftFunctions.intLit(es(1), "table_changes", "fromVersion")
+    val toV = es.lift(2)
+      .map(GraftFunctions.intLit(_, "table_changes", "toVersion"))
+      .orElse(graft.operators.Sinks.snapshotCommitted(spark, dir))
+      .getOrElse(throw new IllegalStateException(
+        s"table_changes: no committed snapshot at $dir"))
+    graft.operators.Sinks.tableChanges(spark, dir, fromV, toV)
+      .queryExecution.logical
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
@@ -85,6 +126,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.GraftFunctions", name),
         builder))
     }
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.operators.Sinks", "table_changes"),
+      tableChangesPlan))
     ext.injectResolutionRule(graft.sources.ResolveThinSnapshots(_))
   }
 }

@@ -182,6 +182,41 @@ object TextHashing {
       Array[Any](UTF8String.fromString(sb.toString), n))
   }
 
+  /** One-pass span-drop kernel for [[graft.operators.Curation.removeDupSpans]]:
+    * tokens = `trim(text).split("\\s+")` (identical to the declarative
+    * `split(trim(text), "\\s+")`), `starts` = SORTED ascending w-gram start
+    * positions whose spans `[j, j+w)` drop their covered tokens. Classic
+    * merged-interval two-pointer: O(tokens + starts) per document — the
+    * lambda formulation (`filter(toks, i => !exists(starts, ...))`) is
+    * O(tokens·starts), quadratic for a heavily-duplicated document. Returns
+    * struct(n_tokens, n_kept, text_clean). */
+  def dropSpansRow(text: UTF8String, starts: ArrayData, w: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.trim().toString.split("\\s+", -1)
+    val n = words.length
+    val m = if (starts == null) 0 else starts.numElements()
+    val sb = new java.lang.StringBuilder(math.min(text.numBytes() + 16, 1 << 20))
+    var kept = 0
+    var p = 0
+    var cov = 0 // tokens below `cov` are covered by some merged span
+    var i = 0
+    while (i < n) {
+      while (p < m && starts.getInt(p) <= i) {
+        val end = starts.getInt(p) + w
+        if (end > cov) cov = end
+        p += 1
+      }
+      if (i >= cov) {
+        if (kept > 0) sb.append(' ')
+        sb.append(words(i))
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, kept.toLong, UTF8String.fromString(sb.toString)))
+  }
+
   // ---- ArrayData wrappers for codegen call sites -------------------------
   def minhashSigData(text: UTF8String, w: Int, k: Int): ArrayData =
     new GenericArrayData(minhashSig(text, w, k))
@@ -288,6 +323,34 @@ case class MaskTokensK(child: Expression, salt: String, den: Int, mask: String)
   override def prettyName: String = "graft_mask_tokens"
 }
 
+/** struct<n_tokens:long, n_kept:long, text_clean:string>: drop every token
+  * covered by a duplicated w-gram span (merged-interval two-pointer over
+  * the SORTED `starts` array — one compiled pass per document). */
+case class DropSpansClean(left: Expression, right: Expression, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("text_clean", StringType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+        right.dataType.isInstanceOf[ArrayType] &&
+        right.dataType.asInstanceOf[ArrayType].elementType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<int>)")
+  override def nullSafeEval(t: Any, s: Any): Any =
+    TextHashing.dropSpansRow(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashing.dropSpansRow($a, $b, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_drop_spans"
+}
+
 object TextHashExprs {
   def minhashSig(text: Column, w: Int, k: Int): Column =
     Bridge.column(MinhashSig(Bridge.expression(text), w, k))
@@ -301,4 +364,7 @@ object TextHashExprs {
     Bridge.column(CharShingleHashes(Bridge.expression(text), n))
   def maskTokens(text: Column, salt: String, den: Int, mask: String): Column =
     Bridge.column(MaskTokensK(Bridge.expression(text), salt, den, mask))
+  def dropSpans(text: Column, starts: Column, w: Int): Column =
+    Bridge.column(DropSpansClean(
+      Bridge.expression(text), Bridge.expression(starts), w))
 }

@@ -321,7 +321,6 @@ object Curation {
     * two gram strings identically in both engines, so the result stays
     * engine-consistent (the dupSpanStats caveat). */
   def removeDupSpans(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
     // gram start positions are the shingle-array indices (0-based here,
     // 1-based in the SQL face — only the emitted columns must agree).
     // Compiled kernel: one MD5 pass per gram, no gram strings in the plan
@@ -336,17 +335,15 @@ object Curation {
       .filter(col(idCol) > col("first_id"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    // the token filter is ONE compiled merged-interval two-pointer pass
+    // per document (TextHashing.dropSpansRow, O(tokens + starts)) — the
+    // former `filter(toks, i => !exists(starts, ...))` lambda was
+    // O(tokens·starts), quadratic for a heavily-duplicated document
     df.join(dropStarts, Seq(idCol), "left")
-      .select(col(idCol),
-        size(toks).cast("long").as("n_tokens"),
-        {
-          val starts = coalesce(col("__starts"), array().cast("array<int>"))
-          val kept = filter(toks, (t, i) =>
-            !exists(starts, j => j <= i && i < j + lit(w)))
-          struct(size(kept).cast("long").as("n_kept"),
-            array_join(kept, " ").as("text_clean")).as("__k")
-        })
-      .select(col(idCol), col("n_tokens"),
+      .select(col(idCol), graft.functions.TextHashExprs.dropSpans(
+        col(textCol),
+        coalesce(col("__starts"), array().cast("array<int>")), w).as("__k"))
+      .select(col(idCol), col("__k.n_tokens").as("n_tokens"),
         col("__k.n_kept").as("n_kept"), col("__k.text_clean").as("text_clean"))
   }
 

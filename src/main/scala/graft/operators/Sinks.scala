@@ -756,6 +756,48 @@ object Sinks {
     } finally { if (fs.exists(tmp)) fs.delete(tmp, true): Unit }
   }
 
+  /** Batch SQL face of the change feed — Delta's `table_changes` TVF shape
+    * (`SELECT * FROM table_changes('snap.t', fromV, toV)` once the graft
+    * extensions are active): the change rows of every thin commit with
+    * `fromV <= version <= toV`, read straight off the landed `cdf/`
+    * files — zero table reads, zero re-diffing; the result is exactly the
+    * per-commit grain the stream consumer sees, now addressable from
+    * batch SQL by version range. Guardrails are Delta's too: the feed
+    * must be enabled, the range must start past the enable point, and a
+    * MATERIALIZED version inside the range (INSERT OVERWRITE, compaction)
+    * errors with guidance — a rewrite has no change grain; diff it with
+    * [[snapshotDiff]]. A committed thin version whose feed file is
+    * missing (landing crash) errors toward [[repairChangeFeed]] rather
+    * than silently dropping its changes. */
+  def tableChanges(spark: SparkSession, tableDir: String,
+                   fromV: Int, toV: Int): DataFrame = {
+    require(changeFeedEnabled(spark, tableDir),
+      s"change feed is not enabled on $tableDir (Sinks.enableChangeFeed)")
+    val committed = snapshotCommitted(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    require(fromV >= 1 && toV >= fromV && toV <= committed,
+      s"table_changes range [$fromV, $toV] must be within [1, $committed]")
+    val since = changeFeedSince(spark, tableDir)
+    require(fromV > since,
+      s"change feed on $tableDir starts after v=$since (the enable point); " +
+        s"requested from v=$fromV")
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = (fromV to toV).map { v =>
+      val feed = new org.apache.hadoop.fs.Path(s"$tableDir/cdf/v$v.parquet")
+      if (thinBase(spark, tableDir, v).isEmpty)
+        throw new UnsupportedOperationException(
+          s"v=$v of $tableDir is a MATERIALIZED version (overwrite/compaction)" +
+            " — it has no change grain; diff it with Sinks.snapshotDiff")
+      if (!fs.exists(feed))
+        throw new IllegalStateException(
+          s"feed file for committed thin v=$v is missing (a landing crash) " +
+            "— run Sinks.repairChangeFeed first")
+      feed.toString
+    }
+    spark.read.parquet(files: _*)
+  }
+
   /** [[landChangeFeed]] for the POST-COMMIT call sites: by the time the
     * feed lands, `v=N` is already committed, so a thrown filesystem error
     * here would misreport an applied statement as failed — a SQL caller's

@@ -5449,6 +5449,134 @@ object PipelineQueries {
       q.withColumn("files_kept", lit(planned))
         .withColumn("files_total", lit(total))
         .orderBy("doc_id")
+    },
+
+    // ---- workspace: days(ts) hidden partitioning (r14) ----------------------
+    // The first thing a time-series user creates (the reference's own
+    // scans are date-clamped, arc_utils.py:717-724): CREATE TABLE ...
+    // PARTITIONED BY (days(ts)) lays events out in synthetic
+    // `ts_day=<epochDay>` directories derived from the timestamp column —
+    // Iceberg-style HIDDEN partitioning, the ts column stays a plain data
+    // column and readers never see the synthetic key. Three properties
+    // ride ONE hash: (1) `days_planned` — the planned file set of a
+    // 3-day ts-range SELECT touches exactly 3 day directories (directory
+    // pruning through the derivation, off the PHYSICAL PLAN); (2)
+    // `untouched_intact` — a one-day UPDATE and a one-day DELETE leave an
+    // untouched day's files byte-identical (day-grained DML through
+    // Spark's runtime group filtering mapped ts values → days); (3)
+    // `total_after` — the DELETE dropped exactly day one. */
+    Q("q232_days_partitioned",
+      """WITH after AS (SELECT COUNT(*) AS total_after FROM events
+        |               WHERE ts >= TIMESTAMP '2024-01-02 00:00:00')
+        |SELECT e.event_id,
+        |  CASE WHEN e.ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |        AND e.ts < TIMESTAMP '2024-01-12 00:00:00'
+        |       THEN 'redacted' ELSE e.event_type END AS event_type,
+        |  3 AS days_planned, 1 AS untouched_intact,
+        |  CAST(a.total_after AS BIGINT) AS total_after
+        |FROM events e, after a
+        |WHERE e.ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND e.ts < TIMESTAMP '2024-01-13 00:00:00'
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.days_events")
+      s.sql(s"""CREATE TABLE $cat.days_events
+               |(event_id BIGINT, ts TIMESTAMP, event_type STRING)
+               |PARTITIONED BY (days(ts))""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.days_events
+               |SELECT event_id, ts, event_type
+               |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      def mtimes(part: String): Map[String, Long] = {
+        val p = new org.apache.hadoop.fs.Path(s"$ws/days_events.parquet/$part")
+        val f = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (!f.exists(p)) Map.empty
+        else f.listStatus(p).filter(_.isFile)
+          .map(st => st.getPath.toString -> st.getModificationTime).toMap
+      }
+      val before = mtimes("ts_day=19731") // 2024-01-09
+      s.sql(s"""UPDATE $cat.days_events SET event_type = 'redacted'
+               |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+               |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin)
+      s.sql(s"DELETE FROM $cat.days_events " +
+        s"WHERE ts < TIMESTAMP '2024-01-02 00:00:00'")
+      val intact = before.nonEmpty && mtimes("ts_day=19731") == before
+      val q = s.sql(s"""SELECT event_id, event_type FROM $cat.days_events
+                       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                       |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin)
+      // distinct day directories in the PLANNED file set (pre-AQE tree)
+      val daysPlanned = q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }.flatMap(p => raw"ts_day=(\d+)".r.findFirstIn(p)).distinct.size
+      val totalAfter = s.table(s"$cat.days_events").count()
+      q.withColumn("days_planned", lit(daysPlanned))
+        .withColumn("untouched_intact", lit(if (intact) 1 else 0))
+        .withColumn("total_after", lit(totalAfter))
+        .orderBy("event_id")
+    },
+
+    // ---- lakehouse: table_changes SQL TVF over the change feed (r14) --------
+    // The q226 stream's BATCH face: `SELECT * FROM table_changes('snap.t',
+    // v1, v2)` (injected table function, graft.GraftExtensions) reads the
+    // requested versions' change rows straight off the landed cdf/ files —
+    // zero table reads, zero re-diffing, addressable by version range from
+    // plain SQL. The face publishes a thin SQL DELETE (v2) and a thin
+    // upsert (v3), reads both through the TVF, and rides TWO properties on
+    // the hash: the per-commit change rows themselves, and
+    // `agrees_with_diff` — the feed REDUCED to its last change per key
+    // must classify identically to snapshotDiff(v1, v3) (delete→removed,
+    // upsert→changed here; a re-upserted deleted key nets to changed on
+    // both sides), so the TVF and the diff machinery can never silently
+    // disagree about what changed.
+    Q("q233_table_changes",
+      """SELECT * FROM (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS source,
+        |         CAST(NULL AS BIGINT) AS n_chars,
+        |         'delete' AS __change, 2 AS __version, 1 AS agrees_with_diff
+        |  FROM documents WHERE doc_id % 9 = 4
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars + 5, 'upsert', 3, 1
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY __version, doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "tvf_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars")
+      Sinks.writeSnapshot(docs, tdir)
+      Sinks.declareSnapshotKeys(s, tdir, Seq("doc_id"))
+      Sinks.enableChangeFeed(s, tdir)
+      s.sql(s"DELETE FROM $cat.$tbl WHERE doc_id % 9 = 4") // v2: thin delete
+      Sinks.upsertSnapshotRows(s, tdir,
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 5),
+        Seq("doc_id")): Unit                               // v3: thin upsert
+      val tvf = s.sql(
+        s"""SELECT doc_id, source, n_chars, __change, __version
+           |FROM table_changes('$cat.$tbl', 2, 3)""".stripMargin)
+      // feed reduced to its LAST change per key ≡ snapshotDiff(1, 3)
+      import org.apache.spark.sql.expressions.Window
+      val lastChange = tvf
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("__version").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"),
+          when(col("__change") === "delete", lit("removed"))
+            .otherwise(lit("changed")).as("expect"))
+      val diff = Sinks.snapshotDiff(s, tdir, 1, 3, Seq("doc_id"))
+        .select(col("doc_id"), col("change"))
+      val disagreements = lastChange.join(diff, Seq("doc_id"), "full_outer")
+        .filter(col("expect").isNull || col("change").isNull ||
+          col("expect") =!= col("change"))
+        .count()
+      tvf.withColumn("agrees_with_diff", lit(if (disagreements == 0) 1 else 0))
+        .orderBy("__version", "doc_id")
     }
   )
 }

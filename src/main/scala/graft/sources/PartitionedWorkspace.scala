@@ -2,10 +2,10 @@ package graft.sources
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.ProjectingInternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -21,7 +21,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; this is the
@@ -41,7 +41,52 @@ private[sources] class SerializableHadoopConf(
   }
 }
 
+/** One level of a partitioned workspace table's directory layout. Two
+  * kinds exist:
+  *
+  *  - [[IdentityLevel]]: the classic hive `col=value` level. The column
+  *    lives in the SCHEMA (canonically last) and in the directory name,
+  *    never in the data files.
+  *  - [[DaysLevel]]: Iceberg-style HIDDEN partitioning `days(ts)` — the
+  *    directory key is the synthetic `<ts>_day=<epochDay>`, derived from a
+  *    timestamp/date column that stays a PLAIN DATA COLUMN (stored in the
+  *    files, absent from directory semantics). Readers never see the
+  *    synthetic column; `ts` predicates prune directories through the
+  *    derivation.
+  */
+private[sources] sealed trait PartLevel extends Serializable {
+  /** Directory key (`src` / `ts_day`). */
+  def pathName: String
+  /** Schema column the level derives from. */
+  def sourceCol: String
+  /** True when the path value IS a schema column (identity). */
+  def inSchema: Boolean
+  /** Path value of a SOURCE-column literal — handles both catalyst
+    * internal representations (runtime V2 filters) and external objects
+    * (translated V1 filters). None = unmappable (treat as unconstrained). */
+  def valueOfLiteral(v: Any): Option[String]
+}
+
+private[sources] case class IdentityLevel(col: String) extends PartLevel {
+  def pathName: String = col
+  def sourceCol: String = col
+  def inSchema: Boolean = true
+  def valueOfLiteral(v: Any): Option[String] =
+    Option(v).map(PartitionedWorkspace.valueString)
+}
+
+private[sources] case class DaysLevel(col: String, isDate: Boolean)
+  extends PartLevel {
+  def pathName: String = s"${col}_day"
+  def sourceCol: String = col
+  def inSchema: Boolean = false
+  def valueOfLiteral(v: Any): Option[String] =
+    PartitionedWorkspace.epochDay(v, isDate).map(_.toString)
+}
+
 private[sources] object PartitionedWorkspace {
+  val MicrosPerDay = 86400000000L
+
   /** Partition value → canonical path fragment value (pre-escaping). */
   def valueString(v: Any): String = v match {
     case u: org.apache.spark.unsafe.types.UTF8String => u.toString
@@ -51,90 +96,208 @@ private[sources] object PartitionedWorkspace {
   def partDirName(partCol: String, v: String): String =
     s"$partCol=${ExternalCatalogUtils.escapePathName(v)}"
 
-  /** Extract the partition values a runtime group filter pins: the
-    * translated V2 runtime filter arrives as `partCol IN (v1..vn)` (or a
-    * single `=`). Unparseable input returns None — the scan then keeps
-    * every partition, which is always CORRECT (just not minimal). */
-  def predicateValues(predicates: Array[Predicate],
-                      partCol: String): Option[Seq[String]] = {
-    def refOk(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-      e match {
-        case r: NamedReference =>
-          r.fieldNames().length == 1 &&
-            r.fieldNames()(0).equalsIgnoreCase(partCol)
-        case _ => false
-      }
-    val sets = predicates.toSeq.flatMap { p =>
-      val ch = p.children()
-      p.name() match {
-        case "IN" if ch.nonEmpty && refOk(ch.head) &&
-            ch.tail.forall(_.isInstanceOf[Literal[_]]) =>
-          Some(ch.tail.map(l =>
-            valueString(l.asInstanceOf[Literal[_]].value)).toSeq)
-        case "=" if ch.length == 2 && refOk(ch(0)) &&
-            ch(1).isInstanceOf[Literal[_]] =>
-          Some(Seq(valueString(ch(1).asInstanceOf[Literal[_]].value)))
-        case _ => None
-      }
+  /** Epoch day of a timestamp/date literal in ANY representation Spark
+    * hands a connector: catalyst internal (Long micros for timestamps,
+    * Int days for dates) or external (java.sql / java.time objects from
+    * translated V1 filters). */
+  def epochDay(v: Any, isDate: Boolean): Option[Long] = v match {
+    case null => None
+    case l: java.lang.Long if !isDate => Some(Math.floorDiv(l, MicrosPerDay))
+    case i: java.lang.Integer if isDate => Some(i.longValue)
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 86400000L))
+    case i: java.time.Instant => Some(Math.floorDiv(i.getEpochSecond, 86400L))
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Derivation column for a days level — EXACT integer arithmetic (the
+    * subtraction makes the division's numerator exactly divisible, so the
+    * double intermediate is an exact small integer). Must agree bit-for-bit
+    * with the writer-side `Math.floorDiv` on the internal value. */
+  def dayColumn(c: Column, isDate: Boolean): Column =
+    if (isDate) datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
+    else ((unix_micros(c) - pmod(unix_micros(c), lit(MicrosPerDay)))
+      / lit(MicrosPerDay)).cast(LongType)
+
+  /** Position of a temporal literal on the level's axis: MICROSECONDS
+    * since epoch for timestamps, DAYS for dates — in any representation
+    * Spark hands a connector. */
+  private def epochPos(v: Any, isDate: Boolean): Option[Long] = v match {
+    case null => None
+    case t: java.sql.Timestamp if !isDate =>
+      val i = t.toInstant
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case i: java.time.Instant if !isDate =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case l: java.lang.Long if !isDate => Some(l)
+    case d: java.sql.Date if isDate => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate if isDate => Some(d.toEpochDay)
+    case i: java.lang.Integer if isDate => Some(i.longValue)
+    case _ => None
+  }
+
+  /** Can a row inside day-directory `day` satisfy `f` (a pushed filter on
+    * the level's SOURCE column)? The directory covers axis positions in
+    * `[day*unit, (day+1)*unit)` — EXACT interval tests, so a midnight
+    * boundary (`ts < '…-04 00:00:00'`) prunes the boundary day. Unknown
+    * shapes keep the directory. */
+  def dayMayMatch(f: sources.Filter, srcCol: String, day: Long,
+                  isDate: Boolean): Boolean = {
+    val unit = if (isDate) 1L else MicrosPerDay
+    val s = day * unit
+    val e = s + unit // exclusive; max value in the directory is e - 1
+    def pos(v: Any): Option[Long] = epochPos(v, isDate)
+    def ref(c: String): Boolean = c.equalsIgnoreCase(srcCol)
+    f match {
+      case sources.And(l, r) =>
+        dayMayMatch(l, srcCol, day, isDate) && dayMayMatch(r, srcCol, day, isDate)
+      case sources.Or(l, r) =>
+        dayMayMatch(l, srcCol, day, isDate) || dayMayMatch(r, srcCol, day, isDate)
+      case sources.EqualTo(c, v) if ref(c) =>
+        pos(v).forall(x => x >= s && x < e)
+      case sources.GreaterThan(c, v) if ref(c) => pos(v).forall(e - 1 > _)
+      case sources.GreaterThanOrEqual(c, v) if ref(c) => pos(v).forall(e - 1 >= _)
+      case sources.LessThan(c, v) if ref(c) => pos(v).forall(s < _)
+      case sources.LessThanOrEqual(c, v) if ref(c) => pos(v).forall(s <= _)
+      case sources.In(c, vs) if ref(c) =>
+        vs.isEmpty || vs.exists(v => pos(v).forall(x => x >= s && x < e))
+      case _ => true
     }
-    if (sets.isEmpty) None
-    else Some(sets.reduce((a, b) => a.intersect(b)).distinct)
+  }
+
+  /** Extract the per-level value sets a runtime group filter pins: each
+    * translated V2 runtime filter arrives as `sourceCol IN (v1..vn)` (or a
+    * single `=`); values map onto PATH values through the level's
+    * derivation. A level with no parseable constraint is unconstrained;
+    * None = NO level constrained (the scan keeps every partition, which is
+    * always CORRECT — just not minimal). */
+  def predicateValues(predicates: Array[Predicate],
+                      levels: Seq[PartLevel]): Option[Map[String, Seq[String]]] = {
+    def refOf(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val perLevel = levels.flatMap { lvl =>
+      val sets = predicates.toSeq.flatMap { p =>
+        val ch = p.children()
+        p.name() match {
+          case "IN" if ch.nonEmpty &&
+              refOf(ch.head).exists(_.equalsIgnoreCase(lvl.sourceCol)) &&
+              ch.tail.forall(_.isInstanceOf[Literal[_]]) =>
+            val vs = ch.tail.map(l => lvl.valueOfLiteral(
+              l.asInstanceOf[Literal[_]].value))
+            // one unmappable literal poisons the whole set (an unknown
+            // member could pin anything) — drop the constraint
+            if (vs.contains(None)) None else Some(vs.flatten.toSeq.distinct)
+          case "=" if ch.length == 2 &&
+              refOf(ch(0)).exists(_.equalsIgnoreCase(lvl.sourceCol)) &&
+              ch(1).isInstanceOf[Literal[_]] =>
+            lvl.valueOfLiteral(ch(1).asInstanceOf[Literal[_]].value)
+              .map(Seq(_))
+          case _ => None
+        }
+      }
+      if (sets.isEmpty) None
+      else Some(lvl.pathName -> sets.reduce((a, b) => a.intersect(b)).distinct)
+    }.toMap
+    if (perLevel.isEmpty) None else Some(perLevel)
   }
 }
 
-/** A PARTITIONED workspace table — hive layout `<dir>/<col>=<val>/files`,
-  * one top-level string/int/long partition column, partition col stored in
-  * the directory name (never in data files). What it buys at 100 TB over
-  * the flat [[GraftWorkspaceTable]]:
+/** A PARTITIONED workspace table — hive layout
+  * `<dir>/<k1>=<v1>/.../<kn>=<vn>/files`. Levels are either IDENTITY
+  * columns (string/int/long, stored in the directory name, canonically
+  * LAST in the schema, never in data files) or ONE hidden `days(ts)`
+  * transform ([[DaysLevel]]: synthetic `<ts>_day=<epochDay>` directories
+  * derived from a timestamp/date column that stays in the files). What
+  * the layout buys at 100 TB over the flat [[GraftWorkspaceTable]]:
   *
-  *  - READS partition-prune for free (Spark's own
-  *    `PartitioningAwareFileIndex`; the declared schema rides as the user
-  *    schema, so types are exact) — a `WHERE source='x'` scan opens one
-  *    directory.
+  *  - READS partition-prune: identity levels through Spark's own
+  *    `PartitioningAwareFileIndex`; the hidden days level through a
+  *    driver-side directory-range prune of `ts` predicates
+  *    ([[org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder]]) —
+  *    either way a date-clamped scan opens only the matching directories.
   *  - ROW-LEVEL DML is PARTITION-GRAINED, not table-grained: the COW
   *    operation's scan implements `SupportsRuntimeV2Filtering` on the
-  *    partition column, so Spark's own
+  *    levels' source columns, so Spark's own
   *    `RowLevelOperationRuntimeGroupFiltering` runs the group-filter
   *    subquery (matched partitions of the command's condition) and the
-  *    rewrite reads, rewrites and republishes ONLY those partitions —
-  *    `UPDATE t SET ... WHERE source='x'` rewrites one directory and every
-  *    other partition's files keep their mtimes (spec-pinned).
-  *  - translatable `DELETE` takes a direct per-partition rewrite (matched
-  *    partitions found with a pruned scan; each rewritten independently).
+  *    rewrite reads, rewrites and republishes ONLY those directories —
+  *    every other partition's files keep their mtimes (spec-pinned).
+  *  - translatable `DELETE` takes a direct per-partition rewrite.
   *  - `INSERT INTO` appends hive-partitioned via the V1 write path
-  *    (`partitionBy` + Spark's own dynamic-partition writer).
+  *    (Spark's own dynamic-partition writer; the days level derives its
+  *    synthetic path column in the write projection).
   *
-  * Non-atomicity is the flat table's same single-writer contract, widened
-  * honestly: a partitioned publish is per-partition renames (retire read
-  * partitions, move staged ones in); a crash mid-publish leaves the staged
-  * data intact for hand recovery. ALTER TABLE on partitioned tables is
-  * rejected (the declared schema keeps the partition column LAST — the
-  * canonical hive order the write path and the file index agree on). */
+  * PUBLISH is crash-safe by rename ordering: read partitions RETIRE BY
+  * RENAME into a dot-prefixed `.retired_<tag>/` parking root (invisible to
+  * the file index), staged replacements move in, retired copies delete
+  * LAST — at no instant does only one copy of a partition's rows exist in
+  * a destroyable place, and [[repairRetiredPartitions]] (run on catalog
+  * load and before every publish) restores pre-statement content after a
+  * crash. Statement-level atomicity across partitions stays the honest
+  * single-writer contract. ALTER TABLE is ADD COLUMN only (metadata-only;
+  * identity columns stay last, the canonical hive order). */
 private[sources] class PartitionedWorkspaceTable(
     tableName: String,
     spark: SparkSession,
     dir: String,
     declaredFull: StructType,
-    val partCol: String)
+    val levels: Seq[PartLevel])
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with SupportsDelete with SupportsRowLevelOperations {
 
-  require(declaredFull.fieldNames.last == partCol,
-    s"declared schema must keep partition column $partCol last (canonical hive order)")
-  private val partType = declaredFull(partCol).dataType
-  require(Seq(StringType, IntegerType, LongType).contains(partType),
-    s"partition column must be string/int/long, got $partType")
+  require(levels.nonEmpty, "at least one partition level")
+  require(levels.forall(_.inSchema) ||
+      (levels.length == 1 && !levels.head.inSchema),
+    "partition spec must be identity columns, or exactly one days(ts) " +
+      "transform — mixing hidden and identity levels is not supported")
+
+  private[sources] val identityCols: Seq[String] =
+    levels.collect { case IdentityLevel(c) => c }
+
+  /** True when the layout carries a HIDDEN (derived) level — reads then
+    * go through leaf-directory path lists, never hive inference (the
+    * synthetic path key is not a schema column). */
+  private[sources] def hasHidden: Boolean = levels.exists(!_.inSchema)
+
+  // identity: canonical hive order (partition columns LAST, declaration
+  // order); types string/int/long. days: source column must exist with a
+  // temporal type.
+  if (identityCols.nonEmpty) {
+    require(declaredFull.fieldNames.takeRight(identityCols.length).toSeq ==
+        identityCols,
+      s"declared schema must keep partition columns ${identityCols.mkString(",")} " +
+        "last, in partition order (canonical hive order)")
+    identityCols.foreach { c =>
+      require(Seq(StringType, IntegerType, LongType)
+          .contains(declaredFull(c).dataType),
+        s"identity partition column must be string/int/long, got ${declaredFull(c).dataType}")
+    }
+  }
+  levels.collect { case d: DaysLevel => d }.foreach { d =>
+    val t = declaredFull(d.sourceCol).dataType
+    require(t == TimestampType || t == DateType,
+      s"days(${d.sourceCol}) needs a timestamp/date column, got $t")
+  }
 
   private[sources] def tableDir: String = dir
   private def fsOf(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Data-file schema: declared minus the partition column (hive layout
-    * stores it in the directory name; a copy inside the file would be a
-    * duplicate-column read error). */
+  /** Data-file schema: declared minus the IDENTITY columns (hive layout
+    * stores those in directory names; a copy inside the file would be a
+    * duplicate-column read error). A days level's source column STAYS — it
+    * is a plain data column. */
   private[sources] def fileSchema: StructType =
-    StructType(declaredFull.fields.filterNot(_.name == partCol))
+    StructType(declaredFull.fields.filterNot(f => identityCols.contains(f.name)))
 
   private[sources] def declaredSchemaFull: StructType = declaredFull
 
@@ -142,7 +305,10 @@ private[sources] class PartitionedWorkspaceTable(
   override def schema(): StructType = declaredFull
   override def partitioning():
       Array[org.apache.spark.sql.connector.expressions.Transform] =
-    Array(Expressions.identity(partCol))
+    levels.map {
+      case IdentityLevel(c) => Expressions.identity(c)
+      case DaysLevel(c, _) => Expressions.days(c)
+    }.toArray
 
   /** COMPOSITION, not inheritance, deliberately: Spark's
     * `FallBackFileSourceV2` rule rewrites INSERT on any `FileTable` into a
@@ -159,14 +325,37 @@ private[sources] class PartitionedWorkspaceTable(
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.put("spark.sql.parquet.fieldId.read.enabled", "true"): Unit
     val opts = new CaseInsensitiveStringMap(merged)
-    ParquetTable(tableName, spark, opts, Seq(dir), Some(declaredFull),
-      classOf[ParquetFileFormat]).newScanBuilder(opts)
+    if (!hasHidden)
+      ParquetTable(tableName, spark, opts, Seq(dir), Some(declaredFull),
+        classOf[ParquetFileFormat]).newScanBuilder(opts)
+    else {
+      // hidden days level: serve the LEAF directories directly (no hive
+      // inference — the synthetic key is not a schema column), pruned by
+      // the pushed source-column predicates through the day derivation
+      val d = levels.head.asInstanceOf[DaysLevel]
+      new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
+        tableName, spark, declaredFull, opts,
+        filters => leafDirsWithValues().collect {
+          case (path, Seq(dayStr)) if dayStr.toLongOption.forall(day =>
+              filters.forall(PartitionedWorkspace.dayMayMatch(
+                _, d.sourceCol, day, d.isDate))) => path
+        })
+    }
   }
 
-  /** Full-table DataFrame through the V1 reader (user schema ⇒ exact
-    * partition-column type; hive dirs ⇒ partition pruning on filters). */
+  /** Full-table DataFrame: identity layouts through the V1 reader (user
+    * schema ⇒ exact partition-column types; hive dirs ⇒ pruning on
+    * filters); hidden layouts read the leaf directories (source column is
+    * in the files). */
   private def readFull(): DataFrame =
-    spark.read.schema(declaredFull).parquet(dir)
+    if (!hasHidden) spark.read.schema(declaredFull).parquet(dir)
+    else {
+      val leaves = leafDirsWithValues().map(_._1)
+      if (leaves.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
+      else spark.read.schema(declaredFull).parquet(leaves: _*)
+    }
 
   private[sources] def stagingPath(): Path = {
     val real = new Path(dir)
@@ -179,43 +368,77 @@ private[sources] class PartitionedWorkspaceTable(
     if (f.exists(staging)) f.delete(staging, true): Unit
   }
 
-  private def partitionDirs(): Seq[Path] = {
-    val root = new Path(dir)
-    val f = fsOf(root)
-    if (!f.exists(root)) Nil
-    else f.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-      .map(_.getPath)
+  /** All existing LEAF partition directories under `root`, as
+    * (absolute path, unescaped value per level). */
+  private def walkLeaves(root: Path, f: FileSystem):
+      Seq[(String, Seq[String])] = {
+    def descend(base: Path, lvl: Int, acc: Seq[String]): Seq[(String, Seq[String])] =
+      if (lvl == levels.length) Seq((base.toString, acc))
+      else if (!f.exists(base)) Nil
+      else f.listStatus(base).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"${levels(lvl).pathName}="))
+        .flatMap { st =>
+          val v = ExternalCatalogUtils.unescapePathName(
+            st.getPath.getName.substring(levels(lvl).pathName.length + 1))
+          descend(st.getPath, lvl + 1, acc :+ v)
+        }
+    descend(root, 0, Nil)
   }
 
-  /** Retired-partition parking spot: a DOT-PREFIXED sibling (invisible to
-    * Spark's file index) tagged so [[repairRetiredPartitions]] can map it
-    * back to its original directory after a crash. */
-  private def retiredPath(pdir: Path, tag: String): Path =
-    new Path(pdir.getParent, s".${pdir.getName}.__retired_$tag")
+  private[sources] def leafDirsWithValues(): Seq[(String, Seq[String])] = {
+    val root = new Path(dir)
+    walkLeaves(root, fsOf(root))
+  }
 
-  /** Crash recovery for the rename-based publish: a `.<part>.__retired_*`
-    * sibling whose original directory is MISSING marks a crash between
-    * retire and publish — rename it back (the table reads its
-    * pre-statement content again). One whose original EXISTS marks a crash
-    * after the staged replacement moved in — the retired copy is the only
-    * leftover step, delete it. Idempotent; invoked on catalog load and at
-    * the head of every publish. */
+  /** Relative leaf path of one value tuple (`a=1/b=x`). */
+  private[sources] def relOf(values: Seq[String]): String =
+    levels.zip(values).map { case (l, v) =>
+      PartitionedWorkspace.partDirName(l.pathName, v)
+    }.mkString("/")
+
+  /** Existing leaf directories matching the pinned per-level value sets
+    * (an unconstrained level matches every existing value). Returns
+    * RELATIVE paths. */
+  private[sources] def matchingRels(pinned: Map[String, Seq[String]]): Seq[String] =
+    leafDirsWithValues().collect {
+      case (_, vals) if levels.zip(vals).forall { case (l, v) =>
+          pinned.get(l.pathName).forall(_.contains(v)) } =>
+        relOf(vals)
+    }
+
+  /** Retired-partition parking root for one publish: a DOT-PREFIXED child
+    * of the table dir (invisible to Spark's file index); retired leaves
+    * keep their RELATIVE paths under it so [[repairRetiredPartitions]] can
+    * map them back. */
+  private def retiredRoot(tag: String): Path =
+    new Path(dir, s".retired_$tag")
+
+  /** Crash recovery for the rename-based publish: a leaf parked under
+    * `.retired_*` whose original directory is MISSING marks a crash
+    * between retire and publish — rename it back (the table reads its
+    * pre-statement content again). One whose original EXISTS marks a
+    * crash after the staged replacement moved in — the stale copy is the
+    * only leftover step, delete it. Idempotent; invoked on catalog load
+    * and at the head of every publish. */
   private[sources] def repairRetiredPartitions(): Unit = {
     val root = new Path(dir)
     val f = fsOf(root)
     if (!f.exists(root)) return
     f.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
-        st.getPath.getName.contains(".__retired_"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".retired_"))
       .foreach { st =>
-        val nm = st.getPath.getName
-        val orig = nm.substring(1, nm.lastIndexOf(".__retired_"))
-        val dest = new Path(dir, orig)
-        if (f.exists(dest)) f.delete(st.getPath, true): Unit
-        else if (!f.rename(st.getPath, dest))
-          throw new IllegalStateException(
-            s"partition repair: could not restore $nm to $orig")
+        walkLeaves(st.getPath, f).foreach { case (leafPath, vals) =>
+          val dest = new Path(dir, relOf(vals))
+          if (!f.exists(dest)) {
+            f.mkdirs(dest.getParent): Unit
+            if (!f.rename(new Path(leafPath), dest))
+              throw new IllegalStateException(
+                s"partition repair: could not restore $leafPath to $dest")
+          }
+        }
+        // anything left under the root is stale copies (originals exist)
+        f.delete(st.getPath, true): Unit
       }
   }
 
@@ -226,57 +449,74 @@ private[sources] class PartitionedWorkspaceTable(
     * are task-unique). Untouched partitions are never listed, never
     * opened, never re-stamped.
     *
-    * Crash-safe by construction: retirement is a RENAME aside (never a
-    * delete), the staged replacements move in, and the retired copies
-    * delete LAST — at no instant does only one copy of a partition's rows
-    * exist in a destroyable place. Any failure past the first retire
-    * leaves BOTH the staging directory and the retired copies on disk;
+    * Crash-safe by construction: retirement is a RENAME into the parking
+    * root (never a delete), the staged replacements move in, and the
+    * retired copies delete LAST. Any failure past the first retire leaves
+    * BOTH the staging directory and the parked copies on disk;
     * [[repairRetiredPartitions]] restores the pre-statement table on the
-    * next load. `readVals == Some(Nil)` (the runtime group filter matched
+    * next load. `readRels == Some(Nil)` (the runtime group filter matched
     * NO partitions) retires nothing — staged directories, if any, are
     * MERGE INSERT rows for a zero-match target and still append. */
   private[sources] def publishPartitioned(staging: Path,
-                                          readVals: Option[Seq[String]]): Unit = {
+                                          readRels: Option[Seq[String]]): Unit = {
     val f = fsOf(staging)
     repairRetiredPartitions()
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val toRetire = (readVals match {
-      case Some(vs) => vs.map(v =>
-        new Path(dir, PartitionedWorkspace.partDirName(partCol, v)))
-      case None => partitionDirs()
-    }).filter(f.exists)
-    val retired = toRetire.map { p =>
-      val aside = retiredPath(p, tag)
-      if (!f.rename(p, aside))
+    val park = retiredRoot(tag)
+    val toRetire = (readRels match {
+      case Some(rels) => rels
+      case None => leafDirsWithValues().map { case (_, vals) => relOf(vals) }
+    }).filter(rel => f.exists(new Path(dir, rel)))
+    toRetire.foreach { rel =>
+      val aside = new Path(park, rel)
+      f.mkdirs(aside.getParent): Unit
+      if (!f.rename(new Path(dir, rel), aside))
         throw new IllegalStateException(
-          s"partitioned DML commit: could not retire $p (table intact; " +
+          s"partitioned DML commit: could not retire $rel (table intact; " +
             s"staging left at $staging)")
-      aside
     }
-    if (f.exists(staging)) f.listStatus(staging).toSeq
-      .filter(_.isDirectory).foreach { st =>
-        val dest = new Path(dir, st.getPath.getName)
-        if (!f.exists(dest)) {
-          if (!f.rename(st.getPath, dest))
-            throw new IllegalStateException(
-              s"partitioned DML commit: could not publish ${st.getPath} — " +
-                s"staging and retired copies left for recovery")
-        } else f.listStatus(st.getPath).foreach { file =>
-          if (!f.rename(file.getPath, new Path(dest, file.getPath.getName)))
-            throw new IllegalStateException(
-              s"partitioned DML commit: could not move ${file.getPath} — " +
-                s"staging and retired copies left for recovery")
-        }
+    if (f.exists(staging)) walkLeaves(staging, f).foreach { case (leafPath, vals) =>
+      val dest = new Path(dir, relOf(vals))
+      if (!f.exists(dest)) {
+        f.mkdirs(dest.getParent): Unit
+        if (!f.rename(new Path(leafPath), dest))
+          throw new IllegalStateException(
+            s"partitioned DML commit: could not publish $leafPath — " +
+              s"staging and retired copies left for recovery")
+      } else f.listStatus(new Path(leafPath)).foreach { file =>
+        if (!f.rename(file.getPath, new Path(dest, file.getPath.getName)))
+          throw new IllegalStateException(
+            s"partitioned DML commit: could not move ${file.getPath} — " +
+              s"staging and retired copies left for recovery")
       }
+    }
     // point of no return passed: every staged partition is live — retired
     // copies and staging scaffolding delete last (a failure here leaves
     // only ignorable debris that repair/janitors clear)
-    retired.foreach(p => f.delete(p, true): Unit)
+    if (f.exists(park)) f.delete(park, true): Unit
     f.delete(staging, true): Unit
     spark.catalog.refreshByPath(dir)
   }
 
   // ---- INSERT (V1 write fallback: Spark's own partitioned writer) ---------
+
+  /** Path column expressions per level for a WRITE projection: identity
+    * columns pass through (null-rejected); a days level derives its
+    * synthetic column (null-rejected — a NULL key has no directory). */
+  private def writePathCols(data: DataFrame): (DataFrame, Seq[String]) = {
+    var out = data
+    val names = levels.map {
+      case IdentityLevel(c) => c
+      case d @ DaysLevel(c, isDate) =>
+        out = out.withColumn(d.pathName,
+          when(col(c).isNull, raise_error(lit(
+            s"INSERT into partitioned table: NULL in partition source $c"))
+            .cast(LongType))
+            .otherwise(PartitionedWorkspace.dayColumn(col(c), isDate)))
+        d.pathName
+    }
+    (out, names)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -292,24 +532,25 @@ private[sources] class PartitionedWorkspaceTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              // declared order (partCol last) with declared field-id
-              // metadata re-stamped onto every written file. NULL partition
-              // values are rejected IN the write pass: Spark would land
-              // them in a __HIVE_DEFAULT_PARTITION__ dir that the DML
-              // paths can neither match nor rewrite.
+              // declared order with declared field-id metadata re-stamped
+              // onto every written file. NULL partition values are rejected
+              // IN the write pass: Spark would land them in a
+              // __HIVE_DEFAULT_PARTITION__ dir the DML paths can neither
+              // match nor rewrite.
               val cols = declaredFull.fields.map { fd =>
                 val c =
-                  if (fd.name == partCol)
+                  if (identityCols.contains(fd.name))
                     when(col(fd.name).isNull, raise_error(lit(
                       s"INSERT into partitioned table: NULL in partition " +
-                        s"column $partCol")).cast(fd.dataType))
+                        s"column ${fd.name}")).cast(fd.dataType))
                       .otherwise(col(fd.name))
                   else col(fd.name)
                 c.as(fd.name, fd.metadata)
               }
+              val (shaped, pathNames) =
+                writePathCols(data.select(cols.toIndexedSeq: _*))
               val mode = if (overwrite || overwriteAll) "overwrite" else "append"
-              data.select(cols.toIndexedSeq: _*)
-                .write.partitionBy(partCol).mode(mode).parquet(dir)
+              shaped.write.partitionBy(pathNames: _*).mode(mode).parquet(dir)
               spark.catalog.refreshByPath(dir)
             }
           }
@@ -321,36 +562,52 @@ private[sources] class PartitionedWorkspaceTable(
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     filters.forall(WorkspaceDml.toColumn(_).isDefined)
 
-  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+  /** Path-value column per level for MATCHING (not writing). */
+  private def levelPathColumn(l: PartLevel): Column = l match {
+    case IdentityLevel(c) => col(c)
+    case DaysLevel(c, isDate) => PartitionedWorkspace.dayColumn(col(c), isDate)
+  }
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit =
+    WorkspaceDmlLock.withLock(spark, dir) { deleteWhereLocked(filters) }
+
+  private def deleteWhereLocked(filters: Array[sources.Filter]): Unit = {
     repairRetiredPartitions()
     val cond = filters.flatMap(WorkspaceDml.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val full = readFull()
-    // matched partitions via a PRUNED scan (a partition-column predicate
+    // matched partitions via a PRUNED scan (a partition-level predicate
     // in `cond` never lists the other directories)
     val touched = full.filter(coalesce(cond, lit(false)))
-      .select(partCol).distinct().collect()
-      .map(r => PartitionedWorkspace.valueString(r.get(0)))
+      .select(levels.map(l => levelPathColumn(l).as(l.pathName)): _*)
+      .distinct().collect()
+      .map(r => levels.indices.map(i =>
+        PartitionedWorkspace.valueString(r.get(i))))
     val fileCols = fileSchema.fieldNames.map(col).toIndexedSeq
-    touched.foreach { v =>
-      val pdir = new Path(dir, PartitionedWorkspace.partDirName(partCol, v))
-      val keep = full
-        .filter(col(partCol) === lit(v).cast(partType))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    touched.foreach { vals =>
+      val rel = relOf(vals)
+      val pdir = new Path(dir, rel)
+      val matchThis = levels.zip(vals).map {
+        case (IdentityLevel(c), v) =>
+          col(c) === lit(v).cast(declaredFull(c).dataType)
+        case (d @ DaysLevel(_, _), v) => levelPathColumn(d) === lit(v.toLong)
+      }.reduce(_ && _)
+      val keep = full.filter(matchThis)
         .filter(!coalesce(cond, lit(false)))
         .select(fileCols: _*)
       val staging = stagingPath()
       val f = fsOf(pdir)
-      val aside = retiredPath(pdir,
-        java.util.UUID.randomUUID().toString.take(8))
+      val aside = new Path(retiredRoot(tag), rel)
       // survivor copy FIRST, retire by RENAME second, replacement third,
       // retired delete LAST — a failure at any step leaves at least one
       // complete copy of the partition's surviving rows on disk. Staging
       // is dropped ONLY for failures before the retire; past it, staging
-      // and the retired copy both stay for recovery
+      // and the parked copy both stay for recovery
       // ([[repairRetiredPartitions]] restores pre-statement content).
       if (keep.isEmpty) {
-        // partition fully deleted — retire, then drop the retired copy
         if (f.exists(pdir)) {
+          f.mkdirs(aside.getParent): Unit
           if (!f.rename(pdir, aside))
             throw new IllegalStateException(s"DELETE: could not retire $pdir")
           f.delete(aside, true): Unit
@@ -358,10 +615,14 @@ private[sources] class PartitionedWorkspaceTable(
       } else {
         try keep.write.parquet(staging.toString)
         catch { case e: Throwable => dropStaging(staging); throw e }
-        if (f.exists(pdir) && !f.rename(pdir, aside)) {
-          dropStaging(staging)
-          throw new IllegalStateException(s"DELETE: could not retire $pdir")
+        if (f.exists(pdir)) {
+          f.mkdirs(aside.getParent): Unit
+          if (!f.rename(pdir, aside)) {
+            dropStaging(staging)
+            throw new IllegalStateException(s"DELETE: could not retire $pdir")
+          }
         }
+        f.mkdirs(pdir.getParent): Unit
         if (!f.rename(staging, pdir))
           throw new IllegalStateException(
             s"DELETE: could not publish $staging — staging and retired " +
@@ -369,6 +630,10 @@ private[sources] class PartitionedWorkspaceTable(
         f.delete(aside, true): Unit
       }
     }
+    // empty parking root (all leaves deleted) — clear the scaffolding
+    val park = retiredRoot(tag)
+    val pf = fsOf(park)
+    if (pf.exists(park)) pf.delete(park, true): Unit
     spark.catalog.refreshByPath(dir)
   }
 
@@ -382,17 +647,17 @@ private[sources] class PartitionedWorkspaceTable(
     }
 }
 
-/** Partition-grained copy-on-write: the scan exposes the partition column
-  * for runtime group filtering, the write lands hive-partitioned files in
-  * a staging dir (one parquet `OutputWriter` per (task, partition value)),
+/** Partition-grained copy-on-write: the scan exposes the levels' source
+  * columns for runtime group filtering, the write lands hive-partitioned
+  * files in a staging dir (one parquet `OutputWriter` per (task, leaf)),
   * and the commit republishes exactly the partitions the scan read. */
 private[sources] class PartitionedCowOperation(
     table: PartitionedWorkspaceTable, cmd: Command) extends RowLevelOperation {
 
-  /** Partition values the runtime group filter pinned; None = the filter
-    * never engaged, so the group set is every partition. Written on the
-    * driver during scan filtering, read on the driver at commit. */
-  @volatile private[sources] var readValues: Option[Seq[String]] = None
+  /** RELATIVE leaf paths the runtime group filter pinned; None = the
+    * filter never engaged, so the group set is every partition. Written on
+    * the driver during scan filtering, read on the driver at commit. */
+  @volatile private[sources] var readRels: Option[Seq[String]] = None
 
   override def command(): Command = cmd
   override def description(): String =
@@ -416,23 +681,37 @@ private[sources] class PartitionedCowOperation(
 
 /** The operation scan: a full-fidelity parquet scan (vectorized, columnar)
   * over either every partition or — once the runtime group filter calls
-  * [[filter]] — only the matched partition directories (`basePath` keeps
-  * the partition column alive in the narrowed read). NO data-filter
-  * pushdown, deliberately: parquet row-group pruning is inexact, and a
-  * dropped survivor row would vanish from the rewritten partition. Path
-  * restriction is exact by construction (whole directories). */
+  * [[filter]] — only the matched leaf directories. Identity layouts keep
+  * `basePath` so the partition columns stay alive in the narrowed read;
+  * hidden layouts read leaves directly (the source column is in the
+  * files). NO data-filter pushdown, deliberately: parquet row-group
+  * pruning is inexact, and a dropped survivor row would vanish from the
+  * rewritten partition. Path restriction is exact by construction (whole
+  * directories). */
 private class PartitionScopedScan(table: PartitionedWorkspaceTable,
                                   op: PartitionedCowOperation)
   extends Scan with SupportsRuntimeV2Filtering {
 
   private def innerScan(paths: Seq[String]): Scan = {
-    val opts = new CaseInsensitiveStringMap(
-      java.util.Map.of("basePath", table.tableDir,
-        "spark.sql.parquet.fieldId.read.enabled", "true"))
-    ParquetTable(s"${table.name}__cowscan", SparkSession.active, opts,
-      if (paths.isEmpty) Seq(table.tableDir) else paths,
-      Some(table.declaredSchemaFull), classOf[ParquetFileFormat])
-      .newScanBuilder(opts).build()
+    if (table.hasHidden) {
+      val opts = new CaseInsensitiveStringMap(
+        java.util.Map.of("spark.sql.parquet.fieldId.read.enabled", "true"))
+      val leaves =
+        if (paths.nonEmpty) paths
+        else table.leafDirsWithValues().map(_._1)
+      if (leaves.isEmpty) return new EmptyPartitionScan(table)
+      ParquetTable(s"${table.name}__cowscan", SparkSession.active, opts,
+        leaves, Some(table.declaredSchemaFull), classOf[ParquetFileFormat])
+        .newScanBuilder(opts).build()
+    } else {
+      val opts = new CaseInsensitiveStringMap(
+        java.util.Map.of("basePath", table.tableDir,
+          "spark.sql.parquet.fieldId.read.enabled", "true"))
+      ParquetTable(s"${table.name}__cowscan", SparkSession.active, opts,
+        if (paths.isEmpty) Seq(table.tableDir) else paths,
+        Some(table.declaredSchemaFull), classOf[ParquetFileFormat])
+        .newScanBuilder(opts).build()
+    }
   }
 
   @volatile private var current: Scan = innerScan(Nil)
@@ -444,27 +723,32 @@ private class PartitionScopedScan(table: PartitionedWorkspaceTable,
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     current.columnarSupportMode()
 
+  /** ONLY the FIRST level's source column, deliberately: with multiple
+    * attributes Spark's `RowLevelOperationRuntimeGroupFiltering` builds a
+    * single TUPLE-IN subquery whose child is a struct, which
+    * `translateRuntimeFilterV2` cannot express as a V2 predicate (it
+    * requires one pushable column) — the filter would be dropped entirely
+    * and the rewrite would read EVERY partition. One attribute keeps the
+    * group filter alive; the DML grain for a multi-level table is
+    * therefore the FIRST-level value (all its sub-partitions), still
+    * 1/|level-1 values| of the table instead of all of it. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(table.partCol))
+    Array(Expressions.column(table.levels.head.sourceCol))
 
-  override def filter(predicates: Array[Predicate]): Unit =
-    PartitionedWorkspace.predicateValues(predicates, table.partCol).foreach { vs =>
-      op.readValues = Some(vs)
-      val hconf = SparkSession.active.sessionState.newHadoopConf()
-      val existing = vs.map(v => new Path(table.tableDir,
-          PartitionedWorkspace.partDirName(table.partCol, v)))
-        .filter(p => p.getFileSystem(hconf).exists(p))
-        .map(_.toString)
+  override def filter(predicates: Array[Predicate]): Unit = {
+    PartitionedWorkspace.predicateValues(predicates, table.levels).foreach { pinned =>
+      val rels = table.matchingRels(pinned)
+      op.readRels = Some(rels)
       // an EMPTY pinned set (the command's condition matched no partition,
       // or every pinned directory is already gone) must plan ZERO input —
-      // innerScan's paths.isEmpty fallback reads the WHOLE table, and a
-      // zero-match UPDATE/MERGE would then restage every row as a "copy"
-      // that publishPartitioned APPENDS next to the originals (readVals
+      // a whole-table fallback here would restage every row as a "copy"
+      // that publishPartitioned APPENDS next to the originals (readRels
       // retires nothing), silently duplicating the table
       current =
-        if (existing.isEmpty) new EmptyPartitionScan(table)
-        else innerScan(existing)
+        if (rels.isEmpty) new EmptyPartitionScan(table)
+        else innerScan(rels.map(r => s"${table.tableDir}/$r"))
     }
+  }
 }
 
 /** The zero-group scan: the runtime group filter pinned NO partitions, so
@@ -498,39 +782,53 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
                                        op: PartitionedCowOperation,
                                        info: LogicalWriteInfo) extends BatchWrite {
   private val spark = SparkSession.active
+  // the DML fence: acquired at write construction — on the driver, before
+  // any statement task reads table data (scan and write run pipelined in
+  // one job) — released after publish/abort; a concurrent statement
+  // aborts cleanly here instead of interleaving partition republishes
+  private val lock = WorkspaceDmlLock.acquire(spark, table.tableDir)
   private val staging = table.stagingPath()
   private val writeSchema = info.schema()
-  private val partOrdinal = writeSchema.fieldIndex(table.partCol)
+  private val levelOrdinals: Seq[Int] =
+    table.levels.map(l => writeSchema.fieldIndex(l.sourceCol))
+  private val identityOrdinals: Set[Int] =
+    table.levels.zip(levelOrdinals).collect {
+      case (l, o) if l.inSchema => o
+    }.toSet
   private val fileSchema = WorkspaceDml.mergeFieldIds(
-    StructType(writeSchema.filterNot(_.name == table.partCol)),
+    StructType(writeSchema.zipWithIndex
+      .filterNot { case (_, i) => identityOrdinals.contains(i) }.map(_._1)),
     Some(table.fileSchema))
 
   override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, fileSchema)
-    new PartitionedCowWriterFactory(staging.toString, table.partCol,
-      partOrdinal, writeSchema, fileSchema, owf,
+    new PartitionedCowWriterFactory(staging.toString, table.levels,
+      levelOrdinals, writeSchema, fileSchema, owf,
       new SerializableHadoopConf(job.getConfiguration))
   }
 
   override def commit(msgs: Array[WriterCommitMessage]): Unit =
-    table.publishPartitioned(staging, op.readValues)
+    try table.publishPartitioned(staging, op.readRels)
+    finally WorkspaceDmlLock.release(spark, lock)
 
   override def abort(msgs: Array[WriterCommitMessage]): Unit =
-    table.dropStaging(staging)
+    try table.dropStaging(staging)
+    finally WorkspaceDmlLock.release(spark, lock)
 }
 
 /** Executor-side: route each row to a parquet `OutputWriter` keyed by its
-  * partition value (one file per (task, value) — the value set is the
+  * leaf partition path (one file per (task, leaf) — the leaf set is the
   * touched-partition set, driver-bounded). Rows may arrive tagged with the
   * rewrite's leading `__row_operation` INT (see
   * [[OpStrippingWriterFactory]]'s scaladoc) — stripped the same way. The
-  * partition column itself is projected OUT of the stored row. */
+  * IDENTITY columns are projected OUT of the stored row; a days level's
+  * source column stays. */
 private class PartitionedCowWriterFactory(
     stagingDir: String,
-    partCol: String,
-    partOrdinal: Int,
+    levels: Seq[PartLevel],
+    levelOrdinals: Seq[Int],
     writeSchema: StructType,
     fileSchema: StructType,
     owf: OutputWriterFactory,
@@ -545,10 +843,25 @@ private class PartitionedCowWriterFactory(
       private val n = writeSchema.length
       private lazy val tagProj =
         ProjectingInternalRow(writeSchema, (1 to n).toIndexedSeq)
+      private val identityOrdinals = levels.zip(levelOrdinals)
+        .collect { case (l, o) if l.inSchema => o }.toSet
       private val fileProj = ProjectingInternalRow(fileSchema,
-        writeSchema.indices.filterNot(_ == partOrdinal).toIndexedSeq)
-      private val partType = writeSchema(partOrdinal).dataType
+        writeSchema.indices.filterNot(identityOrdinals.contains).toIndexedSeq)
+      private val levelTypes: Seq[DataType] =
+        levelOrdinals.map(writeSchema(_).dataType)
       private val writers = mutable.Map.empty[String, OutputWriter]
+
+      private def pathValue(l: PartLevel, t: DataType, r0: InternalRow,
+                            ord: Int): String = (l, t) match {
+        case (IdentityLevel(_), StringType) => r0.getUTF8String(ord).toString
+        case (IdentityLevel(_), IntegerType) => r0.getInt(ord).toString
+        case (IdentityLevel(_), LongType) => r0.getLong(ord).toString
+        case (DaysLevel(_, _), TimestampType) =>
+          Math.floorDiv(r0.getLong(ord), PartitionedWorkspace.MicrosPerDay).toString
+        case (DaysLevel(_, _), DateType) => r0.getInt(ord).toLong.toString
+        case (other, tt) =>
+          throw new IllegalStateException(s"unsupported partition level $other over $tt")
+      }
 
       override def write(row: InternalRow): Unit = {
         val r0 =
@@ -559,18 +872,17 @@ private class PartitionedCowWriterFactory(
             tagProj.project(row)
             tagProj
           }
-        require(!r0.isNullAt(partOrdinal),
-          s"NULL partition value in $partCol — partitioned workspace tables " +
-            "require non-null partition keys")
-        val v = partType match {
-          case StringType => r0.getUTF8String(partOrdinal).toString
-          case IntegerType => r0.getInt(partOrdinal).toString
-          case LongType => r0.getLong(partOrdinal).toString
-          case other => throw new IllegalStateException(s"unsupported $other")
+        levels.zip(levelOrdinals).foreach { case (l, ord) =>
+          require(!r0.isNullAt(ord),
+            s"NULL partition source value in ${l.sourceCol} — partitioned " +
+              "workspace tables require non-null partition keys")
         }
-        val w = writers.getOrElseUpdate(v, {
-          val dirName = PartitionedWorkspace.partDirName(partCol, v)
-          val file = s"$stagingDir/$dirName/part-$partitionId-$taskId-" +
+        val rel = levels.lazyZip(levelTypes).lazyZip(levelOrdinals).map {
+          (l, t, ord) =>
+            PartitionedWorkspace.partDirName(l.pathName, pathValue(l, t, r0, ord))
+        }.mkString("/")
+        val w = writers.getOrElseUpdate(rel, {
+          val file = s"$stagingDir/$rel/part-$partitionId-$taskId-" +
             s"${java.util.UUID.randomUUID().toString.take(8)}$ext"
           owf.newInstance(file, fileSchema, ctx)
         })

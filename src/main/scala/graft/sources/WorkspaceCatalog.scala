@@ -109,14 +109,16 @@ class WorkspaceCatalog extends TableCatalog {
   private def allNames(): Seq[String] = (dirEntries() ++ sidecarEntries()).distinct
 
   // ---- partitioned tables ---------------------------------------------------
-  // A `_graft_schema/<name>.part` marker holds the partition column name;
-  // its presence routes loadTable to [[PartitionedWorkspaceTable]] (hive
+  // A `_graft_schema/<name>.part` marker holds the partition spec; its
+  // presence routes loadTable to [[PartitionedWorkspaceTable]] (hive
   // layout, partition-grained DML). Written only by CREATE TABLE ...
-  // PARTITIONED BY — fixture tables stay flat.
+  // PARTITIONED BY — fixture tables stay flat. Format: comma-joined
+  // identity column names (the r13 single-name marker parses as the
+  // one-element case), or `days:<col>` for the hidden days(ts) transform.
   private def partMarkerPath(name: String) =
     new org.apache.hadoop.fs.Path(s"$workspace/_graft_schema/$name.part")
 
-  private def readPartCol(name: String): Option[String] = {
+  private def readPartSpec(name: String): Option[String] = {
     val p = partMarkerPath(name)
     val f = fs(p)
     if (!f.exists(p)) None
@@ -127,6 +129,15 @@ class WorkspaceCatalog extends TableCatalog {
       finally in.close()
     }
   }
+
+  /** Marker text → partition levels (needs the declared schema to type the
+    * days source column). */
+  private def levelsOf(marker: String, declared: StructType): Seq[PartLevel] =
+    if (marker.startsWith("days:")) {
+      val c = marker.stripPrefix("days:")
+      Seq(DaysLevel(c,
+        declared(c).dataType == org.apache.spark.sql.types.DateType))
+    } else marker.split(',').toSeq.map(c => IdentityLevel(c.trim))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
@@ -144,12 +155,12 @@ class WorkspaceCatalog extends TableCatalog {
     // a truncate may have left no directory at all — the scan's file index
     // requires the root path to exist, so re-place the (empty) directory
     if (declared.isDefined && !fs(dir).exists(dir)) fs(dir).mkdirs(dir): Unit
-    readPartCol(actual) match {
-      case Some(pc) =>
+    readPartSpec(actual) match {
+      case Some(marker) =>
+        val schema = declared.getOrElse(throw new IllegalStateException(
+          s"partitioned table $actual lost its schema sidecar"))
         val t = new PartitionedWorkspaceTable(actual, SparkSession.active,
-          dir.toString,
-          declared.getOrElse(throw new IllegalStateException(
-            s"partitioned table $actual lost its schema sidecar")), pc)
+          dir.toString, schema, levelsOf(marker, schema))
         // journal recovery on open: a crash mid-publish leaves renamed-aside
         // partition copies; restoring them here is what makes the rename
         // publish protocol crash-safe for readers (pre-statement content)
@@ -223,38 +234,70 @@ class WorkspaceCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  /** `CREATE TABLE ... PARTITIONED BY (col)`: hive layout under the table
-    * directory, ONE top-level identity partition column (string/int/long —
-    * the layouts a landing workspace actually shards by: source, tenant,
-    * day number). The declared schema is canonicalized with the partition
-    * column LAST (the order the file index serves and the write path
-    * produces), field-id-stamped like flat tables, and recorded in the
+  /** `CREATE TABLE ... PARTITIONED BY (...)`: hive layout under the table
+    * directory. Two specs are supported — the layouts a landing workspace
+    * actually shards by:
+    *
+    *  - one or more top-level IDENTITY columns (string/int/long: source,
+    *    tenant, day number), nested in declaration order. The declared
+    *    schema is canonicalized with the partition columns LAST (the order
+    *    the file index serves and the write path produces).
+    *  - `days(ts)` — ONE hidden date transform over a timestamp/date
+    *    column (the first thing a time-series user creates; the
+    *    reference's own scans are date-clamped, `arc_utils.py:717-724`).
+    *    The source column stays a plain schema/data column; directories
+    *    are the synthetic `<ts>_day=<epochDay>`.
+    *
+    * Schemas are field-id-stamped like flat tables and recorded in the
     * sidecar plus a `.part` marker. No seed file: hive layout has no
     * root-level files, and the sidecar makes the empty table readable. */
   private def createPartitioned(ident: Identifier, schema: StructType,
                                 partitions: Array[Transform]): Table = {
-    require(partitions.length == 1,
-      "workspace tables support exactly one partition column")
-    val t = partitions(0)
-    require(t.name() == "identity" && t.references().length == 1 &&
-        t.references()(0).fieldNames().length == 1,
-      s"only identity partitioning on a top-level column is supported, got $t")
-    val pc = t.references()(0).fieldNames()(0)
-    val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
-      throw new IllegalArgumentException(s"partition column $pc not in schema"))
-    require(Seq(org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(f.dataType),
-      s"partition column must be string/int/long, got ${f.dataType}")
-    val canonical = StructType(
-      schema.fields.filterNot(_.name.equalsIgnoreCase(pc)) :+ f)
+    def oneRef(t: Transform): String = {
+      require(t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+        s"partition transforms must reference one top-level column, got $t")
+      t.references()(0).fieldNames()(0)
+    }
+    val isDays = partitions.forall(_.name() == "days")
+    val isIdentity = partitions.forall(_.name() == "identity")
+    require(isDays || isIdentity,
+      "workspace tables support identity partition columns or one days(ts) " +
+        s"transform, got ${partitions.mkString(", ")}")
+    val (canonical, marker) =
+      if (isDays) {
+        require(partitions.length == 1,
+          "exactly one days(ts) transform is supported")
+        val pc = oneRef(partitions(0))
+        val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
+          throw new IllegalArgumentException(s"partition column $pc not in schema"))
+        require(f.dataType == org.apache.spark.sql.types.TimestampType ||
+            f.dataType == org.apache.spark.sql.types.DateType,
+          s"days() needs a timestamp/date column, got ${f.dataType}")
+        (schema, s"days:${f.name}")
+      } else {
+        val pcs = partitions.map(oneRef).toSeq
+        require(pcs.map(_.toLowerCase).distinct.length == pcs.length,
+          "duplicate partition columns")
+        val pfs = pcs.map(pc =>
+          schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
+            throw new IllegalArgumentException(s"partition column $pc not in schema")))
+        pfs.foreach(f => require(
+          Seq(org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType).contains(f.dataType),
+          s"partition column must be string/int/long, got ${f.dataType}"))
+        (StructType(schema.fields.filterNot(fd =>
+          pcs.exists(_.equalsIgnoreCase(fd.name))) ++ pfs),
+          pfs.map(_.name).mkString(","))
+      }
     val stamped = stampFieldIds(canonical)
     val dir = tablePath(ident.name())
     fs(dir).mkdirs(dir): Unit
     writeSidecar(ident.name(), stamped)
     val mp = partMarkerPath(ident.name())
     val out = fs(mp).create(mp, true)
-    try out.write(f.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(marker.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     loadTable(ident)
   }
@@ -328,13 +371,13 @@ class WorkspaceCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val actual = allNames().find(_.equalsIgnoreCase(ident.name()))
       .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
-    val partCol = readPartCol(actual)
+    val partMarker = readPartSpec(actual)
     // partitioned tables: metadata-only ADD COLUMN is safe (the evolved
     // sidecar null-fills old files; the canonical partition-column-last
     // order is restored below); RENAME is rejected — the partitioned DML
     // paths read through the V1 reader, which has no per-scan field-id
     // injection, so a renamed column would stop resolving there
-    if (partCol.isDefined && !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
+    if (partMarker.isDefined && !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
       throw new UnsupportedOperationException(
         s"partitioned workspace table ${ident.name()} supports ALTER TABLE " +
           "ADD COLUMN only; rewrite via CREATE TABLE ... AS for anything else")
@@ -391,12 +434,15 @@ class WorkspaceCatalog extends TableCatalog {
             s"(got ${other.getClass.getSimpleName}); " +
             "drop/retype would reinterpret bytes already on disk — rewrite via CREATE TABLE ... AS")
     }
-    // restore canonical hive order: the partition column stays LAST
-    val canonical = partCol match {
-      case Some(pc) => StructType(
-        evolved.fields.filterNot(_.name.equalsIgnoreCase(pc)) ++
-          evolved.fields.filter(_.name.equalsIgnoreCase(pc)))
-      case None => evolved
+    // restore canonical hive order: IDENTITY partition columns stay LAST
+    // in partition order (a days marker has no schema-position constraint)
+    val canonical = partMarker match {
+      case Some(m) if !m.startsWith("days:") =>
+        val pcs = m.split(',').toSeq.map(_.trim)
+        StructType(
+          evolved.fields.filterNot(f => pcs.exists(_.equalsIgnoreCase(f.name))) ++
+            pcs.flatMap(pc => evolved.fields.find(_.name.equalsIgnoreCase(pc))))
+      case _ => evolved
     }
     writeSidecar(actual, canonical)
     loadTable(ident)

@@ -49,6 +49,74 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    query must see every surviving row, so the scan reads the full
   *    table by construction.
   */
+/** Per-table, per-statement DML FENCE for workspace tables: one exclusive
+  * claim file (`.<table>.__dml_lock`, atomic create-exclusive — the same
+  * primitive as the snapshot claim CAS, Sinks.claimVersion) acquired
+  * BEFORE any statement task reads table data, released after publish or
+  * abort. Two concurrent row-level statements against one table therefore
+  * never interleave their read-copy-publish cycles: the loser aborts with
+  * `ConcurrentModificationException` and the winner's result is intact —
+  * the lost-update/interleaved-partition-loss failure shape becomes a
+  * clean retryable error. A CRASHED holder ages out: an acquire finding a
+  * lock older than `graft.workspace.dmlLockGraceMs` (default 15 min)
+  * breaks it — the standard optimistic-concurrency deadline, sized well
+  * past any real statement. Scope is row-level DML (UPDATE/MERGE/DELETE);
+  * plain INSERT keeps the append contract (task-unique files). */
+private[sources] object WorkspaceDmlLock {
+
+  def lockPath(dir: String): Path = {
+    val real = new Path(dir)
+    new Path(real.getParent, s".${real.getName}.__dml_lock")
+  }
+
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath)): Unit
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false
+      }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  def acquire(spark: SparkSession, dir: String): Path = {
+    val p = lockPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (tryCreate(fs, p)) return p
+    val graceMs = spark.conf
+      .get("graft.workspace.dmlLockGraceMs", "900000").trim.toLong
+    val stale =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime > graceMs
+      catch { case _: java.io.FileNotFoundException => true }
+    if (stale) {
+      fs.delete(p, false): Unit
+      if (tryCreate(fs, p)) return p
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"another DML statement holds the lock on $dir ($p); retry after it " +
+        s"commits, or break a crashed holder's lock past " +
+        s"graft.workspace.dmlLockGraceMs")
+  }
+
+  def release(spark: SparkSession, p: Path): Unit = {
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, false): Unit
+  }
+
+  def withLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val p = acquire(spark, dir)
+    try body finally release(spark, p)
+  }
+}
+
 private[sources] object WorkspaceDml {
 
   /** A session whose runtime conf is a private COPY of `spark`'s (same
@@ -222,11 +290,13 @@ private[sources] class GraftWorkspaceTable(
       "spark.sql.parquet.fieldId.read.enabled" -> "true")
     val remaining = declared.map(s => iso.read.schema(s)).getOrElse(iso.read)
       .parquet(dir).filter(!coalesce(cond, lit(false)))
-    val staging = stagingPath()
-    try {
-      remaining.write.parquet(staging.toString)
-      swapIn(staging)
-    } catch { case t: Throwable => dropStaging(staging); throw t }
+    WorkspaceDmlLock.withLock(spark, dir) {
+      val staging = stagingPath()
+      try {
+        remaining.write.parquet(staging.toString)
+        swapIn(staging)
+      } catch { case t: Throwable => dropStaging(staging); throw t }
+    }
   }
 
   // ---- group-based COW (UPDATE / MERGE / non-translatable DELETE) ---------
@@ -237,7 +307,7 @@ private[sources] class GraftWorkspaceTable(
       override def build(): RowLevelOperation = new CowOperation(
         opts => GraftWorkspaceTable.this.newScanBuilder(opts),
         declared, info.command(), s"${tableName}__cow",
-        () => stagingPath(), swapIn, dropStaging)
+        () => stagingPath(), swapIn, dropStaging, lockDir = Some(dir))
     }
 }
 
@@ -253,7 +323,8 @@ private[sources] class CowOperation(
     label: String,
     stage: () => Path,
     publish: Path => Unit,
-    discard: Path => Unit) extends RowLevelOperation {
+    discard: Path => Unit,
+    lockDir: Option[String] = None) extends RowLevelOperation {
 
   override def command(): Command = cmd
   override def description(): String = s"graft COW $cmd ($label)"
@@ -277,6 +348,12 @@ private[sources] class CowOperation(
       override def build(): Write = new Write {
         override def description(): String = s"graft COW $cmd write ($label)"
         override def toBatch: BatchWrite = {
+          // the DML fence (workspace tables only): acquired HERE — on the
+          // driver, before any statement task reads table data — so two
+          // concurrent statements never interleave read-copy-publish; the
+          // loser aborts cleanly at its own toBatch
+          val lock = lockDir.map(d =>
+            WorkspaceDmlLock.acquire(SparkSession.active, d))
           val staging = stage()
           // re-stamp declared field ids: the COW rewrite's row schema comes
           // from the query plan and may have shed the id metadata
@@ -288,18 +365,22 @@ private[sources] class CowOperation(
           val inner = stagingTable
             .newWriteBuilder(WorkspaceDml.withSchema(info, stamped)).build().toBatch
           new BatchWrite {
+            private def unlock(): Unit =
+              lock.foreach(WorkspaceDmlLock.release(SparkSession.active, _))
             override def createBatchWriterFactory(
                 p: PhysicalWriteInfo): DataWriterFactory =
               new OpStrippingWriterFactory(
                 inner.createBatchWriterFactory(p), info.schema())
             override def useCommitCoordinator(): Boolean =
               inner.useCommitCoordinator()
-            override def commit(msgs: Array[WriterCommitMessage]): Unit = {
-              inner.commit(msgs)
-              publish(staging)
-            }
+            override def commit(msgs: Array[WriterCommitMessage]): Unit =
+              try {
+                inner.commit(msgs)
+                publish(staging)
+              } finally unlock()
             override def abort(msgs: Array[WriterCommitMessage]): Unit =
-              try inner.abort(msgs) finally discard(staging)
+              try inner.abort(msgs)
+              finally { discard(staging); unlock() }
           }
         }
       }

@@ -12,15 +12,17 @@ import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Manifest-consulting scan builder for snapshot SQL serving: the pushed
-  * predicates first prune the version's FILE LIST against the driver-side
-  * `_manifest/v=N` stats ([[graft.sources.ManifestPrune]]), then a genuine
-  * `ParquetScanBuilder` is constructed over only the surviving files and
-  * the SAME catalyst filters replay into it — so row-group pushdown,
-  * column pruning, vectorization and the `PushedFilters` plan surface are
-  * all Spark's own, and every predicate re-applies post-scan exactly as
-  * with an unpruned parquet scan (file skipping can only REMOVE provably
-  * empty files, never rows).
+/** Path-pruning scan builder: the pushed predicates first prune the scan's
+  * PATH LIST on the driver through the caller-supplied `prune` function
+  * (file-manifest stats skipping, hidden-partition day-range pruning),
+  * then a genuine `ParquetScanBuilder` is constructed over only the
+  * surviving paths and the SAME catalyst filters replay into it — so
+  * row-group pushdown, column pruning, vectorization and the
+  * `PushedFilters` plan surface are all Spark's own, and every predicate
+  * re-applies post-scan exactly as with an unpruned parquet scan. The
+  * `prune` contract: drop a path ONLY when the pushed conjunction is
+  * provably false for every row under it (skipping is an optimization,
+  * never the correctness path).
   *
   * Lives in this bridge package because the catalyst-filter pushdown
   * surface of file sources (`SupportsPushDownCatalystFilters`,
@@ -31,19 +33,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Ordering contract (matches `V2ScanRelationPushDown`): `pushFilters`
   * runs before `pruneColumns` before `build()`. The inner builder is
   * created on FIRST use so a filter-less scan (no `pushFilters` call, or
-  * an empty one) still serves every file. */
-class ManifestPrunedScanBuilder(
+  * an empty one) still serves every path. A zero-survivor prune still
+  * builds a real scan: the declared schema makes an empty path list
+  * plannable (no footer inference) and the scan plans zero partitions. */
+class PrunedParquetScanBuilder(
     tableName: String,
     spark: SparkSession,
-    tableDir: String,
-    version: Int,
     declared: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    prune: Seq[org.apache.spark.sql.sources.Filter] => Seq[String])
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
-
-  /** (kept, total) of the LAST build — surfaced for audits/faces. */
-  @volatile var lastPruning: Option[(Int, Int)] = None
 
   private var inner: FileScanBuilder = _
 
@@ -51,13 +51,7 @@ class ManifestPrunedScanBuilder(
     if (inner == null) {
       val v1 = filters.flatMap(e =>
         DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
-      val (kept, total) =
-        graft.sources.ManifestPrune.keptFiles(spark, tableDir, version, v1)
-      lastPruning = Some((kept.length, total))
-      // zero survivors still build a real scan: the declared schema makes
-      // an empty path list plannable (no footer inference), and the scan
-      // plans zero input partitions
-      inner = ParquetTable(tableName, spark, options, kept, Some(declared),
+      inner = ParquetTable(tableName, spark, options, prune(v1), Some(declared),
         classOf[ParquetFileFormat]).newScanBuilder(options)
     }
     inner
@@ -74,3 +68,17 @@ class ManifestPrunedScanBuilder(
 
   override def build(): Scan = ensureInner(Nil).build()
 }
+
+/** [[PrunedParquetScanBuilder]] specialized to snapshot file manifests:
+  * the surviving paths come from [[graft.sources.ManifestPrune.keptFiles]]
+  * over `_manifest/v=N`'s per-file min/max stats. */
+class ManifestPrunedScanBuilder(
+    tableName: String,
+    spark: SparkSession,
+    tableDir: String,
+    version: Int,
+    declared: StructType,
+    options: CaseInsensitiveStringMap)
+  extends PrunedParquetScanBuilder(tableName, spark, declared, options,
+    filters => graft.sources.ManifestPrune
+      .keptFiles(spark, tableDir, version, filters)._1)

@@ -197,10 +197,12 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     val f = fs(ws)
     val pdir = new org.apache.hadoop.fs.Path(s"$ws/pt.parquet/src=s1")
     // simulate a writer killed AFTER the retire rename, BEFORE the staged
-    // replacement moved in: the partition sits aside under the dot-prefixed
-    // retired name, its staging (the would-be replacement) abandoned
+    // replacement moved in: the partition sits parked under the
+    // dot-prefixed retired root, its staging (the would-be replacement)
+    // abandoned
     val aside = new org.apache.hadoop.fs.Path(
-      s"$ws/pt.parquet/.src=s1.__retired_deadbeef")
+      s"$ws/pt.parquet/.retired_deadbeef/src=s1")
+    f.mkdirs(aside.getParent): Unit
     assert(f.rename(pdir, aside))
     spark.catalog.refreshByPath(s"$ws/pt.parquet")
     // next catalog load runs journal recovery: the partition is restored
@@ -211,10 +213,161 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     // the other crash side: replacement already live, retired copy left —
     // recovery must DELETE the stale copy, never resurrect it
     val aside2 = new org.apache.hadoop.fs.Path(
-      s"$ws/pt.parquet/.src=s2.__retired_cafe0123")
+      s"$ws/pt.parquet/.retired_cafe0123/src=s2")
     f.mkdirs(aside2): Unit
     assert(spark.table(s"$cat.pt").count() == 30)
-    assert(!f.exists(aside2), "stale retired copy must be cleared, not restored")
+    assert(!f.exists(aside2.getParent),
+      "stale retired copy must be cleared, not restored")
+  }
+
+  test("multi-column PARTITIONED BY: nested layout, pruning, partition-grained DML") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.mp (id BIGINT, v STRING, region STRING, " +
+      s"tier INT) PARTITIONED BY (region, tier)")
+    spark.sql(
+      s"""INSERT INTO $cat.mp
+         |SELECT id, CONCAT('v', id), CONCAT('r', id % 2), CAST(id % 3 AS INT)
+         |FROM RANGE(60)""".stripMargin)
+    val f = fs(ws)
+    // nested hive layout region=*/tier=*
+    val lvl1 = f.listStatus(new org.apache.hadoop.fs.Path(s"$ws/mp.parquet"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(lvl1.toSeq == Seq("region=r0", "region=r1"))
+    val lvl2 = f.listStatus(
+      new org.apache.hadoop.fs.Path(s"$ws/mp.parquet/region=r0"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(lvl2.toSeq == Seq("tier=0", "tier=1", "tier=2"))
+    assert(spark.table(s"$cat.mp").count() == 60)
+    // both-level pruning reaches the scan
+    val df = spark.sql(
+      s"SELECT id FROM $cat.mp WHERE region = 'r1' AND tier = 2")
+    assert(df.count() == 10)
+    assert(df.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // partition-grained UPDATE: only the matched (region, tier) leaf moves
+    val before = fileTimes(ws, "mp", "region=r0/tier=0")
+    Thread.sleep(1100)
+    spark.sql(s"UPDATE $cat.mp SET v = 'patched' WHERE region = 'r1' AND tier = 1")
+    assert(fileTimes(ws, "mp", "region=r0/tier=0") == before,
+      "untouched leaf was rewritten")
+    assert(spark.table(s"$cat.mp").filter(col("v") === "patched").count() == 10)
+    // translatable DELETE drops one leaf directory
+    spark.sql(s"DELETE FROM $cat.mp WHERE region = 'r0' AND tier = 2")
+    assert(!f.exists(
+      new org.apache.hadoop.fs.Path(s"$ws/mp.parquet/region=r0/tier=2")))
+    assert(spark.table(s"$cat.mp").count() == 50)
+  }
+
+  test("days(ts) hidden partitioning: derived dirs, ts-range pruning, day-grained DML") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ev (event_id BIGINT, ts TIMESTAMP, " +
+      s"kind STRING) PARTITIONED BY (days(ts))")
+    spark.sql(
+      s"""INSERT INTO $cat.ev
+         |SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600),
+         |       CONCAT('k', id % 2)
+         |FROM RANGE(96)""".stripMargin) // 96 hours → 4 days: Jan 1-4
+    val f = fs(ws)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$ws/ev.parquet"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    // 2024-01-01 = epoch day 19723
+    assert(dirs.toSeq == Seq("ts_day=19723", "ts_day=19724",
+      "ts_day=19725", "ts_day=19726"), dirs.toSeq)
+    val t = spark.table(s"$cat.ev")
+    // the synthetic path column never surfaces
+    assert(t.columns.toSeq == Seq("event_id", "ts", "kind"))
+    assert(t.count() == 96)
+    // ts-range predicates prune DIRECTORIES (hidden-partition pruning):
+    // planned file set covers only the two matching days
+    val q = spark.sql(s"SELECT event_id FROM $cat.ev WHERE " +
+      s"ts >= timestamp'2024-01-02 00:00:00' AND ts < timestamp'2024-01-04 00:00:00'")
+    val planned = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }.distinct
+    assert(planned.nonEmpty &&
+      planned.forall(p => p.contains("ts_day=19724") || p.contains("ts_day=19725")),
+      planned)
+    assert(q.count() == 48)
+    // day-grained UPDATE: untouched day keeps its mtimes
+    val before = fileTimes(ws, "ev", "ts_day=19723")
+    Thread.sleep(1100)
+    spark.sql(s"UPDATE $cat.ev SET kind = 'u' WHERE " +
+      s"ts >= timestamp'2024-01-03 00:00:00' AND ts < timestamp'2024-01-04 00:00:00'")
+    assert(fileTimes(ws, "ev", "ts_day=19723") == before,
+      "untouched day was rewritten")
+    assert(spark.table(s"$cat.ev").filter(col("kind") === "u").count() == 24)
+    assert(spark.table(s"$cat.ev").count() == 96)
+    // translatable DELETE of one whole day drops its directory
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts < timestamp'2024-01-02 00:00:00'")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$ws/ev.parquet/ts_day=19723")))
+    assert(spark.table(s"$cat.ev").count() == 72)
+  }
+
+  test("DML fence: a held lock aborts the statement cleanly; stale locks break") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val f = fs(ws)
+    val lock = new org.apache.hadoop.fs.Path(s"$ws/.pt.parquet.__dml_lock")
+    f.create(lock, false).close()
+    def rootCauses(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+    // COW UPDATE aborts at its own write start — table untouched
+    val e = intercept[Throwable] {
+      spark.sql(s"UPDATE $cat.pt SET v = 'locked_out' WHERE src = 's1'")
+    }
+    assert(rootCauses(e).exists(_.contains("DML statement holds the lock")),
+      e.toString)
+    assert(spark.table(s"$cat.pt").filter(col("v") === "locked_out").count() == 0)
+    assert(spark.table(s"$cat.pt").count() == 30)
+    // translatable DELETE aborts the same way
+    val e2 = intercept[Throwable] {
+      spark.sql(s"DELETE FROM $cat.pt WHERE src = 's2'")
+    }
+    assert(rootCauses(e2).exists(_.contains("DML statement holds the lock")))
+    assert(spark.table(s"$cat.pt").count() == 30)
+    // a CRASHED holder's lock ages out: grace 0 → breakable immediately
+    spark.conf.set("graft.workspace.dmlLockGraceMs", "0")
+    try {
+      spark.sql(s"UPDATE $cat.pt SET v = 'recovered' WHERE src = 's1'")
+      assert(spark.table(s"$cat.pt").filter(col("v") === "recovered").count() == 10)
+      assert(!f.exists(lock), "lock must release after the statement commits")
+    } finally spark.conf.unset("graft.workspace.dmlLockGraceMs")
+  }
+
+  test("DML fence race: concurrent statements never lose or duplicate rows") {
+    val (cat, _) = freshCatalog()
+    seed(cat)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def run(src: String, tag: String) = scala.concurrent.Future {
+      try Right(spark.sql(
+        s"UPDATE $cat.pt SET v = '$tag' WHERE src = '$src'"): Unit)
+      catch { case t: Throwable => Left(t) }
+    }
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(
+        run("s1", "a"), run("s2", "b"))),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    // invariants: no row loss/duplication, each statement all-or-nothing,
+    // a loser failed with the fence's clean abort
+    val t = spark.table(s"$cat.pt")
+    assert(t.count() == 30)
+    assert(t.select("id").distinct().count() == 30)
+    val na = t.filter(col("v") === "a").count()
+    val nb = t.filter(col("v") === "b").count()
+    assert(na == 0 || na == 10, s"statement a torn: $na rows")
+    assert(nb == 0 || nb == 10, s"statement b torn: $nb rows")
+    val wins = results.count(_.isRight)
+    assert(wins >= 1, "at least one statement must commit")
+    assert((na == 10) == results(0).isRight &&
+      (nb == 10) == results(1).isRight,
+      "reported outcome must match on-disk state")
   }
 
   test("guardrails: bad partition specs rejected") {
@@ -224,8 +377,12 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.pt2 (a INT, b DOUBLE) PARTITIONED BY (b)")
     }
     intercept[Exception] {
-      spark.sql(
-        s"CREATE TABLE $cat.pt3 (a INT, b STRING, c STRING) PARTITIONED BY (b, c)")
+      spark.sql(s"CREATE TABLE $cat.pt4 (a INT, ts TIMESTAMP, b STRING) " +
+        s"PARTITIONED BY (days(ts), b)") // hidden + identity mix
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.pt5 (a INT, b STRING) " +
+        s"PARTITIONED BY (days(b))") // days over a non-temporal column
     }
   }
 }

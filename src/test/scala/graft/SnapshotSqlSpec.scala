@@ -250,6 +250,39 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .first().getLong(0) == 50)
   }
 
+  test("table_changes TVF: version-range reads off cdf files, guardrails") {
+    val (cat, ws) = freshCatalog()
+    seed(ws, "tc")
+    import spark.implicits._
+    val tdir = s"$ws/tc"
+    Sinks.declareSnapshotKeys(spark, tdir, Seq("id"))
+    Sinks.enableChangeFeed(spark, tdir)
+    spark.sql(s"DELETE FROM $cat.tc WHERE id <= 3")                // v2
+    Sinks.upsertSnapshotRows(spark, tdir,
+      Seq((50L, "DOC50", 1L)).toDF("id", "txt", "grp"), Seq("id")): Unit // v3
+    // explicit range: one version's changes only
+    val v2 = spark.sql(s"SELECT id, __change FROM table_changes('$cat.tc', 2, 2)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(v2.toSeq == Seq((1L, "delete"), (2L, "delete"), (3L, "delete")))
+    // 2-arg form defaults to the committed head
+    assert(spark.sql(s"SELECT COUNT(*) FROM table_changes('$cat.tc', 2)")
+      .first().getLong(0) == 4)
+    // a directory path works as the first argument too
+    assert(spark.sql(s"SELECT COUNT(*) FROM table_changes('$tdir', 3, 3)")
+      .first().getLong(0) == 1)
+    // materialized version inside the range → guided error
+    spark.sql(s"INSERT OVERWRITE $cat.tc VALUES (9, 'z', 0)")      // v4
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$cat.tc', 2, 4)").collect()
+    }
+    assert(e.getMessage.contains("MATERIALIZED"), e.getMessage)
+    // range below the enable point → guided error
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$cat.tc', 1, 2)").collect()
+    }
+    assert(e2.getMessage.contains("enable point"), e2.getMessage)
+  }
+
   test("thin SQL read plan: predicate pushdown reaches the base scan, keys ride broadcast") {
     val (cat, ws) = freshCatalog()
     seed(ws, "t5")

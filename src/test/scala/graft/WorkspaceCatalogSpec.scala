@@ -335,6 +335,31 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("flat-table DML fence: held lock aborts UPDATE and DELETE, releases on commit") {
+    val (scratch, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.ft AS SELECT id AS k, CAST(id % 3 AS INT) AS g " +
+      s"FROM RANGE(30)")
+    val lock = new org.apache.hadoop.fs.Path(s"${scratch.dir}/.ft.parquet.__dml_lock")
+    val f = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    f.create(lock, false).close()
+    def causes(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).flatMap(x => Option(x.getMessage)).toSeq
+    val e = intercept[Throwable] {
+      spark.sql(s"UPDATE $cat.ft SET g = 9 WHERE k < 5") // COW rewrite path
+    }
+    assert(causes(e).exists(_.contains("DML statement holds the lock")), e.toString)
+    val e2 = intercept[Throwable] {
+      spark.sql(s"DELETE FROM $cat.ft WHERE g = 1")      // deleteWhere path
+    }
+    assert(causes(e2).exists(_.contains("DML statement holds the lock")), e2.toString)
+    assert(spark.table(s"$cat.ft").count() == 30, "aborted statements must not apply")
+    f.delete(lock, false)
+    spark.sql(s"UPDATE $cat.ft SET g = 9 WHERE k < 5")
+    assert(spark.table(s"$cat.ft").filter(org.apache.spark.sql.functions
+      .col("g") === 9).count() == 5)
+    assert(!f.exists(lock), "lock must release after commit")
+  }
+
   test("DML leaves no staging debris and the sidecar-declared schema survives a DELETE") {
     val (scratch, cat) = dmlWorkspace()
     spark.sql(s"CREATE TABLE $cat.t AS SELECT n_nationkey AS k FROM parquet.`$sf/nation.parquet`")
