@@ -1035,6 +1035,16 @@ object Sinks {
     val base = expectedBase.orElse(snapshotCommitted(spark, tableDir))
       .getOrElse(throw new IllegalStateException(
         s"no committed snapshot at $tableDir — nothing to derive from"))
+    // bucketed × MOR: a thin hop on a bucketed base stays correct (the
+    // resolver reads through it) but the new head is no longer a single
+    // key-grouped scan — storage-partitioned joins shuffle until
+    // rebucketSnapshot re-materializes the layout. Degrading SILENTLY is
+    // the failure mode; say it once per commit.
+    if (bucketedLayout(spark, tableDir, base).isDefined)
+      org.slf4j.LoggerFactory.getLogger(Sinks.getClass).warn(
+        s"thin commit on BUCKETED base v=$base of $tableDir: readers stay " +
+          "correct but the zero-exchange join layout is gone until " +
+          "Sinks.rebucketSnapshot re-materializes it")
     val staged = new org.apache.hadoop.fs.Path(tableDir,
       s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     deletes.foreach(
@@ -1116,6 +1126,18 @@ object Sinks {
     commitPointer(spark, tableDir, next)
     next
   }
+
+  /** Restore the ZERO-EXCHANGE layout after merge-on-read DML degraded it:
+    * re-materialize the resolved chain into a fresh BUCKETED version (one
+    * read through the chain, one bucketed write, one pointer swap). The
+    * bucketed × MOR contract in one line: thin hops on a bucketed base
+    * stay O(delta)-correct but the chain head is a resolved multi-scan
+    * plan, not a single key-grouped scan — storage-partitioned joins
+    * shuffle until this re-bucket lands. Returns the committed version. */
+  def rebucketSnapshot(spark: SparkSession, tableDir: String,
+                       keyCol: String, buckets: Int): Int =
+    writeSnapshotBucketed(readSnapshot(spark, tableDir), tableDir,
+      keyCol, buckets)
 
   /** The (keyCol, buckets) marker of a bucketed version, None otherwise. */
   def bucketedLayout(spark: SparkSession, tableDir: String,

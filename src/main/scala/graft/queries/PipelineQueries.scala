@@ -5577,6 +5577,71 @@ object PipelineQueries {
         .count()
       tvf.withColumn("agrees_with_diff", lit(if (disagreements == 0) 1 else 0))
         .orderBy("__version", "doc_id")
+    },
+
+    // ---- lakehouse: the bucketed × MOR interaction contract (r14) -----------
+    // What happens to the zero-exchange layout (q230) when DML lands: the
+    // contract, plan-asserted end to end. v1 joins with NO exchange
+    // (`no_exchange_v1`); a thin takedown chains a merge-on-read hop whose
+    // resolved head is not a single key-grouped scan, so the SAME join now
+    // SHUFFLES — honestly (`post_dml_exchange` = 1 asserts the Exchange is
+    // really there, and SQL DML on the bucketed head itself is refused
+    // with guidance rather than degrading silently); rebucketSnapshot
+    // re-materializes the chain into a fresh bucketed version and the
+    // join is exchange-free again (`rebucket_no_exchange`). Join content
+    // is oracle-recomputed post-delete from the raw table at every step.
+    Q("q234_bucketed_dml_contract",
+      """WITH f AS (SELECT user_id, event_id FROM events
+        |           WHERE event_id % 10 <> 3),
+        |     dim AS (SELECT user_id, MIN(event_id) AS first_event
+        |             FROM events GROUP BY user_id)
+        |SELECT f.user_id, d.first_event,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  1 AS no_exchange_v1, 1 AS post_dml_exchange, 1 AS rebucket_no_exchange
+        |FROM f JOIN dim d ON f.user_id = d.user_id
+        |GROUP BY f.user_id, d.first_event
+        |ORDER BY f.user_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tag = java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val ev = Tables.load(s, dir, "events").select("user_id", "event_id")
+      val dim = ev.groupBy("user_id").agg(min(col("event_id")).as("first_event"))
+      val fdir = s"$ws/bmf_$tag"
+      Sinks.writeSnapshotBucketed(ev, fdir, "user_id", 8): Unit
+      Sinks.writeSnapshotBucketed(dim, s"$ws/bmd_$tag", "user_id", 8): Unit
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true"); s.conf.set(keys(1), "-1")
+      try {
+        def joined = s.sql(
+          s"""SELECT f.user_id, f.event_id, d.first_event
+             |FROM $cat.bmf_$tag f JOIN $cat.bmd_$tag d
+             |ON f.user_id = d.user_id""".stripMargin)
+        def hasExchange = joined.queryExecution.executedPlan
+          .toString.contains("Exchange")
+        val noExchangeV1 = !hasExchange
+        // thin takedown (O(keys)) chains a MOR hop on the bucketed base
+        Sinks.deleteSnapshotKeys(s, fdir,
+          ev.filter(col("event_id") % 10 === 3).select("event_id"),
+          Seq("event_id")): Unit
+        val postDmlExchange = hasExchange
+        // re-materialize the layout: zero-exchange restored
+        Sinks.rebucketSnapshot(s, fdir, "user_id", 8): Unit
+        val rebucketNoExchange = !hasExchange
+        joined.localCheckpoint()
+          .groupBy(col("user_id"), col("first_event"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("no_exchange_v1", lit(if (noExchangeV1) 1 else 0))
+          .withColumn("post_dml_exchange", lit(if (postDmlExchange) 1 else 0))
+          .withColumn("rebucket_no_exchange", lit(if (rebucketNoExchange) 1 else 0))
+          .orderBy("user_id")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   )
 }

@@ -67,9 +67,40 @@ private[graft] class BucketedSnapshotTable(
     version: Int,
     keyCol: String,
     buckets: Int)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def vDir = s"$tableDir/v=$version"
+
+  /** The bucketed × MOR contract, stated where a SQL user hits it: DML on
+    * a bucketed head is REFUSED with guidance rather than silently
+    * degrading the layout. A thin hop chained on a bucketed base is
+    * CORRECT (the resolver reads through it) but the chain head is a
+    * resolved multi-scan plan, not a single key-grouped scan — the
+    * zero-exchange join property would vanish without a word. Takedowns
+    * and upserts go through the programmatic thin publishes (which log
+    * the degradation), and `Sinks.rebucketSnapshot` re-materializes the
+    * chain into a fresh bucketed version to restore the layout. */
+  private def refuseDml(): Nothing =
+    throw new UnsupportedOperationException(
+      s"$tableName is a BUCKETED snapshot version (zero-exchange layout " +
+        s"artifact, bucket($buckets, $keyCol)) — SQL DML would silently " +
+        "chain a merge-on-read hop and drop the reported bucket layout. " +
+        "Apply deltas with Sinks.deleteSnapshotKeys/upsertSnapshotRows " +
+        "(thin hops; joins shuffle until re-bucketed), then restore the " +
+        "layout with Sinks.rebucketSnapshot — or republish bucketed " +
+        "(Sinks.writeSnapshotBucketed)")
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    refuseDml()
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = true
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = refuseDml()
 
   private def bucketDirs(): Seq[(Int, String)] = {
     val root = new org.apache.hadoop.fs.Path(vDir)

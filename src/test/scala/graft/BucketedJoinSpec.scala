@@ -66,4 +66,49 @@ class BucketedJoinSpec extends AnyFunSuite {
       Seq("user_id", "event_id", "v"))
     s.close()
   }
+
+  test("bucketed × MOR contract: SQL DML refused with guidance, thin hops degrade, rebucket restores") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val cat = "spjm_" + java.lang.Long.toHexString(System.nanoTime() & 0xffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.workspace", s.dir)
+    val fact = (1L to 2000L).map(i => (i % 41, i)).toDF("user_id", "event_id")
+    val dim = (0L until 41L).map(u => (u, s"u$u")).toDF("user_id", "name")
+    Sinks.writeSnapshotBucketed(fact, s"${s.dir}/f2", "user_id", 8): Unit
+    Sinks.writeSnapshotBucketed(dim, s"${s.dir}/d2", "user_id", 8): Unit
+    // SQL DML on the bucketed head: GUIDED refusal, never a silent degrade
+    Seq(
+      s"DELETE FROM $cat.f2 WHERE user_id = 3",          // translatable
+      s"DELETE FROM $cat.f2 WHERE user_id % 2 = 1",      // rewrite path
+      s"UPDATE $cat.f2 SET event_id = 0 WHERE user_id = 3").foreach { stmt =>
+      val e = intercept[Throwable] { spark.sql(stmt) }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).toSeq
+      assert(msgs.exists(m => m.contains("rebucketSnapshot")), s"$stmt → $e")
+    }
+    assert(spark.table(s"$cat.f2").count() == 2000)
+    // programmatic takedown: a thin hop chains on the bucketed base —
+    // correct content, layout honestly gone (join shuffles again)
+    Sinks.deleteSnapshotKeys(spark, s"${s.dir}/f2",
+      (1L to 2000L).filter(_ % 10 == 3).toDF("event_id"), Seq("event_id")): Unit
+    withSpjConf {
+      val j = spark.sql(s"SELECT f.user_id, d.name FROM $cat.f2 f " +
+        s"JOIN $cat.d2 d ON f.user_id = d.user_id")
+      assert(j.count() == 1800)
+      assert(j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "a resolved thin chain is not a key-grouped scan; the join must shuffle")
+    }
+    // rebucket re-materializes the chain → zero-exchange restored
+    Sinks.rebucketSnapshot(spark, s"${s.dir}/f2", "user_id", 8): Unit
+    withSpjConf {
+      val j = spark.sql(s"SELECT f.user_id, d.name FROM $cat.f2 f " +
+        s"JOIN $cat.d2 d ON f.user_id = d.user_id")
+      assert(j.count() == 1800)
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "rebucketed head must join with zero exchange:\n" +
+          j.queryExecution.executedPlan.toString.take(1500))
+    }
+    s.close()
+  }
 }
