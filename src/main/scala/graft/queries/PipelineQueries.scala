@@ -5642,6 +5642,73 @@ object PipelineQueries {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
+    },
+
+    // ---- workspace: MULTI-COLUMN partitioned tables (r14) --------------------
+    // q225's partition-grained DML over a NESTED identity layout:
+    // PARTITIONED BY (event_type, day) lands hive dirs
+    // event_type=*/day=*, a two-level predicate prunes to exactly the
+    // matching leaves (`leaves_planned` = 2, read off the PHYSICAL plan's
+    // planned file set), row-level DML republishes at the partition grain
+    // (`untouched_intact` — an untouched event_type's files keep their
+    // exact (path, mtime) set across an UPDATE and a DELETE; the DML
+    // grain for multi-level tables is the FIRST-level value, see
+    // PartitionScopedScan.filterAttributes), and a translatable two-level
+    // DELETE drops one leaf directory. Counts and sums oracle-recomputed.
+    Q("q235_multicol_partitioned",
+      """WITH base AS (SELECT event_id, value, event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day
+        |  FROM events),
+        |after AS (SELECT event_id, event_type, day,
+        |    CASE WHEN event_type = 'click' AND day <= 1 THEN -1.0
+        |         ELSE value END AS value
+        |  FROM base WHERE NOT (event_type = 'view' AND day = 2))
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(CASE WHEN value = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  2 AS leaves_planned, 1 AS untouched_intact
+        |FROM after GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.mpe")
+      s.sql(s"""CREATE TABLE $cat.mpe
+               |(event_id BIGINT, value DOUBLE, event_type STRING, day INT)
+               |PARTITIONED BY (event_type, day)""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.mpe
+               |SELECT event_id, value, event_type,
+               |  CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS INT) AS day
+               |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      def mtimes(part: String): Map[String, Long] = {
+        val p = new org.apache.hadoop.fs.Path(s"$ws/mpe.parquet/$part")
+        val f = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (!f.exists(p)) Map.empty
+        else f.listStatus(p).filter(_.isFile)
+          .map(st => st.getPath.toString -> st.getModificationTime).toMap
+      }
+      val before = mtimes("event_type=error/day=0")
+      s.sql(s"UPDATE $cat.mpe SET value = -1.0 " +
+        s"WHERE event_type = 'click' AND day <= 1")
+      s.sql(s"DELETE FROM $cat.mpe WHERE event_type = 'view' AND day = 2")
+      val intact = before.nonEmpty &&
+        mtimes("event_type=error/day=0") == before
+      val probe = s.sql(s"SELECT event_id FROM $cat.mpe " +
+        s"WHERE event_type = 'purchase' AND day BETWEEN 3 AND 4")
+      val leaves = probe.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }.flatMap(p => raw"event_type=[^/]+/day=\d+".r.findFirstIn(p))
+        .distinct.size
+      s.table(s"$cat.mpe")
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
+          count(when(col("value") === -1.0d, 1)).as("n_updated"))
+        .withColumn("leaves_planned", lit(leaves))
+        .withColumn("untouched_intact", lit(if (intact) 1 else 0))
+        .orderBy("event_type", "day")
     }
   )
 }

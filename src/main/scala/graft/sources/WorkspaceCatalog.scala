@@ -317,6 +317,11 @@ class WorkspaceCatalog extends TableCatalog {
         val pm = partMarkerPath(actual)
         if (fs(pm).exists(pm) && !fs(pm).delete(pm, false))
           throw new IllegalStateException(s"DROP failed: could not delete $pm")
+        // a stale DML lock must not outlive the table: a re-created
+        // same-named table would inherit it and block statements until
+        // the grace deadline
+        val lk = WorkspaceDmlLock.lockPath(p.toString)
+        if (fs(lk).exists(lk)) fs(lk).delete(lk, false): Unit
         true
     }
 
