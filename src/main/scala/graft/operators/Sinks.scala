@@ -841,19 +841,23 @@ object Sinks {
     * NON-FATAL by design: the statement's own version is already live, a
     * compaction failure only defers the debt to the next commit. */
   private def autoCompactIfDeep(spark: SparkSession, tableDir: String,
-                                v: Int): Unit = {
-    val threshold = spark.conf
-      .get("graft.snapshot.autoCompactDepth", "48").trim.toInt
-    if (threshold <= 0 || chainDepth(spark, tableDir, v) < threshold) return
-    try compactSnapshot(spark, tableDir, AutoCompactTargetRows): Unit
-    catch {
+                                v: Int): Unit =
+    // the ENTIRE body is non-fatal: this runs POST-COMMIT, so any throw —
+    // an unparseable conf value, a transient FS error in the chain walk,
+    // the compaction itself — would misreport an already-applied statement
+    // as failed and invite a double-applying retry
+    try {
+      val threshold = spark.conf
+        .get("graft.snapshot.autoCompactDepth", "48").trim.toInt
+      if (threshold > 0 && chainDepth(spark, tableDir, v) >= threshold)
+        compactSnapshot(spark, tableDir, AutoCompactTargetRows): Unit
+    } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(Sinks.getClass).warn(
-          s"auto-compaction of $tableDir (chain depth >= $threshold) failed; " +
-            s"v=$v is committed and readable, but compact before the chain " +
-            s"reaches the 64-hop resolver stop", e)
+          s"auto-compaction check for $tableDir failed; v=$v is committed " +
+            s"and readable, but compact before the chain reaches the " +
+            s"64-hop resolver stop", e)
     }
-  }
 
   /** Re-derive and land any committed THIN version whose feed file is
     * missing (writer crashed between the version commit and the landing).

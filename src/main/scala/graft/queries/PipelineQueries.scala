@@ -175,6 +175,29 @@ object PipelineQueries {
     s.conf.get(s"spark.sql.catalog.$cat.workspace")
   }
 
+  /** Distinct data-file paths in a DataFrame's PLANNED scan set (pre-AQE
+    * tree carries the BatchScan) — the file/partition-pruning probe the
+    * plan-shape faces (q231/q232/q235) ride on the oracle hash. */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }.distinct
+
+  /** (path → mtime) of the files directly under `path` — the
+    * untouched-partition probe of the partition-grained DML faces. */
+  private def fileMtimes(s: org.apache.spark.sql.SparkSession,
+                         path: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p).filter(_.isFile)
+      .map(st => st.getPath.toString -> st.getModificationTime).toMap
+  }
+
   /** q193/q197: the drift scenario (original corpus ∪ a batch clustered
     * near v0) and the split-rebalance trajectory over it — cached per
     * (application, fixture) since the states are localCheckpoint'd
@@ -5108,13 +5131,8 @@ object PipelineQueries {
       s.sql(s"""INSERT INTO $cat.part_docs
                |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
                |FROM parquet.`$dir/documents.parquet`""".stripMargin)
-      def mtimes(part: String): Map[String, Long] = {
-        val p = new org.apache.hadoop.fs.Path(s"$ws/part_docs.parquet/$part")
-        val f = p.getFileSystem(s.sessionState.newHadoopConf())
-        if (!f.exists(p)) Map.empty
-        else f.listStatus(p).filter(_.isFile)
-          .map(st => st.getPath.toString -> st.getModificationTime).toMap
-      }
+      def mtimes(part: String): Map[String, Long] =
+        fileMtimes(s, s"$ws/part_docs.parquet/$part")
       val before = mtimes("source=src0")
       s.sql(s"UPDATE $cat.part_docs SET n_chars = n_chars + 1000 WHERE source = 'src2'")
       s.sql(s"DELETE FROM $cat.part_docs WHERE source = 'src5' AND n_chars < 300")
@@ -5436,15 +5454,8 @@ object PipelineQueries {
       val (lo, hi) = (2 * chunk + 3, 3 * chunk + 5)
       val q = s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.$tbl " +
         s"WHERE doc_id BETWEEN $lo AND $hi")
-      // planned FILE set off the physical plan (pre-AQE tree carries the
-      // BatchScan): distinct data files the pruned scan will open
-      val planned = q.queryExecution.sparkPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.flatMap(_.inputPartitions).flatMap {
-        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-          fp.files.map(_.filePath.toString)
-        case _ => Nil
-      }.distinct.size
+      // distinct data files the pruned scan will open
+      val planned = plannedFiles(q).size
       val total = s.read.parquet(s"$ws/$tbl/_manifest/v=1").count().toInt
       q.withColumn("files_kept", lit(planned))
         .withColumn("files_total", lit(total))
@@ -5487,13 +5498,8 @@ object PipelineQueries {
       s.sql(s"""INSERT INTO $cat.days_events
                |SELECT event_id, ts, event_type
                |FROM parquet.`$dir/events.parquet`""".stripMargin)
-      def mtimes(part: String): Map[String, Long] = {
-        val p = new org.apache.hadoop.fs.Path(s"$ws/days_events.parquet/$part")
-        val f = p.getFileSystem(s.sessionState.newHadoopConf())
-        if (!f.exists(p)) Map.empty
-        else f.listStatus(p).filter(_.isFile)
-          .map(st => st.getPath.toString -> st.getModificationTime).toMap
-      }
+      def mtimes(part: String): Map[String, Long] =
+        fileMtimes(s, s"$ws/days_events.parquet/$part")
       val before = mtimes("ts_day=19731") // 2024-01-09
       s.sql(s"""UPDATE $cat.days_events SET event_type = 'redacted'
                |WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
@@ -5504,14 +5510,9 @@ object PipelineQueries {
       val q = s.sql(s"""SELECT event_id, event_type FROM $cat.days_events
                        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
                        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin)
-      // distinct day directories in the PLANNED file set (pre-AQE tree)
-      val daysPlanned = q.queryExecution.sparkPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.flatMap(_.inputPartitions).flatMap {
-        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-          fp.files.map(_.filePath.toString)
-        case _ => Nil
-      }.flatMap(p => raw"ts_day=(\d+)".r.findFirstIn(p)).distinct.size
+      // distinct day directories in the PLANNED file set
+      val daysPlanned = plannedFiles(q)
+        .flatMap(p => raw"ts_day=(\d+)".r.findFirstIn(p)).distinct.size
       val totalAfter = s.table(s"$cat.days_events").count()
       q.withColumn("days_planned", lit(daysPlanned))
         .withColumn("untouched_intact", lit(if (intact) 1 else 0))
@@ -5679,28 +5680,16 @@ object PipelineQueries {
                |SELECT event_id, value, event_type,
                |  CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS INT) AS day
                |FROM parquet.`$dir/events.parquet`""".stripMargin)
-      def mtimes(part: String): Map[String, Long] = {
-        val p = new org.apache.hadoop.fs.Path(s"$ws/mpe.parquet/$part")
-        val f = p.getFileSystem(s.sessionState.newHadoopConf())
-        if (!f.exists(p)) Map.empty
-        else f.listStatus(p).filter(_.isFile)
-          .map(st => st.getPath.toString -> st.getModificationTime).toMap
-      }
-      val before = mtimes("event_type=error/day=0")
+      val before = fileMtimes(s, s"$ws/mpe.parquet/event_type=error/day=0")
       s.sql(s"UPDATE $cat.mpe SET value = -1.0 " +
         s"WHERE event_type = 'click' AND day <= 1")
       s.sql(s"DELETE FROM $cat.mpe WHERE event_type = 'view' AND day = 2")
       val intact = before.nonEmpty &&
-        mtimes("event_type=error/day=0") == before
+        fileMtimes(s, s"$ws/mpe.parquet/event_type=error/day=0") == before
       val probe = s.sql(s"SELECT event_id FROM $cat.mpe " +
         s"WHERE event_type = 'purchase' AND day BETWEEN 3 AND 4")
-      val leaves = probe.queryExecution.sparkPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.flatMap(_.inputPartitions).flatMap {
-        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-          fp.files.map(_.filePath.toString)
-        case _ => Nil
-      }.flatMap(p => raw"event_type=[^/]+/day=\d+".r.findFirstIn(p))
+      val leaves = plannedFiles(probe)
+        .flatMap(p => raw"event_type=[^/]+/day=\d+".r.findFirstIn(p))
         .distinct.size
       s.table(s"$cat.mpe")
         .groupBy("event_type", "day")

@@ -416,11 +416,26 @@ private[sources] class PartitionedWorkspaceTable(
 
   /** Crash recovery for the rename-based publish: a leaf parked under
     * `.retired_*` whose original directory is MISSING marks a crash
-    * between retire and publish — rename it back (the table reads its
-    * pre-statement content again). One whose original EXISTS marks a
-    * crash after the staged replacement moved in — the stale copy is the
-    * only leftover step, delete it. Idempotent; invoked on catalog load
-    * and at the head of every publish. */
+    * between retire and publish — rename it back (that partition reads
+    * its pre-statement content again). One whose original EXISTS marks a
+    * crash after the staged replacement moved in — that partition's
+    * replacement is live and the parked copy is stale, delete it. Repair
+    * therefore converges each PARTITION independently (the honest
+    * per-partition grain of the rename protocol; a crash midway through a
+    * multi-partition statement can leave some partitions post- and some
+    * pre-statement, exactly like the documented single-writer contract).
+    * Idempotent.
+    *
+    * LOCK DISCIPLINE (the correctness core): parked copies exist
+    * transiently DURING a live publish, and an unlocked load-time repair
+    * racing it would restore a partition the publisher just retired —
+    * the publisher's staged move would then APPEND next to the restored
+    * originals, duplicating every row. So the load-time path
+    * ([[repairRetiredPartitionsSafe]]) only repairs under the table's DML
+    * lock (non-blocking; debris of a CRASHED statement becomes repairable
+    * once its lock ages past the grace), while the publish/delete paths
+    * call [[repairRetiredPartitions]] directly — they already hold the
+    * statement lock. */
   private[sources] def repairRetiredPartitions(): Unit = {
     val root = new Path(dir)
     val f = fsOf(root)
@@ -440,6 +455,25 @@ private[sources] class PartitionedWorkspaceTable(
         // anything left under the root is stale copies (originals exist)
         f.delete(st.getPath, true): Unit
       }
+  }
+
+  /** [[repairRetiredPartitions]] for paths that do NOT already hold the
+    * table's DML lock (catalog load): a no-op when no parked debris
+    * exists (one listing), otherwise repairs under a freshly acquired
+    * lock — and SKIPS silently when the lock is held, because parked
+    * copies under a live lock are an in-flight publish, not a crash. */
+  private[sources] def repairRetiredPartitionsSafe(): Unit = {
+    val root = new Path(dir)
+    val f = fsOf(root)
+    if (!f.exists(root)) return
+    val debris = f.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(".retired_"))
+    if (!debris) return
+    val lock =
+      try WorkspaceDmlLock.acquire(spark, dir)
+      catch { case _: java.util.ConcurrentModificationException => return }
+    try repairRetiredPartitions()
+    finally WorkspaceDmlLock.release(spark, lock)
   }
 
   /** Partition-grained publish: retire the partitions the operation READ
@@ -585,50 +619,60 @@ private[sources] class PartitionedWorkspaceTable(
         PartitionedWorkspace.valueString(r.get(i))))
     val fileCols = fileSchema.fieldNames.map(col).toIndexedSeq
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    touched.foreach { vals =>
+    // PHASE 1 — survivor copies FIRST, for EVERY touched leaf, all against
+    // the original table listing: republishing a leaf invalidates `full`'s
+    // eagerly-listed file index, and on a hidden days() layout the next
+    // iteration's scan cannot partition-prune the stale entries away (the
+    // match is on a derived column), so no leaf may be swapped until every
+    // survivor set is safely staged. A failure here drops all stagings and
+    // leaves the table untouched.
+    val created = mutable.Buffer.empty[Path]
+    val staged: Seq[(Seq[String], Option[Path])] =
+      try touched.toSeq.map { vals =>
+        val matchThis = levels.zip(vals).map {
+          case (IdentityLevel(c), v) =>
+            col(c) === lit(v).cast(declaredFull(c).dataType)
+          case (d @ DaysLevel(_, _), v) => levelPathColumn(d) === lit(v.toLong)
+        }.reduce(_ && _)
+        val keep = full.filter(matchThis)
+          .filter(!coalesce(cond, lit(false)))
+          .select(fileCols: _*)
+        if (keep.isEmpty) (vals, None) // leaf fully deleted — nothing staged
+        else {
+          val staging = stagingPath()
+          created += staging
+          keep.write.parquet(staging.toString)
+          (vals, Some(staging))
+        }
+      } catch {
+        case e: Throwable =>
+          // nothing retired yet — dropping OUR stagings loses no data
+          created.foreach(dropStaging)
+          throw e
+      }
+    // PHASE 2 — per-leaf swap: retire by RENAME, replacement in, retired
+    // delete LAST. A failure past the first retire leaves staging and the
+    // parked copies on disk; [[repairRetiredPartitions]] converges each
+    // partition on the next locked load.
+    staged.foreach { case (vals, stagingOpt) =>
       val rel = relOf(vals)
       val pdir = new Path(dir, rel)
-      val matchThis = levels.zip(vals).map {
-        case (IdentityLevel(c), v) =>
-          col(c) === lit(v).cast(declaredFull(c).dataType)
-        case (d @ DaysLevel(_, _), v) => levelPathColumn(d) === lit(v.toLong)
-      }.reduce(_ && _)
-      val keep = full.filter(matchThis)
-        .filter(!coalesce(cond, lit(false)))
-        .select(fileCols: _*)
-      val staging = stagingPath()
       val f = fsOf(pdir)
       val aside = new Path(retiredRoot(tag), rel)
-      // survivor copy FIRST, retire by RENAME second, replacement third,
-      // retired delete LAST — a failure at any step leaves at least one
-      // complete copy of the partition's surviving rows on disk. Staging
-      // is dropped ONLY for failures before the retire; past it, staging
-      // and the parked copy both stay for recovery
-      // ([[repairRetiredPartitions]] restores pre-statement content).
-      if (keep.isEmpty) {
-        if (f.exists(pdir)) {
-          f.mkdirs(aside.getParent): Unit
-          if (!f.rename(pdir, aside))
-            throw new IllegalStateException(s"DELETE: could not retire $pdir")
-          f.delete(aside, true): Unit
-        }
-      } else {
-        try keep.write.parquet(staging.toString)
-        catch { case e: Throwable => dropStaging(staging); throw e }
-        if (f.exists(pdir)) {
-          f.mkdirs(aside.getParent): Unit
-          if (!f.rename(pdir, aside)) {
-            dropStaging(staging)
-            throw new IllegalStateException(s"DELETE: could not retire $pdir")
-          }
-        }
+      if (f.exists(pdir)) {
+        f.mkdirs(aside.getParent): Unit
+        if (!f.rename(pdir, aside))
+          throw new IllegalStateException(
+            s"DELETE: could not retire $pdir — staging left for recovery")
+      }
+      stagingOpt.foreach { staging =>
         f.mkdirs(pdir.getParent): Unit
         if (!f.rename(staging, pdir))
           throw new IllegalStateException(
             s"DELETE: could not publish $staging — staging and retired " +
               s"copy $aside left for recovery")
-        f.delete(aside, true): Unit
       }
+      f.delete(aside, true): Unit
     }
     // empty parking root (all leaves deleted) — clear the scaffolding
     val park = retiredRoot(tag)
@@ -731,7 +775,19 @@ private class PartitionScopedScan(table: PartitionedWorkspaceTable,
     * and the rewrite would read EVERY partition. One attribute keeps the
     * group filter alive; the DML grain for a multi-level table is
     * therefore the FIRST-level value (all its sub-partitions), still
-    * 1/|level-1 values| of the table instead of all of it. */
+    * 1/|level-1 values| of the table instead of all of it.
+    *
+    * Days-layout cardinality trade, stated plainly: the group-filter
+    * subquery collects the matched rows' DISTINCT SOURCE values (raw
+    * timestamps) through Spark's own `InSubqueryExec` BEFORE this scan
+    * reduces them to days — a DML statement matching billions of
+    * microsecond-distinct timestamps pays that driver collect inside
+    * Spark, not here. That is Spark's standard runtime-group-filter cost
+    * model (Iceberg MOR tables pay it identically on a timestamp filter
+    * attribute); for such statements disable
+    * `spark.sql.optimizer.runtimeRowLevelOperationGroupFilter.enabled`
+    * and accept the full-partition-set rewrite, or route the change
+    * through the snapshot catalog's O(delta) thin path. */
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(table.levels.head.sourceCol))
 
@@ -805,7 +861,7 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
     val owf = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, fileSchema)
     new PartitionedCowWriterFactory(staging.toString, table.levels,
-      levelOrdinals, writeSchema, fileSchema, owf,
+      levelOrdinals, identityOrdinals, writeSchema, fileSchema, owf,
       new SerializableHadoopConf(job.getConfiguration))
   }
 
@@ -829,6 +885,7 @@ private class PartitionedCowWriterFactory(
     stagingDir: String,
     levels: Seq[PartLevel],
     levelOrdinals: Seq[Int],
+    identityOrdinals: Set[Int],
     writeSchema: StructType,
     fileSchema: StructType,
     owf: OutputWriterFactory,
@@ -843,8 +900,6 @@ private class PartitionedCowWriterFactory(
       private val n = writeSchema.length
       private lazy val tagProj =
         ProjectingInternalRow(writeSchema, (1 to n).toIndexedSeq)
-      private val identityOrdinals = levels.zip(levelOrdinals)
-        .collect { case (l, o) if l.inSchema => o }.toSet
       private val fileProj = ProjectingInternalRow(fileSchema,
         writeSchema.indices.filterNot(identityOrdinals.contains).toIndexedSeq)
       private val levelTypes: Seq[DataType] =

@@ -163,8 +163,10 @@ class WorkspaceCatalog extends TableCatalog {
           dir.toString, schema, levelsOf(marker, schema))
         // journal recovery on open: a crash mid-publish leaves renamed-aside
         // partition copies; restoring them here is what makes the rename
-        // publish protocol crash-safe for readers (pre-statement content)
-        t.repairRetiredPartitions()
+        // publish protocol crash-safe for readers. LOCK-AWARE: a live
+        // publish's transient parked copies are never touched (the repair
+        // only runs when the table's DML lock can be acquired)
+        t.repairRetiredPartitionsSafe()
         t
       case None =>
         // GraftWorkspaceTable IS a ParquetTable (every DSv2 read/write

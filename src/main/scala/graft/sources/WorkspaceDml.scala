@@ -288,9 +288,13 @@ private[sources] class GraftWorkspaceTable(
     // cloned runtime conf) with the key set only there
     val iso = WorkspaceDml.isolatedSession(spark,
       "spark.sql.parquet.fieldId.read.enabled" -> "true")
-    val remaining = declared.map(s => iso.read.schema(s)).getOrElse(iso.read)
-      .parquet(dir).filter(!coalesce(cond, lit(false)))
     WorkspaceDmlLock.withLock(spark, dir) {
+      // the file LISTING happens at DataFrameReader.parquet — it must run
+      // under the lock too, or a statement committing in between leaves
+      // this one writing from a stale index (the fence's contract is
+      // "acquired before any statement task reads table data")
+      val remaining = declared.map(s => iso.read.schema(s)).getOrElse(iso.read)
+        .parquet(dir).filter(!coalesce(cond, lit(false)))
       val staging = stagingPath()
       try {
         remaining.write.parquet(staging.toString)

@@ -304,6 +304,40 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $cat.ev WHERE ts < timestamp'2024-01-02 00:00:00'")
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$ws/ev.parquet/ts_day=19723")))
     assert(spark.table(s"$cat.ev").count() == 72)
+    // MULTI-day translatable DELETE in one statement: the per-leaf rewrite
+    // must stage every survivor set BEFORE any leaf is republished — on a
+    // hidden layout the scan cannot partition-prune a stale file index, so
+    // swapping leaf 1 first used to make leaf 2's read throw mid-statement
+    spark.sql(s"DELETE FROM $cat.ev WHERE " +
+      s"ts >= timestamp'2024-01-02 06:00:00' AND ts < timestamp'2024-01-03 18:00:00'")
+    assert(spark.table(s"$cat.ev").count() == 72 - 36)
+    assert(spark.table(s"$cat.ev")
+      .filter(col("ts") >= lit("2024-01-02 06:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-03 18:00:00").cast("timestamp")).count() == 0)
+  }
+
+  test("load-time repair is LOCK-AWARE: a live statement's parked copies are never restored") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val f = fs(ws)
+    val pdir = new org.apache.hadoop.fs.Path(s"$ws/pt.parquet/src=s1")
+    val aside = new org.apache.hadoop.fs.Path(
+      s"$ws/pt.parquet/.retired_live01/src=s1")
+    val lock = new org.apache.hadoop.fs.Path(s"$ws/.pt.parquet.__dml_lock")
+    // simulate an IN-FLIGHT publish: lock held, leaf parked, replacement
+    // not yet moved in — a load-time repair restoring the leaf here would
+    // make the publisher APPEND next to the restored originals (dup rows)
+    f.create(lock, false).close()
+    f.mkdirs(aside.getParent): Unit
+    assert(f.rename(pdir, aside))
+    spark.catalog.refreshByPath(s"$ws/pt.parquet")
+    assert(spark.table(s"$cat.pt").count() == 20,
+      "repair must SKIP while the statement lock is held")
+    assert(f.exists(aside) && !f.exists(pdir))
+    // the statement crashes (lock ages out) → repair restores on next load
+    f.delete(lock, false)
+    assert(spark.table(s"$cat.pt").count() == 30)
+    assert(f.exists(pdir) && !f.exists(aside))
   }
 
   test("DML fence: a held lock aborts the statement cleanly; stale locks break") {
