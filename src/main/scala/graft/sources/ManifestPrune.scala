@@ -14,9 +14,13 @@ import org.apache.spark.sql.sources
   * path: a file is dropped only when its [min,max] range PROVES the
   * pushed conjunction false for every row it holds).
   *
-  * Unknown filters, non-numeric literals, columns without stats, and
-  * NULL min/max (all-null chunks) all evaluate to KEEP — conservative by
-  * construction, exactly like parquet row-group skipping one level up. */
+  * Stats compare within their kind — numerics exactly (BigDecimal),
+  * timestamps as epoch micros, dates as epoch days, strings in
+  * UTF8String binary order (the ordering Spark's own min/max used to
+  * build the manifest). Unknown filters, kind-mismatched or unparseable
+  * literals, columns without stats, and NULL min/max (all-null chunks)
+  * all evaluate to KEEP — conservative by construction, exactly like
+  * parquet row-group skipping one level up. */
 object ManifestPrune {
 
   def manifestDir(tableDir: String, version: Int): String =
@@ -27,20 +31,53 @@ object ManifestPrune {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** Numeric view of a stats/literal value; None = not comparable (keep). */
-  private def num(v: Any): Option[BigDecimal] = v match {
+  /** Normalized comparable view of a stats/literal value. Kinds never
+    * cross-compare (a numeric literal against a string stat keeps the
+    * file); None = not comparable at all (keep). */
+  private sealed trait NormV
+  private case class NumV(x: BigDecimal) extends NormV
+  private case class TsV(micros: Long) extends NormV
+  private case class DateV(days: Long) extends NormV
+  private case class StrV(s: org.apache.spark.unsafe.types.UTF8String)
+    extends NormV
+
+  private def norm(v: Any): Option[NormV] = v match {
     case null => None
-    case b: java.lang.Byte => Some(BigDecimal(b.longValue))
-    case s: java.lang.Short => Some(BigDecimal(s.longValue))
-    case i: java.lang.Integer => Some(BigDecimal(i.longValue))
-    case l: java.lang.Long => Some(BigDecimal(l.longValue))
+    case b: java.lang.Byte => Some(NumV(BigDecimal(b.longValue)))
+    case s: java.lang.Short => Some(NumV(BigDecimal(s.longValue)))
+    case i: java.lang.Integer => Some(NumV(BigDecimal(i.longValue)))
+    case l: java.lang.Long => Some(NumV(BigDecimal(l.longValue)))
     case f: java.lang.Float =>
-      if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.doubleValue))
+      if (f.isNaN || f.isInfinite) None else Some(NumV(BigDecimal(f.doubleValue)))
     case d: java.lang.Double =>
-      if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d.doubleValue))
-    case d: java.math.BigDecimal => Some(BigDecimal(d))
-    case d: BigDecimal => Some(d)
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+      if (d.isNaN || d.isInfinite) None else Some(NumV(BigDecimal(d.doubleValue)))
+    case d: java.math.BigDecimal => Some(NumV(BigDecimal(d)))
+    case d: BigDecimal => Some(NumV(d))
+    case d: org.apache.spark.sql.types.Decimal => Some(NumV(d.toBigDecimal))
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some(TsV(Math.addExact(
+        Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)))
+    case i: java.time.Instant =>
+      Some(TsV(Math.addExact(
+        Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)))
+    case d: java.sql.Date => Some(DateV(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(DateV(d.toEpochDay))
+    // strings compare in UTF8String BINARY order — the ordering Spark's
+    // own min/max aggregation used to compute the manifest stats
+    // (java String.compareTo disagrees for supplementary characters)
+    case s: String =>
+      Some(StrV(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(StrV(u))
+    case _ => None
+  }
+
+  /** compare(a, b) within one kind; None = incomparable (keep the file). */
+  private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+    case (Some(NumV(x)), Some(NumV(y))) => Some(x.compare(y))
+    case (Some(TsV(x)), Some(TsV(y))) => Some(java.lang.Long.compare(x, y))
+    case (Some(DateV(x)), Some(DateV(y))) => Some(java.lang.Long.compare(x, y))
+    case (Some(StrV(x)), Some(StrV(y))) => Some(Integer.signum(x.compareTo(y)))
     case _ => None
   }
 
@@ -48,32 +85,33 @@ object ManifestPrune {
     * `stats` maps a lower-cased column name to its (min, max). */
   private def mayMatch(f: sources.Filter,
                        stats: Map[String, (Any, Any)]): Boolean = {
-    def range(c: String): Option[(BigDecimal, BigDecimal)] =
-      stats.get(c.toLowerCase).flatMap { case (mn, mx) =>
-        for (a <- num(mn); b <- num(mx)) yield (a, b)
+    def range(c: String): Option[(Any, Any)] =
+      stats.get(c.toLowerCase).filter { case (mn, mx) =>
+        mn != null && mx != null
       }
-    def test(c: String, v: Any)(p: (BigDecimal, BigDecimal, BigDecimal) => Boolean) =
-      (range(c), num(v)) match {
-        case (Some((mn, mx)), Some(x)) => p(mn, mx, x)
-        case _ => true
+    // keep unless BOTH comparisons are defined and prove emptiness
+    def test(c: String, v: Any)(
+        p: (Option[Int], Option[Int]) => Boolean): Boolean =
+      range(c) match {
+        case Some((mn, mx)) => p(cmp(mn, v), cmp(mx, v))
+        case None => true
       }
     f match {
       case sources.And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
       case sources.Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
-      case sources.EqualTo(c, v) => test(c, v)((mn, mx, x) => mn <= x && x <= mx)
-      case sources.GreaterThan(c, v) => test(c, v)((_, mx, x) => mx > x)
-      case sources.GreaterThanOrEqual(c, v) => test(c, v)((_, mx, x) => mx >= x)
-      case sources.LessThan(c, v) => test(c, v)((mn, _, x) => mn < x)
-      case sources.LessThanOrEqual(c, v) => test(c, v)((mn, _, x) => mn <= x)
+      case sources.EqualTo(c, v) =>
+        test(c, v)((lo, hi) => lo.forall(_ <= 0) && hi.forall(_ >= 0))
+      case sources.GreaterThan(c, v) =>
+        test(c, v)((_, hi) => hi.forall(_ > 0))
+      case sources.GreaterThanOrEqual(c, v) =>
+        test(c, v)((_, hi) => hi.forall(_ >= 0))
+      case sources.LessThan(c, v) =>
+        test(c, v)((lo, _) => lo.forall(_ < 0))
+      case sources.LessThanOrEqual(c, v) =>
+        test(c, v)((lo, _) => lo.forall(_ <= 0))
       case sources.In(c, vs) =>
-        range(c) match {
-          case Some((mn, mx)) =>
-            vs.isEmpty || vs.exists(v => num(v) match {
-              case Some(x) => mn <= x && x <= mx
-              case None => true
-            })
-          case None => true
-        }
+        vs.isEmpty || vs.exists(v =>
+          test(c, v)((lo, hi) => lo.forall(_ <= 0) && hi.forall(_ >= 0)))
       // min/max stats carry no null-count — null-ness is undecidable here
       case _ => true
     }

@@ -283,6 +283,43 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("enable point"), e2.getMessage)
   }
 
+  test("manifest skipping prunes on TIMESTAMP and STRING stats, not just numerics") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    // 4 files of 25 consecutive hours each + a lang that sorts with ts
+    val df = (0L until 100L).map { i =>
+      (i, java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 3, 1, 0, 0).plusHours(i.toInt)),
+        f"lang${i / 25}%02d")
+    }.toDF("id", "ts", "lang")
+    Sinks.writeSnapshotWithManifest(
+      df.coalesce(1).sortWithinPartitions("id"), s"$ws/tm",
+      Seq("ts", "lang"), maxRecordsPerFile = 25L): Unit
+    def planned(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.sparkPlan
+      plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }.distinct.size
+    }
+    // hours 30..40 live ONLY in file 1 (hours 25-49)
+    val tsQ = s"SELECT id FROM $cat.tm WHERE " +
+      s"ts >= timestamp'2024-03-02 06:00:00' AND ts < timestamp'2024-03-02 17:00:00'"
+    assert(planned(tsQ) == 1, s"ts-range should touch one file: ${planned(tsQ)}")
+    assert(spark.sql(tsQ).count() == 11)
+    // one lang value lives in one file
+    val strQ = s"SELECT id FROM $cat.tm WHERE lang = 'lang02'"
+    assert(planned(strQ) == 1)
+    assert(spark.sql(strQ).count() == 25)
+    // midnight boundary prunes exactly (ts < file-2 start keeps files 0-1)
+    val edgeQ = s"SELECT id FROM $cat.tm WHERE ts < timestamp'2024-03-03 02:00:00'"
+    assert(planned(edgeQ) == 2)
+    assert(spark.sql(edgeQ).count() == 50)
+  }
+
   test("thin SQL read plan: predicate pushdown reaches the base scan, keys ride broadcast") {
     val (cat, ws) = freshCatalog()
     seed(ws, "t5")
