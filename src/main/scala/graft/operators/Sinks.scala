@@ -305,6 +305,7 @@ object Sinks {
     val cur = readSnapshot(spark, tableDir)
     val next = snapshotVersions(spark, tableDir).last + 1
     writeCompacted(cur, s"$tableDir/v=$next", targetRows)
+    carryManifest(spark, tableDir, next)
     commitPointer(spark, tableDir, next)
     next
   }
@@ -419,6 +420,7 @@ object Sinks {
     val spark = df.sparkSession
     val v = claimNextVersion(spark, tableDir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$v")
+    carryManifest(spark, tableDir, v)
     commitPointerCas(spark, tableDir, v, commitTsMicros)
     v
   }
@@ -439,6 +441,7 @@ object Sinks {
     val f = dest.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.rename(staged, dest))
       throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
+    carryManifest(spark, tableDir, v)
     commitPointerCas(spark, tableDir, v, tsMicros)
     v
   }
@@ -480,9 +483,54 @@ object Sinks {
     val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
     if (!f.rename(staged, dest))
       throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
+    carryManifest(spark, tableDir, v)
     commitPointerCas(spark, tableDir, v, tsMicros)
     v
   }
+
+  /** MANIFEST CONTINUITY: a DML/overwrite/compaction on a manifest-bearing
+    * table must not silently lose the planning index — at 100 TB the
+    * manifest IS the difference between a one-file planning read and a
+    * full footer sweep, and one UPDATE dropping it would be invisible
+    * until the latency regression. Called with the new version's data in
+    * place but BEFORE the pointer commit (readers never observe a
+    * manifest-less window, and a partial manifest of an uncommitted
+    * version can never mis-skip — uncommitted versions never resolve).
+    * Carries the stats columns of the newest older manifest-bearing
+    * version, restricted to columns the new schema still has; THIN and
+    * BUCKETED versions are skipped (they serve through the resolver /
+    * bucketed scan, not the manifest path). NON-FATAL: the manifest is an
+    * optimization — a failure must not fail a statement whose data is
+    * already correct. */
+  private def carryManifest(spark: SparkSession, tableDir: String,
+                            v: Int): Unit =
+    try {
+      if (graft.sources.ManifestPrune.exists(spark, tableDir, v)) return
+      if (thinBase(spark, tableDir, v).isDefined ||
+          bucketedLayout(spark, tableDir, v).isDefined) return
+      val prev = snapshotVersions(spark, tableDir).filter(_ < v).reverse
+        .find(p => graft.sources.ManifestPrune.exists(spark, tableDir, p))
+        .getOrElse(return)
+      val statsCols = spark.read
+        .parquet(graft.sources.ManifestPrune.manifestDir(tableDir, prev))
+        .columns.filter(_.startsWith("min_")).map(_.drop(4)).toSeq
+      val written = spark.read.parquet(s"$tableDir/v=$v")
+      val cols = statsCols.filter(written.columns.contains)
+      if (cols.isEmpty) return
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      written.groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$tableDir/_manifest/v=$v")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(Sinks.getClass).warn(
+          s"manifest carry for $tableDir v=$v failed; the version commits " +
+            "without a manifest (unpruned planning) — rewrite it with " +
+            "writeSnapshotWithManifest to restore file skipping", e)
+    }
 
   /** The CAS allocation loop (move 1), shared by both concurrent
     * publishers: max over folders, claims and the pointer, then try to

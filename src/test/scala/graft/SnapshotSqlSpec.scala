@@ -320,6 +320,54 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(spark.sql(edgeQ).count() == 50)
   }
 
+  test("manifest continuity: COW DML, INSERT OVERWRITE and compaction carry the manifest") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "txt")
+    Sinks.writeSnapshotWithManifest(
+      df.coalesce(1).sortWithinPartitions("id"), s"$ws/mc", Seq("id"),
+      maxRecordsPerFile = 50L): Unit
+    def planned(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.sparkPlan
+      plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }.distinct.size
+    }
+    import graft.sources.ManifestPrune
+    // COW UPDATE (whole-table rewrite) → the NEW version has a manifest
+    spark.sql(s"UPDATE $cat.mc SET txt = 'u' WHERE id < 10")
+    val v2 = Sinks.snapshotCommitted(spark, s"$ws/mc").get
+    assert(ManifestPrune.exists(spark, s"$ws/mc", v2),
+      "COW DML must carry the manifest to the new version")
+    // the rewritten layout differs, but SOME pruning must still apply
+    val q = s"SELECT id FROM $cat.mc WHERE id BETWEEN 60 AND 70"
+    assert(spark.sql(q).count() == 11)
+    // INSERT OVERWRITE with the same schema carries it too
+    spark.sql(s"INSERT OVERWRITE $cat.mc " +
+      s"SELECT id, txt FROM $cat.mc VERSION AS OF 1 WHERE id < 100")
+    val v3 = Sinks.snapshotCommitted(spark, s"$ws/mc").get
+    assert(ManifestPrune.exists(spark, s"$ws/mc", v3))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.mc").first().getLong(0) == 100)
+    // compaction carries it as well
+    val v4 = Sinks.compactSnapshot(spark, s"$ws/mc", targetRows = 25L)
+    assert(ManifestPrune.exists(spark, s"$ws/mc", v4))
+    assert(planned(s"SELECT id FROM $cat.mc WHERE id < 20") <
+      planned(s"SELECT id FROM $cat.mc"),
+      "the carried manifest must actually skip files on the compacted layout")
+    assert(spark.sql(s"SELECT id FROM $cat.mc WHERE id < 20").count() == 20)
+    // a schema-changing overwrite that DROPS the stats column commits
+    // WITHOUT a manifest (never a broken one) and still serves
+    Sinks.writeSnapshotConcurrent(
+      df.select(col("txt")), s"$ws/mc"): Unit
+    val v5 = Sinks.snapshotCommitted(spark, s"$ws/mc").get
+    assert(!ManifestPrune.exists(spark, s"$ws/mc", v5))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.mc").first().getLong(0) == 200)
+  }
+
   test("thin SQL read plan: predicate pushdown reaches the base scan, keys ride broadcast") {
     val (cat, ws) = freshCatalog()
     seed(ws, "t5")
