@@ -179,6 +179,7 @@ object Sinks {
                     commitTsMicros: Option[Long]): Int = {
     val next = snapshotVersions(df.sparkSession, tableDir).lastOption.getOrElse(0) + 1
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
+    carryManifest(df.sparkSession, tableDir, next)
     commitPointer(df.sparkSession, tableDir, next, commitTsMicros)
     next
   }
@@ -328,6 +329,14 @@ object Sinks {
     * the pointer. */
   def writeSnapshotAs(df: DataFrame, tableDir: String, version: Int): Int = {
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$version")
+    // a REPLAY rewrote the version's data files under new names, so any
+    // manifest from the previous attempt enumerates files that no longer
+    // exist — drop it first, then carry fresh (stale skipping would be
+    // wrong; a missing manifest merely serves unpruned)
+    val mp = new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$version")
+    val mfs = mp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    if (mfs.exists(mp)) mfs.delete(mp, true): Unit
+    carryManifest(df.sparkSession, tableDir, version)
     if (snapshotCommitted(df.sparkSession, tableDir).forall(_ < version))
       commitPointer(df.sparkSession, tableDir, version)
     version
@@ -505,6 +514,11 @@ object Sinks {
   private def carryManifest(spark: SparkSession, tableDir: String,
                             v: Int): Unit =
     try {
+      // manifest-less tables short-circuit on ONE listing — never an
+      // O(#versions) probe walk per commit
+      val mroot = new org.apache.hadoop.fs.Path(s"$tableDir/_manifest")
+      val fs = mroot.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mroot)) return
       if (graft.sources.ManifestPrune.exists(spark, tableDir, v)) return
       if (thinBase(spark, tableDir, v).isDefined ||
           bucketedLayout(spark, tableDir, v).isDefined) return
@@ -519,13 +533,31 @@ object Sinks {
       if (cols.isEmpty) return
       val aggs = cols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      written.groupBy(input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$tableDir/_manifest/v=$v")
+      // temp dir + ONE rename: a manifest must appear COMPLETE or not at
+      // all — ManifestPrune trusts it to enumerate every file, so a
+      // half-written directory would silently skip rows (and an empty one
+      // would fail every read on schema inference)
+      val tmp = new org.apache.hadoop.fs.Path(mroot,
+        s".carry_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        written.groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val dest = new org.apache.hadoop.fs.Path(mroot, s"v=$v")
+        if (!fs.exists(dest) && !fs.rename(tmp, dest))
+          throw new IllegalStateException(s"manifest carry: rename to $dest failed")
+      } finally if (fs.exists(tmp)) fs.delete(tmp, true): Unit
     } catch {
       case scala.util.control.NonFatal(e) =>
+        // belt and braces: never leave a PARTIAL manifest behind — a
+        // missing manifest degrades to unpruned planning, a broken one
+        // breaks every read
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$v")
+          val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (f.exists(p)) f.delete(p, true): Unit
+        } catch { case scala.util.control.NonFatal(_) => () }
         org.slf4j.LoggerFactory.getLogger(Sinks.getClass).warn(
           s"manifest carry for $tableDir v=$v failed; the version commits " +
             "without a manifest (unpruned planning) — rewrite it with " +

@@ -494,6 +494,10 @@ private[sources] class PartitionedWorkspaceTable(
   private[sources] def publishPartitioned(staging: Path,
                                           readRels: Option[Seq[String]]): Unit = {
     val f = fsOf(staging)
+    // heartbeat before any leaf is parked: the statement's SCAN may have
+    // outlived the lock grace, and a stale-broken lock during the rename
+    // window would let a load-time repair restore retired partitions
+    WorkspaceDmlLock.refresh(spark, dir)
     repairRetiredPartitions()
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val park = retiredRoot(tag)
@@ -653,7 +657,9 @@ private[sources] class PartitionedWorkspaceTable(
     // PHASE 2 — per-leaf swap: retire by RENAME, replacement in, retired
     // delete LAST. A failure past the first retire leaves staging and the
     // parked copies on disk; [[repairRetiredPartitions]] converges each
-    // partition on the next locked load.
+    // partition on the next locked load. Heartbeat first: phase 1's
+    // survivor writes may have outlived the lock grace.
+    WorkspaceDmlLock.refresh(spark, dir)
     staged.foreach { case (vals, stagingOpt) =>
       val rel = relOf(vals)
       val pdir = new Path(dir, rel)

@@ -111,6 +111,20 @@ private[sources] object WorkspaceDmlLock {
     fs.delete(p, false): Unit
   }
 
+  /** HEARTBEAT: refresh the lock's mtime so the stale-break deadline
+    * measures from the last sign of life, not from acquisition. Called at
+    * the entry of the publish/swap phases — a statement may legitimately
+    * SCAN for longer than the grace, and without the refresh a concurrent
+    * load-time repair could break the lock exactly while the parked
+    * copies exist (restoring a partition the publisher just retired →
+    * duplicated rows when the staged replacement then appends). */
+  def refresh(spark: SparkSession, dir: String): Unit = {
+    val p = lockPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   def withLock[T](spark: SparkSession, dir: String)(body: => T): T = {
     val p = acquire(spark, dir)
     try body finally release(spark, p)

@@ -71,7 +71,10 @@ class PrunedParquetScanBuilder(
 
 /** [[PrunedParquetScanBuilder]] specialized to snapshot file manifests:
   * the surviving paths come from [[graft.sources.ManifestPrune.keptFiles]]
-  * over `_manifest/v=N`'s per-file min/max stats. */
+  * over `_manifest/v=N`'s per-file min/max stats. DEFENSE IN DEPTH: an
+  * unreadable/corrupt manifest falls back to the FULL version directory
+  * (unpruned planning, always correct) instead of failing every read —
+  * the manifest is an optimization, never the correctness path. */
 class ManifestPrunedScanBuilder(
     tableName: String,
     spark: SparkSession,
@@ -80,5 +83,15 @@ class ManifestPrunedScanBuilder(
     declared: StructType,
     options: CaseInsensitiveStringMap)
   extends PrunedParquetScanBuilder(tableName, spark, declared, options,
-    filters => graft.sources.ManifestPrune
-      .keptFiles(spark, tableDir, version, filters)._1)
+    filters =>
+      try graft.sources.ManifestPrune
+        .keptFiles(spark, tableDir, version, filters)._1
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory
+            .getLogger(classOf[ManifestPrunedScanBuilder]).warn(
+              s"manifest read for $tableDir v=$version failed; serving the " +
+                s"FULL version unpruned (delete _manifest/v=$version or " +
+                s"rewrite with writeSnapshotWithManifest)", e)
+          Seq(s"$tableDir/v=$version")
+      })

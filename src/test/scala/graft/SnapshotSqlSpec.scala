@@ -10,6 +10,16 @@ import graft.operators.Sinks
 class SnapshotSqlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** Distinct data-file paths in the PLANNED scan set (pre-AQE tree). */
+  private def plannedFileSet(sql: String): Seq[String] =
+    spark.sql(sql).queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }.distinct
+
   private def freshCatalog(): (String, String) = {
     val s = new graft.Session.Scratch
     val cat = "snapsql_" + java.lang.Long.toHexString(
@@ -208,18 +218,7 @@ class SnapshotSqlSpec extends AnyFunSuite {
       df.coalesce(1).sortWithinPartitions("id"), s"$ws/mt", Seq("id"),
       maxRecordsPerFile = 50L): Unit
 
-    def plannedFiles(sql: String): Seq[String] = {
-      val plan = spark.sql(sql).queryExecution.sparkPlan
-      val scans = plan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }
-      assert(scans.nonEmpty, s"no BatchScanExec in:\n$plan")
-      scans.flatMap(_.inputPartitions).flatMap {
-        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-          fp.files.map(_.filePath.toString)
-        case _ => Nil
-      }.distinct
-    }
+    def plannedFiles(sql: String): Seq[String] = plannedFileSet(sql)
 
     // range hits exactly files [100,149] and [150,199]
     val q = s"SELECT id, txt FROM $cat.mt WHERE id BETWEEN 120 AND 170"
@@ -295,16 +294,7 @@ class SnapshotSqlSpec extends AnyFunSuite {
     Sinks.writeSnapshotWithManifest(
       df.coalesce(1).sortWithinPartitions("id"), s"$ws/tm",
       Seq("ts", "lang"), maxRecordsPerFile = 25L): Unit
-    def planned(sql: String): Int = {
-      val plan = spark.sql(sql).queryExecution.sparkPlan
-      plan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.flatMap(_.inputPartitions).flatMap {
-        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-          fp.files.map(_.filePath.toString)
-        case _ => Nil
-      }.distinct.size
-    }
+    def planned(sql: String): Int = plannedFileSet(sql).size
     // hours 30..40 live ONLY in file 1 (hours 25-49)
     val tsQ = s"SELECT id FROM $cat.tm WHERE " +
       s"ts >= timestamp'2024-03-02 06:00:00' AND ts < timestamp'2024-03-02 17:00:00'"
@@ -327,16 +317,7 @@ class SnapshotSqlSpec extends AnyFunSuite {
     Sinks.writeSnapshotWithManifest(
       df.coalesce(1).sortWithinPartitions("id"), s"$ws/mc", Seq("id"),
       maxRecordsPerFile = 50L): Unit
-    def planned(sql: String): Int = {
-      val plan = spark.sql(sql).queryExecution.sparkPlan
-      plan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.flatMap(_.inputPartitions).flatMap {
-        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-          fp.files.map(_.filePath.toString)
-        case _ => Nil
-      }.distinct.size
-    }
+    def planned(sql: String): Int = plannedFileSet(sql).size
     import graft.sources.ManifestPrune
     // COW UPDATE (whole-table rewrite) → the NEW version has a manifest
     spark.sql(s"UPDATE $cat.mc SET txt = 'u' WHERE id < 10")
