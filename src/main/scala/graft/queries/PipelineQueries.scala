@@ -5698,6 +5698,89 @@ object PipelineQueries {
         .withColumn("leaves_planned", lit(leaves))
         .withColumn("untouched_intact", lit(if (intact) 1 else 0))
         .orderBy("event_type", "day")
+    },
+
+    // ---- streaming: CDC MERGE into a days(ts)-partitioned target (r14) ------
+    // The SEVENTEENTH true streaming execution composes q215's
+    // foreachBatch-MERGE sink with this round's hidden date partitioning —
+    // the production shape of a date-sharded state table under streaming
+    // CDC: each micro-batch's MERGE runs through Spark's runtime group
+    // filtering, so the copy-on-write rewrite touches ONLY the days whose
+    // keys the batch matched (untouched-day file mtimes ride the hash
+    // across BOTH runs), inserts land hive-style in their own day dirs
+    // (including a brand-new future day), and the newer-wins residual
+    // keeps replays idempotent. Two AvailableNow runs on ONE checkpoint
+    // with the second batch landed in between prove restart carry-over.
+    // The oracle recomputes the final state from the raw log.
+    Q("q236_streaming_partitioned_merge",
+      """SELECT event_id, ts, status, ver, 1 AS untouched_intact FROM (
+        |  SELECT event_id, ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |              AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        |              AND event_id % 11 = 0 THEN 'flagged'
+        |         WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |              AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |              AND event_id % 13 = 0 THEN 'removed'
+        |         ELSE 'seen' END AS status,
+        |    CAST(CASE WHEN ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |              AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        |              AND event_id % 11 = 0 THEN 1
+        |         WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |              AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |              AND event_id % 13 = 0 THEN 2
+        |         ELSE 0 END AS BIGINT) AS ver
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts + INTERVAL 30 DAY, 'new',
+        |    CAST(2 AS BIGINT)
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-03 00:00:00' AND event_id % 17 = 0)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.day_state")
+      s.sql(s"""CREATE TABLE $cat.day_state
+               |(event_id BIGINT, ts TIMESTAMP, status STRING, ver BIGINT)
+               |PARTITIONED BY (days(ts))""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.day_state
+               |SELECT event_id, ts, 'seen', CAST(0 AS BIGINT)
+               |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      val scratch = new graft.Session.Scratch
+      val src = s"${scratch.dir}/pmerge_src"
+      val chk = s"${scratch.dir}/chk236"
+      val ev = Tables.load(s, dir, "events").select("event_id", "ts")
+      // Jan 20 holds no matched key of either batch — its files must stay
+      // byte-identical across BOTH streaming runs
+      val before = fileMtimes(s, s"$ws/day_state.parquet/ts_day=19742")
+      val b1 = ev.filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-06 00:00:00").cast("timestamp")
+          && col("event_id") % 11 === 0)
+        .withColumn("status", lit("flagged")).withColumn("ver", lit(1L))
+      val b2updates = ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-12 00:00:00").cast("timestamp")
+          && col("event_id") % 13 === 0)
+        .withColumn("status", lit("removed")).withColumn("ver", lit(2L))
+      val b2inserts = ev.filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-03 00:00:00").cast("timestamp")
+          && col("event_id") % 17 === 0)
+        .select((col("event_id") + 10000000L).as("event_id"),
+          (col("ts") + expr("INTERVAL 30 DAYS")).as("ts"))
+        .withColumn("status", lit("new")).withColumn("ver", lit(2L))
+      for (i <- 1 to 2) {
+        Streams.landFile(
+          if (i == 1) b1 else b2updates.unionByName(b2inserts), src, s"b$i")
+        val schema = s.read.parquet(src).schema
+        Streams.runMergeSink(s, chk, s"$cat.day_state",
+          "event_id", "ver", "event_id") {
+          s.readStream.schema(schema).parquet(src)
+        }
+      }
+      val intact = before.nonEmpty &&
+        fileMtimes(s, s"$ws/day_state.parquet/ts_day=19742") == before
+      s.table(s"$cat.day_state")
+        .withColumn("untouched_intact", lit(if (intact) 1 else 0))
+        .orderBy("event_id")
     }
   )
 }
