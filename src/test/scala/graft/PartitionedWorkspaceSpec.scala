@@ -404,6 +404,94 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
       "reported outcome must match on-disk state")
   }
 
+  test("randomized days-partitioned DML: table content tracks a key-value model") {
+    import spark.implicits._
+    // seeded, reproducible: arbitrary interleavings of predicate UPDATE,
+    // ts-range UPDATE, cross-day ts MOVE, translatable DELETE, INSERT and
+    // MERGE against a days(ts) table must keep (content ≡ model) AND
+    // (leaf-directory set ≡ the model's day set) after every statement —
+    // the layout is part of the contract, not just the rows
+    val rnd = new scala.util.Random(20260815L)
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.rp (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      s"PARTITIONED BY (days(ts))")
+    val epoch0 = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    def tsOf(hours: Long) = new java.sql.Timestamp(epoch0 + hours * 3600000L)
+    val model = scala.collection.mutable.Map.empty[Long, (Long, Long)] // id -> (tsMillis, v)
+    (0L until 60L).foreach(i => model(i) = (tsOf(i * 2).getTime, i))
+    model.toSeq.map { case (id, (t, v)) => (id, new java.sql.Timestamp(t), v) }
+      .toDF("id", "ts", "v").createOrReplaceTempView("rp_seed")
+    spark.sql(s"INSERT INTO $cat.rp SELECT id, ts, v FROM rp_seed")
+    var nextId = 1000L
+    def check(tag: String): Unit = {
+      val got = spark.table(s"$cat.rp").as[(Long, java.sql.Timestamp, Long)]
+        .collect().map { case (i, t, v) => i -> (t.getTime, v) }.toMap
+      assert(got == model.toMap, s"content diverged after $tag")
+      val dirs = fs(ws).listStatus(
+          new org.apache.hadoop.fs.Path(s"$ws/rp.parquet"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ts_day="))
+        .map(_.getPath.getName.stripPrefix("ts_day=").toLong).toSet
+      val want = model.values.map(t => Math.floorDiv(t._1, 86400000L)).toSet
+      assert(dirs == want, s"layout diverged after $tag: $dirs vs $want")
+    }
+    (1 to 10).foreach { step =>
+      val op = rnd.nextInt(6)
+      op match {
+        case 0 => // predicate UPDATE (runtime group filter on matched days)
+          val (m, r, c) = (rnd.nextInt(5) + 2, rnd.nextInt(3), rnd.nextLong(1000))
+          spark.sql(s"UPDATE $cat.rp SET v = $c WHERE id % $m = $r")
+          model.keys.filter(_ % m == r).toSeq
+            .foreach(k => model(k) = (model(k)._1, c))
+        case 1 => // ts-range UPDATE (days pinned straight from the range)
+          val lo = rnd.nextInt(5) * 24L
+          val loTs = tsOf(lo); val hiTs = tsOf(lo + 24)
+          spark.sql(s"UPDATE $cat.rp SET v = v + 1 WHERE ts >= " +
+            s"timestamp'$loTs' AND ts < timestamp'$hiTs'")
+          model.foreach { case (k, (t, v)) =>
+            if (t >= loTs.getTime && t < hiTs.getTime) model(k) = (t, v + 1)
+          }
+        case 2 => // cross-day MOVE: the ts itself shifts a day forward
+          val (m, r) = (rnd.nextInt(7) + 5, rnd.nextInt(5))
+          spark.sql(s"UPDATE $cat.rp SET ts = ts + INTERVAL 1 DAY " +
+            s"WHERE id % $m = $r")
+          model.keys.filter(_ % m == r).toSeq
+            .foreach(k => model(k) = (model(k)._1 + 86400000L, model(k)._2))
+        case 3 => // translatable DELETE on a ts bound + key residue
+          val (m, r) = (rnd.nextInt(4) + 2, rnd.nextInt(2))
+          val bound = tsOf((rnd.nextInt(6) + 1) * 24L)
+          spark.sql(s"DELETE FROM $cat.rp WHERE ts < timestamp'$bound' " +
+            s"AND id % $m = $r")
+          model.keys.filter(k => model(k)._1 < bound.getTime && k % m == r)
+            .toSeq.foreach(model.remove)
+        case 4 => // INSERT of fresh ids, possibly into brand-new days
+          val rows = (0 until rnd.nextInt(4) + 1).map { _ =>
+            nextId += 1
+            val t = tsOf(rnd.nextInt(10) * 24L + rnd.nextInt(24))
+            (nextId, t, rnd.nextLong(1000))
+          }
+          rows.toDF("id", "ts", "v").createOrReplaceTempView("rp_ins")
+          spark.sql(s"INSERT INTO $cat.rp SELECT id, ts, v FROM rp_ins")
+          rows.foreach { case (i, t, v) => model(i) = (t.getTime, v) }
+        case 5 => // MERGE: update a sample of existing + insert fresh
+          val updates = rnd.shuffle(model.keys.toSeq)
+            .take(rnd.nextInt(4) + 1)
+            .map(k => (k, new java.sql.Timestamp(model(k)._1), rnd.nextLong(1000)))
+          nextId += 1
+          val ins = (nextId, tsOf(rnd.nextInt(12) * 24L), rnd.nextLong(1000))
+          (updates :+ ins).toDF("id", "ts", "v")
+            .createOrReplaceTempView("rp_src")
+          spark.sql(
+            s"""MERGE INTO $cat.rp t USING rp_src s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          updates.foreach { case (k, _, v) => model(k) = (model(k)._1, v) }
+          model(ins._1) = (ins._2.getTime, ins._3)
+      }
+      check(s"step $step op $op")
+    }
+  }
+
   test("guardrails: bad partition specs rejected") {
     val (cat, _) = freshCatalog()
     seed(cat)
