@@ -492,6 +492,96 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized multi-col identity DML with path-hostile values tracks a model") {
+    import spark.implicits._
+    // partition values that need ESCAPING in directory names (space,
+    // slash, colon, percent, equals) ride through CREATE/INSERT/UPDATE/
+    // DELETE/MERGE end to end — Spark's dynamic-partition writer and the
+    // table's own partDirName/unescape must agree on every path, and the
+    // leaf-directory set must track the model's live (region, tier) set
+    val rnd = new scala.util.Random(20260815L)
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.rq (id BIGINT, v BIGINT, region STRING, " +
+      s"tier INT) PARTITIONED BY (region, tier)")
+    val regions = Seq("r 0", "r/1", "r:2", "r%3", "r=4")
+    val model = scala.collection.mutable.Map.empty[Long, (String, Int, Long)]
+    (0L until 50L).foreach(i =>
+      model(i) = (regions(rnd.nextInt(regions.size)), rnd.nextInt(3), i))
+    model.toSeq.map { case (id, (r, t, v)) => (id, v, r, t) }
+      .toDF("id", "v", "region", "tier").createOrReplaceTempView("rq_seed")
+    spark.sql(s"INSERT INTO $cat.rq SELECT id, v, region, tier FROM rq_seed")
+    var nextId = 1000L
+    def check(tag: String): Unit = {
+      val got = spark.table(s"$cat.rq").as[(Long, Long, String, Int)]
+        .collect().map { case (i, v, r, t) => i -> (r, t, v) }.toMap
+      assert(got == model.toMap, s"content diverged after $tag")
+      val f = fs(ws)
+      val leaves = f.listStatus(new org.apache.hadoop.fs.Path(s"$ws/rq.parquet"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("region="))
+        .flatMap { r1 =>
+          val region = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(r1.getPath.getName.stripPrefix("region="))
+          f.listStatus(r1.getPath).filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("tier="))
+            .map(t1 => (region, t1.getPath.getName.stripPrefix("tier=").toInt))
+        }.toSet
+      val want = model.values.map(x => (x._1, x._2)).toSet
+      assert(leaves == want, s"layout diverged after $tag: $leaves vs $want")
+    }
+    check("seed")
+    (1 to 8).foreach { step =>
+      val op = rnd.nextInt(5)
+      op match {
+        case 0 => // UPDATE pinned to one hostile region value
+          val r = regions(rnd.nextInt(regions.size))
+          val c = rnd.nextLong(1000)
+          spark.sql(s"UPDATE $cat.rq SET v = $c WHERE region = '${r.replace("'", "''")}'")
+          model.foreach { case (k, (rg, t, _)) =>
+            if (rg == r) model(k) = (rg, t, c)
+          }
+        case 1 => // cross-partition MOVE: rewrite the region value itself
+          val from = regions(rnd.nextInt(regions.size))
+          val to = regions(rnd.nextInt(regions.size))
+          spark.sql(s"UPDATE $cat.rq SET region = '${to.replace("'", "''")}' " +
+            s"WHERE region = '${from.replace("'", "''")}' AND id % 2 = 0")
+          model.foreach { case (k, (rg, t, v)) =>
+            if (rg == from && k % 2 == 0) model(k) = (to, t, v)
+          }
+        case 2 => // translatable two-level DELETE
+          val r = regions(rnd.nextInt(regions.size))
+          val t = rnd.nextInt(3)
+          spark.sql(s"DELETE FROM $cat.rq WHERE region = '${r.replace("'", "''")}' " +
+            s"AND tier = $t")
+          model.keys.filter(k => model(k)._1 == r && model(k)._2 == t)
+            .toSeq.foreach(model.remove)
+        case 3 => // INSERT fresh ids into random (possibly new) leaves
+          val rows = (0 until rnd.nextInt(4) + 1).map { _ =>
+            nextId += 1
+            (nextId, rnd.nextLong(1000),
+              regions(rnd.nextInt(regions.size)), rnd.nextInt(4))
+          }
+          rows.toDF("id", "v", "region", "tier").createOrReplaceTempView("rq_ins")
+          spark.sql(s"INSERT INTO $cat.rq SELECT id, v, region, tier FROM rq_ins")
+          rows.foreach { case (i, v, r, t) => model(i) = (r, t, v) }
+        case 4 => // MERGE: update sample + insert one
+          val ups = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3) + 1)
+            .map(k => (k, rnd.nextLong(1000), model(k)._1, model(k)._2))
+          nextId += 1
+          val ins = (nextId, rnd.nextLong(1000),
+            regions(rnd.nextInt(regions.size)), rnd.nextInt(3))
+          (ups :+ ins).toDF("id", "v", "region", "tier")
+            .createOrReplaceTempView("rq_src")
+          spark.sql(
+            s"""MERGE INTO $cat.rq t USING rq_src s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ups.foreach { case (k, v, r, t) => model(k) = (r, t, v) }
+          model(ins._1) = (ins._3, ins._4, ins._2)
+      }
+      check(s"step $step op $op")
+    }
+  }
+
   test("guardrails: bad partition specs rejected") {
     val (cat, _) = freshCatalog()
     seed(cat)
