@@ -1366,6 +1366,11 @@ object Sinks {
     dropped.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"), false)
+      // the orphan's manifest must die with it: vacuuming an ABOVE-pointer
+      // orphan lets its version NUMBER be re-allocated, and a later writer
+      // reusing it would inherit a STALE manifest enumerating deleted
+      // files (carryManifest's exists-check would then keep it)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$v"), true)
     }
     // crashed writers that never reached publish leave `.dml_staging_*`
     // folders (publish renames staging into v=N; a JVM crash mid-stage
