@@ -112,14 +112,21 @@ private[sources] object PartitionedWorkspace {
     case _ => None
   }
 
-  /** Derivation column for a days level — EXACT integer arithmetic (the
-    * subtraction makes the division's numerator exactly divisible, so the
-    * double intermediate is an exact small integer). Must agree bit-for-bit
-    * with the writer-side `Math.floorDiv` on the internal value. */
+  /** Derivation column for a days level — INTEGRAL arithmetic end to end:
+    * `div` (IntegralDivide, truncate-toward-zero) plus a one-step floor
+    * correction for negative non-divisible values, so the derivation
+    * agrees bit-for-bit with the writer-side `Math.floorDiv` over the
+    * FULL Long range. (`/` is double division; its 2^53 mantissa would
+    * round the numerator for extreme timestamps, splitting one logical
+    * day across directories; `n - pmod(n, d)` stays integral but wraps
+    * for n within d of Long.MinValue.) */
   def dayColumn(c: Column, isDate: Boolean): Column =
     if (isDate) datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
-    else ((unix_micros(c) - pmod(unix_micros(c), lit(MicrosPerDay)))
-      / lit(MicrosPerDay)).cast(LongType)
+    else {
+      val n = unix_micros(c)
+      val q = call_function("div", n, lit(MicrosPerDay))
+      when(q * lit(MicrosPerDay) > n, q - lit(1L)).otherwise(q)
+    }
 
   /** Position of a temporal literal on the level's axis: MICROSECONDS
     * since epoch for timestamps, DAYS for dates — in any representation

@@ -61,44 +61,95 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * lock older than `graft.workspace.dmlLockGraceMs` (default 15 min)
   * breaks it — the standard optimistic-concurrency deadline, sized well
   * past any real statement. Scope is row-level DML (UPDATE/MERGE/DELETE);
-  * plain INSERT keeps the append contract (task-unique files). */
+  * plain INSERT keeps the append contract (task-unique files).
+  *
+  * Ownership is TOKENIZED: acquire writes a per-statement UUID into the
+  * lock file and every delete (release, stale-break) verifies the token
+  * immediately first. Without it both paths are check-then-act on the
+  * PATH alone: a breaker that passed the mtime check could delete a
+  * FRESH lock re-acquired in the window (two statements proceed
+  * concurrently), and a holder whose lock was broken-and-retaken would
+  * release the NEW holder's lock on the way out. A token mismatch is
+  * treated as lock-held; re-verifying at the delete shrinks the
+  * remaining check-to-delete window from statement-length to
+  * microseconds (a local rename-based conditional delete can't close it
+  * fully; a real object store closes it with If-Match). */
 private[sources] object WorkspaceDmlLock {
+
+  /** Proof of ownership: the lock path plus the UUID this acquire wrote
+    * into it. Only the handle that created a lock file may delete it. */
+  final case class Handle(path: Path, token: String)
 
   def lockPath(dir: String): Path = {
     val real = new Path(dir)
     new Path(real.getParent, s".${real.getName}.__dml_lock")
   }
 
-  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
+  /** Create-exclusive WITH the owner token as content. The creation is
+    * the atomic step; the token write follows within the same call, so a
+    * racing reader can observe an empty just-created file — which reads
+    * as "token unknown" and is treated as held (never as breakable). */
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                        token: String): Boolean = {
     val scheme = fs.getUri.getScheme
     if (scheme == null || scheme == "file") {
       try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(p.toUri.getPath)): Unit
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE): Unit
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.nio.file.NoSuchFileException => false
       }
     } else {
-      try { fs.create(p, false).close(); true }
+      try {
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      }
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     }
   }
 
-  def acquire(spark: SparkSession, dir: String): Path = {
+  /** The token currently in the lock file — None when the file is gone
+    * or unreadable (racing delete), Some("") for a legacy/manual empty
+    * lock. Comparisons treat any read failure as "unknown ≠ mine". */
+  private def readToken(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def acquire(spark: SparkSession, dir: String): Handle = {
     val p = lockPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (tryCreate(fs, p)) return p
+    val token = java.util.UUID.randomUUID().toString
+    if (tryCreate(fs, p, token)) return Handle(p, token)
     val graceMs = spark.conf
       .get("graft.workspace.dmlLockGraceMs", "900000").trim.toLong
+    // snapshot the STALE holder's identity before deciding to break: if
+    // the file's token changes between this read and the delete, the old
+    // holder released and a NEW statement re-acquired — deleting then
+    // would break a fresh lock, not a crashed one
+    val staleToken = readToken(fs, p)
     val stale =
       try System.currentTimeMillis() -
         fs.getFileStatus(p).getModificationTime > graceMs
       catch { case _: java.io.FileNotFoundException => true }
     if (stale) {
-      fs.delete(p, false): Unit
-      if (tryCreate(fs, p)) return p
+      val now = readToken(fs, p)
+      if (now == staleToken || now.isEmpty) {
+        // token unchanged (or file already gone) — still the crashed
+        // holder's lock as far as the store can tell; break it
+        fs.delete(p, false): Unit
+        if (tryCreate(fs, p, token)) return Handle(p, token)
+      }
     }
     throw new java.util.ConcurrentModificationException(
       s"another DML statement holds the lock on $dir ($p); retry after it " +
@@ -106,9 +157,12 @@ private[sources] object WorkspaceDmlLock {
         s"graft.workspace.dmlLockGraceMs")
   }
 
-  def release(spark: SparkSession, p: Path): Unit = {
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(p, false): Unit
+  /** Delete ONLY a lock this handle created: a holder whose lock was
+    * stale-broken and re-taken must not release the new holder's lock on
+    * its way out — a token mismatch leaves the file alone. */
+  def release(spark: SparkSession, h: Handle): Unit = {
+    val fs = h.path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (readToken(fs, h.path).contains(h.token)) fs.delete(h.path, false): Unit
   }
 
   /** HEARTBEAT: refresh the lock's mtime so the stale-break deadline
