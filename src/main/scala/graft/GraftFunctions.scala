@@ -86,29 +86,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * A `catalog.table` first argument resolves through the catalog's
     * registered workspace directory on the ACTIVE session; `toV` defaults
     * to the committed head. */
+  private def strLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a STRING literal, got $other")
+  }
+
+  /** Integer-valued literal of either width (SQL `5` parses as INT,
+    * `5000000000` as BIGINT — a long-typed argument must accept both). */
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** Resolve a TVF's table reference — `catalog.table` through the
+    * catalog's registered workspace on the ACTIVE session, or a direct
+    * directory path. */
+  private def resolveRef(fn: String, ref: String): String = {
+    val spark = SparkSession.active
+    if (ref.contains("/")) ref
+    else ref.split('.') match {
+      case Array(cat, tbl) =>
+        val ws = spark.conf.getOption(s"spark.sql.catalog.$cat.workspace")
+          .getOrElse(throw new IllegalArgumentException(
+            s"$fn: no catalog '$cat' with a workspace on this session"))
+        s"$ws/$tbl"
+      case _ => throw new IllegalArgumentException(
+        s"$fn: table must be 'catalog.table' or a directory path, got '$ref'")
+    }
+  }
+
   private def tableChangesPlan(es: Seq[Expression]):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    def str(e: Expression, arg: String): String = e match {
-      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
-        s.toString
-      case other => throw new IllegalArgumentException(
-        s"table_changes: $arg must be a STRING literal, got $other")
-    }
     require(es.length == 2 || es.length == 3,
       "table_changes(table, fromVersion [, toVersion])")
     val spark = SparkSession.active
-    val ref = str(es.head, "table")
-    val dir =
-      if (ref.contains("/")) ref
-      else ref.split('.') match {
-        case Array(cat, tbl) =>
-          val ws = spark.conf.getOption(s"spark.sql.catalog.$cat.workspace")
-            .getOrElse(throw new IllegalArgumentException(
-              s"table_changes: no catalog '$cat' with a workspace on this session"))
-          s"$ws/$tbl"
-        case _ => throw new IllegalArgumentException(
-          s"table_changes: table must be 'catalog.table' or a directory path, got '$ref'")
-      }
+    val dir = resolveRef("table_changes", strLit(es.head, "table_changes", "table"))
     val fromV = GraftFunctions.intLit(es(1), "table_changes", "fromVersion")
     val toV = es.lift(2)
       .map(GraftFunctions.intLit(_, "table_changes", "toVersion"))
@@ -119,6 +135,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       .queryExecution.logical
   }
 
+  /** `snapshot_history('snap.t' | '<dir>')` — DESCRIBE HISTORY for the
+    * versioned store ([[graft.operators.Sinks.snapshotHistory]]): version,
+    * commit micros, thin/materialized/bucketed kind, operation, base
+    * version, file footprint. Read-only, O(history) metadata. */
+  private def snapshotHistoryPlan(es: Seq[Expression]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.length == 1, "snapshot_history(table)")
+    val dir = resolveRef("snapshot_history",
+      strLit(es.head, "snapshot_history", "table"))
+    graft.operators.Sinks.snapshotHistory(SparkSession.active, dir)
+      .queryExecution.logical
+  }
+
+  /** Procedure-style maintenance TVFs — the SQL faces of the operator
+    * APIs a table's owner otherwise needs a JVM for: OPTIMIZE
+    * (`snapshot_compact('t' [, targetRows])` → the committed compacted
+    * version), retention (`snapshot_expire('t', keep)` → versions
+    * dropped), and orphan cleanup (`snapshot_vacuum('t' [, graceMs])` →
+    * orphans dropped). Like every injected TVF these resolve — and hence
+    * EXECUTE — at analysis time: `spark.sql(...)` on a procedure IS the
+    * invocation (the Iceberg `CALL` semantics), so don't EXPLAIN one
+    * expecting a dry run. */
+  private def snapshotCompactPlan(es: Seq[Expression]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.length == 1 || es.length == 2,
+      "snapshot_compact(table [, targetRows])")
+    val spark = SparkSession.active
+    val dir = resolveRef("snapshot_compact",
+      strLit(es.head, "snapshot_compact", "table"))
+    val target = es.lift(1)
+      .map(longLit(_, "snapshot_compact", "targetRows")).getOrElse(5000000L)
+    val v = graft.operators.Sinks.compactSnapshot(spark, dir, target)
+    import spark.implicits._
+    Seq(v).toDF("version").queryExecution.logical
+  }
+
+  private def snapshotExpirePlan(es: Seq[Expression]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.length == 2, "snapshot_expire(table, keep)")
+    val spark = SparkSession.active
+    val dir = resolveRef("snapshot_expire",
+      strLit(es.head, "snapshot_expire", "table"))
+    val keep = GraftFunctions.intLit(es(1), "snapshot_expire", "keep")
+    val dropped = graft.operators.Sinks.expireSnapshots(spark, dir, keep)
+    import spark.implicits._
+    dropped.toDF("dropped_version").queryExecution.logical
+  }
+
+  private def snapshotVacuumPlan(es: Seq[Expression]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.length == 1 || es.length == 2,
+      "snapshot_vacuum(table [, graceMs])")
+    val spark = SparkSession.active
+    val dir = resolveRef("snapshot_vacuum",
+      strLit(es.head, "snapshot_vacuum", "table"))
+    val grace = es.lift(1)
+      .map(longLit(_, "snapshot_vacuum", "graceMs")).getOrElse(86400000L)
+    val dropped = graft.operators.Sinks.vacuumOrphans(spark, dir, grace)
+    import spark.implicits._
+    dropped.toDF("dropped_version").queryExecution.logical
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
@@ -126,10 +204,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.GraftFunctions", name),
         builder))
     }
-    ext.injectTableFunction((
-      FunctionIdentifier("table_changes"),
-      new ExpressionInfo("graft.operators.Sinks", "table_changes"),
-      tableChangesPlan))
+    Seq[(String, Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)](
+      "table_changes" -> tableChangesPlan,
+      "snapshot_history" -> snapshotHistoryPlan,
+      "snapshot_compact" -> snapshotCompactPlan,
+      "snapshot_expire" -> snapshotExpirePlan,
+      "snapshot_vacuum" -> snapshotVacuumPlan
+    ).foreach { case (name, plan) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.operators.Sinks", name),
+        plan))
+    }
     ext.injectResolutionRule(graft.sources.ResolveThinSnapshots(_))
   }
 }

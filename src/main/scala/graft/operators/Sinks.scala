@@ -300,15 +300,57 @@ object Sinks {
     * into a NEW version and commit it — readers mid-compaction keep the
     * old version, the swap is the usual atomic pointer move, and the
     * small-files debt of many incremental publishes is paid without a
-    * write outage. Returns the committed compacted version. */
+    * write outage. Returns the committed compacted version.
+    *
+    * Single-writer maintenance API: allocation reads claims too (never
+    * lands on a concurrent/crashed writer's claimed number) but the
+    * commit is a plain pointer swap — don't run it concurrently with
+    * live writers on one table; the auto-compaction the thin publishers
+    * trigger goes through the claim-fenced [[autoCompactCas]] instead. */
   def compactSnapshot(spark: SparkSession, tableDir: String,
                       targetRows: Long): Int = {
     val cur = readSnapshot(spark, tableDir)
-    val next = snapshotVersions(spark, tableDir).last + 1
+    val base = snapshotCommitted(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val next = (snapshotVersions(spark, tableDir) ++
+      claimedVersions(spark, tableDir)).foldLeft(base)(math.max) + 1
     writeCompacted(cur, s"$tableDir/v=$next", targetRows)
+    markCompaction(spark, tableDir, next, base)
     carryManifest(spark, tableDir, next)
     commitPointer(spark, tableDir, next)
     next
+  }
+
+  /** Stamp `v=N/_compaction` (content = the version whose resolved rows
+    * this version materializes) BEFORE the pointer commit, so every
+    * committed compacted version carries its provenance: a compaction has
+    * an exactly-empty change grain (its rows ARE the prior committed
+    * state), which is what lets [[tableChanges]] span it on a
+    * change-feed-enabled table instead of severing the feed's version
+    * addressability. Underscore-prefixed, so data readers skip it. */
+  private def markCompaction(spark: SparkSession, tableDir: String,
+                             v: Int, base: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/_compaction")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, false)
+    try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The version this compacted version materialized, if `v` was written
+    * by a compaction (None for genuine rewrites — INSERT OVERWRITE — and
+    * for pre-marker history). */
+  def compactionBase(spark: SparkSession, tableDir: String,
+                     v: Int): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/_compaction")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      txt.toIntOption
+    }
   }
 
   /** [[writeSnapshot]] at a CALLER-CHOSEN version — the exactly-once hook
@@ -528,11 +570,13 @@ object Sinks {
       val statsCols = spark.read
         .parquet(graft.sources.ManifestPrune.manifestDir(tableDir, prev))
         .columns.filter(_.startsWith("min_")).map(_.drop(4)).toSeq
-      val written = spark.read.parquet(s"$tableDir/v=$v")
-      val cols = statsCols.filter(written.columns.contains)
+      // schema inference reads footers, not data — the whole carry stays
+      // metadata-only (the r14 wart was a FULL data re-read of the version
+      // just published, a 2× write-path I/O tax at 100 TB; the footers
+      // already hold the same min/max, plus null counts the agg never had)
+      val writtenSchema = spark.read.parquet(s"$tableDir/v=$v").schema
+      val cols = statsCols.filter(writtenSchema.fieldNames.contains)
       if (cols.isEmpty) return
-      val aggs = cols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
       // temp dir + ONE rename: a manifest must appear COMPLETE or not at
       // all — ManifestPrune trusts it to enumerate every file, so a
       // half-written directory would silently skip rows (and an empty one
@@ -540,8 +584,8 @@ object Sinks {
       val tmp = new org.apache.hadoop.fs.Path(mroot,
         s".carry_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
       try {
-        written.groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*)
+        graft.sources.FooterStats
+          .manifestFrame(spark, s"$tableDir/v=$v", writtenSchema, cols)
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         val dest = new org.apache.hadoop.fs.Path(mroot, s"v=$v")
@@ -636,12 +680,50 @@ object Sinks {
   /** Read the committed snapshot, or an explicit pinned `version` (time
     * travel). Unpinned reads NEVER trust folder listings — only the
     * atomically-swapped pointer — so a concurrent or crashed writer is
-    * invisible. */
+    * invisible. An UNPINNED read of a schema-evolved table
+    * ([[declareSnapshotSchema]], SQL `ALTER TABLE ADD COLUMN`) serves the
+    * DECLARED schema — files written before the evolution null-fill;
+    * pinned reads keep their version's own schema (history is immutable,
+    * including its shape). */
   def readSnapshot(spark: SparkSession, tableDir: String,
                    version: Option[Int] = None): DataFrame = {
     val v = version.orElse(snapshotCommitted(spark, tableDir)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    resolveVersion(spark, tableDir, v, depth = 0)
+    val raw = resolveVersion(spark, tableDir, v, depth = 0)
+    if (version.isDefined) raw
+    else declaredSnapshotSchema(spark, tableDir)
+      .map(graft.sources.SchemaEvolution.conform(raw, _)).getOrElse(raw)
+  }
+
+  /** Declare the snapshot table's EVOLVED schema (the metadata half of
+    * `ALTER TABLE ADD COLUMN`): one `_schema.json` per table, no data
+    * published, no version folder touched. Unpinned reads conform to it
+    * (old files null-fill the added columns); pinned reads are untouched.
+    * The declared schema must be a SUPERSET-by-name of what is on disk —
+    * enforcement lives in the SQL face (SnapshotCatalog.alterTable), which
+    * only ever appends nullable columns. */
+  def declareSnapshotSchema(spark: SparkSession, tableDir: String,
+                            schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_schema.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The declared evolved schema, if the table has one. */
+  def declaredSnapshotSchema(spark: SparkSession, tableDir: String):
+      Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_schema.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
   }
 
   // ---- merge-on-read deletes (thin versions) -------------------------------
@@ -790,21 +872,28 @@ object Sinks {
     * what a `readStream.schema(...)` consumer passes. */
   def changeFeedSchema(spark: SparkSession, tableDir: String):
       org.apache.spark.sql.types.StructType = {
-    val base = readSnapshot(spark, tableDir,
-      snapshotCommitted(spark, tableDir)).schema
+    // UNPINNED read: an evolved table's feed carries the declared schema
+    val base = readSnapshot(spark, tableDir).schema
     base.add("__change", org.apache.spark.sql.types.StringType)
       .add("__version", org.apache.spark.sql.types.IntegerType)
   }
 
-  /** Change rows of one thin commit, in base column order. */
+  /** Change rows of one thin commit, in base column order — extended by
+    * any columns the upserts ADDED (post-ALTER writes), which delete rows
+    * null-fill. */
   private def changeRows(baseDf: DataFrame, keyCols: Seq[String], v: Int,
                          deletes: Option[DataFrame],
                          upserts: Option[DataFrame]): DataFrame = {
-    val cols = baseDf.columns.toSeq
+    val extra = upserts.toSeq.flatMap(_.schema.fields).filterNot(f =>
+      baseDf.columns.exists(_.equalsIgnoreCase(f.name)))
+    val cols = baseDf.columns.toSeq ++ extra.map(_.name)
+    def typeOf(c: String): org.apache.spark.sql.types.DataType =
+      extra.find(_.name == c).map(_.dataType)
+        .getOrElse(baseDf.schema(c).dataType)
     def conform(df: DataFrame, change: String): DataFrame =
       df.select(cols.map(c =>
         if (df.columns.contains(c)) col(c)
-        else lit(null).cast(baseDf.schema(c).dataType).as(c)): _*)
+        else lit(null).cast(typeOf(c)).as(c)): _*)
         .withColumn("__change", lit(change))
         .withColumn("__version", lit(v))
     val parts =
@@ -863,19 +952,30 @@ object Sinks {
         s"requested from v=$fromV")
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val files = (fromV to toV).map { v =>
+    val files = (fromV to toV).flatMap { v =>
       val feed = new org.apache.hadoop.fs.Path(s"$tableDir/cdf/v$v.parquet")
-      if (thinBase(spark, tableDir, v).isEmpty)
-        throw new UnsupportedOperationException(
-          s"v=$v of $tableDir is a MATERIALIZED version (overwrite/compaction)" +
+      if (thinBase(spark, tableDir, v).isEmpty) {
+        // a COMPACTION's change grain is exactly empty (its rows are the
+        // prior committed state, re-materialized) — it contributes nothing
+        // and the range keeps spanning it; a genuine rewrite has no grain
+        if (compactionBase(spark, tableDir, v).isDefined) None
+        else throw new UnsupportedOperationException(
+          s"v=$v of $tableDir is a MATERIALIZED version (overwrite)" +
             " — it has no change grain; diff it with Sinks.snapshotDiff")
-      if (!fs.exists(feed))
+      } else if (!fs.exists(feed))
         throw new IllegalStateException(
           s"feed file for committed thin v=$v is missing (a landing crash) " +
             "— run Sinks.repairChangeFeed first")
-      feed.toString
+      else Some(feed.toString)
     }
-    spark.read.parquet(files: _*)
+    if (files.isEmpty)
+      // every version in range was a compaction: the change set is empty
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        changeFeedSchema(spark, tableDir))
+    // mergeSchema: feed files straddling an ALTER TABLE ADD COLUMN differ
+    // in width — the union serves them all, older rows null-filled
+    // (O(requested files) footer reads, the TVF's own cost grain)
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** [[landChangeFeed]] for the POST-COMMIT call sites: by the time the
@@ -930,7 +1030,7 @@ object Sinks {
       val threshold = spark.conf
         .get("graft.snapshot.autoCompactDepth", "48").trim.toInt
       if (threshold > 0 && chainDepth(spark, tableDir, v) >= threshold)
-        compactSnapshot(spark, tableDir, AutoCompactTargetRows): Unit
+        autoCompactCas(spark, tableDir, v)
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(Sinks.getClass).warn(
@@ -938,6 +1038,41 @@ object Sinks {
             s"and readable, but compact before the chain reaches the " +
             s"64-hop resolver stop", e)
     }
+
+  /** Auto-compaction for the CONCURRENT-publisher call sites. The plain
+    * [[compactSnapshot]] allocates blindly and commits with a last-writer-
+    * wins swap — racing a CAS publisher it could write into a claimed
+    * version number or regress the pointer past a newer committed delta.
+    * This variant plays the same optimistic game as the writers it runs
+    * beside: claim the next version, require it to be the IMMEDIATE
+    * successor of the triggering commit `base` (any intervening claim —
+    * i.e. any concurrent writer since — forfeits: the claim is released
+    * and the depth debt defers to THAT writer's own auto-compaction
+    * check), compact the resolved rows OF `base` specifically, and commit
+    * through the converging repair loop. On a change-feed-enabled table
+    * the compacted version's empty change grain is declared via the
+    * [[markCompaction]] stamp, so `table_changes` ranges keep spanning
+    * the history a plain INSERT transparently triggered compaction on.
+    * (private[graft] for the fence spec: the forfeit branch needs a
+    * foreign claim wedged between the triggering commit and this call —
+    * unreachable from the public surface in one thread, because a
+    * pre-existing claim fences the triggering statement itself.) */
+  private[graft] def autoCompactCas(spark: SparkSession, tableDir: String,
+                                    base: Int): Unit = {
+    val v = claimNextVersion(spark, tableDir)
+    if (v != base + 1) {
+      val fs = new org.apache.hadoop.fs.Path(tableDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"),
+        false): Unit
+      return
+    }
+    writeCompacted(readSnapshot(spark, tableDir, Some(base)),
+      s"$tableDir/v=$v", AutoCompactTargetRows): Unit
+    markCompaction(spark, tableDir, v, base)
+    carryManifest(spark, tableDir, v)
+    commitPointerCas(spark, tableDir, v, tsMicros = None)
+  }
 
   /** Re-derive and land any committed THIN version whose feed file is
     * missing (writer crashed between the version commit and the landing).
@@ -1022,8 +1157,19 @@ object Sinks {
             .reduceOption(_ unionByName _)
         val kept = gone.fold(baseDf)(g =>
           baseDf.join(g.distinct(), keyCols, "left_anti"))
-        ups.fold(kept)(u => kept.unionByName(u.select(
-          baseDf.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
+        // the version's schema is the base's EXTENDED by any columns its
+        // upserts added (writes after an ALTER TABLE ADD COLUMN land full-
+        // schema deltas on a narrower base) — base rows null-fill the
+        // additions; an upsert can never be NARROWER than the base (writes
+        // bind to the table schema), so conform only widens
+        ups.fold(kept) { u =>
+          val extra = u.schema.fields.filterNot(f =>
+            baseDf.columns.exists(_.equalsIgnoreCase(f.name)))
+          val target = org.apache.spark.sql.types.StructType(
+            baseDf.schema.fields ++ extra)
+          graft.sources.SchemaEvolution.conform(kept, target)
+            .unionByName(graft.sources.SchemaEvolution.conform(u, target))
+        }
     }
   }
 
@@ -1257,11 +1403,11 @@ object Sinks {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(s"$tableDir/v=$next")
-    val written = spark.read.parquet(s"$tableDir/v=$next")
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    written.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    // stats come off the just-written files' FOOTERS (min/max/null-count),
+    // not a second full read of the data — the build is O(#files) metadata
+    graft.sources.FooterStats
+      .manifestFrame(spark, s"$tableDir/v=$next",
+        spark.read.parquet(s"$tableDir/v=$next").schema, statsCols)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/_manifest/v=$next")
     commitPointer(spark, tableDir, next)
@@ -1298,6 +1444,59 @@ object Sinks {
       else spark.read.parquet(kept.toIndexedSeq: _*)
         .filter(col(statCol).between(lo, hi))
     (df, kept.length, total)
+  }
+
+  /** `DESCRIBE HISTORY` for the snapshot store: one row per version
+    * folder at or below the committed pointer (expired versions are gone;
+    * orphans above the pointer never show), classified by the version's
+    * own on-disk markers — the same records every reader trusts:
+    *
+    *  - `kind`: 'thin' (`_base.json`), 'bucketed' (`_buckets`), else
+    *    'materialized';
+    *  - `operation`: thin → 'append' (keyless) / 'delete' (tombstones
+    *    only) / 'upsert'; bucketed → 'rebucket'; materialized →
+    *    'compact' (`_compaction` stamp), 'create' (v=1), 'overwrite';
+    *  - `base_version`: the thin hop's base or the compaction's source;
+    *  - `committed_at`: micros from the `_commits/` record (null for
+    *    tables published before commit records existed);
+    *  - `files`/`bytes`: the version folder's data-file footprint.
+    *
+    * Cost: one folder listing + marker probes per version — O(history),
+    * zero data reads. SQL face: `SELECT * FROM snapshot_history('snap.t')`
+    * with the graft extensions active. */
+  def snapshotHistory(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val committed = snapshotCommitted(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val times = snapshotCommitTimes(spark, tableDir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val rows = snapshotVersions(spark, tableDir).filter(_ <= committed).map { v =>
+      val dir = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v")
+      val fs = dir.getFileSystem(hconf)
+      def sub(name: String): Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(dir, name))
+      val dataFiles = fs.listStatus(dir).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val (kind, operation, base) = thinBase(spark, tableDir, v) match {
+        case Some((b, keys)) =>
+          val op =
+            if (keys.isEmpty) "append"
+            else if (sub("_upserts")) "upsert"
+            else "delete"
+          ("thin", op, Some(b))
+        case None if bucketedLayout(spark, tableDir, v).isDefined =>
+          ("bucketed", "rebucket", None)
+        case None => compactionBase(spark, tableDir, v) match {
+          case Some(b) => ("materialized", "compact", Some(b))
+          case None =>
+            ("materialized", if (v == 1) "create" else "overwrite", None)
+        }
+      }
+      (v, times.get(v), kind, operation, base,
+        dataFiles.length, dataFiles.map(_.getLen).sum)
+    }
+    rows.toDF("version", "committed_at", "kind", "operation",
+      "base_version", "files", "bytes")
   }
 
   /** Retention janitor: delete all but the newest `keep` committed-or-older

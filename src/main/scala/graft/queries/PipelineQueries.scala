@@ -5781,6 +5781,187 @@ object PipelineQueries {
       s.table(s"$cat.day_state")
         .withColumn("untouched_intact", lit(if (intact) 1 else 0))
         .orderBy("event_id")
+    },
+
+    // ---- lakehouse: snapshot ALTER TABLE ADD COLUMN, metadata-only (r15) ----
+    // Iceberg-grade schema evolution on the VERSIONED store: ALTER records
+    // the evolved schema as one `_schema.json` — no data published, no
+    // version folder touched (the v=1 mtime comparison rides the hash as
+    // `alter_intact`). Unpinned reads serve the evolved schema with
+    // pre-ALTER files null-filled by Spark's own parquet reader; pinned
+    // reads keep their version's shape (`pinned_cols` = VERSION AS OF 1's
+    // column count, also on the hash). The sequence then exercises every
+    // mixed-schema interop the evolution touches: a full-schema INSERT on
+    // the narrower base (the MOR resolver widens the chain), a compaction
+    // that MATERIALIZES the null-filled column (conform-on-unpinned-read),
+    // and a COW UPDATE keyed on the added column across mixed files. The
+    // oracle recomputes the final state relationally.
+    Q("q237_snapshot_alter_add_column",
+      """WITH n AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |base AS (SELECT doc_id, lang FROM documents, n WHERE doc_id * 2 <= mx),
+        |ins AS (SELECT doc_id + mx AS doc_id, lang,
+        |               CAST(doc_id AS DOUBLE) / 8 AS score
+        |        FROM documents, n WHERE doc_id % 29 = 0)
+        |SELECT doc_id, lang, COALESCE(score, -1.0) AS score,
+        |       2 AS pinned_cols, 1 AS alter_intact
+        |FROM (SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS score FROM base
+        |      UNION ALL SELECT doc_id, lang, score FROM ins)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "evolved_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val docs = Tables.load(s, dir, "documents")
+      val mx = docs.agg(max("doc_id")).first().getLong(0)
+      graft.operators.Sinks.writeSnapshot(
+        docs.filter(col("doc_id") * 2 <= mx).select("doc_id", "lang"),
+        s"$ws/$tbl"): Unit                                           // v1
+      def v1Mtimes = new java.io.File(s"$ws/$tbl/v=1").listFiles()
+        .filter(_.isFile).map(f => f.getName -> f.lastModified()).toMap
+      val before = v1Mtimes
+      s.sql(s"ALTER TABLE $cat.$tbl ADD COLUMN score DOUBLE")
+      val alterIntact = v1Mtimes == before &&
+        graft.operators.Sinks.snapshotVersions(s, s"$ws/$tbl") == Seq(1)
+      // full-schema INSERT on the narrower base: v2 = keyless thin append
+      s.sql(s"""INSERT INTO $cat.$tbl
+               |SELECT doc_id + $mx, lang, CAST(doc_id AS DOUBLE) / 8
+               |FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 29 = 0""".stripMargin)
+      // compaction MATERIALIZES the evolved schema (unpinned read conforms)
+      graft.operators.Sinks.compactSnapshot(s, s"$ws/$tbl", targetRows = 5000000L): Unit
+      // COW UPDATE keyed on the ADDED column, across mixed-origin rows
+      s.sql(s"UPDATE $cat.$tbl SET score = -1.0 WHERE score IS NULL")
+      val pinnedCols = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF 1")
+        .columns.length
+      s.sql(s"SELECT doc_id, lang, score FROM $cat.$tbl")
+        .withColumn("pinned_cols", lit(pinnedCols))
+        .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
+        .orderBy("doc_id")
+    },
+
+    // ---- lakehouse: SQL maintenance faces over the snapshot store (r15) -----
+    // A SQL user can now run the table-owner loop without a JVM:
+    // `snapshot_history` is DESCRIBE HISTORY (version, commit micros,
+    // thin/materialized kind, operation, base version — all read off the
+    // same on-disk markers every reader trusts), and procedure-style
+    // `snapshot_compact` is OPTIMIZE (Iceberg CALL semantics). The face
+    // pins the full classified history of a create→delete→upsert→append→
+    // compact sequence on INJECTED commit timestamps, plus the compaction
+    // contract: content identity (total_rows recomputed relationally by
+    // the oracle) and chain depth collapsing to zero — all on the hash.
+    Q("q238_snapshot_history_sql", {
+      """WITH n AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |b AS (SELECT doc_id FROM documents, n WHERE doc_id * 2 <= mx),
+        |tot AS (SELECT (SELECT COUNT(*) FROM b)
+        |             - (SELECT COUNT(*) FROM b
+        |                WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0)
+        |             + 1 AS total)
+        |SELECT h.version, h.committed_at, h.kind, h.operation,
+        |       h.base_version, 0 AS head_depth, tot.total AS total_rows
+        |FROM (VALUES
+        |  (1, CAST(1000000 AS BIGINT), 'materialized', 'create',
+        |     CAST(NULL AS INT)),
+        |  (2, CAST(2000000 AS BIGINT), 'thin', 'delete', 1),
+        |  (3, CAST(3000000 AS BIGINT), 'thin', 'upsert', 2),
+        |  (4, CAST(4000000 AS BIGINT), 'thin', 'append', 3),
+        |  (5, CAST(NULL AS BIGINT), 'materialized', 'compact', 4))
+        |  AS h(version, committed_at, kind, operation, base_version), tot
+        |ORDER BY h.version""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "hist_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val docs = Tables.load(s, dir, "documents")
+      val mx = docs.agg(max("doc_id")).first().getLong(0)
+      val base = docs.filter(col("doc_id") * 2 <= mx)
+        .select("doc_id", "lang", "n_chars")
+      graft.operators.Sinks.writeSnapshot(base, tdir,
+        commitTsMicros = Some(1000000L))                               // v1
+      graft.operators.Sinks.declareSnapshotKeys(s, tdir, Seq("doc_id"))
+      graft.operators.Sinks.deleteSnapshotKeys(s, tdir,
+        base.filter(col("doc_id") % 13 === 0).select("doc_id"),
+        Seq("doc_id"), commitTsMicros = Some(2000000L)): Unit          // v2
+      graft.operators.Sinks.upsertSnapshotRows(s, tdir,
+        base.filter(col("doc_id") % 17 === 0)
+          .withColumn("n_chars", col("n_chars") + 1),
+        Seq("doc_id"), commitTsMicros = Some(3000000L)): Unit          // v3
+      graft.operators.Sinks.appendSnapshotRows(s, tdir,
+        s.range(1).select((lit(mx) * 4).as("doc_id"), lit("zz").as("lang"),
+          lit(0L).as("n_chars")),
+        commitTsMicros = Some(4000000L)): Unit                         // v4
+      // OPTIMIZE through SQL (wall-clock commit time → masked below)
+      val vc = s.sql(s"SELECT version FROM snapshot_compact('$cat.$tbl')")
+        .first().getInt(0)
+      val depth = graft.operators.Sinks.chainDepth(s, tdir, vc)
+      val total = s.table(s"$cat.$tbl").count()
+      s.sql(
+        s"""SELECT version,
+           |  CASE WHEN operation = 'compact' THEN CAST(NULL AS BIGINT)
+           |       ELSE committed_at END AS committed_at,
+           |  kind, operation, base_version
+           |FROM snapshot_history('$cat.$tbl')""".stripMargin)
+        .withColumn("head_depth", lit(depth))
+        .withColumn("total_rows", lit(total))
+        .orderBy("version")
+    },
+
+    // ---- workspace: per-leaf FILE manifests inside partitioned tables (r15) -
+    // The second skipping ring (VERDICT r14 missing #3): day pruning picks
+    // the directories, and the per-leaf `_manifest.json` — footer-built,
+    // published ATOMICALLY with its leaf by the retire-by-rename protocol —
+    // then skips files INSIDE each surviving day. The fixture lays each day
+    // out as exactly 3 files with disjoint event_id bands (three
+    // REPARTITION(1) inserts at disjoint id offsets), the predicate pins
+    // band 1 across 2 days, and the PHYSICAL plan's file count (2 kept of
+    // 6 in the surviving days) rides the oracle hash — a regression that
+    // stops consulting manifests, or skips too much, breaks correctness,
+    // not a benchmark eyeball.
+    Q("q239_partition_file_skipping", {
+      """WITH n AS (SELECT MAX(event_id) + 1 AS big FROM events)
+        |SELECT e.event_id + n.big AS event_id, e.event_type,
+        |       2 AS files_kept, 6 AS files_total
+        |FROM events e, n
+        |WHERE e.ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND e.ts < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.pfs")
+      s.sql(s"""CREATE TABLE $cat.pfs (event_id BIGINT, ts TIMESTAMP,
+               |event_type STRING) PARTITIONED BY (days(ts))""".stripMargin)
+      val big = Tables.load(s, dir, "events")
+        .agg(max("event_id") + 1).first().getLong(0)
+      // 3 inserts → every day holds exactly 3 files (REPARTITION(1) = one
+      // writer task), each covering one disjoint event_id band
+      (0 until 3).foreach { b =>
+        s.sql(s"""INSERT INTO $cat.pfs
+                 |SELECT /*+ REPARTITION(1) */ event_id + ${b * big}, ts,
+                 |       event_type
+                 |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      }
+      graft.sources.PartitionManifest.enable(s, s"$ws/pfs.parquet",
+        Seq("event_id")): Unit
+      val q = s.sql(
+        s"""SELECT event_id, event_type FROM $cat.pfs
+           |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-05 00:00:00'
+           |  AND event_id >= $big AND event_id < ${2 * big}""".stripMargin)
+      val kept = plannedFiles(q).size
+      val f = new org.apache.hadoop.fs.Path(s"$ws/pfs.parquet")
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val total = Seq(19725L, 19726L).map { day => // Jan 3, Jan 4
+        f.listStatus(new org.apache.hadoop.fs.Path(
+          s"$ws/pfs.parquet/ts_day=$day")).count(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }.sum
+      q.withColumn("files_kept", lit(kept))
+        .withColumn("files_total", lit(total))
+        .orderBy("event_id")
     }
   )
 }

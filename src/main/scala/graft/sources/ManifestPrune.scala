@@ -81,14 +81,22 @@ object ManifestPrune {
     case _ => None
   }
 
-  /** Can any value in [mn, mx] (per the file's stats) satisfy `f`?
-    * `stats` maps a lower-cased column name to its (min, max). */
+  /** One column's stats for one file: bounds, plus (since the footer-built
+    * r15 manifests) the exact null count — None on legacy manifests. */
+  private[sources] final case class ColRange(min: Any, max: Any,
+                                             nullCount: Option[Long])
+
+  /** Can any row of the file (per its stats and row count) satisfy `f`?
+    * `stats` maps a lower-cased column name to its [[ColRange]]. */
   private def mayMatch(f: sources.Filter,
-                       stats: Map[String, (Any, Any)]): Boolean = {
+                       stats: Map[String, ColRange],
+                       rowCount: Option[Long]): Boolean = {
     def range(c: String): Option[(Any, Any)] =
-      stats.get(c.toLowerCase).filter { case (mn, mx) =>
-        mn != null && mx != null
-      }
+      stats.get(c.toLowerCase)
+        .filter(r => r.min != null && r.max != null)
+        .map(r => (r.min, r.max))
+    def nulls(c: String): Option[Long] =
+      stats.get(c.toLowerCase).flatMap(_.nullCount)
     // keep unless BOTH comparisons are defined and prove emptiness
     def test(c: String, v: Any)(
         p: (Option[Int], Option[Int]) => Boolean): Boolean =
@@ -96,11 +104,14 @@ object ManifestPrune {
         case Some((mn, mx)) => p(cmp(mn, v), cmp(mx, v))
         case None => true
       }
+    def eq(c: String, v: Any): Boolean =
+      test(c, v)((lo, hi) => lo.forall(_ <= 0) && hi.forall(_ >= 0))
     f match {
-      case sources.And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
-      case sources.Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
-      case sources.EqualTo(c, v) =>
-        test(c, v)((lo, hi) => lo.forall(_ <= 0) && hi.forall(_ >= 0))
+      case sources.And(l, r) =>
+        mayMatch(l, stats, rowCount) && mayMatch(r, stats, rowCount)
+      case sources.Or(l, r) =>
+        mayMatch(l, stats, rowCount) || mayMatch(r, stats, rowCount)
+      case sources.EqualTo(c, v) => eq(c, v)
       case sources.GreaterThan(c, v) =>
         test(c, v)((_, hi) => hi.forall(_ > 0))
       case sources.GreaterThanOrEqual(c, v) =>
@@ -110,12 +121,27 @@ object ManifestPrune {
       case sources.LessThanOrEqual(c, v) =>
         test(c, v)((lo, _) => lo.forall(_ <= 0))
       case sources.In(c, vs) =>
-        vs.isEmpty || vs.exists(v =>
-          test(c, v)((lo, hi) => lo.forall(_ <= 0) && hi.forall(_ >= 0)))
-      // min/max stats carry no null-count — null-ness is undecidable here
+        vs.isEmpty || vs.exists(eq(c, _))
+      // null-ness: decidable since the footer-built manifests carry exact
+      // null counts — `IS NULL` drops a file with zero nulls, `IS NOT
+      // NULL` drops a file that is all-null; legacy manifests (no counts)
+      // keep everything, as before
+      case sources.IsNull(c) => nulls(c).forall(_ > 0L)
+      case sources.IsNotNull(c) => // prunable only when provably all-null
+        !(for { n <- nulls(c); rc <- rowCount } yield n >= rc).getOrElse(false)
+      case sources.EqualNullSafe(c, v) =>
+        if (v == null) nulls(c).forall(_ > 0L) else eq(c, v)
       case _ => true
     }
   }
+
+  /** Package entry for other manifest layers (the per-leaf partition
+    * manifests): same conservative range/null-count test, caller-supplied
+    * stats. */
+  private[sources] def mayMatchStats(f: sources.Filter,
+                                     stats: Map[String, ColRange],
+                                     rowCount: Option[Long]): Boolean =
+    mayMatch(f, stats, rowCount)
 
   /** The version's file list after the skip: (kept file paths, total
     * files). One driver read of the (tiny) manifest per scan build; every
@@ -125,12 +151,18 @@ object ManifestPrune {
     val mdf = spark.read.parquet(manifestDir(tableDir, version))
     val statCols = mdf.columns.filter(_.startsWith("min_")).map(_.drop(4))
       .filter(c => mdf.columns.contains(s"max_$c"))
+    val hasRowCount = mdf.columns.contains("rowcount")
     val rows = mdf.collect()
     val total = rows.length
     val kept = rows.filter { r =>
-      val stats = statCols.map(c => c.toLowerCase ->
-        (r.get(r.fieldIndex(s"min_$c")), r.get(r.fieldIndex(s"max_$c")))).toMap
-      pushed.forall(mayMatch(_, stats))
+      def opt(name: String): Option[Long] =
+        if (!mdf.columns.contains(name)) None
+        else Option(r.get(r.fieldIndex(name))).map(_.asInstanceOf[Long])
+      val stats = statCols.map(c => c.toLowerCase -> ColRange(
+        r.get(r.fieldIndex(s"min_$c")), r.get(r.fieldIndex(s"max_$c")),
+        opt(s"nullcount_$c"))).toMap
+      val rowCount = if (hasRowCount) opt("rowcount") else None
+      pushed.forall(mayMatch(_, stats, rowCount))
     }.map(_.getString(mdf.columns.indexOf("file"))).toSeq
     (kept, total)
   }

@@ -338,14 +338,27 @@ private[sources] class PartitionedWorkspaceTable(
     else {
       // hidden days level: serve the LEAF directories directly (no hive
       // inference — the synthetic key is not a schema column), pruned by
-      // the pushed source-column predicates through the day derivation
+      // the pushed source-column predicates through the day derivation.
+      // A table opted into per-leaf file manifests (.stats_cols) then
+      // prunes FILES inside each surviving day too — the second skipping
+      // ring (a year-partitioned table with 1k files/day must not footer-
+      // sweep every matched day); any stale/absent/unreadable leaf
+      // manifest serves that directory unpruned.
       val d = levels.head.asInstanceOf[DaysLevel]
       new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
         tableName, spark, declaredFull, opts,
-        filters => leafDirsWithValues().collect {
-          case (path, Seq(dayStr)) if dayStr.toLongOption.forall(day =>
-              filters.forall(PartitionedWorkspace.dayMayMatch(
-                _, d.sourceCol, day, d.isDate))) => path
+        filters => {
+          val days = leafDirsWithValues().collect {
+            case (path, Seq(dayStr)) if dayStr.toLongOption.forall(day =>
+                filters.forall(PartitionedWorkspace.dayMayMatch(
+                  _, d.sourceCol, day, d.isDate))) => path
+          }
+          if (PartitionManifest.statsCols(fsOf(new Path(dir)), dir).isEmpty)
+            days
+          else days.flatMap { p =>
+            PartitionManifest.prunedFiles(spark, new Path(p), filters)
+              .getOrElse(Seq(p))
+          }
         })
     }
   }
@@ -506,6 +519,18 @@ private[sources] class PartitionedWorkspaceTable(
     // window would let a load-time repair restore retired partitions
     WorkspaceDmlLock.refresh(spark, dir)
     repairRetiredPartitions()
+    // per-leaf file manifests (opt-in): stamp each STAGED leaf's manifest
+    // from its footers BEFORE anything retires — the manifest then rides
+    // the same rename that publishes the leaf (crash-atomic with its
+    // data), and a failure here aborts the statement with the table
+    // untouched. O(staged files) metadata reads, zero data pages.
+    val statsColsOpt = PartitionManifest.statsCols(f, dir)
+    if (f.exists(staging)) statsColsOpt.foreach { cols =>
+      walkLeaves(staging, f).foreach { case (leafPath, _) =>
+        PartitionManifest.writeLeafManifest(
+          spark, new Path(leafPath), fileSchema, cols)
+      }
+    }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val park = retiredRoot(tag)
     val toRetire = (readRels match {
@@ -528,11 +553,33 @@ private[sources] class PartitionedWorkspaceTable(
           throw new IllegalStateException(
             s"partitioned DML commit: could not publish $leafPath — " +
               s"staging and retired copies left for recovery")
-      } else f.listStatus(new Path(leafPath)).foreach { file =>
-        if (!f.rename(file.getPath, new Path(dest, file.getPath.getName)))
-          throw new IllegalStateException(
-            s"partitioned DML commit: could not move ${file.getPath} — " +
-              s"staging and retired copies left for recovery")
+      } else {
+        f.listStatus(new Path(leafPath)).foreach { file =>
+          // the staged leaf's own manifest must NOT move in (the dest
+          // already exists — an unread partition receiving MERGE INSERT
+          // appends — so the staged manifest describes only the appended
+          // files, and a name collision would abort the publish midway)
+          if (file.getPath.getName == PartitionManifest.FileName ||
+              file.getPath.getName.startsWith("._manifest"))
+            f.delete(file.getPath, false): Unit
+          else if (!f.rename(file.getPath, new Path(dest, file.getPath.getName)))
+            throw new IllegalStateException(
+              s"partitioned DML commit: could not move ${file.getPath} — " +
+                s"staging and retired copies left for recovery")
+        }
+        // the dest's old manifest is now stale (it misses the appended
+        // files — the freshness check would serve the leaf unpruned);
+        // rebuild it from footers, NON-FATAL: the appended rows are live,
+        // a manifest failure only costs pruning on this leaf
+        statsColsOpt.foreach { cols =>
+          try PartitionManifest.writeLeafManifest(spark, dest, fileSchema, cols)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"leaf manifest rebuild failed for $dest; the leaf serves " +
+                  "unpruned until the next republish", e)
+          }
+        }
       }
     }
     // point of no return passed: every staged partition is live — retired

@@ -225,9 +225,52 @@ class SnapshotCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snapshot tables evolve by publishing new versions, not by ALTER")
+  /** METADATA-ONLY schema evolution (r15): `ALTER TABLE ADD COLUMN`
+    * publishes NO data and touches NO version folder — it records the
+    * evolved schema as the table's `_schema.json`
+    * ([[graft.operators.Sinks.declareSnapshotSchema]]). Unpinned reads
+    * serve the evolved schema with pre-ALTER files null-filled (Spark's
+    * parquet reader resolves requested-but-absent columns to null
+    * natively); pinned `VERSION/TIMESTAMP AS OF` reads keep their
+    * version's own schema — history is immutable, including its shape.
+    * ADD COLUMN only, nullable only, flat only: a drop/retype would
+    * reinterpret bytes already pinned by history. The reference's own
+    * silent field tolerance (`arc_utils.py:685-689`) is the spec lineage —
+    * made explicit and loss-free here. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = resolve(ident)
+    val spark = SparkSession.active
+    val dir = s"$workspace/$t"
+    val committed = graft.operators.Sinks.snapshotCommitted(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot for $t"))
+    if (graft.operators.Sinks.bucketedLayout(spark, dir, committed).isDefined)
+      throw new UnsupportedOperationException(
+        s"$t's head is a BUCKETED layout artifact — ALTER would desync the " +
+          "declared schema from the key-grouped scan; rebucketSnapshot " +
+          "after evolving, or evolve before bucketing")
+    val current = graft.operators.Sinks.declaredSnapshotSchema(spark, dir)
+      .getOrElse(graft.operators.Sinks.readSnapshot(spark, dir).schema)
+    val evolved = changes.foldLeft(current) {
+      case (schema, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "snapshot tables are flat; nested ADD COLUMN is not supported")
+        require(add.isNullable,
+          "added columns must be nullable (pinned history has no value for them)")
+        val colName = add.fieldNames()(0)
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
+          throw new IllegalArgumentException(
+            s"column $colName already exists in ${ident.name()}")
+        schema.add(org.apache.spark.sql.types.StructField(
+          colName, add.dataType(), nullable = true))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"snapshot tables support ALTER TABLE ADD COLUMN only (got " +
+            s"${other.getClass.getSimpleName}); anything else would " +
+            "reinterpret pinned history — evolve by publishing new versions")
+    }
+    graft.operators.Sinks.declareSnapshotSchema(spark, dir, evolved)
+    loadTable(ident)
+  }
 
   /** DROP removes the whole version store — the table's entire history.
     * For retention within a live table use `Sinks.expireSnapshots`. */

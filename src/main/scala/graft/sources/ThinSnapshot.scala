@@ -51,12 +51,22 @@ private[graft] class ThinSnapshotTable(
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  /** The declared evolved schema, applied to HEAD serving only: pinned
+    * thin reads keep their version's own shape (history is immutable,
+    * including its columns). */
+  private def conformTo: Option[StructType] =
+    if (deletable)
+      graft.operators.Sinks.declaredSnapshotSchema(spark, tableDir)
+    else None
+
   /** The resolved chain as an ANALYZED logical plan — what the resolution
     * rule splices in place of this table's relation. Recomputed per call:
     * a plan is single-use (its expression IDs must be fresh per splice). */
-  def resolvedPlan(): LogicalPlan =
-    graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
+  def resolvedPlan(): LogicalPlan = {
+    val raw = graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
+    conformTo.map(SchemaEvolution.conform(raw, _)).getOrElse(raw)
       .queryExecution.analyzed
+  }
 
   /** Row-identity columns: the table's declared keys if any, else the
     * thin head's own `_base` marker keys. Empty for a KEYLESS append
@@ -72,8 +82,8 @@ private[graft] class ThinSnapshotTable(
     * thin versions exist by row identity, and Spark's delta rewrite
     * refuses nullable row IDs. */
   private lazy val resolvedSchema: StructType = {
-    val base = graft.operators.Sinks
-      .readSnapshot(spark, tableDir, Some(pinnedVersion)).schema
+    val base = conformTo.getOrElse(graft.operators.Sinks
+      .readSnapshot(spark, tableDir, Some(pinnedVersion)).schema)
     val keys = keyCols
     StructType(base.map(f =>
       if (keys.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
@@ -177,8 +187,11 @@ private[graft] class ThinSnapshotTable(
       .reduceOption(_ && _).getOrElse(lit(true))
     // one filtered read of the resolved chain (predicates reach the base
     // scan through the anti joins) emits only the MATCHED KEYS; the thin
-    // publish is O(keys) and fenced on this handle's bound version
-    val keys = graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
+    // publish is O(keys) and fenced on this handle's bound version.
+    // Conformed to the served schema so a predicate on an ALTER-added
+    // column resolves (null in pre-ALTER rows).
+    val raw = graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
+    val keys = conformTo.map(SchemaEvolution.conform(raw, _)).getOrElse(raw)
       .filter(coalesce(cond, lit(false)))
       .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     graft.operators.Sinks.deleteSnapshotKeys(

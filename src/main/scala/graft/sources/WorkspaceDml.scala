@@ -490,9 +490,13 @@ private[sources] class SnapshotDmlTable(
 
   /** Declared row-identity columns surface NON-NULLABLE: declaring keys
     * asserts identity (nulls would be meaningless), and Spark's delta
-    * rewrite refuses nullable row IDs outright. */
+    * rewrite refuses nullable row IDs outright. A schema-evolved table
+    * (ALTER TABLE ADD COLUMN) serves its DECLARED schema — the bound
+    * version's files null-fill the added columns natively in the parquet
+    * reader. */
   override lazy val schema: StructType = {
-    val base = spark.read.parquet(committedDir).schema
+    val base = graft.operators.Sinks.declaredSnapshotSchema(spark, tableDir)
+      .getOrElse(spark.read.parquet(committedDir).schema)
     graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir) match {
       case Some(keys) => StructType(base.map(f =>
         if (keys.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
@@ -593,6 +597,12 @@ private[sources] class SnapshotDmlTable(
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val cond = filters.flatMap(WorkspaceDml.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
+    // read with the SERVED schema (not bare footers): a predicate on a
+    // column added by ALTER must resolve — its values are null in
+    // pre-ALTER files, which the reader fills natively
+    def boundRead =
+      spark.read.schema(StructType(schema.map(_.copy(nullable = true))))
+        .parquet(committedDir)
     graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir) match {
       case Some(keyCols) =>
         // declared row identity ⇒ THIN merge-on-read delete: one filtered
@@ -601,13 +611,13 @@ private[sources] class SnapshotDmlTable(
         // costs O(keys) bytes instead of a whole-table rewrite — the
         // takedown cost model a 100 TB table demands. Fenced on this
         // handle's bound version, same as the COW path.
-        val keys = spark.read.parquet(committedDir)
+        val keys = boundRead
           .filter(coalesce(cond, lit(false)))
           .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
         graft.operators.Sinks.deleteSnapshotKeys(spark, tableDir, keys,
           keyCols, expectedBase = Some(boundVersion)): Unit
       case None =>
-        val remaining = spark.read.parquet(committedDir)
+        val remaining = boundRead
           .filter(!coalesce(cond, lit(false)))
         // stage the new version's full contents, then the conditional
         // publish — data-complete before any pointer moves, conflicts

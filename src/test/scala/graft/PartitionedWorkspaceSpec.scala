@@ -597,4 +597,86 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
         s"PARTITIONED BY (days(b))") // days over a non-temporal column
     }
   }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }.distinct
+
+  test("per-leaf file manifests: predicates skip files INSIDE surviving days") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pm (event_id BIGINT, ts TIMESTAMP, " +
+      s"kind STRING) PARTITIONED BY (days(ts))")
+    // 3 inserts → 3 disjoint event_id ranges → ≥3 files per day, each
+    // covering a narrow id band (the shape file skipping exploits)
+    (0 until 3).foreach { b =>
+      spark.sql(
+        s"""INSERT INTO $cat.pm
+           |SELECT id + ${b * 1000},
+           |  timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,(id % 48)*3600),
+           |  CONCAT('k', id % 2)
+           |FROM RANGE(48)""".stripMargin) // 2 days per insert
+    }
+    def leafFiles(day: Long): Int = fs(ws)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$ws/pm.parquet/ts_day=$day"))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(leafFiles(19723) >= 3)
+    val n = graft.sources.PartitionManifest.enable(spark, s"$ws/pm.parquet",
+      Seq("event_id"))
+    assert(n == 2, s"expected 2 indexed leaves, got $n")
+    // day prune picks ts_day=19723; the manifest then skips the two files
+    // whose event_id range excludes the band
+    val q = spark.sql(s"SELECT event_id, kind FROM $cat.pm WHERE " +
+      s"ts < timestamp'2024-01-02 00:00:00' AND event_id BETWEEN 2000 AND 2047")
+    val planned = plannedFiles(q)
+    assert(planned.size < leafFiles(19723),
+      s"no file skipping inside the day: $planned")
+    assert(planned.forall(_.contains("ts_day=19723")))
+    assert(q.count() == 24) // 48 ids in band, half in day 19723
+    // stale manifest self-disables: an INSERT INTO appends files without
+    // touching manifests — the leaf serves unpruned, rows stay exact
+    spark.sql(s"INSERT INTO $cat.pm VALUES " +
+      s"(5000, timestamp'2024-01-01 05:00:00', 'x')")
+    // def, not val: a DataFrame memoizes its physical plan — the manifest
+    // is consulted at PLAN time, so each check needs a fresh plan
+    def q2 = spark.sql(s"SELECT event_id FROM $cat.pm WHERE " +
+      s"ts < timestamp'2024-01-02 00:00:00' AND event_id = 5000")
+    assert(plannedFiles(q2).size == leafFiles(19723),
+      "stale manifest must serve the whole leaf")
+    assert(q2.count() == 1)
+    // re-enable restores skipping over the appended layout
+    graft.sources.PartitionManifest.enable(spark, s"$ws/pm.parquet",
+      Seq("event_id")): Unit
+    assert(plannedFiles(q2).size < leafFiles(19723))
+    assert(q2.count() == 1)
+    // day-grained DML republishes its leaf WITH a fresh manifest (it rides
+    // the same rename as the data); the untouched day keeps pruning
+    spark.sql(s"UPDATE $cat.pm SET kind = 'u' WHERE " +
+      s"ts < timestamp'2024-01-02 00:00:00' AND event_id >= 2000")
+    val q3 = spark.sql(s"SELECT event_id FROM $cat.pm WHERE " +
+      s"ts < timestamp'2024-01-02 00:00:00' AND kind = 'u'")
+    assert(q3.count() == 25)
+    // the republished leaf carries a FRESH manifest (it rode the same
+    // rename as the data): complete against the new layout, and able to
+    // prove an impossible band empty — regardless of how the COW writer
+    // laid the files out
+    val leaf = new org.apache.hadoop.fs.Path(s"$ws/pm.parquet/ts_day=19723")
+    val pruned = graft.sources.PartitionManifest.prunedFiles(spark, leaf,
+      Seq(org.apache.spark.sql.sources.GreaterThan("event_id", 999999L)))
+    assert(pruned.isDefined, "republished leaf lost its manifest (stale)")
+    assert(pruned.get.isEmpty, "impossible band must prune every file")
+    // and the untouched day kept its manifest through the statement
+    val leaf2 = new org.apache.hadoop.fs.Path(s"$ws/pm.parquet/ts_day=19724")
+    assert(graft.sources.PartitionManifest.prunedFiles(spark, leaf2,
+      Seq(org.apache.spark.sql.sources.GreaterThan("event_id", 999999L)))
+      .exists(_.isEmpty))
+    val q4 = spark.sql(s"SELECT event_id FROM $cat.pm WHERE " +
+      s"ts >= timestamp'2024-01-01 00:00:00' AND ts < timestamp'2024-01-02 00:00:00'" +
+      s" AND event_id BETWEEN 0 AND 47")
+    assert(q4.count() == 24)
+  }
 }

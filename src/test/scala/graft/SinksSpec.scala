@@ -745,4 +745,83 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.snapshotCommitted(spark, dir).contains(3))
     s.close()
   }
+
+  test("auto-compaction is claim-fenced: a concurrent writer's claim defers it") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/ac_fence"
+    Sinks.writeSnapshot(Seq((1L, "a")).toDF("id", "v"), table)   // v1
+    val head = Sinks.appendSnapshotRows(spark, table,
+      Seq((2L, "a")).toDF("id", "v"))                            // v2, thin
+    // a concurrent writer claims head+1 between the triggering commit and
+    // the auto-compaction check: the check's claim CAS then hands it
+    // head+2 ≠ head+1 — it must forfeit (no compacted version, its own
+    // claim released), never write into the other writer's number or
+    // regress the pointer past the other writer's coming commit
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_claims")): Unit
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$table/_claims/v=${head + 1}"), false).close()
+    Sinks.autoCompactCas(spark, table, head)
+    assert(Sinks.snapshotCommitted(spark, table).contains(head),
+      "the pointer must stay on the triggering commit")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/v=${head + 1}")),
+      "auto-compaction wrote into a version another writer claimed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$table/_claims/v=${head + 2}")),
+      "a forfeited auto-compaction must release its claim")
+    assert(Sinks.chainDepth(spark, table, head) == 1, "chain stays uncompacted")
+    // with the foreign claim gone the same check compacts: immediate
+    // successor, provenance stamped, repair-loop commit
+    fs.delete(new org.apache.hadoop.fs.Path(s"$table/_claims/v=${head + 1}"),
+      false): Unit
+    Sinks.autoCompactCas(spark, table, head)
+    val newHead = Sinks.snapshotCommitted(spark, table).get
+    assert(newHead == head + 1 && Sinks.chainDepth(spark, table, newHead) == 0)
+    assert(Sinks.compactionBase(spark, table, newHead).contains(head))
+    assert(Sinks.readSnapshot(spark, table).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(1L, 2L))
+    s.close()
+  }
+
+  test("table_changes spans compactions: empty change grain, auto or manual") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/ac_cdf"
+    Sinks.writeSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table) // v1
+    Sinks.enableChangeFeed(spark, table)
+    spark.conf.set("graft.snapshot.autoCompactDepth", "2")
+    try {
+      Sinks.upsertSnapshotRows(spark, table,
+        Seq((3L, "c")).toDF("id", "v"), Seq("id")): Unit        // v2 thin
+      Sinks.upsertSnapshotRows(spark, table,
+        Seq((4L, "d")).toDF("id", "v"), Seq("id")): Unit        // v3 thin → auto-compacts v4
+      val head = Sinks.snapshotCommitted(spark, table).get
+      assert(Sinks.compactionBase(spark, table, head).isDefined,
+        s"expected an auto-compacted head, got v=$head")
+      // the range spanning the compacted version still serves: the thin
+      // commits' rows, the compaction contributing exactly nothing
+      val changes = Sinks.tableChanges(spark, table, 2, head)
+        .select("id", "__change", "__version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+      assert(changes.toSeq == Seq((3L, "upsert", 2), (4L, "upsert", 3)))
+      // a range of ONLY the compacted version is an empty frame, feed schema
+      val only = Sinks.tableChanges(spark, table, head, head)
+      assert(only.count() == 0)
+      assert(only.columns.contains("__change") && only.columns.contains("__version"))
+      // manual compaction carries the same contract
+      val vc = Sinks.compactSnapshot(spark, table, targetRows = 1000L)
+      assert(Sinks.compactionBase(spark, table, vc).contains(head))
+      assert(Sinks.tableChanges(spark, table, 2, vc).count() == 2)
+      // a genuine rewrite still severs the grain with the guided error
+      Sinks.writeSnapshot(Seq((9L, "z")).toDF("id", "v"), table)
+      val vw = Sinks.snapshotCommitted(spark, table).get
+      val e = intercept[UnsupportedOperationException] {
+        Sinks.tableChanges(spark, table, 2, vw)
+      }
+      assert(e.getMessage.contains("MATERIALIZED"))
+    } finally spark.conf.unset("graft.snapshot.autoCompactDepth")
+    s.close()
+  }
 }

@@ -349,6 +349,227 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.mc").first().getLong(0) == 200)
   }
 
+  test("manifest carry and build are metadata-only: zero data pages re-read") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    val n = 50000L
+    // IN-MEMORY source: any file-input records observed below can only
+    // come from the manifest machinery itself, never the statement's scan
+    val df = spark.range(n).select(col("id"), (col("id") % 97).as("grp"))
+    // file-input BYTES: the in-memory Range source reads zero bytes, so
+    // any volume observed here is file reads — a data-page re-scan of the
+    // published version would read the version's full size, the footer
+    // path only tiny metadata (prev-manifest schema + footers, driver-side)
+    var bytesRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytesRead += t.taskMetrics.inputMetrics.bytesRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def settle(): Long = {
+      // the listener bus is async: wait for the counter to go quiet
+      var prev = -1L
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(60)
+        if (bytesRead == prev) same += 1 else { same = 0; prev = bytesRead }
+      }
+      bytesRead
+    }
+    def dataBytes(v: Int): Long =
+      new java.io.File(s"$ws/meta_only/v=$v").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    try {
+      // initial manifest build: stats must come from footers, not a re-scan
+      Sinks.writeSnapshotWithManifest(
+        df.repartitionByRange(8, col("id")), s"$ws/meta_only", Seq("id")): Unit
+      val afterBuild = settle()
+      assert(afterBuild < dataBytes(1) / 4,
+        s"manifest BUILD re-read data pages ($afterBuild bytes of ${dataBytes(1)})")
+      // carry on a full rewrite publish: ditto (the r14 wart was exactly
+      // a spark.read.parquet(v=N) + groupBy over the fresh version here)
+      bytesRead = 0
+      Sinks.writeSnapshot(
+        df.withColumn("grp", col("grp") + 1).repartitionByRange(8, col("id")),
+        s"$ws/meta_only"): Unit
+      val afterCarry = settle()
+      assert(graft.sources.ManifestPrune.exists(spark, s"$ws/meta_only", 2))
+      assert(afterCarry < dataBytes(2) / 4,
+        s"manifest CARRY re-read data pages ($afterCarry bytes of ${dataBytes(2)})")
+      // and the carried manifest still actually prunes
+      val kept = plannedFileSet(
+        s"SELECT id FROM $cat.meta_only WHERE id < ${n / 8 / 2}").size
+      val total = plannedFileSet(s"SELECT id FROM $cat.meta_only").size
+      assert(kept < total, s"carried manifest must prune ($kept/$total)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("null-count stats: IS NULL and IS NOT NULL prune files") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    // 4 files: ids 0-99 with txt fully null, 100-199 mixed, 200-299 and
+    // 300-399 fully non-null — built as one sorted write so file ranges
+    // are disjoint on id
+    val df = (0L until 400L).map { i =>
+      (i, if (i < 100 || (i < 200 && i % 2 == 0)) null else s"t$i")
+    }.toDF("id", "txt")
+    Sinks.writeSnapshotWithManifest(
+      df.coalesce(1).sortWithinPartitions("id"), s"$ws/nulls",
+      Seq("id", "txt"), maxRecordsPerFile = 100L): Unit
+    val man = spark.read.parquet(s"$ws/nulls/_manifest/v=1")
+    assert(man.columns.contains("nullcount_txt") && man.columns.contains("rowcount"))
+    assert(man.agg(sum("nullcount_txt")).first().getLong(0) == 150L)
+    // IS NULL keeps only the two files that HAVE nulls
+    val qNull = s"SELECT id FROM $cat.nulls WHERE txt IS NULL"
+    assert(plannedFileSet(qNull).size == 2, plannedFileSet(qNull).toString)
+    assert(spark.sql(qNull).count() == 150)
+    // IS NOT NULL drops only the all-null file
+    val qNotNull = s"SELECT id FROM $cat.nulls WHERE txt IS NOT NULL"
+    assert(plannedFileSet(qNotNull).size == 3, plannedFileSet(qNotNull).toString)
+    assert(spark.sql(qNotNull).count() == 250)
+    // null-safe equality: <=> NULL prunes like IS NULL
+    assert(spark.sql(s"SELECT id FROM $cat.nulls WHERE txt <=> NULL").count() == 150)
+  }
+
+  test("SQL maintenance faces: snapshot_history, compact, expire, vacuum") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    val dir = s"$ws/hist"
+    Sinks.writeSnapshot((1L to 60L).map(i => (i, s"d$i")).toDF("id", "txt"),
+      dir, commitTsMicros = Some(1000000L))                              // v1
+    Sinks.declareSnapshotKeys(spark, dir, Seq("id"))
+    Sinks.deleteSnapshotKeys(spark, dir, Seq(1L, 2L).toDF("id"), Seq("id"),
+      commitTsMicros = Some(2000000L))                                   // v2
+    Sinks.upsertSnapshotRows(spark, dir, Seq((3L, "u")).toDF("id", "txt"),
+      Seq("id"), commitTsMicros = Some(3000000L))                        // v3
+    Sinks.appendSnapshotRows(spark, dir, Seq((99L, "n")).toDF("id", "txt"),
+      commitTsMicros = Some(4000000L))                                   // v4
+    // history BEFORE compaction: classification + injected commit times
+    val h = spark.sql(
+      s"""SELECT version, committed_at, kind, operation, base_version
+         |FROM snapshot_history('$cat.hist') ORDER BY version""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getString(3), if (r.isNullAt(4)) -1 else r.getInt(4)))
+    assert(h.toSeq == Seq(
+      (1, 1000000L, "materialized", "create", -1),
+      (2, 2000000L, "thin", "delete", 1),
+      (3, 3000000L, "thin", "upsert", 2),
+      (4, 4000000L, "thin", "append", 3)))
+    // SQL compaction: preserves content identity, drops the chain depth
+    val beforeRows = spark.sql(s"SELECT id, txt FROM $cat.hist ORDER BY id")
+      .collect().toSeq
+    val vc = spark.sql(s"SELECT version FROM snapshot_compact('$cat.hist')")
+      .first().getInt(0)
+    assert(vc == 5)
+    assert(Sinks.chainDepth(spark, dir, vc) == 0)
+    assert(spark.sql(s"SELECT id, txt FROM $cat.hist ORDER BY id")
+      .collect().toSeq == beforeRows)
+    assert(spark.sql(s"SELECT operation FROM snapshot_history('$cat.hist') " +
+      "WHERE version = 5").first().getString(0) == "compact")
+    // expire through SQL: the old tail drops, the thin-protected rule holds
+    val dropped = spark.sql(
+      s"SELECT dropped_version FROM snapshot_expire('$cat.hist', 1)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(dropped == Seq(1, 2, 3, 4))
+    assert(spark.sql(s"SELECT COUNT(*) FROM snapshot_history('$cat.hist')")
+      .first().getLong(0) == 1)
+    // vacuum through SQL: an aged unrecorded orphan folder drops
+    (1L to 3L).map(Tuple1(_)).toDF("id")
+      .write.parquet(s"$dir/v=9")
+    val vac = spark.sql(
+      s"SELECT dropped_version FROM snapshot_vacuum('$cat.hist', -1)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(vac == Seq(9))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.hist").first().getLong(0) == 59)
+  }
+
+  test("ALTER TABLE ADD COLUMN is metadata-only: pinned history keeps its shape") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, txt STRING)")            // v1
+    spark.sql(s"INSERT INTO $cat.ev VALUES (1, 'a'), (2, 'b')")           // v2 thin
+    def vFiles(v: Int) = new java.io.File(s"$ws/ev/v=$v").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = (1 to 2).map(vFiles)
+    val versionsBefore = Sinks.snapshotVersions(spark, s"$ws/ev")
+    spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN score DOUBLE")
+    // METADATA-ONLY: no new version, no byte of any pinned folder touched
+    assert(Sinks.snapshotVersions(spark, s"$ws/ev") == versionsBefore)
+    assert((1 to 2).map(vFiles) == before, "ALTER touched version folders")
+    // unpinned read serves the evolved schema, old rows null-filled
+    val evolved = spark.sql(s"SELECT id, txt, score FROM $cat.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2)))
+    assert(evolved.toSeq == Seq((1L, "a", true), (2L, "b", true)))
+    // pinned read keeps the version's own schema — no score column
+    assert(!spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 2")
+      .columns.contains("score"))
+    // new-schema INSERT lands full rows; the mixed chain serves both
+    spark.sql(s"INSERT INTO $cat.ev VALUES (3, 'c', 0.5)")                // v3 thin
+    val mixed = spark.sql(
+      s"SELECT id, score FROM $cat.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+    assert(mixed.toSeq == Seq((1L, -1.0), (2L, -1.0), (3L, 0.5)))
+    // DML interop across mixed-schema files: predicates and SETs on the
+    // added column work (COW — no declared keys), old rows null-filled.
+    // (Compact first: a KEYLESS thin chain refuses row-level DML by the
+    // standing identity contract; the materialized head takes the COW
+    // path. The compaction itself reads the evolved unpinned schema, so
+    // the new version materializes the null-filled column.)
+    Sinks.compactSnapshot(spark, s"$ws/ev", targetRows = 1000000L): Unit
+    assert(spark.sql(s"SELECT id FROM $cat.ev").count() == 3)
+    spark.sql(s"UPDATE $cat.ev SET score = 9.0 WHERE score IS NULL")
+    assert(spark.sql(s"SELECT SUM(score) FROM $cat.ev").first().getDouble(0)
+      == 18.5)
+    spark.sql(s"DELETE FROM $cat.ev WHERE score = 9.0")
+    assert(spark.sql(s"SELECT id FROM $cat.ev").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // guardrails: duplicates and non-ADD changes refuse with guidance
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN score DOUBLE") }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    val drop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN txt") }
+    assert(drop.getMessage.contains("ADD COLUMN only"), drop.getMessage)
+  }
+
+  test("schema evolution composes with thin identity DML and the change feed") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    val dir = s"$ws/evk"
+    Sinks.writeSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), dir)  // v1
+    Sinks.declareSnapshotKeys(spark, dir, Seq("id"))
+    Sinks.enableChangeFeed(spark, dir)
+    spark.sql(s"ALTER TABLE $cat.evk ADD COLUMN score DOUBLE")
+    // thin keyed MERGE through the delta rewrite, on the evolved schema
+    Seq((2L, "b2", 2.0), (9L, "i", 9.0)).toDF("id", "txt", "score")
+      .createOrReplaceTempView("src_evk")
+    spark.sql(
+      s"""MERGE INTO $cat.evk t USING src_evk s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.txt = s.txt, t.score = s.score
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(
+      s"SELECT id, txt, score FROM $cat.evk ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", -1.0), (2L, "b2", 2.0), (9L, "i", 9.0)))
+    // the head is a thin hop on a NARROWER base — the resolver widened it;
+    // the feed row for the merge carries the new column, and table_changes
+    // spans the pre/post-ALTER feed shapes
+    val head = Sinks.snapshotCommitted(spark, dir).get
+    assert(Sinks.thinBase(spark, dir, head).isDefined)
+    val feed = Sinks.tableChanges(spark, dir, head, head)
+      .filter(col("__change") === "upsert")
+      .select("id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(feed.toSeq == Seq((2L, 2.0), (9L, 9.0)))
+    // pinned v1 read stays two-column
+    assert(spark.sql(s"SELECT * FROM $cat.evk VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "txt"))
+  }
+
   test("thin SQL read plan: predicate pushdown reaches the base scan, keys ride broadcast") {
     val (cat, ws) = freshCatalog()
     seed(ws, "t5")
