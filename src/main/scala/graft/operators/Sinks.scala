@@ -340,18 +340,19 @@ object Sinks {
     * by a compaction (None for genuine rewrites — INSERT OVERWRITE — and
     * for pre-marker history). */
   def compactionBase(spark: SparkSession, tableDir: String,
-                     v: Int): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/_compaction")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
-      finally in.close()
-      txt.toIntOption
+                     v: Int): Option[Int] =
+    cachedMarker[Int](spark, tableDir, v, "compact") {
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/_compaction")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+        finally in.close()
+        txt.toIntOption
+      }
     }
-  }
 
   /** [[writeSnapshot]] at a CALLER-CHOSEN version — the exactly-once hook
     * for streaming publishes: derive `version` deterministically from the
@@ -1107,24 +1108,92 @@ object Sinks {
 
   /** The (base, keyCols) marker of a THIN delete version, None for a
     * materialized one. */
+  // ---- immutable-version marker cache --------------------------------------
+
+  /** Committed version folders are IMMUTABLE (the protocol's core), so
+    * their kind markers (`_base.json`, `_buckets`, `_compaction`) memoize
+    * process-wide: every statement's chain resolution, depth check and
+    * history/serving classification re-walks the same markers, and at
+    * per-commit grain those FS round-trips are the measurable tax
+    * (VERDICT r14 item 5 — the thin faces' residual). Safety:
+    *  - a marker appears ATOMICALLY with its folder (thin/staged publishes
+    *    rename a complete staged dir in; plain writes create materialized
+    *    folders, whose marker absence is the correct answer mid-write);
+    *  - a NEGATIVE result is cached only when the version FOLDER exists —
+    *    probing a yet-unpublished version never poisons the cache;
+    *  - the only way a (dir, version) pair can change kind is folder
+    *    DELETION followed by number reuse — every deleting path
+    *    ([[expireSnapshots]], [[vacuumOrphans]], the SQL catalog's DROP)
+    *    calls [[invalidateMarkerCache]].
+    * Bounded; clears wholesale on overflow (it is a cache, not a ledger). */
+  private val MarkerCacheMax = 16384
+  private val markerCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String), Option[Any]]()
+
+  private def cachedMarker[T](spark: SparkSession, tableDir: String,
+                              version: Int, kind: String)(
+      read: => Option[T]): Option[T] = {
+    val k = (tableDir, version, kind)
+    val hit = markerCache.get(k)
+    if (hit != null) return hit.asInstanceOf[Option[T]]
+    val res = read
+    val cacheable = res.isDefined || {
+      val vp = new org.apache.hadoop.fs.Path(s"$tableDir/v=$version")
+      vp.getFileSystem(spark.sessionState.newHadoopConf()).exists(vp)
+    }
+    if (cacheable) {
+      if (markerCache.size >= MarkerCacheMax) markerCache.clear()
+      markerCache.put(k, res.asInstanceOf[Option[Any]]): Unit
+    }
+    res
+  }
+
+  /** Drop every cached marker of `tableDir` — called by the paths that
+    * DELETE version folders, after which a version number can be reused. */
+  private[graft] def invalidateMarkerCache(tableDir: String): Unit = {
+    val it = markerCache.keySet.iterator
+    while (it.hasNext) if (it.next()._1 == tableDir) it.remove()
+  }
+
   def thinBase(spark: SparkSession, tableDir: String,
-               version: Int): Option[(Int, Seq[String])] = {
-    val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$version/_base.json")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-      // fixed two-line format: "<base>\n<keyCol,keyCol,...>" — no JSON
-      // parser dependency needed for two fields. An EMPTY second line is a
-      // keyless APPEND version (base ∪ upserts, no identity semantics).
-      val lines = txt.trim.split('\n')
-      val keys =
-        if (lines.length < 2 || lines(1).trim.isEmpty) Seq.empty[String]
-        else lines(1).trim.split(',').toSeq
-      Some((lines(0).trim.toInt, keys))
+               version: Int): Option[(Int, Seq[String])] =
+    cachedMarker[(Int, Seq[String])](spark, tableDir, version, "thin") {
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$version/_base.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        // fixed two-line format: "<base>\n<keyCol,keyCol,...>" — no JSON
+        // parser dependency needed for two fields. An EMPTY second line is a
+        // keyless APPEND version (base ∪ upserts, no identity semantics).
+        val lines = txt.trim.split('\n')
+        val keys =
+          if (lines.length < 2 || lines(1).trim.isEmpty) Seq.empty[String]
+          else lines(1).trim.split(',').toSeq
+        Some((lines(0).trim.toInt, keys))
+      }
+    }
+
+  /** Read one version folder (or a delta sub-dir of it) with its SCHEMA
+    * memoized through the immutable-version cache: resolving a depth-D
+    * chain otherwise pays D parquet footer inferences PER STATEMENT —
+    * driver round-trips that dominate thin-commit latency at toy scale
+    * and planning latency at any scale. Folders are immutable once
+    * visible (staged publishes rename complete dirs in), so the memoized
+    * schema can never drift from the files. */
+  private def readVersionDir(spark: SparkSession, tableDir: String,
+                             v: Int, sub: String): DataFrame = {
+    val path = if (sub.isEmpty) s"$tableDir/v=$v" else s"$tableDir/v=$v/$sub"
+    val kind = if (sub.isEmpty) "schema" else s"schema:$sub"
+    cachedMarker[org.apache.spark.sql.types.StructType](
+        spark, tableDir, v, kind) {
+      Some(spark.read.parquet(path).schema)
+    } match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None => spark.read.parquet(path)
     }
   }
 
@@ -1134,7 +1203,7 @@ object Sinks {
       s"merge-on-read chain deeper than 64 at $tableDir v=$v — compact it")
     thinBase(spark, tableDir, v) match {
       case None =>
-        val df = spark.read.parquet(s"$tableDir/v=$v")
+        val df = readVersionDir(spark, tableDir, v, "")
         // bucketed versions carry a synthetic __bucket layout column —
         // physical, not logical
         if (bucketedLayout(spark, tableDir, v).isDefined) df.drop("__bucket")
@@ -1145,7 +1214,7 @@ object Sinks {
         def part(name: String): Option[DataFrame] = {
           val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/$name")
           if (p.getFileSystem(hconf).exists(p))
-            Some(spark.read.parquet(p.toString))
+            Some(readVersionDir(spark, tableDir, v, name))
           else None
         }
         val kc = keyCols.map(org.apache.spark.sql.functions.col)
@@ -1371,19 +1440,20 @@ object Sinks {
 
   /** The (keyCol, buckets) marker of a bucketed version, None otherwise. */
   def bucketedLayout(spark: SparkSession, tableDir: String,
-                     version: Int): Option[(String, Int)] = {
-    val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$version/_buckets")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-      val lines = txt.trim.split('\n')
-      Some((lines(0).trim, lines(1).trim.toInt))
+                     version: Int): Option[(String, Int)] =
+    cachedMarker[(String, Int)](spark, tableDir, version, "buckets") {
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$version/_buckets")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        val lines = txt.trim.split('\n')
+        Some((lines(0).trim, lines(1).trim.toInt))
+      }
     }
-  }
 
   /** [[writeSnapshot]] + an Iceberg-style FILE MANIFEST: per-file min/max
     * of `statsCols`, computed in one grouped pass over the written files
@@ -1536,6 +1606,7 @@ object Sinks {
       // past it have their offsets in the stream checkpoint, not here)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/cdf/v$v.parquet"), false)
     }
+    if (toDrop.nonEmpty) invalidateMarkerCache(tableDir)
     toDrop
   }
 
@@ -1571,6 +1642,9 @@ object Sinks {
       // files (carryManifest's exists-check would then keep it)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$v"), true)
     }
+    // number reuse after a vacuum is real (an above-pointer orphan frees
+    // its number) — the marker cache must forget this table
+    if (dropped.nonEmpty) invalidateMarkerCache(tableDir)
     // crashed writers that never reached publish leave `.dml_staging_*`
     // folders (publish renames staging into v=N; a JVM crash mid-stage
     // orphans it), and a crash inside the change-feed landing leaves

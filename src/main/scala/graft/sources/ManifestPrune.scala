@@ -162,7 +162,8 @@ object ManifestPrune {
         r.get(r.fieldIndex(s"min_$c")), r.get(r.fieldIndex(s"max_$c")),
         opt(s"nullcount_$c"))).toMap
       val rowCount = if (hasRowCount) opt("rowcount") else None
-      pushed.forall(mayMatch(_, stats, rowCount))
+      // a ZERO-ROW file (an empty writer task's part) matches nothing
+      rowCount.forall(_ > 0L) && pushed.forall(mayMatch(_, stats, rowCount))
     }.map(_.getString(mdf.columns.indexOf("file"))).toSeq
     (kept, total)
   }

@@ -220,9 +220,11 @@ object PartitionManifest {
       // the whole leaf serve unpruned rather than risk dropping rows
       if (rowCounts.keySet != listed) return None
       Some(listed.toSeq.sorted.filter { name =>
-        pushed.forall(ManifestPrune.mayMatchStats(_,
-          stats.getOrElse(name, scala.collection.mutable.Map()).toMap,
-          rowCounts.get(name)))
+        // a ZERO-ROW file (an empty writer task's part) matches nothing
+        rowCounts.get(name).forall(_ > 0L) &&
+          pushed.forall(ManifestPrune.mayMatchStats(_,
+            stats.getOrElse(name, scala.collection.mutable.Map()).toMap,
+            rowCounts.get(name)))
       }.map(n => new Path(leaf, n).toString))
     } catch {
       case scala.util.control.NonFatal(e) =>

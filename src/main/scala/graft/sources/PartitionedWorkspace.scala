@@ -700,6 +700,11 @@ private[sources] class PartitionedWorkspaceTable(
           val staging = stagingPath()
           created += staging
           keep.write.parquet(staging.toString)
+          // per-leaf manifest (opt-in) rides the same rename as its leaf —
+          // the translatable-DELETE analogue of publishPartitioned's stamp
+          PartitionManifest.statsCols(fsOf(staging), dir).foreach { cols =>
+            PartitionManifest.writeLeafManifest(spark, staging, fileSchema, cols)
+          }
           (vals, Some(staging))
         }
       } catch {

@@ -281,6 +281,9 @@ class SnapshotCatalog extends TableCatalog
         val p = new org.apache.hadoop.fs.Path(s"$workspace/$actual")
         if (!fs(p).delete(p, true))
           throw new IllegalStateException(s"DROP failed: could not delete $p")
+        // a re-created same-named table restarts at v=1 — cached markers
+        // of the dropped incarnation must not classify the new one
+        graft.operators.Sinks.invalidateMarkerCache(s"$workspace/$actual")
         true
     }
 

@@ -678,5 +678,14 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
       s"ts >= timestamp'2024-01-01 00:00:00' AND ts < timestamp'2024-01-02 00:00:00'" +
       s" AND event_id BETWEEN 0 AND 47")
     assert(q4.count() == 24)
+    // the translatable-DELETE path republishes its leaf with a fresh
+    // manifest too (it stages survivor copies outside publishPartitioned)
+    spark.sql(s"DELETE FROM $cat.pm WHERE " +
+      s"ts >= timestamp'2024-01-02 00:00:00' AND event_id < 1000")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pm WHERE " +
+      s"ts >= timestamp'2024-01-02 00:00:00'").first().getLong(0) == 48)
+    assert(graft.sources.PartitionManifest.prunedFiles(spark, leaf2,
+      Seq(org.apache.spark.sql.sources.GreaterThan("event_id", 999999L)))
+      .exists(_.isEmpty), "DELETE-republished leaf must carry a fresh manifest")
   }
 }
