@@ -5962,6 +5962,52 @@ object PipelineQueries {
       q.withColumn("files_kept", lit(kept))
         .withColumn("files_total", lit(total))
         .orderBy("event_id")
+    },
+
+    // ---- workspace: partition-spec EVOLUTION (r15) ---------------------------
+    // Moving a live table from identity(event_type) to days(ts) — the
+    // migration every time-series workspace eventually needs — as ONE
+    // locked, journaled, crash-recoverable republish
+    // (PartitionEvolution.repartition) instead of manual CTAS + directory
+    // shuffle + marker surgery. The face pins: the before-layout fact
+    // (was_identity), the full content surviving the respec, the NEW
+    // layout's semantics being live (a post-respec day-grained DELETE),
+    // and the resulting LEAF LISTING (leaf_days = surviving ts_day dirs)
+    // on the oracle hash.
+    Q("q240_partition_respec", {
+      """WITH k AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT)
+        |             AS leaf_days
+        |           FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+        |SELECT e.event_id, e.event_type, k.leaf_days, 1 AS was_identity
+        |FROM events e, k
+        |WHERE e.ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY e.event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.respec")
+      s.sql(s"""CREATE TABLE $cat.respec (event_id BIGINT, ts TIMESTAMP,
+               |event_type STRING) PARTITIONED BY (event_type)""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.respec
+               |SELECT event_id, ts, event_type
+               |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      val f = new org.apache.hadoop.fs.Path(s"$ws/respec.parquet")
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def topDirs() = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$ws/respec.parquet"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq
+      val wasIdentity = topDirs().nonEmpty &&
+        topDirs().forall(_.startsWith("event_type="))
+      graft.sources.PartitionEvolution.repartition(s, ws, "respec", "days:ts")
+      // the respec'd layout is LIVE: a day-grained DELETE rewrites only
+      // matching day directories and drops their leaves
+      s.sql(s"DELETE FROM $cat.respec WHERE " +
+        s"ts >= TIMESTAMP '2024-01-20 00:00:00'")
+      val leafDays = topDirs().count(_.startsWith("ts_day="))
+      s.sql(s"SELECT event_id, event_type FROM $cat.respec")
+        .withColumn("leaf_days", lit(leafDays))
+        .withColumn("was_identity", lit(if (wasIdentity) 1 else 0))
+        .orderBy("event_id")
     }
   )
 }

@@ -1,0 +1,222 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PARTITION-SPEC EVOLUTION for workspace tables (VERDICT r14 missing #5):
+  * one LOCKED, crash-recoverable republish that moves a table between
+  * layouts — flat → identity(a[,b…]) → days(ts) and back — as a single
+  * statement, instead of the manual CTAS + directory shuffle + marker
+  * surgery a user otherwise performs by hand.
+  *
+  * Protocol (all under the table's DML statement lock, so concurrent
+  * row-level DML aborts cleanly instead of racing the swap):
+  *
+  *  1. stage the FULL table rewritten in the new layout into a
+  *     dot-prefixed sibling (`.repart_<tag>`) — a failure here aborts
+  *     with the table untouched;
+  *  2. write a JOURNAL (`_graft_schema/<name>.repart`: tag, new marker,
+  *     new sidecar JSON) — the commit intent;
+  *  3. retire the live directory by RENAME (`.repart_old_<tag>`);
+  *  4. rename the staged layout in;
+  *  5. write the new sidecar + partition marker;
+  *  6. delete the retired copy, then the journal.
+  *
+  * Crash recovery ([[recoverSafe]], run from the catalog's `loadTable`
+  * under a non-blocking lock attempt, and by [[repartition]] itself
+  * before starting): the journal plus the filesystem state identify the
+  * crash point unambiguously — staged + live ⇒ pre-swap, ROLL BACK
+  * (delete staged + journal; markers were never touched); parked present
+  * ⇒ post-retire, ROLL FORWARD (finish steps 4–6, all idempotent);
+  * journal alone ⇒ post-publish, finish steps 5–6. At no instant is the
+  * only copy of the table's rows in a destroyable place.
+  *
+  * Reader caveat (the catalog's documented single-writer-DDL contract,
+  * same as RENAME): a reader planning EXACTLY inside the swap window can
+  * see an empty directory; writers are fenced by the lock. */
+object PartitionEvolution {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def tableDir(ws: String, name: String) = new Path(s"$ws/$name.parquet")
+  private def sidecar(ws: String, name: String) =
+    new Path(s"$ws/_graft_schema/$name.json")
+  private def partMarker(ws: String, name: String) =
+    new Path(s"$ws/_graft_schema/$name.part")
+  private def journal(ws: String, name: String) =
+    new Path(s"$ws/_graft_schema/$name.repart")
+
+  private def readSmall(spark: SparkSession, p: Path): Option[String] = {
+    val f = fsOf(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  private def writeSmall(spark: SparkSession, p: Path, txt: String): Unit = {
+    val f = fsOf(spark, p)
+    f.mkdirs(p.getParent): Unit
+    val out = f.create(p, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def levelsOf(marker: String, declared: StructType): Seq[PartLevel] =
+    if (marker.isEmpty) Nil
+    else if (marker.startsWith("days:")) {
+      val c = marker.stripPrefix("days:")
+      Seq(DaysLevel(c, declared(c).dataType == DateType))
+    } else marker.split(',').toSeq.map(c => IdentityLevel(c.trim))
+
+  /** Re-lay `<ws>/<table>` out per `newSpec` — the marker grammar:
+    * `"a,b"` (nested identity), `"days:ts"` (one hidden transform), or
+    * `""` (flat). Content identity holds by construction (one read, one
+    * write, no filters); field-id metadata rides through, so prior
+    * RENAME COLUMN history keeps resolving. */
+  def repartition(spark: SparkSession, ws: String, table: String,
+                  newSpec: String): Unit = {
+    val dir = tableDir(ws, table)
+    val lock = WorkspaceDmlLock.acquire(spark, dir.toString)
+    try {
+      recoverLocked(spark, ws, table)
+      val f = fsOf(spark, dir)
+      require(f.exists(dir), s"no table directory $dir")
+      val oldMarker = readSmall(spark, partMarker(ws, table)).map(_.trim)
+      val declared = readSmall(spark, sidecar(ws, table))
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(spark.read.parquet(dir.toString).schema)
+      val oldLevels = levelsOf(oldMarker.getOrElse(""), declared)
+
+      // current rows, partition columns re-attached as data columns
+      val rows: DataFrame =
+        if (oldLevels.isEmpty) spark.read.schema(declared).parquet(dir.toString)
+        else if (oldLevels.forall(_.inSchema))
+          spark.read.schema(declared).parquet(dir.toString) // hive inference
+        else {
+          val leaves = PartitionManifest.leafDirsOf(f, dir)
+          if (leaves.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+          else spark.read.schema(declared).parquet(leaves.map(_.toString): _*)
+        }
+
+      // canonicalize for the NEW spec: identity partition columns LAST in
+      // spec order; field metadata (parquet ids) preserved
+      val newLevels = levelsOf(newSpec, declared)
+      val idCols = newLevels.collect { case IdentityLevel(c) => c }
+      idCols.foreach { c =>
+        val fd = declared.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"partition column $c not in $table"))
+        require(Seq(StringType, IntegerType, LongType).contains(fd.dataType),
+          s"identity partition column must be string/int/long, got ${fd.dataType}")
+      }
+      newLevels.collect { case d: DaysLevel => d }.foreach { d =>
+        val fd = declared.fields.find(_.name.equalsIgnoreCase(d.sourceCol))
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition column ${d.sourceCol} not in $table"))
+        require(fd.dataType == TimestampType || fd.dataType == DateType,
+          s"days() needs a timestamp/date column, got ${fd.dataType}")
+      }
+      val canonical = StructType(
+        declared.fields.filterNot(fd => idCols.exists(_.equalsIgnoreCase(fd.name))) ++
+          idCols.flatMap(c => declared.fields.find(_.name.equalsIgnoreCase(c))))
+
+      // 1. stage the rewritten layout (null partition values rejected —
+      // a NULL key has no directory the DML paths could ever match)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val staged = new Path(ws, s".repart_${table}_$tag")
+      val ordered = rows.select(canonical.fields.map(fd =>
+        col(fd.name).as(fd.name, fd.metadata)).toIndexedSeq: _*)
+      var shaped = ordered
+      val pathNames = newLevels.map {
+        case IdentityLevel(c) =>
+          shaped = shaped.withColumn(c,
+            when(col(c).isNull, raise_error(lit(
+              s"repartition: NULL in partition column $c")).cast(
+              canonical(c).dataType)).otherwise(col(c)))
+          c
+        case d @ DaysLevel(c, isDate) =>
+          shaped = shaped.withColumn(d.pathName,
+            when(col(c).isNull, raise_error(lit(
+              s"repartition: NULL in partition source $c")).cast(LongType))
+              .otherwise(PartitionedWorkspace.dayColumn(col(c), isDate)))
+          d.pathName
+      }
+      val w = shaped.write
+        .option("spark.sql.parquet.fieldId.write.enabled", "true")
+      (if (pathNames.nonEmpty) w.partitionBy(pathNames: _*) else w)
+        .parquet(staged.toString)
+
+      // 2. journal the commit intent, then the rename dance (3..6)
+      writeSmall(spark, journal(ws, table),
+        s"$tag\n$newSpec\n${canonical.json}")
+      finishSwap(spark, ws, table, tag, newSpec, canonical.json)
+    } finally WorkspaceDmlLock.release(spark, lock)
+  }
+
+  /** Steps 3–6, shared by the live path and roll-forward recovery. Every
+    * step is idempotent against partial prior completion. */
+  private def finishSwap(spark: SparkSession, ws: String, table: String,
+                         tag: String, newSpec: String,
+                         sidecarJson: String): Unit = {
+    val dir = tableDir(ws, table)
+    val f = fsOf(spark, dir)
+    val staged = new Path(ws, s".repart_${table}_$tag")
+    val parked = new Path(ws, s".repart_old_${table}_$tag")
+    if (f.exists(staged)) {
+      if (f.exists(dir) && !f.rename(dir, parked))
+        throw new IllegalStateException(s"repartition: could not retire $dir")
+      if (!f.rename(staged, dir))
+        throw new IllegalStateException(s"repartition: could not publish $staged")
+    }
+    writeSmall(spark, sidecar(ws, table), sidecarJson)
+    if (newSpec.isEmpty) {
+      val mp = partMarker(ws, table)
+      if (f.exists(mp)) f.delete(mp, false): Unit
+    } else writeSmall(spark, partMarker(ws, table), newSpec)
+    if (f.exists(parked)) f.delete(parked, true): Unit
+    f.delete(journal(ws, table), false): Unit
+    spark.catalog.refreshByPath(dir.toString)
+  }
+
+  /** Recovery under an ALREADY-HELD lock (see [[recoverSafe]]). */
+  private def recoverLocked(spark: SparkSession, ws: String,
+                            table: String): Unit =
+    readSmall(spark, journal(ws, table)).foreach { txt =>
+      val lines = txt.split('\n')
+      val (tag, newSpec, sidecarJson) =
+        (lines(0).trim, lines(1).trim, lines.drop(2).mkString("\n"))
+      val dir = tableDir(ws, table)
+      val f = fsOf(spark, dir)
+      val staged = new Path(ws, s".repart_${table}_$tag")
+      val parked = new Path(ws, s".repart_old_${table}_$tag")
+      if (f.exists(staged) && f.exists(dir) && !f.exists(parked)) {
+        // crashed BEFORE the retire: nothing moved, markers untouched —
+        // roll back (the staged copy is a duplicate, the journal a stale
+        // intent)
+        f.delete(staged, true): Unit
+        f.delete(journal(ws, table), false): Unit
+      } else
+        // any post-retire state rolls FORWARD: the staged layout is the
+        // only complete copy (or already live) — finish the swap
+        finishSwap(spark, ws, table, tag, newSpec, sidecarJson)
+    }
+
+  /** Load-time recovery: non-blocking lock attempt (a LIVE repartition's
+    * transient states must never be "repaired" under it — same discipline
+    * as the partition-republish repair). */
+  def recoverSafe(spark: SparkSession, ws: String, table: String): Unit = {
+    val j = journal(ws, table)
+    if (!fsOf(spark, j).exists(j)) return
+    val lock =
+      try WorkspaceDmlLock.acquire(spark, tableDir(ws, table).toString)
+      catch { case _: java.util.ConcurrentModificationException => return }
+    try recoverLocked(spark, ws, table)
+    finally WorkspaceDmlLock.release(spark, lock)
+  }
+}

@@ -164,6 +164,9 @@ object PartitionManifest {
 
   /** Generic hive-leaf walk: directories named `k=v` all the way down; a
     * leaf is a partition directory holding data files directly. */
+  private[sources] def leafDirsOf(fs: FileSystem, root: Path): Seq[Path] =
+    leafDirs(fs, root)
+
   private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
     def descend(p: Path): Seq[Path] = {
       val children = fs.listStatus(p).toSeq

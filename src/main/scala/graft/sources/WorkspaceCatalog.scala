@@ -150,6 +150,10 @@ class WorkspaceCatalog extends TableCatalog {
     // truncate removed) still resolve
     val actual = allNames().find(_.equalsIgnoreCase(ident.name()))
       .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
+    // a crashed partition-spec evolution left its journal: converge the
+    // swap (forward or back) before trusting marker + layout — lock-aware,
+    // one exists() probe on the common path
+    PartitionEvolution.recoverSafe(SparkSession.active, workspace, actual)
     val declared = readSidecar(actual)
     val dir = tablePath(actual)
     // a truncate may have left no directory at all — the scan's file index

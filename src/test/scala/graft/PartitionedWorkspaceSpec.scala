@@ -688,4 +688,102 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
       Seq(org.apache.spark.sql.sources.GreaterThan("event_id", 999999L)))
       .exists(_.isEmpty), "DELETE-republished leaf must carry a fresh manifest")
   }
+
+  test("partition-spec evolution: identity -> days -> flat, content identity throughout") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pe (event_id BIGINT, ts TIMESTAMP, " +
+      s"src STRING) PARTITIONED BY (src)")
+    spark.sql(
+      s"""INSERT INTO $cat.pe
+         |SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,(id % 72)*3600),
+         |       CONCAT('s', id % 3)
+         |FROM RANGE(72)""".stripMargin)
+    spark.sql(s"UPDATE $cat.pe SET src = 'sX' WHERE event_id = 10")
+    def content() = spark.sql(
+      s"SELECT event_id, ts, src FROM $cat.pe ORDER BY event_id")
+      .collect().map(_.toString).toSeq
+    val before = content()
+    val f = fs(ws)
+    def topDirs() = f.listStatus(new org.apache.hadoop.fs.Path(s"$ws/pe.parquet"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    assert(topDirs().forall(_.startsWith("src=")))
+    // identity(src) -> days(ts): one locked republish
+    graft.sources.PartitionEvolution.repartition(spark, ws, "pe", "days:ts")
+    assert(topDirs().forall(_.startsWith("ts_day=")), topDirs().toString)
+    assert(topDirs().size == 3) // 72 hours = 3 days
+    assert(content() == before, "content identity broke across the respec")
+    // the new layout's semantics are live: ts-range day pruning + day DML
+    val q = spark.sql(s"SELECT event_id FROM $cat.pe WHERE " +
+      s"ts >= timestamp'2024-01-02 00:00:00' AND ts < timestamp'2024-01-03 00:00:00'")
+    assert(plannedFiles(q).forall(_.contains("ts_day=19724")))
+    assert(q.count() == 24)
+    spark.sql(s"DELETE FROM $cat.pe WHERE ts >= timestamp'2024-01-03 00:00:00'")
+    assert(spark.table(s"$cat.pe").count() == 48)
+    // days(ts) -> flat
+    graft.sources.PartitionEvolution.repartition(spark, ws, "pe", "")
+    assert(topDirs().isEmpty, topDirs().toString)
+    assert(spark.table(s"$cat.pe").count() == 48)
+    assert(spark.sql(s"SELECT event_id FROM $cat.pe ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq == (0L until 48L))
+    // flat -> identity again; DML still works on the final layout
+    graft.sources.PartitionEvolution.repartition(spark, ws, "pe", "src")
+    assert(topDirs().forall(_.startsWith("src=")) && topDirs().nonEmpty)
+    spark.sql(s"UPDATE $cat.pe SET src = 'sY' WHERE event_id = 11")
+    assert(spark.table(s"$cat.pe").filter(col("src") === "sY").count() == 1)
+  }
+
+  test("partition-spec evolution: concurrent DML aborts; crash states recover") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pe2 (event_id BIGINT, ts TIMESTAMP, " +
+      s"src STRING) PARTITIONED BY (src)")
+    spark.sql(
+      s"""INSERT INTO $cat.pe2
+         |SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,(id % 48)*3600),
+         |       CONCAT('s', id % 2)
+         |FROM RANGE(48)""".stripMargin)
+    val f = fs(ws)
+    // a held DML lock makes the repartition abort cleanly, table untouched
+    val lock = new org.apache.hadoop.fs.Path(s"$ws/.pe2.parquet.__dml_lock")
+    f.create(lock, false).close()
+    intercept[java.util.ConcurrentModificationException] {
+      graft.sources.PartitionEvolution.repartition(spark, ws, "pe2", "days:ts")
+    }
+    f.delete(lock, false)
+    assert(spark.table(s"$cat.pe2").count() == 48)
+    // crash BEFORE the retire: staged + journal present, live intact →
+    // recovery rolls BACK (staged deleted, journal dropped, marker intact)
+    val jr = new org.apache.hadoop.fs.Path(s"$ws/_graft_schema/pe2.repart")
+    val staged = new org.apache.hadoop.fs.Path(s"$ws/.repart_pe2_deadbeef")
+    f.mkdirs(staged): Unit
+    val out = f.create(jr, true)
+    out.write("deadbeef\ndays:ts\n{}".getBytes("UTF-8")); out.close()
+    spark.catalog.refreshByPath(s"$ws/pe2.parquet")
+    assert(spark.table(s"$cat.pe2").count() == 48) // loadTable ran recovery
+    assert(!f.exists(jr) && !f.exists(staged), "pre-retire crash must roll back")
+    // crash AFTER the retire: parked + staged + journal, live missing →
+    // recovery rolls FORWARD (staged published, markers applied)
+    graft.sources.PartitionEvolution.repartition(spark, ws, "pe2", "days:ts")
+    val before = spark.sql(s"SELECT event_id, ts, src FROM $cat.pe2 ORDER BY event_id")
+      .collect().map(_.toString).toSeq
+    // simulate: re-stage the CURRENT layout as if a respec to identity
+    // crashed mid-swap — park the live dir, leave the staged copy + journal
+    val dir = new org.apache.hadoop.fs.Path(s"$ws/pe2.parquet")
+    val sidecarJson = {
+      val sp = new org.apache.hadoop.fs.Path(s"$ws/_graft_schema/pe2.json")
+      val in = f.open(sp)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val staged2 = new org.apache.hadoop.fs.Path(s"$ws/.repart_pe2_cafe0001")
+    val parked2 = new org.apache.hadoop.fs.Path(s"$ws/.repart_old_pe2_cafe0001")
+    assert(f.rename(dir, staged2))   // the "staged" copy IS the full layout
+    val out2 = f.create(jr, true)
+    out2.write(s"cafe0001\ndays:ts\n$sidecarJson".getBytes("UTF-8")); out2.close()
+    f.mkdirs(parked2): Unit          // retired remnant of the "old" layout
+    spark.catalog.refreshByPath(s"$ws/pe2.parquet")
+    assert(spark.sql(s"SELECT event_id, ts, src FROM $cat.pe2 ORDER BY event_id")
+      .collect().map(_.toString).toSeq == before,
+      "post-retire crash must roll forward to the staged layout")
+    assert(!f.exists(jr) && !f.exists(parked2) && !f.exists(staged2))
+  }
 }
