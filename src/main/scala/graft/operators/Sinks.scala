@@ -707,24 +707,50 @@ object Sinks {
                             schema: org.apache.spark.sql.types.StructType): Unit = {
     val p = new org.apache.hadoop.fs.Path(tableDir, "_schema.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // complete-or-absent (temp + ONE rename): a reader racing the write,
+    // or a crash mid-write, must never observe a truncated JSON — every
+    // unpinned read parses this file
+    val tmp = new org.apache.hadoop.fs.Path(tableDir,
+      s"._schema.json.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false): Unit
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"declareSnapshotSchema: rename to $p failed")
+    declaredSchemaCache.remove(tableDir): Unit
   }
+
+  /** In-JVM memo for the `_schema.json` probe: the declared schema is read
+    * on EVERY unpinned read / feed-schema / DML bind, and the overwhelming
+    * common case is "no declared schema at all" — paying an FS round-trip
+    * per statement for a negative is the same tax the marker cache kills.
+    * Invalidated by the only writer ([[declareSnapshotSchema]]); an ALTER
+    * from ANOTHER process becomes visible to this JVM's long-lived session
+    * on its next cache turnover or restart — the same single-writer-DDL
+    * visibility contract the workspace catalog documents for RENAME. */
+  private val declaredSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[org.apache.spark.sql.types.StructType]]()
 
   /** The declared evolved schema, if the table has one. */
   def declaredSnapshotSchema(spark: SparkSession, tableDir: String):
       Option[org.apache.spark.sql.types.StructType] = {
+    val hit = declaredSchemaCache.get(tableDir)
+    if (hit != null) return hit
     val p = new org.apache.hadoop.fs.Path(tableDir, "_schema.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
+    val res =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      }
+    if (declaredSchemaCache.size >= MarkerCacheMax) declaredSchemaCache.clear()
+    declaredSchemaCache.put(tableDir, res): Unit
+    res
   }
 
   // ---- merge-on-read deletes (thin versions) -------------------------------
@@ -1149,10 +1175,13 @@ object Sinks {
   }
 
   /** Drop every cached marker of `tableDir` — called by the paths that
-    * DELETE version folders, after which a version number can be reused. */
+    * DELETE version folders, after which a version number can be reused.
+    * Clears the declared-schema memo too (a DROP + re-CREATE of the same
+    * name must not inherit the dropped incarnation's schema). */
   private[graft] def invalidateMarkerCache(tableDir: String): Unit = {
     val it = markerCache.keySet.iterator
     while (it.hasNext) if (it.next()._1 == tableDir) it.remove()
+    declaredSchemaCache.remove(tableDir): Unit
   }
 
   def thinBase(spark: SparkSession, tableDir: String,
@@ -1545,8 +1574,15 @@ object Sinks {
       val fs = dir.getFileSystem(hconf)
       def sub(name: String): Boolean =
         fs.exists(new org.apache.hadoop.fs.Path(dir, name))
-      val dataFiles = fs.listStatus(dir).toSeq.filter(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      // footprint includes thin versions' delta subdirs (_upserts/_deletes)
+      // — the version KIND this face classifies stores its bytes there
+      val dataFiles = fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else if (st.isDirectory && st.getPath.getName.startsWith("_"))
+          fs.listStatus(st.getPath).toSeq.filter(c =>
+            c.isFile && c.getPath.getName.endsWith(".parquet"))
+        else Nil
+      }
       val (kind, operation, base) = thinBase(spark, tableDir, v) match {
         case Some((b, keys)) =>
           val op =
@@ -1671,10 +1707,32 @@ object Sinks {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty
     val now = System.currentTimeMillis()
+    // a `.repart_*` sibling is only DEBRIS while its table has no
+    // `.repart` journal: with the journal present it is a live/crashed
+    // partition-spec evolution's transient state — the parked or staged
+    // copy may be the ONLY copy of the table's rows, and recovery (not
+    // the janitor) owns it. Name shape: `.repart[_old]_<table>_<8hex>`.
+    // the name grammar is AMBIGUOUS for tables whose own name starts with
+    // "old_" (`.repart_old_x_t` = staged-of-"old_x" OR parked-of-"x") —
+    // probe EVERY interpretation and protect the dir if any journal
+    // exists: deleting a live swap's staged copy is total data loss
+    def repartJournalExists(n: String): Boolean = {
+      def tableOf(core: String): Option[String] = {
+        val i = core.lastIndexOf('_')
+        if (i <= 0) None else Some(core.take(i))
+      }
+      val candidates =
+        (if (n.startsWith(".repart_old_"))
+          tableOf(n.stripPrefix(".repart_old_")).toSeq
+        else Nil) ++ tableOf(n.stripPrefix(".repart_")).toSeq
+      candidates.exists(t => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$workspaceDir/_graft_schema/$t.repart")))
+    }
     val debris = fs.listStatus(root).toSeq.filter { s =>
       val n = s.getPath.getName
       s.isDirectory && n.startsWith(".") &&
-        (n.contains(".__cow_") || n.startsWith(".dml_staging_")) &&
+        (n.contains(".__cow_") || n.startsWith(".dml_staging_") ||
+          (n.startsWith(".repart_") && !repartJournalExists(n))) &&
         now - s.getModificationTime > graceMs
     }
     debris.foreach(s => fs.delete(s.getPath, true))

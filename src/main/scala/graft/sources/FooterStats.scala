@@ -50,13 +50,26 @@ object FooterStats {
     * provable from the footer); `nullCount` None = not recorded. */
   final case class ColStats(min: Any, max: Any, nullCount: Option[Long])
 
+  /** Resolve requested stats columns against `schema` CASE-INSENSITIVELY
+    * to their canonical (on-schema) spelling — SQL identifiers arrive in
+    * whatever case the user typed, and an exact-case miss here would
+    * throw AFTER data is already written. Unknown columns error with
+    * guidance up front. */
+  def resolveCols(schema: StructType, cols: Seq[String]): Seq[String] =
+    cols.map { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"stats column '$c' is not in the schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+    }
+
   /** The manifest schema for `statsCols` of `schema`:
     * file, rowcount, then (min_c, max_c, nullcount_c) per column. */
   def manifestSchema(schema: StructType, statsCols: Seq[String]): StructType =
     StructType(
       StructField("file", StringType, nullable = false) +:
         StructField("rowcount", LongType, nullable = false) +:
-        statsCols.flatMap { c =>
+        resolveCols(schema, statsCols).flatMap { c =>
           val dt = schema(c).dataType
           Seq(StructField(s"min_$c", dt), StructField(s"max_$c", dt),
             StructField(s"nullcount_$c", LongType))
@@ -74,11 +87,12 @@ object FooterStats {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
       .sortBy(_.getName)
-    val out = manifestSchema(schema, statsCols)
+    val cols = resolveCols(schema, statsCols)
+    val out = manifestSchema(schema, cols)
     val rows: Seq[Row] = files.map { f =>
-      val (rowCount, stats) = fileStats(conf, f, schema, statsCols)
+      val (rowCount, stats) = fileStats(conf, f, schema, cols)
       Row.fromSeq(
-        f.toString +: rowCount +: statsCols.flatMap { c =>
+        f.toString +: rowCount +: cols.flatMap { c =>
           val s = stats(c)
           Seq(s.min, s.max, s.nullCount.map(Long.box).orNull)
         })
@@ -100,9 +114,10 @@ object FooterStats {
         .flatMap(_.getColumns.asScala)
         .groupBy(_.getPath.toDotString.toLowerCase)
         .view.mapValues(_.toSeq).toMap
-      val stats = statsCols.map { c =>
-        val dt = schema(c).dataType
-        c -> chunks.get(c.toLowerCase)
+      val stats = resolveCols(schema, statsCols).zip(statsCols).map {
+        case (canonical, c) =>
+        val dt = schema(canonical).dataType
+        c -> chunks.get(canonical.toLowerCase)
           .map(mergeChunks(dt, _))
           // column absent from this file (written before a schema ADD):
           // every read of it is null — exactly representable

@@ -60,11 +60,20 @@ object PartitionEvolution {
     }
   }
 
+  /** Complete-or-absent small-file write: temp + ONE rename. The JOURNAL
+    * rides this — a half-written intent must read as NO intent (recovery
+    * treats a malformed journal as an uncommitted attempt), never as a
+    * parse crash that bricks every loadTable of the table. */
   private def writeSmall(spark: SparkSession, p: Path, txt: String): Unit = {
     val f = fsOf(spark, p)
     f.mkdirs(p.getParent): Unit
-    val out = f.create(p, true)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
     try out.write(txt.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false): Unit
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"small-file write: rename to $p failed")
   }
 
   private def levelsOf(marker: String, declared: StructType): Seq[PartLevel] =
@@ -189,22 +198,31 @@ object PartitionEvolution {
                             table: String): Unit =
     readSmall(spark, journal(ws, table)).foreach { txt =>
       val lines = txt.split('\n')
-      val (tag, newSpec, sidecarJson) =
-        (lines(0).trim, lines(1).trim, lines.drop(2).mkString("\n"))
-      val dir = tableDir(ws, table)
-      val f = fsOf(spark, dir)
-      val staged = new Path(ws, s".repart_${table}_$tag")
-      val parked = new Path(ws, s".repart_old_${table}_$tag")
-      if (f.exists(staged) && f.exists(dir) && !f.exists(parked)) {
-        // crashed BEFORE the retire: nothing moved, markers untouched —
-        // roll back (the staged copy is a duplicate, the journal a stale
-        // intent)
-        f.delete(staged, true): Unit
-        f.delete(journal(ws, table), false): Unit
-      } else
-        // any post-retire state rolls FORWARD: the staged layout is the
-        // only complete copy (or already live) — finish the swap
-        finishSwap(spark, ws, table, tag, newSpec, sidecarJson)
+      if (lines.length < 3) {
+        // malformed journal (pre-atomic-write legacy torn file, or hand
+        // damage): the write is temp+rename so a complete journal is
+        // all-or-nothing — treat as NO intent; markers were never touched
+        // before the journal existed, so dropping it restores the old spec
+        // and any staged dirs become journal-less debris for the janitor
+        fsOf(spark, journal(ws, table)).delete(journal(ws, table), false): Unit
+      } else {
+        val (tag, newSpec, sidecarJson) =
+          (lines(0).trim, lines(1).trim, lines.drop(2).mkString("\n"))
+        val dir = tableDir(ws, table)
+        val f = fsOf(spark, dir)
+        val staged = new Path(ws, s".repart_${table}_$tag")
+        val parked = new Path(ws, s".repart_old_${table}_$tag")
+        if (f.exists(staged) && f.exists(dir) && !f.exists(parked)) {
+          // crashed BEFORE the retire: nothing moved, markers untouched —
+          // roll back (the staged copy is a duplicate, the journal a stale
+          // intent)
+          f.delete(staged, true): Unit
+          f.delete(journal(ws, table), false): Unit
+        } else
+          // any post-retire state rolls FORWARD: the staged layout is the
+          // only complete copy (or already live) — finish the swap
+          finishSwap(spark, ws, table, tag, newSpec, sidecarJson)
+      }
     }
 
   /** Load-time recovery: non-blocking lock attempt (a LIVE repartition's

@@ -150,15 +150,21 @@ object PartitionManifest {
     WorkspaceDmlLock.withLock(spark, tableDir) {
       val root = new Path(tableDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val leaves = leafDirs(fs, root)
+      // resolve + build FIRST, persist the marker LAST: a marker naming a
+      // column the schema can't resolve would make every later partition
+      // DML statement fail at its staged-leaf stamping until hand-removed
+      val canonical =
+        if (leaves.isEmpty) cols
+        else {
+          val schema = spark.read.parquet(leaves.head.toString).schema
+          val resolved = FooterStats.resolveCols(schema, cols)
+          leaves.foreach(writeLeafManifest(spark, _, schema, resolved))
+          resolved
+        }
       val mk = markerPath(tableDir)
       val out = fs.create(mk, true)
-      try out.write(cols.mkString(",").getBytes("UTF-8")) finally out.close()
-      val leaves = leafDirs(fs, root)
-      if (leaves.nonEmpty) {
-        // footer-only schema: one file's footer types the stats columns
-        val schema = spark.read.parquet(leaves.head.toString).schema
-        leaves.foreach(writeLeafManifest(spark, _, schema, cols))
-      }
+      try out.write(canonical.mkString(",").getBytes("UTF-8")) finally out.close()
       leaves.length
     }
 

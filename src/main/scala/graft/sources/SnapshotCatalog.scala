@@ -241,11 +241,22 @@ class SnapshotCatalog extends TableCatalog
     val t = resolve(ident)
     val spark = SparkSession.active
     val dir = s"$workspace/$t"
+    // DDL fence: ALTER is a read-modify-write of _schema.json — two
+    // concurrent ALTERs would silently drop one's column (last write
+    // wins). The statement lock serializes them; DML and readers never
+    // take this lock on snapshot tables, so they are unaffected.
+    WorkspaceDmlLock.withLock(spark, dir) { alterTableLocked(ident, dir, changes) }
+  }
+
+  private def alterTableLocked(ident: Identifier, dir: String,
+                               changes: Seq[TableChange]): Table = {
+    val spark = SparkSession.active
     val committed = graft.operators.Sinks.snapshotCommitted(spark, dir)
-      .getOrElse(throw new IllegalStateException(s"no committed snapshot for $t"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot for ${ident.name()}"))
     if (graft.operators.Sinks.bucketedLayout(spark, dir, committed).isDefined)
       throw new UnsupportedOperationException(
-        s"$t's head is a BUCKETED layout artifact — ALTER would desync the " +
+        s"${ident.name()}'s head is a BUCKETED layout artifact — ALTER would desync the " +
           "declared schema from the key-grouped scan; rebucketSnapshot " +
           "after evolving, or evolve before bucketing")
     val current = graft.operators.Sinks.declaredSnapshotSchema(spark, dir)
@@ -256,6 +267,9 @@ class SnapshotCatalog extends TableCatalog
           "snapshot tables are flat; nested ADD COLUMN is not supported")
         require(add.isNullable,
           "added columns must be nullable (pinned history has no value for them)")
+        require(add.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported on snapshot tables " +
+            "(added columns append; files on disk are never reshaped)")
         val colName = add.fieldNames()(0)
         if (schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
           throw new IllegalArgumentException(

@@ -457,6 +457,11 @@ class SnapshotSqlSpec extends AnyFunSuite {
       (2, 2000000L, "thin", "delete", 1),
       (3, 3000000L, "thin", "upsert", 2),
       (4, 4000000L, "thin", "append", 3)))
+    // footprint covers the thin versions' delta subdirs, not just v=N/*.parquet
+    assert(spark.sql(s"SELECT MIN(files), MIN(bytes) FROM " +
+      s"snapshot_history('$cat.hist')").collect().head match {
+        case r => r.getInt(0) >= 1 && r.getLong(1) > 0L
+      }, "thin versions must report their _deletes/_upserts footprint")
     // SQL compaction: preserves content identity, drops the chain depth
     val beforeRows = spark.sql(s"SELECT id, txt FROM $cat.hist ORDER BY id")
       .collect().toSeq
