@@ -575,6 +575,78 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .columns.toSeq == Seq("id", "txt"))
   }
 
+  test("randomized evolution × MOR: resolved content ≡ model under arbitrary op sequences") {
+    // the round's riskiest interplay, exercised the way the r12 MOR
+    // property exercises thin chains: random upserts / deletes / ALTER
+    // ADD COLUMN / compactions against a key-value model whose column
+    // set GROWS mid-history — every resolved read must equal the model
+    // under the then-current declared schema, with pre-ALTER rows
+    // null-filling the added columns through thin hops AND compactions
+    val (cat, ws) = freshCatalog()
+    import org.apache.spark.sql.types._
+    val dir = s"$ws/evr"
+    val rnd = new scala.util.Random(91507)
+    def schemaOf(cols: Seq[String]) = StructType(
+      StructField("id", LongType) +: cols.map(StructField(_, StringType)))
+    var cols = Vector("c0")
+    val model = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.Map[String, String]]()
+    val init = (1L to 20L).map { i =>
+      model(i) = scala.collection.mutable.Map("c0" -> s"v$i")
+      org.apache.spark.sql.Row(i, s"v$i")
+    }
+    Sinks.writeSnapshot(
+      spark.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(init).asJava, schemaOf(cols)), dir): Unit
+    Sinks.declareSnapshotKeys(spark, dir, Seq("id"))
+    def check(tag: String): Unit = {
+      val got = Sinks.readSnapshot(spark, dir).collect().map { r =>
+        r.getLong(0) -> cols.map(c =>
+          if (r.isNullAt(r.fieldIndex(c))) null else r.getString(r.fieldIndex(c)))
+      }.toMap
+      val want = model.map { case (k, m) =>
+        k -> cols.map(c => m.getOrElse(c, null))
+      }.toMap
+      assert(got == want, s"divergence after $tag: got=$got want=$want")
+    }
+    (1 to 30).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // upsert: random ids, random values per CURRENT col
+          val ids = Seq.fill(rnd.nextInt(5) + 1)(rnd.nextLong(40) + 1).distinct
+          val rows = ids.map { i =>
+            val vals = cols.map(c =>
+              if (rnd.nextBoolean()) s"$c-$step-$i" else null)
+            model(i) = scala.collection.mutable.Map(
+              cols.zip(vals).collect { case (c, v) if v != null => c -> v }: _*)
+            // last-writer-wins REPLACES the row, so the model row holds
+            // exactly the upserted values (nulls stay null)
+            org.apache.spark.sql.Row.fromSeq(i +: vals)
+          }
+          Sinks.upsertSnapshotRows(spark,  dir,
+            spark.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schemaOf(cols)), Seq("id")): Unit
+        case 2 => // delete a mix of present and absent keys
+          val ids = Seq.fill(rnd.nextInt(4) + 1)(rnd.nextLong(40) + 1)
+          import spark.implicits._
+          Sinks.deleteSnapshotKeys(spark, dir,
+            ids.map(Tuple1(_)).toDF("id"), Seq("id")): Unit
+          ids.foreach(model.remove)
+        case 3 if cols.size < 5 => // metadata-only evolution mid-history
+          val c = s"c${cols.size}"
+          spark.sql(s"ALTER TABLE $cat.evr ADD COLUMN $c STRING")
+          cols = cols :+ c
+        case 4 => // materialize the chain (conform-on-unpinned-read path)
+          Sinks.compactSnapshot(spark, dir, targetRows = 1000000L): Unit
+        case _ => // SQL thin DELETE through the catalog serving path
+          val bound = rnd.nextLong(40) + 1
+          spark.sql(s"DELETE FROM $cat.evr WHERE id = $bound")
+          model.remove(bound): Unit
+      }
+      check(s"step $step")
+    }
+    // pinned v1 keeps its original two-column shape through it all
+    assert(spark.sql(s"SELECT * FROM $cat.evr VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "c0"))
+  }
+
   test("thin SQL read plan: predicate pushdown reaches the base scan, keys ride broadcast") {
     val (cat, ws) = freshCatalog()
     seed(ws, "t5")
