@@ -6008,6 +6008,69 @@ object PipelineQueries {
         .withColumn("leaf_days", lit(leafDays))
         .withColumn("was_identity", lit(if (wasIdentity) 1 else 0))
         .orderBy("event_id")
+    },
+
+    // ---- streaming: the change feed consumed ACROSS a schema evolution ------
+    // The EIGHTEENTH true streaming execution is the production migration
+    // pain every CDC consumer eventually hits: the table evolves (ALTER
+    // TABLE ADD COLUMN, r15's metadata-only path) while a downstream
+    // incremental consumer is mid-stream. Two AvailableNow runs on ONE
+    // checkpoint with the ALTER landing in between: run 1 consumes the
+    // pre-ALTER commit's feed (no score column), run 2 — restarted with
+    // the EVOLVED feed schema — discovers exactly the post-ALTER commit's
+    // feed file (checkpoint carry-over) whose rows carry the new column.
+    // The collected output therefore straddles two widths; run-1 groups
+    // aggregate score as NULL, run-2 as real values — both on the hash,
+    // so a consumer that missed the evolution, re-read run 1, or dropped
+    // the new column breaks the face.
+    Q("q241_streaming_evolved_feed", {
+      """WITH n AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |b AS (SELECT doc_id FROM documents, n WHERE doc_id * 2 <= mx)
+        |SELECT * FROM (
+        |  SELECT 1 AS run, 2 AS version, 'delete' AS change,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(NULL AS DOUBLE) AS sum_score
+        |  FROM b WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT 2, 3, 'upsert', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(doc_id) AS BIGINT), SUM(CAST(doc_id AS DOUBLE) / 4)
+        |  FROM b WHERE doc_id % 37 = 0)
+        |ORDER BY version""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "evfeed_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val scratch = new graft.Session.Scratch
+      val chk = s"${scratch.dir}/chk241"
+      val out = s"${scratch.dir}/feed241"
+      val docs = Tables.load(s, dir, "documents")
+      val mx = docs.agg(max("doc_id")).first().getLong(0)
+      val base = docs.filter(col("doc_id") * 2 <= mx).select("doc_id", "lang")
+      graft.operators.Sinks.writeSnapshot(base, tdir)                   // v1
+      graft.operators.Sinks.declareSnapshotKeys(s, tdir, Seq("doc_id"))
+      graft.operators.Sinks.enableChangeFeed(s, tdir)
+      graft.operators.Sinks.deleteSnapshotKeys(s, tdir,
+        base.filter(col("doc_id") % 31 === 0).select("doc_id"),
+        Seq("doc_id")): Unit                                            // v2
+      graft.streaming.Streams.runChangeFeedCollect(s, chk, tdir, out, run = 1)
+      s.sql(s"ALTER TABLE $cat.$tbl ADD COLUMN score DOUBLE")
+      graft.operators.Sinks.upsertSnapshotRows(s, tdir,
+        base.filter(col("doc_id") % 37 === 0)
+          .withColumn("score", col("doc_id").cast("double") / 4),
+        Seq("doc_id")): Unit                                            // v3
+      graft.streaming.Streams.runChangeFeedCollect(s, chk, tdir, out, run = 2)
+      // the collected output straddles two widths — mergeSchema unions
+      // them; run-1 rows null-fill score (exact dyadic quarters: the sum
+      // is order-independent)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("run"), col("__version").as("version"),
+          col("__change").as("change"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("score")).as("sum_score"))
+        .orderBy("version")
     }
   )
 }
