@@ -54,6 +54,72 @@ class SourcesInternalsSpec extends AnyFunSuite {
     }
   }
 
+  test("FooterStats ≡ Spark's own min/max/null-count agg on random mixed-type data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // the fidelity contract q231's hash rides on: footer-read stats must
+    // equal what the old scan-side aggregation computed, per file, for
+    // every supported kind — longs, ints, strings (incl. non-ASCII,
+    // empty, and supplementary-plane characters, where java String order
+    // and UTF8 binary order disagree), doubles, dates, timestamps
+    // (TIMESTAMP_MICROS in this session), decimals, with nulls sprinkled
+    val rnd = new scala.util.Random(151515)
+    val strPool = Vector("", "a", "Z~", "é", "ÿ", "😀" /* 😀 */,
+      "zz", "Ω", "0", " lead", "trail ")
+    graft.Session.withScratch { s =>
+      val rows = (1 to 400).map { i =>
+        org.apache.spark.sql.Row(
+          i.toLong,
+          if (rnd.nextInt(10) == 0) null else rnd.nextLong(),
+          if (rnd.nextInt(10) == 0) null else Int.box(rnd.nextInt()),
+          if (rnd.nextInt(10) == 0) null
+          else strPool(rnd.nextInt(strPool.size)) + strPool(rnd.nextInt(strPool.size)),
+          if (rnd.nextInt(10) == 0) null else Double.box(rnd.nextGaussian() * 1e6),
+          if (rnd.nextInt(10) == 0) null
+          else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rnd.nextInt(40000) - 5000)),
+          if (rnd.nextInt(10) == 0) null
+          else java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            rnd.nextLong(4102444800L), rnd.nextInt(1000000) * 1000L)),
+          if (rnd.nextInt(10) == 0) null
+          else new java.math.BigDecimal(java.math.BigInteger.valueOf(
+            rnd.nextLong(1000000000000L) - 500000000000L), 4))
+      }
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("l", LongType),
+        StructField("i", IntegerType), StructField("s", StringType),
+        StructField("d", DoubleType), StructField("dt", DateType),
+        StructField("ts", TimestampType),
+        StructField("dec", DecimalType(16, 4))))
+      val df = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      val dir = s"${s.dir}/footer_eq"
+      df.repartition(7).write.parquet(dir)
+      val cols = Seq("l", "i", "s", "d", "dt", "ts", "dec")
+      val got = FooterStats.manifestFrame(spark, dir, schema, cols)
+        .collect().map(r => r.getString(0).split('/').last -> r).toMap
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c)).as(s"amin_$c"), max(col(c)).as(s"amax_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"anull_$c")))
+      val want = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("arc"), aggs: _*)
+        .collect().map(r => r.getString(0).split('/').last -> r).toMap
+      assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+      got.keySet.foreach { f =>
+        val g = got(f); val w = want(f)
+        assert(g.getLong(g.fieldIndex("rowcount")) == w.getLong(w.fieldIndex("arc")),
+          s"rowcount of $f")
+        cols.foreach { c =>
+          def gv(n: String) = g.get(g.fieldIndex(n))
+          def wv(n: String) = w.get(w.fieldIndex(n))
+          assert(gv(s"min_$c") == wv(s"amin_$c"), s"min_$c of $f")
+          assert(gv(s"max_$c") == wv(s"amax_$c"), s"max_$c of $f")
+          assert(gv(s"nullcount_$c") == wv(s"anull_$c"), s"nullcount_$c of $f")
+        }
+      }
+    }
+  }
+
   test("dayColumn agrees bit-for-bit with Math.floorDiv over the full Long range") {
     import spark.implicits._
     val d = PartitionedWorkspace.MicrosPerDay
