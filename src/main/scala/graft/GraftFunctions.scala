@@ -155,8 +155,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * dropped), and orphan cleanup (`snapshot_vacuum('t' [, graceMs])` →
     * orphans dropped). Like every injected TVF these resolve — and hence
     * EXECUTE — at analysis time: `spark.sql(...)` on a procedure IS the
-    * invocation (the Iceberg `CALL` semantics), so don't EXPLAIN one
-    * expecting a dry run. */
+    * invocation (the Iceberg `CALL` semantics), so don't EXPLAIN one —
+    * plan-only inspection (EXPLAIN, `df.schema`, a notebook's eager
+    * display of an unexecuted query) performs the maintenance. SQL-facing
+    * compaction goes through the claim-fenced
+    * [[graft.operators.Sinks.compactSnapshotCas]] (safe beside concurrent
+    * CAS writers — a SQL user cannot audit what else is committing); the
+    * last-writer-wins [[graft.operators.Sinks.compactSnapshot]] stays a
+    * JVM-only single-writer maintenance API. */
   private def snapshotCompactPlan(es: Seq[Expression]):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(es.length == 1 || es.length == 2,
@@ -166,7 +172,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       strLit(es.head, "snapshot_compact", "table"))
     val target = es.lift(1)
       .map(longLit(_, "snapshot_compact", "targetRows")).getOrElse(5000000L)
-    val v = graft.operators.Sinks.compactSnapshot(spark, dir, target)
+    val v = graft.operators.Sinks.compactSnapshotCas(spark, dir, target)
     import spark.implicits._
     Seq(v).toDF("version").queryExecution.logical
   }

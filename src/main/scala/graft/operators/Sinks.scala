@@ -314,26 +314,73 @@ object Sinks {
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
     val next = (snapshotVersions(spark, tableDir) ++
       claimedVersions(spark, tableDir)).foldLeft(base)(math.max) + 1
-    writeCompacted(cur, s"$tableDir/v=$next", targetRows)
-    markCompaction(spark, tableDir, next, base)
+    stageCompactedVersion(spark, tableDir, cur, next, base, targetRows)
     carryManifest(spark, tableDir, next)
     commitPointer(spark, tableDir, next)
     next
   }
 
-  /** Stamp `v=N/_compaction` (content = the version whose resolved rows
-    * this version materializes) BEFORE the pointer commit, so every
-    * committed compacted version carries its provenance: a compaction has
-    * an exactly-empty change grain (its rows ARE the prior committed
-    * state), which is what lets [[tableChanges]] span it on a
-    * change-feed-enabled table instead of severing the feed's version
-    * addressability. Underscore-prefixed, so data readers skip it. */
-  private def markCompaction(spark: SparkSession, tableDir: String,
-                             v: Int, base: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/_compaction")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, false)
-    try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+  /** [[compactSnapshot]] safe BESIDE live CAS writers — the variant the
+    * SQL `snapshot_compact` face uses, since a SQL user cannot audit what
+    * else is committing to the table. Optimistic: bind the committed
+    * base, claim the next version, and require the claim to be the
+    * IMMEDIATE successor — an intervening claim means another writer got
+    * between the base read and the claim, so release and re-bind against
+    * the new head (the rows to compact have changed). Converges in one
+    * pass on an idle table; bounded retries under contention, then
+    * `ConcurrentModificationException` (compaction is maintenance — a
+    * busy table defers, it never overwrites a concurrent commit the way
+    * the last-writer-wins [[compactSnapshot]] swap could). */
+  def compactSnapshotCas(spark: SparkSession, tableDir: String,
+                         targetRows: Long, maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = snapshotCommitted(spark, tableDir).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+      val v = claimNextVersion(spark, tableDir)
+      if (v == base + 1) {
+        try {
+          stageCompactedVersion(spark, tableDir,
+            readSnapshot(spark, tableDir, Some(base)), v, base, targetRows)
+          carryManifest(spark, tableDir, v)
+          commitPointerCas(spark, tableDir, v, tsMicros = None)
+        } catch { case scala.util.control.NonFatal(e) =>
+          releaseClaimIfUnpublished(spark, tableDir, v); throw e }
+        return v
+      }
+      releaseClaim(spark, tableDir, v)
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"snapshot_compact at $tableDir: lost the claim race $maxRetries " +
+        "times to concurrent writers; retry when the table quiesces")
+  }
+
+  /** Write a compacted version ATOMICALLY: [[writeCompacted]] output plus
+    * its `_compaction` provenance stamp land in a staging dir and appear
+    * as `v=N` in ONE rename — the marker is visible from the folder's
+    * first observable instant, preserving [[cachedMarker]]'s invariant
+    * (markers appear atomically with their folder; a probe of a
+    * half-written folder could otherwise permanently negative-cache the
+    * `compact` kind). A crash mid-stage leaves `.compact_staging_*`
+    * debris for [[vacuumOrphans]]' age-out, never a visible folder. */
+  private def stageCompactedVersion(spark: SparkSession, tableDir: String,
+                                    rows: DataFrame, v: Int, base: Int,
+                                    targetRows: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new org.apache.hadoop.fs.Path(tableDir,
+      s".compact_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      writeCompacted(rows, staged.toString, targetRows): Unit
+      val mp = new org.apache.hadoop.fs.Path(staged, "_compaction")
+      val out = mp.getFileSystem(spark.sessionState.newHadoopConf()).create(mp, false)
+      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+      val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
+      if (!fs.rename(staged, dest))
+        throw new IllegalStateException(
+          s"compaction publish: rename $staged -> $dest failed")
+    } finally if (fs.exists(staged)) fs.delete(staged, true): Unit
   }
 
   /** The version this compacted version materialized, if `v` was written
@@ -471,9 +518,12 @@ object Sinks {
                               commitTsMicros: Option[Long] = None): Int = {
     val spark = df.sparkSession
     val v = claimNextVersion(spark, tableDir)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$v")
-    carryManifest(spark, tableDir, v)
-    commitPointerCas(spark, tableDir, v, commitTsMicros)
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$v")
+      carryManifest(spark, tableDir, v)
+      commitPointerCas(spark, tableDir, v, commitTsMicros)
+    } catch { case scala.util.control.NonFatal(e) =>
+      releaseClaimIfUnpublished(spark, tableDir, v); throw e }
     v
   }
 
@@ -489,12 +539,15 @@ object Sinks {
                             staged: org.apache.hadoop.fs.Path,
                             tsMicros: Option[Long] = None): Int = {
     val v = claimNextVersion(spark, tableDir)
-    val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
-    val f = dest.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.rename(staged, dest))
-      throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
-    carryManifest(spark, tableDir, v)
-    commitPointerCas(spark, tableDir, v, tsMicros)
+    try {
+      val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
+      val f = dest.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!f.rename(staged, dest))
+        throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
+      carryManifest(spark, tableDir, v)
+      commitPointerCas(spark, tableDir, v, tsMicros)
+    } catch { case scala.util.control.NonFatal(e) =>
+      releaseClaimIfUnpublished(spark, tableDir, v); throw e }
     v
   }
 
@@ -532,11 +585,14 @@ object Sinks {
           s"v=$expectedBase but the claim landed at v=$v — another writer " +
           "claimed in between; re-read and retry")
     }
-    val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
-    if (!f.rename(staged, dest))
-      throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
-    carryManifest(spark, tableDir, v)
-    commitPointerCas(spark, tableDir, v, tsMicros)
+    try {
+      val dest = new org.apache.hadoop.fs.Path(tableDir, s"v=$v")
+      if (!f.rename(staged, dest))
+        throw new IllegalStateException(s"publish: rename $staged -> $dest failed")
+      carryManifest(spark, tableDir, v)
+      commitPointerCas(spark, tableDir, v, tsMicros)
+    } catch { case scala.util.control.NonFatal(e) =>
+      releaseClaimIfUnpublished(spark, tableDir, v); throw e }
     v
   }
 
@@ -608,6 +664,32 @@ object Sinks {
             "without a manifest (unpruned planning) — rewrite it with " +
             "writeSnapshotWithManifest to restore file skipping", e)
     }
+
+  /** Delete OUR claim file — claims are exclusively owned, so the holder
+    * may release unconditionally. */
+  private def releaseClaim(spark: SparkSession, tableDir: String,
+                           v: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false): Unit
+  }
+
+  /** Failure-path claim release for every post-claim publish body: a
+    * claim whose publish never LANDED (no commit record) must not outlive
+    * the failure — a leaked claim at `base+1` makes every later fenced
+    * publish forfeit with `ConcurrentModificationException` until a
+    * janitor runs, silently wedging the table (the triggering error is
+    * often swallowed by a non-fatal wrapper). Releasing is always safe
+    * here: allocation maxes over FOLDERS too, so a partially-written
+    * `v=N` folder still blocks number reuse until [[vacuumOrphans]]
+    * retires both together; a RECORDED commit keeps its claim (the repair
+    * loop will promote it — that publish did land). Never throws — this
+    * runs inside failure paths that must surface the original error. */
+  private def releaseClaimIfUnpublished(spark: SparkSession, tableDir: String,
+                                        v: Int): Unit =
+    try {
+      if (!recordedCommits(spark, tableDir).contains(v))
+        releaseClaim(spark, tableDir, v)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The CAS allocation loop (move 1), shared by both concurrent
     * publishers: max over folders, claims and the pointer, then try to
@@ -1088,17 +1170,20 @@ object Sinks {
                                     base: Int): Unit = {
     val v = claimNextVersion(spark, tableDir)
     if (v != base + 1) {
-      val fs = new org.apache.hadoop.fs.Path(tableDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_claims/v=$v"),
-        false): Unit
+      releaseClaim(spark, tableDir, v)
       return
     }
-    writeCompacted(readSnapshot(spark, tableDir, Some(base)),
-      s"$tableDir/v=$v", AutoCompactTargetRows): Unit
-    markCompaction(spark, tableDir, v, base)
-    carryManifest(spark, tableDir, v)
-    commitPointerCas(spark, tableDir, v, tsMicros = None)
+    try {
+      stageCompactedVersion(spark, tableDir,
+        readSnapshot(spark, tableDir, Some(base)), v, base,
+        AutoCompactTargetRows)
+      carryManifest(spark, tableDir, v)
+      commitPointerCas(spark, tableDir, v, tsMicros = None)
+    } catch { case scala.util.control.NonFatal(e) =>
+      // the caller swallows this (post-commit, non-fatal) — the claim MUST
+      // be released here or the table wedges: every later fenced publish
+      // would forfeit against a claim nobody is writing
+      releaseClaimIfUnpublished(spark, tableDir, v); throw e }
   }
 
   /** Re-derive and land any committed THIN version whose feed file is
@@ -1683,14 +1768,37 @@ object Sinks {
     if (dropped.nonEmpty) invalidateMarkerCache(tableDir)
     // crashed writers that never reached publish leave `.dml_staging_*`
     // folders (publish renames staging into v=N; a JVM crash mid-stage
-    // orphans it), and a crash inside the change-feed landing leaves
-    // `.cdf_staging_*` — same age discipline, same grace window
+    // orphans it), a crash inside the change-feed landing leaves
+    // `.cdf_staging_*`, and a crashed compaction leaves
+    // `.compact_staging_*` — same age discipline, same grace window
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory &&
         (s.getPath.getName.startsWith(".dml_staging_") ||
-          s.getPath.getName.startsWith(".cdf_staging_")) &&
+          s.getPath.getName.startsWith(".cdf_staging_") ||
+          s.getPath.getName.startsWith(".compact_staging_")) &&
         now - s.getModificationTime > graceMs)
       .foreach(s => fs.delete(s.getPath, true))
+    // FOLDER-LESS claims: a writer that crashed after claiming but before
+    // any byte of `v=N` landed (or a pre-fix failure path that leaked its
+    // claim) leaves a claim file no folder-keyed cleanup above ever
+    // reaches — and a leaked claim at `base+1` wedges every fenced publish
+    // indefinitely. Age-out by the claim FILE's mtime: a live writer's
+    // claim is younger than any sane grace, and its folder (once a byte
+    // lands) protects the number regardless.
+    val claimsDir = new org.apache.hadoop.fs.Path(s"$tableDir/_claims")
+    if (fs.exists(claimsDir)) {
+      val folders = snapshotVersions(spark, tableDir).toSet
+      fs.listStatus(claimsDir).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith("v=") && n.drop(2).nonEmpty &&
+            n.drop(2).forall(_.isDigit) &&
+            !folders.contains(n.drop(2).toInt) &&
+            !recorded.contains(n.drop(2).toInt) &&
+            now - s.getModificationTime > graceMs
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+    }
     dropped
   }
 

@@ -824,4 +824,109 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.snapshot.autoCompactDepth")
     s.close()
   }
+
+  test("a failed fenced publish releases its claim — the table does not wedge") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/claim_release"
+    Sinks.writeSnapshot(Seq((1L, "a")).toDF("id", "v"), table)       // v1
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a staged path that does not exist makes the publish's rename fail
+    // AFTER the claim CAS handed out v=2 — pre-fix, _claims/v=2 leaked and
+    // every later fenced publish forfeited forever
+    intercept[Exception] {
+      Sinks.publishStagedSnapshotFenced(spark, table,
+        new org.apache.hadoop.fs.Path(s"${s.dir}/nope_never_staged"),
+        expectedBase = 1)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/_claims/v=2")),
+      "the failed publish leaked its claim")
+    // the wedge regression: the next thin commit must land, not forfeit
+    val v2 = Sinks.appendSnapshotRows(spark, table,
+      Seq((2L, "b")).toDF("id", "v"))
+    assert(v2 == 2 && Sinks.snapshotCommitted(spark, table).contains(2))
+    assert(Sinks.readSnapshot(spark, table).count() == 2)
+    s.close()
+  }
+
+  test("a failed auto-compaction releases its claim (the caller swallows the error)") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/ac_claim_release"
+    Sinks.writeSnapshot(Seq((1L, "a")).toDF("id", "v"), table)       // v1
+    val head = Sinks.appendSnapshotRows(spark, table,
+      Seq((2L, "b")).toDF("id", "v"))                                // v2 thin
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // destroy the thin chain's base so the compaction's resolver read
+    // throws after the claim landed
+    fs.delete(new org.apache.hadoop.fs.Path(s"$table/v=1"), true): Unit
+    intercept[Exception] { Sinks.autoCompactCas(spark, table, head) }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$table/_claims/v=${head + 1}")),
+      "a failed auto-compaction leaked its claim — the table would wedge " +
+        "silently (autoCompactIfDeep swallows the error)")
+    s.close()
+  }
+
+  test("vacuumOrphans ages out folder-less claims; live and recorded claims survive") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/claim_vacuum"
+    // v1 through the CAS path: its claim has a commit record → protected
+    assert(Sinks.writeSnapshotConcurrent(
+      Seq((1L, "a")).toDF("id", "v"), table) == 1)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = new org.apache.hadoop.fs.Path(s"$table/_claims/v=7")
+    val fresh = new org.apache.hadoop.fs.Path(s"$table/_claims/v=8")
+    fs.create(stale, false).close()
+    fs.create(fresh, false).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 120000L, -1)
+    Sinks.vacuumOrphans(spark, table, graceMs = 60000L): Unit
+    assert(!fs.exists(stale), "aged folder-less claim must be vacuumed")
+    assert(fs.exists(fresh), "a young claim may belong to a live writer")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$table/_claims/v=1")),
+      "a recorded commit's claim is not debris")
+    s.close()
+  }
+
+  test("compactSnapshotCas: provenance-stamped commit; a wedged foreign claim defers, never overwrites") {
+    import spark.implicits._
+    val s = new graft.Session.Scratch
+    val table = s"${s.dir}/compact_cas"
+    assert(Sinks.writeSnapshotConcurrent(
+      Seq((1L, "a")).toDF("id", "v"), table) == 1)
+    val head = Sinks.appendSnapshotRows(spark, table,
+      Seq((2L, "b")).toDF("id", "v"))                                // v2 thin
+    val vc = Sinks.compactSnapshotCas(spark, table, targetRows = 1000L)
+    assert(vc == head + 1)
+    assert(Sinks.snapshotCommitted(spark, table).contains(vc))
+    assert(Sinks.compactionBase(spark, table, vc).contains(head),
+      "the _compaction provenance must ride the folder")
+    assert(Sinks.chainDepth(spark, table, vc) == 0)
+    assert(Sinks.readSnapshot(spark, table).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(1L, 2L))
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(table)).exists(
+      _.getPath.getName.startsWith(".compact_staging_")),
+      "staged compaction must leave no residue")
+    // a foreign claim at head+1 that never commits: the CAS compactor must
+    // defer (bounded retries → ConcurrentModificationException), release
+    // every claim it transiently took, and leave the pointer untouched
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$table/_claims/v=${vc + 1}"), false).close()
+    intercept[java.util.ConcurrentModificationException] {
+      Sinks.compactSnapshotCas(spark, table, targetRows = 1000L, maxRetries = 2)
+    }
+    assert(Sinks.snapshotCommitted(spark, table).contains(vc))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/v=${vc + 1}")),
+      "never write into another writer's claimed number")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$table/_claims/v=${vc + 2}")),
+      "the deferring compactor must release its own transient claims")
+    s.close()
+  }
 }
