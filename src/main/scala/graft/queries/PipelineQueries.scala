@@ -5974,11 +5974,21 @@ object PipelineQueries {
     // layout's semantics being live (a post-respec day-grained DELETE),
     // and the resulting LEAF LISTING (leaf_days = surviving ts_day dirs)
     // on the oracle hash.
+    // Extended in r16 with the respec's COMPOSITION guarantees: a
+    // post-retire DML crash's parked partition (the rows' ONLY copy, under
+    // `.retired_*` inside the table dir) is REPAIRED before the respec's
+    // read — the full content surviving on the hash IS the proof, since a
+    // pre-fix respec baked those rows out and destroyed the parked copy;
+    // the `.stats_cols` manifest opt-in rides the swap (every new leaf
+    // carries a complete manifest that prunes an impossible band to zero);
+    // and the staged rewrite is SIZED (per-leaf file count within the
+    // maxRecordsPerFile bound, never one-per-upstream-task).
     Q("q240_partition_respec", {
       """WITH k AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT)
         |             AS leaf_days
         |           FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
-        |SELECT e.event_id, e.event_type, k.leaf_days, 1 AS was_identity
+        |SELECT e.event_id, e.event_type, k.leaf_days, 1 AS was_identity,
+        |       1 AS manifest_carried, 1 AS files_bounded
         |FROM events e, k
         |WHERE e.ts < TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY e.event_id""".stripMargin
@@ -5991,14 +6001,51 @@ object PipelineQueries {
       s.sql(s"""INSERT INTO $cat.respec
                |SELECT event_id, ts, event_type
                |FROM parquet.`$dir/events.parquet`""".stripMargin)
-      val f = new org.apache.hadoop.fs.Path(s"$ws/respec.parquet")
+      val tdir = s"$ws/respec.parquet"
+      val f = new org.apache.hadoop.fs.Path(tdir)
         .getFileSystem(s.sessionState.newHadoopConf())
-      def topDirs() = f.listStatus(
-        new org.apache.hadoop.fs.Path(s"$ws/respec.parquet"))
+      def topDirs() = f.listStatus(new org.apache.hadoop.fs.Path(tdir))
         .filter(_.isDirectory).map(_.getPath.getName).toSeq
       val wasIdentity = topDirs().nonEmpty &&
         topDirs().forall(_.startsWith("event_type="))
+      // opt into per-leaf manifests BEFORE the respec — the carry is the fact
+      graft.sources.PartitionManifest.enable(s, tdir, Seq("event_id")): Unit
+      // simulate a partitioned DML statement that crashed POST-RETIRE and
+      // whose lock aged out: one partition's only copy sits parked under
+      // `.retired_*`. The respec must repair it BEFORE its full-table read,
+      // or those rows vanish from the new layout and the hash breaks.
+      val victim = topDirs().filter(_.startsWith("event_type=")).sorted.head
+      val parked = new org.apache.hadoop.fs.Path(
+        s"$tdir/.retired_q240crash/$victim")
+      f.mkdirs(parked.getParent)
+      if (!f.rename(new org.apache.hadoop.fs.Path(s"$tdir/$victim"), parked))
+        throw new IllegalStateException("q240: could not stage the crash state")
       graft.sources.PartitionEvolution.repartition(s, ws, "respec", "days:ts")
+      // fact: the opt-in survived and every new leaf prunes (complete
+      // manifest, stamped pre-swap, published by the same rename)
+      val leaves = f.listStatus(new org.apache.hadoop.fs.Path(tdir))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ts_day="))
+        .map(_.getPath).toSeq
+      val impossible = Seq(org.apache.spark.sql.sources.GreaterThan(
+        "event_id", Long.MaxValue / 2))
+      val manifestCarried =
+        f.exists(graft.sources.PartitionManifest.markerPath(tdir)) &&
+          leaves.nonEmpty && leaves.forall(leaf =>
+            graft.sources.PartitionManifest.prunedFiles(s, leaf, impossible)
+              .exists(_.isEmpty))
+      // fact: staged files are sized — each leaf's file count within the
+      // maxRecordsPerFile bound of its row count (clustered write = one
+      // task per leaf; an unsized partitionBy writes one file per task)
+      val target = s.conf
+        .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
+      val filesBounded = leaves.forall { leaf =>
+        val files = f.listStatus(leaf).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+        val rows = files.map(p => graft.sources.FooterStats.fileStats(
+          s.sessionState.newHadoopConf(), p.getPath,
+          new org.apache.spark.sql.types.StructType(), Nil)._1).sum
+        files.length <= ((rows + target - 1) / target).max(1L)
+      }
       // the respec'd layout is LIVE: a day-grained DELETE rewrites only
       // matching day directories and drops their leaves
       s.sql(s"DELETE FROM $cat.respec WHERE " +
@@ -6007,6 +6054,8 @@ object PipelineQueries {
       s.sql(s"SELECT event_id, event_type FROM $cat.respec")
         .withColumn("leaf_days", lit(leafDays))
         .withColumn("was_identity", lit(if (wasIdentity) 1 else 0))
+        .withColumn("manifest_carried", lit(if (manifestCarried) 1 else 0))
+        .withColumn("files_bounded", lit(if (filesBounded) 1 else 0))
         .orderBy("event_id")
     },
 

@@ -102,6 +102,29 @@ object PartitionEvolution {
         .getOrElse(spark.read.parquet(dir.toString).schema)
       val oldLevels = levelsOf(oldMarker.getOrElse(""), declared)
 
+      // COMPOSE WITH THE DML CRASH PROTOCOL before reading a byte: a
+      // partitioned statement that crashed post-retire parks the ONLY copy
+      // of its partitions' rows under `.retired_*` INSIDE the table dir
+      // (PartitionedWorkspace.retiredRoot). The full-table read below sees
+      // only the live directory (dot-dirs invisible), so without repair
+      // the respec'd layout would publish WITHOUT those rows — and
+      // finishSwap's recursive delete of the parked old dir would then
+      // destroy their only copy. The lock is already held, so the DIRECT
+      // repair variant is correct (same discipline as publishPartitioned).
+      if (oldLevels.nonEmpty)
+        new PartitionedWorkspaceTable(table, spark, dir.toString,
+          declared, oldLevels).repairRetiredPartitions()
+      val unrepaired = f.listStatus(dir).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(".retired_"))
+      if (unrepaired.nonEmpty)
+        throw new IllegalStateException(
+          s"repartition: unrepairable crashed-DML debris under $dir " +
+            s"(${unrepaired.map(_.getPath.getName).mkString(", ")}) — these " +
+            "parked directories may hold the only copy of retired rows and " +
+            "a respec would delete them with the old layout. Load the " +
+            "table through its catalog to repair, or inspect by hand, " +
+            "then retry")
+
       // current rows, partition columns re-attached as data columns
       val rows: DataFrame =
         if (oldLevels.isEmpty) spark.read.schema(declared).parquet(dir.toString)
@@ -156,10 +179,47 @@ object PartitionEvolution {
               .otherwise(PartitionedWorkspace.dayColumn(col(c), isDate)))
           d.pathName
       }
-      val w = shaped.write
+      // FILE SIZING (the small-files defense at respec scale): a bare
+      // partitionBy write emits one file per (task × leaf) — 32k tasks ×
+      // 3650 days would be a 100M-file bomb. Cluster rows by the path
+      // columns first (each leaf lands in ONE task, so one file), with
+      // `maxRecordsPerFile` splitting genuinely giant leaves — the same
+      // shaping contract as Sinks.writeCompacted. Flat respecs size by
+      // the record cap alone (no extra count() pass over 100 TB).
+      val targetRows = spark.conf
+        .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
+      val sized =
+        if (pathNames.nonEmpty) shaped.repartition(pathNames.map(col): _*)
+        else shaped
+      val w = sized.write
         .option("spark.sql.parquet.fieldId.write.enabled", "true")
+        .option("maxRecordsPerFile", targetRows)
       (if (pathNames.nonEmpty) w.partitionBy(pathNames: _*) else w)
         .parquet(staged.toString)
+
+      // carry the per-leaf manifest OPT-IN through the respec: the
+      // `.stats_cols` marker lives INSIDE the table dir and would retire
+      // (and delete) with the parked copy, silently turning in-leaf file
+      // skipping OFF table-wide. Re-resolve against the new FILE schema
+      // (identity partition values live in directory names, not files),
+      // stamp every staged leaf's manifest from its footers, and land the
+      // marker in the staged dir — marker + manifests then ride
+      // finishSwap's single rename, crash-atomic with the data (the
+      // journal is written AFTER, so roll-forward recovery publishes them
+      // together).
+      PartitionManifest.statsCols(f, dir.toString).foreach { cols =>
+        val fileSchema = StructType(canonical.fields.filterNot(fd =>
+          idCols.exists(_.equalsIgnoreCase(fd.name))))
+        val resolved = FooterStats.resolveCols(fileSchema,
+          cols.filter(c => fileSchema.fieldNames.exists(_.equalsIgnoreCase(c))))
+        if (newLevels.nonEmpty)
+          PartitionManifest.leafDirsOf(f, staged).foreach(
+            PartitionManifest.writeLeafManifest(spark, _, fileSchema, resolved))
+        val mk = PartitionManifest.markerPath(staged.toString)
+        val out = f.create(mk, true)
+        try out.write(resolved.mkString(",").getBytes("UTF-8"))
+        finally out.close()
+      }
 
       // 2. journal the commit intent, then the rename dance (3..6)
       writeSmall(spark, journal(ws, table),

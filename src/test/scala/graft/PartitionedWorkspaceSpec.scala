@@ -786,4 +786,90 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
       "post-retire crash must roll forward to the staged layout")
     assert(!f.exists(jr) && !f.exists(parked2) && !f.exists(staged2))
   }
+
+  test("respec repairs crashed-DML debris first: parked rows survive into the new layout") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val f = fs(ws)
+    // a partitioned DML statement crashed POST-RETIRE: src=s1's only copy
+    // sits parked under `.retired_*` inside the table dir (staging never
+    // published; the statement's lock has since aged out). Pre-fix, a
+    // direct repartition() read only the live directory — the respec'd
+    // layout published WITHOUT s1's 10 rows and finishSwap's recursive
+    // delete of the parked old dir destroyed their only copy.
+    val pdir = new org.apache.hadoop.fs.Path(s"$ws/pt.parquet/src=s1")
+    val aside = new org.apache.hadoop.fs.Path(
+      s"$ws/pt.parquet/.retired_crash001/src=s1")
+    f.mkdirs(aside.getParent): Unit
+    assert(f.rename(pdir, aside))
+    // direct call — NO intervening catalog loadTable (its load-time repair
+    // would mask the bug)
+    graft.sources.PartitionEvolution.repartition(spark, ws, "pt", "")
+    spark.catalog.refreshByPath(s"$ws/pt.parquet")
+    val out = spark.table(s"$cat.pt")
+    assert(out.count() == 30, "parked rows were baked out of the respec")
+    assert(out.filter(col("src") === "s1").count() == 10,
+      "the crashed statement's partition must survive with its " +
+        "pre-statement content")
+    // no debris anywhere: the parked dir was repaired, not destroyed
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(s"$ws/pt.parquet"))
+      .exists(_.getPath.getName.startsWith(".retired_")))
+  }
+
+  test("respec carries the manifest opt-in and sizes staged files") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pr (event_id BIGINT, ts TIMESTAMP, " +
+      s"kind STRING) PARTITIONED BY (kind)")
+    (0 until 3).foreach { b =>
+      spark.sql(
+        s"""INSERT INTO $cat.pr
+           |SELECT id + ${b * 1000},
+           |  timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,(id % 72)*3600),
+           |  CONCAT('k', id % 2)
+           |FROM RANGE(48)""".stripMargin)
+    }
+    val tdir = s"$ws/pr.parquet"
+    graft.sources.PartitionManifest.enable(spark, tdir, Seq("event_id")): Unit
+    val f = fs(ws)
+    assert(f.exists(graft.sources.PartitionManifest.markerPath(tdir)))
+    def content() = spark.sql(
+      s"SELECT event_id, ts, kind FROM $cat.pr ORDER BY event_id")
+      .collect().map(_.toString).toSeq
+    val before = content()
+    // respec identity(kind) -> days(ts), with a tiny per-file row target so
+    // the write must SPLIT leaves into multiple bounded files
+    spark.conf.set("graft.repartition.targetRowsPerFile", "10")
+    try graft.sources.PartitionEvolution.repartition(spark, ws, "pr", "days:ts")
+    finally spark.conf.unset("graft.repartition.targetRowsPerFile")
+    spark.catalog.refreshByPath(tdir)
+    assert(content() == before, "content identity broke across the respec")
+    // 1. the `.stats_cols` opt-in survived the swap (pre-fix: retired and
+    //    recursively deleted with the parked old layout)
+    assert(f.exists(graft.sources.PartitionManifest.markerPath(tdir)),
+      "respec silently destroyed the manifest opt-in")
+    // 2. every new leaf carries a COMPLETE manifest (stamped pre-swap,
+    //    published by the same rename): an impossible band prunes to zero
+    val leaves = f.listStatus(new org.apache.hadoop.fs.Path(tdir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ts_day="))
+      .map(_.getPath).toSeq
+    assert(leaves.size == 2, s"48 hours should respec into 2 days: $leaves")
+    leaves.foreach { leaf =>
+      val pruned = graft.sources.PartitionManifest.prunedFiles(spark, leaf,
+        Seq(org.apache.spark.sql.sources.GreaterThan("event_id", 999999L)))
+      assert(pruned.isDefined, s"$leaf lost in-leaf file skipping after respec")
+      assert(pruned.get.isEmpty, s"$leaf manifest failed to prune")
+      // 3. staged files are SIZED: ~48 rows per day at 10 rows/file must
+      //    split into several bounded files, never one-per-upstream-task
+      val nFiles = f.listStatus(leaf)
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      assert(nFiles >= 2 && nFiles <= 12,
+        s"$leaf has $nFiles files — staged rewrite is not sized")
+    }
+    // 4. in-leaf skipping serves through SQL on the NEW layout (the hidden
+    //    days scan consults leaf manifests at plan time)
+    def q = spark.sql(s"SELECT event_id FROM $cat.pr WHERE " +
+      s"ts < timestamp'2024-01-02 00:00:00' AND event_id > 999999")
+    assert(plannedFiles(q).isEmpty, "post-respec manifest must prune the plan")
+    assert(q.count() == 0)
+  }
 }
