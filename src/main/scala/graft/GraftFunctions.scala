@@ -177,6 +177,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Seq(v).toDF("version").queryExecution.logical
   }
 
+  /** `workspace_compact('cat.table' [, targetRows [, minFiles]])` — the
+    * partitioned-workspace OPTIMIZE
+    * ([[graft.sources.PartitionCompaction.compactPartitions]]): rewrite
+    * every leaf holding >= minFiles small files through the retire-by-
+    * rename protocol (manifests re-stamped, untouched leaves keep their
+    * mtimes). Returns one row per compacted leaf. Executes at analysis
+    * time like every procedure TVF. */
+  private def workspaceCompactPlan(es: Seq[Expression]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.nonEmpty && es.length <= 3,
+      "workspace_compact(table [, targetRows [, minFiles]])")
+    val spark = SparkSession.active
+    val ref = strLit(es.head, "workspace_compact", "table")
+    val (ws, tbl) =
+      if (ref.contains("/")) {
+        // a direct table directory `<ws>/<name>.parquet`
+        val p = new org.apache.hadoop.fs.Path(ref)
+        require(p.getName.endsWith(".parquet"),
+          s"workspace_compact: directory must be a <ws>/<table>.parquet " +
+            s"workspace table dir, got '$ref'")
+        (p.getParent.toString, p.getName.stripSuffix(".parquet"))
+      } else ref.split('.') match {
+        case Array(cat, t) =>
+          val w = spark.conf.getOption(s"spark.sql.catalog.$cat.workspace")
+            .getOrElse(throw new IllegalArgumentException(
+              s"workspace_compact: no catalog '$cat' with a workspace on " +
+                "this session"))
+          (w, t)
+        case _ => throw new IllegalArgumentException(
+          s"workspace_compact: table must be 'catalog.table' or a " +
+            s"directory path, got '$ref'")
+      }
+    val target = es.lift(1)
+      .map(longLit(_, "workspace_compact", "targetRows")).getOrElse(5000000L)
+    val minFiles = es.lift(2)
+      .map(GraftFunctions.intLit(_, "workspace_compact", "minFiles"))
+      .getOrElse(2)
+    val res = graft.sources.PartitionCompaction
+      .compactPartitions(spark, ws, tbl, target, minFiles)
+    spark.catalog.refreshByPath(s"$ws/$tbl.parquet")
+    import spark.implicits._
+    res.toDF("partition", "files_before", "files_after")
+      .queryExecution.logical
+  }
+
   private def snapshotExpirePlan(es: Seq[Expression]):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(es.length == 2, "snapshot_expire(table, keep)")
@@ -216,7 +261,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "snapshot_history" -> snapshotHistoryPlan,
       "snapshot_compact" -> snapshotCompactPlan,
       "snapshot_expire" -> snapshotExpirePlan,
-      "snapshot_vacuum" -> snapshotVacuumPlan
+      "snapshot_vacuum" -> snapshotVacuumPlan,
+      "workspace_compact" -> workspaceCompactPlan
     ).foreach { case (name, plan) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),

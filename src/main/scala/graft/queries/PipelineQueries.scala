@@ -6120,6 +6120,68 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
           sum(col("score")).as("sum_score"))
         .orderBy("version")
+    },
+
+    // ---- workspace: partition COMPACTION (r16) -------------------------------
+    // The partitioned tables' OPTIMIZE (VERDICT r15 missing #2): V1
+    // `INSERT INTO` appends fragment day leaves forever and stale their
+    // manifests into no-ops until the next DML rewrite — at 100 TB a
+    // 100k-file day is the #1 operational lake complaint. The face builds
+    // every day as exactly 4 single-task insert files (3 pre-opt-in + 1
+    // that both fragments further AND stales the fresh manifests), probes
+    // the PHYSICAL plan before (stale manifest serves unpruned: 8 files
+    // kept across the 2-day band), compacts through the SQL
+    // `workspace_compact` TVF, and probes after (1 sized file per day,
+    // fresh manifests: 2 kept). Per-day content aggregates plus all four
+    // facts ride the oracle hash.
+    Q("q242_workspace_compact", {
+      """WITH n AS (SELECT MAX(event_id) + 1 AS big FROM events),
+        |d AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT)
+        |        AS leaves FROM events)
+        |SELECT CAST(e.ts AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(e.event_id + b.v * n.big) AS BIGINT) AS sum_ids,
+        |  8 AS files_kept_stale, 2 AS files_kept_compacted,
+        |  d.leaves AS leaves_compacted, 1 AS all_4_to_1
+        |FROM events e, n, d, (VALUES (0),(1),(2),(3)) AS b(v)
+        |GROUP BY CAST(e.ts AS DATE), d.leaves
+        |ORDER BY day""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wcomp")
+      s.sql(s"""CREATE TABLE $cat.wcomp (event_id BIGINT, ts TIMESTAMP,
+               |event_type STRING) PARTITIONED BY (days(ts))""".stripMargin)
+      val big = Tables.load(s, dir, "events")
+        .agg(max("event_id") + 1).first().getLong(0)
+      def insertCopy(b: Int): Unit =
+        s.sql(s"""INSERT INTO $cat.wcomp
+                 |SELECT /*+ REPARTITION(1) */ event_id + ${b * big}, ts,
+                 |       event_type
+                 |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      (0 until 3).foreach(insertCopy)
+      graft.sources.PartitionManifest.enable(s, s"$ws/wcomp.parquet",
+        Seq("event_id")): Unit
+      insertCopy(3) // fragments every day to 4 files AND stales manifests
+      def band = s.sql(
+        s"""SELECT event_id FROM $cat.wcomp
+           |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-05 00:00:00'
+           |  AND event_id >= $big AND event_id < ${2 * big}""".stripMargin)
+      val keptStale = plannedFiles(band).size
+      val res = s.sql(s"SELECT * FROM workspace_compact('$cat.wcomp')")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      val keptCompacted = plannedFiles(band).size
+      s.table(s"$cat.wcomp")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_ids"))
+        .withColumn("files_kept_stale", lit(keptStale))
+        .withColumn("files_kept_compacted", lit(keptCompacted))
+        .withColumn("leaves_compacted", lit(res.length))
+        .withColumn("all_4_to_1",
+          lit(if (res.nonEmpty && res.forall(t => t._2 == 4 && t._3 == 1)) 1
+              else 0))
+        .orderBy("day")
     }
   )
 }

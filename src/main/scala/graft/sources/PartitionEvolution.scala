@@ -41,15 +41,15 @@ object PartitionEvolution {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def tableDir(ws: String, name: String) = new Path(s"$ws/$name.parquet")
-  private def sidecar(ws: String, name: String) =
+  private[sources] def tableDir(ws: String, name: String) = new Path(s"$ws/$name.parquet")
+  private[sources] def sidecar(ws: String, name: String) =
     new Path(s"$ws/_graft_schema/$name.json")
-  private def partMarker(ws: String, name: String) =
+  private[sources] def partMarker(ws: String, name: String) =
     new Path(s"$ws/_graft_schema/$name.part")
   private def journal(ws: String, name: String) =
     new Path(s"$ws/_graft_schema/$name.repart")
 
-  private def readSmall(spark: SparkSession, p: Path): Option[String] = {
+  private[sources] def readSmall(spark: SparkSession, p: Path): Option[String] = {
     val f = fsOf(spark, p)
     if (!f.exists(p)) None
     else {
@@ -76,7 +76,7 @@ object PartitionEvolution {
       throw new IllegalStateException(s"small-file write: rename to $p failed")
   }
 
-  private def levelsOf(marker: String, declared: StructType): Seq[PartLevel] =
+  private[sources] def levelsOf(marker: String, declared: StructType): Seq[PartLevel] =
     if (marker.isEmpty) Nil
     else if (marker.startsWith("days:")) {
       val c = marker.stripPrefix("days:")
@@ -162,40 +162,9 @@ object PartitionEvolution {
       // a NULL key has no directory the DML paths could ever match)
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val staged = new Path(ws, s".repart_${table}_$tag")
-      val ordered = rows.select(canonical.fields.map(fd =>
-        col(fd.name).as(fd.name, fd.metadata)).toIndexedSeq: _*)
-      var shaped = ordered
-      val pathNames = newLevels.map {
-        case IdentityLevel(c) =>
-          shaped = shaped.withColumn(c,
-            when(col(c).isNull, raise_error(lit(
-              s"repartition: NULL in partition column $c")).cast(
-              canonical(c).dataType)).otherwise(col(c)))
-          c
-        case d @ DaysLevel(c, isDate) =>
-          shaped = shaped.withColumn(d.pathName,
-            when(col(c).isNull, raise_error(lit(
-              s"repartition: NULL in partition source $c")).cast(LongType))
-              .otherwise(PartitionedWorkspace.dayColumn(col(c), isDate)))
-          d.pathName
-      }
-      // FILE SIZING (the small-files defense at respec scale): a bare
-      // partitionBy write emits one file per (task × leaf) — 32k tasks ×
-      // 3650 days would be a 100M-file bomb. Cluster rows by the path
-      // columns first (each leaf lands in ONE task, so one file), with
-      // `maxRecordsPerFile` splitting genuinely giant leaves — the same
-      // shaping contract as Sinks.writeCompacted. Flat respecs size by
-      // the record cap alone (no extra count() pass over 100 TB).
       val targetRows = spark.conf
         .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
-      val sized =
-        if (pathNames.nonEmpty) shaped.repartition(pathNames.map(col): _*)
-        else shaped
-      val w = sized.write
-        .option("spark.sql.parquet.fieldId.write.enabled", "true")
-        .option("maxRecordsPerFile", targetRows)
-      (if (pathNames.nonEmpty) w.partitionBy(pathNames: _*) else w)
-        .parquet(staged.toString)
+      stageLayoutWrite(spark, rows, canonical, newLevels, staged, targetRows)
 
       // carry the per-leaf manifest OPT-IN through the respec: the
       // `.stats_cols` marker lives INSIDE the table dir and would retire
@@ -226,6 +195,48 @@ object PartitionEvolution {
         s"$tag\n$newSpec\n${canonical.json}")
       finishSwap(spark, ws, table, tag, newSpec, canonical.json)
     } finally WorkspaceDmlLock.release(spark, lock)
+  }
+
+  /** Stage `rows` in the layout `levels` describes, SIZED (the small-files
+    * defense at rewrite scale): a bare partitionBy write emits one file per
+    * (task × leaf) — 32k tasks × 3650 days would be a 100M-file bomb.
+    * Cluster rows by the path columns first (each leaf lands in ONE task,
+    * so one file), with `maxRecordsPerFile` splitting genuinely giant
+    * leaves — the same shaping contract as Sinks.writeCompacted. Flat
+    * layouts size by the record cap alone (no extra count() pass over
+    * 100 TB). NULL partition values are rejected (a NULL key has no
+    * directory the DML paths could ever match); field-id metadata rides
+    * through so RENAME COLUMN history keeps resolving. Shared by the
+    * respec rewrite and [[PartitionCompaction]]. */
+  private[sources] def stageLayoutWrite(spark: SparkSession, rows: DataFrame,
+                                        canonical: StructType,
+                                        levels: Seq[PartLevel], dest: Path,
+                                        targetRows: Long): Unit = {
+    val ordered = rows.select(canonical.fields.map(fd =>
+      col(fd.name).as(fd.name, fd.metadata)).toIndexedSeq: _*)
+    var shaped = ordered
+    val pathNames = levels.map {
+      case IdentityLevel(c) =>
+        shaped = shaped.withColumn(c,
+          when(col(c).isNull, raise_error(lit(
+            s"partitioned rewrite: NULL in partition column $c")).cast(
+            canonical(c).dataType)).otherwise(col(c)))
+        c
+      case d @ DaysLevel(c, isDate) =>
+        shaped = shaped.withColumn(d.pathName,
+          when(col(c).isNull, raise_error(lit(
+            s"partitioned rewrite: NULL in partition source $c")).cast(LongType))
+            .otherwise(PartitionedWorkspace.dayColumn(col(c), isDate)))
+        d.pathName
+    }
+    val sized =
+      if (pathNames.nonEmpty) shaped.repartition(pathNames.map(col): _*)
+      else shaped
+    val w = sized.write
+      .option("spark.sql.parquet.fieldId.write.enabled", "true")
+      .option("maxRecordsPerFile", targetRows)
+    (if (pathNames.nonEmpty) w.partitionBy(pathNames: _*) else w)
+      .parquet(dest.toString)
   }
 
   /** Steps 3–6, shared by the live path and roll-forward recovery. Every

@@ -872,4 +872,85 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     assert(plannedFiles(q).isEmpty, "post-respec manifest must prune the plan")
     assert(q.count() == 0)
   }
+
+  test("compactPartitions: fragmented leaves rewrite, compact leaves untouched, manifests re-stamped") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pc (event_id BIGINT, ts TIMESTAMP, " +
+      s"kind STRING) PARTITIONED BY (days(ts))")
+    // 3 single-task inserts → 2 days × 3 files each
+    (0 until 3).foreach { b =>
+      spark.sql(
+        s"""INSERT INTO $cat.pc
+           |SELECT /*+ REPARTITION(1) */ id + ${b * 1000},
+           |  timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,(id % 48)*3600),
+           |  CONCAT('k', id % 2)
+           |FROM RANGE(48)""".stripMargin)
+    }
+    // one already-compact day (single file) that must stay untouched
+    spark.sql(s"INSERT INTO $cat.pc VALUES " +
+      s"(9000, timestamp'2024-01-10 12:00:00', 'solo')")
+    val tdir = s"$ws/pc.parquet"
+    graft.sources.PartitionManifest.enable(spark, tdir, Seq("event_id")): Unit
+    // one MORE append fragments day 19723 further AND stales its manifest
+    spark.sql(s"INSERT INTO $cat.pc VALUES " +
+      s"(9001, timestamp'2024-01-01 05:00:00', 'late')")
+    def content() = spark.sql(
+      s"SELECT event_id, ts, kind FROM $cat.pc ORDER BY event_id")
+      .collect().map(_.toString).toSeq
+    val before = content()
+    val f = fs(ws)
+    val soloBefore = fileTimes(ws, "pc", "ts_day=19732") // Jan 10
+    Thread.sleep(1100)
+    val res = graft.sources.PartitionCompaction
+      .compactPartitions(spark, ws, "pc").sortBy(_._1)
+    spark.catalog.refreshByPath(tdir)
+    // only the two fragmented days compacted: 4 and 3 files → 1 each
+    assert(res.map(_._1) == Seq("ts_day=19723", "ts_day=19724"), res)
+    assert(res.map(_._2) == Seq(4, 3), s"before counts: $res")
+    assert(res.map(_._3) == Seq(1, 1), s"after counts: $res")
+    assert(content() == before, "compaction changed content")
+    // the compact day was never listed, never rewritten
+    assert(fileTimes(ws, "pc", "ts_day=19732") == soloBefore,
+      "already-compact leaf was touched")
+    // fresh complete manifests on the compacted leaves: skipping restored
+    // (the appended file had STALED day 19723's manifest into no-op)
+    Seq(19723L, 19724L).foreach { day =>
+      val leaf = new org.apache.hadoop.fs.Path(s"$tdir/ts_day=$day")
+      assert(graft.sources.PartitionManifest.prunedFiles(spark, leaf,
+        Seq(org.apache.spark.sql.sources.GreaterThan("event_id", 999999L)))
+        .exists(_.isEmpty), s"day $day manifest not re-stamped")
+    }
+    // second run is a no-op: everything is compact now
+    assert(graft.sources.PartitionCompaction
+      .compactPartitions(spark, ws, "pc").isEmpty)
+    // content still serves correctly through SQL
+    assert(spark.table(s"$cat.pc").count() == before.size)
+  }
+
+  test("workspace_compact TVF: identity layout, planned-file count drops") {
+    val (cat, ws) = freshCatalog()
+    seed(cat) // pt partitioned by src, 3 leaves, 30 rows
+    // fragment src=s1 with appends
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.pt VALUES (${100 + i}, 'extra', 's1')")
+    }
+    val f = fs(ws)
+    def leafFiles(rel: String): Int = f.listStatus(
+      new org.apache.hadoop.fs.Path(s"$ws/pt.parquet/$rel"))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val beforeFiles = leafFiles("src=s1")
+    assert(beforeFiles >= 4)
+    val beforeRows = spark.table(s"$cat.pt").orderBy("id")
+      .collect().map(_.toString).toSeq
+    val res = spark.sql(s"SELECT * FROM workspace_compact('$cat.pt')")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(res.exists(_._1 == "src=s1"), res.toSeq)
+    assert(leafFiles("src=s1") == 1, "fragmented identity leaf not compacted")
+    spark.catalog.refreshByPath(s"$ws/pt.parquet")
+    assert(spark.table(s"$cat.pt").orderBy("id")
+      .collect().map(_.toString).toSeq == beforeRows)
+    // DML still works post-compaction (protocol state intact)
+    spark.sql(s"UPDATE $cat.pt SET v = 'z' WHERE src = 's1' AND id = 100")
+    assert(spark.table(s"$cat.pt").filter(col("v") === "z").count() == 1)
+  }
 }
