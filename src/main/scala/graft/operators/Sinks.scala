@@ -772,10 +772,12 @@ object Sinks {
                    version: Option[Int] = None): DataFrame = {
     val v = version.orElse(snapshotCommitted(spark, tableDir)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    val raw = resolveVersion(spark, tableDir, v, depth = 0)
-    if (version.isDefined) raw
-    else declaredSnapshotSchema(spark, tableDir)
-      .map(graft.sources.SchemaEvolution.conform(raw, _)).getOrElse(raw)
+    if (version.isDefined) resolveVersion(spark, tableDir, v, depth = 0)
+    else {
+      val raw = readSnapshotServed(spark, tableDir, v)
+      servedSnapshotSchema(spark, tableDir)
+        .map(graft.sources.SchemaEvolution.conform(raw, _)).getOrElse(raw)
+    }
   }
 
   /** Declare the snapshot table's EVOLVED schema (the metadata half of
@@ -834,6 +836,133 @@ object Sinks {
     declaredSchemaCache.put(tableDir, res): Unit
     res
   }
+
+  // ---- metadata-only RENAME COLUMN (r16) -----------------------------------
+
+  /** Field-metadata key carrying a column's rename chain inside the
+    * declared schema: `"<v1>:<urlenc-from1>;<v2>:<urlenc-from2>"`, oldest
+    * first — the names this field bore before each recorded rename, with
+    * the committed version each rename was declared at. Living INSIDE
+    * `_schema.json` means the evolved schema and its rename history land
+    * in ONE atomic write — no crash window where one exists without the
+    * other (a half-completed two-file ALTER would make unpinned reads
+    * null-fill a whole column). */
+  val RenamesKey = "graft.renames"
+
+  private[graft] def renameChainOf(
+      f: org.apache.spark.sql.types.StructField): Seq[(Int, String)] =
+    if (!f.metadata.contains(RenamesKey)) Nil
+    else f.metadata.getString(RenamesKey).split(';').toSeq
+      .filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        (e.take(i).toInt, java.net.URLDecoder.decode(e.drop(i + 1), "UTF-8"))
+      }
+
+  private[graft] def appendRenameChain(
+      f: org.apache.spark.sql.types.StructField, atVersion: Int,
+      to: String): org.apache.spark.sql.types.StructField = {
+    val entry = s"$atVersion:${java.net.URLEncoder.encode(f.name, "UTF-8")}"
+    val prior =
+      if (f.metadata.contains(RenamesKey)) f.metadata.getString(RenamesKey)
+      else ""
+    val chain = if (prior.isEmpty) entry else s"$prior;$entry"
+    f.copy(name = to,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(RenamesKey, chain).build())
+  }
+
+  /** The table's COLUMN-RENAME HISTORY: (atVersion, from, to) in global
+    * chronological order, reconstructed from the declared schema's
+    * per-field chains. `atVersion` is the committed version when the
+    * rename was declared — reads pinned at or below it keep the old name
+    * (history is immutable, including its names); the head and every
+    * later version serve the new name, with files written under old
+    * names resolving through a chronological conditional replay
+    * ([[applyRenames]]). Metadata-only: no version folder is touched, no
+    * byte reinterpreted — the replay is a plan-time column rename. */
+  def snapshotRenames(spark: SparkSession,
+                      tableDir: String): Seq[(Int, String, String)] =
+    declaredSnapshotSchema(spark, tableDir).map { s =>
+      s.fields.toSeq.flatMap { f =>
+        val chain = renameChainOf(f)
+        if (chain.isEmpty) Nil
+        else {
+          // each entry renamed its `from` into the NEXT entry's from (or
+          // the field's final name)
+          val tos = chain.drop(1).map(_._2) :+ f.name
+          chain.zip(tos).map { case ((v, from), to) => (v, from, to) }
+        }
+      }.sortBy(_._1) // stable: per-field order survives same-v ties
+    }.getOrElse(Nil)
+
+  /** The renames a READ pinned at `topV` serves: only those declared
+    * while the table sat at an EARLIER committed version
+    * (`atVersion < topV`). A rename declared at committed C does not
+    * retitle version C itself — pinned history keeps the names it
+    * committed under (the Iceberg time-travel contract); the head and
+    * every later version serve the new name. */
+  private def renamesWindowPinned(spark: SparkSession, tableDir: String,
+                                  topV: Int): Seq[(Int, String, String)] =
+    snapshotRenames(spark, tableDir).filter(_._1 < topV)
+
+  /** The renames that apply to FOLDER `v`'s frame within a resolution
+    * window: exactly those declared at or after the folder's own commit
+    * position (`atVersion >= v`) — a folder committed as version v was
+    * written with the names current THEN, so earlier renames are already
+    * baked into its physical names, and keying the replay on the folder's
+    * version (not on name presence) is what disambiguates a later ADD
+    * COLUMN that reuses a retired name. Chronological order preserved
+    * (chained renames compose). */
+  private def renamesForFolder(v: Int,
+                               window: Seq[(Int, String, String)]):
+      Seq[(String, String)] =
+    window.filter(_._1 >= v).map(r => (r._2, r._3))
+
+  /** Chronological replay of one folder's rename window over its frame.
+    * A pure plan-time projection: zero bytes move, pruning pushes
+    * through. The presence guards are a belt (a folder that somehow
+    * already carries the new name is left alone). */
+  private def applyRenames(df: DataFrame,
+                           renames: Seq[(String, String)]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(from)) &&
+          !d.columns.exists(_.equalsIgnoreCase(to)))
+        d.withColumnRenamed(from, to)
+      else d
+    }
+
+  /** Map one marker-recorded column name (thin keyCols, written with the
+    * names current at publish time) through a folder's rename window. */
+  private def renameKey(k: String, renames: Seq[(String, String)]): String =
+    renames.foldLeft(k) { case (n, (from, to)) =>
+      if (n.equalsIgnoreCase(from)) to else n }
+
+  /** Does HEAD serving of version `v` require the rename replay — i.e.
+    * was a rename declared at or after `v`'s commit whose old name is
+    * physically present in the folder? False for folders written after
+    * every rename (physical names already canonical — plain file serving
+    * keeps manifest skipping and full DML). Pinned serving NEVER needs
+    * the replay on its top folder (a pinned read only sees renames
+    * declared before its version, which are baked into the folder's own
+    * names); thin versions serve through the resolver anyway. Cost: one
+    * memoized footer-schema read. */
+  def renameAffected(spark: SparkSession, tableDir: String, v: Int): Boolean = {
+    val rn = renamesForFolder(v, snapshotRenames(spark, tableDir))
+    rn.nonEmpty && {
+      val phys = readVersionDir(spark, tableDir, v, "").schema
+      rn.exists { case (from, to) =>
+        phys.fieldNames.exists(_.equalsIgnoreCase(from)) &&
+          !phys.fieldNames.exists(_.equalsIgnoreCase(to))
+      }
+    }
+  }
+
+  /** The schema an UNPINNED read serves. With the rename history living
+    * inside `_schema.json` (field metadata), the declared schema IS the
+    * served schema — schema and history are one atomic artifact. */
+  def servedSnapshotSchema(spark: SparkSession, tableDir: String):
+      Option[org.apache.spark.sql.types.StructType] =
+    declaredSnapshotSchema(spark, tableDir)
 
   // ---- merge-on-read deletes (thin versions) -------------------------------
 
@@ -920,7 +1049,11 @@ object Sinks {
     val v = publishStagedSnapshotFenced(spark, tableDir, staged, expectedBase)
     if (changeFeedEnabled(spark, tableDir))
       landChangeFeedSafe(spark, tableDir, v,
-        changeRows(readSnapshot(spark, tableDir, Some(expectedBase)), keyCols, v,
+        // the base resolves at names-as-of-THIS-commit (renames declared
+        // at the base's own version included — the delta parts already
+        // carry them), so a feed landed just after a RENAME is uniform
+        changeRows(resolveVersionR(spark, tableDir, expectedBase, 0,
+            renamesWindowPinned(spark, tableDir, v)), keyCols, v,
           dels.map(_ => spark.read.parquet(s"$tableDir/v=$v/_deletes")),
           ups.map(_ => spark.read.parquet(s"$tableDir/v=$v/_upserts"))))
     autoCompactIfDeep(spark, tableDir, v)
@@ -1061,7 +1194,7 @@ object Sinks {
         s"requested from v=$fromV")
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val files = (fromV to toV).flatMap { v =>
+    val files: Seq[(Int, String)] = (fromV to toV).flatMap { v =>
       val feed = new org.apache.hadoop.fs.Path(s"$tableDir/cdf/v$v.parquet")
       if (thinBase(spark, tableDir, v).isEmpty) {
         // a COMPACTION's change grain is exactly empty (its rows are the
@@ -1075,16 +1208,30 @@ object Sinks {
         throw new IllegalStateException(
           s"feed file for committed thin v=$v is missing (a landing crash) " +
             "— run Sinks.repairChangeFeed first")
-      else Some(feed.toString)
+      else Some((v, feed.toString))
     }
     if (files.isEmpty)
       // every version in range was a compaction: the change set is empty
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         changeFeedSchema(spark, tableDir))
-    // mergeSchema: feed files straddling an ALTER TABLE ADD COLUMN differ
-    // in width — the union serves them all, older rows null-filled
-    // (O(requested files) footer reads, the TVF's own cost grain)
-    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else {
+      val renames = snapshotRenames(spark, tableDir)
+      if (renames.isEmpty)
+        // mergeSchema: feed files straddling an ALTER TABLE ADD COLUMN
+        // differ in width — the union serves them all, older rows
+        // null-filled (O(requested files) footer reads, the TVF's own
+        // cost grain)
+        spark.read.option("mergeSchema", "true").parquet(files.map(_._2): _*)
+      else
+        // across a RENAME the merge must unify by the rename history, not
+        // by raw name (mergeSchema would serve old- and new-named columns
+        // side by side, each half-null): each feed file carries its
+        // commit-time names, so replay its version's rename window, then
+        // union by the now-consistent names
+        files.map { case (v, f) =>
+          applyRenames(spark.read.parquet(f), renamesForFolder(v, renames))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** [[landChangeFeed]] for the POST-COMMIT call sites: by the time the
@@ -1208,7 +1355,12 @@ object Sinks {
               Some(spark.read.parquet(p.toString))
             else None
           }
-          val baseDf = readSnapshot(spark, tableDir, Some(base))
+          // names-as-of-v's COMMIT throughout, matching what the original
+          // landing wrote: the base resolves with exactly the renames
+          // visible at v, and v's own delta parts / marker keys already
+          // carry their commit-time names
+          val baseDf = resolveVersionR(spark, tableDir, base, 0,
+            renamesWindowPinned(spark, tableDir, v))
           landChangeFeed(spark, tableDir, v,
             changeRows(baseDf, keyCols, v, part("_deletes"), part("_upserts")))
           Some(v)
@@ -1312,23 +1464,41 @@ object Sinks {
   }
 
   private def resolveVersion(spark: SparkSession, tableDir: String,
-                             v: Int, depth: Int): DataFrame = {
+                             v: Int, depth: Int): DataFrame =
+    // PINNED semantics: the resolution window holds only the renames
+    // declared BEFORE the pinned version's commit; each folder in the
+    // chain then replays the window's entries at or after its own commit
+    // position, so every frame in the merge carries names-as-of-topV
+    resolveVersionR(spark, tableDir, v, depth,
+      renamesWindowPinned(spark, tableDir, v))
+
+  /** The resolver at HEAD (unpinned) semantics: names after EVERY recorded
+    * rename — what the catalog's head markers splice into SQL plans. */
+  def readSnapshotServed(spark: SparkSession, tableDir: String,
+                         v: Int): DataFrame =
+    resolveVersionR(spark, tableDir, v, 0, snapshotRenames(spark, tableDir))
+
+  private def resolveVersionR(spark: SparkSession, tableDir: String,
+                              v: Int, depth: Int,
+                              window: Seq[(Int, String, String)]): DataFrame = {
     require(depth <= 64,
       s"merge-on-read chain deeper than 64 at $tableDir v=$v — compact it")
+    val renames = renamesForFolder(v, window)
     thinBase(spark, tableDir, v) match {
       case None =>
-        val df = readVersionDir(spark, tableDir, v, "")
+        val df = applyRenames(readVersionDir(spark, tableDir, v, ""), renames)
         // bucketed versions carry a synthetic __bucket layout column —
         // physical, not logical
         if (bucketedLayout(spark, tableDir, v).isDefined) df.drop("__bucket")
         else df
-      case Some((base, keyCols)) =>
-        val baseDf = resolveVersion(spark, tableDir, base, depth + 1)
+      case Some((base, rawKeyCols)) =>
+        val baseDf = resolveVersionR(spark, tableDir, base, depth + 1, window)
+        val keyCols = rawKeyCols.map(renameKey(_, renames))
         val hconf = spark.sessionState.newHadoopConf()
         def part(name: String): Option[DataFrame] = {
           val p = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v/$name")
           if (p.getFileSystem(hconf).exists(p))
-            Some(readVersionDir(spark, tableDir, v, name))
+            Some(applyRenames(readVersionDir(spark, tableDir, v, name), renames))
           else None
         }
         val kc = keyCols.map(org.apache.spark.sql.functions.col)
@@ -1476,7 +1646,8 @@ object Sinks {
     // (repairChangeFeed), never from a second source of truth
     if (changeFeedEnabled(spark, tableDir))
       landChangeFeedSafe(spark, tableDir, v,
-        changeRows(readSnapshot(spark, tableDir, Some(base)), keyCols, v,
+        changeRows(resolveVersionR(spark, tableDir, base, 0,
+            renamesWindowPinned(spark, tableDir, v)), keyCols, v,
           // re-read the published delta (the input frames may hold
           // now-consumed staging paths); v=N is immutable from here on
           deletes.map(_ => spark.read.parquet(s"$tableDir/v=$v/_deletes")),

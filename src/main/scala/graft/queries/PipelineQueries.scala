@@ -6182,6 +6182,68 @@ object PipelineQueries {
           lit(if (res.nonEmpty && res.forall(t => t._2 == 4 && t._3 == 1)) 1
               else 0))
         .orderBy("day")
+    },
+
+    // ---- snapshot: metadata-only RENAME COLUMN (r16) -------------------------
+    // VERDICT r15 missing #3: the versioned store renames without a
+    // rewrite. The rename history rides INSIDE `_schema.json` (per-field
+    // chains tagged with the committed version each rename was declared
+    // at — one atomic artifact), and the MOR resolver replays it over
+    // files written under old names as a plan-time projection keyed on
+    // each FOLDER's commit position (which is what disambiguates a later
+    // ADD COLUMN reusing the retired name). The face pins: CTAS → RENAME
+    // (no version folder touched — alter_intact on pre-ALTER mtimes) →
+    // a thin INSERT and a thin UPDATE both binding the NEW name →
+    // unpinned read-back under the new name, with the PINNED pre-rename
+    // version still serving its own column names (pinned_cols) — all on
+    // one hash.
+    Q("q243_snapshot_rename_column", {
+      """WITH b AS (SELECT doc_id, lang,
+        |                  CAST(LENGTH(text) AS INT) AS nchars
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |m AS (SELECT MAX(doc_id) + 1 AS nid FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 30 = 0 THEN 'yy' ELSE lang END AS language,
+        |  nchars,
+        |  'doc_id,lang,nchars' AS pinned_cols, 1 AS alter_intact
+        |FROM b
+        |UNION ALL
+        |SELECT nid, 'zz', 42, 'doc_id,lang,nchars', 1 FROM m
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "rename_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      // CTAS: v1 empty schema-bearing + v2 keyless thin append
+      s.sql(s"""CREATE TABLE $cat.$tbl AS
+               |SELECT doc_id, lang, CAST(LENGTH(text) AS INT) AS nchars
+               |FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 3 = 0""".stripMargin)
+      graft.operators.Sinks.declareSnapshotKeys(s, tdir, Seq("doc_id"))
+      def vMtimes = new java.io.File(tdir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .flatMap(d => d.listFiles().filter(_.isFile)
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())).toMap
+      val before = vMtimes
+      s.sql(s"ALTER TABLE $cat.$tbl RENAME COLUMN lang TO language")
+      val alterIntact = vMtimes == before
+      // a thin INSERT and a thin UPDATE, both binding the NEW name
+      val nid = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .agg(max("doc_id") + 1).first().getLong(0)
+      s.sql(s"INSERT INTO $cat.$tbl SELECT $nid AS doc_id, " +
+        s"'zz' AS language, 42 AS nchars")
+      s.sql(s"UPDATE $cat.$tbl SET language = 'yy' WHERE doc_id % 30 = 0")
+      // the pinned pre-rename version keeps its own column names
+      val pinnedCols = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF 2")
+        .columns.mkString(",")
+      s.sql(s"SELECT doc_id, language, nchars FROM $cat.$tbl")
+        .withColumn("pinned_cols", lit(pinnedCols))
+        .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
+        .orderBy("doc_id")
     }
   )
 }

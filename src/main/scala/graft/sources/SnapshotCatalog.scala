@@ -130,6 +130,11 @@ class SnapshotCatalog extends TableCatalog
     if (graft.operators.Sinks.thinBase(SparkSession.active,
         s"$workspace/$tableDir", version).isDefined)
       thinTable(tableDir, version, deletable = false)
+    // no rename routing for PINNED serving: a pinned read only sees
+    // renames declared before its version's commit, which are already
+    // baked into the folder's own physical names (the folder was written
+    // after them) — pinned versions keep the plain/manifest/bucketed
+    // fast paths unconditionally
     else graft.operators.Sinks.bucketedLayout(SparkSession.active,
         s"$workspace/$tableDir", version) match {
       case Some((keyCol, n)) =>
@@ -167,6 +172,14 @@ class SnapshotCatalog extends TableCatalog
         s"committed snapshot v=$committed missing under $t")
     if (graft.operators.Sinks.thinBase(SparkSession.active,
         s"$workspace/$t", committed).isDefined)
+      thinTable(t, committed, deletable = true)
+    else if (graft.operators.Sinks.renameAffected(SparkSession.active,
+        s"$workspace/$t", committed))
+      // a RENAMED head whose files still carry the old name serves through
+      // the resolver marker (new names via the plan-time replay). DML on
+      // it is the thin-hop path (declared keys required, like any MOR
+      // head); the next compaction/overwrite rewrites physical names and
+      // the full materialized fast path returns
       thinTable(t, committed, deletable = true)
     else graft.operators.Sinks.bucketedLayout(SparkSession.active,
         s"$workspace/$t", committed) match {
@@ -259,8 +272,9 @@ class SnapshotCatalog extends TableCatalog
         s"${ident.name()}'s head is a BUCKETED layout artifact — ALTER would desync the " +
           "declared schema from the key-grouped scan; rebucketSnapshot " +
           "after evolving, or evolve before bucketing")
-    val current = graft.operators.Sinks.declaredSnapshotSchema(spark, dir)
+    val current = graft.operators.Sinks.servedSnapshotSchema(spark, dir)
       .getOrElse(graft.operators.Sinks.readSnapshot(spark, dir).schema)
+    val renames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val evolved = changes.foldLeft(current) {
       case (schema, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -276,13 +290,56 @@ class SnapshotCatalog extends TableCatalog
             s"column $colName already exists in ${ident.name()}")
         schema.add(org.apache.spark.sql.types.StructField(
           colName, add.dataType(), nullable = true))
+      case (schema, ren: TableChange.RenameColumn) =>
+        // METADATA-ONLY rename (r16): no version folder is touched, no
+        // byte rewritten — the rename lands in `_renames` (a chronological
+        // history the resolver replays over files written under old names)
+        // plus the evolved `_schema.json`. Unpinned reads serve the new
+        // name with old files resolving through the replay; pinned reads
+        // BELOW the rename keep their version's own names (the history
+        // entry carries the committed version it was declared at). Needs
+        // the MOR-aware session: rename-affected versions serve through
+        // the resolution rule, exactly like thin chains.
+        require(ren.fieldNames().length == 1,
+          "snapshot tables are flat; nested RENAME COLUMN is not supported")
+        if (!morAware)
+          throw new UnsupportedOperationException(
+            s"RENAME COLUMN serves old-named files through the MOR-aware " +
+              "resolution rule — set spark.sql.extensions=" +
+              "graft.GraftExtensions on sessions using ${ident.name()}")
+        val to = ren.newName()
+        val fromField = schema.fields
+          .find(_.name.equalsIgnoreCase(ren.fieldNames()(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column ${ren.fieldNames()(0)} in ${ident.name()}"))
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(to)))
+          throw new IllegalArgumentException(
+            s"column $to already exists in ${ident.name()}")
+        renames += ((fromField.name, to))
+        org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(fromField.name))
+            // final name + the chain entry, carried IN the field metadata
+            // (schema and rename history are one atomic _schema.json)
+            graft.operators.Sinks.appendRenameChain(f, committed, to)
+          else f))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"snapshot tables support ALTER TABLE ADD COLUMN only (got " +
-            s"${other.getClass.getSimpleName}); anything else would " +
-            "reinterpret pinned history — evolve by publishing new versions")
+          s"snapshot tables support ALTER TABLE ADD COLUMN and RENAME " +
+            s"COLUMN only (got ${other.getClass.getSimpleName}); anything " +
+            "else would reinterpret pinned history — evolve by publishing " +
+            "new versions")
     }
     graft.operators.Sinks.declareSnapshotSchema(spark, dir, evolved)
+    // declared row-identity keys follow the rename (thin DML binds them);
+    // ordered after the schema write — a crash in between leaves old-named
+    // keys that the next DML statement fails loudly on, never silently
+    renames.foreach { case (from, to) =>
+      graft.operators.Sinks.snapshotDeclaredKeys(spark, dir).foreach { keys =>
+        if (keys.exists(_.equalsIgnoreCase(from)))
+          graft.operators.Sinks.declareSnapshotKeys(spark, dir,
+            keys.map(k => if (k.equalsIgnoreCase(from)) to else k))
+      }
+    }
     loadTable(ident)
   }
 

@@ -56,14 +56,20 @@ private[graft] class ThinSnapshotTable(
     * including its columns). */
   private def conformTo: Option[StructType] =
     if (deletable)
-      graft.operators.Sinks.declaredSnapshotSchema(spark, tableDir)
+      graft.operators.Sinks.servedSnapshotSchema(spark, tableDir)
     else None
 
   /** The resolved chain as an ANALYZED logical plan — what the resolution
     * rule splices in place of this table's relation. Recomputed per call:
     * a plan is single-use (its expression IDs must be fresh per splice). */
   def resolvedPlan(): LogicalPlan = {
-    val raw = graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
+    // head serving resolves with EVERY recorded rename (unpinned names);
+    // a pinned marker keeps the names its version committed under
+    val raw =
+      if (deletable)
+        graft.operators.Sinks.readSnapshotServed(spark, tableDir, pinnedVersion)
+      else
+        graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
     conformTo.map(SchemaEvolution.conform(raw, _)).getOrElse(raw)
       .queryExecution.analyzed
   }
@@ -82,8 +88,13 @@ private[graft] class ThinSnapshotTable(
     * thin versions exist by row identity, and Spark's delta rewrite
     * refuses nullable row IDs. */
   private lazy val resolvedSchema: StructType = {
-    val base = conformTo.getOrElse(graft.operators.Sinks
-      .readSnapshot(spark, tableDir, Some(pinnedVersion)).schema)
+    val base = conformTo.getOrElse {
+      if (deletable)
+        graft.operators.Sinks.readSnapshotServed(spark, tableDir, pinnedVersion)
+          .schema
+      else graft.operators.Sinks
+        .readSnapshot(spark, tableDir, Some(pinnedVersion)).schema
+    }
     val keys = keyCols
     StructType(base.map(f =>
       if (keys.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
@@ -190,7 +201,7 @@ private[graft] class ThinSnapshotTable(
     // publish is O(keys) and fenced on this handle's bound version.
     // Conformed to the served schema so a predicate on an ALTER-added
     // column resolves (null in pre-ALTER rows).
-    val raw = graft.operators.Sinks.readSnapshot(spark, tableDir, Some(pinnedVersion))
+    val raw = graft.operators.Sinks.readSnapshotServed(spark, tableDir, pinnedVersion)
     val keys = conformTo.map(SchemaEvolution.conform(raw, _)).getOrElse(raw)
       .filter(coalesce(cond, lit(false)))
       .select(keyCols.map(org.apache.spark.sql.functions.col): _*)

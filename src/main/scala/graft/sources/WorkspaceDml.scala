@@ -495,7 +495,7 @@ private[sources] class SnapshotDmlTable(
     * version's files null-fill the added columns natively in the parquet
     * reader. */
   override lazy val schema: StructType = {
-    val base = graft.operators.Sinks.declaredSnapshotSchema(spark, tableDir)
+    val base = graft.operators.Sinks.servedSnapshotSchema(spark, tableDir)
       .getOrElse(spark.read.parquet(committedDir).schema)
     graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir) match {
       case Some(keys) => StructType(base.map(f =>

@@ -537,7 +537,7 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
     val drop = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN txt") }
-    assert(drop.getMessage.contains("ADD COLUMN only"), drop.getMessage)
+    assert(drop.getMessage.contains("RENAME COLUMN only"), drop.getMessage)
   }
 
   test("schema evolution composes with thin identity DML and the change feed") {
@@ -662,5 +662,92 @@ class SnapshotSqlSpec extends AnyFunSuite {
     // carry their PushedFilters inline)
     assert(raw"PushedFilters: \[[^\]]*grp".r.findFirstIn(physical).isDefined,
       "grp predicate must reach the base parquet scan:\n" + physical.take(1200))
+  }
+
+  test("RENAME COLUMN is metadata-only: replay over old files, pinned names, thin DML, compaction escape") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.rn AS " +
+      "SELECT id AS doc_id, CONCAT('d', id) AS body FROM RANGE(50)")
+    val dir = s"$ws/rn"
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def vMtimes(): Map[String, Long] = f.listStatus(
+      new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val before = vMtimes()
+    Thread.sleep(1100)
+    spark.sql(s"ALTER TABLE $cat.rn RENAME COLUMN body TO text")
+    assert(vMtimes() == before, "RENAME touched a version folder")
+    // unpinned read: new name, old rows resolve through the replay
+    assert(spark.table(s"$cat.rn").columns.toSeq == Seq("doc_id", "text"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.rn WHERE text = 'd7'")
+      .first().getLong(0) == 1)
+    // pinned read BELOW the rename keeps its version's own names
+    assert(spark.sql(s"SELECT * FROM $cat.rn VERSION AS OF 2")
+      .columns.toSeq == Seq("doc_id", "body"))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.rn VERSION AS OF 2 WHERE body = 'd7'")
+      .first().getLong(0) == 1)
+    // a thin commit binds the NEW name
+    spark.sql(s"INSERT INTO $cat.rn SELECT 100L AS doc_id, 'fresh' AS text")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.rn").first().getLong(0) == 51)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.rn WHERE text = 'fresh'")
+      .first().getLong(0) == 1)
+    // row-level DML binds the new name (thin hop via declared keys)
+    Sinks.declareSnapshotKeys(spark, dir, Seq("doc_id"))
+    spark.sql(s"UPDATE $cat.rn SET text = 'patched' WHERE doc_id = 5")
+    assert(spark.sql(s"SELECT text FROM $cat.rn WHERE doc_id = 5")
+      .first().getString(0) == "patched")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.rn").first().getLong(0) == 51)
+    // ADD COLUMN reusing the RETIRED name: the conditional replay must not
+    // leak old 'body' bytes into the new 'body' column
+    spark.sql(s"ALTER TABLE $cat.rn ADD COLUMN body DOUBLE")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.rn WHERE body IS NOT NULL")
+      .first().getLong(0) == 0, "old-named bytes leaked into the reused name")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.rn WHERE text = 'd7'")
+      .first().getLong(0) == 1, "the renamed column lost its old files")
+    // chained rename: text -> txt composes over the same old files
+    spark.sql(s"ALTER TABLE $cat.rn RENAME COLUMN text TO txt")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.rn WHERE txt = 'd7'")
+      .first().getLong(0) == 1)
+    assert(spark.table(s"$cat.rn").columns.toSeq ==
+      Seq("doc_id", "txt", "body"))
+    // compaction rewrites PHYSICAL names canonical: the head leaves the
+    // resolver-marker path and full materialized serving (COW DML) returns
+    val vc = Sinks.compactSnapshot(spark, dir, targetRows = 1000000L)
+    assert(!Sinks.renameAffected(spark, dir, vc),
+      "compacted files must carry the canonical names")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.rn WHERE txt = 'patched'")
+      .first().getLong(0) == 1)
+    spark.sql(s"UPDATE $cat.rn SET txt = 'cow' WHERE doc_id = 6")
+    assert(spark.sql(s"SELECT txt FROM $cat.rn WHERE doc_id = 6")
+      .first().getString(0) == "cow")
+    // pinned history across the whole dance: v2 still serves 'body'
+    assert(spark.sql(s"SELECT * FROM $cat.rn VERSION AS OF 2")
+      .columns.toSeq == Seq("doc_id", "body"))
+  }
+
+  test("table_changes spans a RENAME: feed files unify under the new name") {
+    val (cat, ws) = freshCatalog()
+    import spark.implicits._
+    val dir = s"$ws/rncdf"
+    Sinks.writeSnapshot(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "val0"), dir)   // v1
+    Sinks.declareSnapshotKeys(spark, dir, Seq("id"))
+    Sinks.enableChangeFeed(spark, dir)
+    Sinks.upsertSnapshotRows(spark, dir,
+      Seq((21L, "pre")).toDF("id", "val0"), Seq("id")): Unit      // v2 (old name)
+    spark.sql(s"ALTER TABLE $cat.rncdf RENAME COLUMN val0 TO val1")
+    Sinks.upsertSnapshotRows(spark, dir,
+      Seq((22L, "post")).toDF("id", "val1"), Seq("id")): Unit     // v3 (new name)
+    val changes = spark.sql(
+      s"SELECT * FROM table_changes('$cat.rncdf', 2, 3)")
+    assert(changes.columns.count(_.startsWith("val")) == 1,
+      s"feed must unify old and new names: ${changes.columns.toSeq}")
+    assert(changes.columns.contains("val1"))
+    val rows = changes.select("id", "val1", "__version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+    assert(rows.toSeq == Seq((21L, "pre", 2), (22L, "post", 3)))
   }
 }
