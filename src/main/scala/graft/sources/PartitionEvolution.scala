@@ -93,6 +93,9 @@ object PartitionEvolution {
     val dir = tableDir(ws, table)
     val lock = WorkspaceDmlLock.acquire(spark, dir.toString)
     try {
+      // whole-table operation: refuse while any row-level statement's
+      // partition claim is live (its copy phase reads retire-able leaves)
+      WorkspaceDmlLock.requireNoLiveClaims(spark, dir.toString)
       recoverLocked(spark, ws, table)
       val f = fsOf(spark, dir)
       require(f.exists(dir), s"no table directory $dir")
@@ -232,7 +235,7 @@ object PartitionEvolution {
     val sized =
       if (pathNames.nonEmpty) shaped.repartition(pathNames.map(col): _*)
       else shaped
-    val w = sized.write
+    val w = graft.operators.Sinks.microsBound(sized).write
       .option("spark.sql.parquet.fieldId.write.enabled", "true")
       .option("maxRecordsPerFile", targetRows)
     (if (pathNames.nonEmpty) w.partitionBy(pathNames: _*) else w)

@@ -148,6 +148,9 @@ object PartitionManifest {
   def enable(spark: SparkSession, tableDir: String,
              cols: Seq[String]): Int =
     WorkspaceDmlLock.withLock(spark, tableDir) {
+      // manifest stamping walks and writes into live leaves — refuse
+      // while a claim-holding statement could republish them mid-walk
+      WorkspaceDmlLock.requireNoLiveClaims(spark, tableDir)
       val root = new Path(tableDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val leaves = leafDirs(fs, root)

@@ -377,6 +377,14 @@ private[sources] class PartitionedWorkspaceTable(
       else spark.read.schema(declaredFull).parquet(leaves: _*)
     }
 
+  /** Relative leaf paths present in a staging dir (the statement's WRITE
+    * set — for publish-time claim acquisition). */
+  private[sources] def stagedRels(staging: Path): Seq[String] = {
+    val f = fsOf(staging)
+    if (!f.exists(staging)) Nil
+    else walkLeaves(staging, f).map { case (_, vals) => relOf(vals) }
+  }
+
   private[sources] def stagingPath(): Path = {
     val real = new Path(dir)
     new Path(real.getParent,
@@ -642,7 +650,18 @@ private[sources] class PartitionedWorkspaceTable(
               val (shaped, pathNames) =
                 writePathCols(data.select(cols.toIndexedSeq: _*))
               val mode = if (overwrite || overwriteAll) "overwrite" else "append"
-              shaped.write.partitionBy(pathNames: _*).mode(mode).parquet(dir)
+              def write(): Unit = graft.operators.Sinks.microsBound(shaped)
+                .write.partitionBy(pathNames: _*).mode(mode).parquet(dir)
+              if (mode == "overwrite")
+                // whole-table rewrite: fence like the other whole-table
+                // ops — never clobber a claim-holding statement's leaves.
+                // Plain INSERT keeps the lockless append contract
+                // (task-unique files).
+                WorkspaceDmlLock.withLock(spark, dir) {
+                  WorkspaceDmlLock.requireNoLiveClaims(spark, dir)
+                  write()
+                }
+              else write()
               spark.catalog.refreshByPath(dir)
             }
           }
@@ -661,7 +680,15 @@ private[sources] class PartitionedWorkspaceTable(
   }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit =
-    WorkspaceDmlLock.withLock(spark, dir) { deleteWhereLocked(filters) }
+    WorkspaceDmlLock.withLock(spark, dir) {
+      // whole-table grain: the discovery scan and the survivor stagings
+      // read across partitions (on a hidden days layout the match is on a
+      // derived column), so this statement cannot run under per-leaf
+      // claims — it holds the table lock throughout and refuses to start
+      // while any claim-holding statement is mid-copy
+      WorkspaceDmlLock.requireNoLiveClaims(spark, dir)
+      deleteWhereLocked(filters)
+    }
 
   private def deleteWhereLocked(filters: Array[sources.Filter]): Unit = {
     repairRetiredPartitions()
@@ -699,7 +726,7 @@ private[sources] class PartitionedWorkspaceTable(
         else {
           val staging = stagingPath()
           created += staging
-          keep.write.parquet(staging.toString)
+          graft.operators.Sinks.microsBound(keep).write.parquet(staging.toString)
           // per-leaf manifest (opt-in) rides the same rename as its leaf —
           // the translatable-DELETE analogue of publishPartitioned's stamp
           PartitionManifest.statsCols(fsOf(staging), dir).foreach { cols =>
@@ -903,11 +930,23 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
                                        op: PartitionedCowOperation,
                                        info: LogicalWriteInfo) extends BatchWrite {
   private val spark = SparkSession.active
-  // the DML fence: acquired at write construction — on the driver, before
-  // any statement task reads table data (scan and write run pipelined in
-  // one job) — released after publish/abort; a concurrent statement
-  // aborts cleanly here instead of interleaving partition republishes
-  private val lock = WorkspaceDmlLock.acquire(spark, table.tableDir)
+  // the DML fence, r16 two-grain protocol (WorkspaceDmlLock claims
+  // scaladoc): the TABLE lock is held only across the SHORT phases — from
+  // here (before the runtime group-filter probe scans any table data)
+  // until the probe has pinned the statement's partitions and per-leaf
+  // CLAIMS are acquired for them (createBatchWriterFactory, which Spark
+  // calls after the scan's runtime filtering and before any copy task
+  // launches) — and again around the publish renames. The LONG copy phase
+  // runs under the leaf claims alone, so statements touching DISJOINT
+  // partitions copy concurrently; a statement whose group filter never
+  // engages keeps the table lock for its whole duration (whole-table
+  // grain, the pre-r16 behavior).
+  private var lock = WorkspaceDmlLock.acquireWait(spark, table.tableDir)
+  private var lockHeld = true
+  private val claimToken = java.util.UUID.randomUUID().toString
+  // None = table-lock mode; Some(rels) = claims mode with the READ set
+  private var claimedRels: Option[Set[String]] = None
+  private var claims: Seq[Path] = Nil
   private val staging = table.stagingPath()
   private val writeSchema = info.schema()
   private val levelOrdinals: Seq[Int] =
@@ -925,18 +964,69 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, fileSchema)
+    // per-JOB override, after prepareWrite stamped the session default:
+    // ParquetWriteSupport reads this key from the task-side hadoop conf,
+    // so leaf data files carry footer-usable INT64 timestamp stats
+    // (Sinks.microsBound's contract) without touching the shared session
+    job.getConfiguration.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // downgrade table lock → per-leaf claims once the runtime group filter
+    // pinned the READ set (this runs after scan planning, before any copy
+    // task): disjoint statements then copy concurrently. filter() never
+    // engaged (readRels None) = whole-table statement, keep the lock.
+    if (lockHeld) op.readRels.foreach { rels =>
+      // a claim CONFLICT throws out of factory creation, which Spark does
+      // not follow with abort() — release the table lock here or the
+      // aborted statement wedges the table until the grace deadline
+      try {
+        claims = WorkspaceDmlLock.acquireClaims(
+          spark, table.tableDir, rels, claimToken)
+        claimedRels = Some(rels.toSet)
+      } catch { case t: Throwable =>
+        WorkspaceDmlLock.release(spark, lock); lockHeld = false; throw t
+      }
+      WorkspaceDmlLock.release(spark, lock)
+      lockHeld = false
+    }
     new PartitionedCowWriterFactory(staging.toString, table.levels,
       levelOrdinals, identityOrdinals, writeSchema, fileSchema, owf,
       new SerializableHadoopConf(job.getConfiguration))
   }
 
-  override def commit(msgs: Array[WriterCommitMessage]): Unit =
-    try table.publishPartitioned(staging, op.readRels)
-    finally WorkspaceDmlLock.release(spark, lock)
+  override def commit(msgs: Array[WriterCommitMessage]): Unit = claimedRels match {
+    case None =>
+      try table.publishPartitioned(staging, op.readRels)
+      finally WorkspaceDmlLock.release(spark, lock)
+    case Some(rels) =>
+      // publish window: re-take the table lock (bounded wait — every probe
+      // and publish holds it, so renames never tear another statement's
+      // probe scan), heartbeat the claims (the copy may have outlived the
+      // grace), claim any WRITE-ONLY staged leaves (cross-partition UPDATE
+      // moves, MERGE INSERT into unread partitions — a conflict there
+      // aborts with nothing retired and staging dropped by Spark's abort
+      // callback), publish, release everything.
+      lock = WorkspaceDmlLock.acquireWait(spark, table.tableDir)
+      lockHeld = true
+      try {
+        WorkspaceDmlLock.refreshClaims(spark, claims)
+        val extra = table.stagedRels(staging).filterNot(rels.contains)
+        if (extra.nonEmpty)
+          claims = claims ++ WorkspaceDmlLock.acquireClaims(
+            spark, table.tableDir, extra, claimToken)
+        table.publishPartitioned(staging, op.readRels)
+      } finally {
+        WorkspaceDmlLock.releaseClaims(spark, claims, claimToken)
+        WorkspaceDmlLock.release(spark, lock)
+        lockHeld = false
+      }
+  }
 
   override def abort(msgs: Array[WriterCommitMessage]): Unit =
     try table.dropStaging(staging)
-    finally WorkspaceDmlLock.release(spark, lock)
+    finally {
+      WorkspaceDmlLock.releaseClaims(spark, claims, claimToken)
+      if (lockHeld) { WorkspaceDmlLock.release(spark, lock); lockHeld = false }
+    }
 }
 
 /** Executor-side: route each row to a parquet `OutputWriter` keyed by its

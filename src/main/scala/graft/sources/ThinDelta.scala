@@ -89,8 +89,12 @@ private class ThinDeltaBatchWrite(spark: SparkSession, tableDir: String,
   override def createBatchWriterFactory(p: PhysicalWriteInfo): DeltaWriterFactory = {
     def factory(schema: StructType): (OutputWriterFactory, SerializableHadoopConf) = {
       val job = Job.getInstance(spark.sessionState.newHadoopConf())
-      (new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema),
-        new SerializableHadoopConf(job.getConfiguration))
+      val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+      // per-JOB micros override after prepareWrite stamped the session
+      // default — delta files are data files too (Sinks.microsBound)
+      job.getConfiguration.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      (owf, new SerializableHadoopConf(job.getConfiguration))
     }
     val (upF, upC) = factory(rowSchema)
     val (delF, delC) = factory(idSchema)

@@ -328,6 +328,10 @@ class WorkspaceCatalog extends TableCatalog {
         // the grace deadline
         val lk = WorkspaceDmlLock.lockPath(p.toString)
         if (fs(lk).exists(lk)) fs(lk).delete(lk, false): Unit
+        // same for leftover partition claims (r16): a re-created
+        // same-named table must not inherit them
+        val cd = WorkspaceDmlLock.claimsDir(p.toString)
+        if (fs(cd).exists(cd)) fs(cd).delete(cd, true): Unit
         true
     }
 

@@ -74,7 +74,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * remaining check-to-delete window from statement-length to
   * microseconds (a local rename-based conditional delete can't close it
   * fully; a real object store closes it with If-Match). */
-private[sources] object WorkspaceDmlLock {
+private[graft] object WorkspaceDmlLock {
 
   /** Proof of ownership: the lock path plus the UUID this acquire wrote
     * into it. Only the handle that created a lock file may delete it. */
@@ -183,9 +183,145 @@ private[sources] object WorkspaceDmlLock {
     val p = acquire(spark, dir)
     try body finally release(spark, p)
   }
+
+  // ---- partition-grained claims (r16) --------------------------------------
+  // The table lock serializes STATEMENTS; for partitioned tables that is
+  // too coarse — two UPDATEs touching DISJOINT days have no reason to
+  // serialize their (long) copy phases. The r16 protocol splits the grain:
+  //
+  //  - the TABLE LOCK serializes only the SHORT phases — the runtime
+  //    group-filter probe (which scans across partitions), per-leaf claim
+  //    acquisition/release, and the publish renames. Every probe and every
+  //    publish holds it, so a probe can never race a publish's transient
+  //    renames (the FileNotFound torn-read class);
+  //  - per-leaf CLAIM FILES (`.<table>.__dml_claims/<urlenc rel>`, token
+  //    content) gate the LONG copy phase. All claim mutations happen UNDER
+  //    the table lock, so acquisition conflicts are decided race-free: a
+  //    fresh foreign claim aborts the statement instantly (statement-length
+  //    waits are not bounded); a stale one (crashed holder past
+  //    `graft.workspace.dmlLockGraceMs`) is broken;
+  //  - whole-table operations (translatable DELETE's cross-partition
+  //    discovery scan, partition-spec evolution, compaction, manifest
+  //    enable) keep the table lock for their whole duration AND refuse to
+  //    run while any live claim exists ([[requireNoLiveClaims]]) — they
+  //    are the "take all claims" side of the protocol.
+  //
+  // Waiting: the COW path's short phases use [[acquireWait]] (bounded by
+  // `graft.workspace.dmlLockWaitMs`, default 15 s) so two statements
+  // launched together serialize through the probe window instead of one
+  // aborting; everything else keeps the instant abort (retryable).
+
+  /** [[acquire]] with bounded retry — for the partitioned COW path's SHORT
+    * table-lock windows only (probe, claim, publish). */
+  def acquireWait(spark: SparkSession, dir: String): Handle = {
+    val waitMs = spark.conf
+      .get("graft.workspace.dmlLockWaitMs", "15000").trim.toLong
+    val deadline = System.currentTimeMillis() + waitMs
+    var backoff = 25L
+    while (true) {
+      try return acquire(spark, dir)
+      catch { case e: java.util.ConcurrentModificationException =>
+        if (System.currentTimeMillis() >= deadline) throw e
+        Thread.sleep(backoff); backoff = math.min(backoff * 2, 250L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def claimsDir(dir: String): Path = {
+    val real = new Path(dir)
+    new Path(real.getParent, s".${real.getName}.__dml_claims")
+  }
+
+  def claimPathOf(dir: String, rel: String): Path =
+    new Path(claimsDir(dir), java.net.URLEncoder.encode(rel, "UTF-8"))
+
+  private def graceMsOf(spark: SparkSession): Long = spark.conf
+    .get("graft.workspace.dmlLockGraceMs", "900000").trim.toLong
+
+  /** Relative leaf paths with a LIVE (non-stale) claim. Call under the
+    * table lock for a stable read — all claim mutations happen under it. */
+  def liveClaims(spark: SparkSession, dir: String): Seq[String] = {
+    val cd = claimsDir(dir)
+    val fs = cd.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(cd)) return Nil
+    val grace = graceMsOf(spark)
+    val now = System.currentTimeMillis()
+    fs.listStatus(cd).toSeq
+      .filter(st => now - st.getModificationTime <= grace)
+      .map(st => java.net.URLDecoder.decode(st.getPath.getName, "UTF-8"))
+      .sorted
+  }
+
+  /** Whole-table-operation gate (call under the table lock): refuse while
+    * any row-level statement's claim is live; sweep stale claim debris of
+    * crashed holders on the way through. */
+  def requireNoLiveClaims(spark: SparkSession, dir: String): Unit = {
+    val live = liveClaims(spark, dir)
+    if (live.nonEmpty) throw new java.util.ConcurrentModificationException(
+      s"row-level DML statements hold partition claims on $dir " +
+        s"(${live.take(5).mkString(", ")}${if (live.size > 5) ", ..." else ""}); " +
+        "retry after they commit, or break crashed holders' claims past " +
+        "graft.workspace.dmlLockGraceMs")
+    val cd = claimsDir(dir)
+    val fs = cd.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(cd))
+      fs.listStatus(cd).foreach(st => fs.delete(st.getPath, false): Unit)
+  }
+
+  /** Acquire per-leaf claims — CALLER HOLDS THE TABLE LOCK. A fresh
+    * foreign claim on any rel aborts with everything acquired here
+    * released (the table stays untouched); a stale one is broken. Returns
+    * the claim paths for release/refresh. */
+  def acquireClaims(spark: SparkSession, dir: String, rels: Seq[String],
+                    token: String): Seq[Path] = {
+    val cd = claimsDir(dir)
+    val fs = cd.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(cd): Unit
+    val grace = graceMsOf(spark)
+    val acquired = scala.collection.mutable.Buffer.empty[Path]
+    try {
+      rels.distinct.sorted.foreach { rel =>
+        val p = claimPathOf(dir, rel)
+        if (fs.exists(p)) {
+          val fresh = System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime <= grace
+          if (fresh) throw new java.util.ConcurrentModificationException(
+            s"another DML statement holds the partition claim '$rel' on " +
+              s"$dir; retry after it commits, or break a crashed holder's " +
+              "claim past graft.workspace.dmlLockGraceMs")
+          fs.delete(p, false): Unit
+        }
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        acquired += p
+      }
+      acquired.toSeq
+    } catch { case t: Throwable =>
+      acquired.foreach(p => fs.delete(p, false): Unit); throw t
+    }
+  }
+
+  /** Delete ONLY claims still carrying `token` (a stale-broken-and-retaken
+    * claim belongs to the new holder). */
+  def releaseClaims(spark: SparkSession, paths: Seq[Path],
+                    token: String): Unit =
+    paths.foreach { p =>
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (readToken(fs, p).contains(token)) fs.delete(p, false): Unit
+    }
+
+  /** Heartbeat the claims' mtimes at publish entry — the copy phase may
+    * have outlived the grace (the table-lock [[refresh]] tradeoff). */
+  def refreshClaims(spark: SparkSession, paths: Seq[Path]): Unit =
+    paths.foreach { p =>
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      try fs.setTimes(p, System.currentTimeMillis(), -1)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 }
 
-private[sources] object WorkspaceDml {
+private[graft] object WorkspaceDml {
 
   /** A session whose runtime conf is a private COPY of `spark`'s (same
     * SparkContext, shared catalog state) plus the given overrides — the
@@ -355,7 +491,8 @@ private[sources] class GraftWorkspaceTable(
     // read+write on an ISOLATED session (same SparkContext and catalog,
     // cloned runtime conf) with the key set only there
     val iso = WorkspaceDml.isolatedSession(spark,
-      "spark.sql.parquet.fieldId.read.enabled" -> "true")
+      "spark.sql.parquet.fieldId.read.enabled" -> "true",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
     WorkspaceDmlLock.withLock(spark, dir) {
       // the file LISTING happens at DataFrameReader.parquet — it must run
       // under the lock too, or a statement committing in between leaves
@@ -430,12 +567,28 @@ private[sources] class CowOperation(
           // re-stamp declared field ids: the COW rewrite's row schema comes
           // from the query plan and may have shed the id metadata
           val stamped = WorkspaceDml.mergeFieldIds(info.schema(), declared)
+          // the staged files are DATA files a footer-built manifest may
+          // later index — the write must emit INT64 TIMESTAMP_MICROS (see
+          // Sinks.microsBound). FileWrite captures its conf from the
+          // THREAD-LOCAL active session at toBatch, so an isolated session
+          // swapped in around this one call is exactly per-writer scope
+          val iso = WorkspaceDml.isolatedSession(SparkSession.active,
+            "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
           val stagingTable = ParquetTable(
-            label, SparkSession.active,
+            label, iso,
             CaseInsensitiveStringMap.empty(), Seq(staging.toString),
             Some(stamped), classOf[ParquetFileFormat])
-          val inner = stagingTable
-            .newWriteBuilder(WorkspaceDml.withSchema(info, stamped)).build().toBatch
+          val inner = {
+            val prev = SparkSession.getActiveSession
+            SparkSession.setActiveSession(iso)
+            try stagingTable
+              .newWriteBuilder(WorkspaceDml.withSchema(info, stamped))
+              .build().toBatch
+            finally prev match {
+              case Some(p) => SparkSession.setActiveSession(p)
+              case None => SparkSession.clearActiveSession()
+            }
+          }
           new BatchWrite {
             private def unlock(): Unit =
               lock.foreach(WorkspaceDmlLock.release(SparkSession.active, _))
@@ -624,7 +777,7 @@ private[sources] class SnapshotDmlTable(
         // detected
         val staged = stagingPath()
         try {
-          remaining.write.parquet(staged.toString)
+          graft.operators.Sinks.microsBound(remaining).write.parquet(staged.toString)
           publishIfUnconflicted(staged)
         } catch { case t: Throwable => discard(staged); throw t }
     }

@@ -20,6 +20,20 @@ object Bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Re-root a DataFrame's ANALYZED plan onto another session of the same
+    * `SparkContext` (`Dataset.ofRows` is `private[sql]`). What it buys: a
+    * write can run under an ISOLATED session's conf (e.g. a per-writer
+    * parquet `outputTimestampType`) without mutating the caller's shared
+    * session conf, which every concurrent query on that session would
+    * observe. The analyzed plan is session-independent at this point
+    * (relations are resolved; re-analysis under the target session is a
+    * pass-through), so the rebind costs one analyzer run, no data moves. */
+  def rebind(df: org.apache.spark.sql.DataFrame,
+             session: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      classicDs(df).queryExecution.analyzed)
+
   /** Unwrap Spark's `RowLevelOperationTable` (the row-level rewrites'
     * read-side table wrapper, `private[sql]`) back to the wrapped table —
     * lets an external resolution rule recognize its own table behind the

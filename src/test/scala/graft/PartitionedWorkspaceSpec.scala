@@ -953,4 +953,107 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     spark.sql(s"UPDATE $cat.pt SET v = 'z' WHERE src = 's1' AND id = 100")
     assert(spark.table(s"$cat.pt").filter(col("v") === "z").count() == 1)
   }
+
+  test("partition-grained claims: disjoint-day UPDATEs run CONCURRENTLY; " +
+       "conflicts abort at the claim; whole-table ops refuse") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.cl (id BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (days(ts))")
+    val epoch0 = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    (0L until 20L).map(i => (i,
+        new java.sql.Timestamp(epoch0 + (i % 2) * 86400000L + i * 1000L),
+        "x")).toSeq
+      .toDF("id", "ts", "v").createOrReplaceTempView("cl_seed")
+    // ONE file per day (one writer task): statement A's gated copy stage
+    // must be a single blocked task, or it would occupy every local[4]
+    // slot and starve the concurrent statement this test is about
+    spark.sql(
+      s"INSERT INTO $cat.cl SELECT /*+ REPARTITION(1) */ id, ts, v FROM cl_seed")
+    def rootCauses(t: Throwable): Seq[String] = {
+      var cur: Throwable = t
+      val out = scala.collection.mutable.Buffer.empty[String]
+      while (cur != null) { out += String.valueOf(cur.getMessage); cur = cur.getCause }
+      out.toSeq
+    }
+    val tdir = s"$ws/cl.parquet"
+    val claimsDir = graft.sources.WorkspaceDmlLock.claimsDir(tdir)
+    val f = fs(ws)
+    def liveClaimNames: Seq[String] =
+      if (!f.exists(claimsDir)) Nil
+      else f.listStatus(claimsDir).map(st =>
+        java.net.URLDecoder.decode(st.getPath.getName, "UTF-8")).toSeq
+    // a latch-gated UDF in the SET expression: the group-filter PROBE only
+    // evaluates the WHERE, so statement A parks in its COPY phase — table
+    // lock already downgraded to the day-1 claim
+    PartitionClaimGate.latch = new java.util.concurrent.CountDownLatch(1)
+    spark.udf.register("claim_gate",
+      (v: String) => { PartitionClaimGate.latch.await(); v })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val a = scala.concurrent.Future {
+      spark.sql(s"UPDATE $cat.cl SET v = claim_gate('a') " +
+        "WHERE ts >= TIMESTAMP '2024-06-01 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-06-02 00:00:00'")
+    }
+    try {
+      // wait until A holds its day claim (probe done, copy parked)
+      val deadline = System.currentTimeMillis() + 60000
+      while (liveClaimNames.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+      assert(liveClaimNames.exists(_.startsWith("ts_day=")),
+        s"statement A never claimed its day: $liveClaimNames")
+      // 1) a DISJOINT-day UPDATE lands to COMPLETION while A is mid-copy —
+      //    the two statements' copy phases provably overlap
+      spark.sql(s"UPDATE $cat.cl SET v = 'b' " +
+        "WHERE ts >= TIMESTAMP '2024-06-02 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-06-03 00:00:00'")
+      assert(spark.table(s"$cat.cl").filter(col("v") === "b").count() == 10,
+        "disjoint-day statement must commit while the other is mid-copy")
+      assert(!a.isCompleted, "A must still be parked in its copy phase")
+      // 2) a CONFLICTING same-day UPDATE aborts cleanly at the claim
+      val e1 = intercept[Throwable] {
+        spark.sql(s"UPDATE $cat.cl SET v = 'c' " +
+          "WHERE ts >= TIMESTAMP '2024-06-01 00:00:00' " +
+          "AND ts < TIMESTAMP '2024-06-02 00:00:00'")
+      }
+      assert(rootCauses(e1).exists(_.contains("partition claim")),
+        rootCauses(e1).mkString(" | "))
+      // 3) whole-table operations refuse while the claim is live
+      val e2 = intercept[Throwable] {
+        spark.sql(s"DELETE FROM $cat.cl WHERE v = 'never'")
+      }
+      assert(rootCauses(e2).exists(_.contains("partition claims")),
+        rootCauses(e2).mkString(" | "))
+      val e3 = intercept[Throwable] {
+        graft.sources.PartitionCompaction.compactPartitions(spark, ws, "cl")
+      }
+      assert(rootCauses(e3).exists(_.contains("partition claims")),
+        rootCauses(e3).mkString(" | "))
+    } finally PartitionClaimGate.latch.countDown()
+    scala.concurrent.Await.result(a,
+      scala.concurrent.duration.Duration(120, "s")): Unit
+    pool.shutdown()
+    // both statements' effects intact, nothing lost or duplicated
+    val t = spark.table(s"$cat.cl")
+    assert(t.count() == 20)
+    assert(t.filter(col("v") === "a").count() == 10, "statement A torn")
+    assert(t.filter(col("v") === "b").count() == 10, "statement B torn")
+    // the protocol cleans up after itself
+    assert(liveClaimNames.isEmpty, s"claims leaked: $liveClaimNames")
+    assert(!f.exists(graft.sources.WorkspaceDmlLock.lockPath(tdir)),
+      "table lock leaked")
+    // and the table still serves DML (state machine intact)
+    spark.sql(s"UPDATE $cat.cl SET v = 'd' WHERE id = 3")
+    assert(spark.table(s"$cat.cl").filter(col("v") === "d").count() == 1)
+  }
+}
+
+/** JVM-singleton latch for the claims spec's gated UDF (a closure-captured
+  * latch would have to serialize; the object is re-resolved statically on
+  * the executor side — same instance in local mode). */
+object PartitionClaimGate {
+  @volatile var latch: java.util.concurrent.CountDownLatch = _
 }

@@ -929,4 +929,57 @@ class SinksSpec extends AnyFunSuite {
       "the deferring compactor must release its own transient claims")
     s.close()
   }
+
+  test("per-writer TIMESTAMP_MICROS: sink writes under an INT96-default " +
+       "session carry footer-usable ts stats; the caller's conf is untouched") {
+    // a fresh session pinned to Spark's INT96 default — the shared test
+    // session sets MICROS session-wide, which would mask the per-writer path
+    val s2 = TestSpark.spark.newSession()
+    s2.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    import s2.implicits._
+    val sc = new graft.Session.Scratch
+    try {
+      val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      val df = Seq((1L, lo), (2L, hi)).toDF("id", "ts")
+      val tdir = s"${sc.dir}/micros_snap"
+      assert(Sinks.writeSnapshotWithManifest(df.coalesce(1), tdir, Seq("ts")) == 1)
+      // per-WRITER scope: the caller's session default must survive the write
+      assert(s2.conf.get("spark.sql.parquet.outputTimestampType") == "INT96")
+      // the footer-built manifest has usable ts bounds — INT96 footers
+      // would have degraded both to NULL (FooterStats conservative contract)
+      val m = s2.read.parquet(s"$tdir/_manifest/v=1")
+        .select("min_ts", "max_ts").first()
+      assert(!m.isNullAt(0) && !m.isNullAt(1),
+        "ts bounds NULL — the data write fell back to INT96")
+      assert(m.getTimestamp(0) == lo && m.getTimestamp(1) == hi)
+      // values round-trip identically through the isolated-session write
+      assert(s2.read.parquet(s"$tdir/v=1").orderBy("id")
+        .collect().map(_.getTimestamp(1)).toSeq == Seq(lo, hi))
+
+      // the partitioned workspace's V1 INSERT path (its own writer) too
+      s2.conf.set("spark.sql.catalog.micros_ws",
+        "graft.sources.WorkspaceCatalog")
+      s2.conf.set("spark.sql.catalog.micros_ws.workspace", sc.dir)
+      s2.sql("""CREATE TABLE micros_ws.mt (id BIGINT, ts TIMESTAMP)
+               |PARTITIONED BY (days(ts))""".stripMargin)
+      s2.sql("INSERT INTO micros_ws.mt VALUES " +
+        "(1, TIMESTAMP '2024-01-01 06:00:00'), " +
+        "(2, TIMESTAMP '2024-01-01 18:00:00')")
+      val leaf = new org.apache.hadoop.fs.Path(s"${sc.dir}/mt.parquet/ts_day=19723")
+      val hconf = s2.sessionState.newHadoopConf()
+      val file = leaf.getFileSystem(hconf).listStatus(leaf)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .head.getPath
+      val (_, stats) = graft.sources.FooterStats.fileStats(hconf, file,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))), Seq("ts"))
+      assert(stats("ts").min != null && stats("ts").max != null,
+        "leaf file ts bounds NULL — the V1 partitioned insert wrote INT96")
+      assert(s2.conf.get("spark.sql.parquet.outputTimestampType") == "INT96")
+    } finally sc.close()
+  }
 }
