@@ -1535,14 +1535,25 @@ object Sinks {
           baseDf.join(g.distinct(), keyCols, "left_anti"))
         // the version's schema is the base's EXTENDED by any columns its
         // upserts added (writes after an ALTER TABLE ADD COLUMN land full-
-        // schema deltas on a narrower base) — base rows null-fill the
-        // additions; an upsert can never be NARROWER than the base (writes
-        // bind to the table schema), so conform only widens
+        // schema deltas on a narrower base) and WIDENED wherever the
+        // upserts carry a wider type (writes after a widening ALTER COLUMN
+        // TYPE land e.g. bigint deltas on an int-typed base — conforming
+        // to the base's type would overflow-cast the delta, r16) — base
+        // rows null-fill additions and widen losslessly; an upsert can
+        // never be NARROWER than the base (writes bind to the table
+        // schema), so conform only widens
         ups.fold(kept) { u =>
           val extra = u.schema.fields.filterNot(f =>
             baseDf.columns.exists(_.equalsIgnoreCase(f.name)))
-          val target = org.apache.spark.sql.types.StructType(
-            baseDf.schema.fields ++ extra)
+          val widened = baseDf.schema.fields.map { bf =>
+            u.schema.fields.find(_.name.equalsIgnoreCase(bf.name)) match {
+              case Some(uf) if graft.sources.SnapshotCatalog
+                  .widens(bf.dataType, uf.dataType) =>
+                bf.copy(dataType = uf.dataType)
+              case _ => bf
+            }
+          }
+          val target = org.apache.spark.sql.types.StructType(widened ++ extra)
           graft.sources.SchemaEvolution.conform(kept, target)
             .unionByName(graft.sources.SchemaEvolution.conform(u, target))
         }

@@ -6302,6 +6302,111 @@ object PipelineQueries {
       q.withColumn("files_kept", lit(kept))
         .withColumn("files_total", lit(total))
         .orderBy("event_id")
+    },
+
+    // ---- snapshot: metadata-only TYPE WIDENING (r16) -------------------------
+    // The other half of schema evolution (VERDICT r15 missing #3's tail):
+    // ALTER COLUMN TYPE int->bigint (and float->double, decimal precision
+    // growth) without touching a byte of history. Only the declared
+    // `_schema.json` changes; Spark 4's parquet reader natively serves the
+    // old int-typed files under the widened schema, the thin-chain
+    // resolver takes the WIDER side per column when merging post-ALTER
+    // deltas over a narrower base (conforming to the base's type would
+    // overflow-cast the delta), and pinned reads keep their version's own
+    // physical width. The face pins: the mtime fact (alter_intact), a
+    // post-ALTER thin INSERT carrying a value only BIGINT can hold, a
+    // keyed thin UPDATE merging bigint deltas over the int base, the
+    // pinned pre-ALTER type (pinned_type='int'), and the full widened
+    // read-back — all on one hash.
+    Q("q245_snapshot_type_widening", {
+      """WITH b AS (SELECT doc_id, CAST(LENGTH(text) AS INT) AS nch
+        |           FROM documents WHERE doc_id % 4 = 1),
+        |m AS (SELECT MAX(doc_id) + 1 AS nid FROM b)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 20 = 1 THEN nch + 1000000 ELSE nch END
+        |       AS BIGINT) AS nchars,
+        |  'int' AS pinned_type, 1 AS alter_intact
+        |FROM b
+        |UNION ALL
+        |SELECT nid, CAST(5000000000 AS BIGINT), 'int', 1 FROM m
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "widen_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      s.sql(s"""CREATE TABLE $cat.$tbl AS
+               |SELECT doc_id, CAST(LENGTH(text) AS INT) AS nchars
+               |FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 4 = 1""".stripMargin)
+      graft.operators.Sinks.declareSnapshotKeys(s, tdir, Seq("doc_id"))
+      def vMtimes = new java.io.File(tdir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .flatMap(d => d.listFiles().filter(_.isFile)
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())).toMap
+      val before = vMtimes
+      s.sql(s"ALTER TABLE $cat.$tbl ALTER COLUMN nchars TYPE BIGINT")
+      val alterIntact = vMtimes == before
+      val nid = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 1)
+        .agg(max("doc_id") + 1).first().getLong(0)
+      // a value only BIGINT can hold rides a thin INSERT over the int base
+      s.sql(s"INSERT INTO $cat.$tbl SELECT $nid AS doc_id, " +
+        "CAST(5000000000 AS BIGINT) AS nchars")
+      s.sql(s"UPDATE $cat.$tbl SET nchars = nchars + 1000000 " +
+        "WHERE doc_id % 20 = 1")
+      val pinnedType = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF 2")
+        .schema("nchars").dataType.simpleString
+      s.sql(s"SELECT doc_id, nchars FROM $cat.$tbl")
+        .withColumn("pinned_type", lit(pinnedType))
+        .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
+        .orderBy("doc_id")
+    },
+
+    // ---- workspace: metadata-only TYPE WIDENING on flat tables (r16) --------
+    // The snapshot widening (q245) lifted onto the read-write workspace:
+    // only the declared sidecar changes (alter_intact pins the file-mtime
+    // fact); old int-typed files serve natively under the widened schema;
+    // the mixed-typed directory stays one consistent table through a
+    // bigint-only INSERT, a COW UPDATE and a translatable DELETE.
+    Q("q246_workspace_type_widening", {
+      """WITH b AS (SELECT doc_id, CAST(LENGTH(text) AS INT) AS nch
+        |           FROM documents WHERE doc_id % 5 = 2),
+        |m AS (SELECT MAX(doc_id) + 1 AS nid FROM b),
+        |u AS (SELECT doc_id,
+        |        CAST(CASE WHEN doc_id % 25 = 2 THEN nch + 1000000 ELSE nch
+        |             END AS BIGINT) AS nchars
+        |      FROM b WHERE doc_id % 35 <> 17
+        |      UNION ALL SELECT nid, CAST(5000000000 AS BIGINT) FROM m)
+        |SELECT doc_id, nchars, 1 AS alter_intact FROM u
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wtw")
+      s.sql(s"""CREATE TABLE $cat.wtw AS
+               |SELECT doc_id, CAST(LENGTH(text) AS INT) AS nchars
+               |FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 5 = 2""".stripMargin)
+      def mtimes = Option(new java.io.File(s"$ws/wtw.parquet").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+      val before = mtimes
+      s.sql(s"ALTER TABLE $cat.wtw ALTER COLUMN nchars TYPE BIGINT")
+      val alterIntact = mtimes == before
+      s.sql(s"UPDATE $cat.wtw SET nchars = nchars + 1000000 " +
+        "WHERE doc_id % 25 = 2")
+      s.sql(s"DELETE FROM $cat.wtw WHERE doc_id % 35 = 17")
+      val nid = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 2)
+        .agg(max("doc_id") + 1).first().getLong(0)
+      s.sql(s"INSERT INTO $cat.wtw SELECT $nid AS doc_id, " +
+        "CAST(5000000000 AS BIGINT) AS nchars")
+      s.sql(s"SELECT doc_id, nchars FROM $cat.wtw")
+        .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
+        .orderBy("doc_id")
     }
   )
 }

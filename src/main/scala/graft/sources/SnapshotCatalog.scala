@@ -322,10 +322,39 @@ class SnapshotCatalog extends TableCatalog
             // (schema and rename history are one atomic _schema.json)
             graft.operators.Sinks.appendRenameChain(f, committed, to)
           else f))
+      case (schema, upd: TableChange.UpdateColumnType) =>
+        // METADATA-ONLY type WIDENING (r16): no version folder is touched —
+        // only the declared `_schema.json` changes. Safe because every
+        // allowed transition is value-exact AND order-preserving, and
+        // Spark 4's parquet reader natively serves old-typed files under
+        // the widened schema (vectorized type promotion) — so unpinned
+        // reads, thin-chain resolution (union coercion agrees), manifest
+        // pruning (stats compare kind-wise, not type-wise), and DML all
+        // just work; pinned VERSION/TIMESTAMP AS OF reads keep their
+        // version's own physical types — history is immutable, including
+        // its width. Anything non-widening gets the guided error below.
+        require(upd.fieldNames().length == 1,
+          "snapshot tables are flat; nested ALTER COLUMN is not supported")
+        val f = schema.fields
+          .find(_.name.equalsIgnoreCase(upd.fieldNames()(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column ${upd.fieldNames()(0)} in ${ident.name()}"))
+        val to = upd.newDataType()
+        if (!SnapshotCatalog.widens(f.dataType, to))
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN ${f.name} TYPE ${to.simpleString}: only lossless " +
+              s"WIDENINGS (tinyint/smallint/int->bigint, float->double, " +
+              s"decimal precision growth at the same scale) are " +
+              s"metadata-only; ${f.dataType.simpleString} -> " +
+              s"${to.simpleString} would reinterpret pinned history — " +
+              "evolve by publishing new versions")
+        org.apache.spark.sql.types.StructType(schema.fields.map(x =>
+          if (x.name.equalsIgnoreCase(f.name)) x.copy(dataType = to) else x))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"snapshot tables support ALTER TABLE ADD COLUMN and RENAME " +
-            s"COLUMN only (got ${other.getClass.getSimpleName}); anything " +
+          s"snapshot tables support ALTER TABLE ADD COLUMN, RENAME " +
+            s"COLUMN and widening ALTER COLUMN TYPE only (got " +
+            s"${other.getClass.getSimpleName}); anything " +
             "else would reinterpret pinned history — evolve by publishing " +
             "new versions")
     }
@@ -361,4 +390,24 @@ class SnapshotCatalog extends TableCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "snapshot table renames would break pinned references; copy via CTAS")
+}
+
+private[graft] object SnapshotCatalog {
+  import org.apache.spark.sql.types._
+
+  /** The metadata-only widening lattice: value-exact, order-preserving
+    * transitions Spark 4's parquet reader serves natively over old-typed
+    * files (vectorized type promotion). Equal types are NOT a widening
+    * (a no-op ALTER is a user error worth surfacing). Decimal precision
+    * may grow only at the SAME scale — a scale change re-scales the
+    * unscaled value, which is a rewrite, not a reinterpretation. */
+  def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (d1: DecimalType, d2: DecimalType) =>
+      d2.scale == d1.scale && d2.precision > d1.precision
+    case _ => false
+  }
 }

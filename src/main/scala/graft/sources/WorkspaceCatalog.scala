@@ -443,11 +443,36 @@ class WorkspaceCatalog extends TableCatalog {
         StructType(schema.fields.map { f =>
           if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f
         })
+      case (schema, upd: TableChange.UpdateColumnType) =>
+        // METADATA-ONLY type WIDENING (r16), same lattice as the snapshot
+        // store (SnapshotCatalog.widens): only the declared sidecar
+        // changes; catalog reads bind it and Spark's parquet reader
+        // natively serves old-typed files under the widened schema, so a
+        // directory mixing pre- and post-ALTER files stays one consistent
+        // table. Non-widening changes keep the CTAS guidance.
+        require(upd.fieldNames().length == 1,
+          "workspace tables are flat; nested ALTER COLUMN is not supported")
+        val f = schema.fields
+          .find(_.name.equalsIgnoreCase(upd.fieldNames()(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column ${upd.fieldNames()(0)} in ${ident.name()}"))
+        val to = upd.newDataType()
+        if (!SnapshotCatalog.widens(f.dataType, to))
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN ${f.name} TYPE ${to.simpleString}: only lossless " +
+              s"WIDENINGS (tinyint/smallint/int->bigint, float->double, " +
+              s"decimal precision growth at the same scale) are " +
+              s"metadata-only; ${f.dataType.simpleString} -> " +
+              s"${to.simpleString} would reinterpret bytes already on " +
+              "disk — rewrite via CREATE TABLE ... AS")
+        StructType(schema.fields.map(x =>
+          if (x.name.equalsIgnoreCase(f.name)) x.copy(dataType = to) else x))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"workspace tables support ALTER TABLE ADD COLUMN and RENAME COLUMN only " +
+          s"workspace tables support ALTER TABLE ADD COLUMN, RENAME COLUMN " +
+            s"and widening ALTER COLUMN TYPE only " +
             s"(got ${other.getClass.getSimpleName}); " +
-            "drop/retype would reinterpret bytes already on disk — rewrite via CREATE TABLE ... AS")
+            "drop would reinterpret bytes already on disk — rewrite via CREATE TABLE ... AS")
     }
     // restore canonical hive order: IDENTITY partition columns stay LAST
     // in partition order (a days marker has no schema-position constraint)

@@ -373,4 +373,41 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
       .map(_.getName).filter(n => n.contains("__cow_") || n.contains("__replaced_"))
     assert(debris.isEmpty, debris.mkString(","))
   }
+
+  test("ALTER COLUMN TYPE widening: metadata-only on flat tables, mixed-typed " +
+       "files serve; partitioned stay ADD-only") {
+    val (scratch, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.wd AS SELECT CAST(n_nationkey AS BIGINT) " +
+      s"AS k, CAST(n_regionkey AS INT) AS r FROM parquet.`$sf/nation.parquet` " +
+      "WHERE n_nationkey < 5")
+    def files() = Option(new java.io.File(s"${scratch.dir}/wd.parquet").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val before = files()
+    spark.sql(s"ALTER TABLE $cat.wd ALTER COLUMN r TYPE BIGINT")
+    assert(files() == before, "widening must not rewrite data files")
+    assert(spark.table(s"$cat.wd").schema("r").dataType.simpleString == "bigint")
+    // old int-typed files serve natively under the widened schema
+    assert(spark.sql(s"SELECT SUM(r) FROM $cat.wd").first().getLong(0) ==
+      spark.read.parquet(s"$sf/nation.parquet").filter("n_nationkey < 5")
+        .agg(org.apache.spark.sql.functions.sum("n_regionkey")).first().getLong(0))
+    // a bigint-only value lands; DML reads the mixed-typed directory
+    spark.sql(s"INSERT INTO $cat.wd VALUES (99, ${1L << 40})")
+    spark.sql(s"UPDATE $cat.wd SET r = r + ${1L << 41} WHERE k = 0")
+    spark.sql(s"DELETE FROM $cat.wd WHERE k = 1")
+    val got = spark.sql(s"SELECT k, r FROM $cat.wd ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 5 && got.last == ((99L, 1L << 40)))
+    assert(got.head._2 >= (1L << 41), got.head.toString)
+    // guardrails: non-widening refused with guidance; partitioned tables
+    // stay ADD COLUMN only
+    val bad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.wd ALTER COLUMN k TYPE DECIMAL(30, 0)") }
+    assert(bad.getMessage.contains("only lossless"), bad.getMessage)
+    spark.sql(s"CREATE TABLE $cat.wp (id BIGINT, n INT, src STRING) " +
+      "PARTITIONED BY (src)")
+    val part = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.wp ALTER COLUMN n TYPE BIGINT") }
+    assert(part.getMessage.contains("ADD COLUMN only"), part.getMessage)
+  }
 }
