@@ -1238,22 +1238,19 @@ object Sinks {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         changeFeedSchema(spark, tableDir))
     else {
+      // ONE evolution-proof path: read each feed file with its own schema,
+      // replay its version's rename window (no-op when no renames exist),
+      // and union by name. The union null-fills files from before an
+      // ALTER ADD COLUMN and COERCES across a widening ALTER COLUMN TYPE
+      // (int-era feed files union with bigint-era ones to bigint) — the
+      // previous mergeSchema fast path failed the parquet schema merge on
+      // exactly that type straddle (r16). Cost is the TVF's own grain
+      // either way: O(requested files) footer reads; feed files are
+      // per-commit deltas, so the plan is a union of tiny scans.
       val renames = snapshotRenames(spark, tableDir)
-      if (renames.isEmpty)
-        // mergeSchema: feed files straddling an ALTER TABLE ADD COLUMN
-        // differ in width — the union serves them all, older rows
-        // null-filled (O(requested files) footer reads, the TVF's own
-        // cost grain)
-        spark.read.option("mergeSchema", "true").parquet(files.map(_._2): _*)
-      else
-        // across a RENAME the merge must unify by the rename history, not
-        // by raw name (mergeSchema would serve old- and new-named columns
-        // side by side, each half-null): each feed file carries its
-        // commit-time names, so replay its version's rename window, then
-        // union by the now-consistent names
-        files.map { case (v, f) =>
-          applyRenames(spark.read.parquet(f), renamesForFolder(v, renames))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      files.map { case (v, f) =>
+        applyRenames(spark.read.parquet(f), renamesForFolder(v, renames))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 

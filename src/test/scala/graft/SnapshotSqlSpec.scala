@@ -545,6 +545,7 @@ class SnapshotSqlSpec extends AnyFunSuite {
        "its width, thin chains and manifests serve mixed-typed files") {
     val (cat, ws) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.wd (id BIGINT, n INT, f FLOAT)")        // v1
+    Sinks.enableChangeFeed(spark, s"$ws/wd")
     spark.sql(s"INSERT INTO $cat.wd VALUES (1, 10, CAST(1.5 AS FLOAT)), " +
       "(2, 20, CAST(2.5 AS FLOAT))")                                     // v2 thin
     Sinks.declareSnapshotKeys(spark, s"$ws/wd", Seq("id"))
@@ -574,6 +575,17 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((1L, 10L + (1L << 41), 1.5), (2L, 20L, 2.5),
       (3L, 1L << 40, 3.5)))
+    // the change feed SPANS the widening: int-era feed files (v2) union
+    // with bigint-era ones (v3/v4) into one bigint-typed change set — the
+    // old mergeSchema fast path failed the parquet merge on this straddle
+    val ch = Sinks.tableChanges(spark, s"$ws/wd", 2, 4)
+    assert(ch.schema("n").dataType.simpleString == "bigint")
+    val upserts = ch.filter(org.apache.spark.sql.functions.col("__change")
+        === "upsert")
+      .select("__version", "id", "n").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(upserts == Set((2, 1L, 10L), (2, 2L, 20L), (3, 3L, 1L << 40),
+      (4, 1L, 10L + (1L << 41))), upserts.toString)
     // manifest skipping across mixed-typed files: int-era stats still
     // prune against bigint predicates (stats compare kind-wise)
     val t2 = s"$ws/wd2"
