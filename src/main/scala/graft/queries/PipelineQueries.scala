@@ -6407,6 +6407,85 @@ object PipelineQueries {
       s.sql(s"SELECT doc_id, nchars FROM $cat.wtw")
         .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
         .orderBy("doc_id")
+    },
+
+    // ---- workspace: partition-grained DML claims (r16) -----------------------
+    // The two-grain protocol driver-checked: a FOREIGN per-leaf claim (a
+    // concurrent statement mid-copy) blocks only statements whose
+    // predicate could touch that leaf. The face plants a claim on one day,
+    // then pins four facts on the oracle hash: a DISJOINT-day DELETE runs
+    // to completion under the live claim (disjoint_ok — pre-r16 any live
+    // claim refused every statement), an OVERLAPPING-day DELETE aborts at
+    // the claim (overlap_blocked), a predicate pinning NO partition stays
+    // whole-table grain and refuses (wholetable_blocked), and after the
+    // claim clears both land — the surviving content (events minus two
+    // days minus the purchases) plus protocol hygiene (claims_clean: no
+    // claim or lock files outlive their statements) ride the same hash.
+    Q("q247_partition_claims", {
+      """SELECT e.event_id, e.event_type,
+        |  1 AS disjoint_ok, 1 AS overlap_blocked, 1 AS wholetable_blocked,
+        |  1 AS claims_clean
+        |FROM events e
+        |WHERE NOT (e.ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |           AND e.ts < TIMESTAMP '2024-01-05 00:00:00')
+        |  AND e.event_type <> 'purchase'
+        |ORDER BY e.event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.pcl")
+      s.sql(s"""CREATE TABLE $cat.pcl (event_id BIGINT, ts TIMESTAMP,
+               |event_type STRING) PARTITIONED BY (days(ts))""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.pcl
+               |SELECT event_id, ts, event_type
+               |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      val tdir = s"$ws/pcl.parquet"
+      val f = new org.apache.hadoop.fs.Path(tdir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      // a foreign claim on Jan 3 (epoch day 19725) — a concurrent
+      // statement mid-copy as far as the protocol can tell
+      val claim = graft.sources.WorkspaceDmlLock.claimPathOf(tdir,
+        "ts_day=19725")
+      f.mkdirs(claim.getParent): Unit
+      val o = f.create(claim, false)
+      try o.write("foreign".getBytes("UTF-8")) finally o.close()
+      def cme(body: => Unit): Boolean =
+        try { body; false }
+        catch { case t: Throwable =>
+          var cur: Throwable = t
+          var hit = false
+          while (cur != null) {
+            hit ||= Option(cur.getMessage).exists(_.contains("partition claim"))
+            cur = cur.getCause
+          }
+          hit
+        }
+      s.sql(s"DELETE FROM $cat.pcl WHERE " +          // disjoint day: lands
+        "ts >= TIMESTAMP '2024-01-04 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-05 00:00:00'")
+      val disjointOk =
+        f.exists(new org.apache.hadoop.fs.Path(s"$tdir/ts_day=19725")) &&
+          !f.exists(new org.apache.hadoop.fs.Path(s"$tdir/ts_day=19726"))
+      val overlapBlocked = cme(s.sql(s"DELETE FROM $cat.pcl WHERE " +
+        "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-04 00:00:00'"))
+      val wholeBlocked = cme(
+        s.sql(s"DELETE FROM $cat.pcl WHERE event_type = 'purchase'"))
+      f.delete(claim, false): Unit
+      s.sql(s"DELETE FROM $cat.pcl WHERE " +
+        "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-04 00:00:00'")
+      s.sql(s"DELETE FROM $cat.pcl WHERE event_type = 'purchase'")
+      val cd = graft.sources.WorkspaceDmlLock.claimsDir(tdir)
+      val claimsClean =
+        (!f.exists(cd) || f.listStatus(cd).isEmpty) &&
+          !f.exists(graft.sources.WorkspaceDmlLock.lockPath(tdir))
+      s.sql(s"SELECT event_id, event_type FROM $cat.pcl")
+        .withColumn("disjoint_ok", lit(if (disjointOk) 1 else 0))
+        .withColumn("overlap_blocked", lit(if (overlapBlocked) 1 else 0))
+        .withColumn("wholetable_blocked", lit(if (wholeBlocked) 1 else 0))
+        .withColumn("claims_clean", lit(if (claimsClean) 1 else 0))
+        .orderBy("event_id")
     }
   )
 }

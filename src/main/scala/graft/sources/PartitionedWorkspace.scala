@@ -176,6 +176,28 @@ private[sources] object PartitionedWorkspace {
     }
   }
 
+  /** Can a row whose IDENTITY column `c` carries path value `v` satisfy
+    * `f`? EqualTo / EqualNullSafe / In on `c` decide by the canonical
+    * value string (the same [[valueString]] the writer used for the
+    * directory name); And/Or recurse; IS NULL never matches (partitioned
+    * tables reject NULL partition keys at write); any other shape keeps
+    * the leaf — conservative, like [[dayMayMatch]]. */
+  def identityMayMatch(f: sources.Filter, c: String, v: String): Boolean = {
+    def ref(x: String) = x.equalsIgnoreCase(c)
+    def same(lit: Any): Boolean = lit != null && valueString(lit) == v
+    f match {
+      case sources.And(l, r) =>
+        identityMayMatch(l, c, v) && identityMayMatch(r, c, v)
+      case sources.Or(l, r) =>
+        identityMayMatch(l, c, v) || identityMayMatch(r, c, v)
+      case sources.EqualTo(x, lit) if ref(x) => same(lit)
+      case sources.EqualNullSafe(x, lit) if ref(x) => same(lit)
+      case sources.In(x, vs) if ref(x) => vs.exists(same)
+      case sources.IsNull(x) if ref(x) => false
+      case _ => true
+    }
+  }
+
   /** Extract the per-level value sets a runtime group filter pins: each
     * translated V2 runtime filter arrives as `sourceCol IN (v1..vn)` (or a
     * single `=`); values map onto PATH values through the level's
@@ -679,22 +701,75 @@ private[sources] class PartitionedWorkspaceTable(
     case DaysLevel(c, isDate) => PartitionedWorkspace.dayColumn(col(c), isDate)
   }
 
-  override def deleteWhere(filters: Array[sources.Filter]): Unit =
-    WorkspaceDmlLock.withLock(spark, dir) {
-      // whole-table grain: the discovery scan and the survivor stagings
-      // read across partitions (on a hidden days layout the match is on a
-      // derived column), so this statement cannot run under per-leaf
-      // claims — it holds the table lock throughout and refuses to start
-      // while any claim-holding statement is mid-copy
-      WorkspaceDmlLock.requireNoLiveClaims(spark, dir)
-      deleteWhereLocked(filters)
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val lock = WorkspaceDmlLock.acquire(spark, dir)
+    var lockHeld = true
+    val token = java.util.UUID.randomUUID().toString
+    var claims: Seq[Path] = Nil
+    try {
+      // crashed-DML debris first, under the lock (the same composition
+      // rule every entry point follows)
+      repairRetiredPartitions()
+      val all = leafDirsWithValues()
+      val candidates = all.filter { case (_, vals) =>
+        filters.forall(f => leafMayMatch(f, vals)) }
+      if (candidates.isEmpty) ()        // no partition can match: no-op
+      else if (candidates.size == all.size) {
+        // the predicate pins nothing (or everything): whole-table grain —
+        // the discovery scan and survivor stagings read across partitions,
+        // so hold the table lock throughout and refuse to start while any
+        // claim-holding statement is mid-copy
+        WorkspaceDmlLock.requireNoLiveClaims(spark, dir)
+        deleteWhereScoped(filters, candidates, underClaims = false)
+      } else {
+        // PARTITION grain (r16): the filters pin a leaf subset from the
+        // directory values alone (dayMayMatch / identityMayMatch,
+        // conservative keep) — claim exactly those leaves, release the
+        // table lock for the survivor stagings (the swap re-takes it
+        // briefly), and let disjoint-partition statements proceed
+        // concurrently with this DELETE. A fresh foreign claim on any
+        // candidate aborts cleanly instead.
+        claims = WorkspaceDmlLock.acquireClaims(
+          spark, dir, candidates.map { case (_, vals) => relOf(vals) }, token)
+        try {
+          WorkspaceDmlLock.release(spark, lock); lockHeld = false
+          deleteWhereScoped(filters, candidates, underClaims = true)
+        } finally WorkspaceDmlLock.releaseClaims(spark, claims, token)
+      }
+    } finally if (lockHeld) WorkspaceDmlLock.release(spark, lock)
+  }
+
+  /** Can rows inside a leaf with path values `vals` satisfy `f`, decided
+    * from the DIRECTORY values alone? Conservative keep: any filter shape
+    * the level cannot decide keeps the leaf a candidate. */
+  private def leafMayMatch(f: sources.Filter, vals: Seq[String]): Boolean =
+    levels.zip(vals).forall {
+      case (DaysLevel(c, isDate), v) => v.toLongOption.forall(day =>
+        PartitionedWorkspace.dayMayMatch(f, c, day, isDate))
+      case (IdentityLevel(c), v) =>
+        PartitionedWorkspace.identityMayMatch(f, c, v)
     }
 
-  private def deleteWhereLocked(filters: Array[sources.Filter]): Unit = {
-    repairRetiredPartitions()
+  /** The candidate leaves as one DataFrame — the restricted analogue of
+    * [[readFull]]: identity layouts keep `basePath` so partition columns
+    * stay alive with declared types; hidden layouts read leaves directly
+    * (the source column is in the files). */
+  private def readLeaves(paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
+    else if (!hasHidden)
+      spark.read.option("basePath", dir).schema(declaredFull)
+        .parquet(paths: _*)
+    else spark.read.schema(declaredFull).parquet(paths: _*)
+
+  private def deleteWhereScoped(filters: Array[sources.Filter],
+                                candidates: Seq[(String, Seq[String])],
+                                underClaims: Boolean): Unit = {
     val cond = filters.flatMap(WorkspaceDml.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val full = readFull()
+    val full =
+      if (underClaims) readLeaves(candidates.map(_._1)) else readFull()
     // matched partitions via a PRUNED scan (a partition-level predicate
     // in `cond` never lists the other directories)
     val touched = full.filter(coalesce(cond, lit(false)))
@@ -743,9 +818,23 @@ private[sources] class PartitionedWorkspaceTable(
     // PHASE 2 — per-leaf swap: retire by RENAME, replacement in, retired
     // delete LAST. A failure past the first retire leaves staging and the
     // parked copies on disk; [[repairRetiredPartitions]] converges each
-    // partition on the next locked load. Heartbeat first: phase 1's
-    // survivor writes may have outlived the lock grace.
-    WorkspaceDmlLock.refresh(spark, dir)
+    // partition on the next locked load. Under claims the swap re-takes
+    // the table lock (bounded wait — every probe and publish holds it, so
+    // the renames never tear a concurrent statement's probe scan) and
+    // heartbeats the claims; the whole-table path heartbeats the lock it
+    // already holds (phase 1 may have outlived the grace).
+    val lock2 =
+      if (underClaims) Some(WorkspaceDmlLock.acquireWait(spark, dir))
+      else { WorkspaceDmlLock.refresh(spark, dir); None }
+    try {
+    if (underClaims) {
+      WorkspaceDmlLock.refreshClaims(spark,
+        candidates.map { case (_, vals) =>
+          WorkspaceDmlLock.claimPathOf(dir, relOf(vals)) })
+      // debris another statement crashed into since our discovery phase
+      // (we hold the table lock, so no publish is in flight)
+      repairRetiredPartitions()
+    }
     staged.foreach { case (vals, stagingOpt) =>
       val rel = relOf(vals)
       val pdir = new Path(dir, rel)
@@ -770,6 +859,7 @@ private[sources] class PartitionedWorkspaceTable(
     val park = retiredRoot(tag)
     val pf = fsOf(park)
     if (pf.exists(park)) pf.delete(park, true): Unit
+    } finally lock2.foreach(WorkspaceDmlLock.release(spark, _))
     spark.catalog.refreshByPath(dir)
   }
 

@@ -1049,6 +1049,90 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     spark.sql(s"UPDATE $cat.cl SET v = 'd' WHERE id = 3")
     assert(spark.table(s"$cat.cl").filter(col("v") === "d").count() == 1)
   }
+
+  test("two-grain translatable DELETE: partition-pinning predicates claim " +
+       "only their leaves; foreign claims block only overlapping deletes") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.dg (id BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (days(ts))")
+    val epoch0 = java.time.LocalDateTime.of(2024, 7, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    (0L until 30L).map(i => (i,
+        new java.sql.Timestamp(epoch0 + (i % 3) * 86400000L + i * 1000L),
+        if (i % 2 == 0) "even" else "odd")).toSeq
+      .toDF("id", "ts", "v").createOrReplaceTempView("dg_seed")
+    spark.sql(s"INSERT INTO $cat.dg SELECT id, ts, v FROM dg_seed")
+    val tdir = s"$ws/dg.parquet"
+    val f = fs(ws)
+    def rootCauses(t: Throwable): Seq[String] = {
+      var cur: Throwable = t
+      val out = scala.collection.mutable.Buffer.empty[String]
+      while (cur != null) { out += String.valueOf(cur.getMessage); cur = cur.getCause }
+      out.toSeq
+    }
+    // a FOREIGN claim on day 1 (epoch day of 2024-07-02)
+    val day1 = java.time.LocalDate.of(2024, 7, 2).toEpochDay
+    val claim = graft.sources.WorkspaceDmlLock.claimPathOf(tdir, s"ts_day=$day1")
+    f.mkdirs(claim.getParent): Unit
+    val out = f.create(claim, false)
+    out.write("foreign-token".getBytes("UTF-8")); out.close()
+    // 1) a DISJOINT-day DELETE claims only its own leaf and proceeds —
+    //    before r16's two-grain DELETE this aborted on any live claim
+    spark.sql(s"DELETE FROM $cat.dg WHERE " +
+      "ts >= TIMESTAMP '2024-07-03 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-07-04 00:00:00'")
+    assert(spark.table(s"$cat.dg").count() == 20)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$tdir/ts_day=${day1 + 1}")), "day-2 leaf must be gone")
+    // 2) an OVERLAPPING-day DELETE aborts cleanly at the foreign claim
+    val e1 = intercept[Throwable] {
+      spark.sql(s"DELETE FROM $cat.dg WHERE " +
+        "ts >= TIMESTAMP '2024-07-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-07-03 00:00:00'")
+    }
+    assert(rootCauses(e1).exists(_.contains("partition claim")),
+      rootCauses(e1).mkString(" | "))
+    // 3) a predicate that pins NO partition stays whole-table grain and
+    //    refuses while any claim is live
+    val e2 = intercept[Throwable] {
+      spark.sql(s"DELETE FROM $cat.dg WHERE v = 'even'")
+    }
+    assert(rootCauses(e2).exists(_.contains("partition claims")),
+      rootCauses(e2).mkString(" | "))
+    // 4) claim released: both proceed; content tracks the model
+    f.delete(claim, false): Unit
+    spark.sql(s"DELETE FROM $cat.dg WHERE " +
+      "ts >= TIMESTAMP '2024-07-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-07-03 00:00:00'")
+    spark.sql(s"DELETE FROM $cat.dg WHERE v = 'even'")
+    val left = spark.table(s"$cat.dg").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(left == (0L until 30L).filter(i => i % 3 == 0 && i % 2 == 1),
+      left.toString)
+    // the statements cleaned their own claims and the lock
+    val cd = graft.sources.WorkspaceDmlLock.claimsDir(tdir)
+    assert(!f.exists(cd) || f.listStatus(cd).isEmpty, "claims leaked")
+    assert(!f.exists(graft.sources.WorkspaceDmlLock.lockPath(tdir)),
+      "table lock leaked")
+    // identity layout: same grain decision on the identity value
+    spark.sql(s"CREATE TABLE $cat.di (id BIGINT, src STRING) " +
+      "PARTITIONED BY (src)")
+    spark.sql(s"INSERT INTO $cat.di SELECT id, CONCAT('s', id % 2) " +
+      "FROM RANGE(10)")
+    val c2 = graft.sources.WorkspaceDmlLock.claimPathOf(
+      s"$ws/di.parquet", "src=s0")
+    f.mkdirs(c2.getParent): Unit
+    f.create(c2, false).close()
+    spark.sql(s"DELETE FROM $cat.di WHERE src = 's1'") // disjoint: proceeds
+    assert(spark.table(s"$cat.di").count() == 5)
+    val e3 = intercept[Throwable] {
+      spark.sql(s"DELETE FROM $cat.di WHERE src = 's0'")
+    }
+    assert(rootCauses(e3).exists(_.contains("partition claim")),
+      rootCauses(e3).mkString(" | "))
+    f.delete(c2, false): Unit
+  }
 }
 
 /** JVM-singleton latch for the claims spec's gated UDF (a closure-captured
