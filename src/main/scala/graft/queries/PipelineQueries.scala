@@ -6426,7 +6426,8 @@ object PipelineQueries {
         |  1 AS disjoint_ok, 1 AS overlap_blocked, 1 AS wholetable_blocked,
         |  1 AS claims_clean
         |FROM events e
-        |WHERE NOT (e.ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |WHERE e.ts < TIMESTAMP '2024-01-08 00:00:00'
+        |  AND NOT (e.ts >= TIMESTAMP '2024-01-03 00:00:00'
         |           AND e.ts < TIMESTAMP '2024-01-05 00:00:00')
         |  AND e.event_type <> 'purchase'
         |ORDER BY e.event_id""".stripMargin
@@ -6436,9 +6437,13 @@ object PipelineQueries {
       s.sql(s"DROP TABLE IF EXISTS $cat.pcl")
       s.sql(s"""CREATE TABLE $cat.pcl (event_id BIGINT, ts TIMESTAMP,
                |event_type STRING) PARTITIONED BY (days(ts))""".stripMargin)
+      // a week's window keeps the face's whole-table-grain DELETE (one
+      // staged rewrite per leaf) at 7 leaves, not 30 — the protocol facts
+      // are day-count-independent
       s.sql(s"""INSERT INTO $cat.pcl
                |SELECT event_id, ts, event_type
-               |FROM parquet.`$dir/events.parquet`""".stripMargin)
+               |FROM parquet.`$dir/events.parquet`
+               |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)
       val tdir = s"$ws/pcl.parquet"
       val f = new org.apache.hadoop.fs.Path(tdir)
         .getFileSystem(s.sessionState.newHadoopConf())
