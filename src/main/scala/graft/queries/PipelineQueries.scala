@@ -6234,9 +6234,11 @@ object PipelineQueries {
       val nid = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0)
         .agg(max("doc_id") + 1).first().getLong(0)
+      // UPDATE before INSERT: the oracle updates pre-existing rows only,
+      // so the inserted row must never be eligible for the predicate
+      s.sql(s"UPDATE $cat.$tbl SET language = 'yy' WHERE doc_id % 30 = 0")
       s.sql(s"INSERT INTO $cat.$tbl SELECT $nid AS doc_id, " +
         s"'zz' AS language, 42 AS nchars")
-      s.sql(s"UPDATE $cat.$tbl SET language = 'yy' WHERE doc_id % 30 = 0")
       // the pinned pre-rename version keeps its own column names
       val pinnedCols = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF 2")
         .columns.mkString(",")
@@ -6352,11 +6354,12 @@ object PipelineQueries {
       val nid = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 4 === 1)
         .agg(max("doc_id") + 1).first().getLong(0)
-      // a value only BIGINT can hold rides a thin INSERT over the int base
-      s.sql(s"INSERT INTO $cat.$tbl SELECT $nid AS doc_id, " +
-        "CAST(5000000000 AS BIGINT) AS nchars")
+      // UPDATE before INSERT (oracle updates pre-existing rows only),
+      // then a value only BIGINT can hold rides a thin INSERT
       s.sql(s"UPDATE $cat.$tbl SET nchars = nchars + 1000000 " +
         "WHERE doc_id % 20 = 1")
+      s.sql(s"INSERT INTO $cat.$tbl SELECT $nid AS doc_id, " +
+        "CAST(5000000000 AS BIGINT) AS nchars")
       val pinnedType = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF 2")
         .schema("nchars").dataType.simpleString
       s.sql(s"SELECT doc_id, nchars FROM $cat.$tbl")
@@ -6491,6 +6494,53 @@ object PipelineQueries {
         .withColumn("wholetable_blocked", lit(if (wholeBlocked) 1 else 0))
         .withColumn("claims_clean", lit(if (claimsClean) 1 else 0))
         .orderBy("event_id")
+    },
+
+    // ---- workspace: metadata-only DROP COLUMN + id-safe re-ADD (r16) --------
+    // The last ALTER face: DROP stops projecting the column (no byte
+    // rewritten — alter_intact) and parks a `__dropped_<id>` tombstone in
+    // the sidecar so the re-ADD of the SAME NAME takes a fresh field id.
+    // THE fact on the hash: after DROP lang + ADD lang, every pre-drop
+    // row reads lang as NULL — if id reuse resolved the old bytes, the
+    // original language codes would resurface and break the oracle. New
+    // writes bind the re-added column; DML serves the mixed files.
+    Q("q248_workspace_drop_column", {
+      """WITH b AS (SELECT doc_id, CAST(LENGTH(text) AS INT) AS nchars
+        |           FROM documents WHERE doc_id % 6 = 3),
+        |m AS (SELECT MAX(doc_id) + 1 AS nid FROM b)
+        |SELECT doc_id, nchars, CAST(NULL AS VARCHAR) AS lang,
+        |       1 AS alter_intact
+        |FROM b WHERE doc_id % 30 <> 21
+        |UNION ALL
+        |SELECT nid, 42, 'xx', 1 FROM m
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wdc")
+      s.sql(s"""CREATE TABLE $cat.wdc AS
+               |SELECT doc_id, lang, CAST(LENGTH(text) AS INT) AS nchars
+               |FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 6 = 3""".stripMargin)
+      def mtimes = Option(new java.io.File(s"$ws/wdc.parquet").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+      val before = mtimes
+      s.sql(s"ALTER TABLE $cat.wdc DROP COLUMN lang")
+      val alterIntact = mtimes == before
+      // re-ADD of the dropped name: fresh field id, old bytes stay dark
+      s.sql(s"ALTER TABLE $cat.wdc ADD COLUMN lang STRING")
+      val nid = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 3)
+        .agg(max("doc_id") + 1).first().getLong(0)
+      // DELETE before INSERT: the oracle keeps the inserted row
+      // unconditionally, so it must never be eligible for the delete
+      s.sql(s"DELETE FROM $cat.wdc WHERE doc_id % 30 = 21")
+      s.sql(s"INSERT INTO $cat.wdc SELECT $nid AS doc_id, " +
+        "CAST(42 AS INT) AS nchars, 'xx' AS lang")
+      s.sql(s"SELECT doc_id, nchars, lang FROM $cat.wdc")
+        .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
+        .orderBy("doc_id")
     }
   )
 }

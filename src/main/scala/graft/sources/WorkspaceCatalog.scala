@@ -98,6 +98,15 @@ class WorkspaceCatalog extends TableCatalog {
     }
   }
 
+  /** Dropped columns stay in the sidecar as `__dropped_<id>` TOMBSTONES
+    * (type + field id preserved, name retired): the sidecar remains ONE
+    * atomic artifact AND the next ADD COLUMN's max(id)+1 can never reuse
+    * a dropped id — id reuse would resolve the dropped column's old bytes
+    * as the new column. Serving always filters them out. */
+  private def liveFields(schema: StructType): StructType =
+    StructType(schema.fields.filterNot(
+      _.name.startsWith(WorkspaceCatalog.DroppedPrefix)))
+
   private def writeSidecar(name: String, schema: StructType): Unit = {
     val p = sidecarPath(name)
     val f = fs(p)
@@ -154,7 +163,7 @@ class WorkspaceCatalog extends TableCatalog {
     // swap (forward or back) before trusting marker + layout — lock-aware,
     // one exists() probe on the common path
     PartitionEvolution.recoverSafe(SparkSession.active, workspace, actual)
-    val declared = readSidecar(actual)
+    val declared = readSidecar(actual).map(liveFields)
     val dir = tablePath(actual)
     // a truncate may have left no directory at all — the scan's file index
     // requires the root path to exist, so re-place the (empty) directory
@@ -224,6 +233,10 @@ class WorkspaceCatalog extends TableCatalog {
     if (allNames().exists(_.equalsIgnoreCase(ident.name())))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace() :+ ident.name())
+    require(!schema.fieldNames.exists(
+        _.startsWith(WorkspaceCatalog.DroppedPrefix)),
+      s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name " +
+        "prefix (dropped-column tombstones)")
     if (partitions.nonEmpty) return createPartitioned(ident, schema, partitions)
     val spark = SparkSession.active
     val stamped = stampFieldIds(schema)
@@ -408,6 +421,8 @@ class WorkspaceCatalog extends TableCatalog {
         require(add.isNullable,
           "added columns must be nullable (existing rows have no value for them)")
         val name = add.fieldNames()(0)
+        require(!name.startsWith(WorkspaceCatalog.DroppedPrefix),
+          s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name prefix")
         if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(s"column $name already exists in ${ident.name()}")
         val meta =
@@ -436,6 +451,10 @@ class WorkspaceCatalog extends TableCatalog {
               "(tables created by this catalog carry them); rewrite via CREATE TABLE ... AS")
         val from = ren.fieldNames()(0)
         val to = ren.newName()
+        require(!to.startsWith(WorkspaceCatalog.DroppedPrefix),
+          s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name prefix")
+        require(!from.startsWith(WorkspaceCatalog.DroppedPrefix),
+          s"no column $from in ${ident.name()}")
         if (!schema.fieldNames.exists(_.equalsIgnoreCase(from)))
           throw new IllegalArgumentException(s"no column $from in ${ident.name()}")
         if (schema.fieldNames.exists(_.equalsIgnoreCase(to)))
@@ -467,12 +486,40 @@ class WorkspaceCatalog extends TableCatalog {
               "disk — rewrite via CREATE TABLE ... AS")
         StructType(schema.fields.map(x =>
           if (x.name.equalsIgnoreCase(f.name)) x.copy(dataType = to) else x))
+      case (schema, del: TableChange.DeleteColumn) =>
+        // METADATA-ONLY drop (r16), safe under parquet field ids: the
+        // declared schema stops projecting the column (files keep their
+        // bytes; readers never request the id), and the field stays in
+        // the sidecar as a `__dropped_<id>` tombstone so a later ADD of
+        // the SAME NAME takes a fresh id and reads the old files as NULL
+        // — never as the dropped column's resurrected values. Id-less
+        // tables refuse: their reads match by NAME, so a re-ADD would
+        // resurrect old bytes with nothing to prevent it.
+        require(del.fieldNames().length == 1,
+          "workspace tables are flat; nested DROP COLUMN is not supported")
+        if (!isIdStamped(schema))
+          throw new UnsupportedOperationException(
+            s"DROP COLUMN needs parquet field ids on ${ident.name()} " +
+              "(tables created by this catalog carry them); rewrite via " +
+              "CREATE TABLE ... AS")
+        val dn = del.fieldNames()(0)
+        val df = schema.fields
+          .find(f => f.name.equalsIgnoreCase(dn) &&
+            !f.name.startsWith(WorkspaceCatalog.DroppedPrefix))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column $dn in ${ident.name()}"))
+        require(liveFields(schema).fields.length > 1,
+          s"cannot drop the last column of ${ident.name()}")
+        val id = df.metadata.getLong("parquet.field.id")
+        StructType(schema.fields.map(f =>
+          if (f eq df) f.copy(name = s"${WorkspaceCatalog.DroppedPrefix}$id")
+          else f))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"workspace tables support ALTER TABLE ADD COLUMN, RENAME COLUMN " +
-            s"and widening ALTER COLUMN TYPE only " +
+          s"workspace tables support ALTER TABLE ADD COLUMN, RENAME COLUMN, " +
+            s"DROP COLUMN and widening ALTER COLUMN TYPE only " +
             s"(got ${other.getClass.getSimpleName}); " +
-            "drop would reinterpret bytes already on disk — rewrite via CREATE TABLE ... AS")
+            "rewrite via CREATE TABLE ... AS for anything else")
     }
     // restore canonical hive order: IDENTITY partition columns stay LAST
     // in partition order (a days marker has no schema-position constraint)
@@ -487,4 +534,9 @@ class WorkspaceCatalog extends TableCatalog {
     writeSidecar(actual, canonical)
     loadTable(ident)
   }
+}
+
+private[graft] object WorkspaceCatalog {
+  /** Reserved name prefix for dropped-column tombstones in the sidecar. */
+  val DroppedPrefix = "__dropped_"
 }

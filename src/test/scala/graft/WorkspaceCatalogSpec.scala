@@ -120,9 +120,50 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
     assert(rows.length == 4)
     assert(rows.take(3).forall(_.isNullAt(1)), "pre-ALTER rows must read null")
     assert(rows.last.getDouble(1) == 0.5)
-    // only nullable top-level adds; other ALTERs still rejected with guidance
-    intercept[Exception] { spark.sql("ALTER TABLE graftalt.evo DROP COLUMN score") }
+    // only nullable top-level adds; non-evolvable ALTERs rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftalt.evo ALTER COLUMN n_name TYPE DOUBLE") }
     intercept[Exception] { spark.sql("ALTER TABLE graftalt.evo ADD COLUMN score STRING") }
+  }
+
+  test("DROP COLUMN is metadata-only; a re-ADD of the same name reads old " +
+       "files as NULL, never as the dropped column's bytes") {
+    val (scratch, cat) = dmlWorkspace()
+    spark.sql(s"CREATE TABLE $cat.dr AS SELECT CAST(n_nationkey AS BIGINT) " +
+      s"AS k, n_name AS name, CAST(n_regionkey AS INT) AS r " +
+      s"FROM parquet.`$sf/nation.parquet` WHERE n_nationkey < 5")
+    def files() = Option(new java.io.File(s"${scratch.dir}/dr.parquet").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val before = files()
+    spark.sql(s"ALTER TABLE $cat.dr DROP COLUMN name")
+    assert(files() == before, "DROP COLUMN must not rewrite data files")
+    assert(spark.table(s"$cat.dr").columns.toSeq == Seq("k", "r"))
+    assert(spark.sql(s"SELECT SUM(r) FROM $cat.dr").first().getLong(0) ==
+      spark.read.parquet(s"$sf/nation.parquet").filter("n_nationkey < 5")
+        .agg(org.apache.spark.sql.functions.sum("n_regionkey")).first().getLong(0))
+    // THE resurrection fact: re-ADD of the dropped NAME takes a fresh
+    // field id, so the old files' bytes read as NULL under it
+    spark.sql(s"ALTER TABLE $cat.dr ADD COLUMN name STRING")
+    val back = spark.sql(s"SELECT k, name FROM $cat.dr ORDER BY k").collect()
+    assert(back.length == 5 && back.forall(_.isNullAt(1)),
+      "re-added column must NOT resurrect dropped bytes")
+    // new writes bind it; DML works over the mixed files
+    spark.sql(s"INSERT INTO $cat.dr VALUES (99, 7, 'NEWLAND')")
+    spark.sql(s"UPDATE $cat.dr SET name = 'OLD' WHERE k = 1")
+    spark.sql(s"DELETE FROM $cat.dr WHERE k = 0")
+    val got = spark.sql(s"SELECT k, name FROM $cat.dr ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(got.toSeq == Seq((1L, "OLD"), (2L, null), (3L, null), (4L, null),
+      (99L, "NEWLAND")), got.mkString(","))
+    // guardrails: last live column, unknown column, reserved prefix
+    spark.sql(s"CREATE TABLE $cat.dr1 (only BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.dr1 DROP COLUMN only") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.dr DROP COLUMN missing") }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.dr2 (__dropped_9 BIGINT, x STRING)") }
   }
 
   test("pushdown and pruning survive the declared-schema (post-ALTER) read path") {
