@@ -6477,8 +6477,12 @@ object PipelineQueries {
       val overlapBlocked = cme(s.sql(s"DELETE FROM $cat.pcl WHERE " +
         "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +
         "ts < TIMESTAMP '2024-01-04 00:00:00'"))
-      val wholeBlocked = cme(
-        s.sql(s"DELETE FROM $cat.pcl WHERE event_type = 'purchase'"))
+      // whole-table ops WAIT (bounded, r17) for claims to drain before
+      // refusing — shrink the budget so the face measures the refusal
+      s.conf.set("graft.workspace.dmlLockWaitMs", "300")
+      val wholeBlocked =
+        try cme(s.sql(s"DELETE FROM $cat.pcl WHERE event_type = 'purchase'"))
+        finally s.conf.unset("graft.workspace.dmlLockWaitMs")
       f.delete(claim, false): Unit
       s.sql(s"DELETE FROM $cat.pcl WHERE " +
         "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +

@@ -47,10 +47,12 @@ object PartitionCompaction {
     require(minFiles >= 2, "minFiles < 2 would rewrite already-compact leaves")
     require(targetRows > 0, "targetRows must be positive")
     val dir = PartitionEvolution.tableDir(ws, table)
-    WorkspaceDmlLock.withLock(spark, dir.toString) {
-      // whole-table operation: never rewrite leaves a claim-holding
-      // row-level statement is mid-copy on
-      WorkspaceDmlLock.requireNoLiveClaims(spark, dir.toString)
+    // whole-table operation: never rewrite leaves a claim-holding
+    // row-level statement is mid-copy on — wait (bounded) for claims to
+    // drain instead of flapping on a busy table (r17); every table read
+    // below happens after the gate, so the wait's transient lock release
+    // is safe
+    WorkspaceDmlLock.withLockNoClaims(spark, dir.toString) {
       val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
       require(f.exists(dir), s"no table directory $dir")
       val marker = PartitionEvolution

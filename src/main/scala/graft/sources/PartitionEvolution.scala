@@ -91,11 +91,13 @@ object PartitionEvolution {
   def repartition(spark: SparkSession, ws: String, table: String,
                   newSpec: String): Unit = {
     val dir = tableDir(ws, table)
-    val lock = WorkspaceDmlLock.acquire(spark, dir.toString)
+    var lock = WorkspaceDmlLock.acquire(spark, dir.toString)
     try {
-      // whole-table operation: refuse while any row-level statement's
-      // partition claim is live (its copy phase reads retire-able leaves)
-      WorkspaceDmlLock.requireNoLiveClaims(spark, dir.toString)
+      // whole-table operation: wait (bounded) for any row-level
+      // statement's partition claim to drain (its copy phase reads
+      // retire-able leaves) — every table read below happens AFTER this
+      // gate, so the wait's transient lock release is safe (r17)
+      lock = WorkspaceDmlLock.awaitNoLiveClaims(spark, dir.toString, lock)
       recoverLocked(spark, ws, table)
       val f = fsOf(spark, dir)
       require(f.exists(dir), s"no table directory $dir")

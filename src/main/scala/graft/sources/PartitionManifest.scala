@@ -147,10 +147,11 @@ object PartitionManifest {
     * Cost: O(#files) footer reads, zero data pages, zero Spark jobs. */
   def enable(spark: SparkSession, tableDir: String,
              cols: Seq[String]): Int =
-    WorkspaceDmlLock.withLock(spark, tableDir) {
-      // manifest stamping walks and writes into live leaves — refuse
-      // while a claim-holding statement could republish them mid-walk
-      WorkspaceDmlLock.requireNoLiveClaims(spark, tableDir)
+    WorkspaceDmlLock.withLockNoClaims(spark, tableDir) {
+      // manifest stamping walks and writes into live leaves — the gate
+      // waits (bounded) for claim-holding statements that could republish
+      // them mid-walk; the walk below starts after the gate, so the
+      // wait's transient lock release is safe (r17)
       val root = new Path(tableDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val leaves = leafDirs(fs, root)

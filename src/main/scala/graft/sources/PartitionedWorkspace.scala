@@ -676,13 +676,10 @@ private[sources] class PartitionedWorkspaceTable(
                 .write.partitionBy(pathNames: _*).mode(mode).parquet(dir)
               if (mode == "overwrite")
                 // whole-table rewrite: fence like the other whole-table
-                // ops — never clobber a claim-holding statement's leaves.
-                // Plain INSERT keeps the lockless append contract
-                // (task-unique files).
-                WorkspaceDmlLock.withLock(spark, dir) {
-                  WorkspaceDmlLock.requireNoLiveClaims(spark, dir)
-                  write()
-                }
+                // ops — never clobber a claim-holding statement's leaves
+                // (bounded wait for claims to drain, r17). Plain INSERT
+                // keeps the lockless append contract (task-unique files).
+                WorkspaceDmlLock.withLockNoClaims(spark, dir) { write() }
               else write()
               spark.catalog.refreshByPath(dir)
             }
@@ -702,7 +699,7 @@ private[sources] class PartitionedWorkspaceTable(
   }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
-    val lock = WorkspaceDmlLock.acquire(spark, dir)
+    var lock = WorkspaceDmlLock.acquire(spark, dir)
     var lockHeld = true
     val token = java.util.UUID.randomUUID().toString
     var claims: Seq[Path] = Nil
@@ -716,16 +713,20 @@ private[sources] class PartitionedWorkspaceTable(
       if (candidates.isEmpty) ()        // no partition can match: no-op
       else if (candidates.size == all.size) {
         // the predicate pins nothing (or everything): whole-table grain —
-        // the discovery scan and survivor stagings read across partitions,
-        // so hold the table lock throughout and refuse to start while any
-        // claim-holding statement is mid-copy
-        WorkspaceDmlLock.requireNoLiveClaims(spark, dir)
-        deleteWhereScoped(filters, candidates, underClaims = false)
+        // the discovery scan and survivor staging read across partitions,
+        // so hold the table lock throughout, after waiting (bounded) for
+        // any claim-holding statement's copy to drain (r17)
+        lock = WorkspaceDmlLock.awaitNoLiveClaims(spark, dir, lock)
+        // the wait can release the lock transiently while claim holders
+        // publish — repair their crash debris and RE-LIST the leaves so
+        // the discovery scan sees the post-publish layout
+        repairRetiredPartitions()
+        deleteWhereScoped(filters, leafDirsWithValues(), claimInfo = None)
       } else {
         // PARTITION grain (r16): the filters pin a leaf subset from the
         // directory values alone (dayMayMatch / identityMayMatch,
         // conservative keep) — claim exactly those leaves, release the
-        // table lock for the survivor stagings (the swap re-takes it
+        // table lock for the survivor staging (the swap re-takes it
         // briefly), and let disjoint-partition statements proceed
         // concurrently with this DELETE. A fresh foreign claim on any
         // candidate aborts cleanly instead.
@@ -733,7 +734,8 @@ private[sources] class PartitionedWorkspaceTable(
           spark, dir, candidates.map { case (_, vals) => relOf(vals) }, token)
         try {
           WorkspaceDmlLock.release(spark, lock); lockHeld = false
-          deleteWhereScoped(filters, candidates, underClaims = true)
+          deleteWhereScoped(filters, candidates,
+            claimInfo = Some((claims, token)))
         } finally WorkspaceDmlLock.releaseClaims(spark, claims, token)
       }
     } finally if (lockHeld) WorkspaceDmlLock.release(spark, lock)
@@ -765,102 +767,73 @@ private[sources] class PartitionedWorkspaceTable(
 
   private def deleteWhereScoped(filters: Array[sources.Filter],
                                 candidates: Seq[(String, Seq[String])],
-                                underClaims: Boolean): Unit = {
+                                claimInfo: Option[(Seq[Path], String)]): Unit = {
+    val underClaims = claimInfo.isDefined
     val cond = filters.flatMap(WorkspaceDml.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val full =
       if (underClaims) readLeaves(candidates.map(_._1)) else readFull()
     // matched partitions via a PRUNED scan (a partition-level predicate
     // in `cond` never lists the other directories)
-    val touched = full.filter(coalesce(cond, lit(false)))
+    val touched: Seq[Seq[String]] = full.filter(coalesce(cond, lit(false)))
       .select(levels.map(l => levelPathColumn(l).as(l.pathName)): _*)
-      .distinct().collect()
+      .distinct().collect().toSeq
       .map(r => levels.indices.map(i =>
         PartitionedWorkspace.valueString(r.get(i))))
-    val fileCols = fileSchema.fieldNames.map(col).toIndexedSeq
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    // PHASE 1 — survivor copies FIRST, for EVERY touched leaf, all against
-    // the original table listing: republishing a leaf invalidates `full`'s
-    // eagerly-listed file index, and on a hidden days() layout the next
-    // iteration's scan cannot partition-prune the stale entries away (the
-    // match is on a derived column), so no leaf may be swapped until every
-    // survivor set is safely staged. A failure here drops all stagings and
-    // leaves the table untouched.
-    val created = mutable.Buffer.empty[Path]
-    val staged: Seq[(Seq[String], Option[Path])] =
-      try touched.toSeq.map { vals =>
-        val matchThis = levels.zip(vals).map {
-          case (IdentityLevel(c), v) =>
-            col(c) === lit(v).cast(declaredFull(c).dataType)
-          case (d @ DaysLevel(_, _), v) => levelPathColumn(d) === lit(v.toLong)
-        }.reduce(_ && _)
-        val keep = full.filter(matchThis)
-          .filter(!coalesce(cond, lit(false)))
-          .select(fileCols: _*)
-        if (keep.isEmpty) (vals, None) // leaf fully deleted — nothing staged
-        else {
-          val staging = stagingPath()
-          created += staging
-          graft.operators.Sinks.microsBound(keep).write.parquet(staging.toString)
-          // per-leaf manifest (opt-in) rides the same rename as its leaf —
-          // the translatable-DELETE analogue of publishPartitioned's stamp
-          PartitionManifest.statsCols(fsOf(staging), dir).foreach { cols =>
-            PartitionManifest.writeLeafManifest(spark, staging, fileSchema, cols)
-          }
-          (vals, Some(staging))
-        }
-      } catch {
-        case e: Throwable =>
-          // nothing retired yet — dropping OUR stagings loses no data
-          created.foreach(dropStaging)
-          throw e
-      }
-    // PHASE 2 — per-leaf swap: retire by RENAME, replacement in, retired
-    // delete LAST. A failure past the first retire leaves staging and the
-    // parked copies on disk; [[repairRetiredPartitions]] converges each
-    // partition on the next locked load. Under claims the swap re-takes
-    // the table lock (bounded wait — every probe and publish holds it, so
-    // the renames never tear a concurrent statement's probe scan) and
-    // heartbeats the claims; the whole-table path heartbeats the lock it
-    // already holds (phase 1 may have outlived the grace).
+    if (touched.isEmpty) return   // no row matches anywhere: a clean no-op
+    // ONE survivor job (r17, verdict r16 #1): the pre-r17 shape staged one
+    // Spark write (plus an isEmpty probe) PER touched leaf, sequentially on
+    // the driver — the wrong plan for a non-partition-pinned predicate over
+    // thousands of leaves (`user_id = X` across 3650 days = 3650+ serial
+    // jobs under the statement's lock/claims). Instead: restrict the scan
+    // to exactly the touched leaves (a BROADCAST left-semi join on the leaf
+    // tuple — the leaf list is a driver-bounded partition set), keep the
+    // survivors, and stage them hive-clustered in ONE job through the same
+    // sized writer the respec and compaction use (each leaf lands in one
+    // task ⇒ ceil(rows/targetRows) files). A leaf whose rows all match
+    // simply stages nothing and is deleted by the publish (it is in the
+    // retired set with no replacement).
+    val touchKeys = levels.map(l => s"__touched_${l.pathName}")
+    val touchedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        touched.map(org.apache.spark.sql.Row.fromSeq), numSlices = 1),
+      StructType(touchKeys.map(k =>
+        org.apache.spark.sql.types.StructField(k, StringType))))
+    val joinCond = levels.zip(touchKeys).map { case (l, k) =>
+      levelPathColumn(l).cast(StringType) === col(k) }.reduce(_ && _)
+    val survivors = full
+      .filter(!coalesce(cond, lit(false)))
+      .join(broadcast(touchedDf), joinCond, "left_semi")
+    val staging = stagingPath()
+    val targetRows = spark.conf
+      .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
+    // a STAGING failure aborts with the table untouched (nothing retired
+    // yet — dropping OUR staging loses no data)
+    try PartitionEvolution.stageLayoutWrite(
+      spark, survivors, declaredFull, levels, staging, targetRows)
+    catch { case e: Throwable => dropStaging(staging); throw e }
+    // SWAP — through the shared partition-grained publish (retire by
+    // rename, staged replacements in, manifests stamped BEFORE anything
+    // retires, retired copies delete LAST; a failure past the first retire
+    // leaves staging and parked copies for [[repairRetiredPartitions]]).
+    // Under claims the swap re-takes the table lock (bounded wait — every
+    // probe and publish holds it, so the renames never tear a concurrent
+    // statement's probe scan), VERIFIES the claims still carry this
+    // statement's token (a grace-broken-and-retaken claim aborts here,
+    // with nothing retired and our staging dropped — ADVICE r16), then
+    // heartbeats them; the whole-table path heartbeats the lock it already
+    // holds (the staging job may have outlived the grace).
     val lock2 =
       if (underClaims) Some(WorkspaceDmlLock.acquireWait(spark, dir))
       else { WorkspaceDmlLock.refresh(spark, dir); None }
     try {
-    if (underClaims) {
-      WorkspaceDmlLock.refreshClaims(spark,
-        candidates.map { case (_, vals) =>
-          WorkspaceDmlLock.claimPathOf(dir, relOf(vals)) })
-      // debris another statement crashed into since our discovery phase
-      // (we hold the table lock, so no publish is in flight)
-      repairRetiredPartitions()
-    }
-    staged.foreach { case (vals, stagingOpt) =>
-      val rel = relOf(vals)
-      val pdir = new Path(dir, rel)
-      val f = fsOf(pdir)
-      val aside = new Path(retiredRoot(tag), rel)
-      if (f.exists(pdir)) {
-        f.mkdirs(aside.getParent): Unit
-        if (!f.rename(pdir, aside))
-          throw new IllegalStateException(
-            s"DELETE: could not retire $pdir — staging left for recovery")
+      claimInfo.foreach { case (paths, tok) =>
+        try WorkspaceDmlLock.verifyClaims(spark, paths, tok)
+        catch { case t: Throwable => dropStaging(staging); throw t }
+        WorkspaceDmlLock.refreshClaims(spark, paths)
       }
-      stagingOpt.foreach { staging =>
-        f.mkdirs(pdir.getParent): Unit
-        if (!f.rename(staging, pdir))
-          throw new IllegalStateException(
-            s"DELETE: could not publish $staging — staging and retired " +
-              s"copy $aside left for recovery")
-      }
-      f.delete(aside, true): Unit
-    }
-    // empty parking root (all leaves deleted) — clear the scaffolding
-    val park = retiredRoot(tag)
-    val pf = fsOf(park)
-    if (pf.exists(park)) pf.delete(park, true): Unit
+      publishPartitioned(staging, Some(touched.map(relOf)))
     } finally lock2.foreach(WorkspaceDmlLock.release(spark, _))
-    spark.catalog.refreshByPath(dir)
   }
 
   // ---- group-based COW with partition-grained groups ----------------------
@@ -967,7 +940,7 @@ private class PartitionScopedScan(table: PartitionedWorkspaceTable,
     * Spark, not here. That is Spark's standard runtime-group-filter cost
     * model (Iceberg MOR tables pay it identically on a timestamp filter
     * attribute); for such statements disable
-    * `spark.sql.optimizer.runtimeRowLevelOperationGroupFilter.enabled`
+    * `spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled`
     * and accept the full-partition-set rewrite, or route the change
     * through the snapshot catalog's O(delta) thin path. */
   override def filterAttributes(): Array[NamedReference] =
@@ -1078,6 +1051,28 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
       WorkspaceDmlLock.release(spark, lock)
       lockHeld = false
     }
+    // WHOLE-TABLE mode (the group filter never engaged — disabled, or the
+    // predicate untranslatable): the same claims gate every other
+    // whole-table op takes (ADVICE r17-high). Without it, a claims-mode
+    // statement mid-copy holds NO table lock, so this statement's full
+    // republish (publishPartitioned with readRels=None retires EVERY leaf)
+    // proceeds — and when the claim holder later publishes its staged leaf
+    // (copied from pre-statement data), this statement's committed changes
+    // to that partition are silently lost, with no conflict detected on
+    // either side. Claims are only ever acquired under the table lock,
+    // which this statement has held since toBatch, so one check here
+    // fences the statement's whole duration. INSTANT refusal, not the
+    // bounded wait: the statement's scan listed its files before this
+    // factory ran (Spark sizes PhysicalWriteInfo from the query RDD), so
+    // proceeding after a claim holder publishes would copy from a stale
+    // index — abort retryably instead. No abort() follows a factory-
+    // creation throw: release the lock explicitly.
+    if (lockHeld && claimedRels.isEmpty) {
+      try WorkspaceDmlLock.requireNoLiveClaims(spark, table.tableDir)
+      catch { case t: Throwable =>
+        WorkspaceDmlLock.release(spark, lock); lockHeld = false; throw t
+      }
+    }
     new PartitionedCowWriterFactory(staging.toString, table.levels,
       levelOrdinals, identityOrdinals, writeSchema, fileSchema, owf,
       new SerializableHadoopConf(job.getConfiguration))
@@ -1098,6 +1093,10 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
       lock = WorkspaceDmlLock.acquireWait(spark, table.tableDir)
       lockHeld = true
       try {
+        // a grace-broken-and-retaken claim aborts BEFORE heartbeating (the
+        // refresh must never extend the NEW holder's file) and before any
+        // rename — Spark's abort() then drops our staging (ADVICE r16)
+        WorkspaceDmlLock.verifyClaims(spark, claims, claimToken)
         WorkspaceDmlLock.refreshClaims(spark, claims)
         val extra = table.stagedRels(staging).filterNot(rels.contains)
         if (extra.nonEmpty)

@@ -269,6 +269,70 @@ private[graft] object WorkspaceDmlLock {
       fs.listStatus(cd).foreach(st => fs.delete(st.getPath, false): Unit)
   }
 
+  /** [[requireNoLiveClaims]] with a BOUNDED WAIT (r17, verdict r16 #7):
+    * whole-table maintenance (compaction, respec, manifest enable, INSERT
+    * OVERWRITE, non-pinned translatable DELETE) no longer flaps on a busy
+    * table — it waits for live row-level claims to drain, up to
+    * `graft.workspace.dmlLockWaitMs`, then throws the same retryable
+    * error. The TABLE LOCK IS RELEASED WHILE SLEEPING, deliberately: a
+    * claim holder needs the table lock to publish and release its claims,
+    * so waiting while holding it would deadlock the drain this is waiting
+    * for. Consequently the caller MUST re-read any table state it derived
+    * before the call (leaf listings, file indexes) — another statement may
+    * have published during a sleep window. Contract: on success the
+    * returned handle is held (replace the caller's); on ANY throw the lock
+    * this call was holding has been released (the caller's own release of
+    * its now-stale handle is a token-checked no-op). */
+  def awaitNoLiveClaims(spark: SparkSession, dir: String,
+                        held: Handle): Handle = {
+    var h = held
+    val waitMs = spark.conf
+      .get("graft.workspace.dmlLockWaitMs", "15000").trim.toLong
+    val deadline = System.currentTimeMillis() + waitMs
+    var backoff = 25L
+    while (true) {
+      try { requireNoLiveClaims(spark, dir); return h }
+      catch { case e: java.util.ConcurrentModificationException =>
+        release(spark, h)
+        if (System.currentTimeMillis() >= deadline) throw e
+        Thread.sleep(backoff); backoff = math.min(backoff * 2, 250L)
+        h = acquireWait(spark, dir)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[withLock]] for whole-table operations: acquire, wait (bounded) for
+    * row-level claims to drain, run, release. The body must derive ALL its
+    * table state after entry (the wait can release the lock transiently —
+    * see [[awaitNoLiveClaims]]). */
+  def withLockNoClaims[T](spark: SparkSession, dir: String)(body: => T): T = {
+    var h = acquire(spark, dir)
+    try {
+      h = awaitNoLiveClaims(spark, dir, h)
+      body
+    } finally release(spark, h)
+  }
+
+  /** Verify every claim file still carries THIS statement's token — called
+    * under the re-taken table lock at publish entry, BEFORE heartbeating
+    * (ADVICE r16): a claim that outlived the grace, was broken and retaken
+    * by another statement must abort this publish — and must not have the
+    * NEW holder's file heartbeated by [[refreshClaims]]. The check is
+    * race-free for the publish window: claim mutations only happen under
+    * the table lock, which the caller holds. */
+  def verifyClaims(spark: SparkSession, paths: Seq[Path],
+                   token: String): Unit =
+    paths.foreach { p =>
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!readToken(fs, p).contains(token))
+        throw new java.util.ConcurrentModificationException(
+          s"partition claim $p was broken past graft.workspace.dmlLockGraceMs " +
+            "and retaken by another statement during this statement's copy " +
+            "phase — aborting the publish (staged output discarded); retry " +
+            "the statement")
+    }
+
   /** Acquire per-leaf claims — CALLER HOLDS THE TABLE LOCK. A fresh
     * foreign claim on any rel aborts with everything acquired here
     * released (the table stays untouched); a stale one is broken. Returns

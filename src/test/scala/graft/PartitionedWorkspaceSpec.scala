@@ -1021,17 +1021,22 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
       }
       assert(rootCauses(e1).exists(_.contains("partition claim")),
         rootCauses(e1).mkString(" | "))
-      // 3) whole-table operations refuse while the claim is live
-      val e2 = intercept[Throwable] {
-        spark.sql(s"DELETE FROM $cat.cl WHERE v = 'never'")
-      }
-      assert(rootCauses(e2).exists(_.contains("partition claims")),
-        rootCauses(e2).mkString(" | "))
-      val e3 = intercept[Throwable] {
-        graft.sources.PartitionCompaction.compactPartitions(spark, ws, "cl")
-      }
-      assert(rootCauses(e3).exists(_.contains("partition claims")),
-        rootCauses(e3).mkString(" | "))
+      // 3) whole-table operations wait (bounded, r17) then refuse while
+      //    the claim stays live — shrink the budget so the spec measures
+      //    the refusal, not the wait
+      spark.conf.set("graft.workspace.dmlLockWaitMs", "300")
+      try {
+        val e2 = intercept[Throwable] {
+          spark.sql(s"DELETE FROM $cat.cl WHERE v = 'never'")
+        }
+        assert(rootCauses(e2).exists(_.contains("partition claims")),
+          rootCauses(e2).mkString(" | "))
+        val e3 = intercept[Throwable] {
+          graft.sources.PartitionCompaction.compactPartitions(spark, ws, "cl")
+        }
+        assert(rootCauses(e3).exists(_.contains("partition claims")),
+          rootCauses(e3).mkString(" | "))
+      } finally spark.conf.unset("graft.workspace.dmlLockWaitMs")
     } finally PartitionClaimGate.latch.countDown()
     scala.concurrent.Await.result(a,
       scala.concurrent.duration.Duration(120, "s")): Unit
@@ -1093,11 +1098,14 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     }
     assert(rootCauses(e1).exists(_.contains("partition claim")),
       rootCauses(e1).mkString(" | "))
-    // 3) a predicate that pins NO partition stays whole-table grain and
-    //    refuses while any claim is live
-    val e2 = intercept[Throwable] {
-      spark.sql(s"DELETE FROM $cat.dg WHERE v = 'even'")
-    }
+    // 3) a predicate that pins NO partition stays whole-table grain and —
+    //    after the bounded wait (shrunk here) — refuses while the claim
+    //    stays live
+    spark.conf.set("graft.workspace.dmlLockWaitMs", "300")
+    val e2 =
+      try intercept[Throwable] {
+        spark.sql(s"DELETE FROM $cat.dg WHERE v = 'even'")
+      } finally spark.conf.unset("graft.workspace.dmlLockWaitMs")
     assert(rootCauses(e2).exists(_.contains("partition claims")),
       rootCauses(e2).mkString(" | "))
     // 4) claim released: both proceed; content tracks the model
@@ -1132,6 +1140,199 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     assert(rootCauses(e3).exists(_.contains("partition claim")),
       rootCauses(e3).mkString(" | "))
     f.delete(c2, false): Unit
+  }
+
+  test("translatable DELETE stages ALL survivor leaves in ONE job " +
+       "(never one job per touched leaf), one sized file per leaf") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.oj (id BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (days(ts))")
+    val epoch0 = java.time.LocalDateTime.of(2024, 8, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // 8 days, both parities in every day — a `v = 'even'` DELETE pins no
+    // leaf (whole-table grain) and touches all 8
+    (0L until 64L).map(i => (i,
+        new java.sql.Timestamp(epoch0 + (i % 8) * 86400000L + i * 1000L),
+        if ((i / 8) % 2 == 0) "even" else "odd")).toSeq
+      .toDF("id", "ts", "v").createOrReplaceTempView("oj_seed")
+    spark.sql(s"INSERT INTO $cat.oj SELECT id, ts, v FROM oj_seed")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"DELETE FROM $cat.oj WHERE v = 'even'")
+      Thread.sleep(500) // let the async listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // pre-r17 shape: 1 discovery + 8 × (isEmpty + write) = 17+ jobs. The
+    // one-job staging needs only discovery + broadcast-build + the
+    // clustered write (+ nothing per leaf) — leaf-count-independent.
+    assert(jobs.get() <= 6, s"DELETE ran ${jobs.get()} jobs — per-leaf staging?")
+    assert(spark.table(s"$cat.oj").count() == 32)
+    assert(spark.table(s"$cat.oj").filter(col("v") === "even").count() == 0)
+    // each surviving leaf was re-clustered into ONE file
+    val f = fs(ws)
+    (0 until 8).foreach { d =>
+      val day = java.time.LocalDate.of(2024, 8, 1).toEpochDay + d
+      val leaf = new org.apache.hadoop.fs.Path(s"$ws/oj.parquet/ts_day=$day")
+      val files = f.listStatus(leaf).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      assert(files == 1, s"leaf ts_day=$day has $files files")
+    }
+    // a leaf whose rows ALL match is deleted outright by the same job
+    spark.sql(s"DELETE FROM $cat.oj WHERE id % 8 = 1") // all of day 1 left
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$ws/oj.parquet/ts_day=${java.time.LocalDate.of(2024, 8, 1).toEpochDay + 1}")))
+  }
+
+  test("whole-table maintenance WAITS for live claims to drain (bounded) " +
+       "instead of refusing outright") {
+    val (cat, ws) = freshCatalog()
+    seed(cat) // 3 identity leaves
+    // fragment one leaf so compaction has work
+    spark.sql(s"INSERT INTO $cat.pt SELECT id + 100, CONCAT('w', id), 's1' " +
+      "FROM RANGE(5)")
+    val tdir = s"$ws/pt.parquet"
+    val f = fs(ws)
+    val claim = graft.sources.WorkspaceDmlLock.claimPathOf(tdir, "src=s0")
+    f.mkdirs(claim.getParent): Unit
+    val o = f.create(claim, false)
+    try o.write("foreign".getBytes("UTF-8")) finally o.close()
+    // the claim releases ~700 ms in — well inside the 15 s default budget
+    val t = new Thread(() => {
+      Thread.sleep(700); f.delete(claim, false): Unit
+    })
+    t.start()
+    val res = graft.sources.PartitionCompaction
+      .compactPartitions(spark, ws, "pt")
+    t.join()
+    assert(res.exists(_._1 == "src=s1"),
+      s"compaction must land once the claim drains, got $res")
+    assert(spark.table(s"$cat.pt").count() == 35)
+  }
+
+  test("whole-table COW statement (group filter disabled) refuses under a " +
+       "live foreign claim — never silently overwrites its partitions") {
+    val (cat, ws) = freshCatalog()
+    seed(cat)
+    val tdir = s"$ws/pt.parquet"
+    val f = fs(ws)
+    val claim = graft.sources.WorkspaceDmlLock.claimPathOf(tdir, "src=s2")
+    f.mkdirs(claim.getParent): Unit
+    val o = f.create(claim, false)
+    try o.write("foreign".getBytes("UTF-8")) finally o.close()
+    val before = spark.table(s"$cat.pt").orderBy("id")
+      .collect().map(_.toString).toSeq
+    // group filter OFF ⇒ readRels never engages ⇒ whole-table mode, whose
+    // publish would retire EVERY leaf — including the claim holder's
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled",
+      "false")
+    val e =
+      try intercept[Throwable] {
+        spark.sql(s"UPDATE $cat.pt SET v = 'clobber' WHERE src = 's0'")
+      } finally spark.conf.unset(
+        "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled")
+    def msgs(t: Throwable): Seq[String] = {
+      var cur: Throwable = t
+      val out = scala.collection.mutable.Buffer.empty[String]
+      while (cur != null) { out += String.valueOf(cur.getMessage); cur = cur.getCause }
+      out.toSeq
+    }
+    assert(msgs(e).exists(_.contains("partition claims")),
+      msgs(e).mkString(" | "))
+    // the factory-creation throw released the table lock (no abort() runs
+    // there) and nothing changed
+    assert(!f.exists(graft.sources.WorkspaceDmlLock.lockPath(tdir)),
+      "table lock leaked by the refused whole-table statement")
+    assert(spark.table(s"$cat.pt").orderBy("id")
+      .collect().map(_.toString).toSeq == before)
+    f.delete(claim, false): Unit
+    // with the claim gone the same statement lands
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled",
+      "false")
+    try spark.sql(s"UPDATE $cat.pt SET v = 'clobber' WHERE src = 's0'")
+    finally spark.conf.unset(
+      "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled")
+    assert(spark.table(s"$cat.pt").filter(col("v") === "clobber").count() == 10)
+  }
+
+  test("a claim broken and RETAKEN mid-copy aborts the publish (token " +
+       "verify) — the retaken holder's claim is never heartbeated over") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.tk (id BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (days(ts))")
+    val epoch0 = java.time.LocalDateTime.of(2024, 9, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    (0L until 10L).map(i => (i,
+        new java.sql.Timestamp(epoch0 + i * 1000L), "x")).toSeq
+      .toDF("id", "ts", "v").createOrReplaceTempView("tk_seed")
+    spark.sql(
+      s"INSERT INTO $cat.tk SELECT /*+ REPARTITION(1) */ id, ts, v FROM tk_seed")
+    val tdir = s"$ws/tk.parquet"
+    val f = fs(ws)
+    val day = java.time.LocalDate.of(2024, 9, 1).toEpochDay
+    val claim = graft.sources.WorkspaceDmlLock.claimPathOf(tdir, s"ts_day=$day")
+    PartitionClaimGate.latch = new java.util.concurrent.CountDownLatch(1)
+    spark.udf.register("claim_gate",
+      (v: String) => { PartitionClaimGate.latch.await(); v })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val a = scala.concurrent.Future {
+      spark.sql(s"UPDATE $cat.tk SET v = claim_gate('a') WHERE " +
+        s"ts >= TIMESTAMP '2024-09-01 00:00:00' AND " +
+        s"ts < TIMESTAMP '2024-09-02 00:00:00'")
+    }
+    // wait until A holds its claim (parked in copy), then simulate a
+    // grace-break + retake: same path, DIFFERENT token. Poll for CONTENT,
+    // not existence — the local checksum FS makes the path visible inside
+    // create(), and swapping mid-create races A's own claim write
+    def claimToken: String =
+      if (!f.exists(claim)) ""
+      else try {
+        val in = f.open(claim)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => "" }
+    val deadline = System.currentTimeMillis() + 60000
+    while (claimToken.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(25)
+    assert(claimToken.nonEmpty, "statement A never claimed its day")
+    f.delete(claim, false): Unit
+    val o = f.create(claim, false)
+    try o.write("retaker-token".getBytes("UTF-8")) finally o.close()
+    PartitionClaimGate.latch.countDown()
+    val e = intercept[Throwable] {
+      scala.concurrent.Await.result(a,
+        scala.concurrent.duration.Duration(120, "s"))
+    }
+    pool.shutdown()
+    def msgs(t: Throwable): Seq[String] = {
+      var cur: Throwable = t
+      val out = scala.collection.mutable.Buffer.empty[String]
+      while (cur != null) { out += String.valueOf(cur.getMessage); cur = cur.getCause }
+      out.toSeq
+    }
+    assert(msgs(e).exists(m => m.contains("retaken")),
+      msgs(e).mkString(" | "))
+    // A published NOTHING; the retaker's claim file is untouched (never
+    // heartbeated, never released by A's token-checked cleanup)
+    assert(spark.table(s"$cat.tk").filter(col("v") === "a").count() == 0)
+    assert(f.exists(claim), "the retaken holder's claim must survive")
+    // and A's abort dropped its staging
+    val parent = new org.apache.hadoop.fs.Path(tdir).getParent
+    val leftover = f.listStatus(parent).map(_.getPath.getName)
+      .filter(_.contains("__cow_"))
+    assert(leftover.isEmpty, s"staging leaked: ${leftover.mkString(",")}")
+    f.delete(claim, false): Unit
   }
 }
 
