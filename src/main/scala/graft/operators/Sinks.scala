@@ -1248,9 +1248,20 @@ object Sinks {
       // either way: O(requested files) footer reads; feed files are
       // per-commit deltas, so the plan is a union of tiny scans.
       val renames = snapshotRenames(spark, tableDir)
-      files.map { case (v, f) =>
+      val reads = files.map { case (v, f) =>
         applyRenames(spark.read.parquet(f), renamesForFolder(v, renames))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+      // BALANCED union (ADVICE r16): a left-deep reduce over a wide version
+      // range builds an O(files)-deep plan tree that stresses the analyzer/
+      // optimizer; pairing halves the depth to O(log files) with the same
+      // result (union is associative; unionByName resolves per pair)
+      def fold(xs: Seq[DataFrame]): DataFrame =
+        if (xs.lengthCompare(1) == 0) xs.head
+        else fold(xs.grouped(2).map {
+          case Seq(a, b) => a.unionByName(b, allowMissingColumns = true)
+          case Seq(a) => a
+        }.toSeq)
+      fold(reads)
     }
   }
 

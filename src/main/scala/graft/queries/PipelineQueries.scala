@@ -6135,15 +6135,17 @@ object PipelineQueries {
     // fresh manifests: 2 kept). Per-day content aggregates plus all four
     // facts ride the oracle hash.
     Q("q242_workspace_compact", {
-      """WITH n AS (SELECT MAX(event_id) + 1 AS big FROM events),
+      """WITH w AS (SELECT * FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+        |n AS (SELECT MAX(event_id) + 1 AS big FROM events),
         |d AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT)
-        |        AS leaves FROM events)
+        |        AS leaves FROM w)
         |SELECT CAST(e.ts AS DATE) AS day,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(e.event_id + b.v * n.big) AS BIGINT) AS sum_ids,
         |  8 AS files_kept_stale, 2 AS files_kept_compacted,
         |  d.leaves AS leaves_compacted, 1 AS all_4_to_1
-        |FROM events e, n, d, (VALUES (0),(1),(2),(3)) AS b(v)
+        |FROM w e, n, d, (VALUES (0),(1),(2),(3)) AS b(v)
         |GROUP BY CAST(e.ts AS DATE), d.leaves
         |ORDER BY day""".stripMargin
     }) { (s, dir) =>
@@ -6154,11 +6156,17 @@ object PipelineQueries {
                |event_type STRING) PARTITIONED BY (days(ts))""".stripMargin)
       val big = Tables.load(s, dir, "events")
         .agg(max("event_id") + 1).first().getLong(0)
+      // a 10-day window (VERDICT r16 "what's wrong" #4): the face measures
+      // the COMPACTION statement, whose facts (4→1 per leaf, stale-manifest
+      // 8-kept vs compacted 2-kept on the 2-day band, one clustered job)
+      // are day-count-independent — the old whole-month 4× fan-in made the
+      // fixture build the heaviest part of the bench face
       def insertCopy(b: Int): Unit =
         s.sql(s"""INSERT INTO $cat.wcomp
                  |SELECT /*+ REPARTITION(1) */ event_id + ${b * big}, ts,
                  |       event_type
-                 |FROM parquet.`$dir/events.parquet`""".stripMargin)
+                 |FROM parquet.`$dir/events.parquet`
+                 |WHERE ts < TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)
       (0 until 3).foreach(insertCopy)
       graft.sources.PartitionManifest.enable(s, s"$ws/wcomp.parquet",
         Seq("event_id")): Unit
@@ -6259,22 +6267,26 @@ object PipelineQueries {
     // the strong way: it sets NO session conf, CASTS events.ts to the LTZ
     // TIMESTAMP type (the fixture column is NTZ, which parquet always
     // encodes INT64 - it could never regress), writes the q231 fixture
-    // shape (one sorted task, maxRecordsPerFile = ceil(n/8) -> 8 files of
-    // consecutive ts ranges), and pins the PHYSICAL plan's planned-file
-    // count under a ts-range predicate cut at rank-boundary VALUES
-    // (strictly inside files 2 and 3 at every SF - tie-free, verified on
-    // the seeded data) to exactly 2-of-8 on the oracle hash. Under INT96
-    // the manifest's ts bounds are NULL, all 8 files are kept, the hash
-    // breaks.
+    // shape (one sorted task, maxRecordsPerFile = ceil(n/8) ->
+    // ceil(n/chunk) files of consecutive ts ranges; 8 for most n but 7 for
+    // some — e.g. n=49 — so files_total is DERIVED from n on BOTH sides,
+    // never hardcoded), and pins the PHYSICAL plan's planned-file count
+    // under a ts-range predicate cut at rank-boundary VALUES (ranks 2c+3
+    // and 3c+5: strictly inside the 3rd and 4th files, 0-indexed 2 and 3 -
+    // tie-free, verified on the seeded data) to exactly 2 on the oracle
+    // hash. Under INT96 the manifest's ts bounds are NULL, every file is
+    // kept, the hash breaks.
     Q("q244_timestamp_file_skipping", {
-      """WITH c AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS chunk
+      """WITH c AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS chunk,
+        |                  COUNT(*) AS n
         |           FROM events),
         |r AS (SELECT event_id, event_type, ts,
         |             ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM events),
         |b AS (SELECT (SELECT ts FROM r, c WHERE rn = 2 * c.chunk + 3) AS lo,
         |             (SELECT ts FROM r, c WHERE rn = 3 * c.chunk + 5) AS hi)
-        |SELECT r.event_id, r.event_type, 2 AS files_kept, 8 AS files_total
-        |FROM r, b
+        |SELECT r.event_id, r.event_type, 2 AS files_kept,
+        |  CAST(CEIL(CAST(c.n AS DOUBLE) / c.chunk) AS INT) AS files_total
+        |FROM r, b, c
         |WHERE r.ts >= b.lo AND r.ts <= b.hi
         |ORDER BY r.event_id""".stripMargin
     }) { (s, dir) =>
