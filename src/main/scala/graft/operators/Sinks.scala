@@ -364,7 +364,7 @@ object Sinks {
       if (v == base + 1) {
         try {
           stageCompactedVersion(spark, tableDir,
-            readSnapshot(spark, tableDir, Some(base)), v, base, targetRows)
+            compactionRows(spark, tableDir, base), v, base, targetRows)
           carryManifest(spark, tableDir, v)
           commitPointerCas(spark, tableDir, v, tsMicros = None)
         } catch { case scala.util.control.NonFatal(e) =>
@@ -377,6 +377,23 @@ object Sinks {
     throw new java.util.ConcurrentModificationException(
       s"snapshot_compact at $tableDir: lost the claim race $maxRetries " +
         "times to concurrent writers; retry when the table quiesces")
+  }
+
+  /** The rows a compaction of committed `base` must materialize: resolved
+    * with HEAD rename semantics and conformed to the SERVED schema. A
+    * PINNED read (the pre-r17 shape) kept pre-rename physical names and
+    * pre-drop tombstone bytes — and the compacted folder, committed AFTER
+    * every recorded rename, serves with an empty replay window, so renamed
+    * columns would silently null-fill at the head and a re-ADD of a
+    * dropped name would RESURRECT the retired bytes (the metadata-only
+    * DROP relies on compaction retiring them physically). `base` is the
+    * committed head when the CAS claim fences (v == base + 1), so head
+    * semantics OF base is exactly the unpinned read, race-free. */
+  private def compactionRows(spark: SparkSession, tableDir: String,
+                             base: Int): DataFrame = {
+    val raw = readSnapshotServed(spark, tableDir, base)
+    servedSnapshotSchema(spark, tableDir)
+      .map(graft.sources.SchemaEvolution.conform(raw, _)).getOrElse(raw)
   }
 
   /** Write a compacted version ATOMICALLY: [[writeCompacted]] output plus
@@ -982,10 +999,26 @@ object Sinks {
 
   /** The schema an UNPINNED read serves. With the rename history living
     * inside `_schema.json` (field metadata), the declared schema IS the
-    * served schema — schema and history are one atomic artifact. */
+    * served schema — schema and history are one atomic artifact — minus
+    * DROPPED-column tombstones (r17): a metadata-only DROP COLUMN records
+    * the field under a reserved `__dropped_<k>` name (its rename chain is
+    * what keeps old folders' bytes resolving onto the tombstone instead of
+    * onto a later re-ADD of the same name); serving never projects them. */
   def servedSnapshotSchema(spark: SparkSession, tableDir: String):
       Option[org.apache.spark.sql.types.StructType] =
-    declaredSnapshotSchema(spark, tableDir)
+    declaredSnapshotSchema(spark, tableDir).map(s =>
+      org.apache.spark.sql.types.StructType(s.fields.filterNot(
+        _.name.startsWith(graft.sources.WorkspaceCatalog.DroppedPrefix))))
+
+  /** Drop any resolved tombstone columns from a frame — the terminal step
+    * of every read entry point (pinned AND unpinned): after the rename
+    * replay, a pre-drop folder's bytes sit under the reserved
+    * `__dropped_<k>` name, which no read may expose. */
+  private def dropTombstones(df: DataFrame): DataFrame = {
+    val t = df.columns.filter(
+      _.startsWith(graft.sources.WorkspaceCatalog.DroppedPrefix))
+    if (t.isEmpty) df else df.drop(t.toIndexedSeq: _*)
+  }
 
   // ---- merge-on-read deletes (thin versions) -------------------------------
 
@@ -1146,9 +1179,12 @@ object Sinks {
   /** Change rows of one thin commit, in base column order — extended by
     * any columns the upserts ADDED (post-ALTER writes), which delete rows
     * null-fill. */
-  private def changeRows(baseDf: DataFrame, keyCols: Seq[String], v: Int,
+  private def changeRows(rawBaseDf: DataFrame, keyCols: Seq[String], v: Int,
                          deletes: Option[DataFrame],
                          upserts: Option[DataFrame]): DataFrame = {
+    // never land DROPPED-column tombstone bytes into new feed files — the
+    // drop is usually a compliance action, and the feed is a fresh write
+    val baseDf = dropTombstones(rawBaseDf)
     val extra = upserts.toSeq.flatMap(_.schema.fields).filterNot(f =>
       baseDf.columns.exists(_.equalsIgnoreCase(f.name)))
     val cols = baseDf.columns.toSeq ++ extra.map(_.name)
@@ -1261,7 +1297,9 @@ object Sinks {
           case Seq(a, b) => a.unionByName(b, allowMissingColumns = true)
           case Seq(a) => a
         }.toSeq)
-      fold(reads)
+      // pre-drop feed files replay their column onto the tombstone name —
+      // the feed, like every read, never exposes it
+      dropTombstones(fold(reads))
     }
   }
 
@@ -1353,7 +1391,7 @@ object Sinks {
     }
     try {
       stageCompactedVersion(spark, tableDir,
-        readSnapshot(spark, tableDir, Some(base)), v, base,
+        compactionRows(spark, tableDir, base), v, base,
         AutoCompactTargetRows)
       carryManifest(spark, tableDir, v)
       commitPointerCas(spark, tableDir, v, tsMicros = None)
@@ -1500,14 +1538,15 @@ object Sinks {
     // declared BEFORE the pinned version's commit; each folder in the
     // chain then replays the window's entries at or after its own commit
     // position, so every frame in the merge carries names-as-of-topV
-    resolveVersionR(spark, tableDir, v, depth,
-      renamesWindowPinned(spark, tableDir, v))
+    dropTombstones(resolveVersionR(spark, tableDir, v, depth,
+      renamesWindowPinned(spark, tableDir, v)))
 
   /** The resolver at HEAD (unpinned) semantics: names after EVERY recorded
     * rename — what the catalog's head markers splice into SQL plans. */
   def readSnapshotServed(spark: SparkSession, tableDir: String,
                          v: Int): DataFrame =
-    resolveVersionR(spark, tableDir, v, 0, snapshotRenames(spark, tableDir))
+    dropTombstones(
+      resolveVersionR(spark, tableDir, v, 0, snapshotRenames(spark, tableDir)))
 
   private def resolveVersionR(spark: SparkSession, tableDir: String,
                               v: Int, depth: Int,

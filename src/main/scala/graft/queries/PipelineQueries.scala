@@ -6557,6 +6557,74 @@ object PipelineQueries {
       s.sql(s"SELECT doc_id, nchars, lang FROM $cat.wdc")
         .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
         .orderBy("doc_id")
+    },
+
+    // ---- snapshot: metadata-only DROP COLUMN (r17) ---------------------------
+    // VERDICT r16 missing #1: the versioned store drops a column without a
+    // rewrite — the takedown-compliance retirement shape on the catalog
+    // where history matters most. The drop is recorded as a RENAME onto a
+    // reserved `__dropped_<k>` tombstone inside `_schema.json` (one atomic
+    // artifact), so the rename-chain resolver does all three jobs: pinned
+    // reads BELOW the drop keep the column and its values (pinned_cols +
+    // pinned_vals_ok), pre-drop folders' bytes replay onto the tombstone
+    // (which serving filters out), and a re-ADD of the same name is a
+    // brand-new field — THE fact on the hash: every pre-drop row reads the
+    // re-added lang as NULL (resurrected bytes would resurface the original
+    // language codes and break the oracle). Thin UPDATE + INSERT bind the
+    // post-drop shape; no version folder is touched (alter_intact mtimes).
+    Q("q249_snapshot_drop_column", {
+      """WITH b AS (SELECT doc_id, CAST(LENGTH(text) AS INT) AS nchars
+        |           FROM documents WHERE doc_id % 7 = 4),
+        |m AS (SELECT MAX(doc_id) + 1 AS nid FROM b)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 35 = 4 THEN nchars + 1000 ELSE nchars END
+        |       AS INT) AS nchars,
+        |  CAST(NULL AS VARCHAR) AS lang,
+        |  'doc_id,lang,nchars' AS pinned_cols, 1 AS pinned_vals_ok,
+        |  1 AS alter_intact
+        |FROM b
+        |UNION ALL
+        |SELECT nid, 42, 'xx', 'doc_id,lang,nchars', 1, 1 FROM m
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "dropc_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      // CTAS: v1 empty schema-bearing + v2 keyless thin append
+      s.sql(s"""CREATE TABLE $cat.$tbl AS
+               |SELECT doc_id, lang, CAST(LENGTH(text) AS INT) AS nchars
+               |FROM parquet.`$dir/documents.parquet`
+               |WHERE doc_id % 7 = 4""".stripMargin)
+      graft.operators.Sinks.declareSnapshotKeys(s, tdir, Seq("doc_id"))
+      def vMtimes = new java.io.File(tdir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .flatMap(d => d.listFiles().filter(_.isFile)
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())).toMap
+      val before = vMtimes
+      s.sql(s"ALTER TABLE $cat.$tbl DROP COLUMN lang")
+      val alterIntact = vMtimes == before
+      // the pinned pre-drop version keeps the column AND its values
+      val pinned = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF 2")
+      val pinnedCols = pinned.columns.mkString(",")
+      val pinnedValsOk = pinned.filter(col("lang").isNull).isEmpty
+      // re-ADD of the dropped name: fresh field, old bytes stay dark
+      s.sql(s"ALTER TABLE $cat.$tbl ADD COLUMN lang STRING")
+      val nid = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 4)
+        .agg(max("doc_id") + 1).first().getLong(0)
+      // UPDATE before INSERT: the oracle updates pre-existing rows only
+      s.sql(s"UPDATE $cat.$tbl SET nchars = nchars + 1000 " +
+        "WHERE doc_id % 35 = 4")
+      s.sql(s"INSERT INTO $cat.$tbl SELECT $nid AS doc_id, " +
+        "CAST(42 AS INT) AS nchars, 'xx' AS lang")
+      s.sql(s"SELECT doc_id, nchars, lang FROM $cat.$tbl")
+        .withColumn("pinned_cols", lit(pinnedCols))
+        .withColumn("pinned_vals_ok", lit(if (pinnedValsOk) 1 else 0))
+        .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
+        .orderBy("doc_id")
     }
   )
 }

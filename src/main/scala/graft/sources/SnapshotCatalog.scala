@@ -230,6 +230,10 @@ class SnapshotCatalog extends TableCatalog
     if (dirEntries().exists(_.equalsIgnoreCase(ident.name())))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace() :+ ident.name())
+    require(!schema.fieldNames.exists(
+        _.startsWith(WorkspaceCatalog.DroppedPrefix)),
+      s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name " +
+        "prefix (dropped-column tombstones)")
     val spark = SparkSession.active
     graft.operators.Sinks.writeSnapshot(
       spark.createDataFrame(
@@ -272,8 +276,14 @@ class SnapshotCatalog extends TableCatalog
         s"${ident.name()}'s head is a BUCKETED layout artifact — ALTER would desync the " +
           "declared schema from the key-grouped scan; rebucketSnapshot " +
           "after evolving, or evolve before bucketing")
-    val current = graft.operators.Sinks.servedSnapshotSchema(spark, dir)
+    // fold over the FULL declared schema — WITH dropped-column tombstones:
+    // their rename chains are what keep pre-drop folders resolving, and an
+    // ALTER that silently shed them would resurrect dropped bytes under a
+    // later re-ADD of the name. Serving filters them (servedSnapshotSchema).
+    val current = graft.operators.Sinks.declaredSnapshotSchema(spark, dir)
       .getOrElse(graft.operators.Sinks.readSnapshot(spark, dir).schema)
+    def liveNames(s: StructType): Array[String] = s.fieldNames
+      .filterNot(_.startsWith(WorkspaceCatalog.DroppedPrefix))
     val renames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val evolved = changes.foldLeft(current) {
       case (schema, add: TableChange.AddColumn) =>
@@ -285,6 +295,9 @@ class SnapshotCatalog extends TableCatalog
           "ADD COLUMN ... FIRST/AFTER is not supported on snapshot tables " +
             "(added columns append; files on disk are never reshaped)")
         val colName = add.fieldNames()(0)
+        require(!colName.startsWith(WorkspaceCatalog.DroppedPrefix),
+          s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name " +
+            "prefix (dropped-column tombstones)")
         if (schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
           throw new IllegalArgumentException(
             s"column $colName already exists in ${ident.name()}")
@@ -308,8 +321,12 @@ class SnapshotCatalog extends TableCatalog
               "resolution rule — set spark.sql.extensions=" +
               "graft.GraftExtensions on sessions using ${ident.name()}")
         val to = ren.newName()
+        require(!to.startsWith(WorkspaceCatalog.DroppedPrefix),
+          s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name " +
+            "prefix (dropped-column tombstones)")
         val fromField = schema.fields
-          .find(_.name.equalsIgnoreCase(ren.fieldNames()(0)))
+          .find(f => f.name.equalsIgnoreCase(ren.fieldNames()(0)) &&
+            !f.name.startsWith(WorkspaceCatalog.DroppedPrefix))
           .getOrElse(throw new IllegalArgumentException(
             s"no column ${ren.fieldNames()(0)} in ${ident.name()}"))
         if (schema.fieldNames.exists(_.equalsIgnoreCase(to)))
@@ -336,7 +353,8 @@ class SnapshotCatalog extends TableCatalog
         require(upd.fieldNames().length == 1,
           "snapshot tables are flat; nested ALTER COLUMN is not supported")
         val f = schema.fields
-          .find(_.name.equalsIgnoreCase(upd.fieldNames()(0)))
+          .find(x => x.name.equalsIgnoreCase(upd.fieldNames()(0)) &&
+            !x.name.startsWith(WorkspaceCatalog.DroppedPrefix))
           .getOrElse(throw new IllegalArgumentException(
             s"no column ${upd.fieldNames()(0)} in ${ident.name()}"))
         val to = upd.newDataType()
@@ -350,10 +368,55 @@ class SnapshotCatalog extends TableCatalog
               "evolve by publishing new versions")
         org.apache.spark.sql.types.StructType(schema.fields.map(x =>
           if (x.name.equalsIgnoreCase(f.name)) x.copy(dataType = to) else x))
+      case (schema, del: TableChange.DeleteColumn) =>
+        // METADATA-ONLY DROP COLUMN (r17, verdict r16 missing #1): the
+        // drop is recorded as a RENAME onto a reserved `__dropped_<k>`
+        // tombstone name inside `_schema.json` — the same per-field chain
+        // machinery that serves RENAME then does all three jobs at once:
+        // (a) reads pinned at or below the drop's committed version keep
+        // the column (the chain entry carries that version, exactly like a
+        // rename), (b) pre-drop folders' physical bytes replay onto the
+        // TOMBSTONE during resolution — which serving filters out
+        // (Sinks.servedSnapshotSchema / dropTombstones) — and (c) a later
+        // re-ADD of the same name is a brand-new field: old bytes resolve
+        // onto the tombstone, never onto it, so dropped data can never
+        // resurrect. No version folder is touched; the next compaction
+        // (which reads through the served projection) retires the bytes
+        // physically.
+        require(del.fieldNames().length == 1,
+          "snapshot tables are flat; nested DROP COLUMN is not supported")
+        if (!morAware)
+          throw new UnsupportedOperationException(
+            "DROP COLUMN serves pre-drop files through the MOR-aware " +
+              "resolution rule — set spark.sql.extensions=" +
+              "graft.GraftExtensions on sessions using " + ident.name())
+        val dn = del.fieldNames()(0)
+        val df = schema.fields
+          .find(f => f.name.equalsIgnoreCase(dn) &&
+            !f.name.startsWith(WorkspaceCatalog.DroppedPrefix))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column $dn in ${ident.name()}"))
+        graft.operators.Sinks.snapshotDeclaredKeys(spark, dir).foreach { keys =>
+          if (keys.exists(_.equalsIgnoreCase(dn)))
+            throw new UnsupportedOperationException(
+              s"cannot DROP declared row-identity column $dn of " +
+                s"${ident.name()} — thin versions resolve by it; redeclare " +
+                "keys (Sinks.declareSnapshotKeys) first")
+        }
+        require(liveNames(schema).length > 1,
+          s"cannot drop the last column of ${ident.name()}")
+        // tombstone names are unique by a monotone counter (tombstones
+        // never leave the sidecar)
+        val tomb = s"${WorkspaceCatalog.DroppedPrefix}${schema.fields
+          .count(_.name.startsWith(WorkspaceCatalog.DroppedPrefix)) + 1}"
+        StructType(schema.fields.map(f =>
+          if (f eq df)
+            graft.operators.Sinks.appendRenameChain(f, committed, tomb)
+          else f))
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"snapshot tables support ALTER TABLE ADD COLUMN, RENAME " +
-            s"COLUMN and widening ALTER COLUMN TYPE only (got " +
+            s"COLUMN, DROP COLUMN and widening ALTER COLUMN TYPE only (got " +
             s"${other.getClass.getSimpleName}); anything " +
             "else would reinterpret pinned history — evolve by publishing " +
             "new versions")

@@ -535,10 +535,12 @@ class SnapshotSqlSpec extends AnyFunSuite {
     val dup = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN score DOUBLE") }
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
-    val drop = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN txt") }
-    assert(drop.getMessage.contains("widening ALTER COLUMN TYPE only"),
-      drop.getMessage)
+    // (DROP COLUMN graduated to a supported metadata-only ALTER in r17 —
+    // its own spec below; a column COMMENT is still out of the matrix)
+    val cmt = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev ALTER COLUMN txt COMMENT 'nope'") }
+    assert(cmt.getMessage.contains("widening ALTER COLUMN TYPE only"),
+      cmt.getMessage)
   }
 
   test("ALTER COLUMN TYPE widening is metadata-only: pinned history keeps " +
@@ -823,5 +825,100 @@ class SnapshotSqlSpec extends AnyFunSuite {
     val rows = changes.select("id", "val1", "__version")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
     assert(rows.toSeq == Seq((21L, "pre", 2), (22L, "post", 3)))
+  }
+
+  test("DROP COLUMN is metadata-only: pinned history intact, re-ADD never " +
+       "resurrects, compaction retires the bytes, guardrails") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.dc AS SELECT id AS doc_id, " +
+      "CONCAT('d', id) AS secret, CAST(id * 2 AS BIGINT) AS score " +
+      "FROM RANGE(50)")
+    val dir = s"$ws/dc"
+    Sinks.declareSnapshotKeys(spark, dir, Seq("doc_id"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def vMtimes(): Map[String, Long] = f.listStatus(
+      new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val before = vMtimes()
+    Thread.sleep(1100)
+    spark.sql(s"ALTER TABLE $cat.dc DROP COLUMN secret")
+    assert(vMtimes() == before, "DROP touched a version folder")
+    // unpinned read: the column is gone (never a tombstone name)
+    assert(spark.table(s"$cat.dc").columns.toSeq == Seq("doc_id", "score"))
+    // pinned read BELOW the drop keeps the column AND its values
+    assert(spark.sql(s"SELECT * FROM $cat.dc VERSION AS OF 2")
+      .columns.toSeq == Seq("doc_id", "secret", "score"))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.dc VERSION AS OF 2 WHERE secret = 'd7'")
+      .first().getLong(0) == 1)
+    // thin INSERT and thin UPDATE bind the post-drop shape
+    spark.sql(s"INSERT INTO $cat.dc SELECT 100L AS doc_id, 999L AS score")
+    spark.sql(s"UPDATE $cat.dc SET score = -1 WHERE doc_id = 5")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dc").first().getLong(0) == 51)
+    assert(spark.sql(s"SELECT score FROM $cat.dc WHERE doc_id = 5")
+      .first().getLong(0) == -1L)
+    // guardrails: declared key, last live column, reserved prefix
+    val e1 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.dc DROP COLUMN doc_id")
+    }
+    assert(e1.getMessage.contains("row-identity"), e1.getMessage)
+    val e2 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.dc ADD COLUMN __dropped_9 STRING")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    // re-ADD of the dropped name: a brand-new field — the pre-drop bytes
+    // replay onto the tombstone, never onto it
+    spark.sql(s"ALTER TABLE $cat.dc ADD COLUMN secret STRING")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.dc WHERE secret IS NOT NULL")
+      .first().getLong(0) == 0, "dropped bytes resurrected under the re-ADD")
+    spark.sql(s"UPDATE $cat.dc SET secret = 'fresh' WHERE doc_id = 6")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.dc WHERE secret IS NOT NULL")
+      .first().getLong(0) == 1)
+    // compaction retires the dropped bytes PHYSICALLY (no tombstone column
+    // in the compacted files) and the head is unchanged
+    val vc = Sinks.compactSnapshot(spark, dir, targetRows = 1000000L)
+    val phys = spark.read.parquet(s"$dir/v=$vc").columns.toSeq
+    assert(!phys.exists(_.startsWith("__dropped_")), phys.toString)
+    assert(phys.toSet == Set("doc_id", "score", "secret"))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.dc WHERE secret IS NOT NULL")
+      .first().getLong(0) == 1)
+    // pinned history across the whole dance: v2 still serves 'd7'
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.dc VERSION AS OF 2 WHERE secret = 'd7'")
+      .first().getLong(0) == 1)
+  }
+
+  test("CAS compaction materializes HEAD names — a renamed or dropped " +
+       "column never null-fills or resurrects through snapshot_compact") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.cc AS SELECT id AS doc_id, " +
+      "CONCAT('x', id) AS lang FROM RANGE(30)")
+    val dir = s"$ws/cc"
+    Sinks.declareSnapshotKeys(spark, dir, Seq("doc_id"))
+    spark.sql(s"ALTER TABLE $cat.cc RENAME COLUMN lang TO language")
+    // pre-r17 this compacted a PINNED read (old physical names): the
+    // compacted folder then served with an empty replay window, so the
+    // head null-filled 'language' entirely
+    val v1 = Sinks.compactSnapshotCas(spark, dir, targetRows = 1000000L)
+    assert(spark.read.parquet(s"$dir/v=$v1").columns.contains("language"),
+      "CAS compaction kept the pre-rename physical name")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.cc WHERE language = 'x7'")
+      .first().getLong(0) == 1, "renamed column null-filled after CAS compact")
+    // drop + re-ADD + CAS compact: the old bytes must retire, not resurrect
+    spark.sql(s"ALTER TABLE $cat.cc DROP COLUMN language")
+    spark.sql(s"ALTER TABLE $cat.cc ADD COLUMN language STRING")
+    val v2 = Sinks.compactSnapshotCas(spark, dir, targetRows = 1000000L)
+    val phys = spark.read.parquet(s"$dir/v=$v2").columns.toSeq
+    assert(!phys.exists(_.startsWith("__dropped_")), phys.toString)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.cc WHERE language IS NOT NULL")
+      .first().getLong(0) == 0,
+      "dropped bytes resurrected through CAS compaction")
   }
 }
