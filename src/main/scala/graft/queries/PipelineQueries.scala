@@ -6625,6 +6625,85 @@ object PipelineQueries {
         .withColumn("pinned_vals_ok", lit(if (pinnedValsOk) 1 else 0))
         .withColumn("alter_intact", lit(if (alterIntact) 1 else 0))
         .orderBy("doc_id")
+    },
+
+    // ---- workspace: partitioned ALTER matrix (r17) ---------------------------
+    // VERDICT r16 missing #2: RENAME + WIDEN + DROP lift onto PARTITIONED
+    // workspace tables (previously ADD-only — a rename on a date-sharded
+    // production table meant a full respec). Field ids are stamped at
+    // CREATE; since r17 every V1 read in the DML paths resolves by id on
+    // an isolated session, so: a day-grained UPDATE binds the RENAMED
+    // column in its predicate and writes a value only the WIDENED type
+    // holds; a translatable whole-table DELETE matches old-file rows by
+    // the renamed name; and after DROP + re-ADD of the name, every
+    // pre-drop row reads NULL — resurrected bytes would resurface the
+    // original event types and break the oracle. No ALTER touches a data
+    // file (alter_intact mtimes across the two ALTER windows).
+    Q("q250_partitioned_alter_matrix", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid FROM w)
+        |SELECT event_id,
+        |  CAST(CASE WHEN ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |             AND ts < TIMESTAMP '2024-01-04 00:00:00'
+        |             AND event_type = 'purchase'
+        |       THEN event_id % 100 + 5000000000
+        |       ELSE event_id % 100 END AS BIGINT) AS score,
+        |  CAST(NULL AS VARCHAR) AS etype,
+        |  1 AS alter_intact
+        |FROM w
+        |WHERE event_type <> 'view'
+        |UNION ALL
+        |SELECT nid, 42, 'xx', 1 FROM m
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.palt")
+      s.sql(s"""CREATE TABLE $cat.palt (event_id BIGINT, ts TIMESTAMP,
+               |event_type STRING, score INT) PARTITIONED BY (days(ts))
+               |""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.palt
+               |SELECT event_id, ts, event_type,
+               |       CAST(event_id % 100 AS INT) AS score
+               |FROM parquet.`$dir/events.parquet`
+               |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)
+      def dataFileTimes: Map[String, Long] = {
+        def walk(d: java.io.File): Seq[(String, Long)] =
+          Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f0 =>
+            if (f0.isDirectory) walk(f0)
+            else if (f0.getName.endsWith(".parquet"))
+              Seq(f0.getAbsolutePath -> f0.lastModified())
+            else Nil
+          }
+        walk(new java.io.File(s"$ws/palt.parquet")).toMap
+      }
+      val before1 = dataFileTimes
+      s.sql(s"ALTER TABLE $cat.palt RENAME COLUMN event_type TO etype")
+      s.sql(s"ALTER TABLE $cat.palt ALTER COLUMN score TYPE BIGINT")
+      val intact1 = dataFileTimes == before1
+      // day-grained UPDATE: renamed predicate column, widened SET value
+      s.sql(s"""UPDATE $cat.palt SET score = score + 5000000000
+               |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+               |  AND ts < TIMESTAMP '2024-01-04 00:00:00'
+               |  AND etype = 'purchase'""".stripMargin)
+      // whole-table translatable DELETE binds the renamed name over old
+      // files (the V1 id-read path)
+      s.sql(s"DELETE FROM $cat.palt WHERE etype = 'view'")
+      // DROP + re-ADD: pre-drop bytes stay dark under the reused name
+      val before2 = dataFileTimes
+      s.sql(s"ALTER TABLE $cat.palt DROP COLUMN etype")
+      s.sql(s"ALTER TABLE $cat.palt ADD COLUMN etype STRING")
+      val intact2 = dataFileTimes == before2
+      val nid = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .agg(max("event_id") + 1).first().getLong(0)
+      s.sql(s"INSERT INTO $cat.palt SELECT $nid AS event_id, " +
+        "TIMESTAMP '2024-01-06 12:00:00' AS ts, " +
+        "CAST(42 AS BIGINT) AS score, 'xx' AS etype")
+      s.sql(s"SELECT event_id, score, etype FROM $cat.palt")
+        .withColumn("alter_intact", lit(if (intact1 && intact2) 1 else 0))
+        .orderBy("event_id")
     }
   )
 }

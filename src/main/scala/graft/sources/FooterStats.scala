@@ -114,10 +114,36 @@ object FooterStats {
         .flatMap(_.getColumns.asScala)
         .groupBy(_.getPath.toDotString.toLowerCase)
         .view.mapValues(_.toSeq).toMap
+      // FIELD-ID resolution (r17): when the requested field carries a
+      // `parquet.field.id` AND the file's schema declares ids, the footer
+      // column is found BY ID — never by name. Under metadata-only RENAME
+      // a name lookup misses the old-named chunk and mis-reports the
+      // column as all-null (stats that would PRUNE files whose id-read
+      // serves real values); under DROP + re-ADD of the same name a name
+      // lookup matches the RETIRED bytes' stats (claiming non-null values
+      // the id-read serves as null). Id-vs-id misses stay all-null —
+      // correct for files written before the column existed. Name lookup
+      // remains for id-less schemas/files (fixtures, snapshot versions).
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val fileHasIds = fileSchema.getFields.asScala.exists(_.getId != null)
+      def footerKey(canonical: String): Option[String] = {
+        val fd = schema(canonical)
+        val reqId =
+          if (fd.metadata.contains("parquet.field.id"))
+            Some(fd.metadata.getLong("parquet.field.id").toInt)
+          else None
+        (reqId, fileHasIds) match {
+          case (Some(id), true) =>
+            fileSchema.getFields.asScala
+              .find(t => t.getId != null && t.getId.intValue == id)
+              .map(_.getName.toLowerCase)
+          case _ => Some(canonical.toLowerCase)
+        }
+      }
       val stats = resolveCols(schema, statsCols).zip(statsCols).map {
         case (canonical, c) =>
         val dt = schema(canonical).dataType
-        c -> chunks.get(canonical.toLowerCase)
+        c -> footerKey(canonical).flatMap(chunks.get)
           .map(mergeChunks(dt, _))
           // column absent from this file (written before a schema ADD):
           // every read of it is null — exactly representable

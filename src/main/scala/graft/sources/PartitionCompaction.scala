@@ -87,11 +87,17 @@ object PartitionCompaction {
         // (basePath hive discovery, declared types); a hidden days layout
         // keeps its source column in the files, so the leaf paths alone
         // suffice.
+        // FIELD-ID read (r17): a renamed/re-added column must resolve by
+        // id in the rewrite, or the compacted files would null-fill it /
+        // resurrect dropped bytes (SQLConf key — isolated session, not a
+        // reader option)
+        val iso = WorkspaceDml.isolatedSession(spark,
+          "spark.sql.parquet.fieldId.read.enabled" -> "true")
         val rows: DataFrame =
           if (tbl.hasHidden)
-            spark.read.schema(tbl.fileSchema).parquet(frag.map(_._2): _*)
+            iso.read.schema(tbl.fileSchema).parquet(frag.map(_._2): _*)
           else
-            spark.read.option("basePath", dir.toString).schema(declared)
+            iso.read.option("basePath", dir.toString).schema(declared)
               .parquet(frag.map(_._2): _*)
         val staging = tbl.stagingPath()
         // a STAGING failure aborts with the table untouched — drop our

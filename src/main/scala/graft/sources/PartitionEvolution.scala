@@ -130,16 +130,20 @@ object PartitionEvolution {
             "table through its catalog to repair, or inspect by hand, " +
             "then retry")
 
-      // current rows, partition columns re-attached as data columns
+      // current rows, partition columns re-attached as data columns.
+      // FIELD-ID read (r17): renamed/re-added columns must resolve by id
+      // through the respec rewrite (SQLConf key — isolated session)
+      val iso = WorkspaceDml.isolatedSession(spark,
+        "spark.sql.parquet.fieldId.read.enabled" -> "true")
       val rows: DataFrame =
-        if (oldLevels.isEmpty) spark.read.schema(declared).parquet(dir.toString)
+        if (oldLevels.isEmpty) iso.read.schema(declared).parquet(dir.toString)
         else if (oldLevels.forall(_.inSchema))
-          spark.read.schema(declared).parquet(dir.toString) // hive inference
+          iso.read.schema(declared).parquet(dir.toString) // hive inference
         else {
           val leaves = PartitionManifest.leafDirsOf(f, dir)
-          if (leaves.isEmpty) spark.createDataFrame(
+          if (leaves.isEmpty) iso.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-          else spark.read.schema(declared).parquet(leaves.map(_.toString): _*)
+          else iso.read.schema(declared).parquet(leaves.map(_.toString): _*)
         }
 
       // canonicalize for the NEW spec: identity partition columns LAST in

@@ -321,6 +321,17 @@ private[sources] class PartitionedWorkspaceTable(
   private[sources] def tableDir: String = dir
   private def fsOf(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** V1 reads (the DELETE discovery/survivor scans and [[readFull]]) must
+    * resolve columns by parquet FIELD ID, like every DSv2 scan of this
+    * table does ([[newScanBuilder]] merges the option): a metadata-only
+    * RENAME or DROP+re-ADD otherwise matches old files by NAME —
+    * null-filling renamed columns and resurrecting dropped bytes.
+    * DataFrameReader options cannot set this key (it is read from SQLConf),
+    * so the reads run on an isolated session (cloned runtime conf, same
+    * context/catalog — the flat-table deleteWhere precedent). */
+  private lazy val idSpark: SparkSession = WorkspaceDml.isolatedSession(
+    spark, "spark.sql.parquet.fieldId.read.enabled" -> "true")
+
   /** Data-file schema: declared minus the IDENTITY columns (hive layout
     * stores those in directory names; a copy inside the file would be a
     * duplicate-column read error). A days level's source column STAYS — it
@@ -390,13 +401,13 @@ private[sources] class PartitionedWorkspaceTable(
     * filters); hidden layouts read the leaf directories (source column is
     * in the files). */
   private def readFull(): DataFrame =
-    if (!hasHidden) spark.read.schema(declaredFull).parquet(dir)
+    if (!hasHidden) idSpark.read.schema(declaredFull).parquet(dir)
     else {
       val leaves = leafDirsWithValues().map(_._1)
       if (leaves.isEmpty)
-        spark.createDataFrame(
+        idSpark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
-      else spark.read.schema(declaredFull).parquet(leaves: _*)
+      else idSpark.read.schema(declaredFull).parquet(leaves: _*)
     }
 
   /** Relative leaf paths present in a staging dir (the statement's WRITE
@@ -758,12 +769,12 @@ private[sources] class PartitionedWorkspaceTable(
     * (the source column is in the files). */
   private def readLeaves(paths: Seq[String]): DataFrame =
     if (paths.isEmpty)
-      spark.createDataFrame(
+      idSpark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
     else if (!hasHidden)
-      spark.read.option("basePath", dir).schema(declaredFull)
+      idSpark.read.option("basePath", dir).schema(declaredFull)
         .parquet(paths: _*)
-    else spark.read.schema(declaredFull).parquet(paths: _*)
+    else idSpark.read.schema(declaredFull).parquet(paths: _*)
 
   private def deleteWhereScoped(filters: Array[sources.Filter],
                                 candidates: Seq[(String, Seq[String])],
@@ -794,7 +805,9 @@ private[sources] class PartitionedWorkspaceTable(
     // simply stages nothing and is deleted by the publish (it is in the
     // retired set with no replacement).
     val touchKeys = levels.map(l => s"__touched_${l.pathName}")
-    val touchedDf = spark.createDataFrame(
+    // same session as `full` (the id-read isolated one) — mixing sessions
+    // in one plan resolves confs unpredictably
+    val touchedDf = full.sparkSession.createDataFrame(
       spark.sparkContext.parallelize(
         touched.map(org.apache.spark.sql.Row.fromSeq), numSlices = 1),
       StructType(touchKeys.map(k =>

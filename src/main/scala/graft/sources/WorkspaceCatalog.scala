@@ -400,15 +400,33 @@ class WorkspaceCatalog extends TableCatalog {
     val actual = allNames().find(_.equalsIgnoreCase(ident.name()))
       .getOrElse(throw new NoSuchTableException(ident.namespace() :+ ident.name()))
     val partMarker = readPartSpec(actual)
-    // partitioned tables: metadata-only ADD COLUMN is safe (the evolved
-    // sidecar null-fills old files; the canonical partition-column-last
-    // order is restored below); RENAME is rejected — the partitioned DML
-    // paths read through the V1 reader, which has no per-scan field-id
-    // injection, so a renamed column would stop resolving there
-    if (partMarker.isDefined && !changes.forall(_.isInstanceOf[TableChange.AddColumn]))
-      throw new UnsupportedOperationException(
-        s"partitioned workspace table ${ident.name()} supports ALTER TABLE " +
-          "ADD COLUMN only; rewrite via CREATE TABLE ... AS for anything else")
+    // partitioned tables (r17): the full metadata-only matrix — ADD,
+    // RENAME, DROP, widening ALTER COLUMN TYPE — lifts onto the hive
+    // layout (field ids are stamped at CREATE, and since r17 every V1 read
+    // in the DML/maintenance paths resolves by id on an isolated session).
+    // The PARTITION columns themselves stay immutable: their names are
+    // baked into every directory on disk (`col=value` / `<ts>_day=`), so a
+    // rename/drop would be a full relayout, not a metadata edit — route
+    // through PartitionEvolution.repartition. Identity partition columns
+    // MAY widen (their values live in directory names, which parse under
+    // the declared type — no byte is reinterpreted).
+    val partCols: Set[String] = partMarker.toSeq.flatMap { m =>
+      if (m.startsWith("days:")) Seq(m.stripPrefix("days:"))
+      else m.split(',').toSeq.map(_.trim)
+    }.map(_.toLowerCase).toSet
+    def requireNotPartitionCol(name: String, what: String): Unit =
+      if (partCols.contains(name.toLowerCase))
+        throw new UnsupportedOperationException(
+          s"$what $name: it is a partition column of ${ident.name()} — its " +
+            "name is baked into the directory layout; respec the table " +
+            "(PartitionEvolution.repartition) to change partitioning")
+    changes.foreach {
+      case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
+        requireNotPartitionCol(ren.fieldNames()(0), "cannot RENAME")
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        requireNotPartitionCol(del.fieldNames()(0), "cannot DROP")
+      case _ => ()
+    }
     val current = readSidecar(actual).getOrElse {
       // pre-existing (non-DDL-created) table: adopt its footer schema as
       // the declared schema, then evolve that
@@ -532,6 +550,28 @@ class WorkspaceCatalog extends TableCatalog {
       case _ => evolved
     }
     writeSidecar(actual, canonical)
+    // the per-leaf manifest opt-in (`.stats_cols`) records column NAMES —
+    // follow any rename so post-ALTER republishes keep stamping stats for
+    // the column (pre-ALTER leaf manifests keep the old name and serve
+    // conservatively until their leaf republishes; a DROPPED stats column
+    // simply stops resolving and is skipped by writeLeafManifest)
+    val renamePairs = changes.collect {
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        (r.fieldNames()(0), r.newName())
+    }
+    if (renamePairs.nonEmpty && partMarker.isDefined) {
+      val mk = PartitionManifest.markerPath(tablePath(actual).toString)
+      PartitionManifest.statsCols(fs(mk), tablePath(actual).toString).foreach { cols =>
+        val mapped = cols.map(c => renamePairs.foldLeft(c) { case (n, (f, t)) =>
+          if (n.equalsIgnoreCase(f)) t else n })
+        if (mapped != cols) {
+          val out = fs(mk).create(mk, true)
+          try out.write(mapped.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+    }
     loadTable(ident)
   }
 }

@@ -147,10 +147,10 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     // partition-grained DML still works on the evolved schema
     spark.sql(s"UPDATE $cat.pt SET extra = 1 WHERE src = 's0'")
     assert(spark.table(s"$cat.pt").filter(col("extra") === 1).count() == 10)
-    // RENAME stays rejected on partitioned tables (V1 DML reads lack the
-    // per-scan field-id injection)
+    // RENAME of DATA columns graduated to supported in r17 (the ALTER-
+    // matrix spec below); renaming a PARTITION column stays rejected
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.pt RENAME COLUMN v TO w")
+      spark.sql(s"ALTER TABLE $cat.pt RENAME COLUMN src TO origin")
     }
   }
 
@@ -1140,6 +1140,130 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     assert(rootCauses(e3).exists(_.contains("partition claim")),
       rootCauses(e3).mkString(" | "))
     f.delete(c2, false): Unit
+  }
+
+  test("partitioned ALTER matrix (r17): RENAME/WIDEN/DROP metadata-only, " +
+       "old files resolve by field id through every DML path, partition " +
+       "columns immutable") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pa (id BIGINT, ts TIMESTAMP, v STRING, " +
+      "score INT) PARTITIONED BY (days(ts))")
+    val epoch0 = java.time.LocalDateTime.of(2024, 10, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    (0L until 30L).map(i => (i,
+        new java.sql.Timestamp(epoch0 + (i % 3) * 86400000L + i * 1000L),
+        if (i % 10 == 4) "zap" else s"w$i", (i % 100).toInt)).toSeq
+      .toDF("id", "ts", "v", "score").createOrReplaceTempView("pa_seed")
+    spark.sql(s"INSERT INTO $cat.pa SELECT id, ts, v, score FROM pa_seed")
+    val f = fs(ws)
+    def dataFileTimes: Map[String, Long] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        f.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            Seq(st.getPath.toString -> st.getModificationTime)
+          else Nil
+        }
+      walk(new org.apache.hadoop.fs.Path(s"$ws/pa.parquet")).toMap
+    }
+    val before = dataFileTimes
+    spark.sql(s"ALTER TABLE $cat.pa RENAME COLUMN v TO label")
+    spark.sql(s"ALTER TABLE $cat.pa ALTER COLUMN score TYPE BIGINT")
+    assert(dataFileTimes == before, "ALTER touched a data file")
+    assert(spark.table(s"$cat.pa").columns.toSeq ==
+      Seq("id", "ts", "label", "score"))
+    // old files resolve the renamed column by FIELD ID (DSv2 scan)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pa WHERE label = 'w7'")
+      .first().getLong(0) == 1)
+    // day-grained UPDATE binds the new name and the widened type (a value
+    // only BIGINT holds)
+    spark.sql(s"UPDATE $cat.pa SET score = score + 5000000000 " +
+      "WHERE ts >= TIMESTAMP '2024-10-01 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-10-02 00:00:00' AND label = 'w9'")
+    assert(spark.sql(s"SELECT score FROM $cat.pa WHERE id = 9")
+      .first().getLong(0) == 5000000009L)
+    // translatable DELETE: the V1 discovery/survivor reads resolve the
+    // renamed column by field id too (whole-table grain — label pins no
+    // partition); old-file 'zap' rows must match and go
+    spark.sql(s"DELETE FROM $cat.pa WHERE label = 'zap'")
+    assert(spark.table(s"$cat.pa").count() == 27)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pa WHERE label = 'zap'")
+      .first().getLong(0) == 0)
+    // DROP + re-ADD of the name: pre-drop bytes stay dark — including in
+    // the leaves the DELETE just rewrote (their files carry field ids)
+    spark.sql(s"ALTER TABLE $cat.pa DROP COLUMN label")
+    spark.sql(s"ALTER TABLE $cat.pa ADD COLUMN label STRING")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.pa WHERE label IS NOT NULL")
+      .first().getLong(0) == 0, "dropped bytes resurrected")
+    spark.sql(s"UPDATE $cat.pa SET label = 'fresh' WHERE id = 3")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.pa WHERE label = 'fresh'")
+      .first().getLong(0) == 1)
+    // guardrails: partition columns are immutable
+    def msg(t: Throwable): String = {
+      var cur: Throwable = t; var out = ""
+      while (cur != null) { out += " | " + cur.getMessage; cur = cur.getCause }
+      out
+    }
+    val e1 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.pa RENAME COLUMN ts TO t2") }
+    assert(msg(e1).contains("partition column"), msg(e1))
+    val e2 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.pa DROP COLUMN ts") }
+    assert(msg(e2).contains("partition column"), msg(e2))
+    // identity layout: the partition column may WIDEN (values live in
+    // directory names), never rename
+    spark.sql(s"CREATE TABLE $cat.pa2 (id BIGINT, v STRING, src INT) " +
+      "PARTITIONED BY (src)")
+    spark.sql(s"INSERT INTO $cat.pa2 " +
+      "SELECT id, CONCAT('v', id), CAST(id % 2 AS INT) FROM RANGE(10)")
+    spark.sql(s"ALTER TABLE $cat.pa2 ALTER COLUMN src TYPE BIGINT")
+    assert(spark.table(s"$cat.pa2").schema("src").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pa2 WHERE src = 1")
+      .first().getLong(0) == 5)
+    spark.sql(s"DELETE FROM $cat.pa2 WHERE src = 0")
+    assert(spark.table(s"$cat.pa2").count() == 5)
+    val e3 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.pa2 RENAME COLUMN src TO origin") }
+    assert(msg(e3).contains("partition column"), msg(e3))
+  }
+
+  test(".stats_cols follows a RENAME; manifests stay conservative for " +
+       "pre-rename leaves and prune again after a republish") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pm (id BIGINT, ts TIMESTAMP, n BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    val epoch0 = java.time.LocalDateTime.of(2024, 11, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    (0L until 40L).map(i => (i,
+        new java.sql.Timestamp(epoch0 + (i % 2) * 86400000L + i * 1000L),
+        i)).toSeq
+      .toDF("id", "ts", "n").createOrReplaceTempView("pm_seed")
+    spark.sql(
+      s"INSERT INTO $cat.pm SELECT /*+ REPARTITION(1) */ id, ts, n FROM pm_seed")
+    val tdir = s"$ws/pm.parquet"
+    graft.sources.PartitionManifest.enable(spark, tdir, Seq("n")): Unit
+    spark.sql(s"ALTER TABLE $cat.pm RENAME COLUMN n TO num")
+    // the opt-in marker followed the rename
+    val f = fs(ws)
+    assert(graft.sources.PartitionManifest
+      .statsCols(f, tdir).contains(Seq("num")))
+    // pre-rename manifests serve their leaves conservatively (no wrong
+    // prune): a filter excluding every row still returns zero correctly
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pm WHERE num > 1000")
+      .first().getLong(0) == 0)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pm WHERE num = 7")
+      .first().getLong(0) == 1)
+    // a DML republish re-stamps the touched leaf's manifest under the new
+    // name — and old-file stats must resolve by FIELD ID if consulted
+    spark.sql(s"UPDATE $cat.pm SET num = num + 1 WHERE " +
+      "ts >= TIMESTAMP '2024-11-02 00:00:00' AND num % 2 = 1")
+    // day 1 holds the odd ids; each gained +1 → sum = 780 + 20
+    assert(spark.sql(s"SELECT SUM(num) FROM $cat.pm").first().getLong(0) == 800L)
   }
 
   test("translatable DELETE stages ALL survivor leaves in ONE job " +

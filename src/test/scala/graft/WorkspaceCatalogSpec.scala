@@ -441,14 +441,17 @@ class WorkspaceCatalogSpec extends AnyFunSuite {
     assert(got.length == 5 && got.last == ((99L, 1L << 40)))
     assert(got.head._2 >= (1L << 41), got.head.toString)
     // guardrails: non-widening refused with guidance; partitioned tables
-    // stay ADD COLUMN only
+    // widen DATA columns too since r17 (their own ALTER-matrix spec) —
+    // here just the non-widening refusal on one
     val bad = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.wd ALTER COLUMN k TYPE DECIMAL(30, 0)") }
     assert(bad.getMessage.contains("only lossless"), bad.getMessage)
     spark.sql(s"CREATE TABLE $cat.wp (id BIGINT, n INT, src STRING) " +
       "PARTITIONED BY (src)")
+    spark.sql(s"ALTER TABLE $cat.wp ALTER COLUMN n TYPE BIGINT")
+    assert(spark.table(s"$cat.wp").schema("n").dataType.simpleString == "bigint")
     val part = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.wp ALTER COLUMN n TYPE BIGINT") }
-    assert(part.getMessage.contains("ADD COLUMN only"), part.getMessage)
+      spark.sql(s"ALTER TABLE $cat.wp ALTER COLUMN id TYPE DECIMAL(30, 0)") }
+    assert(part.getMessage.contains("only lossless"), part.getMessage)
   }
 }
