@@ -6704,6 +6704,90 @@ object PipelineQueries {
       s.sql(s"SELECT event_id, score, etype FROM $cat.palt")
         .withColumn("alter_intact", lit(if (intact1 && intact2) 1 else 0))
         .orderBy("event_id")
+    },
+
+    // ---- workspace: partitioned CHANGE DATA FEED, streamed (r17) -------------
+    // VERDICT r16 missing #3: DML on the date-sharded production table now
+    // leaves a consumable change record — per-statement change rows land
+    // in a sibling feed dir as ONE atomic directory rename, and Spark's
+    // file streaming source is the consumer (exactly-once via its file
+    // log). The face runs TWO AvailableNow passes on ONE checkpoint: run 1
+    // discovers exactly the day-pinned DELETE's pre-image rows; run 2
+    // discovers exactly the between-runs statements — a day UPDATE's
+    // MINIMAL pre/post diff (one 'delete' + one 'insert' per changed row;
+    // carried-over rows cancel) and an INSERT's appended row. Aggregated
+    // by (run, change, event_type) on the oracle hash: a feed that leaked
+    // the seed load, re-delivered run-1 entries, or fed carried-over rows
+    // breaks the counts.
+    Q("q251_partition_change_feed", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |d1 AS (SELECT * FROM w
+        |       WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |         AND ts < TIMESTAMP '2024-01-03 00:00:00'),
+        |u AS (SELECT * FROM w
+        |      WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+        |        AND ts < TIMESTAMP '2024-01-05 00:00:00'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid FROM w)
+        |SELECT 1 AS run, 'delete' AS change, event_type AS etype,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        |FROM d1 GROUP BY event_type
+        |UNION ALL
+        |SELECT 2, 'delete', event_type, CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(event_id) AS BIGINT)
+        |FROM u GROUP BY event_type
+        |UNION ALL
+        |SELECT 2, 'insert', 'zz', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(event_id) AS BIGINT) FROM u
+        |UNION ALL
+        |SELECT 2, 'insert', 'ins', CAST(1 AS BIGINT), nid FROM m
+        |ORDER BY run, change, etype""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.pcf")
+      s.sql(s"""CREATE TABLE $cat.pcf (event_id BIGINT, ts TIMESTAMP,
+               |event_type STRING) PARTITIONED BY (days(ts))""".stripMargin)
+      // seed BEFORE enabling: the load is not part of the change history
+      s.sql(s"""INSERT INTO $cat.pcf
+               |SELECT event_id, ts, event_type
+               |FROM parquet.`$dir/events.parquet`
+               |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)
+      val tdir = s"$ws/pcf.parquet"
+      graft.sources.PartitionChangeFeed.enable(s, tdir)
+      val declared = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      val scratch = new graft.Session.Scratch
+      val chk = s"${scratch.dir}/chk251"
+      val out = s"${scratch.dir}/feed251"
+      // day-pinned translatable DELETE → 'delete' pre-image rows
+      s.sql(s"DELETE FROM $cat.pcf WHERE " +
+        "ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'")
+      graft.streaming.Streams.runPartitionFeedCollect(
+        s, chk, tdir, declared, out, run = 1)
+      // day-grained COW UPDATE → minimal pre/post diff
+      s.sql(s"UPDATE $cat.pcf SET event_type = 'zz' WHERE " +
+        "ts >= TIMESTAMP '2024-01-04 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-05 00:00:00'")
+      val nid = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .agg(max("event_id") + 1).first().getLong(0)
+      s.sql(s"INSERT INTO $cat.pcf SELECT $nid AS event_id, " +
+        "TIMESTAMP '2024-01-06 12:00:00' AS ts, 'ins' AS event_type")
+      graft.streaming.Streams.runPartitionFeedCollect(
+        s, chk, tdir, declared, out, run = 2)
+      s.read.parquet(out)
+        .groupBy(col("run"), col("_change_type").as("change"),
+          col("event_type").as("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+        .orderBy("run", "change", "etype")
     }
   )
 }

@@ -400,7 +400,7 @@ private[sources] class PartitionedWorkspaceTable(
     * schema ⇒ exact partition-column types; hive dirs ⇒ pruning on
     * filters); hidden layouts read the leaf directories (source column is
     * in the files). */
-  private def readFull(): DataFrame =
+  private[sources] def readFull(): DataFrame =
     if (!hasHidden) idSpark.read.schema(declaredFull).parquet(dir)
     else {
       val leaves = leafDirsWithValues().map(_._1)
@@ -412,6 +412,27 @@ private[sources] class PartitionedWorkspaceTable(
 
   /** Relative leaf paths present in a staging dir (the statement's WRITE
     * set — for publish-time claim acquisition). */
+  /** Read the table rows of a subset of RELATIVE leaf paths. */
+  private[sources] def readRelLeaves(rels: Seq[String]): DataFrame =
+    readLeaves(rels.map(r => s"$dir/$r"))
+
+  /** A STAGING dir's rows as table rows (identity values re-attached from
+    * the staged directory names) — the post-image of an uncommitted COW
+    * statement, for the change feed's pre/post diff. */
+  private[sources] def readStagedLeaves(staging: Path): DataFrame = {
+    val f = fsOf(staging)
+    val leaves =
+      if (!f.exists(staging)) Nil
+      else walkLeaves(staging, f).map(_._1)
+    if (leaves.isEmpty)
+      idSpark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
+    else if (!hasHidden)
+      idSpark.read.option("basePath", staging.toString).schema(declaredFull)
+        .parquet(leaves: _*)
+    else idSpark.read.schema(declaredFull).parquet(leaves: _*)
+  }
+
   private[sources] def stagedRels(staging: Path): Seq[String] = {
     val f = fsOf(staging)
     if (!f.exists(staging)) Nil
@@ -680,18 +701,41 @@ private[sources] class PartitionedWorkspaceTable(
                   else col(fd.name)
                 c.as(fd.name, fd.metadata)
               }
-              val (shaped, pathNames) =
-                writePathCols(data.select(cols.toIndexedSeq: _*))
+              val selected = data.select(cols.toIndexedSeq: _*)
+              val (shaped, pathNames) = writePathCols(selected)
               val mode = if (overwrite || overwriteAll) "overwrite" else "append"
               def write(): Unit = graft.operators.Sinks.microsBound(shaped)
                 .write.partitionBy(pathNames: _*).mode(mode).parquet(dir)
-              if (mode == "overwrite")
+              if (mode == "overwrite") {
                 // whole-table rewrite: fence like the other whole-table
                 // ops — never clobber a claim-holding statement's leaves
                 // (bounded wait for claims to drain, r17). Plain INSERT
                 // keeps the lockless append contract (task-unique files).
                 WorkspaceDmlLock.withLockNoClaims(spark, dir) { write() }
-              else write()
+                // a rewrite has no change grain — record the discontinuity
+                if (PartitionChangeFeed.enabled(spark, dir))
+                  PartitionChangeFeed.markRewrite(spark, dir)
+              } else {
+                write()
+                // change feed (opt-in): the appended rows ARE the change
+                // set. The insert query re-executes for the feed write
+                // (lockless appends leave no artifact isolating this
+                // batch's files under concurrency) — a non-deterministic
+                // source could feed values differing from what landed;
+                // route such writers through the snapshot catalog's keyed
+                // feed. Landed AFTER the data (the documented crash
+                // window), non-fatally inside commitStaged.
+                if (PartitionChangeFeed.enabled(spark, dir))
+                  PartitionChangeFeed.commitStaged(spark, dir,
+                    try PartitionChangeFeed.stage(spark, dir,
+                      PartitionChangeFeed.tagged(selected, "insert"))
+                    catch { case scala.util.control.NonFatal(e) =>
+                      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                        s"change-feed staging for $dir INSERT failed; the " +
+                          "append is live, its feed entry is lost", e)
+                      None
+                    })
+              }
               spark.catalog.refreshByPath(dir)
             }
           }
@@ -767,7 +811,7 @@ private[sources] class PartitionedWorkspaceTable(
     * [[readFull]]: identity layouts keep `basePath` so partition columns
     * stay alive with declared types; hidden layouts read leaves directly
     * (the source column is in the files). */
-  private def readLeaves(paths: Seq[String]): DataFrame =
+  private[sources] def readLeaves(paths: Seq[String]): DataFrame =
     if (paths.isEmpty)
       idSpark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
@@ -817,6 +861,13 @@ private[sources] class PartitionedWorkspaceTable(
     val survivors = full
       .filter(!coalesce(cond, lit(false)))
       .join(broadcast(touchedDf), joinCond, "left_semi")
+    // change feed (opt-in): the deleted rows, staged while the pre-image
+    // is still live, renamed in strictly after the publish
+    val feed: Option[Path] =
+      if (!PartitionChangeFeed.enabled(spark, dir)) None
+      else PartitionChangeFeed.stage(spark, dir, PartitionChangeFeed.tagged(
+        full.filter(coalesce(cond, lit(false)))
+          .join(broadcast(touchedDf), joinCond, "left_semi"), "delete"))
     val staging = stagingPath()
     val targetRows = spark.conf
       .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
@@ -824,7 +875,11 @@ private[sources] class PartitionedWorkspaceTable(
     // yet — dropping OUR staging loses no data)
     try PartitionEvolution.stageLayoutWrite(
       spark, survivors, declaredFull, levels, staging, targetRows)
-    catch { case e: Throwable => dropStaging(staging); throw e }
+    catch { case e: Throwable =>
+      dropStaging(staging)
+      PartitionChangeFeed.abortStaged(spark, feed)
+      throw e
+    }
     // SWAP — through the shared partition-grained publish (retire by
     // rename, staged replacements in, manifests stamped BEFORE anything
     // retires, retired copies delete LAST; a failure past the first retire
@@ -842,10 +897,17 @@ private[sources] class PartitionedWorkspaceTable(
     try {
       claimInfo.foreach { case (paths, tok) =>
         try WorkspaceDmlLock.verifyClaims(spark, paths, tok)
-        catch { case t: Throwable => dropStaging(staging); throw t }
+        catch { case t: Throwable =>
+          dropStaging(staging)
+          PartitionChangeFeed.abortStaged(spark, feed)
+          throw t
+        }
         WorkspaceDmlLock.refreshClaims(spark, paths)
       }
       publishPartitioned(staging, Some(touched.map(relOf)))
+      PartitionChangeFeed.commitStaged(spark, dir, feed)
+    } catch { case t: Throwable =>
+      PartitionChangeFeed.abortStaged(spark, feed); throw t
     } finally lock2.foreach(WorkspaceDmlLock.release(spark, _))
   }
 
@@ -1091,18 +1153,43 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
       new SerializableHadoopConf(job.getConfiguration))
   }
 
+  /** Change feed (opt-in): the MINIMAL pre/post multiset diff of the
+    * statement's partitions, staged BEFORE any rename (the pre-image must
+    * be read while the retired leaves are still live), renamed in strictly
+    * after the publish. A staging failure aborts the statement pre-publish
+    * (nothing retired; Spark's abort drops the data staging). */
+  private def stageFeed(): Option[Path] =
+    if (!PartitionChangeFeed.enabled(spark, table.tableDir)) None
+    else {
+      val pre = op.readRels match {
+        case Some(rels) => table.readRelLeaves(rels)
+        case None => table.readFull()
+      }
+      val post = table.readStagedLeaves(staging)
+      PartitionChangeFeed.stage(spark, table.tableDir,
+        PartitionChangeFeed.tagged(pre.exceptAll(post), "delete")
+          .unionByName(PartitionChangeFeed.tagged(post.exceptAll(pre), "insert")))
+    }
+
   override def commit(msgs: Array[WriterCommitMessage]): Unit = claimedRels match {
     case None =>
-      try table.publishPartitioned(staging, op.readRels)
-      finally WorkspaceDmlLock.release(spark, lock)
+      val feed = stageFeed()
+      try {
+        table.publishPartitioned(staging, op.readRels)
+        PartitionChangeFeed.commitStaged(spark, table.tableDir, feed)
+      } catch { case t: Throwable =>
+        PartitionChangeFeed.abortStaged(spark, feed); throw t
+      } finally WorkspaceDmlLock.release(spark, lock)
     case Some(rels) =>
-      // publish window: re-take the table lock (bounded wait — every probe
-      // and publish holds it, so renames never tear another statement's
-      // probe scan), heartbeat the claims (the copy may have outlived the
+      // publish window: stage the feed diff (pre-image still live, claims
+      // held), re-take the table lock (bounded wait — every probe and
+      // publish holds it, so renames never tear another statement's probe
+      // scan), heartbeat the claims (the copy may have outlived the
       // grace), claim any WRITE-ONLY staged leaves (cross-partition UPDATE
       // moves, MERGE INSERT into unread partitions — a conflict there
       // aborts with nothing retired and staging dropped by Spark's abort
       // callback), publish, release everything.
+      val feed = stageFeed()
       lock = WorkspaceDmlLock.acquireWait(spark, table.tableDir)
       lockHeld = true
       try {
@@ -1116,6 +1203,9 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
           claims = claims ++ WorkspaceDmlLock.acquireClaims(
             spark, table.tableDir, extra, claimToken)
         table.publishPartitioned(staging, op.readRels)
+        PartitionChangeFeed.commitStaged(spark, table.tableDir, feed)
+      } catch { case t: Throwable =>
+        PartitionChangeFeed.abortStaged(spark, feed); throw t
       } finally {
         WorkspaceDmlLock.releaseClaims(spark, claims, claimToken)
         WorkspaceDmlLock.release(spark, lock)

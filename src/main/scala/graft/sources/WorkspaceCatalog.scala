@@ -345,6 +345,10 @@ class WorkspaceCatalog extends TableCatalog {
         // same-named table must not inherit them
         val cd = WorkspaceDmlLock.claimsDir(p.toString)
         if (fs(cd).exists(cd)) fs(cd).delete(cd, true): Unit
+        // and the change feed (r17): a re-created table must not inherit
+        // the dropped incarnation's change history
+        val cf = PartitionChangeFeed.feedRoot(p.toString)
+        if (fs(cf).exists(cf)) fs(cf).delete(cf, true): Unit
         true
     }
 
@@ -373,6 +377,12 @@ class WorkspaceCatalog extends TableCatalog {
       throw new IllegalStateException(
         s"rename sidecar ${oldIdent.name()} -> ${newIdent.name()} failed; table left at ${oldIdent.name()}")
     }
+    // the change feed follows its table's name (best-effort: a feed left
+    // under the old name only strands already-consumed history — readers
+    // of the new name start a fresh feed)
+    val (cfFrom, cfTo) = (PartitionChangeFeed.feedRoot(from.toString),
+      PartitionChangeFeed.feedRoot(to.toString))
+    if (fs(cfFrom).exists(cfFrom)) fs(cfFrom).rename(cfFrom, cfTo): Unit
     val (pmFrom, pmTo) = (partMarkerPath(actual), partMarkerPath(newIdent.name()))
     if (fs(pmFrom).exists(pmFrom) && !fs(pmFrom).rename(pmFrom, pmTo)) {
       // a lost partition marker would silently degrade the table to FLAT

@@ -240,6 +240,30 @@ object Streams {
     query.awaitTermination()
   }
 
+  /** AvailableNow collect of a PARTITIONED workspace table's change feed
+    * ([[graft.sources.PartitionChangeFeed]]): one run discovers exactly
+    * the statement entries landed since the checkpoint's previous run —
+    * exactly-once via the file source's own file log. The glob watches
+    * the per-statement `c*` entry dirs; the atomic dir rename-in makes a
+    * statement's files appear all-or-nothing. */
+  def runPartitionFeedCollect(s: SparkSession, chk: String, tableDir: String,
+                              declared: org.apache.spark.sql.types.StructType,
+                              outDir: String, run: Int): Unit = {
+    val schema =
+      graft.sources.PartitionChangeFeed.feedSchema(s, tableDir, declared)
+    val root = graft.sources.PartitionChangeFeed.feedRoot(tableDir)
+    val query = s.readStream.schema(schema).parquet(s"$root/c*")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.withColumn("run", lit(run))
+          .write.mode("append").parquet(outDir): Unit
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Land `df` as a single named parquet file inside the directory a file
     * stream is watching. Written to a side dir first, then MOVED in — the
     * source never observes a half-written file, and landing between two

@@ -1266,6 +1266,69 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT SUM(num) FROM $cat.pm").first().getLong(0) == 800L)
   }
 
+  test("partition change feed: per-statement grain, minimal COW diff, " +
+       "no-op statements feed nothing, OVERWRITE marks a discontinuity, " +
+       "maintenance never feeds, DROP cleans up") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.cf (id BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (days(ts))")
+    val epoch0 = java.time.LocalDateTime.of(2024, 12, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    (0L until 20L).map(i => (i,
+        new java.sql.Timestamp(epoch0 + (i % 2) * 86400000L + i * 1000L),
+        if (i % 4 == 0) "x" else "y")).toSeq
+      .toDF("id", "ts", "v").createOrReplaceTempView("cf_seed")
+    spark.sql(s"INSERT INTO $cat.cf SELECT id, ts, v FROM cf_seed") // pre-enable
+    val tdir = s"$ws/cf.parquet"
+    graft.sources.PartitionChangeFeed.enable(spark, tdir)
+    val declared = spark.table(s"$cat.cf").schema
+    def feed() = graft.sources.PartitionChangeFeed
+      .read(spark, tdir, declared)
+    assert(feed().count() == 0, "the pre-enable seed load must not feed")
+    // INSERT feeds its appended rows
+    spark.sql(s"INSERT INTO $cat.cf VALUES (100, TIMESTAMP '2024-12-01 06:00:00', 'n')")
+    assert(feed().filter(col("_change_type") === "insert").count() == 1)
+    // COW UPDATE feeds the MINIMAL diff: only rows the SET actually
+    // changed appear (carried-over rows of the touched day cancel)
+    spark.sql(s"UPDATE $cat.cf SET v = 'z' WHERE " +
+      "ts >= TIMESTAMP '2024-12-01 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-12-02 00:00:00' AND v = 'x'")
+    val afterUpd = feed()
+    assert(afterUpd.filter(col("_change_type") === "delete")
+      .filter(col("v") === "x").count() == 5)   // ids 0,4,8,12,16
+    assert(afterUpd.filter(col("_change_type") === "insert")
+      .filter(col("v") === "z").count() == 5)
+    assert(afterUpd.filter(col("v") === "y").count() == 0,
+      "carried-over rows leaked into the feed")
+    // a zero-match statement feeds nothing
+    val n0 = feed().count()
+    spark.sql(s"UPDATE $cat.cf SET v = 'q' WHERE v = 'never'")
+    spark.sql(s"DELETE FROM $cat.cf WHERE v = 'never'")
+    assert(feed().count() == n0, "no-op statements fed rows")
+    // translatable day DELETE feeds its pre-image
+    spark.sql(s"DELETE FROM $cat.cf WHERE " +
+      "ts >= TIMESTAMP '2024-12-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-12-03 00:00:00'")
+    assert(feed().filter(col("_change_type") === "delete").count() == 5 + 10)
+    // compaction is not a logical change: no feed entries
+    spark.sql(s"INSERT INTO $cat.cf VALUES (101, TIMESTAMP '2024-12-01 07:00:00', 'frag')")
+    val n1 = feed().count()
+    graft.sources.PartitionCompaction.compactPartitions(spark, ws, "cf"): Unit
+    assert(feed().count() == n1, "compaction fed rows")
+    // INSERT OVERWRITE records a discontinuity, never a table-sized feed
+    assert(graft.sources.PartitionChangeFeed.discontinuities(spark, tdir).isEmpty)
+    spark.sql(s"INSERT OVERWRITE $cat.cf SELECT id, ts, v FROM cf_seed")
+    assert(feed().count() == n1, "a rewrite fed rows")
+    assert(graft.sources.PartitionChangeFeed
+      .discontinuities(spark, tdir).size == 1)
+    // DROP removes the feed with its table
+    spark.sql(s"DROP TABLE $cat.cf")
+    val f = fs(ws)
+    assert(!f.exists(graft.sources.PartitionChangeFeed.feedRoot(tdir)),
+      "feed outlived its table")
+  }
+
   test("translatable DELETE stages ALL survivor leaves in ONE job " +
        "(never one job per touched leaf), one sized file per leaf") {
     import spark.implicits._
