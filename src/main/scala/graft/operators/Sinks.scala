@@ -223,6 +223,15 @@ object Sinks {
     swapPointer(spark, tableDir, version)
   }
 
+  /** [[commitPointer]] for the partitioned-snapshot module
+    * ([[graft.sources.PartitionedSnapshot]]) — the shared atomic commit
+    * primitive, exposed package-wide rather than duplicated. */
+  private[graft] def commitSnapshotPointer(spark: SparkSession,
+                                           tableDir: String,
+                                           version: Int,
+                                           tsMicros: Option[Long] = None): Unit =
+    commitPointer(spark, tableDir, version, tsMicros)
+
   /** The `_commits/v=N` timestamp record, CREATE-IF-ABSENT: a
     * [[writeSnapshotAs]] REPLAY (crash recovery) re-commits an
     * already-committed version; overwriting its record would move the
@@ -1967,7 +1976,15 @@ object Sinks {
         case None => None
       }.takeWhile(_.isDefined).flatten.toSeq
     }
-    val toDrop = toDrop0.filterNot(needed)
+    // a PARTITIONED snapshot's surviving versions CARRY partition dirs
+    // from older folders (single-hop refs) — those folders must survive
+    // too, exactly like thin bases (r17)
+    val carried: Set[Int] =
+      if (graft.sources.PartitionedSnapshot.partSpec(spark, tableDir).isEmpty)
+        Set.empty
+      else graft.sources.PartitionedSnapshot
+        .referencedVersions(spark, tableDir, survivors.toSeq)
+    val toDrop = toDrop0.filterNot(v => needed(v) || carried(v))
     toDrop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_manifest/v=$v"), true)

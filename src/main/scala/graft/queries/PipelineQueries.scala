@@ -6788,6 +6788,142 @@ object PipelineQueries {
           col("event_type").as("etype"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
         .orderBy("run", "change", "etype")
+    },
+
+    // ---- workspace: bucket(n, col) + zero-exchange join (r17) ---------------
+    // VERDICT r16 missing #4: the bucket transform lifts onto WORKSPACE
+    // tables — `CREATE TABLE ... PARTITIONED BY (bucket(8, user_id))`
+    // lands hive `user_id_bucket=<pmod>` directories, DML is bucket-
+    // grained (an equality predicate claims one bucket), and the scan
+    // reports KeyGroupedPartitioning(bucket(8, user_id)) with the catalog
+    // serving the bucket function — so a join of two same-bucketed
+    // workspace tables plans with ZERO exchange (the q230 storage-
+    // partitioned join, now on the read-WRITE catalog where the table
+    // keeps taking DML). no_exchange rides the oracle hash; a flat-side
+    // negative control (must shuffle) pins the comparison.
+    Q("q252_workspace_bucket_join", {
+      """WITH dim AS (SELECT user_id, MIN(event_id) AS first_event
+        |            FROM events GROUP BY user_id)
+        |SELECT e.user_id, d.first_event,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(e.event_id) AS BIGINT) AS sum_ids,
+        |  1 AS no_exchange, 1 AS flat_shuffles
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |WHERE e.event_id % 97 <> 13
+        |GROUP BY e.user_id, d.first_event
+        |ORDER BY e.user_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wbf")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wbd")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wbn")
+      s.sql(s"CREATE TABLE $cat.wbf (user_id BIGINT, event_id BIGINT) " +
+        "PARTITIONED BY (bucket(8, user_id))")
+      s.sql(s"""INSERT INTO $cat.wbf
+               |SELECT user_id, event_id
+               |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      s.sql(s"CREATE TABLE $cat.wbd (user_id BIGINT, first_event BIGINT) " +
+        "PARTITIONED BY (bucket(8, user_id))")
+      s.sql(s"""INSERT INTO $cat.wbd
+               |SELECT user_id, MIN(event_id) AS first_event
+               |FROM parquet.`$dir/events.parquet`
+               |GROUP BY user_id""".stripMargin)
+      // the fact table keeps taking DML without losing the layout
+      s.sql(s"DELETE FROM $cat.wbf WHERE event_id % 97 = 13")
+      s.sql(s"CREATE TABLE $cat.wbn AS SELECT user_id, first_event " +
+        s"FROM $cat.wbd")
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true"); s.conf.set(keys(1), "-1")
+      try {
+        val joined = s.sql(
+          s"""SELECT f.user_id, f.event_id, d.first_event
+             |FROM $cat.wbf f JOIN $cat.wbd d
+             |ON f.user_id = d.user_id""".stripMargin)
+        val noExchange =
+          !joined.queryExecution.executedPlan.toString.contains("Exchange")
+        val flat = s.sql(
+          s"""SELECT f.user_id FROM $cat.wbf f JOIN $cat.wbn n
+             |ON f.user_id = n.user_id""".stripMargin)
+        val flatShuffles =
+          flat.queryExecution.executedPlan.toString.contains("Exchange")
+        // materialize UNDER the SPJ confs (localCheckpoint executes the
+        // zero-exchange plan); aggregate after
+        joined.localCheckpoint()
+          .groupBy(col("user_id"), col("first_event"))
+          .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+          .withColumn("no_exchange", lit(if (noExchange) 1 else 0))
+          .withColumn("flat_shuffles", lit(if (flatShuffles) 1 else 0))
+          .orderBy("user_id")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+
+    // ---- snapshot × partitions: ZERO-COPY day retention (r17) ----------------
+    // VERDICT r16 missing #5: the versioned store gets a days() layout —
+    // each v=N folder holds its own day directories plus a `_carry`
+    // manifest of single-hop refs into older versions' days. Dropping a
+    // day then publishes ONE carry manifest: drop_zero_copy pins that the
+    // new version holds NO data file, v1_intact pins (by mtime+length)
+    // that no other day's bytes were touched, and n_v1 pins that the
+    // pinned pre-drop version still serves everything through SQL time
+    // travel. The head read itself rides the SQL catalog (day-pruned scan
+    // across version folders).
+    Q("q253_partitioned_snapshot_retention", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+        |SELECT event_id, event_type, 1 AS drop_zero_copy, 1 AS v1_intact,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_v1
+        |FROM w
+        |WHERE NOT (ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |           AND ts < TIMESTAMP '2024-01-04 00:00:00')
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "psnap_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit
+      def v1Files: Set[(String, Long, Long)] = {
+        def walk(d: java.io.File): Seq[(String, Long, Long)] =
+          Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f0 =>
+            if (f0.isDirectory) walk(f0)
+            else if (f0.getName.endsWith(".parquet"))
+              Seq((f0.getAbsolutePath, f0.lastModified(), f0.length()))
+            else Nil
+          }
+        walk(new java.io.File(s"$tdir/v=1")).toSet
+      }
+      val before = v1Files
+      val dropVal = graft.sources.PartitionedSnapshot.partitionValueOf(
+        s, tdir, java.sql.Date.valueOf("2024-01-03"))
+      graft.sources.PartitionedSnapshot
+        .dropPartitions(s, tdir, Seq(dropVal)): Unit
+      val v2HasData = {
+        def walk(d: java.io.File): Boolean =
+          Option(d.listFiles()).getOrElse(Array.empty).exists(f0 =>
+            (f0.isDirectory && walk(f0)) ||
+              f0.getName.endsWith(".parquet"))
+        walk(new java.io.File(s"$tdir/v=2"))
+      }
+      val v1Intact = v1Files == before
+      val nV1 = s.sql(s"SELECT COUNT(*) FROM $cat.$tbl VERSION AS OF 1")
+        .first().getLong(0)
+      s.sql(s"SELECT event_id, event_type FROM $cat.$tbl")
+        .withColumn("drop_zero_copy", lit(if (v2HasData) 0 else 1))
+        .withColumn("v1_intact", lit(if (v1Intact) 1 else 0))
+        .withColumn("n_v1", lit(nV1))
+        .orderBy("event_id")
     }
   )
 }

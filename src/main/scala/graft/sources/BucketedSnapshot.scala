@@ -147,10 +147,16 @@ private class BucketedScan(spark: SparkSession, label: String, vDir: String,
                            keyCol: String, buckets: Int)
   extends Scan with Batch with SupportsReportPartitioning {
 
-  private def innerScan(paths: Seq[String]): Scan =
-    ParquetTable(s"${label}__bucket", spark, CaseInsensitiveStringMap.empty(),
+  private def innerScan(paths: Seq[String]): Scan = {
+    // field-id reads ride along (r17): bucketed WORKSPACE tables carry ids
+    // (metadata-only RENAME/DROP); id-less snapshot versions are untouched
+    // because id-matching only engages when the requested schema has ids
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("spark.sql.parquet.fieldId.read.enabled", "true"))
+    ParquetTable(s"${label}__bucket", spark, opts,
       paths, Some(dataSchema), classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .newScanBuilder(opts).build()
+  }
 
   override def readSchema(): StructType = dataSchema
   override def description(): String =

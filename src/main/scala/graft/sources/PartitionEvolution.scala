@@ -77,11 +77,7 @@ object PartitionEvolution {
   }
 
   private[sources] def levelsOf(marker: String, declared: StructType): Seq[PartLevel] =
-    if (marker.isEmpty) Nil
-    else if (marker.startsWith("days:")) {
-      val c = marker.stripPrefix("days:")
-      Seq(DaysLevel(c, declared(c).dataType == DateType))
-    } else marker.split(',').toSeq.map(c => IdentityLevel(c.trim))
+    PartitionedWorkspace.levelsOf(marker, declared)
 
   /** Re-lay `<ws>/<table>` out per `newSpec` — the marker grammar:
     * `"a,b"` (nested identity), `"days:ts"` (one hidden transform), or
@@ -147,22 +143,11 @@ object PartitionEvolution {
         }
 
       // canonicalize for the NEW spec: identity partition columns LAST in
-      // spec order; field metadata (parquet ids) preserved
+      // spec order; field metadata (parquet ids) preserved. Per-kind
+      // source-type rules shared with the table constructor.
       val newLevels = levelsOf(newSpec, declared)
+      PartitionedWorkspace.validateLevels(declared, newLevels)
       val idCols = newLevels.collect { case IdentityLevel(c) => c }
-      idCols.foreach { c =>
-        val fd = declared.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(s"partition column $c not in $table"))
-        require(Seq(StringType, IntegerType, LongType).contains(fd.dataType),
-          s"identity partition column must be string/int/long, got ${fd.dataType}")
-      }
-      newLevels.collect { case d: DaysLevel => d }.foreach { d =>
-        val fd = declared.fields.find(_.name.equalsIgnoreCase(d.sourceCol))
-          .getOrElse(throw new IllegalArgumentException(
-            s"partition column ${d.sourceCol} not in $table"))
-        require(fd.dataType == TimestampType || fd.dataType == DateType,
-          s"days() needs a timestamp/date column, got ${fd.dataType}")
-      }
       val canonical = StructType(
         declared.fields.filterNot(fd => idCols.exists(_.equalsIgnoreCase(fd.name))) ++
           idCols.flatMap(c => declared.fields.find(_.name.equalsIgnoreCase(c))))
@@ -231,12 +216,13 @@ object PartitionEvolution {
             s"partitioned rewrite: NULL in partition column $c")).cast(
             canonical(c).dataType)).otherwise(col(c)))
         c
-      case d @ DaysLevel(c, isDate) =>
-        shaped = shaped.withColumn(d.pathName,
+      case hidden =>
+        val c = hidden.sourceCol
+        shaped = shaped.withColumn(hidden.pathName,
           when(col(c).isNull, raise_error(lit(
             s"partitioned rewrite: NULL in partition source $c")).cast(LongType))
-            .otherwise(PartitionedWorkspace.dayColumn(col(c), isDate)))
-        d.pathName
+            .otherwise(hidden.deriveColumn(col(c))))
+        hidden.pathName
     }
     val sized =
       if (pathNames.nonEmpty) shaped.repartition(pathNames.map(col): _*)

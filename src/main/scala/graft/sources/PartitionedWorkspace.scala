@@ -55,7 +55,8 @@ private[sources] class SerializableHadoopConf(
   *    derivation.
   */
 private[sources] sealed trait PartLevel extends Serializable {
-  /** Directory key (`src` / `ts_day`). */
+  /** Directory key (`src` / `ts_day` / `ts_hour` / `ts_month` /
+    * `id_bucket`). */
   def pathName: String
   /** Schema column the level derives from. */
   def sourceCol: String
@@ -65,6 +66,16 @@ private[sources] sealed trait PartLevel extends Serializable {
     * internal representations (runtime V2 filters) and external objects
     * (translated V1 filters). None = unmappable (treat as unconstrained). */
   def valueOfLiteral(v: Any): Option[String]
+  /** Can rows inside the directory carrying path value `v` satisfy pushed
+    * filter `f` on the SOURCE column? Conservative keep on any shape the
+    * level cannot decide. */
+  def mayMatch(f: sources.Filter, v: String): Boolean
+  /** The synthetic path column derived from the source column (identity
+    * levels pass the column through). Must agree bit-for-bit with
+    * [[pathValue]]. */
+  def deriveColumn(c: Column): Column
+  /** Path value of a row's source field (writer side). */
+  def pathValue(t: DataType, r: InternalRow, ord: Int): String
 }
 
 private[sources] case class IdentityLevel(col: String) extends PartLevel {
@@ -73,6 +84,16 @@ private[sources] case class IdentityLevel(col: String) extends PartLevel {
   def inSchema: Boolean = true
   def valueOfLiteral(v: Any): Option[String] =
     Option(v).map(PartitionedWorkspace.valueString)
+  def mayMatch(f: sources.Filter, v: String): Boolean =
+    PartitionedWorkspace.identityMayMatch(f, col, v)
+  def deriveColumn(c: Column): Column = c
+  def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
+    case StringType => r.getUTF8String(ord).toString
+    case IntegerType => r.getInt(ord).toString
+    case LongType => r.getLong(ord).toString
+    case tt => throw new IllegalStateException(
+      s"unsupported identity partition type $tt")
+  }
 }
 
 private[sources] case class DaysLevel(col: String, isDate: Boolean)
@@ -82,10 +103,185 @@ private[sources] case class DaysLevel(col: String, isDate: Boolean)
   def inSchema: Boolean = false
   def valueOfLiteral(v: Any): Option[String] =
     PartitionedWorkspace.epochDay(v, isDate).map(_.toString)
+  def mayMatch(f: sources.Filter, v: String): Boolean =
+    v.toLongOption.forall(day =>
+      PartitionedWorkspace.dayMayMatch(f, col, day, isDate))
+  def deriveColumn(c: Column): Column =
+    PartitionedWorkspace.dayColumn(c, isDate)
+  def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
+    case TimestampType =>
+      Math.floorDiv(r.getLong(ord), PartitionedWorkspace.MicrosPerDay).toString
+    case DateType => r.getInt(ord).toLong.toString
+    case tt => throw new IllegalStateException(s"days() over $tt")
+  }
+}
+
+/** `hours(ts)` — the high-rate event-table grain (r17): synthetic
+  * `<ts>_hour=<epochHour>` directories, timestamp sources only. */
+private[sources] case class HoursLevel(col: String) extends PartLevel {
+  def pathName: String = s"${col}_hour"
+  def sourceCol: String = col
+  def inSchema: Boolean = false
+  def valueOfLiteral(v: Any): Option[String] =
+    PartitionedWorkspace.epochPos(v, isDate = false)
+      .map(Math.floorDiv(_, PartitionedWorkspace.MicrosPerHour).toString)
+  def mayMatch(f: sources.Filter, v: String): Boolean =
+    v.toLongOption.forall { h =>
+      val s = h * PartitionedWorkspace.MicrosPerHour
+      PartitionedWorkspace.spanMayMatch(f, col, s,
+        s + PartitionedWorkspace.MicrosPerHour, isDate = false)
+    }
+  def deriveColumn(c: Column): Column =
+    PartitionedWorkspace.unitColumn(c, PartitionedWorkspace.MicrosPerHour)
+  def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
+    case TimestampType =>
+      Math.floorDiv(r.getLong(ord), PartitionedWorkspace.MicrosPerHour).toString
+    case tt => throw new IllegalStateException(s"hours() over $tt")
+  }
+}
+
+/** `months(ts)` — the long-retention grain (r17): synthetic
+  * `<ts>_month=<monthsSinceEpoch>` directories (UTC months — the same
+  * fixed-UTC axis the days derivation uses). */
+private[sources] case class MonthsLevel(col: String, isDate: Boolean)
+  extends PartLevel {
+  def pathName: String = s"${col}_month"
+  def sourceCol: String = col
+  def inSchema: Boolean = false
+  def valueOfLiteral(v: Any): Option[String] =
+    PartitionedWorkspace.epochDay(v, isDate)
+      .map(PartitionedWorkspace.epochMonthOfDay(_).toString)
+  def mayMatch(f: sources.Filter, v: String): Boolean =
+    v.toLongOption.forall { m =>
+      val unit = if (isDate) 1L else PartitionedWorkspace.MicrosPerDay
+      val s = PartitionedWorkspace.monthStartDay(m) * unit
+      val e = PartitionedWorkspace.monthStartDay(m + 1) * unit
+      PartitionedWorkspace.spanMayMatch(f, col, s, e, isDate)
+    }
+  def deriveColumn(c: Column): Column = {
+    // epochDay (UTC) → a TZ-free DATE → month index; bit-for-bit with
+    // [[pathValue]]'s LocalDate math
+    val dd = date_from_unix_date(
+      PartitionedWorkspace.dayColumn(c, isDate).cast(IntegerType))
+    ((year(dd) - lit(1970)) * lit(12) + month(dd) - lit(1)).cast(LongType)
+  }
+  def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
+    case TimestampType => PartitionedWorkspace.epochMonthOfDay(
+      Math.floorDiv(r.getLong(ord), PartitionedWorkspace.MicrosPerDay)).toString
+    case DateType =>
+      PartitionedWorkspace.epochMonthOfDay(r.getInt(ord).toLong).toString
+    case tt => throw new IllegalStateException(s"months() over $tt")
+  }
+}
+
+/** `bucket(n, col)` — the hidden hash transform (r17): synthetic
+  * `<col>_bucket=<pmod(col, n)>` directories over an int/long key. The
+  * math is [[GraftBucketFunction]]'s exactly (`((k % n) + n) % n`), so the
+  * scan can report `KeyGroupedPartitioning(bucket(n, col))` and a join of
+  * two same-bucketed workspace tables plans with ZERO exchange. */
+private[sources] case class BucketLevel(col: String, n: Int) extends PartLevel {
+  require(n > 0, "bucket(n, col) needs n > 0")
+  def pathName: String = s"${col}_bucket"
+  def sourceCol: String = col
+  def inSchema: Boolean = false
+  private def bucketOf(k: Long): Long = ((k % n) + n) % n
+  private def keyOf(v: Any): Option[Long] = v match {
+    case null => None
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+  def valueOfLiteral(v: Any): Option[String] =
+    keyOf(v).map(k => bucketOf(k).toString)
+  def mayMatch(f: sources.Filter, v: String): Boolean = {
+    def ref(x: String) = x.equalsIgnoreCase(col)
+    def same(lit: Any): Boolean =
+      keyOf(lit).forall(k => bucketOf(k).toString == v)
+    f match {
+      case sources.And(l, r) => mayMatch(l, v) && mayMatch(r, v)
+      case sources.Or(l, r) => mayMatch(l, v) || mayMatch(r, v)
+      case sources.EqualTo(x, lit) if ref(x) => same(lit)
+      case sources.EqualNullSafe(x, lit) if ref(x) => same(lit)
+      case sources.In(x, vs) if ref(x) => vs.isEmpty || vs.exists(same)
+      case sources.IsNull(x) if ref(x) => false
+      case _ => true // ranges cannot prune a hash layout
+    }
+  }
+  def deriveColumn(c: Column): Column =
+    pmod(c.cast(LongType), lit(n.toLong))
+  def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
+    case LongType => bucketOf(r.getLong(ord)).toString
+    case IntegerType => bucketOf(r.getInt(ord).toLong).toString
+    case tt => throw new IllegalStateException(s"bucket() over $tt")
+  }
 }
 
 private[sources] object PartitionedWorkspace {
   val MicrosPerDay = 86400000000L
+  val MicrosPerHour = 3600000000L
+
+  /** Months between 1970-01 and the month containing epoch day `d`. */
+  def epochMonthOfDay(d: Long): Long = {
+    val ld = java.time.LocalDate.ofEpochDay(d)
+    (ld.getYear - 1970).toLong * 12L + (ld.getMonthValue - 1)
+  }
+
+  /** First epoch day of month index `m`. */
+  def monthStartDay(m: Long): Long =
+    java.time.LocalDate.of(1970, 1, 1).plusMonths(m).toEpochDay
+
+  /** Marker grammar → partition levels (shared by the catalog, the respec
+    * and compaction): `"a,b"` nested identity, `"days:c"`, `"hours:c"`,
+    * `"months:c"`, `"bucket:<n>:<c>"`, `""` flat. */
+  def levelsOf(marker: String, declared: StructType): Seq[PartLevel] = {
+    def isDate(c: String) = declared(c).dataType == DateType
+    if (marker.isEmpty) Nil
+    else if (marker.startsWith("days:")) {
+      val c = marker.stripPrefix("days:"); Seq(DaysLevel(c, isDate(c)))
+    } else if (marker.startsWith("hours:"))
+      Seq(HoursLevel(marker.stripPrefix("hours:")))
+    else if (marker.startsWith("months:")) {
+      val c = marker.stripPrefix("months:"); Seq(MonthsLevel(c, isDate(c)))
+    } else if (marker.startsWith("bucket:")) {
+      val parts = marker.split(':')
+      require(parts.length == 3 && parts(1).toIntOption.exists(_ > 0),
+        s"bad bucket marker '$marker' (want bucket:<n>:<col>)")
+      Seq(BucketLevel(parts(2), parts(1).toInt))
+    } else marker.split(',').toSeq.map(c => IdentityLevel(c.trim))
+  }
+
+  /** The marker text for one hidden level (inverse of [[levelsOf]]). */
+  def markerOf(l: PartLevel): String = l match {
+    case IdentityLevel(c) => c
+    case DaysLevel(c, _) => s"days:$c"
+    case HoursLevel(c) => s"hours:$c"
+    case MonthsLevel(c, _) => s"months:$c"
+    case BucketLevel(c, n) => s"bucket:$n:$c"
+  }
+
+  /** Source-column type validation for every level kind — shared by the
+    * table constructor, CREATE TABLE and the respec. */
+  def validateLevels(declared: StructType, levels: Seq[PartLevel]): Unit =
+    levels.foreach { l =>
+      val fd = declared.fields.find(_.name.equalsIgnoreCase(l.sourceCol))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column ${l.sourceCol} not in schema"))
+      l match {
+        case _: IdentityLevel => require(
+          Seq(StringType, IntegerType, LongType).contains(fd.dataType),
+          s"identity partition column must be string/int/long, got ${fd.dataType}")
+        case _: DaysLevel | _: MonthsLevel => require(
+          fd.dataType == TimestampType || fd.dataType == DateType,
+          s"days()/months() need a timestamp/date column, got ${fd.dataType}")
+        case _: HoursLevel => require(fd.dataType == TimestampType,
+          s"hours() needs a timestamp column, got ${fd.dataType}")
+        case _: BucketLevel => require(
+          Seq(IntegerType, LongType).contains(fd.dataType),
+          s"bucket(n, col) needs an int/bigint column, got ${fd.dataType}")
+      }
+    }
 
   /** Partition value → canonical path fragment value (pre-escaping). */
   def valueString(v: Any): String = v match {
@@ -122,16 +318,21 @@ private[sources] object PartitionedWorkspace {
     * for n within d of Long.MinValue.) */
   def dayColumn(c: Column, isDate: Boolean): Column =
     if (isDate) datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
-    else {
-      val n = unix_micros(c)
-      val q = call_function("div", n, lit(MicrosPerDay))
-      when(q * lit(MicrosPerDay) > n, q - lit(1L)).otherwise(q)
-    }
+    else unitColumn(c, MicrosPerDay)
+
+  /** floorDiv(unix_micros(c), unit) as a Column — integral end to end
+    * (see [[dayColumn]]'s scaladoc for why `/` and `pmod` both fail at
+    * the Long extremes). */
+  def unitColumn(c: Column, unit: Long): Column = {
+    val n = unix_micros(c)
+    val q = call_function("div", n, lit(unit))
+    when(q * lit(unit) > n, q - lit(1L)).otherwise(q)
+  }
 
   /** Position of a temporal literal on the level's axis: MICROSECONDS
     * since epoch for timestamps, DAYS for dates — in any representation
     * Spark hands a connector. */
-  private def epochPos(v: Any, isDate: Boolean): Option[Long] = v match {
+  private[sources] def epochPos(v: Any, isDate: Boolean): Option[Long] = v match {
     case null => None
     case t: java.sql.Timestamp if !isDate =>
       val i = t.toInstant
@@ -155,15 +356,20 @@ private[sources] object PartitionedWorkspace {
   def dayMayMatch(f: sources.Filter, srcCol: String, day: Long,
                   isDate: Boolean): Boolean = {
     val unit = if (isDate) 1L else MicrosPerDay
-    val s = day * unit
-    val e = s + unit // exclusive; max value in the directory is e - 1
+    spanMayMatch(f, srcCol, day * unit, day * unit + unit, isDate)
+  }
+
+  /** Can a row inside a directory covering axis positions `[s, e)` satisfy
+    * `f`? The generalized interval test behind days/hours/months pruning. */
+  def spanMayMatch(f: sources.Filter, srcCol: String, s: Long, e: Long,
+                   isDate: Boolean): Boolean = {
     def pos(v: Any): Option[Long] = epochPos(v, isDate)
     def ref(c: String): Boolean = c.equalsIgnoreCase(srcCol)
     f match {
       case sources.And(l, r) =>
-        dayMayMatch(l, srcCol, day, isDate) && dayMayMatch(r, srcCol, day, isDate)
+        spanMayMatch(l, srcCol, s, e, isDate) && spanMayMatch(r, srcCol, s, e, isDate)
       case sources.Or(l, r) =>
-        dayMayMatch(l, srcCol, day, isDate) || dayMayMatch(r, srcCol, day, isDate)
+        spanMayMatch(l, srcCol, s, e, isDate) || spanMayMatch(r, srcCol, s, e, isDate)
       case sources.EqualTo(c, v) if ref(c) =>
         pos(v).forall(x => x >= s && x < e)
       case sources.GreaterThan(c, v) if ref(c) => pos(v).forall(e - 1 > _)
@@ -287,8 +493,8 @@ private[sources] class PartitionedWorkspaceTable(
   require(levels.nonEmpty, "at least one partition level")
   require(levels.forall(_.inSchema) ||
       (levels.length == 1 && !levels.head.inSchema),
-    "partition spec must be identity columns, or exactly one days(ts) " +
-      "transform — mixing hidden and identity levels is not supported")
+    "partition spec must be identity columns, or exactly one hidden " +
+      "transform (days/hours/months/bucket) — mixing is not supported")
 
   private[sources] val identityCols: Seq[String] =
     levels.collect { case IdentityLevel(c) => c }
@@ -299,24 +505,13 @@ private[sources] class PartitionedWorkspaceTable(
   private[sources] def hasHidden: Boolean = levels.exists(!_.inSchema)
 
   // identity: canonical hive order (partition columns LAST, declaration
-  // order); types string/int/long. days: source column must exist with a
-  // temporal type.
-  if (identityCols.nonEmpty) {
+  // order); per-kind source-type rules in validateLevels.
+  if (identityCols.nonEmpty)
     require(declaredFull.fieldNames.takeRight(identityCols.length).toSeq ==
         identityCols,
       s"declared schema must keep partition columns ${identityCols.mkString(",")} " +
         "last, in partition order (canonical hive order)")
-    identityCols.foreach { c =>
-      require(Seq(StringType, IntegerType, LongType)
-          .contains(declaredFull(c).dataType),
-        s"identity partition column must be string/int/long, got ${declaredFull(c).dataType}")
-    }
-  }
-  levels.collect { case d: DaysLevel => d }.foreach { d =>
-    val t = declaredFull(d.sourceCol).dataType
-    require(t == TimestampType || t == DateType,
-      s"days(${d.sourceCol}) needs a timestamp/date column, got $t")
-  }
+  PartitionedWorkspace.validateLevels(declaredFull, levels)
 
   private[sources] def tableDir: String = dir
   private def fsOf(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -348,6 +543,9 @@ private[sources] class PartitionedWorkspaceTable(
     levels.map {
       case IdentityLevel(c) => Expressions.identity(c)
       case DaysLevel(c, _) => Expressions.days(c)
+      case HoursLevel(c) => Expressions.hours(c)
+      case MonthsLevel(c, _) => Expressions.months(c)
+      case BucketLevel(c, n) => Expressions.bucket(n, c)
     }.toArray
 
   /** COMPOSITION, not inheritance, deliberately: Spark's
@@ -368,33 +566,61 @@ private[sources] class PartitionedWorkspaceTable(
     if (!hasHidden)
       ParquetTable(tableName, spark, opts, Seq(dir), Some(declaredFull),
         classOf[ParquetFileFormat]).newScanBuilder(opts)
-    else {
-      // hidden days level: serve the LEAF directories directly (no hive
-      // inference — the synthetic key is not a schema column), pruned by
-      // the pushed source-column predicates through the day derivation.
-      // A table opted into per-leaf file manifests (.stats_cols) then
-      // prunes FILES inside each surviving day too — the second skipping
-      // ring (a year-partitioned table with 1k files/day must not footer-
-      // sweep every matched day); any stale/absent/unreadable leaf
-      // manifest serves that directory unpruned.
-      val d = levels.head.asInstanceOf[DaysLevel]
-      new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
-        tableName, spark, declaredFull, opts,
-        filters => {
-          val days = leafDirsWithValues().collect {
-            case (path, Seq(dayStr)) if dayStr.toLongOption.forall(day =>
-                filters.forall(PartitionedWorkspace.dayMayMatch(
-                  _, d.sourceCol, day, d.isDate))) => path
+    else levels.head match {
+      case BucketLevel(keyCol, n) =>
+        // bucket layout: a KEY-GROUPED reporting scan — one tagged split
+        // group per bucket directory, reporting
+        // KeyGroupedPartitioning(bucket(n, key)) so two same-bucketed
+        // workspace tables join with ZERO exchange (the catalog serves the
+        // bucket function; spark.sql.sources.v2.bucketing.enabled gates
+        // the planner side). Pushed filters still prune whole bucket
+        // directories through the hash (EqualTo/In on the key); they are
+        // all kept residual, so correctness never rides the prune.
+        new ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+          private var kept: Seq[(Int, String)] = bucketLeafDirs()
+          override def pushFilters(fs: Array[sources.Filter]):
+              Array[sources.Filter] = {
+            kept = kept.filter { case (b, _) =>
+              fs.forall(levels.head.mayMatch(_, b.toString)) }
+            fs
           }
-          if (PartitionManifest.statsCols(fsOf(new Path(dir)), dir).isEmpty)
-            days
-          else days.flatMap { p =>
-            PartitionManifest.prunedFiles(spark, new Path(p), filters)
-              .getOrElse(Seq(p))
-          }
-        })
+          override def pushedFilters(): Array[sources.Filter] = Array.empty
+          override def build(): Scan = new BucketedScan(spark, tableName,
+            dir, kept, declaredFull, keyCol, n)
+        }
+      case hidden =>
+        // hidden temporal level (days/hours/months): serve the LEAF
+        // directories directly (no hive inference — the synthetic key is
+        // not a schema column), pruned by the pushed source-column
+        // predicates through the level's derivation. A table opted into
+        // per-leaf file manifests (.stats_cols) then prunes FILES inside
+        // each surviving directory too — the second skipping ring (a
+        // year-partitioned table with 1k files/day must not footer-sweep
+        // every matched day); any stale/absent/unreadable leaf manifest
+        // serves that directory unpruned.
+        new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
+          tableName, spark, declaredFull, opts,
+          filters => {
+            val dirs = leafDirsWithValues().collect {
+              case (path, Seq(v)) if filters.forall(hidden.mayMatch(_, v)) =>
+                path
+            }
+            if (PartitionManifest.statsCols(fsOf(new Path(dir)), dir).isEmpty)
+              dirs
+            else dirs.flatMap { p =>
+              PartitionManifest.prunedFiles(spark, new Path(p), filters)
+                .getOrElse(Seq(p))
+            }
+          })
     }
   }
+
+  /** The bucket layout's existing leaf directories as (bucket, path). */
+  private def bucketLeafDirs(): Seq[(Int, String)] =
+    leafDirsWithValues().flatMap { case (path, Seq(v)) =>
+      v.toIntOption.map(_ -> path)
+    }.sortBy(_._1)
 
   /** Full-table DataFrame: identity layouts through the V1 reader (user
     * schema ⇒ exact partition-column types; hive dirs ⇒ pruning on
@@ -661,13 +887,14 @@ private[sources] class PartitionedWorkspaceTable(
     var out = data
     val names = levels.map {
       case IdentityLevel(c) => c
-      case d @ DaysLevel(c, isDate) =>
-        out = out.withColumn(d.pathName,
+      case hidden =>
+        val c = hidden.sourceCol
+        out = out.withColumn(hidden.pathName,
           when(col(c).isNull, raise_error(lit(
             s"INSERT into partitioned table: NULL in partition source $c"))
             .cast(LongType))
-            .otherwise(PartitionedWorkspace.dayColumn(col(c), isDate)))
-        d.pathName
+            .otherwise(hidden.deriveColumn(col(c))))
+        hidden.pathName
     }
     (out, names)
   }
@@ -748,10 +975,8 @@ private[sources] class PartitionedWorkspaceTable(
     filters.forall(WorkspaceDml.toColumn(_).isDefined)
 
   /** Path-value column per level for MATCHING (not writing). */
-  private def levelPathColumn(l: PartLevel): Column = l match {
-    case IdentityLevel(c) => col(c)
-    case DaysLevel(c, isDate) => PartitionedWorkspace.dayColumn(col(c), isDate)
-  }
+  private def levelPathColumn(l: PartLevel): Column =
+    l.deriveColumn(col(l.sourceCol))
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     var lock = WorkspaceDmlLock.acquire(spark, dir)
@@ -800,12 +1025,7 @@ private[sources] class PartitionedWorkspaceTable(
     * from the DIRECTORY values alone? Conservative keep: any filter shape
     * the level cannot decide keeps the leaf a candidate. */
   private def leafMayMatch(f: sources.Filter, vals: Seq[String]): Boolean =
-    levels.zip(vals).forall {
-      case (DaysLevel(c, isDate), v) => v.toLongOption.forall(day =>
-        PartitionedWorkspace.dayMayMatch(f, c, day, isDate))
-      case (IdentityLevel(c), v) =>
-        PartitionedWorkspace.identityMayMatch(f, c, v)
-    }
+    levels.zip(vals).forall { case (l, v) => l.mayMatch(f, v) }
 
   /** The candidate leaves as one DataFrame — the restricted analogue of
     * [[readFull]]: identity layouts keep `basePath` so partition columns
@@ -1253,18 +1473,6 @@ private class PartitionedCowWriterFactory(
         levelOrdinals.map(writeSchema(_).dataType)
       private val writers = mutable.Map.empty[String, OutputWriter]
 
-      private def pathValue(l: PartLevel, t: DataType, r0: InternalRow,
-                            ord: Int): String = (l, t) match {
-        case (IdentityLevel(_), StringType) => r0.getUTF8String(ord).toString
-        case (IdentityLevel(_), IntegerType) => r0.getInt(ord).toString
-        case (IdentityLevel(_), LongType) => r0.getLong(ord).toString
-        case (DaysLevel(_, _), TimestampType) =>
-          Math.floorDiv(r0.getLong(ord), PartitionedWorkspace.MicrosPerDay).toString
-        case (DaysLevel(_, _), DateType) => r0.getInt(ord).toLong.toString
-        case (other, tt) =>
-          throw new IllegalStateException(s"unsupported partition level $other over $tt")
-      }
-
       override def write(row: InternalRow): Unit = {
         val r0 =
           if (row.numFields == n) row
@@ -1281,7 +1489,7 @@ private class PartitionedCowWriterFactory(
         }
         val rel = levels.lazyZip(levelTypes).lazyZip(levelOrdinals).map {
           (l, t, ord) =>
-            PartitionedWorkspace.partDirName(l.pathName, pathValue(l, t, r0, ord))
+            PartitionedWorkspace.partDirName(l.pathName, l.pathValue(t, r0, ord))
         }.mkString("/")
         val w = writers.getOrElseUpdate(rel, {
           val file = s"$stagingDir/$rel/part-$partitionId-$taskId-" +

@@ -127,7 +127,11 @@ class SnapshotCatalog extends TableCatalog
     if (!fs(vPath).exists(vPath) || !fs(vPath).getFileStatus(vPath).isDirectory)
       throw new IllegalArgumentException(
         s"snapshot version $version does not exist under $tableDir")
-    if (graft.operators.Sinks.thinBase(SparkSession.active,
+    if (PartitionedSnapshot.partSpec(SparkSession.active,
+        s"$workspace/$tableDir").isDefined)
+      new PartitionedSnapshotTable(s"$tableDir@v$version", SparkSession.active,
+        s"$workspace/$tableDir", version)
+    else if (graft.operators.Sinks.thinBase(SparkSession.active,
         s"$workspace/$tableDir", version).isDefined)
       thinTable(tableDir, version, deletable = false)
     // no rename routing for PINNED serving: a pinned read only sees
@@ -170,7 +174,13 @@ class SnapshotCatalog extends TableCatalog
     if (!fs(vPath).exists(vPath))
       throw new IllegalStateException(
         s"committed snapshot v=$committed missing under $t")
-    if (graft.operators.Sinks.thinBase(SparkSession.active,
+    if (PartitionedSnapshot.partSpec(SparkSession.active,
+        s"$workspace/$t").isDefined)
+      // partitioned snapshots are read-only at the SQL surface — retention
+      // and ingest are the explicit PartitionedSnapshot maintenance calls
+      new PartitionedSnapshotTable(s"$t@v$committed", SparkSession.active,
+        s"$workspace/$t", committed)
+    else if (graft.operators.Sinks.thinBase(SparkSession.active,
         s"$workspace/$t", committed).isDefined)
       thinTable(t, committed, deletable = true)
     else if (graft.operators.Sinks.renameAffected(SparkSession.active,

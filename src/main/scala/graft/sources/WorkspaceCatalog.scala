@@ -35,9 +35,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reader; that is exactly the split the reference has (arcpy executes,
   * smartpy_arc names and coerces).
   */
-class WorkspaceCatalog extends TableCatalog {
+class WorkspaceCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var workspace: String = _
+
+  // ---- FunctionCatalog: the bucket transform behind storage-partitioned
+  // joins. Spark resolves a scan-reported KeyGroupedPartitioning's
+  // transform through the TABLE'S catalog — serving `bucket` here is what
+  // lets the planner match two bucket-partitioned workspace tables'
+  // layouts and join them with zero exchange (same contract as the
+  // snapshot catalog's).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array.empty, "bucket"))
+  }
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -140,13 +158,9 @@ class WorkspaceCatalog extends TableCatalog {
   }
 
   /** Marker text → partition levels (needs the declared schema to type the
-    * days source column). */
+    * temporal source columns). */
   private def levelsOf(marker: String, declared: StructType): Seq[PartLevel] =
-    if (marker.startsWith("days:")) {
-      val c = marker.stripPrefix("days:")
-      Seq(DaysLevel(c,
-        declared(c).dataType == org.apache.spark.sql.types.DateType))
-    } else marker.split(',').toSeq.map(c => IdentityLevel(c.trim))
+    PartitionedWorkspace.levelsOf(marker, declared)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
@@ -278,22 +292,37 @@ class WorkspaceCatalog extends TableCatalog {
         s"partition transforms must reference one top-level column, got $t")
       t.references()(0).fieldNames()(0)
     }
-    val isDays = partitions.forall(_.name() == "days")
+    val hiddenNames = Set("days", "hours", "months", "bucket")
+    val isHidden = partitions.forall(t => hiddenNames.contains(t.name()))
     val isIdentity = partitions.forall(_.name() == "identity")
-    require(isDays || isIdentity,
-      "workspace tables support identity partition columns or one days(ts) " +
-        s"transform, got ${partitions.mkString(", ")}")
+    require(isHidden || isIdentity,
+      "workspace tables support identity partition columns or exactly one " +
+        "days(ts)/hours(ts)/months(ts)/bucket(n, col) transform, got " +
+        partitions.mkString(", "))
     val (canonical, marker) =
-      if (isDays) {
+      if (isHidden) {
         require(partitions.length == 1,
-          "exactly one days(ts) transform is supported")
-        val pc = oneRef(partitions(0))
+          "exactly one hidden transform (days/hours/months/bucket) is supported")
+        val t = partitions(0)
+        val pc = oneRef(t)
         val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
           throw new IllegalArgumentException(s"partition column $pc not in schema"))
-        require(f.dataType == org.apache.spark.sql.types.TimestampType ||
-            f.dataType == org.apache.spark.sql.types.DateType,
-          s"days() needs a timestamp/date column, got ${f.dataType}")
-        (schema, s"days:${f.name}")
+        val isDate = f.dataType == org.apache.spark.sql.types.DateType
+        val level: PartLevel = t.name() match {
+          case "days" => DaysLevel(f.name, isDate)
+          case "hours" => HoursLevel(f.name)
+          case "months" => MonthsLevel(f.name, isDate)
+          case "bucket" =>
+            val n = t.arguments().collectFirst {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value().isInstanceOf[Number] =>
+                l.value().asInstanceOf[Number].intValue()
+            }.getOrElse(throw new IllegalArgumentException(
+              s"bucket transform needs a literal bucket count, got $t"))
+            BucketLevel(f.name, n)
+        }
+        PartitionedWorkspace.validateLevels(schema, Seq(level))
+        (schema, PartitionedWorkspace.markerOf(level))
       } else {
         val pcs = partitions.map(oneRef).toSeq
         require(pcs.map(_.toLowerCase).distinct.length == pcs.length,
@@ -421,7 +450,10 @@ class WorkspaceCatalog extends TableCatalog {
     // MAY widen (their values live in directory names, which parse under
     // the declared type — no byte is reinterpreted).
     val partCols: Set[String] = partMarker.toSeq.flatMap { m =>
-      if (m.startsWith("days:")) Seq(m.stripPrefix("days:"))
+      if (m.startsWith("days:") || m.startsWith("hours:") ||
+          m.startsWith("months:"))
+        Seq(m.substring(m.indexOf(':') + 1))
+      else if (m.startsWith("bucket:")) Seq(m.split(':').last)
       else m.split(',').toSeq.map(_.trim)
     }.map(_.toLowerCase).toSet
     def requireNotPartitionCol(name: String, what: String): Unit =
@@ -550,9 +582,10 @@ class WorkspaceCatalog extends TableCatalog {
             "rewrite via CREATE TABLE ... AS for anything else")
     }
     // restore canonical hive order: IDENTITY partition columns stay LAST
-    // in partition order (a days marker has no schema-position constraint)
+    // in partition order (hidden markers — days/hours/months/bucket, all
+    // ':'-bearing — have no schema-position constraint)
     val canonical = partMarker match {
-      case Some(m) if !m.startsWith("days:") =>
+      case Some(m) if !m.contains(":") =>
         val pcs = m.split(',').toSeq.map(_.trim)
         StructType(
           evolved.fields.filterNot(f => pcs.exists(_.equalsIgnoreCase(f.name))) ++

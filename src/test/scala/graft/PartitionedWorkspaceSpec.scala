@@ -1266,6 +1266,127 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT SUM(num) FROM $cat.pm").first().getLong(0) == 800L)
   }
 
+  test("hours(ts) and months(ts) hidden transforms: layout, directory " +
+       "pruning, partition-grained DML") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    // hours
+    spark.sql(s"CREATE TABLE $cat.hh (id BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (hours(ts))")
+    val h0 = java.time.LocalDateTime.of(2025, 1, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    (0L until 24L).map(i => (i,
+        new java.sql.Timestamp(h0 + (i % 4) * 3600000L + i * 1000L), "x")).toSeq
+      .toDF("id", "ts", "v").createOrReplaceTempView("hh_seed")
+    spark.sql(s"INSERT INTO $cat.hh SELECT id, ts, v FROM hh_seed")
+    val f = fs(ws)
+    val epochHour = h0 / 3600000L
+    (0 until 4).foreach { h =>
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        s"$ws/hh.parquet/ts_hour=${epochHour + h}")), s"missing hour $h")
+    }
+    // an hour-clamped predicate prunes to ONE directory
+    def q1 = spark.sql(s"SELECT id FROM $cat.hh WHERE " +
+      "ts >= TIMESTAMP '2025-01-01 02:00:00' AND " +
+      "ts < TIMESTAMP '2025-01-01 03:00:00'")
+    assert(q1.count() == 6)
+    val planned1 = q1.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }
+    assert(planned1.forall(_.contains(s"ts_hour=${epochHour + 2}")),
+      s"hour prune failed: $planned1")
+    // hour-pinned DELETE is partition-grained (other hours' mtimes keep)
+    val before = f.listStatus(new org.apache.hadoop.fs.Path(
+      s"$ws/hh.parquet/ts_hour=$epochHour")).map(_.getModificationTime).toSeq
+    spark.sql(s"DELETE FROM $cat.hh WHERE " +
+      "ts >= TIMESTAMP '2025-01-01 03:00:00' AND " +
+      "ts < TIMESTAMP '2025-01-01 04:00:00'")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$ws/hh.parquet/ts_hour=${epochHour + 3}")))
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(
+      s"$ws/hh.parquet/ts_hour=$epochHour")).map(_.getModificationTime).toSeq
+      == before, "untouched hour rewritten")
+    assert(spark.table(s"$cat.hh").count() == 18)
+    // months (date source): UTC month boundaries, leap February
+    spark.sql(s"CREATE TABLE $cat.mm (id BIGINT, d DATE, v STRING) " +
+      "PARTITIONED BY (months(d))")
+    Seq((1L, "2024-01-15"), (2L, "2024-01-31"), (3L, "2024-02-29"),
+        (4L, "2024-03-01"), (5L, "2024-12-31"))
+      .map { case (i, d) => (i, java.sql.Date.valueOf(d), "x") }.toSeq
+      .toDF("id", "d", "v").createOrReplaceTempView("mm_seed")
+    spark.sql(s"INSERT INTO $cat.mm SELECT id, d, v FROM mm_seed")
+    // 2024-01 is month index (2024-1970)*12 = 648
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$ws/mm.parquet/d_month=648")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$ws/mm.parquet/d_month=649")))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.mm WHERE " +
+      "d >= DATE '2024-02-01' AND d < DATE '2024-03-01'")
+      .first().getLong(0) == 1)
+    // month-pinned DELETE drops exactly its directory
+    spark.sql(s"DELETE FROM $cat.mm WHERE " +
+      "d >= DATE '2024-01-01' AND d < DATE '2024-02-01'")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$ws/mm.parquet/d_month=648")))
+    assert(spark.table(s"$cat.mm").count() == 3)
+  }
+
+  test("bucket(n, col) hidden transform: layout, bucket-pinned DML grain, " +
+       "zero-exchange storage-partitioned join") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.bf (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.bf SELECT id, CONCAT('v', id) FROM RANGE(40)")
+    spark.sql(s"CREATE TABLE $cat.bd (id BIGINT, tag STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.bd SELECT id, CONCAT('t', id) FROM RANGE(40)")
+    val f = fs(ws)
+    (0 until 4).foreach { b =>
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        s"$ws/bf.parquet/id_bucket=$b")), s"missing bucket $b")
+    }
+    assert(spark.table(s"$cat.bf").count() == 40)
+    // bucket-pinned DML: an id-equality DELETE claims/rewrites ONE bucket
+    val other = (0 until 4).filter(_ != (7 % 4))
+    val beforeTimes = other.map(b => f.listStatus(
+      new org.apache.hadoop.fs.Path(s"$ws/bf.parquet/id_bucket=$b"))
+      .map(_.getModificationTime).toSeq)
+    spark.sql(s"DELETE FROM $cat.bf WHERE id = 7")
+    assert(spark.table(s"$cat.bf").count() == 39)
+    assert(other.map(b => f.listStatus(
+      new org.apache.hadoop.fs.Path(s"$ws/bf.parquet/id_bucket=$b"))
+      .map(_.getModificationTime).toSeq) == beforeTimes,
+      "an id-pinned DELETE rewrote foreign buckets")
+    // zero-exchange join of two same-bucketed tables
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true"); spark.conf.set(keys(1), "-1")
+    try {
+      val joined = spark.sql(
+        s"SELECT f.id, f.v, d.tag FROM $cat.bf f JOIN $cat.bd d ON f.id = d.id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed workspace join shuffled:\n${plan.take(2000)}")
+      assert(joined.count() == 39)
+      // negative control: joining against a FLAT table shuffles
+      spark.sql(s"CREATE TABLE $cat.bn AS SELECT id, CONCAT('n', id) AS nn " +
+        s"FROM RANGE(40)")
+      val mixed = spark.sql(
+        s"SELECT f.id FROM $cat.bf f JOIN $cat.bn n ON f.id = n.id")
+      assert(mixed.queryExecution.executedPlan.toString.contains("Exchange"),
+        "negative control: flat-side join must shuffle")
+      assert(mixed.count() == 39)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // UPDATE binds through the bucket grain too
+    spark.sql(s"UPDATE $cat.bf SET v = 'patched' WHERE id = 8")
+    assert(spark.table(s"$cat.bf").filter(col("v") === "patched").count() == 1)
+  }
+
   test("partition change feed: per-statement grain, minimal COW diff, " +
        "no-op statements feed nothing, OVERWRITE marks a discontinuity, " +
        "maintenance never feeds, DROP cleans up") {

@@ -827,6 +827,92 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((21L, "pre", 2), (22L, "post", 3)))
   }
 
+  test("partitioned snapshots: zero-copy day drops, O(touched) appends, " +
+       "pinned history, carry-aware expire, pruned SQL serving") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val dir = s"$ws/ps"
+    val t0 = java.time.LocalDateTime.of(2024, 5, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val day0 = java.time.LocalDate.of(2024, 5, 1).toEpochDay
+    val df = (0L until 40L).map(i => (i,
+        new java.sql.Timestamp(t0 + (i % 4) * 86400000L + i * 1000L),
+        s"v$i")).toDF("id", "ts", "v")
+    assert(graft.sources.PartitionedSnapshot
+      .writePartitioned(df, dir, "days:ts") == 1)
+    val f = new org.apache.hadoop.fs.Path(ws)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(v: Int): Seq[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        if (!f.exists(p)) Nil
+        else f.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            Seq(st.getPath.toString) else Nil
+        }
+      walk(new org.apache.hadoop.fs.Path(s"$dir/v=$v"))
+    }
+    def mtimes(v: Int): Map[String, Long] = dataFiles(v).map { p0 =>
+      val p = new org.apache.hadoop.fs.Path(p0)
+      p0 -> f.getFileStatus(p).getModificationTime
+    }.toMap
+    assert(dataFiles(1).nonEmpty)
+    val v1Times = mtimes(1)
+    // ZERO-COPY day drop: v=2 is one carry manifest, no data file written,
+    // no other day's bytes touched
+    val dropVal = graft.sources.PartitionedSnapshot
+      .partitionValueOf(spark, dir, java.sql.Date.valueOf("2024-05-02"))
+    assert(dropVal == (day0 + 1).toString)
+    assert(graft.sources.PartitionedSnapshot
+      .dropPartitions(spark, dir, Seq(dropVal)) == 2)
+    assert(dataFiles(2).isEmpty, "a day drop wrote data files")
+    assert(mtimes(1) == v1Times, "a day drop touched v=1 bytes")
+    assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 30)
+    // pinned history intact
+    assert(graft.sources.PartitionedSnapshot
+      .read(spark, dir, Some(1)).count() == 40)
+    // SQL serving: unpinned + pinned + day pruning across version folders
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ps").first().getLong(0) == 30)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ps VERSION AS OF 1")
+      .first().getLong(0) == 40)
+    def q = spark.sql(s"SELECT id FROM $cat.ps WHERE " +
+      "ts >= TIMESTAMP '2024-05-03 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-05-04 00:00:00'")
+    assert(q.count() == 10)
+    val planned = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }
+    assert(planned.nonEmpty &&
+      planned.forall(_.contains(s"ts_day=${day0 + 2}")),
+      s"day prune failed: $planned")
+    // O(touched) append: only day 0 rewrites; days 2,3 keep riding v=1
+    val add = Seq((100L, new java.sql.Timestamp(t0 + 3600000L), "new"))
+      .toDF("id", "ts", "v")
+    assert(graft.sources.PartitionedSnapshot.appendRows(spark, dir, add) == 3)
+    assert(mtimes(1) == v1Times, "append touched carried bytes")
+    val parts3 = graft.sources.PartitionedSnapshot
+      .resolvedPartitions(spark, dir, 3).toMap
+    assert(parts3(day0.toString).startsWith("v=3/"), parts3.toString)
+    assert(parts3((day0 + 2).toString).startsWith("v=1/"), parts3.toString)
+    assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 31)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ps WHERE v = 'new'")
+      .first().getLong(0) == 1)
+    // expire protects carried-from folders: keep=1 would drop v=1/v=2, but
+    // v=3 still carries days out of v=1 — v=1 must survive, v=2 may go
+    val dropped = Sinks.expireSnapshots(spark, dir, keep = 1)
+    assert(!dropped.contains(1), s"expire dropped a carried-from folder: $dropped")
+    assert(dropped.contains(2), s"expire kept the droppable v=2: $dropped")
+    assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 31)
+    // the SQL surface stays read-only with guidance via capabilities
+    intercept[Throwable] {
+      spark.sql(s"DELETE FROM $cat.ps WHERE id = 3")
+    }
+  }
+
   test("DROP COLUMN is metadata-only: pinned history intact, re-ADD never " +
        "resurrects, compaction retires the bytes, guardrails") {
     val (cat, ws) = freshCatalog()
