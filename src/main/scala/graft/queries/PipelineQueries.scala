@@ -6924,6 +6924,74 @@ object PipelineQueries {
         .withColumn("v1_intact", lit(if (v1Intact) 1 else 0))
         .withColumn("n_v1", lit(nV1))
         .orderBy("event_id")
+    },
+
+    // ---- workspace: hours(ts) + months(d) hidden transforms (r17) ------------
+    // The temporal grains beside days() (VERDICT r16 missing #4): hours()
+    // for high-rate event tables, months() for long-retention ones — same
+    // PartLevel machinery (integral UTC derivations, directory pruning,
+    // partition-grained DML). The face pins: an hour-pinned DELETE lands
+    // partition-grained and an hour-clamped scan PLANS only its one hour
+    // directory (hour_pruned rides the hash); a month-pinned DELETE drops
+    // exactly its month across a 14-month synthetic date domain.
+    Q("q254_hours_months_transforms", {
+      """WITH h AS (SELECT event_id, event_type FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |    AND NOT (ts >= TIMESTAMP '2024-01-02 05:00:00'
+        |             AND ts < TIMESTAMP '2024-01-02 06:00:00')),
+        |m AS (SELECT event_id FROM events
+        |  WHERE NOT (DATE '2020-01-01' + CAST(event_id % 400 AS INTEGER)
+        |               >= DATE '2020-03-01'
+        |         AND DATE '2020-01-01' + CAST(event_id % 400 AS INTEGER)
+        |               < DATE '2020-04-01'))
+        |SELECT 'hour' AS grain, event_id,
+        |       CAST(event_type AS VARCHAR) AS etype, 1 AS hour_pruned
+        |FROM h
+        |UNION ALL
+        |SELECT 'month', event_id, CAST(NULL AS VARCHAR), 1 FROM m
+        |ORDER BY grain, event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.whr")
+      s.sql(s"DROP TABLE IF EXISTS $cat.wmo")
+      s.sql(s"""CREATE TABLE $cat.whr (event_id BIGINT, ts TIMESTAMP,
+               |event_type STRING) PARTITIONED BY (hours(ts))""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.whr
+               |SELECT event_id, ts, event_type
+               |FROM parquet.`$dir/events.parquet`
+               |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+               |  AND ts < TIMESTAMP '2024-01-03 00:00:00'""".stripMargin)
+      // hour-pinned DELETE: partition-grained through the hour derivation
+      s.sql(s"DELETE FROM $cat.whr WHERE " +
+        "ts >= TIMESTAMP '2024-01-02 05:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-02 06:00:00'")
+      // an hour-clamped scan plans ONLY its hour directory
+      def hq = s.sql(s"SELECT event_id FROM $cat.whr WHERE " +
+        "ts >= TIMESTAMP '2024-01-02 07:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-02 08:00:00'")
+      val hourOf7 = (java.time.LocalDate.of(2024, 1, 2).toEpochDay * 24 + 7)
+      val planned = plannedFiles(hq)
+      val hourPruned = planned.nonEmpty &&
+        planned.forall(_.contains(s"ts_hour=$hourOf7"))
+      s.sql(s"""CREATE TABLE $cat.wmo (event_id BIGINT, d DATE)
+               |PARTITIONED BY (months(d))""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.wmo
+               |SELECT event_id,
+               |       DATE_ADD(DATE '2020-01-01', CAST(event_id % 400 AS INT))
+               |FROM parquet.`$dir/events.parquet`""".stripMargin)
+      // month-pinned DELETE drops exactly its month
+      s.sql(s"DELETE FROM $cat.wmo WHERE " +
+        "d >= DATE '2020-03-01' AND d < DATE '2020-04-01'")
+      s.sql(s"SELECT event_id, event_type FROM $cat.whr")
+        .select(lit("hour").as("grain"), col("event_id"),
+          col("event_type").as("etype"))
+        .unionByName(s.sql(s"SELECT event_id FROM $cat.wmo")
+          .select(lit("month").as("grain"), col("event_id"),
+            lit(null).cast("string").as("etype")))
+        .withColumn("hour_pruned", lit(if (hourPruned) 1 else 0))
+        .orderBy("grain", "event_id")
     }
   )
 }

@@ -616,10 +616,14 @@ private[sources] class PartitionedWorkspaceTable(
     }
   }
 
-  /** The bucket layout's existing leaf directories as (bucket, path). */
+  /** The bucket layout's existing leaf directories as (bucket, path). A
+    * non-numeric directory value is CORRUPTION, never silently skipped —
+    * skipping would drop its rows from every read. */
   private def bucketLeafDirs(): Seq[(Int, String)] =
-    leafDirsWithValues().flatMap { case (path, Seq(v)) =>
-      v.toIntOption.map(_ -> path)
+    leafDirsWithValues().map { case (path, vals) =>
+      vals.head.toIntOption.getOrElse(throw new IllegalStateException(
+        s"$tableName: non-numeric bucket directory value '${vals.head}' " +
+          s"under $dir — the bucket layout is corrupt")) -> path
     }.sortBy(_._1)
 
   /** Full-table DataFrame: identity layouts through the V1 reader (user

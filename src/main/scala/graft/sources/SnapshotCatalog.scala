@@ -278,6 +278,12 @@ class SnapshotCatalog extends TableCatalog
   private def alterTableLocked(ident: Identifier, dir: String,
                                changes: Seq[TableChange]): Table = {
     val spark = SparkSession.active
+    if (PartitionedSnapshot.partSpec(spark, dir).isDefined)
+      throw new UnsupportedOperationException(
+        s"${ident.name()} is a PARTITIONED snapshot (layout artifact) — " +
+          "ALTER is not supported there; evolve by republishing " +
+          "(PartitionedSnapshot.writePartitioned), or route evolving " +
+          "tables to the flat snapshot / partitioned workspace catalogs")
     val committed = graft.operators.Sinks.snapshotCommitted(spark, dir)
       .getOrElse(throw new IllegalStateException(
         s"no committed snapshot for ${ident.name()}"))

@@ -911,6 +911,12 @@ class SnapshotSqlSpec extends AnyFunSuite {
     intercept[Throwable] {
       spark.sql(s"DELETE FROM $cat.ps WHERE id = 3")
     }
+    // ALTER refuses with guidance (the generic snapshot ALTER path would
+    // misread a carry-only version folder)
+    val ea = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.ps ADD COLUMN extra INT")
+    }
+    assert(ea.getMessage.contains("PARTITIONED snapshot"), ea.getMessage)
   }
 
   test("DROP COLUMN is metadata-only: pinned history intact, re-ADD never " +
