@@ -78,8 +78,12 @@ object PartitionChangeFeed {
     val root = feedRoot(dir)
     val tmp = new Path(root,
       s".staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    graft.operators.Sinks.microsBound(rows).write.parquet(tmp.toString)
     val fs = fsOf(spark, tmp)
+    try graft.operators.Sinks.microsBound(rows).write.parquet(tmp.toString)
+    catch { case t: Throwable =>
+      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+      throw t
+    }
     val hasRows = fs.listStatus(tmp).exists(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
     // an all-empty part set still carries footers; cheap row probe instead

@@ -577,8 +577,10 @@ private[sources] class PartitionedWorkspaceTable(
         // directories through the hash (EqualTo/In on the key); they are
         // all kept residual, so correctness never rides the prune.
         new ScanBuilder
-          with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+          with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+          with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
           private var kept: Seq[(Int, String)] = bucketLeafDirs()
+          private var required: StructType = declaredFull
           override def pushFilters(fs: Array[sources.Filter]):
               Array[sources.Filter] = {
             kept = kept.filter { case (b, _) =>
@@ -586,8 +588,14 @@ private[sources] class PartitionedWorkspaceTable(
             fs
           }
           override def pushedFilters(): Array[sources.Filter] = Array.empty
+          override def pruneColumns(requiredSchema: StructType): Unit =
+            // keep the DECLARED fields (with their ids/metadata) in the
+            // requested order — the projection is by name
+            required = StructType(requiredSchema.fields.map(f =>
+              declaredFull.fields.find(_.name.equalsIgnoreCase(f.name))
+                .getOrElse(f)))
           override def build(): Scan = new BucketedScan(spark, tableName,
-            dir, kept, declaredFull, keyCol, n)
+            dir, kept, required, keyCol, n)
         }
       case hidden =>
         // hidden temporal level (days/hours/months): serve the LEAF
@@ -1397,6 +1405,10 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
 
   override def commit(msgs: Array[WriterCommitMessage]): Unit = claimedRels match {
     case None =>
+      // the feed diff is a real Spark job BEFORE the publish — heartbeat
+      // the lock so the pre-publish window measures from here, not from
+      // the (possibly long) copy phase
+      WorkspaceDmlLock.refresh(spark, table.tableDir)
       val feed = stageFeed()
       try {
         table.publishPartitioned(staging, op.readRels)
@@ -1413,6 +1425,9 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
       // moves, MERGE INSERT into unread partitions — a conflict there
       // aborts with nothing retired and staging dropped by Spark's abort
       // callback), publish, release everything.
+      // heartbeat OUR claims (token-checked — no table lock here) before
+      // the feed-diff job; the verify at publish remains the arbiter
+      WorkspaceDmlLock.refreshClaims(spark, claims, claimToken)
       val feed = stageFeed()
       lock = WorkspaceDmlLock.acquireWait(spark, table.tableDir)
       lockHeld = true

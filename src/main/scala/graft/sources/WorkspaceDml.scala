@@ -376,12 +376,29 @@ private[graft] object WorkspaceDmlLock {
     }
 
   /** Heartbeat the claims' mtimes at publish entry — the copy phase may
-    * have outlived the grace (the table-lock [[refresh]] tradeoff). */
+    * have outlived the grace (the table-lock [[refresh]] tradeoff).
+    * Callers under the table lock verify tokens first ([[verifyClaims]]);
+    * lock-free callers use the token-checked overload. */
   def refreshClaims(spark: SparkSession, paths: Seq[Path]): Unit =
     paths.foreach { p =>
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       try fs.setTimes(p, System.currentTimeMillis(), -1)
       catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** [[refreshClaims]] that only touches claims still carrying `token` —
+    * for heartbeats taken WITHOUT the table lock (a broken-and-retaken
+    * claim belongs to the new holder; extending its deadline is not this
+    * statement's business). Best-effort: the token re-check at publish
+    * remains the arbiter. */
+  def refreshClaims(spark: SparkSession, paths: Seq[Path],
+                    token: String): Unit =
+    paths.foreach { p =>
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      try {
+        if (readToken(fs, p).contains(token))
+          fs.setTimes(p, System.currentTimeMillis(), -1)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 }
 
