@@ -6136,7 +6136,7 @@ object PipelineQueries {
     // facts ride the oracle hash.
     Q("q242_workspace_compact", {
       """WITH w AS (SELECT * FROM events
-        |           WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+        |           WHERE ts < TIMESTAMP '2024-01-07 00:00:00'),
         |n AS (SELECT MAX(event_id) + 1 AS big FROM events),
         |d AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT)
         |        AS leaves FROM w)
@@ -6156,7 +6156,7 @@ object PipelineQueries {
                |event_type STRING) PARTITIONED BY (days(ts))""".stripMargin)
       val big = Tables.load(s, dir, "events")
         .agg(max("event_id") + 1).first().getLong(0)
-      // a 10-day window (VERDICT r16 "what's wrong" #4): the face measures
+      // a 6-day window (VERDICT r16 "what's wrong" #4): the face measures
       // the COMPACTION statement, whose facts (4→1 per leaf, stale-manifest
       // 8-kept vs compacted 2-kept on the 2-day band, one clustered job)
       // are day-count-independent — the old whole-month 4× fan-in made the
@@ -6166,7 +6166,7 @@ object PipelineQueries {
                  |SELECT /*+ REPARTITION(1) */ event_id + ${b * big}, ts,
                  |       event_type
                  |FROM parquet.`$dir/events.parquet`
-                 |WHERE ts < TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)
+                 |WHERE ts < TIMESTAMP '2024-01-07 00:00:00'""".stripMargin)
       (0 until 3).foreach(insertCopy)
       graft.sources.PartitionManifest.enable(s, s"$ws/wcomp.parquet",
         Seq("event_id")): Unit
