@@ -6926,6 +6926,68 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // ---- snapshot × partitions: row-level retention WITHIN a day (r17) -------
+    // The other half of q253's retention matrix: removing ROWS (not whole
+    // days) from a partitioned snapshot rewrites ONLY the touched days —
+    // every other day rides a carry ref and keeps its exact bytes
+    // (v1_intact by mtime+length across ALL of v=1), only_touched pins
+    // from the resolved partition map that exactly ONE day moved to v=2,
+    // and pinned time travel still serves the pre-delete content (n_v1).
+    // Keyed O(keys) takedowns stay the flat snapshot catalog's thin
+    // deletes — this is the predicate shape (day-scoped compliance sweep).
+    Q("q255_partitioned_snapshot_row_delete", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+        |SELECT event_id, event_type, 1 AS v1_intact, 1 AS only_touched,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_v1
+        |FROM w
+        |WHERE NOT (ts >= TIMESTAMP '2024-01-04 00:00:00'
+        |           AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |           AND event_type = 'purchase')
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = "psrow_" + java.lang.Long.toHexString(
+        new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+        "_" + TakedownSeq.incrementAndGet()
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit
+      def v1Files: Set[(String, Long, Long)] = {
+        def walk(d: java.io.File): Seq[(String, Long, Long)] =
+          Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f0 =>
+            if (f0.isDirectory) walk(f0)
+            else if (f0.getName.endsWith(".parquet"))
+              Seq((f0.getAbsolutePath, f0.lastModified(), f0.length()))
+            else Nil
+          }
+        walk(new java.io.File(s"$tdir/v=1")).toSet
+      }
+      val before = v1Files
+      graft.sources.PartitionedSnapshot.deleteRowsWhere(s, tdir,
+        col("ts") >= lit("2024-01-04 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("event_type") === "purchase"): Unit
+      val v1Intact = v1Files == before
+      val touchedDay = java.time.LocalDate.of(2024, 1, 4).toEpochDay.toString
+      val parts = graft.sources.PartitionedSnapshot
+        .resolvedPartitions(s, tdir, 2).toMap
+      val onlyTouched = parts(touchedDay).startsWith("v=2/") &&
+        parts.forall { case (v, rel) =>
+          v == touchedDay || rel.startsWith("v=1/") }
+      val nV1 = s.sql(s"SELECT COUNT(*) FROM $cat.$tbl VERSION AS OF 1")
+        .first().getLong(0)
+      s.sql(s"SELECT event_id, event_type FROM $cat.$tbl")
+        .withColumn("v1_intact", lit(if (v1Intact) 1 else 0))
+        .withColumn("only_touched", lit(if (onlyTouched) 1 else 0))
+        .withColumn("n_v1", lit(nV1))
+        .orderBy("event_id")
+    },
+
     // ---- workspace: hours(ts) + months(d) hidden transforms (r17) ------------
     // The temporal grains beside days() (VERDICT r16 missing #4): hours()
     // for high-rate event tables, months() for long-retention ones — same

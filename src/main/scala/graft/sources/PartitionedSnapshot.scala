@@ -285,6 +285,54 @@ object PartitionedSnapshot {
     } finally if (fs.exists(staging)) fs.delete(staging, true): Unit
   }
 
+  /** Row-level retention WITHIN partitions (r17): publish the next
+    * version with the TOUCHED partitions rewritten to their surviving
+    * rows and every other partition carried — O(touched partitions)
+    * bytes, pinned history intact. Rows matching `cond` are REMOVED.
+    * The discovery scan reads the resolved table once (parquet pushdown
+    * applies); the WRITE is bounded by the touched partitions. Completes
+    * the retention matrix: whole-partition drops are the zero-copy
+    * [[dropPartitions]]; keyed O(keys) takedowns route to the flat
+    * snapshot catalog's thin deletes. */
+  def deleteRowsWhere(spark: SparkSession, tableDir: String,
+                      cond: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val committed = graft.operators.Sinks.snapshotCommitted(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $tableDir"))
+    val declared = declaredSchema(spark, tableDir)
+    val level = levelOf(spark, tableDir)
+    val full = read(spark, tableDir, Some(committed))
+    val touchedVals: Set[String] = full.filter(coalesce(cond, lit(false)))
+      .select(level.deriveColumn(col(level.sourceCol)).as("__p"))
+      .distinct().collect()
+      .map(r => PartitionedWorkspace.valueString(r.get(0))).toSet
+    if (touchedVals.isEmpty) return committed
+    val current = resolvedPartitions(spark, tableDir, committed)
+    val (touched, carried) = current.partition(e => touchedVals(e._1))
+    val survivors = spark.read.schema(declared)
+      .parquet(touched.map(e => s"$tableDir/${e._2}"): _*)
+      .filter(!coalesce(cond, lit(false)))
+    val next = graft.operators.Sinks.snapshotVersions(spark, tableDir)
+      .lastOption.getOrElse(0) + 1
+    val staging = new Path(tableDir,
+      s".psnap_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = fsOf(spark, staging)
+    try {
+      val targetRows = spark.conf
+        .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
+      PartitionEvolution.stageLayoutWrite(
+        spark, survivors, declared, Seq(level), staging, targetRows)
+      writeCarry(spark, new Path(staging, "_carry"), carried)
+      val dest = new Path(s"$tableDir/v=$next")
+      if (!fs.rename(staging, dest))
+        throw new IllegalStateException(
+          s"partitioned snapshot publish: rename $staging -> $dest failed")
+      graft.operators.Sinks.commitSnapshotPointer(spark, tableDir, next)
+      next
+    } finally if (fs.exists(staging)) fs.delete(staging, true): Unit
+  }
+
   /** Read a version (committed pointer when None): the resolved partition
     * dirs under the declared schema. */
   def read(spark: SparkSession, tableDir: String,

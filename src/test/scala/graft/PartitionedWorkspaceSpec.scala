@@ -1387,6 +1387,43 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.bf").filter(col("v") === "patched").count() == 1)
   }
 
+  test("CROSS-CATALOG storage-partitioned join: bucketed workspace table " +
+       "x bucketed snapshot version, zero exchange") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val snapCat = "pwsnap_" + java.lang.Long.toHexString(
+      System.nanoTime() & 0xffffffL)
+    val s2 = new graft.Session.Scratch
+    spark.conf.set(s"spark.sql.catalog.$snapCat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$snapCat.workspace", s2.dir)
+    spark.sql(s"CREATE TABLE $cat.xf (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.xf SELECT id, CONCAT('v', id) FROM RANGE(40)")
+    graft.operators.Sinks.writeSnapshotBucketed(
+      (0L until 40L).map(i => (i, s"t$i")).toDF("id", "tag"),
+      s"${s2.dir}/xd", "id", 4): Unit
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true"); spark.conf.set(keys(1), "-1")
+    try {
+      // both scans report KeyGroupedPartitioning(bucket(4, id)) with the
+      // SAME canonical function (graft.bucket.pmod), each served by its
+      // own catalog — the planner matches them across catalogs
+      val joined = spark.sql(
+        s"SELECT f.id, f.v, d.tag FROM $cat.xf f JOIN $snapCat.xd d " +
+          "ON f.id = d.id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"cross-catalog bucketed join shuffled:\n${plan.take(1500)}")
+      assert(joined.count() == 40)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition change feed: per-statement grain, minimal COW diff, " +
        "no-op statements feed nothing, OVERWRITE marks a discontinuity, " +
        "maintenance never feeds, DROP cleans up") {

@@ -919,6 +919,67 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ea.getMessage.contains("PARTITIONED snapshot"), ea.getMessage)
   }
 
+  test("partitioned snapshots: row-level deleteRowsWhere rewrites only " +
+       "touched days; an all-matching day disappears; hours spec works") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val dir = s"$ws/pr"
+    val t0 = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val day0 = java.time.LocalDate.of(2024, 6, 1).toEpochDay
+    val df = (0L until 30L).map(i => (i,
+        new java.sql.Timestamp(t0 + (i % 3) * 86400000L + i * 1000L),
+        if (i % 2 == 0) "even" else "odd")).toDF("id", "ts", "v")
+    graft.sources.PartitionedSnapshot.writePartitioned(df, dir, "days:ts"): Unit
+    val f = new org.apache.hadoop.fs.Path(ws)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def v1Times: Map[String, Long] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        f.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            Seq(st.getPath.toString -> st.getModificationTime) else Nil
+        }
+      walk(new org.apache.hadoop.fs.Path(s"$dir/v=1")).toMap
+    }
+    val before = v1Times
+    // row-level delete pinned to day 1: only that day rewrites
+    assert(graft.sources.PartitionedSnapshot.deleteRowsWhere(spark, dir,
+      col("v") === "even" &&
+        col("ts") >= lit("2024-06-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-06-03 00:00:00").cast("timestamp")) == 2)
+    assert(v1Times == before, "deleteRowsWhere touched carried bytes")
+    assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 25)
+    val parts2 = graft.sources.PartitionedSnapshot
+      .resolvedPartitions(spark, dir, 2).toMap
+    assert(parts2((day0 + 1).toString).startsWith("v=2/"), parts2.toString)
+    assert(parts2(day0.toString).startsWith("v=1/"), parts2.toString)
+    // pinned history intact
+    assert(graft.sources.PartitionedSnapshot
+      .read(spark, dir, Some(1)).count() == 30)
+    // a predicate matching a WHOLE day removes its directory from v=3
+    assert(graft.sources.PartitionedSnapshot.deleteRowsWhere(spark, dir,
+      col("ts") >= lit("2024-06-03 00:00:00").cast("timestamp")) == 3)
+    val parts3 = graft.sources.PartitionedSnapshot
+      .resolvedPartitions(spark, dir, 3).toMap
+    assert(!parts3.contains((day0 + 2).toString), parts3.toString)
+    assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 15)
+    // a no-match predicate publishes nothing
+    assert(graft.sources.PartitionedSnapshot.deleteRowsWhere(spark, dir,
+      col("v") === "never") == 3)
+    // hours spec rides the same machinery
+    val hdir = s"$ws/ph"
+    graft.sources.PartitionedSnapshot.writePartitioned(
+      (0L until 12L).map(i => (i,
+          new java.sql.Timestamp(t0 + (i % 2) * 3600000L + i * 1000L)))
+        .toDF("id", "ts"), hdir, "hours:ts"): Unit
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$hdir/v=1/ts_hour=${t0 / 3600000L}")))
+    graft.sources.PartitionedSnapshot.dropPartitions(spark, hdir,
+      Seq((t0 / 3600000L).toString)): Unit
+    assert(graft.sources.PartitionedSnapshot.read(spark, hdir).count() == 6)
+  }
+
   test("DROP COLUMN is metadata-only: pinned history intact, re-ADD never " +
        "resurrects, compaction retires the bytes, guardrails") {
     val (cat, ws) = freshCatalog()
