@@ -333,6 +333,63 @@ object PartitionedSnapshot {
     } finally if (fs.exists(staging)) fs.delete(staging, true): Unit
   }
 
+  /** INCREMENTAL CHANGES between two versions, computed from METADATA
+    * down (r17): a carried partition keeps its exact table-relative path
+    * across versions, so the per-step change set is confined to the
+    * partitions whose PHYSICAL PATH differs between v-1 and v (rewritten,
+    * added, or dropped) — the diff never reads an unchanged partition.
+    * Returns `(fromV, toV]` step diffs as rows + `_change_type`
+    * ('delete'|'insert') + `_version` (the step that made the change); an
+    * UPDATE-shaped rewrite appears as delete+insert of the actually-
+    * changed rows (`exceptAll` both ways — carried-over rows cancel).
+    * This is the q236-style incremental-consumer contract on VERSIONED
+    * date-sharded data: O(sum of changed partitions across the range),
+    * never O(table × versions). */
+  def changesBetween(spark: SparkSession, tableDir: String,
+                     fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val committed = graft.operators.Sinks.snapshotCommitted(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $tableDir"))
+    require(fromV >= 1 && toV >= fromV && toV <= committed,
+      s"changesBetween range ($fromV, $toV] must be within [1, $committed]")
+    val declared = declaredSchema(spark, tableDir)
+    def readDirs(rels: Seq[String]): DataFrame =
+      if (rels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+      else spark.read.schema(declared)
+        .parquet(rels.map(r => s"$tableDir/$r"): _*)
+    val steps = ((fromV + 1) to toV).map { v =>
+      val prev = resolvedPartitions(spark, tableDir, v - 1).toMap
+      val cur = resolvedPartitions(spark, tableDir, v).toMap
+      val changed = (prev.keySet ++ cur.keySet)
+        .filter(k => prev.get(k) != cur.get(k)).toSeq.sorted
+      val pre = readDirs(changed.flatMap(prev.get))
+      val post = readDirs(changed.flatMap(cur.get))
+      pre.exceptAll(post).withColumn(PartitionChangeFeed.ChangeCol, lit("delete"))
+        .unionByName(post.exceptAll(pre)
+          .withColumn(PartitionChangeFeed.ChangeCol, lit("insert")))
+        .withColumn("_version", lit(v))
+    }
+    if (steps.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        declared.add(PartitionChangeFeed.ChangeCol,
+          org.apache.spark.sql.types.StringType)
+          .add("_version", org.apache.spark.sql.types.IntegerType))
+    else {
+      // balanced union (the table_changes discipline): O(log steps) depth
+      def fold(xs: Seq[DataFrame]): DataFrame =
+        if (xs.lengthCompare(1) == 0) xs.head
+        else fold(xs.grouped(2).map {
+          case Seq(a, b) => a.unionByName(b)
+          case Seq(a) => a
+        }.toSeq)
+      fold(steps)
+    }
+  }
+
   /** Read a version (committed pointer when None): the resolved partition
     * dirs under the declared schema. */
   def read(spark: SparkSession, tableDir: String,

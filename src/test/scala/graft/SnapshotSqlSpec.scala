@@ -967,6 +967,27 @@ class SnapshotSqlSpec extends AnyFunSuite {
     // a no-match predicate publishes nothing
     assert(graft.sources.PartitionedSnapshot.deleteRowsWhere(spark, dir,
       col("v") === "never") == 3)
+    // metadata-driven incremental changes: (1, 3] = the day-1 row delete
+    // (5 'even' deletes at v=2) + the whole-day-2 removal (10 deletes at
+    // v=3); carried partitions contribute nothing
+    val ch = graft.sources.PartitionedSnapshot
+      .changesBetween(spark, dir, 1, 3)
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+    val byV = ch.groupBy("_version").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(byV == Map(2 -> 5L, 3 -> 10L), byV.toString)
+    assert(ch.filter(col("_version") === 2)
+      .select("v").distinct().collect().map(_.getString(0)).toSeq == Seq("even"))
+    // an UPDATE-shaped rewrite (append into an existing day) yields
+    // insert rows only for the appended content
+    graft.sources.PartitionedSnapshot.appendRows(spark, dir,
+      Seq((100L, new java.sql.Timestamp(t0 + 5000L), "new"))
+        .toDF("id", "ts", "v")): Unit
+    val ch2 = graft.sources.PartitionedSnapshot
+      .changesBetween(spark, dir, 3, 4)
+    assert(ch2.collect().map(r =>
+      (r.getLong(0), r.getString(2), r.getString(3))).toSeq ==
+      Seq((100L, "new", "insert")))
     // hours spec rides the same machinery
     val hdir = s"$ws/ph"
     graft.sources.PartitionedSnapshot.writePartitioned(
