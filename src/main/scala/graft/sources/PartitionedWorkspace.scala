@@ -954,26 +954,33 @@ private[sources] class PartitionedWorkspaceTable(
                 // a rewrite has no change grain — record the discontinuity
                 if (PartitionChangeFeed.enabled(spark, dir))
                   PartitionChangeFeed.markRewrite(spark, dir)
-              } else {
-                write()
+              } else if (!PartitionChangeFeed.enabled(spark, dir)) write()
+              else {
                 // change feed (opt-in): the appended rows ARE the change
-                // set. The insert query re-executes for the feed write
-                // (lockless appends leave no artifact isolating this
-                // batch's files under concurrency) — a non-deterministic
-                // source could feed values differing from what landed;
-                // route such writers through the snapshot catalog's keyed
-                // feed. Landed AFTER the data (the documented crash
-                // window), non-fatally inside commitStaged.
-                if (PartitionChangeFeed.enabled(spark, dir))
-                  PartitionChangeFeed.commitStaged(spark, dir,
-                    try PartitionChangeFeed.stage(spark, dir,
-                      PartitionChangeFeed.tagged(selected, "insert"))
-                    catch { case scala.util.control.NonFatal(e) =>
-                      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                        s"change-feed staging for $dir INSERT failed; the " +
-                          "append is live, its feed entry is lost", e)
-                      None
-                    })
+                // set — and the insert query executes exactly ONCE, into
+                // the staged feed entry; the TABLE append then COPIES the
+                // staged rows (a non-deterministic source feeds exactly
+                // what lands, and a self-referencing INSERT ... SELECT
+                // FROM t reads t once, before any append). A staging
+                // failure aborts the statement with the table untouched;
+                // the feed entry renames in strictly AFTER the append
+                // (the documented landing-crash window), non-fatally.
+                val staged = PartitionChangeFeed.stage(spark, dir,
+                  PartitionChangeFeed.tagged(selected, "insert"))
+                staged.foreach { tmp =>
+                  val stagedRows = spark.read.schema(
+                    PartitionChangeFeed.feedSchema(spark, dir, declaredFull))
+                    .parquet(tmp.toString)
+                    .drop(PartitionChangeFeed.ChangeCol)
+                  val (shaped2, names2) = writePathCols(stagedRows)
+                  try graft.operators.Sinks.microsBound(shaped2)
+                    .write.partitionBy(names2: _*).mode("append").parquet(dir)
+                  catch { case t: Throwable =>
+                    PartitionChangeFeed.abortStaged(spark, staged); throw t
+                  }
+                  PartitionChangeFeed.commitStaged(spark, dir, staged)
+                }
+                // an empty insert appends nothing and feeds nothing
               }
               spark.catalog.refreshByPath(dir)
             }

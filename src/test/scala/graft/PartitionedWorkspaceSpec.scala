@@ -1487,6 +1487,27 @@ class PartitionedWorkspaceSpec extends AnyFunSuite {
       "feed outlived its table")
   }
 
+  test("change feed INSERT executes the source query exactly once: a " +
+       "non-deterministic insert feeds exactly what landed") {
+    val (cat, ws) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.nd (id BIGINT, ts TIMESTAMP, r BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    val tdir = s"$ws/nd.parquet"
+    graft.sources.PartitionChangeFeed.enable(spark, tdir)
+    // rand() would differ between two executions with near-certainty
+    spark.sql(s"INSERT INTO $cat.nd SELECT id, " +
+      "TIMESTAMP '2024-01-01 00:00:00' + MAKE_INTERVAL(0,0,0,0,0,0,id), " +
+      "CAST(rand() * 1000000000 AS BIGINT) FROM RANGE(50)")
+    val landed = spark.table(s"$cat.nd").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val fed = graft.sources.PartitionChangeFeed
+      .read(spark, tdir, spark.table(s"$cat.nd").schema)
+      .filter(col("_change_type") === "insert").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(landed.length == 50)
+    assert(fed == landed, "feed rows diverged from the landed append")
+  }
+
   test("translatable DELETE stages ALL survivor leaves in ONE job " +
        "(never one job per touched leaf), one sized file per leaf") {
     import spark.implicits._
