@@ -140,4 +140,49 @@ class SourcesInternalsSpec extends AnyFunSuite {
         s"us=$us: got ${got(us)}, want ${Math.floorDiv(us, d)}")
     }
   }
+
+  test("r17 hidden levels: Column derivations agree bit-for-bit with the " +
+       "writer-side math over randomized + boundary timestamps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4217)
+    val span = 9467280000000000L // ±~300 years of micros
+    val monthEdges = (-2400L to 2400L by 37L).map(m =>
+      PartitionedWorkspace.monthStartDay(m) * PartitionedWorkspace.MicrosPerDay)
+    val micros = (Seq.fill(3000)(rnd.nextLong() % span) ++
+      monthEdges.flatMap(e => Seq(e - 1, e, e + 1)) ++
+      Seq(-1L, 0L, 1L, PartitionedWorkspace.MicrosPerHour - 1,
+        PartitionedWorkspace.MicrosPerHour,
+        PartitionedWorkspace.MicrosPerDay - 1,
+        PartitionedWorkspace.MicrosPerDay)).distinct
+    val hl = HoursLevel("ts")
+    val ml = MonthsLevel("ts", isDate = false)
+    val dl = DaysLevel("ts", isDate = false)
+    val got = micros.toDF("us")
+      .select(col("us"), timestamp_micros(col("us")).as("ts"))
+      .select(col("us"), dl.deriveColumn(col("ts")).as("d"),
+        hl.deriveColumn(col("ts")).as("h"), ml.deriveColumn(col("ts")).as("m"))
+      .collect()
+    assert(got.length == micros.length)
+    got.foreach { r =>
+      val us = r.getLong(0)
+      val day = Math.floorDiv(us, PartitionedWorkspace.MicrosPerDay)
+      assert(r.getLong(1) == day, s"days drift at us=$us")
+      assert(r.getLong(2) ==
+        Math.floorDiv(us, PartitionedWorkspace.MicrosPerHour),
+        s"hours drift at us=$us")
+      assert(r.getLong(3) == PartitionedWorkspace.epochMonthOfDay(day),
+        s"months drift at us=$us: col=${r.getLong(3)} " +
+          s"writer=${PartitionedWorkspace.epochMonthOfDay(day)}")
+    }
+    // bucket: Column pmod ≡ writer ((k % n) + n) % n over random keys
+    val bl = BucketLevel("k", 7)
+    val keys = Seq.fill(2000)(rnd.nextLong()) ++
+      Seq(Long.MinValue, Long.MinValue + 1, -7L, -1L, 0L, 6L, 7L, Long.MaxValue)
+    val gotB = keys.distinct.toDF("k")
+      .select(col("k"), bl.deriveColumn(col("k")).as("b")).collect()
+    gotB.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == ((k % 7) + 7) % 7, s"bucket drift at k=$k")
+    }
+  }
 }
