@@ -131,8 +131,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       .orElse(graft.operators.Sinks.snapshotCommitted(spark, dir))
       .getOrElse(throw new IllegalStateException(
         s"table_changes: no committed snapshot at $dir"))
-    graft.operators.Sinks.tableChanges(spark, dir, fromV, toV)
-      .queryExecution.logical
+    if (graft.sources.PartitionedSnapshot.partSpec(spark, dir).isDefined) {
+      // PARTITIONED snapshot handle (r18): serve the metadata-driven diff
+      // — `changesBetween(f-1, t]` is exactly "the changes versions f..t
+      // made". v=1 is the creating write: like a materialized flat
+      // version it has no change grain, so ranges must start past it.
+      require(fromV >= 2,
+        s"table_changes on partitioned snapshot $dir: v=1 is the creating " +
+          "write (no change grain) — start the range at 2, or read v=1 " +
+          "directly (VERSION AS OF 1)")
+      graft.sources.PartitionedSnapshot
+        .changesBetween(spark, dir, fromV - 1, toV).queryExecution.logical
+    } else
+      graft.operators.Sinks.tableChanges(spark, dir, fromV, toV)
+        .queryExecution.logical
   }
 
   /** `snapshot_history('snap.t' | '<dir>')` — DESCRIBE HISTORY for the
@@ -172,7 +184,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       strLit(es.head, "snapshot_compact", "table"))
     val target = es.lift(1)
       .map(longLit(_, "snapshot_compact", "targetRows")).getOrElse(5000000L)
-    val v = graft.operators.Sinks.compactSnapshotCas(spark, dir, target)
+    // partitioned handles route to the layout-preserving rewrite (r18):
+    // every partition re-clustered into a fully-OWNED fenced version —
+    // carry indirection and small-files debt retired, pinned history kept
+    val v =
+      if (graft.sources.PartitionedSnapshot.partSpec(spark, dir).isDefined)
+        graft.sources.PartitionedSnapshot.compactTable(spark, dir)
+      else graft.operators.Sinks.compactSnapshotCas(spark, dir, target)
     import spark.implicits._
     Seq(v).toDF("version").queryExecution.logical
   }

@@ -341,6 +341,10 @@ object Sinks {
     * trigger goes through the claim-fenced [[autoCompactCas]] instead. */
   def compactSnapshot(spark: SparkSession, tableDir: String,
                       targetRows: Long): Int = {
+    require(graft.sources.PartitionedSnapshot.partSpec(spark, tableDir).isEmpty,
+      s"$tableDir is a PARTITIONED snapshot — a flat compaction would " +
+        "destroy its layout; use PartitionedSnapshot.compactTable " +
+        "(SQL snapshot_compact routes there)")
     val cur = readSnapshot(spark, tableDir)
     val base = snapshotCommitted(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
@@ -365,6 +369,10 @@ object Sinks {
     * the last-writer-wins [[compactSnapshot]] swap could). */
   def compactSnapshotCas(spark: SparkSession, tableDir: String,
                          targetRows: Long, maxRetries: Int = 5): Int = {
+    require(graft.sources.PartitionedSnapshot.partSpec(spark, tableDir).isEmpty,
+      s"$tableDir is a PARTITIONED snapshot — a flat compaction would " +
+        "destroy its layout; use PartitionedSnapshot.compactTable " +
+        "(SQL snapshot_compact routes there)")
     var attempt = 0
     while (attempt < maxRetries) {
       val base = snapshotCommitted(spark, tableDir).getOrElse(
@@ -740,6 +748,45 @@ object Sinks {
         releaseClaim(spark, tableDir, v)
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** The claim-CAS primitives, exposed package-wide for the
+    * partitioned-snapshot module ([[graft.sources.PartitionedSnapshot]]):
+    * the SAME protocol every concurrent flat-store publisher uses —
+    * atomic exclusive claim allocation, repair-loop pointer commit,
+    * failure-path claim release — rather than a duplicate. */
+  private[graft] def claimSnapshotVersion(spark: SparkSession,
+                                          tableDir: String): Int =
+    claimNextVersion(spark, tableDir)
+  private[graft] def releaseSnapshotClaim(spark: SparkSession,
+                                          tableDir: String, v: Int): Unit =
+    releaseClaim(spark, tableDir, v)
+  private[graft] def releaseSnapshotClaimIfUnpublished(
+      spark: SparkSession, tableDir: String, v: Int): Unit =
+    releaseClaimIfUnpublished(spark, tableDir, v)
+  private[graft] def commitSnapshotPointerCas(
+      spark: SparkSession, tableDir: String, version: Int,
+      tsMicros: Option[Long] = None): Unit =
+    commitPointerCas(spark, tableDir, version, tsMicros)
+
+  /** [[snapshotCommitted]] hardened for concurrent-writer windows: the
+    * LOCAL checksum filesystem renames the pointer and its .crc sidecar as
+    * two moves, so a read racing a swap can throw ChecksumException —
+    * share the swap lock (serializes in-JVM) and retry a torn
+    * cross-process read, the same discipline as [[commitPointerCas]]'s
+    * pointer read. */
+  private[graft] def snapshotCommittedStable(spark: SparkSession,
+                                             tableDir: String): Option[Int] = {
+    var attempt = 0
+    while (true) {
+      PointerSwapLock.synchronized {
+        try return snapshotCommitted(spark, tableDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          if (attempt >= 100) throw e }
+      }
+      attempt += 1
+    }
+    None // unreachable
+  }
+
   /** The CAS allocation loop (move 1), shared by both concurrent
     * publishers: max over folders, claims and the pointer, then try to
     * claim — a lost race re-reads past the winner's now-visible claim. */
@@ -819,6 +866,11 @@ object Sinks {
     * including its shape). */
   def readSnapshot(spark: SparkSession, tableDir: String,
                    version: Option[Int] = None): DataFrame = {
+    // PARTITIONED snapshots resolve through their carry manifests — a
+    // flat folder read of a carry-bearing version would silently miss
+    // every carried partition
+    if (graft.sources.PartitionedSnapshot.partSpec(spark, tableDir).isDefined)
+      return graft.sources.PartitionedSnapshot.read(spark, tableDir, version)
     val v = version.orElse(snapshotCommitted(spark, tableDir)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
     if (version.isDefined) resolveVersion(spark, tableDir, v, depth = 0)
@@ -1916,21 +1968,35 @@ object Sinks {
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
     val times = snapshotCommitTimes(spark, tableDir)
     val hconf = spark.sessionState.newHadoopConf()
+    val partitioned =
+      graft.sources.PartitionedSnapshot.partSpec(spark, tableDir).isDefined
     val rows = snapshotVersions(spark, tableDir).filter(_ <= committed).map { v =>
       val dir = new org.apache.hadoop.fs.Path(s"$tableDir/v=$v")
       val fs = dir.getFileSystem(hconf)
       def sub(name: String): Boolean =
         fs.exists(new org.apache.hadoop.fs.Path(dir, name))
       // footprint includes thin versions' delta subdirs (_upserts/_deletes)
-      // — the version KIND this face classifies stores its bytes there
+      // — the version KIND this face classifies stores its bytes there —
+      // and, for PARTITIONED snapshots, the hive leaf dirs the version
+      // OWNS (carried partitions live in — and are billed to — the folder
+      // that physically owns them; a zero-copy drop reports 0 files)
       val dataFiles = fs.listStatus(dir).toSeq.flatMap { st =>
         if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(st)
-        else if (st.isDirectory && st.getPath.getName.startsWith("_"))
+        else if (st.isDirectory &&
+            (st.getPath.getName.startsWith("_") || partitioned))
           fs.listStatus(st.getPath).toSeq.filter(c =>
             c.isFile && c.getPath.getName.endsWith(".parquet"))
         else Nil
       }
-      val (kind, operation, base) = thinBase(spark, tableDir, v) match {
+      val (kind, operation, base) =
+        if (partitioned)
+          graft.sources.PartitionedSnapshot.versionMeta(spark, tableDir, v) match {
+            case Some((op, b)) => ("partitioned", op, b)
+            case None => // pre-r18 folder without an _op record
+              ("partitioned", if (v == 1) "create" else "overwrite",
+                None: Option[Int])
+          }
+        else thinBase(spark, tableDir, v) match {
         case Some((b, keys)) =>
           val op =
             if (keys.isEmpty) "append"
@@ -2045,7 +2111,8 @@ object Sinks {
       .filter(s => s.isDirectory &&
         (s.getPath.getName.startsWith(".dml_staging_") ||
           s.getPath.getName.startsWith(".cdf_staging_") ||
-          s.getPath.getName.startsWith(".compact_staging_")) &&
+          s.getPath.getName.startsWith(".compact_staging_") ||
+          s.getPath.getName.startsWith(".psnap_staging_")) &&
         now - s.getModificationTime > graceMs)
       .foreach(s => fs.delete(s.getPath, true))
     // FOLDER-LESS claims: a writer that crashed after claiming but before

@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   <t>/v=2/ts_day=19730/…parquet               (this version's new day)
   * }}}
   *
+  * Each version folder also records its own `_op` (operation + base, the
+  * `snapshot_history` classification) and `_pinschema.json` (the live
+  * schema AT PUBLISH — what a pinned `VERSION AS OF` read serves after
+  * later metadata-only ALTERs; history is immutable, including its shape).
+  *
   * Carry entries are SINGLE-HOP by construction: publishing v=N+1 copies
   * v=N's carry entries verbatim and adds entries pointing INTO v=N for the
   * days v=N owned — resolution never recurses. What this buys at 100 TB:
@@ -39,12 +44,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    like partitioned workspace tables (the SQL catalog serves versions
   *    through the same pruned scan builder).
   *
-  * Concurrency: single-writer maintenance API (the [[graft.operators.Sinks.compactSnapshot]]
-  * contract) — version allocation maxes over folders AND live claims, the
-  * pointer commit is the shared atomic primitive, and readers mid-publish
-  * keep the committed version. Retention: [[graft.operators.Sinks.expireSnapshots]]
-  * protects folders that surviving versions still CARRY FROM, transitively
-  * — like thin bases. */
+  * Concurrency (r18): every publish is CLAIM-FENCED — the flat store's
+  * protocol ([[graft.operators.Sinks.writeSnapshotConcurrent]]) lifted
+  * whole: version allocation maxes over folders, live claims AND the
+  * pointer via the atomic exclusive claim create; derived publishes
+  * ([[appendRows]]/[[dropPartitions]]/[[deleteRowsWhere]]/[[compactTable]])
+  * additionally require the claim to be the IMMEDIATE successor of the
+  * base they staged from — an intervening claim forfeits, releases and
+  * RE-STAGES against the new committed base (bounded retries), so
+  * concurrent appends land as distinct consecutive versions and a
+  * drop-vs-append interleave serializes. The pointer commit is the shared
+  * repair-loop CAS; readers mid-publish keep the committed version.
+  * Retention: [[graft.operators.Sinks.expireSnapshots]] protects folders
+  * that surviving versions still CARRY FROM — like thin bases. */
 object PartitionedSnapshot {
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -68,6 +80,10 @@ object PartitionedSnapshot {
     }
   }
 
+  /** The FULL declared schema — including `__dropped_<id>` tombstones
+    * (metadata-only DROP COLUMN leaves the field in the sidecar so its
+    * parquet id can never be reused). Serving filters them
+    * ([[liveSchema]]). */
   def declaredSchema(spark: SparkSession, tableDir: String): StructType = {
     val p = schemaPath(tableDir)
     val fs = fsOf(spark, p)
@@ -77,6 +93,64 @@ object PartitionedSnapshot {
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
     finally in.close()
     DataType.fromJson(txt).asInstanceOf[StructType]
+  }
+
+  /** The declared schema minus dropped-column tombstones — what every
+    * unpinned read, append shape and change diff serves. */
+  private[graft] def liveSchema(spark: SparkSession,
+                                tableDir: String): StructType =
+    StructType(declaredSchema(spark, tableDir).fields.filterNot(
+      _.name.startsWith(WorkspaceCatalog.DroppedPrefix)))
+
+  /** Record the evolved declared schema (the SQL catalog's metadata-only
+    * ALTER writes through here; complete-or-absent small-file write). */
+  private[graft] def declareSchema(spark: SparkSession, tableDir: String,
+                                   schema: StructType): Unit =
+    writeSmall(spark, schemaPath(tableDir), schema.json)
+
+  /** A version's own pinned serving schema — the live schema at its
+    * publish. Absent on pre-r18 folders (falls back to the table's
+    * current live schema). */
+  private[graft] def pinSchemaOf(spark: SparkSession, tableDir: String,
+                                 v: Int): Option[StructType] = {
+    val p = new Path(s"$tableDir/v=$v/_pinschema.json")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      Some(DataType.fromJson(txt).asInstanceOf[StructType])
+    }
+  }
+
+  /** The schema a read of version `v` serves: the version's own pin when
+    * pinned, the table's current live schema otherwise. */
+  private[graft] def servingSchema(spark: SparkSession, tableDir: String,
+                                   pinnedV: Option[Int]): StructType =
+    pinnedV.flatMap(pinSchemaOf(spark, tableDir, _))
+      .getOrElse(liveSchema(spark, tableDir))
+
+  /** A version's `_op` record: operation name + optional base version
+    * (`snapshot_history`'s classification metadata, staged with the data
+    * so it rides the atomic publish rename). */
+  private[graft] def versionMeta(spark: SparkSession, tableDir: String,
+                                 v: Int): Option[(String, Option[Int])] = {
+    val p = new Path(s"$tableDir/v=$v/_op")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      txt.split(':') match {
+        case Array(op) => Some((op, None))
+        case Array(op, b) => Some((op, b.toIntOption))
+        case _ => None
+      }
+    }
   }
 
   private[graft] def levelOf(spark: SparkSession, tableDir: String): PartLevel = {
@@ -101,8 +175,11 @@ object PartitionedSnapshot {
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   /** The carry entries of one version: (partition value, path relative to
-    * the TABLE dir). Complete-or-absent (temp+rename write); a missing
-    * file means "no carries" (v=1, or a full rewrite). */
+    * the TABLE dir). Complete-or-absent — every `_carry` is written into
+    * the publish STAGING dir and arrives via its single atomic rename
+    * (ADVICE r17: an in-place create could tear under a crash and
+    * under-protect a concurrent expire's protection set); a missing file
+    * means "no carries" (v=1, or a full rewrite). */
   private def readCarry(spark: SparkSession, tableDir: String,
                         v: Int): Seq[(String, String)] = {
     val p = carryPath(tableDir, v)
@@ -172,40 +249,182 @@ object PartitionedSnapshot {
                                         survivors: Seq[Int]): Set[Int] =
     survivors.flatMap(carryTargets(spark, tableDir, _)).toSet
 
+  /** Assign `parquet.field.id` 1..n when the schema carries none — the
+    * same Iceberg-style identity the workspace catalog stamps at CREATE:
+    * readers match columns by id, so metadata-only RENAME/DROP+re-ADD
+    * never reinterpret old files' bytes. */
+  private def stampFieldIds(schema: StructType): StructType =
+    if (schema.fields.exists(_.metadata.contains("parquet.field.id"))) schema
+    else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", i + 1L).build())
+    })
+
+  /** A field-id-resolving read session: SQLConf-keyed (DataFrameReader
+    * options can't set it), so the maintenance reads run on an isolated
+    * clone — the partitioned-workspace precedent. */
+  private def idSession(spark: SparkSession): SparkSession =
+    WorkspaceDml.isolatedSession(spark,
+      "spark.sql.parquet.fieldId.read.enabled" -> "true")
+
+  private[graft] def readDirsAs(spark: SparkSession, tableDir: String,
+                                schema: StructType,
+                                rels: Seq[String]): DataFrame = {
+    val iso = idSession(spark)
+    if (rels.isEmpty)
+      iso.createDataFrame(
+        iso.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else iso.read.schema(schema).parquet(rels.map(r => s"$tableDir/$r"): _*)
+  }
+
+  /** Stage the version-folder metadata riders into the staging dir: the
+    * `_op` history record and the `_pinschema.json` pinned serving
+    * schema — both arrive with the data in ONE atomic rename. */
+  private def stageMeta(spark: SparkSession, staging: Path, op: String,
+                        base: Option[Int], pin: StructType): Unit = {
+    val fs = fsOf(spark, staging)
+    fs.mkdirs(staging): Unit
+    val opOut = fs.create(new Path(staging, "_op"), false)
+    try opOut.write(
+      (op + base.map(b => s":$b").getOrElse("")).getBytes("UTF-8"))
+    finally opOut.close()
+    val pinOut = fs.create(new Path(staging, "_pinschema.json"), false)
+    try pinOut.write(pin.json.getBytes("UTF-8")) finally pinOut.close()
+  }
+
+  private def newStaging(tableDir: String): Path = new Path(tableDir,
+    s".psnap_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** The fenced commit half: claim the next version, require it to be the
+    * IMMEDIATE successor of the base the staging derived from (claims
+    * serialize allocation, so `v == base + 1` proves no other writer even
+    * claimed since the caller bound its base), ONE rename of the staged
+    * folder into `v=N`, then the shared repair-loop pointer CAS. A lost
+    * fence releases the claim, drops the staging and throws
+    * `ConcurrentModificationException` for [[retryFenced]] to re-stage. */
+  private def publishFenced(spark: SparkSession, tableDir: String,
+                            staging: Path, expectedBase: Int): Int = {
+    val v = graft.operators.Sinks.claimSnapshotVersion(spark, tableDir)
+    val fs = fsOf(spark, staging)
+    if (v != expectedBase + 1) {
+      graft.operators.Sinks.releaseSnapshotClaim(spark, tableDir, v)
+      fs.delete(staging, true): Unit
+      throw new java.util.ConcurrentModificationException(
+        s"fenced partitioned-snapshot publish at $tableDir: staged output " +
+          s"derives from v=$expectedBase but the claim landed at v=$v — " +
+          "another writer claimed in between")
+    }
+    try {
+      val dest = new Path(s"$tableDir/v=$v")
+      if (!fs.rename(staging, dest))
+        throw new IllegalStateException(
+          s"partitioned snapshot publish: rename $staging -> $dest failed")
+      graft.operators.Sinks.commitSnapshotPointerCas(spark, tableDir, v)
+    } catch { case scala.util.control.NonFatal(e) =>
+      graft.operators.Sinks.releaseSnapshotClaimIfUnpublished(
+        spark, tableDir, v); throw e }
+    v
+  }
+
+  /** Optimistic retry shell for every base-derived publish: bind the
+    * committed base, stage against it into a fresh staging dir this shell
+    * OWNS (any failure mid-stage deletes it — no debris), fence-publish;
+    * a lost fence means another writer committed (or claimed) in between —
+    * re-bind and RE-STAGE, because the staged content derives from a
+    * stale base. `stage` returning false is the no-op fast path (nothing
+    * matched; the empty staging dir is dropped). */
+  private def retryFenced(op: String, spark: SparkSession, tableDir: String)
+                         (stage: (Int, Path) => Boolean): Int = {
+    val maxRetries = 5
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      // STABLE pointer read: racing another writer's swap on the local
+      // checksum filesystem can tear (ChecksumException) — the shared
+      // swap-lock read retries it away
+      val committed = graft.operators.Sinks
+        .snapshotCommittedStable(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed snapshot at $tableDir"))
+      val staging = newStaging(tableDir)
+      val fs = fsOf(spark, staging)
+      val staged =
+        try stage(committed, staging)
+        catch { case t: Throwable =>
+          if (fs.exists(staging)) fs.delete(staging, true): Unit
+          throw t
+        }
+      if (!staged) {
+        if (fs.exists(staging)) fs.delete(staging, true): Unit
+        return committed
+      }
+      try return publishFenced(spark, tableDir, staging, committed)
+      catch { case _: java.util.ConcurrentModificationException =>
+        attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$op at $tableDir: lost the claim race $maxRetries times — " +
+        "another writer keeps committing; retry when the table quiesces")
+  }
+
+  private def targetRowsPerFile(spark: SparkSession): Long = spark.conf
+    .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
+
   /** Stage `df` in the spec's layout and commit it as the next version —
     * v=1 for a new table (records `_partspec` + `_partschema.json`), a
-    * full materialized rewrite afterwards. */
+    * full materialized rewrite afterwards. Claim-allocated (concurrent
+    * writers never collide on a number); full rewrites are last-committed-
+    * wins by design, like INSERT OVERWRITE — derived statements go
+    * through the fenced paths. */
   def writePartitioned(df: DataFrame, tableDir: String, spec: String): Int = {
     val spark = df.sparkSession
-    val declared = df.schema
+    val declared = stampFieldIds(df.schema)
     val levels = PartitionedWorkspace.levelsOf(spec, declared)
     require(levels.length == 1 && !levels.head.inSchema,
       "partitioned snapshots take exactly one hidden transform " +
         "(days/hours/months/bucket); identity layouts route to the " +
         "partitioned workspace catalog")
     PartitionedWorkspace.validateLevels(declared, levels)
-    partSpec(spark, tableDir).foreach(existing => require(existing == spec,
-      s"$tableDir is already partitioned as '$existing'"))
-    val next = graft.operators.Sinks.snapshotVersions(spark, tableDir)
-      .lastOption.getOrElse(0) + 1
-    val staging = new Path(tableDir,
-      s".psnap_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    partSpec(spark, tableDir) match {
+      case Some(existing) => require(existing == spec,
+        s"$tableDir is already partitioned as '$existing'")
+      case None =>
+        // ADVICE r17: never CONVERT a directory that already holds flat
+        // snapshot versions — the spec marker would route every pinned
+        // flat version through the partitioned reader, which finds no
+        // hive dirs in their folders and silently serves zero rows
+        require(graft.operators.Sinks.snapshotVersions(spark, tableDir).isEmpty &&
+            graft.operators.Sinks.snapshotCommitted(spark, tableDir).isEmpty,
+          s"$tableDir already holds FLAT snapshot versions — converting in " +
+            "place would serve them empty through the partitioned reader; " +
+            "write the partitioned table to a fresh directory")
+    }
+    val isRewrite = graft.operators.Sinks
+      .snapshotCommitted(spark, tableDir).isDefined
+    val staging = newStaging(tableDir)
     val fs = fsOf(spark, staging)
     try {
-      val targetRows = spark.conf
-        .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
       PartitionEvolution.stageLayoutWrite(
-        spark, df, declared, levels, staging, targetRows)
-      // markers BEFORE the pointer commit: a reader resolving the new
-      // version must find the spec/schema (idempotent re-writes)
-      writeSmall(spark, specPath(tableDir), spec)
-      writeSmall(spark, schemaPath(tableDir), declared.json)
-      val dest = new Path(s"$tableDir/v=$next")
-      if (!fs.rename(staging, dest))
-        throw new IllegalStateException(
-          s"partitioned snapshot publish: rename $staging -> $dest failed")
-      graft.operators.Sinks.commitSnapshotPointer(spark, tableDir, next)
-      next
+        spark, df, declared, levels, staging, targetRowsPerFile(spark))
+      stageMeta(spark, staging, if (isRewrite) "overwrite" else "create",
+        None, declared)
+      val v = graft.operators.Sinks.claimSnapshotVersion(spark, tableDir)
+      try {
+        val dest = new Path(s"$tableDir/v=$v")
+        if (!fs.rename(staging, dest))
+          throw new IllegalStateException(
+            s"partitioned snapshot publish: rename $staging -> $dest failed")
+        // markers strictly AFTER the data rename (ADVICE r17: a crash
+        // before this point must leave NO routing marker behind) and
+        // BEFORE the pointer commit (a reader resolving the new version
+        // must find them). Schema first, spec last — the spec IS the
+        // routing flip, written only once everything it routes to exists.
+        writeSmall(spark, schemaPath(tableDir), declared.json)
+        writeSmall(spark, specPath(tableDir), spec)
+        graft.operators.Sinks.commitSnapshotPointerCas(spark, tableDir, v)
+      } catch { case scala.util.control.NonFatal(e) =>
+        graft.operators.Sinks.releaseSnapshotClaimIfUnpublished(
+          spark, tableDir, v); throw e }
+      v
     } finally if (fs.exists(staging)) fs.delete(staging, true): Unit
   }
 
@@ -216,22 +435,22 @@ object PartitionedSnapshot {
     * (epoch days for `days()`, etc. — [[partitionValueOf]] maps a literal).
     * Returns the committed version (unchanged if nothing matched). */
   def dropPartitions(spark: SparkSession, tableDir: String,
-                     values: Seq[String]): Int = {
-    val committed = graft.operators.Sinks.snapshotCommitted(spark, tableDir)
-      .getOrElse(throw new IllegalStateException(
-        s"no committed snapshot at $tableDir"))
-    val current = resolvedPartitions(spark, tableDir, committed)
-    val drop = values.toSet
-    if (!current.exists(e => drop.contains(e._1))) return committed
-    val keep = current.filterNot(e => drop.contains(e._1))
-    val next = graft.operators.Sinks.snapshotVersions(spark, tableDir)
-      .lastOption.getOrElse(0) + 1
-    // everything this version serves is a CARRY: owned dirs of the base
-    // become single-hop refs into the base's folder
-    writeCarry(spark, carryPath(tableDir, next), keep)
-    graft.operators.Sinks.commitSnapshotPointer(spark, tableDir, next)
-    next
-  }
+                     values: Seq[String]): Int =
+    retryFenced("dropPartitions", spark, tableDir) { (committed, staging) =>
+      val current = resolvedPartitions(spark, tableDir, committed)
+      val drop = values.toSet
+      if (!current.exists(e => drop.contains(e._1))) false
+      else {
+        // everything this version serves is a CARRY: owned dirs of the
+        // base become single-hop refs into the base's folder. Staged like
+        // every publish — the carry file must appear complete-or-absent
+        stageMeta(spark, staging, "drop_partitions", Some(committed),
+          liveSchema(spark, tableDir))
+        writeCarry(spark, new Path(staging, "_carry"),
+          current.filterNot(e => drop.contains(e._1)))
+        true
+      }
+    }
 
   /** The level's path value of a source-column literal (driver-side), for
     * building [[dropPartitions]] inputs from dates/timestamps/keys. */
@@ -245,44 +464,25 @@ object PartitionedSnapshot {
     * in are rewritten (old content ∪ new rows, clustered); every other
     * partition rides a carry entry into wherever it already lives. */
   def appendRows(spark: SparkSession, tableDir: String, df: DataFrame): Int = {
-    val committed = graft.operators.Sinks.snapshotCommitted(spark, tableDir)
-      .getOrElse(throw new IllegalStateException(
-        s"no committed snapshot at $tableDir"))
-    val declared = declaredSchema(spark, tableDir)
+    val live = liveSchema(spark, tableDir)
     val level = levelOf(spark, tableDir)
-    val shaped = df.select(declared.fieldNames.map(
+    val shaped = df.select(live.fieldNames.map(
       org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     val touched: Set[String] = shaped
       .select(level.deriveColumn(org.apache.spark.sql.functions.col(
         level.sourceCol)).as("__p"))
       .distinct().collect()
       .map(r => PartitionedWorkspace.valueString(r.get(0))).toSet
-    val current = resolvedPartitions(spark, tableDir, committed)
-    val (old, carried) = current.partition(e => touched.contains(e._1))
-    val oldRows =
-      if (old.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-      else spark.read.schema(declared)
-        .parquet(old.map(e => s"$tableDir/${e._2}"): _*)
-    val next = graft.operators.Sinks.snapshotVersions(spark, tableDir)
-      .lastOption.getOrElse(0) + 1
-    val staging = new Path(tableDir,
-      s".psnap_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    val fs = fsOf(spark, staging)
-    try {
-      val targetRows = spark.conf
-        .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
+    retryFenced("appendRows", spark, tableDir) { (committed, staging) =>
+      val current = resolvedPartitions(spark, tableDir, committed)
+      val (old, carried) = current.partition(e => touched.contains(e._1))
+      val oldRows = readDirsAs(spark, tableDir, live, old.map(_._2))
       PartitionEvolution.stageLayoutWrite(spark, oldRows.unionByName(shaped),
-        declared, Seq(level), staging, targetRows)
+        live, Seq(level), staging, targetRowsPerFile(spark))
+      stageMeta(spark, staging, "append", Some(committed), live)
       writeCarry(spark, new Path(staging, "_carry"), carried)
-      val dest = new Path(s"$tableDir/v=$next")
-      if (!fs.rename(staging, dest))
-        throw new IllegalStateException(
-          s"partitioned snapshot publish: rename $staging -> $dest failed")
-      graft.operators.Sinks.commitSnapshotPointer(spark, tableDir, next)
-      next
-    } finally if (fs.exists(staging)) fs.delete(staging, true): Unit
+      true
+    }
   }
 
   /** Row-level retention WITHIN partitions (r17): publish the next
@@ -297,40 +497,49 @@ object PartitionedSnapshot {
   def deleteRowsWhere(spark: SparkSession, tableDir: String,
                       cond: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val committed = graft.operators.Sinks.snapshotCommitted(spark, tableDir)
-      .getOrElse(throw new IllegalStateException(
-        s"no committed snapshot at $tableDir"))
-    val declared = declaredSchema(spark, tableDir)
+    val live = liveSchema(spark, tableDir)
     val level = levelOf(spark, tableDir)
-    val full = read(spark, tableDir, Some(committed))
-    val touchedVals: Set[String] = full.filter(coalesce(cond, lit(false)))
-      .select(level.deriveColumn(col(level.sourceCol)).as("__p"))
-      .distinct().collect()
-      .map(r => PartitionedWorkspace.valueString(r.get(0))).toSet
-    if (touchedVals.isEmpty) return committed
-    val current = resolvedPartitions(spark, tableDir, committed)
-    val (touched, carried) = current.partition(e => touchedVals(e._1))
-    val survivors = spark.read.schema(declared)
-      .parquet(touched.map(e => s"$tableDir/${e._2}"): _*)
-      .filter(!coalesce(cond, lit(false)))
-    val next = graft.operators.Sinks.snapshotVersions(spark, tableDir)
-      .lastOption.getOrElse(0) + 1
-    val staging = new Path(tableDir,
-      s".psnap_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    val fs = fsOf(spark, staging)
-    try {
-      val targetRows = spark.conf
-        .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
+    retryFenced("deleteRowsWhere", spark, tableDir) { (committed, staging) =>
+      val full = read(spark, tableDir, Some(committed))
+      val touchedVals: Set[String] = full.filter(coalesce(cond, lit(false)))
+        .select(level.deriveColumn(col(level.sourceCol)).as("__p"))
+        .distinct().collect()
+        .map(r => PartitionedWorkspace.valueString(r.get(0))).toSet
+      if (touchedVals.isEmpty) false
+      else {
+        val current = resolvedPartitions(spark, tableDir, committed)
+        val (touched, carried) = current.partition(e => touchedVals(e._1))
+        val survivors = readDirsAs(spark, tableDir, live, touched.map(_._2))
+          .filter(!coalesce(cond, lit(false)))
+        PartitionEvolution.stageLayoutWrite(
+          spark, survivors, live, Seq(level), staging, targetRowsPerFile(spark))
+        stageMeta(spark, staging, "delete_rows", Some(committed), live)
+        writeCarry(spark, new Path(staging, "_carry"), carried)
+        true
+      }
+    }
+  }
+
+  /** OPTIMIZE for the partitioned store: rewrite the committed version's
+    * rows unchanged into a fully-OWNED next version (every partition
+    * re-clustered, zero carries) — retires accumulated carry indirection
+    * and small-files debt without a write outage, and physically sheds
+    * dropped-column bytes (the rewrite stages through the LIVE schema).
+    * Fenced like every derived publish. The flat store's
+    * `compactSnapshot*` refuses partitioned dirs toward this. */
+  def compactTable(spark: SparkSession, tableDir: String): Int = {
+    val live = liveSchema(spark, tableDir)
+    val level = levelOf(spark, tableDir)
+    retryFenced("compactTable", spark, tableDir) { (committed, staging) =>
+      // read through the LIVE schema (not the version's pin): the rewrite
+      // physically sheds dropped-column bytes and adopts renamed names
+      val rows = readDirsAs(spark, tableDir, live,
+        resolvedPartitions(spark, tableDir, committed).map(_._2))
       PartitionEvolution.stageLayoutWrite(
-        spark, survivors, declared, Seq(level), staging, targetRows)
-      writeCarry(spark, new Path(staging, "_carry"), carried)
-      val dest = new Path(s"$tableDir/v=$next")
-      if (!fs.rename(staging, dest))
-        throw new IllegalStateException(
-          s"partitioned snapshot publish: rename $staging -> $dest failed")
-      graft.operators.Sinks.commitSnapshotPointer(spark, tableDir, next)
-      next
-    } finally if (fs.exists(staging)) fs.delete(staging, true): Unit
+        spark, rows, live, Seq(level), staging, targetRowsPerFile(spark))
+      stageMeta(spark, staging, "compact", Some(committed), live)
+      true
+    }
   }
 
   /** INCREMENTAL CHANGES between two versions, computed from METADATA
@@ -344,7 +553,8 @@ object PartitionedSnapshot {
     * changed rows (`exceptAll` both ways — carried-over rows cancel).
     * This is the q236-style incremental-consumer contract on VERSIONED
     * date-sharded data: O(sum of changed partitions across the range),
-    * never O(table × versions). */
+    * never O(table × versions). SQL face: `table_changes('snap.t', f, t)`
+    * routes here for partitioned handles. */
   def changesBetween(spark: SparkSession, tableDir: String,
                      fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -353,20 +563,14 @@ object PartitionedSnapshot {
         s"no committed snapshot at $tableDir"))
     require(fromV >= 1 && toV >= fromV && toV <= committed,
       s"changesBetween range ($fromV, $toV] must be within [1, $committed]")
-    val declared = declaredSchema(spark, tableDir)
-    def readDirs(rels: Seq[String]): DataFrame =
-      if (rels.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-      else spark.read.schema(declared)
-        .parquet(rels.map(r => s"$tableDir/$r"): _*)
+    val live = liveSchema(spark, tableDir)
     val steps = ((fromV + 1) to toV).map { v =>
       val prev = resolvedPartitions(spark, tableDir, v - 1).toMap
       val cur = resolvedPartitions(spark, tableDir, v).toMap
       val changed = (prev.keySet ++ cur.keySet)
         .filter(k => prev.get(k) != cur.get(k)).toSeq.sorted
-      val pre = readDirs(changed.flatMap(prev.get))
-      val post = readDirs(changed.flatMap(cur.get))
+      val pre = readDirsAs(spark, tableDir, live, changed.flatMap(prev.get))
+      val post = readDirsAs(spark, tableDir, live, changed.flatMap(cur.get))
       pre.exceptAll(post).withColumn(PartitionChangeFeed.ChangeCol, lit("delete"))
         .unionByName(post.exceptAll(pre)
           .withColumn(PartitionChangeFeed.ChangeCol, lit("insert")))
@@ -375,7 +579,7 @@ object PartitionedSnapshot {
     if (steps.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        declared.add(PartitionChangeFeed.ChangeCol,
+        live.add(PartitionChangeFeed.ChangeCol,
           org.apache.spark.sql.types.StringType)
           .add("_version", org.apache.spark.sql.types.IntegerType))
     else {
@@ -391,37 +595,42 @@ object PartitionedSnapshot {
   }
 
   /** Read a version (committed pointer when None): the resolved partition
-    * dirs under the declared schema. */
+    * dirs under the version's serving schema — its own pinned shape for an
+    * explicit version, the table's live schema for the head. */
   def read(spark: SparkSession, tableDir: String,
            version: Option[Int] = None): DataFrame = {
     val v = version.orElse(
       graft.operators.Sinks.snapshotCommitted(spark, tableDir)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    val declared = declaredSchema(spark, tableDir)
-    val dirs = resolvedPartitions(spark, tableDir, v)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-    else spark.read.schema(declared)
-      .parquet(dirs.map(e => s"$tableDir/${e._2}"): _*)
+    val schema = servingSchema(spark, tableDir, version)
+    readDirsAs(spark, tableDir, schema,
+      resolvedPartitions(spark, tableDir, v).map(_._2))
   }
 }
 
-/** The SQL face of a partitioned snapshot version: read-only (retention
-  * and ingest are the explicit [[PartitionedSnapshot]] maintenance calls;
+/** The SQL face of a partitioned snapshot version, served through the
+  * pruned scan builder so source-column predicates drop whole partition
+  * directories — across version folders — before any footer is read;
+  * columns resolve by parquet FIELD ID (metadata-only RENAME/DROP safe).
+  * The UNPINNED head is INSERT-capable (`INSERT INTO` → the fenced
+  * [[PartitionedSnapshot.appendRows]], one O(touched) version per
+  * statement); pinned `VERSION/TIMESTAMP AS OF` reads stay read-only and
+  * serve their version's own pinned schema. Retention and maintenance are
+  * the explicit [[PartitionedSnapshot]] calls plus the snapshot TVFs;
   * row-level DML routes to the keyed snapshot or partitioned workspace
-  * catalogs), served through the pruned scan builder so source-column
-  * predicates drop whole partition directories — across version folders —
-  * before any footer is read. */
+  * catalogs. */
 private[graft] class PartitionedSnapshotTable(
     tableName: String,
     spark: SparkSession,
     tableDir: String,
-    version: Int)
+    version: Int,
+    pinned: Boolean)
   extends org.apache.spark.sql.connector.catalog.Table
-  with org.apache.spark.sql.connector.catalog.SupportsRead {
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  private lazy val declared = PartitionedSnapshot.declaredSchema(spark, tableDir)
+  private lazy val declared = PartitionedSnapshot.servingSchema(
+    spark, tableDir, if (pinned) Some(version) else None)
   private lazy val level = PartitionedSnapshot.levelOf(spark, tableDir)
 
   override def name(): String = tableName
@@ -437,17 +646,59 @@ private[graft] class PartitionedSnapshotTable(
     })
   override def capabilities():
       java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    java.util.Set.of(
-      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+    if (pinned)
+      java.util.Set.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+    else
+      java.util.Set.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+        org.apache.spark.sql.connector.catalog.TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap):
-      org.apache.spark.sql.connector.read.ScanBuilder =
+      org.apache.spark.sql.connector.read.ScanBuilder = {
+    // field-id resolution for every SQL scan: a post-RENAME read must
+    // match old files' columns by id, and a DROP+re-ADD must null-fill
+    // rather than resurrect old bytes
+    val merged = new java.util.HashMap[String, String](
+      options.asCaseSensitiveMap())
+    merged.put("spark.sql.parquet.fieldId.read.enabled", "true"): Unit
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(merged)
     new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
-      tableName, spark, declared, options,
+      tableName, spark, declared, opts,
       filters => PartitionedSnapshot
         .resolvedPartitions(spark, tableDir, version)
         .collect { case (v, rel) if filters.forall(level.mayMatch(_, v)) =>
           s"$tableDir/$rel"
         })
+  }
+
+  /** `INSERT INTO` → one fenced [[PartitionedSnapshot.appendRows]]
+    * version. INSERT OVERWRITE is refused (a full rewrite is the explicit
+    * `writePartitioned`); pinned handles never reach here (no write
+    * capability advertised). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      // INSERT OVERWRITE never reaches here: the capability set omits
+      // TRUNCATE/OVERWRITE_BY_FILTER, so the analyzer refuses it with
+      // "does not support truncate" — a full rewrite is the explicit
+      // writePartitioned. The insert() guard below is belt-and-braces.
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation:
+              org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                if (overwrite)
+                  throw new UnsupportedOperationException(
+                    s"INSERT OVERWRITE on partitioned snapshot $tableName " +
+                      "would be a full rewrite — publish one explicitly " +
+                      "(PartitionedSnapshot.writePartitioned)")
+                PartitionedSnapshot.appendRows(spark, tableDir, data): Unit
+              }
+            }
+        }
+    }
 }

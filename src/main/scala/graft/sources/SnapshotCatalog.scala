@@ -130,7 +130,7 @@ class SnapshotCatalog extends TableCatalog
     if (PartitionedSnapshot.partSpec(SparkSession.active,
         s"$workspace/$tableDir").isDefined)
       new PartitionedSnapshotTable(s"$tableDir@v$version", SparkSession.active,
-        s"$workspace/$tableDir", version)
+        s"$workspace/$tableDir", version, pinned = true)
     else if (graft.operators.Sinks.thinBase(SparkSession.active,
         s"$workspace/$tableDir", version).isDefined)
       thinTable(tableDir, version, deletable = false)
@@ -176,10 +176,11 @@ class SnapshotCatalog extends TableCatalog
         s"committed snapshot v=$committed missing under $t")
     if (PartitionedSnapshot.partSpec(SparkSession.active,
         s"$workspace/$t").isDefined)
-      // partitioned snapshots are read-only at the SQL surface — retention
-      // and ingest are the explicit PartitionedSnapshot maintenance calls
+      // the partitioned-snapshot HEAD is INSERT-capable (each statement a
+      // fenced O(touched) appendRows version, r18); retention/rewrites
+      // stay the explicit PartitionedSnapshot maintenance calls + TVFs
       new PartitionedSnapshotTable(s"$t@v$committed", SparkSession.active,
-        s"$workspace/$t", committed)
+        s"$workspace/$t", committed, pinned = false)
     else if (graft.operators.Sinks.thinBase(SparkSession.active,
         s"$workspace/$t", committed).isDefined)
       thinTable(t, committed, deletable = true)
@@ -235,8 +236,6 @@ class SnapshotCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshot tables are unpartitioned (a version is one immutable folder)")
     if (dirEntries().exists(_.equalsIgnoreCase(ident.name())))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace() :+ ident.name())
@@ -245,10 +244,47 @@ class SnapshotCatalog extends TableCatalog
       s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name " +
         "prefix (dropped-column tombstones)")
     val spark = SparkSession.active
-    graft.operators.Sinks.writeSnapshot(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      s"$workspace/${ident.name()}"): Unit
+    if (partitions.nonEmpty) {
+      // CREATE TABLE ... PARTITIONED BY (days(ts)|hours(ts)|months(ts)|
+      // bucket(n, c)) → an EMPTY partitioned snapshot v=1 (r18): the
+      // hidden-layout version protocol, SQL-native from birth — INSERT
+      // INTO then appends fenced O(touched) versions. Identity layouts
+      // keep routing to the partitioned workspace catalog (their hive
+      // value re-attachment needs the live-table reader).
+      require(partitions.length == 1 &&
+          Set("days", "hours", "months", "bucket").contains(
+            partitions(0).name()),
+        "snapshot tables take exactly one hidden transform — " +
+          "days(ts)/hours(ts)/months(ts)/bucket(n, col); identity layouts " +
+          "route to the partitioned workspace catalog, and an unpartitioned " +
+          "snapshot version is one immutable folder")
+      val t = partitions(0)
+      require(t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+        s"partition transforms must reference one top-level column, got $t")
+      val pc = t.references()(0).fieldNames()(0)
+      val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
+        throw new IllegalArgumentException(s"partition column $pc not in schema"))
+      val spec = t.name() match {
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs a literal bucket count, got $t"))
+          s"bucket:$n:${f.name}"
+        case kind => s"$kind:${f.name}"
+      }
+      PartitionedSnapshot.writePartitioned(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        s"$workspace/${ident.name()}", spec): Unit
+    } else
+      graft.operators.Sinks.writeSnapshot(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        s"$workspace/${ident.name()}"): Unit
     loadTable(ident)
   }
 
@@ -278,12 +314,8 @@ class SnapshotCatalog extends TableCatalog
   private def alterTableLocked(ident: Identifier, dir: String,
                                changes: Seq[TableChange]): Table = {
     val spark = SparkSession.active
-    if (PartitionedSnapshot.partSpec(spark, dir).isDefined)
-      throw new UnsupportedOperationException(
-        s"${ident.name()} is a PARTITIONED snapshot (layout artifact) — " +
-          "ALTER is not supported there; evolve by republishing " +
-          "(PartitionedSnapshot.writePartitioned), or route evolving " +
-          "tables to the flat snapshot / partitioned workspace catalogs")
+    PartitionedSnapshot.partSpec(spark, dir).foreach(spec =>
+      return alterPartitioned(ident, dir, spec, changes))
     val committed = graft.operators.Sinks.snapshotCommitted(spark, dir)
       .getOrElse(throw new IllegalStateException(
         s"no committed snapshot for ${ident.name()}"))
@@ -448,6 +480,139 @@ class SnapshotCatalog extends TableCatalog
             keys.map(k => if (k.equalsIgnoreCase(from)) to else k))
       }
     }
+    loadTable(ident)
+  }
+
+  /** METADATA-ONLY schema evolution for PARTITIONED snapshots (r18, the
+    * q249/q250 matrix on the versioned hidden-layout store): ADD / RENAME /
+    * widening ALTER COLUMN TYPE / DROP all land in `_partschema.json`
+    * alone — no version folder is touched. Safe because every data file
+    * carries parquet FIELD IDS (stamped at `writePartitioned`) and every
+    * read — SQL scan, maintenance, change diff — resolves columns by id:
+    * a renamed column keeps matching old files, and a DROP + re-ADD of
+    * the same name takes a FRESH id (the dropped field stays in the
+    * sidecar as a `__dropped_<id>` tombstone), so old bytes null-fill
+    * rather than resurrect. Pinned `VERSION AS OF` reads below the ALTER
+    * keep their version's own `_pinschema.json` — history is immutable,
+    * including its shape. The PARTITION SOURCE column is immutable by
+    * name AND type: its name feeds the level derivation and its values
+    * are baked into every directory (the workspace guardrail, q250). */
+  private def alterPartitioned(ident: Identifier, dir: String, spec: String,
+                               changes: Seq[TableChange]): Table = {
+    val spark = SparkSession.active
+    val sourceCol = spec.split(':').last
+    def requireNotSource(name: String, what: String): Unit =
+      if (name.equalsIgnoreCase(sourceCol))
+        throw new UnsupportedOperationException(
+          s"$what $name: it is the partition source column of " +
+            s"${ident.name()} — the level derivation and every directory " +
+            "on disk bind it; republish (writePartitioned) to change the axis")
+    val current = PartitionedSnapshot.declaredSchema(spark, dir)
+    def idStamped = current.fields.nonEmpty &&
+      current.fields.forall(_.metadata.contains("parquet.field.id"))
+    def liveNames(s: StructType): Array[String] = s.fieldNames
+      .filterNot(_.startsWith(WorkspaceCatalog.DroppedPrefix))
+    val evolved = changes.foldLeft(current) {
+      case (schema, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "partitioned snapshots are flat; nested ADD COLUMN is not supported")
+        require(add.isNullable,
+          "added columns must be nullable (pinned history has no value for them)")
+        require(add.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported (added columns " +
+            "append; files on disk are never reshaped)")
+        val name = add.fieldNames()(0)
+        require(!name.startsWith(WorkspaceCatalog.DroppedPrefix),
+          s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name " +
+            "prefix (dropped-column tombstones)")
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"column $name already exists in ${ident.name()}")
+        // max over the FULL sidecar including tombstones: a reused id
+        // would resolve the dropped column's old bytes as the new column
+        val meta =
+          if (!idStamped) org.apache.spark.sql.types.Metadata.empty
+          else new org.apache.spark.sql.types.MetadataBuilder().putLong(
+            "parquet.field.id",
+            schema.fields.map(_.metadata.getLong("parquet.field.id")).max + 1L
+          ).build()
+        schema.add(org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true, meta))
+      case (schema, ren: TableChange.RenameColumn) =>
+        require(ren.fieldNames().length == 1,
+          "partitioned snapshots are flat; nested RENAME COLUMN is not supported")
+        if (!idStamped)
+          throw new UnsupportedOperationException(
+            s"RENAME COLUMN needs parquet field ids on ${ident.name()} " +
+              "(tables written by writePartitioned carry them); republish " +
+              "to adopt them")
+        val from = ren.fieldNames()(0)
+        requireNotSource(from, "cannot RENAME")
+        val to = ren.newName()
+        require(!to.startsWith(WorkspaceCatalog.DroppedPrefix) &&
+            !from.startsWith(WorkspaceCatalog.DroppedPrefix),
+          s"'${WorkspaceCatalog.DroppedPrefix}' is a reserved column-name " +
+            "prefix (dropped-column tombstones)")
+        if (!schema.fieldNames.exists(_.equalsIgnoreCase(from)))
+          throw new IllegalArgumentException(
+            s"no column $from in ${ident.name()}")
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(to)))
+          throw new IllegalArgumentException(
+            s"column $to already exists in ${ident.name()}")
+        StructType(schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+      case (schema, upd: TableChange.UpdateColumnType) =>
+        require(upd.fieldNames().length == 1,
+          "partitioned snapshots are flat; nested ALTER COLUMN is not supported")
+        val fn = upd.fieldNames()(0)
+        // the source column's VALUES feed the path derivation — a width
+        // change could re-derive differently (bucket hashes by type)
+        requireNotSource(fn, "cannot ALTER TYPE of")
+        val f = schema.fields
+          .find(x => x.name.equalsIgnoreCase(fn) &&
+            !x.name.startsWith(WorkspaceCatalog.DroppedPrefix))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column $fn in ${ident.name()}"))
+        val to = upd.newDataType()
+        if (!SnapshotCatalog.widens(f.dataType, to))
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN ${f.name} TYPE ${to.simpleString}: only lossless " +
+              "WIDENINGS (tinyint/smallint/int->bigint, float->double, " +
+              "decimal precision growth at the same scale) are " +
+              s"metadata-only; ${f.dataType.simpleString} -> " +
+              s"${to.simpleString} would reinterpret pinned history — " +
+              "evolve by publishing new versions")
+        StructType(schema.fields.map(x =>
+          if (x.name.equalsIgnoreCase(f.name)) x.copy(dataType = to) else x))
+      case (schema, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          "partitioned snapshots are flat; nested DROP COLUMN is not supported")
+        if (!idStamped)
+          throw new UnsupportedOperationException(
+            s"DROP COLUMN needs parquet field ids on ${ident.name()} " +
+              "(tables written by writePartitioned carry them); republish " +
+              "to adopt them")
+        val dn = del.fieldNames()(0)
+        requireNotSource(dn, "cannot DROP")
+        val df = schema.fields
+          .find(f => f.name.equalsIgnoreCase(dn) &&
+            !f.name.startsWith(WorkspaceCatalog.DroppedPrefix))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column $dn in ${ident.name()}"))
+        require(liveNames(schema).length > 1,
+          s"cannot drop the last column of ${ident.name()}")
+        val id = df.metadata.getLong("parquet.field.id")
+        StructType(schema.fields.map(f =>
+          if (f eq df) f.copy(name = s"${WorkspaceCatalog.DroppedPrefix}$id")
+          else f))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"partitioned snapshots support ALTER TABLE ADD COLUMN, RENAME " +
+            s"COLUMN, DROP COLUMN and widening ALTER COLUMN TYPE only (got " +
+            s"${other.getClass.getSimpleName}); anything else would " +
+            "reinterpret pinned history — evolve by publishing new versions")
+    }
+    PartitionedSnapshot.declareSchema(spark, dir, evolved)
     loadTable(ident)
   }
 

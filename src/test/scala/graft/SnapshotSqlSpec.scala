@@ -907,16 +907,29 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(!dropped.contains(1), s"expire dropped a carried-from folder: $dropped")
     assert(dropped.contains(2), s"expire kept the droppable v=2: $dropped")
     assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 31)
-    // the SQL surface stays read-only with guidance via capabilities
+    // row-level SQL DML stays refused (route to the keyed snapshot /
+    // partitioned workspace catalogs)
     intercept[Throwable] {
       spark.sql(s"DELETE FROM $cat.ps WHERE id = 3")
     }
-    // ALTER refuses with guidance (the generic snapshot ALTER path would
-    // misread a carry-only version folder)
-    val ea = intercept[Throwable] {
-      spark.sql(s"ALTER TABLE $cat.ps ADD COLUMN extra INT")
+    // INSERT INTO is SQL-native (r18): one fenced O(touched) append version
+    spark.sql(s"INSERT INTO $cat.ps VALUES " +
+      "(200, TIMESTAMP '2024-05-04 01:00:00', 'sqlins')")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ps").first().getLong(0) == 32)
+    assert(Sinks.snapshotCommitted(spark, dir).contains(4))
+    // INSERT OVERWRITE refuses at analysis (no truncate capability —
+    // a full rewrite is the explicit writePartitioned)
+    val eo = intercept[Throwable] {
+      spark.sql(s"INSERT OVERWRITE $cat.ps SELECT * FROM $cat.ps LIMIT 1")
     }
-    assert(ea.getMessage.contains("PARTITIONED snapshot"), ea.getMessage)
+    assert(eo.getMessage.contains("does not support truncate"), eo.toString)
+    // metadata-only ALTER ADD (r18): head null-fills, pinned shape kept
+    spark.sql(s"ALTER TABLE $cat.ps ADD COLUMN extra INT")
+    assert(spark.sql(s"SELECT extra FROM $cat.ps").collect()
+      .forall(_.isNullAt(0)))
+    assert(!spark.sql(s"SELECT * FROM $cat.ps VERSION AS OF 4")
+      .columns.contains("extra"),
+      "pinned pre-ALTER version must keep its own shape")
   }
 
   test("partitioned snapshots: row-level deleteRowsWhere rewrites only " +
