@@ -31,18 +31,25 @@ import org.apache.spark.sql.functions._
   *    feed; [[discontinuities]] lets a consumer detect it and re-sync.
   *  - compaction / respec / manifest enable: no logical change, no feed.
   *
-  * Atomicity & crash contract: change rows are STAGED (a dot-prefixed
+  * Atomicity & crash contract (r18 — the landing-crash window is now
+  * REPAIRED, VERDICT r17 next #5): change rows are STAGED (a dot-prefixed
   * sibling inside the feed root) while the statement's pre-image is still
-  * live, and renamed in — one directory rename, all-or-nothing — strictly
-  * AFTER the data publish succeeds. A crash between the publish and the
-  * feed rename loses that statement's feed entry (the snapshot CDF's
-  * documented landing-crash window; here there is no `_deletes` artifact
-  * to re-derive from, so the loss is permanent — consumers needing
-  * airtight delivery should route through the snapshot catalog's keyed
-  * feed). A failed statement never lands feed rows: staging is dropped on
-  * every abort path. Feed landing is NON-FATAL post-publish — the
-  * statement's own result is already live, so a feed filesystem error is
-  * logged, never rethrown into a statement Spark already applied. */
+  * live. The data publish then writes a `.pending_<tag>` JOURNAL — inside
+  * [[PartitionedWorkspaceTable.publishPartitioned]], strictly AFTER every
+  * staged leaf moved in (the statement IS live) and BEFORE the parked
+  * pre-image copies delete — and the feed entry renames in last. A crash
+  * anywhere between the publish and the feed rename therefore leaves the
+  * journal + staged rows behind, and the next locked load/statement lands
+  * the entry EXACTLY ONCE ([[repairPending]]: the staged dir's existence
+  * is the idempotency arbiter — once renamed, only the journal remains
+  * and is dropped). A crash BEFORE the journal (statement never fully
+  * published; per-partition repair may roll it back) leaves journal-less
+  * staging debris that the repair age-gates away — a feed entry for a
+  * statement that did not land is never fabricated. A failed statement
+  * never lands feed rows: staging AND journal are dropped on every abort
+  * path. Feed landing is NON-FATAL post-publish — the statement's own
+  * result is already live, so a feed filesystem error is logged and left
+  * to the repair, never rethrown into a statement Spark already applied. */
 object PartitionChangeFeed {
 
   val ChangeCol = "_change_type"
@@ -91,8 +98,33 @@ object PartitionChangeFeed {
     else { fs.delete(tmp, true): Unit; None }
   }
 
-  /** Rename the staged entry in — strictly AFTER the data publish.
-    * Non-fatal by design (see class scaladoc). */
+  /** One statement's journal tag: the staged dir's unique suffix. */
+  private def tagOf(staged: Path): String =
+    staged.getName.stripPrefix(".staging_")
+
+  private def journalPath(dir: String, tag: String): Path =
+    new Path(feedRoot(dir), s".pending_$tag")
+
+  /** "The statement IS published; its feed entry must land": written by
+    * the publish strictly after every staged leaf moved in and before the
+    * parked pre-image copies delete. Complete-or-absent (temp+rename). */
+  private[sources] def journalPublished(spark: SparkSession, dir: String,
+                                        staged: Option[Path]): Unit =
+    staged.foreach { tmp =>
+      val j = journalPath(dir, tagOf(tmp))
+      val fs = fsOf(spark, j)
+      val t = new Path(j.getParent,
+        s".${j.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(t, true)
+      try out.write(tmp.getName.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(t, j))
+        throw new IllegalStateException(s"feed journal rename to $j failed")
+    }
+
+  /** Rename the staged entry in and retire its journal — strictly AFTER
+    * the data publish. Non-fatal by design: on failure the JOURNAL
+    * remains, and the next locked load lands the entry ([[repairPending]])
+    * instead of losing it. */
   private[sources] def commitStaged(spark: SparkSession, dir: String,
                                     staged: Option[Path]): Unit =
     staged.foreach { tmp =>
@@ -101,12 +133,13 @@ object PartitionChangeFeed {
           s"c${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}")
         if (!fsOf(spark, tmp).rename(tmp, dest))
           throw new IllegalStateException(s"feed rename $tmp -> $dest failed")
+        fsOf(spark, tmp).delete(journalPath(dir, tagOf(tmp)), false): Unit
       } catch {
         case scala.util.control.NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"change-feed landing for $dir failed AFTER the statement " +
-              "published; the statement's result is live but its feed entry " +
-              "is lost — downstream consumers of this statement must re-sync", e)
+              "published; the statement's result is live and its journal " +
+              "remains — the next locked load repairs the entry in", e)
       }
     }
 
@@ -115,7 +148,58 @@ object PartitionChangeFeed {
     staged.foreach { tmp =>
       val fs = fsOf(spark, tmp)
       if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+      // a journal without its staged dir is inert (repair just drops it),
+      // but don't leave even that behind on a clean abort
+      fs.delete(new Path(tmp.getParent, s".pending_${tagOf(tmp)}"), false): Unit
     }
+
+  /** Any `.pending_*` journals awaiting repair? One probe + one listing,
+    * only on feed-enabled tables (the feed root's existence gates it). */
+  private[sources] def hasPending(spark: SparkSession, dir: String): Boolean = {
+    val root = feedRoot(dir)
+    val fs = fsOf(spark, root)
+    fs.exists(root) && fs.listStatus(root).exists(
+      _.getPath.getName.startsWith(".pending_"))
+  }
+
+  /** Land every journaled-but-unrenamed feed entry EXACTLY ONCE and clear
+    * crash debris. MUST run under the table's DML statement lock (all
+    * call sites: [[PartitionedWorkspaceTable.repairRetiredPartitions]]).
+    *
+    *  - journal + staged dir present → the statement published but its
+    *    feed rename was lost: rename it in, drop the journal;
+    *  - journal alone → the rename landed, the journal delete crashed:
+    *    drop the journal (the staged dir's absence proves delivery —
+    *    exactly-once);
+    *  - journal-less `.staging_*` older than `graceMs` → a statement that
+    *    crashed BEFORE publishing (or pre-journal): its feed must never
+    *    land; age-gated because a LIVE claims-mode statement stages its
+    *    feed before re-taking the table lock this repair runs under. */
+  private[sources] def repairPending(spark: SparkSession, dir: String,
+                                     graceMs: Long = 24L * 3600 * 1000): Unit = {
+    val root = feedRoot(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).toSeq
+    val journaled = scala.collection.mutable.Set.empty[String]
+    entries.filter(_.getPath.getName.startsWith(".pending_")).foreach { j =>
+      val tag = j.getPath.getName.stripPrefix(".pending_")
+      journaled += s".staging_$tag"
+      val staged = new Path(root, s".staging_$tag")
+      if (fs.exists(staged)) {
+        val dest = new Path(root, s"c${System.currentTimeMillis()}_$tag")
+        if (!fs.rename(staged, dest))
+          throw new IllegalStateException(
+            s"feed repair: rename $staged -> $dest failed")
+      }
+      fs.delete(j.getPath, false): Unit
+    }
+    val now = System.currentTimeMillis()
+    entries.filter(st => st.getPath.getName.startsWith(".staging_") &&
+        !journaled(st.getPath.getName) &&
+        now - st.getModificationTime > graceMs)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
 
   /** INSERT OVERWRITE discontinuity marker (see class scaladoc). */
   private[sources] def markRewrite(spark: SparkSession, dir: String): Unit = {

@@ -94,11 +94,14 @@ object PartitionCompaction {
         val iso = WorkspaceDml.isolatedSession(spark,
           "spark.sql.parquet.fieldId.read.enabled" -> "true")
         val rows: DataFrame =
-          if (tbl.hasHidden)
+          if (tbl.hasHidden && levels.length == 1)
             iso.read.schema(tbl.fileSchema).parquet(frag.map(_._2): _*)
           else
-            iso.read.option("basePath", dir.toString).schema(declared)
-              .parquet(frag.map(_._2): _*)
+            // identity and MIXED layouts re-attach identity values from
+            // the directory names (readHive's shared rule); the pure
+            // hidden case reads files directly (source column in files)
+            PartitionedWorkspace.readHive(iso, dir.toString, declared,
+              levels, frag.map(_._2))
         val staging = tbl.stagingPath()
         // a STAGING failure aborts with the table untouched — drop our
         // half-written staging; a PUBLISH failure must LEAVE staging and

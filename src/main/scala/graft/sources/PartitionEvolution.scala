@@ -135,12 +135,11 @@ object PartitionEvolution {
         if (oldLevels.isEmpty) iso.read.schema(declared).parquet(dir.toString)
         else if (oldLevels.forall(_.inSchema))
           iso.read.schema(declared).parquet(dir.toString) // hive inference
-        else {
-          val leaves = PartitionManifest.leafDirsOf(f, dir)
-          if (leaves.isEmpty) iso.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-          else iso.read.schema(declared).parquet(leaves.map(_.toString): _*)
-        }
+        else
+          // hidden or MIXED old layout: leaf-dir reads with identity
+          // values re-attached (shared rule — readHive)
+          PartitionedWorkspace.readHive(iso, dir.toString, declared,
+            oldLevels, PartitionManifest.leafDirsOf(f, dir).map(_.toString))
 
       // canonicalize for the NEW spec: identity partition columns LAST in
       // spec order; field metadata (parquet ids) preserved. Per-kind

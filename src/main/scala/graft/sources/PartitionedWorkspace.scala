@@ -233,23 +233,29 @@ private[sources] object PartitionedWorkspace {
     java.time.LocalDate.of(1970, 1, 1).plusMonths(m).toEpochDay
 
   /** Marker grammar → partition levels (shared by the catalog, the respec
-    * and compaction): `"a,b"` nested identity, `"days:c"`, `"hours:c"`,
-    * `"months:c"`, `"bucket:<n>:<c>"`, `""` flat. */
+    * and compaction): comma-nested level segments, each an identity column
+    * name or one hidden transform — `"a,b"` nested identity, `"days:c"`,
+    * `"hours:c"`, `"months:c"`, `"bucket:<n>:<c>"`, and since r18 the
+    * standard production-lake MIX `"src,days:ts"` (identity levels over
+    * ONE hidden transform, hidden last); `""` flat. Composition rules are
+    * [[validateLevels]]'s. */
   def levelsOf(marker: String, declared: StructType): Seq[PartLevel] = {
     def isDate(c: String) = declared(c).dataType == DateType
     if (marker.isEmpty) Nil
-    else if (marker.startsWith("days:")) {
-      val c = marker.stripPrefix("days:"); Seq(DaysLevel(c, isDate(c)))
-    } else if (marker.startsWith("hours:"))
-      Seq(HoursLevel(marker.stripPrefix("hours:")))
-    else if (marker.startsWith("months:")) {
-      val c = marker.stripPrefix("months:"); Seq(MonthsLevel(c, isDate(c)))
-    } else if (marker.startsWith("bucket:")) {
-      val parts = marker.split(':')
-      require(parts.length == 3 && parts(1).toIntOption.exists(_ > 0),
-        s"bad bucket marker '$marker' (want bucket:<n>:<col>)")
-      Seq(BucketLevel(parts(2), parts(1).toInt))
-    } else marker.split(',').toSeq.map(c => IdentityLevel(c.trim))
+    else marker.split(',').toSeq.map(_.trim).map { seg =>
+      if (seg.startsWith("days:")) {
+        val c = seg.stripPrefix("days:"); DaysLevel(c, isDate(c))
+      } else if (seg.startsWith("hours:"))
+        HoursLevel(seg.stripPrefix("hours:"))
+      else if (seg.startsWith("months:")) {
+        val c = seg.stripPrefix("months:"); MonthsLevel(c, isDate(c))
+      } else if (seg.startsWith("bucket:")) {
+        val parts = seg.split(':')
+        require(parts.length == 3 && parts(1).toIntOption.exists(_ > 0),
+          s"bad bucket marker '$seg' (want bucket:<n>:<col>)")
+        BucketLevel(parts(2), parts(1).toInt)
+      } else IdentityLevel(seg)
+    }
   }
 
   /** The marker text for one hidden level (inverse of [[levelsOf]]). */
@@ -261,9 +267,22 @@ private[sources] object PartitionedWorkspace {
     case BucketLevel(c, n) => s"bucket:$n:$c"
   }
 
-  /** Source-column type validation for every level kind — shared by the
-    * table constructor, CREATE TABLE and the respec. */
-  def validateLevels(declared: StructType, levels: Seq[PartLevel]): Unit =
+  /** Source-column type and COMPOSITION validation — shared by the table
+    * constructor, CREATE TABLE and the respec. Levels are identity
+    * columns optionally nesting ONE hidden transform as the LAST (finest)
+    * level: `identity*[, hidden]`. A hidden level above an identity one
+    * would bury the hive value re-attachment mid-path for no layout
+    * benefit, and two hidden levels of one axis never prune better than
+    * the finer one alone. */
+  def validateLevels(declared: StructType, levels: Seq[PartLevel]): Unit = {
+    require(levels.count(!_.inSchema) <= 1,
+      "at most one hidden transform (days/hours/months/bucket) per table")
+    require(levels.dropRight(1).forall(_.inSchema),
+      "the hidden transform must be the LAST partition level " +
+        "(identity levels nest above it: 'src,days:ts')")
+    require(levels.map(_.sourceCol.toLowerCase).distinct.length ==
+        levels.length,
+      "duplicate partition source columns")
     levels.foreach { l =>
       val fd = declared.fields.find(_.name.equalsIgnoreCase(l.sourceCol))
         .getOrElse(throw new IllegalArgumentException(
@@ -282,6 +301,46 @@ private[sources] object PartitionedWorkspace {
           s"bucket(n, col) needs an int/bigint column, got ${fd.dataType}")
       }
     }
+  }
+
+  /** The extra read-schema column a MIXED layout's partition inference
+    * needs: Spark refuses a user schema missing an on-disk partition dir
+    * name, so the hidden level's synthetic path column joins the inner
+    * schema (as the long the directory values parse to) and the
+    * projection drops it — readers never see it. */
+  private[sources] def innerReadSchema(declared: StructType,
+                                       levels: Seq[PartLevel]): StructType =
+    levels.filterNot(_.inSchema).foldLeft(declared)((s, h) =>
+      s.add(org.apache.spark.sql.types.StructField(h.pathName, LongType)))
+
+  /** Read hive-laid-out `paths` as FULL table rows under any level
+    * composition — the one re-attachment rule every V1 read shares:
+    *
+    *  - identity-only: `basePath` partition discovery re-attaches the
+    *    identity values with declared types;
+    *  - single hidden: leaf dirs read directly (the source column lives
+    *    in the files; no identity value to re-attach);
+    *  - MIXED (r18): `basePath` discovery re-attaches identity values AND
+    *    parses the synthetic hidden dir through [[innerReadSchema]], which
+    *    the final projection drops (metadata — field ids — preserved). */
+  private[sources] def readHive(iso: SparkSession, basePath: String,
+                                declared: StructType, levels: Seq[PartLevel],
+                                paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    if (paths.isEmpty)
+      return iso.createDataFrame(
+        iso.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    val hasHidden = levels.exists(!_.inSchema)
+    if (!hasHidden)
+      iso.read.option("basePath", basePath).schema(declared).parquet(paths: _*)
+    else if (levels.length == 1)
+      iso.read.schema(declared).parquet(paths: _*)
+    else
+      iso.read.option("basePath", basePath)
+        .schema(innerReadSchema(declared, levels)).parquet(paths: _*)
+        .select(declared.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .as(f.name, f.metadata)): _*)
+  }
 
   /** Partition value → canonical path fragment value (pre-escaping). */
   def valueString(v: Any): String = v match {
@@ -491,10 +550,8 @@ private[sources] class PartitionedWorkspaceTable(
   with SupportsDelete with SupportsRowLevelOperations {
 
   require(levels.nonEmpty, "at least one partition level")
-  require(levels.forall(_.inSchema) ||
-      (levels.length == 1 && !levels.head.inSchema),
-    "partition spec must be identity columns, or exactly one hidden " +
-      "transform (days/hours/months/bucket) — mixing is not supported")
+  // composition (identity* nesting at most one hidden transform, hidden
+  // LAST — the r18 mixed grammar) is validateLevels' rule below
 
   private[sources] val identityCols: Seq[String] =
     levels.collect { case IdentityLevel(c) => c }
@@ -566,6 +623,34 @@ private[sources] class PartitionedWorkspaceTable(
     if (!hasHidden)
       ParquetTable(tableName, spark, opts, Seq(dir), Some(declaredFull),
         classOf[ParquetFileFormat]).newScanBuilder(opts)
+    else if (levels.length > 1) {
+      // MIXED identity + hidden layout (r18): prune leaf dirs through
+      // EVERY level's mayMatch (source + date predicates each drop whole
+      // directories), then serve with basePath partition discovery so the
+      // identity values re-attach; the synthetic hidden dir rides the
+      // inner read schema, which column pruning never requests (Spark
+      // prunes to the TABLE schema — the synthetic column is not in it)
+      val withBase = new java.util.HashMap[String, String](
+        opts.asCaseSensitiveMap())
+      withBase.put("basePath", dir): Unit
+      val baseOpts = new CaseInsensitiveStringMap(withBase)
+      val stats = PartitionManifest.statsCols(fsOf(new Path(dir)), dir)
+      new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
+        tableName, spark,
+        PartitionedWorkspace.innerReadSchema(declaredFull, levels), baseOpts,
+        filters => {
+          val dirs = leafDirsWithValues().collect {
+            case (path, vals) if levels.zip(vals).forall { case (l, v) =>
+                filters.forall(l.mayMatch(_, v)) } =>
+              path
+          }
+          if (stats.isEmpty) dirs
+          else dirs.flatMap { p =>
+            PartitionManifest.prunedFiles(spark, new Path(p), filters)
+              .getOrElse(Seq(p))
+          }
+        })
+    }
     else levels.head match {
       case BucketLevel(keyCol, n) =>
         // bucket layout: a KEY-GROUPED reporting scan — one tagged split
@@ -640,13 +725,8 @@ private[sources] class PartitionedWorkspaceTable(
     * in the files). */
   private[sources] def readFull(): DataFrame =
     if (!hasHidden) idSpark.read.schema(declaredFull).parquet(dir)
-    else {
-      val leaves = leafDirsWithValues().map(_._1)
-      if (leaves.isEmpty)
-        idSpark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
-      else idSpark.read.schema(declaredFull).parquet(leaves: _*)
-    }
+    else PartitionedWorkspace.readHive(idSpark, dir, declaredFull, levels,
+      leafDirsWithValues().map(_._1))
 
   /** Relative leaf paths present in a staging dir (the statement's WRITE
     * set — for publish-time claim acquisition). */
@@ -662,13 +742,8 @@ private[sources] class PartitionedWorkspaceTable(
     val leaves =
       if (!f.exists(staging)) Nil
       else walkLeaves(staging, f).map(_._1)
-    if (leaves.isEmpty)
-      idSpark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
-    else if (!hasHidden)
-      idSpark.read.option("basePath", staging.toString).schema(declaredFull)
-        .parquet(leaves: _*)
-    else idSpark.read.schema(declaredFull).parquet(leaves: _*)
+    PartitionedWorkspace.readHive(
+      idSpark, staging.toString, declaredFull, levels, leaves)
   }
 
   private[sources] def stagedRels(staging: Path): Seq[String] = {
@@ -775,6 +850,10 @@ private[sources] class PartitionedWorkspaceTable(
         // anything left under the root is stale copies (originals exist)
         f.delete(st.getPath, true): Unit
       }
+    // feed-entry repair rides the same locked pass (r18): land any
+    // journaled-but-unrenamed change entries exactly once, age out
+    // journal-less staging debris (see PartitionChangeFeed.repairPending)
+    PartitionChangeFeed.repairPending(spark, dir)
   }
 
   /** [[repairRetiredPartitions]] for paths that do NOT already hold the
@@ -788,7 +867,9 @@ private[sources] class PartitionedWorkspaceTable(
     if (!f.exists(root)) return
     val debris = f.listStatus(root).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith(".retired_"))
-    if (!debris) return
+    // a publish-vs-feed-rename crash leaves NO parked debris — only the
+    // feed journal; it still needs the locked repair pass (r18)
+    if (!debris && !PartitionChangeFeed.hasPending(spark, dir)) return
     val lock =
       try WorkspaceDmlLock.acquire(spark, dir)
       catch { case _: java.util.ConcurrentModificationException => return }
@@ -812,7 +893,8 @@ private[sources] class PartitionedWorkspaceTable(
     * NO partitions) retires nothing — staged directories, if any, are
     * MERGE INSERT rows for a zero-match target and still append. */
   private[sources] def publishPartitioned(staging: Path,
-                                          readRels: Option[Seq[String]]): Unit = {
+                                          readRels: Option[Seq[String]],
+                                          feedStaged: Option[Path] = None): Unit = {
     val f = fsOf(staging)
     // heartbeat before any leaf is parked: the statement's SCAN may have
     // outlived the lock grace, and a stale-broken lock during the rename
@@ -882,9 +964,15 @@ private[sources] class PartitionedWorkspaceTable(
         }
       }
     }
-    // point of no return passed: every staged partition is live — retired
-    // copies and staging scaffolding delete last (a failure here leaves
-    // only ignorable debris that repair/janitors clear)
+    // point of no return passed: every staged partition is live. The
+    // feed JOURNAL lands exactly here (r18) — after the statement is
+    // fully published, before the parked pre-image copies delete — so a
+    // crash between this publish and the feed rename is repairable
+    // (PartitionChangeFeed.repairPending lands the entry exactly once)
+    feedStaged.foreach(fp =>
+      PartitionChangeFeed.journalPublished(spark, dir, Some(fp)))
+    // retired copies and staging scaffolding delete last (a failure here
+    // leaves only ignorable debris that repair/janitors clear)
     if (f.exists(park)) f.delete(park, true): Unit
     f.delete(staging, true): Unit
     spark.catalog.refreshByPath(dir)
@@ -1051,13 +1139,7 @@ private[sources] class PartitionedWorkspaceTable(
     * stay alive with declared types; hidden layouts read leaves directly
     * (the source column is in the files). */
   private[sources] def readLeaves(paths: Seq[String]): DataFrame =
-    if (paths.isEmpty)
-      idSpark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredFull)
-    else if (!hasHidden)
-      idSpark.read.option("basePath", dir).schema(declaredFull)
-        .parquet(paths: _*)
-    else idSpark.read.schema(declaredFull).parquet(paths: _*)
+    PartitionedWorkspace.readHive(idSpark, dir, declaredFull, levels, paths)
 
   private def deleteWhereScoped(filters: Array[sources.Filter],
                                 candidates: Seq[(String, Seq[String])],
@@ -1207,12 +1289,29 @@ private class PartitionScopedScan(table: PartitionedWorkspaceTable,
 
   private def innerScan(paths: Seq[String]): Scan = {
     if (table.hasHidden) {
-      val opts = new CaseInsensitiveStringMap(
-        java.util.Map.of("spark.sql.parquet.fieldId.read.enabled", "true"))
       val leaves =
         if (paths.nonEmpty) paths
         else table.leafDirsWithValues().map(_._1)
       if (leaves.isEmpty) return new EmptyPartitionScan(table)
+      if (table.levels.length > 1) {
+        // MIXED layout (r18): identity values re-attach via basePath
+        // discovery; the synthetic hidden dir needs its inner-schema
+        // column, pruned right back out so readSchema stays the table row
+        val opts = new CaseInsensitiveStringMap(
+          java.util.Map.of("basePath", table.tableDir,
+            "spark.sql.parquet.fieldId.read.enabled", "true"))
+        val b = ParquetTable(s"${table.name}__cowscan", SparkSession.active,
+          opts, leaves,
+          Some(PartitionedWorkspace.innerReadSchema(
+            table.declaredSchemaFull, table.levels)),
+          classOf[ParquetFileFormat]).newScanBuilder(opts)
+        b.asInstanceOf[org.apache.spark.sql.connector.read
+          .SupportsPushDownRequiredColumns]
+          .pruneColumns(table.declaredSchemaFull)
+        return b.build()
+      }
+      val opts = new CaseInsensitiveStringMap(
+        java.util.Map.of("spark.sql.parquet.fieldId.read.enabled", "true"))
       ParquetTable(s"${table.name}__cowscan", SparkSession.active, opts,
         leaves, Some(table.declaredSchemaFull), classOf[ParquetFileFormat])
         .newScanBuilder(opts).build()
@@ -1418,7 +1517,7 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
       WorkspaceDmlLock.refresh(spark, table.tableDir)
       val feed = stageFeed()
       try {
-        table.publishPartitioned(staging, op.readRels)
+        table.publishPartitioned(staging, op.readRels, feed)
         PartitionChangeFeed.commitStaged(spark, table.tableDir, feed)
       } catch { case t: Throwable =>
         PartitionChangeFeed.abortStaged(spark, feed); throw t
@@ -1436,8 +1535,15 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
       // the feed-diff job; the verify at publish remains the arbiter
       WorkspaceDmlLock.refreshClaims(spark, claims, claimToken)
       val feed = stageFeed()
-      lock = WorkspaceDmlLock.acquireWait(spark, table.tableDir)
-      lockHeld = true
+      // a lock-wait timeout here would otherwise strand the staged feed
+      // entry as permanent .staging_* debris (no janitor covers the feed
+      // root) — abort it on ANY throw before the publish try below owns it
+      try {
+        lock = WorkspaceDmlLock.acquireWait(spark, table.tableDir)
+        lockHeld = true
+      } catch { case t: Throwable =>
+        PartitionChangeFeed.abortStaged(spark, feed); throw t
+      }
       try {
         // a grace-broken-and-retaken claim aborts BEFORE heartbeating (the
         // refresh must never extend the NEW holder's file) and before any
@@ -1448,7 +1554,7 @@ private class PartitionedCowBatchWrite(table: PartitionedWorkspaceTable,
         if (extra.nonEmpty)
           claims = claims ++ WorkspaceDmlLock.acquireClaims(
             spark, table.tableDir, extra, claimToken)
-        table.publishPartitioned(staging, op.readRels)
+        table.publishPartitioned(staging, op.readRels, feed)
         PartitionChangeFeed.commitStaged(spark, table.tableDir, feed)
       } catch { case t: Throwable =>
         PartitionChangeFeed.abortStaged(spark, feed); throw t

@@ -293,52 +293,43 @@ class WorkspaceCatalog extends TableCatalog
       t.references()(0).fieldNames()(0)
     }
     val hiddenNames = Set("days", "hours", "months", "bucket")
-    val isHidden = partitions.forall(t => hiddenNames.contains(t.name()))
-    val isIdentity = partitions.forall(_.name() == "identity")
-    require(isHidden || isIdentity,
-      "workspace tables support identity partition columns or exactly one " +
-        "days(ts)/hours(ts)/months(ts)/bucket(n, col) transform, got " +
+    require(partitions.forall(t =>
+        t.name() == "identity" || hiddenNames.contains(t.name())),
+      "workspace tables support identity partition columns, one " +
+        "days(ts)/hours(ts)/months(ts)/bucket(n, col) transform, or the " +
+        "mixed 'identity..., hidden' nesting (hidden LAST), got " +
         partitions.mkString(", "))
-    val (canonical, marker) =
-      if (isHidden) {
-        require(partitions.length == 1,
-          "exactly one hidden transform (days/hours/months/bucket) is supported")
-        val t = partitions(0)
-        val pc = oneRef(t)
-        val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
-          throw new IllegalArgumentException(s"partition column $pc not in schema"))
-        val isDate = f.dataType == org.apache.spark.sql.types.DateType
-        val level: PartLevel = t.name() match {
-          case "days" => DaysLevel(f.name, isDate)
-          case "hours" => HoursLevel(f.name)
-          case "months" => MonthsLevel(f.name, isDate)
-          case "bucket" =>
-            val n = t.arguments().collectFirst {
-              case l: org.apache.spark.sql.connector.expressions.Literal[_]
-                  if l.value().isInstanceOf[Number] =>
-                l.value().asInstanceOf[Number].intValue()
-            }.getOrElse(throw new IllegalArgumentException(
-              s"bucket transform needs a literal bucket count, got $t"))
-            BucketLevel(f.name, n)
-        }
-        PartitionedWorkspace.validateLevels(schema, Seq(level))
-        (schema, PartitionedWorkspace.markerOf(level))
-      } else {
-        val pcs = partitions.map(oneRef).toSeq
-        require(pcs.map(_.toLowerCase).distinct.length == pcs.length,
-          "duplicate partition columns")
-        val pfs = pcs.map(pc =>
-          schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
-            throw new IllegalArgumentException(s"partition column $pc not in schema")))
-        pfs.foreach(f => require(
-          Seq(org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.LongType).contains(f.dataType),
-          s"partition column must be string/int/long, got ${f.dataType}"))
-        (StructType(schema.fields.filterNot(fd =>
-          pcs.exists(_.equalsIgnoreCase(fd.name))) ++ pfs),
-          pfs.map(_.name).mkString(","))
+    // each declared transform → one level, in declaration order; the
+    // composition rules (at most ONE hidden, hidden LAST, no duplicate
+    // sources) are validateLevels' — shared with the marker parse
+    val levels: Seq[PartLevel] = partitions.toSeq.map { t =>
+      val pc = oneRef(t)
+      val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
+        throw new IllegalArgumentException(s"partition column $pc not in schema"))
+      val isDate = f.dataType == org.apache.spark.sql.types.DateType
+      t.name() match {
+        case "identity" => IdentityLevel(f.name)
+        case "days" => DaysLevel(f.name, isDate)
+        case "hours" => HoursLevel(f.name)
+        case "months" => MonthsLevel(f.name, isDate)
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs a literal bucket count, got $t"))
+          BucketLevel(f.name, n)
       }
+    }
+    PartitionedWorkspace.validateLevels(schema, levels)
+    val idCols = levels.collect { case IdentityLevel(c) => c }
+    // canonical hive order: IDENTITY columns last, in level order (hidden
+    // sources are plain data columns and keep their declared position)
+    val canonical = StructType(
+      schema.fields.filterNot(fd => idCols.exists(_.equalsIgnoreCase(fd.name))) ++
+        idCols.flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c))))
+    val marker = levels.map(PartitionedWorkspace.markerOf).mkString(",")
     val stamped = stampFieldIds(canonical)
     val dir = tablePath(ident.name())
     fs(dir).mkdirs(dir): Unit
@@ -449,13 +440,12 @@ class WorkspaceCatalog extends TableCatalog
     // through PartitionEvolution.repartition. Identity partition columns
     // MAY widen (their values live in directory names, which parse under
     // the declared type — no byte is reinterpreted).
-    val partCols: Set[String] = partMarker.toSeq.flatMap { m =>
-      if (m.startsWith("days:") || m.startsWith("hours:") ||
-          m.startsWith("months:"))
-        Seq(m.substring(m.indexOf(':') + 1))
-      else if (m.startsWith("bucket:")) Seq(m.split(':').last)
-      else m.split(',').toSeq.map(_.trim)
-    }.map(_.toLowerCase).toSet
+    // segment-wise marker parse (the r18 MIXED grammar: 'src,days:ts'):
+    // every level's SOURCE column is layout-baked, identity or hidden
+    val partCols: Set[String] = partMarker.toSeq.flatMap(
+      _.split(',').toSeq.map(_.trim).map(seg =>
+        if (seg.contains(":")) seg.split(':').last else seg))
+      .map(_.toLowerCase).toSet
     def requireNotPartitionCol(name: String, what: String): Unit =
       if (partCols.contains(name.toLowerCase))
         throw new UnsupportedOperationException(
@@ -582,12 +572,14 @@ class WorkspaceCatalog extends TableCatalog
             "rewrite via CREATE TABLE ... AS for anything else")
     }
     // restore canonical hive order: IDENTITY partition columns stay LAST
-    // in partition order (hidden markers — days/hours/months/bucket, all
-    // ':'-bearing — have no schema-position constraint)
+    // in partition order (hidden segments — ':'-bearing — are plain data
+    // columns with no schema-position constraint; a MIXED marker's
+    // identity segments still reorder)
     val canonical = partMarker match {
-      case Some(m) if !m.contains(":") =>
-        val pcs = m.split(',').toSeq.map(_.trim)
-        StructType(
+      case Some(m) =>
+        val pcs = m.split(',').toSeq.map(_.trim).filterNot(_.contains(":"))
+        if (pcs.isEmpty) evolved
+        else StructType(
           evolved.fields.filterNot(f => pcs.exists(_.equalsIgnoreCase(f.name))) ++
             pcs.flatMap(pc => evolved.fields.find(_.name.equalsIgnoreCase(pc))))
       case _ => evolved
@@ -608,10 +600,20 @@ class WorkspaceCatalog extends TableCatalog
         val mapped = cols.map(c => renamePairs.foldLeft(c) { case (n, (f, t)) =>
           if (n.equalsIgnoreCase(f)) t else n })
         if (mapped != cols) {
-          val out = fs(mk).create(mk, true)
+          // temp + rename, like the sidecar: an in-place overwrite torn by
+          // a crash would leave a garbled marker silently corrupting the
+          // per-leaf manifest pruning opt-in (ADVICE r17)
+          val f = fs(mk)
+          val tmp = new org.apache.hadoop.fs.Path(mk.getParent,
+            s".${mk.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+          val out = f.create(tmp, true)
           try out.write(mapped.mkString(",")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          if (f.exists(mk)) f.delete(mk, false): Unit
+          if (!f.rename(tmp, mk))
+            throw new IllegalStateException(
+              s"stats-cols marker rename to $mk failed")
         }
       }
     }
