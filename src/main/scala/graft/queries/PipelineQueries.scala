@@ -7117,5 +7117,326 @@ object PipelineQueries {
         .withColumn("hour_pruned", lit(if (hourPruned) 1 else 0))
         .orderBy("grain", "event_id")
     }
+  ) ++ r18Faces
+
+  /** One (workspace, table) fixture name per (dir, call): snapshot-catalog
+    * workspaces register once per JVM, so per-invocation names keep reruns
+    * against other fixture dirs from colliding with immutable history. */
+  private def freshSnapName(dir: String, prefix: String): String =
+    prefix + "_" + java.lang.Long.toHexString(
+      new java.io.File(dir).getAbsolutePath.hashCode.toLong & 0xffffffffL) +
+      "_" + TakedownSeq.incrementAndGet()
+
+  // ---- r18: partitioned-snapshot SQL lifecycle, TVF routing, ALTER matrix,
+  // streaming ingest; mixed identity+hidden workspace layouts --------------
+  private def r18Faces: Seq[Q] = Seq(
+
+    // ---- snapshot × partitions: the SQL-NATIVE lifecycle (r18) --------------
+    // VERDICT r17 next #2: CREATE TABLE ... PARTITIONED BY (days(ts))
+    // publishes an empty v=1; each INSERT INTO is ONE fenced O(touched)
+    // appendRows version; the day drop stays the zero-copy carry commit;
+    // and `snapshot_history` classifies every version from its staged
+    // `_op` record with OWNED-dirs-only file footprints (a carry-only
+    // version reports 0 files — zero-copy, provable from SQL). The face
+    // pins the whole ledger on one hash: per-version operation, base,
+    // own-files-zero flag, and the VERSION AS OF row count.
+    Q("q257_partitioned_snapshot_sql_lifecycle", {
+      """WITH w AS (SELECT event_id, ts FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |a AS (SELECT * FROM w WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+        |drp AS (SELECT * FROM w
+        |        WHERE NOT (ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |                   AND ts < TIMESTAMP '2024-01-03 00:00:00'))
+        |SELECT 1 AS version, 'create' AS operation, -1 AS base_v,
+        |       1 AS own_zero, CAST(0 AS BIGINT) AS rows_at
+        |UNION ALL SELECT 2, 'append', 1, 0, (SELECT COUNT(*) FROM a)
+        |UNION ALL SELECT 3, 'append', 2, 0, (SELECT COUNT(*) FROM w)
+        |UNION ALL SELECT 4, 'drop_partitions', 3, 1,
+        |          (SELECT COUNT(*) FROM drp)
+        |ORDER BY version""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "pslh")
+      s.sql(s"""CREATE TABLE $cat.$tbl (event_id BIGINT, ts TIMESTAMP)
+               |PARTITIONED BY (days(ts))""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.$tbl
+               |SELECT event_id, ts FROM parquet.`$dir/events.parquet`
+               |WHERE ts < TIMESTAMP '2024-01-04 00:00:00'""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.$tbl
+               |SELECT event_id, ts FROM parquet.`$dir/events.parquet`
+               |WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+               |  AND ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)
+      graft.sources.PartitionedSnapshot.dropPartitions(s, s"$ws/$tbl", Seq(
+        graft.sources.PartitionedSnapshot.partitionValueOf(
+          s, s"$ws/$tbl", java.sql.Date.valueOf("2024-01-02")))): Unit
+      val counts = (1 to 4).map(v => v ->
+        s.sql(s"SELECT COUNT(*) FROM $cat.$tbl VERSION AS OF $v")
+          .first().getLong(0)).toMap
+      val rowsAt = counts.foldLeft(lit(0L)) { case (acc, (v, n)) =>
+        when(col("version") === v, lit(n)).otherwise(acc) }
+      s.sql(s"SELECT version, operation, base_version, files " +
+          s"FROM snapshot_history('$cat.$tbl')")
+        .select(col("version"), col("operation"),
+          coalesce(col("base_version"), lit(-1)).as("base_v"),
+          when(col("files") === 0, lit(1)).otherwise(lit(0)).as("own_zero"),
+          rowsAt.as("rows_at"))
+        .orderBy("version")
+    },
+
+    // ---- snapshot × partitions: table_changes TVF routing (r18) -------------
+    // VERDICT r17 next #3: the q256 metadata-driven diff, reachable from
+    // SQL — `table_changes('snap.t', 2, 4)` routes to `changesBetween`
+    // for partitioned handles ("the changes versions 2..4 made" =
+    // changesBetween(1, 4]). Statement mix mirrors q256 (zero-copy drop,
+    // day-scoped row delete, append); tvf_equals_api pins that the TVF
+    // result row-multiset-equals the API's.
+    Q("q258_partitioned_snapshot_table_changes", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |d2 AS (SELECT * FROM w
+        |       WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |         AND ts < TIMESTAMP '2024-01-03 00:00:00'),
+        |d4 AS (SELECT * FROM w
+        |       WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+        |         AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |         AND event_type = 'purchase'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid FROM w)
+        |SELECT 2 AS version, 'delete' AS change, event_type AS etype,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_ids, 1 AS tvf_equals_api
+        |FROM d2 GROUP BY event_type
+        |UNION ALL
+        |SELECT 3, 'delete', 'purchase', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(event_id) AS BIGINT), 1 FROM d4
+        |UNION ALL
+        |SELECT 4, 'insert', 'ins', CAST(1 AS BIGINT), nid, 1 FROM m
+        |ORDER BY version, change, etype""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "pstvf")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit                   // v1
+      graft.sources.PartitionedSnapshot.dropPartitions(s, tdir, Seq(
+        graft.sources.PartitionedSnapshot.partitionValueOf(
+          s, tdir, java.sql.Date.valueOf("2024-01-02")))): Unit        // v2
+      graft.sources.PartitionedSnapshot.deleteRowsWhere(s, tdir,
+        col("ts") >= lit("2024-01-04 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("event_type") === "purchase"): Unit                      // v3
+      val nid = ev.agg(max("event_id") + 1).first().getLong(0)
+      graft.sources.PartitionedSnapshot.appendRows(s, tdir,
+        s.sql(s"SELECT $nid AS event_id, " +
+          "TIMESTAMP '2024-01-05 12:00:00' AS ts, " +
+          "'ins' AS event_type")): Unit                                // v4
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_id", "ts", "event_type", "_change_type", "_version")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val viaTvf = s.sql(s"SELECT * FROM table_changes('$cat.$tbl', 2, 4)")
+      val equalsApi = canon(viaTvf) == canon(
+        graft.sources.PartitionedSnapshot.changesBetween(s, tdir, 1, 4))
+      viaTvf
+        .groupBy(col("_version").as("version"),
+          col("_change_type").as("change"), col("event_type").as("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+        .withColumn("tvf_equals_api", lit(if (equalsApi) 1 else 0))
+        .orderBy("version", "change", "etype")
+    },
+
+    // ---- snapshot × partitions: metadata-only ALTER matrix (r18) ------------
+    // VERDICT r17 next #4, the q249/q250 matrix on the versioned hidden
+    // layout: RENAME resolves pre-rename files by parquet field id
+    // (rename_ok rides the hash — values, not nulls), WIDEN serves old
+    // int32 files as BIGINT, DROP + re-ADD of the same name yields a
+    // FRESH field id (old bytes null-fill, never resurrect), an append
+    // after the matrix writes the evolved shape, pinned v=1 keeps its
+    // original columns (v1_shape), and every ALTER is metadata-only —
+    // v=1 bytes byte-identical by mtime+length (alter_intact).
+    Q("q259_partitioned_snapshot_alter", {
+      """WITH w AS (SELECT event_id, ts,
+        |                  CAST(event_id % 100 AS BIGINT) AS amount
+        |           FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid FROM w)
+        |SELECT event_id, amount, CAST(NULL AS VARCHAR) AS etype,
+        |       1 AS rename_ok, 1 AS v1_shape, 1 AS alter_intact
+        |FROM w
+        |UNION ALL
+        |SELECT nid, CAST(77 AS BIGINT), 'fresh', 1, 1, 1 FROM m
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "psalt")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-05 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("event_type"),
+          (col("event_id") % 100).cast("int").as("amount"))
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit                   // v1
+      val n = ev.count()
+      def v1Files: Set[(String, Long, Long)] = {
+        def walk(d: java.io.File): Seq[(String, Long, Long)] =
+          Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f0 =>
+            if (f0.isDirectory) walk(f0)
+            else Seq((f0.getAbsolutePath, f0.lastModified(), f0.length()))
+          }
+        walk(new java.io.File(s"$tdir/v=1")).toSet
+      }
+      val before = v1Files
+      // RENAME: pre-rename files must serve their VALUES under the new name
+      s.sql(s"ALTER TABLE $cat.$tbl RENAME COLUMN event_type TO etype")
+      val renameOk = s.sql(
+        s"SELECT COUNT(*) FROM $cat.$tbl WHERE etype IS NOT NULL")
+        .first().getLong(0) == n
+      // WIDEN: old int32 files serve as BIGINT
+      s.sql(s"ALTER TABLE $cat.$tbl ALTER COLUMN amount TYPE BIGINT")
+      // DROP + re-ADD the same name: fresh field id, old bytes null-fill
+      s.sql(s"ALTER TABLE $cat.$tbl DROP COLUMN etype")
+      s.sql(s"ALTER TABLE $cat.$tbl ADD COLUMN etype STRING")
+      // an append AFTER the matrix writes the evolved shape (one fenced
+      // O(touched) version)
+      val nid = ev.agg(max("event_id") + 1).first().getLong(0)
+      s.sql(s"INSERT INTO $cat.$tbl VALUES " +
+        s"($nid, TIMESTAMP '2024-01-02 12:00:00', 77, 'fresh')")
+      val v1Shape = s.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF 1")
+        .columns.toSeq == Seq("event_id", "ts", "event_type", "amount")
+      val intact = v1Files == before
+      s.sql(s"SELECT event_id, amount, etype FROM $cat.$tbl")
+        .withColumn("rename_ok", lit(if (renameOk) 1 else 0))
+        .withColumn("v1_shape", lit(if (v1Shape) 1 else 0))
+        .withColumn("alter_intact", lit(if (intact) 1 else 0))
+        .orderBy("event_id")
+    },
+
+    // ---- snapshot × partitions: STREAMING ingest (r18) ----------------------
+    // VERDICT r17 next #6, gated on the r18 claim fencing: a file-source
+    // stream lands each micro-batch as ONE fenced O(touched) appendRows
+    // version. Two AvailableNow runs against one checkpoint (the
+    // deterministic multi-batch discipline); a third run re-lands a
+    // duplicate of run 2's rows plus ONE new row — the replay-dedup
+    // anti-join (against only the batch's own partitions) keeps version
+    // history linear: exactly 4 versions (n_versions rides the hash), no
+    // duplicated rows.
+    Q("q260_partitioned_snapshot_stream_ingest", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid FROM w)
+        |SELECT event_id, event_type, 4 AS n_versions FROM w
+        |UNION ALL SELECT nid, 'late', 4 FROM m
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "psstr")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "event_type")
+      def day(d: Int) = ev.filter(
+        col("ts") >= lit(f"2024-01-0$d%d 00:00:00").cast("timestamp") &&
+          col("ts") < lit(f"2024-01-0${d + 1}%d 00:00:00").cast("timestamp"))
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(day(1), tdir, "days:ts"): Unit               // v1
+      val scratch = new graft.Session.Scratch
+      val watch = s"${scratch.dir}/watch260"
+      val chk = s"${scratch.dir}/chk260"
+      val schema = day(1).schema
+      def ingest(): Unit = graft.streaming.Streams.runPartitionedAppendSink(
+        s, chk, tdir, "event_id")(
+        s.readStream.schema(schema).parquet(watch))
+      graft.streaming.Streams.landFile(day(2), watch, "b1")
+      ingest()                                                         // v2
+      graft.streaming.Streams.landFile(day(3), watch, "b2")
+      ingest()                                                         // v3
+      // duplicate replay + one genuinely new row: dedup keeps only the row
+      val nid = ev.filter(col("ts") < lit("2024-01-04 00:00:00")
+        .cast("timestamp")).agg(max("event_id") + 1).first().getLong(0)
+      graft.streaming.Streams.landFile(
+        day(3).unionByName(s.sql(s"SELECT $nid AS event_id, " +
+          "TIMESTAMP '2024-01-03 23:00:00' AS ts, 'late' AS event_type")),
+        watch, "b3")
+      ingest()                                                         // v4
+      val nVersions = graft.operators.Sinks
+        .snapshotCommitted(s, tdir).getOrElse(0)
+      s.sql(s"SELECT event_id, event_type FROM $cat.$tbl")
+        .withColumn("n_versions", lit(nVersions))
+        .orderBy("event_id")
+    },
+
+    // ---- workspace: MIXED identity + hidden layout (r18) --------------------
+    // VERDICT r17 next #7: `PARTITIONED BY (event_type, days(ts))` — the
+    // standard production-lake nesting. The face pins: a source+date
+    // predicate PLANS exactly its one (source, day) cell (both_pruned
+    // rides the hash); a cell-pinned DELETE is partition-grained (every
+    // file outside its cell keeps its exact mtime+length — dml_intact);
+    // and identity values re-attach exactly (the result's event_type
+    // comes from directory names, hashed row-by-row against the oracle).
+    Q("q261_mixed_partition_layout", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+        |SELECT event_id, event_type, 1 AS both_pruned, 1 AS dml_intact
+        |FROM w
+        |WHERE NOT (event_type = 'view'
+        |           AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |           AND ts < TIMESTAMP '2024-01-03 00:00:00')
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_rw"
+      val ws = ensureCatalog(s, cat, "graft.sources.WorkspaceCatalog")
+      s.sql(s"DROP TABLE IF EXISTS $cat.mxl")
+      s.sql(s"""CREATE TABLE $cat.mxl (event_id BIGINT, ts TIMESTAMP,
+               |event_type STRING)
+               |PARTITIONED BY (event_type, days(ts))""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.mxl
+               |SELECT event_id, ts, event_type
+               |FROM parquet.`$dir/events.parquet`
+               |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)
+      val day2 = java.time.LocalDate.of(2024, 1, 4).toEpochDay
+      def q = s.sql(s"SELECT event_id FROM $cat.mxl WHERE " +
+        "event_type = 'purchase' AND " +
+        "ts >= TIMESTAMP '2024-01-04 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-05 00:00:00'")
+      val planned = plannedFiles(q)
+      val bothPruned = planned.nonEmpty && planned.forall(p =>
+        p.contains("event_type=purchase") && p.contains(s"ts_day=$day2"))
+      val tdir = s"$ws/mxl.parquet"
+      val before = fileTreeStamps(s, tdir)
+      s.sql(s"DELETE FROM $cat.mxl WHERE event_type = 'view' AND " +
+        "ts >= TIMESTAMP '2024-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-03 00:00:00'")
+      val after = fileTreeStamps(s, tdir)
+      val cell = s"event_type=view/ts_day=${java.time.LocalDate
+        .of(2024, 1, 2).toEpochDay}"
+      val dmlIntact = before.filterNot(_._1.contains(cell))
+        .forall { case (p, st) => after.get(p).contains(st) }
+      s.sql(s"SELECT event_id, event_type FROM $cat.mxl")
+        .withColumn("both_pruned", lit(if (bothPruned) 1 else 0))
+        .withColumn("dml_intact", lit(if (dmlIntact) 1 else 0))
+        .orderBy("event_id")
+    }
   )
+
+  /** (path → (mtime, length)) of every data file under `path`,
+    * recursively — the untouched-cell probe of the mixed-layout face. */
+  private def fileTreeStamps(s: org.apache.spark.sql.SparkSession,
+                             path: String): Map[String, (Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(s.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path): Seq[(String, (Long, Long))] =
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory && !st.getPath.getName.startsWith("."))
+          walk(st.getPath)
+        else if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          Seq(st.getPath.toString -> ((st.getModificationTime, st.getLen)))
+        else Nil
+      }
+    walk(root).toMap
+  }
 }

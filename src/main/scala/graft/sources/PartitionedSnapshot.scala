@@ -594,6 +594,28 @@ object PartitionedSnapshot {
     }
   }
 
+  /** The CURRENT head restricted to the partitions `df`'s rows land in —
+    * the streaming sink's replay-dedup read
+    * ([[graft.streaming.Streams.runPartitionedAppendSink]]):
+    * O(touched partitions + batch), never the table. */
+  private[graft] def readTouchedFor(spark: SparkSession, tableDir: String,
+                                    df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val live = liveSchema(spark, tableDir)
+    val level = levelOf(spark, tableDir)
+    val touched: Set[String] = df
+      .select(level.deriveColumn(col(level.sourceCol)).as("__p"))
+      .distinct().collect()
+      .map(r => PartitionedWorkspace.valueString(r.get(0))).toSet
+    val committed = graft.operators.Sinks
+      .snapshotCommittedStable(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $tableDir"))
+    readDirsAs(spark, tableDir, live,
+      resolvedPartitions(spark, tableDir, committed)
+        .filter(e => touched(e._1)).map(_._2))
+  }
+
   /** Read a version (committed pointer when None): the resolved partition
     * dirs under the version's serving schema — its own pinned shape for an
     * explicit version, the table's live schema for the head. */

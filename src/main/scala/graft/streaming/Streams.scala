@@ -217,6 +217,36 @@ object Streams {
     query.awaitTermination()
   }
 
+  /** Streaming ingest into a PARTITIONED SNAPSHOT (r18, VERDICT r17 next
+    * #6): each micro-batch lands as ONE fenced
+    * [[graft.sources.PartitionedSnapshot.appendRows]] version — O(touched
+    * partitions + batch), atomic pointer commit, claim-fenced against
+    * concurrent writers. Exactly-once without a side ledger via the q220
+    * thin-upsert discipline: effective rows = the batch anti-joined (by
+    * `keyCol`) against the CURRENT head restricted to the batch's own
+    * partitions, so a REPLAYED batch finds its keys already present and
+    * publishes NOTHING (version history untouched under replay) and an
+    * empty delta publishes nothing. */
+  def runPartitionedAppendSink(s: SparkSession, chk: String, tableDir: String,
+                               keyCol: String)(build: => DataFrame): Unit = {
+    val query = build.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val existing = graft.sources.PartitionedSnapshot
+          .readTouchedFor(batch.sparkSession, tableDir, batch.toDF())
+          .select(col(keyCol))
+        val eff = batch.join(existing, Seq(keyCol), "left_anti")
+          .localCheckpoint() // evaluated twice: emptiness probe + publish
+        if (!eff.isEmpty)
+          graft.sources.PartitionedSnapshot.appendRows(
+            batch.sparkSession, tableDir, eff): Unit
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** One AvailableNow pass over a snapshot table's CHANGE DATA FEED
     * ([[graft.operators.Sinks.enableChangeFeed]]): the feed directory is a
     * plain parquet FILE STREAM — Spark's own source provides exactly-once
