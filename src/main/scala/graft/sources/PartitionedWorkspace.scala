@@ -1066,6 +1066,10 @@ private[sources] class PartitionedWorkspaceTable(
                   catch { case t: Throwable =>
                     PartitionChangeFeed.abortStaged(spark, staged); throw t
                   }
+                  // the append IS the publish here — journal right after
+                  // it lands so a crash before the feed rename repairs in
+                  // (the loss window shrinks to two metadata ops)
+                  PartitionChangeFeed.journalPublished(spark, dir, staged)
                   PartitionChangeFeed.commitStaged(spark, dir, staged)
                 }
                 // an empty insert appends nothing and feeds nothing
@@ -1225,7 +1229,7 @@ private[sources] class PartitionedWorkspaceTable(
         }
         WorkspaceDmlLock.refreshClaims(spark, paths)
       }
-      publishPartitioned(staging, Some(touched.map(relOf)))
+      publishPartitioned(staging, Some(touched.map(relOf)), feed)
       PartitionChangeFeed.commitStaged(spark, dir, feed)
     } catch { case t: Throwable =>
       PartitionChangeFeed.abortStaged(spark, feed); throw t
