@@ -7419,6 +7419,77 @@ object PipelineQueries {
         .withColumn("both_pruned", lit(if (bothPruned) 1 else 0))
         .withColumn("dml_intact", lit(if (dmlIntact) 1 else 0))
         .orderBy("event_id")
+    },
+
+    // ---- snapshot × partitions: INCREMENTAL CHANGES CONSUMER (r18) ----------
+    // The q236-style consumer contract completes on the partitioned
+    // versioned store: `Streams.collectPartitionedChanges` polls
+    // `changesBetween(lastSeen, committed]` against a tiny atomic
+    // version-checkpoint file — each pass reads ONLY the steps committed
+    // since the previous pass (and within each step only the partitions
+    // whose physical path changed). Pass 1 sees exactly the zero-copy
+    // drop's rows, pass 2 exactly the row-delete + append, pass 3 (no new
+    // commits) consumes ZERO steps (pass3_empty rides the hash) — the
+    // offset-commit-after-output discipline on versioned date-sharded
+    // data.
+    Q("q262_partitioned_snapshot_changes_consumer", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |d2 AS (SELECT * FROM w
+        |       WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |         AND ts < TIMESTAMP '2024-01-03 00:00:00'),
+        |d4 AS (SELECT * FROM w
+        |       WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+        |         AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |         AND event_type = 'purchase'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid FROM w)
+        |SELECT 1 AS run, 2 AS version, 'delete' AS change,
+        |       event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_ids, 1 AS pass3_empty
+        |FROM d2 GROUP BY event_type
+        |UNION ALL
+        |SELECT 2, 3, 'delete', 'purchase', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(event_id) AS BIGINT), 1 FROM d4
+        |UNION ALL
+        |SELECT 2, 4, 'insert', 'ins', CAST(1 AS BIGINT), nid, 1 FROM m
+        |ORDER BY run, version, change, etype""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "pscons")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit                   // v1
+      val scratch = new graft.Session.Scratch
+      val chk = s"${scratch.dir}/chk262"
+      val out = s"${scratch.dir}/out262"
+      graft.sources.PartitionedSnapshot.dropPartitions(s, tdir, Seq(
+        graft.sources.PartitionedSnapshot.partitionValueOf(
+          s, tdir, java.sql.Date.valueOf("2024-01-02")))): Unit        // v2
+      graft.streaming.Streams.collectPartitionedChanges(
+        s, tdir, s"$chk/v", out, run = 1): Unit
+      graft.sources.PartitionedSnapshot.deleteRowsWhere(s, tdir,
+        col("ts") >= lit("2024-01-04 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("event_type") === "purchase"): Unit                      // v3
+      val nid = ev.agg(max("event_id") + 1).first().getLong(0)
+      graft.sources.PartitionedSnapshot.appendRows(s, tdir,
+        s.sql(s"SELECT $nid AS event_id, " +
+          "TIMESTAMP '2024-01-05 12:00:00' AS ts, " +
+          "'ins' AS event_type")): Unit                                // v4
+      graft.streaming.Streams.collectPartitionedChanges(
+        s, tdir, s"$chk/v", out, run = 2): Unit
+      val pass3 = graft.streaming.Streams.collectPartitionedChanges(
+        s, tdir, s"$chk/v", out, run = 3)
+      s.read.parquet(out)
+        .groupBy(col("run"), col("_version").as("version"),
+          col("_change_type").as("change"), col("event_type").as("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+        .withColumn("pass3_empty", lit(if (pass3 == 0) 1 else 0))
+        .orderBy("run", "version", "change", "etype")
     }
   )
 

@@ -247,6 +247,48 @@ object Streams {
     query.awaitTermination()
   }
 
+  /** Incremental consumer over a PARTITIONED SNAPSHOT's version history
+    * (r18): each call reads ONLY the steps committed since the tiny
+    * version-checkpoint file — `changesBetween(lastSeen, committed]`, the
+    * metadata-driven diff whose per-step cost is the CHANGED partitions,
+    * never the table — appends them tagged with `run` to `outDir`, then
+    * advances the checkpoint (temp + atomic rename). A crash before the
+    * checkpoint write replays the delta on the next run: the standard
+    * offset-commit-after-output at-least-once contract; dedup on
+    * (_version, row) where the sink needs exactly-once. Returns the number
+    * of version steps consumed. */
+  def collectPartitionedChanges(s: SparkSession, tableDir: String,
+                                checkpointFile: String, outDir: String,
+                                run: Int): Int = {
+    val cp = new org.apache.hadoop.fs.Path(checkpointFile)
+    val fs = cp.getFileSystem(s.sessionState.newHadoopConf())
+    val lastSeen =
+      if (!fs.exists(cp)) 1 // v=1 is the creating write: no change grain
+      else {
+        val in = fs.open(cp)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toInt
+        finally in.close()
+      }
+    val committed = graft.operators.Sinks.snapshotCommitted(s, tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $tableDir"))
+    if (committed <= lastSeen) return 0
+    graft.sources.PartitionedSnapshot
+      .changesBetween(s, tableDir, lastSeen, committed)
+      .withColumn("run", lit(run))
+      .write.mode("append").parquet(outDir)
+    val tmp = new org.apache.hadoop.fs.Path(cp.getParent,
+      s".${cp.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(cp.getParent): Unit
+    val out = fs.create(tmp, true)
+    try out.write(committed.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(cp)) fs.delete(cp, false): Unit
+    if (!fs.rename(tmp, cp))
+      throw new IllegalStateException(s"checkpoint rename to $cp failed")
+    committed - lastSeen
+  }
+
   /** One AvailableNow pass over a snapshot table's CHANGE DATA FEED
     * ([[graft.operators.Sinks.enableChangeFeed]]): the feed directory is a
     * plain parquet FILE STREAM — Spark's own source provides exactly-once
