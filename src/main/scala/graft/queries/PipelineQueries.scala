@@ -7490,6 +7490,89 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
         .withColumn("pass3_empty", lit(if (pass3 == 0) 1 else 0))
         .orderBy("run", "version", "change", "etype")
+    },
+
+    // ---- snapshot × partitions: bucket layout + ZERO-EXCHANGE SPJ (r18) -----
+    // Storage-partitioned joins reach the VERSIONED store's hidden bucket
+    // layout: a `bucket:8:user_id` partitioned snapshot serves one
+    // HasPartitionKey group per RESOLVED bucket dir — carries included,
+    // so after an appendRows the fact side's buckets physically span TWO
+    // version folders and the join STILL plans with no Exchange on either
+    // side (no_exchange rides the hash; a flat control join must
+    // shuffle). This is the q252 contract lifted onto versioned data:
+    // the exchange IS the join cost at 100 TB, and here time travel +
+    // O(touched) ingest keep it eliminated.
+    Q("q263_partitioned_snapshot_bucket_spj", {
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |prof AS (SELECT user_id, CONCAT('u', user_id) AS uname FROM u),
+        |w AS (SELECT event_id, user_id, event_type FROM events
+        |      WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid,
+        |             MIN(user_id) AS muid FROM w),
+        |f AS (SELECT * FROM w
+        |      UNION ALL SELECT nid, muid, 'late' FROM m)
+        |SELECT f.event_id, f.event_type, prof.uname,
+        |       1 AS no_exchange, 1 AS control_shuffles
+        |FROM f JOIN prof ON f.user_id = prof.user_id
+        |ORDER BY f.event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val fact = freshSnapName(dir, "psbf")
+      val dim = freshSnapName(dir, "psbd")
+      val flat = freshSnapName(dir, "psbc")
+      val w = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "user_id", "event_type")
+      val prof = w.select(col("user_id")).distinct()
+        .select(col("user_id"), concat(lit("u"), col("user_id")).as("uname"))
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(w, s"$ws/$fact", "bucket:8:user_id"): Unit    // v1
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(prof, s"$ws/$dim", "bucket:8:user_id"): Unit
+      graft.operators.Sinks.writeSnapshot(prof, s"$ws/$flat"): Unit
+      // the fact side takes an APPEND: its resolved buckets now span TWO
+      // version folders (touched bucket in v=2, the rest carried from v=1)
+      val Seq(nid, muid) = w.agg(max("event_id") + 1, min("user_id"))
+        .first().toSeq.map(_.asInstanceOf[Long]).toSeq
+      graft.sources.PartitionedSnapshot.appendRows(s, s"$ws/$fact",
+        s.sql(s"SELECT $nid AS event_id, $muid AS user_id, " +
+          "'late' AS event_type")): Unit                               // v2
+      val prev = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevB = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // plan-STRING probe (the q252 discipline): an unexecuted AQE plan
+        // is an AdaptiveSparkPlanExec wrapper whose children a tree
+        // collect cannot see — the string dump shows the initial plan
+        def hasExchange(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.executedPlan.toString.contains("Exchange")
+        def joined = s.sql(
+          s"""SELECT f.event_id, f.event_type, p.uname
+             |FROM $cat.$fact f JOIN $cat.$dim p
+             |ON f.user_id = p.user_id""".stripMargin)
+        val noExchange = !hasExchange(joined)
+        def control = s.sql(
+          s"""SELECT f.event_id, f.event_type, p.uname
+             |FROM $cat.$fact f JOIN $cat.$flat p
+             |ON f.user_id = p.user_id""".stripMargin)
+        val controlShuffles = hasExchange(control)
+        joined
+          .withColumn("no_exchange", lit(if (noExchange) 1 else 0))
+          .withColumn("control_shuffles", lit(if (controlShuffles) 1 else 0))
+          .orderBy("event_id")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        prevB match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
     }
   )
 

@@ -678,21 +678,61 @@ private[graft] class PartitionedSnapshotTable(
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap):
-      org.apache.spark.sql.connector.read.ScanBuilder = {
-    // field-id resolution for every SQL scan: a post-RENAME read must
-    // match old files' columns by id, and a DROP+re-ADD must null-fill
-    // rather than resurrect old bytes
-    val merged = new java.util.HashMap[String, String](
-      options.asCaseSensitiveMap())
-    merged.put("spark.sql.parquet.fieldId.read.enabled", "true"): Unit
-    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(merged)
-    new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
-      tableName, spark, declared, opts,
-      filters => PartitionedSnapshot
-        .resolvedPartitions(spark, tableDir, version)
-        .collect { case (v, rel) if filters.forall(level.mayMatch(_, v)) =>
-          s"$tableDir/$rel"
-        })
+      org.apache.spark.sql.connector.read.ScanBuilder = level match {
+    case BucketLevel(keyCol, n) =>
+      // KEY-GROUPED serving for bucket-partitioned snapshots (r18): the
+      // version's RESOLVED partition map (carries included — entries may
+      // span several version folders) becomes one HasPartitionKey group
+      // per bucket, reporting KeyGroupedPartitioning(bucket(n, key)) —
+      // two same-bucketed tables join with ZERO exchange on the VERSIONED
+      // store, and the layout provably survives appendRows/drops (each
+      // bucket stays exactly one directory wherever it physically lives).
+      // Equality predicates prune whole bucket dirs through the hash;
+      // filters stay residual (correctness never rides the prune) — the
+      // workspace bucket scan's exact discipline.
+      new org.apache.spark.sql.connector.read.ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        private var kept: Seq[(Int, String)] = PartitionedSnapshot
+          .resolvedPartitions(spark, tableDir, version)
+          .map { case (v, rel) =>
+            v.toIntOption.getOrElse(throw new IllegalStateException(
+              s"$tableName: non-numeric bucket partition value '$v' — " +
+                "the bucket layout is corrupt")) -> s"$tableDir/$rel"
+          }.sortBy(_._1)
+        private var required: StructType = declared
+        override def pushFilters(
+            fs: Array[org.apache.spark.sql.sources.Filter]):
+            Array[org.apache.spark.sql.sources.Filter] = {
+          kept = kept.filter { case (b, _) =>
+            fs.forall(level.mayMatch(_, b.toString)) }
+          fs
+        }
+        override def pushedFilters():
+            Array[org.apache.spark.sql.sources.Filter] = Array.empty
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = StructType(requiredSchema.fields.map(f =>
+            declared.fields.find(_.name.equalsIgnoreCase(f.name))
+              .getOrElse(f)))
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new BucketedScan(spark, tableName, tableDir, kept, required,
+            keyCol, n)
+      }
+    case _ =>
+      // field-id resolution for every SQL scan: a post-RENAME read must
+      // match old files' columns by id, and a DROP+re-ADD must null-fill
+      // rather than resurrect old bytes
+      val merged = new java.util.HashMap[String, String](
+        options.asCaseSensitiveMap())
+      merged.put("spark.sql.parquet.fieldId.read.enabled", "true"): Unit
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(merged)
+      new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
+        tableName, spark, declared, opts,
+        filters => PartitionedSnapshot
+          .resolvedPartitions(spark, tableDir, version)
+          .collect { case (v, rel) if filters.forall(level.mayMatch(_, v)) =>
+            s"$tableDir/$rel"
+          })
   }
 
   /** `INSERT INTO` → one fenced [[PartitionedSnapshot.appendRows]]

@@ -233,6 +233,48 @@ class PartitionedSnapshotCasSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
   }
 
+  test("bucket-partitioned snapshots serve KEY-GROUPED scans: the " +
+       "zero-exchange join survives appendRows (buckets spanning two " +
+       "version folders) and a zero-copy bucket drop") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val w = (0L until 200L).map(i => (i, i % 37, s"t$i"))
+      .toDF("event_id", "user_id", "v")
+    val prof = w.select(col("user_id")).distinct()
+      .select(col("user_id"), concat(lit("u"), col("user_id")).as("uname"))
+    PartitionedSnapshot.writePartitioned(
+      w, s"$ws/bf", "bucket:4:user_id"): Unit
+    PartitionedSnapshot.writePartitioned(
+      prof, s"$ws/bd", "bucket:4:user_id"): Unit
+    PartitionedSnapshot.appendRows(spark, s"$ws/bf",
+      Seq((1000L, 3L, "late")).toDF("event_id", "user_id", "v")): Unit
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k,
+      if (k.endsWith("Threshold")) "-1" else "true"))
+    try {
+      def j = spark.sql(s"SELECT f.event_id, p.uname FROM $cat.bf f " +
+        s"JOIN $cat.bd p ON f.user_id = p.user_id")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        j.queryExecution.executedPlan.toString.take(1500))
+      assert(j.count() == 201)
+      // zero-copy bucket drop: the carry-only version still joins
+      // exchange-free (pushPartValues covers the now-missing bucket)
+      PartitionedSnapshot.dropPartitions(spark, s"$ws/bf", Seq("1")): Unit
+      def j2 = spark.sql(s"SELECT f.event_id, p.uname FROM $cat.bf f " +
+        s"JOIN $cat.bd p ON f.user_id = p.user_id")
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+        j2.queryExecution.executedPlan.toString.take(1500))
+      val expected = w.filter(col("user_id") % 4 =!= 1).count() + 1
+      assert(j2.count() == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("metadata-only ALTER matrix on partitioned snapshots: rename " +
        "resolves old files by field id, widen serves old ints as longs, " +
        "drop + re-ADD never resurrects, pinned history keeps its shape") {
