@@ -91,10 +91,19 @@ object PartitionChangeFeed {
       if (fs.exists(tmp)) fs.delete(tmp, true): Unit
       throw t
     }
-    val hasRows = fs.listStatus(tmp).exists(st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
-    // an all-empty part set still carries footers; cheap row probe instead
-    if (hasRows && !spark.read.parquet(tmp.toString).isEmpty) Some(tmp)
+    // emptiness from the FOOTERS the write just produced — driver-side
+    // metadata reads over the statement's own (delta-sized) part files,
+    // not another Spark job per feeding statement (ADVICE r17 minor)
+    val conf = spark.sessionState.newHadoopConf()
+    val hasRows = fs.listStatus(tmp).exists { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0 && {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, conf))
+        try reader.getRecordCount > 0 finally reader.close()
+      }
+    }
+    if (hasRows) Some(tmp)
     else { fs.delete(tmp, true): Unit; None }
   }
 

@@ -151,6 +151,23 @@ class PartitionedSnapshotCasSpec extends AnyFunSuite {
       _.getPath.getName.startsWith(".psnap_staging_")), "staging debris")
   }
 
+  test("vacuumOrphans ages out crashed psnap staging debris; young " +
+       "staging survives") {
+    val (_, ws) = freshCatalog()
+    val dir = s"$ws/vac"
+    seed(dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(dir, ".psnap_staging_deadbeef")
+    val young = new org.apache.hadoop.fs.Path(dir, ".psnap_staging_f0e1d2c3")
+    f.mkdirs(old); f.mkdirs(young)
+    f.setTimes(old, 1000L, -1)
+    Sinks.vacuumOrphans(spark, dir, graceMs = 3600000L): Unit
+    assert(!f.exists(old), "aged staging debris survived vacuum")
+    assert(f.exists(young), "young (possibly live) staging was deleted")
+    f.delete(young, true): Unit
+  }
+
   test("SQL lifecycle: CREATE TABLE PARTITIONED BY days(ts) + INSERT INTO " +
        "+ snapshot_history with carry-aware footprints") {
     val (cat, ws) = freshCatalog()
