@@ -1978,16 +1978,26 @@ object Sinks {
       // footprint includes thin versions' delta subdirs (_upserts/_deletes)
       // — the version KIND this face classifies stores its bytes there —
       // and, for PARTITIONED snapshots, the hive leaf dirs the version
-      // OWNS (carried partitions live in — and are billed to — the folder
-      // that physically owns them; a zero-copy drop reports 0 files)
-      val dataFiles = fs.listStatus(dir).toSeq.flatMap { st =>
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(st)
-        else if (st.isDirectory &&
-            (st.getPath.getName.startsWith("_") || partitioned))
-          fs.listStatus(st.getPath).toSeq.filter(c =>
-            c.isFile && c.getPath.getName.endsWith(".parquet"))
-        else Nil
-      }
+      // OWNS, walked to any nesting depth (mixed `key:src,days:ts`
+      // layouts nest; carried partitions live in — and are billed to —
+      // the folder that physically owns them; a zero-copy drop reports
+      // 0 files)
+      def walkParquet(p: org.apache.hadoop.fs.Path):
+          Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(st)
+          else if (st.isDirectory) walkParquet(st.getPath)
+          else Nil
+        }
+      val dataFiles =
+        if (partitioned) walkParquet(dir)
+        else fs.listStatus(dir).toSeq.flatMap { st =>
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(st)
+          else if (st.isDirectory && st.getPath.getName.startsWith("_"))
+            fs.listStatus(st.getPath).toSeq.filter(c =>
+              c.isFile && c.getPath.getName.endsWith(".parquet"))
+          else Nil
+        }
       val (kind, operation, base) =
         if (partitioned)
           graft.sources.PartitionedSnapshot.versionMeta(spark, tableDir, v) match {

@@ -7573,6 +7573,75 @@ object PipelineQueries {
           case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         }
       }
+    },
+
+    // ---- snapshot × partitions: MIXED key+days layout (r18) -----------------
+    // The production-lake nesting on the VERSIONED store:
+    // `key:event_type,days:ts` — a `key:` level is identity-valued but its
+    // column STAYS IN THE FILES (cross-version leaf reads cannot re-attach
+    // hive values), so every single-level invariant lifts to (source, day)
+    // CELLS. The face pins: a source+date predicate PLANS exactly its one
+    // cell across version folders (both_pruned); dropping a cell is a
+    // ZERO-COPY carry commit (drop_zero_copy — v=2 holds no data file);
+    // an O(touched) append rewrites ONE cell while every other rides v=1
+    // byte-identically (v1_intact); pinned time travel serves the full
+    // pre-drop content (n_v1).
+    Q("q264_partitioned_snapshot_mixed_layout", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid FROM w),
+        |kept AS (SELECT * FROM w
+        |         WHERE NOT (event_type = 'purchase'
+        |                    AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |                    AND ts < TIMESTAMP '2024-01-04 00:00:00'))
+        |SELECT event_id, event_type, 1 AS both_pruned, 1 AS drop_zero_copy,
+        |       1 AS v1_intact, (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_v1
+        |FROM kept
+        |UNION ALL
+        |SELECT nid, 'late', 1, 1, 1,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) FROM m
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "psmx")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "key:event_type,days:ts"): Unit     // v1
+      val before = fileTreeStamps(s, s"$tdir/v=1")
+      val nV1 = ev.count()
+      // zero-copy CELL drop via the full leaf key
+      graft.sources.PartitionedSnapshot.dropPartitions(s, tdir, Seq(
+        graft.sources.PartitionedSnapshot.leafKeyOf(s, tdir, Seq(
+          "purchase", java.sql.Date.valueOf("2024-01-03"))))): Unit     // v2
+      val v2Empty = fileTreeStamps(s, s"$tdir/v=2").isEmpty
+      // O(touched cells) append
+      val nid = ev.agg(max("event_id") + 1).first().getLong(0)
+      graft.sources.PartitionedSnapshot.appendRows(s, tdir,
+        s.sql(s"SELECT $nid AS event_id, " +
+          "TIMESTAMP '2024-01-05 12:00:00' AS ts, " +
+          "'late' AS event_type")): Unit                                // v3
+      val v1Intact = fileTreeStamps(s, s"$tdir/v=1") == before
+      val day2 = java.time.LocalDate.of(2024, 1, 4).toEpochDay
+      def q = s.sql(s"SELECT event_id FROM $cat.$tbl WHERE " +
+        "event_type = 'click' AND " +
+        "ts >= TIMESTAMP '2024-01-04 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-05 00:00:00'")
+      val planned = plannedFiles(q)
+      val bothPruned = planned.nonEmpty && planned.forall(p =>
+        p.contains("event_type_key=click") && p.contains(s"ts_day=$day2"))
+      val nV1Read = s.sql(s"SELECT COUNT(*) FROM $cat.$tbl VERSION AS OF 1")
+        .first().getLong(0)
+      s.sql(s"SELECT event_id, event_type FROM $cat.$tbl")
+        .withColumn("both_pruned", lit(if (bothPruned) 1 else 0))
+        .withColumn("drop_zero_copy", lit(if (v2Empty) 1 else 0))
+        .withColumn("v1_intact",
+          lit(if (v1Intact && nV1Read == nV1) 1 else 0))
+        .withColumn("n_v1", lit(nV1Read))
+        .orderBy("event_id")
     }
   )
 

@@ -217,9 +217,12 @@ object PartitionEvolution {
         c
       case hidden =>
         val c = hidden.sourceCol
+        // no cast on the error branch: raise_error is NullType, which
+        // unifies with ANY derived type — a key: level derives the source
+        // column itself (possibly string), not an integral
         shaped = shaped.withColumn(hidden.pathName,
           when(col(c).isNull, raise_error(lit(
-            s"partitioned rewrite: NULL in partition source $c")).cast(LongType))
+            s"partitioned rewrite: NULL in partition source $c")))
             .otherwise(hidden.deriveColumn(col(c))))
         hidden.pathName
     }

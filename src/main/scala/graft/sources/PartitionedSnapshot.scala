@@ -153,10 +153,48 @@ object PartitionedSnapshot {
     }
   }
 
-  private[graft] def levelOf(spark: SparkSession, tableDir: String): PartLevel = {
+  private[graft] def levelsOf(spark: SparkSession,
+                              tableDir: String): Seq[PartLevel] = {
     val spec = partSpec(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"$tableDir is not a partitioned snapshot"))
-    PartitionedWorkspace.levelsOf(spec, declaredSchema(spark, tableDir)).head
+    PartitionedWorkspace.levelsOf(spec, declaredSchema(spark, tableDir))
+  }
+
+  /** One partition's MAP KEY: the bare path value for single-level tables
+    * (the r17 format — faces and carries depend on it), the leaf's full
+    * relative dir path (`src_key=a/ts_day=19723`) for MIXED layouts
+    * (unambiguous — components are hive-escaped). */
+  private def keyOf(levels: Seq[PartLevel], values: Seq[String]): String =
+    if (levels.lengthCompare(1) == 0) values.head
+    else levels.zip(values).map { case (l, v) =>
+      PartitionedWorkspace.partDirName(l.pathName, v)
+    }.mkString("/")
+
+  private def valuesOfKey(levels: Seq[PartLevel], key: String): Seq[String] =
+    if (levels.lengthCompare(1) == 0) Seq(key)
+    else key.split('/').toSeq.zip(levels).map { case (seg, l) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.stripPrefix(s"${l.pathName}="))
+    }
+
+  /** Can rows of the leaf carrying `key` satisfy `f`? Every level's
+    * source-column test must pass (conservative keep per level). */
+  private[graft] def leafMayMatchKey(levels: Seq[PartLevel], key: String,
+                                     f: org.apache.spark.sql.sources.Filter): Boolean =
+    levels.zip(valuesOfKey(levels, key)).forall { case (l, v) =>
+      l.mayMatch(f, v) }
+
+  /** The partition keys `df`'s rows land in — ONE distinct-derivation job
+    * over the batch, driver-bounded by the touched partition count. */
+  private def touchedKeysOf(levels: Seq[PartLevel],
+                            df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    val cols = levels.zipWithIndex.map { case (l, i) =>
+      l.deriveColumn(col(l.sourceCol)).as(s"__p$i") }
+    df.select(cols.toIndexedSeq: _*).distinct().collect()
+      .map(r => keyOf(levels, levels.indices.map(i =>
+        PartitionedWorkspace.valueString(r.get(i)))))
+      .toSet
   }
 
   private def writeSmall(spark: SparkSession, p: Path, txt: String): Unit = {
@@ -208,29 +246,41 @@ object PartitionedSnapshot {
     finally out.close()
   }
 
-  /** A version's OWNED leaf dirs: `<pathName>=<value>` children of v=N. */
+  /** A version's OWNED leaf dirs as (partition key → table-relative
+    * path): one `<pathName>=<value>` ring per level, walked levels-deep
+    * (one level for the r17 single-transform layout, nested for MIXED
+    * `key:src,days:ts` layouts). */
   private def ownedDirs(spark: SparkSession, tableDir: String, v: Int,
-                        pathName: String): Seq[(String, String)] = {
+                        levels: Seq[PartLevel]): Seq[(String, String)] = {
     val root = new Path(s"$tableDir/v=$v")
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pathName="))
-      .map { st =>
-        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(st.getPath.getName.substring(pathName.length + 1))
-        (value, s"v=$v/${st.getPath.getName}")
-      }
+    else {
+      def descend(base: Path, lvl: Int, vals: Seq[String],
+                  rel: String): Seq[(String, String)] =
+        if (lvl == levels.length) Seq((keyOf(levels, vals), s"v=$v$rel"))
+        else fs.listStatus(base).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(s"${levels(lvl).pathName}="))
+          .flatMap { st =>
+            val value = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(
+                st.getPath.getName.substring(levels(lvl).pathName.length + 1))
+            descend(st.getPath, lvl + 1, vals :+ value,
+              s"$rel/${st.getPath.getName}")
+          }
+      descend(root, 0, Nil, "")
+    }
   }
 
-  /** Version `v`'s full partition map: (value → table-relative path),
-    * owned dirs shadowing same-valued carries (they never coexist by
-    * construction, but owned-wins is the safe order). */
+  /** Version `v`'s full partition map: (partition key → table-relative
+    * path), owned dirs shadowing same-keyed carries (they never coexist
+    * by construction, but owned-wins is the safe order). */
   def resolvedPartitions(spark: SparkSession, tableDir: String,
                          v: Int): Seq[(String, String)] = {
-    val level = levelOf(spark, tableDir)
+    val levels = levelsOf(spark, tableDir)
     val carried = readCarry(spark, tableDir, v).toMap
-    val owned = ownedDirs(spark, tableDir, v, level.pathName).toMap
+    val owned = ownedDirs(spark, tableDir, v, levels).toMap
     (carried ++ owned).toSeq.sortBy(_._1)
   }
 
@@ -379,10 +429,13 @@ object PartitionedSnapshot {
     val spark = df.sparkSession
     val declared = stampFieldIds(df.schema)
     val levels = PartitionedWorkspace.levelsOf(spec, declared)
-    require(levels.length == 1 && !levels.head.inSchema,
-      "partitioned snapshots take exactly one hidden transform " +
-        "(days/hours/months/bucket); identity layouts route to the " +
-        "partitioned workspace catalog")
+    require(levels.nonEmpty && levels.forall(!_.inSchema),
+      "partitioned snapshots take hidden levels only — `key:<col>` " +
+        "identity-valued levels (the column stays in the files) over at " +
+        "most one days/hours/months/bucket transform, e.g. " +
+        "'key:src,days:ts'; bare identity columns route to the " +
+        "partitioned workspace catalog (their hive value re-attachment " +
+        "needs the live-table reader)")
     PartitionedWorkspace.validateLevels(declared, levels)
     partSpec(spark, tableDir) match {
       case Some(existing) => require(existing == spec,
@@ -453,32 +506,49 @@ object PartitionedSnapshot {
     }
 
   /** The level's path value of a source-column literal (driver-side), for
-    * building [[dropPartitions]] inputs from dates/timestamps/keys. */
+    * building [[dropPartitions]] inputs from dates/timestamps/keys.
+    * Single-level tables only — mixed layouts build full leaf keys with
+    * [[leafKeyOf]]. */
   def partitionValueOf(spark: SparkSession, tableDir: String,
-                       literal: Any): String =
-    levelOf(spark, tableDir).valueOfLiteral(literal).getOrElse(
+                       literal: Any): String = {
+    val ls = levelsOf(spark, tableDir)
+    require(ls.length == 1,
+      s"$tableDir is a MIXED layout — build a full leaf key with " +
+        "leafKeyOf(one literal per level)")
+    ls.head.valueOfLiteral(literal).getOrElse(
       throw new IllegalArgumentException(
         s"cannot map $literal onto the partition axis of $tableDir"))
+  }
+
+  /** A MIXED layout's full leaf key from one source-column literal per
+    * level (driver-side) — the [[dropPartitions]] input unit. */
+  def leafKeyOf(spark: SparkSession, tableDir: String,
+                literals: Seq[Any]): String = {
+    val ls = levelsOf(spark, tableDir)
+    require(ls.length == literals.length,
+      s"$tableDir has ${ls.length} partition levels " +
+        s"(${ls.map(_.pathName).mkString(", ")}); got ${literals.length} literals")
+    keyOf(ls, ls.zip(literals).map { case (l, x) =>
+      l.valueOfLiteral(x).getOrElse(throw new IllegalArgumentException(
+        s"cannot map $x onto ${l.pathName} of $tableDir"))
+    })
+  }
 
   /** O(touched partitions + batch) ingest: the partitions the batch lands
     * in are rewritten (old content ∪ new rows, clustered); every other
     * partition rides a carry entry into wherever it already lives. */
   def appendRows(spark: SparkSession, tableDir: String, df: DataFrame): Int = {
     val live = liveSchema(spark, tableDir)
-    val level = levelOf(spark, tableDir)
+    val levels = levelsOf(spark, tableDir)
     val shaped = df.select(live.fieldNames.map(
       org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    val touched: Set[String] = shaped
-      .select(level.deriveColumn(org.apache.spark.sql.functions.col(
-        level.sourceCol)).as("__p"))
-      .distinct().collect()
-      .map(r => PartitionedWorkspace.valueString(r.get(0))).toSet
+    val touched = touchedKeysOf(levels, shaped)
     retryFenced("appendRows", spark, tableDir) { (committed, staging) =>
       val current = resolvedPartitions(spark, tableDir, committed)
       val (old, carried) = current.partition(e => touched.contains(e._1))
       val oldRows = readDirsAs(spark, tableDir, live, old.map(_._2))
       PartitionEvolution.stageLayoutWrite(spark, oldRows.unionByName(shaped),
-        live, Seq(level), staging, targetRowsPerFile(spark))
+        live, levels, staging, targetRowsPerFile(spark))
       stageMeta(spark, staging, "append", Some(committed), live)
       writeCarry(spark, new Path(staging, "_carry"), carried)
       true
@@ -496,15 +566,13 @@ object PartitionedSnapshot {
     * snapshot catalog's thin deletes. */
   def deleteRowsWhere(spark: SparkSession, tableDir: String,
                       cond: org.apache.spark.sql.Column): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val live = liveSchema(spark, tableDir)
-    val level = levelOf(spark, tableDir)
+    val levels = levelsOf(spark, tableDir)
     retryFenced("deleteRowsWhere", spark, tableDir) { (committed, staging) =>
       val full = read(spark, tableDir, Some(committed))
-      val touchedVals: Set[String] = full.filter(coalesce(cond, lit(false)))
-        .select(level.deriveColumn(col(level.sourceCol)).as("__p"))
-        .distinct().collect()
-        .map(r => PartitionedWorkspace.valueString(r.get(0))).toSet
+      val touchedVals = touchedKeysOf(levels,
+        full.filter(coalesce(cond, lit(false))))
       if (touchedVals.isEmpty) false
       else {
         val current = resolvedPartitions(spark, tableDir, committed)
@@ -512,7 +580,7 @@ object PartitionedSnapshot {
         val survivors = readDirsAs(spark, tableDir, live, touched.map(_._2))
           .filter(!coalesce(cond, lit(false)))
         PartitionEvolution.stageLayoutWrite(
-          spark, survivors, live, Seq(level), staging, targetRowsPerFile(spark))
+          spark, survivors, live, levels, staging, targetRowsPerFile(spark))
         stageMeta(spark, staging, "delete_rows", Some(committed), live)
         writeCarry(spark, new Path(staging, "_carry"), carried)
         true
@@ -529,14 +597,14 @@ object PartitionedSnapshot {
     * `compactSnapshot*` refuses partitioned dirs toward this. */
   def compactTable(spark: SparkSession, tableDir: String): Int = {
     val live = liveSchema(spark, tableDir)
-    val level = levelOf(spark, tableDir)
+    val levels = levelsOf(spark, tableDir)
     retryFenced("compactTable", spark, tableDir) { (committed, staging) =>
       // read through the LIVE schema (not the version's pin): the rewrite
       // physically sheds dropped-column bytes and adopts renamed names
       val rows = readDirsAs(spark, tableDir, live,
         resolvedPartitions(spark, tableDir, committed).map(_._2))
       PartitionEvolution.stageLayoutWrite(
-        spark, rows, live, Seq(level), staging, targetRowsPerFile(spark))
+        spark, rows, live, levels, staging, targetRowsPerFile(spark))
       stageMeta(spark, staging, "compact", Some(committed), live)
       true
     }
@@ -600,13 +668,8 @@ object PartitionedSnapshot {
     * O(touched partitions + batch), never the table. */
   private[graft] def readTouchedFor(spark: SparkSession, tableDir: String,
                                     df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val live = liveSchema(spark, tableDir)
-    val level = levelOf(spark, tableDir)
-    val touched: Set[String] = df
-      .select(level.deriveColumn(col(level.sourceCol)).as("__p"))
-      .distinct().collect()
-      .map(r => PartitionedWorkspace.valueString(r.get(0))).toSet
+    val touched = touchedKeysOf(levelsOf(spark, tableDir), df)
     val committed = graft.operators.Sinks
       .snapshotCommittedStable(spark, tableDir)
       .getOrElse(throw new IllegalStateException(
@@ -653,19 +716,20 @@ private[graft] class PartitionedSnapshotTable(
 
   private lazy val declared = PartitionedSnapshot.servingSchema(
     spark, tableDir, if (pinned) Some(version) else None)
-  private lazy val level = PartitionedSnapshot.levelOf(spark, tableDir)
+  private lazy val levels = PartitionedSnapshot.levelsOf(spark, tableDir)
 
   override def name(): String = tableName
   override def schema(): StructType = declared
   override def partitioning():
       Array[org.apache.spark.sql.connector.expressions.Transform] =
-    Array(level match {
+    levels.map {
       case DaysLevel(c, _) => org.apache.spark.sql.connector.expressions.Expressions.days(c)
       case HoursLevel(c) => org.apache.spark.sql.connector.expressions.Expressions.hours(c)
       case MonthsLevel(c, _) => org.apache.spark.sql.connector.expressions.Expressions.months(c)
       case BucketLevel(c, n) => org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      case KeyLevel(c) => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
       case IdentityLevel(c) => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-    })
+    }.toArray
   override def capabilities():
       java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     if (pinned)
@@ -678,8 +742,8 @@ private[graft] class PartitionedSnapshotTable(
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap):
-      org.apache.spark.sql.connector.read.ScanBuilder = level match {
-    case BucketLevel(keyCol, n) =>
+      org.apache.spark.sql.connector.read.ScanBuilder = levels match {
+    case Seq(bl @ BucketLevel(keyCol, n)) =>
       // KEY-GROUPED serving for bucket-partitioned snapshots (r18): the
       // version's RESOLVED partition map (carries included — entries may
       // span several version folders) becomes one HasPartitionKey group
@@ -705,7 +769,7 @@ private[graft] class PartitionedSnapshotTable(
             fs: Array[org.apache.spark.sql.sources.Filter]):
             Array[org.apache.spark.sql.sources.Filter] = {
           kept = kept.filter { case (b, _) =>
-            fs.forall(level.mayMatch(_, b.toString)) }
+            fs.forall(bl.mayMatch(_, b.toString)) }
           fs
         }
         override def pushedFilters():
@@ -730,7 +794,8 @@ private[graft] class PartitionedSnapshotTable(
         tableName, spark, declared, opts,
         filters => PartitionedSnapshot
           .resolvedPartitions(spark, tableDir, version)
-          .collect { case (v, rel) if filters.forall(level.mayMatch(_, v)) =>
+          .collect { case (k, rel) if filters.forall(
+              PartitionedSnapshot.leafMayMatchKey(levels, k, _)) =>
             s"$tableDir/$rel"
           })
   }

@@ -140,6 +140,34 @@ private[sources] case class HoursLevel(col: String) extends PartLevel {
   }
 }
 
+/** `key:c` — an IDENTITY-VALUED level whose source column STAYS IN THE
+  * DATA FILES (r18): directory key `<c>_key=<value>`, derivation the
+  * column itself. What it exists for: the PARTITIONED SNAPSHOT store
+  * resolves leaves across version folders by direct file reads (no hive
+  * value re-attachment is possible over a cross-version dir list), so its
+  * "identity" axis must keep the column physically in the files — unlike
+  * the workspace's [[IdentityLevel]], whose values live only in directory
+  * names. Composes above one temporal/hash hidden level
+  * (`key:src,days:ts`) — the production-lake nesting on versioned data.
+  * Storage cost of the duplicated value is ~zero after dictionary/RLE. */
+private[sources] case class KeyLevel(col: String) extends PartLevel {
+  def pathName: String = s"${col}_key"
+  def sourceCol: String = col
+  def inSchema: Boolean = false
+  def valueOfLiteral(v: Any): Option[String] =
+    Option(v).map(PartitionedWorkspace.valueString)
+  def mayMatch(f: sources.Filter, v: String): Boolean =
+    PartitionedWorkspace.identityMayMatch(f, col, v)
+  def deriveColumn(c: Column): Column = c
+  def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
+    case StringType => r.getUTF8String(ord).toString
+    case IntegerType => r.getInt(ord).toString
+    case LongType => r.getLong(ord).toString
+    case tt => throw new IllegalStateException(
+      s"unsupported key partition type $tt")
+  }
+}
+
 /** `months(ts)` — the long-retention grain (r17): synthetic
   * `<ts>_month=<monthsSinceEpoch>` directories (UTC months — the same
   * fixed-UTC axis the days derivation uses). */
@@ -245,7 +273,9 @@ private[sources] object PartitionedWorkspace {
     else marker.split(',').toSeq.map(_.trim).map { seg =>
       if (seg.startsWith("days:")) {
         val c = seg.stripPrefix("days:"); DaysLevel(c, isDate(c))
-      } else if (seg.startsWith("hours:"))
+      } else if (seg.startsWith("key:"))
+        KeyLevel(seg.stripPrefix("key:"))
+      else if (seg.startsWith("hours:"))
         HoursLevel(seg.stripPrefix("hours:"))
       else if (seg.startsWith("months:")) {
         val c = seg.stripPrefix("months:"); MonthsLevel(c, isDate(c))
@@ -261,6 +291,7 @@ private[sources] object PartitionedWorkspace {
   /** The marker text for one hidden level (inverse of [[levelsOf]]). */
   def markerOf(l: PartLevel): String = l match {
     case IdentityLevel(c) => c
+    case KeyLevel(c) => s"key:$c"
     case DaysLevel(c, _) => s"days:$c"
     case HoursLevel(c) => s"hours:$c"
     case MonthsLevel(c, _) => s"months:$c"
@@ -275,11 +306,15 @@ private[sources] object PartitionedWorkspace {
     * benefit, and two hidden levels of one axis never prune better than
     * the finer one alone. */
   def validateLevels(declared: StructType, levels: Seq[PartLevel]): Unit = {
-    require(levels.count(!_.inSchema) <= 1,
+    // KEY levels are identity-valued (the column rides in the files) —
+    // only the TRANSFORM hiddens (days/hours/months/bucket) are capped
+    def isTransform(l: PartLevel) =
+      !l.inSchema && !l.isInstanceOf[KeyLevel]
+    require(levels.count(isTransform) <= 1,
       "at most one hidden transform (days/hours/months/bucket) per table")
-    require(levels.dropRight(1).forall(_.inSchema),
+    require(levels.dropRight(1).forall(!isTransform(_)),
       "the hidden transform must be the LAST partition level " +
-        "(identity levels nest above it: 'src,days:ts')")
+        "(identity/key levels nest above it: 'src,days:ts')")
     require(levels.map(_.sourceCol.toLowerCase).distinct.length ==
         levels.length,
       "duplicate partition source columns")
@@ -288,6 +323,9 @@ private[sources] object PartitionedWorkspace {
         .getOrElse(throw new IllegalArgumentException(
           s"partition column ${l.sourceCol} not in schema"))
       l match {
+        case _: KeyLevel => require(
+          Seq(StringType, IntegerType, LongType).contains(fd.dataType),
+          s"key partition column must be string/int/long, got ${fd.dataType}")
         case _: IdentityLevel => require(
           Seq(StringType, IntegerType, LongType).contains(fd.dataType),
           s"identity partition column must be string/int/long, got ${fd.dataType}")
@@ -311,7 +349,10 @@ private[sources] object PartitionedWorkspace {
   private[sources] def innerReadSchema(declared: StructType,
                                        levels: Seq[PartLevel]): StructType =
     levels.filterNot(_.inSchema).foldLeft(declared)((s, h) =>
-      s.add(org.apache.spark.sql.types.StructField(h.pathName, LongType)))
+      s.add(org.apache.spark.sql.types.StructField(h.pathName, h match {
+        case _: KeyLevel => StringType // identity-valued dir fragments
+        case _ => LongType // temporal/hash derivations are integral
+      })))
 
   /** Read hive-laid-out `paths` as FULL table rows under any level
     * composition — the one re-attachment rule every V1 read shares:
@@ -599,6 +640,7 @@ private[sources] class PartitionedWorkspaceTable(
       Array[org.apache.spark.sql.connector.expressions.Transform] =
     levels.map {
       case IdentityLevel(c) => Expressions.identity(c)
+      case KeyLevel(c) => Expressions.identity(c)
       case DaysLevel(c, _) => Expressions.days(c)
       case HoursLevel(c) => Expressions.hours(c)
       case MonthsLevel(c, _) => Expressions.months(c)
@@ -989,10 +1031,11 @@ private[sources] class PartitionedWorkspaceTable(
       case IdentityLevel(c) => c
       case hidden =>
         val c = hidden.sourceCol
+        // NullType error branch unifies with any derived type (key:
+        // levels derive non-integral columns)
         out = out.withColumn(hidden.pathName,
           when(col(c).isNull, raise_error(lit(
-            s"INSERT into partitioned table: NULL in partition source $c"))
-            .cast(LongType))
+            s"INSERT into partitioned table: NULL in partition source $c")))
             .otherwise(hidden.deriveColumn(col(c))))
         hidden.pathName
     }

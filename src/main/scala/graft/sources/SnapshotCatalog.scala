@@ -248,34 +248,38 @@ class SnapshotCatalog extends TableCatalog
       // CREATE TABLE ... PARTITIONED BY (days(ts)|hours(ts)|months(ts)|
       // bucket(n, c)) → an EMPTY partitioned snapshot v=1 (r18): the
       // hidden-layout version protocol, SQL-native from birth — INSERT
-      // INTO then appends fenced O(touched) versions. Identity layouts
-      // keep routing to the partitioned workspace catalog (their hive
-      // value re-attachment needs the live-table reader).
-      require(partitions.length == 1 &&
-          Set("days", "hours", "months", "bucket").contains(
-            partitions(0).name()),
-        "snapshot tables take exactly one hidden transform — " +
-          "days(ts)/hours(ts)/months(ts)/bucket(n, col); identity layouts " +
-          "route to the partitioned workspace catalog, and an unpartitioned " +
-          "snapshot version is one immutable folder")
-      val t = partitions(0)
-      require(t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1,
-        s"partition transforms must reference one top-level column, got $t")
-      val pc = t.references()(0).fieldNames()(0)
-      val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
-        throw new IllegalArgumentException(s"partition column $pc not in schema"))
-      val spec = t.name() match {
-        case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_]
-                if l.value().isInstanceOf[Number] =>
-              l.value().asInstanceOf[Number].intValue()
-          }.getOrElse(throw new IllegalArgumentException(
-            s"bucket transform needs a literal bucket count, got $t"))
-          s"bucket:$n:${f.name}"
-        case kind => s"$kind:${f.name}"
-      }
+      // INTO then appends fenced O(touched) versions. PARTITIONED BY
+      // (src, days(ts)) maps identity columns onto `key:` levels (the
+      // versioned store's identity flavor — the column STAYS in the data
+      // files, since cross-version leaf reads cannot re-attach hive
+      // values), composing the standard lake nesting on versioned data.
+      require(partitions.forall(t => t.name() == "identity" ||
+          Set("days", "hours", "months", "bucket").contains(t.name())),
+        "snapshot tables take identity columns (served as key: levels) " +
+          "over at most one days(ts)/hours(ts)/months(ts)/bucket(n, col) " +
+          "transform; an unpartitioned snapshot version is one immutable " +
+          "folder")
+      val spec = partitions.toSeq.map { t =>
+        require(t.references().length == 1 &&
+            t.references()(0).fieldNames().length == 1,
+          s"partition transforms must reference one top-level column, got $t")
+        val pc = t.references()(0).fieldNames()(0)
+        val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $pc not in schema"))
+        t.name() match {
+          case "identity" => s"key:${f.name}"
+          case "bucket" =>
+            val n = t.arguments().collectFirst {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value().isInstanceOf[Number] =>
+                l.value().asInstanceOf[Number].intValue()
+            }.getOrElse(throw new IllegalArgumentException(
+              s"bucket transform needs a literal bucket count, got $t"))
+            s"bucket:$n:${f.name}"
+          case kind => s"$kind:${f.name}"
+        }
+      }.mkString(",")
       PartitionedSnapshot.writePartitioned(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
@@ -500,11 +504,15 @@ class SnapshotCatalog extends TableCatalog
   private def alterPartitioned(ident: Identifier, dir: String, spec: String,
                                changes: Seq[TableChange]): Table = {
     val spark = SparkSession.active
-    val sourceCol = spec.split(':').last
+    // segment-wise parse (mixed 'key:src,days:ts' markers): EVERY level's
+    // source column is layout-baked
+    val sourceCols = spec.split(',').map(_.trim).map(seg =>
+      if (seg.contains(":")) seg.split(':').last else seg)
+      .map(_.toLowerCase).toSet
     def requireNotSource(name: String, what: String): Unit =
-      if (name.equalsIgnoreCase(sourceCol))
+      if (sourceCols.contains(name.toLowerCase))
         throw new UnsupportedOperationException(
-          s"$what $name: it is the partition source column of " +
+          s"$what $name: it is a partition source column of " +
             s"${ident.name()} — the level derivation and every directory " +
             "on disk bind it; republish (writePartitioned) to change the axis")
     val current = PartitionedSnapshot.declaredSchema(spark, dir)
