@@ -119,6 +119,58 @@ class MixedSnapshotSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.mx").first().getLong(0) == 50)
   }
 
+  test("key values with path metacharacters round-trip: dirs escape, " +
+       "carry keys re-resolve, cell drop by leafKeyOf still lands") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val dir = s"$ws/esc"
+    val nasty = Seq("a/b", "c=d", "plain", "e f%g")
+    // (i/4) % 2 spreads each source across BOTH days (i % 2 would pin
+    // every source to one day and the cell drop would take all its rows)
+    val df = (0L until 40L).map(i => (i,
+        new java.sql.Timestamp(t0 + ((i / 4) % 2) * 86400000L),
+        nasty((i % 4).toInt), s"v$i")).toDF("id", "ts", "src", "v")
+    PartitionedSnapshot.writePartitioned(df, dir, "key:src,days:ts"): Unit
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.esc").first().getLong(0) == 40)
+    // every key re-resolves through the carry round trip: drop one nasty
+    // cell, the rest (all carried) keep serving
+    val key = PartitionedSnapshot.leafKeyOf(spark, dir,
+      Seq("a/b", java.sql.Date.valueOf("2024-08-01")))
+    assert(PartitionedSnapshot.dropPartitions(spark, dir, Seq(key)) == 2)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.esc").first().getLong(0) == 35)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.esc WHERE src = 'a/b'")
+      .first().getLong(0) == 5, "wrong cell dropped")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.esc WHERE src = 'c=d'")
+      .first().getLong(0) == 10)
+    // source-value pruning still works through escaped dir names
+    def q = spark.sql(s"SELECT id FROM $cat.esc WHERE src = 'e f%g'")
+    assert(q.count() == 10)
+  }
+
+  test("TIMESTAMP AS OF resolves partitioned-snapshot history through " +
+       "the CAS commit records") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val dir = s"$ws/tt"
+    seed(dir)
+    // UTC timestamp STRINGS: a bare numeric literal in TIMESTAMP AS OF
+    // casts as SECONDS since epoch, not micros
+    def utc(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val afterV1 = utc(System.currentTimeMillis())
+    Thread.sleep(5)
+    PartitionedSnapshot.appendRows(spark, dir,
+      Seq((900L, new java.sql.Timestamp(t0), "web", "x"))
+        .toDF("id", "ts", "src", "v")): Unit
+    val afterV2 = utc(System.currentTimeMillis())
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.tt " +
+      s"TIMESTAMP AS OF '$afterV1'").first().getLong(0) == 60)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.tt " +
+      s"TIMESTAMP AS OF '$afterV2'").first().getLong(0) == 61)
+  }
+
   test("SQL lifecycle on a mixed snapshot: CREATE PARTITIONED BY " +
        "(src, days(ts)) + INSERT INTO; history walks nested footprints; " +
        "source columns are ALTER-immutable") {
