@@ -182,15 +182,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val spark = SparkSession.active
     val dir = resolveRef("snapshot_compact",
       strLit(es.head, "snapshot_compact", "table"))
-    val target = es.lift(1)
-      .map(longLit(_, "snapshot_compact", "targetRows")).getOrElse(5000000L)
+    val targetOpt = es.lift(1).map(longLit(_, "snapshot_compact", "targetRows"))
     // partitioned handles route to the layout-preserving rewrite (r18):
     // every partition re-clustered into a fully-OWNED fenced version —
-    // carry indirection and small-files debt retired, pinned history kept
+    // carry indirection and small-files debt retired, pinned history kept.
+    // An explicit targetRows threads into BOTH routes (ADVICE r18: the
+    // partitioned route silently ignored it)
     val v =
       if (graft.sources.PartitionedSnapshot.partSpec(spark, dir).isDefined)
-        graft.sources.PartitionedSnapshot.compactTable(spark, dir)
-      else graft.operators.Sinks.compactSnapshotCas(spark, dir, target)
+        graft.sources.PartitionedSnapshot.compactTable(spark, dir, targetOpt)
+      else graft.operators.Sinks.compactSnapshotCas(spark, dir,
+        targetOpt.getOrElse(5000000L))
     import spark.implicits._
     Seq(v).toDF("version").queryExecution.logical
   }

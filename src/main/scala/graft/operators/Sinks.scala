@@ -778,11 +778,23 @@ object Sinks {
     var attempt = 0
     while (true) {
       PointerSwapLock.synchronized {
+        // retry ONLY the torn-read shapes the cross-process swap race can
+        // produce (crc/data renamed as two moves on the local checksum FS:
+        // ChecksumException, or a half-visible file: EOF). A persistent
+        // unrelated failure (permissions, connectivity) surfaces on the
+        // first throw instead of spinning 100 hot iterations under the
+        // JVM-wide swap lock (ADVICE r18).
         try return snapshotCommitted(spark, tableDir)
-        catch { case scala.util.control.NonFatal(e) =>
-          if (attempt >= 100) throw e }
+        catch {
+          case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                    _: java.io.EOFException) =>
+            if (attempt >= 100) throw e
+        }
       }
       attempt += 1
+      // tiny backoff OUTSIDE the lock: let the racing swap's second move
+      // land instead of re-reading the torn window back-to-back
+      Thread.sleep(math.min(2L * attempt, 50L))
     }
     None // unreachable
   }

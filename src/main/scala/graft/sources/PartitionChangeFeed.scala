@@ -31,10 +31,10 @@ import org.apache.spark.sql.functions._
   *    feed; [[discontinuities]] lets a consumer detect it and re-sync.
   *  - compaction / respec / manifest enable: no logical change, no feed.
   *
-  * Atomicity & crash contract (r18 — the landing-crash window is now
-  * REPAIRED, VERDICT r17 next #5): change rows are STAGED (a dot-prefixed
-  * sibling inside the feed root) while the statement's pre-image is still
-  * live. The data publish then writes a `.pending_<tag>` JOURNAL — inside
+  * Atomicity & crash contract (r18, window closed r19 — VERDICT r17 #5 /
+  * r18 #5): change rows are STAGED (a dot-prefixed sibling inside the
+  * feed root) while the statement's pre-image is still live. The data
+  * publish then writes a `.pending_<tag>` JOURNAL — inside
   * [[PartitionedWorkspaceTable.publishPartitioned]], strictly AFTER every
   * staged leaf moved in (the statement IS live) and BEFORE the parked
   * pre-image copies delete — and the feed entry renames in last. A crash
@@ -42,14 +42,25 @@ import org.apache.spark.sql.functions._
   * journal + staged rows behind, and the next locked load/statement lands
   * the entry EXACTLY ONCE ([[repairPending]]: the staged dir's existence
   * is the idempotency arbiter — once renamed, only the journal remains
-  * and is dropped). A crash BEFORE the journal (statement never fully
-  * published; per-partition repair may roll it back) leaves journal-less
-  * staging debris that the repair age-gates away — a feed entry for a
-  * statement that did not land is never fabricated. A failed statement
-  * never lands feed rows: staging AND journal are dropped on every abort
-  * path. Feed landing is NON-FATAL post-publish — the statement's own
-  * result is already live, so a feed filesystem error is logged and left
-  * to the repair, never rethrown into a statement Spark already applied. */
+  * and is dropped). A crash BEFORE the journal is adjudicated from the
+  * publish's own park root (r19): a `_feed` marker written there before
+  * the first retire names this statement's staged feed and staging dirs,
+  * and the locked repair PROVES full publication from the park state (no
+  * leaf needed restoring + no staged leaf data remains) — landing the
+  * entry when the crash fell between the last leaf rename and the
+  * journal, deterministically DROPPING the staged feed when the
+  * statement did not fully land (a partially-published multi-partition
+  * crash converges per partition and feeds NOTHING — the feed is
+  * all-or-nothing, never fabricated). Only a statement that crashed
+  * before `publishPartitioned` even began leaves journal-less,
+  * marker-less staging debris, which the repair age-gates away. A failed
+  * (cleanly aborted) statement never lands feed rows: staging and
+  * journal are dropped on every abort path — unless the journal already
+  * exists, which proves the data published and the abort is post-commit
+  * cleanup failing ([[abortStaged]] then leaves the entry for repair).
+  * Feed landing is NON-FATAL post-publish — the statement's own result
+  * is already live, so a feed filesystem error is logged and left to the
+  * repair, never rethrown into a statement Spark already applied. */
 object PartitionChangeFeed {
 
   val ChangeCol = "_change_type"
@@ -156,10 +167,20 @@ object PartitionChangeFeed {
                                    staged: Option[Path]): Unit =
     staged.foreach { tmp =>
       val fs = fsOf(spark, tmp)
-      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
-      // a journal without its staged dir is inert (repair just drops it),
-      // but don't leave even that behind on a clean abort
-      fs.delete(new Path(tmp.getParent, s".pending_${tagOf(tmp)}"), false): Unit
+      val journal = new Path(tmp.getParent, s".pending_${tagOf(tmp)}")
+      // the journal is written strictly PAST the publish's point of no
+      // return, so its existence proves the statement's data IS live even
+      // though the caller is unwinding (post-publish cleanup failure —
+      // park-copy delete, staging delete, refreshByPath). Destroying the
+      // staged rows here would lose the feed entry UNREPAIRABLY (ADVICE
+      // r18): leave journal + staging for repairPending to land exactly
+      // once, and only scrub genuinely unpublished statements' debris.
+      if (fs.exists(journal))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"feed abort for $tmp skipped: its publish journal exists, so " +
+            "the statement's data is live — the staged entry is left for " +
+            "the locked repair to land")
+      else if (fs.exists(tmp)) fs.delete(tmp, true): Unit
     }
 
   /** Any `.pending_*` journals awaiting repair? One probe + one listing,

@@ -880,6 +880,7 @@ private[sources] class PartitionedWorkspaceTable(
     f.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".retired_"))
       .foreach { st =>
+        var restored = false
         walkLeaves(st.getPath, f).foreach { case (leafPath, vals) =>
           val dest = new Path(dir, relOf(vals))
           if (!f.exists(dest)) {
@@ -887,6 +888,48 @@ private[sources] class PartitionedWorkspaceTable(
             if (!f.rename(new Path(leafPath), dest))
               throw new IllegalStateException(
                 s"partition repair: could not restore $leafPath to $dest")
+            restored = true
+          }
+        }
+        // feed adjudication from the park's `_feed` marker (r19, VERDICT
+        // r18 #5 — the publish-vs-journal crash window): the statement
+        // FULLY published iff no parked leaf needed restoring AND its
+        // staging dir holds no undelivered leaf data — in that state the
+        // crash fell between the last leaf rename and the feed journal,
+        // so journal the staged entry for repairPending to land exactly
+        // once. Any other state means the statement did not fully land:
+        // its feed must never be fabricated, so the staged rows are
+        // dropped here (deterministically, not age-gated — the park
+        // debris proves the statement is dead, and this pass runs under
+        // the table's DML lock).
+        val marker = new Path(st.getPath, "_feed")
+        if (f.exists(marker)) {
+          val in = f.open(marker)
+          val lines = (try new String(org.apache.hadoop.io.IOUtils
+            .readFullyToByteArray(in), "UTF-8") finally in.close())
+            .split('\n')
+          if (lines.length >= 2) {
+            val feedStaged = new Path(
+              PartitionChangeFeed.feedRoot(dir), lines(0).trim)
+            val stagingP = new Path(root.getParent, lines(1).trim)
+            def stagedLeafData: Boolean = f.exists(stagingP) && {
+              def any(p: Path): Boolean = f.listStatus(p).exists { c =>
+                if (c.isDirectory) any(c.getPath)
+                else c.getPath.getName.endsWith(".parquet")
+              }
+              any(stagingP)
+            }
+            if (f.exists(feedStaged)) {
+              if (!restored && !stagedLeafData)
+                PartitionChangeFeed.journalPublished(
+                  spark, dir, Some(feedStaged))
+              else f.delete(feedStaged, true): Unit
+            }
+            // the adjudicated statement is dead (its park debris proves
+            // it, and this pass holds the DML lock): its staging dir is
+            // pure debris now — clear it instead of waiting for the
+            // age-gated janitor
+            if (f.exists(stagingP)) f.delete(stagingP, true): Unit
           }
         }
         // anything left under the root is stale copies (originals exist)
@@ -957,6 +1000,21 @@ private[sources] class PartitionedWorkspaceTable(
     }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val park = retiredRoot(tag)
+    // feed-bearing statements stamp a `_feed` marker into the park root
+    // BEFORE anything retires (r19, VERDICT r18 #5): it names the staged
+    // feed entry and this statement's staging dir, so a crash in the
+    // window between the LAST leaf rename and the journal write below is
+    // no longer unprovable — the locked repair re-derives "did this
+    // statement fully publish?" from the park's own state (no leaf
+    // restored + no staged leaf data left) and lands the feed entry
+    // instead of age-gating it away. The park root deletes with the
+    // marker on every completed publish.
+    feedStaged.foreach { fp =>
+      f.mkdirs(park): Unit
+      val out = f.create(new Path(park, "_feed"), false)
+      try out.write(s"${fp.getName}\n${staging.getName}".getBytes("UTF-8"))
+      finally out.close()
+    }
     val toRetire = (readRels match {
       case Some(rels) => rels
       case None => leafDirsWithValues().map { case (_, vals) => relOf(vals) }

@@ -12,6 +12,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Catalyst predicate → data-source `Filter`, when expressible
+    * (`DataSourceStrategy.translateFilter` is `private[sql]`-packaged).
+    * None = untranslatable — callers treat that as "prunes nothing",
+    * never as "matches nothing". */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Register a temp SQL function on a live session (the
     * `FunctionRegistry` is `private[sql]` too). */
   def registerTempFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -119,21 +119,111 @@ class FeedRepairSpec extends AnyFunSuite {
     PartitionChangeFeed.abortStaged(spark, live)
   }
 
-  test("a clean abort drops staging AND journal") {
-    val (_, _, dir) = freshTable()
+  test("a clean PRE-journal abort drops staging; a POST-journal abort " +
+       "preserves the entry for repair (ADVICE r18: the statement's data " +
+       "IS live once the journal exists — destroying the feed here was " +
+       "unrepairable)") {
+    val (cat, _, dir) = freshTable()
     PartitionChangeFeed.enable(spark, dir)
+    val root = PartitionChangeFeed.feedRoot(dir)
+    val f = fsOf(root)
     import spark.implicits._
-    val staged = PartitionChangeFeed.stage(spark, dir,
+    // pre-journal abort: statement failed before publishing — scrub
+    val failed = PartitionChangeFeed.stage(spark, dir,
       PartitionChangeFeed.tagged(
         Seq((9L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "x"))
           .toDF("id", "ts", "v"), "insert"))
-    PartitionChangeFeed.journalPublished(spark, dir, staged)
-    PartitionChangeFeed.abortStaged(spark, staged)
+    PartitionChangeFeed.abortStaged(spark, failed)
+    assert(!f.listStatus(root).exists(
+      _.getPath.getName.startsWith(".staging_")))
+    // post-journal abort (publish landed, post-commit cleanup threw, the
+    // caller's catch unwinds): the entry must SURVIVE and land via repair
+    val published = PartitionChangeFeed.stage(spark, dir,
+      PartitionChangeFeed.tagged(
+        Seq((10L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "y"))
+          .toDF("id", "ts", "v"), "insert"))
+    PartitionChangeFeed.journalPublished(spark, dir, published)
+    PartitionChangeFeed.abortStaged(spark, published)
+    assert(f.exists(published.get), "post-journal abort destroyed the feed")
+    assert(f.listStatus(root).exists(
+      _.getPath.getName.startsWith(".pending_")),
+      "post-journal abort destroyed the journal")
+    spark.table(s"$cat.t").count(): Unit // locked repair lands it
+    assert(feedCount(dir) == 1, "journaled entry was not repaired in")
+    spark.table(s"$cat.t").count(): Unit
+    assert(feedCount(dir) == 1, "repair double-landed")
+  }
+
+  test("crash BETWEEN the last leaf rename and the journal write lands " +
+       "the feed entry: the park's _feed marker proves full publication " +
+       "(r19 — the window the r18 age-gate lost)") {
+    val (cat, ws, dir) = freshTable()
+    PartitionChangeFeed.enable(spark, dir)
     val root = PartitionChangeFeed.feedRoot(dir)
     val f = fsOf(root)
+    import spark.implicits._
+    // the statement's staged feed rows (journal-less — the crash hit
+    // before journalPublished ran)
+    val staged = PartitionChangeFeed.stage(spark, dir,
+      PartitionChangeFeed.tagged(
+        Seq((7L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "v7"))
+          .toDF("id", "ts", "v"), "delete"))
+    assert(staged.isDefined)
+    // the publish's park root at the crash instant: _feed marker + a
+    // STALE parked copy whose original exists (every replacement moved
+    // in), and a leaf-empty staging dir (every staged leaf renamed out)
+    val park = new Path(dir, ".retired_crash1")
+    val cowName = s".t.parquet.__cow_crash1"
+    f.mkdirs(new Path(ws, cowName)): Unit // leaf-empty staging survives
+    val liveLeaf = f.listStatus(new Path(dir)).map(_.getPath)
+      .find(_.getName.startsWith("ts_day=")).get
+    val parkedLeaf = new Path(park, liveLeaf.getName)
+    f.mkdirs(parkedLeaf): Unit
+    f.create(new Path(parkedLeaf, "part-stale.parquet"), false).close()
+    val mk = f.create(new Path(park, "_feed"), false)
+    mk.write(s"${staged.get.getName}\n$cowName".getBytes("UTF-8")); mk.close()
+    val before = feedCount(dir)
+    spark.table(s"$cat.t").count(): Unit // locked repair adjudicates
+    assert(feedCount(dir) == before + 1,
+      "publish-proven journal-less entry was not landed")
+    assert(!f.exists(park), "park debris survived repair")
     assert(!f.listStatus(root).exists(st =>
       st.getPath.getName.startsWith(".pending_") ||
-        st.getPath.getName.startsWith(".staging_")))
-    assert(feedCount(dir) == 0)
+        st.getPath.getName.startsWith(".staging_")), "repair left debris")
+    // exactly once
+    spark.table(s"$cat.t").count(): Unit
+    assert(feedCount(dir) == before + 1, "repair double-landed the entry")
+  }
+
+  test("a crash the park CANNOT prove published (staged leaf data " +
+       "remains / a leaf was restored) drops the staged feed " +
+       "deterministically — never fabricated, never age-gated") {
+    val (cat, ws, dir) = freshTable()
+    PartitionChangeFeed.enable(spark, dir)
+    val root = PartitionChangeFeed.feedRoot(dir)
+    val f = fsOf(root)
+    import spark.implicits._
+    val staged = PartitionChangeFeed.stage(spark, dir,
+      PartitionChangeFeed.tagged(
+        Seq((8L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "v8"))
+          .toDF("id", "ts", "v"), "delete"))
+    assert(staged.isDefined)
+    // crash state: staging still holds an unmoved staged leaf → the
+    // statement did NOT fully publish
+    val park = new Path(dir, ".retired_crash2")
+    val cowName = s".t.parquet.__cow_crash2"
+    val stagedLeaf = new Path(new Path(ws, cowName), "ts_day=99999")
+    f.mkdirs(stagedLeaf): Unit
+    f.create(new Path(stagedLeaf, "part-unmoved.parquet"), false).close()
+    f.mkdirs(park): Unit
+    val mk = f.create(new Path(park, "_feed"), false)
+    mk.write(s"${staged.get.getName}\n$cowName".getBytes("UTF-8")); mk.close()
+    val before = feedCount(dir)
+    spark.table(s"$cat.t").count(): Unit
+    assert(feedCount(dir) == before, "an unproven crash fabricated feed rows")
+    assert(!f.listStatus(root).exists(
+      _.getPath.getName.startsWith(".staging_")),
+      "the dead statement's staged feed was age-gated instead of dropped")
+    assert(!f.exists(park), "park debris survived repair")
   }
 }
