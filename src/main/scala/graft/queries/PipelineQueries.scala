@@ -7117,7 +7117,7 @@ object PipelineQueries {
         .withColumn("hour_pruned", lit(if (hourPruned) 1 else 0))
         .orderBy("grain", "event_id")
     }
-  ) ++ r18Faces
+  ) ++ r18Faces ++ r19Faces
 
   /** One (workspace, table) fixture name per (dir, call): snapshot-catalog
     * workspaces register once per JVM, so per-invocation names keep reruns
@@ -7641,6 +7641,118 @@ object PipelineQueries {
         .withColumn("v1_intact",
           lit(if (v1Intact && nV1Read == nV1) 1 else 0))
         .withColumn("n_v1", lit(nV1Read))
+        .orderBy("event_id")
+    }
+  )
+
+  // ---- r19: SQL DELETE routing on partitioned snapshots; per-partition
+  // file manifests (the second skipping ring under dir pruning) ----------
+  private def r19Faces: Seq[Q] = Seq(
+
+    // ---- snapshot × partitions: SQL DELETE routed by PROVABILITY (r19) -----
+    // VERDICT r18 next #3: `DELETE FROM psnap.t WHERE <whole-day range>`
+    // is the ZERO-COPY dropPartitions — every candidate partition's rows
+    // PROVABLY all match through the level's span math, so the version is
+    // one carry file: no data file written (drop_zero_copy rides the
+    // hash), no data row read, content-race-safe (the proof holds for any
+    // row those partitions could ever contain). A row-level predicate
+    // (only_touched) routes to the partition-pruned rewrite instead. Both
+    // run ENTIRELY through SQL; pinned history still serves (n_v1).
+    Q("q265_partitioned_snapshot_sql_delete", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+        |SELECT event_id, event_type, 1 AS drop_zero_copy, 1 AS only_touched,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_v1
+        |FROM w
+        |WHERE NOT (ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |           AND ts < TIMESTAMP '2024-01-04 00:00:00')
+        |  AND NOT (event_type = 'click'
+        |           AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |           AND ts < TIMESTAMP '2024-01-06 00:00:00')
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "psdel")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit                    // v1
+      // whole-day DELETE → zero-copy drop (v=2 holds no data file)
+      s.sql(s"DELETE FROM $cat.$tbl WHERE " +
+        "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-04 00:00:00'")                         // v2
+      val v2Empty = fileTreeStamps(s, s"$tdir/v=2").isEmpty
+      // row-level DELETE → the pruned rewrite owns ONLY its day
+      s.sql(s"DELETE FROM $cat.$tbl WHERE event_type = 'click' AND " +
+        "ts >= TIMESTAMP '2024-01-05 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-06 00:00:00'")                         // v3
+      val day4 = java.time.LocalDate.of(2024, 1, 5).toEpochDay
+      val v3Files = fileTreeStamps(s, s"$tdir/v=3").keySet
+      val onlyTouched = v3Files.nonEmpty &&
+        v3Files.forall(_.contains(s"ts_day=$day4"))
+      val nV1 = s.sql(s"SELECT COUNT(*) FROM $cat.$tbl VERSION AS OF 1")
+        .first().getLong(0)
+      s.sql(s"SELECT event_id, event_type FROM $cat.$tbl")
+        .withColumn("drop_zero_copy", lit(if (v2Empty) 1 else 0))
+        .withColumn("only_touched", lit(if (onlyTouched) 1 else 0))
+        .withColumn("n_v1", lit(nV1))
+        .orderBy("event_id")
+    },
+
+    // ---- snapshot × partitions: PER-PARTITION FILE MANIFESTS (r19) ---------
+    // VERDICT r18 next #4: the second skipping ring under directory
+    // pruning. `day_tag` is constant per day but NOT a partition source,
+    // so directory pruning cannot touch a day_tag predicate — only the
+    // footer-built `_manifest.json` in each dir can prune its files.
+    // file_pruned pins that the planned file set is a strict subset of
+    // the version's files AND lands entirely in the matching day;
+    // carry_spanned pins that the ring covers BOTH a carried v=1 dir's
+    // files and the freshly staged v=2 delta (manifests ride the version
+    // rename). Exactness never depends on the skip — the predicate
+    // re-applies post-scan, and the oracle hash proves it.
+    Q("q266_partitioned_snapshot_file_manifests", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |m AS (SELECT MAX(event_id) + 1 AS nid FROM w)
+        |SELECT event_id, event_type, 1 AS file_pruned, 1 AS carry_spanned
+        |FROM w WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |UNION ALL
+        |SELECT nid, 'late', 1, 1 FROM m
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "psmf")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("ts").cast("date").cast("string").as("day_tag"))
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit                    // v1
+      graft.sources.PartitionedSnapshot
+        .enableManifests(s, tdir, Seq("day_tag", "event_id")): Unit
+      val nid = ev.agg(max("event_id") + 1).first().getLong(0)
+      graft.sources.PartitionedSnapshot.appendRows(s, tdir,
+        s.sql(s"SELECT $nid AS event_id, " +
+          "TIMESTAMP '2024-01-05 12:00:00' AS ts, 'late' AS event_type, " +
+          "'2024-01-05' AS day_tag")): Unit                             // v2
+      val day4 = java.time.LocalDate.of(2024, 1, 5).toEpochDay
+      def q = s.sql(s"SELECT event_id, event_type FROM $cat.$tbl " +
+        "WHERE day_tag = '2024-01-05'")
+      val planned = plannedFiles(q)
+      val total = graft.sources.PartitionedSnapshot
+        .resolvedPartitions(s, tdir, 2)
+        .flatMap(e => fileTreeStamps(s, s"$tdir/${e._2}").keySet).distinct
+      val filePruned = planned.nonEmpty && planned.size < total.size &&
+        planned.forall(_.contains(s"ts_day=$day4"))
+      val carrySpanned = planned.exists(_.contains("/v=1/")) &&
+        planned.exists(_.contains("/v=2/"))
+      q.withColumn("file_pruned", lit(if (filePruned) 1 else 0))
+        .withColumn("carry_spanned", lit(if (carrySpanned) 1 else 0))
         .orderBy("event_id")
     }
   )

@@ -190,6 +190,14 @@ object PartitionedSnapshot {
     levels.zip(valuesOfKey(levels, key)).forall { case (l, v) =>
       l.mayMatch(f, v) }
 
+  /** Do ALL possible rows of the leaf carrying `key` satisfy `f`? ONE
+    * level proving full coverage suffices (each filter is a conjunct) —
+    * the zero-copy SQL DELETE routing test (r19). */
+  private[graft] def leafMustMatchKey(levels: Seq[PartLevel], key: String,
+                                      f: org.apache.spark.sql.sources.Filter): Boolean =
+    levels.zip(valuesOfKey(levels, key)).exists { case (l, v) =>
+      l.mustMatch(f, v) }
+
   /** The partition keys `df`'s rows land in — ONE distinct-derivation job
     * over the batch, driver-bounded by the touched partition count. */
   private def touchedKeysOf(levels: Seq[PartLevel],
@@ -445,6 +453,58 @@ object PartitionedSnapshot {
   private def targetRowsPerFile(spark: SparkSession): Long = spark.conf
     .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
 
+  /** Opt a partitioned snapshot into PER-PARTITION FILE MANIFESTS (r19,
+    * VERDICT r18 #4) — the second skipping ring under directory pruning:
+    * each data dir carries a footer-built `_manifest.json`
+    * ([[PartitionManifest]] — the workspace machinery reused whole), the
+    * SQL scan prunes FILES inside surviving dirs by min/max/null-count,
+    * complete-or-ignored on any drift. Backfills every dir the COMMITTED
+    * version resolves (published folders' data is immutable; the stamp is
+    * leaf-local, temp+rename). From then on every publish stamps its
+    * STAGED dirs before the version rename — the manifest rides the same
+    * atomic move as the data; carried dirs keep the manifest they were
+    * published with. Returns the number of dirs indexed. */
+  def enableManifests(spark: SparkSession, tableDir: String,
+                      cols: Seq[String]): Int =
+    // the DDL statement lock serializes against ALTER (column resolution)
+    // and a concurrent enable; claim-fenced publishes never take it and
+    // never need to — published dirs are immutable, the stamp is
+    // leaf-local temp+rename (complete-or-absent)
+    WorkspaceDmlLock.withLock(spark, tableDir) {
+      val live = liveSchema(spark, tableDir)
+      val resolved = FooterStats.resolveCols(live,
+        cols.filter(c => live.fieldNames.exists(_.equalsIgnoreCase(c))))
+      val committed = graft.operators.Sinks
+        .snapshotCommittedStable(spark, tableDir)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed snapshot at $tableDir"))
+      val dirs = resolvedPartitions(spark, tableDir, committed).map(_._2)
+      dirs.foreach(rel => PartitionManifest.writeLeafManifest(
+        spark, new Path(s"$tableDir/$rel"), live, resolved))
+      val mk = PartitionManifest.markerPath(tableDir)
+      val fs = fsOf(spark, mk)
+      val out = fs.create(mk, true)
+      try out.write(resolved.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+      dirs.length
+    }
+
+  /** Stamp manifests into every STAGED data dir when the table is opted
+    * in — called after each `stageLayoutWrite`, before the version
+    * rename, so manifest and data arrive in ONE atomic move. O(staged
+    * files) footer reads; a table without the marker pays nothing. */
+  private def stampStagedManifests(spark: SparkSession, tableDir: String,
+                                   staging: Path,
+                                   schema: StructType): Unit = {
+    val fs = fsOf(spark, staging)
+    PartitionManifest.statsCols(fs, tableDir).foreach { cols =>
+      val resolved = FooterStats.resolveCols(schema,
+        cols.filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))))
+      PartitionManifest.leafDirsOf(fs, staging).foreach(
+        PartitionManifest.writeLeafManifest(spark, _, schema, resolved))
+    }
+  }
+
   /** A full rewrite's declared schema: the EXISTING sidecar's id space
     * preserved (ADVICE r18 — re-stamping 1..n would discard
     * `__dropped_<id>` tombstones and let changesBetween/later ALTERs
@@ -548,6 +608,7 @@ object PartitionedSnapshot {
     try {
       PartitionEvolution.stageLayoutWrite(
         spark, df, live, levels, staging, targetRowsPerFile(spark))
+      stampStagedManifests(spark, tableDir, staging, live)
       stageMeta(spark, staging, if (isRewrite) "overwrite" else "create",
         None, live)
       val v = graft.operators.Sinks.claimSnapshotVersion(spark, tableDir)
@@ -666,6 +727,7 @@ object PartitionedSnapshot {
         // (touched keys keep their chains — the staged dir appends to them)
         PartitionEvolution.stageLayoutWrite(
           spark, shaped, live, levels, staging, targetRowsPerFile(spark))
+        stampStagedManifests(spark, tableDir, staging, live)
         stageMeta(spark, staging, "append", Some(committed), live)
         writeCarry(spark, new Path(staging, "_carry"), current)
       } else {
@@ -676,6 +738,7 @@ object PartitionedSnapshot {
         val oldRows = readDirsAs(spark, tableDir, live, old.map(_._2))
         PartitionEvolution.stageLayoutWrite(spark, oldRows.unionByName(shaped),
           live, levels, staging, targetRowsPerFile(spark))
+        stampStagedManifests(spark, tableDir, staging, live)
         stageMeta(spark, staging, "append", Some(committed), live)
         writeCarry(spark, new Path(staging, "_carry"), carried)
       }
@@ -728,6 +791,42 @@ object PartitionedSnapshot {
         org.apache.spark.sql.graftbridge.Bridge.translateFilter)
   }
 
+  /** SQL `DELETE FROM psnap.t WHERE ...` (r19, VERDICT r18 #3): route by
+    * PROVABILITY. When every candidate partition's rows provably ALL
+    * match ([[leafMustMatchKey]] — day/hour/month spans inside the
+    * range, key equality), the statement is the zero-copy
+    * [[dropPartitions]]: one carry file, ZERO data files written, ZERO
+    * data rows read — and content-race-safe, because the proof holds for
+    * any row those partitions could ever contain, appended concurrently
+    * or not. Anything else routes to the partition-pruned row-level
+    * [[deleteRowsWhere]]. A filter [[WorkspaceDml.toColumn]] cannot
+    * express refuses with guidance (never a silent wrong delete). An
+    * empty filter array is `DELETE FROM t` — every partition provably
+    * matches, one zero-copy truncating version. */
+  private[graft] def deleteWhere(spark: SparkSession, tableDir: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+    val levels = levelsOf(spark, tableDir)
+    val cols = filters.map(f => WorkspaceDml.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE on partitioned snapshot $tableDir: condition " +
+          s"'$f' is not expressible as a source filter — run the delete " +
+          "through PartitionedSnapshot.deleteRowsWhere(cond) instead")))
+    val committed = graft.operators.Sinks
+      .snapshotCommittedStable(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $tableDir"))
+    val keys = resolvedPartitions(spark, tableDir, committed)
+      .map(_._1).distinct
+    val candidates = keys.filter(k =>
+      filters.forall(leafMayMatchKey(levels, k, _)))
+    if (candidates.isEmpty) committed
+    else if (candidates.forall(k =>
+        filters.forall(leafMustMatchKey(levels, k, _))))
+      dropPartitions(spark, tableDir, candidates)
+    else deleteRowsWhere(spark, tableDir,
+      cols.reduce(_ && _))
+  }
+
   def deleteRowsWhere(spark: SparkSession, tableDir: String,
                       cond: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit}
@@ -757,6 +856,7 @@ object PartitionedSnapshot {
             .filter(!coalesce(cond, lit(false)))
           PartitionEvolution.stageLayoutWrite(
             spark, survivors, live, levels, staging, targetRowsPerFile(spark))
+          stampStagedManifests(spark, tableDir, staging, live)
           stageMeta(spark, staging, "delete_rows", Some(committed), live)
           writeCarry(spark, new Path(staging, "_carry"), carried)
           true
@@ -787,6 +887,7 @@ object PartitionedSnapshot {
       PartitionEvolution.stageLayoutWrite(
         spark, rows, live, levels, staging,
         targetRows.getOrElse(targetRowsPerFile(spark)))
+      stampStagedManifests(spark, tableDir, staging, live)
       stageMeta(spark, staging, "compact", Some(committed), live)
       true
     }
@@ -917,7 +1018,25 @@ private[graft] class PartitionedSnapshotTable(
     pinned: Boolean)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** `DELETE FROM psnap.t WHERE <cond>` (r19): provably whole-partition
+    * conditions run as the zero-copy dropPartitions, everything else as
+    * the partition-pruned row-level rewrite — see
+    * [[PartitionedSnapshot.deleteWhere]]. canDeleteWhere answers true so
+    * the guided refusal (untranslatable condition, pinned handle) comes
+    * from us, not a generic analyzer error. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = true
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (pinned)
+      throw new UnsupportedOperationException(
+        s"$tableName is a pinned VERSION/TIMESTAMP AS OF read — history " +
+          "is immutable; DELETE targets the table head")
+    PartitionedSnapshot.deleteWhere(spark, tableDir, filters): Unit
+  }
 
   private lazy val declared = PartitionedSnapshot.servingSchema(
     spark, tableDir, if (pinned) Some(version) else None)
@@ -997,12 +1116,27 @@ private[graft] class PartitionedSnapshotTable(
       val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(merged)
       new org.apache.spark.sql.graftbridge.PrunedParquetScanBuilder(
         tableName, spark, declared, opts,
-        filters => PartitionedSnapshot
-          .resolvedPartitions(spark, tableDir, version)
-          .collect { case (k, rel) if filters.forall(
-              PartitionedSnapshot.leafMayMatchKey(levels, k, _)) =>
-            s"$tableDir/$rel"
-          })
+        filters => {
+          val dirs = PartitionedSnapshot
+            .resolvedPartitions(spark, tableDir, version)
+            .collect { case (k, rel) if filters.forall(
+                PartitionedSnapshot.leafMayMatchKey(levels, k, _)) =>
+              s"$tableDir/$rel"
+            }
+          // second skipping ring (r19, VERDICT r18 #4): when the table is
+          // opted into per-partition file manifests, surviving dirs prune
+          // FILES by footer min/max/null-count — complete-or-ignored per
+          // dir (any drift or read error serves that dir whole); carried
+          // dirs keep the manifest they were published with, so the ring
+          // spans the version's whole carry graph
+          val fs = new Path(tableDir).getFileSystem(
+            spark.sessionState.newHadoopConf())
+          if (PartitionManifest.statsCols(fs, tableDir).isEmpty) dirs
+          else dirs.flatMap { d =>
+            PartitionManifest.prunedFiles(spark, new Path(d), filters)
+              .getOrElse(Seq(d))
+          }
+        })
   }
 
   /** `INSERT INTO` → one fenced [[PartitionedSnapshot.appendRows]]

@@ -70,6 +70,12 @@ private[sources] sealed trait PartLevel extends Serializable {
     * filter `f` on the SOURCE column? Conservative keep on any shape the
     * level cannot decide. */
   def mayMatch(f: sources.Filter, v: String): Boolean
+  /** Do ALL POSSIBLE rows of the directory carrying path value `v`
+    * satisfy `f`? Metadata-exact and content-independent (it holds for
+    * any row the partition could ever contain) — the zero-copy SQL
+    * DELETE routing test (r19). Conservative FALSE on any undecidable
+    * shape: false only costs the row-level path, never correctness. */
+  def mustMatch(f: sources.Filter, v: String): Boolean = false
   /** The synthetic path column derived from the source column (identity
     * levels pass the column through). Must agree bit-for-bit with
     * [[pathValue]]. */
@@ -86,6 +92,8 @@ private[sources] case class IdentityLevel(col: String) extends PartLevel {
     Option(v).map(PartitionedWorkspace.valueString)
   def mayMatch(f: sources.Filter, v: String): Boolean =
     PartitionedWorkspace.identityMayMatch(f, col, v)
+  override def mustMatch(f: sources.Filter, v: String): Boolean =
+    PartitionedWorkspace.identityMustMatch(f, col, v)
   def deriveColumn(c: Column): Column = c
   def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
     case StringType => r.getUTF8String(ord).toString
@@ -106,6 +114,12 @@ private[sources] case class DaysLevel(col: String, isDate: Boolean)
   def mayMatch(f: sources.Filter, v: String): Boolean =
     v.toLongOption.forall(day =>
       PartitionedWorkspace.dayMayMatch(f, col, day, isDate))
+  override def mustMatch(f: sources.Filter, v: String): Boolean =
+    v.toLongOption.exists { day =>
+      val unit = if (isDate) 1L else PartitionedWorkspace.MicrosPerDay
+      PartitionedWorkspace.spanMustMatch(
+        f, col, day * unit, day * unit + unit, isDate)
+    }
   def deriveColumn(c: Column): Column =
     PartitionedWorkspace.dayColumn(c, isDate)
   def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
@@ -129,6 +143,12 @@ private[sources] case class HoursLevel(col: String) extends PartLevel {
     v.toLongOption.forall { h =>
       val s = h * PartitionedWorkspace.MicrosPerHour
       PartitionedWorkspace.spanMayMatch(f, col, s,
+        s + PartitionedWorkspace.MicrosPerHour, isDate = false)
+    }
+  override def mustMatch(f: sources.Filter, v: String): Boolean =
+    v.toLongOption.exists { h =>
+      val s = h * PartitionedWorkspace.MicrosPerHour
+      PartitionedWorkspace.spanMustMatch(f, col, s,
         s + PartitionedWorkspace.MicrosPerHour, isDate = false)
     }
   def deriveColumn(c: Column): Column =
@@ -158,6 +178,8 @@ private[sources] case class KeyLevel(col: String) extends PartLevel {
     Option(v).map(PartitionedWorkspace.valueString)
   def mayMatch(f: sources.Filter, v: String): Boolean =
     PartitionedWorkspace.identityMayMatch(f, col, v)
+  override def mustMatch(f: sources.Filter, v: String): Boolean =
+    PartitionedWorkspace.identityMustMatch(f, col, v)
   def deriveColumn(c: Column): Column = c
   def pathValue(t: DataType, r: InternalRow, ord: Int): String = t match {
     case StringType => r.getUTF8String(ord).toString
@@ -185,6 +207,13 @@ private[sources] case class MonthsLevel(col: String, isDate: Boolean)
       val s = PartitionedWorkspace.monthStartDay(m) * unit
       val e = PartitionedWorkspace.monthStartDay(m + 1) * unit
       PartitionedWorkspace.spanMayMatch(f, col, s, e, isDate)
+    }
+  override def mustMatch(f: sources.Filter, v: String): Boolean =
+    v.toLongOption.exists { m =>
+      val unit = if (isDate) 1L else PartitionedWorkspace.MicrosPerDay
+      val s = PartitionedWorkspace.monthStartDay(m) * unit
+      val e = PartitionedWorkspace.monthStartDay(m + 1) * unit
+      PartitionedWorkspace.spanMustMatch(f, col, s, e, isDate)
     }
   def deriveColumn(c: Column): Column = {
     // epochDay (UTC) → a TZ-free DATE → month index; bit-for-bit with
@@ -479,6 +508,55 @@ private[sources] object PartitionedWorkspace {
       case sources.In(c, vs) if ref(c) =>
         vs.isEmpty || vs.exists(v => pos(v).forall(x => x >= s && x < e))
       case _ => true
+    }
+  }
+
+  /** Do ALL axis positions in `[s, e)` satisfy `f`? The dual of
+    * [[spanMayMatch]] (r19, the zero-copy DELETE routing): decidable
+    * comparisons prove full coverage (`ts < T` with `e <= T`, etc.);
+    * anything undecidable — including an unmappable literal — returns
+    * FALSE (the caller falls back to the row-level path). Filters on
+    * OTHER columns also return false: this asks "does the directory's
+    * axis alone guarantee the predicate", nothing weaker. */
+  def spanMustMatch(f: sources.Filter, srcCol: String, s: Long, e: Long,
+                    isDate: Boolean): Boolean = {
+    def pos(v: Any): Option[Long] = epochPos(v, isDate)
+    def ref(c: String): Boolean = c.equalsIgnoreCase(srcCol)
+    f match {
+      case sources.And(l, r) =>
+        spanMustMatch(l, srcCol, s, e, isDate) &&
+          spanMustMatch(r, srcCol, s, e, isDate)
+      case sources.Or(l, r) =>
+        spanMustMatch(l, srcCol, s, e, isDate) ||
+          spanMustMatch(r, srcCol, s, e, isDate)
+      case sources.EqualTo(c, v) if ref(c) =>
+        e - s == 1 && pos(v).exists(_ == s)
+      case sources.GreaterThan(c, v) if ref(c) => pos(v).exists(_ < s)
+      case sources.GreaterThanOrEqual(c, v) if ref(c) => pos(v).exists(_ <= s)
+      case sources.LessThan(c, v) if ref(c) => pos(v).exists(_ >= e)
+      case sources.LessThanOrEqual(c, v) if ref(c) => pos(v).exists(_ >= e - 1)
+      case sources.In(c, vs) if ref(c) =>
+        e - s == 1 && vs.exists(v => pos(v).exists(_ == s))
+      case sources.IsNotNull(c) if ref(c) => true // NULL keys rejected at write
+      case _ => false
+    }
+  }
+
+  /** Do ALL rows whose identity/key column `c` carries path value `v`
+    * satisfy `f`? The identity dual of [[identityMayMatch]] (r19). */
+  def identityMustMatch(f: sources.Filter, c: String, v: String): Boolean = {
+    def ref(x: String) = x.equalsIgnoreCase(c)
+    def same(lit: Any): Boolean = lit != null && valueString(lit) == v
+    f match {
+      case sources.And(l, r) =>
+        identityMustMatch(l, c, v) && identityMustMatch(r, c, v)
+      case sources.Or(l, r) =>
+        identityMustMatch(l, c, v) || identityMustMatch(r, c, v)
+      case sources.EqualTo(x, lit) if ref(x) => same(lit)
+      case sources.EqualNullSafe(x, lit) if ref(x) => same(lit)
+      case sources.In(x, vs) if ref(x) => vs.exists(same)
+      case sources.IsNotNull(x) if ref(x) => true // NULL keys rejected at write
+      case _ => false
     }
   }
 

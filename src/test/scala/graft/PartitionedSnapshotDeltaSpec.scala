@@ -246,6 +246,130 @@ class PartitionedSnapshotDeltaSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT SUM(n) FROM $cat.rw").first().getLong(0) == 450)
   }
 
+  test("SQL DELETE on partitioned snapshots routes by provability: a " +
+       "whole-day range is the ZERO-COPY drop (no data file written, no " +
+       "data row read), a row-level predicate is the pruned rewrite, a " +
+       "pinned read refuses (r19)") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val dir = s"$ws/sqldel"
+    val df = (0L until 40L).map(i => (i,
+        new java.sql.Timestamp(t0 + (i % 4) * 86400000L + i * 1000L),
+        s"v$i")).toDF("id", "ts", "v")
+    assert(PartitionedSnapshot.writePartitioned(df, dir, "days:ts") == 1)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def vFiles(v: Int): Seq[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        if (!f.exists(p)) Nil
+        else f.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            Seq(st.getPath.toString) else Nil
+        }
+      walk(new org.apache.hadoop.fs.Path(s"$dir/v=$v"))
+    }
+    // zero-I/O proof for the zero-copy route: corrupt the doomed day's
+    // file — the DELETE must still succeed because provably-full-matching
+    // partitions are dropped from METADATA alone
+    val doomed = new org.apache.hadoop.fs.Path(s"$dir/v=1/ts_day=$day0")
+    val victim = f.listStatus(doomed).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val out = f.create(victim, true)
+    try out.write("junk".getBytes("UTF-8")) finally out.close()
+    spark.sql(s"DELETE FROM $cat.sqldel WHERE " +
+      "ts >= TIMESTAMP '2024-07-01 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-07-02 00:00:00'")
+    assert(Sinks.snapshotCommitted(spark, dir).contains(2))
+    assert(vFiles(2).isEmpty, "zero-copy DELETE wrote data files")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.sqldel")
+      .first().getLong(0) == 30)
+    // row-level predicate → the pruned rewrite (owns the touched day)
+    spark.sql(s"DELETE FROM $cat.sqldel WHERE id = 5") // day 1
+    assert(Sinks.snapshotCommitted(spark, dir).contains(3))
+    assert(vFiles(3).nonEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.sqldel")
+      .first().getLong(0) == 29)
+    // no-match DELETE publishes nothing
+    spark.sql(s"DELETE FROM $cat.sqldel WHERE " +
+      "ts >= TIMESTAMP '2030-01-01 00:00:00'")
+    assert(Sinks.snapshotCommitted(spark, dir).contains(3))
+    // DELETE without WHERE = truncate: every partition provably matches,
+    // one zero-copy version
+    spark.sql(s"DELETE FROM $cat.sqldel")
+    assert(Sinks.snapshotCommitted(spark, dir).contains(4))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.sqldel")
+      .first().getLong(0) == 0)
+    assert(vFiles(4).isEmpty, "truncate wrote data files")
+    // pinned history still serves (days 2,3 ride uncorrupted v=1 dirs)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.sqldel VERSION AS OF 3 WHERE " +
+        "ts >= TIMESTAMP '2024-07-03 00:00:00'").first().getLong(0) == 20)
+  }
+
+  test("per-partition file manifests on partitioned snapshots (r19): a " +
+       "non-partition predicate prunes FILES inside surviving dirs, the " +
+       "ring spans carried dirs and freshly staged deltas, and a missing " +
+       "manifest serves its dir whole") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val dir = s"$ws/mf"
+    // v is CONSTANT per day — a v-filter cannot dir-prune (v is not a
+    // partition source) but must file-prune through the manifests
+    val df = (0L until 40L).map { i =>
+      val d = (i % 2).toInt
+      (i, new java.sql.Timestamp(t0 + d * 86400000L + i * 1000L),
+        if (d == 0) "alpha" else "beta")
+    }.toDF("id", "ts", "v")
+    assert(PartitionedSnapshot.writePartitioned(df, dir, "days:ts") == 1)
+    assert(PartitionedSnapshot.enableManifests(spark, dir, Seq("v", "id")) == 2)
+    // a delta append into day0 stamps its own staged manifest
+    assert(PartitionedSnapshot.appendRows(spark, dir,
+      Seq((900L, new java.sql.Timestamp(t0 + 3600000L), "alpha"))
+        .toDF("id", "ts", "v")) == 2)
+    def plannedFiles(q: org.apache.spark.sql.DataFrame): Seq[String] =
+      q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }.distinct
+    def q(v: String) =
+      spark.sql(s"SELECT id FROM $cat.mf WHERE v = '$v'")
+    // beta lives only in day1 (a CARRIED v=1 dir at head v=2): every
+    // alpha file — base and delta — must be manifest-pruned
+    val betaPlanned = plannedFiles(q("beta"))
+    assert(betaPlanned.nonEmpty && betaPlanned.forall(
+      _.contains(s"ts_day=${day0 + 1}")), betaPlanned.toString)
+    assert(q("beta").count() == 20)
+    // alpha spans v=1 base + v=2 delta; day1's files prune away
+    val alphaPlanned = plannedFiles(q("alpha"))
+    assert(alphaPlanned.exists(_.contains("v=1/")) &&
+      alphaPlanned.exists(_.contains("v=2/")), alphaPlanned.toString)
+    assert(alphaPlanned.forall(_.contains(s"ts_day=$day0")),
+      alphaPlanned.toString)
+    assert(q("alpha").count() == 21)
+    // complete-or-ignored: drop day1's manifest — the dir serves WHOLE
+    // (planned again) and results stay exact
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val day1Dir = s"$dir/v=1/ts_day=${day0 + 1}"
+    assert(f.delete(new org.apache.hadoop.fs.Path(
+      day1Dir, "_manifest.json"), false))
+    val alphaPlanned2 = plannedFiles(q("alpha"))
+    assert(alphaPlanned2.exists(_.contains(s"ts_day=${day0 + 1}")),
+      "manifest-less dir was not served whole")
+    assert(q("alpha").count() == 21)
+    // a compaction restores the ring: fresh manifests ride the rewrite
+    PartitionedSnapshot.compactTable(spark, dir): Unit
+    val alphaPlanned3 = plannedFiles(q("alpha"))
+    assert(alphaPlanned3.nonEmpty &&
+      alphaPlanned3.forall(_.contains(s"ts_day=$day0")),
+      alphaPlanned3.toString)
+    assert(q("alpha").count() == 21)
+  }
+
   test("snapshot_compact('t', targetRows) is honored on partitioned " +
        "handles (ADVICE r18): a tiny target splits each partition") {
     val (cat, ws) = freshCatalog()

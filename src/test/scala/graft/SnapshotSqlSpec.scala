@@ -907,16 +907,16 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(!dropped.contains(1), s"expire dropped a carried-from folder: $dropped")
     assert(dropped.contains(2), s"expire kept the droppable v=2: $dropped")
     assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 31)
-    // row-level SQL DML stays refused (route to the keyed snapshot /
-    // partitioned workspace catalogs)
-    intercept[Throwable] {
-      spark.sql(s"DELETE FROM $cat.ps WHERE id = 3")
-    }
+    // row-level SQL DELETE is native (r19): a non-partition predicate
+    // routes to the fenced partition-pruned rewrite
+    spark.sql(s"DELETE FROM $cat.ps WHERE id = 3")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ps").first().getLong(0) == 30)
+    assert(Sinks.snapshotCommitted(spark, dir).contains(4))
     // INSERT INTO is SQL-native (r18): one fenced O(touched) append version
     spark.sql(s"INSERT INTO $cat.ps VALUES " +
       "(200, TIMESTAMP '2024-05-04 01:00:00', 'sqlins')")
-    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ps").first().getLong(0) == 32)
-    assert(Sinks.snapshotCommitted(spark, dir).contains(4))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ps").first().getLong(0) == 31)
+    assert(Sinks.snapshotCommitted(spark, dir).contains(5))
     // INSERT OVERWRITE refuses at analysis (no truncate capability —
     // a full rewrite is the explicit writePartitioned)
     val eo = intercept[Throwable] {
