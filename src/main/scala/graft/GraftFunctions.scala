@@ -242,6 +242,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       .queryExecution.logical
   }
 
+  /** `snapshot_partitions('snap.t' | '<dir>')` — the partitioned store's
+    * ops view (r19): one row per partition of the COMMITTED version with
+    * its chain depth (dirs in the carry graph — the delta-append cost
+    * model made inspectable: depth near `graft.snapshot.
+    * partitionAppendDepth` means the next append collapses it; high
+    * depths table-wide say "run snapshot_compact"), file count, and the
+    * exact row count from parquet footers. O(files) metadata reads, zero
+    * data pages, zero Spark jobs, read-only. */
+  private def snapshotPartitionsPlan(es: Seq[Expression]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.length == 1, "snapshot_partitions(table)")
+    val spark = SparkSession.active
+    val dir = resolveRef("snapshot_partitions",
+      strLit(es.head, "snapshot_partitions", "table"))
+    require(graft.sources.PartitionedSnapshot.partSpec(spark, dir).isDefined,
+      s"snapshot_partitions: $dir is not a PARTITIONED snapshot — flat " +
+        "version stores have no partition grain (snapshot_history lists " +
+        "their versions)")
+    import spark.implicits._
+    graft.sources.PartitionedSnapshot.partitionStats(spark, dir)
+      .toDF("partition", "depth", "files", "rows")
+      .queryExecution.logical
+  }
+
+  /** `snapshot_enable_manifests('snap.t' | '<dir>', 'col1,col2')` — the
+    * SQL face of [[graft.sources.PartitionedSnapshot.enableManifests]]:
+    * opt the partitioned snapshot into per-partition file manifests and
+    * backfill the committed version's dirs. Returns the dirs indexed.
+    * Executes at analysis like every procedure TVF. */
+  private def snapshotEnableManifestsPlan(es: Seq[Expression]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.length == 2, "snapshot_enable_manifests(table, cols)")
+    val spark = SparkSession.active
+    val dir = resolveRef("snapshot_enable_manifests",
+      strLit(es.head, "snapshot_enable_manifests", "table"))
+    require(graft.sources.PartitionedSnapshot.partSpec(spark, dir).isDefined,
+      s"snapshot_enable_manifests: $dir is not a PARTITIONED snapshot — " +
+        "flat stores index through Sinks.writeSnapshotWithManifest")
+    val cols = strLit(es(1), "snapshot_enable_manifests", "cols")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val n = graft.sources.PartitionedSnapshot
+      .enableManifests(spark, dir, cols)
+    import spark.implicits._
+    Seq(n).toDF("dirs_indexed").queryExecution.logical
+  }
+
   private def snapshotExpirePlan(es: Seq[Expression]):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(es.length == 2, "snapshot_expire(table, keep)")
@@ -282,6 +328,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "snapshot_compact" -> snapshotCompactPlan,
       "snapshot_expire" -> snapshotExpirePlan,
       "snapshot_vacuum" -> snapshotVacuumPlan,
+      "snapshot_partitions" -> snapshotPartitionsPlan,
+      "snapshot_enable_manifests" -> snapshotEnableManifestsPlan,
       "workspace_compact" -> workspaceCompactPlan
     ).foreach { case (name, plan) =>
       ext.injectTableFunction((

@@ -7754,6 +7754,49 @@ object PipelineQueries {
       q.withColumn("file_pruned", lit(if (filePruned) 1 else 0))
         .withColumn("carry_spanned", lit(if (carrySpanned) 1 else 0))
         .orderBy("event_id")
+    },
+
+    // ---- snapshot × partitions: the OPS view TVF (r19, beyond-list) --------
+    // `snapshot_partitions('t')`: one METADATA row per partition of the
+    // committed version — chain depth (the delta-append cost model made
+    // inspectable: depth near the collapse backstop says the next append
+    // rewrites that partition; high depth table-wide says snapshot_compact)
+    // and footer-exact row counts, O(files) metadata reads, zero data
+    // pages, zero Spark jobs. The oracle recomputes per-day counts and
+    // the appended day's depth from the raw table — a stats walk that
+    // misread a chain link, double-counted a carried dir, or missed the
+    // delta breaks the hash.
+    Q("q267_partitioned_snapshot_partitions_tvf", {
+      """WITH w AS (SELECT event_id, ts FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |g AS (SELECT DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |        AS d, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        |h AS (SELECT DATEDIFF('day', DATE '1970-01-01', DATE '2024-01-05')
+        |        AS hot)
+        |SELECT CAST(d AS VARCHAR) AS part_key,
+        |       CASE WHEN d = (SELECT hot FROM h) THEN 2 ELSE 1 END AS depth,
+        |       n + CASE WHEN d = (SELECT hot FROM h) THEN 1 ELSE 0 END
+        |         AS n_rows
+        |FROM g ORDER BY part_key""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "pstat")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit                    // v1
+      val nid = ev.agg(max("event_id") + 1).first().getLong(0)
+      graft.sources.PartitionedSnapshot.appendRows(s, tdir,
+        s.sql(s"SELECT $nid AS event_id, " +
+          "TIMESTAMP '2024-01-05 12:00:00' AS ts, " +
+          "'late' AS event_type")): Unit                                // v2
+      s.sql(s"SELECT * FROM snapshot_partitions('$cat.$tbl')")
+        .select(col("partition").as("part_key"), col("depth"),
+          col("rows").as("n_rows"))
+        .orderBy("part_key")
     }
   )
 

@@ -489,6 +489,37 @@ object PartitionedSnapshot {
       dirs.length
     }
 
+  /** Per-partition METADATA stats of the committed version (r19, the
+    * `snapshot_partitions` TVF): key, chain depth (dirs in the carry
+    * graph), file count, exact row count from parquet FOOTERS — O(files)
+    * metadata reads, zero data pages, zero Spark jobs. The ops view of
+    * the delta-append cost model: depth tells which partitions are
+    * approaching the collapse backstop / are worth a compactTable. */
+  def partitionStats(spark: SparkSession,
+                     tableDir: String): Seq[(String, Int, Int, Long)] = {
+    val committed = graft.operators.Sinks
+      .snapshotCommittedStable(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $tableDir"))
+    val conf = spark.sessionState.newHadoopConf()
+    resolvedDirLists(spark, tableDir, committed).map { case (key, rels) =>
+      val files = rels.flatMap { rel =>
+        val p = new Path(s"$tableDir/$rel")
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
+      val rows = files.map { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, conf))
+        try reader.getRecordCount finally reader.close()
+      }.sum
+      (key, rels.length, files.length, rows)
+    }
+  }
+
   /** Stamp manifests into every STAGED data dir when the table is opted
     * in — called after each `stageLayoutWrite`, before the version
     * rename, so manifest and data arrive in ONE atomic move. O(staged

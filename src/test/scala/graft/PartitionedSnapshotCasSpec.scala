@@ -286,6 +286,20 @@ class PartitionedSnapshotCasSpec extends AnyFunSuite {
         j2.queryExecution.executedPlan.toString.take(1500))
       val expected = w.filter(col("user_id") % 4 =!= 1).count() + 1
       assert(j2.count() == expected)
+      // delta-append CHAIN depth (r19): two more appends leave bucket 3
+      // spanning FOUR version folders — the key-grouped scan reports one
+      // key across all its splits and the join still plans no exchange
+      PartitionedSnapshot.appendRows(spark, s"$ws/bf",
+        Seq((1001L, 7L, "l2")).toDF("event_id", "user_id", "v")): Unit
+      PartitionedSnapshot.appendRows(spark, s"$ws/bf",
+        Seq((1002L, 7L, "l3")).toDF("event_id", "user_id", "v")): Unit
+      assert(PartitionedSnapshot
+        .resolvedDirLists(spark, s"$ws/bf", 5).toMap.apply("3").length >= 3)
+      def j3 = spark.sql(s"SELECT f.event_id, p.uname FROM $cat.bf f " +
+        s"JOIN $cat.bd p ON f.user_id = p.user_id")
+      assert(!j3.queryExecution.executedPlan.toString.contains("Exchange"),
+        j3.queryExecution.executedPlan.toString.take(1500))
+      assert(j3.count() == expected + 2)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -370,6 +370,42 @@ class PartitionedSnapshotDeltaSpec extends AnyFunSuite {
     assert(q("alpha").count() == 21)
   }
 
+  test("snapshot_partitions TVF: one metadata row per partition with " +
+       "chain depth / files / footer-exact rows; " +
+       "snapshot_enable_manifests is the SQL enable face (r19)") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val dir = s"$ws/tvf"
+    seed(dir) // days 0,1 × 25 rows
+    assert(PartitionedSnapshot.appendRows(spark, dir,
+      batch(700 until 703, 0)) == 2) // day0 chain depth 2
+    val stats = spark.sql(s"SELECT * FROM snapshot_partitions('$cat.tvf')")
+      .orderBy("partition")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    assert(stats.map(_._1) == Seq(day0.toString, (day0 + 1).toString))
+    assert(stats.head._2 == 2 && stats.head._4 == 28L, stats.toString)
+    assert(stats(1)._2 == 1 && stats(1)._4 == 25L, stats.toString)
+    assert(stats.forall(s => s._3 >= s._2), "files below chain depth")
+    // SQL enable face: marker written, dirs of the HEAD indexed (3: two
+    // day0 chain links + day1)
+    val n = spark.sql(
+      s"SELECT * FROM snapshot_enable_manifests('$cat.tvf', 'id,v')")
+      .first().getInt(0)
+    assert(n == 3, s"dirs indexed: $n")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, ".stats_cols")))
+    // flat stores refuse with guidance
+    val flat = s"$ws/flat"
+    graft.operators.Sinks.writeSnapshot(
+      Seq((1L, "a")).toDF("id", "t"), flat): Unit
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_partitions('$flat')")
+    }
+    assert(e.getMessage.contains("not a PARTITIONED snapshot"), e.getMessage)
+  }
+
   test("snapshot_compact('t', targetRows) is honored on partitioned " +
        "handles (ADVICE r18): a tiny target splits each partition") {
     val (cat, ws) = freshCatalog()
