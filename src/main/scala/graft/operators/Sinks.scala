@@ -780,14 +780,16 @@ object Sinks {
       PointerSwapLock.synchronized {
         // retry ONLY the torn-read shapes the cross-process swap race can
         // produce (crc/data renamed as two moves on the local checksum FS:
-        // ChecksumException, or a half-visible file: EOF). A persistent
-        // unrelated failure (permissions, connectivity) surfaces on the
-        // first throw instead of spinning 100 hot iterations under the
-        // JVM-wide swap lock (ADVICE r18).
+        // ChecksumException; a half-visible file: EOF; the exists→open
+        // window of a rename swap: FileNotFound). A persistent unrelated
+        // failure (permissions, connectivity) surfaces on the first throw
+        // instead of spinning 100 hot iterations under the JVM-wide swap
+        // lock (ADVICE r18).
         try return snapshotCommitted(spark, tableDir)
         catch {
           case e @ (_: org.apache.hadoop.fs.ChecksumException |
-                    _: java.io.EOFException) =>
+                    _: java.io.EOFException |
+                    _: java.io.FileNotFoundException) =>
             if (attempt >= 100) throw e
         }
       }

@@ -777,16 +777,6 @@ object PartitionedSnapshot {
     }
   }
 
-  /** Row-level retention WITHIN partitions (r17): publish the next
-    * version with the TOUCHED partitions rewritten to their surviving
-    * rows and every other partition carried — O(touched partitions)
-    * bytes, pinned history intact. Rows matching `cond` are REMOVED.
-    * The discovery scan reads only the candidate dirs `cond` can possibly
-    * match — partition-pruned through the levels (r19; parquet pushdown
-    * applies); the WRITE is bounded by the touched partitions. Completes
-    * the retention matrix: whole-partition drops are the zero-copy
-    * [[dropPartitions]]; keyed O(keys) takedowns route to the flat
-    * snapshot catalog's thin deletes. */
   /** `cond`'s top-level conjuncts as data-source filters, for partition
     * pruning: analyzed against an EMPTY frame of the live schema (zero
     * I/O), split on And, translated where expressible — an untranslatable
@@ -858,6 +848,17 @@ object PartitionedSnapshot {
       cols.reduce(_ && _))
   }
 
+  /** Row-level retention WITHIN partitions (r17): publish the next
+    * version with the TOUCHED partitions rewritten to their surviving
+    * rows and every other partition carried — O(touched partitions)
+    * bytes, pinned history intact. Rows matching `cond` are REMOVED.
+    * The discovery scan reads only the candidate dirs `cond` can possibly
+    * match — partition-pruned through the levels (r19; parquet pushdown
+    * applies inside them); the WRITE is bounded by the touched
+    * partitions (a touched partition's whole chain rewrites to one owned
+    * dir). Completes the retention matrix: whole-partition drops are the
+    * zero-copy [[dropPartitions]]; keyed O(keys) takedowns route to the
+    * flat snapshot catalog's thin deletes. */
   def deleteRowsWhere(spark: SparkSession, tableDir: String,
                       cond: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit}

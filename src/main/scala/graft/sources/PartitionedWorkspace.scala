@@ -1089,9 +1089,19 @@ private[sources] class PartitionedWorkspaceTable(
     // marker on every completed publish.
     feedStaged.foreach { fp =>
       f.mkdirs(park): Unit
-      val out = f.create(new Path(park, "_feed"), false)
+      // COMPLETE-OR-ABSENT (temp + one rename): a torn marker naming a
+      // garbled staging dir would make the repair judge "no staged leaf
+      // data left" vacuously true and fabricate a feed entry for a
+      // statement that never published; an absent marker only costs the
+      // age-gate fallback
+      val tmp = new Path(park,
+        s"._feed.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, false)
       try out.write(s"${fp.getName}\n${staging.getName}".getBytes("UTF-8"))
       finally out.close()
+      if (!f.rename(tmp, new Path(park, "_feed")))
+        throw new IllegalStateException(
+          s"feed marker rename failed in $park (table untouched)")
     }
     val toRetire = (readRels match {
       case Some(rels) => rels
