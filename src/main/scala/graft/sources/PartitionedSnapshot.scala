@@ -29,12 +29,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * schema AT PUBLISH — what a pinned `VERSION AS OF` read serves after
   * later metadata-only ALTERs; history is immutable, including its shape).
   *
-  * Carry entries are SINGLE-HOP by construction: publishing v=N+1 copies
-  * v=N's carry entries verbatim and adds entries pointing INTO v=N for the
-  * days v=N owned — resolution never recurses. A key may carry SEVERAL
-  * entries (r19): an appended partition is the UNION of its dir CHAIN
-  * (base + per-version delta dirs, carry-file order), bounded by the
-  * [[appendDepth]] collapse. What this buys at 100 TB:
+  * Carry ENTRY lines are SINGLE-HOP by construction: a materialized carry
+  * holds RESOLVED table-relative paths, so entry resolution never
+  * recurses. A key may carry SEVERAL entries (r19): an appended partition
+  * is the UNION of its dir CHAIN (base + per-version delta dirs,
+  * carry-file order), bounded by the [[appendDepth]] collapse. A pure
+  * delta append doesn't even materialize the list — its `_carry` is one
+  * `#base <v>` INHERITANCE pointer (O(1) metadata per micro-batch;
+  * resolution walks the pointer chain, bounded by
+  * [[carryCheckpointInterval]] and anchored by any removal-shaped
+  * publish, which always materializes). What this buys at 100 TB:
   *
   *  - **[[dropPartitions]] is a ZERO-COPY commit**: the new version is one
   *    `_carry` file naming every surviving day — dropping a day from a
@@ -226,27 +230,68 @@ object PartitionedSnapshot {
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** The carry entries of one version: (partition value, path relative to
-    * the TABLE dir). Complete-or-absent — every `_carry` is written into
-    * the publish STAGING dir and arrives via its single atomic rename
-    * (ADVICE r17: an in-place create could tear under a crash and
-    * under-protect a concurrent expire's protection set); a missing file
-    * means "no carries" (v=1, or a full rewrite). */
-  private def readCarry(spark: SparkSession, tableDir: String,
-                        v: Int): Seq[(String, String)] = {
+  /** One version's carry reference: either a materialized ENTRY LIST
+    * (the r17 format — the key-sorted (key, rel) lines; also the chain
+    * ANCHOR every removal-shaped publish writes) or, since r19, a pure
+    * INHERITANCE pointer `#base <v>` — "this version serves everything
+    * the base resolved, plus my own dirs appended per key". Inheritance
+    * is what makes a pure delta append O(1) METADATA: the r18-r19a form
+    * re-wrote the full O(#partitions) entry list per publish, which at
+    * mixed-layout cardinality (sources × days) was a multi-MB metadata
+    * write per micro-batch. Only pure-append versions inherit; any
+    * publish that REMOVES a key's dirs (drop, row-delete, depth
+    * collapse) materializes the full list, which also anchors the hop
+    * walk; [[carryCheckpointInterval]] bounds chain length between
+    * anchors. */
+  private sealed trait CarryRef
+  private case class CarryBase(base: Int) extends CarryRef
+  private case class CarryEntries(entries: Seq[(String, String)]) extends CarryRef
+
+  /** Complete-or-absent — every `_carry` is written into the publish
+    * STAGING dir and arrives via its single atomic rename (ADVICE r17:
+    * an in-place create could tear under a crash and under-protect a
+    * concurrent expire's protection set); a missing file means "no
+    * carries" (v=1, or a full rewrite/compaction). */
+  private def readCarryRef(spark: SparkSession, tableDir: String,
+                           v: Int): Option[CarryRef] = {
     val p = carryPath(tableDir, v)
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) Nil
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val txt = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
-      txt.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        (dec(line.take(i)), dec(line.drop(i + 1)))
-      }
+      if (txt.startsWith("#base ")) {
+        val b = txt.stripPrefix("#base ").trim.toInt
+        require(b > 0 && b < v,
+          s"$tableDir v=$v: carry base $b must be an OLDER version — " +
+            "the inheritance chain is corrupt")
+        Some(CarryBase(b))
+      } else Some(CarryEntries(
+        txt.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          (dec(line.take(i)), dec(line.drop(i + 1)))
+        }))
     }
+  }
+
+  /** The versions whose `_carry` FILES a resolution of `v` reads — `v`
+    * itself plus every `#base` hop down to and INCLUDING the anchor.
+    * Expire must keep every one of them: the anchor of a drop version
+    * owns NO data dir, so rel-prefix protection alone would let its
+    * folder (and the chain's only materialized entry list) expire. */
+  private def chainVersions(spark: SparkSession, tableDir: String,
+                            v: Int): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer(v)
+    var cur = v
+    var ref = readCarryRef(spark, tableDir, cur)
+    while (ref.exists(_.isInstanceOf[CarryBase])) {
+      cur = ref.get.asInstanceOf[CarryBase].base
+      out += cur
+      ref = readCarryRef(spark, tableDir, cur)
+    }
+    out.toSeq
   }
 
   private def writeCarry(spark: SparkSession, dest: Path,
@@ -259,6 +304,26 @@ object PartitionedSnapshot {
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** The O(1) inheritance carry (r19): `#base <v>` — staged like every
+    * carry, arrives in the version's atomic rename. */
+  private def writeCarryBase(spark: SparkSession, dest: Path,
+                             base: Int): Unit = {
+    val fs = fsOf(spark, dest)
+    fs.mkdirs(dest.getParent): Unit
+    val out = fs.create(dest, false)
+    try out.write(s"#base $base".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Hop-chain checkpoint interval (`graft.snapshot.carryCheckpointInterval`,
+    * default 32): a pure-delta append whose inheritance chain would reach
+    * this many `#base` hops materializes the full entry list instead —
+    * bounding both resolution metadata reads and the folders expire must
+    * keep for chain integrity. <= 1 disables inheritance entirely (every
+    * append writes the r18-style full list). */
+  private def carryCheckpointInterval(spark: SparkSession): Int = spark.conf
+    .get("graft.snapshot.carryCheckpointInterval", "32").trim.toInt
 
   /** A version's OWNED leaf dirs as (partition key → table-relative
     * path): one `<pathName>=<value>` ring per level, walked levels-deep
@@ -300,7 +365,14 @@ object PartitionedSnapshot {
   def resolvedPartitions(spark: SparkSession, tableDir: String,
                          v: Int): Seq[(String, String)] = {
     val levels = levelsOf(spark, tableDir)
-    val carried = readCarry(spark, tableDir, v)
+    // inherited entries: the base's full resolution for a `#base` carry
+    // (bases strictly decrease, so the walk terminates; length bounded by
+    // the checkpoint interval), the materialized list otherwise
+    val carried: Seq[(String, String)] = readCarryRef(spark, tableDir, v) match {
+      case None => Nil
+      case Some(CarryEntries(es)) => es
+      case Some(CarryBase(b)) => resolvedPartitions(spark, tableDir, b)
+    }
     val owned = ownedDirs(spark, tableDir, v, levels).toMap
     val keys = (carried.map(_._1) ++ owned.keys).distinct.sorted
     val carriedByKey = carried.groupBy(_._1)
@@ -318,20 +390,22 @@ object PartitionedSnapshot {
     out.toSeq
   }
 
-  /** The version numbers a version's carries point into. */
-  private def carryTargets(spark: SparkSession, tableDir: String,
-                           v: Int): Set[Int] =
-    readCarry(spark, tableDir, v).flatMap { case (_, rel) =>
-      rel.split('/').headOption.filter(_.startsWith("v="))
-        .flatMap(_.drop(2).toIntOption)
-    }.toSet
-
-  /** Every version a SURVIVING version still carries from — the expire
-    * protection set (single-hop carries ⇒ no transitive walk needed, but
-    * computed per survivor). */
+  /** Every version a SURVIVING version still needs — the expire
+    * protection set: (a) the folders its RESOLVED dirs physically live
+    * in (data protection), and (b) every `#base` HOP folder its carry
+    * resolution reads, anchor included (metadata protection, r19 — a
+    * drop anchor owns no data dir, so rel prefixes alone would let the
+    * chain's only materialized entry list expire and break every
+    * inheriting survivor). */
   private[graft] def referencedVersions(spark: SparkSession, tableDir: String,
                                         survivors: Seq[Int]): Set[Int] =
-    survivors.flatMap(carryTargets(spark, tableDir, _)).toSet
+    survivors.flatMap { v =>
+      chainVersions(spark, tableDir, v) ++
+        resolvedPartitions(spark, tableDir, v).flatMap { case (_, rel) =>
+          rel.split('/').headOption.filter(_.startsWith("v="))
+            .flatMap(_.drop(2).toIntOption)
+        }
+    }.toSet
 
   /** Assign `parquet.field.id` 1..n when the schema carries none — the
     * same Iceberg-style identity the workspace catalog stamps at CREATE:
@@ -754,13 +828,20 @@ object PartitionedSnapshot {
       val depth = appendDepth(spark)
       val chainLen = current.groupBy(_._1).view.mapValues(_.size).toMap
       if (touched.forall(k => chainLen.getOrElse(k, 0) + 1 < math.max(depth, 2))) {
-        // pure DELTA: stage only the batch; carry EVERYTHING current
-        // (touched keys keep their chains — the staged dir appends to them)
+        // pure DELTA: stage only the batch; carry EVERYTHING current —
+        // as one O(1) `#base` INHERITANCE pointer (r19: re-materializing
+        // the full O(#partitions) entry list per micro-batch was the
+        // metadata analog of the data amplification this round removed),
+        // checkpointed to a full list every carryCheckpointInterval hops
         PartitionEvolution.stageLayoutWrite(
           spark, shaped, live, levels, staging, targetRowsPerFile(spark))
         stampStagedManifests(spark, tableDir, staging, live)
         stageMeta(spark, staging, "append", Some(committed), live)
-        writeCarry(spark, new Path(staging, "_carry"), current)
+        val ckpt = carryCheckpointInterval(spark)
+        if (ckpt > 1 &&
+            chainVersions(spark, tableDir, committed).length < ckpt)
+          writeCarryBase(spark, new Path(staging, "_carry"), committed)
+        else writeCarry(spark, new Path(staging, "_carry"), current)
       } else {
         // depth collapse: the touched partitions' chains have hit the
         // backstop — this statement rewrites THEM (old ∪ new, clustered,

@@ -370,6 +370,65 @@ class PartitionedSnapshotDeltaSpec extends AnyFunSuite {
     assert(q("alpha").count() == 21)
   }
 
+  test("pure delta appends write O(1) CARRY METADATA (#base inheritance), " +
+       "removal publishes anchor the chain, the checkpoint interval " +
+       "materializes, and expire protects every hop incl. a data-less " +
+       "drop anchor (r19)") {
+    val (_, ws) = freshCatalog()
+    val dir = s"$ws/inherit"
+    seed(dir) // v1: full layout, days 0-1
+    def carryText(v: Int): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/v=$v/_carry")
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(org.apache.hadoop.io.IOUtils
+          .readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    }
+    // a drop first: v2 is a MATERIALIZED anchor that owns NO data dir
+    assert(PartitionedSnapshot.dropPartitions(spark, dir,
+      Seq((day0 + 1).toString)) == 2)
+    assert(carryText(2).exists(t => !t.startsWith("#base") && t.contains("\t")))
+    // three delta appends: each carry is ONE tiny inheritance pointer —
+    // O(1) metadata regardless of the table's partition count
+    (1 to 3).foreach { k =>
+      assert(PartitionedSnapshot.appendRows(spark, dir,
+        batch(2000 * k until 2000 * k + 4, 0)) == 2 + k)
+      assert(carryText(2 + k).contains(s"#base ${1 + k}"),
+        s"v=${2 + k}: ${carryText(2 + k)}")
+    }
+    // resolution walks the chain: head = day0 seed + 12 delta rows
+    assert(PartitionedSnapshot.read(spark, dir).count() == 37)
+    assert(PartitionedSnapshot.resolvedDirLists(spark, dir, 5)
+      .toMap.apply(day0.toString).length == 4)
+    // EXPIRE while the head INHERITS: the survivor's hop walk traverses
+    // v=4 → v=3 → v=2 (the drop anchor, which owns NO data dir) — every
+    // hop and every data folder must survive a keep=1, so nothing drops
+    val d1 = Sinks.expireSnapshots(spark, dir, keep = 1)
+    assert(d1.isEmpty, s"expire broke a live chain: dropped $d1")
+    assert(PartitionedSnapshot.read(spark, dir).count() == 37)
+    // the checkpoint interval bounds the hop walk: with interval 2 the
+    // next append MATERIALIZES the full list instead of a 3rd hop
+    spark.conf.set("graft.snapshot.carryCheckpointInterval", "2")
+    try {
+      assert(PartitionedSnapshot.appendRows(spark, dir,
+        batch(9000 until 9002, 0)) == 6)
+      assert(carryText(6).exists(t => !t.startsWith("#base")),
+        s"v=6 should have checkpointed: ${carryText(6)}")
+    } finally spark.conf.unset("graft.snapshot.carryCheckpointInterval")
+    assert(PartitionedSnapshot.read(spark, dir).count() == 39)
+    // once checkpointed, the data-less anchor is RECLAIMABLE (the
+    // checkpoint cut the chain) while every data folder stays protected
+    val d2 = Sinks.expireSnapshots(spark, dir, keep = 1)
+    assert(d2 == Seq(2), s"expected exactly the cut anchor to drop: $d2")
+    assert(PartitionedSnapshot.read(spark, dir).count() == 39)
+    assert(PartitionedSnapshot.resolvedDirLists(spark, dir, 6)
+      .toMap.apply(day0.toString).length == 5)
+  }
+
   test("snapshot_partitions TVF: one metadata row per partition with " +
        "chain depth / files / footer-exact rows; " +
        "snapshot_enable_manifests is the SQL enable face (r19)") {

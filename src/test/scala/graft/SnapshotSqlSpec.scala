@@ -901,11 +901,15 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 31)
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ps WHERE v = 'new'")
       .first().getLong(0) == 1)
-    // expire protects carried-from folders: keep=1 would drop v=1/v=2, but
-    // v=3 still carries days out of v=1 — v=1 must survive, v=2 may go
+    // expire protects carried-from folders AND inheritance hops: keep=1
+    // would drop v=1/v=2, but v=3 carries days out of v=1 (data) and its
+    // `#base 2` carry resolves THROUGH the drop anchor v=2 (metadata,
+    // r19) — nothing may drop while the head inherits; a later
+    // materializing publish (checkpoint/compact/removal) releases the
+    // anchor (PartitionedSnapshotDeltaSpec proves the release)
     val dropped = Sinks.expireSnapshots(spark, dir, keep = 1)
-    assert(!dropped.contains(1), s"expire dropped a carried-from folder: $dropped")
-    assert(dropped.contains(2), s"expire kept the droppable v=2: $dropped")
+    assert(dropped.isEmpty,
+      s"expire broke a live inheritance chain: dropped $dropped")
     assert(graft.sources.PartitionedSnapshot.read(spark, dir).count() == 31)
     // row-level SQL DELETE is native (r19): a non-partition predicate
     // routes to the fenced partition-pruned rewrite
