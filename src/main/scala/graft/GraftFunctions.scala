@@ -252,7 +252,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * data pages, zero Spark jobs, read-only. */
   private def snapshotPartitionsPlan(es: Seq[Expression]):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(es.length == 1, "snapshot_partitions(table)")
+    require(es.length == 1 || es.length == 2,
+      "snapshot_partitions(table [, version])")
     val spark = SparkSession.active
     val dir = resolveRef("snapshot_partitions",
       strLit(es.head, "snapshot_partitions", "table"))
@@ -260,8 +261,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"snapshot_partitions: $dir is not a PARTITIONED snapshot — flat " +
         "version stores have no partition grain (snapshot_history lists " +
         "their versions)")
+    val version = es.lift(1)
+      .map(GraftFunctions.intLit(_, "snapshot_partitions", "version"))
     import spark.implicits._
-    graft.sources.PartitionedSnapshot.partitionStats(spark, dir)
+    graft.sources.PartitionedSnapshot.partitionStats(spark, dir, version)
       .toDF("partition", "depth", "files", "rows")
       .queryExecution.logical
   }

@@ -569,14 +569,15 @@ object PartitionedSnapshot {
     * metadata reads, zero data pages, zero Spark jobs. The ops view of
     * the delta-append cost model: depth tells which partitions are
     * approaching the collapse backstop / are worth a compactTable. */
-  def partitionStats(spark: SparkSession,
-                     tableDir: String): Seq[(String, Int, Int, Long)] = {
-    val committed = graft.operators.Sinks
+  def partitionStats(spark: SparkSession, tableDir: String,
+                     version: Option[Int] = None):
+      Seq[(String, Int, Int, Long)] = {
+    val v = version.getOrElse(graft.operators.Sinks
       .snapshotCommittedStable(spark, tableDir)
       .getOrElse(throw new IllegalStateException(
-        s"no committed snapshot at $tableDir"))
+        s"no committed snapshot at $tableDir")))
     val conf = spark.sessionState.newHadoopConf()
-    resolvedDirLists(spark, tableDir, committed).map { case (key, rels) =>
+    resolvedDirLists(spark, tableDir, v).map { case (key, rels) =>
       val files = rels.flatMap { rel =>
         val p = new Path(s"$tableDir/$rel")
         val fs = p.getFileSystem(conf)

@@ -446,6 +446,13 @@ class PartitionedSnapshotDeltaSpec extends AnyFunSuite {
     assert(stats.head._2 == 2 && stats.head._4 == 28L, stats.toString)
     assert(stats(1)._2 == 1 && stats(1)._4 == 25L, stats.toString)
     assert(stats.forall(s => s._3 >= s._2), "files below chain depth")
+    // historical version arg: v=1's stats are pre-append (depth 1, 25
+    // rows each day)
+    val v1Stats = spark.sql(
+      s"SELECT * FROM snapshot_partitions('$cat.tvf', 1)")
+      .orderBy("partition").collect()
+      .map(r => (r.getInt(1), r.getLong(3))).toSeq
+    assert(v1Stats == Seq((1, 25L), (1, 25L)), v1Stats.toString)
     // SQL enable face: marker written, dirs of the HEAD indexed (3: two
     // day0 chain links + day1)
     val n = spark.sql(
