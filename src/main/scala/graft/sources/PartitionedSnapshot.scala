@@ -371,7 +371,18 @@ object PartitionedSnapshot {
     val carried: Seq[(String, String)] = readCarryRef(spark, tableDir, v) match {
       case None => Nil
       case Some(CarryEntries(es)) => es
-      case Some(CarryBase(b)) => resolvedPartitions(spark, tableDir, b)
+      case Some(CarryBase(b)) =>
+        // an inheritance hop whose FOLDER is gone means this version's
+        // history has been expired from under it — throw a guided error
+        // instead of silently serving the partial chain (a missing
+        // _carry inside an EXISTING folder is a legitimate anchor)
+        val bDir = new Path(s"$tableDir/v=$b")
+        if (!fsOf(spark, bDir).exists(bDir))
+          throw new IllegalStateException(
+            s"$tableDir v=$v resolves through v=$b, which has been " +
+              "EXPIRED — this version's history is beyond retention " +
+              "(expire protects every hop of SURVIVING versions only)")
+        resolvedPartitions(spark, tableDir, b)
     }
     val owned = ownedDirs(spark, tableDir, v, levels).toMap
     val keys = (carried.map(_._1) ++ owned.keys).distinct.sorted

@@ -429,6 +429,78 @@ class PartitionedSnapshotDeltaSpec extends AnyFunSuite {
       .toMap.apply(day0.toString).length == 5)
   }
 
+  test("metadata-only ALTER composes with delta chains: a partition's " +
+       "chain mixes pre-rename/pre-ADD delta dirs with post-ALTER ones " +
+       "and serves by field id; changesBetween spans the ALTER; compact " +
+       "collapses the mixed chain (r19)") {
+    import spark.implicits._
+    val (cat, ws) = freshCatalog()
+    val dir = s"$ws/altchain"
+    val df = (0L until 20L).map(i => (i,
+        new java.sql.Timestamp(t0 + (i % 2) * 86400000L + i * 1000L),
+        s"d$i")).toDF("id", "ts", "txt")
+    assert(PartitionedSnapshot.writePartitioned(df, dir, "days:ts") == 1)
+    // two OLD-shape deltas into day0
+    assert(PartitionedSnapshot.appendRows(spark, dir,
+      Seq((100L, new java.sql.Timestamp(t0 + 1000L), "old1"))
+        .toDF("id", "ts", "txt")) == 2)
+    spark.sql(s"ALTER TABLE $cat.altchain RENAME COLUMN txt TO body")
+    spark.sql(s"ALTER TABLE $cat.altchain ADD COLUMN score INT")
+    // NEW-shape delta into the SAME day's chain
+    spark.sql(s"INSERT INTO $cat.altchain VALUES " +
+      "(200, TIMESTAMP '2024-07-01 02:00:00', 'new1', 7)")
+    val lists = PartitionedSnapshot.resolvedDirLists(spark, dir,
+      3).toMap
+    assert(lists(day0.toString).length == 3, lists.toString)
+    // the union serves by field id: old files' txt bytes under `body`,
+    // score null-fills on pre-ALTER dirs
+    val head = spark.sql(
+      s"SELECT id, body, score FROM $cat.altchain ORDER BY id")
+    assert(head.count() == 22)
+    assert(head.filter(col("id") === 100L).first().getString(1) == "old1")
+    assert(head.filter(col("id") === 3L).first().getString(1) == "d3")
+    assert(head.filter(col("id") === 200L).first().getInt(2) == 7)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.altchain " +
+      "WHERE score IS NULL").first().getLong(0) == 21)
+    // the change diff spans the ALTER boundary (served in the LIVE shape)
+    val ch = PartitionedSnapshot.changesBetween(spark, dir, 1, 3)
+      .orderBy("_version", "id")
+      .select("_version", "_change_type", "id", "body")
+      .collect().map(_.toSeq).toSeq
+    assert(ch == Seq(Seq(2, "insert", 100L, "old1"),
+      Seq(3, "insert", 200L, "new1")), ch.toString)
+    // compaction collapses the mixed chain into one dir per day, sheds
+    // nothing live, and keeps serving identically
+    val before = spark.sql(
+      s"SELECT id, body, score FROM $cat.altchain ORDER BY id")
+      .collect().map(_.toSeq).toSeq
+    PartitionedSnapshot.compactTable(spark, dir): Unit
+    assert(PartitionedSnapshot.resolvedDirLists(spark, dir, 4)
+      .toMap.forall(_._2.length == 1))
+    assert(spark.sql(
+      s"SELECT id, body, score FROM $cat.altchain ORDER BY id")
+      .collect().map(_.toSeq).toSeq == before)
+  }
+
+  test("a pinned read whose inheritance hop has been EXPIRED throws a " +
+       "guided error instead of silently serving a partial chain (r19)") {
+    val (_, ws) = freshCatalog()
+    val dir = s"$ws/exphop"
+    seed(dir)
+    assert(PartitionedSnapshot.appendRows(spark, dir,
+      batch(100 until 103, 0)) == 2) // #base 1
+    assert(PartitionedSnapshot.appendRows(spark, dir,
+      batch(200 until 203, 0)) == 3) // #base 2
+    // simulate an out-of-protocol expiry of the mid-chain hop
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v=2")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.delete(p, true))
+    val e = intercept[IllegalStateException] {
+      PartitionedSnapshot.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+  }
+
   test("snapshot_partitions TVF: one metadata row per partition with " +
        "chain depth / files / footer-exact rows; " +
        "snapshot_enable_manifests is the SQL enable face (r19)") {
