@@ -7797,6 +7797,70 @@ object PipelineQueries {
         .select(col("partition").as("part_key"), col("depth"),
           col("rows").as("n_rows"))
         .orderBy("part_key")
+    },
+
+    // ---- snapshot × partitions: O(batch) MICRO-BATCH INGEST, driver-
+    // verified (r19) — the round's core contract as an oracle-hashed
+    // face: three consecutive SQL INSERT INTO statements into one hot
+    // day each publish a version that physically OWNS exactly its own
+    // batch's rows (o_batch — the r18 form owned the day's accumulated
+    // content, quadratic over a day of micro-batches) and whose carry is
+    // ONE `#base` inheritance pointer (inherit — O(1) metadata per
+    // publish, not an O(#partitions) manifest). Reads serve the chain
+    // union; the oracle recomputes the final content from the raw table.
+    Q("q268_partitioned_snapshot_delta_ingest", {
+      """WITH w AS (SELECT event_id, ts, event_type FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+        |m AS (SELECT MAX(event_id) AS mx FROM w)
+        |SELECT event_id, event_type, 1 AS o_batch, 1 AS inherit FROM w
+        |UNION ALL SELECT mx + 1, 'ing', 1, 1 FROM m
+        |UNION ALL SELECT mx + 2, 'ing', 1, 1 FROM m
+        |UNION ALL SELECT mx + 3, 'ing', 1, 1 FROM m
+        |ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
+      val cat = "graft_snap"
+      val ws = ensureCatalog(s, cat, "graft.sources.SnapshotCatalog")
+      val tbl = freshSnapName(dir, "psing")
+      val tdir = s"$ws/$tbl"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+      graft.sources.PartitionedSnapshot
+        .writePartitioned(ev, tdir, "days:ts"): Unit                    // v1
+      val mx = ev.agg(max("event_id")).first().getLong(0)
+      (1 to 3).foreach { k =>
+        s.sql(s"INSERT INTO $cat.$tbl VALUES (${mx + k}, " +
+          s"TIMESTAMP '2024-01-04 0$k:00:00', 'ing')") // v = 1 + k
+      }
+      val fsc = s.sessionState.newHadoopConf()
+      def versionFacts(v: Int): (Long, Boolean) = {
+        val root = new org.apache.hadoop.fs.Path(s"$tdir/v=$v")
+        val f = root.getFileSystem(fsc)
+        def files(p: org.apache.hadoop.fs.Path): Seq[String] =
+          f.listStatus(p).toSeq.flatMap { st =>
+            if (st.isDirectory) files(st.getPath)
+            else if (st.getPath.getName.endsWith(".parquet"))
+              Seq(st.getPath.toString) else Nil
+          }
+        val owned = files(root)
+        val rows =
+          if (owned.isEmpty) 0L else s.read.parquet(owned: _*).count()
+        val cp = new org.apache.hadoop.fs.Path(root, "_carry")
+        val inherit = f.exists(cp) && {
+          val in = f.open(cp)
+          try new String(org.apache.hadoop.io.IOUtils
+            .readFullyToByteArray(in), "UTF-8").startsWith("#base ")
+          finally in.close()
+        }
+        (rows, inherit)
+      }
+      val facts = (2 to 4).map(versionFacts)
+      val oBatch = facts.forall(_._1 == 1L) // each version owns its batch
+      val inherit = facts.forall(_._2)      // each carry is one pointer
+      s.sql(s"SELECT event_id, event_type FROM $cat.$tbl")
+        .withColumn("o_batch", lit(if (oBatch) 1 else 0))
+        .withColumn("inherit", lit(if (inherit) 1 else 0))
+        .orderBy("event_id")
     }
   )
 

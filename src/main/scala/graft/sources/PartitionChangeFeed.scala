@@ -53,7 +53,14 @@ import org.apache.spark.sql.functions._
   * crash converges per partition and feeds NOTHING — the feed is
   * all-or-nothing, never fabricated). Only a statement that crashed
   * before `publishPartitioned` even began leaves journal-less,
-  * marker-less staging debris, which the repair age-gates away. A failed
+  * marker-less staging debris, which the repair age-gates away. One
+  * DOCUMENTED residual on the V1 `INSERT INTO` path (which appends
+  * through Spark's own partitioned writer, not `publishPartitioned`):
+  * its journal lands right after the append, and a crash in between
+  * leaves journal-less debris the repair can only age-gate — a
+  * multi-file lockless append has no atomic publish event (no park, no
+  * single rename) to adjudicate "did it land" from, and journaling
+  * BEFORE the append would fabricate feeds for crashed inserts. A failed
   * (cleanly aborted) statement never lands feed rows: staging and
   * journal are dropped on every abort path — unless the journal already
   * exists, which proves the data published and the abort is post-commit
