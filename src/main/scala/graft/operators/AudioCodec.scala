@@ -35,8 +35,56 @@ object AudioCodec {
   private def pcmFormat: AudioFormat =
     new AudioFormat(SampleRate, 16, 1, true, false) // signed, little-endian
 
-  /** Encode raw payload bytes as a real WAV file (RIFF header + PCM data). */
+  /** Encode raw payload bytes as a real WAV file (RIFF header + PCM data).
+    *
+    * Composes the canonical 44-byte RIFF/WAVE header + PCM data directly —
+    * BYTE-IDENTICAL to what `AudioSystem.write(..., Type.WAVE, ...)` emits
+    * for this format (AudioSpec pins the identity against [[encodeWavRef]]).
+    * The direct compose exists because `AudioSystem.write` walks the audio
+    * provider registry and re-negotiates the target format PER CALL — at
+    * ~1 ms+ a call it dominated the per-row audio kernels (q72 measured
+    * ~4 s steady for 5 000 rows; the codec, not the arithmetic, was the
+    * cost — optimization guide §1.2 step 2). */
   def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    val dataLen = bytes.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put4(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def put2(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); put4(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put4(16, 16)
+    put2(20, 1) // PCM
+    put2(22, 1) // mono
+    put4(24, SampleRate.toInt) // 8000 Hz
+    put4(28, SampleRate.toInt * 2) // byte rate (16-bit mono)
+    put2(32, 2) // block align
+    put2(34, 16) // bits per sample
+    tag(36, "data"); put4(40, dataLen)
+    var i = 0
+    while (i < bytes.length) {
+      val s = ((bytes(i) & 0xff) - 128) << 8
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Reference encoder via `javax.sound.sampled.AudioSystem` — the law
+    * anchor: AudioSpec asserts `encodeWav` is byte-identical to this for
+    * every payload shape, so the hot path stays a REAL WAV container. */
+  def encodeWavRef(bytes: Array[Byte]): Array[Byte] = {
     val data = new Array[Byte](bytes.length * 2)
     var i = 0
     while (i < bytes.length) {
@@ -52,9 +100,57 @@ object AudioCodec {
     bos.toByteArray
   }
 
-  /** Decode a WAV payload to its 16-bit signed samples (real container +
-    * PCM parse via `AudioSystem`, not a byte-offset shortcut). */
+  /** Decode a WAV payload to its 16-bit signed samples.
+    *
+    * Real RIFF chunk walk (not a fixed-offset shortcut): verifies the
+    * RIFF/WAVE magic, locates `fmt ` (requires 16-bit mono PCM — the same
+    * contract [[decodeSamplesRef]] enforces) and `data`, honoring the
+    * odd-size pad byte the RIFF spec mandates between chunks. Direct parse
+    * for the same reason as [[encodeWav]]: `AudioSystem
+    * .getAudioInputStream` probes every registered provider per call;
+    * AudioSpec pins sample-exact agreement with the `AudioSystem` path. */
   def decodeSamples(wav: Array[Byte]): Array[Int] = {
+    require(wav.length >= 12 &&
+      wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F' &&
+      wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E',
+      "not a RIFF/WAVE payload")
+    def u2(off: Int): Int = (wav(off) & 0xff) | ((wav(off + 1) & 0xff) << 8)
+    def u4(off: Int): Int = u2(off) | (u2(off + 2) << 16)
+    var pos = 12
+    var fmtOk = false
+    while (pos + 8 <= wav.length) {
+      val size = u4(pos + 4)
+      val isFmt = wav(pos) == 'f' && wav(pos + 1) == 'm' && wav(pos + 2) == 't' &&
+        wav(pos + 3) == ' '
+      val isData = wav(pos) == 'd' && wav(pos + 1) == 'a' && wav(pos + 2) == 't' &&
+        wav(pos + 3) == 'a'
+      if (isFmt) {
+        val audioFormat = u2(pos + 8)
+        val channels = u2(pos + 10)
+        val bits = u2(pos + 22)
+        require(audioFormat == 1 && bits == 16 && channels == 1,
+          s"expected 16-bit mono PCM, got format=$audioFormat channels=$channels bits=$bits")
+        fmtOk = true
+      } else if (isData) {
+        require(fmtOk, "RIFF data chunk before fmt chunk")
+        val n = math.min(size, wav.length - pos - 8) / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          // little-endian: low byte unsigned, high byte carries the sign
+          out(i) = (wav(pos + 8 + 2 * i) & 0xff) | (wav(pos + 8 + 2 * i + 1).toInt << 8)
+          i += 1
+        }
+        return out
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    throw new IllegalArgumentException("RIFF/WAVE payload has no data chunk")
+  }
+
+  /** Reference decoder via `AudioSystem` (provider-negotiated parse) — the
+    * law anchor for [[decodeSamples]]; kept for AudioSpec only. */
+  def decodeSamplesRef(wav: Array[Byte]): Array[Int] = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
     try {
       val fmt = ais.getFormat

@@ -103,6 +103,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV fast path ≡ javax.sound AudioSystem: byte-identical container, " +
+      "sample-identical parse (r19 codec optimization law)") {
+    import graft.operators.AudioCodec
+    for (n <- Seq(0, 1, 2, 7, 160, 161, 577, 4096)) {
+      val bytes = Array.tabulate[Byte](n)(i => ((i * 53 + 3) % 256).toByte)
+      val fast = AudioCodec.encodeWav(bytes)
+      val ref = AudioCodec.encodeWavRef(bytes)
+      // the direct RIFF compose must be indistinguishable from the
+      // provider-negotiated writer — same header, same PCM bytes
+      assert(fast.toSeq == ref.toSeq, s"encodeWav diverged from AudioSystem at n=$n")
+      if (n > 0) {
+        assert(AudioCodec.decodeSamples(ref).toSeq ==
+          AudioCodec.decodeSamplesRef(ref).toSeq,
+          s"decodeSamples diverged from AudioSystem at n=$n")
+      }
+    }
+    // chunk-walk robustness: a LIST chunk between fmt and data (real encoders
+    // emit these) must be skipped, including the odd-size pad byte
+    val base = AudioCodec.encodeWav(Array[Byte](65, 122))
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val padded = base.slice(0, 36) ++ extra ++ base.slice(36, base.length)
+    // fix up the RIFF size field for the inserted chunk
+    val riffLen = padded.length - 8
+    padded(4) = (riffLen & 0xff).toByte
+    padded(5) = ((riffLen >> 8) & 0xff).toByte
+    padded(6) = ((riffLen >> 16) & 0xff).toByte
+    padded(7) = ((riffLen >> 24) & 0xff).toByte
+    assert(AudioCodec.decodeSamples(padded).toSeq ==
+      AudioCodec.decodeSamplesRef(padded).toSeq)
+  }
+
   test("audioStats: integer-exact decoded-sample statistics") {
     // "Az" → bytes 65, 122 → samples −16128, −1536
     val df = Seq((1L, "Az")).toDF("doc_id", "text")
