@@ -681,14 +681,14 @@ object Sinks {
       val prev = snapshotVersions(spark, tableDir).filter(_ < v).reverse
         .find(p => graft.sources.ManifestPrune.exists(spark, tableDir, p))
         .getOrElse(return)
-      val statsCols = spark.read
-        .parquet(graft.sources.ManifestPrune.manifestDir(tableDir, prev))
-        .columns.filter(_.startsWith("min_")).map(_.drop(4)).toSeq
+      val statsCols = graft.sources.FooterSchema
+        .require(spark, graft.sources.ManifestPrune.manifestDir(tableDir, prev))
+        .fieldNames.filter(_.startsWith("min_")).map(_.drop(4)).toSeq
       // schema inference reads footers, not data — the whole carry stays
       // metadata-only (the r14 wart was a FULL data re-read of the version
       // just published, a 2× write-path I/O tax at 100 TB; the footers
       // already hold the same min/max, plus null counts the agg never had)
-      val writtenSchema = spark.read.parquet(s"$tableDir/v=$v").schema
+      val writtenSchema = graft.sources.FooterSchema.require(spark, s"$tableDir/v=$v")
       val cols = statsCols.filter(writtenSchema.fieldNames.contains)
       if (cols.isEmpty) return
       // temp dir + ONE rename: a manifest must appear COMPLETE or not at
@@ -1600,7 +1600,12 @@ object Sinks {
     val kind = if (sub.isEmpty) "schema" else s"schema:$sub"
     cachedMarker[org.apache.spark.sql.types.StructType](
         spark, tableDir, v, kind) {
-      Some(spark.read.parquet(path).schema)
+      // one footer, no inference job (FooterSchema scaladoc) for the flat
+      // common case; BUCKETED version dirs keep their data under b=K
+      // subdirs (no direct data file), where full inference must run so
+      // the partition-dir column participates exactly as before
+      Some(graft.sources.FooterSchema.of(spark, Seq(path))
+        .getOrElse(spark.read.parquet(path).schema))
     } match {
       case Some(s) => spark.read.schema(s).parquet(path)
       case None => spark.read.parquet(path)
@@ -1919,7 +1924,7 @@ object Sinks {
     // not a second full read of the data — the build is O(#files) metadata
     graft.sources.FooterStats
       .manifestFrame(spark, s"$tableDir/v=$next",
-        spark.read.parquet(s"$tableDir/v=$next").schema, statsCols)
+        graft.sources.FooterSchema.require(spark, s"$tableDir/v=$next"), statsCols)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/_manifest/v=$next")
     commitPointer(spark, tableDir, next)

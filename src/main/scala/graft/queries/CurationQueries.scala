@@ -754,7 +754,7 @@ object CurationQueries {
       val sink = s"${scratch.dir}/stream_redact"
       val chk = s"${scratch.dir}/chk"
       graft.streaming.Streams.runAvailableNow(s, sink, chk, outputMode = "append") {
-        val schema = s.read.parquet(Tables.path(dir, "documents")).schema
+        val schema = graft.sources.FooterSchema.require(s, Tables.path(dir, "documents"))
         s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(dir)

@@ -961,7 +961,7 @@ object PipelineQueries {
       // Scoped low-overhead run (8 state partitions, no trailing no-data
       // batch — moot in complete mode): Streams.runAvailableNow scaladoc.
       Streams.runAvailableNow(s, sink, chk) {
-        val schema = s.read.parquet(Tables.path(dir, "events")).schema
+        val schema = graft.sources.FooterSchema.require(s, Tables.path(dir, "events"))
         // The file-stream source needs a DIRECTORY to monitor (basePath); the
         // fixture table is a single file inside the SF dir, so monitor the dir
         // with a filename glob — the same shape as a production landing folder.
@@ -992,7 +992,7 @@ object PipelineQueries {
       val sink = s"${scratch.dir}/stream_dedup"
       val chk = s"${scratch.dir}/chk"
       Streams.runAvailableNow(s, sink, chk) {
-        val schema = s.read.parquet(Tables.path(dir, "documents")).schema
+        val schema = graft.sources.FooterSchema.require(s, Tables.path(dir, "documents"))
         s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(dir)
@@ -1031,7 +1031,7 @@ object PipelineQueries {
       val chk = s"${scratch.dir}/chk"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Streams.runAvailableNow(s, sink, chk) {
-        val schema = s.read.parquet(Tables.path(dir, "events")).schema
+        val schema = graft.sources.FooterSchema.require(s, Tables.path(dir, "events"))
         val events = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
@@ -1417,7 +1417,7 @@ object PipelineQueries {
       val chk = s"${scratch.dir}/chk"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Streams.runAvailableNow(s, sink, chk) {
-        val schema = s.read.parquet(Tables.path(dir, "events")).schema
+        val schema = graft.sources.FooterSchema.require(s, Tables.path(dir, "events"))
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
@@ -2030,7 +2030,7 @@ object PipelineQueries {
       // emit after the single AvailableNow data batch of an inner join) is
       // skipped. Both scoped, restored in the helper's finally.
       Streams.runAvailableNow(s, sink, chk, outputMode = "append") {
-        val schema = s.read.parquet(Tables.path(dir, "events")).schema
+        val schema = graft.sources.FooterSchema.require(s, Tables.path(dir, "events"))
         def side(tpe: String) = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
@@ -2435,7 +2435,7 @@ object PipelineQueries {
       val chk = s"${scratch.dir}/chk162"
       Tables.load(s, dir, "events").select("event_id", "event_type")
         .repartition(3).write.parquet(src)
-      val schema = s.read.parquet(src).schema
+      val schema = graft.sources.FooterSchema.require(s, src)
       Streams.runSnapshotPublish(s, table, chk) {
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
           .parquet(src)
@@ -2726,7 +2726,7 @@ object PipelineQueries {
         .select("event_id", "event_type", "ts")
       ev.coalesce(1).write.parquet(s"$src/copy1")
       ev.coalesce(1).write.parquet(s"$src/copy2")
-      val schema = s.read.parquet(s"$src/copy1").schema
+      val schema = graft.sources.FooterSchema.require(s, s"$src/copy1")
       Streams.runAvailableNow(s, sink, chk, outputMode = "append") {
           s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
             .parquet(s"$src/copy*")
@@ -2939,7 +2939,7 @@ object PipelineQueries {
       var sinkDf: org.apache.spark.sql.DataFrame = null
       batches.foreach { case (name, df) =>
         Streams.landFile(df, src, name)
-        val schema = s.read.parquet(src).schema
+        val schema = graft.sources.FooterSchema.require(s, src)
         sinkDf = Streams.runUpdateTagged(s, sink, chk) {
           s.readStream.schema(schema).parquet(src)
             .withWatermark("ts", "30 minutes")
@@ -3173,7 +3173,7 @@ object PipelineQueries {
             ("b2", ev.filter(pmod(col("event_id"), lit(2)) === 1))).foreach {
           case (name, d) =>
             Streams.landFile(d.drop("event_id"), src, name)
-            val schema = s.read.parquet(src).schema
+            val schema = graft.sources.FooterSchema.require(s, src)
             sinkDf = Streams.runUpdateTagged(s, sink, chk) {
               Streams.runningCounts(
                 s.readStream.schema(schema).parquet(src)
@@ -3695,7 +3695,7 @@ object PipelineQueries {
       var sinkDf: org.apache.spark.sql.DataFrame = null
       for (i <- 1 to 2) {
         Streams.landFile(docs.filter(pmod(col("doc_id"), lit(2)) === i - 1), src, s"b$i")
-        val schema = s.read.parquet(src).schema
+        val schema = graft.sources.FooterSchema.require(s, src)
         sinkDf = Streams.runUpdateTagged(s, sink, chk) {
           s.readStream.schema(schema).parquet(src)
             .select(col("source"),
@@ -3818,7 +3818,7 @@ object PipelineQueries {
       for (i <- 1 to 2) {
         Streams.landFile(queries.filter(pmod(col("vec_id"), lit(2)) === i - 1),
           src, s"b$i")
-        val schema = s.read.parquet(src).schema
+        val schema = graft.sources.FooterSchema.require(s, src)
         sinkDf = Streams.runUpdateTagged(s, sink, chk) {
           Similarity.ivfStreamSearch(index, pivots,
             s.readStream.schema(schema).parquet(src),
@@ -4413,7 +4413,7 @@ object PipelineQueries {
       val probed = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
       for (i <- 1 to 3) {
         Streams.landFile(ev.filter(pmod(col("event_id"), lit(3)) === i - 1), src, s"b$i")
-        val schema = s.read.parquet(src).schema
+        val schema = graft.sources.FooterSchema.require(s, src)
         Streams.runSnapshotPublish(s, table, chk, probe = { b =>
           val committed = graft.operators.Sinks.snapshotCommitted(s, table)
           require(committed == (if (b == 0L) None else Some(b.toInt)),
@@ -4666,7 +4666,7 @@ object PipelineQueries {
         Streams.landFile(
           if (i == 1) ev.filter(col("event_id") <= mid)
           else ev.filter(col("event_id") > mid), src, s"b$i")
-        val schema = s.read.parquet(src).schema
+        val schema = graft.sources.FooterSchema.require(s, src)
         Streams.runMergeSink(s, chk, s"$cat.stream_state",
           "user_id", "ts", "event_id") {
           s.readStream.schema(schema).parquet(src)
@@ -4890,7 +4890,7 @@ object PipelineQueries {
         Streams.landFile(
           if (i == 1) ev.filter(col("event_id") <= mid)
           else ev.filter(col("event_id") > mid), src, s"b$i")
-        val schema = s.read.parquet(src).schema
+        val schema = graft.sources.FooterSchema.require(s, src)
         Streams.runThinUpsertSink(s, chk, tdir, "user_id", "ts", "event_id") {
           s.readStream.schema(schema).parquet(src)
         }
@@ -5770,7 +5770,7 @@ object PipelineQueries {
       for (i <- 1 to 2) {
         Streams.landFile(
           if (i == 1) b1 else b2updates.unionByName(b2inserts), src, s"b$i")
-        val schema = s.read.parquet(src).schema
+        val schema = graft.sources.FooterSchema.require(s, src)
         Streams.runMergeSink(s, chk, s"$cat.day_state",
           "event_id", "ver", "event_id") {
           s.readStream.schema(schema).parquet(src)

@@ -117,8 +117,12 @@ private[graft] class BucketedSnapshotTable(
       .sortBy(_._1)
   }
 
+  // one footer on the driver, not a throwaway relation + inference job
+  // (FooterSchema scaladoc) — bucket dirs are engine-written and uniform
   private lazy val dataSchema: StructType =
-    spark.read.parquet(bucketDirs().map(_._2): _*).schema
+    FooterSchema.of(spark, bucketDirs().map(_._2)).getOrElse(
+      throw new IllegalStateException(
+        s"no parquet data file in any bucket dir of $tableName"))
 
   override def name(): String = tableName
   override def schema(): StructType = dataSchema

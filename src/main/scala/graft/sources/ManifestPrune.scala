@@ -184,7 +184,7 @@ private[sources] class ManifestSnapshotTable(
 
   override def name(): String = tableName
   override lazy val schema: org.apache.spark.sql.types.StructType =
-    spark.read.parquet(s"$tableDir/v=$version").schema
+    FooterSchema.require(spark, s"$tableDir/v=$version")
   override def capabilities():
       java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     java.util.Set.of(

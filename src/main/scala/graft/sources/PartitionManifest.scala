@@ -161,7 +161,7 @@ object PartitionManifest {
       val canonical =
         if (leaves.isEmpty) cols
         else {
-          val schema = spark.read.parquet(leaves.head.toString).schema
+          val schema = FooterSchema.require(spark, leaves.head.toString)
           val resolved = FooterStats.resolveCols(schema, cols)
           leaves.foreach(writeLeafManifest(spark, _, schema, resolved))
           resolved

@@ -462,7 +462,7 @@ class WorkspaceCatalog extends TableCatalog
     val current = readSidecar(actual).getOrElse {
       // pre-existing (non-DDL-created) table: adopt its footer schema as
       // the declared schema, then evolve that
-      SparkSession.active.read.parquet(tablePath(actual).toString).schema
+      FooterSchema.require(SparkSession.active, tablePath(actual).toString)
     }
     val evolved = changes.foldLeft(current) {
       case (schema, add: TableChange.AddColumn) =>

@@ -730,7 +730,7 @@ private[sources] class SnapshotDmlTable(
     * reader. */
   override lazy val schema: StructType = {
     val base = graft.operators.Sinks.servedSnapshotSchema(spark, tableDir)
-      .getOrElse(spark.read.parquet(committedDir).schema)
+      .getOrElse(graft.sources.FooterSchema.require(spark, committedDir))
     graft.operators.Sinks.snapshotDeclaredKeys(spark, tableDir) match {
       case Some(keys) => StructType(base.map(f =>
         if (keys.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
