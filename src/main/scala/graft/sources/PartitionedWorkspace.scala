@@ -1220,7 +1220,23 @@ private[sources] class PartitionedWorkspaceTable(
               val selected = data.select(cols.toIndexedSeq: _*)
               val (shaped, pathNames) = writePathCols(selected)
               val mode = if (overwrite || overwriteAll) "overwrite" else "append"
-              def write(): Unit = graft.operators.Sinks.microsBound(shaped)
+              // hash-distribute by the partition path columns before the
+              // fan-out write (Iceberg's write.distribution-mode=hash, the
+              // stageLayoutWrite discipline): without it ONE input task
+              // writes every touched leaf serially — q235's INSERT spent
+              // 2.7 s in a single task opening ~150 leaf writers — and at
+              // scale M tasks × L leaves explode into M·L small files.
+              // After: leaves spread across tasks, one file per leaf per
+              // statement. Parallelism across (not within) leaves; a
+              // pathological single-leaf batch degrades to today's single
+              // writer, no worse. The partition count is EXPLICIT
+              // (cluster width): with no count, AQE's byte-based advisory
+              // coalesces a small batch back to ONE task and the leaf
+              // writers re-serialize — the cost here is file creations
+              // per task, which the byte advisory cannot see.
+              def write(): Unit = graft.operators.Sinks
+                .microsBound(shaped.repartition(
+                  spark.sparkContext.defaultParallelism, pathNames.map(col): _*))
                 .write.partitionBy(pathNames: _*).mode(mode).parquet(dir)
               if (mode == "overwrite") {
                 // whole-table rewrite: fence like the other whole-table
@@ -1250,7 +1266,9 @@ private[sources] class PartitionedWorkspaceTable(
                     .parquet(tmp.toString)
                     .drop(PartitionChangeFeed.ChangeCol)
                   val (shaped2, names2) = writePathCols(stagedRows)
-                  try graft.operators.Sinks.microsBound(shaped2)
+                  try graft.operators.Sinks
+                    .microsBound(shaped2.repartition(
+                      spark.sparkContext.defaultParallelism, names2.map(col): _*))
                     .write.partitionBy(names2: _*).mode("append").parquet(dir)
                   catch { case t: Throwable =>
                     PartitionChangeFeed.abortStaged(spark, staged); throw t
