@@ -89,14 +89,18 @@ object FooterStats {
       .sortBy(_.getName)
     val cols = resolveCols(schema, statsCols)
     val out = manifestSchema(schema, cols)
-    val rows: Seq[Row] = files.map { f =>
+    // footer reads are independent per file — bounded driver-pool fan-out
+    // (graft.Par), order preserved by indexed writes
+    val rowArr = new Array[Row](files.length)
+    graft.Par.each(files.zipWithIndex) { case (f, i) =>
       val (rowCount, stats) = fileStats(conf, f, schema, cols)
-      Row.fromSeq(
+      rowArr(i) = Row.fromSeq(
         f.toString +: rowCount +: cols.flatMap { c =>
           val s = stats(c)
           Seq(s.min, s.max, s.nullCount.map(Long.box).orNull)
         })
     }
+    val rows: Seq[Row] = rowArr.toSeq
     spark.createDataFrame(rows.asJava, out)
   }
 

@@ -163,7 +163,11 @@ object PartitionManifest {
         else {
           val schema = FooterSchema.require(spark, leaves.head.toString)
           val resolved = FooterStats.resolveCols(schema, cols)
-          leaves.foreach(writeLeafManifest(spark, _, schema, resolved))
+          // per-leaf stamps are independent (each builds from its own
+          // footers, temp+renames into its own dir) — fan out across a
+          // bounded driver pool instead of serializing #leaves FS
+          // round-trips (graft.Par scaladoc)
+          graft.Par.each(leaves)(writeLeafManifest(spark, _, schema, resolved))
           resolved
         }
       val mk = markerPath(tableDir)

@@ -564,7 +564,7 @@ object PartitionedSnapshot {
         .getOrElse(throw new IllegalStateException(
           s"no committed snapshot at $tableDir"))
       val dirs = resolvedPartitions(spark, tableDir, committed).map(_._2)
-      dirs.foreach(rel => PartitionManifest.writeLeafManifest(
+      graft.Par.each(dirs)(rel => PartitionManifest.writeLeafManifest(
         spark, new Path(s"$tableDir/$rel"), live, resolved))
       val mk = PartitionManifest.markerPath(tableDir)
       val fs = fsOf(spark, mk)
@@ -617,7 +617,7 @@ object PartitionedSnapshot {
     PartitionManifest.statsCols(fs, tableDir).foreach { cols =>
       val resolved = FooterStats.resolveCols(schema,
         cols.filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))))
-      PartitionManifest.leafDirsOf(fs, staging).foreach(
+      graft.Par.each(PartitionManifest.leafDirsOf(fs, staging))(
         PartitionManifest.writeLeafManifest(spark, _, schema, resolved))
     }
   }
