@@ -242,10 +242,18 @@ object Dedup {
     * computed once; the |V|-row count rides a broadcast. `iters` is a fixed
     * small constant (rank separation, not convergence, is the goal). */
   def pageRankMicro(pairs: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    // The pair generator upstream (LSH banding, verification joins) is the
+    // expensive subtree, and edges/nodes feed EVERY iteration below: left
+    // lazy, the unrolled plan re-derives them per iteration (plan size and
+    // planning/codegen time grow ~linearly in iters, and each iteration
+    // re-executes the generator). One localCheckpoint pins the edge list —
+    // edges-only payload, the same discipline as duplicateClusters' loop.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
+      .localCheckpoint()
     val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
     // Fold (1-d)*1e6 HERE and splice the folded literal into both faces —
     // in-SQL folding would be DuckDB DECIMAL math, not this IEEE product

@@ -5235,14 +5235,20 @@ object PipelineQueries {
       val docs2 = Tables.load(s2, dir, "documents").select("doc_id", "text", "source")
       val batch = docs2.filter(!col("source").isin(c0: _*))
       val loaded = Dedup.loadDedupIndex(s2, idxDir)
-      val (keptLoaded, nidx) = Dedup.incrementalDedupIndexed(batch, loaded,
+      // Both admission pipelines are full LSH computations; the two
+      // directed except probes + the declared output would re-execute them
+      // up to five times. Pin each ONCE (localCheckpoint) — the probes and
+      // the output then read batch-sized materialized state.
+      val (keptLoaded0, nidx) = Dedup.incrementalDedupIndexed(batch, loaded,
         "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand)
-      val (keptBuilt, _) = Dedup.incrementalDedupIndexed(batch,
+      val keptLoaded = keptLoaded0.localCheckpoint()
+      val (keptBuilt0, _) = Dedup.incrementalDedupIndexed(batch,
         Dedup.buildDedupIndex(docs2.filter(col("source").isin(c0: _*)),
           "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand),
         "text", "doc_id", MinhashK, ShingleW, Bands, RowsPerBand)
-      val same = keptLoaded.select("doc_id").except(keptBuilt.select("doc_id")).isEmpty &&
-        keptBuilt.select("doc_id").except(keptLoaded.select("doc_id")).isEmpty
+      val keptBuilt = keptBuilt0.select("doc_id").localCheckpoint()
+      val same = keptLoaded.select("doc_id").except(keptBuilt).isEmpty &&
+        keptBuilt.except(keptLoaded.select("doc_id")).isEmpty
       // the maintained index is itself the NEXT version of the artifact
       Dedup.publishDedupIndex(nidx, idxDir): Unit
       keptLoaded.select(col("doc_id"), col("source"))

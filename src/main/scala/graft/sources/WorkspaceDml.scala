@@ -322,9 +322,12 @@ private[graft] object WorkspaceDmlLock {
     * race-free for the publish window: claim mutations only happen under
     * the table lock, which the caller holds. */
   def verifyClaims(spark: SparkSession, paths: Seq[Path],
-                   token: String): Unit =
-    paths.foreach { p =>
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+                   token: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    // bounded parallel fan-out (graft.Par): one token read per touched
+    // partition is a serial driver round-trip train on wide statements
+    graft.Par.each(paths) { p =>
+      val fs = p.getFileSystem(conf)
       if (!readToken(fs, p).contains(token))
         throw new java.util.ConcurrentModificationException(
           s"partition claim $p was broken past graft.workspace.dmlLockGraceMs " +
@@ -332,6 +335,7 @@ private[graft] object WorkspaceDmlLock {
             "phase — aborting the publish (staged output discarded); retry " +
             "the statement")
     }
+  }
 
   /** Acquire per-leaf claims — CALLER HOLDS THE TABLE LOCK. A fresh
     * foreign claim on any rel aborts with everything acquired here
@@ -369,22 +373,26 @@ private[graft] object WorkspaceDmlLock {
   /** Delete ONLY claims still carrying `token` (a stale-broken-and-retaken
     * claim belongs to the new holder). */
   def releaseClaims(spark: SparkSession, paths: Seq[Path],
-                    token: String): Unit =
-    paths.foreach { p =>
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+                    token: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    graft.Par.each(paths) { p =>
+      val fs = p.getFileSystem(conf)
       if (readToken(fs, p).contains(token)) fs.delete(p, false): Unit
     }
+  }
 
   /** Heartbeat the claims' mtimes at publish entry — the copy phase may
     * have outlived the grace (the table-lock [[refresh]] tradeoff).
     * Callers under the table lock verify tokens first ([[verifyClaims]]);
     * lock-free callers use the token-checked overload. */
-  def refreshClaims(spark: SparkSession, paths: Seq[Path]): Unit =
-    paths.foreach { p =>
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+  def refreshClaims(spark: SparkSession, paths: Seq[Path]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    graft.Par.each(paths) { p =>
+      val fs = p.getFileSystem(conf)
       try fs.setTimes(p, System.currentTimeMillis(), -1)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
 
   /** [[refreshClaims]] that only touches claims still carrying `token` —
     * for heartbeats taken WITHOUT the table lock (a broken-and-retaken
@@ -392,14 +400,16 @@ private[graft] object WorkspaceDmlLock {
     * statement's business). Best-effort: the token re-check at publish
     * remains the arbiter. */
   def refreshClaims(spark: SparkSession, paths: Seq[Path],
-                    token: String): Unit =
-    paths.foreach { p =>
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+                    token: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    graft.Par.each(paths) { p =>
+      val fs = p.getFileSystem(conf)
       try {
         if (readToken(fs, p).contains(token))
           fs.setTimes(p, System.currentTimeMillis(), -1)
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
 }
 
 private[graft] object WorkspaceDml {
