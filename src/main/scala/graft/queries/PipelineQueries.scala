@@ -3561,16 +3561,35 @@ object PipelineQueries {
         .filter(col("c0") =!= col("ck")).select("vec_id")
       val patched = asg0.join(movedIds, Seq("vec_id"), "left_anti")
         .unionByName(fin.join(movedIds, Seq("vec_id"), "left_semi"))
-      val mismatch = patched.exceptAll(fin).count() + fin.exceptAll(patched).count()
-      val rows = states.zipWithIndex.map { case ((asg, _), it) =>
-        val m = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
-          .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"), count(lit(1)).as("c"))
-          .first()
-        val (mx, tot, c) = (m.getLong(0), m.getLong(1), m.getLong(2))
-        val moved = if (it == 0) 0L
-          else asg0.toDF("vec_id", "c0")
-            .join(asg.select(col("vec_id"), col("centroid_id").as("ck")), "vec_id")
-            .filter(col("c0") =!= col("ck")).count()
+      // Probe folding: the per-iteration occupancy first()s, per-iteration
+      // moved counts and the two directed exceptAll counts were ~9 driver
+      // actions, each with its own plan+codegen (the states are pinned, so
+      // the data work was cheap — the ACTIONS were the cost, dominating
+      // the face's first run). Fold to 3: one unioned occupancy collect,
+      // one unioned moved collect, one unioned mismatch count. count(A∪B)
+      // = count(A)+count(B) (union keeps multiplicity), so `mismatch` is
+      // value-identical.
+      val mismatch =
+        patched.exceptAll(fin).union(fin.exceptAll(patched)).count()
+      val occByIt = states.zipWithIndex.map { case ((asg, _), it) =>
+        asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
+            count(lit(1)).as("c"))
+          .select(lit(it).as("it"), col("mx"), col("tot"), col("c"))
+      }.reduce(_ unionByName _).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val movedByIt = states.zipWithIndex.drop(1).map { case ((asg, _), it) =>
+        asg0.toDF("vec_id", "c0")
+          .join(asg.select(col("vec_id"), col("centroid_id").as("ck")), "vec_id")
+          .filter(col("c0") =!= col("ck"))
+          .agg(count(lit(1)).as("m"))
+          .select(lit(it).as("it"), col("m"))
+      }.reduce(_ unionByName _).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val rows = states.indices.map { it =>
+        val (mx, tot, c) = occByIt(it)
+        val moved = movedByIt.getOrElse(it, 0L)
         (it, mx * c * 1000000L / tot, c, moved, mismatch,
           if (mx * c * 1000000L / tot > 1500000L) "REPIVOT" else "KEEP")
       }
@@ -4361,7 +4380,9 @@ object PipelineQueries {
       val patched = Similarity.ivfOpenIndex(s, path)
         .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
       val fresh = asgF.select("vec_id", "centroid_id")
-      val mismatch = patched.exceptAll(fresh).count() + fresh.exceptAll(patched).count()
+      // one action, value-identical: count(A∪B) = count(A)+count(B)
+      val mismatch =
+        patched.exceptAll(fresh).union(fresh.exceptAll(patched)).count()
       val before = asg0.select("centroid_id").distinct().count()
       val after = fresh.select("centroid_id").distinct().count()
       val moved = asg0.select(col("vec_id"), col("centroid_id").as("c0"))

@@ -379,7 +379,8 @@ object Streams {
   def runSnapshotPublish(s: SparkSession, tableDir: String, chk: String,
                          statePartitions: Int = 8,
                          noDataBatch: Boolean = false,
-                         probe: Long => Unit = _ => ())
+                         probe: Long => Unit = _ => (),
+                         sinkFiles: Int = 1)
                         (build: => DataFrame): DataFrame = {
     val partsKey = "spark.sql.shuffle.partitions"
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -398,8 +399,15 @@ object Streams {
           // the hook q192 uses to prove mid-stream readers only ever see
           // committed versions
           probe(batchId)
-          graft.operators.Sinks.writeSnapshotAs(batch, tableDir,
-            (batchId + 1).toInt): Unit
+          // Output-file sizing (guide §6): a complete-mode batch arrives in
+          // `statePartitions` post-shuffle slices, so each published version
+          // would land that many near-empty files (and every later read
+          // lists + footer-reads all of them). Complete-mode output is
+          // cardinality-bounded by construction — coalesce (no shuffle) to
+          // `sinkFiles`; topologies with genuinely large complete-mode
+          // results pass a larger value.
+          graft.operators.Sinks.writeSnapshotAs(batch.coalesce(sinkFiles),
+            tableDir, (batchId + 1).toInt): Unit
         }
         .start()
       query.awaitTermination()
