@@ -6055,24 +6055,34 @@ object PipelineQueries {
         .map(_.getPath).toSeq
       val impossible = Seq(org.apache.spark.sql.sources.GreaterThan(
         "event_id", Long.MaxValue / 2))
+      // both per-leaf probe loops fan out through the bounded Par pool —
+      // serial per-leaf manifest opens / footer reads are the same driver
+      // round-trip train the engine-side metadata paths already parallelize
+      val pruneOk = new java.util.concurrent.atomic.AtomicBoolean(true)
+      graft.Par.each(leaves) { leaf =>
+        if (!graft.sources.PartitionManifest.prunedFiles(s, leaf, impossible)
+              .exists(_.isEmpty)) pruneOk.set(false)
+      }
       val manifestCarried =
         f.exists(graft.sources.PartitionManifest.markerPath(tdir)) &&
-          leaves.nonEmpty && leaves.forall(leaf =>
-            graft.sources.PartitionManifest.prunedFiles(s, leaf, impossible)
-              .exists(_.isEmpty))
+          leaves.nonEmpty && pruneOk.get()
       // fact: staged files are sized — each leaf's file count within the
       // maxRecordsPerFile bound of its row count (clustered write = one
       // task per leaf; an unsized partitionBy writes one file per task)
       val target = s.conf
         .get("graft.repartition.targetRowsPerFile", "5000000").trim.toLong
-      val filesBounded = leaves.forall { leaf =>
+      val boundedOk = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val hconf = s.sessionState.newHadoopConf()
+      graft.Par.each(leaves) { leaf =>
         val files = f.listStatus(leaf).filter(st =>
           st.isFile && st.getPath.getName.endsWith(".parquet"))
         val rows = files.map(p => graft.sources.FooterStats.fileStats(
-          s.sessionState.newHadoopConf(), p.getPath,
+          hconf, p.getPath,
           new org.apache.spark.sql.types.StructType(), Nil)._1).sum
-        files.length <= ((rows + target - 1) / target).max(1L)
+        if (files.length > ((rows + target - 1) / target).max(1L))
+          boundedOk.set(false)
       }
+      val filesBounded = boundedOk.get()
       // the respec'd layout is LIVE: a day-grained DELETE rewrites only
       // matching day directories and drops their leaves
       s.sql(s"DELETE FROM $cat.respec WHERE " +
