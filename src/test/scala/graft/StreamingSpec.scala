@@ -347,6 +347,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.count() == 2)
     val midCounts = vs.init.map(v => Sinks.readSnapshot(spark, table, Some(v)).count())
     assert(midCounts.exists(_ < 2), midCounts.toString)
+    // output-file sizing (r19 optimization): a complete-mode batch is
+    // cardinality-bounded, so each published version must land exactly
+    // sinkFiles (default 1) parquet files — not one near-empty file per
+    // state partition
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    vs.foreach { v =>
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/v=$v"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      assert(n == 1, s"v=$v has $n data files, expected 1")
+    }
   }
 
   test("q192 composition: mid-stream pins ≡ immutable versions; rerun-isolated; probe guards in-flight") {
