@@ -501,10 +501,18 @@ object Dedup {
     * Σ outdeg² = O(m^1.5) — never the Σ deg² hub blow-up of naive wedge
     * counting; every step is an equi-join keyed on a node id, no
     * cartesian. Output: one row (n_nodes, n_edges, n_triangles). */
-  def triangleCount(pairs: DataFrame): DataFrame = {
+  def triangleCount(pairs0: DataFrame): DataFrame = {
+    // The pair generator upstream (LSH banding) feeds FOUR references of
+    // `pairs` and four of `deg` below; left lazy, the plan re-derives the
+    // whole generator per reference (q169's plan: 2,876 lines, 140
+    // Exchanges, 88 parquet scans). Pin the edge list and the degree
+    // table once — edges-only payloads, the pageRankMicro/duplicateClusters
+    // discipline.
+    val pairs = pairs0.localCheckpoint()
     val deg = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val withDeg = pairs
       .join(deg.select(col("id").as("id_a"), col("d").as("__da")), "id_a")
       .join(deg.select(col("id").as("id_b"), col("d").as("__db")), "id_b")
