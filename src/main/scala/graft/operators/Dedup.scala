@@ -474,18 +474,32 @@ object Dedup {
     * BEFORE the explode): the candidate set is typically orders of magnitude
     * smaller than the corpus, and exploding the full corpus into |text|-many
     * shingle rows for it is the classic unpushed filter. */
-  def jaccardForPairs(pairs: DataFrame, docs: DataFrame,
-                      textCol: String, idCol: String, w: Int): DataFrame =
-    jaccardOnShingles(pairs,
-      pairMembers(pairs, docs, idCol).select(col(idCol).as("did"),
-        explode(TextHashExprs.shingleHashes(col(textCol), w)).as("s")))
+  def jaccardForPairs(pairs0: DataFrame, docs: DataFrame,
+                      textCol: String, idCol: String, w: Int): DataFrame = {
+    // Pin the candidate pairs once: they are consumed 4× downstream (the
+    // member semi-join plus 3 references in [[jaccardOnShingles]]); left
+    // lazy, each consumer re-derives the whole pair generator — for q33 the
+    // full minhash→LSH self-join subtree (plan was 1,149 lines / 50
+    // Exchanges / 32 parquet scans). Pinned payload is two int64 ids/row.
+    val pairs = materialize(pairs0)
+    jaccardOnShingles(pairs, shingledMembers(pairs, docs, textCol, idCol, w))
+  }
+
+  /** Lazy pair-member word-shingle table (exposed for plan tests): the
+    * semi-join prune must sit BELOW the shingle explode. */
+  private[graft] def shingledMembers(pairs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, w: Int): DataFrame =
+    pairMembers(pairs, docs, idCol).select(col(idCol).as("did"),
+      explode(TextHashExprs.shingleHashes(col(textCol), w)).as("s"))
 
   /** Char n-gram variant: same pipeline over character shingle hashes. */
-  def charJaccardForPairs(pairs: DataFrame, docs: DataFrame,
-                          textCol: String, idCol: String, n: Int): DataFrame =
+  def charJaccardForPairs(pairs0: DataFrame, docs: DataFrame,
+                          textCol: String, idCol: String, n: Int): DataFrame = {
+    val pairs = materialize(pairs0) // same 4-consumer pinning as above
     jaccardOnShingles(pairs,
       pairMembers(pairs, docs, idCol).select(col(idCol).as("did"),
         explode(TextHashExprs.charShingleHashes(col(textCol), n)).as("s")))
+  }
 
   /** Docs restricted to ids that occur in the candidate pairs. */
   /** Exact triangle count over an undirected pair graph (`id_a < id_b`
@@ -648,7 +662,13 @@ object Dedup {
   }
 
   private def jaccardOnShingles(pairs: DataFrame, shingled: DataFrame): DataFrame = {
-    val sh = shingled.distinct()
+    // Pin the distinct shingle table once (the q117/q169 discipline): it is
+    // referenced 3× below (sizes, inter-a, inter-b); left lazy, each
+    // reference re-derives the semi-join + explode upstream. `pairs` must
+    // arrive pinned from the caller for the same reason (3 references here).
+    // The pinned frame is candidate-member-sized (ids + int64 hashes), never
+    // corpus-sized.
+    val sh = materialize(shingled.distinct())
     val sizes = sh.groupBy(col("did")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.as("sa"), col("id_a") === col("sa.did"))

@@ -232,10 +232,15 @@ object EventOps {
         lag(col(typeCol), 1).over(w).as("prev"))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n"))
-    val marg = pairs.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
-    pairs.join(broadcast(marg), "prev")
-      .select(col("prev"), col("cur"), col("n"),
-        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+    // Marginal as a window over the pair counts, not a groupBy + self-join:
+    // the join form referenced `pairs` twice, re-deriving the lag-window
+    // pass over the events table for the marginal side (q155's plan ran the
+    // corpus window 2×). The window runs over the |types|² count table —
+    // broadcast-sized at any corpus size — and SUM(n) OVER (PARTITION BY
+    // prev) is exactly the former `tot`.
+    val mw = Window.partitionBy(col("prev"))
+    pairs.select(col("prev"), col("cur"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(mw).cast("double")).as("p"))
   }
 
   /** Oracle face of [[transitionMatrix]]. */

@@ -1189,8 +1189,15 @@ object Similarity {
     * The pair table itself is the pluggable stage: brute-force here at test
     * scale ([[bitextMargin]]), LSH/IVF candidates at 100 TB — the scoring
     * math is identical. */
-  def marginFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+  def marginFromPairs(pairs0: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Pin the candidate pairs once (the q117/q169 discipline): they are
+    // referenced 3× below (both top-k passes + the scoring join); left lazy,
+    // each reference re-derives the whole candidate generator — for q111 the
+    // soft-IVF assign + blocked cosine join, re-planned and re-run per
+    // consumer (plan was 811 lines / 52 Exchanges / 24 parquet scans).
+    // Pinned payload is (a_id, b_id, c_micro) — 24 bytes/row, never vectors.
+    val pairs = pairs0.localCheckpoint()
     def topSum(keyCol: String, tieCol: String, sumName: String, cntName: String) = {
       val w = Window.partitionBy(col(keyCol)).orderBy(col("c_micro").desc, col(tieCol))
       pairs.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)

@@ -140,16 +140,23 @@ object TableStats {
         sum((qz(a) * qz(b)).cast(dec38)).as(s"sp_${a}_$b") }
     val agg = df.agg(sums.head, sums.tail: _*)
     def vd(c: Column) = c.cast("string").cast("double")
-    val rows = pairs.map { case (a, b) =>
+    // One output struct per pair, exploded from the SINGLE one-row aggregate:
+    // the former per-pair `agg.select(...)` union re-derived the full-scan
+    // aggregate once per pair (q156: 3 lineitem scans for 3 pairs). All
+    // moments come from one scan; the explode is driver-trivial. Expressions
+    // are unchanged per arm, so every value is bit-identical.
+    val arms = pairs.map { case (a, b) =>
       val n = col("n").cast(dec38)
       val num = vd(n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
       val va = vd(n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
       val vb = vd(n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
       val den = sqrt(va) * sqrt(vb)
-      agg.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
         when(den =!= 0.0, num / den).as("corr"))
     }
-    rows.reduce(_ unionByName _)
+    agg.select(explode(array(arms: _*)).as("__r"))
+      .select(col("__r.col_a").as("col_a"), col("__r.col_b").as("col_b"),
+        col("__r.n").as("n"), col("__r.corr").as("corr"))
   }
 
   /** Oracle face of [[pearsonMicro]] — same quantization, HUGEINT moments,
@@ -223,19 +230,30 @@ object TableStats {
     * (dead dimension rows — a hygiene signal, not a violation). NULL
     * child keys count as orphans in both engines (a null never matches).
     *
-    * Scale: two LEFT ANTI joins, each a plain keyed shuffle (broadcast
-    * when one side is dim-sized — Catalyst decides), plus two counts;
-    * output is ONE row per relationship forever. */
+    * Scale: ONE pass per table — each side collapses map-side to per-key
+    * counts (guide §2.3 "aggregate before you shuffle": the exchange
+    * carries (key, count) pairs, not rows), one full-outer join of the two
+    * count tables classifies every key as matched / orphan / unreferenced,
+    * and one global agg folds the four counts. The previous two-anti-join
+    * form scanned child and parent 3× each (q173's 5-relation union:
+    * 1,052-line plan, 60 parquet scans); this derives the same four counts
+    * from one scan per side. Null keys form their own group on each side
+    * and never equi-match — null child keys count as orphans, identically.
+    * Output is ONE row per relationship forever. */
   def fkAudit(rel: String, child: DataFrame, childKey: String,
               parent: DataFrame, parentKey: String): DataFrame = {
-    val orphans = child.join(parent, child(childKey) === parent(parentKey),
-      "left_anti")
-    val unreferenced = parent.join(child, parent(parentKey) === child(childKey),
-      "left_anti")
-    child.agg(count(lit(1)).as("n_child"))
-      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-      .crossJoin(parent.agg(count(lit(1)).as("n_parent")))
-      .crossJoin(unreferenced.agg(count(lit(1)).as("n_unreferenced")))
+    val ca = child.groupBy(child(childKey).as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = parent.groupBy(parent(parentKey).as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    ca.join(cb, Seq("__k"), "full_outer")
+      .agg(
+        coalesce(sum(col("__ca")), lit(0L)).cast("long").as("n_child"),
+        coalesce(sum(when(col("__cb").isNull, col("__ca"))), lit(0L))
+          .cast("long").as("n_orphans"),
+        coalesce(sum(col("__cb")), lit(0L)).cast("long").as("n_parent"),
+        coalesce(sum(when(col("__ca").isNull, col("__cb"))), lit(0L))
+          .cast("long").as("n_unreferenced"))
       .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"),
         col("n_parent"), col("n_unreferenced"))
   }

@@ -4079,7 +4079,13 @@ object PipelineQueries {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.load(s, dir, "embeddings")
       val pivots = emb.filter(col("vec_id") < IdxSearchC)
+      // Project to the two columns PSI needs, then pin once: the assignment
+      // feeds four consumers (each population binned + totaled inside
+      // psiMicro) — left lazy, each re-derived the corpus×pivot argmax scan
+      // (plan was 547 lines / 36 Exchanges / 16 parquet scans). Pinned
+      // payload is (label, centroid_id) — two ints per corpus vector.
       val asg = Similarity.ivfAssignAll(emb, pivots, "embedding", "vec_id")
+        .select(col("label"), col("centroid_id")).localCheckpoint()
       val psi = TableStats.psiMicro(
         asg.filter(col("label") === 0),
         asg.filter(col("label") =!= 0), "centroid_id", 1.0, IdxSearchC)

@@ -135,4 +135,23 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((1L, 0L, 30L), (1L, 40L, 50L), (2L, 0L, 100L)))
   }
+
+  test("transitionMatrix: per-prev marginal is the window sum (r20 restructure)") {
+    // a→b twice, a→c once, b→a once: P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1.
+    // Per-user timelines; user 8's single event yields no pair.
+    val ev = Seq(
+      (1L, ts(1), 7L, "a"), (2L, ts(2), 7L, "b"), (3L, ts(3), 7L, "a"),
+      (4L, ts(4), 7L, "c"),
+      (5L, ts(1), 9L, "a"), (6L, ts(2), 9L, "b"), (7L, ts(3), 9L, "a"),
+      (8L, ts(1), 8L, "x"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.transitionMatrix(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .orderBy("prev", "cur")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 2.0 / 3.0), ("a", "c", 1L, 1.0 / 3.0),
+      ("b", "a", 2L, 1.0)))
+  }
 }

@@ -125,7 +125,10 @@ class PlansSpec extends AnyFunSuite {
     val docs = Tables.load(spark, sf, "documents")
     val sig = Dedup.minhashSignature(docs, "text", "doc_id", k = 8, w = 5)
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rows = 2)
-    val j = Dedup.jaccardForPairs(pairs, docs, "text", "doc_id", w = 5)
+    // jaccardForPairs pins its inputs eagerly (r20: the 4-consumer re-derive
+    // fix), so the declared frame's plan reads checkpoints; the semi-join
+    // property lives in the lazy shingle subframe it materializes.
+    val j = Dedup.shingledMembers(pairs, docs, "text", "doc_id", w = 5)
     val plan = formatted(j)
     // the semi-join that restricts the corpus to pair members must exist…
     assert(plan.contains("LeftSemi"), plan)
