@@ -860,9 +860,16 @@ object CurationQueries {
          |SELECT source, n_terms, ns AS n_tokens, kl_sum_nano
          |FROM kl_sum JOIN kl_ns USING (source) ORDER BY source""".stripMargin
     }) { (s, dir) =>
+      // Pin the (source, term, tf) table once (the q117/q169 discipline):
+      // it feeds ns (consumed 3×), cf, and the contribution join — left
+      // lazy, each consumer re-derived the full tokenize+explode+count pass
+      // over the corpus (plan was 404 lines / 32 Exchanges / 10 scans;
+      // first run 9.9 s). Pinned payload is per-(source, term) counts —
+      // vocabulary-sized, never the corpus.
       val tf = Tables.load(s, dir, "documents")
         .select(col("source"), explode(TextAnalysis.words(col("text"))).as("term"))
         .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val ns = tf.groupBy("source")
         .agg(sum(col("tf")).cast("long").as("ns"), count(lit(1)).as("n_terms"))
       val cf = tf.groupBy("term").agg(sum(col("tf")).cast("long").as("cf"))
