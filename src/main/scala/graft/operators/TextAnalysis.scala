@@ -888,54 +888,79 @@ object TextAnalysis {
     // mutable (symbols, freq) per word type
     val syms = types.map { case (w, _) => w.toCharArray.map(String.valueOf) }
     val freqs = types.map(_._2)
+    // INCREMENTAL pair-count maintenance (r20): the previous form recounted
+    // every word type's adjacencies per rank — O(k · Σ|word|). The counts
+    // map is now maintained across ranks: a merge touches only the words
+    // that contain the merged pair (found via an occurrence index with lazy
+    // deletion — stale entries are re-checked against the live symbols),
+    // and each touched word contributes an exact -old/+new pair-multiset
+    // delta, so `counts` equals the full recount at every rank by
+    // construction. Selection (max by cnt DESC, l ASC, r ASC) and the
+    // greedy left-to-right non-overlapping merge apply are unchanged, so
+    // ranks and tie-breaks are identical to the distributed trainer —
+    // TextMetricsSpec pins both the equality and the hand-computed ties.
+    val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+    val occ = new java.util.HashMap[(String, String),
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    // Add (sign=+1, recording occurrences) or retract (sign=-1) word t's
+    // adjacent-pair multiset; entries hitting 0 are removed so `counts`
+    // holds exactly the live pairs.
+    def applyWordPairs(t: Int, sign: Long): Unit = {
+      val s = syms(t); val d = sign * freqs(t)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nv = counts.merge(p, d, (a, b) => a + b)
+        if (nv == 0L) counts.remove(p)
+        if (sign > 0) {
+          var lst = occ.get(p)
+          if (lst == null) { lst = scala.collection.mutable.ArrayBuffer.empty[Int]; occ.put(p, lst) }
+          if (lst.isEmpty || lst.last != t) lst += t
+        }
+        i += 1
+      }
+    }
+    var t = 0
+    while (t < syms.length) { applyWordPairs(t, 1L); t += 1 }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
-    var exhausted = false
-    while (rank <= k && !exhausted) {
-      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
-      var t = 0
-      while (t < syms.length) {
-        val s = syms(t); val f = freqs(t)
-        var i = 0
-        while (i < s.length - 1) {
-          counts.merge((s(i), s(i + 1)), f, (a, b) => a + b)
-          i += 1
+    while (rank <= k && !counts.isEmpty) {
+      var bl: String = null; var br: String = null; var bc = -1L
+      counts.forEach { (p, c) =>
+        if (c > bc || (c == bc &&
+            (p._1 < bl || (p._1 == bl && p._2 < br)))) {
+          bl = p._1; br = p._2; bc = c
         }
-        t += 1
       }
-      if (counts.isEmpty) exhausted = true
-      else {
-        var bl: String = null; var br: String = null; var bc = -1L
-        counts.forEach { (p, c) =>
-          if (c > bc || (c == bc &&
-              (p._1 < bl || (p._1 == bl && p._2 < br)))) {
-            bl = p._1; br = p._2; bc = c
-          }
-        }
-        merges += ((rank, bl, br, bc))
-        val lr = bl + br
-        t = 0
-        while (t < syms.length) {
-          val s = syms(t)
-          var has = false
-          var i = 0
-          while (i < s.length - 1 && !has) {
-            if (s(i) == bl && s(i + 1) == br) has = true; i += 1
-          }
-          if (has) {
-            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
-            i = 0
-            while (i < s.length) {
-              if (i < s.length - 1 && s(i) == bl && s(i + 1) == br) {
-                out += lr; i += 2
-              } else { out += s(i); i += 1 }
+      merges += ((rank, bl, br, bc))
+      val lr = bl + br
+      val touched = occ.remove((bl, br))
+      if (touched != null) {
+        val seen = new java.util.HashSet[Int]()
+        touched.foreach { t =>
+          if (seen.add(t)) {
+            val s = syms(t)
+            var has = false
+            var i = 0
+            while (i < s.length - 1 && !has) {
+              if (s(i) == bl && s(i + 1) == br) has = true; i += 1
             }
-            syms(t) = out.toArray
+            if (has) { // stale index entries fail this recheck and are skipped
+              applyWordPairs(t, -1L)
+              val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+              i = 0
+              while (i < s.length) {
+                if (i < s.length - 1 && s(i) == bl && s(i + 1) == br) {
+                  out += lr; i += 2
+                } else { out += s(i); i += 1 }
+              }
+              syms(t) = out.toArray
+              applyWordPairs(t, 1L)
+            }
           }
-          t += 1
         }
-        rank += 1
       }
+      rank += 1
     }
     merges.toSeq
   }

@@ -112,6 +112,67 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(segs(Seq(("a", "a"), ("a", "b"))) == 3L)   // aa,ab + ab
   }
 
+  test("bpeTrainLocal: merged-away pairs leave the count table (incremental ranks)") {
+    // xaxa ×3, cc ×1: it1 counts (x,a)=6, (a,x)=3, (c,c)=1 → merge (x,a);
+    // xaxa → [xa,xa] and (a,x) VANISHES. it2: (xa,xa)=3 vs (c,c)=1.
+    // Adversarial for incremental maintenance: a stale (a,x)=3 would TIE
+    // (xa,xa)=3 and win the lexicographic tie-break ("a" < "xa") — so a
+    // missed decrement flips rank 2. Rank 3 must fall to (c,c).
+    val docs = Seq((1L, "xaxa xaxa xaxa cc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainLocal(docs, "text", k = 4)
+    assert(got == Seq((1, "x", "a", 6L), (2, "xa", "xa", 3L), (3, "c", "c", 1L)),
+      got) // rank 4 unlearnable: every word is one symbol → trainer stops
+  }
+
+  test("bpeTrainLocal ≡ full per-rank recount (reference algorithm, k=64)") {
+    // Reference = the pre-r20 trainer: recount EVERY word type's adjacent
+    // pairs at every rank. The incremental trainer must match it rank by
+    // rank — counts, tie-breaks, and termination — over real text at the
+    // full q195 merge depth.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val types = docs
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val syms = types.map { case (w, _) => w.toCharArray.map(String.valueOf) }
+    val freqs = types.map(_._2)
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= 64 && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      for (t <- syms.indices; i <- 0 until syms(t).length - 1)
+        counts.merge((syms(t)(i), syms(t)(i + 1)), freqs(t), (a, b) => a + b)
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bl: String = null; var br: String = null; var bc = -1L
+        counts.forEach { (p, c) =>
+          if (c > bc || (c == bc && (p._1 < bl || (p._1 == bl && p._2 < br)))) {
+            bl = p._1; br = p._2; bc = c
+          }
+        }
+        ref += ((rank, bl, br, bc))
+        for (t <- syms.indices) {
+          val s = syms(t)
+          if (s.sliding(2).exists(p => p.length == 2 && p(0) == bl && p(1) == br)) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == bl && s(i + 1) == br) {
+                out += bl + br; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            syms(t) = out.toArray
+          }
+        }
+        rank += 1
+      }
+    }
+    val got = TextAnalysis.bpeTrainLocal(docs, "text", k = 64)
+    assert(got == ref.toSeq, s"incremental trainer diverged from recount at " +
+      s"rank ${got.zip(ref).indexWhere(p => p._1 != p._2) + 1}")
+  }
+
   test("bpeTrainLocal ≡ bpeTopMerges (driver loop vs distributed, k=5 on real docs)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val dist = TextAnalysis.bpeTopMerges(docs, "text", k = 5)
