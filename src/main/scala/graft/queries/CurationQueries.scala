@@ -68,7 +68,11 @@ object CurationQueries {
          |  CAST(len(regexp_extract_all(t, '${Curation.Ipv4Pattern}')) AS INT) AS n_ips,
          |  ${Curation.redactPiiSql("t")} AS red_text
          |FROM i ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // repartition before the regex count+redact stage (single-split
+      // fixture, q58 note) — also spreads the range-sort sampling pass,
+      // which re-evaluates this projection
       Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), injectCol.as("t"))
         .select(col("doc_id"),
           Curation.piiCount(col("t"), Curation.EmailPattern).as("n_emails"),
@@ -229,7 +233,10 @@ object CurationQueries {
         concat(when(length(c) % 5 === 0, lit("cookie ")).otherwise(lit("")),
           c,
           when(length(c) % 3 === 0, lit(".")).otherwise(lit(""))))
+      // repartition before the chunk+boilerplate HOF stage (single-split
+      // fixture, q58 note)
       Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), lines.as("ls"))
         .select(col("doc_id"), col("ls"),
           Curation.removeBoilerplateLines(col("ls"), minWords = 4).as("ks"))

@@ -3134,10 +3134,19 @@ object PipelineQueries {
          |SELECT id AS doc_id, n_bpe FROM bpe_out ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val merges = TextAnalysis.bpeTopMerges(docs, "text", k = 5)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      docs.select(col("doc_id"),
+      // Learn the merges with the driver-loop trainer — rank-identical to
+      // bpeTopMerges (TextMetricsSpec pins the k=5 equality): the corpus is
+      // still scanned once into the word-type table, but the 5 ranks run
+      // in-memory instead of as ~20 collect/checkpoint jobs (uncached; q184
+      // keeps exercising the distributed trainer as its declared contract).
+      val merges = TextAnalysis.bpeTrainLocal(docs, "text", k = 5)
+        .map(m => (m._2, m._3))
+      // Repartition before the encode projection (the q70/q71 decode-map
+      // discipline): the fixture is one parquet file, so the per-row
+      // replace-chain encode otherwise runs 1-task — twice, because the
+      // range sort's sampling pass evaluates the child projection too.
+      docs.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
           TextAnalysis.bpeSegmentCount(col("text"), merges).as("n_bpe"))
         .orderBy("doc_id")
     },
