@@ -830,8 +830,11 @@ object CurationQueries {
       s"""SELECT id AS doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text
          |FROM ($cs) ORDER BY doc_id, chunk_idx""".stripMargin
     }) { (s, dir) =>
-      Curation.chunkSliding(Tables.load(s, dir, "documents"), "text", "doc_id",
-          ChunkTokens, ChunkStride)
+      // repartition before the chunk Generate (single-split fixture, q58 note)
+      Curation.chunkSliding(
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "text", "doc_id", ChunkTokens, ChunkStride)
         .orderBy("doc_id", "chunk_idx")
     },
 

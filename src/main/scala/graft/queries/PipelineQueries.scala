@@ -845,7 +845,10 @@ object PipelineQueries {
     Q("q53_fingerprint",
       s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // repartition before the fingerprint scalar stage (single-split
+      // fixture, q58 note)
       Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
@@ -1044,7 +1047,11 @@ object PipelineQueries {
     Q("q62_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
-      Streams.withJsonProp(Tables.load(s, dir, "events"), "k", "k")
+      // repartition before the per-row JSON synth+parse (single-split
+      // fixture, q58 note) — also spreads the range-sort sampling pass
+      Streams.withJsonProp(
+          Tables.load(s, dir, "events")
+            .repartition(s.sparkContext.defaultParallelism), "k", "k")
         .select("event_id", "k")
         .orderBy("event_id")
     },
