@@ -780,7 +780,10 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS INT) AS n_tokens,
          |  CAST(length(text) AS INT) AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents").select(
+      // repartition before the regex token counts (single-split fixture,
+      // q58 note)
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism).select(
           col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -817,7 +820,10 @@ object PipelineQueries {
          |  lang
          |FROM sc ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      Tables.load(s, dir, "documents").select(
+      // repartition before the stopword-scoring HOFs (single-split fixture,
+      // q58 note)
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism).select(
           col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_pred"),
           col("lang"))
@@ -4502,7 +4508,9 @@ object PipelineQueries {
          |FROM bpe_enc ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val bc = bpeVocab(s, dir)
+      // repartition before the kernel encode (single-split fixture, q58 note)
       Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           graft.functions.BpeExprs.bpeEncode(col("text"), bc).as("bpe_seg"))
         .withColumn("n_bpe",
